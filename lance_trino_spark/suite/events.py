@@ -1,0 +1,204 @@
+"""Event-stream analytics over the `events` table (batch shapes; the
+streaming variants live in lance_trino_spark/streaming/).
+
+`events.ts` is parquet timestamp[ns]. DuckDB truncates it to microseconds on
+read, so every time computation here works in *microseconds* (`ts_ns div
+1000` on the Spark side, `epoch_us(ts)` on the DuckDB side) and uses integer
+floor-division — both engines then agree exactly. Outputs are epoch integers,
+never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..tables import load_table
+from . import register
+from .relational import dsum
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e01 — time-bucketed aggregation (the batch form of a streaming windowed agg).
+# ---------------------------------------------------------------------------
+@register(
+    "e01_hourly_event_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, hour_epoch
+    """,
+    doc="hourly tumbling-window aggregation over events",
+    tags=("events", "agg", "time"),
+)
+def e01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    # hour bucket = floor(us / 3600e6) * 3600 seconds — identical to
+    # date_trunc('hour') for post-epoch data.
+    hour_epoch = (F.expr("ts_us div 3600000000") * 3600).cast("bigint")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", hour_epoch.alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", 6, "total_value"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e02 — sessionization: gap > 30 min starts a new session (lag window +
+# cumulative sum). The classic stateful-stream op expressed relationally.
+# ---------------------------------------------------------------------------
+@register(
+    "e02_sessionization",
+    oracle="""
+    WITH ts_t AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ts_t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(SUM(session_len) AS BIGINT) AS n_events,
+           CAST(MAX(session_len) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, session_id, COUNT(*) AS session_len
+          FROM sessions GROUP BY user_id, session_id) s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="sessionization via lag + cumulative window (30 min gap)",
+    tags=("events", "window", "session"),
+)
+def e02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.select("user_id", "event_id", "ts_us").withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = (
+        W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(w_cum))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_len")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.sum("session_len").alias("n_events"),
+            F.max("session_len").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e03 — funnel: signup → first purchase conversion lag per user.
+# ---------------------------------------------------------------------------
+@register(
+    "e03_funnel_conversion",
+    oracle="""
+    WITH first_signup AS (
+      SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    first_purchase AS (
+      SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS purchase_us
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT s.user_id AS user_id,
+           (p.purchase_us - s.signup_us) // 1000000 AS lag_seconds
+    FROM first_signup s JOIN first_purchase p ON s.user_id = p.user_id
+    WHERE p.purchase_us > s.signup_us
+    ORDER BY user_id
+    """,
+    doc="signup→purchase funnel conversion lag",
+    tags=("events", "join"),
+)
+def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    return (
+        signup.join(purchase, F.col("user_id") == F.col("p_user"))
+        .filter(F.col("purchase_us") > F.col("signup_us"))
+        .select(
+            "user_id",
+            F.expr("(purchase_us - signup_us) div 1000000").alias("lag_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e04 — top users by exact purchase value.
+# ---------------------------------------------------------------------------
+@register(
+    "e04_top_purchasers",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 25
+    """,
+    doc="top-k users by exact purchase value",
+    tags=("events", "topk"),
+)
+def e04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value", 6, "total_value"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(25)
+    )
