@@ -1,0 +1,97 @@
+"""Benchmark runner — prints ONE JSON line with per-query seconds.
+
+Headline queries from the suite, run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is executed
+`--iters` times (default 2) and the fastest run is reported — the first run
+includes JIT/codegen warmup that a long-lived cluster wouldn't pay per-query.
+
+Usage: python bench.py [--iters N] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: one per physical-plan family (scan-agg, broadcast-join
+# topk, star join, conditional agg, outer-join distribution, semi-join,
+# window, sessionization, hourly rollup). Dedup/similarity/text entries are
+# appended as those operators land.
+DEFAULT_QUERIES = [
+    "q01_pricing_summary",
+    "q02_topk_open_orders",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    "q12_priority_classes",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q24_window_running_revenue",
+    "q25_top_orders_per_segment",
+    "e01_hourly_event_stats",
+    "e02_sessionization",
+    "t01_token_stats",
+    "t03_quality_scores",
+    "d01_exact_dedup",
+    "d02_minhash_lsh_dedup",
+    "s01_cosine_topk",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--queries", type=str, default="")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sf encoded in the dir name, e.g. .../sf0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(base[2:]) if base.startswith("sf") else None
+
+    from lance_trino_spark.session import get_spark
+    from lance_trino_spark.suite import all_queries
+
+    spark = get_spark("bench")
+    registry = all_queries()
+    names = [n for n in (args.queries.split(",") if args.queries else DEFAULT_QUERIES)
+             if n in registry]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(max(1, args.iters)):
+            t0 = time.time()
+            df = registry[name].build(spark, sf_dir)
+            # noop sink materializes every column (count() would let Catalyst
+            # prune the expensive expressions away).
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = min(best, dt)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of each implementation):
+
+- **exact**: one hash-groupBy on a 32-byte fingerprint — a single shuffle
+  keyed by md5, skew-free by construction.
+- **minhash_lsh**: shingle → 32-bit hash → k affine permutations → min per
+  perm → band keys → candidate pairs via an equi-join *on band key* — never
+  an all-pairs comparison. At 100 TB the only shuffles are (doc→shingle
+  explode is narrow), groupBy(doc) for signatures, and the band-key join
+  whose fan-in per key is bounded by collision rate; banding parameters
+  (b bands × r rows) tune recall vs join fan-in.
+- **simhash**: 32-bit signature split into 4 8-bit bands; by pigeonhole any
+  pair within Hamming distance 3 shares ≥1 exact band → equi-join per band,
+  then exact Hamming verify with bit_count. No quadratic step.
+- **ngram_jaccard**: distinct-shingle inverted-index join (shingle →
+  candidate pair) with |A∩B| counted per pair, then Jaccard filter. Join
+  fan-in bounded by dropping ultra-frequent shingles (df cap) — the standard
+  scale guard.
+- **embedding near-dup**: cosine over a blocked join (block = `label`, the
+  coarse IVF-cell stand-in) — never the full cross product.
+
+All arithmetic is engine-portable (see functions/__init__.py): md5-derived
+hashes, BIGINT-safe modular products, left-fold double sums — the DuckDB
+oracles in suite/dedup.py replicate each step exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import MINHASH_PRIME, h32, minhash_perms, normalize_text, tokens
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 4  # → rows-per-band r = num_perm // bands = 4
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group documents by normalized-text fingerprint; keep the minimum id as
+    canonical. Returns (fingerprint, n_copies, keeper)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keeper"))
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word-k-gram shingles per document, as 32-bit hashes.
+    Narrow explode — no shuffle until the consumer aggregates."""
+    toks = tokens(text_col)
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {k - 1}, 0)),"
+                f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {k})))"
+            )
+        ).alias("shingle"),
+    ).dropDuplicates([id_col, "shingle"])
+    return shingled.withColumn("h", h32(F.col("shingle")))
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_perm: int = DEFAULT_NUM_PERM
+) -> DataFrame:
+    """MinHash signature per document: for each affine permutation j,
+    min((a_j * h + b_j) mod P). One groupBy(doc) shuffle; the permutation
+    fan-out is a narrow explode of `num_perm` rows per shingle."""
+    perms = minhash_perms(num_perm)
+    perm_rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for j, (a, b) in enumerate(perms)
+        ]
+    )
+    exploded = sh.select(
+        F.col(id_col), F.col("h"), F.explode(perm_rows).alias("p")
+    ).select(
+        F.col(id_col),
+        F.col("p.j").alias("j"),
+        ((F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(MINHASH_PRIME)).alias("ph"),
+    )
+    return exploded.groupBy(id_col, "j").agg(F.min("ph").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Band the signature and equi-join on (band, band_key). Returns distinct
+    (id_a < id_b) candidate pairs."""
+    r = num_perm // bands
+    banded = (
+        sig.withColumn("band", F.expr(f"j div {r}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                                  lambda s: s["minhash"].cast("string"))
+            ).alias("band_key")
+        )
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_key")
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("band").alias("band_r"), F.col("band_key").alias("key_r")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("band_key") == F.col("key_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs only."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
+    b = sh.select(F.col(id_col).alias("jb_id"), F.col("h").alias("hb"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("jb_id")) & (F.col("ha") == F.col("hb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
+    sh = shingle_hashes(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_perm)
+    pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+def simhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash: bit j of the signature is 1 iff more than half of the
+    document's shingle hashes have bit j set."""
+    bit = F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("bit")
+    per_bit = sh.select(F.col(id_col), F.col("h"), bit).select(
+        F.col(id_col),
+        F.col("bit"),
+        F.expr("shiftright(h, bit) & 1").alias("b"),
+    )
+    votes = per_bit.groupBy(id_col, "bit").agg(
+        F.sum("b").alias("ones"), F.count("*").alias("n")
+    )
+    # shiftleft on BIGINT: shiftleft(1, 31) on INT would wrap negative and
+    # diverge from DuckDB's 1::BIGINT << 31.
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("ones") * 2 > F.col("n"),
+                F.expr("shiftleft(cast(1 as bigint), bit)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Banded SimHash join: 4 bytes per signature; Hamming ≤ 3 ⇒ at least one
+    byte matches exactly (pigeonhole), so candidates come from 4 equi-joins,
+    then bit_count verifies."""
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band * 8) & 255"))
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("band").alias("band_r"),
+        F.col("band_val").alias("val_r"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("band_val") == F.col("val_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Inverted-index n-gram Jaccard: explode distinct shingles, drop
+    shingles appearing in > max_doc_freq docs (frequency cap = the scale
+    guard against quadratic hot keys), self-join on shingle, count
+    intersections, Jaccard-filter."""
+    sh = shingle_hashes(df, id_col, text_col, k)
+    df_freq = sh.groupBy("h").agg(F.count("*").alias("df_"))
+    rare = sh.join(df_freq.filter(F.col("df_") <= max_doc_freq), "h")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = rare.select(F.col(id_col).alias("id_a"), "h")
+    b = rare.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
+    inter = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two strategies, mirroring the reference's vector-column story
+(`LanceTableProperties.java:33-57` declares vector columns; actual ANN search
+lives below the connector in Lance — here we implement the search itself,
+Spark-first):
+
+- **brute-force top-k** (`cosine_topk`): query set × corpus join with an
+  exact cosine and a row_number window per query. Correctness baseline; at
+  scale the corpus side stays partitioned, queries broadcast.
+- **cell-partitioned ANN** (`bucketed_topk`): an IVF-style coarse partition
+  (here the `label` column stands in for a k-means cell id — at 100 TB you'd
+  assign cells with a trained codebook) restricts each query to its cell —
+  an equi-join on cell id instead of a cross product. Same output schema, so
+  recall can be measured against the brute-force baseline.
+- **embedding near-dup** (`embedding_neardup_pairs`): all pairs within a
+  cell whose cosine ≥ threshold — the embedding variant of dedup.
+
+Cosines are computed as left-fold double sums and rounded to 6 decimals
+(functions/cosine_similarity) so DuckDB oracles agree; ranking ties break on
+neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import cosine_similarity
+
+
+def _rank_topk(joined: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k neighbors for each query vector.
+
+    `queries` is expected to be small (broadcast); the corpus never moves —
+    the join is a broadcast-nested-loop over corpus partitions, then a
+    per-query top-k window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("cosine", cosine_similarity("cv", "qv"))
+    return _rank_topk(joined, k)
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell (equi-join on cell
+    id → shuffle bounded by cell sizes, no cross product)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(cell_col).alias("qcell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(cell_col).alias("ccell"),
+    )
+    joined = (
+        c.join(F.broadcast(q), F.col("ccell") == F.col("qcell"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity("cv", "qv"))
+    )
+    return _rank_topk(joined, k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs within each coarse cell: (id_a < id_b,
+    cosine ≥ threshold). Cell-blocked to avoid the quadratic cross join."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(cell_col).alias("cell_a")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(cell_col).alias("cell_b")
+    )
+    return (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

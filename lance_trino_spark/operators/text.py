@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame transformations built from JVM-side
+functions — no Python UDFs — so they stay inside whole-stage codegen and
+scale linearly with partitions (a 100 TB documents table maps each operator
+to one narrow scan stage, no shuffle).
+
+Reference parity note: the reference connector (lance-trino) has no text
+operators; these are the "beyond-reference" LLM-pipeline surface required by
+BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import normalize_text, tokens
+
+# Deterministic per-language marker-word lists for the n-gram/stopword
+# language-ID heuristic. On real multilingual text these discriminate well;
+# they are fixed constants so the DuckDB oracle can embed the same lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens(text_col))
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (the BPE-ish regex variant is
+    `token_count_bpe`)."""
+    return F.size(tokens(text_col))
+
+
+def token_count_bpe(text_col: str = "text") -> Column:
+    """BPE-ish subword proxy: splits on word boundaries AND digit/letter
+    transitions, the usual cheap pre-tokenizer estimate."""
+    c = F.regexp_replace(F.col(text_col), r"(\d)([a-zA-Z])", r"$1 $2")
+    c = F.regexp_replace(c, r"([a-zA-Z])(\d)", r"$1 $2")
+    c = F.regexp_replace(c, r"([.,!?;:])", r" $1 ")
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts, ties broken
+    by language code order, 'und' when nothing matches."""
+    out = with_tokens(df, text_col)
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        quoted = ", ".join(f"'{m}'" for m in markers)
+        out = out.withColumn(
+            f"score_{lang}", F.expr(f"size(filter(tokens, t -> t IN ({quoted})))")
+        )
+        score_cols.append(f"score_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("und")
+    # Iterate in reverse so earlier languages win ties (first match wins).
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred).drop("tokens")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: all integer-derived, so the composite score
+    (a fixed-weight double expression) is deterministic across engines."""
+    out = with_tokens(df, text_col)
+    quoted = ", ".join(f"'{m}'" for m in STOPWORDS)
+    out = (
+        out.withColumn("n_chars_m", F.length(text_col))
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn(
+            "n_stopwords", F.expr(f"size(filter(tokens, t -> t IN ({quoted})))")
+        )
+        .withColumn(
+            "n_punct", F.length(F.regexp_replace(text_col, r"[^.,!?;:]", ""))
+        )
+        .withColumn(
+            "n_alpha", F.length(F.regexp_replace(text_col, r"[^a-zA-Z]", ""))
+        )
+    )
+    return out.drop("tokens")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    mid-length docs, penalizes punctuation soup. Matches the oracle SQL in
+    suite/text.py term for term."""
+    out = quality_features(df, text_col)
+    stop_ratio = F.col("n_stopwords").cast("double") / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    alpha_ratio = F.col("n_alpha").cast("double") / F.greatest(
+        F.col("n_chars_m"), F.lit(1)
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.greatest(
+        F.col("n_chars_m"), F.lit(1)
+    )
+    length_term = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * length_term
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio
+        - F.lit(0.1) * F.least(punct_ratio * 10, F.lit(1.0))
+    )
+    # No rounding: every input is an integer count, so the IEEE-double score
+    # is bit-identical across engines; rounding *algorithms* (HALF_UP on
+    # shortest-repr vs scaled C rounding) are the only thing that could
+    # diverge, so we avoid them entirely.
+    return out.withColumn("quality_score", score)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return df.withColumn("fingerprint", F.md5(normalize_text(text_col)))

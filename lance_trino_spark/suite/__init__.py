@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
     from . import text as _text  # noqa: F401
     from . import dedup as _dedup  # noqa: F401
     from . import similarity as _similarity  # noqa: F401
+    from . import multimodal as _multimodal  # noqa: F401
     from . import lance_format as _lance_format  # noqa: F401
 
     return dict(REGISTRY)

@@ -1,1 +1,214 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication suite entries.
+
+The driver corpus has no natural duplicates (500 unique texts at sf0.01), so
+each query builds a *deterministically augmented corpus* inside the query:
+exact copies of every doc_id % 7 == 0 (id + 2000000) and near-copies (one
+appended token) of every doc_id % 10 == 0 (id + 1000000). Both engines build
+the same corpus in SQL/DataFrame terms, so dedup outputs are non-trivial and
+hash-comparable.
+
+Oracle SQL is generated from the SAME constants as the Spark operators
+(minhash permutation table, shingle k, band layout) — single source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import MINHASH_PRIME, minhash_perms
+from ..operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_PERM,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from ..tables import load_table
+from . import register
+
+# --- shared augmented-corpus construction ---------------------------------
+
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           text || ' dupword' || CAST(doc_id % 5 AS VARCHAR)
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" dupword"), (F.col("doc_id") % 5).cast("string")
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(near).unionAll(exact)
+
+
+# DuckDB CTEs shared by the shingle-based oracles (k=3 word shingles,
+# 32-bit md5-derived hashes — mirrors operators/dedup.py:shingle_hashes).
+_SHINGLE_CTES = f"""
+    corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+    pos AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM tok),
+    sh0 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM pos),
+    sh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# d01 — exact dedup via normalized-text fingerprint groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "d01_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+          FROM corpus) t
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    doc="exact dedup: hash-groupBy on normalized-text md5",
+    tags=("dedup", "exact"),
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        exact_dedup(_corpus(spark, sf_dir))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d02 — MinHash + LSH near-dup detection with exact-Jaccard verification.
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    perms = minhash_perms(DEFAULT_NUM_PERM)
+    values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(perms))
+    r = DEFAULT_NUM_PERM // DEFAULT_BANDS
+    return f"""
+    WITH {_SHINGLE_CTES},
+    perms(j, a, b) AS (VALUES {values}),
+    ph AS (SELECT doc_id, j, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+           FROM sh, perms GROUP BY doc_id, j),
+    banded AS (SELECT doc_id, j // {r} AS band,
+                      string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
+               FROM ph GROUP BY doc_id, j // {r}),
+    cand AS (SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b
+             FROM banded l JOIN banded r2
+               ON l.band = r2.band AND l.band_key = r2.band_key
+              AND l.doc_id < r2.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
+              GROUP BY c.id_a, c.id_b)
+    SELECT c.id_a, c.id_b,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) >= 0.5
+    ORDER BY c.id_a, c.id_b
+    """
+
+
+@register(
+    "d02_minhash_lsh_dedup",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16 perms) + LSH(4 bands) near-dup pairs, Jaccard>=0.5",
+    tags=("dedup", "minhash", "lsh"),
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(_corpus(spark, sf_dir), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d03 — SimHash near-dup pairs via banded signature join.
+# ---------------------------------------------------------------------------
+@register(
+    "d03_simhash_near_dup",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit FROM sh),
+    votes AS (SELECT doc_id, bit, SUM((h >> bit) & 1) AS ones, COUNT(*) AS n
+              FROM bits GROUP BY doc_id, bit),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN ones * 2 > n THEN (1::BIGINT << bit)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id),
+    banded AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sig),
+    b2 AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+           FROM banded)
+    SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b,
+           CAST(bit_count(xor(l.simhash, r2.simhash)) AS INT) AS hamming
+    FROM b2 l JOIN b2 r2
+      ON l.band = r2.band AND l.band_val = r2.band_val AND l.doc_id < r2.doc_id
+    WHERE bit_count(xor(l.simhash, r2.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash(32-bit) near-dup pairs, Hamming<=3, banded join",
+    tags=("dedup", "simhash"),
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_hashes(_corpus(spark, sf_dir))
+    sig = simhash_signatures(sh)
+    return (
+        simhash_near_dup_pairs(sig, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d04 — n-gram Jaccard near-dup via inverted-index join (no LSH).
+# ---------------------------------------------------------------------------
+@register(
+    "d04_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    freq AS (SELECT h, COUNT(*) AS df_ FROM sh GROUP BY h),
+    rare AS (SELECT sh.doc_id, sh.h FROM sh JOIN freq ON sh.h = freq.h
+             WHERE freq.df_ <= 1000),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="n-gram Jaccard near-dup pairs via inverted shingle index",
+    tags=("dedup", "jaccard"),
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )

@@ -1,0 +1,90 @@
+"""Multimodal suite entries: binary-column decode / frame-sample plumbing.
+
+The payloads are synthesized deterministically from doc_id (the container has
+no codec libs — SURVEY's "stub the decode, make the plumbing real" rule), so
+the oracle can state the expected metadata arithmetically: decode output for
+doc d must be width=16+d%32, height=16+(3d)%32, channels=1+d%3, and mean_px
+the mean of (d*i+7)%256 over the pixel index range. The Spark side really
+packs and re-parses the bytes through Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_payloads, decode_images, sample_frames
+from ..tables import load_table
+from . import register
+
+
+def _docs_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cap the decoded subset so the oracle's pixel-unnest stays cheap.
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+
+@register(
+    "m01_image_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    dims AS (SELECT doc_id,
+                    16 + doc_id % 32 AS width,
+                    16 + (doc_id * 3) % 32 AS height,
+                    1 + doc_id % 3 AS channels
+             FROM d),
+    px AS (SELECT doc_id, width, height, channels,
+                  unnest(generate_series(0, width * height * channels - 1)) AS i
+           FROM dims)
+    SELECT doc_id,
+           CAST(MIN(width) AS INT) AS width,
+           CAST(MIN(height) AS INT) AS height,
+           CAST(MIN(channels) AS INT) AS channels,
+           CAST(SUM((doc_id * i + 7) % 256) AS DOUBLE)
+             / (MIN(width) * MIN(height) * MIN(channels)) AS mean_px
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="binary image column decode via Arrow-batched mapInPandas",
+    tags=("multimodal", "binary"),
+)
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_subset(spark, sf_dir)
+    return decode_images(attach_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "m02_frame_sampling",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+    dims AS (SELECT doc_id,
+                    16 + doc_id % 32 AS width,
+                    16 + (doc_id * 3) % 32 AS height,
+                    1 + doc_id % 3 AS channels
+             FROM d),
+    frames AS (SELECT doc_id, width, height, channels,
+                      unnest(generate_series(0, height - 1, 4)) AS frame_idx
+               FROM dims),
+    px AS (SELECT doc_id, width, channels, frame_idx,
+                  unnest(generate_series(frame_idx * width * channels,
+                                         (frame_idx + 1) * width * channels - 1)) AS i
+           FROM frames)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM((doc_id * i + 7) % 256) AS DOUBLE)
+             / (MIN(width) * MIN(channels)) AS frame_mean
+    FROM px
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="video-style frame sampling (every 4th row-frame) via mapInPandas",
+    tags=("multimodal", "binary"),
+)
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 50
+    )
+    return sample_frames(attach_payloads(docs), every=4).orderBy("doc_id", "frame_idx")

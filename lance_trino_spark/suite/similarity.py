@@ -1,1 +1,116 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search suite entries over the `embeddings` table.
+
+Cosines are left-fold double sums in BOTH engines (Spark `aggregate` starting
+at 0.0, DuckDB `list_reduce` starting at the first element — identical since
+0.0 + x == x), so values are bit-identical with no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import bucketed_topk, cosine_topk, embedding_neardup_pairs
+from ..tables import load_table
+from . import register
+
+# DuckDB left-fold cosine between list columns {a} and {b}.
+def _cos_sql(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({x})),"
+            f" i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force exact cosine top-k (the correctness baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "s01_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, {_cos_sql('cv', 'qv')} AS cosine
+               FROM c, q WHERE neighbor_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="exact brute-force cosine top-5 for 10 query vectors",
+    tags=("similarity", "ann"),
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# s02 — IVF-style cell-restricted ANN (label = coarse cell id).
+# ---------------------------------------------------------------------------
+@register(
+    "s02_bucketed_ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qcell
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS ccell
+          FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, {_cos_sql('cv', 'qv')} AS cosine
+               FROM c JOIN q ON ccell = qcell
+               WHERE neighbor_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="cell-partitioned ANN top-5 (IVF-style coarse quantization)",
+    tags=("similarity", "ann", "ivf"),
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# s03 — embedding near-dup pairs (cell-blocked, exact-copy augmented).
+# ---------------------------------------------------------------------------
+@register(
+    "s03_embedding_neardup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding, label FROM embeddings
+      WHERE vec_id % 20 = 0),
+    a AS (SELECT vec_id AS id_a, embedding AS va, label AS cell_a FROM corpus),
+    b AS (SELECT vec_id AS id_b, embedding AS vb, label AS cell_b FROM corpus),
+    scored AS (SELECT id_a, id_b, {_cos_sql('va', 'vb')} AS cosine
+               FROM a JOIN b ON cell_a = cell_b AND id_a < id_b)
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= 0.999
+    ORDER BY id_a, id_b
+    """,
+    doc="embedding-cosine near-dup pairs within coarse cells",
+    tags=("similarity", "dedup"),
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionAll(dup)
+    return embedding_neardup_pairs(corpus, threshold=0.999).orderBy("id_a", "id_b")

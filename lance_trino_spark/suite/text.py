@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis suite entries: Spark operators from operators/text.py with
+DuckDB oracles generated *from the same constants* (marker lists, weights),
+so the two dialects cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from ..tables import load_table
+from . import register
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# t01 — token statistics per source (whitespace tokenizer).
+# ---------------------------------------------------------------------------
+@register(
+    "t01_token_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(MIN(n_tok) AS INT) AS min_tokens,
+           CAST(MAX(n_tok) AS INT) AS max_tokens
+    FROM (SELECT source,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tok
+          FROM documents) t
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="token counting: whitespace tokenizer + per-source stats",
+    tags=("text", "tokens"),
+)
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tok", token_count("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t02 — language identification (marker-word heuristic) vs labeled lang.
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n             ".join(
+        f"len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS[lang])}))) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case_arms = "\n                ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {score_exprs}
+      FROM tok),
+    best_t AS (SELECT *, {best} AS best FROM scored)
+    SELECT lang,
+           CASE WHEN best = 0 THEN 'und'
+                {case_arms}
+           END AS lang_pred,
+           COUNT(*) AS n
+    FROM best_t
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """
+
+
+@register(
+    "t02_language_id",
+    oracle=_langid_oracle(),
+    doc="marker-word language-ID heuristic, confusion counts vs labels",
+    tags=("text", "langid"),
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs.select("doc_id", "lang", "text"))
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t03 — per-document quality scores (pure-integer-derived doubles).
+# ---------------------------------------------------------------------------
+def _quality_oracle() -> str:
+    stop = _in_list(STOPWORDS)
+    return f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t IN ({stop}))) AS n_stopwords,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents)
+    SELECT doc_id, n_tokens, n_stopwords,
+           0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE)
+         + 0.3::DOUBLE * least(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0::DOUBLE)
+         + 0.3::DOUBLE * (CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1))
+         - 0.1::DOUBLE * least(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) * 10, 1.0::DOUBLE)
+           AS quality_score
+    FROM feat
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "t03_quality_scores",
+    oracle=_quality_oracle(),
+    doc="document quality scoring from length/stopword/punct features",
+    tags=("text", "quality"),
+)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_score(docs.select("doc_id", "text"))
+        .select("doc_id", "n_tokens", "n_stopwords", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t04 — document fingerprinting (md5 of normalized text).
+# ---------------------------------------------------------------------------
+@register(
+    "t04_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="md5 fingerprint of whitespace-normalized lowercase text",
+    tags=("text", "fingerprint"),
+)
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs.select("doc_id", "text")).select("doc_id", "fingerprint").orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,110 @@
+"""Operator-level unit tests (the suite's DuckDB-oracle comparison is the
+integration layer; these pin the operators' semantics on tiny hand-checked
+inputs, mirroring the reference's fixture-based unit tests — SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_groups(spark):
+    from lance_trino_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other doc")],
+        ["doc_id", "text"],
+    )
+    out = {r["keeper"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    # normalization folds case+whitespace → docs 1,2 collapse
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dup_and_skips_distinct(spark):
+    from lance_trino_spark.operators.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now ok yes")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_dedup(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_exact_copy_zero_hamming(spark):
+    from lance_trino_spark.operators.dedup import (
+        shingle_hashes,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    sig = simhash_signatures(shingle_hashes(df))
+    rows = simhash_near_dup_pairs(sig).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    from lance_trino_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    expect = [i for i in np.argsort(-sims) if i != 0][:3]
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == expect
+    for r in out:
+        assert math.isclose(r["cosine"], float(sims[r["neighbor_id"]]), rel_tol=1e-6)
+
+
+def test_quality_and_tokens(spark):
+    from lance_trino_spark.operators.text import quality_score, token_count
+
+    df = spark.createDataFrame([(1, "the cat sat on the mat.")], ["doc_id", "text"])
+    row = quality_score(df).withColumn("n_tok", token_count("text")).first()
+    assert row["n_tok"] == 6
+    assert row["n_stopwords"] == 2  # 'the' twice ('to'/'a'/'of'/'and' absent)
+    assert 0.0 <= row["quality_score"] <= 1.0
+
+
+def test_language_id_markers(spark):
+    from lance_trino_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "el la de que y el la"),
+            (2, "the cat and the dog of a house"),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[1] == "es"
+    assert out[2] == "en"
+    assert out[3] == "und"
+
+
+def test_multimodal_roundtrip(spark):
+    from lance_trino_spark.operators.multimodal import (
+        attach_payloads,
+        decode_images,
+        synth_payload,
+    )
+
+    df = spark.createDataFrame([(5,), (6,)], ["doc_id"])
+    out = {r["doc_id"]: r for r in decode_images(attach_payloads(df)).collect()}
+    for d in (5, 6):
+        assert out[d]["width"] == 16 + d % 32
+        assert out[d]["channels"] == 1 + d % 3
+        payload = synth_payload(d)
+        n = out[d]["width"] * out[d]["height"] * out[d]["channels"]
+        assert out[d]["mean_px"] == float(sum(payload[10:])) / n
