@@ -39,7 +39,12 @@ DEFAULT_QUERIES = [
     "t03_quality_scores",
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
+    "d03_simhash_near_dup",
     "s01_cosine_topk",
+    "s02_bucketed_ann_topk",
+    "lf01_roundtrip_scan",
+    "lf03_mor_delete",
+    "lf05_merge",
 ]
 
 

@@ -1,0 +1,207 @@
+"""Versioned manifests with atomic optimistic-concurrency commits.
+
+Dataset directory layout (modeled on the Lance format the reference reads —
+fixture layout `example_db/test_table1.lance/_versions/`, SURVEY §1.1 —
+re-expressed with Parquet data files so Spark's native vectorized reader is
+the scan path):
+
+    <table>.lance/
+      _versions/<N>.manifest.json   # one immutable manifest per version
+      data/<uuid>.parquet           # fragment data files
+      _deletions/<uuid>.parquet     # deletion vectors (fragment_id, row_index)
+
+Commit protocol (reference: single-commit optimistic transactions,
+`LanceMetadata.java:1489-1513` conflict detection):
+  1. writer prepares all data/deletion files (any executor, any order)
+  2. driver serializes the next manifest to a temp file
+  3. `os.link(tmp, _versions/<N+1>.manifest.json)` — hard-link creation is
+     atomic and fails with EEXIST if another writer committed N+1 first →
+     CommitConflictError, no partial state ever visible.
+
+Readers pin a version at open time (snapshot isolation — the reference pins
+`datasetVersion` in the table handle at planning time,
+`LanceTableHandle.java:48,250-254`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+class CommitConflictError(RuntimeError):
+    """Another transaction committed the same target version first
+    (TRANSACTION_CONFLICT in the reference)."""
+
+
+class VersionNotFoundError(ValueError):
+    pass
+
+
+@dataclass
+class DeletionFile:
+    path: str  # relative to dataset root
+    num_deleted: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "num_deleted": self.num_deleted}
+
+    @staticmethod
+    def from_json(d: dict | None) -> "DeletionFile | None":
+        return DeletionFile(d["path"], d["num_deleted"]) if d else None
+
+
+@dataclass
+class Fragment:
+    """Unit of layout and parallelism (SURVEY §1.1 "Fragment"): one data file
+    holding a contiguous row range; id is stable across versions so row
+    addresses (fragment_id << 32 | row_index) stay valid."""
+
+    id: int
+    path: str  # relative to dataset root
+    physical_rows: int  # rows in the data file (before deletions)
+    deletion: DeletionFile | None = None
+
+    @property
+    def num_rows(self) -> int:
+        """Deletion-aware row count (`LanceSplitManager.java:78-84`)."""
+        return self.physical_rows - (self.deletion.num_deleted if self.deletion else 0)
+
+    def to_json(self) -> dict:
+        return {
+            "id": self.id,
+            "path": self.path,
+            "physical_rows": self.physical_rows,
+            "deletion": self.deletion.to_json() if self.deletion else None,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Fragment":
+        return Fragment(
+            d["id"], d["path"], d["physical_rows"], DeletionFile.from_json(d["deletion"])
+        )
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema_json: dict  # Spark StructType json
+    fragments: list[Fragment] = field(default_factory=list)
+    operation: str = "create"
+    read_version: int | None = None
+    timestamp_ms: int = 0
+    max_fragment_id: int = -1
+    properties: dict = field(default_factory=dict)  # e.g. streaming epochs
+
+    @property
+    def total_rows(self) -> int:
+        """O(1) row count for the COUNT(*) fast path
+        (`ManifestSummary.getTotalRows()`, `LanceCountPageSource.java:90-95`)."""
+        return sum(f.num_rows for f in self.fragments)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema": self.schema_json,
+            "fragments": [f.to_json() for f in self.fragments],
+            "operation": self.operation,
+            "read_version": self.read_version,
+            "timestamp_ms": self.timestamp_ms,
+            "max_fragment_id": self.max_fragment_id,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            version=d["version"],
+            schema_json=d["schema"],
+            fragments=[Fragment.from_json(f) for f in d["fragments"]],
+            operation=d["operation"],
+            read_version=d.get("read_version"),
+            timestamp_ms=d.get("timestamp_ms", 0),
+            max_fragment_id=d.get("max_fragment_id", -1),
+            properties=d.get("properties", {}),
+        )
+
+
+VERSIONS_DIR = "_versions"
+DATA_DIR = "data"
+DELETIONS_DIR = "_deletions"
+
+
+def versions_dir(root: str) -> str:
+    return os.path.join(root, VERSIONS_DIR)
+
+
+def manifest_path(root: str, version: int) -> str:
+    return os.path.join(versions_dir(root), f"{version}.manifest.json")
+
+
+def list_versions(root: str) -> list[int]:
+    vdir = versions_dir(root)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.endswith(".manifest.json"):
+            try:
+                out.append(int(name.split(".", 1)[0]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(root: str) -> int:
+    vs = list_versions(root)
+    if not vs:
+        raise VersionNotFoundError(f"no versions in {root}")
+    return vs[-1]
+
+
+def version_at_timestamp(root: str, ts_ms: int) -> int:
+    """Latest version whose commit time <= ts (reference semantics:
+    `LanceRuntime.java:361-388` getVersionAtTimestamp)."""
+    best = None
+    for v in list_versions(root):
+        m = read_manifest(root, v)
+        if m.timestamp_ms <= ts_ms:
+            best = v
+    if best is None:
+        raise VersionNotFoundError(
+            f"no version at or before timestamp {ts_ms} in {root}"
+        )
+    return best
+
+
+def read_manifest(root: str, version: int) -> Manifest:
+    p = manifest_path(root, version)
+    if not os.path.exists(p):
+        raise VersionNotFoundError(f"version {version} does not exist at {root}")
+    with open(p) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def commit_manifest(root: str, manifest: Manifest) -> None:
+    """Atomically publish `manifest` as its version; raise
+    CommitConflictError if that version was committed concurrently."""
+    vdir = versions_dir(root)
+    os.makedirs(vdir, exist_ok=True)
+    manifest.timestamp_ms = int(time.time() * 1000)
+    tmp = os.path.join(vdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, manifest_path(root, manifest.version))
+    except FileExistsError as e:
+        raise CommitConflictError(
+            f"version {manifest.version} at {root} was committed by another "
+            f"transaction (read_version={manifest.read_version})"
+        ) from e
+    finally:
+        os.unlink(tmp)

@@ -50,42 +50,56 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def shingle_hashes(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct word-k-gram shingles per document, as 32-bit hashes.
-    Narrow explode — no shuffle until the consumer aggregates."""
-    toks = tokens(text_col)
-    shingled = df.select(
+    """Distinct word-k-gram shingle *hashes* per document (32-bit md5-derived).
+
+    The shingle string is hashed inside the projection and never leaves the
+    map side — the distinct shuffles only (id, int64) pairs, ~5× narrower
+    than shuffling shingle text. Distinctness is on the hash (not the
+    string): under 32-bit collisions a document's set can be smaller by a
+    hair, which is the standard trade — and the suite oracles replicate
+    hash-distinctness exactly."""
+    # Tokenize ONCE in its own projection: referencing split() inside the
+    # transform() lambda would re-evaluate it per shingle (Spark does no CSE
+    # inside higher-order functions) — O(tokens²) per document.
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    elems = ", ".join(f"_toks[i + {d} - 1]" for d in range(k))
+    # CASE guard: Spark's sequence(1, 0) is a DESCENDING sequence [1, 0],
+    # not empty (DuckDB's generate_series(1, 0) IS empty) — short docs must
+    # yield zero shingles in both engines.
+    shingled = toks.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {k - 1}, 0)),"
-                f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {k})))"
+                f"CASE WHEN size(_toks) >= {k} THEN "
+                f"transform(sequence(1, size(_toks) - {k - 1}),"
+                f" i -> concat_ws(' ', {elems})) "
+                f"ELSE array() END"
             )
         ).alias("shingle"),
-    ).dropDuplicates([id_col, "shingle"])
-    return shingled.withColumn("h", h32(F.col("shingle")))
+    )
+    return shingled.select(
+        F.col(id_col), h32(F.col("shingle")).alias("h")
+    ).dropDuplicates([id_col, "h"])
 
 
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_perm: int = DEFAULT_NUM_PERM
 ) -> DataFrame:
-    """MinHash signature per document: for each affine permutation j,
-    min((a_j * h + b_j) mod P). One groupBy(doc) shuffle; the permutation
-    fan-out is a narrow explode of `num_perm` rows per shingle."""
+    """MinHash signature per document as `num_perm` columns mh0..mh{k-1}:
+    one groupBy(doc) with k MIN aggregates — no permutation explode, so the
+    shuffle carries each shingle hash once (k small aggregate buffers per
+    group) instead of k exploded copies. Map-side partial aggregation does
+    most of the min-ing before the exchange."""
     perms = minhash_perms(num_perm)
-    perm_rows = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for j, (a, b) in enumerate(perms)
-        ]
-    )
-    exploded = sh.select(
-        F.col(id_col), F.col("h"), F.explode(perm_rows).alias("p")
-    ).select(
-        F.col(id_col),
-        F.col("p.j").alias("j"),
-        ((F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(MINHASH_PRIME)).alias("ph"),
-    )
-    return exploded.groupBy(id_col, "j").agg(F.min("ph").alias("minhash"))
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -97,16 +111,22 @@ def lsh_candidate_pairs(
     """Band the signature and equi-join on (band, band_key). Returns distinct
     (id_a < id_b) candidate pairs."""
     r = num_perm // bands
-    banded = (
-        sig.withColumn("band", F.expr(f"j div {r}"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",", F.transform(F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                                  lambda s: s["minhash"].cast("string"))
-            ).alias("band_key")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
+    # banded feeds both sides of the self-join; persist so the signature
+    # aggregation runs once (it is tiny: bands × n_docs rows).
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    ).persist()
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_key")
     )
@@ -164,10 +184,16 @@ def minhash_lsh_dedup(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
-    sh = shingle_hashes(df, id_col, text_col, k)
+    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    The shingle frame feeds both the signature and the verify stage — persist
+    it so the explode+distinct runs once (at cluster scale: a checkpoint to
+    fast storage)."""
+    sh = shingle_hashes(df, id_col, text_col, k).persist()
     sig = minhash_signatures(sh, id_col, num_perm)
-    pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    # candidate pairs are tiny but sit on a deep plan; persisting them keeps
+    # the verify stage from recomputing the whole LSH subtree per join branch
+    pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands).persist()
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 
@@ -175,26 +201,25 @@ def simhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash: bit j of the signature is 1 iff more than half of the
-    document's shingle hashes have bit j set."""
-    bit = F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("bit")
-    per_bit = sh.select(F.col(id_col), F.col("h"), bit).select(
-        F.col(id_col),
-        F.col("bit"),
-        F.expr("shiftright(h, bit) & 1").alias("b"),
-    )
-    votes = per_bit.groupBy(id_col, "bit").agg(
-        F.sum("b").alias("ones"), F.count("*").alias("n")
-    )
-    # shiftleft on BIGINT: shiftleft(1, 31) on INT would wrap negative and
-    # diverge from DuckDB's 1::BIGINT << 31.
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("ones") * 2 > F.col("n"),
-                F.expr("shiftleft(cast(1 as bigint), bit)"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+    document's shingle hashes have bit j set.
+
+    One groupBy(doc) with `bits` conditional-SUM aggregates — no per-bit
+    explode, so the shuffle moves each shingle hash once and map-side partial
+    aggregation collapses most rows before the exchange."""
+    aggs = [
+        F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"ones{j}")
+        for j in range(bits)
+    ] + [F.count("*").alias("n")]
+    votes = sh.groupBy(id_col).agg(*aggs)
+    # 1 << j as BIGINT (an INT shiftleft(1, 31) would wrap negative and
+    # diverge from DuckDB's 1::BIGINT << 31).
+    sig = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"ones{j}") * 2 > F.col("n"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -203,6 +228,7 @@ def simhash_near_dup_pairs(
     """Banded SimHash join: 4 bytes per signature; Hamming ≤ 3 ⇒ at least one
     byte matches exactly (pigeonhole), so candidates come from 4 equi-joins,
     then bit_count verifies."""
+    sig = sig.persist()  # feeds both sides of the band self-join
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -242,7 +268,7 @@ def ngram_jaccard_pairs(
     shingles appearing in > max_doc_freq docs (frequency cap = the scale
     guard against quadratic hot keys), self-join on shingle, count
     intersections, Jaccard-filter."""
-    sh = shingle_hashes(df, id_col, text_col, k)
+    sh = shingle_hashes(df, id_col, text_col, k).persist()
     df_freq = sh.groupBy("h").agg(F.count("*").alias("df_"))
     rare = sh.join(df_freq.filter(F.col("df_") <= max_doc_freq), "h")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))

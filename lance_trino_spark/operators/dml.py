@@ -1,0 +1,168 @@
+"""Merge-on-read DELETE / UPDATE / MERGE over LanceDataset (SURVEY §2A.A13,
+§3.3).
+
+Paradigm = DELETE_ROW_AND_INSERT_ROW exactly like the reference
+(`LanceMetadata.java:1116-1120`): affected rows are identified by row address
+(`_rowaddr` = fragment_id << 32 | row_index), deletions are bucketed per
+fragment and **unioned across all tasks before being applied** (the reference
+comments this exact correctness trap, `LanceMetadata.java:1199-1213`), new
+row versions land as fresh fragments, and everything commits as ONE Update
+transaction with conflict detection (A17).
+
+Scale note: per-fragment deletion lists are bounded by fragment size (1M rows
+default), and the driver-side union mirrors the reference coordinator's
+`finishMerge`. Deletes that would remove a large share of the table should be
+rewritten as an overwrite (copy-on-write) instead — same guidance as every
+MoR lakehouse format.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..format.dataset import (
+    ROW_ADDR_COL,
+    LanceDataset,
+    fragment_id_of,
+    row_index_of,
+)
+
+
+class MergeError(ValueError):
+    pass
+
+
+def _collect_deletions(addrs: DataFrame) -> dict[int, list[int]]:
+    """rowaddr DataFrame → {fragment_id: [row_index]} on the driver. The
+    groupBy unions duplicates from every task before the commit applies them."""
+    rows = (
+        addrs.select(
+            fragment_id_of(F.col(ROW_ADDR_COL)).alias("fid"),
+            row_index_of(F.col(ROW_ADDR_COL)).alias("ridx"),
+        )
+        .groupBy("fid")
+        .agg(F.collect_set("ridx").alias("ridxs"))
+        .collect()
+    )
+    out: dict[int, list[int]] = defaultdict(list)
+    for r in rows:
+        out[int(r["fid"])].extend(int(x) for x in r["ridxs"])
+    return dict(out)
+
+
+def delete(
+    ds: LanceDataset, spark: SparkSession, predicate: str | Column
+) -> LanceDataset:
+    """DELETE FROM t WHERE predicate — MoR: writes deletion vectors only,
+    no data rewritten (docs/src/operations/dml/delete.md "Implementation")."""
+    matched = ds.to_df(spark, with_row_address=True).filter(predicate).select(
+        ROW_ADDR_COL
+    )
+    deletions = _collect_deletions(matched)
+    if not deletions:
+        return ds
+    return ds.commit_update(deletions)
+
+
+def update(
+    ds: LanceDataset,
+    spark: SparkSession,
+    set_exprs: dict[str, Column | str],
+    predicate: str | Column | None = None,
+) -> LanceDataset:
+    """UPDATE t SET col = expr [WHERE predicate] — delete old row versions,
+    append updated rows as new fragments, one commit."""
+    scan = ds.to_df(spark, with_row_address=True)
+    matched = scan.filter(predicate) if predicate is not None else scan
+    cols = [f.name for f in ds.schema.fields]
+    updated = matched
+    for name, expr in set_exprs.items():
+        if name not in cols:
+            raise ValueError(f"unknown column {name!r}")
+        updated = updated.withColumn(
+            name, F.expr(expr) if isinstance(expr, str) else expr
+        )
+    new_rows = updated.select(*cols)
+    staged = LanceDataset._stage_dataframe(new_rows, ds.path)
+    deletions = _collect_deletions(matched.select(ROW_ADDR_COL))
+    if not deletions and not staged:
+        return ds
+    return ds.commit_update(deletions, staged)
+
+
+def merge(
+    ds: LanceDataset,
+    spark: SparkSession,
+    source: DataFrame,
+    on: str | list[str],
+    matched_update: dict[str, Column | str] | None = None,
+    matched_delete: bool = False,
+    matched_condition: str | Column | None = None,
+    insert_not_matched: bool = True,
+) -> LanceDataset:
+    """MERGE INTO target USING source ON keys — semantics per the reference's
+    docs/src/operations/dml/merge.md: WHEN MATCHED [AND cond] THEN
+    UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT; a target row matching more
+    than one source row is an error.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    cols = [f.name for f in ds.schema.fields]
+    target = ds.to_df(spark, with_row_address=True)
+
+    src = source.select(
+        *[F.col(c).alias(f"_src_{c}") for c in source.columns]
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"_src_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = target.join(src, cond, "inner")
+
+    # Target row matched by >1 source row → reject (merge.md "source must
+    # match at most one target row" family of errors).
+    dup = (
+        joined.groupBy(ROW_ADDR_COL)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise MergeError("MERGE: a target row matches more than one source row")
+
+    if matched_condition is not None:
+        mc = (
+            F.expr(matched_condition)
+            if isinstance(matched_condition, str)
+            else matched_condition
+        )
+        joined = joined.filter(mc)
+
+    # WHEN MATCHED: every matched row's old version is deleted; unless this
+    # is a MATCHED DELETE, the updated row is re-inserted.
+    deletions = _collect_deletions(joined.select(ROW_ADDR_COL))
+    inserts: DataFrame | None = None
+    if matched_update and not matched_delete:
+        upd = joined
+        for name, expr in matched_update.items():
+            upd = upd.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
+        inserts = upd.select(*cols)
+
+    if insert_not_matched:
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            raise MergeError(
+                f"MERGE INSERT requires source columns for {missing}"
+            )
+        anti = source.join(target.select(*keys), keys, "left_anti").select(*cols)
+        inserts = anti if inserts is None else inserts.unionByName(anti)
+
+    staged = (
+        LanceDataset._stage_dataframe(inserts, ds.path) if inserts is not None else []
+    )
+    if not deletions and not staged:
+        return ds
+    return ds.commit_update(deletions, staged)

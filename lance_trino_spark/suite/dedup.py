@@ -59,14 +59,16 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB CTEs shared by the shingle-based oracles (k=3 word shingles,
-# 32-bit md5-derived hashes — mirrors operators/dedup.py:shingle_hashes).
+# 32-bit md5-derived hashes, distinct per (doc, hash) — mirrors
+# operators/dedup.py:shingle_hashes).
 _SHINGLE_CTES = f"""
     corpus AS ({_CORPUS_SQL}),
     tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
     pos AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
             FROM tok),
-    sh0 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM pos),
-    sh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh0)
+    sh0 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM pos),
+    sh AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh0)
 """
 
 
@@ -101,16 +103,24 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _minhash_oracle() -> str:
     perms = minhash_perms(DEFAULT_NUM_PERM)
-    values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(perms))
     r = DEFAULT_NUM_PERM // DEFAULT_BANDS
+    min_aggs = ",\n                ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
+        + " AS band_key FROM sig"
+        for b in range(DEFAULT_BANDS)
+    )
     return f"""
     WITH {_SHINGLE_CTES},
-    perms(j, a, b) AS (VALUES {values}),
-    ph AS (SELECT doc_id, j, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
-           FROM sh, perms GROUP BY doc_id, j),
-    banded AS (SELECT doc_id, j // {r} AS band,
-                      string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS band_key
-               FROM ph GROUP BY doc_id, j // {r}),
+    sig AS (SELECT doc_id,
+                {min_aggs}
+            FROM sh GROUP BY doc_id),
+    banded AS (
+      {band_selects}),
     cand AS (SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b
              FROM banded l JOIN banded r2
                ON l.band = r2.band AND l.band_key = r2.band_key
@@ -149,17 +159,22 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # d03 — SimHash near-dup pairs via banded signature join.
 # ---------------------------------------------------------------------------
-@register(
-    "d03_simhash_near_dup",
-    oracle=f"""
+def _simhash_oracle() -> str:
+    ones_aggs = ",\n                   ".join(
+        f"SUM((h >> {j}) & 1) AS ones{j}" for j in range(32)
+    )
+    sig_terms = "\n                 + ".join(
+        f"(CASE WHEN ones{j} * 2 > n THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
     WITH {_SHINGLE_CTES},
-    bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit FROM sh),
-    votes AS (SELECT doc_id, bit, SUM((h >> bit) & 1) AS ones, COUNT(*) AS n
-              FROM bits GROUP BY doc_id, bit),
+    votes AS (SELECT doc_id, COUNT(*) AS n,
+                   {ones_aggs}
+              FROM sh GROUP BY doc_id),
     sig AS (SELECT doc_id,
-                   CAST(SUM(CASE WHEN ones * 2 > n THEN (1::BIGINT << bit)
-                                 ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id),
+                   CAST({sig_terms} AS BIGINT) AS simhash
+            FROM votes),
     banded AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sig),
     b2 AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
            FROM banded)
@@ -169,7 +184,12 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON l.band = r2.band AND l.band_val = r2.band_val AND l.doc_id < r2.doc_id
     WHERE bit_count(xor(l.simhash, r2.simhash)) <= 3
     ORDER BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "d03_simhash_near_dup",
+    oracle=_simhash_oracle(),
     doc="SimHash(32-bit) near-dup pairs, Hamming<=3, banded join",
     tags=("dedup", "simhash"),
 )

@@ -1,1 +1,217 @@
-"""Placeholder — populated in a later milestone."""
+"""Format-layer suite entries: each query round-trips driver testdata through
+a LanceDataset (CTAS → versioned ops → scan) and returns a result whose
+oracle is plain SQL over the ORIGINAL parquet tables — so the driver's
+DuckDB gate checks the whole format stack (two-phase write, manifests,
+deletion vectors, time travel, merge) for value-exact correctness.
+
+Datasets are (re)built under .scratch/ on every call — deterministic inputs
+give deterministic fragments, and rebuilding keeps the entries idempotent for
+repeated driver runs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..format.dataset import LanceDataset
+from ..operators import dml
+from ..tables import load_table
+from . import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch")
+
+
+def _fresh_path(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-{name}.lance")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# lf01 — CTAS + filtered/projected scan round-trip.
+# ---------------------------------------------------------------------------
+@register(
+    "lf01_roundtrip_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 30
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="format: CTAS from lineitem, filtered+projected scan back",
+    tags=("format", "scan"),
+)
+def lf01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf01")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    # fragment size forced low so even sf0.001 exercises multi-fragment scans
+    ds = LanceDataset.create(path, li, max_rows_per_file=25_000)
+    return ds.to_df(
+        spark,
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+        filter="l_returnflag = 'R' AND l_quantity >= 30",
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# lf02 — time travel: read the pre-append version (A10).
+# ---------------------------------------------------------------------------
+@register(
+    "lf02_time_travel",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM orders WHERE YEAR(o_orderdate) < 1997
+    GROUP BY YEAR(o_orderdate)
+    ORDER BY o_year
+    """,
+    doc="format: append then read VERSION AS OF the pre-append snapshot",
+    tags=("format", "time-travel"),
+)
+def lf02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf02")
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.year("o_orderdate") < 1997)
+    new = orders.filter(F.year("o_orderdate") >= 1997)
+    ds = LanceDataset.create(path, old)
+    v1 = ds.version
+    ds.append(new)  # advances to v2 — the v1 snapshot must be unaffected
+    snap = LanceDataset.open(path, version=v1)
+    return (
+        snap.to_df(spark)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lf03 — merge-on-read DELETE: deletion vectors must hide rows from scans.
+# ---------------------------------------------------------------------------
+@register(
+    "lf03_mor_delete",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal
+    FROM customer WHERE NOT (c_acctbal < 0)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="format: MoR delete via deletion vectors, scan sees survivors only",
+    tags=("format", "delete", "mor"),
+)
+def lf03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf03")
+    cust = load_table(spark, sf_dir, "customer")
+    ds = LanceDataset.create(path, cust, max_rows_per_file=500)
+    ds = dml.delete(ds, spark, "c_acctbal < 0")
+    return (
+        ds.to_df(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double").alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lf04 — UPDATE: delete-and-reinsert with expression evaluation.
+# ---------------------------------------------------------------------------
+@register(
+    "lf04_update",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 5000
+    ORDER BY o_orderkey
+    """,
+    doc="format: UPDATE SET price = price * 1.1 WHERE status = 'O'",
+    tags=("format", "update", "mor"),
+)
+def lf04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf04")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    ds = LanceDataset.create(path, orders, max_rows_per_file=1000)
+    ds = dml.update(
+        ds, spark, {"o_totalprice": "o_totalprice * 1.1"}, "o_orderstatus = 'O'"
+    )
+    return ds.to_df(spark).select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# lf05 — MERGE: matched-update + not-matched-insert in one transaction.
+# ---------------------------------------------------------------------------
+@register(
+    "lf05_merge",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, 42.0 FROM customer WHERE c_custkey % 100 = 0
+    ORDER BY c_custkey
+    """,
+    doc="format: MERGE with matched-update and not-matched-insert",
+    tags=("format", "merge", "mor"),
+)
+def lf05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf05")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ds = LanceDataset.create(path, cust, max_rows_per_file=500)
+    matched_src = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 1000.0).alias("c_acctbal")
+    )
+    new_src = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(42.0).alias("c_acctbal"),
+    )
+    source = matched_src.unionAll(new_src)
+    ds = dml.merge(
+        ds, spark, source, on="c_custkey",
+        matched_update={"c_acctbal": "_src_c_acctbal"},
+        insert_not_matched=True,
+    )
+    return ds.to_df(spark).select("c_custkey", "c_acctbal").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# lf06 — COUNT(*) fast path: answered from the manifest, zero data scanned
+# (A8) — and it must stay deletion-aware.
+# ---------------------------------------------------------------------------
+@register(
+    "lf06_count_star_fast_path",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM supplier) AS total_before,
+           (SELECT COUNT(*) FROM supplier WHERE NOT (s_acctbal < 0))
+             AS total_after_delete
+    """,
+    doc="format: O(1) manifest COUNT(*), deletion-aware",
+    tags=("format", "count"),
+)
+def lf06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf06")
+    supp = load_table(spark, sf_dir, "supplier")
+    ds = LanceDataset.create(path, supp, max_rows_per_file=20)
+    before = ds.count_rows()  # no scan: manifest total
+    ds = dml.delete(ds, spark, "s_acctbal < 0")
+    after = ds.count_rows()
+    return spark.createDataFrame(
+        [(before, after)], "total_before long, total_after_delete long"
+    )

@@ -1,0 +1,133 @@
+"""Format-layer tests mirroring the reference's fixture suite (SURVEY §5.4:
+multi-fragment scans, deletion-aware counts, time travel, version listing,
+conflict behavior)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_trino_spark.format.dataset import ROW_ADDR_COL, LanceDataset
+from lance_trino_spark.format.manifest import CommitConflictError
+from lance_trino_spark.operators import dml
+
+
+@pytest.fixture
+def tmp_ds_path(tmp_path):
+    p = str(tmp_path / "t.lance")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _mk(spark, path, n=100, rows_per_file=30):
+    # single writer task → fragment boundaries are determined solely by
+    # max_rows_per_file (multi-task writes produce one fragment per task,
+    # which is the desired distributed behavior but not what these layout
+    # assertions pin down)
+    df = (
+        spark.range(n)
+        .coalesce(1)
+        .select(F.col("id").alias("x"), (F.col("id") % 7).alias("y"))
+    )
+    return LanceDataset.create(path, df, max_rows_per_file=rows_per_file)
+
+
+def test_multi_fragment_roundtrip(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path)
+    assert len(ds.manifest.fragments) >= 4  # 100 rows / 30 per file
+    assert ds.count_rows() == 100
+    assert ds.to_df(spark).count() == 100
+    assert sorted(r["x"] for r in ds.to_df(spark, filter="y = 0").collect()) == list(
+        range(0, 100, 7)
+    )
+
+
+def test_limit_coalescing_reads_leading_fragments_only(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path)
+    df = ds.to_df(spark, limit=10)
+    # only the first fragment's file should be scanned (A7)
+    assert len(df.inputFiles()) == 1
+    assert df.count() == 10
+    # limit+filter cannot coalesce: all fragments scanned
+    df2 = ds.to_df(spark, filter="y = 3", limit=5)
+    assert len(df2.inputFiles()) == len(ds.manifest.fragments)
+    assert df2.count() == 5
+
+
+def test_row_address_layout(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=60, rows_per_file=30)
+    rows = ds.to_df(spark, with_row_address=True).collect()
+    addrs = {r["x"]: r[ROW_ADDR_COL] for r in rows}
+    frags = {a >> 32 for a in addrs.values()}
+    assert frags == {0, 1}
+    idxs = sorted(a & 0xFFFFFFFF for a in addrs.values() if a >> 32 == 0)
+    assert idxs == list(range(30))
+
+
+def test_time_travel_and_timestamp_asof(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=10)
+    t1 = ds.manifest.timestamp_ms
+    ds2 = ds.append(spark.range(10, 20).select(F.col("id").alias("x"), F.lit(0).alias("y")))
+    assert LanceDataset.open(tmp_ds_path, version=1).count_rows() == 10
+    assert LanceDataset.open(tmp_ds_path).count_rows() == 20
+    assert LanceDataset.open(tmp_ds_path, asof_timestamp_ms=t1).version == 1
+    assert (
+        LanceDataset.open(tmp_ds_path, asof_timestamp_ms=ds2.manifest.timestamp_ms).version
+        == 2
+    )
+    with pytest.raises(ValueError):
+        LanceDataset.open(tmp_ds_path, version=0)
+    with pytest.raises(ValueError):
+        LanceDataset.open(tmp_ds_path, version=99)
+
+
+def test_mor_delete_and_full_fragment_removal(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=60, rows_per_file=30)
+    ds2 = dml.delete(ds, spark, "x < 30")  # wipes fragment 0 entirely
+    assert ds2.count_rows() == 30
+    assert [f.id for f in ds2.manifest.fragments] == [1]
+    ds3 = dml.delete(ds2, spark, "x = 35")
+    assert ds3.count_rows() == 29
+    assert 35 not in {r["x"] for r in ds3.to_df(spark).collect()}
+    # deletions accumulate across commits (union semantics)
+    ds4 = dml.delete(ds3, spark, "x = 36")
+    assert ds4.count_rows() == 28
+    assert {35, 36} & {r["x"] for r in ds4.to_df(spark).collect()} == set()
+
+
+def test_update_conflict_on_stale_handle(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=10)
+    dml.delete(ds, spark, "x = 1")  # advances to v2 behind ds's back
+    with pytest.raises(CommitConflictError):
+        ds.commit_update({0: [0]})
+
+
+def test_append_retries_through_conflict(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=10)
+    stale = LanceDataset.open(tmp_ds_path)
+    ds.append(spark.range(10, 12).select(F.col("id").alias("x"), F.lit(0).alias("y")))
+    out = stale.append(
+        spark.range(12, 14).select(F.col("id").alias("x"), F.lit(0).alias("y"))
+    )
+    assert out.count_rows() == 14  # both appends landed despite the race
+
+
+def test_empty_dataset_and_schema(spark, tmp_ds_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("a", LongType()), StructField("b", LongType())])
+    ds = LanceDataset.create_empty(tmp_ds_path, schema)
+    assert ds.count_rows() == 0
+    df = ds.to_df(spark)
+    assert df.schema == schema and df.count() == 0
+    with pytest.raises(FileExistsError):
+        LanceDataset.create_empty(tmp_ds_path, schema)
+
+
+def test_merge_rejects_duplicate_source_match(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=5)
+    src = spark.createDataFrame([(1, 10), (1, 20)], ["x", "y"])
+    with pytest.raises(dml.MergeError):
+        dml.merge(ds, spark, src, on="x", matched_update={"y": "_src_y"})
