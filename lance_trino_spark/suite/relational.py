@@ -1053,3 +1053,252 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q08 — TPC-H Q8 market share: 8-way star join (all dims broadcast) + yearly
+# conditional-share aggregation. At scale only lineitem and orders are big;
+# their join shuffles on orderkey while part/supplier/customer/nation/region
+# ride along as broadcasts — Catalyst picks this given the size stats.
+# ---------------------------------------------------------------------------
+@register(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {_dsum_sql("CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END", 4)}
+             / {_dsum_sql('volume', 4)} AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) AS all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8: national market share within region/part-type segment",
+    tags=("join", "agg", "tpch"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    cust_in_region = customer.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).select("n_nationkey")
+        ),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), lineitem.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    nat_vol = F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                dsum(nat_vol, 4, "_num").cast("double")
+                / dsum("volume", 4, "_den").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — TPC-H Q11 shape (important stock) with supply value derived from
+# lineitem (testdata has no partsupp): per-part value vs a global-total scalar
+# subquery threshold. The scalar total is a one-row broadcast cross join; the
+# per-part agg reuses the same shuffled base via two aggregations over one
+# scan (Spark schedules both from the same exchange).
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l_partkey, l_extendedprice * l_quantity AS val
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 2
+    )
+    SELECT l_partkey AS p_key, {_dsum_sql('val', 4)} AS part_value
+    FROM supply
+    GROUP BY l_partkey
+    HAVING {_dsum_sql('val', 4)} >
+           (SELECT {_dsum_sql('val', 4)} * 0.001 FROM supply)
+    ORDER BY part_value DESC, p_key
+    """,
+    doc="TPC-H Q11 shape: per-part value above share-of-total threshold",
+    tags=("agg", "subquery", "tpch"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    supply = li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
+    )
+    per_part = supply.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        dsum("val", 4, "part_value")
+    )
+    total = supply.agg(
+        (dsum("val", 4, "_t").cast("double") * 0.001).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("p_key", "part_value")
+        .orderBy(F.col("part_value").desc(), "p_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — TPC-H Q20 shape (potential part promotion): nested GROUP-BY-HAVING
+# subquery feeding an IN-list semi join against supplier.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 30
+    )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: HAVING subquery -> semi join on supplier",
+    tags=("join", "semi", "subquery", "tpch"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    eligible = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            eligible, supplier.s_suppkey == eligible.l_suppkey, "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — TPC-H Q21 shape (suppliers who kept orders waiting): semi + anti
+# self-joins on lineitem. The two EXISTS branches become left_semi/left_anti
+# joins over the same shuffled (orderkey) base.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND s_nationkey = n_nationkey AND n_regionkey = 1
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 50
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT-EXISTS self joins on lineitem",
+    tags=("join", "semi", "anti", "tpch"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    base = (
+        l1.join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier.join(
+                F.broadcast(nation.select("n_nationkey")),
+                supplier.s_nationkey == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    )
+    sole_waiter = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_waiter.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(50)
+    )
