@@ -20,6 +20,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Fragments written by the format layer must round-trip through Arrow
+    # readers type-exactly: INT96 (the legacy default) reads back as ns.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # format("lance") pushes predicates into the pyarrow fragment scan.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Adaptive execution: runtime shuffle-partition coalescing + skew joins.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,496 @@
+"""`spark.read.format("lance")` — a Spark Python DataSource for the versioned
+format layer (the Spark-4 equivalent of the reference's Trino connector SPI).
+
+This is the re-expression of the reference's connector surface (SURVEY §2A)
+on `pyspark.sql.datasource`:
+
+- **Fragment scan (A1)** — `partitions()` returns one `InputPartition` per
+  live fragment of the pinned version (`LanceSplitManager.java:68-91` one
+  split per fragment); `read()` streams Arrow record batches of
+  `batchSize` rows (reference default 8192, `LanceConfig.java:111`).
+- **Filter pushdown with residuals (A4)** — `pushFilters()` accepts the same
+  conservative predicate set the reference compiles to Substrait
+  (`SubstraitExpressionBuilder.java:873-890,285-330,369-380,350-360`):
+  =, <>, <, <=, >, >=, IN, IS [NOT] NULL on top-level columns with simple
+  scalar literals. Everything else is returned to Spark as residual —
+  exactly the reference's protocol (`LanceMetadata.java:667-747` pushed vs
+  remaining TupleDomain). LIKE-family filters are declined like the
+  reference declines LIKE (`SubstraitExpressionBuilder.java:1295-1299`).
+  Pushed filters are evaluated by pyarrow's parquet scan, so they prune row
+  groups/pages *below* Spark.
+- **Snapshot isolation / time travel (A10)** — the dataset version is pinned
+  when the reader is constructed (`LanceTableHandle.java:48` "captured at
+  planning time"); `versionAsOf` / `timestampAsOf` read options select it.
+- **Deletion vectors** — scans always apply the fragment's deletion vector
+  (dataset-level scan semantics, `LanceFragmentPageSource.java:87-92`).
+- **Two-phase distributed write (A11)** — executors write fragment files and
+  return them as `WriterCommitMessage`s; the driver commits ONE atomic
+  manifest (`LanceMetadata.java:1031-1112` beginInsert/finishInsert,
+  `LancePageSink.java:144-198`). `mode("overwrite")` maps to the
+  Overwrite transaction (A12); append conflicts retry (append commutes),
+  other conflicts surface (A17).
+- **Streaming sink** — `writeStream.format("lance")`: per-microbatch append
+  commits with the epoch id recorded in the manifest, so replayed batches
+  are deduplicated (exactly-once sink on top of at-least-once delivery).
+  The reference is batch-only; this is the natural Spark extension.
+
+Scale notes: partitions map 1:1 to fragments so a 100 TB dataset with ~100k
+fragments yields ~100k tasks — Spark schedules these fine and AQE coalescing
+does not apply below a custom source, so fragment *sizing* (maxRowsPerFile at
+write time) is the scale knob, same as the reference's ≤1M rows/file default.
+All data-plane work (parquet decode, filtering) happens in Arrow on the
+executors; the driver only touches manifests.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import date, datetime
+from decimal import Decimal
+from typing import TYPE_CHECKING, Any, Iterable, Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from ..format.manifest import (
+    DATA_DIR,
+    CommitConflictError,
+    Fragment,
+    Manifest,
+    commit_manifest,
+    latest_version,
+    list_versions,
+    read_manifest,
+    version_at_timestamp,
+)
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+DEFAULT_BATCH_SIZE = 8192  # LanceConfig.java:111
+DEFAULT_MAX_ROWS_PER_FILE = 1_000_000  # LanceConfig.java:128
+
+
+# ---------------------------------------------------------------------------
+# Scan side
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LanceFragmentPartition(InputPartition):
+    """One fragment = one Spark task (A1). Carries everything the executor
+    needs — absolute file paths only, no driver state."""
+
+    fragment_id: int
+    data_path: str
+    deletion_path: str | None
+    physical_rows: int
+
+
+# Literal types we trust to round-trip exactly between Spark's filter API and
+# pyarrow compute. Floats are allowed except NaN (NaN comparison semantics
+# differ between engines — the reference leaves unsupported types as residual,
+# `SubstraitExpressionBuilder.java:699-713`; same conservatism here).
+_PUSHABLE_SCALARS = (bool, int, str, date, datetime, Decimal)
+
+
+def _pushable_value(v: Any) -> bool:
+    if v is None:
+        return False
+    if isinstance(v, float):
+        return not math.isnan(v)
+    return isinstance(v, _PUSHABLE_SCALARS)
+
+
+def _filter_pushable(f: Filter, top_level_cols: set[str]) -> bool:
+    """The supported set mirrors §2A.A4: comparisons, IN, IS [NOT] NULL,
+    NOT(=) — on top-level columns, simple scalars only."""
+    inner = f.child if isinstance(f, Not) else f
+    attr = getattr(inner, "attribute", None)
+    if attr is None or len(attr) != 1 or attr[0] not in top_level_cols:
+        return False
+    if isinstance(f, Not) and not isinstance(inner, EqualTo):
+        return False  # NOT only over equality (`<>`), like the reference
+    if isinstance(inner, (IsNull, IsNotNull)):
+        return True
+    if isinstance(inner, In):
+        return all(_pushable_value(v) for v in inner.value)
+    if isinstance(
+        inner, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+    ):
+        return _pushable_value(inner.value)
+    return False
+
+
+def _to_arrow_expr(f: Filter):
+    """Translate one pushed Spark filter into a pyarrow dataset expression
+    (executor-side; pyarrow evaluates it inside the parquet scan)."""
+    import pyarrow.dataset as pads
+
+    if isinstance(f, Not):
+        return ~_to_arrow_expr(f.child)
+    col = pads.field(f.attribute[0])
+    if isinstance(f, IsNull):
+        return col.is_null()
+    if isinstance(f, IsNotNull):
+        return ~col.is_null()
+    if isinstance(f, EqualTo):
+        return col == f.value
+    if isinstance(f, GreaterThan):
+        return col > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return col >= f.value
+    if isinstance(f, LessThan):
+        return col < f.value
+    if isinstance(f, LessThanOrEqual):
+        return col <= f.value
+    if isinstance(f, In):
+        return col.isin(list(f.value))
+    raise AssertionError(f"unpushable filter leaked through: {f!r}")
+
+
+class LanceScanReaderNoPushdown(DataSourceReader):
+    """Fallback used when `spark.sql.python.filterPushdown.enabled` is off:
+    Spark refuses any reader that *implements* pushFilters in that case, so
+    this subclass-free variant keeps scans working (all filters residual)."""
+
+    def __init__(self, path: str, schema: StructType, options: dict):
+        version = options.get("versionasof")
+        ts = options.get("timestampasof")
+        if version is not None:
+            v = int(version)
+        elif ts is not None:
+            v = version_at_timestamp(path, int(ts))
+        else:
+            v = latest_version(path)
+        self._manifest = read_manifest(path, v)
+        self._path = path
+        self._schema = schema
+        self._batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+        self._pushed: list[Filter] = []
+
+    def partitions(self) -> Sequence[LanceFragmentPartition]:
+        return [
+            LanceFragmentPartition(
+                fragment_id=f.id,
+                data_path=os.path.join(self._path, f.path),
+                deletion_path=(
+                    os.path.join(self._path, f.deletion.path) if f.deletion else None
+                ),
+                physical_rows=f.physical_rows,
+            )
+            for f in self._manifest.fragments
+            if f.num_rows > 0
+        ]
+
+    def read(self, partition: LanceFragmentPartition) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        expr = None
+        for f in self._pushed:
+            e = _to_arrow_expr(f)
+            expr = e if expr is None else (expr & e)
+
+        columns = [f.name for f in self._schema.fields]
+        if partition.deletion_path is None:
+            # No deletion vector: let pyarrow evaluate the filter inside the
+            # parquet scan (row-group/page pruning).
+            ds = pads.dataset(partition.data_path, format="parquet")
+            table = ds.to_table(columns=columns, filter=expr)
+        else:
+            # Deletion vector: row indexes are positions in the *physical*
+            # file, so materialize, mask, then filter.
+            table = pq.read_table(partition.data_path, columns=columns)
+            deleted = pq.read_table(
+                partition.deletion_path, columns=["row_index"]
+            ).column("row_index")
+            mask = np.ones(table.num_rows, dtype=bool)
+            idx = deleted.to_numpy(zero_copy_only=False).astype(np.int64)
+            mask[idx] = False
+            table = table.filter(pa.array(mask))
+            if expr is not None:
+                table = table.filter(expr)
+        yield from table.to_batches(max_chunksize=self._batch_size)
+
+
+class LanceScanReader(LanceScanReaderNoPushdown):
+    """The full reader: filter pushdown with exact residual semantics (A4)."""
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        cols = {f.name for f in self._schema.fields}
+        for f in filters:
+            if _filter_pushable(f, cols):
+                self._pushed.append(f)
+            else:
+                yield f  # residual — Spark evaluates it above the scan
+
+
+# ---------------------------------------------------------------------------
+# Write side
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LanceWriteMessage(WriterCommitMessage):
+    files: list  # [(relative_path, num_rows)]
+
+
+class _FragmentFileWriter:
+    """Executor-side fragment writer shared by batch and streaming sinks.
+    Writes parquet files into data/, rolling at max_rows_per_file
+    (`LancePageSink.java:91-215` buffered-write equivalent, but streaming —
+    no whole-partition buffering)."""
+
+    def __init__(self, root: str, max_rows_per_file: int):
+        self.root = root
+        self.max_rows = max_rows_per_file
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceWriteMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
+        files: list[tuple[str, int]] = []
+        writer = None
+        rel, rows = None, 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    rel = os.path.join(DATA_DIR, f"{uuid.uuid4().hex}.parquet")
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.root, rel),
+                        pa.schema(batch.schema),
+                        compression="snappy",
+                    )
+                    rows = 0
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                if rows >= self.max_rows:
+                    writer.close()
+                    files.append((rel, rows))
+                    writer = None
+        finally:
+            if writer is not None:
+                writer.close()
+                files.append((rel, rows))
+        return LanceWriteMessage(files=files)
+
+
+def _collect_staged(messages) -> list[tuple[str, int]]:
+    staged: list[tuple[str, int]] = []
+    for m in messages:
+        if m is not None:
+            staged.extend(m.files)
+    return sorted(staged)
+
+
+def _abort_staged(root: str, messages) -> None:
+    for rel, _ in _collect_staged(messages):
+        try:
+            os.unlink(os.path.join(root, rel))
+        except OSError:
+            pass
+
+
+def _commit_fragments(
+    root: str,
+    staged: list[tuple[str, int]],
+    schema_json: dict,
+    overwrite: bool,
+    extra_properties: dict | None = None,
+) -> Manifest:
+    """Driver-side single atomic commit (finishInsert/finishCreate shape).
+    Append retries on conflict — it commutes (`LanceMetadata.java:1382-1412`)."""
+    while True:
+        versions = list_versions(root)
+        base = read_manifest(root, versions[-1]) if versions else None
+        if overwrite or base is None:
+            fragments = [Fragment(i, rel, n) for i, (rel, n) in enumerate(staged)]
+            m = Manifest(
+                version=(base.version + 1) if base else 1,
+                schema_json=schema_json,
+                fragments=fragments,
+                operation="overwrite" if base else "create",
+                read_version=base.version if base else None,
+                max_fragment_id=len(fragments) - 1,
+                properties=dict(extra_properties or {}),
+            )
+        else:
+            next_id = base.max_fragment_id + 1
+            new_frags = [
+                Fragment(next_id + i, rel, n) for i, (rel, n) in enumerate(staged)
+            ]
+            props = dict(base.properties)
+            props.update(extra_properties or {})
+            m = Manifest(
+                version=base.version + 1,
+                schema_json=base.schema_json,
+                fragments=base.fragments + new_frags,
+                operation="append",
+                read_version=base.version,
+                max_fragment_id=base.max_fragment_id + len(new_frags),
+                properties=props,
+            )
+        try:
+            commit_manifest(root, m)
+            return m
+        except CommitConflictError:
+            continue
+
+
+class LanceBatchWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, schema: StructType, overwrite: bool, options: dict):
+        self._path = path
+        self._schema_json = schema.jsonValue()
+        self._overwrite = overwrite
+        self._writer = _FragmentFileWriter(
+            path, int(options.get("maxrowsperfile", DEFAULT_MAX_ROWS_PER_FILE))
+        )
+
+    def write(self, iterator) -> LanceWriteMessage:  # executor
+        return self._writer.write(iterator)
+
+    def commit(self, messages) -> None:  # driver — ONE atomic transaction
+        _commit_fragments(
+            self._path, _collect_staged(messages), self._schema_json, self._overwrite
+        )
+
+    def abort(self, messages) -> None:
+        _abort_staged(self._path, messages)
+
+
+STREAM_EPOCH_KEY = "stream_last_epoch"
+
+
+class LanceStreamWriter(DataSourceStreamWriter):
+    """Structured Streaming sink: each microbatch is one append transaction.
+    The committed epoch id rides in the manifest, so a replayed microbatch
+    (failure recovery re-runs the last uncommitted batch) is detected and
+    skipped — idempotent, exactly-once table contents."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool, options: dict):
+        self._path = path
+        self._schema_json = schema.jsonValue()
+        self._writer = _FragmentFileWriter(
+            path, int(options.get("maxrowsperfile", DEFAULT_MAX_ROWS_PER_FILE))
+        )
+
+    def write(self, iterator) -> LanceWriteMessage:  # executor, per microbatch
+        import pyarrow as pa
+
+        # DataSourceStreamWriter delivers Rows; convert via Arrow from the
+        # declared schema to keep types exact.
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = StructType.fromJson(self._schema_json)
+        arrow_schema = to_arrow_schema(schema)
+        rows = list(iterator)
+        if not rows:
+            return LanceWriteMessage(files=[])
+        cols = list(zip(*((tuple(r) for r in rows))))
+        arrays = [
+            pa.array(c, type=arrow_schema.field(i).type) for i, c in enumerate(cols)
+        ]
+        batch = pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+        return self._writer.write(iter([batch]))
+
+    def commit(self, messages, batchId: int) -> None:  # driver
+        last = self._last_committed_epoch()
+        if last is not None and batchId <= last:
+            _abort_staged(self._path, messages)  # duplicate replay
+            return
+        _commit_fragments(
+            self._path,
+            _collect_staged(messages),
+            self._schema_json,
+            overwrite=False,
+            extra_properties={STREAM_EPOCH_KEY: batchId},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_staged(self._path, messages)
+
+    def _last_committed_epoch(self) -> int | None:
+        versions = list_versions(self._path)
+        if not versions:
+            return None
+        return read_manifest(self._path, versions[-1]).properties.get(STREAM_EPOCH_KEY)
+
+
+# ---------------------------------------------------------------------------
+# DataSource
+# ---------------------------------------------------------------------------
+
+
+class LanceSparkDataSource(DataSource):
+    """format("lance") — read/write/streaming-write the versioned format."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lance"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("format('lance') requires a path: .load(path)/.save(path)")
+        return path
+
+    def schema(self) -> StructType:
+        path = self._path()
+        version = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        if version is not None:
+            v = int(version)
+        elif ts is not None:
+            v = version_at_timestamp(path, int(ts))
+        else:
+            v = latest_version(path)
+        return StructType.fromJson(read_manifest(path, v).schema_json)
+
+    def reader(self, schema: StructType) -> LanceScanReaderNoPushdown:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        enabled = (
+            spark is not None
+            and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            == "true"
+        )
+        cls = LanceScanReader if enabled else LanceScanReaderNoPushdown
+        return cls(self._path(), schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> LanceBatchWriter:
+        return LanceBatchWriter(self._path(), schema, overwrite, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
+        return LanceStreamWriter(self._path(), schema, overwrite, dict(self.options))
+
+
+def register_lance_datasource(spark) -> None:
+    """Idempotently register format('lance') on a session."""
+    spark.dataSource.register(LanceSparkDataSource)

@@ -56,5 +56,6 @@ def all_queries() -> dict[str, Query]:
     from . import similarity as _similarity  # noqa: F401
     from . import multimodal as _multimodal  # noqa: F401
     from . import lance_format as _lance_format  # noqa: F401
+    from . import datasource as _datasource  # noqa: F401
 
     return dict(REGISTRY)

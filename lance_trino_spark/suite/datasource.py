@@ -1,0 +1,154 @@
+"""Suite entries for the format('lance') Python DataSource — the connector
+surface itself (SURVEY §2A A1/A4/A10/A11, and the streaming sink extension),
+gated by the same DuckDB oracles as everything else: each entry round-trips
+driver testdata through the DataSource and the oracle runs on the ORIGINAL
+parquet, so a pushdown or commit bug shows up as a value mismatch."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..format.dataset import LanceDataset
+from ..sources.lance_datasource import register_lance_datasource
+from ..tables import load_table
+from . import register
+from .lance_format import _fresh_path
+from .relational import _dsum_sql, dsum
+
+
+# ---------------------------------------------------------------------------
+# ds01 — DataSource scan with filter pushdown: the pushed predicates (=, >=,
+# IN, IS NOT NULL) are evaluated by pyarrow inside the fragment scan; the
+# LIKE stays residual in Spark (the reference's exact split, §2A.A4).
+# ---------------------------------------------------------------------------
+@register(
+    "ds01_datasource_scan_pushdown",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {_dsum_sql('o_totalprice', 2)} AS total_price
+    FROM orders
+    WHERE o_totalprice >= 50000 AND o_orderstatus IN ('F', 'O')
+      AND o_custkey IS NOT NULL AND o_orderpriority LIKE '%URGENT'
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="connector: format('lance') scan, pushed >=/IN/IS-NOT-NULL + residual LIKE",
+    tags=("connector", "pushdown"),
+)
+def ds01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds01")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    LanceDataset.create(path, orders, max_rows_per_file=25_000)
+    scan = spark.read.format("lance").load(path).filter(
+        (F.col("o_totalprice") >= 50000)
+        & F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_orderpriority").like("%URGENT")  # residual — stays in Spark
+    )
+    return (
+        scan.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", 2, "total_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds02 — two-phase distributed write: append + append + overwrite-read-back
+# through df.write.format('lance'); every version stays readable (A10/A11).
+# ---------------------------------------------------------------------------
+@register(
+    "ds02_datasource_write_commit",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="connector: df.write.format('lance') two-phase append commits",
+    tags=("connector", "write"),
+)
+def ds02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds02")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    # two appends from disjoint halves — the union must equal the source
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.format("lance").mode(
+        "append"
+    ).save(path)
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.format("lance").mode(
+        "append"
+    ).save(path)
+    return (
+        spark.read.format("lance")
+        .load(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds03 — Structured Streaming ingest: file source → writeStream.format(
+# 'lance') with availableNow; per-microbatch atomic append commits with
+# epoch dedup. Result equals a batch query over the original table.
+# ---------------------------------------------------------------------------
+@register(
+    "ds03_streaming_ingest",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           COUNT(DISTINCT c_nationkey) AS nations
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="streaming: microbatch ingest into the format via writeStream.format('lance')",
+    tags=("streaming", "connector"),
+)
+def ds03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_lance_datasource(spark)
+    out = _fresh_path(sf_dir, "ds03")
+    src = out + ".src"
+    ckpt = out + ".ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cust.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("c_custkey long, c_nationkey long, c_mktsegment string")
+        .option("maxFilesPerTrigger", 1)  # several microbatches, several commits
+        .parquet(src)
+        .writeStream.format("lance")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(300)
+    return (
+        spark.read.format("lance")
+        .load(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("c_nationkey").alias("nations"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,228 @@
+"""Tests for the format('lance') Python DataSource: scan with pushdown and
+deletion vectors, two-phase batch writes, and the streaming sink's
+exactly-once epoch protocol."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNull,
+    Not,
+    StringStartsWith,
+)
+
+from lance_trino_spark.format.dataset import LanceDataset
+from lance_trino_spark.format.manifest import latest_version, read_manifest
+from lance_trino_spark.operators import dml
+from lance_trino_spark.sources.lance_datasource import (
+    LanceScanReader,
+    _filter_pushable,
+    register_lance_datasource,
+)
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    register_lance_datasource(spark)
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(SCRATCH, f"test-ds-{name}.lance")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    return path
+
+
+def _sample_df(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("bucket"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise((F.col("id") * 1.5).cast("double"))
+        .alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_scan_roundtrip(spark):
+    path = _fresh("roundtrip")
+    df = _sample_df(spark)
+    ds = LanceDataset.create(path, df, max_rows_per_file=100)
+
+    got = spark.read.format("lance").load(path)
+    assert got.count() == 1000
+    assert [f.name for f in got.schema.fields] == ["k", "bucket", "name", "score"]
+    # one partition per fragment (A1)
+    assert got.rdd.getNumPartitions() == len(ds.manifest.fragments)
+
+
+def test_datasource_filter_pushdown_values_match(spark):
+    path = _fresh("pushdown")
+    df = _sample_df(spark)
+    LanceDataset.create(path, df, max_rows_per_file=100)
+    got = (
+        spark.read.format("lance")
+        .load(path)
+        .filter("bucket = 3 AND k > 500 AND score IS NOT NULL")
+        .select("k", "name")
+    )
+    exp = (
+        df.filter("bucket = 3 AND k > 500 AND score IS NOT NULL")
+        .select("k", "name")
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in exp.collect())
+
+
+def test_pushable_filter_set():
+    cols = {"a", "b"}
+    assert _filter_pushable(EqualTo(("a",), 1), cols)
+    assert _filter_pushable(Not(EqualTo(("a",), "x")), cols)
+    assert _filter_pushable(GreaterThan(("b",), 1.5), cols)
+    assert _filter_pushable(In(("a",), (1, 2, 3)), cols)
+    assert _filter_pushable(IsNull(("a",)), cols)
+    # declined: unknown column, nested column, NaN, LIKE-family
+    assert not _filter_pushable(EqualTo(("zz",), 1), cols)
+    assert not _filter_pushable(EqualTo(("a", "b"), 1), cols)
+    assert not _filter_pushable(GreaterThan(("a",), float("nan")), cols)
+    assert not _filter_pushable(StringStartsWith(("a",), "x"), cols)
+
+
+def test_datasource_scan_applies_deletion_vectors(spark):
+    path = _fresh("dv")
+    df = _sample_df(spark)
+    ds = LanceDataset.create(path, df, max_rows_per_file=100)
+    dml.delete(ds, spark, "bucket = 2")
+
+    got = spark.read.format("lance").load(path)
+    assert got.filter("bucket = 2").count() == 0
+    exp = df.filter("bucket <> 2").count()
+    assert got.count() == exp
+    # pushed filter composes with the deletion mask
+    assert got.filter("k < 100").count() == df.filter("bucket <> 2 AND k < 100").count()
+
+
+def test_datasource_time_travel_option(spark):
+    path = _fresh("tt")
+    df = _sample_df(spark, 100)
+    ds = LanceDataset.create(path, df)
+    v1 = ds.version
+    ds.append(df)
+    assert spark.read.format("lance").load(path).count() == 200
+    snap = spark.read.format("lance").option("versionAsOf", v1).load(path)
+    assert snap.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# batch write path
+# ---------------------------------------------------------------------------
+
+
+def test_datasource_write_append_and_overwrite(spark):
+    path = _fresh("write")
+    df = _sample_df(spark, 500)
+    df.write.format("lance").mode("append").save(path)
+    m1 = read_manifest(path, latest_version(path))
+    assert m1.operation == "create" and m1.total_rows == 500
+
+    df.write.format("lance").mode("append").save(path)
+    m2 = read_manifest(path, latest_version(path))
+    assert m2.operation == "append" and m2.total_rows == 1000
+    # fragment ids never reused across appends
+    assert len({f.id for f in m2.fragments}) == len(m2.fragments)
+
+    df.limit(10).write.format("lance").mode("overwrite").save(path)
+    m3 = read_manifest(path, latest_version(path))
+    assert m3.operation == "overwrite" and m3.total_rows == 10
+
+    # all three versions remain readable (time travel across writes)
+    assert spark.read.format("lance").option("versionAsOf", m2.version).load(path).count() == 1000
+    got = spark.read.format("lance").load(path)
+    assert got.count() == 10
+
+
+def test_datasource_write_read_types_roundtrip(spark):
+    path = _fresh("types")
+    df = spark.sql(
+        """SELECT * FROM VALUES
+          (1, CAST(1.5 AS DOUBLE), CAST('2024-03-01' AS DATE),
+           TIMESTAMP'2024-03-01 12:00:00', CAST(12.34 AS DECIMAL(10,2)),
+           array(1.0F, 2.0F), named_struct('a', 1, 'b', 'x'), true),
+          (2, NULL, NULL, NULL, NULL, NULL, NULL, false)
+          AS t(i, d, dt, ts, dec, vec, st, flag)"""
+    )
+    df.write.format("lance").mode("append").save(path)
+    got = spark.read.format("lance").load(path)
+    assert got.schema == df.schema
+    assert sorted(map(str, got.collect())) == sorted(map(str, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# streaming sink
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sink_appends_microbatches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = _fresh("stream")
+    df = _sample_df(spark, 300).select("k", "bucket", "name")
+    df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, bucket long, name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("lance")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    got = spark.read.format("lance").load(out)
+    assert got.count() == 300
+    assert sorted(r.k for r in got.collect()) == list(range(300))
+    # multiple microbatch commits recorded epochs in manifests
+    m = read_manifest(out, latest_version(out))
+    assert m.properties.get("stream_last_epoch") is not None
+
+
+def test_streaming_sink_epoch_replay_is_idempotent(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lance_trino_spark.sources.lance_datasource import (
+        LanceStreamWriter,
+        LanceWriteMessage,
+    )
+
+    out = _fresh("replay")
+    schema = StructType([StructField("x", LongType())])
+    w = LanceStreamWriter(out, schema, overwrite=False, options={})
+
+    msg = w.write(iter([type("R", (tuple,), {})((i,)) for i in range(5)]))
+    w.commit([msg], batchId=0)
+    assert spark.read.format("lance").load(out).count() == 5
+
+    # replay of the same epoch must be dropped
+    msg2 = w.write(iter([type("R", (tuple,), {})((i,)) for i in range(5)]))
+    w.commit([msg2], batchId=0)
+    assert spark.read.format("lance").load(out).count() == 5
+
+    msg3 = w.write(iter([type("R", (tuple,), {})((i,)) for i in range(3)]))
+    w.commit([msg3], batchId=1)
+    assert spark.read.format("lance").load(out).count() == 8
