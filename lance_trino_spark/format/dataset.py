@@ -36,6 +36,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from .blob import (
+    BLOB_PROP,
+    apply_blob_read_semantics,
+    fetch_blobs,
+    stage_blob_columns,
+    virtual_columns,
+)
 from .manifest import (
     DATA_DIR,
     DELETIONS_DIR,
@@ -102,6 +109,10 @@ class LanceDataset:
     def schema(self) -> StructType:
         return StructType.fromJson(self.manifest.schema_json)
 
+    @property
+    def blob_columns(self) -> list[str]:
+        return list(self.manifest.properties.get(BLOB_PROP, []))
+
     def count_rows(self) -> int:
         """O(1) from the manifest — zero data scanned."""
         return self.manifest.total_rows
@@ -131,6 +142,7 @@ class LanceDataset:
         filter: str | Column | None = None,
         limit: int | None = None,
         with_row_address: bool = False,
+        with_blobs: bool = False,
     ) -> DataFrame:
         frags = self._fragments_for_limit(limit, filter is not None)
         frags = [f for f in frags if f.num_rows > 0]
@@ -139,6 +151,8 @@ class LanceDataset:
             df = spark.createDataFrame([], schema)
             if with_row_address:
                 df = df.withColumn(ROW_ADDR_COL, F.lit(None).cast("bigint"))
+            if self.blob_columns and not with_blobs:
+                df = apply_blob_read_semantics(df, self.blob_columns)
             return self._finish(df, columns, filter, limit, with_row_address)
 
         paths = [os.path.join(self.path, f.path) for f in frags]
@@ -179,6 +193,10 @@ class LanceDataset:
                     df[ROW_ADDR_COL] == F.col("_del_addr"),
                     "left_anti",
                 )
+        if self.blob_columns and not with_blobs:
+            # Reference read semantics: blob col → empty bytes + hidden
+            # selectable <col>__blob_pos/__blob_size virtual columns (A15).
+            df = apply_blob_read_semantics(df, self.blob_columns)
         return self._finish(df, columns, filter, limit, with_row_address)
 
     def _finish(self, df, columns, filter, limit, with_row_address):
@@ -187,11 +205,27 @@ class LanceDataset:
         if columns is not None:
             keep = list(columns) + ([ROW_ADDR_COL] if with_row_address else [])
             df = df.select(*keep)
-        elif not with_row_address and ROW_ADDR_COL in df.columns:
-            df = df.drop(ROW_ADDR_COL)
+        else:
+            # Virtual blob columns are hidden unless explicitly selected.
+            df = df.drop(*virtual_columns(self.blob_columns))
+            if not with_row_address and ROW_ADDR_COL in df.columns:
+                df = df.drop(ROW_ADDR_COL)
         if limit is not None:
             df = df.limit(limit)
         return df
+
+    def blobs_df(
+        self,
+        spark: SparkSession,
+        col: str,
+        filter: str | Column | None = None,
+    ) -> DataFrame:
+        """Fetch path for a blob column: the scan plus `col` resolved back to
+        its actual bytes via executor-side ranged reads of the sidecar files."""
+        if col not in self.blob_columns:
+            raise ValueError(f"{col!r} is not a blob column of this dataset")
+        df = self.to_df(spark, filter=filter, with_blobs=True)
+        return fetch_blobs(df, self.path, col)
 
     def _deletion_df(self, spark: SparkSession, frags: list[Fragment]) -> DataFrame | None:
         del_paths = [
@@ -240,9 +274,11 @@ class LanceDataset:
         mode: str = "error",
         max_rows_per_file: int = MAX_ROWS_PER_FILE,
         properties: dict | None = None,
+        blob_columns: list[str] | None = None,
     ) -> "LanceDataset":
         """CREATE TABLE AS SELECT / replace (A12): write fragments, publish
-        one Overwrite manifest."""
+        one Overwrite manifest. `blob_columns` declares BINARY columns to
+        store out-of-line (A15)."""
         if LanceDataset.exists(path):
             if mode == "error":
                 raise FileExistsError(f"dataset already exists at {path}")
@@ -251,6 +287,10 @@ class LanceDataset:
             if mode not in ("overwrite",):
                 raise ValueError(f"unsupported mode {mode!r}")
         os.makedirs(path, exist_ok=True)
+        if blob_columns:
+            df = stage_blob_columns(df, blob_columns, path)
+            properties = dict(properties or {})
+            properties[BLOB_PROP] = list(blob_columns)
         staged = LanceDataset._stage_dataframe(df, path, max_rows_per_file)
         while True:
             base = list_versions(path)
@@ -292,6 +332,8 @@ class LanceDataset:
     ) -> "LanceDataset":
         """INSERT/append (A11): distributed fragment write + single Append
         commit; safe to retry on conflict (append commutes)."""
+        if self.blob_columns:
+            df = stage_blob_columns(df, self.blob_columns, self.path)
         staged = self._stage_dataframe(df, self.path, max_rows_per_file)
         while True:
             base = read_manifest(self.path, latest_version(self.path))

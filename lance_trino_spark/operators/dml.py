@@ -35,6 +35,18 @@ class MergeError(ValueError):
     pass
 
 
+def _reject_blob_rewrite(ds: LanceDataset, op: str) -> None:
+    # Row-rewriting ops would re-stage blob descriptors as the blanked
+    # logical bytes and corrupt the out-of-line layout. DELETE stays fine
+    # (deletion vectors only). Mirrors the reference's blob conservatism
+    # (blob columns hidden from INSERT, `LanceColumnHandle.java:393-402`).
+    if ds.blob_columns:
+        raise MergeError(
+            f"{op} is not supported on datasets with blob columns "
+            f"({ds.blob_columns}); blob fragments are write-once"
+        )
+
+
 def _collect_deletions(addrs: DataFrame) -> dict[int, list[int]]:
     """rowaddr DataFrame → {fragment_id: [row_index]} on the driver. The
     groupBy unions duplicates from every task before the commit applies them."""
@@ -75,6 +87,7 @@ def update(
 ) -> LanceDataset:
     """UPDATE t SET col = expr [WHERE predicate] — delete old row versions,
     append updated rows as new fragments, one commit."""
+    _reject_blob_rewrite(ds, "UPDATE")
     scan = ds.to_df(spark, with_row_address=True)
     matched = scan.filter(predicate) if predicate is not None else scan
     cols = [f.name for f in ds.schema.fields]
@@ -108,6 +121,7 @@ def merge(
     UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT; a target row matching more
     than one source row is an error.
     """
+    _reject_blob_rewrite(ds, "MERGE")
     keys = [on] if isinstance(on, str) else list(on)
     cols = [f.name for f in ds.schema.fields]
     target = ds.to_df(spark, with_row_address=True)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import cosine_similarity
+from ..functions import dot_product, l2_norm
 
 
 def _rank_topk(joined: DataFrame, k: int) -> DataFrame:
@@ -53,13 +53,16 @@ def cosine_topk(
     per-query top-k window."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("qn", l2_norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("cn", l2_norm("cv"))
+    # Norms are materialized per ROW before the join (O(n) folds); each pair
+    # then costs a single dot-product fold. dot/(cn*qn) is the exact same
+    # float expression as inline cosine_similarity — values are bit-identical.
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
-    ).withColumn("cosine", cosine_similarity("cv", "qv"))
+    ).withColumn("cosine", dot_product("cv", "qv") / (F.col("cn") * F.col("qn")))
     return _rank_topk(joined, k)
 
 
@@ -77,16 +80,16 @@ def bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(cell_col).alias("qcell"),
-    )
+    ).withColumn("qn", l2_norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(cell_col).alias("ccell"),
-    )
+    ).withColumn("cn", l2_norm("cv"))
     joined = (
         c.join(F.broadcast(q), F.col("ccell") == F.col("qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity("cv", "qv"))
+        .withColumn("cosine", dot_product("cv", "qv") / (F.col("cn") * F.col("qn")))
     )
     return _rank_topk(joined, k)
 
@@ -102,13 +105,16 @@ def embedding_neardup_pairs(
     cosine ≥ threshold). Cell-blocked to avoid the quadratic cross join."""
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(cell_col).alias("cell_a")
-    )
+    ).withColumn("norm_a", l2_norm("va"))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(cell_col).alias("cell_b")
-    )
+    ).withColumn("norm_b", l2_norm("vb"))
     return (
         a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .withColumn(
+            "cosine",
+            dot_product("va", "vb") / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -174,7 +174,11 @@ def lf04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lf05(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fresh_path(sf_dir, "lf05")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ds = LanceDataset.create(path, cust, max_rows_per_file=500)
+    # ~8 fragments at any scale: multi-fragment deletion-union coverage at
+    # sf0.01 without hundreds of tiny fragments at sf0.1+.
+    ds = LanceDataset.create(
+        path, cust, max_rows_per_file=max(500, cust.count() // 8)
+    )
     matched_src = cust.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey", (F.col("c_acctbal") + 1000.0).alias("c_acctbal")
     )
@@ -208,10 +212,54 @@ def lf05(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lf06(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fresh_path(sf_dir, "lf06")
     supp = load_table(spark, sf_dir, "supplier")
-    ds = LanceDataset.create(path, supp, max_rows_per_file=20)
+    ds = LanceDataset.create(
+        path, supp, max_rows_per_file=max(5, supp.count() // 8)
+    )
     before = ds.count_rows()  # no scan: manifest total
     ds = dml.delete(ds, spark, "s_acctbal < 0")
     after = ds.count_rows()
     return spark.createDataFrame(
         [(before, after)], "total_before long, total_after_delete long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# lf07 — TIMESTAMP AS OF time travel: latest version with commit time <= ts
+# (A10, `LanceRuntime.java:361-388` getVersionAtTimestamp semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "lf07_timestamp_time_travel",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,2))) AS DOUBLE) AS price
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="format: FOR TIMESTAMP AS OF resolves the pre-delete snapshot",
+    tags=("format", "time-travel"),
+)
+def lf07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    path = _fresh_path(sf_dir, "lf07")
+    part = load_table(spark, sf_dir, "part")
+    ds = LanceDataset.create(path, part.filter(F.col("p_partkey") % 2 == 0))
+    ds = ds.append(part.filter(F.col("p_partkey") % 2 == 1))  # v2 = full table
+    ts_v2 = ds.manifest.timestamp_ms
+    # Commit clocks are millisecond-granular; ensure the delete commit lands
+    # strictly after v2's timestamp so `asof ts_v2` resolves to v2.
+    time.sleep(0.01)
+    dml.delete(ds, spark, "p_size > 25")  # v3 — must be invisible at ts_v2
+    snap = LanceDataset.open(path, asof_timestamp_ms=ts_v2)
+    return (
+        snap.to_df(spark)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("price"),
+        )
+        .orderBy("p_brand")
     )

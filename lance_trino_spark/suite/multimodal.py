@@ -88,3 +88,54 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 50
     )
     return sample_frames(attach_payloads(docs), every=4).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# m03 — blob columns (A15): out-of-line storage round-trip. Payload bytes go
+# out-of-line at CTAS; the scan's virtual `payload__blob_size` column and a
+# ranged-read fetch + decode must reproduce the m01 arithmetic exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "m03_blob_columns",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    dims AS (SELECT doc_id,
+                    16 + doc_id % 32 AS width,
+                    16 + (doc_id * 3) % 32 AS height,
+                    1 + doc_id % 3 AS channels
+             FROM d),
+    px AS (SELECT doc_id, width, height, channels,
+                  unnest(generate_series(0, width * height * channels - 1)) AS i
+           FROM dims)
+    SELECT doc_id,
+           CAST(MIN(10 + width * height * channels) AS BIGINT) AS blob_size,
+           CAST(SUM((doc_id * i + 7) % 256) AS DOUBLE)
+             / (MIN(width) * MIN(height) * MIN(channels)) AS mean_px
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="format: blob column out-of-line storage, virtual size + fetch-decode",
+    tags=("multimodal", "format", "blob"),
+)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..format.dataset import LanceDataset
+    from .lance_format import _fresh_path
+
+    path = _fresh_path(sf_dir, "m03")
+    docs = attach_payloads(_docs_subset(spark, sf_dir))
+    ds = LanceDataset.create(
+        path, docs, max_rows_per_file=64, blob_columns=["payload"]
+    )
+    sizes = ds.to_df(spark, columns=["doc_id", "payload__blob_size"])
+    decoded = decode_images(ds.blobs_df(spark, "payload")).select(
+        "doc_id", "mean_px"
+    )
+    return (
+        sizes.join(decoded, "doc_id")
+        .select("doc_id", F.col("payload__blob_size").alias("blob_size"), "mean_px")
+        .orderBy("doc_id")
+    )
