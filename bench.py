@@ -45,6 +45,9 @@ DEFAULT_QUERIES = [
     "lf01_roundtrip_scan",
     "lf03_mor_delete",
     "lf05_merge",
+    "ds01_datasource_scan_pushdown",
+    "ds02_datasource_write_commit",
+    "m03_blob_columns",
 ]
 
 

@@ -43,6 +43,7 @@ from .blob import (
     stage_blob_columns,
     virtual_columns,
 )
+from .vector import VECTOR_PROP, enforce_vector_columns, parse_vector_columns
 from .manifest import (
     DATA_DIR,
     DELETIONS_DIR,
@@ -287,6 +288,12 @@ class LanceDataset:
             if mode not in ("overwrite",):
                 raise ValueError(f"unsupported mode {mode!r}")
         os.makedirs(path, exist_ok=True)
+        if properties and properties.get(VECTOR_PROP):
+            # FixedSizeList semantics: dimension enforced inside the write
+            # projection (`LanceTableProperties.java:96-137`).
+            df = enforce_vector_columns(
+                df, parse_vector_columns(properties[VECTOR_PROP])
+            )
         if blob_columns:
             df = stage_blob_columns(df, blob_columns, path)
             properties = dict(properties or {})
@@ -332,6 +339,10 @@ class LanceDataset:
     ) -> "LanceDataset":
         """INSERT/append (A11): distributed fragment write + single Append
         commit; safe to retry on conflict (append commutes)."""
+        if self.manifest.properties.get(VECTOR_PROP):
+            df = enforce_vector_columns(
+                df, parse_vector_columns(self.manifest.properties[VECTOR_PROP])
+            )
         if self.blob_columns:
             df = stage_blob_columns(df, self.blob_columns, self.path)
         staged = self._stage_dataframe(df, self.path, max_rows_per_file)

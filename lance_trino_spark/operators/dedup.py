@@ -127,6 +127,8 @@ def lsh_candidate_pairs(
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     ).persist()
+    banded.count()  # materialize BEFORE the self-join: a lazy persist lets
+    # both join branches race and compute the signature subtree twice
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_key")
     )
@@ -190,6 +192,7 @@ def minhash_lsh_dedup(
     it so the explode+distinct runs once (at cluster scale: a checkpoint to
     fast storage)."""
     sh = shingle_hashes(df, id_col, text_col, k).persist()
+    sh.count()  # materialize once; feeds both signatures and verify
     sig = minhash_signatures(sh, id_col, num_perm)
     # candidate pairs are tiny but sit on a deep plan; persisting them keeps
     # the verify stage from recomputing the whole LSH subtree per join branch
@@ -229,6 +232,7 @@ def simhash_near_dup_pairs(
     byte matches exactly (pigeonhole), so candidates come from 4 equi-joins,
     then bit_count verifies."""
     sig = sig.persist()  # feeds both sides of the band self-join
+    sig.count()  # materialize so the signature pipeline runs exactly once
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -269,6 +273,7 @@ def ngram_jaccard_pairs(
     guard against quadratic hot keys), self-join on shingle, count
     intersections, Jaccard-filter."""
     sh = shingle_hashes(df, id_col, text_col, k).persist()
+    sh.count()  # materialize: feeds the index, both join sides, and sizes
     df_freq = sh.groupBy("h").agg(F.count("*").alias("df_"))
     rare = sh.join(df_freq.filter(F.col("df_") <= max_doc_freq), "h")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
