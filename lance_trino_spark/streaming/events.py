@@ -1,0 +1,248 @@
+"""Structured Streaming analytics over the driver testdata tables.
+
+Each operator reads the table as a *file-source stream* (``readStream``), so
+the identical plan would run against a directory that keeps receiving new
+parquet files on a real cluster. Results are drained with
+``Trigger.AvailableNow`` into a named memory sink and returned as a batch
+DataFrame so the suite can compare them against DuckDB oracles.
+
+Determinism contract (matches suite/__init__.py):
+  - double sums go through DECIMAL(38,6) (exact, order-independent) or are
+    converted to integer cents *before* any Python boundary;
+  - event time is microseconds (``ts_ns div 1000``), identical to DuckDB's
+    ns→us truncation;
+  - the single-parquet-file source yields exactly ONE data microbatch under
+    AvailableNow, so update-mode emissions are final values. The operators
+    remain correct streaming plans for multi-batch sources; only the
+    harness's "collect once" shortcut assumes a single batch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from ..functions import normalize_text
+from ..session import apply_runtime_confs
+
+if TYPE_CHECKING:  # pragma: no cover
+    from collections.abc import Iterable
+
+_SINK_IDS = itertools.count()
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one driver parquet table.
+
+    Schema is taken from a metadata-only batch read of the same file. For
+    ``events``, parquet timestamp[ns] arrives as a nanosecond long (session
+    conf ``spark.sql.legacy.parquet.nanosAsLong``) and is exposed as both
+    ``ts_ns`` (exact) and ``ts`` (microsecond TIMESTAMP — the event-time
+    column for watermarks), exactly like ``tables.load_table``.
+    """
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file stream source requires a *directory* it can keep listing for
+    # new files; the testdata tables are single files, so stage a symlink
+    # directory (a real deployment would point this at the ingest directory).
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "lts_stream", sf_dir.strip("/").replace("/", "_"), name
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    if name == "events":
+        sdf = sdf.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return sdf
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame with AvailableNow into a memory sink and
+    return the collected result as a batch DataFrame.
+
+    The memory sink is the *test harness* endpoint: the streaming plan and
+    its state management are identical to what a production writeStream to a
+    durable sink would run; only the final (small) result lands driver-side.
+    """
+    name = f"lts_sink_{os.getpid()}_{next(_SINK_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix="lts_ckpt_")
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked tumbling-window aggregation (streaming form of e01).
+# ---------------------------------------------------------------------------
+def hourly_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) counts/users/value over a watermarked stream.
+
+    Complete output mode: the windowed aggregate state is emitted in full at
+    each trigger, so the result is batch-equivalent regardless of how many
+    microbatches the source produced. The DECIMAL(38,6) accumulator keeps the
+    incremental state-store additions exact (order-independent), so the final
+    double matches DuckDB bit-for-bit.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value_dec"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("hour_epoch"),
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+    ).orderBy("event_type", "hour_epoch")
+
+
+# ---------------------------------------------------------------------------
+# Built-in session windows (streaming form of e02, same 30-min gap).
+# ---------------------------------------------------------------------------
+def session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's native ``session_window``.
+
+    The streaming plan groups by (session_window(ts, 30 min), user_id) —
+    the state store merges overlapping windows per key, the classic
+    streaming-sessionization operator. Complete output mode (Spark rejects
+    update mode for session windows) emits the merged state each trigger;
+    the small per-session result is then rolled up to per-user stats
+    batch-side, matching the e02 oracle.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    sess = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("session_len"))
+    )
+    per_session = run_to_memory(sess, "complete")
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("session_len").alias("n_events"),
+            F.max("session_len").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState (SURVEY.md §2B notes the
+# reference has no streaming surface; this is the Spark-native extension
+# point for arbitrary per-key state machines).
+# ---------------------------------------------------------------------------
+_USER_STATE_SCHEMA = (
+    "n_events bigint, value_cents bigint, first_us bigint, last_us bigint, "
+    "max_value double"
+)
+_USER_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, value_cents bigint, first_us bigint, "
+    "last_us bigint, max_value double"
+)
+
+
+def _user_stats_fn(
+    key: tuple, pdfs: "Iterable[pd.DataFrame]", state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running stats. State carries (count, exact integer cents sum,
+    first/last event micros, max value) across microbatches; each batch emits
+    the updated cumulative row (update semantics)."""
+    if state.exists:
+        n, cents, first_us, last_us, max_v = state.get
+    else:
+        n, cents, first_us, last_us, max_v = 0, 0, None, None, None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+        lo = int(pdf["ts_us"].min())
+        hi = int(pdf["ts_us"].max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+        mv = float(pdf["value"].max())
+        max_v = mv if max_v is None else max(max_v, mv)
+    state.update((n, cents, first_us, last_us, max_v))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_cents": [cents],
+            "first_us": [first_us],
+            "last_us": [last_us],
+            "max_value": [max_v],
+        }
+    )
+
+
+def stateful_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state machine over the event stream.
+
+    The double→cents conversion happens in a JVM-side expression *before*
+    the Arrow boundary, so the Python state function only ever adds int64 —
+    exact and order-independent, matching the integer-cents oracle.
+    """
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "value",
+    )
+    out_schema = StructType.fromDDL(_USER_OUTPUT_SCHEMA)
+    state_schema = StructType.fromDDL(_USER_STATE_SCHEMA)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(stats, "update").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming deduplication (training-pipeline op: exact dedup on a stream).
+# ---------------------------------------------------------------------------
+def dedup_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: md5 fingerprint of normalized text, first
+    occurrence per (source, fingerprint) survives (``dropDuplicates`` keeps
+    per-key state partitioned across executors). Rolled up batch-side to
+    unique-document counts per source.
+    """
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "source", F.md5(normalize_text("text")).alias("fingerprint")
+    )
+    deduped = docs.dropDuplicates(["source", "fingerprint"])
+    out = run_to_memory(deduped, "append")
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_unique"))
+        .orderBy("source")
+    )

@@ -1,0 +1,111 @@
+"""Streaming suite entries (st01-st04): Structured Streaming operators from
+streaming/events.py, drained with Trigger.AvailableNow and compared against
+batch DuckDB oracles.
+
+The reference is batch-only (SURVEY.md §2B "Streaming — Absent"); these are
+the Spark-native extension surface: watermarked windowed aggregation, native
+session windows, applyInPandasWithState custom state machines, and streaming
+dedup. Oracles are exact because every accumulation is either integral,
+exact-decimal, or min/max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    dedup_documents_stream,
+    hourly_stats_stream,
+    session_stats_stream,
+    stateful_user_stats_stream,
+)
+from . import register
+
+
+@register(
+    "st01_stream_hourly_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, hour_epoch
+    """,
+    doc="streaming watermarked tumbling-window aggregation (complete mode)",
+    tags=("streaming", "window", "agg"),
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_stats_stream(spark, sf_dir)
+
+
+@register(
+    "st02_stream_session_window",
+    oracle="""
+    WITH ts_t AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+    marked AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ts_t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(SUM(session_len) AS BIGINT) AS n_events,
+           CAST(MAX(session_len) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, session_id, COUNT(*) AS session_len
+          FROM sessions GROUP BY user_id, session_id) s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="streaming native session_window (30-min gap), per-user rollup",
+    tags=("streaming", "session", "state"),
+)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats_stream(spark, sf_dir)
+
+
+@register(
+    "st03_stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="applyInPandasWithState per-user state machine (exact integer cents)",
+    tags=("streaming", "state", "pandas"),
+)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful_user_stats_stream(spark, sf_dir)
+
+
+@register(
+    "st04_stream_dedup",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                AS BIGINT) AS n_unique
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="streaming exact dedup by normalized-text fingerprint, per source",
+    tags=("streaming", "dedup"),
+)
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_documents_stream(spark, sf_dir)

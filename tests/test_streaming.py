@@ -1,0 +1,90 @@
+"""Streaming operators (streaming/events.py) vs their batch equivalents.
+
+Each streaming result must equal the same analytics computed with plain
+batch DataFrame ops over the same table — the strongest available local
+check (the driver additionally compares against DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_hourly_stats_matches_batch(spark):
+    from lance_trino_spark.streaming import hourly_stats_stream
+    from lance_trino_spark.tables import load_table
+
+    got = hourly_stats_stream(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    hour_epoch = (F.expr("ts_us div 3600000000") * 3600).cast("bigint")
+    want = (
+        ev.groupBy("event_type", hour_epoch.alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_session_window_matches_batch_sessionization(spark):
+    from lance_trino_spark.streaming import session_stats_stream
+    from lance_trino_spark.suite import all_queries
+
+    got = session_stats_stream(spark, SF_DIR)
+    want = all_queries()["e02_sessionization"].build(spark, SF_DIR)
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_stateful_user_stats_matches_batch(spark):
+    from lance_trino_spark.streaming import stateful_user_stats_stream
+    from lance_trino_spark.tables import load_table
+
+    got = stateful_user_stats_stream(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from lance_trino_spark.functions import normalize_text
+    from lance_trino_spark.streaming import dedup_documents_stream
+    from lance_trino_spark.tables import load_table
+
+    got = dedup_documents_stream(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    want = (
+        docs.select("source", F.md5(normalize_text("text")).alias("fp"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_unique"))
+        .orderBy("source")
+    )
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
