@@ -1,0 +1,333 @@
+"""Directory-namespace catalog + SQL routing shim (SURVEY §2A.A14).
+
+The reference exposes namespaces/tables through Trino's ConnectorMetadata
+(`LanceMetadata.java:162-245` create/drop/list schemas, `:391-412` listTables,
+`:815-830` dropTable; namespace modes `LanceRuntime.java:224-260`). Spark's
+equivalent JVM surface (`TableCatalog` + `SupportsNamespaces`) cannot be
+implemented from pure Python — `spark.sql.catalog.*` requires a JVM class —
+so this is the sanctioned thin shim: a directory namespace
+(`<root>/<schema>/<table>.lance`) with Python DDL methods, plus a SQL router
+that handles the reference's DDL/metadata grammar and rewrites table
+references (including `VERSION AS OF` / `TIMESTAMP AS OF` time travel,
+`LanceMetadata.java:249-370`) into pinned-snapshot temp views before
+delegating everything else to Spark SQL.
+
+Supported statement grammar (case-insensitive; the reference's documented
+DDL surface, docs/src/operations/ddl/*):
+
+    CREATE SCHEMA [IF NOT EXISTS] <schema>
+    DROP SCHEMA [IF EXISTS] <schema>            -- RESTRICT-only, like the ref
+    SHOW SCHEMAS
+    SHOW TABLES [IN <schema>]
+    CREATE [OR REPLACE] TABLE <schema>.<table> AS <select>
+    DROP TABLE [IF EXISTS] <schema>.<table>
+    DESCRIBE <schema>.<table>
+    INSERT INTO <schema>.<table> <select>
+    DELETE FROM <schema>.<table> WHERE <predicate>
+    UPDATE <schema>.<table> SET col = expr[, ...] [WHERE <predicate>]
+    SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
+                                     [FOR] TIMESTAMP AS OF '<ts>' ...
+
+COUNT(*) fast path (A8): an unfiltered, ungrouped `SELECT COUNT(*) FROM t`
+is answered from the manifest in O(1) with zero fragments scanned — the same
+guard conditions as the reference (`LanceMetadata.java:604-665`: refused when
+a filter or grouping is present).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .format.dataset import LanceDataset
+from .operators import dml
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class CatalogError(ValueError):
+    pass
+
+
+def _ident(name: str, what: str) -> str:
+    if not re.fullmatch(_IDENT, name):
+        raise CatalogError(f"invalid {what} name: {name!r}")
+    return name
+
+
+class LanceCatalog:
+    """A directory namespace of Lance datasets with a SQL routing front-end."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._view_ids = 0
+
+    # ------------------------------------------------------------ namespaces
+    def create_namespace(self, ns: str, if_not_exists: bool = False) -> None:
+        p = os.path.join(self.root, _ident(ns, "schema"))
+        if os.path.isdir(p):
+            if if_not_exists:
+                return
+            raise CatalogError(f"schema {ns!r} already exists")
+        os.makedirs(p)
+
+    def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
+        p = os.path.join(self.root, _ident(ns, "schema"))
+        if not os.path.isdir(p):
+            if if_exists:
+                return
+            raise CatalogError(f"schema {ns!r} does not exist")
+        if self.list_tables(ns):
+            # RESTRICT-only, like the reference (cascade unsupported,
+            # `LanceMetadata.java:162-245`).
+            raise CatalogError(f"schema {ns!r} is not empty")
+        shutil.rmtree(p)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    # ---------------------------------------------------------------- tables
+    def table_path(self, ns: str, table: str) -> str:
+        return os.path.join(
+            self.root, _ident(ns, "schema"), f"{_ident(table, 'table')}.lance"
+        )
+
+    def list_tables(self, ns: str) -> list[str]:
+        p = os.path.join(self.root, _ident(ns, "schema"))
+        if not os.path.isdir(p):
+            raise CatalogError(f"schema {ns!r} does not exist")
+        return sorted(
+            d[: -len(".lance")] for d in os.listdir(p) if d.endswith(".lance")
+        )
+
+    def load(
+        self,
+        ns: str,
+        table: str,
+        version: int | None = None,
+        asof_timestamp_ms: int | None = None,
+    ) -> LanceDataset:
+        path = self.table_path(ns, table)
+        if not LanceDataset.exists(path):
+            raise CatalogError(f"table {ns}.{table} does not exist")
+        return LanceDataset.open(
+            path, version=version, asof_timestamp_ms=asof_timestamp_ms
+        )
+
+    def create_table(
+        self, ns: str, table: str, df: DataFrame, mode: str = "error"
+    ) -> LanceDataset:
+        if not os.path.isdir(os.path.join(self.root, _ident(ns, "schema"))):
+            raise CatalogError(f"schema {ns!r} does not exist")
+        return LanceDataset.create(self.table_path(ns, table), df, mode=mode)
+
+    def drop_table(self, ns: str, table: str, if_exists: bool = False) -> None:
+        path = self.table_path(ns, table)
+        if not LanceDataset.exists(path):
+            if if_exists:
+                return
+            raise CatalogError(f"table {ns}.{table} does not exist")
+        shutil.rmtree(path)
+
+    # ------------------------------------------------------------ SQL router
+    def sql(self, query: str) -> DataFrame:
+        q = query.strip().rstrip(";").strip()
+        for pattern, handler in self._ROUTES:
+            m = re.match(pattern, q, re.IGNORECASE | re.DOTALL)
+            if m:
+                return handler(self, m)
+        return self._select(q)
+
+    # --- DDL handlers ------------------------------------------------------
+    def _h_create_schema(self, m) -> DataFrame:
+        self.create_namespace(m.group("ns"), if_not_exists=bool(m.group("ine")))
+        return self._status(f"created schema {m.group('ns')}")
+
+    def _h_drop_schema(self, m) -> DataFrame:
+        self.drop_namespace(m.group("ns"), if_exists=bool(m.group("ie")))
+        return self._status(f"dropped schema {m.group('ns')}")
+
+    def _h_show_schemas(self, m) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(s,) for s in self.list_namespaces()], "namespace string"
+        )
+
+    def _h_show_tables(self, m) -> DataFrame:
+        ns = m.group("ns")
+        spaces = [ns] if ns else self.list_namespaces()
+        rows = [(s, t) for s in spaces for t in self.list_tables(s)]
+        return self.spark.createDataFrame(rows, "namespace string, table string")
+
+    def _h_create_table(self, m) -> DataFrame:
+        ns, tbl = m.group("ns"), m.group("tbl")
+        mode = "overwrite" if m.group("replace") else (
+            "ignore" if m.group("ine") else "error"
+        )
+        df = self._select(m.group("select"))
+        ds = self.create_table(ns, tbl, df, mode=mode)
+        return self._status(f"created table {ns}.{tbl} v{ds.version}")
+
+    def _h_drop_table(self, m) -> DataFrame:
+        self.drop_table(m.group("ns"), m.group("tbl"), if_exists=bool(m.group("ie")))
+        return self._status(f"dropped table {m.group('ns')}.{m.group('tbl')}")
+
+    def _h_describe(self, m) -> DataFrame:
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        return self.spark.createDataFrame(
+            [(f.name, f.dataType.simpleString()) for f in ds.schema.fields],
+            "col_name string, data_type string",
+        )
+
+    def _h_insert(self, m) -> DataFrame:
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        df = self._select(m.group("select"))
+        out = ds.append(df.select(*[f.name for f in ds.schema.fields]))
+        return self._status(f"inserted into {m.group('ns')}.{m.group('tbl')} v{out.version}")
+
+    def _h_delete(self, m) -> DataFrame:
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        out = dml.delete(ds, self.spark, m.group("pred"))
+        return self._status(f"deleted v{out.version}")
+
+    def _h_update(self, m) -> DataFrame:
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        sets = {}
+        for part in _split_top_level(m.group("sets")):
+            name, expr = part.split("=", 1)
+            sets[name.strip()] = expr.strip()
+        out = dml.update(ds, self.spark, sets, m.group("pred"))
+        return self._status(f"updated v{out.version}")
+
+    def _h_count_star(self, m) -> DataFrame:
+        # A8: O(1) from the manifest, zero fragments scanned. Guard: the
+        # route pattern only matches bare, unfiltered, ungrouped COUNT(*).
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        alias = m.group("alias") or "count"
+        return self.spark.createDataFrame(
+            [(ds.count_rows(),)], f"{alias} long"
+        )
+
+    _ROUTES = [
+        (
+            rf"CREATE\s+SCHEMA\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_IDENT})$",
+            _h_create_schema,
+        ),
+        (
+            rf"DROP\s+SCHEMA\s+(?P<ie>IF\s+EXISTS\s+)?(?P<ns>{_IDENT})$",
+            _h_drop_schema,
+        ),
+        (r"SHOW\s+SCHEMAS$", _h_show_schemas),
+        (rf"SHOW\s+TABLES(?:\s+IN\s+(?P<ns>{_IDENT}))?$", _h_show_tables),
+        (
+            rf"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+            rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"\s+AS\s+(?P<select>.+)$",
+            _h_create_table,
+        ),
+        (
+            rf"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?"
+            rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            _h_drop_table,
+        ),
+        (
+            rf"DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            _h_describe,
+        ),
+        (
+            rf"INSERT\s+INTO\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+            rf"(?P<select>SELECT\s+.+|VALUES\s+.+)$",
+            _h_insert,
+        ),
+        (
+            rf"DELETE\s+FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+            rf"WHERE\s+(?P<pred>.+)$",
+            _h_delete,
+        ),
+        (
+            rf"UPDATE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+SET\s+"
+            rf"(?P<sets>.+?)(?:\s+WHERE\s+(?P<pred>.+))?$",
+            _h_update,
+        ),
+        (
+            rf"SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>{_IDENT}))?\s+"
+            rf"FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            _h_count_star,
+        ),
+    ]
+
+    # --- SELECT rewriting --------------------------------------------------
+    _TABLE_REF = re.compile(
+        rf"\b(?P<kw>FROM|JOIN)\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+        rf"(?:\s+FOR)?"
+        rf"(?:\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        rf"(?P<val>'[^']*'|[\w.:+-]+))?",
+        re.IGNORECASE,
+    )
+
+    def _select(self, q: str) -> DataFrame:
+        """Rewrite `<schema>.<table> [VERSION|TIMESTAMP AS OF ...]` refs into
+        pinned-snapshot temp views (snapshot isolation: the version is chosen
+        here, at planning time — `LanceTableHandle.java:48`), then hand the
+        query to Spark SQL, which supplies the whole relational surface
+        (SURVEY §2B: the reference delegates identically to Trino)."""
+
+        def repl(m: re.Match) -> str:
+            ns, tbl = m.group("ns"), m.group("tbl")
+            kind, val = m.group("kind"), m.group("val")
+            try:
+                if kind is None:
+                    ds = self.load(ns, tbl)
+                elif kind.upper() == "VERSION":
+                    ds = self.load(ns, tbl, version=int(val))
+                else:
+                    ds = self.load(ns, tbl, asof_timestamp_ms=_parse_ts_ms(val))
+            except CatalogError:
+                return m.group(0)  # not ours — leave for Spark to resolve
+            self._view_ids += 1
+            view = f"_lance_{ns}_{tbl}_{self._view_ids}"
+            ds.to_df(self.spark).createOrReplaceTempView(view)
+            return f"{m.group('kw')} {view}"
+
+        return self.spark.sql(self._TABLE_REF.sub(repl, q))
+
+    def _status(self, msg: str) -> DataFrame:
+        return self.spark.createDataFrame([(msg,)], "status string")
+
+
+def _parse_ts_ms(val: str) -> int:
+    v = val.strip().strip("'")
+    if re.fullmatch(r"\d+", v):
+        return int(v)
+    dt = datetime.fromisoformat(v)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside parens/quotes (for UPDATE SET lists)."""
+    out, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p for p in (x.strip() for x in out) if p]

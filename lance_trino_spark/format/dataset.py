@@ -28,7 +28,6 @@ Key mechanics:
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 import pyarrow.parquet as pq
@@ -43,6 +42,7 @@ from .blob import (
     stage_blob_columns,
     virtual_columns,
 )
+from .fragments import stage_via_tasks
 from .vector import VECTOR_PROP, enforce_vector_columns, parse_vector_columns
 from .manifest import (
     DATA_DIR,
@@ -241,32 +241,12 @@ class LanceDataset:
     def _stage_dataframe(
         df: DataFrame, root: str, max_rows_per_file: int = MAX_ROWS_PER_FILE
     ) -> list[tuple[str, int]]:
-        """Two-phase write, phase 1: executors write parquet files into a
-        staging dir (no commit). Returns [(relative_path, num_rows)] after
-        promoting the files into data/ under fresh uuid names."""
-        txid = uuid.uuid4().hex
-        staging = os.path.join(root, f"_staging-{txid}")
-        (
-            df.write.mode("overwrite")
-            .option("maxRecordsPerFile", max_rows_per_file)
-            .option("compression", "snappy")
-            .parquet(staging)
-        )
-        data_dir = os.path.join(root, DATA_DIR)
-        os.makedirs(data_dir, exist_ok=True)
-        out: list[tuple[str, int]] = []
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, name)
-            num_rows = pq.read_metadata(src).num_rows
-            if num_rows == 0:
-                continue
-            rel = os.path.join(DATA_DIR, f"{uuid.uuid4().hex}.parquet")
-            os.rename(src, os.path.join(root, rel))
-            out.append((rel, num_rows))
-        shutil.rmtree(staging, ignore_errors=True)
-        return out
+        """Two-phase write, phase 1: executors write fragment files directly
+        into data/ and report (relative_path, num_rows) — the driver never
+        touches data files (`LancePageSink.java:144-198` worker-side fragment
+        metadata, `LanceMetadata.java:1078-1112` single coordinator commit)."""
+        os.makedirs(root, exist_ok=True)
+        return stage_via_tasks(df, root, max_rows_per_file)
 
     @staticmethod
     def create(
@@ -366,6 +346,33 @@ class LanceDataset:
                 return LanceDataset(self.path, m)
             except CommitConflictError:
                 continue
+
+    def commit_overwrite(
+        self, fragment_files: list[tuple[str, int]]
+    ) -> "LanceDataset":
+        """Publish a copy-on-write Overwrite of this snapshot: the new
+        version references only `fragment_files`; schema and properties
+        carry over. Same conflict semantics as commit_update — any
+        concurrent write invalidates the rewrite (A17)."""
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        fragments = [
+            Fragment(i, rel, n) for i, (rel, n) in enumerate(fragment_files)
+        ]
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=base.schema_json,
+            fragments=fragments,
+            operation="overwrite",
+            read_version=self.version,
+            max_fragment_id=len(fragments) - 1,
+            properties=base.properties,
+        )
+        commit_manifest(self.path, m)
+        return LanceDataset(self.path, m)
 
     # ------------------------------------------------------- row-level (MoR)
     def commit_update(

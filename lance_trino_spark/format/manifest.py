@@ -164,12 +164,18 @@ def latest_version(root: str) -> int:
 
 def version_at_timestamp(root: str, ts_ms: int) -> int:
     """Latest version whose commit time <= ts (reference semantics:
-    `LanceRuntime.java:361-388` getVersionAtTimestamp)."""
-    best = None
-    for v in list_versions(root):
-        m = read_manifest(root, v)
-        if m.timestamp_ms <= ts_ms:
-            best = v
+    `LanceRuntime.java:361-388` getVersionAtTimestamp). Commit timestamps
+    are monotone in version number, so binary search: O(log versions)
+    manifest reads instead of O(versions) — matters at 10k+ commits."""
+    vs = list_versions(root)
+    lo, hi, best = 0, len(vs) - 1, None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if read_manifest(root, vs[mid]).timestamp_ms <= ts_ms:
+            best = vs[mid]
+            lo = mid + 1
+        else:
+            hi = mid - 1
     if best is None:
         raise VersionNotFoundError(
             f"no version at or before timestamp {ts_ms} in {root}"

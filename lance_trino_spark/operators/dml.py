@@ -66,17 +66,43 @@ def _collect_deletions(addrs: DataFrame) -> dict[int, list[int]]:
 
 
 def delete(
-    ds: LanceDataset, spark: SparkSession, predicate: str | Column
+    ds: LanceDataset,
+    spark: SparkSession,
+    predicate: str | Column,
+    cow_threshold_rows: int = 10_000_000,
+    cow_threshold_fraction: float = 0.5,
 ) -> LanceDataset:
     """DELETE FROM t WHERE predicate — MoR: writes deletion vectors only,
-    no data rewritten (docs/src/operations/dml/delete.md "Implementation")."""
-    matched = ds.to_df(spark, with_row_address=True).filter(predicate).select(
-        ROW_ADDR_COL
-    )
-    deletions = _collect_deletions(matched)
-    if not deletions:
-        return ds
-    return ds.commit_update(deletions)
+    no data rewritten (docs/src/operations/dml/delete.md "Implementation").
+
+    Scale guard: collecting row addresses onto the driver is bounded — when
+    the matched count exceeds ``cow_threshold_rows`` or
+    ``cow_threshold_fraction`` of the table, the delete is rewritten as a
+    copy-on-write overwrite (survivors re-staged by executors, zero rows ever
+    collected). Blob datasets always stay MoR — blob fragments are
+    write-once, and deletion vectors never touch them.
+    """
+    scan = ds.to_df(spark, with_row_address=True)
+    matched = scan.filter(predicate).select(ROW_ADDR_COL).persist()
+    try:
+        n_matched = matched.count()
+        if n_matched == 0:
+            return ds
+        big = n_matched > cow_threshold_rows or (
+            ds.count_rows() > 0
+            and n_matched > cow_threshold_fraction * ds.count_rows()
+        )
+        if big and not ds.blob_columns:
+            # Copy-on-write: anti-join against the (persisted) matched set so
+            # NULL-predicate rows survive, exactly like MoR semantics.
+            cols = [f.name for f in ds.schema.fields]
+            survivors = scan.join(matched, ROW_ADDR_COL, "left_anti").select(*cols)
+            staged = LanceDataset._stage_dataframe(survivors, ds.path)
+            return ds.commit_overwrite(staged)
+        deletions = _collect_deletions(matched)
+        return ds.commit_update(deletions)
+    finally:
+        matched.unpersist()
 
 
 def update(
@@ -90,20 +116,27 @@ def update(
     _reject_blob_rewrite(ds, "UPDATE")
     scan = ds.to_df(spark, with_row_address=True)
     matched = scan.filter(predicate) if predicate is not None else scan
-    cols = [f.name for f in ds.schema.fields]
-    updated = matched
-    for name, expr in set_exprs.items():
-        if name not in cols:
-            raise ValueError(f"unknown column {name!r}")
-        updated = updated.withColumn(
-            name, F.expr(expr) if isinstance(expr, str) else expr
-        )
-    new_rows = updated.select(*cols)
-    staged = LanceDataset._stage_dataframe(new_rows, ds.path)
-    deletions = _collect_deletions(matched.select(ROW_ADDR_COL))
-    if not deletions and not staged:
-        return ds
-    return ds.commit_update(deletions, staged)
+    # Two actions read `matched` (stage insert files + collect deletions) —
+    # persist so the scan+filter runs once (reference does one pass through
+    # the merge sink, `LanceMergeSink.java:86-144`).
+    matched = matched.persist()
+    try:
+        cols = [f.name for f in ds.schema.fields]
+        updated = matched
+        for name, expr in set_exprs.items():
+            if name not in cols:
+                raise ValueError(f"unknown column {name!r}")
+            updated = updated.withColumn(
+                name, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        new_rows = updated.select(*cols)
+        staged = LanceDataset._stage_dataframe(new_rows, ds.path)
+        deletions = _collect_deletions(matched.select(ROW_ADDR_COL))
+        if not deletions and not staged:
+            return ds
+        return ds.commit_update(deletions, staged)
+    finally:
+        matched.unpersist()
 
 
 def merge(
@@ -133,50 +166,58 @@ def merge(
     for k in keys:
         c = F.col(k) == F.col(f"_src_{k}")
         cond = c if cond is None else (cond & c)
-    joined = target.join(src, cond, "inner")
-
-    # Target row matched by >1 source row → reject (merge.md "source must
-    # match at most one target row" family of errors).
-    dup = (
-        joined.groupBy(ROW_ADDR_COL)
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise MergeError("MERGE: a target row matches more than one source row")
-
-    if matched_condition is not None:
-        mc = (
-            F.expr(matched_condition)
-            if isinstance(matched_condition, str)
-            else matched_condition
+    # Three consumers read the join (dup check, deletion collect, insert
+    # staging) — persist so it is computed once, not three times.
+    joined = cached_join = target.join(src, cond, "inner").persist()
+    try:
+        # Target row matched by >1 source row → reject (merge.md "source must
+        # match at most one target row" family of errors).
+        dup = (
+            joined.groupBy(ROW_ADDR_COL)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
         )
-        joined = joined.filter(mc)
+        if dup:
+            raise MergeError("MERGE: a target row matches more than one source row")
 
-    # WHEN MATCHED: every matched row's old version is deleted; unless this
-    # is a MATCHED DELETE, the updated row is re-inserted.
-    deletions = _collect_deletions(joined.select(ROW_ADDR_COL))
-    inserts: DataFrame | None = None
-    if matched_update and not matched_delete:
-        upd = joined
-        for name, expr in matched_update.items():
-            upd = upd.withColumn(name, F.expr(expr) if isinstance(expr, str) else expr)
-        inserts = upd.select(*cols)
-
-    if insert_not_matched:
-        missing = [c for c in cols if c not in source.columns]
-        if missing:
-            raise MergeError(
-                f"MERGE INSERT requires source columns for {missing}"
+        if matched_condition is not None:
+            mc = (
+                F.expr(matched_condition)
+                if isinstance(matched_condition, str)
+                else matched_condition
             )
-        anti = source.join(target.select(*keys), keys, "left_anti").select(*cols)
-        inserts = anti if inserts is None else inserts.unionByName(anti)
+            joined = joined.filter(mc)
 
-    staged = (
-        LanceDataset._stage_dataframe(inserts, ds.path) if inserts is not None else []
-    )
-    if not deletions and not staged:
-        return ds
-    return ds.commit_update(deletions, staged)
+        # WHEN MATCHED: every matched row's old version is deleted; unless
+        # this is a MATCHED DELETE, the updated row is re-inserted.
+        deletions = _collect_deletions(joined.select(ROW_ADDR_COL))
+        inserts: DataFrame | None = None
+        if matched_update and not matched_delete:
+            upd = joined
+            for name, expr in matched_update.items():
+                upd = upd.withColumn(
+                    name, F.expr(expr) if isinstance(expr, str) else expr
+                )
+            inserts = upd.select(*cols)
+
+        if insert_not_matched:
+            missing = [c for c in cols if c not in source.columns]
+            if missing:
+                raise MergeError(
+                    f"MERGE INSERT requires source columns for {missing}"
+                )
+            anti = source.join(target.select(*keys), keys, "left_anti").select(*cols)
+            inserts = anti if inserts is None else inserts.unionByName(anti)
+
+        staged = (
+            LanceDataset._stage_dataframe(inserts, ds.path)
+            if inserts is not None
+            else []
+        )
+        if not deletions and not staged:
+            return ds
+        return ds.commit_update(deletions, staged)
+    finally:
+        cached_join.unpersist()

@@ -46,7 +46,6 @@ from __future__ import annotations
 
 import math
 import os
-import uuid
 from dataclasses import dataclass
 from datetime import date, datetime
 from decimal import Decimal
@@ -72,8 +71,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ..format.fragments import FragmentFileWriter
 from ..format.manifest import (
-    DATA_DIR,
     CommitConflictError,
     Fragment,
     Manifest,
@@ -187,9 +186,27 @@ class LanceScanReaderNoPushdown(DataSourceReader):
         self._path = path
         self._schema = schema
         self._batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+        limit = options.get("limit")
+        self._limit = int(limit) if limit is not None else None
         self._pushed: list[Filter] = []
 
     def partitions(self) -> Sequence[LanceFragmentPartition]:
+        frags = [f for f in self._manifest.fragments if f.num_rows > 0]
+        if self._limit is not None and not self._pushed:
+            # Limit-aware fragment coalescing (A6/A7,
+            # `LanceSplitManager.java:56-112`): with a limit and no pushed
+            # filter, plan only the leading fragments whose deletion-aware
+            # row counts cover the limit. (The Python DataSource API has no
+            # pushLimit hook, so the limit arrives as a read option; Spark
+            # still re-applies it above the scan — same contract as the
+            # reference's non-guaranteed limit pushdown.)
+            taken, acc = [], 0
+            for f in frags:
+                if acc >= self._limit:
+                    break
+                taken.append(f)
+                acc += f.num_rows
+            frags = taken
         return [
             LanceFragmentPartition(
                 fragment_id=f.id,
@@ -199,8 +216,7 @@ class LanceScanReaderNoPushdown(DataSourceReader):
                 ),
                 physical_rows=f.physical_rows,
             )
-            for f in self._manifest.fragments
-            if f.num_rows > 0
+            for f in frags
         ]
 
     def read(self, partition: LanceFragmentPartition) -> Iterator["pa.RecordBatch"]:
@@ -220,20 +236,37 @@ class LanceScanReaderNoPushdown(DataSourceReader):
             # parquet scan (row-group/page pruning).
             ds = pads.dataset(partition.data_path, format="parquet")
             table = ds.to_table(columns=columns, filter=expr)
-        else:
-            # Deletion vector: row indexes are positions in the *physical*
-            # file, so materialize, mask, then filter.
-            table = pq.read_table(partition.data_path, columns=columns)
-            deleted = pq.read_table(
-                partition.deletion_path, columns=["row_index"]
-            ).column("row_index")
-            mask = np.ones(table.num_rows, dtype=bool)
-            idx = deleted.to_numpy(zero_copy_only=False).astype(np.int64)
-            mask[idx] = False
-            table = table.filter(pa.array(mask))
+            yield from table.to_batches(max_chunksize=self._batch_size)
+            return
+        # Deletion vector: row indexes are positions in the *physical* file,
+        # so stream the file batch-by-batch tracking the physical offset,
+        # mask deleted rows, then apply the pushed filter — column pruning
+        # and pushed predicates stay effective, and memory is bounded by one
+        # batch instead of the whole fragment.
+        deleted = pq.read_table(
+            partition.deletion_path, columns=["row_index"]
+        ).column("row_index")
+        del_idx = np.sort(deleted.to_numpy(zero_copy_only=False).astype(np.int64))
+        pf = pq.ParquetFile(partition.data_path)
+        offset = 0
+        for batch in pf.iter_batches(batch_size=self._batch_size, columns=columns):
+            n = batch.num_rows
+            lo = np.searchsorted(del_idx, offset)
+            hi = np.searchsorted(del_idx, offset + n)
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[del_idx[lo:hi] - offset] = False
+                batch = batch.filter(pa.array(mask))
+            offset += n
+            if batch.num_rows == 0:
+                continue
             if expr is not None:
-                table = table.filter(expr)
-        yield from table.to_batches(max_chunksize=self._batch_size)
+                filtered = pa.Table.from_batches([batch]).filter(expr)
+                if filtered.num_rows == 0:
+                    continue
+                yield from filtered.to_batches(max_chunksize=self._batch_size)
+            else:
+                yield batch
 
 
 class LanceScanReader(LanceScanReaderNoPushdown):
@@ -258,47 +291,14 @@ class LanceWriteMessage(WriterCommitMessage):
     files: list  # [(relative_path, num_rows)]
 
 
-class _FragmentFileWriter:
-    """Executor-side fragment writer shared by batch and streaming sinks.
-    Writes parquet files into data/, rolling at max_rows_per_file
-    (`LancePageSink.java:91-215` buffered-write equivalent, but streaming —
-    no whole-partition buffering)."""
-
-    def __init__(self, root: str, max_rows_per_file: int):
-        self.root = root
-        self.max_rows = max_rows_per_file
+class _FragmentFileWriter(FragmentFileWriter):
+    """Executor-side fragment writer shared by batch and streaming sinks —
+    the shared format-layer writer, returning the DataSource's commit-message
+    type (`LancePageSink.java:91-215` equivalent, but streaming — no
+    whole-partition buffering)."""
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceWriteMessage:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
-        files: list[tuple[str, int]] = []
-        writer = None
-        rel, rows = None, 0
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                if writer is None:
-                    rel = os.path.join(DATA_DIR, f"{uuid.uuid4().hex}.parquet")
-                    writer = pq.ParquetWriter(
-                        os.path.join(self.root, rel),
-                        pa.schema(batch.schema),
-                        compression="snappy",
-                    )
-                    rows = 0
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                if rows >= self.max_rows:
-                    writer.close()
-                    files.append((rel, rows))
-                    writer = None
-        finally:
-            if writer is not None:
-                writer.close()
-                files.append((rel, rows))
-        return LanceWriteMessage(files=files)
+        return LanceWriteMessage(files=super().write(iterator))
 
 
 def _collect_staged(messages) -> list[tuple[str, int]]:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 from typing import TYPE_CHECKING, Iterator
 
@@ -60,8 +61,15 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # lexists (not exists) so a dangling symlink is repaired, and the
+    # create races benignly under concurrent runs (e.g. pytest-xdist).
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(path):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass  # concurrent creator won the race — same target either way
     sdf = spark.readStream.schema(schema).parquet(stream_dir)
     if name == "events":
         sdf = sdf.withColumnRenamed("ts", "ts_ns").withColumn(
@@ -89,7 +97,19 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    # Materialize the (small) sink result, then release the per-run
+    # resources: the checkpoint dir and the memory-sink registration would
+    # otherwise accumulate for the life of a long driver.
+    result = spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +244,19 @@ def stateful_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(stats, "update").orderBy("user_id")
+    out = run_to_memory(stats, "update")
+    # Defensive: a multi-batch source leaves one update-mode emission per
+    # (key, batch) in the sink; the cumulative row with the highest n_events
+    # is the final state, so keep exactly that one per user.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -58,5 +58,6 @@ def all_queries() -> dict[str, Query]:
     from . import lance_format as _lance_format  # noqa: F401
     from . import datasource as _datasource  # noqa: F401
     from . import streaming as _streaming  # noqa: F401
+    from . import catalog as _catalog  # noqa: F401
 
     return dict(REGISTRY)

@@ -1,0 +1,132 @@
+"""Catalog suite entries (SURVEY §2A.A14): SQL DDL + time travel routed
+through the LanceCatalog SQL shim, gated by plain-SQL DuckDB oracles over the
+original parquet — a routing, pinning, or commit bug surfaces as a value
+mismatch."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import LanceCatalog
+from ..tables import load_table
+from . import register
+from .lance_format import _SCRATCH
+
+
+def _fresh_catalog(spark: SparkSession, sf_dir: str, name: str) -> LanceCatalog:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-{name}-catalog")
+    shutil.rmtree(root, ignore_errors=True)
+    return LanceCatalog(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# cat01 — SQL DDL lifecycle + VERSION AS OF through the catalog router:
+# CREATE SCHEMA → CTAS → INSERT INTO (new version) → time-travel SELECT of
+# the pre-insert snapshot (A14 + A10 through SQL).
+# ---------------------------------------------------------------------------
+@register(
+    "cat01_sql_ddl_time_travel",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="catalog: SQL CREATE SCHEMA/TABLE + INSERT + SELECT VERSION AS OF",
+    tags=("catalog", "ddl", "time-travel"),
+)
+def cat01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat01")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_cat01_orders")
+    cat.sql("CREATE SCHEMA sales")
+    cat.sql(
+        "CREATE TABLE sales.orders_t AS "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice "
+        "FROM _cat01_orders WHERE o_orderkey % 2 = 0"
+    )
+    # v2: insert the odd half — must be invisible at VERSION AS OF 1
+    cat.sql(
+        "INSERT INTO sales.orders_t "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice "
+        "FROM _cat01_orders WHERE o_orderkey % 2 = 1"
+    )
+    return cat.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total "
+        "FROM sales.orders_t VERSION AS OF 1 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cat02 — SQL DML through the router (DELETE/UPDATE → MoR transactions) and
+# a join between a catalog table and the current snapshot.
+# ---------------------------------------------------------------------------
+@register(
+    "cat02_sql_dml",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(
+             CASE WHEN c_acctbal > 5000 THEN c_acctbal * 1.1 ELSE c_acctbal END
+             AS DECIMAL(38,6))) AS DOUBLE) AS bal
+    FROM customer
+    WHERE NOT (c_acctbal < 0)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="catalog: SQL DELETE + UPDATE routed to MoR transactions",
+    tags=("catalog", "dml", "mor"),
+)
+def cat02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat02")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_cat02_cust")
+    cat.sql("CREATE SCHEMA crm")
+    cat.sql(
+        "CREATE TABLE crm.customer_t AS "
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM _cat02_cust"
+    )
+    cat.sql("DELETE FROM crm.customer_t WHERE c_acctbal < 0")
+    cat.sql(
+        "UPDATE crm.customer_t SET c_acctbal = c_acctbal * 1.1 "
+        "WHERE c_acctbal > 5000"
+    )
+    return cat.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal "
+        "FROM crm.customer_t GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cat03 — COUNT(*) fast path (A8): unfiltered, ungrouped COUNT(*) answered
+# from the manifest with zero fragments scanned, and deletion-aware.
+# ---------------------------------------------------------------------------
+@register(
+    "cat03_count_star_manifest",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM part) AS before_delete,
+           (SELECT COUNT(*) FROM part WHERE NOT (p_size > 40))
+             AS after_delete
+    """,
+    doc="catalog: O(1) manifest COUNT(*) via SQL, deletion-aware",
+    tags=("catalog", "count"),
+)
+def cat03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cat = _fresh_catalog(spark, sf_dir, "cat03")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_cat03_part")
+    cat.sql("CREATE SCHEMA pg")
+    cat.sql("CREATE TABLE pg.part_t AS SELECT * FROM _cat03_part")
+    before = cat.sql("SELECT COUNT(*) AS n FROM pg.part_t").collect()[0]["n"]
+    cat.sql("DELETE FROM pg.part_t WHERE p_size > 40")
+    after = cat.sql("SELECT COUNT(*) AS n FROM pg.part_t").collect()[0]["n"]
+    return spark.createDataFrame(
+        [(before, after)], "before_delete long, after_delete long"
+    )

@@ -152,3 +152,40 @@ def ds03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds04 — limit-aware fragment coalescing (A6/A7): with a limit hint and no
+# filter, the scan plans only the leading fragments whose deletion-aware row
+# counts cover the limit (`LanceSplitManager.java:56-112`). The count result
+# is deterministic even though the row subset is not.
+# ---------------------------------------------------------------------------
+@register(
+    "ds04_limit_coalesced_scan",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM (SELECT * FROM lineitem LIMIT 2000) t)
+             AS n_limited,
+           (SELECT COUNT(*) FROM lineitem) AS n_total
+    """,
+    doc="connector: limit hint coalesces the scan to leading fragments",
+    tags=("connector", "limit"),
+)
+def ds04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds04")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    ds = LanceDataset.create(path, li, max_rows_per_file=1000)
+    limited = spark.read.format("lance").option("limit", 2000).load(path)
+    # the limit hint bounds the *planned fragments*; Spark re-applies the
+    # exact limit above the scan (same non-guaranteed contract as A6)
+    n_planned = limited.rdd.getNumPartitions()
+    if n_planned >= len(ds.manifest.fragments):
+        raise AssertionError(
+            f"limit hint did not coalesce: {n_planned} partitions "
+            f"for {len(ds.manifest.fragments)} fragments"
+        )
+    n_limited = limited.limit(2000).count()
+    n_total = spark.read.format("lance").load(path).count()
+    return spark.createDataFrame(
+        [(n_limited, n_total)], "n_limited long, n_total long"
+    )

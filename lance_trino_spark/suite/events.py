@@ -65,9 +65,9 @@ def e01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e02 — sessionization: gap > 30 min starts a new session (lag window +
 # cumulative sum). The classic stateful-stream op expressed relationally.
 # ---------------------------------------------------------------------------
-@register(
-    "e02_sessionization",
-    oracle="""
+# Shared by e02 (batch sessionization) and st02 (streaming session_window) —
+# one source of truth so the two oracles cannot drift apart.
+SESSIONIZATION_ORACLE = """
     WITH ts_t AS (
       SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
     marked AS (
@@ -91,7 +91,12 @@ def e01(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM sessions GROUP BY user_id, session_id) s
     GROUP BY user_id
     ORDER BY user_id
-    """,
+    """
+
+
+@register(
+    "e02_sessionization",
+    oracle=SESSIONIZATION_ORACLE,
     doc="sessionization via lag + cumulative window (30 min gap)",
     tags=("events", "window", "session"),
 )

@@ -20,6 +20,7 @@ from ..streaming import (
     stateful_user_stats_stream,
 )
 from . import register
+from .events import SESSIONIZATION_ORACLE
 
 
 @register(
@@ -42,31 +43,8 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st02_stream_session_window",
-    oracle="""
-    WITH ts_t AS (
-      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
-    marked AS (
-      SELECT user_id, event_id, ts_us,
-             CASE WHEN LAG(ts_us) OVER w IS NULL
-                    OR ts_us - LAG(ts_us) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM ts_t
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-    sessions AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-      FROM marked)
-    SELECT user_id,
-           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           CAST(SUM(session_len) AS BIGINT) AS n_events,
-           CAST(MAX(session_len) AS BIGINT) AS max_session_events
-    FROM (SELECT user_id, session_id, COUNT(*) AS session_len
-          FROM sessions GROUP BY user_id, session_id) s
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
+    # identical semantics to batch e02 — shared oracle text by construction
+    oracle=SESSIONIZATION_ORACLE,
     doc="streaming native session_window (30-min gap), per-user rollup",
     tags=("streaming", "session", "state"),
 )

