@@ -48,6 +48,8 @@ DEFAULT_QUERIES = [
     "ds01_datasource_scan_pushdown",
     "ds02_datasource_write_commit",
     "m03_blob_columns",
+    "cat01_sql_ddl_time_travel",
+    "lf08_wide_types_roundtrip",
 ]
 
 

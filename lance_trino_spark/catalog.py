@@ -42,6 +42,7 @@ import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .format.dataset import LanceDataset
 from .operators import dml
@@ -190,7 +191,22 @@ class LanceCatalog:
     def _h_insert(self, m) -> DataFrame:
         ds = self.load(m.group("ns"), m.group("tbl"))
         df = self._select(m.group("select"))
-        out = ds.append(df.select(*[f.name for f in ds.schema.fields]))
+        cols = [f.name for f in ds.schema.fields]
+        if set(c.lower() for c in df.columns) == set(c.lower() for c in cols):
+            df = df.select(*cols)  # by name, table order
+        elif len(df.columns) == len(cols):
+            df = df.toDF(*cols)  # positional (e.g. INSERT ... VALUES)
+        else:
+            raise CatalogError(
+                f"INSERT arity mismatch: table has {len(cols)} columns, "
+                f"query produced {len(df.columns)}"
+            )
+        # SQL INSERT coerces values to the table's declared types (literal
+        # ints are INTEGER but a BIGINT column must stay BIGINT).
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in ds.schema.fields]
+        )
+        out = ds.append(df)
         return self._status(f"inserted into {m.group('ns')}.{m.group('tbl')} v{out.version}")
 
     def _h_delete(self, m) -> DataFrame:

@@ -55,6 +55,7 @@ from .manifest import (
     latest_version,
     list_versions,
     read_manifest,
+    schemas_compatible,
     version_at_timestamp,
 )
 
@@ -324,7 +325,19 @@ class LanceDataset:
                 df, parse_vector_columns(self.manifest.properties[VECTOR_PROP])
             )
         if self.blob_columns:
+            # transforms blob BINARY columns into stored descriptor structs
+            # (lazy — no work until staging executes)
             df = stage_blob_columns(df, self.blob_columns, self.path)
+        # checked AFTER the blob transform so the comparison sees the stored
+        # schema; schema evolution is unsupported, like the reference
+        # (`TestLanceConnectorTest.java:139-146`)
+        if not schemas_compatible(self.manifest.schema_json, df.schema.jsonValue()):
+            raise ValueError(
+                "append schema does not match the table schema (schema "
+                "evolution is not supported); cast/select the exact columns "
+                f"first. table={self.schema.simpleString()} "
+                f"append={df.schema.simpleString()}"
+            )
         staged = self._stage_dataframe(df, self.path, max_rows_per_file)
         while True:
             base = read_manifest(self.path, latest_version(self.path))

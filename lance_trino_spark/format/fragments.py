@@ -37,11 +37,27 @@ class FragmentFileWriter:
         self.root = root
         self.max_rows = max_rows_per_file
 
+    @staticmethod
+    def _task_prefix() -> str:
+        """Sortable `partitionid-` prefix so fragment order (paths sorted at
+        commit) follows DataFrame partition order — scans then preserve the
+        writer's row order, like the reference's sequential fragment ids."""
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            if ctx is not None:
+                return f"{ctx.partitionId():06d}-"
+        except Exception:
+            pass
+        return ""
+
     def write(self, batches: Iterator["pa.RecordBatch"]) -> list[tuple[str, int]]:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
+        prefix = self._task_prefix()
         files: list[tuple[str, int]] = []
         writer = None
         rel, rows = None, 0
@@ -51,7 +67,10 @@ class FragmentFileWriter:
                 # when incoming Arrow batches are larger than the file cap.
                 while batch.num_rows > 0:
                     if writer is None:
-                        rel = os.path.join(DATA_DIR, f"{uuid.uuid4().hex}.parquet")
+                        rel = os.path.join(
+                            DATA_DIR,
+                            f"{prefix}{len(files):04d}-{uuid.uuid4().hex}.parquet",
+                        )
                         writer = pq.ParquetWriter(
                             os.path.join(self.root, rel),
                             pa.schema(batch.schema),

@@ -13,10 +13,11 @@ the scan path):
 Commit protocol (reference: single-commit optimistic transactions,
 `LanceMetadata.java:1489-1513` conflict detection):
   1. writer prepares all data/deletion files (any executor, any order)
-  2. driver serializes the next manifest to a temp file
-  3. `os.link(tmp, _versions/<N+1>.manifest.json)` — hard-link creation is
-     atomic and fails with EEXIST if another writer committed N+1 first →
-     CommitConflictError, no partial state ever visible.
+  2. driver publishes the next manifest atomically via the installed
+     `StorageBackend` (backend.py — the default DirectoryBackend uses
+     hard-link creation, which fails with EEXIST if another writer
+     committed N+1 first → CommitConflictError, no partial state ever
+     visible; a real-`lance`-SDK backend maps to `LanceDataset.commit`).
 
 Readers pin a version at open time (snapshot isolation — the reference pins
 `datasetVersion` in the table handle at planning time,
@@ -25,20 +26,16 @@ Readers pin a version at open time (snapshot isolation — the reference pins
 
 from __future__ import annotations
 
-import json
 import os
-import time
-import uuid
 from dataclasses import dataclass, field
 
-
-class CommitConflictError(RuntimeError):
-    """Another transaction committed the same target version first
-    (TRANSACTION_CONFLICT in the reference)."""
-
-
-class VersionNotFoundError(ValueError):
-    pass
+# Exceptions live with the backend seam; re-exported here for compatibility.
+from .backend import (  # noqa: F401
+    CommitConflictError,
+    VersionNotFoundError,
+    get_backend,
+    now_ms,
+)
 
 
 @dataclass
@@ -133,6 +130,22 @@ DATA_DIR = "data"
 DELETIONS_DIR = "_deletions"
 
 
+def schemas_compatible(a: dict, b: dict) -> bool:
+    """Field names + types must match exactly (nullability ignored). Schema
+    evolution is unsupported, like the reference
+    (`TestLanceConnectorTest.java:139-146`) — appends with a different
+    schema must fail loudly, never commit mismatched fragments."""
+    import json as _json
+
+    def key(schema: dict):
+        return [
+            (f["name"], _json.dumps(f["type"], sort_keys=True))
+            for f in schema.get("fields", [])
+        ]
+
+    return key(a) == key(b)
+
+
 def versions_dir(root: str) -> str:
     return os.path.join(root, VERSIONS_DIR)
 
@@ -142,17 +155,7 @@ def manifest_path(root: str, version: int) -> str:
 
 
 def list_versions(root: str) -> list[int]:
-    vdir = versions_dir(root)
-    if not os.path.isdir(vdir):
-        return []
-    out = []
-    for name in os.listdir(vdir):
-        if name.endswith(".manifest.json"):
-            try:
-                out.append(int(name.split(".", 1)[0]))
-            except ValueError:
-                continue
-    return sorted(out)
+    return get_backend().list_versions(root)
 
 
 def latest_version(root: str) -> int:
@@ -184,30 +187,11 @@ def version_at_timestamp(root: str, ts_ms: int) -> int:
 
 
 def read_manifest(root: str, version: int) -> Manifest:
-    p = manifest_path(root, version)
-    if not os.path.exists(p):
-        raise VersionNotFoundError(f"version {version} does not exist at {root}")
-    with open(p) as f:
-        return Manifest.from_json(json.load(f))
+    return Manifest.from_json(get_backend().read_manifest_json(root, version))
 
 
 def commit_manifest(root: str, manifest: Manifest) -> None:
     """Atomically publish `manifest` as its version; raise
     CommitConflictError if that version was committed concurrently."""
-    vdir = versions_dir(root)
-    os.makedirs(vdir, exist_ok=True)
-    manifest.timestamp_ms = int(time.time() * 1000)
-    tmp = os.path.join(vdir, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest.to_json(), f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, manifest_path(root, manifest.version))
-    except FileExistsError as e:
-        raise CommitConflictError(
-            f"version {manifest.version} at {root} was committed by another "
-            f"transaction (read_version={manifest.read_version})"
-        ) from e
-    finally:
-        os.unlink(tmp)
+    manifest.timestamp_ms = now_ms()
+    get_backend().commit_manifest_json(root, manifest.version, manifest.to_json())

@@ -139,6 +139,104 @@ def update(
         matched.unpersist()
 
 
+def merge_multi(
+    ds: LanceDataset,
+    spark: SparkSession,
+    source: DataFrame,
+    on: str | list[str],
+    matched_clauses: list[tuple[str | Column | None, dict | None]] = (),
+    not_matched_insert: bool = False,
+    not_matched_condition: str | Column | None = None,
+) -> LanceDataset:
+    """MERGE with multiple ordered WHEN MATCHED clauses — full reference
+    surface (docs/src/operations/dml/merge.md "Conditional update or
+    delete"): each clause is `(condition, set_map)` where condition may be
+    None (always true) and set_map None means DELETE. Per SQL MERGE
+    semantics the FIRST clause whose condition holds wins for each row;
+    source columns are referenced as `_src_<name>` in conditions/sets.
+
+    Scale shape identical to `merge`: one persisted join, one deletion
+    union, one insert staging pass, one Update commit.
+    """
+    _reject_blob_rewrite(ds, "MERGE")
+    keys = [on] if isinstance(on, str) else list(on)
+    cols = [f.name for f in ds.schema.fields]
+    target = ds.to_df(spark, with_row_address=True)
+    src = source.select(*[F.col(c).alias(f"_src_{c}") for c in source.columns])
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"_src_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = target.join(src, cond, "inner").persist()
+    try:
+        dup = (
+            joined.groupBy(ROW_ADDR_COL)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise MergeError("MERGE: a target row matches more than one source row")
+
+        # first-match-wins clause index per row
+        clause_col = F.lit(None).cast("int")
+        chain = None
+        for i, (mc, _action) in enumerate(matched_clauses):
+            c = (
+                F.lit(True)
+                if mc is None
+                else (F.expr(mc) if isinstance(mc, str) else mc)
+            )
+            chain = F.when(c, i) if chain is None else chain.when(c, i)
+        if chain is not None:
+            clause_col = chain.otherwise(F.lit(None).cast("int"))
+        affected = joined.withColumn("_clause", clause_col).filter(
+            F.col("_clause").isNotNull()
+        )
+
+        # every affected row's old version is deleted; update clauses
+        # re-insert the rewritten row
+        deletions = _collect_deletions(affected.select(ROW_ADDR_COL))
+        inserts: DataFrame | None = None
+        for i, (_mc, set_map) in enumerate(matched_clauses):
+            if set_map is None:
+                continue  # DELETE clause
+            upd = affected.filter(F.col("_clause") == i)
+            for name, expr in set_map.items():
+                upd = upd.withColumn(
+                    name, F.expr(expr) if isinstance(expr, str) else expr
+                )
+            part = upd.select(*cols)
+            inserts = part if inserts is None else inserts.unionByName(part)
+
+        if not_matched_insert:
+            missing = [c for c in cols if c not in source.columns]
+            if missing:
+                raise MergeError(f"MERGE INSERT requires source columns for {missing}")
+            anti = source.join(target.select(*keys), keys, "left_anti")
+            if not_matched_condition is not None:
+                nmc = (
+                    F.expr(not_matched_condition)
+                    if isinstance(not_matched_condition, str)
+                    else not_matched_condition
+                )
+                anti = anti.filter(nmc)
+            anti = anti.select(*cols)
+            inserts = anti if inserts is None else inserts.unionByName(anti)
+
+        staged = (
+            LanceDataset._stage_dataframe(inserts, ds.path)
+            if inserts is not None
+            else []
+        )
+        if not deletions and not staged:
+            return ds
+        return ds.commit_update(deletions, staged)
+    finally:
+        joined.unpersist()
+
+
 def merge(
     ds: LanceDataset,
     spark: SparkSession,

@@ -23,6 +23,7 @@ neighbor id.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -94,6 +95,93 @@ def bucketed_topk(
     return _rank_topk(joined, k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train an IVF coarse codebook: deterministic k-means (first-`n_cells`
+    init, fixed iteration count) over a bounded, ordered sample collected to
+    the driver. At 100 TB the sample stays the same size — training cost is
+    O(sample × n_cells × iters) on the driver, independent of corpus scale
+    (the standard IVF recipe: Lance/FAISS train on a sample too)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) < n_cells:
+        raise ValueError(f"sample ({len(x)}) smaller than n_cells ({n_cells})")
+    centroids = x[:n_cells].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                centroids[j] = members.mean(0)
+    return centroids
+
+
+def _cell_assigner(centroids, nprobe: int):
+    """Vectorized (Arrow-batched) pandas UDF mapping a vector column to its
+    `nprobe` nearest centroid ids — runs on executors, centroids ship in the
+    closure (tiny: n_cells × dim doubles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def cells_of(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(v.to_numpy())
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return cells_of
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained-codebook IVF ANN: corpus rows are assigned to their nearest
+    cell once; each query probes its `nprobe` nearest cells. The search is an
+    equi-join on cell id — shuffle bounded by cell sizes, never a cross
+    product. Approximate by construction (recall measured against
+    `cosine_topk` in tests), so no SQL oracle — the rows-only gate applies."""
+    assigner1 = _cell_assigner(centroids, 1)
+    assignerN = _cell_assigner(centroids, nprobe)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("ccell", assigner1(F.col("cv"))[0])
+        .withColumn("cn", l2_norm("cv"))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qcell", F.explode(assignerN(F.col("qv"))))
+        .withColumn("qn", l2_norm("qv"))
+    )
+    joined = (
+        c.join(F.broadcast(q), F.col("ccell") == F.col("qcell"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_product("cv", "qv") / (F.col("cn") * F.col("qn")))
+    )
+    return _rank_topk(joined, k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
@@ -102,7 +190,14 @@ def embedding_neardup_pairs(
     cell_col: str = "label",
 ) -> DataFrame:
     """Near-duplicate vector pairs within each coarse cell: (id_a < id_b,
-    cosine ≥ threshold). Cell-blocked to avoid the quadratic cross join."""
+    cosine ≥ threshold). Cell-blocked to avoid the quadratic cross join.
+
+    Cell skew: an oversized cell concentrates its pair workload in one
+    shuffle partition. The session enables AQE skew-join
+    (`session.py RUNTIME_CONFS`), which splits skewed join partitions and
+    replicates the matching side at runtime — so a hot cell degrades to
+    more tasks, not an OOM. For pathological distributions, re-train the
+    coarse quantizer (`train_ivf_centroids`) with more cells."""
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(cell_col).alias("cell_a")
     ).withColumn("norm_a", l2_norm("va"))

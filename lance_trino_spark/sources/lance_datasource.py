@@ -80,8 +80,24 @@ from ..format.manifest import (
     latest_version,
     list_versions,
     read_manifest,
+    schemas_compatible,
     version_at_timestamp,
 )
+
+
+def _check_append_schema(path: str, schema: StructType) -> None:
+    """Fail fast (driver-side, before any executor writes) when appending a
+    schema that differs from the table's — schema evolution is unsupported,
+    mirroring the reference (`TestLanceConnectorTest.java:139-146`)."""
+    versions = list_versions(path)
+    if not versions:
+        return
+    base = read_manifest(path, versions[-1])
+    if not schemas_compatible(base.schema_json, schema.jsonValue()):
+        raise ValueError(
+            "append schema does not match the table schema (schema evolution "
+            "is not supported); cast/select the exact columns first"
+        )
 
 if TYPE_CHECKING:
     import pyarrow as pa
@@ -341,6 +357,13 @@ def _commit_fragments(
                 properties=dict(extra_properties or {}),
             )
         else:
+            if not schemas_compatible(base.schema_json, schema_json):
+                # re-checked at commit time: the table may have been created
+                # or replaced between writer construction and commit
+                raise ValueError(
+                    "append schema does not match the table schema (schema "
+                    "evolution is not supported)"
+                )
             next_id = base.max_fragment_id + 1
             new_frags = [
                 Fragment(next_id + i, rel, n) for i, (rel, n) in enumerate(staged)
@@ -368,6 +391,8 @@ class LanceBatchWriter(DataSourceArrowWriter):
         self._path = path
         self._schema_json = schema.jsonValue()
         self._overwrite = overwrite
+        if not overwrite:
+            _check_append_schema(path, schema)
         self._writer = _FragmentFileWriter(
             path, int(options.get("maxrowsperfile", DEFAULT_MAX_ROWS_PER_FILE))
         )
@@ -396,28 +421,42 @@ class LanceStreamWriter(DataSourceStreamWriter):
     def __init__(self, path: str, schema: StructType, overwrite: bool, options: dict):
         self._path = path
         self._schema_json = schema.jsonValue()
+        _check_append_schema(path, schema)
         self._writer = _FragmentFileWriter(
             path, int(options.get("maxrowsperfile", DEFAULT_MAX_ROWS_PER_FILE))
         )
 
+    # Rows→Arrow conversion chunk: bounds executor memory to one chunk
+    # instead of the whole partition (DataSourceStreamWriter delivers Rows,
+    # not Arrow — an API constraint of the streaming write path).
+    ROWS_PER_CHUNK = 10_000
+
     def write(self, iterator) -> LanceWriteMessage:  # executor, per microbatch
         import pyarrow as pa
 
-        # DataSourceStreamWriter delivers Rows; convert via Arrow from the
-        # declared schema to keep types exact.
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        schema = StructType.fromJson(self._schema_json)
-        arrow_schema = to_arrow_schema(schema)
-        rows = list(iterator)
-        if not rows:
-            return LanceWriteMessage(files=[])
-        cols = list(zip(*((tuple(r) for r in rows))))
-        arrays = [
-            pa.array(c, type=arrow_schema.field(i).type) for i, c in enumerate(cols)
-        ]
-        batch = pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
-        return self._writer.write(iter([batch]))
+        arrow_schema = to_arrow_schema(StructType.fromJson(self._schema_json))
+
+        def _to_batch(rows: list[tuple]) -> "pa.RecordBatch":
+            cols = list(zip(*rows))
+            arrays = [
+                pa.array(c, type=arrow_schema.field(i).type)
+                for i, c in enumerate(cols)
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+        def _chunks() -> Iterator["pa.RecordBatch"]:
+            buf: list[tuple] = []
+            for r in iterator:
+                buf.append(tuple(r))
+                if len(buf) >= self.ROWS_PER_CHUNK:
+                    yield _to_batch(buf)
+                    buf = []
+            if buf:
+                yield _to_batch(buf)
+
+        return self._writer.write(_chunks())
 
     def commit(self, messages, batchId: int) -> None:  # driver
         last = self._last_committed_epoch()

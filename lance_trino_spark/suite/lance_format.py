@@ -263,3 +263,128 @@ def lf07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf09 — MERGE with multiple WHEN MATCHED clauses, first-match-wins
+# (reference merge.md "Conditional update or delete": WHEN MATCHED AND
+# qty = 0 THEN DELETE; WHEN MATCHED THEN UPDATE).
+# ---------------------------------------------------------------------------
+@register(
+    "lf09_merge_conditional_clauses",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0
+                THEN c_acctbal + (c_custkey % 7) ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE NOT (c_custkey % 10 = 0)
+    ORDER BY c_custkey
+    """,
+    doc="format: MERGE with ordered matched clauses (conditional DELETE then UPDATE)",
+    tags=("format", "merge", "mor"),
+)
+def lf09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf09")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ds = LanceDataset.create(
+        path, cust, max_rows_per_file=max(500, cust.count() // 8)
+    )
+    source = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(-1.0))
+        .otherwise((F.col("c_custkey") % 7).cast("double"))
+        .alias("delta"),
+    )
+    ds = dml.merge_multi(
+        ds, spark, source, on="c_custkey",
+        matched_clauses=[
+            ("_src_delta < 0", None),  # WHEN MATCHED AND delta < 0 THEN DELETE
+            (None, {"c_acctbal": "c_acctbal + _src_delta"}),  # THEN UPDATE
+        ],
+    )
+    return ds.to_df(spark).select("c_custkey", "c_acctbal").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# lf08 — wide-types round-trip (SURVEY §1.3, mirrors the reference's
+# TestLanceArrowToPageScanner wide-types enumeration): every storable type —
+# int32/int64, float32/float64, string (incl. 2000-char LargeUtf8-ish),
+# binary, date, timestamp (UTC) + timestamp_ntz, decimal, array<int>,
+# nested struct, boolean, nulls — written through the fragment layer and
+# read back value-exactly. Timestamps leave the query as epoch integers and
+# binary as hex (engine-representation-proof projections); the STORED
+# columns are the real types.
+# ---------------------------------------------------------------------------
+@register(
+    "lf08_wide_types_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey AS INTEGER) AS i32,
+           p_partkey * 1000000000 AS i64,
+           CAST(p_retailprice AS REAL) AS f32,
+           p_retailprice * 1.5 AS f64,
+           rpad(p_name, 2000, 'x') AS s_long,
+           hex(encode(substr(p_name, 1, 5))) AS bin_hex,
+           DATE '1992-01-01' + CAST(p_partkey % 1000 AS INT) AS d,
+           (802008000 + p_partkey % 86400) * 1000000 AS ts_us,
+           (802008000 + p_partkey % 3600) * 1000000 AS ntz_us,
+           CAST(p_retailprice AS DECIMAL(12,2)) AS dec2,
+           [CAST(p_partkey % 10 AS INT), CAST(p_partkey % 7 AS INT)] AS arr,
+           CAST(p_partkey % 5 AS INT) AS st_a,
+           substr(p_name, 1, 3) AS st_b,
+           p_partkey % 2 = 0 AS flag,
+           CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE p_name END AS s_null
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="format: wide-types fixture round-trip (ints/floats/str/bin/date/ts/"
+        "ntz/decimal/array/struct/bool/null)",
+    tags=("format", "types"),
+)
+def lf08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf08")
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    wide = part.select(
+        "p_partkey",
+        k.cast("int").alias("i32"),
+        (k * 1000000000).alias("i64"),
+        F.col("p_retailprice").cast("float").alias("f32"),
+        (F.col("p_retailprice") * 1.5).alias("f64"),
+        F.rpad("p_name", 2000, "x").alias("s_long"),
+        F.encode(F.substring("p_name", 1, 5), "UTF-8").alias("bin"),
+        F.date_add(F.lit("1992-01-01").cast("date"), (k % 1000).cast("int")).alias("d"),
+        F.timestamp_seconds(F.lit(802008000) + k % 86400).alias("ts"),
+        F.timestamp_seconds(F.lit(802008000) + k % 3600)
+        .cast("timestamp_ntz")
+        .alias("ts_ntz"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("dec2"),
+        F.array((k % 10).cast("int"), (k % 7).cast("int")).alias("arr"),
+        F.struct(
+            (k % 5).cast("int").alias("a"), F.substring("p_name", 1, 3).alias("b")
+        ).alias("st"),
+        (k % 2 == 0).alias("flag"),
+        F.when(k % 97 == 0, None).otherwise(F.col("p_name")).alias("s_null"),
+    )
+    ds = LanceDataset.create(path, wide, max_rows_per_file=5000)
+    back = ds.to_df(spark)
+    # engine-proof projections: ts/ntz → epoch micros, binary → hex,
+    # struct → flattened leaf columns (Spark Row vs DuckDB dict canon diverge).
+    return back.select(
+        "p_partkey",
+        "i32",
+        "i64",
+        "f32",
+        "f64",
+        "s_long",
+        F.hex("bin").alias("bin_hex"),
+        "d",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("ts_ntz").cast("timestamp")).alias("ntz_us"),
+        "dec2",
+        "arr",
+        F.col("st.a").alias("st_a"),
+        F.col("st.b").alias("st_b"),
+        "flag",
+        "s_null",
+    ).orderBy("p_partkey")

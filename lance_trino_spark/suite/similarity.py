@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import bucketed_topk, cosine_topk, embedding_neardup_pairs
+from ..operators.similarity import (
+    bucketed_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    train_ivf_centroids,
+)
 from ..tables import load_table
 from . import register
 
@@ -114,3 +120,24 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding", "label").unionAll(dup)
     return embedding_neardup_pairs(corpus, threshold=0.999).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# s04 — trained-codebook IVF ANN: deterministic k-means codebook on a sample,
+# vectorized cell assignment, nprobe-cell equi-join search. Approximate by
+# construction → no SQL oracle (rows-only gate); recall vs the exact baseline
+# is asserted in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@register(
+    "s04_ivf_trained_topk",
+    oracle=None,
+    doc="IVF ANN with trained k-means codebook (nprobe=2), rows-only gate",
+    tags=("similarity", "ann", "ivf"),
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_cells=16, iters=5, sample=2048)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=2).orderBy(
+        "query_id", "rank"
+    )

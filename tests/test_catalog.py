@@ -78,6 +78,17 @@ def test_version_as_of_sql(cat, spark):
     assert old.collect()[0]["n"] == 10
 
 
+def test_insert_values_positional(cat, spark):
+    _src(spark, 3).createOrReplaceTempView("_cat_vals")
+    cat.sql("CREATE SCHEMA db")
+    cat.sql("CREATE TABLE db.t AS SELECT * FROM _cat_vals")
+    cat.sql("INSERT INTO db.t VALUES (100, 9), (101, 9)")
+    got = cat.sql("SELECT k, g FROM db.t WHERE g = 9 ORDER BY k").collect()
+    assert [(r["k"], r["g"]) for r in got] == [(100, 9), (101, 9)]
+    with pytest.raises(CatalogError, match="arity"):
+        cat.sql("INSERT INTO db.t VALUES (1, 2, 3)")
+
+
 def test_sql_update_delete(cat, spark):
     _src(spark, 20).createOrReplaceTempView("_cat_dml")
     cat.sql("CREATE SCHEMA db")
@@ -89,6 +100,25 @@ def test_sql_update_delete(cat, spark):
         r["k"] for r in cat.sql("SELECT k FROM db.t WHERE g = 1").collect()
     )
     assert got == [101, 106, 111, 116]
+
+
+def test_stats_feed_broadcast_join_planning(cat, spark):
+    """A9: the format layer's native-parquet scan path reports file-size
+    statistics to Catalyst, so a small catalog table is automatically chosen
+    as the broadcast side — no hint needed (the reference feeds rowCount to
+    Trino's CBO for the same decision, `LanceMetadata.java:561-588`)."""
+    _src(spark, 5000).createOrReplaceTempView("_cat_big")
+    _src(spark, 10).createOrReplaceTempView("_cat_small")
+    cat.sql("CREATE SCHEMA db")
+    cat.sql("CREATE TABLE db.big AS SELECT k, g FROM _cat_big")
+    cat.sql("CREATE TABLE db.small AS SELECT k, g FROM _cat_small")
+    q = cat.sql(
+        "SELECT b.g, COUNT(*) AS n FROM db.big b JOIN db.small s ON b.k = s.k "
+        "GROUP BY b.g"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert q.count() == 5
 
 
 def test_count_star_reads_zero_fragments(cat, spark):

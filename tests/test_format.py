@@ -69,7 +69,11 @@ def test_row_address_layout(spark, tmp_ds_path):
 def test_time_travel_and_timestamp_asof(spark, tmp_ds_path):
     ds = _mk(spark, tmp_ds_path, n=10)
     t1 = ds.manifest.timestamp_ms
-    ds2 = ds.append(spark.range(10, 20).select(F.col("id").alias("x"), F.lit(0).alias("y")))
+    ds2 = ds.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("x"), F.lit(0).cast("long").alias("y")
+        )
+    )
     assert LanceDataset.open(tmp_ds_path, version=1).count_rows() == 10
     assert LanceDataset.open(tmp_ds_path).count_rows() == 20
     assert LanceDataset.open(tmp_ds_path, asof_timestamp_ms=t1).version == 1
@@ -95,6 +99,27 @@ def test_mor_delete_and_full_fragment_removal(spark, tmp_ds_path):
     ds4 = dml.delete(ds3, spark, "x = 36")
     assert ds4.count_rows() == 28
     assert {35, 36} & {r["x"] for r in ds4.to_df(spark).collect()} == set()
+
+
+def test_scan_pushes_filters_and_prunes_nested_schema(spark, tmp_ds_path):
+    """A4/A5 on the format-layer path: pushed predicates and nested-struct
+    pruning must reach the parquet scan (the reference dereferences struct
+    fields into leaf column handles, `LanceMetadata.java:463-551`; Spark's
+    nestedSchemaPruning gives the same effect below `to_df`)."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.struct(
+            F.col("id").cast("int").alias("a"),
+            F.concat(F.lit("v"), F.col("id")).alias("b"),
+        ).alias("st"),
+    )
+    ds = LanceDataset.create(tmp_ds_path, df)
+    scan = ds.to_df(spark, filter="k > 50").select("st.a")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(k,50)" in plan
+    # only st.a survives in the read schema — st.b is pruned
+    assert "st:struct<a:int>" in plan.replace(" ", "")
+    assert scan.count() == 49
 
 
 def test_delete_copy_on_write_above_row_threshold(spark, tmp_ds_path):
@@ -127,9 +152,15 @@ def test_update_conflict_on_stale_handle(spark, tmp_ds_path):
 def test_append_retries_through_conflict(spark, tmp_ds_path):
     ds = _mk(spark, tmp_ds_path, n=10)
     stale = LanceDataset.open(tmp_ds_path)
-    ds.append(spark.range(10, 12).select(F.col("id").alias("x"), F.lit(0).alias("y")))
+    ds.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("x"), F.lit(0).cast("long").alias("y")
+        )
+    )
     out = stale.append(
-        spark.range(12, 14).select(F.col("id").alias("x"), F.lit(0).alias("y"))
+        spark.range(12, 14).select(
+            F.col("id").alias("x"), F.lit(0).cast("long").alias("y")
+        )
     )
     assert out.count_rows() == 14  # both appends landed despite the race
 
@@ -144,6 +175,24 @@ def test_empty_dataset_and_schema(spark, tmp_ds_path):
     assert df.schema == schema and df.count() == 0
     with pytest.raises(FileExistsError):
         LanceDataset.create_empty(tmp_ds_path, schema)
+
+
+def test_merge_multi_first_match_wins(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=10)  # rows x=0..9, y=x%7
+    src = spark.createDataFrame(
+        [(i, -1 if i % 2 == 0 else 5) for i in range(6)], ["x", "delta"]
+    )
+    out = dml.merge_multi(
+        ds, spark, src, on="x",
+        matched_clauses=[
+            ("_src_delta < 0", None),            # DELETE evens
+            (None, {"y": "y + _src_delta"}),     # UPDATE the rest
+        ],
+    )
+    rows = {r["x"]: r["y"] for r in out.to_df(spark).collect()}
+    assert set(rows) == {1, 3, 5, 6, 7, 8, 9}  # 0,2,4 deleted
+    assert rows[1] == 6 and rows[3] == 8 and rows[5] == 10  # matched updates
+    assert rows[6] == 6 and rows[9] == 2  # untouched
 
 
 def test_merge_rejects_duplicate_source_match(spark, tmp_ds_path):

@@ -66,6 +66,48 @@ def test_cosine_topk_matches_numpy(spark):
         assert math.isclose(r["cosine"], float(sims[r["neighbor_id"]]), rel_tol=1e-6)
 
 
+def test_ivf_trained_topk_recall(spark):
+    """IVF with a trained codebook must recover most exact top-k neighbors on
+    clustered data (recall@5 vs cosine_topk), and never return a neighbor
+    from outside the probed cells' candidate set semantics (output schema and
+    ranking contract identical to the exact baseline)."""
+    import numpy as np
+
+    from lance_trino_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    # 8 well-separated clusters of 40 vectors each
+    centers = rng.rand(8, 16) * 10
+    vecs = np.concatenate(
+        [c + rng.rand(40, 16) * 0.5 for c in centers]
+    ).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    ).cache()
+    queries = df.filter(F.col("vec_id") % 40 == 0)  # one per cluster
+
+    centroids = train_ivf_centroids(df, n_cells=8, iters=5, sample=320)
+    exact = cosine_topk(df, queries, k=5).collect()
+    approx = ivf_topk(df, queries, centroids, k=5, nprobe=2).collect()
+
+    def topk(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, a = topk(exact), topk(approx)
+    assert set(a) == set(e)  # every query answered
+    hits = sum(len(e[q] & a[q]) for q in e)
+    total = sum(len(e[q]) for q in e)
+    assert hits / total >= 0.9, f"recall@5 too low: {hits}/{total}"
+
+
 def test_quality_and_tokens(spark):
     from lance_trino_spark.operators.text import quality_score, token_count
 

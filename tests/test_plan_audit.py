@@ -1,0 +1,65 @@
+"""Plan-quality gate: headline suite queries must audit clean (pushdown
+present, no cartesian products, no row-at-a-time Python), and the audit
+itself must catch the anti-patterns it claims to."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lance_trino_spark.plans.audit import audit_plan
+from lance_trino_spark.suite import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Headline relational queries — pure scan/join/agg plans that must be clean.
+CLEAN_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q12_priority_classes",
+    "q18_large_volume_customers",
+    "q24_window_running_revenue",
+    "e01_hourly_event_stats",
+    "t01_token_stats",
+    "d01_exact_dedup",
+]
+
+
+@pytest.mark.parametrize("name", CLEAN_QUERIES)
+def test_headline_query_plans_audit_clean(spark, name):
+    df = all_queries()[name].build(spark, SF_DIR)
+    assert audit_plan(df) == []
+
+
+def test_audit_flags_cartesian_product(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    bad = a.join(b)  # no condition
+    findings = audit_plan(bad, allow_nested_loop=True)
+    assert any("Cartesian" in f or "NestedLoop" in f for f in findings) or (
+        audit_plan(bad) != []
+    )
+
+
+def test_audit_flags_row_python_udf(spark):
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def slow(x):
+        return x + 1
+
+    bad = spark.range(10).select(slow("id").alias("y"))
+    assert any("BatchEvalPython" in f for f in audit_plan(bad))
+
+
+def test_audit_accepts_arrow_paths(spark):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fast(x: pd.Series) -> pd.Series:
+        return x + 1
+
+    ok = spark.range(10).select(fast("id").alias("y"))
+    assert not any("BatchEvalPython" in f for f in audit_plan(ok))
