@@ -200,6 +200,61 @@ def minhash_lsh_dedup(
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters from a pair list: min-label propagation
+    until fixpoint, returning (doc_id, cluster) where cluster is the minimum
+    doc id of the component — the canonical representative.
+
+    Scale shape: one shuffle per iteration, iterations bounded by component
+    diameter (near-dup clusters are shallow stars/chains, so typically 2-4);
+    the same algorithm GraphX/GraphFrames use for CC. Each iteration's label
+    frame is persisted and the previous one released, so peak storage is two
+    label sets, each one row per distinct doc in the pair list.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neigh = edges.join(labels, edges["dst"] == labels["id"]).select(
+            edges["src"].alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        old = labels.select("id", F.col("label").alias("old_label"))
+        changed = (
+            new_labels.join(old, "id")
+            .filter(F.col("label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+    out.count()  # materialize the cached fixpoint before releasing the edges
+    edges.unpersist()
+    return out
+
+
 def simhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from ..functions import MINHASH_PRIME, minhash_perms
 from ..operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_PERM,
+    connected_components,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -101,7 +102,9 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # d02 — MinHash + LSH near-dup detection with exact-Jaccard verification.
 # ---------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in `verified(id_a, id_b, jaccard)` — shared by the
+    d02 pair oracle and the d05 connected-components oracle."""
     perms = minhash_perms(DEFAULT_NUM_PERM)
     r = DEFAULT_NUM_PERM // DEFAULT_BANDS
     min_aggs = ",\n                ".join(
@@ -114,8 +117,7 @@ def _minhash_oracle() -> str:
         + " AS band_key FROM sig"
         for b in range(DEFAULT_BANDS)
     )
-    return f"""
-    WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
     sig AS (SELECT doc_id,
                 {min_aggs}
             FROM sh GROUP BY doc_id),
@@ -130,17 +132,24 @@ def _minhash_oracle() -> str:
               FROM cand c
               JOIN sh a ON a.doc_id = c.id_a
               JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
-              GROUP BY c.id_a, c.id_b)
-    SELECT c.id_a, c.id_b,
-           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-             / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-    JOIN sizes sa ON sa.doc_id = c.id_a
-    JOIN sizes sb ON sb.doc_id = c.id_b
-    WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-            / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) >= 0.5
-    ORDER BY c.id_a, c.id_b
+              GROUP BY c.id_a, c.id_b),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) >= 0.5)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT id_a, id_b, jaccard FROM verified
+    ORDER BY id_a, id_b
     """
 
 
@@ -232,3 +241,39 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# d05 — transitive near-dup clusters: connected components over the verified
+# MinHash-LSH pair graph (min-label propagation in Spark; the DuckDB oracle
+# computes the same components with a recursive transitive-closure CTE).
+# ---------------------------------------------------------------------------
+def _cc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION ALL
+              SELECT id_b, id_a FROM verified),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(a, b) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster
+    FROM reach GROUP BY a
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "d05_dedup_clusters",
+    oracle=_cc_oracle(),
+    doc="connected components over near-dup pairs (canonical = min doc_id)",
+    tags=("dedup", "graph"),
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_dedup(_corpus(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return connected_components(pairs).orderBy("doc_id")

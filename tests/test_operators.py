@@ -66,6 +66,17 @@ def test_cosine_topk_matches_numpy(spark):
         assert math.isclose(r["cosine"], float(sims[r["neighbor_id"]]), rel_tol=1e-6)
 
 
+def test_connected_components_clusters(spark):
+    from lance_trino_spark.operators.dedup import connected_components
+
+    # a 5-node chain (forces several propagation iterations) + a pair
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 9), (9, 12), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert out == {2: 2, 3: 2, 4: 2, 9: 2, 12: 2, 5: 5, 6: 5}
+
+
 def test_ivf_trained_topk_recall(spark):
     """IVF with a trained codebook must recover most exact top-k neighbors on
     clustered data (recall@5 vs cosine_topk), and never return a neighbor
