@@ -50,6 +50,9 @@ DEFAULT_QUERIES = [
     "m03_blob_columns",
     "cat01_sql_ddl_time_travel",
     "lf08_wide_types_roundtrip",
+    "d05_dedup_clusters",
+    "st05_stream_stream_join",
+    "lf10_compaction",
 ]
 
 

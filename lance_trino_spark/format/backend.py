@@ -63,6 +63,10 @@ class StorageBackend(Protocol):
         CommitConflictError if that version was committed concurrently."""
         ...
 
+    def delete_manifest(self, root: str, version: int) -> None:
+        """Remove a version's manifest (vacuum); missing version is a no-op."""
+        ...
+
 
 class DirectoryBackend:
     """Local/posix directory layout with hard-link atomic commits."""
@@ -114,6 +118,12 @@ class DirectoryBackend:
             ) from e
         finally:
             os.unlink(tmp)
+
+    def delete_manifest(self, root: str, version: int) -> None:
+        try:
+            os.unlink(self._mpath(root, version))
+        except FileNotFoundError:
+            pass
 
 
 _BACKEND: StorageBackend = DirectoryBackend()

@@ -360,6 +360,104 @@ class LanceDataset:
             except CommitConflictError:
                 continue
 
+    @staticmethod
+    def vacuum(path: str, keep_versions: int = 1) -> dict:
+        """Garbage-collect history: drop all but the newest `keep_versions`
+        manifests, then delete any data/deletion files no retained manifest
+        references (compaction and copy-on-write leave the old files behind
+        for time travel — vacuum is the explicit point of no return, like
+        every log-structured format's VACUUM/expire_snapshots).
+
+        `_blobs/` sidecars are never touched: blob descriptors inside
+        retained data files may reference them and they are write-once.
+
+        Driver work is metadata-only (listings + unlinks); at object-store
+        scale the unlink loop would be dispatched as tasks, but the
+        reference's coordinator does maintenance single-node too.
+        """
+        from .backend import get_backend
+
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        versions = list_versions(path)
+        retained, dropped = versions[-keep_versions:], versions[:-keep_versions]
+        referenced: set[str] = set()
+        for v in retained:
+            m = read_manifest(path, v)
+            for f in m.fragments:
+                referenced.add(f.path)
+                if f.deletion:
+                    referenced.add(f.deletion.path)
+        removed_files = 0
+        for d in (DATA_DIR, DELETIONS_DIR):
+            dd = os.path.join(path, d)
+            if not os.path.isdir(dd):
+                continue
+            for name in os.listdir(dd):
+                rel = os.path.join(d, name)
+                if rel not in referenced:
+                    os.unlink(os.path.join(path, rel))
+                    removed_files += 1
+        backend = get_backend()
+        for v in dropped:
+            backend.delete_manifest(path, v)
+        return {
+            "removed_versions": len(dropped),
+            "removed_files": removed_files,
+            "retained_versions": retained,
+        }
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = MAX_ROWS_PER_FILE,
+        small_file_threshold: float = 0.5,
+    ) -> "LanceDataset":
+        """Compaction: rewrite small and deletion-heavy fragments into
+        full-size ones (the small-file problem is THE operational issue of
+        log-structured tables at 100 TB — every append/streaming microbatch
+        leaves small fragments).
+
+        Fragments whose live row count is below
+        ``small_file_threshold * target_rows_per_file`` — or that carry a
+        deletion vector — are rewritten (deletions applied, so DVs are
+        retired); full-size clean fragments are carried over untouched, no
+        data movement. One Overwrite commit with the usual conflict check.
+        """
+        small_cut = int(small_file_threshold * target_rows_per_file)
+        rewrite = [
+            f
+            for f in self.manifest.fragments
+            if f.deletion is not None or f.num_rows < small_cut
+        ]
+        rewrite_ids = {f.id for f in rewrite}
+        keep = [f for f in self.manifest.fragments if f.id not in rewrite_ids]
+        if not rewrite or (len(rewrite) == 1 and rewrite[0].deletion is None):
+            # a single clean small fragment has nothing to merge with —
+            # rewriting it would churn data for no layout gain
+            return self
+        sub = LanceDataset(
+            self.path,
+            Manifest(
+                version=self.version,
+                schema_json=self.manifest.schema_json,
+                fragments=rewrite,
+                properties=self.manifest.properties,
+            ),
+        )
+        # scan ONLY the fragments being rewritten (deletion-aware), restage
+        # them at the target size — executors do all data movement. Coalesce
+        # (narrow, no shuffle) down to the target file count so many small
+        # inputs actually merge instead of re-emerging one-per-task.
+        import math
+
+        n_live = sum(f.num_rows for f in rewrite)
+        n_files = max(1, math.ceil(n_live / target_rows_per_file))
+        df = sub.to_df(spark, with_blobs=bool(self.blob_columns)).coalesce(n_files)
+        staged = self._stage_dataframe(df, self.path, target_rows_per_file)
+        kept_files = [(f.path, f.physical_rows) for f in keep]
+        return self.commit_overwrite(kept_files + staged)
+
     def commit_overwrite(
         self, fragment_files: list[tuple[str, int]]
     ) -> "LanceDataset":

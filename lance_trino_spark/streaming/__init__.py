@@ -17,6 +17,7 @@ sink as in ``sources/lance_datasource.py:ds03``).
 """
 
 from .events import (
+    attribution_join_stream,
     dedup_documents_stream,
     hourly_stats_stream,
     run_to_memory,
@@ -26,6 +27,7 @@ from .events import (
 )
 
 __all__ = [
+    "attribution_join_stream",
     "dedup_documents_stream",
     "hourly_stats_stream",
     "run_to_memory",

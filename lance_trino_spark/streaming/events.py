@@ -260,6 +260,51 @@ def stateful_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join (view→purchase attribution).
+# ---------------------------------------------------------------------------
+def attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase is attributed to every view by
+    the same user in the preceding 30 minutes.
+
+    Canonical Spark stream-stream join: BOTH sides watermarked and the join
+    condition contains the event-time interval, so the state store can evict
+    rows once the watermark passes `v_ts + 30 min` — bounded state at any
+    scale. The pair stream is appended to the sink; the per-user rollup runs
+    batch-side on the (small) result.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    purchases = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    pairs = (
+        views.withWatermark("v_ts", "1 hour")
+        .join(
+            purchases.withWatermark("p_ts", "1 hour"),
+            F.expr(
+                "v_user = p_user AND p_ts > v_ts "
+                "AND p_ts <= v_ts + INTERVAL 30 MINUTES"
+            ),
+            "inner",
+        )
+    )
+    out = run_to_memory(pairs, "append")
+    return (
+        out.groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_attributed"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming deduplication (training-pipeline op: exact dedup on a stream).
 # ---------------------------------------------------------------------------
 def dedup_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

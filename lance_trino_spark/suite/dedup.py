@@ -277,3 +277,74 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return connected_components(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d06 — training-data pipeline composition: near-dup clusters × quality
+# scoring → keep the highest-quality document per cluster (tie-break lowest
+# doc_id). The canonical "filter + dedup keeping the best copy" step of an
+# LLM data pipeline, built entirely from the operators above.
+# ---------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    from .text import quality_ctes
+
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION ALL
+              SELECT id_b, id_a FROM verified),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(a, b) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    cc AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+    {quality_ctes("corpus")},
+    member AS (SELECT cc.cluster, cc.doc_id, q.quality_score
+               FROM cc JOIN q ON q.doc_id = cc.doc_id),
+    ranked AS (SELECT cluster, doc_id, quality_score,
+                      ROW_NUMBER() OVER (PARTITION BY cluster
+                          ORDER BY quality_score DESC, doc_id) AS rn
+               FROM member)
+    SELECT cluster,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN quality_score END) AS kept_quality
+    FROM ranked
+    GROUP BY cluster
+    ORDER BY cluster
+    """
+
+
+@register(
+    "d06_quality_keep_best",
+    oracle=_keep_best_oracle(),
+    doc="pipeline: near-dup clusters keep the highest-quality copy per cluster",
+    tags=("dedup", "quality", "pipeline"),
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import quality_score
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_lsh_dedup(corpus, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    q = quality_score(corpus.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    member = cc.join(q, "doc_id")
+    w = W.partitionBy("cluster").orderBy(F.col("quality_score").desc(), "doc_id")
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper"),
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("quality_score"))).alias(
+                "kept_quality"
+            ),
+        )
+        .orderBy("cluster")
+    )

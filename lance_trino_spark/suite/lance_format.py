@@ -388,3 +388,49 @@ def lf08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         "s_null",
     ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# lf10 — compaction: small + deletion-bearing fragments rewritten to
+# full-size ones, deletion vectors retired, values unchanged. The
+# small-file maintenance op of every log-structured format.
+# ---------------------------------------------------------------------------
+@register(
+    "lf10_compaction",
+    oracle="""
+    SELECT n_nationkey, n_name, s_cnt FROM (
+      SELECT n.n_nationkey, n.n_name, COUNT(s.s_suppkey) AS s_cnt
+      FROM nation n LEFT JOIN supplier s
+        ON s.s_nationkey = n.n_nationkey AND NOT (s.s_acctbal < 0)
+      GROUP BY n.n_nationkey, n.n_name) t
+    ORDER BY n_nationkey
+    """,
+    doc="format: compact small/DV fragments, values identical after rewrite",
+    tags=("format", "compaction"),
+)
+def lf10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp_path = _fresh_path(sf_dir, "lf10")
+    supp = load_table(spark, sf_dir, "supplier")
+    # deliberately tiny fragments + a delete → DV-bearing fragments
+    ds = LanceDataset.create(supp_path, supp, max_rows_per_file=50)
+    ds = dml.delete(ds, spark, "s_acctbal < 0")
+    before = len(ds.manifest.fragments)
+    ds = ds.compact(spark, target_rows_per_file=100_000)
+    after = len(ds.manifest.fragments)
+    if after > before or (before > 1 and after >= before):
+        raise AssertionError(
+            f"compaction did not reduce fragments: {before} -> {after}"
+        )
+    if any(f.deletion for f in ds.manifest.fragments):
+        raise AssertionError("compaction left deletion vectors behind")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            ds.to_df(spark),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("s_cnt"))
+        .orderBy("n_nationkey")
+    )

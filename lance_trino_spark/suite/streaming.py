@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
+    attribution_join_stream,
     dedup_documents_stream,
     hourly_stats_stream,
     session_stats_stream,
@@ -87,3 +88,23 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_documents_stream(spark, sf_dir)
+
+
+@register(
+    "st05_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+    doc="stream-stream interval join (purchase attributed to 30-min view window)",
+    tags=("streaming", "join", "state"),
+)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution_join_stream(spark, sf_dir)

@@ -113,10 +113,12 @@ def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # t03 — per-document quality scores (pure-integer-derived doubles).
 # ---------------------------------------------------------------------------
-def _quality_oracle() -> str:
+def quality_ctes(source: str = "documents") -> str:
+    """CTE chain ending in `q(doc_id, n_tokens, n_stopwords, quality_score)`
+    over any `(doc_id, text)` source — shared by t03 and the d06 keep-best
+    dedup pipeline (same formula as operators/text.py:quality_score)."""
     stop = _in_list(STOPWORDS)
-    return f"""
-    WITH feat AS (
+    return f"""feat AS (
       SELECT doc_id,
              length(text) AS n_chars_m,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -124,14 +126,22 @@ def _quality_oracle() -> str:
                              t -> t IN ({stop}))) AS n_stopwords,
              length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
-      FROM documents)
-    SELECT doc_id, n_tokens, n_stopwords,
-           0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE)
-         + 0.3::DOUBLE * least(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0::DOUBLE)
-         + 0.3::DOUBLE * (CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1))
-         - 0.1::DOUBLE * least(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) * 10, 1.0::DOUBLE)
-           AS quality_score
-    FROM feat
+      FROM {source}),
+    q AS (
+      SELECT doc_id, n_tokens, n_stopwords,
+             0.3::DOUBLE * least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE)
+           + 0.3::DOUBLE * least(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0::DOUBLE)
+           + 0.3::DOUBLE * (CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1))
+           - 0.1::DOUBLE * least(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) * 10, 1.0::DOUBLE)
+             AS quality_score
+      FROM feat)"""
+
+
+def _quality_oracle() -> str:
+    return f"""
+    WITH {quality_ctes("documents")}
+    SELECT doc_id, n_tokens, n_stopwords, quality_score
+    FROM q
     ORDER BY doc_id
     """
 

@@ -177,6 +177,67 @@ def test_empty_dataset_and_schema(spark, tmp_ds_path):
         LanceDataset.create_empty(tmp_ds_path, schema)
 
 
+def test_compaction_rewrites_small_and_dv_fragments(spark, tmp_ds_path):
+    ds = _mk(spark, tmp_ds_path, n=100, rows_per_file=10)  # 10 tiny fragments
+    ds = dml.delete(ds, spark, "x % 10 = 3")  # every fragment gets a DV
+    assert any(f.deletion for f in ds.manifest.fragments)
+    before_rows = sorted(r["x"] for r in ds.to_df(spark).collect())
+
+    ds2 = ds.compact(spark, target_rows_per_file=1000)
+    assert len(ds2.manifest.fragments) == 1
+    assert all(f.deletion is None for f in ds2.manifest.fragments)
+    assert ds2.manifest.operation == "overwrite"
+    assert sorted(r["x"] for r in ds2.to_df(spark).collect()) == before_rows
+    # idempotent: nothing left to compact
+    assert ds2.compact(spark, target_rows_per_file=1000) is ds2
+    # old version still readable (time travel across compaction)
+    assert LanceDataset.open(tmp_ds_path, version=ds.version).count_rows() == 90
+
+
+def test_compaction_keeps_full_fragments_in_place(spark, tmp_ds_path):
+    # two writer tasks × 50 rows at max 40/file → fragments 40,10,40,10
+    df = (
+        spark.range(100)
+        .repartition(2)
+        .select(F.col("id").alias("x"), (F.col("id") % 7).alias("y"))
+    )
+    ds = LanceDataset.create(tmp_ds_path, df, max_rows_per_file=40)
+    smalls = [f for f in ds.manifest.fragments if f.num_rows < 40]
+    assert len(smalls) == 2
+    ds2 = ds.compact(spark, target_rows_per_file=40, small_file_threshold=0.9)
+    # full fragments carried over by path; the two smalls merged into one
+    old_paths = {f.path for f in ds.manifest.fragments}
+    new_paths = {f.path for f in ds2.manifest.fragments}
+    assert len(old_paths & new_paths) == 2
+    assert len(ds2.manifest.fragments) == 3
+    assert ds2.count_rows() == 100
+    # a single leftover clean small fragment is not churned further
+    assert ds2.compact(spark, target_rows_per_file=40, small_file_threshold=0.9) is ds2
+
+
+def test_vacuum_removes_unreferenced_files_and_versions(spark, tmp_ds_path):
+    import os
+
+    ds = _mk(spark, tmp_ds_path, n=100, rows_per_file=10)
+    ds = dml.delete(ds, spark, "x % 10 = 3")
+    ds = ds.compact(spark, target_rows_per_file=1000)  # v3; old files orphaned
+    n_data_before = len(os.listdir(os.path.join(tmp_ds_path, "data")))
+
+    stats = LanceDataset.vacuum(tmp_ds_path, keep_versions=1)
+    assert stats["removed_versions"] == 2
+    assert stats["removed_files"] > 0
+    # only the compacted fragment's file remains; table reads unchanged
+    n_data_after = len(os.listdir(os.path.join(tmp_ds_path, "data")))
+    assert n_data_after < n_data_before
+    cur = LanceDataset.open(tmp_ds_path)
+    assert cur.count_rows() == 90
+    assert cur.to_df(spark).count() == 90
+    # vacuumed versions are gone
+    assert cur.versions() == [cur.version]
+    with pytest.raises(Exception):
+        LanceDataset.open(tmp_ds_path, version=1)
+
+
 def test_merge_multi_first_match_wins(spark, tmp_ds_path):
     ds = _mk(spark, tmp_ds_path, n=10)  # rows x=0..9, y=x%7
     src = spark.createDataFrame(
