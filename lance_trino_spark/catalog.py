@@ -20,11 +20,15 @@ DDL surface, docs/src/operations/ddl/*):
     SHOW SCHEMAS
     SHOW TABLES [IN <schema>]
     CREATE [OR REPLACE] TABLE <schema>.<table> AS <select>
+    CREATE TABLE <schema>.<table> (<col> <type>[, ...])
     DROP TABLE [IF EXISTS] <schema>.<table>
     DESCRIBE <schema>.<table>
     INSERT INTO <schema>.<table> <select>
     DELETE FROM <schema>.<table> WHERE <predicate>
     UPDATE <schema>.<table> SET col = expr[, ...] [WHERE <predicate>]
+    MERGE INTO <schema>.<table> USING <source> ON <col> = <col>[ AND ...]
+      WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e[, ...] | DELETE
+      [WHEN NOT MATCHED THEN INSERT]        -- source columns as src.<name>
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
 
@@ -223,6 +227,83 @@ class LanceCatalog:
         out = dml.update(ds, self.spark, sets, m.group("pred"))
         return self._status(f"updated v{out.version}")
 
+    def _h_merge(self, m) -> DataFrame:
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        src_text = m.group("src").strip()
+        if src_text.startswith("("):
+            source = self._select(src_text[1:-1])
+        elif re.fullmatch(rf"{_IDENT}\.{_IDENT}", src_text):
+            ns2, tbl2 = src_text.split(".")
+            source = self.load(ns2, tbl2).to_df(self.spark)
+        else:
+            source = self.spark.table(src_text)
+
+        # ON t.k = s.k [AND ...] — keys must be same-named on both sides
+        keys = []
+        for lhs, rhs in re.findall(
+            r"(?:t\.)?(\w+)\s*=\s*(?:s|src)\.(\w+)", m.group("on"), re.IGNORECASE
+        ):
+            if lhs.lower() != rhs.lower():
+                raise CatalogError(
+                    f"MERGE ON requires same-named key columns, got {lhs}={rhs}"
+                )
+            keys.append(lhs)
+        if not keys:
+            raise CatalogError(f"could not parse MERGE ON clause: {m.group('on')!r}")
+
+        def rewrite(expr: str) -> str:
+            # source refs s.c / src.c → _src_c; target refs t.c → c
+            e = re.sub(r"\b(?:s|src)\.(\w+)", r"_src_\1", expr, flags=re.IGNORECASE)
+            return re.sub(r"\bt\.(\w+)", r"\1", e, flags=re.IGNORECASE)
+
+        matched_clauses: list[tuple[str | None, dict | None]] = []
+        not_matched_insert = False
+        for w in re.finditer(
+            r"WHEN\s+(?P<neg>NOT\s+)?MATCHED"
+            r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+            r"(?P<act>UPDATE\s+SET\s+.+?|DELETE|INSERT.*?)"
+            r"(?=\s+WHEN\s+|$)",
+            m.group("whens"),
+            re.IGNORECASE | re.DOTALL,
+        ):
+            cond = rewrite(w.group("cond")) if w.group("cond") else None
+            act = w.group("act").strip()
+            if w.group("neg"):
+                if not act.upper().startswith("INSERT"):
+                    raise CatalogError("WHEN NOT MATCHED supports only INSERT")
+                not_matched_insert = True
+            elif act.upper() == "DELETE":
+                matched_clauses.append((cond, None))
+            elif act.upper().startswith("UPDATE"):
+                sets = {}
+                for part in _split_top_level(act[len("UPDATE SET"):]):
+                    name, expr = part.split("=", 1)
+                    sets[rewrite(name.strip())] = rewrite(expr.strip())
+                matched_clauses.append((cond, sets))
+            else:
+                raise CatalogError(f"unsupported MERGE action: {act!r}")
+
+        out = dml.merge_multi(
+            ds,
+            self.spark,
+            source,
+            on=keys,
+            matched_clauses=matched_clauses,
+            not_matched_insert=not_matched_insert,
+        )
+        return self._status(f"merged into {m.group('ns')}.{m.group('tbl')} v{out.version}")
+
+    def _h_create_table_columns(self, m) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        ns, tbl = m.group("ns"), m.group("tbl")
+        if not os.path.isdir(os.path.join(self.root, _ident(ns, "schema"))):
+            raise CatalogError(f"schema {ns!r} does not exist")
+        ddl = ", ".join(_split_top_level(m.group("cols")))
+        schema = StructType.fromDDL(ddl)
+        ds = LanceDataset.create_empty(self.table_path(ns, tbl), schema)
+        return self._status(f"created table {ns}.{tbl} v{ds.version}")
+
     def _h_count_star(self, m) -> DataFrame:
         # A8: O(1) from the manifest, zero fragments scanned. Guard: the
         # route pattern only matches bare, unfiltered, ungrouped COUNT(*).
@@ -248,6 +329,18 @@ class LanceCatalog:
             rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
             rf"\s+AS\s+(?P<select>.+)$",
             _h_create_table,
+        ),
+        (
+            rf"CREATE\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*"
+            rf"\((?P<cols>.+)\)$",
+            _h_create_table_columns,
+        ),
+        (
+            rf"MERGE\s+INTO\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"(?:\s+(?:AS\s+)?t)?\s+USING\s+(?P<src>\(.*?\)|\S+)"
+            rf"(?:\s+(?:AS\s+)?(?:s|src))?\s+ON\s+(?P<on>.+?)"
+            rf"\s+(?P<whens>WHEN\s+.+)$",
+            _h_merge,
         ),
         (
             rf"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?"

@@ -130,3 +130,45 @@ def cat03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(before, after)], "before_delete long, after_delete long"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat04 — SQL MERGE INTO through the router: conditional DELETE + UPDATE
+# clauses (the reference's merge.md "Conditional update or delete" example,
+# expressed against the catalog).
+# ---------------------------------------------------------------------------
+@register(
+    "cat04_sql_merge",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0
+                THEN c_acctbal + (c_custkey % 7) ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE NOT (c_custkey % 10 = 0)
+    ORDER BY c_custkey
+    """,
+    doc="catalog: SQL MERGE INTO with conditional DELETE/UPDATE clauses",
+    tags=("catalog", "merge", "dml"),
+)
+def cat04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cat = _fresh_catalog(spark, sf_dir, "cat04")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cust.createOrReplaceTempView("_cat04_cust")
+    cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(-1.0))
+        .otherwise((F.col("c_custkey") % 7).cast("double"))
+        .alias("delta"),
+    ).createOrReplaceTempView("_cat04_src")
+    cat.sql("CREATE SCHEMA crm")
+    cat.sql("CREATE TABLE crm.cust AS SELECT * FROM _cat04_cust")
+    cat.sql(
+        "MERGE INTO crm.cust AS t USING _cat04_src AS s ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND s.delta < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta"
+    )
+    return cat.sql(
+        "SELECT c_custkey, c_acctbal FROM crm.cust ORDER BY c_custkey"
+    )

@@ -121,6 +121,36 @@ def test_stats_feed_broadcast_join_planning(cat, spark):
     assert q.count() == 5
 
 
+def test_sql_merge_into(cat, spark):
+    _src(spark, 10).createOrReplaceTempView("_cat_m_t")
+    spark.createDataFrame(
+        [(0, 100), (1, -1), (2, 100), (50, 7)], ["k", "g"]
+    ).createOrReplaceTempView("_cat_m_s")
+    cat.sql("CREATE SCHEMA db")
+    cat.sql("CREATE TABLE db.t AS SELECT * FROM _cat_m_t")
+    cat.sql(
+        "MERGE INTO db.t AS t USING _cat_m_s AS s ON t.k = s.k "
+        "WHEN MATCHED AND s.g < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET g = s.g "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    got = {r["k"]: r["g"] for r in cat.sql("SELECT k, g FROM db.t").collect()}
+    assert 1 not in got            # deleted (s.g < 0)
+    assert got[0] == 100 and got[2] == 100  # updated
+    assert got[50] == 7            # inserted
+    assert got[3] == 3 % 5         # untouched
+
+
+def test_create_table_with_columns_then_insert(cat, spark):
+    cat.sql("CREATE SCHEMA db")
+    cat.sql("CREATE TABLE db.e (a BIGINT, b STRING)")
+    desc = {r["col_name"]: r["data_type"] for r in cat.sql("DESCRIBE db.e").collect()}
+    assert desc == {"a": "bigint", "b": "string"}
+    assert cat.sql("SELECT COUNT(*) AS n FROM db.e").collect()[0]["n"] == 0
+    cat.sql("INSERT INTO db.e VALUES (1, 'x'), (2, 'y')")
+    assert cat.sql("SELECT COUNT(*) AS n FROM db.e").collect()[0]["n"] == 2
+
+
 def test_count_star_reads_zero_fragments(cat, spark):
     """The A8 proof: answer COUNT(*) with every data file deleted from disk —
     only the manifest can have produced the number."""
