@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..functions import MINHASH_PRIME, h32, minhash_perms, normalize_text, tokens
 
@@ -205,17 +206,58 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Transitive near-dup clusters from a pair list: min-label propagation
-    until fixpoint, returning (doc_id, cluster) where cluster is the minimum
-    doc id of the component — the canonical representative.
+    """Transitive near-dup clusters from a pair list: (doc_id, cluster) where
+    cluster is the minimum doc id of the component — the canonical
+    representative.
 
-    Scale shape: one shuffle per iteration, iterations bounded by component
-    diameter (near-dup clusters are shallow stars/chains, so typically 2-4);
-    the same algorithm GraphX/GraphFrames use for CC. Each iteration's label
-    frame is persisted and the previous one released, so peak storage is two
-    label sets, each one row per distinct doc in the pair list.
+    Two-level strategy, picked by edge count:
+
+    - **≤ driver_edge_limit edges**: collect the pair list and run union-find
+      with path compression on the driver. The verified near-dup pair graph
+      is orders of magnitude smaller than the corpus (it holds only documents
+      with at least one duplicate partner), so even a 100 TB corpus usually
+      lands here; a single collect of (id, id) pairs replaces dozens of
+      shuffle stages.
+    - **above the limit**: distributed min-label propagation until fixpoint —
+      one shuffle per iteration, iterations bounded by component diameter
+      (near-dup clusters are shallow stars/chains, so typically 2-4); the
+      same algorithm GraphX/GraphFrames use for CC. Each iteration's label
+      frame is persisted and the previous one released, so peak storage is
+      two label sets, each one row per distinct doc in the pair list.
     """
+    pairs = pairs.persist()
+    n_edges = pairs.count()
+    if n_edges <= driver_edge_limit:
+        id_type = pairs.schema[id_a].dataType
+        parent: dict = {}
+        cmin: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs.select(id_a, id_b).toLocalIterator():
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+                    cmin[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+                cmin[ra] = min(cmin[ra], cmin[rb])
+        rows = [(v, cmin[find(v)]) for v in parent]
+        pairs.unpersist()
+        spark = pairs.sparkSession
+        schema = StructType(
+            [StructField("doc_id", id_type), StructField("cluster", id_type)]
+        )
+        return spark.createDataFrame(rows, schema)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -252,6 +294,7 @@ def connected_components(
     out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
     out.count()  # materialize the cached fixpoint before releasing the edges
     edges.unpersist()
+    pairs.unpersist()
     return out
 
 

@@ -75,6 +75,12 @@ def test_connected_components_clusters(spark):
     )
     out = {r["doc_id"]: r["cluster"] for r in connected_components(pairs).collect()}
     assert out == {2: 2, 3: 2, 4: 2, 9: 2, 12: 2, 5: 5, 6: 5}
+    # force the distributed label-propagation path — must agree exactly
+    big = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(pairs, driver_edge_limit=0).collect()
+    }
+    assert big == out
 
 
 def test_ivf_trained_topk_recall(spark):
