@@ -18,6 +18,12 @@ on `pyspark.sql.datasource`:
   reference declines LIKE (`SubstraitExpressionBuilder.java:1295-1299`).
   Pushed filters are evaluated by pyarrow's parquet scan, so they prune row
   groups/pages *below* Spark.
+- **Projection pushdown + nested dereference (A5)** — the Python DataSource
+  API has no pruneColumns hook, so projection arrives as a read option:
+  `.option("columns", "a,info.name")`. Dotted paths dereference struct
+  fields (`LanceMetadata.java:463-551` applyProjection,
+  `LanceFieldPath.java:21-68`); executors then read only the referenced
+  parquet leaf columns.
 - **Snapshot isolation / time travel (A10)** — the dataset version is pinned
   when the reader is constructed (`LanceTableHandle.java:48` "captured at
   planning time"); `versionAsOf` / `timestampAsOf` read options select it.
@@ -184,6 +190,109 @@ def _to_arrow_expr(f: Filter):
     raise AssertionError(f"unpushable filter leaked through: {f!r}")
 
 
+# ---------------------------------------------------------------------------
+# Projection pushdown + nested dereference (A5).
+#
+# The Python DataSource API has no pruneColumns hook, so projection arrives as
+# a read option: `.option("columns", "a,info.name,info.deep.u")`. Dotted paths
+# dereference struct fields, mirroring the reference's applyProjection
+# (`LanceMetadata.java:463-551`, path handling `LanceFieldPath.java:21-68`;
+# the reference rejects column names containing dots, `create-table.md`
+# "Limitations", so a dot is always a dereference). The pruned schema keeps
+# the table's declared field order, and the executor-side scan reads only the
+# referenced parquet leaf columns.
+# ---------------------------------------------------------------------------
+
+
+def _parse_columns_option(spec: str) -> list[list[str]]:
+    paths = [[seg.strip() for seg in p.strip().split(".")] for p in spec.split(",")]
+    if any(not seg for p in paths for seg in p):
+        raise ValueError(f"malformed columns option: {spec!r}")
+    return paths
+
+
+def _paths_to_tree(paths: list[list[str]]) -> dict:
+    """{name: None | subtree}; None = whole field (wins over any sub-path)."""
+    tree: dict = {}
+    for path in paths:
+        node, subsumed = tree, False
+        for seg in path[:-1]:
+            if node.get(seg, {}) is None:
+                subsumed = True  # whole field already selected
+                break
+            node = node.setdefault(seg, {})
+        if not subsumed:
+            node[path[-1]] = None
+    return tree
+
+
+def _prune_schema(full: StructType, tree: dict, prefix: str = "") -> StructType:
+    from pyspark.sql.types import StructField
+
+    names = {f.name for f in full.fields}
+    unknown = set(tree) - names
+    if unknown:
+        raise ValueError(
+            f"columns option references unknown field(s) "
+            f"{sorted(prefix + u for u in unknown)}; available: {sorted(names)}"
+        )
+    out = []
+    for f in full.fields:  # declaration order preserved, like the reference
+        if f.name not in tree:
+            continue
+        sub = tree[f.name]
+        if sub is None:
+            out.append(f)
+        elif isinstance(f.dataType, StructType):
+            pruned = _prune_schema(f.dataType, sub, prefix + f.name + ".")
+            out.append(StructField(f.name, pruned, f.nullable, f.metadata))
+        else:
+            raise ValueError(
+                f"columns option dereferences non-struct field {prefix}{f.name!r}"
+            )
+    return StructType(out)
+
+
+def _leaf_prefixes(schema: StructType, prefix: str = "") -> list[str]:
+    """Dotted parquet column prefixes for a (possibly pruned) schema — one
+    entry per struct leaf-or-non-struct field; pyarrow selects the subtree."""
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, StructType):
+            out.extend(_leaf_prefixes(f.dataType, prefix + f.name + "."))
+        else:
+            out.append(prefix + f.name)
+    return out
+
+
+def _reorder_struct(arr, dtype):
+    """Recursively reorder struct children to the schema's declared order
+    (pyarrow's pruned parquet read returns struct fields in file-leaf order)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(dtype, StructType):
+        return arr
+    children = [_reorder_struct(arr.field(f.name), f.dataType) for f in dtype.fields]
+    return pa.StructArray.from_arrays(
+        children, [f.name for f in dtype.fields], mask=pc.is_null(arr)
+    )
+
+
+def _conform_table(table, schema: StructType):
+    """Reorder a pruned-read table's columns (and nested struct fields) to the
+    schema — types are untouched; only ordering differs after a leaf read."""
+    import pyarrow as pa
+
+    arrays, names = [], []
+    for f in schema.fields:
+        col = table.column(f.name)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arrays.append(_reorder_struct(arr, f.dataType))
+        names.append(f.name)
+    return pa.Table.from_arrays(arrays, names)
+
+
 class LanceScanReaderNoPushdown(DataSourceReader):
     """Fallback used when `spark.sql.python.filterPushdown.enabled` is off:
     Spark refuses any reader that *implements* pushFilters in that case, so
@@ -205,6 +314,16 @@ class LanceScanReaderNoPushdown(DataSourceReader):
         limit = options.get("limit")
         self._limit = int(limit) if limit is not None else None
         self._pushed: list[Filter] = []
+        # A5: a struct field narrower than the manifest's means a nested
+        # dereference was pushed down — switch to the leaf-pruned read path.
+        manifest_types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(self._manifest.schema_json).fields
+        }
+        self._nested_pruned = any(
+            f.name in manifest_types and f.dataType != manifest_types[f.name]
+            for f in schema.fields
+        )
 
     def partitions(self) -> Sequence[LanceFragmentPartition]:
         frags = [f for f in self._manifest.fragments if f.num_rows > 0]
@@ -246,43 +365,55 @@ class LanceScanReaderNoPushdown(DataSourceReader):
             e = _to_arrow_expr(f)
             expr = e if expr is None else (expr & e)
 
-        columns = [f.name for f in self._schema.fields]
-        if partition.deletion_path is None:
-            # No deletion vector: let pyarrow evaluate the filter inside the
-            # parquet scan (row-group/page pruning).
+        if partition.deletion_path is None and not self._nested_pruned:
+            # No deletion vector, flat projection: let pyarrow evaluate the
+            # filter inside the parquet scan (row-group/page pruning).
+            columns = [f.name for f in self._schema.fields]
             ds = pads.dataset(partition.data_path, format="parquet")
             table = ds.to_table(columns=columns, filter=expr)
             yield from table.to_batches(max_chunksize=self._batch_size)
             return
-        # Deletion vector: row indexes are positions in the *physical* file,
-        # so stream the file batch-by-batch tracking the physical offset,
-        # mask deleted rows, then apply the pushed filter — column pruning
-        # and pushed predicates stay effective, and memory is bounded by one
-        # batch instead of the whole fragment.
-        deleted = pq.read_table(
-            partition.deletion_path, columns=["row_index"]
-        ).column("row_index")
-        del_idx = np.sort(deleted.to_numpy(zero_copy_only=False).astype(np.int64))
+        # Streaming path — used when a deletion vector applies (row indexes
+        # are positions in the *physical* file, so stream batch-by-batch
+        # tracking the physical offset and mask deleted rows) and/or when a
+        # nested dereference was pushed down (read only the referenced
+        # parquet leaf columns). Pushed filters are applied per batch, so
+        # memory stays bounded by one batch instead of the whole fragment.
+        columns = (
+            _leaf_prefixes(self._schema)
+            if self._nested_pruned
+            else [f.name for f in self._schema.fields]
+        )
+        del_idx = None
+        if partition.deletion_path is not None:
+            deleted = pq.read_table(
+                partition.deletion_path, columns=["row_index"]
+            ).column("row_index")
+            del_idx = np.sort(deleted.to_numpy(zero_copy_only=False).astype(np.int64))
         pf = pq.ParquetFile(partition.data_path)
         offset = 0
         for batch in pf.iter_batches(batch_size=self._batch_size, columns=columns):
             n = batch.num_rows
-            lo = np.searchsorted(del_idx, offset)
-            hi = np.searchsorted(del_idx, offset + n)
-            if hi > lo:
-                mask = np.ones(n, dtype=bool)
-                mask[del_idx[lo:hi] - offset] = False
-                batch = batch.filter(pa.array(mask))
+            if del_idx is not None:
+                lo = np.searchsorted(del_idx, offset)
+                hi = np.searchsorted(del_idx, offset + n)
+                if hi > lo:
+                    mask = np.ones(n, dtype=bool)
+                    mask[del_idx[lo:hi] - offset] = False
+                    batch = batch.filter(pa.array(mask))
             offset += n
             if batch.num_rows == 0:
                 continue
+            table = pa.Table.from_batches([batch])
             if expr is not None:
-                filtered = pa.Table.from_batches([batch]).filter(expr)
-                if filtered.num_rows == 0:
+                table = table.filter(expr)
+                if table.num_rows == 0:
                     continue
-                yield from filtered.to_batches(max_chunksize=self._batch_size)
-            else:
-                yield batch
+            if self._nested_pruned:
+                # leaf reads return struct fields in file order — conform to
+                # the pruned schema's declared order
+                table = _conform_table(table, self._schema)
+            yield from table.to_batches(max_chunksize=self._batch_size)
 
 
 class LanceScanReader(LanceScanReaderNoPushdown):
@@ -509,7 +640,13 @@ class LanceSparkDataSource(DataSource):
             v = version_at_timestamp(path, int(ts))
         else:
             v = latest_version(path)
-        return StructType.fromJson(read_manifest(path, v).schema_json)
+        full = StructType.fromJson(read_manifest(path, v).schema_json)
+        cols = self.options.get("columns")
+        if cols is None:
+            return full
+        # Projection pushdown with nested dereference (A5): the pruned schema
+        # is what Spark sees AND what executors read from parquet.
+        return _prune_schema(full, _paths_to_tree(_parse_columns_option(cols)))
 
     def reader(self, schema: StructType) -> LanceScanReaderNoPushdown:
         from pyspark.sql import SparkSession

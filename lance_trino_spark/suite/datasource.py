@@ -189,3 +189,51 @@ def ds04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_limited, n_total)], "n_limited long, n_total long"
     )
+
+
+# ---------------------------------------------------------------------------
+# ds05 — projection pushdown with nested dereference (A5): a struct column is
+# pruned to two referenced subfields via the `columns` read option
+# (`LanceMetadata.java:463-551` applyProjection, `LanceFieldPath.java:21-68`);
+# the scan reads only those parquet leaves. Values must match the oracle
+# computed on the original flat table.
+# ---------------------------------------------------------------------------
+@register(
+    "ds05_nested_projection",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS name_chars
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="connector: columns option prunes nested struct dereferences into the scan",
+    tags=("connector", "projection"),
+)
+def ds05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds05")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.struct(
+                F.col("c_acctbal").alias("bal"), F.col("c_nationkey").alias("nation")
+            ).alias("contact"),
+        ).alias("info"),
+    )
+    LanceDataset.create(path, cust, max_rows_per_file=25_000)
+    pruned = (
+        spark.read.format("lance")
+        .option("columns", "info.segment,info.name")
+        .load(path)
+    )
+    return (
+        pruned.groupBy(F.col("info.segment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("info.name")).alias("name_chars"),
+        )
+        .orderBy("segment")
+    )

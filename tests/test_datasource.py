@@ -264,3 +264,80 @@ def test_streaming_sink_epoch_replay_is_idempotent(spark):
     msg3 = w.write(iter([type("R", (tuple,), {})((i,)) for i in range(3)]))
     w.commit([msg3], batchId=1)
     assert spark.read.format("lance").load(out).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# projection pushdown + nested dereference (A5)
+# ---------------------------------------------------------------------------
+
+
+def _nested_df(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 9 == 0, F.lit(None)).otherwise(
+            F.struct(
+                F.concat(F.lit("n"), F.col("id")).alias("name"),
+                (F.col("id") % 5).alias("age"),
+                F.struct(
+                    (F.col("id") * 2).alias("u"), (F.col("id") * 3).alias("v")
+                ).alias("deep"),
+            )
+        ).alias("info"),
+    )
+
+
+def test_columns_option_nested_projection(spark):
+    path = _fresh("nestedproj")
+    LanceDataset.create(path, _nested_df(spark), max_rows_per_file=60)
+
+    got = (
+        spark.read.format("lance")
+        .option("columns", "k,info.name,info.deep.u")
+        .load(path)
+    )
+    # pruned schema, declaration order preserved (name before deep)
+    assert got.schema.simpleString() == (
+        "struct<k:bigint,info:struct<name:string,deep:struct<u:bigint>>>"
+    )
+    rows = {r["k"]: r["info"] for r in got.collect()}
+    assert len(rows) == 200
+    assert rows[9] is None  # null struct preserved
+    assert rows[4]["name"] == "n4" and rows[4]["deep"]["u"] == 8
+    assert "age" not in rows[4].asDict()
+
+
+def test_columns_option_whole_field_and_filter(spark):
+    path = _fresh("nestedproj2")
+    LanceDataset.create(path, _nested_df(spark), max_rows_per_file=60)
+    got = (
+        spark.read.format("lance")
+        .option("columns", "k,info.deep")
+        .load(path)
+        .filter(F.col("k") >= 100)  # pushed filter composes with pruning
+    )
+    rows = {r["k"]: r["info"] for r in got.collect()}
+    assert set(rows) == set(range(100, 200))
+    assert rows[101]["deep"]["v"] == 303
+
+
+def test_columns_option_with_deletion_vector(spark):
+    path = _fresh("nestedprojdv")
+    ds = LanceDataset.create(path, _nested_df(spark), max_rows_per_file=60)
+    dml.delete(ds, spark, "k % 2 = 0")
+    got = (
+        spark.read.format("lance")
+        .option("columns", "k,info.name")
+        .load(path)
+    )
+    rows = {r["k"]: r["info"] for r in got.collect()}
+    assert set(rows) == set(range(1, 200, 2))
+    assert rows[7]["name"] == "n7"
+
+
+def test_columns_option_errors(spark):
+    path = _fresh("nestedprojerr")
+    LanceDataset.create(path, _nested_df(spark, 10))
+    with pytest.raises(Exception, match="unknown field"):
+        spark.read.format("lance").option("columns", "k,nope").load(path).count()
+    with pytest.raises(Exception, match="non-struct"):
+        spark.read.format("lance").option("columns", "k.sub").load(path).count()
