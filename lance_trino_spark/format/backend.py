@@ -99,6 +99,16 @@ class DirectoryBackend:
         with open(p) as f:
             return json.load(f)
 
+    def manifest_fingerprint(self, root: str, version: int):
+        """Cheap identity for the manifest-handle cache (A18): one stat
+        instead of a full JSON read+parse. Changes iff the file is replaced
+        (DROP + re-CREATE at the same path reusing version numbers)."""
+        try:
+            st = os.stat(self._mpath(root, version))
+        except OSError:
+            return None
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
+
     def commit_manifest_json(self, root: str, version: int, payload: dict) -> None:
         vdir = self._vdir(root)
         os.makedirs(vdir, exist_ok=True)

@@ -27,6 +27,8 @@ Readers pin a version at open time (snapshot isolation — the reference pins
 from __future__ import annotations
 
 import os
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 # Exceptions live with the backend seam; re-exported here for compatibility.
@@ -186,8 +188,45 @@ def version_at_timestamp(root: str, ts_ms: int) -> int:
     return best
 
 
+# Dataset-handle cache (A18, `LanceRuntime.java:96-183` — the reference keys
+# its Guava cache by (user, path, version) with immutable-version snapshot
+# isolation; ours keys by (root, version, storage fingerprint)). The
+# fingerprint guards the one way an immutable key can go stale: DROP TABLE
+# followed by CREATE at the same path reuses version 1, and a stat is far
+# cheaper than re-reading and parsing a 10k-fragment manifest. Cached
+# manifests are shared objects — treat them as immutable (all writers build
+# fresh Manifest instances; nothing in the codebase mutates a read one).
+_MANIFEST_CACHE: "OrderedDict[tuple, Manifest]" = OrderedDict()
+_MANIFEST_CACHE_MAX = 128  # reference cache bound: ≤100 datasets
+_MANIFEST_CACHE_LOCK = threading.Lock()
+
+
+def manifest_cache_clear() -> None:
+    with _MANIFEST_CACHE_LOCK:
+        _MANIFEST_CACHE.clear()
+
+
 def read_manifest(root: str, version: int) -> Manifest:
-    return Manifest.from_json(get_backend().read_manifest_json(root, version))
+    backend = get_backend()
+    fingerprint = getattr(backend, "manifest_fingerprint", None)
+    fp = fingerprint(root, version) if fingerprint is not None else None
+    if fp is None:  # backend can't fingerprint → uncached (always correct)
+        return Manifest.from_json(backend.read_manifest_json(root, version))
+    key = (root, version, fp)
+    with _MANIFEST_CACHE_LOCK:
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None:
+            _MANIFEST_CACHE.move_to_end(key)
+            return hit
+    m = Manifest.from_json(backend.read_manifest_json(root, version))
+    with _MANIFEST_CACHE_LOCK:
+        # evict stale fingerprints for the same (root, version)
+        for k in [k for k in _MANIFEST_CACHE if k[:2] == key[:2] and k != key]:
+            del _MANIFEST_CACHE[k]
+        _MANIFEST_CACHE[key] = m
+        while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.popitem(last=False)
+    return m
 
 
 def commit_manifest(root: str, manifest: Manifest) -> None:

@@ -77,3 +77,26 @@ def test_backend_version_resolution(mem_backend):
     assert version_at_timestamp(root, 99999) == 3
     with pytest.raises(be.VersionNotFoundError):
         version_at_timestamp(root, 50)
+
+
+def test_manifest_cache_hit_and_recreate_invalidation(spark, tmp_path):
+    """A18: repeated opens of one (path, version) reuse the parsed manifest;
+    DROP + re-CREATE at the same path (reusing version 1) must NOT serve the
+    dropped table's manifest — the storage fingerprint changes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format import manifest as M
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    path = str(tmp_path / "cache.lance")
+    LanceDataset.create(path, spark.range(5).select(F.col("id").alias("x")))
+    m1 = M.read_manifest(path, 1)
+    assert M.read_manifest(path, 1) is m1  # cache hit: same parsed object
+
+    shutil.rmtree(path)
+    LanceDataset.create(path, spark.range(3).select(F.col("id").alias("y")))
+    m2 = M.read_manifest(path, 1)
+    assert m2 is not m1
+    assert m2.schema_json != m1.schema_json
