@@ -1,0 +1,56 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A data-mixing pipeline reweights sources ("20% of web, 80% of curated") with
+three hard requirements at 100 TB: (1) no shuffle — the decision must be a
+per-row predicate on a narrow scan; (2) reproducible — re-running the
+pipeline, or running it on a different engine, must pick the same rows;
+(3) exact-ish fractions per stratum without a global count. All three fall
+out of hashing a stable row id into a fixed bucket space: keep a row iff
+``h32(salt || id) % DENOM < fraction * DENOM``. Spark's built-in
+``df.sample``/``sampleBy`` is pseudo-random per task attempt and NOT stable
+across retries or engines, which is why it is not used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import h32
+
+DENOM = 10_000  # fraction resolution: 0.01 %
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    deterministic hash of (salt, id) — stable across runs, retries, and
+    engines (DuckDB replays the identical arithmetic).
+
+    Strata absent from ``fractions`` get ``default_fraction``.
+    """
+    pairs = []
+    for stratum, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} out of [0,1]: {frac}")
+        pairs.extend([F.lit(stratum), F.lit(int(round(frac * DENOM)))])
+    thresholds = F.create_map(*pairs)
+    threshold = F.coalesce(
+        thresholds[F.col(strata_col)],
+        F.lit(int(round(default_fraction * DENOM))),
+    )
+    bucket = h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % DENOM
+    return df.filter(bucket < threshold)
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuffle") -> DataFrame:
+    """Global reproducible shuffle: ORDER BY a salted hash of the row id.
+    Spark executes this as a range-partitioned sort — the standard scalable
+    global sort — and changing the salt gives an independent permutation."""
+    return df.orderBy(h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col)

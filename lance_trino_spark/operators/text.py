@@ -122,3 +122,46 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return df.withColumn("fingerprint", F.md5(normalize_text(text_col)))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at least
+    ``min_overlap`` distinct word k-gram shingles with a benchmark document.
+
+    Returns (id_col, bench_id_col, n_shared) for every contaminated
+    (document, benchmark) pair.
+
+    Scale shape — the decisive property: the benchmark side (eval prompts)
+    is thousands-to-millions of short rows, so it is BROADCAST; the 100 TB
+    corpus side is one narrow scan + shingle explode that joins map-side
+    with zero corpus shuffle. The only exchange is the per-(doc, bench)
+    overlap count over *matching* shingles — a tiny fraction of the corpus.
+    """
+    from ..functions import tokens, word_shingles
+
+    d = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col)), k))).alias(
+            "shingle"
+        ),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col)), k))).alias(
+            "shingle"
+        ),
+    )
+    return (
+        d.join(F.broadcast(b), "shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_overlap))
+    )

@@ -180,3 +180,99 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs.select("doc_id", "text")).select("doc_id", "fingerprint").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# t05 — benchmark decontamination: training docs sharing >= 2 distinct word
+# 3-gram shingles with a "benchmark" set (every 97th document stands in for
+# the eval prompts). Broadcast benchmark join — zero corpus shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "t05_contamination",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents) t0) t1
+    ),
+    bsh AS (
+      SELECT DISTINCT bench_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM (SELECT bench_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM (SELECT bench_id, string_split_regex(trim(text), '\\s+') AS toks
+                  FROM bench) t0) t1
+    )
+    SELECT d.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dsh d JOIN bsh b ON d.shingle = b.shingle
+    GROUP BY d.doc_id, b.bench_id
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_id, bench_id
+    """,
+    doc="decontamination: word-shingle overlap vs broadcast benchmark set",
+    tags=("text", "contamination", "pipeline"),
+)
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_check(docs, bench, k=3, min_overlap=2).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# t06 — deterministic stratified sampling (data mixing): per-source keep
+# fractions decided by a salted hash of the doc id — reproducible across
+# runs and engines, no shuffle, no global count.
+# ---------------------------------------------------------------------------
+@register(
+    "t06_stratified_sample",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT source, doc_id,
+             ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents) t
+    WHERE bucket < (CASE source
+                    WHEN 'src0' THEN 2000
+                    WHEN 'src1' THEN 8000
+                    WHEN 'src2' THEN 5000
+                    ELSE 1000 END)
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="data mixing: deterministic hash-bucket stratified sampling per source",
+    tags=("text", "sampling", "pipeline"),
+)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    kept = stratified_sample(
+        docs,
+        "source",
+        {"src0": 0.2, "src1": 0.8, "src2": 0.5},
+        id_col="doc_id",
+        salt="mix",
+        default_fraction=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

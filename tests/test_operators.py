@@ -167,3 +167,48 @@ def test_multimodal_roundtrip(spark):
         payload = synth_payload(d)
         n = out[d]["width"] * out[d]["height"] * out[d]["channels"]
         assert out[d]["mean_px"] == float(sum(payload[10:])) / n
+
+
+def test_contamination_check_flags_overlap(spark):
+    from lance_trino_spark.operators.text import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here none shared at all"),
+            (3, "quick brown fox appears again jumps over things"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], ["bench_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_check(docs, bench, k=3, min_overlap=2).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] >= 2  # shares "the quick brown" etc.
+    assert all(d != 2 for d, _ in got)  # unrelated doc never flagged
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from lance_trino_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    kept1 = stratified_sample(df, "src", {"a": 0.5, "b": 0.1}, "doc_id")
+    kept2 = stratified_sample(df, "src", {"a": 0.5, "b": 0.1}, "doc_id")
+    rows1 = sorted(r["doc_id"] for r in kept1.collect())
+    rows2 = sorted(r["doc_id"] for r in kept2.collect())
+    assert rows1 == rows2  # deterministic across runs
+    by_src = {r["src"]: r["n"] for r in kept1.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert abs(by_src["a"] / 2000 - 0.5) < 0.06
+    assert abs(by_src["b"] / 2000 - 0.1) < 0.06
+    # different salt → different (but still deterministic) subset
+    alt = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "src", {"a": 0.5, "b": 0.1}, "doc_id", salt="x").collect()
+    )
+    assert alt != rows1
