@@ -88,16 +88,28 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     """
     name = f"lts_sink_{os.getpid()}_{next(_SINK_IDS)}"
     ckpt = tempfile.mkdtemp(prefix="lts_ckpt_")
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     spark = sdf.sparkSession
+    # State-store partition count is fixed at checkpoint creation (streaming
+    # has no AQE coalescing), so size it to the stream's key cardinality
+    # instead of inheriting the batch-oriented session default: each state
+    # partition costs checkpoint files + store open/commit per microbatch,
+    # which dominates wall-clock when volumes are small. Production streams
+    # tune the same knob to their volume — this is the per-query override.
+    n_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # Materialize the (small) sink result, then release the per-run
     # resources: the checkpoint dir and the memory-sink registration would
     # otherwise accumulate for the life of a long driver.
