@@ -304,6 +304,29 @@ class LanceCatalog:
         ds = LanceDataset.create_empty(self.table_path(ns, tbl), schema)
         return self._status(f"created table {ns}.{tbl} v{ds.version}")
 
+    def _h_optimize(self, m) -> DataFrame:
+        """Maintenance: `OPTIMIZE <schema>.<table> [TARGET n ROWS]` — rewrite
+        small / deletion-bearing fragments (format-layer compaction)."""
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        before = len(ds.manifest.fragments)
+        kwargs = {}
+        if m.group("target"):
+            kwargs["target_rows_per_file"] = int(m.group("target"))
+        out = ds.compact(self.spark, **kwargs)
+        return self._status(
+            f"optimized {m.group('ns')}.{m.group('tbl')} "
+            f"{before}->{len(out.manifest.fragments)} fragments v{out.version}"
+        )
+
+    def _h_vacuum(self, m) -> DataFrame:
+        """Maintenance: `VACUUM <schema>.<table> [RETAIN n VERSIONS]` — drop
+        old manifests and unreferenced files (point of no return)."""
+        keep = int(m.group("keep")) if m.group("keep") else 1
+        stats = LanceDataset.vacuum(self.table_path(m.group("ns"), m.group("tbl")), keep)
+        return self._status(
+            f"vacuumed {m.group('ns')}.{m.group('tbl')}: {stats}"
+        )
+
     def _h_count_star(self, m) -> DataFrame:
         # A8: O(1) from the manifest, zero fragments scanned. Guard: the
         # route pattern only matches bare, unfiltered, ungrouped COUNT(*).
@@ -370,6 +393,16 @@ class LanceCatalog:
             rf"SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>{_IDENT}))?\s+"
             rf"FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
             _h_count_star,
+        ),
+        (
+            rf"OPTIMIZE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"(?:\s+TARGET\s+(?P<target>\d+)\s+ROWS)?$",
+            _h_optimize,
+        ),
+        (
+            rf"VACUUM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS?)?$",
+            _h_vacuum,
         ),
     ]
 

@@ -172,3 +172,38 @@ def cat04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.sql(
         "SELECT c_custkey, c_acctbal FROM crm.cust ORDER BY c_custkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat05 — SQL maintenance surface: OPTIMIZE (compaction) + VACUUM (history
+# GC) routed through the catalog; values must be unchanged afterwards.
+# ---------------------------------------------------------------------------
+@register(
+    "cat05_sql_maintenance",
+    oracle="""
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier
+    WHERE NOT (s_acctbal < 0)
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    doc="catalog: OPTIMIZE + VACUUM via SQL, values identical after rewrite",
+    tags=("catalog", "maintenance"),
+)
+def cat05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat05")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_cat05_supp")
+    cat.sql("CREATE SCHEMA ops")
+    cat.sql("CREATE TABLE ops.supp AS SELECT * FROM _cat05_supp")
+    cat.sql("DELETE FROM ops.supp WHERE s_acctbal < 0")
+    cat.sql("OPTIMIZE ops.supp")
+    ds = cat.load("ops", "supp")
+    if any(f.deletion for f in ds.manifest.fragments):
+        raise AssertionError("OPTIMIZE left deletion vectors behind")
+    cat.sql("VACUUM ops.supp RETAIN 1 VERSIONS")
+    if len(cat.load("ops", "supp").versions()) != 1:
+        raise AssertionError("VACUUM retained more than one version")
+    return cat.sql(
+        "SELECT s_nationkey, COUNT(*) AS n_suppliers FROM ops.supp "
+        "GROUP BY s_nationkey ORDER BY s_nationkey"
+    )

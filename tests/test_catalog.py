@@ -165,3 +165,26 @@ def test_count_star_reads_zero_fragments(cat, spark):
     # LanceMetadata.java:614-641) — it must scan, and now fails loudly
     with pytest.raises(Exception):
         cat.sql("SELECT COUNT(*) AS n FROM db.t WHERE k > 5").collect()
+
+
+def test_sql_optimize_and_vacuum(cat, spark):
+    cat.sql("CREATE SCHEMA db")
+    _src(spark, 500).createOrReplaceTempView("_cat_opt")
+    cat.sql("CREATE TABLE db.o AS SELECT * FROM _cat_opt")
+    # fragment the table: many small appends
+    for i in range(3):
+        cat.sql("INSERT INTO db.o SELECT k + 1000 * (1 + " + str(i) + "), g FROM _cat_opt")
+    cat.sql("DELETE FROM db.o WHERE k % 2 = 0")
+    before_frags = len(cat.load("db", "o").manifest.fragments)
+    cat.sql("OPTIMIZE db.o")
+    ds = cat.load("db", "o")
+    assert len(ds.manifest.fragments) < before_frags
+    assert not any(f.deletion for f in ds.manifest.fragments)
+    n = cat.sql("SELECT COUNT(*) AS n FROM db.o").collect()[0]["n"]
+    assert n == 4 * 500 / 2
+    n_versions = len(ds.versions())
+    assert n_versions > 1
+    cat.sql("VACUUM db.o RETAIN 1 VERSIONS")
+    ds2 = cat.load("db", "o")
+    assert len(ds2.versions()) == 1
+    assert cat.sql("SELECT COUNT(*) AS n FROM db.o").collect()[0]["n"] == n
