@@ -53,6 +53,10 @@ DEFAULT_QUERIES = [
     "d05_dedup_clusters",
     "st05_stream_stream_join",
     "lf10_compaction",
+    "ds05_nested_projection",
+    "t05_contamination",
+    "t06_stratified_sample",
+    "cat05_sql_maintenance",
 ]
 
 

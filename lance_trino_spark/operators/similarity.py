@@ -46,12 +46,23 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force top-k neighbors for each query vector.
 
-    `queries` is expected to be small (broadcast); the corpus never moves —
-    the join is a broadcast-nested-loop over corpus partitions, then a
-    per-query top-k window."""
+    `queries` MUST be small (broadcast); the corpus never moves — the join
+    is a broadcast-nested-loop over corpus partitions, then a per-query
+    top-k window. A query set beyond ``max_broadcast_queries`` would turn
+    this into an executor-OOM / quadratic-work plan, so it fails loudly —
+    use the trained-codebook `ivf_topk` (or `bucketed_topk`) for large
+    query sets; that is the scale path, not a bigger broadcast."""
+    n_queries = queries.limit(max_broadcast_queries + 1).count()
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"cosine_topk is the exact-broadcast baseline: query set exceeds "
+            f"max_broadcast_queries={max_broadcast_queries}; use ivf_topk/"
+            f"bucketed_topk for large query sets"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", l2_norm("qv"))

@@ -212,3 +212,16 @@ def test_stratified_sample_deterministic_and_bounded(spark):
         for r in stratified_sample(df, "src", {"a": 0.5, "b": 0.1}, "doc_id", salt="x").collect()
     )
     assert alt != rows1
+
+
+def test_cosine_topk_rejects_oversized_query_set(spark):
+    import pytest as _pytest
+
+    from lance_trino_spark.operators.similarity import cosine_topk
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="max_broadcast_queries"):
+        cosine_topk(df, df, k=3, max_broadcast_queries=10).collect()
