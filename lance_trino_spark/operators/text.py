@@ -165,3 +165,32 @@ def contamination_check(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_overlap))
     )
+
+
+# PII patterns shared verbatim with the DuckDB oracle (suite/text.py). The
+# subset of regex syntax used (character classes, bounded repeats, no
+# backrefs/lookaround) behaves identically in Java's regex and DuckDB's RE2.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII shapes from text before training: emails, phone
+    numbers, IPv4 addresses → fixed placeholder tokens, with a per-kind
+    match count per document.
+
+    Pure JVM-side `regexp_replace`/`regexp_count` — narrow scan, no shuffle,
+    linear at any corpus size. Counts are computed on the ORIGINAL text so
+    overlapping patterns report what each rule saw."""
+    out = df
+    for kind, pattern, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pattern))
+        )
+    redacted = F.col(text_col)
+    for _, pattern, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return out.withColumn("redacted", redacted)

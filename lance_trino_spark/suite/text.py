@@ -276,3 +276,96 @@ def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t07 — PII redaction: emails/phones/IPv4 → placeholder tokens. Synthetic
+# PII is injected deterministically into every 13th document (both dialects
+# build the identical augmented corpus), then counts and the md5 of the
+# redacted text must agree byte-for-byte.
+# ---------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    email, phone, ip = (p for _, p, _ in PII_PATTERNS)
+    tok = {k: t for k, _, t in PII_PATTERNS}
+    return (
+        """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.com via 415-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '"""
+        + email
+        + """')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '"""
+        + phone
+        + """')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '"""
+        + ip
+        + """')) AS INT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '"""
+        + email
+        + "', '"
+        + tok["email"]
+        + """', 'g'),
+               '"""
+        + phone
+        + "', '"
+        + tok["phone"]
+        + """', 'g'),
+               '"""
+        + ip
+        + "', '"
+        + tok["ipv4"]
+        + """', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """
+    )
+
+
+@register(
+    "t07_pii_redaction",
+    oracle=_pii_oracle(),
+    doc="PII scrub: email/phone/IPv4 redaction with per-kind counts",
+    tags=("text", "pii", "pipeline"),
+)
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.com via 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        redact_pii(docs)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ipv4",
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )

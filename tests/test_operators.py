@@ -225,3 +225,20 @@ def test_cosine_topk_rejects_oversized_query_set(spark):
     )
     with _pytest.raises(ValueError, match="max_broadcast_queries"):
         cosine_topk(df, df, k=3, max_broadcast_queries=10).collect()
+
+
+def test_redact_pii_counts_and_text(spark):
+    from lance_trino_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@x.org or alice@y.co, call 415-555-1234, host 10.0.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"
+    assert out[2]["redacted"] == "nothing sensitive here"
+    assert out[2]["n_email"] == 0
