@@ -194,3 +194,47 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pattern, token in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pattern, token)
     return out.withColumn("redacted", redacted)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Split documents into fixed-token-count overlapping chunks — the
+    standard context-window preparation step before tokenization/packing.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); the last
+    chunk is the first one whose window reaches the end of the document
+    (shorter tails are never emitted twice). A document shorter than
+    ``chunk_tokens`` yields exactly one chunk.
+
+    Implementation is pure JVM expressions: tokenize once, build the chunk
+    index list with `sequence`, `posexplode` it, and slice the token array —
+    a narrow explode whose output size is input_tokens/stride, with no
+    shuffle and no Python in the path.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    out = df.withColumn("_toks", tokens(text_col)).withColumn(
+        "_n_chunks",
+        F.greatest(
+            F.ceil(
+                (F.size("_toks") - F.lit(chunk_tokens)) / F.lit(float(stride))
+            ).cast("int")
+            + 1,
+            F.lit(1),
+        ),
+    )
+    exploded = out.select(
+        *df.columns,
+        F.posexplode(F.expr("sequence(1, _n_chunks)")).alias("chunk_id", "_one"),
+        F.col("_toks"),
+    )
+    chunk_toks = F.expr(f"slice(_toks, chunk_id * {stride} + 1, {chunk_tokens})")
+    return (
+        exploded.withColumn("chunk_text", F.concat_ws(" ", chunk_toks))
+        .withColumn("chunk_n_tokens", F.size(chunk_toks))
+        .drop("_toks", "_one")
+    )

@@ -369,3 +369,50 @@ def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t08 — context-window chunking: overlapping fixed-token windows (32 tokens,
+# stride 24), the standard pre-tokenization packing prep. Chunk boundaries,
+# counts, and chunk text md5s must agree exactly with the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "t08_document_chunking",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    n AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1, 1)
+               AS n_chunks
+      FROM tok),
+    ch AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_id
+      FROM n)
+    SELECT doc_id, chunk_id,
+           CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS INT)
+             AS chunk_n_tokens,
+           md5(array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' '))
+             AS chunk_md5
+    FROM ch
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="context-window chunking: overlapping token windows, exact boundaries",
+    tags=("text", "chunking", "pipeline"),
+)
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(docs, chunk_tokens=32, stride=24)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -242,3 +242,22 @@ def test_redact_pii_counts_and_text(spark):
     assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"
     assert out[2]["redacted"] == "nothing sensitive here"
     assert out[2]["n_email"] == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    from lance_trino_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # n=10, chunk=4, stride=3 -> ceil(6/3)+1 = 3 chunks: [0:4),[3:7),[6:10)
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r["chunk_n_tokens"] for r in c1] == [4, 4, 4]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert by_doc[2][0]["chunk_n_tokens"] == 2
