@@ -57,9 +57,14 @@ def word_shingles(tokens_col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles as space-joined strings, preserving order.
     DuckDB: list slice + array_to_string over generate_series."""
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty like
+    # DuckDB's generate_series — a document shorter than k tokens must yield
+    # zero shingles, not two bogus ones.
     return F.expr(
-        f"transform(sequence(1, greatest(size({_n(c)}) - {k - 1}, 0)),"
+        f"CASE WHEN size({_n(c)}) >= {k} THEN "
+        f"transform(sequence(1, size({_n(c)}) - {k - 1}),"
         f" i -> concat_ws(' ', slice({_n(c)}, i, {k})))"
+        f" ELSE array() END"
     )
 
 

@@ -238,3 +238,41 @@ def chunk_documents(
         .withColumn("chunk_n_tokens", F.size(chunk_toks))
         .drop("_toks", "_one")
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Intra-document repetition signals used by pretraining quality filters:
+    the fraction of duplicate word k-grams (1 - distinct/total) and the
+    dominance of the single most frequent token (top_token_ratio). High
+    values flag boilerplate, keyword stuffing, and generation loops.
+
+    Pure JVM expressions over the token array — per-row aggregate lambdas,
+    no explode, no shuffle."""
+    from ..functions import tokens, word_shingles
+
+    toks = tokens(F.col(text_col))
+    sh = word_shingles(toks, k)
+    top_count = F.expr(
+        "array_max(transform(array_distinct(tokens), "
+        "t -> size(filter(tokens, x -> x = t))))"
+    )
+    return (
+        df.withColumn("tokens", toks)
+        .withColumn("_sh", sh)
+        .withColumn("n_grams", F.size("_sh"))
+        .withColumn("n_distinct_grams", F.size(F.array_distinct("_sh")))
+        .withColumn(
+            "dup_gram_ratio",
+            F.when(
+                F.col("n_grams") > 0,
+                F.lit(1.0)
+                - F.col("n_distinct_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_token_ratio",
+            top_count.cast("double") / F.greatest(F.size("tokens"), F.lit(1)).cast("double"),
+        )
+        .drop("_sh")
+    )

@@ -416,3 +416,59 @@ def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t09 — repetition signals: duplicate word-3-gram ratio and top-token
+# dominance per document (boilerplate / generation-loop filter signals).
+# ---------------------------------------------------------------------------
+@register(
+    "t09_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, len(toks) - 2)]
+                  ELSE [] END AS sh
+      FROM tok),
+    top AS (
+      SELECT doc_id,
+             (SELECT MAX(cnt) FROM (
+                SELECT COUNT(*) AS cnt FROM unnest(toks) AS u(t) GROUP BY t))
+               AS top_count,
+             len(toks) AS n_tok
+      FROM tok)
+    SELECT g.doc_id,
+           CAST(len(g.sh) AS INT) AS n_grams,
+           CAST(len(list_distinct(g.sh)) AS INT) AS n_distinct_grams,
+           CASE WHEN len(g.sh) > 0
+                THEN 1.0 - CAST(len(list_distinct(g.sh)) AS DOUBLE)
+                           / CAST(len(g.sh) AS DOUBLE)
+                ELSE 0.0 END AS dup_gram_ratio,
+           CAST(t.top_count AS DOUBLE) / CAST(greatest(t.n_tok, 1) AS DOUBLE)
+             AS top_token_ratio
+    FROM grams g JOIN top t USING (doc_id)
+    ORDER BY g.doc_id
+    """,
+    doc="repetition filter signals: dup-3gram ratio + top-token dominance",
+    tags=("text", "quality", "pipeline"),
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        repetition_stats(docs)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            "dup_gram_ratio",
+            "top_token_ratio",
+        )
+        .orderBy("doc_id")
+    )

@@ -261,3 +261,17 @@ def test_chunk_documents_boundaries(spark):
     assert [r["chunk_n_tokens"] for r in c1] == [4, 4, 4]
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
     assert by_doc[2][0]["chunk_n_tokens"] == 2
+
+
+def test_word_shingles_short_doc_yields_empty(spark):
+    from lance_trino_spark.functions import tokens, word_shingles
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", word_shingles(tokens("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert out[1] == []  # shorter than k: no shingles (not [1,0]-slice junk)
+    assert out[2] == ["a b c", "b c d"]
