@@ -132,3 +132,83 @@ def sample_frames(
     return df.mapInPandas(
         run, schema=f"{id_col} long, frame_idx int, frame_mean double"
     )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """Nearest-neighbor resize of the decoded image to (out_w, out_h),
+    channel 0 — the thumbnail/feature-prep step of an image pipeline.
+
+    numpy-vectorized inside Arrow-batched mapInPandas: decode, reshape to
+    (h, w, c), gather rows/cols by precomputed nearest indexes. No shuffle;
+    output is one fixed-size row per image regardless of input size."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means, payloads = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                w, h, c = struct.unpack("<HHH", p[4:10])
+                arr = np.frombuffer(p[10 : 10 + w * h * c], dtype=np.uint8)
+                arr = arr.reshape(h, w, c)
+                rr = (np.arange(out_h) * h) // out_h
+                cc = (np.arange(out_w) * w) // out_w
+                small = arr[rr][:, cc, 0]  # channel 0, nearest-neighbor
+                ids.append(int(i))
+                means.append(float(small.sum()) / (out_w * out_h))
+                payloads.append(small.tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": payloads,
+                    "mean_resized": means,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, resized binary, mean_resized double"
+    )
+
+
+# Fake audio: deterministic 16-bit-ish waveform per document.
+# sample[t] = ((doc_id + 1) * t) % 97 - 48, length = 800 + (doc_id % 5) * 160.
+AUDIO_FRAME = 160  # samples per frame (10 ms at 16 kHz)
+
+
+def synth_waveform(doc_id: int) -> list[int]:
+    n = 800 + (doc_id % 5) * AUDIO_FRAME
+    return [((doc_id + 1) * t) % 97 - 48 for t in range(n)]
+
+
+def audio_frame_energy(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio feature extraction plumbing: per-frame energy (mean of squared
+    samples over non-overlapping 160-sample frames) of a synthesized
+    waveform — the VAD/loudness front-end shape. Real decoders (libav)
+    would replace `synth_waveform` behind the same mapInPandas contract."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for i in pdf[id_col]:
+                wav = np.array(synth_waveform(int(i)), dtype=np.int64)
+                frames = wav.reshape(-1, AUDIO_FRAME)
+                e = (frames * frames).sum(axis=1) / float(AUDIO_FRAME)
+                ids.extend([int(i)] * len(e))
+                idxs.extend(range(len(e)))
+                energies.extend(float(x) for x in e)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "energy": energies}
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, frame_idx int, energy double"
+    )

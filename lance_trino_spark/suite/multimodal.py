@@ -139,3 +139,72 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("payload__blob_size").alias("blob_size"), "mean_px")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m04 — nearest-neighbor resize to 8×8 (channel 0): thumbnail/feature prep.
+# The oracle replays the gather arithmetic: out(r,c) reads source pixel
+# ((r*h)//8, (c*w)//8, 0) of the synthetic payload.
+# ---------------------------------------------------------------------------
+@register(
+    "m04_image_resize",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    dims AS (SELECT doc_id,
+                    16 + doc_id % 32 AS w,
+                    16 + (doc_id * 3) % 32 AS h,
+                    1 + doc_id % 3 AS c
+             FROM d),
+    px AS (SELECT doc_id, w, h, c,
+                  unnest(generate_series(0, 63)) AS o
+           FROM dims),
+    v AS (SELECT doc_id,
+                 (doc_id * (((((o // 8) * h) // 8) * w
+                             + (((o % 8) * w) // 8)) * c) + 7) % 256 AS val
+          FROM px)
+    SELECT doc_id, CAST(SUM(val) AS DOUBLE) / 64 AS mean_resized
+    FROM v GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="multimodal: numpy nearest-neighbor resize inside mapInPandas",
+    tags=("multimodal", "binary", "resize"),
+)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    docs = _docs_subset(spark, sf_dir)
+    return (
+        resize_images(attach_payloads(docs))
+        .select("doc_id", "mean_resized")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m05 — audio front-end plumbing: per-frame energy of a deterministic
+# synthetic waveform (160-sample frames — the VAD/loudness shape).
+# ---------------------------------------------------------------------------
+@register(
+    "m05_audio_frame_energy",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    fr AS (SELECT doc_id,
+                  unnest(generate_series(0, 4 + doc_id % 5)) AS frame_idx
+           FROM d),
+    s AS (SELECT doc_id, frame_idx,
+                 unnest(generate_series(0, 159)) AS j
+          FROM fr),
+    v AS (SELECT doc_id, frame_idx,
+                 ((doc_id + 1) * (frame_idx * 160 + j)) % 97 - 48 AS sample
+          FROM s)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM(sample * sample) AS DOUBLE) / 160 AS energy
+    FROM v GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+    """,
+    doc="multimodal: audio per-frame energy via mapInPandas (synth waveform)",
+    tags=("multimodal", "audio"),
+)
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_frame_energy
+
+    docs = _docs_subset(spark, sf_dir)
+    return audio_frame_energy(docs).orderBy("doc_id", "frame_idx")

@@ -275,3 +275,42 @@ def test_word_shingles_short_doc_yields_empty(spark):
     }
     assert out[1] == []  # shorter than k: no shingles (not [1,0]-slice junk)
     assert out[2] == ["a b c", "b c d"]
+
+
+def test_resize_images_gather(spark):
+    import numpy as np
+
+    from lance_trino_spark.operators.multimodal import (
+        attach_payloads,
+        resize_images,
+        synth_payload,
+    )
+
+    df = spark.createDataFrame([(3,)], ["doc_id"])
+    row = resize_images(attach_payloads(df)).first()
+    p = synth_payload(3)
+    import struct as _s
+
+    w, h, c = _s.unpack("<HHH", p[4:10])
+    arr = np.frombuffer(p[10:], dtype=np.uint8).reshape(h, w, c)
+    rr = (np.arange(8) * h) // 8
+    cc = (np.arange(8) * w) // 8
+    expect = arr[rr][:, cc, 0]
+    assert bytes(row["resized"]) == expect.tobytes()
+    assert row["mean_resized"] == float(expect.sum()) / 64
+
+
+def test_audio_frame_energy_values(spark):
+    from lance_trino_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        audio_frame_energy,
+        synth_waveform,
+    )
+
+    df = spark.createDataFrame([(7,)], ["doc_id"])
+    rows = sorted(audio_frame_energy(df).collect(), key=lambda r: r["frame_idx"])
+    wav = synth_waveform(7)
+    assert len(rows) == len(wav) // AUDIO_FRAME
+    for r in rows:
+        fr = wav[r["frame_idx"] * AUDIO_FRAME : (r["frame_idx"] + 1) * AUDIO_FRAME]
+        assert r["energy"] == sum(x * x for x in fr) / AUDIO_FRAME
