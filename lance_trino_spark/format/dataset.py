@@ -42,7 +42,7 @@ from .blob import (
     stage_blob_columns,
     virtual_columns,
 )
-from .fragments import stage_via_tasks
+from .fragments import as_fragments, stage_via_tasks
 from .vector import VECTOR_PROP, enforce_vector_columns, parse_vector_columns
 from .manifest import (
     DATA_DIR,
@@ -283,9 +283,7 @@ class LanceDataset:
         while True:
             base = list_versions(path)
             next_v = (base[-1] + 1) if base else 1
-            fragments = [
-                Fragment(i, rel, n) for i, (rel, n) in enumerate(staged)
-            ]
+            fragments = as_fragments(staged)
             m = Manifest(
                 version=next_v,
                 schema_json=df.schema.jsonValue(),
@@ -342,9 +340,7 @@ class LanceDataset:
         while True:
             base = read_manifest(self.path, latest_version(self.path))
             next_id = base.max_fragment_id + 1
-            new_frags = [
-                Fragment(next_id + i, rel, n) for i, (rel, n) in enumerate(staged)
-            ]
+            new_frags = as_fragments(staged, next_id)
             m = Manifest(
                 version=base.version + 1,
                 schema_json=base.schema_json,
@@ -455,7 +451,7 @@ class LanceDataset:
         n_files = max(1, math.ceil(n_live / target_rows_per_file))
         df = sub.to_df(spark, with_blobs=bool(self.blob_columns)).coalesce(n_files)
         staged = self._stage_dataframe(df, self.path, target_rows_per_file)
-        kept_files = [(f.path, f.physical_rows) for f in keep]
+        kept_files = [(f.path, f.physical_rows, f.stats) for f in keep]
         return self.commit_overwrite(kept_files + staged)
 
     def commit_overwrite(
@@ -470,9 +466,7 @@ class LanceDataset:
             raise CommitConflictError(
                 f"dataset advanced to v{base.version} since v{self.version} was read"
             )
-        fragments = [
-            Fragment(i, rel, n) for i, (rel, n) in enumerate(fragment_files)
-        ]
+        fragments = as_fragments(fragment_files)
         m = Manifest(
             version=base.version + 1,
             schema_json=base.schema_json,
@@ -540,10 +534,7 @@ class LanceDataset:
 
         kept = [frag_by_id[f.id] for f in base.fragments if f.id not in removed]
         next_id = base.max_fragment_id + 1
-        appended = [
-            Fragment(next_id + i, rel, n)
-            for i, (rel, n) in enumerate(new_fragment_files or [])
-        ]
+        appended = as_fragments(new_fragment_files or [], next_id)
         m = Manifest(
             version=base.version + 1,
             schema_json=base.schema_json,

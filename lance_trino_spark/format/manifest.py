@@ -63,6 +63,13 @@ class Fragment:
     path: str  # relative to dataset root
     physical_rows: int  # rows in the data file (before deletions)
     deletion: DeletionFile | None = None
+    # Zone map: {column: {"min": v, "max": v, "nulls": n}} for top-level
+    # scalar columns, aggregated from the parquet footer at write time
+    # (executor-side). Scans prune fragments whose range cannot satisfy a
+    # pushed filter — the Spark-side analogue of the reference's scalar
+    # index / zonemap selection below the scan (SURVEY §1.1 "Scalar index",
+    # `LanceFragmentPageSource.java:126` useScalarIndex).
+    stats: dict | None = None
 
     @property
     def num_rows(self) -> int:
@@ -70,17 +77,24 @@ class Fragment:
         return self.physical_rows - (self.deletion.num_deleted if self.deletion else 0)
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "id": self.id,
             "path": self.path,
             "physical_rows": self.physical_rows,
             "deletion": self.deletion.to_json() if self.deletion else None,
         }
+        if self.stats:
+            out["stats"] = self.stats
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "Fragment":
         return Fragment(
-            d["id"], d["path"], d["physical_rows"], DeletionFile.from_json(d["deletion"])
+            d["id"],
+            d["path"],
+            d["physical_rows"],
+            DeletionFile.from_json(d["deletion"]),
+            d.get("stats"),
         )
 
 

@@ -77,7 +77,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..format.fragments import FragmentFileWriter
+from ..format.fragments import FragmentFileWriter, as_fragments
 from ..format.manifest import (
     CommitConflictError,
     Fragment,
@@ -161,6 +161,58 @@ def _filter_pushable(f: Filter, top_level_cols: set[str]) -> bool:
     ):
         return _pushable_value(inner.value)
     return False
+
+
+def _comparable(a: Any, b: Any) -> bool:
+    """Stat/filter value pairs we trust to order correctly: both numeric
+    (bool excluded), both strings, or both bools."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _stats_admit(stats: dict, f: Filter, physical_rows: int) -> bool:
+    """Zone-map check: can any row of a fragment with these column stats
+    satisfy the pushed filter? Conservative — admit on any uncertainty.
+    This is the fragment-level analogue of the scalar-index/zonemap pruning
+    the reference gets from Lance below the scan (`LanceFragmentPageSource
+    .java:126` useScalarIndex; SURVEY §1.1 "Scalar index")."""
+    inner = f.child if isinstance(f, Not) else f
+    s = stats.get(inner.attribute[0])
+    if not s:
+        return True
+    mn, mx, nulls = s.get("min"), s.get("max"), s.get("nulls")
+    if isinstance(f, Not):  # only Not(EqualTo) is pushable
+        v = inner.value
+        if not _comparable(mn, v):
+            return True
+        # every row equals v and none are null → nothing can satisfy <>
+        return not (mn == mx == v and nulls == 0)
+    if isinstance(f, IsNull):
+        return nulls is None or nulls > 0
+    if isinstance(f, IsNotNull):
+        return nulls is None or nulls < physical_rows
+    if isinstance(f, In):
+        vals = [v for v in f.value if _comparable(mn, v)]
+        if len(vals) != len(list(f.value)):
+            return True
+        return any(mn <= v <= mx for v in vals)
+    v = f.value
+    if not _comparable(mn, v):
+        return True
+    if isinstance(f, EqualTo):
+        return mn <= v <= mx
+    if isinstance(f, GreaterThan):
+        return mx > v
+    if isinstance(f, GreaterThanOrEqual):
+        return mx >= v
+    if isinstance(f, LessThan):
+        return mn < v
+    if isinstance(f, LessThanOrEqual):
+        return mn <= v
+    return True
 
 
 def _to_arrow_expr(f: Filter):
@@ -327,6 +379,20 @@ class LanceScanReaderNoPushdown(DataSourceReader):
 
     def partitions(self) -> Sequence[LanceFragmentPartition]:
         frags = [f for f in self._manifest.fragments if f.num_rows > 0]
+        if self._pushed:
+            # Zone-map fragment pruning: drop fragments whose footer-derived
+            # min/max ranges cannot satisfy the pushed filters — planned on
+            # the driver from manifest metadata alone, so a selective filter
+            # on a sorted/clustered column never even schedules tasks for
+            # non-matching fragments.
+            frags = [
+                f
+                for f in frags
+                if not f.stats
+                or all(
+                    _stats_admit(f.stats, p, f.physical_rows) for p in self._pushed
+                )
+            ]
         if self._limit is not None and not self._pushed:
             # Limit-aware fragment coalescing (A6/A7,
             # `LanceSplitManager.java:56-112`): with a limit and no pushed
@@ -435,7 +501,7 @@ class LanceScanReader(LanceScanReaderNoPushdown):
 
 @dataclass
 class LanceWriteMessage(WriterCommitMessage):
-    files: list  # [(relative_path, num_rows)]
+    files: list  # [(relative_path, num_rows, zone_map_stats)]
 
 
 class _FragmentFileWriter(FragmentFileWriter):
@@ -448,16 +514,16 @@ class _FragmentFileWriter(FragmentFileWriter):
         return LanceWriteMessage(files=super().write(iterator))
 
 
-def _collect_staged(messages) -> list[tuple[str, int]]:
-    staged: list[tuple[str, int]] = []
+def _collect_staged(messages) -> list[tuple[str, int, dict]]:
+    staged: list[tuple[str, int, dict]] = []
     for m in messages:
         if m is not None:
             staged.extend(m.files)
-    return sorted(staged)
+    return sorted(staged, key=lambda t: t[0])
 
 
 def _abort_staged(root: str, messages) -> None:
-    for rel, _ in _collect_staged(messages):
+    for rel, *_ in _collect_staged(messages):
         try:
             os.unlink(os.path.join(root, rel))
         except OSError:
@@ -477,7 +543,7 @@ def _commit_fragments(
         versions = list_versions(root)
         base = read_manifest(root, versions[-1]) if versions else None
         if overwrite or base is None:
-            fragments = [Fragment(i, rel, n) for i, (rel, n) in enumerate(staged)]
+            fragments = as_fragments(staged)
             m = Manifest(
                 version=(base.version + 1) if base else 1,
                 schema_json=schema_json,
@@ -496,9 +562,7 @@ def _commit_fragments(
                     "evolution is not supported)"
                 )
             next_id = base.max_fragment_id + 1
-            new_frags = [
-                Fragment(next_id + i, rel, n) for i, (rel, n) in enumerate(staged)
-            ]
+            new_frags = as_fragments(staged, next_id)
             props = dict(base.properties)
             props.update(extra_properties or {})
             m = Manifest(
@@ -651,13 +715,22 @@ class LanceSparkDataSource(DataSource):
     def reader(self, schema: StructType) -> LanceScanReaderNoPushdown:
         from pyspark.sql import SparkSession
 
+        # reader() runs inside Spark's planner worker process, where there
+        # is NO active session — so the conf is unreadable there. Default to
+        # the pushdown reader: if the conf is actually off, Spark itself
+        # raises the clear DATA_SOURCE_PUSHDOWN_DISABLED error naming the
+        # conf to enable. Only a driver-side session that explicitly reports
+        # the conf off gets the degraded no-pushdown reader (Spark refuses a
+        # pushFilters reader in that case). Choosing the fallback whenever
+        # the session was merely *invisible* silently disabled pushdown for
+        # every planned query — the worst possible failure mode.
         spark = SparkSession.getActiveSession()
-        enabled = (
+        known_off = (
             spark is not None
-            and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
-            == "true"
+            and spark.conf.get("spark.sql.python.filterPushdown.enabled", "true")
+            != "true"
         )
-        cls = LanceScanReader if enabled else LanceScanReaderNoPushdown
+        cls = LanceScanReaderNoPushdown if known_off else LanceScanReader
         return cls(self._path(), schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceBatchWriter:

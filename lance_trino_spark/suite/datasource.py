@@ -237,3 +237,62 @@ def ds05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds06 — zone-map fragment pruning: lineitem written CLUSTERED BY l_orderkey
+# (range sort before write — the standard layout optimization zone maps
+# reward), so fragments carry disjoint key ranges; a pushed range filter
+# must plan only the covering fragments (asserted) and still produce
+# oracle-exact values.
+# ---------------------------------------------------------------------------
+@register(
+    "ds06_zonemap_pruned_scan",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_orderkey >= 1000 AND l_orderkey <= 2000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="connector: fragment zone maps prune non-matching fragments at planning",
+    tags=("connector", "zonemap", "pruning"),
+)
+def ds06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds06")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey")  # cluster on the filter key: disjoint ranges
+    )
+    ds = LanceDataset.create(path, li, max_rows_per_file=5000)
+    scan = (
+        spark.read.format("lance")
+        .load(path)
+        .filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") <= 2000))
+    )
+    # exact mechanism check: planned fragments == fragments whose zone-map
+    # range intersects [1000, 2000] (at tiny scales that may be all of them)
+    covering = sum(
+        1
+        for f in ds.manifest.fragments
+        if f.stats and not (
+            f.stats["l_orderkey"]["max"] < 1000 or f.stats["l_orderkey"]["min"] > 2000
+        )
+    )
+    n_planned = scan.rdd.getNumPartitions()
+    if n_planned != covering:
+        raise AssertionError(
+            f"zone-map pruning planned {n_planned} fragments, expected "
+            f"{covering} of {len(ds.manifest.fragments)}"
+        )
+    return (
+        scan.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

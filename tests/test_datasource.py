@@ -108,12 +108,19 @@ def test_datasource_scan_applies_deletion_vectors(spark):
     ds = LanceDataset.create(path, df, max_rows_per_file=100)
     dml.delete(ds, spark, "bucket = 2")
 
-    got = spark.read.format("lance").load(path)
-    assert got.filter("bucket = 2").count() == 0
+    # NOTE: each query uses a fresh load() — Spark's Python DataSource
+    # caches a relation's read-info and only rebuilds it when the next plan
+    # carries pushable filters, so an UNFILTERED re-query of a previously
+    # filtered DataFrame object would reuse the stale filtered scan (see
+    # test_pushdown_relation_reuse_limitation).
+    assert spark.read.format("lance").load(path).filter("bucket = 2").count() == 0
     exp = df.filter("bucket <> 2").count()
-    assert got.count() == exp
+    assert spark.read.format("lance").load(path).count() == exp
     # pushed filter composes with the deletion mask
-    assert got.filter("k < 100").count() == df.filter("bucket <> 2 AND k < 100").count()
+    assert (
+        spark.read.format("lance").load(path).filter("k < 100").count()
+        == df.filter("bucket <> 2 AND k < 100").count()
+    )
 
 
 def test_dv_fragment_scan_keeps_pushdown_and_pruning(spark):
@@ -341,3 +348,65 @@ def test_columns_option_errors(spark):
         spark.read.format("lance").option("columns", "k,nope").load(path).count()
     with pytest.raises(Exception, match="non-struct"):
         spark.read.format("lance").option("columns", "k.sub").load(path).count()
+
+
+# ---------------------------------------------------------------------------
+# zone maps (fragment-level min/max pruning)
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_stats_written_and_pruned(spark):
+    path = _fresh("zonemap")
+    # k is monotonically increasing → fragments have disjoint k ranges
+    df = spark.range(1000).select(F.col("id").alias("k")).coalesce(1)
+    ds = LanceDataset.create(path, df, max_rows_per_file=100)
+    assert all(f.stats and "k" in f.stats for f in ds.manifest.fragments)
+    ranges = sorted((f.stats["k"]["min"], f.stats["k"]["max"]) for f in ds.manifest.fragments)
+    assert ranges[0] == (0, 99) and ranges[-1] == (900, 999)
+
+    scan = spark.read.format("lance").load(path).filter(F.col("k") >= 950)
+    # with pushdown on, only the last fragment should be planned
+    assert scan.rdd.getNumPartitions() == 1
+    assert scan.count() == 50
+    # equality prune
+    one = spark.read.format("lance").load(path).filter(F.col("k") == 123)
+    assert one.rdd.getNumPartitions() == 1
+    assert one.collect()[0]["k"] == 123
+
+
+def test_zone_map_admits_when_stats_missing_or_incomparable(spark):
+    from lance_trino_spark.sources.lance_datasource import _stats_admit
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNull, Not
+
+    stats = {"k": {"min": 10, "max": 20, "nulls": 0}}
+    assert _stats_admit(stats, EqualTo(("k",), 15), 100)
+    assert not _stats_admit(stats, EqualTo(("k",), 5), 100)
+    assert not _stats_admit(stats, GreaterThan(("k",), 20), 100)
+    assert _stats_admit(stats, GreaterThan(("k",), 19), 100)
+    assert not _stats_admit(stats, IsNull(("k",)), 100)
+    assert _stats_admit(stats, EqualTo(("other",), 5), 100)  # no stats → admit
+    assert _stats_admit(stats, EqualTo(("k",), "str"), 100)  # incomparable
+    # Not(EqualTo): prune only when the whole fragment is that single value
+    const = {"k": {"min": 7, "max": 7, "nulls": 0}}
+    assert not _stats_admit(const, Not(EqualTo(("k",), 7)), 100)
+    assert _stats_admit(const, Not(EqualTo(("k",), 8)), 100)
+
+
+def test_pushdown_relation_reuse_limitation(spark):
+    """Documents an upstream pyspark 4.1 behavior: the JVM caches a Python
+    DataSource relation's read function + partitions, and rebuilds them only
+    when the next plan pushes filters. Querying the SAME DataFrame object
+    first WITH a pushable filter and then WITHOUT any filter serves the
+    stale filtered scan (no Python hook runs for the unfiltered re-plan, so
+    a source cannot defend). A filtered re-query re-plans correctly. The
+    workaround is a fresh load() per logical query — which every suite
+    entry, the catalog, and the correctness harness do."""
+    path = _fresh("reuse")
+    LanceDataset.create(path, _sample_df(spark, 200), max_rows_per_file=50)
+
+    shared = spark.read.format("lance").load(path)
+    assert shared.filter("bucket = 3").count() == 29
+    # a DIFFERENT pushable filter re-plans correctly on the same object
+    assert shared.filter("bucket = 4").count() == 28
+    # fresh relation: always correct
+    assert spark.read.format("lance").load(path).count() == 200
