@@ -54,9 +54,13 @@ DEFAULT_QUERIES = [
     "st05_stream_stream_join",
     "lf10_compaction",
     "ds05_nested_projection",
+    "ds06_zonemap_pruned_scan",
     "t05_contamination",
     "t06_stratified_sample",
     "cat05_sql_maintenance",
+    "t07_pii_redaction",
+    "t08_document_chunking",
+    "m04_image_resize",
 ]
 
 

@@ -224,3 +224,37 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the compression step before
+    building a disk-resident ANN index (4x smaller vectors, SIMD-friendly
+    int8 dot products): scale = max|x| / 127, q_i = floor(x_i/scale + 0.5).
+
+    Pure JVM array lambdas, one narrow pass, no shuffle. The explicit
+    floor(+0.5) round makes the arithmetic engine-portable (SQL ROUND
+    half-away vs banker's rounding would diverge); an all-zero vector
+    quantizes to zeros with scale 0. Adds `scale`, `qvec` (array<int>),
+    and `max_abs_err` (reconstruction error) columns."""
+    v = vec_col
+    out = df.withColumn(
+        "scale",
+        F.expr(
+            f"aggregate({v}, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double)))) / 127.0"
+        ),
+    )
+    out = out.withColumn(
+        "qvec",
+        F.expr(
+            f"CASE WHEN scale = 0.0 THEN transform({v}, x -> 0) "
+            f"ELSE transform({v}, x -> cast(floor(cast(x as double) / scale + 0.5) as int)) END"
+        ),
+    )
+    return out.withColumn(
+        "max_abs_err",
+        F.expr(
+            f"array_max(zip_with({v}, qvec, (x, q) -> abs(cast(x as double) - q * scale)))"
+        ),
+    )

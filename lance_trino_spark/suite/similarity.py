@@ -141,3 +141,56 @@ def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5, nprobe=2).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# s05 — int8 scalar quantization of the embedding column (index compression
+# prep): per-vector scale, quantized values, exact reconstruction error.
+# ---------------------------------------------------------------------------
+@register(
+    "s05_int8_quantization",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, label, embedding, scale,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) END
+               AS qv
+      FROM s),
+    px AS (
+      SELECT vec_id, label, scale, qv,
+             unnest(generate_series(1, len(embedding))) AS i, embedding
+      FROM q)
+    SELECT vec_id, CAST(MIN(label) AS INT) AS label,
+           MIN(scale) AS scale,
+           CAST(SUM(qv[i]) AS BIGINT) AS q_sum,
+           MAX(abs(embedding[i]::DOUBLE - qv[i] * scale)) AS max_abs_err
+    FROM px
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    doc="similarity: per-vector int8 scalar quantization + reconstruction error",
+    tags=("similarity", "quantization", "pipeline"),
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        quantize_embeddings(emb)
+        .select(
+            "vec_id",
+            "label",
+            "scale",
+            F.aggregate(
+                "qvec", F.lit(0).cast("bigint"), lambda a, q: a + q
+            ).alias("q_sum"),
+            "max_abs_err",
+        )
+        .orderBy("vec_id")
+    )

@@ -314,3 +314,21 @@ def test_audio_frame_energy_values(spark):
     for r in rows:
         fr = wav[r["frame_idx"] * AUDIO_FRAME : (r["frame_idx"] + 1) * AUDIO_FRAME]
         assert r["energy"] == sum(x * x for x in fr) / AUDIO_FRAME
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from lance_trino_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert r1["scale"] == 1.0  # max|x| = 127 → scale 1
+    assert r1["qvec"] == [1, 0, 0, 127]  # floor(-0.5+0.5)=0, floor(0.25+0.5)=0
+    # reconstruction error bounded by scale/2 (+ floor asymmetry)
+    assert r1["max_abs_err"] <= r1["scale"] / 2 + 1e-12
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0]
+    assert r2["max_abs_err"] == 0.0
