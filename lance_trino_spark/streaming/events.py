@@ -335,3 +335,91 @@ def dedup_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_unique"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert sink: foreachBatch + conditional MERGE into the versioned format.
+# ---------------------------------------------------------------------------
+def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert (the CDC-ingest shape every lakehouse needs): each
+    microbatch is reduced to its latest row per key, then MERGEd into a
+    versioned dataset with a newer-wins condition — `WHEN MATCHED AND
+    source.event_id > target.event_id THEN UPDATE, WHEN NOT MATCHED INSERT`.
+
+    The conditional merge makes the result independent of microbatch
+    boundaries AND of replay: re-processing an old batch can never regress a
+    key (idempotent upsert on top of at-least-once delivery). One merge
+    commit per microbatch; per-batch work is a keyed reduction plus the MoR
+    merge join — both bounded by batch size, not table size, with the
+    target-side join pruned by the merge's key join."""
+    from pyspark.sql.window import Window as W
+
+    from ..format.dataset import LanceDataset
+    from ..operators import dml
+    from ..tables import load_table
+
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+
+    scratch = tempfile.mkdtemp(prefix="lts_cdc_")
+    src_dir = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    target = os.path.join(scratch, "target.lance")
+    purchases.repartition(3).write.parquet(src_dir)
+
+    LanceDataset.create_empty(
+        target,
+        StructType.fromDDL("user_id long, last_event_id long, last_value double"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        ds = LanceDataset.open(target)  # re-open: version advances per batch
+        dml.merge_multi(
+            ds,
+            spark,
+            latest,
+            on="user_id",
+            matched_clauses=[
+                (
+                    "_src_last_event_id > last_event_id",  # newer-wins: replay-safe
+                    {
+                        "last_event_id": "_src_last_event_id",
+                        "last_value": "_src_last_value",
+                    },
+                )
+            ],
+            not_matched_insert=True,
+        )
+
+    n_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        query = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)  # several batches → several merges
+            .parquet(src_dir)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out = LanceDataset.open(target).to_df(spark).orderBy("user_id")
+    out = spark.createDataFrame(out.collect(), out.schema)  # detach from scratch
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

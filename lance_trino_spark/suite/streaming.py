@@ -108,3 +108,26 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_join_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# st06 — CDC upsert sink: per-microbatch conditional MERGE (newer-wins on
+# event_id) into the versioned format; final table = latest purchase per
+# user regardless of how the stream was batched.
+# ---------------------------------------------------------------------------
+@register(
+    "st06_stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM events
+    WHERE event_type = 'purchase'
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    ORDER BY user_id
+    """,
+    doc="streaming: foreachBatch CDC upsert via conditional MERGE commits",
+    tags=("streaming", "cdc", "merge"),
+)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import cdc_upsert_stream
+
+    return cdc_upsert_stream(spark, sf_dir)
