@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .format.dataset import LanceDataset
+from .format.manifest import read_manifest
 from .operators import dml
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -305,17 +306,44 @@ class LanceCatalog:
         return self._status(f"created table {ns}.{tbl} v{ds.version}")
 
     def _h_optimize(self, m) -> DataFrame:
-        """Maintenance: `OPTIMIZE <schema>.<table> [TARGET n ROWS]` — rewrite
-        small / deletion-bearing fragments (format-layer compaction)."""
+        """Maintenance: `OPTIMIZE <schema>.<table> [TARGET n ROWS]
+        [SORT BY col, ...]` — rewrite small / deletion-bearing fragments
+        (format-layer compaction); SORT BY rewrites everything clustered so
+        zone maps prune range filters."""
         ds = self.load(m.group("ns"), m.group("tbl"))
         before = len(ds.manifest.fragments)
         kwargs = {}
         if m.group("target"):
             kwargs["target_rows_per_file"] = int(m.group("target"))
+        if m.group("sort"):
+            kwargs["sort_by"] = [c.strip() for c in m.group("sort").split(",")]
         out = ds.compact(self.spark, **kwargs)
         return self._status(
             f"optimized {m.group('ns')}.{m.group('tbl')} "
             f"{before}->{len(out.manifest.fragments)} fragments v{out.version}"
+        )
+
+    def _h_history(self, m) -> DataFrame:
+        """`DESCRIBE HISTORY <schema>.<table>` — the version log (Delta-style
+        history): one row per retained version with commit time + operation."""
+        path = self.table_path(m.group("ns"), m.group("tbl"))
+        rows = []
+        for v in LanceDataset.open(path).versions():
+            mf = read_manifest(path, v)
+            rows.append(
+                (
+                    v,
+                    mf.operation,
+                    mf.timestamp_ms,
+                    mf.total_rows,
+                    len(mf.fragments),
+                    mf.read_version,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, operation string, timestamp_ms long, "
+            "total_rows long, n_fragments int, read_version int",
         )
 
     def _h_vacuum(self, m) -> DataFrame:
@@ -396,8 +424,13 @@ class LanceCatalog:
         ),
         (
             rf"OPTIMIZE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"(?:\s+TARGET\s+(?P<target>\d+)\s+ROWS)?$",
+            rf"(?:\s+TARGET\s+(?P<target>\d+)\s+ROWS)?"
+            rf"(?:\s+SORT\s+BY\s+(?P<sort>{_IDENT}(?:\s*,\s*{_IDENT})*))?$",
             _h_optimize,
+        ),
+        (
+            rf"DESC(?:RIBE)?\s+HISTORY\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            _h_history,
         ),
         (
             rf"VACUUM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"

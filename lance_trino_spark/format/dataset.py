@@ -408,6 +408,7 @@ class LanceDataset:
         spark: SparkSession,
         target_rows_per_file: int = MAX_ROWS_PER_FILE,
         small_file_threshold: float = 0.5,
+        sort_by: str | list[str] | None = None,
     ) -> "LanceDataset":
         """Compaction: rewrite small and deletion-heavy fragments into
         full-size ones (the small-file problem is THE operational issue of
@@ -419,16 +420,25 @@ class LanceDataset:
         deletion vector — are rewritten (deletions applied, so DVs are
         retired); full-size clean fragments are carried over untouched, no
         data movement. One Overwrite commit with the usual conflict check.
+
+        With ``sort_by``, ALL fragments are rewritten clustered on the given
+        column(s) (range-sorted write) so fragment zone maps carry disjoint
+        key ranges and range filters prune at planning time — the
+        Z-order-lite layout optimization every lakehouse OPTIMIZE offers.
         """
         small_cut = int(small_file_threshold * target_rows_per_file)
         rewrite = [
             f
             for f in self.manifest.fragments
-            if f.deletion is not None or f.num_rows < small_cut
+            if sort_by is not None
+            or f.deletion is not None
+            or f.num_rows < small_cut
         ]
         rewrite_ids = {f.id for f in rewrite}
         keep = [f for f in self.manifest.fragments if f.id not in rewrite_ids]
-        if not rewrite or (len(rewrite) == 1 and rewrite[0].deletion is None):
+        if not rewrite or (
+            sort_by is None and len(rewrite) == 1 and rewrite[0].deletion is None
+        ):
             # a single clean small fragment has nothing to merge with —
             # rewriting it would churn data for no layout gain
             return self
@@ -449,7 +459,14 @@ class LanceDataset:
 
         n_live = sum(f.num_rows for f in rewrite)
         n_files = max(1, math.ceil(n_live / target_rows_per_file))
-        df = sub.to_df(spark, with_blobs=bool(self.blob_columns)).coalesce(n_files)
+        df = sub.to_df(spark, with_blobs=bool(self.blob_columns))
+        if sort_by is not None:
+            # range-partitioned global sort: clustered fragments with
+            # disjoint key ranges (zone-map-friendly layout)
+            cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+        else:
+            df = df.coalesce(n_files)
         staged = self._stage_dataframe(df, self.path, target_rows_per_file)
         kept_files = [(f.path, f.physical_rows, f.stats) for f in keep]
         return self.commit_overwrite(kept_files + staged)

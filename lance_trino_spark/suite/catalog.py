@@ -207,3 +207,48 @@ def cat05(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s_nationkey, COUNT(*) AS n_suppliers FROM ops.supp "
         "GROUP BY s_nationkey ORDER BY s_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat06 — clustered layout via SQL: OPTIMIZE ... SORT BY rewrites the table
+# range-clustered so fragment zone maps serve range filters; values must be
+# unchanged after the rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "cat06_sql_clustered_optimize",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    WHERE o_orderkey >= 500 AND o_orderkey < 5000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="catalog: OPTIMIZE SORT BY produces zone-map-clustered layout, values identical",
+    tags=("catalog", "maintenance", "zonemap"),
+)
+def cat06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat06")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    ).createOrReplaceTempView("_cat06_orders")
+    cat.sql("CREATE SCHEMA ops")
+    # scrambled insert order → unclustered fragments
+    cat.sql(
+        "CREATE TABLE ops.o AS SELECT * FROM _cat06_orders "
+        "ORDER BY md5(CAST(o_orderkey AS STRING))"
+    )
+    cat.sql("OPTIMIZE ops.o TARGET 5000 ROWS SORT BY o_orderkey")
+    ds = cat.load("ops", "o")
+    ranges = sorted(
+        (f.stats["o_orderkey"]["min"], f.stats["o_orderkey"]["max"])
+        for f in ds.manifest.fragments
+    )
+    for (l1, h1), (l2, _) in zip(ranges, ranges[1:]):
+        if h1 >= l2:
+            raise AssertionError(f"fragments not disjoint after SORT BY: {ranges}")
+    return cat.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_custkey) AS cust_sum "
+        "FROM ops.o WHERE o_orderkey >= 500 AND o_orderkey < 5000 "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )

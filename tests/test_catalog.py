@@ -188,3 +188,48 @@ def test_sql_optimize_and_vacuum(cat, spark):
     ds2 = cat.load("db", "o")
     assert len(ds2.versions()) == 1
     assert cat.sql("SELECT COUNT(*) AS n FROM db.o").collect()[0]["n"] == n
+
+
+def test_optimize_sort_by_clusters_for_zone_maps(cat, spark):
+    from lance_trino_spark.sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    cat.sql("CREATE SCHEMA db")
+    _src(spark, 2000).createOrReplaceTempView("_cat_zs")
+    # unsorted-by-k source: hash-scramble the order, write small fragments
+    spark.sql(
+        "SELECT k, g FROM _cat_zs ORDER BY md5(CAST(k AS STRING))"
+    ).createOrReplaceTempView("_cat_zs_scrambled")
+    cat.sql("CREATE TABLE db.z AS SELECT * FROM _cat_zs_scrambled")
+    ds0 = cat.load("db", "z")
+    # scrambled: every fragment spans ~the full k range → no pruning possible
+    cat.sql("OPTIMIZE db.z TARGET 500 ROWS SORT BY k")
+    ds1 = cat.load("db", "z")
+    ranges = sorted(
+        (f.stats["k"]["min"], f.stats["k"]["max"]) for f in ds1.manifest.fragments
+    )
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, sorted fragment ranges
+    # pruned planned-partition count through the DataSource
+    scan = (
+        spark.read.format("lance")
+        .load(cat.table_path("db", "z"))
+        .filter("k >= 0 AND k < 400")
+    )
+    assert scan.rdd.getNumPartitions() < len(ds1.manifest.fragments)
+    assert scan.count() == 400
+    assert ds1.count_rows() == ds0.count_rows()
+
+
+def test_describe_history(cat, spark):
+    cat.sql("CREATE SCHEMA db")
+    _src(spark, 100).createOrReplaceTempView("_cat_h")
+    cat.sql("CREATE TABLE db.h AS SELECT * FROM _cat_h")
+    cat.sql("INSERT INTO db.h SELECT k + 100, g FROM _cat_h")
+    cat.sql("DELETE FROM db.h WHERE k < 10")
+    hist = {r["version"]: r for r in cat.sql("DESCRIBE HISTORY db.h").collect()}
+    assert [hist[v]["operation"] for v in sorted(hist)] == [
+        "create", "append", "update",
+    ]
+    assert hist[2]["total_rows"] == 200 and hist[3]["total_rows"] == 190
+    assert hist[3]["read_version"] == 2
