@@ -32,51 +32,93 @@ MAX_ROWS_PER_FILE = 1_000_000  # reference default, LanceConfig.java:128
 _STAT_TYPES = (int, float, str, bool)
 
 
-def footer_stats(path: str) -> dict:
-    """Aggregate per-column min/max/null-count over a parquet file's row
-    groups from the footer — one metadata read, no data pages touched.
-    Returns {column: {"min", "max", "nulls"}} for top-level scalar columns
-    with usable statistics."""
-    import math
+_STAT_STRING_BOUND = 256  # stored string bounds are capped at this length
 
-    import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
-    agg: dict = {}
-    poisoned: set = set()
-    for rg in range(md.num_row_groups):
-        group = md.row_group(rg)
-        for ci in range(group.num_columns):
-            col = group.column(ci)
-            name = col.path_in_schema
-            if "." in name or name in poisoned:
-                continue  # nested leaf — zone maps key top-level columns only
-            st = col.statistics
-            ok = (
-                st is not None
-                and st.has_min_max
-                and isinstance(st.min, _STAT_TYPES)
-                and isinstance(st.max, _STAT_TYPES)
-                and not (isinstance(st.min, float) and math.isnan(st.min))
-                and not (isinstance(st.max, float) and math.isnan(st.max))
-            )
-            if not ok:
-                poisoned.add(name)
-                agg.pop(name, None)
+def _bounded_str_max(s: str) -> str | None:
+    """Sound truncated UPPER bound for a long string: prefix with the last
+    code point incremented (every string starting with the prefix compares
+    below it). None = cannot bound soundly → poison. NOTE: parquet footer
+    string stats are NOT sound for this (pyarrow drops values longer than
+    its truncation limit from min/max entirely — a file whose true max is a
+    long string gets a too-small footer max), which is why fragment stats
+    are computed from the actual data below, never from the footer."""
+    prefix = s[:_STAT_STRING_BOUND]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+class StatsAccumulator:
+    """Exact per-column min/max/null-count over the record batches a
+    fragment file is written from — vectorized (`pyarrow.compute.min_max`)
+    per batch, constant memory. Only top-level int/float/string/bool
+    columns participate; NaN-bearing floats and unboundable strings poison
+    their column (conservative: a fragment without stats for a column is
+    never pruned on it)."""
+
+    def __init__(self) -> None:
+        self._agg: dict = {}
+        self._poisoned: set = set()
+
+    def update(self, batch: "pa.RecordBatch") -> None:
+        import math
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for name, col in zip(batch.schema.names, batch.columns):
+            if name in self._poisoned:
                 continue
-            nulls = st.null_count if st.has_null_count else None
-            cur = agg.get(name)
-            if cur is None:
-                agg[name] = {"min": st.min, "max": st.max, "nulls": nulls}
-            else:
-                cur["min"] = min(cur["min"], st.min)
-                cur["max"] = max(cur["max"], st.max)
-                cur["nulls"] = (
-                    None
-                    if cur["nulls"] is None or nulls is None
-                    else cur["nulls"] + nulls
-                )
-    return agg
+            t = col.type
+            ok_type = (
+                pa.types.is_integer(t)
+                or pa.types.is_floating(t)
+                or pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+                or pa.types.is_boolean(t)
+            )
+            if not ok_type:
+                self._poison(name)
+                continue
+            nulls = col.null_count
+            cur = self._agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            cur["nulls"] += nulls
+            if nulls == len(col):
+                continue  # all-null batch: bounds unchanged
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+                self._poison(name)
+                continue
+            if isinstance(mn, str):
+                mn = mn[:_STAT_STRING_BOUND]  # prefix: still a lower bound
+                if len(mx) > _STAT_STRING_BOUND:
+                    bounded = _bounded_str_max(mx)
+                    if bounded is None:
+                        self._poison(name)
+                        continue
+                    mx = bounded
+            cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+            cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+
+    def _poison(self, name: str) -> None:
+        self._poisoned.add(name)
+        self._agg.pop(name, None)
+
+    def finish(self) -> dict:
+        # all-null columns keep {"nulls": n} with no bounds — IS NULL pruning
+        # still works; comparison filters see no min and admit.
+        out = {}
+        for name, cur in self._agg.items():
+            entry = {"nulls": cur["nulls"]}
+            if cur["min"] is not None:
+                entry["min"] = cur["min"]
+                entry["max"] = cur["max"]
+            out[name] = entry
+        return out
 
 
 class FragmentFileWriter:
@@ -114,13 +156,12 @@ class FragmentFileWriter:
         prefix = self._task_prefix()
         files: list[tuple[str, int, dict]] = []
 
-        def _close(writer, rel, rows):
+        def _close(writer, rel, rows, acc):
             writer.close()
-            # zone map from the just-written footer (still executor-side)
-            files.append((rel, rows, footer_stats(os.path.join(self.root, rel))))
+            files.append((rel, rows, acc.finish()))
 
         writer = None
-        rel, rows = None, 0
+        rel, rows, acc = None, 0, None
         try:
             for batch in batches:
                 # Slice so no file ever exceeds max_rows — exact rolling even
@@ -137,16 +178,19 @@ class FragmentFileWriter:
                             compression="snappy",
                         )
                         rows = 0
+                        acc = StatsAccumulator()  # zone map, exact, per file
                     take = min(batch.num_rows, self.max_rows - rows)
-                    writer.write_batch(batch.slice(0, take))
+                    piece = batch.slice(0, take)
+                    writer.write_batch(piece)
+                    acc.update(piece)
                     rows += take
                     batch = batch.slice(take)
                     if rows >= self.max_rows:
-                        _close(writer, rel, rows)
+                        _close(writer, rel, rows, acc)
                         writer = None
         finally:
             if writer is not None:
-                _close(writer, rel, rows)
+                _close(writer, rel, rows, acc)
         return files
 
 

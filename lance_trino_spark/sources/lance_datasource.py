@@ -431,6 +431,10 @@ class LanceScanReaderNoPushdown(DataSourceReader):
             e = _to_arrow_expr(f)
             expr = e if expr is None else (expr & e)
 
+        if partition is None:
+            # Spark plans one None-valued partition when partitions() pruned
+            # everything — an empty scan.
+            return
         if partition.deletion_path is None and not self._nested_pruned:
             # No deletion vector, flat projection: let pyarrow evaluate the
             # filter inside the parquet scan (row-group/page pruning).

@@ -410,3 +410,42 @@ def test_pushdown_relation_reuse_limitation(spark):
     assert shared.filter("bucket = 4").count() == 28
     # fresh relation: always correct
     assert spark.read.format("lance").load(path).count() == 200
+
+
+def test_zone_map_long_string_bounds_sound(spark):
+    """Parquet footer string stats are unsound for long values (pyarrow
+    drops them from min/max), so fragment stats are computed from the data
+    with prefix-increment upper bounds — an equality probe for a 5000-char
+    string must still find its fragment."""
+    from lance_trino_spark.format.fragments import StatsAccumulator
+    import pyarrow as pa
+
+    long_z = "z" * 5000
+    acc = StatsAccumulator()
+    acc.update(pa.record_batch({"s": pa.array([long_z, "apple", None])}))
+    st = acc.finish()["s"]
+    assert st["nulls"] == 1
+    assert st["min"] <= "apple" and st["max"] >= long_z  # sound bounds
+    assert len(st["max"]) <= 256
+
+    path = _fresh("longstr")
+    df = spark.createDataFrame([(1, long_z), (2, "apple")], ["k", "s"])
+    LanceDataset.create(path, df.coalesce(1), max_rows_per_file=1)
+    got = spark.read.format("lance").load(path).filter(F.col("s") == long_z)
+    assert got.count() == 1  # zone maps must NOT prune the matching fragment
+
+
+def test_zone_map_all_null_column(spark):
+    path = _fresh("allnull")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(None).cast("string").alias("s")
+    )
+    ds = LanceDataset.create(path, df.coalesce(1), max_rows_per_file=50)
+    st = ds.manifest.fragments[0].stats["s"]
+    assert st == {"nulls": 50}  # bounds absent, null count kept
+    assert spark.read.format("lance").load(path).filter("s IS NULL").count() == 100
+    # IS NOT NULL prunes every fragment at planning time (Spark plans a
+    # single empty None-partition when the list is empty)
+    pruned = spark.read.format("lance").load(path).filter("s IS NOT NULL")
+    assert pruned.rdd.getNumPartitions() <= 1
+    assert pruned.count() == 0
