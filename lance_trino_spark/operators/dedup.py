@@ -242,7 +242,11 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in pairs.select(id_a, id_b).toLocalIterator():
+        # Single collect (≤ driver_edge_limit rows, two ids each) — NOT
+        # toLocalIterator, which runs one sequential job per partition and
+        # dominates wall-clock when the pair list is spread thin over many
+        # partitions.
+        for a, b in pairs.select(id_a, id_b).collect():
             for v in (a, b):
                 if v not in parent:
                     parent[v] = v
