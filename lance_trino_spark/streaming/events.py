@@ -45,10 +45,10 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream over one driver parquet table.
 
     Schema is taken from a metadata-only batch read of the same file. For
-    ``events``, parquet timestamp[ns] arrives as a nanosecond long (session
-    conf ``spark.sql.legacy.parquet.nanosAsLong``) and is exposed as both
-    ``ts_ns`` (exact) and ``ts`` (microsecond TIMESTAMP — the event-time
-    column for watermarks), exactly like ``tables.load_table``.
+    ``events``, the timestamp column is normalized to ``ts_ns`` (exact
+    BIGINT nanos) plus ``ts`` (microsecond TIMESTAMP — the event-time column
+    for watermarks), exactly like ``tables.load_table``, for every physical
+    encoding the driver has generated (timestamp[ns] or timestamp[us]).
     """
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -72,9 +72,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass  # concurrent creator won the race — same target either way
     sdf = spark.readStream.schema(schema).parquet(stream_dir)
     if name == "events":
-        sdf = sdf.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+        from ..tables import _normalize_events
+
+        sdf = _normalize_events(sdf)
     return sdf
 
 
