@@ -54,3 +54,43 @@ def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuffle") -> 
     Spark executes this as a range-partitioned sort — the standard scalable
     global sort — and changing the salt gives an independent permutation."""
     return df.orderBy(h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col)
+
+
+def source_mix_weights(
+    df: DataFrame,
+    strata_col: str,
+    target_fractions: dict[str, float],
+    weight_cap: float = 10.0,
+) -> DataFrame:
+    """Data-mixing planning: per-stratum sampling weight that reshapes the
+    observed source distribution into ``target_fractions``.
+
+    weight = target_fraction / observed_fraction, capped at ``weight_cap``
+    (a stratum with almost no data would otherwise get an unbounded
+    upsampling factor). Strata absent from the target map get weight 0 —
+    i.e. dropped from the mixture.
+
+    One tiny aggregate (#strata rows) — the 100 TB cost is a single
+    map-side-combined count per stratum; the division happens on the
+    aggregated frame. All inputs are exact integers so the double weights
+    are engine-deterministic.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("n_total"))
+    pairs = []
+    for stratum, frac in sorted(target_fractions.items()):
+        pairs.extend([F.lit(stratum), F.lit(float(frac))])
+    targets = F.create_map(*pairs)
+    target = F.coalesce(targets[F.col(strata_col)], F.lit(0.0))
+    observed = F.col("n_rows").cast("double") / F.col("n_total").cast("double")
+    weight = F.least(target / observed, F.lit(float(weight_cap)))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            "n_rows",
+            observed.alias("observed_fraction"),
+            target.alias("target_fraction"),
+            weight.alias("weight"),
+        )
+    )

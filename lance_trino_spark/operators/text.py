@@ -276,3 +276,149 @@ def repetition_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
         )
         .drop("_sh")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filtering (Rae et al. 2021 heuristics,
+# public paper): each rule a pure JVM boolean expression — narrow scan, no
+# shuffle, linear at any corpus size.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher-rule booleans + overall ``keep``.
+
+    Rules (each an independent signal for downstream analysis):
+      - word_count: token count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+      - mean_word_len: mean token length in [3, 10]
+      - symbol_ratio: ('#' + '...') occurrences / tokens < 0.1
+      - alpha_words: >= 80 % of tokens contain an alphabetic character
+      - stopwords: >= 2 distinct English stopwords present
+    """
+    out = with_tokens(df, text_col)
+    n_tok = F.size("tokens")
+    sum_len = F.expr(
+        "aggregate(transform(tokens, t -> length(t)), 0, (a, v) -> a + v)"
+    )
+    mean_len = sum_len.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    )
+    n_alpha_words = F.expr("size(filter(tokens, t -> t rlike '[a-zA-Z]'))")
+    quoted = ", ".join(f"'{m}'" for m in STOPWORDS)
+    n_distinct_stop = F.expr(
+        f"size(array_distinct(filter(tokens, t -> t IN ({quoted}))))"
+    )
+    out = (
+        out.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "rule_word_count",
+            (n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS),
+        )
+        .withColumn(
+            "rule_mean_word_len",
+            (mean_len >= GOPHER_MEAN_WORD_LEN[0])
+            & (mean_len <= GOPHER_MEAN_WORD_LEN[1]),
+        )
+        .withColumn(
+            "rule_symbol_ratio",
+            n_symbols.cast("double")
+            / F.greatest(n_tok, F.lit(1)).cast("double")
+            < GOPHER_MAX_SYMBOL_RATIO,
+        )
+        .withColumn(
+            "rule_alpha_words",
+            n_alpha_words.cast("double")
+            / F.greatest(n_tok, F.lit(1)).cast("double")
+            >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        )
+        .withColumn("rule_stopwords", n_distinct_stop >= GOPHER_MIN_DISTINCT_STOPWORDS)
+    )
+    keep = (
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_alpha_words")
+        & F.col("rule_stopwords")
+    )
+    return out.withColumn("keep", keep).drop("tokens")
+
+
+# ---------------------------------------------------------------------------
+# Accent folding: fixed single-char mapping shared verbatim with the DuckDB
+# oracle (both engines' translate() has identical 1:1-codepoint semantics).
+# ---------------------------------------------------------------------------
+ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõúùûüçñý"
+ACCENT_TO = "aaaaaaeeeeiiiiooooouuuucny"
+
+
+def fold_accents(col: Column | str, text_col_is_name: bool = True) -> Column:
+    """Deterministic accent folding + canonicalization: lowercase, fold the
+    fixed accent table, collapse whitespace, trim. Pure JVM `translate` —
+    no ICU/locale dependence, so every engine agrees byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.translate(F.lower(c), ACCENT_FROM, ACCENT_TO)
+    return F.trim(F.regexp_replace(folded, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (rational-idf variant). The classic BM25 idf is
+# ln((N-df+0.5)/(df+0.5)); we keep the *rational* idf (no log) so every
+# arithmetic step is an IEEE-754 op both engines execute in the same order —
+# scores are bit-identical, which the ln() of two libm implementations does
+# not guarantee. Ranking order is preserved (idf_rational is monotone in
+# idf_log).
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against a fixed term set with BM25 (rational
+    idf). Corpus stats (N, avgdl, per-term df) are one tiny aggregate
+    broadcast to the scoring scan — the 100 TB shape: two narrow passes,
+    no shuffle of the corpus, no Python.
+
+    Returns (id_col, dl, score) with score > 0 only for matching docs.
+    """
+    toks = with_tokens(docs.select(id_col, text_col), text_col)
+    per_doc = toks.select(
+        F.col(id_col),
+        F.size("tokens").alias("dl"),
+        *[
+            F.expr(f"size(filter(tokens, x -> x = '{t}'))").alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + norm)
+    return scored.select(id_col, "dl", score.alias("score"))

@@ -1,11 +1,11 @@
 """Event-stream analytics over the `events` table (batch shapes; the
 streaming variants live in lance_trino_spark/streaming/).
 
-`events.ts` is parquet timestamp[ns]. DuckDB truncates it to microseconds on
-read, so every time computation here works in *microseconds* (`ts_ns div
-1000` on the Spark side, `epoch_us(ts)` on the DuckDB side) and uses integer
-floor-division — both engines then agree exactly. Outputs are epoch integers,
-never raw timestamps.
+Every time computation here works in *microseconds* (`ts_ns div 1000` on the
+Spark side — tables._normalize_events guarantees `ts_ns` exists for every
+physical timestamp encoding the driver generates — and `epoch_us(ts)` on the
+DuckDB side) and uses integer floor-division, so both engines agree exactly.
+Outputs are epoch integers, never raw timestamps.
 """
 
 from __future__ import annotations
@@ -206,4 +206,81 @@ def e04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_value").desc(), "user_id")
         .limit(25)
+    )
+
+# ---------------------------------------------------------------------------
+# e05 — semi-structured JSON property extraction + aggregation. The events
+# `props` column is a JSON document; extraction stays JVM-side
+# (get_json_object) so the scan never leaves codegen.
+# ---------------------------------------------------------------------------
+@register(
+    "e05_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(MIN(k) AS INT) AS k_min,
+           CAST(MAX(k) AS INT) AS k_max,
+           COUNT(DISTINCT k) AS k_distinct
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events) t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON property extraction (props->k) + per-type aggregation",
+    tags=("events", "json"),
+)
+def e05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e06 — cohort retention: users grouped by first-seen week (cohort), counted
+# in each later activity week. Weeks are integer floor-divisions of epoch
+# microseconds, so both engines bucket identically with no calendar logic.
+# ---------------------------------------------------------------------------
+@register(
+    "e06_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week
+      FROM events),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT c.cohort_week,
+           w.week - c.cohort_week AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_users
+    FROM wk w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="weekly cohort retention matrix (first-seen week x activity week)",
+    tags=("events", "retention", "window"),
+)
+def e06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    wk = ev.select(
+        "user_id", F.expr("ts_us div 604800000000").alias("week")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
     )

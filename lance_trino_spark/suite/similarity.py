@@ -194,3 +194,69 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s06 — BM25 full-text ranking (rational-idf variant, see operators/text.py
+# bm25_scores). Oracle constants (k1+1, 1-b) are computed ONCE in Python and
+# embedded via repr() so both engines parse the identical doubles and every
+# arithmetic step happens in the same order → bit-identical scores.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("merge", "vector", "stream")
+
+
+def _bm25_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {score_terms} AS score
+    FROM per_doc, stats
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register(
+    "s06_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc="BM25 term ranking (rational idf): broadcast corpus stats, top-20",
+    tags=("similarity", "search", "text"),
+)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _BM25_TERMS)
+        .select("doc_id", F.col("dl").cast("int").alias("dl"), "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

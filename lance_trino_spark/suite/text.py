@@ -472,3 +472,182 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — Gopher-style rule-based quality filtering: per-source counts of
+# documents passing each rule (oracle generated from the same constants).
+# ---------------------------------------------------------------------------
+def _gopher_oracle() -> str:
+    from ..operators.text import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_WORD_LEN,
+        GOPHER_MIN_ALPHA_WORD_RATIO,
+        GOPHER_MIN_DISTINCT_STOPWORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    stop = _in_list(STOPWORDS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    rules AS (
+      SELECT source,
+             (len(toks) >= {GOPHER_MIN_WORDS} AND len(toks) <= {GOPHER_MAX_WORDS})
+               AS rule_word_count,
+             (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                / CAST(greatest(len(toks), 1) AS DOUBLE) >= {GOPHER_MEAN_WORD_LEN[0]}
+              AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                / CAST(greatest(len(toks), 1) AS DOUBLE) <= {GOPHER_MEAN_WORD_LEN[1]})
+               AS rule_mean_word_len,
+             (CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                / CAST(greatest(len(toks), 1) AS DOUBLE) < {GOPHER_MAX_SYMBOL_RATIO})
+               AS rule_symbol_ratio,
+             (CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                / CAST(greatest(len(toks), 1) AS DOUBLE) >= {GOPHER_MIN_ALPHA_WORD_RATIO})
+               AS rule_alpha_words,
+             (len(list_distinct(list_filter(toks, t -> t IN ({stop}))))
+                >= {GOPHER_MIN_DISTINCT_STOPWORDS})
+               AS rule_stopwords
+      FROM tok)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rule_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count,
+           CAST(SUM(CASE WHEN rule_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_word_len,
+           CAST(SUM(CASE WHEN rule_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ratio,
+           CAST(SUM(CASE WHEN rule_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+           CAST(SUM(CASE WHEN rule_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_rule,
+           CAST(SUM(CASE WHEN rule_word_count AND rule_mean_word_len
+                          AND rule_symbol_ratio AND rule_alpha_words
+                          AND rule_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM rules
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "t10_gopher_quality_filter",
+    oracle=_gopher_oracle(),
+    doc="Gopher rule-based quality filter: per-source rule pass counts",
+    tags=("text", "quality", "pipeline"),
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rules = gopher_quality_filter(docs)
+    as_int = lambda c: F.col(c).cast("long")  # noqa: E731
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(as_int("rule_word_count")).alias("n_word_count"),
+            F.sum(as_int("rule_mean_word_len")).alias("n_mean_word_len"),
+            F.sum(as_int("rule_symbol_ratio")).alias("n_symbol_ratio"),
+            F.sum(as_int("rule_alpha_words")).alias("n_alpha_words"),
+            F.sum(as_int("rule_stopwords")).alias("n_stopwords_rule"),
+            F.sum(as_int("keep")).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t11 — accent folding / canonical normalization. Accented text is injected
+# deterministically into every 11th document (both dialects build the same
+# augmented corpus), then the fold must agree byte-for-byte via md5.
+# ---------------------------------------------------------------------------
+_ACCENT_PREFIX = "Café naïve jalapeño über façade — "
+
+
+def _accent_oracle() -> str:
+    from ..operators.text import ACCENT_FROM, ACCENT_TO
+
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN '{_ACCENT_PREFIX}' || text ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               translate(lower(text), '{ACCENT_FROM}', '{ACCENT_TO}'),
+               '\\s+', ' ', 'g'))) AS folded_md5,
+           CAST(length(text)
+                - length(translate(text, '{ACCENT_FROM}{ACCENT_FROM.upper()}', ''))
+             AS INT) AS n_accented
+    FROM aug
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "t11_accent_fold",
+    oracle=_accent_oracle(),
+    doc="accent folding + canonical normalization (fixed translate table)",
+    tags=("text", "normalize", "pipeline"),
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ACCENT_FROM, fold_accents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(_ACCENT_PREFIX), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    both_cases = ACCENT_FROM + ACCENT_FROM.upper()
+    return docs.select(
+        "doc_id",
+        F.md5(fold_accents("text")).alias("folded_md5"),
+        (
+            F.length("text") - F.length(F.translate(F.col("text"), both_cases, ""))
+        ).cast("int").alias("n_accented"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t12 — data-mixing weights: reshape the observed per-source distribution
+# into a target mixture; weight = target/observed capped at 10x.
+# ---------------------------------------------------------------------------
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.2, "src2": 0.3}
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {f!r}::DOUBLE" for s, f in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_rows) AS n_total FROM counts)
+    SELECT source, n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS observed_fraction,
+           (CASE source {cases} ELSE 0.0::DOUBLE END) AS target_fraction,
+           least((CASE source {cases} ELSE 0.0::DOUBLE END)
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE)),
+                 10.0::DOUBLE) AS weight
+    FROM counts, tot
+    ORDER BY source
+    """
+
+
+@register(
+    "t12_source_mix_weights",
+    oracle=_mix_oracle(),
+    doc="data-mixing: per-source sampling weights toward a target mixture",
+    tags=("text", "sampling", "pipeline"),
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import source_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    return source_mix_weights(docs, "source", _MIX_TARGETS).orderBy("source")
