@@ -332,3 +332,80 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
     r2 = out[2]
     assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0]
     assert r2["max_abs_err"] == 0.0
+
+
+def test_gopher_quality_filter_rules(spark):
+    from lance_trino_spark.operators.text import gopher_quality_filter
+
+    good = " ".join(["the quick brown fox and some words here"] * 8)  # 64 toks
+    short = "too short"
+    symbol_soup = " ".join(["### ... ###"] * 30)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbol_soup)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["rule_word_count"] is False
+    assert rows[3]["rule_symbol_ratio"] is False
+
+
+def test_fold_accents_fixed_table(spark):
+    from lance_trino_spark.operators.text import fold_accents
+
+    df = spark.createDataFrame([(1, "  Café   NAÏVE  jalapeño ")], ["id", "t"])
+    out = df.select(fold_accents("t").alias("f")).collect()[0]["f"]
+    # Uppercase accents are lowered first, then folded; whitespace collapses.
+    assert out == "cafe naive jalapeno"
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from lance_trino_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "merge merge merge stream filler filler filler"),
+            (2, "merge filler filler filler filler filler filler"),
+            (3, "filler words only nothing else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["score"] for r in bm25_scores(df, ("merge", "stream")).collect()}
+    assert rows[1] > rows[2] > rows[3] == 0.0
+
+
+def test_source_mix_weights_cap_and_drop(spark):
+    from lance_trino_spark.operators.sampling import source_mix_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 98 + [("b",)] * 1 + [("c",)] * 1, ["src"]
+    )
+    rows = {
+        r["src"]: r
+        for r in source_mix_weights(df, "src", {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert math.isclose(rows["a"]["weight"], 0.5 / 0.98)
+    assert rows["b"]["weight"] == 10.0  # capped (target 0.5 / observed 0.01)
+    assert rows["c"]["weight"] == 0.0  # absent from target mixture
+
+
+def test_normalize_events_both_encodings(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lance_trino_spark.tables import _normalize_events
+
+    base_us = 1_700_000_000_000_000
+    for unit in ("ns", "us"):
+        arr = pa.array(
+            [base_us * 1000, (base_us + 1) * 1000] if unit == "ns" else [base_us, base_us + 1],
+            type=pa.timestamp(unit),
+        )
+        path = str(tmp_path / f"ev_{unit}.parquet")
+        pq.write_table(pa.table({"ts": arr}), path)
+        out = _normalize_events(spark.read.parquet(path))
+        got = sorted(r["ts_ns"] for r in out.select("ts_ns").collect())
+        assert got == [base_us * 1000, (base_us + 1) * 1000], unit
+        ts0 = out.orderBy("ts_ns").select("ts").collect()[0]["ts"]
+        assert ts0 == dt.datetime(2023, 11, 14, 22, 13, 20)
