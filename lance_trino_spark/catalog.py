@@ -68,11 +68,23 @@ def _ident(name: str, what: str) -> str:
 class LanceCatalog:
     """A directory namespace of Lance datasets with a SQL routing front-end."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_broadcast: bool = True,
+        broadcast_threshold_bytes: int | None = None,
+    ):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._view_ids = 0
+        # A9 statistics feed: hint broadcast for manifest-small tables in
+        # SELECT rewrites (see _select). The threshold defaults to the
+        # session's autoBroadcastJoinThreshold; pass an explicit byte count
+        # to decouple the stats feed from the session conf.
+        self.stats_broadcast = stats_broadcast
+        self.broadcast_threshold_bytes = broadcast_threshold_bytes
 
     # ------------------------------------------------------------ namespaces
     def create_namespace(self, ns: str, if_not_exists: bool = False) -> None:
@@ -453,7 +465,14 @@ class LanceCatalog:
         pinned-snapshot temp views (snapshot isolation: the version is chosen
         here, at planning time — `LanceTableHandle.java:48`), then hand the
         query to Spark SQL, which supplies the whole relational surface
-        (SURVEY §2B: the reference delegates identically to Trino)."""
+        (SURVEY §2B: the reference delegates identically to Trino).
+
+        Statistics feed (SURVEY A9, `LanceMetadata.java:561-588`
+        getTableStatistics → engine CBO): a table whose manifest-estimated
+        size is at or below the session's autoBroadcastJoinThreshold is
+        registered with a broadcast hint, so joins against it plan as
+        broadcast-hash joins even where Spark's file-size heuristics cannot
+        see through the view. Disable with ``stats_broadcast=False``."""
 
         def repl(m: re.Match) -> str:
             ns, tbl = m.group("ns"), m.group("tbl")
@@ -469,10 +488,32 @@ class LanceCatalog:
                 return m.group(0)  # not ours — leave for Spark to resolve
             self._view_ids += 1
             view = f"_lance_{ns}_{tbl}_{self._view_ids}"
-            ds.to_df(self.spark).createOrReplaceTempView(view)
+            df = ds.to_df(self.spark)
+            if (
+                self.stats_broadcast
+                and 0 <= ds.estimated_size_bytes() <= self._broadcast_threshold()
+            ):
+                df = F.broadcast(df)
+            df.createOrReplaceTempView(view)
             return f"{m.group('kw')} {view}"
 
         return self.spark.sql(self._TABLE_REF.sub(repl, q))
+
+    def _broadcast_threshold(self) -> int:
+        if self.broadcast_threshold_bytes is not None:
+            return self.broadcast_threshold_bytes
+        raw = str(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        for suffix, mult in units.items():
+            if raw.endswith(suffix + "b"):
+                return int(raw[:-2]) * mult
+            if raw.endswith(suffix):
+                return int(raw[:-1]) * mult
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        return int(raw)
 
     def _status(self, msg: str) -> DataFrame:
         return self.spark.createDataFrame([(msg,)], "status string")

@@ -119,6 +119,29 @@ class LanceDataset:
         """O(1) from the manifest — zero data scanned."""
         return self.manifest.total_rows
 
+    # Per-type in-memory row widths, the same flat defaults Spark's CBO uses
+    # when column stats are absent (fixed-width = type size, variable-width
+    # = 20 bytes). Only an *estimate* — its single job is ordering join
+    # sides and gating broadcast decisions.
+    _TYPE_WIDTHS = {
+        "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
+        "float": 4, "double": 8, "date": 4, "timestamp": 8,
+        "timestamp_ntz": 8,
+    }
+
+    def estimated_size_bytes(self) -> int:
+        """Manifest-statistics size estimate: total_rows x schema row width.
+
+        The Spark-side analogue of the reference's table statistics feed
+        (`LanceMetadata.java:561-588` getTableStatistics → CBO): the Python
+        DataSource API has no SupportsReportStatistics hook, so the catalog
+        layer consumes this directly to make stats-driven broadcast
+        decisions (see LanceCatalog._select)."""
+        width = 0
+        for f in self.schema.fields:
+            width += self._TYPE_WIDTHS.get(f.dataType.typeName(), 20)
+        return self.manifest.total_rows * max(width, 1)
+
     def versions(self) -> list[int]:
         return list_versions(self.path)
 

@@ -228,8 +228,13 @@ def connected_components(
       two label sets, each one row per distinct doc in the pair list.
     """
     pairs = pairs.persist()
-    n_edges = pairs.count()
-    if n_edges <= driver_edge_limit:
+    # One action decides the strategy AND feeds the fast path: collect up to
+    # limit+1 edges. The verified near-dup pair graph is tiny relative to the
+    # corpus, so the common case pays a single job here instead of a count
+    # job followed by a collect job (per-job overhead dominates small runs;
+    # at cluster scale one fewer stage wave).
+    edge_rows = pairs.select(id_a, id_b).limit(driver_edge_limit + 1).collect()
+    if len(edge_rows) <= driver_edge_limit:
         id_type = pairs.schema[id_a].dataType
         parent: dict = {}
         cmin: dict = {}
@@ -246,7 +251,7 @@ def connected_components(
         # toLocalIterator, which runs one sequential job per partition and
         # dominates wall-clock when the pair list is spread thin over many
         # partitions.
-        for a, b in pairs.select(id_a, id_b).collect():
+        for a, b in edge_rows:
             for v in (a, b):
                 if v not in parent:
                     parent[v] = v

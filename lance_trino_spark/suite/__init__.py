@@ -77,14 +77,15 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # Never driver-checked: newest similarity / multimodal entries
     "s04_ivf_trained_topk", "s05_int8_quantization",
     "m04_image_resize", "m05_audio_frame_energy",
-    # Never driver-checked: round-3 pipeline operators
+    # Never driver-checked: round-3 pipeline + connector entries
     "e05_json_props_stats", "e06_retention_cohorts",
     "t10_gopher_quality_filter", "t11_accent_fold",
     "t12_source_mix_weights", "s06_bm25_topk",
+    "cat07_stats_broadcast_join", "lf11_row_address_column",
     # Checked only in round 1 — re-affirm
     "lf01_roundtrip_scan", "lf02_time_travel",
-    "s01_cosine_topk", "s02_bucketed_ann_topk", "s03_embedding_neardup",
-    "m01_image_decode", "m02_frame_sampling", "m03_blob_columns",
+    "s02_bucketed_ann_topk", "s03_embedding_neardup",
+    "m02_frame_sampling", "m03_blob_columns",
     # Representative core with green rows in rounds 1 AND 2 (one per
     # Layer-B capability family: agg scan, window, events, text, dedup LSH)
     "q01_pricing_summary", "q24_window_running_revenue",

@@ -252,3 +252,55 @@ def cat06(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM ops.o WHERE o_orderkey >= 500 AND o_orderkey < 5000 "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat07 — statistics-driven join planning (A9): the catalog feeds the
+# manifest row-count estimate into the join strategy (the Spark-side
+# analogue of getTableStatistics → CBO, `LanceMetadata.java:561-588`). The
+# dim side is manifest-small → broadcast-hash join, asserted on the physical
+# plan with Spark's own size-based broadcasting disabled.
+# ---------------------------------------------------------------------------
+@register(
+    "cat07_stats_broadcast_join",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="catalog: manifest-stats broadcast join (A9 statistics feed)",
+    tags=("catalog", "stats", "join"),
+)
+def cat07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat07")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_cat07_nation")
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).createOrReplaceTempView("_cat07_cust")
+    cat.sql("CREATE SCHEMA geo")
+    cat.sql("CREATE TABLE geo.nation AS SELECT * FROM _cat07_nation")
+    cat.sql("CREATE TABLE geo.customer AS SELECT * FROM _cat07_cust")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # Threshold covers nation (25 rows) but not customer — only the
+        # stats feed can produce a broadcast join here.
+        cat.broadcast_threshold_bytes = 1 << 20
+        out = cat.sql(
+            "SELECT n.n_name, COUNT(*) AS n_cust, "
+            "CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal "
+            "FROM geo.customer c JOIN geo.nation n "
+            "ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name ORDER BY n.n_name"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" not in plan:
+            raise AssertionError(
+                "stats feed failed to broadcast the manifest-small side"
+            )
+        out = out.localCheckpoint()  # pin results before restoring the conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out

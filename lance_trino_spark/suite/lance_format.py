@@ -434,3 +434,47 @@ def lf10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("s_suppkey").alias("s_cnt"))
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf11 — the $row_address hidden column (SURVEY §1.1 "Row address",
+# `RowAddress.java:22-43`, `LanceFragmentPageSource.java:62-75`): 64-bit
+# fragment_id << 32 | row_index, selectable on scan. The dataset is built
+# from a single sorted partition with a fixed rows-per-file so the oracle
+# can recompute every address from row_number arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "lf11_row_address_column",
+    oracle="""
+    WITH rn AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn
+      FROM documents)
+    SELECT doc_id,
+           (rn // 200) * 4294967296 + (rn % 200) AS rowaddr,
+           CAST(rn // 200 AS BIGINT) AS fragment_id,
+           CAST(rn % 200 AS BIGINT) AS row_index
+    FROM rn
+    ORDER BY doc_id
+    """,
+    doc="format: $row_address virtual column (fragment_id << 32 | row_index)",
+    tags=("format", "rowaddr"),
+)
+def lf11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import fragment_id_of, row_index_of
+
+    path = _fresh_path(sf_dir, "lf11")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    ds = LanceDataset.create(path, docs, max_rows_per_file=200)
+    out = ds.to_df(spark, with_row_address=True)
+    return out.select(
+        "doc_id",
+        F.col("_rowaddr").alias("rowaddr"),
+        fragment_id_of(F.col("_rowaddr")).alias("fragment_id"),
+        row_index_of(F.col("_rowaddr")).alias("row_index"),
+    ).orderBy("doc_id")

@@ -233,3 +233,36 @@ def test_describe_history(cat, spark):
     ]
     assert hist[2]["total_rows"] == 200 and hist[3]["total_rows"] == 190
     assert hist[3]["read_version"] == 2
+
+
+def test_stats_broadcast_join_planning(cat, spark):
+    cat.sql("CREATE SCHEMA db")
+    _src(spark, 2000).createOrReplaceTempView("_cat_fact")
+    _src(spark, 10).createOrReplaceTempView("_cat_dim")
+    cat.sql("CREATE TABLE db.fact AS SELECT k, g FROM _cat_fact")
+    cat.sql("CREATE TABLE db.dim AS SELECT g AS g2, g * 10 AS label FROM _cat_dim")
+    q = (
+        "SELECT f.g, COUNT(*) AS n FROM db.fact f "
+        "JOIN db.dim d ON f.g = d.g2 GROUP BY f.g"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # Manifest estimate of dim (10 rows) is under the threshold; only
+        # the A9 stats feed can introduce a broadcast here.
+        cat.broadcast_threshold_bytes = 10_000
+        plan = cat.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        cat.stats_broadcast = False
+        plan_off = cat.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_off
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_estimated_size_bytes_tracks_rows(cat, spark):
+    cat.sql("CREATE SCHEMA db")
+    _src(spark, 500).createOrReplaceTempView("_cat_sz")
+    cat.sql("CREATE TABLE db.s AS SELECT k, g FROM _cat_sz")
+    ds = cat.load("db", "s")
+    assert ds.estimated_size_bytes() == 500 * 16  # two long columns
