@@ -61,6 +61,10 @@ DEFAULT_QUERIES = [
     "t07_pii_redaction",
     "t08_document_chunking",
     "m04_image_resize",
+    "e07_asof_join",
+    "s06_bm25_topk",
+    "t10_gopher_quality_filter",
+    "cat07_stats_broadcast_join",
 ]
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import normalize_text, tokens
 
@@ -422,3 +423,36 @@ def bm25_scores(
         tf = F.col(f"tf_{i}").cast("double")
         score = score + idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + norm)
     return scored.select(id_col, "dl", score.alias("score"))
+
+
+def sequence_packing_plan(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    group_col: str | None = None,
+    token_budget: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous sequence-packing plan: assign documents (in a deterministic
+    order) to fixed token-budget bins by cumulative token count —
+    bin = floor(tokens_before / budget). The pre-tokenization packing step
+    of a training pipeline, as a pure window computation: one shuffle by
+    ``group_col`` (or a single global ordering when None), no Python.
+
+    Contiguous packing intentionally lets a document straddle a bin
+    boundary (its tokens fill the tail of one bin and the head of the
+    next) — the plan records ``bin`` (where the document starts) and
+    ``offset_in_bin`` for the consumer to slice.
+    """
+    n_tok = token_count(text_col)
+    parts = [group_col] if group_col else []
+    w = (
+        W.partitionBy(*parts).orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = df.withColumn("n_tokens", n_tok).withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return out.withColumn(
+        "bin", (F.col("tokens_before") / F.lit(token_budget)).cast("long")
+    ).withColumn(
+        "offset_in_bin", F.col("tokens_before") % F.lit(token_budget)
+    )

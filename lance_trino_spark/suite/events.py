@@ -284,3 +284,97 @@ def e06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# e07 — as-of join (union-window composition, operators/asof.py): each error
+# event picks up the user's most recent purchase value at-or-before it. The
+# DuckDB oracle uses its native ASOF JOIN — two independent implementations
+# of the same semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "e07_asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events),
+    err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+    purch AS (
+      SELECT user_id, ts_us, MAX(value) AS last_purchase_value
+      FROM ev WHERE event_type = 'purchase'
+      GROUP BY user_id, ts_us)
+    SELECT e.event_id, e.user_id, e.ts_us, p.last_purchase_value
+    FROM err e ASOF LEFT JOIN purch p
+      ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+    ORDER BY e.event_id
+    """,
+    doc="as-of join: latest prior purchase value per error event",
+    tags=("events", "asof", "join"),
+)
+def e07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    # one right row per (key, ts): the asof determinism contract
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        errors,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["last_purchase_value"],
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# e08 — KMV distinct-count sketch (operators/sketches.py): engine-portable
+# bottom-k estimate, exact DuckDB replica of the same arithmetic — unlike
+# HLL-based approx_count_distinct, which can never be oracle-compared.
+# ---------------------------------------------------------------------------
+@register(
+    "e08_kmv_distinct_sketch",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed),
+    kept AS (SELECT * FROM ranked WHERE rn <= 64),
+    sk AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+      FROM kept GROUP BY event_type)
+    SELECT s.event_type, s.n_kept, s.kth_hash,
+           CASE WHEN s.n_kept < 64 THEN CAST(s.n_kept AS DOUBLE)
+                ELSE 63.0 * 4294967296.0 / CAST(s.kth_hash AS DOUBLE)
+           END AS kmv_estimate,
+           x.n_exact
+    FROM sk s JOIN (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type) x
+      ON s.event_type = x.event_type
+    ORDER BY s.event_type
+    """,
+    doc="KMV bottom-k distinct sketch vs exact count, bit-identical engines",
+    tags=("events", "sketch", "approx"),
+)
+def e08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, "event_type", "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").orderBy("event_type")

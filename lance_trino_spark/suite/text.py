@@ -651,3 +651,57 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("source")
     return source_mix_weights(docs, "source", _MIX_TARGETS).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# t13 — sequence-packing plan: contiguous token-budget bin assignment per
+# source via window cumsum (the pre-tokenization packing step).
+# ---------------------------------------------------------------------------
+@register(
+    "t13_sequence_packing",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM tok),
+    plan AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(tokens_before // 2048 AS BIGINT) AS bin,
+             tokens_before % 2048 AS offset_in_bin
+      FROM cum)
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(offset_in_bin) AS BIGINT) AS max_offset
+    FROM plan
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    doc="sequence packing: contiguous token-budget bins via window cumsum",
+    tags=("text", "packing", "pipeline"),
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import sequence_packing_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    plan = sequence_packing_plan(
+        docs, order_col="doc_id", group_col="source", token_budget=2048
+    )
+    return (
+        plan.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("offset_in_bin").alias("max_offset"),
+        )
+        .orderBy("source", "bin")
+    )

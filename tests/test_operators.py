@@ -409,3 +409,64 @@ def test_normalize_events_both_encodings(spark, tmp_path):
         assert got == [base_us * 1000, (base_us + 1) * 1000], unit
         ts0 = out.orderBy("ts_ns").select("ts").collect()[0]["ts"]
         assert ts0 == dt.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_asof_join_semantics(spark):
+    from lance_trino_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "k"), (2, 20, "k"), (3, 5, "k"), (4, 20, "j")],
+        ["lid", "ts", "k_col"],
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 1.0), (15, "k", 2.0), (25, "k", 3.0), (19, "j", 9.0)],
+        ["ts", "k_col", "val"],
+    )
+    out = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            left, right, ["k_col"], "ts", "ts", ["val"]
+        ).collect()
+    }
+    # inclusive: lid=1 at ts=10 sees the ts=10 right row
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: 9.0}
+    strict = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            left, right, ["k_col"], "ts", "ts", ["val"], strict=True
+        ).collect()
+    }
+    # strict: lid=1 at ts=10 must NOT see the ts=10 right row
+    assert strict == {1: None, 2: 2.0, 3: None, 4: 9.0}
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    from lance_trino_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", f"v{i}") for i in range(10)]
+    rows += [("big", f"u{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    # below k: exact
+    assert out["small"]["n_kept"] == 10 and out["small"]["kmv_estimate"] == 10.0
+    # at/above k: estimate within 30% of truth for k=64
+    assert out["big"]["n_kept"] == 64
+    assert abs(out["big"]["kmv_estimate"] - 500) / 500 < 0.3
+
+
+def test_sequence_packing_bins(spark):
+    from lance_trino_spark.operators.text import sequence_packing_plan
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 60) for i in range(10)], ["doc_id", "text"]
+    )
+    plan = {
+        r["doc_id"]: r
+        for r in sequence_packing_plan(docs, token_budget=100).collect()
+    }
+    # 60-token docs: doc0 starts bin 0 offset 0, doc1 starts bin 0 offset 60,
+    # doc2 starts bin 1 offset 20 (120 tokens before), ...
+    assert (plan[0]["bin"], plan[0]["offset_in_bin"]) == (0, 0)
+    assert (plan[1]["bin"], plan[1]["offset_in_bin"]) == (0, 60)
+    assert (plan[2]["bin"], plan[2]["offset_in_bin"]) == (1, 20)
+    assert plan[9]["tokens_before"] == 540
