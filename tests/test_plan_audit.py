@@ -23,13 +23,25 @@ CLEAN_QUERIES = [
     "e01_hourly_event_stats",
     "t01_token_stats",
     "d01_exact_dedup",
+    # round-3 operators: asof (union-window), BM25 (broadcast stats),
+    # Gopher rules (narrow scan), packing (window cumsum), KMV (bottom-k)
+    "e07_asof_join",
+    "s06_bm25_topk",
+    "t10_gopher_quality_filter",
+    "t13_sequence_packing",
+    "e08_kmv_distinct_sketch",
 ]
+
+# Sanctioned exceptions: a crossJoin against a BROADCAST single-row stats
+# frame plans as BroadcastNestedLoopJoin — the legitimate scalar-subquery
+# shape (every row needs the same corpus aggregate).
+ALLOW_NESTED_LOOP = {"s06_bm25_topk"}
 
 
 @pytest.mark.parametrize("name", CLEAN_QUERIES)
 def test_headline_query_plans_audit_clean(spark, name):
     df = all_queries()[name].build(spark, SF_DIR)
-    assert audit_plan(df) == []
+    assert audit_plan(df, allow_nested_loop=name in ALLOW_NESTED_LOOP) == []
 
 
 def test_audit_flags_cartesian_product(spark):
