@@ -88,3 +88,54 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("_side") == left_side).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval range join without a nested-loop plan: every left
+    row joins the right intervals containing its point, per key.
+
+    Spark plans `l.ts BETWEEN r.start AND r.end` (plus an equi-key) as a
+    hash join on the key with the range as a post-join filter — fine until
+    one key holds many intervals. This composition buckets TIME as well:
+    intervals are exploded to the fixed-width buckets they overlap, points
+    map to exactly one bucket, and the join becomes a pure equi-join on
+    (key, bucket) with the precise range check as a residual filter. Join
+    fan-in per (key, bucket) is bounded by interval density per bucket —
+    the standard interval-bucketing recipe. A left point falls in exactly
+    one bucket, so no dedup pass is needed.
+
+    ``bucket_width`` should be on the order of typical interval length:
+    much smaller explodes intervals into many buckets; much larger degrades
+    toward the per-key hash join.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    r = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{right_start} div {bucket_width}"),
+                F.expr(f"{right_end} div {bucket_width}"),
+            )
+        ),
+    )
+    l_b = left.withColumn("_bucket", F.expr(f"{left_point} div {bucket_width}"))
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in key_cols] + [
+        F.col("l._bucket") == F.col("r._bucket"),
+        F.col(f"l.{left_point}") >= F.col(f"r.{right_start}"),
+        F.col(f"l.{left_point}") <= F.col(f"r.{right_end}"),
+    ]
+    joined = l_b.alias("l").join(r.alias("r"), cond)
+    keep_r = [c for c in right.columns if c not in set(left.columns)]
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in keep_r],
+    )

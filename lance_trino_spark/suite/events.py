@@ -378,3 +378,64 @@ def e08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     )
     return sk.join(exact, "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# e09 — bucketed range join (operators/asof.py:range_join): error events
+# landing inside the 1-hour window after each purchase by the same user.
+# The oracle is the plain BETWEEN join — same semantics, independent plan.
+# ---------------------------------------------------------------------------
+@register(
+    "e09_range_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts_us AS start_us,
+             ts_us + 3600000000 AS end_us
+      FROM ev WHERE event_type = 'purchase'),
+    err AS (SELECT event_id AS error_id, user_id, ts_us FROM ev
+            WHERE event_type = 'error')
+    SELECT p.purchase_id, COUNT(*) AS n_errors,
+           CAST(MIN(e.error_id) AS BIGINT) AS first_error_id
+    FROM err e JOIN purch p
+      ON e.user_id = p.user_id
+     AND e.ts_us >= p.start_us AND e.ts_us <= p.end_us
+    GROUP BY p.purchase_id
+    ORDER BY p.purchase_id
+    """,
+    doc="bucketed interval join: errors within 1h after each purchase",
+    tags=("events", "range-join"),
+)
+def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join
+
+    ev = _ev(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + 3_600_000_000).alias("end_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts_us"
+    )
+    joined = range_join(
+        err,
+        purch,
+        key_cols=["user_id"],
+        left_point="ts_us",
+        right_start="start_us",
+        right_end="end_us",
+        bucket_width=3_600_000_000,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.min("error_id").alias("first_error_id"),
+        )
+        .orderBy("purchase_id")
+    )

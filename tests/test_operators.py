@@ -470,3 +470,24 @@ def test_sequence_packing_bins(spark):
     assert (plan[1]["bin"], plan[1]["offset_in_bin"]) == (0, 60)
     assert (plan[2]["bin"], plan[2]["offset_in_bin"]) == (1, 20)
     assert plan[9]["tokens_before"] == 540
+
+
+def test_range_join_interval_containment(spark):
+    from lance_trino_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 50), (2, "k", 150), (3, "k", 1500), (4, "j", 50)],
+        ["lid", "kc", "pt"],
+    )
+    right = spark.createDataFrame(
+        [("k", 0, 100, "w1"), ("k", 40, 60, "w2"), ("k", 1400, 2600, "w3")],
+        ["kc", "s", "e", "tag"],
+    )
+    out = sorted(
+        (r["lid"], r["tag"])
+        for r in range_join(left, right, ["kc"], "pt", "s", "e", 100).collect()
+    )
+    # lid=1 in w1 and w2; lid=2 matches nothing (150 > both ends);
+    # lid=3 in w3 (interval spans many buckets — must not duplicate);
+    # lid=4 wrong key.
+    assert out == [(1, "w1"), (1, "w2"), (3, "w3")]
