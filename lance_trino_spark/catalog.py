@@ -319,9 +319,11 @@ class LanceCatalog:
 
     def _h_optimize(self, m) -> DataFrame:
         """Maintenance: `OPTIMIZE <schema>.<table> [TARGET n ROWS]
-        [SORT BY col, ...]` — rewrite small / deletion-bearing fragments
-        (format-layer compaction); SORT BY rewrites everything clustered so
-        zone maps prune range filters."""
+        [SORT BY col, ... | ZORDER BY (col, ...)]` — rewrite small /
+        deletion-bearing fragments (format-layer compaction); SORT BY
+        rewrites everything clustered on one key order, ZORDER BY on a
+        Morton interleave of several columns so zone maps prune filters on
+        any of them."""
         ds = self.load(m.group("ns"), m.group("tbl"))
         before = len(ds.manifest.fragments)
         kwargs = {}
@@ -329,6 +331,8 @@ class LanceCatalog:
             kwargs["target_rows_per_file"] = int(m.group("target"))
         if m.group("sort"):
             kwargs["sort_by"] = [c.strip() for c in m.group("sort").split(",")]
+        if m.group("zorder"):
+            kwargs["zorder_by"] = [c.strip() for c in m.group("zorder").split(",")]
         out = ds.compact(self.spark, **kwargs)
         return self._status(
             f"optimized {m.group('ns')}.{m.group('tbl')} "
@@ -437,7 +441,8 @@ class LanceCatalog:
         (
             rf"OPTIMIZE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
             rf"(?:\s+TARGET\s+(?P<target>\d+)\s+ROWS)?"
-            rf"(?:\s+SORT\s+BY\s+(?P<sort>{_IDENT}(?:\s*,\s*{_IDENT})*))?$",
+            rf"(?:\s+SORT\s+BY\s+(?P<sort>{_IDENT}(?:\s*,\s*{_IDENT})*)"
+            rf"|\s+ZORDER\s+BY\s+\(?\s*(?P<zorder>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?)?$",
             _h_optimize,
         ),
         (

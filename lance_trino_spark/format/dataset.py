@@ -426,12 +426,58 @@ class LanceDataset:
             "retained_versions": retained,
         }
 
+    def _zorder_column(self, df: DataFrame, cols: list[str]) -> Column:
+        """Morton (Z-order) value over min/max-scaled 16-bit buckets of the
+        given numeric columns. Column bounds come from the manifest zone
+        maps when every fragment carries them — zero extra scan; otherwise
+        one tiny min/max aggregate runs. Interleaving bit b of each column
+        into position b*m+i gives the classic multi-dimensional locality:
+        fragments cut from a Z-sorted order hold small ranges of EVERY
+        z-column, so zone maps prune filters on any of them (the reference
+        delegates the same job to Lance's scalar indexes below the scan,
+        `docs/src/performance.md` "Index Usage")."""
+        bounds: dict[str, tuple[float, float]] = {}
+        frags = self.manifest.fragments
+        for c in cols:
+            if frags and all(
+                f.stats and c in f.stats and "min" in f.stats[c] for f in frags
+            ):
+                bounds[c] = (
+                    min(f.stats[c]["min"] for f in frags),
+                    max(f.stats[c]["max"] for f in frags),
+                )
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            row = df.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in missing],
+                *[F.max(c).alias(f"mx_{c}") for c in missing],
+            ).collect()[0]
+            for c in missing:
+                bounds[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+        m = len(cols)
+        zval = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            lo, hi = bounds[c]
+            if lo is None or hi is None or hi == lo:
+                continue  # constant / all-null column contributes nothing
+            bucket = F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                * F.lit(65535.0 / (float(hi) - float(lo)))
+            ).cast("long")
+            bucket = F.greatest(F.lit(0), F.least(F.lit(65535), bucket))
+            for b in range(16):
+                zval = zval + F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * m + i
+                )
+        return zval
+
     def compact(
         self,
         spark: SparkSession,
         target_rows_per_file: int = MAX_ROWS_PER_FILE,
         small_file_threshold: float = 0.5,
         sort_by: str | list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> "LanceDataset":
         """Compaction: rewrite small and deletion-heavy fragments into
         full-size ones (the small-file problem is THE operational issue of
@@ -446,14 +492,20 @@ class LanceDataset:
 
         With ``sort_by``, ALL fragments are rewritten clustered on the given
         column(s) (range-sorted write) so fragment zone maps carry disjoint
-        key ranges and range filters prune at planning time — the
-        Z-order-lite layout optimization every lakehouse OPTIMIZE offers.
+        key ranges and range filters prune at planning time. With
+        ``zorder_by``, the rewrite clusters on a Morton value interleaving
+        the given numeric columns — fragments then hold small ranges of
+        EVERY listed column, so zone maps prune filters on any of them
+        (single-column sort optimizes only its own column).
         """
+        if sort_by is not None and zorder_by is not None:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         small_cut = int(small_file_threshold * target_rows_per_file)
         rewrite = [
             f
             for f in self.manifest.fragments
             if sort_by is not None
+            or zorder_by is not None
             or f.deletion is not None
             or f.num_rows < small_cut
         ]
@@ -488,6 +540,13 @@ class LanceDataset:
             # disjoint key ranges (zone-map-friendly layout)
             cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
             df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+        elif zorder_by is not None:
+            df = (
+                df.withColumn("_zval", self._zorder_column(df, list(zorder_by)))
+                .repartitionByRange(n_files, "_zval")
+                .sortWithinPartitions("_zval")
+                .drop("_zval")
+            )
         else:
             df = df.coalesce(n_files)
         staged = self._stage_dataframe(df, self.path, target_rows_per_file)

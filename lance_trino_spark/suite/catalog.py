@@ -304,3 +304,58 @@ def cat07(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
+
+
+# ---------------------------------------------------------------------------
+# cat08 — Z-order clustering via SQL: OPTIMIZE ... ZORDER BY (a, b) rewrites
+# the table on a Morton interleave so fragment zone maps prune range filters
+# on BOTH columns (a single-column sort optimizes only its own column).
+# Values must be unchanged after the rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "cat08_sql_zorder_optimize",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+      AND o_custkey >= 100 AND o_custkey < 700
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="catalog: OPTIMIZE ZORDER BY clusters two columns, values identical",
+    tags=("catalog", "maintenance", "zorder"),
+)
+def cat08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat08")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    ).createOrReplaceTempView("_cat08_orders")
+    cat.sql("CREATE SCHEMA ops")
+    # scrambled insert order → no natural clustering on either column
+    cat.sql(
+        "CREATE TABLE ops.o AS SELECT * FROM _cat08_orders "
+        "ORDER BY md5(CAST(o_orderkey AS STRING))"
+    )
+    cat.sql("OPTIMIZE ops.o TARGET 2000 ROWS ZORDER BY (o_orderkey, o_custkey)")
+    ds = cat.load("ops", "o")
+    frags = ds.manifest.fragments
+    if len(frags) > 1:
+        # Z-order must shrink per-fragment ranges on BOTH columns: the mean
+        # fragment range must be well under the full span (a scrambled
+        # layout gives every fragment ~the full span on both).
+        for col in ("o_orderkey", "o_custkey"):
+            spans = [f.stats[col]["max"] - f.stats[col]["min"] for f in frags]
+            full = max(f.stats[col]["max"] for f in frags) - min(
+                f.stats[col]["min"] for f in frags
+            )
+            if sum(spans) / len(spans) > 0.8 * full:
+                raise AssertionError(
+                    f"ZORDER left {col} unclustered: spans {spans} vs full {full}"
+                )
+    return cat.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum "
+        "FROM ops.o WHERE o_orderkey >= 1000 AND o_orderkey < 3000 "
+        "AND o_custkey >= 100 AND o_custkey < 700 "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )

@@ -261,3 +261,29 @@ def test_merge_rejects_duplicate_source_match(spark, tmp_ds_path):
     src = spark.createDataFrame([(1, 10), (1, 20)], ["x", "y"])
     with pytest.raises(dml.MergeError):
         dml.merge(ds, spark, src, on="x", matched_update={"y": "_src_y"})
+
+
+def test_compact_zorder_clusters_both_columns(spark, tmp_path):
+    import pytest as _pytest
+
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    # scrambled 2-D grid: no natural order on either axis
+    df = (
+        spark.range(4096)
+        .selectExpr("id % 64 AS x", "id div 64 AS y", "md5(string(id)) AS salt")
+        .orderBy("salt")
+        .drop("salt")
+    )
+    ds = LanceDataset.create(str(tmp_path / "z.lance"), df, max_rows_per_file=512)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        ds.compact(spark, sort_by=["x"], zorder_by=["x", "y"])
+    out = ds.compact(spark, target_rows_per_file=512, zorder_by=["x", "y"])
+    frags = out.manifest.fragments
+    assert len(frags) > 4
+    for col in ("x", "y"):
+        spans = [f.stats[col]["max"] - f.stats[col]["min"] for f in frags]
+        assert sum(spans) / len(spans) < 0.5 * 63, col
+    # values survive the rewrite
+    assert out.to_df(spark).count() == 4096
+    assert out.to_df(spark).agg({"x": "sum"}).collect()[0][0] == 4096 * 63 // 2
