@@ -11,10 +11,12 @@ Determinism contract (matches suite/__init__.py):
     converted to integer cents *before* any Python boundary;
   - event time is microseconds (``ts_ns div 1000``), identical to DuckDB's
     ns→us truncation;
-  - the single-parquet-file source yields exactly ONE data microbatch under
-    AvailableNow, so update-mode emissions are final values. The operators
-    remain correct streaming plans for multi-batch sources; only the
-    harness's "collect once" shortcut assumes a single batch.
+  - the single-parquet-file source (``stream_table``) yields exactly ONE
+    data microbatch under AvailableNow, so update-mode emissions are final
+    values there; ``stream_table_multibatch`` stages several slices with
+    maxFilesPerTrigger to run the same plans across REAL microbatch
+    boundaries (cross-trigger state), with monotone post-hoc reduction of
+    the update-mode emissions.
 """
 
 from __future__ import annotations
@@ -423,3 +425,124 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(out.collect(), out.schema)  # detach from scratch
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-microbatch source: the single-file testdata stream yields one batch
+# under AvailableNow, which exercises the operators but not cross-batch
+# state. This variant stages the table as several parquet slices and caps
+# files-per-trigger so the SAME streaming plans run across real microbatch
+# boundaries (state save/restore between triggers).
+# ---------------------------------------------------------------------------
+def stream_table_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_slices: int = 4,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over ``n_slices`` staged slices of one driver
+    table, ``files_per_trigger`` files per microbatch. Slices are written
+    once per (sf_dir, table) from a deterministic row split (id mod) and
+    reused across runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    stage_dir = os.path.join(
+        tempfile.gettempdir(),
+        "lts_stream_mb",
+        sf_dir.strip("/").replace("/", "_"),
+        f"{name}_{n_slices}",
+    )
+    done = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(stage_dir, exist_ok=True)
+        table = pq.read_table(path)
+        ids = table.column(0).to_numpy()  # first column is the id column
+        for i in range(n_slices):
+            mask = pa.array(ids % n_slices == i)
+            pq.write_table(
+                table.filter(mask), os.path.join(stage_dir, f"part-{i:04d}.parquet")
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage_dir)
+    )
+    if name == "events":
+        from ..tables import _normalize_events
+
+        sdf = _normalize_events(sdf)
+    return sdf
+
+
+def multibatch_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats accumulated across FOUR microbatches in update
+    mode, proving state survives trigger boundaries.
+
+    The memory sink holds one emission per (user, batch-it-changed-in);
+    count/min/max are monotone across updates, so the final state per user
+    is max(n_events), min(first_us), max(last_us) over its emissions — a
+    deterministic reduction regardless of how the source batched the files.
+    """
+    ev = stream_table_multibatch(spark, sf_dir, "events", n_slices=4)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.expr("ts_ns div 1000")).alias("first_us"),
+        F.max(F.expr("ts_ns div 1000")).alias("last_us"),
+    )
+    out, n_batches = run_to_memory_counted(agg, "update")
+    if n_batches < 2:
+        raise AssertionError(
+            f"multibatch source produced {n_batches} microbatch(es); "
+            "cross-batch state was not exercised"
+        )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def run_to_memory_counted(sdf: DataFrame, output_mode: str):
+    """run_to_memory variant that also reports how many data microbatches
+    the AvailableNow drain executed (for multi-batch assertions)."""
+    name = f"lts_sink_{os.getpid()}_{next(_SINK_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix="lts_ckpt_")
+    spark = sdf.sparkSession
+    n_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        n_batches = sum(
+            1 for p in query.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result, n_batches

@@ -131,3 +131,29 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import cdc_upsert_stream
 
     return cdc_upsert_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# st07 — cross-microbatch state: the same update-mode aggregation run over a
+# FOUR-microbatch source (maxFilesPerTrigger=1 over staged slices). The
+# operator itself asserts >= 2 data batches executed, so this entry fails
+# loudly if the source ever degenerates to one batch.
+# ---------------------------------------------------------------------------
+@register(
+    "st07_stream_multibatch_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="streaming: per-user state accumulated across 4 real microbatches",
+    tags=("streaming", "state", "multibatch"),
+)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import multibatch_user_stats_stream
+
+    return multibatch_user_stats_stream(spark, sf_dir)
