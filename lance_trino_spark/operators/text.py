@@ -456,3 +456,24 @@ def sequence_packing_plan(
     ).withColumn(
         "offset_in_bin", F.col("tokens_before") % F.lit(token_budget)
     )
+
+
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def link_density(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Link-density boilerplate signal: URL count and the fraction of
+    characters inside URLs per document (link farms / nav pages score
+    high). Pure JVM regexp — narrow scan, no shuffle."""
+    urls = F.regexp_count(F.col(text_col), F.lit(URL_PATTERN))
+    url_chars = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), URL_PATTERN, "")
+    )
+    return (
+        df.withColumn("n_urls", urls)
+        .withColumn(
+            "link_char_ratio",
+            url_chars.cast("double")
+            / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double"),
+        )
+    )

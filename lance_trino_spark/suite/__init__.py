@@ -84,10 +84,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat07_stats_broadcast_join", "lf11_row_address_column",
     "e07_asof_join", "e08_kmv_distinct_sketch", "t13_sequence_packing",
     "e09_range_join", "cat08_sql_zorder_optimize",
-    "st07_stream_multibatch_state",
+    "st07_stream_multibatch_state", "t14_link_density",
     # Checked only in round 1 — re-affirm
-    "lf01_roundtrip_scan", "lf02_time_travel",
-    "m03_blob_columns",
+    "lf02_time_travel", "m03_blob_columns",
     # Representative core with green rows in rounds 1 AND 2 (one per
     # Layer-B capability family: agg scan, window, dedup LSH + clustering)
     "q01_pricing_summary",

@@ -705,3 +705,74 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# t14 — link-density boilerplate signal. URLs are injected deterministically
+# into every 9th document so both dialects score the identical corpus.
+# ---------------------------------------------------------------------------
+def _link_oracle() -> str:
+    from ..operators.text import URL_PATTERN
+
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || ' see https://ex.org/a/' || CAST(doc_id AS VARCHAR)
+                       || ' and http://b.io/p' || CAST(doc_id % 7 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents),
+    sig AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{URL_PATTERN}')) AS INT) AS n_urls,
+             CAST(length(text) - length(regexp_replace(text, '{URL_PATTERN}', '', 'g'))
+               AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+               AS link_char_ratio
+      FROM aug)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_links,
+           CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+           MAX(link_char_ratio) AS max_ratio
+    FROM sig
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "t14_link_density",
+    oracle=_link_oracle(),
+    doc="link-density boilerplate signal (URL count + char ratio)",
+    tags=("text", "quality", "pipeline"),
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import link_density
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://ex.org/a/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and http://b.io/p"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sig = link_density(docs)
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_urls") > 0).cast("long")).alias("n_with_links"),
+            F.sum("n_urls").alias("total_urls"),
+            F.max("link_char_ratio").alias("max_ratio"),
+        )
+        .orderBy("source")
+    )
