@@ -744,6 +744,16 @@ class LanceSparkDataSource(DataSource):
         return LanceStreamWriter(self._path(), schema, overwrite, dict(self.options))
 
 
+_REGISTERED: set = set()
+
+
 def register_lance_datasource(spark) -> None:
-    """Idempotently register format('lance') on a session."""
+    """Idempotently register format('lance') on a session — truly once:
+    re-registering replaces the entry in the JVM DataSourceManager (it logs
+    'replaced a previously registered data source' per call), re-pickles the
+    class, and defeats any caching keyed on the registered source."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return
     spark.dataSource.register(LanceSparkDataSource)
+    _REGISTERED.add(key)
