@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     EqualTo,
     Filter,
@@ -742,6 +743,95 @@ class LanceSparkDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
         return LanceStreamWriter(self._path(), schema, overwrite, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> "LanceStreamReader":
+        return LanceStreamReader(self._path(), schema, dict(self.options))
+
+
+class LanceStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE tailing the dataset's version log (Delta-style
+    table streaming): each microbatch reads the fragments APPENDED between
+    two committed versions; the offset is simply the last consumed version.
+    Offsets live in Spark's checkpoint, so a restarted query resumes at the
+    exact version it left off.
+
+    Append-only contract: a version whose commit removed or rewrote
+    fragments (delete/update/overwrite/compaction) cannot be represented as
+    an append batch — the reader fails loudly rather than emit wrong rows,
+    the same honesty as Delta's default (non-CDF) streaming source.
+
+    Options: ``startingVersion`` (default 1 = replay from table creation).
+    """
+
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self._path = path
+        self._schema = schema
+        self._batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+        self._start = int(options.get("startingversion", 1))
+
+    def initialOffset(self) -> dict:
+        # "everything strictly after version start-1 is unconsumed"
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": latest_version(self._path)}
+
+    @staticmethod
+    def _frag_key(f) -> tuple:
+        return (
+            f.id,
+            f.path,
+            f.physical_rows,
+            f.deletion.path if f.deletion else None,
+        )
+
+    def partitions(self, start: dict, end: dict) -> Sequence["LanceFragmentPartition"]:
+        out: list[LanceFragmentPartition] = []
+        sv, ev = int(start["version"]), int(end["version"])
+        prev: dict = (
+            {f.id: self._frag_key(f) for f in read_manifest(self._path, sv).fragments}
+            if sv >= 1
+            else {}
+        )
+        for v in range(sv + 1, ev + 1):
+            mf = read_manifest(self._path, v)
+            cur = {f.id: f for f in mf.fragments}
+            # every previously-seen fragment must survive UNCHANGED (same
+            # file, same row count, same deletion state) — anything else is
+            # a rewrite this append-only source cannot represent
+            if any(
+                fid not in cur or self._frag_key(cur[fid]) != key
+                for fid, key in prev.items()
+            ):
+                raise ValueError(
+                    f"version {v} removed or rewrote fragments — the lance "
+                    "streaming source is append-only; restart from a fresh "
+                    "startingVersion past the rewrite"
+                )
+            for fid in sorted(set(cur) - set(prev)):
+                f = cur[fid]
+                out.append(
+                    LanceFragmentPartition(
+                        fragment_id=f.id,
+                        data_path=os.path.join(self._path, f.path),
+                        deletion_path=None,
+                        physical_rows=f.physical_rows,
+                    )
+                )
+            prev = {fid: self._frag_key(f) for fid, f in cur.items()}
+        return out
+
+    def read(self, partition: "LanceFragmentPartition") -> Iterator["pa.RecordBatch"]:
+        import pyarrow.parquet as pq
+
+        if partition is None:
+            return
+        pf = pq.ParquetFile(partition.data_path)
+        columns = [f.name for f in self._schema.fields]
+        yield from pf.iter_batches(batch_size=self._batch_size, columns=columns)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the query checkpoint
 
 
 _REGISTERED: set = set()

@@ -85,11 +85,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "e07_asof_join", "e08_kmv_distinct_sketch", "t13_sequence_packing",
     "e09_range_join", "cat08_sql_zorder_optimize",
     "st07_stream_multibatch_state", "t14_link_density",
+    "ds07_stream_source_tail",
     # Checked only in round 1 — re-affirm
     "lf02_time_travel", "m03_blob_columns",
-    # Representative core with green rows in rounds 1 AND 2 (one per
-    # Layer-B capability family: agg scan, window, dedup LSH + clustering)
-    "q01_pricing_summary",
+    # Representative core with green rows in rounds 1 AND 2 (dedup LSH +
+    # clustering — the heaviest multi-stage plans)
     "d02_minhash_lsh_dedup", "d05_dedup_clusters",
 )
 

@@ -296,3 +296,46 @@ def ds06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds07 — version-tailing STREAMING SOURCE: spark.readStream.format("lance")
+# replays a dataset's append history as microbatches (offset = version,
+# checkpoint-durable). The entry tails a create + append and must see
+# exactly the full table — the oracle is the same data batch-side.
+# ---------------------------------------------------------------------------
+@register(
+    "ds07_stream_source_tail",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="streaming SOURCE: readStream.format('lance') tails version log",
+    tags=("datasource", "streaming", "source"),
+)
+def ds07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_to_memory
+
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds07")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    ds = LanceDataset.create(path, part.filter(F.col("p_partkey") % 2 == 0))
+    ds.append(part.filter(F.col("p_partkey") % 2 == 1))
+    rows = run_to_memory(
+        spark.readStream.format("lance").load(path), "append"
+    )
+    return (
+        rows.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("p_brand")
+    )

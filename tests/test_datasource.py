@@ -449,3 +449,69 @@ def test_zone_map_all_null_column(spark):
     pruned = spark.read.format("lance").load(path).filter("s IS NOT NULL")
     assert pruned.rdd.getNumPartitions() <= 1
     assert pruned.count() == 0
+
+
+def test_stream_reader_tails_versions(spark, tmp_path):
+    import tempfile
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "tail.lance")
+    ds = LanceDataset.create(
+        path, spark.range(100).selectExpr("id AS k"), max_rows_per_file=50
+    )
+    ds = LanceDataset.open(path).append(spark.range(100, 150).selectExpr("id AS k"))
+    ckpt = tempfile.mkdtemp(prefix="tail_ckpt_")
+
+    out_dir = tempfile.mkdtemp(prefix="tail_out_")
+
+    def drain():
+        # file sink (memory sink cannot recover from a checkpoint)
+        q = (
+            spark.readStream.format("lance")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["k"] for r in spark.read.parquet(out_dir).collect()}
+
+    # first drain replays create + append
+    assert drain() == set(range(150))
+    # second drain resumes from the SAME checkpoint: output grows by
+    # exactly the new append (earlier versions are not re-emitted)
+    LanceDataset.open(path).append(spark.range(150, 170).selectExpr("id AS k"))
+    assert drain() == set(range(170))
+
+
+def test_stream_reader_rejects_rewrites(spark, tmp_path):
+    import tempfile
+
+    import pytest as _pytest
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.operators import dml
+    from lance_trino_spark.sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "rw.lance")
+    ds = LanceDataset.create(path, spark.range(100).selectExpr("id AS k"))
+    dml.delete(ds, spark, "k < 10")  # MoR delete mutates fragment state
+    ckpt = tempfile.mkdtemp(prefix="rw_ckpt_")
+    q = (
+        spark.readStream.format("lance")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("rw_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="append-only"):
+        q.awaitTermination()
