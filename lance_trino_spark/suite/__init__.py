@@ -86,11 +86,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "e09_range_join", "cat08_sql_zorder_optimize",
     "st07_stream_multibatch_state", "t14_link_density",
     "ds07_stream_source_tail",
-    # Checked only in round 1 — re-affirm
-    "lf02_time_travel", "m03_blob_columns",
-    # Representative core with green rows in rounds 1 AND 2 (dedup LSH +
-    # clustering — the heaviest multi-stage plans)
-    "d02_minhash_lsh_dedup", "d05_dedup_clusters",
+    "q32_pivot_priority_by_year", "q33_discrete_quantiles",
+    "e10_funnel_sequence",
+    # 50th slot: re-affirm the heaviest multi-stage dedup plan (green in
+    # rounds 1 AND 2)
+    "d02_minhash_lsh_dedup",
 )
 
 

@@ -439,3 +439,46 @@ def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — ordered-funnel sequence matching (operators/funnel.py): earliest
+# signup → first view after it → first purchase after that, completion
+# within 7 days. First-occurrence milestone semantics are replicated by the
+# oracle as a chain of min-aggregate CTEs.
+# ---------------------------------------------------------------------------
+@register(
+    "e10_funnel_sequence",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events),
+    s0 AS (SELECT user_id, MIN(ts_us) AS t_0 FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(e.ts_us) AS t_1
+           FROM ev e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'view' AND e.ts_us > s0.t_0
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t_2
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_us > s1.t_1
+           GROUP BY e.user_id)
+    SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
+           (s2.t_2 IS NOT NULL AND s2.t_2 - s0.t_0 <= 604800000000)
+             AS completed
+    FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+            LEFT JOIN s2 ON s0.user_id = s2.user_id
+    ORDER BY s0.user_id
+    """,
+    doc="ordered funnel: signup -> view -> purchase within 7 days",
+    tags=("events", "funnel", "sequence"),
+)
+def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_milestones
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    return funnel_milestones(
+        ev,
+        steps=["signup", "view", "purchase"],
+        max_span=7 * 24 * 3600 * 1_000_000,
+    ).orderBy("user_id")

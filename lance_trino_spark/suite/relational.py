@@ -1340,3 +1340,122 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q32 — PIVOT: order counts per year pivoted over the five priority classes.
+# Spark's native pivot vs a conditional-aggregation oracle (the relational
+# definition of PIVOT), fixed column list so schemas match exactly.
+# ---------------------------------------------------------------------------
+_Q32_PRIORITIES = (
+    ("1-URGENT", "p_urgent"),
+    ("2-HIGH", "p_high"),
+    ("3-MEDIUM", "p_medium"),
+    ("4-NOT SPECIFIED", "p_notspec"),
+    ("5-LOW", "p_low"),
+)
+
+
+def _q32_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {alias}"
+        for v, alias in _Q32_PRIORITIES
+    )
+    return f"""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           {cols}
+    FROM orders
+    GROUP BY YEAR(o_orderdate)
+    ORDER BY o_year
+    """
+
+
+@register(
+    "q32_pivot_priority_by_year",
+    oracle=_q32_oracle(),
+    doc="PIVOT: per-year order counts across the five priority classes",
+    tags=("relational", "pivot"),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderpriority", [v for v, _ in _Q32_PRIORITIES])
+        .count()
+    )
+    renamed = pivoted
+    for v, alias in _Q32_PRIORITIES:
+        renamed = renamed.withColumnRenamed(v, alias)
+    return renamed.select(
+        "o_year",
+        *[F.coalesce(F.col(alias), F.lit(0)).alias(alias) for _, alias in _Q32_PRIORITIES],
+    ).orderBy("o_year")
+
+
+# ---------------------------------------------------------------------------
+# q33 — exact discrete quantiles WITHOUT engine quantile builtins: both
+# sides pick the value at rank floor((n-1)*q)+1 of the per-group sort, so
+# no interpolation/rounding semantics can diverge. (Spark's percentile()
+# interpolates, DuckDB's quantile_disc has its own index convention —
+# explicit window arithmetic is the only bit-safe common ground.)
+# ---------------------------------------------------------------------------
+_Q33_QS = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+
+
+def _q33_oracle() -> str:
+    picks = ",\n           ".join(
+        f"MAX(CASE WHEN rn = CAST(floor((n - 1) * {q}) AS BIGINT) + 1"
+        f" THEN o_totalprice END) AS {alias}"
+        for q, alias in _Q33_QS
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           {picks}
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@register(
+    "q33_discrete_quantiles",
+    oracle=_q33_oracle(),
+    doc="exact discrete quantiles via explicit rank arithmetic (no builtins)",
+    tags=("relational", "quantile", "window"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = W.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") - 1) * F.lit(q)).cast("long") + 1,
+                F.col("o_totalprice"),
+            )
+        ).alias(alias)
+        for q, alias in _Q33_QS
+    ]
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(F.max("n").cast("bigint").alias("n"), *picks)
+        .orderBy("o_orderpriority")
+    )

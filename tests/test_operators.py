@@ -491,3 +491,32 @@ def test_range_join_interval_containment(spark):
     # lid=3 in w3 (interval spans many buckets — must not duplicate);
     # lid=4 wrong key.
     assert out == [(1, "w1"), (1, "w2"), (3, "w3")]
+
+
+def test_funnel_milestones_order_and_span(spark):
+    from lance_trino_spark.operators.funnel import funnel_milestones
+
+    rows = [
+        # user 1: clean a->b->c
+        (1, "a", 10), (1, "b", 20), (1, "c", 30),
+        # user 2: b before a — b milestone must be the LATER b
+        (2, "b", 5), (2, "a", 10), (2, "b", 25), (2, "c", 26),
+        # user 3: never reaches c
+        (3, "a", 10), (3, "b", 12),
+        # user 4: completes but outside max_span
+        (4, "a", 0), (4, "b", 1), (4, "c", 1000),
+        # user 5: no step-0 event at all — excluded
+        (5, "b", 1), (5, "c", 2),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    out = {
+        r["user_id"]: r
+        for r in funnel_milestones(
+            df, ["a", "b", "c"], max_span=100
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["completed"] is True and out[1]["t_2"] == 30
+    assert out[2]["t_1"] == 25 and out[2]["completed"] is True
+    assert out[3]["t_2"] is None and out[3]["completed"] is False
+    assert out[4]["completed"] is False  # span 1000 > 100
