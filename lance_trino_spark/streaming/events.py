@@ -450,11 +450,15 @@ def stream_table_multibatch(
 
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Key the staged copy by the source file's identity (size + mtime): the
+    # driver regenerates testdata between rounds, and serving stale slices
+    # from a previous generation would silently diverge from the oracle.
+    st = os.stat(path)
     stage_dir = os.path.join(
         tempfile.gettempdir(),
         "lts_stream_mb",
         sf_dir.strip("/").replace("/", "_"),
-        f"{name}_{n_slices}",
+        f"{name}_{n_slices}_{st.st_size}_{st.st_mtime_ns}",
     )
     done = os.path.join(stage_dir, "_STAGED")
     if not os.path.exists(done):
