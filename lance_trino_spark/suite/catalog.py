@@ -341,15 +341,16 @@ def cat08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = cat.load("ops", "o")
     frags = ds.manifest.fragments
     if len(frags) > 1:
-        # Z-order must shrink per-fragment ranges on BOTH columns: the mean
-        # fragment range must be well under the full span (a scrambled
-        # layout gives every fragment ~the full span on both).
+        # Z-order must shrink per-fragment ranges on BOTH columns. Assert on
+        # the MEDIAN fragment: an unaligned Z-range crossing a high-bit
+        # boundary legitimately spans the full axis, but a scrambled layout
+        # gives ~the full span on EVERY fragment.
         for col in ("o_orderkey", "o_custkey"):
-            spans = [f.stats[col]["max"] - f.stats[col]["min"] for f in frags]
+            spans = sorted(f.stats[col]["max"] - f.stats[col]["min"] for f in frags)
             full = max(f.stats[col]["max"] for f in frags) - min(
                 f.stats[col]["min"] for f in frags
             )
-            if sum(spans) / len(spans) > 0.8 * full:
+            if spans[len(spans) // 2] > 0.8 * full:
                 raise AssertionError(
                     f"ZORDER left {col} unclustered: spans {spans} vs full {full}"
                 )
