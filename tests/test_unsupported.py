@@ -156,3 +156,45 @@ def test_catalog_invalid_identifiers(spark, tmp_path):
         cat.sql("SELECT COUNT(*) AS n FROM db.missing")
     with pytest.raises(CatalogError, match="already exists"):
         cat.sql("CREATE SCHEMA db")
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    import pytest as _pytest
+
+    from lance_trino_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, 1.0)], ["k", "ts", "val"])
+    right = spark.createDataFrame([(1, 3, 2.0)], ["k", "ts", "val"])
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", "ts", ["val"])
+
+
+def test_range_join_rejects_bad_bucket_width(spark):
+    import pytest as _pytest
+
+    from lance_trino_spark.operators.asof import range_join
+
+    left = spark.createDataFrame([(1, 1)], ["k", "t"])
+    right = spark.createDataFrame([(1, 0, 2)], ["k", "s", "e"])
+    with _pytest.raises(ValueError, match="positive"):
+        range_join(left, right, ["k"], "t", "s", "e", 0)
+
+
+def test_kmv_rejects_tiny_k(spark):
+    import pytest as _pytest
+
+    from lance_trino_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([("a", "x")], ["g", "v"])
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "g", "v", k=1)
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest as _pytest
+
+    from lance_trino_spark.operators.funnel import funnel_milestones
+
+    df = spark.createDataFrame([(1, "a", 1)], ["user_id", "event_type", "ts_us"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_milestones(df, [])
