@@ -144,6 +144,13 @@ def _pushable_value(v: Any) -> bool:
     return isinstance(v, _PUSHABLE_SCALARS)
 
 
+# Defensive cap on pushed IN-list size (SURVEY §7 known-hard #6: the
+# reference pushes unboundedly because Lance is random-access-optimized,
+# but a giant IN list serialized into every task's scan options costs more
+# than evaluating it engine-side above the scan).
+MAX_PUSHED_IN_VALUES = 1000
+
+
 def _filter_pushable(f: Filter, top_level_cols: set[str]) -> bool:
     """The supported set mirrors §2A.A4: comparisons, IN, IS [NOT] NULL,
     NOT(=) — on top-level columns, simple scalars only."""
@@ -156,6 +163,8 @@ def _filter_pushable(f: Filter, top_level_cols: set[str]) -> bool:
     if isinstance(inner, (IsNull, IsNotNull)):
         return True
     if isinstance(inner, In):
+        if len(inner.value) > MAX_PUSHED_IN_VALUES:
+            return False  # stays residual — Spark evaluates it above the scan
         return all(_pushable_value(v) for v in inner.value)
     if isinstance(
         inner, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)

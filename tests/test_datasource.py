@@ -515,3 +515,23 @@ def test_stream_reader_rejects_rewrites(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="append-only"):
         q.awaitTermination()
+
+
+def test_huge_in_list_stays_residual(spark, tmp_path):
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.sources.lance_datasource import (
+        MAX_PUSHED_IN_VALUES,
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "inlist.lance")
+    LanceDataset.create(path, spark.range(5000).selectExpr("id AS k"))
+    big = list(range(0, 2 * MAX_PUSHED_IN_VALUES, 2))
+    small = [1, 2, 3]
+    # both must produce correct results; the big list is evaluated by Spark
+    # above the scan instead of being serialized into every task
+    df_big = spark.read.format("lance").load(path).filter(F.col("k").isin(big))
+    df_small = spark.read.format("lance").load(path).filter(F.col("k").isin(small))
+    assert df_big.count() == len([v for v in big if v < 5000])
+    assert df_small.count() == 3
