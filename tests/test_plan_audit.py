@@ -75,3 +75,41 @@ def test_audit_accepts_arrow_paths(spark):
 
     ok = spark.range(10).select(fast("id").alias("y"))
     assert not any("BatchEvalPython" in f for f in audit_plan(ok))
+
+
+# ---------------------------------------------------------------------------
+# Whole-suite sweep: every lazily-buildable query's physical plan must audit
+# clean, except explicitly justified shapes. (Format/catalog/streaming
+# entries execute real writes at build time and are audited by their own
+# gates instead.)
+# ---------------------------------------------------------------------------
+
+# name -> justification for the finding the audit raises
+SUITE_AUDIT_ALLOW = {
+    # single-row broadcast stats crossJoin (scalar-subquery shape)
+    "t12_source_mix_weights": "BroadcastNestedLoopJoin",
+    "s06_bm25_topk": "BroadcastNestedLoopJoin",
+    # exact-baseline crossJoin against a guarded broadcast-small query set
+    "s01_cosine_topk": "BroadcastNestedLoopJoin",
+    # scalar subquery (single-row threshold) planned as nested-loop
+    "q11_important_parts": "BroadcastNestedLoopJoin",
+    "q22_idle_customers": "BroadcastNestedLoopJoin",
+    # hash-bucket sampling predicate (md5 of concat) is not expressible as
+    # a parquet pushdown by design — the filter must run engine-side
+    "t06_stratified_sample": "PushedFilters",
+}
+
+
+def test_whole_suite_plans_audit_clean(spark):
+    skipped_prefixes = ("lf", "ds", "cat", "st", "m")
+    findings = {}
+    for name, q in all_queries().items():
+        if name.startswith(skipped_prefixes):
+            continue
+        df = q.build(spark, SF_DIR)
+        fs = audit_plan(df)
+        allowed = SUITE_AUDIT_ALLOW.get(name)
+        fs = [f for f in fs if not (allowed and allowed in f)]
+        if fs:
+            findings[name] = fs
+    assert findings == {}
