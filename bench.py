@@ -65,6 +65,10 @@ DEFAULT_QUERIES = [
     "s06_bm25_topk",
     "t10_gopher_quality_filter",
     "cat07_stats_broadcast_join",
+    "e08_kmv_distinct_sketch",
+    "e09_range_join",
+    "cat08_sql_zorder_optimize",
+    "ds07_stream_source_tail",
 ]
 
 
