@@ -258,3 +258,62 @@ def quantize_embeddings(
             f"array_max(zip_with({v}, qvec, (x, q) -> abs(cast(x as double) - q * scale)))"
         ),
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Top-k search over int8-quantized vectors (the memory-bound ANN scale
+    path: 4x smaller vectors, integer dot products): both sides are scalar-
+    quantized, candidates are cell-restricted (same shape as bucketed_topk),
+    and ranking uses idot * scale_q * scale_c — the standard asymmetric
+    reconstruction of the inner product.
+
+    Engine-portable by construction: the integer dot product is EXACT (no
+    fp summation order), and the two scale multiplications happen in a
+    fixed order, so scores are bit-identical across engines.
+    """
+    q = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("scale").alias("scale_q"),
+        F.col(cell_col).alias("qcell"),
+    )
+    c = quantize_embeddings(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("qc"),
+        F.col("scale").alias("scale_c"),
+        F.col(cell_col).alias("ccell"),
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qq, qc, (a, b) -> cast(a as bigint) * cast(b as bigint)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    joined = (
+        c.join(F.broadcast(q), F.col("ccell") == F.col("qcell"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("idot", idot)
+        .withColumn(
+            "approx_ip",
+            F.col("idot").cast("double") * F.col("scale_q") * F.col("scale_c"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "idot",
+            "approx_ip",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -87,10 +87,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "st07_stream_multibatch_state", "t14_link_density",
     "ds07_stream_source_tail",
     "q32_pivot_priority_by_year", "q33_discrete_quantiles",
-    "e10_funnel_sequence",
-    # 50th slot: re-affirm the heaviest multi-stage dedup plan (green in
-    # rounds 1 AND 2)
-    "d02_minhash_lsh_dedup",
+    "e10_funnel_sequence", "s07_quantized_topk",
 )
 
 

@@ -260,3 +260,61 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# s07 — top-k search over int8-quantized vectors: EXACT integer dot products
+# (no fp summation order) scaled by the two per-vector scales in a fixed
+# multiplication order — scores are bit-identical across engines.
+# ---------------------------------------------------------------------------
+_S07_QUANT_CTE = """
+    quant AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE /
+                            (list_max(list_transform(embedding, x2 -> abs(x2::DOUBLE))) / 127.0)
+                            + 0.5) AS INT)) END AS qv
+      FROM embeddings)
+"""
+
+
+@register(
+    "s07_quantized_topk",
+    oracle=f"""
+    WITH {_S07_QUANT_CTE},
+    q AS (SELECT vec_id AS query_id, qv AS qq, scale AS scale_q, label AS qcell
+          FROM quant WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, qv AS qc, scale AS scale_c, label AS ccell
+          FROM quant),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qq)),
+                  i -> qq[i]::BIGINT * qc[i]::BIGINT)) AS BIGINT) AS idot,
+             scale_q, scale_c
+      FROM c JOIN q ON ccell = qcell
+      WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, idot,
+             CAST(idot AS DOUBLE) * scale_q * scale_c AS approx_ip,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY CAST(idot AS DOUBLE) * scale_q * scale_c DESC,
+                           neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, idot, approx_ip, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="int8-quantized top-k search: exact integer dot products, cell-restricted",
+    tags=("similarity", "quantization", "ann"),
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )

@@ -520,3 +520,27 @@ def test_funnel_milestones_order_and_span(spark):
     assert out[2]["t_1"] == 25 and out[2]["completed"] is True
     assert out[3]["t_2"] is None and out[3]["completed"] is False
     assert out[4]["completed"] is False  # span 1000 > 100
+
+
+def test_quantized_topk_approximates_exact_inner_product(spark):
+    import numpy as np
+
+    from lance_trino_spark.operators.similarity import quantized_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(40, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter("vec_id < 4")
+    got = quantized_topk(df, q, k=3).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2, 3}
+    x = vecs.astype(np.float64)
+    for r in got:
+        exact_ip = float(x[r["query_id"]] @ x[r["neighbor_id"]])
+        # int8 scalar quantization: reconstruction error well under 1 %
+        assert abs(r["approx_ip"] - exact_ip) / exact_ip < 0.01
+        # and the top-1 neighbor matches the exact-IP argmax within the cell
+        if r["rank"] == 1:
+            cell = [j for j in range(40) if j % 4 == r["query_id"] % 4 and j != r["query_id"]]
+            best = max(cell, key=lambda j: x[r["query_id"]] @ x[j])
+            assert r["neighbor_id"] == best
