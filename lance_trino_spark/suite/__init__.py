@@ -15,6 +15,11 @@ Determinism contract (the driver hash-compares values order-insensitively):
   - Every LIMIT follows an ORDER BY that includes a unique tie-break key.
   - Timestamps leave the query as DATE/BIGINT-epoch/strings when engine
     representations could diverge.
+  - Output columns are SCALAR-ONLY: no array/map/struct-typed columns in
+    oracle-gated queries — the driver's pandas canonicalizer sorts rows and
+    cannot hash list-typed cells. Stringify (array_join / array_to_string)
+    or flatten nested outputs; the STORED columns may still be real
+    arrays/structs.
 """
 
 from __future__ import annotations

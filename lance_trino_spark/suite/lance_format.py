@@ -329,7 +329,7 @@ def lf09(spark: SparkSession, sf_dir: str) -> DataFrame:
            (802008000 + p_partkey % 86400) * 1000000 AS ts_us,
            (802008000 + p_partkey % 3600) * 1000000 AS ntz_us,
            CAST(p_retailprice AS DECIMAL(12,2)) AS dec2,
-           [CAST(p_partkey % 10 AS INT), CAST(p_partkey % 7 AS INT)] AS arr,
+           array_to_string([CAST(p_partkey % 10 AS INT), CAST(p_partkey % 7 AS INT)], ',') AS arr_s,
            CAST(p_partkey % 5 AS INT) AS st_a,
            substr(p_name, 1, 3) AS st_b,
            p_partkey % 2 = 0 AS flag,
@@ -382,7 +382,10 @@ def lf08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.unix_micros(F.col("ts_ntz").cast("timestamp")).alias("ntz_us"),
         "dec2",
-        "arr",
+        # the STORED column is a real array<int>; the OUTPUT is stringified
+        # because the correctness driver's pandas canonicalizer cannot sort
+        # list-typed cells (registry contract: scalar-only output columns)
+        F.array_join(F.col("arr").cast("array<string>"), ",").alias("arr_s"),
         F.col("st.a").alias("st_a"),
         F.col("st.b").alias("st_b"),
         "flag",
