@@ -39,6 +39,9 @@ class InMemoryBackend:
             raise be.CommitConflictError(f"{version} at {root}")
         self.store[(root, version)] = payload
 
+    def delete_manifest(self, root, version):
+        self.store.pop((root, version), None)
+
 
 @pytest.fixture
 def mem_backend():
@@ -77,6 +80,97 @@ def test_backend_version_resolution(mem_backend):
     assert version_at_timestamp(root, 99999) == 3
     with pytest.raises(be.VersionNotFoundError):
         version_at_timestamp(root, 50)
+
+
+@pytest.fixture(params=["directory", "memory"])
+def any_backend(request, tmp_path):
+    """Every registered backend implementation, paired with a root it owns."""
+    if request.param == "directory":
+        yield be.DirectoryBackend(), str(tmp_path / "conformance.lance")
+    else:
+        yield InMemoryBackend(), "/virtual/conformance.lance"
+
+
+class TestBackendConformance:
+    """The StorageBackend contract, stated without reference to any layout.
+
+    A real `lance`-SDK adapter (metadata plane over `lance.dataset(uri)` /
+    `LanceDataset.commit`, see `format/backend.py` module docstring) must pass
+    this suite unchanged — parametrize `any_backend` with it when the SDK is
+    installed. Mirrors the reference's commit semantics
+    (`LanceMetadata.java:1489-1513` optimistic version commit)."""
+
+    # A manifest-shaped payload exercising what real manifests carry:
+    # nested fragment entries, a deletion-file pointer, unicode, and null.
+    PAYLOAD_V1 = {
+        "version": 1,
+        "schema_json": {"type": "struct", "fields": [{"name": "α", "type": "long"}]},
+        "fragments": [
+            {"path": "data/f-0001.parquet", "rows": 1024, "deletion": None},
+            {
+                "path": "data/f-0002.parquet",
+                "rows": 512,
+                "deletion": {"path": "_deletions/d-1.json", "count": 7},
+            },
+        ],
+        "timestamp_ms": 1700000000000,
+    }
+    PAYLOAD_V2 = {"version": 2, "schema_json": {}, "fragments": [], "timestamp_ms": 1700000001000}
+
+    def test_fresh_root_has_no_versions(self, any_backend):
+        b, root = any_backend
+        assert b.list_versions(root) == []
+
+    def test_missing_version_raises(self, any_backend):
+        b, root = any_backend
+        with pytest.raises(be.VersionNotFoundError):
+            b.read_manifest_json(root, 1)
+
+    def test_commit_read_roundtrip_exact(self, any_backend):
+        """Version immutability: what was committed is what every later read
+        returns, structure-exact (incl. deletion-file pointers and unicode)."""
+        b, root = any_backend
+        b.commit_manifest_json(root, 1, self.PAYLOAD_V1)
+        assert b.read_manifest_json(root, 1) == self.PAYLOAD_V1
+        assert b.list_versions(root) == [1]
+
+    def test_versions_listed_sorted_and_complete(self, any_backend):
+        b, root = any_backend
+        for v in (3, 1, 2):
+            payload = dict(self.PAYLOAD_V1, version=v)
+            b.commit_manifest_json(root, v, payload)
+        assert b.list_versions(root) == [1, 2, 3]
+
+    def test_concurrent_commit_conflicts_and_keeps_winner(self, any_backend):
+        """Optimistic concurrency: the second committer of a version gets
+        CommitConflictError and the FIRST payload stays visible untouched."""
+        b, root = any_backend
+        b.commit_manifest_json(root, 1, self.PAYLOAD_V1)
+        with pytest.raises(be.CommitConflictError):
+            b.commit_manifest_json(root, 1, self.PAYLOAD_V2)
+        assert b.read_manifest_json(root, 1) == self.PAYLOAD_V1
+        assert b.list_versions(root) == [1]
+
+    def test_delete_manifest_removes_and_is_idempotent(self, any_backend):
+        b, root = any_backend
+        b.commit_manifest_json(root, 1, self.PAYLOAD_V1)
+        b.commit_manifest_json(root, 2, self.PAYLOAD_V2)
+        b.delete_manifest(root, 1)
+        assert b.list_versions(root) == [2]
+        with pytest.raises(be.VersionNotFoundError):
+            b.read_manifest_json(root, 1)
+        b.delete_manifest(root, 1)  # missing version: no-op, no raise
+        b.delete_manifest(root, 99)
+
+    def test_commit_after_delete_is_allowed(self, any_backend):
+        """Vacuumed version numbers may be reused (the format layer never
+        does, but the backend contract is commit-if-absent, not
+        commit-once-ever)."""
+        b, root = any_backend
+        b.commit_manifest_json(root, 1, self.PAYLOAD_V1)
+        b.delete_manifest(root, 1)
+        b.commit_manifest_json(root, 1, self.PAYLOAD_V2)
+        assert b.read_manifest_json(root, 1) == self.PAYLOAD_V2
 
 
 def test_manifest_cache_hit_and_recreate_invalidation(spark, tmp_path):
