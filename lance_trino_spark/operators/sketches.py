@@ -11,17 +11,26 @@ bit-for-bit (see Bar-Yossef et al. 2002, the classic KMV bottom-k paper).
 estimate = (k-1) * 2^32 / h_k     (h_k = k-th smallest distinct hash)
 exact    = |values|               when the group has fewer than k distincts
 
-Scale shape: distinct-(group, hash) is one shuffle; ranking the k smallest
-per group is a per-group sort that spills via Spark's window machinery. At
-100 TB with bounded k the surviving state per group is k rows — the same
-memory contract as any bottom-k sketch.
+Scale shape — a true bottom-k partial aggregate, not a sort:
+
+1. map side: per (group, input partition), collect the local distinct hash
+   set and truncate to its k smallest (`slice(array_sort(collect_set))`).
+   Memory per aggregation buffer is the local distinct count; the rows that
+   leave the stage carry at most k hashes per group per partition.
+2. reduce side: per group, merge the per-partition bottom-k arrays
+   (flatten → array_distinct → array_sort → slice k). Union of per-partition
+   bottom-ks always contains the global bottom-k, so the merge is exact;
+   per-group state is bounded by (#partitions holding the group) × k.
+
+Nothing ever shuffles the full distinct value set and no per-group global
+sort runs — at 100 TB the exchange moves O(groups × partitions × k) rows,
+the same communication contract as any mergeable bottom-k sketch.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from ..functions import h32
 
@@ -38,20 +47,31 @@ def kmv_distinct(
         raise ValueError("k must be >= 2")
     hashed = df.select(
         F.col(group_col), h32(F.col(value_col).cast("string")).alias("h")
-    ).distinct()
-    w = W.partitionBy(group_col).orderBy("h")
-    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    return (
-        kept.groupBy(group_col)
-        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
-        .select(
-            group_col,
-            "n_kept",
-            "kth_hash",
-            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
-            .otherwise(
-                F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("kth_hash").cast("double")
-            )
-            .alias("kmv_estimate"),
+    )
+    # Level 1: local bottom-k per (group, input partition). spark_partition_id
+    # makes every group key unique to its map task, so the hash aggregate
+    # finishes map-side and the exchange carries <= k hashes per group per
+    # partition — never the distinct value set.
+    local = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .groupBy(group_col, "_pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_lo"))
+    )
+    # Level 2: exact merge of the truncated sets.
+    kept = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_lo")))), 1, k
+    )
+    merged = local.groupBy(group_col).agg(kept.alias("_kept"))
+    n_kept = F.size("_kept")
+    return merged.select(
+        group_col,
+        n_kept.cast("bigint").alias("n_kept"),
+        F.element_at("_kept", n_kept).alias("kth_hash"),
+        F.when(n_kept < k, n_kept.cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(float(HASH_SPACE))
+            / F.element_at("_kept", F.lit(k)).cast("double")
         )
+        .alias("kmv_estimate"),
     )
