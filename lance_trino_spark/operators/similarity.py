@@ -171,8 +171,9 @@ def ivf_topk(
     """Trained-codebook IVF ANN: corpus rows are assigned to their nearest
     cell once; each query probes its `nprobe` nearest cells. The search is an
     equi-join on cell id — shuffle bounded by cell sizes, never a cross
-    product. Approximate by construction (recall measured against
-    `cosine_topk` in tests), so no SQL oracle — the rows-only gate applies."""
+    product. Approximate by construction; deterministic (first-n init, fixed
+    iterations, ordered sample), so recall@5 vs `cosine_topk` is value-gated
+    in-query (suite s04) and unit-asserted in tests/test_operators.py."""
     assigner1 = _cell_assigner(centroids, 1)
     assignerN = _cell_assigner(centroids, nprobe)
     c = (
