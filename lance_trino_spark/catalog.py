@@ -457,13 +457,21 @@ class LanceCatalog:
     ]
 
     # --- SELECT rewriting --------------------------------------------------
+    # Identifiers in table refs may be backtick-quoted (Spark's quoting);
+    # quoted parts are unwrapped before namespace resolution.
+    _QIDENT = rf"(?:`[^`]+`|{_IDENT})"
     _TABLE_REF = re.compile(
-        rf"\b(?P<kw>FROM|JOIN)\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+        rf"\b(?P<kw>FROM|JOIN)\s+(?P<ns>{_QIDENT})\.(?P<tbl>{_QIDENT})"
         rf"(?:\s+FOR)?"
         rf"(?:\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
         rf"(?P<val>'[^']*'|[\w.:+-]+))?",
         re.IGNORECASE,
     )
+    # String literals ('' = escaped quote, per ANSI/Spark) and double-quoted
+    # spans. Masked before table-ref rewriting so a literal like
+    # 'see FROM s.t' can never be rewritten into a temp-view reference.
+    _LITERAL = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
+    _MASK = re.compile(r"'\x00(\d+)\x00'")
 
     def _select(self, q: str) -> DataFrame:
         """Rewrite `<schema>.<table> [VERSION|TIMESTAMP AS OF ...]` refs into
@@ -472,16 +480,33 @@ class LanceCatalog:
         query to Spark SQL, which supplies the whole relational surface
         (SURVEY §2B: the reference delegates identically to Trino).
 
+        String literals are masked with opaque placeholders before the
+        rewrite and restored after, so table references only match in real
+        SQL positions. A masked placeholder is itself a quoted token, so a
+        time-travel value (`TIMESTAMP AS OF '<ts>'`) still matches — it is
+        unmasked before parsing.
+
         Statistics feed (SURVEY A9, `LanceMetadata.java:561-588`
         getTableStatistics → engine CBO): a table whose manifest-estimated
         size is at or below the session's autoBroadcastJoinThreshold is
         registered with a broadcast hint, so joins against it plan as
         broadcast-hash joins even where Spark's file-size heuristics cannot
         see through the view. Disable with ``stats_broadcast=False``."""
+        literals: list[str] = []
+
+        def mask(m: re.Match) -> str:
+            literals.append(m.group(0))
+            return f"'\x00{len(literals) - 1}\x00'"
+
+        def unmask(s: str) -> str:
+            return self._MASK.sub(lambda m: literals[int(m.group(1))], s)
 
         def repl(m: re.Match) -> str:
-            ns, tbl = m.group("ns"), m.group("tbl")
+            ns = m.group("ns").strip("`")
+            tbl = m.group("tbl").strip("`")
             kind, val = m.group("kind"), m.group("val")
+            if val is not None:
+                val = unmask(val)
             try:
                 if kind is None:
                     ds = self.load(ns, tbl)
@@ -502,7 +527,8 @@ class LanceCatalog:
             df.createOrReplaceTempView(view)
             return f"{m.group('kw')} {view}"
 
-        return self.spark.sql(self._TABLE_REF.sub(repl, q))
+        masked = self._LITERAL.sub(mask, q)
+        return self.spark.sql(unmask(self._TABLE_REF.sub(repl, masked)))
 
     def _broadcast_threshold(self) -> int:
         if self.broadcast_threshold_bytes is not None:

@@ -78,6 +78,53 @@ def test_version_as_of_sql(cat, spark):
     assert old.collect()[0]["n"] == 10
 
 
+def test_string_literal_never_rewritten(cat, spark):
+    """A string literal that happens to contain `FROM <existing schema.table>`
+    must survive the table-ref rewrite verbatim (literal masking)."""
+    _src(spark, 5).createOrReplaceTempView("_cat_lit")
+    cat.sql("CREATE SCHEMA s")
+    cat.sql("CREATE TABLE s.t AS SELECT * FROM _cat_lit")
+    out = cat.sql("SELECT 'comes FROM s.t here' AS note, COUNT(*) AS n FROM s.t")
+    row = out.collect()[0]
+    assert row["note"] == "comes FROM s.t here" and row["n"] == 5
+    # escaped-quote form ('' inside a literal) also survives
+    row2 = cat.sql("SELECT 'it''s FROM s.t' AS note FROM s.t LIMIT 1").collect()[0]
+    assert row2["note"] == "it's FROM s.t"
+
+
+def test_quoted_identifiers_resolve(cat, spark):
+    _src(spark, 7).createOrReplaceTempView("_cat_q")
+    cat.sql("CREATE SCHEMA db")
+    cat.sql("CREATE TABLE db.t AS SELECT * FROM _cat_q")
+    assert cat.sql("SELECT COUNT(*) AS n FROM `db`.`t`").collect()[0]["n"] == 7
+
+
+def test_time_travel_in_subquery_with_literals(cat, spark):
+    """Masking must not break the quoted TIMESTAMP AS OF value, including
+    inside a subquery alongside unrelated literals."""
+    import time
+
+    _src(spark, 10).createOrReplaceTempView("_cat_tt")
+    cat.sql("CREATE SCHEMA db")
+    cat.sql("CREATE TABLE db.t AS SELECT * FROM _cat_tt")
+    t1 = cat.load("db", "t").manifest.timestamp_ms
+    time.sleep(0.01)
+    cat.sql("INSERT INTO db.t SELECT k + 10 AS k, g FROM _cat_tt")
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(t1 / 1000, tz=timezone.utc).isoformat()
+    out = cat.sql(
+        f"SELECT 'x FROM db.t y' AS lit, COUNT(*) AS n "
+        f"FROM (SELECT * FROM db.t FOR TIMESTAMP AS OF '{ts}') sub"
+    ).collect()[0]
+    assert out["n"] == 10 and out["lit"] == "x FROM db.t y"
+    # version time travel inside a subquery still rewrites too
+    v = cat.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM db.t VERSION AS OF 2) s"
+    ).collect()[0]["n"]
+    assert v == 20
+
+
 def test_insert_values_positional(cat, spark):
     _src(spark, 3).createOrReplaceTempView("_cat_vals")
     cat.sql("CREATE SCHEMA db")
