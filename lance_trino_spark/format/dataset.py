@@ -119,27 +119,75 @@ class LanceDataset:
         """O(1) from the manifest — zero data scanned."""
         return self.manifest.total_rows
 
-    # Per-type in-memory row widths, the same flat defaults Spark's CBO uses
-    # when column stats are absent (fixed-width = type size, variable-width
-    # = 20 bytes). Only an *estimate* — its single job is ordering join
-    # sides and gating broadcast decisions.
+    # Per-type in-memory row widths for fixed-width types (= type size, the
+    # same defaults Spark's CBO uses when column stats are absent). Only an
+    # *estimate* — its single job is ordering join sides and gating
+    # broadcast decisions.
     _TYPE_WIDTHS = {
         "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
         "float": 4, "double": 8, "date": 4, "timestamp": 8,
-        "timestamp_ntz": 8,
+        "timestamp_ntz": 8, "decimal": 16,
     }
+    # Variable-width scalar default. Deliberately larger than Spark's flat
+    # 20 bytes: a broadcast decision made from an UNDER-estimate is the
+    # dangerous direction (executor OOM at scale), so the estimate leans
+    # heavy.
+    _VARLEN_WIDTH = 64
+
+    def _field_width(self, dt, vector_dims: dict[str, int], name: str):
+        """Estimated bytes per value, or None when the width is unbounded
+        (arrays of unknown length, maps, binary blobs inside structs...) —
+        a None anywhere makes the table ineligible for broadcast hinting."""
+        tn = dt.typeName()
+        if tn in self._TYPE_WIDTHS:
+            return self._TYPE_WIDTHS[tn]
+        if tn in ("string", "binary", "varchar", "char"):
+            return self._VARLEN_WIDTH
+        if tn == "array":
+            # Declared FixedSizeList vector columns have a known length:
+            # element width x dim (the reference sizes vectors the same way).
+            dim = vector_dims.get(name)
+            elem = self._field_width(dt.elementType, vector_dims, name)
+            if dim is not None and elem is not None:
+                return elem * dim + 8
+            return None
+        if tn == "struct":
+            total = 8
+            for f in dt.fields:
+                w = self._field_width(f.dataType, vector_dims, f.name)
+                if w is None:
+                    return None
+                total += w
+            return total
+        return None  # map / interval / anything else: unbounded or unknown
 
     def estimated_size_bytes(self) -> int:
-        """Manifest-statistics size estimate: total_rows x schema row width.
+        """Manifest-statistics size estimate: total_rows x schema row width,
+        or -1 when the schema contains a column of unbounded width (an
+        unbounded column can make any row arbitrarily large, so no broadcast
+        decision should ever be made from the manifest alone — e.g. a
+        128-float embedding column flat-counted at 20 bytes would be ~25x
+        under-estimated and could hint a multi-GB broadcast).
 
         The Spark-side analogue of the reference's table statistics feed
         (`LanceMetadata.java:561-588` getTableStatistics → CBO): the Python
         DataSource API has no SupportsReportStatistics hook, so the catalog
         layer consumes this directly to make stats-driven broadcast
-        decisions (see LanceCatalog._select)."""
+        decisions (see LanceCatalog._select; negative estimates are treated
+        as unknown and never hinted)."""
+        from .vector import VECTOR_PROP, parse_vector_columns
+
+        spec = self.manifest.properties.get(VECTOR_PROP)
+        vector_dims = (
+            parse_vector_columns(spec) if isinstance(spec, str) and spec else
+            (spec if isinstance(spec, dict) else {})
+        )
         width = 0
         for f in self.schema.fields:
-            width += self._TYPE_WIDTHS.get(f.dataType.typeName(), 20)
+            w = self._field_width(f.dataType, vector_dims, f.name)
+            if w is None:
+                return -1
+            width += w
         return self.manifest.total_rows * max(width, 1)
 
     def versions(self) -> list[int]:

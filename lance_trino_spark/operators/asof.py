@@ -8,7 +8,10 @@ form:
 
   1. union left and right rows on (key, ts), tagging the side;
   2. one window per key ordered by (ts, side) carries the right payload
-     forward with last(..., ignorenulls=True);
+     forward with last(..., ignorenulls=True) over a SINGLE struct of all
+     payload columns — the match is atomic, so a matched right row's NULL
+     payload fields stay NULL and multiple payload columns can never mix
+     values from different right rows (true ASOF semantics);
   3. keep only left rows — each now holds the latest right payload with
      right_ts <= left_ts.
 
@@ -46,24 +49,32 @@ def asof_join(
     ``payload_cols`` are the right-side columns to carry (they must not
     collide with left column names). Every left column is preserved.
     """
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
     overlap = set(payload_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"payload columns collide with left columns: {overlap}")
     missing = [k for k in key_cols if k not in right.columns]
     if missing:
         raise ValueError(f"key columns missing on right side: {missing}")
+    from pyspark.sql.types import StructField, StructType
+
     # side ordering at equal ts: inclusive (<=) wants right rows sorted
     # BEFORE left rows so a same-ts right payload is visible; strict (<)
     # wants them after.
     right_side, left_side = (0, 1) if not strict else (1, 0)
+    # ONE nullable struct holds the whole right payload: the carried value is
+    # then atomically from a single right row, and its NULL *fields* survive
+    # (a per-column last(ignorenulls) would skip back to an older non-null
+    # value and could mix payloads from different right rows).
+    payload_struct = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     l_tagged = left.select(
         *left.columns,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(left_side).alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in payload_cols
-        ],
+        F.lit(None).cast(payload_struct).alias("_r"),
     )
     r_tagged = right.select(
         *[
@@ -72,7 +83,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(right_side).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_r"),
     )
     w = (
         W.partitionBy(*key_cols)
@@ -82,12 +93,12 @@ def asof_join(
     carried = l_tagged.unionByName(r_tagged).select(
         *left.columns,
         F.col("_side"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.filter(F.col("_side") == left_side).drop("_side")
+    return carried.filter(F.col("_side") == left_side).select(
+        *left.columns,
+        *[F.col(f"_r.{c}").alias(c) for c in payload_cols],
+    )
 
 
 def range_join(

@@ -35,6 +35,22 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", tokens(text_col))
 
 
+def _eq_term(term: str):
+    """One-arg lambda factory for F.filter (a two-parameter lambda would be
+    (element, index) to PySpark); binds the term as a literal Column —
+    quote-safe, no SQL text interpolation."""
+    return lambda x: x == F.lit(term)
+
+
+def _count_in(arr_col: str, values) -> Column:
+    """size(filter(arr, t -> t IN values)) with the values bound as literal
+    Columns, not interpolated into SQL text — quote-safe for any term a
+    library caller passes (a term containing ' would break an f-string
+    F.expr), and still a pure JVM higher-order expression."""
+    vals = list(values)
+    return F.size(F.filter(arr_col, lambda t: t.isin(vals)))
+
+
 def token_count(text_col: str = "text") -> Column:
     """Whitespace token count (the BPE-ish regex variant is
     `token_count_bpe`)."""
@@ -56,10 +72,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = with_tokens(df, text_col)
     score_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
-        quoted = ", ".join(f"'{m}'" for m in markers)
-        out = out.withColumn(
-            f"score_{lang}", F.expr(f"size(filter(tokens, t -> t IN ({quoted})))")
-        )
+        out = out.withColumn(f"score_{lang}", _count_in("tokens", markers))
         score_cols.append(f"score_{lang}")
     best = F.greatest(*[F.col(c) for c in score_cols])
     pred = F.lit("und")
@@ -75,13 +88,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: all integer-derived, so the composite score
     (a fixed-weight double expression) is deterministic across engines."""
     out = with_tokens(df, text_col)
-    quoted = ", ".join(f"'{m}'" for m in STOPWORDS)
     out = (
         out.withColumn("n_chars_m", F.length(text_col))
         .withColumn("n_tokens", F.size("tokens"))
-        .withColumn(
-            "n_stopwords", F.expr(f"size(filter(tokens, t -> t IN ({quoted})))")
-        )
+        .withColumn("n_stopwords", _count_in("tokens", STOPWORDS))
         .withColumn(
             "n_punct", F.length(F.regexp_replace(text_col, r"[^.,!?;:]", ""))
         )
@@ -312,9 +322,8 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col(text_col), F.lit(r"\.\.\.")
     )
     n_alpha_words = F.expr("size(filter(tokens, t -> t rlike '[a-zA-Z]'))")
-    quoted = ", ".join(f"'{m}'" for m in STOPWORDS)
-    n_distinct_stop = F.expr(
-        f"size(array_distinct(filter(tokens, t -> t IN ({quoted}))))"
+    n_distinct_stop = F.size(
+        F.array_distinct(F.filter("tokens", lambda t: t.isin(list(STOPWORDS))))
     )
     out = (
         out.withColumn("n_tokens", n_tok)
@@ -398,7 +407,7 @@ def bm25_scores(
         F.col(id_col),
         F.size("tokens").alias("dl"),
         *[
-            F.expr(f"size(filter(tokens, x -> x = '{t}'))").alias(f"tf_{i}")
+            F.size(F.filter("tokens", _eq_term(t))).alias(f"tf_{i}")
             for i, t in enumerate(query_terms)
         ],
     )

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import math
 import os
+import weakref
 from dataclasses import dataclass
 from datetime import date, datetime
 from decimal import Decimal
@@ -819,6 +820,17 @@ class LanceStreamReader(DataSourceStreamReader):
                 )
             for fid in sorted(set(cur) - set(prev)):
                 f = cur[fid]
+                if f.deletion is not None:
+                    # A fragment whose FIRST appearance already carries a
+                    # deletion file is the product of a rewrite (e.g. a
+                    # compaction landing mid-stream) — reading it without the
+                    # deletion vector would silently emit deleted rows, and
+                    # this source's contract is append-only.
+                    raise ValueError(
+                        f"version {v} added fragment {fid} with a deletion "
+                        "file — the lance streaming source is append-only; "
+                        "restart from a fresh startingVersion past the rewrite"
+                    )
                 out.append(
                     LanceFragmentPartition(
                         fragment_id=f.id,
@@ -843,16 +855,23 @@ class LanceStreamReader(DataSourceStreamReader):
         pass  # offsets are durable in the query checkpoint
 
 
-_REGISTERED: set = set()
+_REGISTERED: "weakref.WeakValueDictionary[int, object]" = weakref.WeakValueDictionary()
 
 
 def register_lance_datasource(spark) -> None:
     """Idempotently register format('lance') on a session — truly once:
     re-registering replaces the entry in the JVM DataSourceManager (it logs
     'replaced a previously registered data source' per call), re-pickles the
-    class, and defeats any caching keyed on the registered source."""
+    class, and defeats any caching keyed on the registered source.
+
+    Dedup state is a WeakValueDictionary keyed by id(spark) holding the
+    session itself: when a stopped session is GC'd its entry vanishes, so a
+    NEW session that happens to reuse the same CPython id still registers
+    (a plain set of ids would silently skip it, leaving format('lance')
+    unresolvable). The identity check (`is`) guards against id collisions
+    while the old session is still alive."""
     key = id(spark)
-    if key in _REGISTERED:
+    if _REGISTERED.get(key) is spark:
         return
     spark.dataSource.register(LanceSparkDataSource)
-    _REGISTERED.add(key)
+    _REGISTERED[key] = spark

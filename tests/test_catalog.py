@@ -313,3 +313,27 @@ def test_estimated_size_bytes_tracks_rows(cat, spark):
     cat.sql("CREATE TABLE db.s AS SELECT k, g FROM _cat_sz")
     ds = cat.load("db", "s")
     assert ds.estimated_size_bytes() == 500 * 16  # two long columns
+
+
+def test_estimated_size_unbounded_columns_never_hint(cat, spark, tmp_path):
+    """An array column of unknown length makes the size estimate unknown
+    (-1): the stats feed must never broadcast-hint what it cannot bound.
+    Declaring the column as a FixedSizeList vector restores a finite
+    (element x dim) estimate; strings use the heavy var-len default."""
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    df = spark.range(10).selectExpr(
+        "id AS k", "array(cast(id AS float), cast(id AS float)) AS embedding"
+    )
+    plain = LanceDataset.create(str(tmp_path / "plain.lance"), df)
+    assert plain.estimated_size_bytes() == -1
+    vec = LanceDataset.create(
+        str(tmp_path / "vec.lance"), df,
+        properties={"vector_columns": "embedding:2"},
+    )
+    # long (8) + declared vector (4 x 2 + 8 overhead)
+    assert vec.estimated_size_bytes() == 10 * (8 + 4 * 2 + 8)
+    s = LanceDataset.create(
+        str(tmp_path / "s.lance"), spark.range(4).selectExpr("CAST(id AS STRING) AS t")
+    )
+    assert s.estimated_size_bytes() == 4 * 64

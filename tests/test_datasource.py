@@ -517,6 +517,48 @@ def test_stream_reader_rejects_rewrites(spark, tmp_path):
         q.awaitTermination()
 
 
+def test_stream_reader_rejects_new_fragment_with_deletion(spark, tmp_path):
+    """A fragment whose FIRST appearance already carries a deletion file
+    (e.g. an update/compaction landing mid-stream) must fail the append-only
+    contract — reading it with deletion_path=None would silently emit
+    deleted rows."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.format.manifest import (
+        DeletionFile,
+        Fragment,
+        commit_manifest,
+        read_manifest,
+    )
+    from lance_trino_spark.sources.lance_datasource import LanceStreamReader
+
+    path = str(tmp_path / "newdel.lance")
+    ds = LanceDataset.create(path, spark.range(20).selectExpr("id AS k"))
+    m1 = read_manifest(path, 1)
+    frag = m1.fragments[0]
+    new_frag = Fragment(
+        id=m1.max_fragment_id + 1,
+        path=frag.path,  # any existing file; never read — partitions() raises
+        physical_rows=frag.physical_rows,
+        deletion=DeletionFile(path="_deletions/fake.json", num_deleted=3),
+    )
+    m2 = dataclasses.replace(
+        m1,
+        version=2,
+        fragments=list(m1.fragments) + [new_frag],
+        operation="update",
+        read_version=1,
+        max_fragment_id=new_frag.id,
+    )
+    commit_manifest(path, m2)
+    reader = LanceStreamReader(path, ds.schema, {})
+    with _pytest.raises(ValueError, match="deletion"):
+        reader.partitions({"version": 1}, {"version": 2})
+
+
 def test_huge_in_list_stays_residual(spark, tmp_path):
     from lance_trino_spark.format.dataset import LanceDataset
     from lance_trino_spark.sources.lance_datasource import (

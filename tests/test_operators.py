@@ -440,6 +440,23 @@ def test_asof_join_semantics(spark):
     assert strict == {1: None, 2: 2.0, 3: None, 4: 9.0}
 
 
+def test_asof_join_atomic_null_payload(spark):
+    """True ASOF semantics: a MATCHED right row whose payload field is NULL
+    must yield NULL (not fall back to an older non-null value), and multiple
+    payload columns must all come from the SAME right row."""
+    from lance_trino_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 30, "k")], ["lid", "ts", "k_col"])
+    right = spark.createDataFrame(
+        [(10, "k", 1.0, "old"), (20, "k", None, "new")],
+        "ts long, k_col string, val double, tag string",
+    )
+    row = asof_join(left, right, ["k_col"], "ts", "ts", ["val", "tag"]).collect()[0]
+    # latest right row (ts=20) matched: val stays NULL, tag is 'new' —
+    # a per-column carry would have mixed (1.0, 'new') from two rows
+    assert row["val"] is None and row["tag"] == "new"
+
+
 def test_kmv_distinct_exact_and_estimate(spark):
     from lance_trino_spark.operators.sketches import kmv_distinct
 
