@@ -339,6 +339,14 @@ class LanceCatalog:
             f"{before}->{len(out.manifest.fragments)} fragments v{out.version}"
         )
 
+    def _h_create_index(self, m) -> DataFrame:
+        """`CREATE INDEX ON <schema>.<table> (<col>)` — per-fragment scalar
+        index sidecars (format/index.py), the reference's useScalarIndex
+        analogue for point lookups on unclustered columns."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        ds = self.load(ns, tbl).create_scalar_index(self.spark, col)
+        return self._status(f"indexed {ns}.{tbl}({col}) v{ds.version}")
+
     def _h_history(self, m) -> DataFrame:
         """`DESCRIBE HISTORY <schema>.<table>` — the version log (Delta-style
         history): one row per retained version with commit time + operation."""
@@ -448,6 +456,11 @@ class LanceCatalog:
         (
             rf"DESC(?:RIBE)?\s+HISTORY\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
             _h_history,
+        ),
+        (
+            rf"CREATE\s+INDEX\s+ON\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
+            _h_create_index,
         ),
         (
             rf"VACUUM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"

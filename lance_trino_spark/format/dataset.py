@@ -601,6 +601,60 @@ class LanceDataset:
         kept_files = [(f.path, f.physical_rows, f.stats) for f in keep]
         return self.commit_overwrite(kept_files + staged)
 
+    def create_scalar_index(
+        self, spark: SparkSession, column: str
+    ) -> "LanceDataset":
+        """Build per-fragment scalar index sidecars for `column` and record
+        the indexed column in the manifest (SURVEY §1.1 "Scalar index";
+        `LanceFragmentPageSource.java:126` useScalarIndex — the reference
+        consults Lance's btree/bitmap indexes below the scan, this is the
+        Spark-side equivalent: sorted (value, row_index) sidecars giving
+        point lookups on unclustered columns row-group-bounded IO).
+
+        One Spark task per fragment; each sorts only its own fragment
+        (bounded memory, no shuffle). Fragments appended after index
+        creation simply lack a sidecar and scan normally (consult-if-
+        present)."""
+        import pandas as pd
+
+        from .index import INDEX_PROP, build_fragment_index
+
+        if column not in {f.name for f in self.schema.fields}:
+            raise ValueError(f"no such column to index: {column!r}")
+        frag_paths = [f.path for f in self.manifest.fragments]
+        root = self.path
+        if frag_paths:
+            def _build(batches):
+                for pdf in batches:
+                    for p in pdf["path"]:
+                        build_fragment_index(root, p, column)
+                    yield pd.DataFrame({"path": pdf["path"]})
+
+            built = (
+                spark.createDataFrame([(p,) for p in frag_paths], "path string")
+                .repartition(len(frag_paths))
+                .mapInPandas(_build, "path string")
+                .count()  # one row per fragment — bounded action
+            )
+            assert built == len(frag_paths)
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        indexed = sorted(set(base.properties.get(INDEX_PROP, [])) | {column})
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            operation="create_index",
+            read_version=self.version,
+            max_fragment_id=base.max_fragment_id,
+            properties={**base.properties, INDEX_PROP: indexed},
+        )
+        commit_manifest(self.path, m)
+        return LanceDataset(self.path, m)
+
     def commit_overwrite(
         self, fragment_files: list[tuple[str, int]]
     ) -> "LanceDataset":

@@ -80,6 +80,12 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..format.fragments import FragmentFileWriter, as_fragments
+from ..format.index import (
+    INDEX_PROP,
+    INDICES_DIR,
+    lookup as index_lookup,
+    read_rows_by_index,
+)
 from ..format.manifest import (
     CommitConflictError,
     Fragment,
@@ -387,6 +393,10 @@ class LanceScanReaderNoPushdown(DataSourceReader):
             f.name in manifest_types and f.dataType != manifest_types[f.name]
             for f in schema.fields
         )
+        # Scalar-index consultation (SURVEY §1.1 "Scalar index"): columns
+        # with per-fragment sorted sidecars; equality/IN probes on them read
+        # only the row groups holding matching rows (format/index.py).
+        self._indexed_cols = set(self._manifest.properties.get(INDEX_PROP, []))
 
     def partitions(self) -> Sequence[LanceFragmentPartition]:
         frags = [f for f in self._manifest.fragments if f.num_rows > 0]
@@ -446,6 +456,28 @@ class LanceScanReaderNoPushdown(DataSourceReader):
             # Spark plans one None-valued partition when partitions() pruned
             # everything — an empty scan.
             return
+        hits = self._index_probe(partition)
+        if hits is not None:
+            # Scalar-index fast path: bounded IO — only the data-file row
+            # groups containing matching physical rows are decoded; the
+            # deletion vector is applied to the matched indices, and every
+            # pushed filter is (re-)applied to the small result.
+            del_idx = None
+            if partition.deletion_path is not None:
+                deleted = pq.read_table(
+                    partition.deletion_path, columns=["row_index"]
+                ).column("row_index")
+                del_idx = np.sort(
+                    deleted.to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            columns = [f.name for f in self._schema.fields]
+            table, _ = read_rows_by_index(
+                partition.data_path, hits, columns, del_idx
+            )
+            if expr is not None and table.num_rows:
+                table = table.filter(expr)
+            yield from table.to_batches(max_chunksize=self._batch_size)
+            return
         if partition.deletion_path is None and not self._nested_pruned:
             # No deletion vector, flat projection: let pyarrow evaluate the
             # filter inside the parquet scan (row-group/page pruning).
@@ -495,6 +527,32 @@ class LanceScanReaderNoPushdown(DataSourceReader):
                 # the pruned schema's declared order
                 table = _conform_table(table, self._schema)
             yield from table.to_batches(max_chunksize=self._batch_size)
+
+
+    def _index_probe(self, partition: LanceFragmentPartition):
+        """Physical row indices matching a pushed equality/IN filter on an
+        indexed column via the fragment's sidecar, or None to scan normally
+        (no such filter, nested-pruned projection, or a fragment written
+        after index creation — consult-if-present, like the reference's
+        useScalarIndex)."""
+        if not self._indexed_cols or not self._pushed or self._nested_pruned:
+            return None
+        for f in self._pushed:
+            if isinstance(f, EqualTo):
+                col, values = f.attribute[0], [f.value]
+            elif isinstance(f, In):
+                col, values = f.attribute[0], list(f.value)
+            else:
+                continue
+            if col not in self._indexed_cols:
+                continue
+            idx_path = os.path.join(
+                self._path, INDICES_DIR, col, os.path.basename(partition.data_path)
+            )
+            if not os.path.exists(idx_path):
+                return None
+            return index_lookup(idx_path, values)
+        return None
 
 
 class LanceScanReader(LanceScanReaderNoPushdown):

@@ -339,3 +339,38 @@ def ds07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds08 — scalar-index point lookup (SURVEY §1.1 "Scalar index";
+# `LanceFragmentPageSource.java:126` useScalarIndex): a selective equality/IN
+# probe on a HIGH-CARDINALITY UNCLUSTERED column (o_custkey — the table is
+# laid out by o_orderkey, so every fragment's zone map admits every custkey)
+# goes through per-fragment sorted sidecars and decodes only the row groups
+# holding matching rows. Values must equal the plain-parquet oracle exactly;
+# the bounded-IO property itself is asserted in tests/test_datasource.py.
+# ---------------------------------------------------------------------------
+@register(
+    "ds08_scalar_index_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_custkey IN (7, 11)
+    ORDER BY o_orderkey
+    """,
+    doc="connector: scalar-index point lookup on an unclustered column",
+    tags=("connector", "index", "pushdown"),
+)
+def ds08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds08")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    ds = LanceDataset.create(path, orders, max_rows_per_file=5000)
+    ds.create_scalar_index(spark, "o_custkey")
+    return (
+        spark.read.format("lance")
+        .load(path)
+        .filter(F.col("o_custkey").isin(7, 11))
+        .orderBy("o_orderkey")
+    )

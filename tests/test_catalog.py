@@ -307,6 +307,20 @@ def test_stats_broadcast_join_planning(cat, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_sql_create_index_route(cat, spark):
+    _src(spark, 1000).createOrReplaceTempView("_cat_idx")
+    cat.sql("CREATE SCHEMA db")
+    cat.sql("CREATE TABLE db.t AS SELECT * FROM _cat_idx")
+    out = cat.sql("CREATE INDEX ON db.t (g)").collect()[0]["status"]
+    assert "indexed db.t(g)" in out
+    ds = cat.load("db", "t")
+    assert ds.manifest.properties["scalar_indexes"] == ["g"]
+    assert ds.manifest.operation == "create_index"
+    # values unchanged through the indexed read path
+    n = cat.sql("SELECT COUNT(*) AS n FROM db.t WHERE g = 2").collect()[0]["n"]
+    assert n == 200
+
+
 def test_estimated_size_bytes_tracks_rows(cat, spark):
     cat.sql("CREATE SCHEMA db")
     _src(spark, 500).createOrReplaceTempView("_cat_sz")

@@ -559,6 +559,71 @@ def test_stream_reader_rejects_new_fragment_with_deletion(spark, tmp_path):
         reader.partitions({"version": 1}, {"version": 2})
 
 
+def test_scalar_index_bounded_point_lookup(spark, tmp_path):
+    """The scalar-index fast path must (a) return exactly the matching rows,
+    (b) decode only the row groups containing them — the bounded-IO contract
+    that distinguishes an index probe from a fragment scan."""
+    import numpy as np
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.format.index import (
+        index_rel_path,
+        lookup,
+        read_rows_by_index,
+    )
+
+    path = str(tmp_path / "idx.lance")
+    # unclustered high-cardinality column: k shuffled relative to layout
+    df = spark.range(50_000).selectExpr(
+        "id AS pos", "pmod(id * 7919, 50000) AS k", "id * 2 AS payload"
+    ).coalesce(1)  # ONE fragment so the probe targets a known sidecar
+    ds = LanceDataset.create(path, df, max_rows_per_file=50_000)
+    ds = ds.create_scalar_index(spark, "k")
+    assert ds.manifest.properties["scalar_indexes"] == ["k"]
+    frag = ds.manifest.fragments[0]
+    idx_path = os.path.join(path, index_rel_path("k", frag.path))
+    assert os.path.exists(idx_path)
+    hits = lookup(idx_path, [12345])
+    assert len(hits) == 1  # 7919 is coprime with 50000 → bijection
+    tbl, rows_read = read_rows_by_index(
+        os.path.join(path, frag.path), hits, ["pos", "k", "payload"]
+    )
+    assert tbl.column("k").to_pylist() == [12345]
+    # bounded IO: one row group (default parquet row groups << fragment)
+    assert 0 < rows_read < frag.physical_rows
+    # deletion vectors are honored: deleting the matched row removes it
+    tbl2, _ = read_rows_by_index(
+        os.path.join(path, frag.path), hits, ["k"],
+        deletion_indices=np.asarray(hits, dtype=np.int64),
+    )
+    assert tbl2.num_rows == 0
+
+
+def test_scalar_index_scan_and_unindexed_fallback(spark, tmp_path):
+    """End-to-end format('lance') scan through the index equals the plain
+    scan, and fragments appended AFTER index creation (no sidecar) still
+    contribute rows via the fallback path."""
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "idxscan.lance")
+    base = spark.range(10_000).selectExpr("id AS k", "id % 97 AS g")
+    ds = LanceDataset.create(path, base, max_rows_per_file=2500)
+    ds = ds.create_scalar_index(spark, "g")
+    # appended after indexing: no sidecar for this fragment
+    ds.append(spark.range(10_000, 12_000).selectExpr("id AS k", "id % 97 AS g"))
+    got = (
+        spark.read.format("lance").load(path)
+        .filter(F.col("g") == 5)
+        .select("k")
+        .orderBy("k")
+        .collect()
+    )
+    expect = sorted(k for k in range(12_000) if k % 97 == 5)
+    assert [r["k"] for r in got] == expect
+
+
 def test_huge_in_list_stays_residual(spark, tmp_path):
     from lance_trino_spark.format.dataset import LanceDataset
     from lance_trino_spark.sources.lance_datasource import (
