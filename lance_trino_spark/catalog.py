@@ -29,8 +29,13 @@ DDL surface, docs/src/operations/ddl/*):
     MERGE INTO <schema>.<table> USING <source> ON <col> = <col>[ AND ...]
       WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e[, ...] | DELETE
       [WHEN NOT MATCHED THEN INSERT]        -- source columns as src.<name>
+    CREATE INDEX ON <schema>.<table> (<col>)
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
+
+Namespace modes (schema_mode): "dir" (default), "single" (virtual `default`
+schema at the root), "parent" ($-joined multi-level namespaces) — see the
+LanceCatalog docstring.
 
 COUNT(*) fast path (A8): an unfiltered, ungrouped `SELECT COUNT(*) FROM t`
 is answered from the manifest in O(1) with zero fragments scanned — the same
@@ -53,6 +58,10 @@ from .format.manifest import read_manifest
 from .operators import dml
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# Schema-name positions additionally admit `$` — parent-prefix namespace
+# mode flattens multi-level namespaces into `a$b` schema names
+# (`LanceRuntime.java:224-260`).
+_NSID = r"[A-Za-z_][A-Za-z0-9_$]*"
 
 
 class CatalogError(ValueError):
@@ -66,7 +75,22 @@ def _ident(name: str, what: str) -> str:
 
 
 class LanceCatalog:
-    """A directory namespace of Lance datasets with a SQL routing front-end."""
+    """A directory namespace of Lance datasets with a SQL routing front-end.
+
+    ``schema_mode`` mirrors the reference's namespace resolution modes
+    (`LanceRuntime.java:224-260`, `LanceConfig.java:73-105`,
+    `docs/src/config.md`):
+
+    - ``"dir"`` (default): one directory level per schema —
+      ``<root>/<schema>/<table>.lance``.
+    - ``"single"``: a single-level namespace exposed as one virtual schema
+      ``default``; tables live directly at ``<root>/<table>.lance``.
+    - ``"parent"``: multi-level namespaces flattened into single-level
+      schema names by ``$``-joining the levels — schema ``a$b`` resolves to
+      ``<root>/a/b/`` (the reference's parent-prefix resolution).
+    """
+
+    SINGLE_SCHEMA = "default"
 
     def __init__(
         self,
@@ -74,9 +98,13 @@ class LanceCatalog:
         root: str,
         stats_broadcast: bool = True,
         broadcast_threshold_bytes: int | None = None,
+        schema_mode: str = "dir",
     ):
+        if schema_mode not in ("dir", "single", "parent"):
+            raise CatalogError(f"unknown schema_mode: {schema_mode!r}")
         self.spark = spark
         self.root = root
+        self.schema_mode = schema_mode
         os.makedirs(root, exist_ok=True)
         self._view_ids = 0
         # A9 statistics feed: hint broadcast for manifest-small tables in
@@ -87,8 +115,30 @@ class LanceCatalog:
         self.broadcast_threshold_bytes = broadcast_threshold_bytes
 
     # ------------------------------------------------------------ namespaces
+    def _ns_dir(self, ns: str) -> str:
+        """Directory a schema name resolves to under the active mode."""
+        if self.schema_mode == "single":
+            if ns != self.SINGLE_SCHEMA:
+                raise CatalogError(
+                    f"single-level namespace mode exposes only the "
+                    f"{self.SINGLE_SCHEMA!r} schema, not {ns!r}"
+                )
+            return self.root
+        if self.schema_mode == "parent":
+            parts = ns.split("$")
+            for p in parts:
+                _ident(p, "schema level")
+            return os.path.join(self.root, *parts)
+        return os.path.join(self.root, _ident(ns, "schema"))
+
     def create_namespace(self, ns: str, if_not_exists: bool = False) -> None:
-        p = os.path.join(self.root, _ident(ns, "schema"))
+        if self.schema_mode == "single":
+            if ns == self.SINGLE_SCHEMA and if_not_exists:
+                return  # the virtual schema always exists
+            raise CatalogError(
+                "single-level namespace mode: schemas cannot be created"
+            )
+        p = self._ns_dir(ns)
         if os.path.isdir(p):
             if if_not_exists:
                 return
@@ -96,31 +146,49 @@ class LanceCatalog:
         os.makedirs(p)
 
     def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
-        p = os.path.join(self.root, _ident(ns, "schema"))
+        if self.schema_mode == "single":
+            raise CatalogError(
+                "single-level namespace mode: schemas cannot be dropped"
+            )
+        p = self._ns_dir(ns)
         if not os.path.isdir(p):
             if if_exists:
                 return
             raise CatalogError(f"schema {ns!r} does not exist")
-        if self.list_tables(ns):
+        if self.list_tables(ns) or any(
+            os.path.isdir(os.path.join(p, d)) for d in os.listdir(p)
+        ):
             # RESTRICT-only, like the reference (cascade unsupported,
-            # `LanceMetadata.java:162-245`).
+            # `LanceMetadata.java:162-245`); parent mode also refuses when
+            # child namespaces exist.
             raise CatalogError(f"schema {ns!r} is not empty")
         shutil.rmtree(p)
 
     def list_namespaces(self) -> list[str]:
+        if self.schema_mode == "single":
+            return [self.SINGLE_SCHEMA]
+        if self.schema_mode == "parent":
+            out = []
+            for dirpath, dirnames, _ in os.walk(self.root):
+                dirnames[:] = [d for d in dirnames if not d.endswith(".lance")]
+                for d in dirnames:
+                    rel = os.path.relpath(os.path.join(dirpath, d), self.root)
+                    out.append("$".join(rel.split(os.sep)))
+            return sorted(out)
         return sorted(
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
+            and not d.endswith(".lance")
         )
 
     # ---------------------------------------------------------------- tables
     def table_path(self, ns: str, table: str) -> str:
         return os.path.join(
-            self.root, _ident(ns, "schema"), f"{_ident(table, 'table')}.lance"
+            self._ns_dir(ns), f"{_ident(table, 'table')}.lance"
         )
 
     def list_tables(self, ns: str) -> list[str]:
-        p = os.path.join(self.root, _ident(ns, "schema"))
+        p = self._ns_dir(ns)
         if not os.path.isdir(p):
             raise CatalogError(f"schema {ns!r} does not exist")
         return sorted(
@@ -144,7 +212,7 @@ class LanceCatalog:
     def create_table(
         self, ns: str, table: str, df: DataFrame, mode: str = "error"
     ) -> LanceDataset:
-        if not os.path.isdir(os.path.join(self.root, _ident(ns, "schema"))):
+        if not os.path.isdir(self._ns_dir(ns)):
             raise CatalogError(f"schema {ns!r} does not exist")
         return LanceDataset.create(self.table_path(ns, table), df, mode=mode)
 
@@ -390,28 +458,28 @@ class LanceCatalog:
 
     _ROUTES = [
         (
-            rf"CREATE\s+SCHEMA\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_IDENT})$",
+            rf"CREATE\s+SCHEMA\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_NSID})$",
             _h_create_schema,
         ),
         (
-            rf"DROP\s+SCHEMA\s+(?P<ie>IF\s+EXISTS\s+)?(?P<ns>{_IDENT})$",
+            rf"DROP\s+SCHEMA\s+(?P<ie>IF\s+EXISTS\s+)?(?P<ns>{_NSID})$",
             _h_drop_schema,
         ),
         (r"SHOW\s+SCHEMAS$", _h_show_schemas),
-        (rf"SHOW\s+TABLES(?:\s+IN\s+(?P<ns>{_IDENT}))?$", _h_show_tables),
+        (rf"SHOW\s+TABLES(?:\s+IN\s+(?P<ns>{_NSID}))?$", _h_show_tables),
         (
             rf"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
-            rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s+AS\s+(?P<select>.+)$",
             _h_create_table,
         ),
         (
-            rf"CREATE\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*"
+            rf"CREATE\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})\s*"
             rf"\((?P<cols>.+)\)$",
             _h_create_table_columns,
         ),
         (
-            rf"MERGE\s+INTO\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"MERGE\s+INTO\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"(?:\s+(?:AS\s+)?t)?\s+USING\s+(?P<src>\(.*?\)|\S+)"
             rf"(?:\s+(?:AS\s+)?(?:s|src))?\s+ON\s+(?P<on>.+?)"
             rf"\s+(?P<whens>WHEN\s+.+)$",
@@ -419,51 +487,51 @@ class LanceCatalog:
         ),
         (
             rf"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?"
-            rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
             _h_drop_table,
         ),
         (
-            rf"DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            rf"DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
             _h_describe,
         ),
         (
-            rf"INSERT\s+INTO\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+            rf"INSERT\s+INTO\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})\s+"
             rf"(?P<select>SELECT\s+.+|VALUES\s+.+)$",
             _h_insert,
         ),
         (
-            rf"DELETE\s+FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+"
+            rf"DELETE\s+FROM\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})\s+"
             rf"WHERE\s+(?P<pred>.+)$",
             _h_delete,
         ),
         (
-            rf"UPDATE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+SET\s+"
+            rf"UPDATE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})\s+SET\s+"
             rf"(?P<sets>.+?)(?:\s+WHERE\s+(?P<pred>.+))?$",
             _h_update,
         ),
         (
             rf"SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>{_IDENT}))?\s+"
-            rf"FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            rf"FROM\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
             _h_count_star,
         ),
         (
-            rf"OPTIMIZE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"OPTIMIZE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"(?:\s+TARGET\s+(?P<target>\d+)\s+ROWS)?"
             rf"(?:\s+SORT\s+BY\s+(?P<sort>{_IDENT}(?:\s*,\s*{_IDENT})*)"
             rf"|\s+ZORDER\s+BY\s+\(?\s*(?P<zorder>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?)?$",
             _h_optimize,
         ),
         (
-            rf"DESC(?:RIBE)?\s+HISTORY\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})$",
+            rf"DESC(?:RIBE)?\s+HISTORY\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
             _h_history,
         ),
         (
-            rf"CREATE\s+INDEX\s+ON\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"CREATE\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
             _h_create_index,
         ),
         (
-            rf"VACUUM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"VACUUM\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS?)?$",
             _h_vacuum,
         ),
@@ -471,10 +539,12 @@ class LanceCatalog:
 
     # --- SELECT rewriting --------------------------------------------------
     # Identifiers in table refs may be backtick-quoted (Spark's quoting);
-    # quoted parts are unwrapped before namespace resolution.
+    # quoted parts are unwrapped before namespace resolution. The schema
+    # position admits `$` (parent-prefix mode's flattened level separator).
     _QIDENT = rf"(?:`[^`]+`|{_IDENT})"
+    _QNSID = rf"(?:`[^`]+`|{_NSID})"
     _TABLE_REF = re.compile(
-        rf"\b(?P<kw>FROM|JOIN)\s+(?P<ns>{_QIDENT})\.(?P<tbl>{_QIDENT})"
+        rf"\b(?P<kw>FROM|JOIN)\s+(?P<ns>{_QNSID})\.(?P<tbl>{_QIDENT})"
         rf"(?:\s+FOR)?"
         rf"(?:\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
         rf"(?P<val>'[^']*'|[\w.:+-]+))?",
@@ -530,7 +600,10 @@ class LanceCatalog:
             except CatalogError:
                 return m.group(0)  # not ours — leave for Spark to resolve
             self._view_ids += 1
-            view = f"_lance_{ns}_{tbl}_{self._view_ids}"
+            # sanitize: `$`-joined parent-prefix schemas (and any quoted
+            # chars) must yield a plain-identifier view name
+            safe = re.sub(r"\W", "_", f"{ns}_{tbl}")
+            view = f"_lance_{safe}_{self._view_ids}"
             df = ds.to_df(self.spark)
             if (
                 self.stats_broadcast

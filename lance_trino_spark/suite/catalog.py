@@ -360,3 +360,67 @@ def cat08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND o_custkey >= 100 AND o_custkey < 700 "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat09 — namespace resolution modes (`LanceRuntime.java:224-260`,
+# `LanceConfig.java:73-105`): the SAME data served through (a) single-level
+# mode (tables at the root under the virtual `default` schema) and (b)
+# parent-prefix mode (multi-level namespace flattened to the `$`-joined
+# schema `eu$west`). Both catalogs must list the expected namespaces and
+# produce identical values; the oracle is the plain-SQL equivalent.
+# ---------------------------------------------------------------------------
+@register(
+    "cat09_namespace_modes",
+    oracle="""
+    SELECT mode, n_name, n_nations FROM (
+      SELECT 'single' AS mode, r.r_name AS n_name, COUNT(*) AS n_nations
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      UNION ALL
+      SELECT 'parent' AS mode, r.r_name AS n_name, COUNT(*) AS n_nations
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name)
+    ORDER BY mode, n_name
+    """,
+    doc="catalog: single-level ('default') + parent-prefix ($-joined) "
+        "namespace modes",
+    tags=("catalog", "namespaces"),
+)
+def cat09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    region.createOrReplaceTempView("_cat09_region")
+    nation.createOrReplaceTempView("_cat09_nation")
+
+    single_root = os.path.join(_SCRATCH, f"{tag}-cat09-single")
+    shutil.rmtree(single_root, ignore_errors=True)
+    single = LanceCatalog(spark, single_root, schema_mode="single")
+    assert single.list_namespaces() == ["default"]
+    single.sql("CREATE TABLE default.region AS SELECT * FROM _cat09_region")
+    single.sql("CREATE TABLE default.nation AS SELECT * FROM _cat09_nation")
+    assert single.list_tables("default") == ["nation", "region"]
+    s = single.sql(
+        "SELECT 'single' AS mode, r.r_name AS n_name, COUNT(*) AS n_nations "
+        "FROM default.region r JOIN default.nation n "
+        "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    )
+
+    parent_root = os.path.join(_SCRATCH, f"{tag}-cat09-parent")
+    shutil.rmtree(parent_root, ignore_errors=True)
+    parent = LanceCatalog(spark, parent_root, schema_mode="parent")
+    parent.sql("CREATE SCHEMA eu")
+    parent.sql("CREATE SCHEMA eu$west")  # nested level -> <root>/eu/west/
+    assert parent.list_namespaces() == ["eu", "eu$west"]
+    parent.sql("CREATE TABLE eu$west.region AS SELECT * FROM _cat09_region")
+    parent.sql("CREATE TABLE eu$west.nation AS SELECT * FROM _cat09_nation")
+    assert os.path.isdir(os.path.join(parent_root, "eu", "west", "region.lance"))
+    p = parent.sql(
+        "SELECT 'parent' AS mode, r.r_name AS n_name, COUNT(*) AS n_nations "
+        "FROM eu$west.region r JOIN eu$west.nation n "
+        "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    )
+    return s.unionByName(p).orderBy("mode", "n_name")

@@ -307,6 +307,44 @@ def test_stats_broadcast_join_planning(cat, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_single_level_namespace_mode(spark, tmp_path):
+    """Single-level mode: one virtual 'default' schema at the root; schema
+    DDL is refused (`LanceConfig.java:73-105` single-level resolution)."""
+    cat = LanceCatalog(spark, str(tmp_path / "single"), schema_mode="single")
+    assert cat.list_namespaces() == ["default"]
+    with pytest.raises(CatalogError):
+        cat.sql("CREATE SCHEMA other")
+    with pytest.raises(CatalogError):
+        cat.drop_namespace("default")
+    cat.create_namespace("default", if_not_exists=True)  # always exists
+    _src(spark, 10).createOrReplaceTempView("_cat_sl")
+    cat.sql("CREATE TABLE default.t AS SELECT * FROM _cat_sl")
+    # table lives directly at the root
+    assert os.path.isdir(os.path.join(cat.root, "t.lance"))
+    assert cat.list_tables("default") == ["t"]
+    assert cat.sql("SELECT COUNT(*) AS n FROM default.t").collect()[0]["n"] == 10
+
+
+def test_parent_prefix_namespace_mode(spark, tmp_path):
+    """Parent-prefix mode: multi-level namespaces flatten to $-joined schema
+    names mapping to nested directories (`LanceRuntime.java:224-260`)."""
+    cat = LanceCatalog(spark, str(tmp_path / "parent"), schema_mode="parent")
+    cat.sql("CREATE SCHEMA a")
+    cat.sql("CREATE SCHEMA a$b")
+    cat.sql("CREATE SCHEMA a$b$c")
+    assert cat.list_namespaces() == ["a", "a$b", "a$b$c"]
+    assert os.path.isdir(os.path.join(cat.root, "a", "b", "c"))
+    _src(spark, 6).createOrReplaceTempView("_cat_pp")
+    cat.sql("CREATE TABLE a$b.t AS SELECT * FROM _cat_pp")
+    assert cat.list_tables("a$b") == ["t"]
+    assert cat.sql("SELECT COUNT(*) AS n FROM a$b.t").collect()[0]["n"] == 6
+    # RESTRICT: a$b holds a table AND a child namespace; a$b$c is empty
+    with pytest.raises(CatalogError):
+        cat.sql("DROP SCHEMA a$b")
+    cat.sql("DROP SCHEMA a$b$c")
+    assert cat.list_namespaces() == ["a", "a$b"]
+
+
 def test_sql_create_index_route(cat, spark):
     _src(spark, 1000).createOrReplaceTempView("_cat_idx")
     cat.sql("CREATE SCHEMA db")
