@@ -619,18 +619,7 @@ class LanceCatalog:
     def _broadcast_threshold(self) -> int:
         if self.broadcast_threshold_bytes is not None:
             return self.broadcast_threshold_bytes
-        raw = str(
-            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        ).strip().lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        for suffix, mult in units.items():
-            if raw.endswith(suffix + "b"):
-                return int(raw[:-2]) * mult
-            if raw.endswith(suffix):
-                return int(raw[:-1]) * mult
-        if raw.endswith("b"):
-            raw = raw[:-1]
-        return int(raw)
+        return LanceDataset.autobroadcast_threshold_bytes(self.spark)
 
     def _status(self, msg: str) -> DataFrame:
         return self.spark.createDataFrame([(msg,)], "status string")

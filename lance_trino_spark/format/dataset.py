@@ -193,6 +193,24 @@ class LanceDataset:
     def versions(self) -> list[int]:
         return list_versions(self.path)
 
+    @staticmethod
+    def autobroadcast_threshold_bytes(spark: SparkSession) -> int:
+        """The session's autoBroadcastJoinThreshold as bytes (accepts the
+        10m/1g suffix forms) — the budget both stats-feed consumers
+        (catalog SELECT rewrites and read_lance) compare estimates against."""
+        raw = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        for suffix, mult in units.items():
+            if raw.endswith(suffix + "b"):
+                return int(raw[:-2]) * mult
+            if raw.endswith(suffix):
+                return int(raw[:-1]) * mult
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        return int(raw)
+
     # ------------------------------------------------------------------ scan
     def _fragments_for_limit(self, limit: int | None, has_filter: bool) -> list[Fragment]:
         frags = self.manifest.fragments

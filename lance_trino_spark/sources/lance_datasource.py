@@ -933,3 +933,51 @@ def register_lance_datasource(spark) -> None:
         return
     spark.dataSource.register(LanceSparkDataSource)
     _REGISTERED[key] = spark
+
+
+def read_lance(
+    spark,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    columns: str | None = None,
+    stats_broadcast: bool = True,
+    broadcast_threshold_bytes: int | None = None,
+):
+    """Read a Lance dataset with the manifest-statistics feed applied
+    (SURVEY §2A.A9, `LanceMetadata.java:561-588` getTableStatistics → CBO).
+
+    The Python DataSource API exposes no SupportsReportStatistics hook, so a
+    bare ``spark.read.format("lance")`` scan reports Spark's default size
+    and never plans a broadcast join at planning time (AQE can still convert
+    at runtime from observed shuffle sizes). This entry point closes that
+    gap the same way the catalog's SELECT rewrite does: when the manifest
+    row-count x type-width estimate fits the session's
+    autoBroadcastJoinThreshold (and is not -1 = unbounded-width schema), the
+    DataFrame carries an explicit broadcast hint — joins against it plan as
+    BroadcastHashJoin from manifest stats alone, no data sampled."""
+    from pyspark.sql import functions as F
+
+    from ..format.dataset import LanceDataset
+
+    register_lance_datasource(spark)
+    reader = spark.read.format("lance")
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
+    if timestamp_ms is not None:
+        reader = reader.option("timestampAsOf", str(timestamp_ms))
+    if columns is not None:
+        reader = reader.option("columns", columns)
+    df = reader.load(path)
+    if stats_broadcast:
+        ds = LanceDataset.open(
+            path, version=version, asof_timestamp_ms=timestamp_ms
+        )
+        threshold = (
+            broadcast_threshold_bytes
+            if broadcast_threshold_bytes is not None
+            else LanceDataset.autobroadcast_threshold_bytes(spark)
+        )
+        if 0 <= ds.estimated_size_bytes() <= threshold:
+            df = F.broadcast(df)
+    return df

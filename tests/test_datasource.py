@@ -624,6 +624,32 @@ def test_scalar_index_scan_and_unindexed_fallback(spark, tmp_path):
     assert [r["k"] for r in got] == expect
 
 
+def test_read_lance_manifest_stats_broadcast(spark, tmp_path):
+    """A9 through the DataSource path: a join of two format('lance') tables
+    plans a BroadcastHashJoin from manifest statistics ALONE — Spark's own
+    size-based broadcasting is disabled, so only the stats feed can produce
+    it; the big side must NOT be hinted."""
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.sources.lance_datasource import read_lance
+
+    big_p, small_p = str(tmp_path / "big.lance"), str(tmp_path / "small.lance")
+    LanceDataset.create(
+        big_p, spark.range(200_000).selectExpr("id AS k", "id % 7 AS v")
+    )
+    LanceDataset.create(small_p, spark.range(50).selectExpr("id AS k", "id AS w"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = read_lance(spark, big_p, broadcast_threshold_bytes=1 << 20)
+        small = read_lance(spark, small_p, broadcast_threshold_bytes=1 << 20)
+        j = big.join(small, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert j.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_huge_in_list_stays_residual(spark, tmp_path):
     from lance_trino_spark.format.dataset import LanceDataset
     from lance_trino_spark.sources.lance_datasource import (
