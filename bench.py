@@ -69,6 +69,9 @@ DEFAULT_QUERIES = [
     "e09_range_join",
     "cat08_sql_zorder_optimize",
     "ds07_stream_source_tail",
+    "ds08_scalar_index_point_lookup",
+    "cat09_namespace_modes",
+    "s04_ivf_trained_topk",
 ]
 
 

@@ -173,6 +173,62 @@ class TestBackendConformance:
         assert b.read_manifest_json(root, 1) == self.PAYLOAD_V2
 
 
+class TestStorageOptions:
+    """Credential-vending seam (`LanceTableHandle.java:153-173`,
+    `LancePageSourceProvider.java:123-156`): refresh-on-expiry semantics,
+    independent of any real object store."""
+
+    def test_refresh_on_expiry_only(self):
+        from lance_trino_spark.format.storage_options import (
+            RefreshingOptions,
+            StorageOptions,
+        )
+
+        vends = []
+
+        class Vendor:
+            def __init__(self):
+                self.n = 0
+
+            def vend(self, root):
+                self.n += 1
+                vends.append(root)
+                return StorageOptions(
+                    {"token": f"t{self.n}"}, expires_at_ms=1000 * self.n
+                )
+
+        v = Vendor()
+        ro = RefreshingOptions(v)
+        assert ro.fresh("s3://b/t", now_ms=0) == {"token": "t1"}
+        # unexpired: cached, no second vend
+        assert ro.fresh("s3://b/t", now_ms=999) == {"token": "t1"}
+        assert v.n == 1
+        # expired: re-vended
+        assert ro.fresh("s3://b/t", now_ms=1000) == {"token": "t2"}
+        assert v.n == 2
+        # a different root vends independently
+        ro.fresh("s3://b/u", now_ms=0)
+        assert vends == ["s3://b/t", "s3://b/t", "s3://b/u"]
+
+    def test_static_provider_never_expires(self):
+        from lance_trino_spark.format.storage_options import (
+            RefreshingOptions,
+            StaticProvider,
+        )
+
+        ro = RefreshingOptions(StaticProvider({"region": "us-east-1"}))
+        assert ro.fresh("r", now_ms=0) == {"region": "us-east-1"}
+        assert ro.fresh("r", now_ms=10**15) == {"region": "us-east-1"}
+
+    def test_filesystem_for_posix_and_loud_object_store(self):
+        from lance_trino_spark.format.storage_options import filesystem_for
+
+        assert filesystem_for("/data/t.lance") is None
+        assert filesystem_for("file:///data/t.lance") is None
+        with pytest.raises(NotImplementedError, match="s3"):
+            filesystem_for("s3://bucket/t.lance")
+
+
 def test_manifest_cache_hit_and_recreate_invalidation(spark, tmp_path):
     """A18: repeated opens of one (path, version) reuse the parsed manifest;
     DROP + re-CREATE at the same path (reusing version 1) must NOT serve the
