@@ -11,20 +11,22 @@ bit-for-bit (see Bar-Yossef et al. 2002, the classic KMV bottom-k paper).
 estimate = (k-1) * 2^32 / h_k     (h_k = k-th smallest distinct hash)
 exact    = |values|               when the group has fewer than k distincts
 
-Scale shape — a true bottom-k partial aggregate, not a sort:
+Scale shape — a two-level bottom-k aggregate, not a sort:
 
-1. map side: per (group, input partition), collect the local distinct hash
-   set and truncate to its k smallest (`slice(array_sort(collect_set))`).
-   Memory per aggregation buffer is the local distinct count; the rows that
-   leave the stage carry at most k hashes per group per partition.
-2. reduce side: per group, merge the per-partition bottom-k arrays
-   (flatten → array_distinct → array_sort → slice k). Union of per-partition
-   bottom-ks always contains the global bottom-k, so the merge is exact;
-   per-group state is bounded by (#partitions holding the group) × k.
-
-Nothing ever shuffles the full distinct value set and no per-group global
-sort runs — at 100 TB the exchange moves O(groups × partitions × k) rows,
-the same communication contract as any mergeable bottom-k sketch.
+1. level 1, keyed (group, spark_partition_id): collect the task-local
+   distinct hash set and truncate it to its k smallest
+   (`slice(array_sort(collect_set))`). Each key lives in exactly one map
+   task, so level-1 state is the task-local distinct count — the same
+   dedup work a plain DISTINCT's map side does, with the same partial-set
+   exchange bytes — but the OUTPUT of level 1 is at most k hashes per
+   (group, partition).
+2. level 2, keyed group: merge the truncated arrays (flatten →
+   array_distinct → array_sort → slice k). Union of per-partition
+   bottom-ks always contains the global bottom-k, so the merge is exact,
+   and — the point of the two levels — the per-group reduce buffer is
+   bounded by (#partitions holding the group) × k, never the group's full
+   distinct set, and no per-group global sort ever runs (the old
+   row_number() window shape this replaces).
 """
 
 from __future__ import annotations

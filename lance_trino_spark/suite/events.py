@@ -372,7 +372,13 @@ def e07(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_distinct
 
-    ev = load_table(spark, sf_dir, "events")
+    # Explicit null-key filter BELOW kmv_distinct's spark_partition_id
+    # projection: the inner join would infer isnotnull(event_type) anyway,
+    # but an inferred filter cannot be pushed through a nondeterministic
+    # projection — stated here it reaches the parquet scan (plan audit).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     sk = kmv_distinct(ev, "event_type", "user_id", k=64)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")

@@ -91,6 +91,10 @@ SUITE_AUDIT_ALLOW = {
     "s06_bm25_topk": "BroadcastNestedLoopJoin",
     # exact-baseline crossJoin against a guarded broadcast-small query set
     "s01_cosine_topk": "BroadcastNestedLoopJoin",
+    # s04 embeds the exact baseline as its in-query recall validator — the
+    # same sanctioned broadcast-small crossJoin as s01; the IVF search
+    # itself stays an equi-join on cell id
+    "s04_ivf_trained_topk": "BroadcastNestedLoopJoin",
     # scalar subquery (single-row threshold) planned as nested-loop
     "q11_important_parts": "BroadcastNestedLoopJoin",
     "q22_idle_customers": "BroadcastNestedLoopJoin",
