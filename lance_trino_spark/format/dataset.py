@@ -617,7 +617,50 @@ class LanceDataset:
             df = df.coalesce(n_files)
         staged = self._stage_dataframe(df, self.path, target_rows_per_file)
         kept_files = [(f.path, f.physical_rows, f.stats) for f in keep]
-        return self.commit_overwrite(kept_files + staged)
+        out = self.commit_overwrite(kept_files + staged)
+        # index maintenance: the rewrite produced fresh fragment files with
+        # no sidecars — rebuild them here so OPTIMIZE is the index-build
+        # moment and point lookups stay bounded after compaction
+        out.ensure_scalar_index_files(spark)
+        return out
+
+    def ensure_scalar_index_files(self, spark: SparkSession) -> int:
+        """Build missing index sidecars for every column recorded in the
+        manifest's scalar_indexes property — the maintenance half of the
+        index story: compaction/DML write NEW fragment files, which have no
+        sidecar yet (scans fall back to full fragment reads for them until
+        this runs). Called automatically at the end of compact(); returns
+        the number of sidecars built. No manifest commit — the property
+        already lists the columns; only files are materialized."""
+        import pandas as pd
+
+        from .index import INDEX_PROP, build_fragment_index, index_rel_path
+
+        cols = self.manifest.properties.get(INDEX_PROP, [])
+        todo = [
+            (f.path, col)
+            for col in cols
+            for f in self.manifest.fragments
+            if not os.path.exists(os.path.join(self.path, index_rel_path(col, f.path)))
+        ]
+        if not todo:
+            return 0
+        root = self.path
+
+        def _build(batches):
+            for pdf in batches:
+                for p, col in zip(pdf["path"], pdf["col"]):
+                    build_fragment_index(root, p, col)
+                yield pdf[["path"]]
+
+        n = (
+            spark.createDataFrame(todo, "path string, col string")
+            .repartition(len(todo))
+            .mapInPandas(_build, "path string")
+            .count()
+        )
+        assert n == len(todo)
+        return n
 
     def create_scalar_index(
         self, spark: SparkSession, column: str

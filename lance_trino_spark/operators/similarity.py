@@ -32,6 +32,11 @@ from ..functions import dot_product, l2_norm
 
 
 def _rank_topk(joined: DataFrame, k: int) -> DataFrame:
+    # row_number + rank<=k triggers Spark's WindowGroupLimit rewrite: each
+    # map task keeps only its local top-k per query BEFORE the exchange
+    # (verified in the physical plan: `WindowGroupLimit ... Partial` below
+    # the shuffle), so the scored pair set itself never shuffles — the
+    # window form IS the bounded two-phase top-k at 100 TB.
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         joined.withColumn("rank", F.row_number().over(w).cast("bigint"))

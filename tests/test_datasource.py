@@ -624,6 +624,34 @@ def test_scalar_index_scan_and_unindexed_fallback(spark, tmp_path):
     assert [r["k"] for r in got] == expect
 
 
+def test_compaction_rebuilds_index_sidecars(spark, tmp_path):
+    """OPTIMIZE is the index-build moment: compaction rewrites fragment
+    files (fresh basenames, no sidecars) and must rebuild the sidecars for
+    every indexed column so point lookups stay index-served afterwards."""
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.format.index import index_rel_path
+    from lance_trino_spark.sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "idxcompact.lance")
+    df = spark.range(8_000).selectExpr("id AS k", "pmod(id * 31, 8000) AS u")
+    ds = LanceDataset.create(path, df, max_rows_per_file=1000)
+    ds = ds.create_scalar_index(spark, "u")
+    ds = dml.delete(ds, spark, "k < 100")  # DV-bearing fragments → rewrite
+    ds = ds.compact(spark, target_rows_per_file=4000)
+    assert all(f.deletion is None for f in ds.manifest.fragments)
+    for f in ds.manifest.fragments:
+        assert os.path.exists(os.path.join(path, index_rel_path("u", f.path))), (
+            f"compacted fragment {f.path} lost its index sidecar"
+        )
+    got = (
+        spark.read.format("lance").load(path)
+        .filter(F.col("u") == 3100)  # u = 31k mod 8000, k=100 → u=3100
+        .select("k").collect()
+    )
+    assert [r["k"] for r in got] == [100]
+
+
 def test_read_lance_manifest_stats_broadcast(spark, tmp_path):
     """A9 through the DataSource path: a join of two format('lance') tables
     plans a BroadcastHashJoin from manifest statistics ALONE — Spark's own
