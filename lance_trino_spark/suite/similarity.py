@@ -32,7 +32,14 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# s01 — brute-force exact cosine top-k (the correctness baseline).
+# s01 — brute-force exact cosine top-k: the VALIDATION baseline, not the
+# production search path. Exact top-k inherently scores every (query,
+# corpus) pair; the only scale question is the plan shape, and this is the
+# right one — corpus stays partitioned, queries broadcast (loud failure
+# past the broadcast cap), WindowGroupLimit ships only local top-k. At
+# 100 TB the production paths are s02 (cell-bucketed), s04 (trained IVF),
+# s07 (int8-quantized); s01 exists to validate them (s04's recall gate
+# joins against it) and to answer exact-small-queryset requests.
 # ---------------------------------------------------------------------------
 @register(
     "s01_cosine_topk",
@@ -50,8 +57,9 @@ def _cos_sql(a: str, b: str) -> str:
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
-    doc="exact brute-force cosine top-5 for 10 query vectors",
-    tags=("similarity", "ann"),
+    doc="exact brute-force cosine top-5 (validation baseline; production "
+        "paths are s02/s04/s07)",
+    tags=("similarity", "ann", "baseline"),
 )
 def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
