@@ -191,14 +191,20 @@ def minhash_lsh_dedup(
 
     The shingle frame feeds both the signature and the verify stage — persist
     it so the explode+distinct runs once (at cluster scale: a checkpoint to
-    fast storage)."""
+    fast storage). The big intermediates (shingle set, candidate pairs) are
+    RELEASED before returning: the verified pair list is materialized with
+    localCheckpoint (it is orders of magnitude smaller than the corpus), so
+    the caches don't accumulate across queries in a long-lived session."""
     sh = shingle_hashes(df, id_col, text_col, k).persist()
     sh.count()  # materialize once; feeds both signatures and verify
     sig = minhash_signatures(sh, id_col, num_perm)
     # candidate pairs are tiny but sit on a deep plan; persisting them keeps
     # the verify stage from recomputing the whole LSH subtree per join branch
     pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands).persist()
-    return jaccard_verify(pairs, sh, id_col, threshold)
+    verified = jaccard_verify(pairs, sh, id_col, threshold).localCheckpoint()
+    pairs.unpersist()
+    sh.unpersist()
+    return verified
 
 
 def connected_components(
@@ -354,7 +360,7 @@ def simhash_near_dup_pairs(
         F.col("band").alias("band_r"),
         F.col("band_val").alias("val_r"),
     )
-    return (
+    out = (
         left.join(
             right,
             (F.col("band") == F.col("band_r"))
@@ -364,7 +370,10 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .localCheckpoint()  # tiny near-dup pair list; releases the cache below
     )
+    sig.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -393,7 +402,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -403,4 +412,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint()  # tiny verified pair list; releases the cache below
     )
+    sh.unpersist()
+    return out
