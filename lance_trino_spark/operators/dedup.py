@@ -108,9 +108,12 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    _release: list | None = None,
 ) -> DataFrame:
     """Band the signature and equi-join on (band, band_key). Returns distinct
-    (id_a < id_b) candidate pairs."""
+    (id_a < id_b) candidate pairs (lazy). The banded frame stays persisted
+    until the caller consumes the result; pass ``_release`` to receive the
+    handle for unpersisting afterwards (minhash_lsh_dedup does)."""
     r = num_perm // bands
     band_structs = F.array(
         *[
@@ -136,6 +139,8 @@ def lsh_candidate_pairs(
     right = banded.select(
         F.col(id_col).alias("id_b"), F.col("band").alias("band_r"), F.col("band_key").alias("key_r")
     )
+    if _release is not None:
+        _release.append(banded)
     return (
         left.join(
             right,
@@ -200,10 +205,11 @@ def minhash_lsh_dedup(
     sig = minhash_signatures(sh, id_col, num_perm)
     # candidate pairs are tiny but sit on a deep plan; persisting them keeps
     # the verify stage from recomputing the whole LSH subtree per join branch
-    pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands).persist()
+    release: list = []
+    pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands, _release=release).persist()
     verified = jaccard_verify(pairs, sh, id_col, threshold).localCheckpoint()
-    pairs.unpersist()
-    sh.unpersist()
+    for frame in (*release, pairs, sh):
+        frame.unpersist()
     return verified
 
 
