@@ -829,6 +829,14 @@ class LanceStreamReader(DataSourceStreamReader):
     the same honesty as Delta's default (non-CDF) streaming source.
 
     Options: ``startingVersion`` (default 1 = replay from table creation).
+
+    No ``maxVersionsPerTrigger`` rate limit — deliberately: the Python
+    DataSourceStreamReader API's ``latestOffset()`` receives neither the
+    committed offset nor a ReadLimit (unlike the JVM
+    ``SupportsAdmissionControl``), so a capped offset computed from reader-
+    local state would regress after a checkpoint restart and re-deliver
+    versions. Until the API passes the start offset, backfill bounding
+    belongs to the writer (fragment sizing) and trigger cadence.
     """
 
     def __init__(self, path: str, schema: StructType, options: dict):
