@@ -72,6 +72,7 @@ DEFAULT_QUERIES = [
     "ds08_scalar_index_point_lookup",
     "cat09_namespace_modes",
     "s04_ivf_trained_topk",
+    "e11_cms_heavy_hitters",
 ]
 
 

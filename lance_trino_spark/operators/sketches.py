@@ -1,4 +1,4 @@
-"""Deterministic distinct-count sketching (KMV / k-minimum-values).
+"""Deterministic sketching: KMV distinct counts + count-min frequencies.
 
 Spark's approx_count_distinct (HLL++) and DuckDB's approx functions use
 different sketch internals, so their estimates can never be compared across
@@ -37,6 +37,79 @@ from pyspark.sql import functions as F
 from ..functions import h32
 
 HASH_SPACE = 1 << 32  # h32 range
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of a value column: (row, bucket, cnt) counters.
+
+    The frequency-estimation companion to the KMV distinct sketch — the
+    bounded-memory answer to "how often does each value occur" over a
+    stream/corpus too large to count exactly. Engine-portable: bucket =
+    md5-derived 32-bit hash of 'cms<row>:<value>' mod width, all integer
+    arithmetic, so DuckDB builds the identical sketch.
+
+    Scale shape: one explode(depth) projection, then ONE aggregation whose
+    map-side combine collapses every partition to at most depth x width
+    counter rows before the exchange — the sketch never exceeds
+    depth x width rows no matter the input size.
+    """
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    # NULL values are excluded from the sketch (a NULL hashes to a NULL
+    # bucket in every engine — meaningless counter). Stated BEFORE the
+    # explode so the predicate reaches the scan.
+    bucketed = df.filter(F.col(value_col).isNotNull()).select(
+        F.explode(rows).alias("row"),
+        F.col(value_col).cast("string").alias("_v"),
+    ).select(
+        "row",
+        (
+            h32(F.concat(F.lit("cms"), F.col("row"), F.lit(":"), F.col("_v")))
+            % F.lit(width)
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate frequencies for `values` from a cms_counts sketch:
+    min over rows of the value's bucket counter (the CMS upper bound —
+    estimate >= true count always; collisions only inflate). The sketch is
+    depth x width rows, broadcast to the (usually small) candidate set."""
+    probes = values.select(
+        F.col(value_col),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    ).select(
+        value_col,
+        "row",
+        (
+            h32(
+                F.concat(
+                    F.lit("cms"), F.col("row"), F.lit(":"),
+                    F.col(value_col).cast("string"),
+                )
+            )
+            % F.lit(width)
+        ).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy(value_col).agg(F.min("cnt").alias("cms_estimate"))
 
 
 def kmv_distinct(

@@ -91,8 +91,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "e03_funnel_conversion", "e04_top_purchasers",
     "t06_stratified_sample", "t07_pii_redaction",
     "t08_document_chunking", "t09_repetition_stats",
+    # new this round (late addition): count-min sketch
+    "e11_cms_heavy_hitters",
     # round-2 rows: relational representatives (one per plan family)
-    "q01_pricing_summary", "q12_priority_classes", "q15_top_supplier",
+    "q01_pricing_summary", "q12_priority_classes",
     "q20_potential_promotion", "q24_window_running_revenue",
     "q26_rollup_sales", "q30_full_outer_activity",
 )

@@ -488,3 +488,67 @@ def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=["signup", "view", "purchase"],
         max_span=7 * 24 * 3600 * 1_000_000,
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# e11 — count-min sketch heavy hitters (operators/sketches.py cms_counts /
+# cms_estimate): bounded-memory frequency estimation with engine-portable
+# integer arithmetic — DuckDB builds the identical 4x256 sketch, so
+# estimates hash-compare exactly. The no_undercount column asserts the CMS
+# invariant (estimate >= true count) in-query.
+# ---------------------------------------------------------------------------
+@register(
+    "e11_cms_heavy_hitters",
+    oracle="""
+    WITH rows_ AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(r)),
+    bucketed AS (
+      SELECT r.r AS row_,
+             (('0x' || substr(md5('cms' || r.r || ':' ||
+               CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 256) AS bucket
+      FROM events e CROSS JOIN rows_ r
+      WHERE e.user_id IS NOT NULL),
+    sk AS (SELECT row_, bucket, COUNT(*) AS cnt
+           FROM bucketed GROUP BY row_, bucket),
+    cand AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    probes AS (
+      SELECT c.user_id, r.r AS row_,
+             (('0x' || substr(md5('cms' || r.r || ':' ||
+               CAST(c.user_id AS VARCHAR)), 1, 8))::BIGINT % 256) AS bucket
+      FROM cand c CROSS JOIN rows_ r),
+    est AS (
+      SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS cms_estimate
+      FROM probes p LEFT JOIN sk s ON s.row_ = p.row_ AND s.bucket = p.bucket
+      GROUP BY p.user_id),
+    exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+              WHERE user_id < 20 GROUP BY user_id)
+    SELECT e.user_id, est.cms_estimate, e.n_exact,
+           est.cms_estimate >= e.n_exact AS no_undercount
+    FROM est JOIN exact e ON est.user_id = e.user_id
+    ORDER BY e.user_id
+    """,
+    doc="count-min sketch frequency estimates vs exact counts, CMS "
+        "invariant asserted in-query",
+    tags=("events", "sketch", "approx"),
+)
+def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_counts, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = cms_counts(ev, "user_id")
+    cand = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = cms_estimate(sk, cand, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "cms_estimate",
+            "n_exact",
+            (F.col("cms_estimate") >= F.col("n_exact")).alias("no_undercount"),
+        )
+        .orderBy("user_id")
+    )
