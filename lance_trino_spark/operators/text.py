@@ -486,3 +486,39 @@ def link_density(df: DataFrame, text_col: str = "text") -> DataFrame:
             / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double"),
         )
     )
+
+
+def rare_ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-novelty signal: the fraction of a document's distinct word
+    k-grams that are RARE corpus-wide (document frequency <= max_df).
+    High novelty = mostly unique phrasing; low = boilerplate assembled from
+    common n-grams — a standard pretraining-quality feature complementing
+    the within-document repetition stats (t09).
+
+    Scale shape: distinct (doc, ngram-hash) explode (map-side narrow), one
+    groupBy(h) for document frequencies, one join back on the hash, one
+    groupBy(doc) — the same inverted-index skeleton as ngram_jaccard, no
+    all-pairs step, integer counts + a single exact double division so the
+    DuckDB oracle matches bitwise."""
+    from .dedup import shingle_hashes
+
+    sh = shingle_hashes(df, id_col, text_col, k)
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df_"))
+    per_doc = (
+        sh.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("df_") <= max_df).cast("long")).alias("n_rare"),
+        )
+    )
+    return per_doc.withColumn(
+        "novelty",
+        F.col("n_rare").cast("double") / F.col("n_ngrams").cast("double"),
+    )

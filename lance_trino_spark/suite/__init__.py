@@ -80,9 +80,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat03_count_star_manifest", "cat04_sql_merge",
     "cat05_sql_maintenance", "cat06_sql_clustered_optimize",
     "cat07_stats_broadcast_join", "cat08_sql_zorder_optimize",
-    # text family (term filters rebuilt quote-safe) — round-2 rows
+    # text family (term filters rebuilt quote-safe) — round-2 rows, plus
+    # the new rare-ngram novelty entry (never driver-checked)
     "t01_token_stats", "t02_language_id", "t03_quality_scores",
-    "t04_fingerprints", "t05_contamination", "t10_gopher_quality_filter",
+    "t15_rare_ngram_novelty", "t05_contamination", "t10_gopher_quality_filter",
     # round-2 rows: dedup family
     "d01_exact_dedup", "d02_minhash_lsh_dedup", "d03_simhash_near_dup",
     "d04_ngram_jaccard", "d05_dedup_clusters", "d06_quality_keep_best",

@@ -776,3 +776,42 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t15 — rare-ngram novelty (operators/text.py rare_ngram_novelty): fraction
+# of each document's distinct bigrams that are corpus-rare (df <= 2). The
+# oracle rebuilds the identical distinct bigram-hash sets (same md5-derived
+# 32-bit hashes as the dedup family), so counts and the single double
+# division match bitwise.
+# ---------------------------------------------------------------------------
+@register(
+    "t15_rare_ngram_novelty",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents),
+    pos AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+            FROM tok),
+    sh0 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS shingle FROM pos),
+    sh AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh0),
+    freq AS (SELECT h, COUNT(*) AS df_ FROM sh GROUP BY h),
+    per_doc AS (
+      SELECT sh.doc_id, COUNT(*) AS n_ngrams,
+             SUM(CASE WHEN freq.df_ <= 2 THEN 1 ELSE 0 END) AS n_rare
+      FROM sh JOIN freq ON sh.h = freq.h
+      GROUP BY sh.doc_id)
+    SELECT doc_id, n_ngrams, n_rare,
+           CAST(n_rare AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc="text: rare-bigram novelty score (corpus-df inverted index)",
+    tags=("text", "quality", "ngram"),
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import rare_ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rare_ngram_novelty(docs, k=2, max_df=2).orderBy("doc_id")
