@@ -1459,3 +1459,98 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").cast("bigint").alias("n"), *picks)
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q34 — analytic window battery: ntile / percent_rank / cume_dist / lead
+# over a tie-free ordering (o_totalprice, o_orderkey). percent_rank and
+# cume_dist are single IEEE divisions of exact integers, so both engines
+# agree bitwise; the lead delta subtracts two stored doubles (exact).
+# ---------------------------------------------------------------------------
+@register(
+    "q34_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           LEAD(o_totalprice) OVER w - o_totalprice AS next_gap
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="window: ntile + percent_rank + cume_dist + lead gap, tie-free order",
+    tags=("relational", "window"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            (F.lead("o_totalprice").over(w) - F.col("o_totalprice")).alias(
+                "next_gap"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — explicit GROUPING SETS (finer than q26's ROLLUP / q31's CUBE: an
+# arbitrary set list) with grouping_id distinguishing the aggregation
+# levels, decimal-exact sums throughout.
+# ---------------------------------------------------------------------------
+@register(
+    "q35_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    ORDER BY gid, priority, status
+    """,
+    doc="relational: GROUPING SETS with grouping_id + decimal-exact sums",
+    tags=("relational", "agg", "grouping"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            # grouping() is only resolvable inside the grouping-sets
+            # aggregate itself, not a downstream projection
+            (
+                F.grouping("o_orderpriority").cast("bigint") * 2
+                + F.grouping("o_orderstatus").cast("bigint")
+            ).alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "total",
+        )
+        .orderBy("gid", "priority", "status")
+    )
