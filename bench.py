@@ -73,6 +73,9 @@ DEFAULT_QUERIES = [
     "cat09_namespace_modes",
     "s04_ivf_trained_topk",
     "e11_cms_heavy_hitters",
+    "cat10_jvm_catalog",
+    "q34_window_analytics",
+    "q35_grouping_sets",
 ]
 
 

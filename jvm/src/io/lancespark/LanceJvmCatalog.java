@@ -1,0 +1,499 @@
+/*
+ * JVM TableCatalog plugin for lance_trino_spark datasets (SURVEY §2A.A14).
+ *
+ * The reference implements its catalog surface as Trino ConnectorMetadata
+ * (LanceMetadata.java:162-245 schemas, :391-412 listTables, :815-830
+ * dropTable; namespace modes LanceRuntime.java:224-260).  The Spark-native
+ * equivalent is this class: a real `spark.sql.catalog.<name>` plugin, so
+ *
+ *     spark.conf: spark.sql.catalog.lance = io.lancespark.LanceJvmCatalog
+ *                 spark.sql.catalog.lance.root = /path/to/warehouse
+ *
+ *     SELECT * FROM lance.schema.tbl [FOR] VERSION AS OF 3
+ *     SHOW NAMESPACES IN lance / SHOW TABLES IN lance.schema
+ *     CREATE TABLE lance.schema.t (i INT, s STRING)
+ *     DROP TABLE lance.schema.t
+ *
+ * all plan natively through Catalyst — no SQL routing layer.
+ *
+ * Metadata plane: reads the same `_versions/N.manifest.json` files the
+ * Python `lance_trino_spark.format` package commits (format/manifest.py),
+ * using Jackson (already on Spark's classpath).  Data plane: scans delegate
+ * to Spark's built-in ParquetTable over the manifest's live fragment files,
+ * so predicate/projection pushdown, vectorized reads and AQE come from the
+ * stock parquet path.  Tables carrying merge-on-read deletion vectors are
+ * refused with guidance (compact first, or use the Python format("lance")
+ * reader which is deletion-aware) — never silently wrong.
+ *
+ * Namespace modes mirror catalog.py: "dir" (default,
+ * <root>/<schema>/<table>.lance) and "single" (virtual `default` schema,
+ * tables at <root>/<table>.lance) — LanceConfig.java:73-105.
+ */
+package io.lancespark;
+
+import java.io.File;
+import java.io.IOException;
+import java.nio.charset.StandardCharsets;
+import java.nio.file.Files;
+import java.nio.file.Path;
+import java.nio.file.Paths;
+import java.nio.file.StandardCopyOption;
+import java.util.ArrayList;
+import java.util.Arrays;
+import java.util.Comparator;
+import java.util.HashMap;
+import java.util.List;
+import java.util.Map;
+import java.util.regex.Pattern;
+import java.util.stream.Stream;
+
+import com.fasterxml.jackson.databind.JsonNode;
+import com.fasterxml.jackson.databind.ObjectMapper;
+import com.fasterxml.jackson.databind.node.ArrayNode;
+import com.fasterxml.jackson.databind.node.ObjectNode;
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException;
+import org.apache.spark.sql.connector.catalog.Identifier;
+import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCatalog;
+import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
+
+  private static final ObjectMapper MAPPER = new ObjectMapper();
+  private static final Pattern IDENT = Pattern.compile("[A-Za-z0-9_][A-Za-z0-9_\\-]*");
+  private static final String SUFFIX = ".lance";
+
+  private String catalogName;
+  private Path root;
+  private String mode; // "dir" | "single"
+
+  @Override
+  public void initialize(String name, CaseInsensitiveStringMap options) {
+    this.catalogName = name;
+    String r = options.get("root");
+    if (r == null) {
+      throw new IllegalArgumentException(
+          "LanceJvmCatalog requires option spark.sql.catalog." + name + ".root");
+    }
+    this.root = Paths.get(r);
+    this.mode = options.getOrDefault("mode", "dir");
+    if (!mode.equals("dir") && !mode.equals("single")) {
+      throw new IllegalArgumentException("unknown namespace mode: " + mode);
+    }
+  }
+
+  @Override
+  public String name() {
+    return catalogName;
+  }
+
+  @Override
+  public String[] defaultNamespace() {
+    return new String[] {"default"};
+  }
+
+  private static void checkIdent(String s, String what) {
+    if (!IDENT.matcher(s).matches()) {
+      throw new IllegalArgumentException("invalid " + what + " name: " + s);
+    }
+  }
+
+  /** Unchecked carrier for missing-namespace inside helpers; translated to
+   *  the checked NoSuchNamespaceException at the declared interface edges. */
+  private static final class NsMissing extends RuntimeException {
+    final String[] namespace;
+    NsMissing(String[] namespace) {
+      this.namespace = namespace;
+    }
+  }
+
+  private Path nsDir(String[] namespace) {
+    if (namespace.length != 1) {
+      throw new NsMissing(namespace);
+    }
+    String ns = namespace[0];
+    checkIdent(ns, "schema");
+    if (mode.equals("single")) {
+      // single-level: only the virtual `default` schema exists; tables live
+      // directly under root (LanceRuntime.java:224-260 single-level mode).
+      if (!ns.equalsIgnoreCase("default")) {
+        throw new NsMissing(namespace);
+      }
+      return root;
+    }
+    return root.resolve(ns);
+  }
+
+  // ---- SupportsNamespaces -------------------------------------------------
+
+  @Override
+  public String[][] listNamespaces() {
+    if (mode.equals("single")) {
+      return new String[][] {{"default"}};
+    }
+    File[] entries = root.toFile().listFiles();
+    List<String[]> out = new ArrayList<>();
+    if (entries != null) {
+      Arrays.sort(entries, Comparator.comparing(File::getName));
+      for (File f : entries) {
+        if (f.isDirectory() && !f.getName().endsWith(SUFFIX)
+            && !f.getName().startsWith("_") && !f.getName().startsWith(".")) {
+          out.add(new String[] {f.getName()});
+        }
+      }
+    }
+    return out.toArray(new String[0][]);
+  }
+
+  @Override
+  public String[][] listNamespaces(String[] namespace) throws NoSuchNamespaceException {
+    if (namespace.length == 0) {
+      return listNamespaces();
+    }
+    if (!namespaceExists(namespace)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    return new String[0][]; // single-level namespaces: no children
+  }
+
+  @Override
+  public boolean namespaceExists(String[] namespace) {
+    try {
+      return Files.isDirectory(nsDir(namespace));
+    } catch (RuntimeException e) {
+      return false;
+    }
+  }
+
+  @Override
+  public Map<String, String> loadNamespaceMetadata(String[] namespace)
+      throws NoSuchNamespaceException {
+    if (!namespaceExists(namespace)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    Map<String, String> meta = new HashMap<>();
+    meta.put("location", nsDir(namespace).toString());
+    return meta;
+  }
+
+  @Override
+  public void createNamespace(String[] namespace, Map<String, String> metadata) {
+    if (mode.equals("single")) {
+      throw new UnsupportedOperationException(
+          "single-level namespace mode: schemas cannot be created");
+    }
+    if (namespace.length != 1) {
+      throw new IllegalArgumentException(
+          "only single-level namespaces are supported: " + String.join(".", namespace));
+    }
+    checkIdent(namespace[0], "schema");
+    try {
+      Files.createDirectories(root.resolve(namespace[0]));
+    } catch (IOException e) {
+      throw new RuntimeException("createNamespace failed: " + e, e);
+    }
+  }
+
+  @Override
+  public void alterNamespace(String[] namespace, NamespaceChange... changes) {
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported");
+  }
+
+  @Override
+  public boolean dropNamespace(String[] namespace, boolean cascade)
+      throws NoSuchNamespaceException {
+    // Restrict-only, like the reference (LanceMetadata.java:162-245 refuses
+    // dropping non-empty schemas).
+    if (mode.equals("single")) {
+      throw new UnsupportedOperationException(
+          "single-level namespace mode: schemas cannot be dropped");
+    }
+    Path dir;
+    try {
+      dir = nsDir(namespace);
+    } catch (NsMissing e) {
+      throw new NoSuchNamespaceException(e.namespace);
+    }
+    if (!Files.isDirectory(dir)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    if (listTables(namespace).length > 0 && !cascade) {
+      throw new IllegalStateException(
+          "namespace " + namespace[0] + " is not empty (RESTRICT)");
+    }
+    deleteRecursively(dir);
+    return true;
+  }
+
+  // ---- TableCatalog -------------------------------------------------------
+
+  private Path tableDir(Identifier ident) {
+    checkIdent(ident.name(), "table");
+    return nsDir(ident.namespace()).resolve(ident.name() + SUFFIX);
+  }
+
+  @Override
+  public Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
+    Path dir;
+    try {
+      dir = nsDir(namespace);
+    } catch (NsMissing e) {
+      throw new NoSuchNamespaceException(e.namespace);
+    }
+    if (!Files.isDirectory(dir)) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    File[] entries = dir.toFile().listFiles();
+    List<Identifier> out = new ArrayList<>();
+    if (entries != null) {
+      Arrays.sort(entries, Comparator.comparing(File::getName));
+      for (File f : entries) {
+        if (f.isDirectory() && f.getName().endsWith(SUFFIX)) {
+          String tbl = f.getName().substring(0, f.getName().length() - SUFFIX.length());
+          out.add(Identifier.of(namespace, tbl));
+        }
+      }
+    }
+    return out.toArray(new Identifier[0]);
+  }
+
+  @Override
+  public boolean tableExists(Identifier ident) {
+    try {
+      return Files.isDirectory(tableDir(ident).resolve("_versions"));
+    } catch (RuntimeException e) {
+      return false;
+    }
+  }
+
+  private List<Long> listVersions(Path tableDir) {
+    Path versions = tableDir.resolve("_versions");
+    List<Long> out = new ArrayList<>();
+    if (Files.isDirectory(versions)) {
+      try (Stream<Path> s = Files.list(versions)) {
+        s.forEach(p -> {
+          String n = p.getFileName().toString();
+          if (n.endsWith(".manifest.json")) {
+            try {
+              out.add(Long.parseLong(n.substring(0, n.indexOf('.'))));
+            } catch (NumberFormatException ignored) {
+              // foreign file in _versions — not a manifest
+            }
+          }
+        });
+      } catch (IOException e) {
+        throw new RuntimeException("listVersions failed: " + e, e);
+      }
+    }
+    out.sort(Comparator.naturalOrder());
+    return out;
+  }
+
+  private JsonNode readManifest(Path tableDir, long version) {
+    Path p = tableDir.resolve("_versions").resolve(version + ".manifest.json");
+    try {
+      return MAPPER.readTree(Files.readAllBytes(p));
+    } catch (IOException e) {
+      throw new RuntimeException("cannot read manifest " + p + ": " + e, e);
+    }
+  }
+
+  @Override
+  public Table loadTable(Identifier ident) throws NoSuchTableException {
+    return loadAt(ident, -1L);
+  }
+
+  /** SQL `VERSION AS OF n` — TableCatalog time-travel hook
+   *  (reference: LanceMetadata.java:249-370 version resolution). */
+  @Override
+  public Table loadTable(Identifier ident, String version) throws NoSuchTableException {
+    long v;
+    try {
+      v = Long.parseLong(version);
+    } catch (NumberFormatException e) {
+      throw new IllegalArgumentException("version must be an integer: " + version);
+    }
+    if (v <= 0) {
+      throw new IllegalArgumentException("version must be positive: " + version);
+    }
+    return loadAt(ident, v);
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` (micros since epoch): latest version whose
+   *  commit time <= ts (LanceRuntime.java:361-388 getVersionAtTimestamp). */
+  @Override
+  public Table loadTable(Identifier ident, long timestampMicros) throws NoSuchTableException {
+    Path dir;
+    try {
+      dir = tableDir(ident);
+    } catch (NsMissing e) {
+      throw new NoSuchTableException(ident);
+    }
+    if (!Files.isDirectory(dir)) {
+      throw new NoSuchTableException(ident);
+    }
+    long tsMs = Math.floorDiv(timestampMicros, 1000L);
+    long best = -1;
+    for (long v : listVersions(dir)) {
+      if (readManifest(dir, v).path("timestamp_ms").asLong() <= tsMs) {
+        best = v;
+      } else {
+        break; // commit timestamps are monotone in version number
+      }
+    }
+    if (best < 0) {
+      throw new IllegalArgumentException(
+          "no version of " + ident + " at or before timestamp " + timestampMicros);
+    }
+    return loadAt(ident, best);
+  }
+
+  private Table loadAt(Identifier ident, long version) throws NoSuchTableException {
+    Path dir;
+    try {
+      dir = tableDir(ident);
+    } catch (NsMissing e) {
+      throw new NoSuchTableException(ident);
+    }
+    List<Long> versions = listVersions(dir);
+    if (versions.isEmpty()) {
+      throw new NoSuchTableException(ident);
+    }
+    long v = version < 0 ? versions.get(versions.size() - 1) : version;
+    if (version >= 0 && !versions.contains(version)) {
+      throw new IllegalArgumentException(
+          "version " + version + " of " + ident + " does not exist");
+    }
+    JsonNode manifest = readManifest(dir, v);
+    return new LanceJvmTable(catalogName + "." + ident, dir, v, manifest);
+  }
+
+  @Override
+  public Table createTable(Identifier ident, StructType schema, Transform[] partitions,
+      Map<String, String> properties) throws TableAlreadyExistsException {
+    if (partitions.length > 0) {
+      throw new UnsupportedOperationException(
+          "partitioned tables are not supported (fragments are the layout unit)");
+    }
+    Path dir;
+    try {
+      dir = tableDir(ident);
+    } catch (NsMissing e) {
+      throw new RuntimeException(new NoSuchNamespaceException(e.namespace));
+    }
+    if (!namespaceExists(ident.namespace())) {
+      throw new RuntimeException(new NoSuchNamespaceException(ident.namespace()));
+    }
+    if (tableExists(ident)) {
+      throw new TableAlreadyExistsException(ident);
+    }
+    // Empty create = manifest version 1 with no fragments, mirroring the
+    // reference's declareTable + Overwrite([]) (LanceMetadata.java:834-1027)
+    // and the byte layout of format/manifest.py Manifest.to_json.
+    ObjectNode m = MAPPER.createObjectNode();
+    m.put("version", 1);
+    try {
+      m.set("schema", MAPPER.readTree(schema.json()));
+    } catch (IOException e) {
+      throw new RuntimeException("schema serialization failed: " + e, e);
+    }
+    m.set("fragments", MAPPER.createArrayNode());
+    m.put("operation", "create");
+    m.putNull("read_version");
+    m.put("timestamp_ms", System.currentTimeMillis());
+    m.put("max_fragment_id", -1);
+    m.set("properties", propsNode(properties));
+    try {
+      Files.createDirectories(dir.resolve("_versions"));
+      Files.createDirectories(dir.resolve("data"));
+      // Atomic publish: write sidecar then ATOMIC_MOVE into place, the same
+      // no-partial-state contract as format/backend.py's hard-link commit.
+      Path tmp = dir.resolve("_versions").resolve(".1.manifest.json.tmp");
+      Files.write(tmp, MAPPER.writeValueAsBytes(m));
+      Files.move(tmp, dir.resolve("_versions").resolve("1.manifest.json"),
+          StandardCopyOption.ATOMIC_MOVE);
+    } catch (IOException e) {
+      throw new RuntimeException("createTable failed: " + e, e);
+    }
+    try {
+      return loadTable(ident);
+    } catch (NoSuchTableException e) {
+      throw new RuntimeException(e);
+    }
+  }
+
+  private ObjectNode propsNode(Map<String, String> properties) {
+    ObjectNode props = MAPPER.createObjectNode();
+    for (Map.Entry<String, String> e : properties.entrySet()) {
+      // Spark injects reserved props (owner, provider…); keep user ones only.
+      if (!e.getKey().startsWith("option.") && !e.getKey().equals(TableCatalog.PROP_OWNER)) {
+        props.put(e.getKey(), e.getValue());
+      }
+    }
+    return props;
+  }
+
+  @Override
+  public Table alterTable(Identifier ident, TableChange... changes) {
+    // Schema evolution is unsupported, like the reference
+    // (TestLanceConnectorTest.java:139-146).
+    throw new UnsupportedOperationException("ALTER TABLE is not supported");
+  }
+
+  @Override
+  public boolean dropTable(Identifier ident) {
+    Path dir = tableDir(ident);
+    if (!Files.isDirectory(dir)) {
+      return false;
+    }
+    deleteRecursively(dir);
+    return true;
+  }
+
+  @Override
+  public void renameTable(Identifier oldIdent, Identifier newIdent) {
+    // The reference cannot rename anything (BaseLanceConnectorTest.java:88-118).
+    throw new UnsupportedOperationException("RENAME TABLE is not supported");
+  }
+
+  private static void deleteRecursively(Path p) {
+    try (Stream<Path> walk = Files.walk(p)) {
+      walk.sorted(Comparator.reverseOrder()).forEach(q -> {
+        try {
+          Files.delete(q);
+        } catch (IOException e) {
+          throw new RuntimeException("delete failed: " + q, e);
+        }
+      });
+    } catch (IOException e) {
+      throw new RuntimeException("dropTable failed: " + e, e);
+    }
+  }
+
+  // Shared with LanceJvmTable: fragment file paths + deletion flag.
+  static List<String> livePaths(Path tableDir, JsonNode manifest) {
+    List<String> paths = new ArrayList<>();
+    for (JsonNode frag : (ArrayNode) manifest.get("fragments")) {
+      paths.add(tableDir.resolve(frag.get("path").asText()).toString());
+    }
+    return paths;
+  }
+
+  static boolean hasDeletions(JsonNode manifest) {
+    for (JsonNode frag : (ArrayNode) manifest.get("fragments")) {
+      JsonNode del = frag.get("deletion");
+      if (del != null && !del.isNull() && del.path("num_deleted").asLong() > 0) {
+        return true;
+      }
+    }
+    return false;
+  }
+}

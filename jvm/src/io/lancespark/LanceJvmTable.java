@@ -1,0 +1,111 @@
+/*
+ * Read-side Table returned by LanceJvmCatalog.
+ *
+ * Scans delegate to Spark's built-in ParquetTable over the manifest's live
+ * fragment files, pinned at load time (snapshot isolation — the reference
+ * pins datasetVersion in the table handle at planning time,
+ * LanceTableHandle.java:48,250-254).  Delegation means the stock parquet
+ * ScanBuilder supplies predicate pushdown, column pruning and vectorized
+ * reads (SURVEY §4.1 "built-in driver" rows) with zero custom scan code.
+ *
+ * Merge-on-read deletion vectors cannot be applied on this path (the stock
+ * parquet scan has no DV hook), so newScanBuilder refuses such tables with
+ * guidance instead of returning deleted rows — the same "never silently
+ * wrong" stance as the reference's dataset-level-scan-for-DV-correctness
+ * comment (LanceFragmentPageSource.java:87-92,144-151).
+ *
+ * Writes are not supported through this catalog (no SupportsWrite): Spark
+ * raises its standard "does not support append in batch mode" analysis
+ * error, and users write through the Python two-phase committer
+ * (format("lance") / LanceDataset), which owns manifest publication.
+ */
+package io.lancespark;
+
+import java.nio.file.Path;
+import java.util.Collections;
+import java.util.EnumSet;
+import java.util.HashMap;
+import java.util.List;
+import java.util.Map;
+import java.util.Set;
+
+import com.fasterxml.jackson.databind.JsonNode;
+
+import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCapability;
+import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat;
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+public class LanceJvmTable implements Table, SupportsRead {
+
+  private final String tableName;
+  private final Path tableDir;
+  private final long version;
+  private final JsonNode manifest;
+  private final StructType schema;
+
+  LanceJvmTable(String tableName, Path tableDir, long version, JsonNode manifest) {
+    this.tableName = tableName;
+    this.tableDir = tableDir;
+    this.version = version;
+    this.manifest = manifest;
+    this.schema = (StructType) DataType.fromJson(manifest.get("schema").toString());
+  }
+
+  @Override
+  public String name() {
+    return tableName + "@v" + version;
+  }
+
+  @Override
+  public StructType schema() {
+    return schema;
+  }
+
+  @Override
+  public Set<TableCapability> capabilities() {
+    return Collections.unmodifiableSet(EnumSet.of(TableCapability.BATCH_READ));
+  }
+
+  @Override
+  public Map<String, String> properties() {
+    Map<String, String> props = new HashMap<>();
+    props.put("format", "lance");
+    props.put("location", tableDir.toString());
+    props.put("version", Long.toString(version));
+    long totalRows = 0;
+    for (JsonNode frag : manifest.get("fragments")) {
+      long physical = frag.get("physical_rows").asLong();
+      JsonNode del = frag.get("deletion");
+      long deleted = (del == null || del.isNull()) ? 0 : del.path("num_deleted").asLong();
+      totalRows += physical - deleted; // deletion-aware (LanceSplitManager.java:78-84)
+    }
+    props.put("total_rows", Long.toString(totalRows));
+    return props;
+  }
+
+  @Override
+  public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+    if (LanceJvmCatalog.hasDeletions(manifest)) {
+      throw new UnsupportedOperationException(
+          "table " + tableName + " has merge-on-read deletion vectors, which the "
+          + "JVM parquet delegation path cannot apply; run OPTIMIZE (compaction) "
+          + "to materialize deletes, or read through the deletion-aware Python "
+          + "path: spark.read.format(\"lance\").load(...)");
+    }
+    List<String> paths = LanceJvmCatalog.livePaths(tableDir, manifest);
+    ParquetTable delegate = ParquetTable.apply(
+        name(),
+        org.apache.spark.sql.classic.SparkSession.active(),
+        options,
+        scala.jdk.javaapi.CollectionConverters.asScala(paths).toSeq(),
+        scala.Option.apply(schema),
+        ParquetFileFormat.class);
+    return delegate.newScanBuilder(options);
+  }
+}

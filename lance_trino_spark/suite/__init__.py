@@ -75,11 +75,18 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # changed this round
     "lf08_wide_types_roundtrip", "s04_ivf_trained_topk",
     "e07_asof_join", "e08_kmv_distinct_sketch", "s06_bm25_topk",
-    # catalog family (SQL rewriter changed: literal masking, quoted idents)
-    "cat01_sql_ddl_time_travel", "cat02_sql_dml",
-    "cat03_count_star_manifest", "cat04_sql_merge",
-    "cat05_sql_maintenance", "cat06_sql_clustered_optimize",
-    "cat07_stats_broadcast_join", "cat08_sql_zorder_optimize",
+    # catalog family (SQL rewriter changed: literal masking, quoted idents).
+    # cat02/cat05/cat06 yield their slots to never-driver-checked entries
+    # (cat10, q34, q35): they hold round-3-green rows, and the rewriter
+    # change they share is covered by cat01/cat03/cat04/cat07/cat08 plus
+    # the masking negative tests in tests/test_catalog.py.
+    "cat01_sql_ddl_time_travel", "cat03_count_star_manifest",
+    "cat04_sql_merge", "cat07_stats_broadcast_join",
+    "cat08_sql_zorder_optimize",
+    # the JVM TableCatalog plugin (new this round — A14's JVM half)
+    "cat10_jvm_catalog",
+    # new relational entries (never driver-checked)
+    "q34_window_analytics", "q35_grouping_sets",
     # text family (term filters rebuilt quote-safe) — round-2 rows, plus
     # the new rare-ngram novelty entry (never driver-checked)
     "t01_token_stats", "t02_language_id", "t03_quality_scores",

@@ -424,3 +424,93 @@ def cat09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
     )
     return s.unionByName(p).orderBy("mode", "n_name")
+
+
+def _jvm_catalog_jar() -> str:
+    """Path to the compiled JVM catalog plugin, building it on demand."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    jar = os.path.join(repo, "jvm", "lance-jvm-catalog.jar")
+    if not os.path.exists(jar):
+        subprocess.run(
+            [os.path.join(repo, "tools", "build_jvm_catalog.sh")],
+            check=True,
+            capture_output=True,
+        )
+    return jar
+
+
+# ---------------------------------------------------------------------------
+# cat10 — the REAL Spark TableCatalog plugin (A14, the JVM half): the
+# compiled io.lancespark.LanceJvmCatalog is loaded into the running session
+# via ADD JAR + runtime catalog conf, and `SELECT ... FROM <cat>.<ns>.<tbl>
+# [VERSION AS OF n]` plans natively through Catalyst — no SQL routing layer.
+# Scans delegate to the stock ParquetTable over the manifest's live
+# fragments, so the filtered branch must show parquet PushedFilters in the
+# physical plan (asserted). Reference surface: LanceMetadata.java:162-245
+# (schemas/tables) + :249-370 (version pinning at load).
+# ---------------------------------------------------------------------------
+@register(
+    "cat10_jvm_catalog",
+    oracle="""
+    SELECT snap, n, rk FROM (
+      SELECT 'latest' AS snap, COUNT(*) AS n,
+             CAST(SUM(n_regionkey) AS BIGINT) AS rk
+      FROM nation
+      UNION ALL
+      SELECT 'v1' AS snap, COUNT(*) AS n,
+             CAST(SUM(n_regionkey) AS BIGINT) AS rk
+      FROM nation WHERE n_nationkey < 15)
+    ORDER BY snap
+    """,
+    doc="catalog: JVM TableCatalog plugin (ADD JAR) — native Catalyst "
+        "resolution, VERSION AS OF, parquet-delegated pushdown",
+    tags=("catalog", "jvm", "time-travel"),
+)
+def cat10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat10-jvmcat")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "geo"))
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # v1 = nations below key 15; v2 appends the rest — VERSION AS OF 1 must
+    # see only the first snapshot.
+    ds = LanceDataset.create(
+        os.path.join(root, "geo", "nation.lance"),
+        nation.filter(F.col("n_nationkey") < 15),
+    )
+    ds.append(nation.filter(F.col("n_nationkey") >= 15))
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set("spark.sql.catalog.lance_jvm", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm.root", root)
+
+    filtered = spark.sql(
+        "SELECT n_name FROM lance_jvm.geo.nation WHERE n_nationkey >= 15"
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    if "PushedFilters" not in plan or "GreaterThanOrEqual(n_nationkey,15)" not in plan.replace(" ", ""):
+        raise AssertionError(
+            "JVM catalog scan did not reach the parquet pushdown path:\n" + plan
+        )
+
+    return spark.sql(
+        "SELECT snap, n, rk FROM ("
+        "  SELECT 'latest' AS snap, COUNT(*) AS n,"
+        "         CAST(SUM(n_regionkey) AS BIGINT) AS rk"
+        "  FROM lance_jvm.geo.nation"
+        "  UNION ALL"
+        "  SELECT 'v1' AS snap, COUNT(*) AS n,"
+        "         CAST(SUM(n_regionkey) AS BIGINT) AS rk"
+        "  FROM lance_jvm.geo.nation VERSION AS OF 1)"
+        " ORDER BY snap"
+    )
+

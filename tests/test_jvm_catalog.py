@@ -1,0 +1,75 @@
+"""JVM TableCatalog plugin (SURVEY §2A.A14 — the real `spark.sql.catalog.*`
+half the regex SQL router cannot provide from pure Python).
+
+The plugin must be configured before the JVM starts (spark.jars), so the
+full exercise runs in a subprocess with its own SparkSession; the in-process
+test covers the runtime ADD JAR load path the suite's cat10 query uses.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAR = os.path.join(REPO, "jvm", "lance-jvm-catalog.jar")
+
+
+def _ensure_jar() -> None:
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(os.path.join(REPO, "jvm", "src"))
+        for f in files
+    )
+    if not os.path.exists(JAR) or os.path.getmtime(JAR) < newest_src:
+        subprocess.run(
+            [os.path.join(REPO, "tools", "build_jvm_catalog.sh")],
+            check=True,
+            capture_output=True,
+        )
+
+
+def test_jvm_catalog_end_to_end(tmp_path):
+    """Full lifecycle in a dedicated session: namespaces, SELECT with parquet
+    pushdown, VERSION/TIMESTAMP AS OF, CREATE/DROP TABLE, Python<->JVM
+    manifest interop, write refusal, and the deletion-vector refusal."""
+    _ensure_jar()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "jvm_catalog_smoke.py"),
+         str(tmp_path / "warehouse")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, f"smoke failed:\n{proc.stdout}\n{proc.stderr[-2000:]}"
+    assert "== JVM CATALOG SMOKE OK ==" in proc.stdout
+
+
+def test_jvm_catalog_via_add_jar(spark, tmp_path):
+    """The runtime load path (no pre-set spark.jars): ADD JAR + conf, then
+    catalog SQL against a Python-committed dataset — what suite cat10 does
+    under the driver's session."""
+    _ensure_jar()
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    root = str(tmp_path / "wh")
+    os.makedirs(os.path.join(root, "geo"))
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(10)], "k int, s string")
+    LanceDataset.create(os.path.join(root, "geo", "t.lance"), df)
+
+    spark.sql(f"ADD JAR {JAR}")
+    spark.conf.set("spark.sql.catalog.lance_jvm_t", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm_t.root", root)
+    try:
+        rows = spark.sql(
+            "SELECT s FROM lance_jvm_t.geo.t WHERE k >= 8 ORDER BY k"
+        ).collect()
+        assert [r.s for r in rows] == ["n8", "n9"]
+        assert [r[0] for r in spark.sql(
+            "SHOW NAMESPACES IN lance_jvm_t").collect()] == ["geo"]
+    finally:
+        spark.conf.unset("spark.sql.catalog.lance_jvm_t")
+        spark.conf.unset("spark.sql.catalog.lance_jvm_t.root")
