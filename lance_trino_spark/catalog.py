@@ -47,7 +47,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +54,7 @@ from pyspark.sql import functions as F
 
 from .format.dataset import LanceDataset
 from .format.manifest import read_manifest
+from .format.namespace import DirectoryNamespace, NamespaceError
 from .operators import dml
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -95,17 +95,27 @@ class LanceCatalog:
     def __init__(
         self,
         spark: SparkSession,
-        root: str,
+        root: str | None = None,
         stats_broadcast: bool = True,
         broadcast_threshold_bytes: int | None = None,
         schema_mode: str = "dir",
+        namespace=None,
     ):
-        if schema_mode not in ("dir", "single", "parent"):
-            raise CatalogError(f"unknown schema_mode: {schema_mode!r}")
+        """``namespace`` may be any backend implementing the
+        format.namespace protocol (e.g. :class:`RestNamespace` for a remote
+        namespace service); by default a :class:`DirectoryNamespace` over
+        ``root`` with the given ``schema_mode`` is used."""
         self.spark = spark
+        if namespace is None:
+            if root is None:
+                raise CatalogError("either root or namespace is required")
+            try:
+                namespace = DirectoryNamespace(root, schema_mode=schema_mode)
+            except NamespaceError as e:
+                raise CatalogError(str(e)) from None
+        self.namespace = namespace
         self.root = root
         self.schema_mode = schema_mode
-        os.makedirs(root, exist_ok=True)
         self._view_ids = 0
         # A9 statistics feed: hint broadcast for manifest-small tables in
         # SELECT rewrites (see _select). The threshold defaults to the
@@ -115,85 +125,39 @@ class LanceCatalog:
         self.broadcast_threshold_bytes = broadcast_threshold_bytes
 
     # ------------------------------------------------------------ namespaces
-    def _ns_dir(self, ns: str) -> str:
-        """Directory a schema name resolves to under the active mode."""
-        if self.schema_mode == "single":
-            if ns != self.SINGLE_SCHEMA:
-                raise CatalogError(
-                    f"single-level namespace mode exposes only the "
-                    f"{self.SINGLE_SCHEMA!r} schema, not {ns!r}"
-                )
-            return self.root
-        if self.schema_mode == "parent":
-            parts = ns.split("$")
-            for p in parts:
-                _ident(p, "schema level")
-            return os.path.join(self.root, *parts)
-        return os.path.join(self.root, _ident(ns, "schema"))
-
+    # All schema/table-name resolution delegates to the namespace backend
+    # (format/namespace.py) — directory modes or a REST service — with
+    # backend errors surfaced under the catalog's own exception type.
     def create_namespace(self, ns: str, if_not_exists: bool = False) -> None:
-        if self.schema_mode == "single":
-            if ns == self.SINGLE_SCHEMA and if_not_exists:
-                return  # the virtual schema always exists
-            raise CatalogError(
-                "single-level namespace mode: schemas cannot be created"
-            )
-        p = self._ns_dir(ns)
-        if os.path.isdir(p):
-            if if_not_exists:
-                return
-            raise CatalogError(f"schema {ns!r} already exists")
-        os.makedirs(p)
+        try:
+            self.namespace.create_namespace(ns, if_not_exists=if_not_exists)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
 
     def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
-        if self.schema_mode == "single":
-            raise CatalogError(
-                "single-level namespace mode: schemas cannot be dropped"
-            )
-        p = self._ns_dir(ns)
-        if not os.path.isdir(p):
-            if if_exists:
-                return
-            raise CatalogError(f"schema {ns!r} does not exist")
-        if self.list_tables(ns) or any(
-            os.path.isdir(os.path.join(p, d)) for d in os.listdir(p)
-        ):
-            # RESTRICT-only, like the reference (cascade unsupported,
-            # `LanceMetadata.java:162-245`); parent mode also refuses when
-            # child namespaces exist.
-            raise CatalogError(f"schema {ns!r} is not empty")
-        shutil.rmtree(p)
+        try:
+            self.namespace.drop_namespace(ns, if_exists=if_exists)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
 
     def list_namespaces(self) -> list[str]:
-        if self.schema_mode == "single":
-            return [self.SINGLE_SCHEMA]
-        if self.schema_mode == "parent":
-            out = []
-            for dirpath, dirnames, _ in os.walk(self.root):
-                dirnames[:] = [d for d in dirnames if not d.endswith(".lance")]
-                for d in dirnames:
-                    rel = os.path.relpath(os.path.join(dirpath, d), self.root)
-                    out.append("$".join(rel.split(os.sep)))
-            return sorted(out)
-        return sorted(
-            d for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d))
-            and not d.endswith(".lance")
-        )
+        try:
+            return self.namespace.list_namespaces()
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
 
     # ---------------------------------------------------------------- tables
     def table_path(self, ns: str, table: str) -> str:
-        return os.path.join(
-            self._ns_dir(ns), f"{_ident(table, 'table')}.lance"
-        )
+        try:
+            return self.namespace.table_location(ns, table)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
 
     def list_tables(self, ns: str) -> list[str]:
-        p = self._ns_dir(ns)
-        if not os.path.isdir(p):
-            raise CatalogError(f"schema {ns!r} does not exist")
-        return sorted(
-            d[: -len(".lance")] for d in os.listdir(p) if d.endswith(".lance")
-        )
+        try:
+            return self.namespace.list_tables(ns)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
 
     def load(
         self,
@@ -212,17 +176,27 @@ class LanceCatalog:
     def create_table(
         self, ns: str, table: str, df: DataFrame, mode: str = "error"
     ) -> LanceDataset:
-        if not os.path.isdir(self._ns_dir(ns)):
-            raise CatalogError(f"schema {ns!r} does not exist")
-        return LanceDataset.create(self.table_path(ns, table), df, mode=mode)
+        try:
+            # declareTable resolves AND validates the location (the
+            # reference's namespace declareTable, LanceMetadata.java:834-1027).
+            location = self.namespace.declare_table(ns, table)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
+        return LanceDataset.create(location, df, mode=mode)
 
     def drop_table(self, ns: str, table: str, if_exists: bool = False) -> None:
-        path = self.table_path(ns, table)
+        try:
+            path = self.namespace.table_location(ns, table)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
         if not LanceDataset.exists(path):
             if if_exists:
                 return
             raise CatalogError(f"table {ns}.{table} does not exist")
-        shutil.rmtree(path)
+        try:
+            self.namespace.drop_table(ns, table, if_exists=if_exists)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
 
     # ------------------------------------------------------------ SQL router
     def sql(self, query: str) -> DataFrame:
@@ -378,11 +352,13 @@ class LanceCatalog:
         from pyspark.sql.types import StructType
 
         ns, tbl = m.group("ns"), m.group("tbl")
-        if not os.path.isdir(os.path.join(self.root, _ident(ns, "schema"))):
-            raise CatalogError(f"schema {ns!r} does not exist")
+        try:
+            location = self.namespace.declare_table(ns, tbl)
+        except NamespaceError as e:
+            raise CatalogError(str(e)) from None
         ddl = ", ".join(_split_top_level(m.group("cols")))
         schema = StructType.fromDDL(ddl)
-        ds = LanceDataset.create_empty(self.table_path(ns, tbl), schema)
+        ds = LanceDataset.create_empty(location, schema)
         return self._status(f"created table {ns}.{tbl} v{ds.version}")
 
     def _h_optimize(self, m) -> DataFrame:

@@ -1,0 +1,337 @@
+"""Namespace backends: schema→directory and table→location resolution.
+
+The reference resolves Trino schemas/tables through a pluggable *namespace*
+(dir / rest / glue / hive implementations — `LanceRuntime.java:224-260`
+``trinoSchemaToLanceNamespace`` / ``getTableId``, `LanceConfig.java:73-105`,
+``docs/src/config.md`` "Namespace Levels"): the namespace owns the metadata
+mapping, while data I/O goes directly to the storage locations it returns.
+
+This module is the Spark-side seam:
+
+- :class:`DirectoryNamespace` — the local-filesystem mapping
+  ``<root>/<schema>/<table>.lance`` with the three schema-resolution modes
+  (``dir`` / ``single`` / ``parent``) LanceCatalog documents.
+- :class:`RestNamespace` — an HTTP client for a remote namespace service
+  (the reference's REST namespace). Stdlib-only (urllib); table locations
+  returned by the service are used verbatim for data I/O, exactly like the
+  reference's describeTable → dataset-open flow
+  (`LanceRuntime.java:303-343`).
+- :class:`RestNamespaceServer` — a tiny in-process HTTP server exposing a
+  DirectoryNamespace over the same API, the analogue of the reference's
+  embedded RestAdapter test harness (`LanceQueryRunner.java:135-165`).
+
+REST API (JSON; mirrors the shape of the public lance-namespace REST spec
+at the granularity the connector needs — list/create/drop namespaces,
+list/describe/declare/drop tables):
+
+    GET    /v1/namespaces                          -> {"namespaces": [..]}
+    POST   /v1/namespaces        {"name": ns}      -> {}
+    DELETE /v1/namespaces/{ns}                     -> {}          (RESTRICT)
+    GET    /v1/namespaces/{ns}/tables              -> {"tables": [..]}
+    GET    /v1/namespaces/{ns}/tables/{t}          -> {"location": path}
+    POST   /v1/namespaces/{ns}/tables {"name": t}  -> {"location": path}
+    DELETE /v1/namespaces/{ns}/tables/{t}          -> {}   (drops data too)
+
+Errors come back as HTTP 4xx with {"error": msg} and surface as
+:class:`NamespaceError` client-side, so LanceCatalog behaves identically
+over both backends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import threading
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+SUFFIX = ".lance"
+
+
+class NamespaceError(ValueError):
+    pass
+
+
+def _check_ident(name: str, what: str) -> str:
+    if not _IDENT.match(name):
+        raise NamespaceError(f"invalid {what} name: {name!r}")
+    return name
+
+
+class DirectoryNamespace:
+    """Local-directory namespace with the reference's three schema modes."""
+
+    SINGLE_SCHEMA = "default"
+
+    def __init__(self, root: str, schema_mode: str = "dir"):
+        if schema_mode not in ("dir", "single", "parent"):
+            raise NamespaceError(f"unknown schema_mode: {schema_mode!r}")
+        self.root = root
+        self.schema_mode = schema_mode
+        os.makedirs(root, exist_ok=True)
+
+    # -- schema resolution ---------------------------------------------------
+    def _ns_dir(self, ns: str) -> str:
+        if self.schema_mode == "single":
+            if ns != self.SINGLE_SCHEMA:
+                raise NamespaceError(
+                    f"single-level namespace mode exposes only the "
+                    f"{self.SINGLE_SCHEMA!r} schema, not {ns!r}"
+                )
+            return self.root
+        if self.schema_mode == "parent":
+            parts = ns.split("$")
+            for p in parts:
+                _check_ident(p, "schema level")
+            return os.path.join(self.root, *parts)
+        return os.path.join(self.root, _check_ident(ns, "schema"))
+
+    # -- namespaces ----------------------------------------------------------
+    def create_namespace(self, ns: str, if_not_exists: bool = False) -> None:
+        if self.schema_mode == "single":
+            if ns == self.SINGLE_SCHEMA and if_not_exists:
+                return  # the virtual schema always exists
+            raise NamespaceError(
+                "single-level namespace mode: schemas cannot be created"
+            )
+        p = self._ns_dir(ns)
+        if os.path.isdir(p):
+            if if_not_exists:
+                return
+            raise NamespaceError(f"schema {ns!r} already exists")
+        os.makedirs(p)
+
+    def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
+        if self.schema_mode == "single":
+            raise NamespaceError(
+                "single-level namespace mode: schemas cannot be dropped"
+            )
+        p = self._ns_dir(ns)
+        if not os.path.isdir(p):
+            if if_exists:
+                return
+            raise NamespaceError(f"schema {ns!r} does not exist")
+        if self.list_tables(ns) or any(
+            os.path.isdir(os.path.join(p, d)) for d in os.listdir(p)
+        ):
+            # RESTRICT-only, like the reference (cascade unsupported,
+            # `LanceMetadata.java:162-245`); parent mode also refuses when
+            # child namespaces exist.
+            raise NamespaceError(f"schema {ns!r} is not empty")
+        shutil.rmtree(p)
+
+    def list_namespaces(self) -> list[str]:
+        if self.schema_mode == "single":
+            return [self.SINGLE_SCHEMA]
+        if self.schema_mode == "parent":
+            out = []
+            for dirpath, dirnames, _ in os.walk(self.root):
+                dirnames[:] = [d for d in dirnames if not d.endswith(SUFFIX)]
+                for d in dirnames:
+                    rel = os.path.relpath(os.path.join(dirpath, d), self.root)
+                    out.append("$".join(rel.split(os.sep)))
+            return sorted(out)
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+            and not d.endswith(SUFFIX)
+        )
+
+    def namespace_exists(self, ns: str) -> bool:
+        try:
+            return os.path.isdir(self._ns_dir(ns))
+        except NamespaceError:
+            return False
+
+    # -- tables --------------------------------------------------------------
+    def table_location(self, ns: str, table: str) -> str:
+        return os.path.join(
+            self._ns_dir(ns), f"{_check_ident(table, 'table')}{SUFFIX}"
+        )
+
+    def declare_table(self, ns: str, table: str) -> str:
+        """Resolve (and validate the schema of) a to-be-created table's
+        location — the reference's namespace ``declareTable``
+        (`LanceMetadata.java:834-1027` empty-create flow)."""
+        if not os.path.isdir(self._ns_dir(ns)):
+            raise NamespaceError(f"schema {ns!r} does not exist")
+        return self.table_location(ns, table)
+
+    def list_tables(self, ns: str) -> list[str]:
+        p = self._ns_dir(ns)
+        if not os.path.isdir(p):
+            raise NamespaceError(f"schema {ns!r} does not exist")
+        return sorted(
+            d[: -len(SUFFIX)] for d in os.listdir(p) if d.endswith(SUFFIX)
+        )
+
+    def drop_table(self, ns: str, table: str, if_exists: bool = False) -> None:
+        path = self.table_location(ns, table)
+        if not os.path.isdir(path):
+            if if_exists:
+                return
+            raise NamespaceError(f"table {ns}.{table} does not exist")
+        shutil.rmtree(path)
+
+
+class RestNamespace:
+    """HTTP client for a remote namespace service.
+
+    Data I/O still goes directly to the locations the service returns — the
+    namespace owns only the metadata mapping, like the reference's REST
+    namespace (`docs/src/config.md`)."""
+
+    def __init__(self, base_url: str, timeout_s: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def _call(self, method: str, path: str, body: dict | None = None) -> dict:
+        req = urllib.request.Request(
+            self.base_url + path,
+            method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                payload = resp.read()
+        except urllib.error.HTTPError as e:
+            try:
+                msg = json.loads(e.read().decode()).get("error", str(e))
+            except Exception:  # noqa: BLE001 — non-JSON error body
+                msg = str(e)
+            raise NamespaceError(msg) from None
+        except urllib.error.URLError as e:
+            raise NamespaceError(
+                f"namespace service unreachable at {self.base_url}: {e}"
+            ) from None
+        return json.loads(payload) if payload else {}
+
+    # -- namespaces ----------------------------------------------------------
+    def create_namespace(self, ns: str, if_not_exists: bool = False) -> None:
+        try:
+            self._call("POST", "/v1/namespaces", {"name": ns})
+        except NamespaceError:
+            if not (if_not_exists and self.namespace_exists(ns)):
+                raise
+
+    def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
+        try:
+            self._call("DELETE", f"/v1/namespaces/{ns}")
+        except NamespaceError:
+            if not (if_exists and not self.namespace_exists(ns)):
+                raise
+
+    def list_namespaces(self) -> list[str]:
+        return list(self._call("GET", "/v1/namespaces")["namespaces"])
+
+    def namespace_exists(self, ns: str) -> bool:
+        return ns in self.list_namespaces()
+
+    # -- tables --------------------------------------------------------------
+    def table_location(self, ns: str, table: str) -> str:
+        return self._call("GET", f"/v1/namespaces/{ns}/tables/{table}")["location"]
+
+    def declare_table(self, ns: str, table: str) -> str:
+        return self._call(
+            "POST", f"/v1/namespaces/{ns}/tables", {"name": table}
+        )["location"]
+
+    def list_tables(self, ns: str) -> list[str]:
+        return list(self._call("GET", f"/v1/namespaces/{ns}/tables")["tables"])
+
+    def drop_table(self, ns: str, table: str, if_exists: bool = False) -> None:
+        try:
+            self._call("DELETE", f"/v1/namespaces/{ns}/tables/{table}")
+        except NamespaceError:
+            if not if_exists:
+                raise
+
+
+class RestNamespaceServer:
+    """In-process namespace service over a DirectoryNamespace (test harness,
+    analogous to the reference's embedded RestAdapter server)."""
+
+    def __init__(self, root: str, host: str = "127.0.0.1", port: int = 0):
+        backend = DirectoryNamespace(root, schema_mode="dir")
+        ns_route = re.compile(r"/v1/namespaces/([^/]+)\Z")
+        tables_route = re.compile(r"/v1/namespaces/([^/]+)/tables\Z")
+        table_route = re.compile(r"/v1/namespaces/([^/]+)/tables/([^/]+)\Z")
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence per-request stderr noise
+                pass
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json_body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n)) if n else {}
+
+            def _route(self, method: str) -> None:
+                try:
+                    if method == "GET" and self.path == "/v1/namespaces":
+                        self._send(200, {"namespaces": backend.list_namespaces()})
+                    elif method == "POST" and self.path == "/v1/namespaces":
+                        backend.create_namespace(self._json_body()["name"])
+                        self._send(200, {})
+                    elif method == "DELETE" and (m := ns_route.match(self.path)):
+                        backend.drop_namespace(m.group(1))
+                        self._send(200, {})
+                    elif method == "GET" and (m := tables_route.match(self.path)):
+                        self._send(200, {"tables": backend.list_tables(m.group(1))})
+                    elif method == "POST" and (m := tables_route.match(self.path)):
+                        loc = backend.declare_table(m.group(1), self._json_body()["name"])
+                        self._send(200, {"location": loc})
+                    elif method == "GET" and (m := table_route.match(self.path)):
+                        self._send(
+                            200,
+                            {"location": backend.table_location(m.group(1), m.group(2))},
+                        )
+                    elif method == "DELETE" and (m := table_route.match(self.path)):
+                        backend.drop_table(m.group(1), m.group(2))
+                        self._send(200, {})
+                    else:
+                        self._send(404, {"error": f"no route {method} {self.path}"})
+                except NamespaceError as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 — surface, don't hang
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_GET(self):
+                self._route("GET")
+
+            def do_POST(self):
+                self._route("POST")
+
+            def do_DELETE(self):
+                self._route("DELETE")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def __enter__(self) -> "RestNamespaceServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=5)

@@ -514,3 +514,57 @@ def cat10(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ORDER BY snap"
     )
 
+
+
+# ---------------------------------------------------------------------------
+# cat11 — REST namespace mode (`LanceConfig.java:73-105` namespace types,
+# `docs/src/config.md`): every schema/table resolution for this query is
+# served by an in-process HTTP namespace service (the analogue of the
+# reference's embedded RestAdapter harness, `LanceQueryRunner.java:135-165`);
+# data I/O goes directly to the locations the service returns. The values
+# must match the plain-SQL oracle exactly — a resolution bug surfaces as a
+# missing/misplaced table, not a subtle drift.
+# ---------------------------------------------------------------------------
+@register(
+    "cat11_rest_namespace",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey < 3
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="catalog: REST namespace service resolves schemas/tables over HTTP",
+    tags=("catalog", "namespaces", "rest"),
+)
+def cat11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.namespace import RestNamespace, RestNamespaceServer
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat11-rest")
+    shutil.rmtree(root, ignore_errors=True)
+
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).createOrReplaceTempView("_cat11_cust")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_cat11_nation")
+
+    with RestNamespaceServer(root) as server:
+        cat = LanceCatalog(spark, namespace=RestNamespace(server.url))
+        cat.sql("CREATE SCHEMA geo")
+        cat.sql("CREATE TABLE geo.customer AS SELECT * FROM _cat11_cust")
+        cat.sql("CREATE TABLE geo.nation AS SELECT * FROM _cat11_nation")
+        if cat.list_tables("geo") != ["customer", "nation"]:
+            raise AssertionError("REST namespace listing is wrong")
+        out = cat.sql(
+            "SELECT c_mktsegment, COUNT(*) AS n, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal "
+            "FROM geo.customer c JOIN geo.nation n "
+            "ON c.c_nationkey = n.n_nationkey "
+            "WHERE n.n_regionkey < 3 "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        )
+        # Materialize before the server shuts down — the plan itself reads
+        # only local parquet, but keep the contract airtight.
+        return out.localCheckpoint()
