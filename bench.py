@@ -76,6 +76,11 @@ DEFAULT_QUERIES = [
     "cat10_jvm_catalog",
     "q34_window_analytics",
     "q35_grouping_sets",
+    "cat11_rest_namespace",
+    "s08_two_stage_prefix_rerank",
+    "t16_corpus_token_histogram",
+    "t17_vocab_stats_by_source",
+    "d07_cross_source_duplicates",
 ]
 
 

@@ -422,3 +422,43 @@ def ngram_jaccard_pairs(
     )
     sh.unpersist()
     return out
+
+
+def content_fingerprint(text_col: str = "text"):
+    """Order-insensitive content fingerprint: md5 over the sorted token
+    multiset. Catches syndicated / token-shuffled copies that byte-exact
+    hashing misses, while staying a pure JVM expression (no Python)."""
+    from ..functions import tokens
+
+    return F.md5(F.array_join(F.array_sort(tokens(text_col)), " "))
+
+
+def cross_source_duplicate_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate-content groups across sources, keyed by the
+    order-insensitive fingerprint.
+
+    Scale shape: the text reduces to a 32-char fingerprint in the map stage,
+    so the single hash shuffle moves (fingerprint, id, source) — never the
+    document bodies; group stats are partial-aggregated map-side. The output
+    is only the duplicated groups (n_docs > 1), which is the small tail by
+    construction."""
+    fps = docs.select(
+        content_fingerprint(text_col).alias("fingerprint"),
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_source"),
+    )
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_source").alias("n_sources"),
+            F.min("_id").alias("min_doc_id"),
+            F.max("_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -323,3 +323,59 @@ def quantized_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """Two-stage retrieval: a cheap prefix-dimension cosine shortlists ``m``
+    candidates per query, then the exact full-dimension cosine re-ranks the
+    shortlist to top-``k`` — the truncated-embedding (Matryoshka-style)
+    retrieval pattern.
+
+    Scale shape: the full-dimension fold runs on ``m`` candidates per query
+    instead of the whole corpus, so stage 2 is O(queries*m*dims); stage 1
+    costs ``prefix_dims/dims`` of a brute-force pass and keeps the
+    WindowGroupLimit bounded-shuffle property of ``cosine_topk`` (local
+    top-m per map task before the exchange). At 100 TB compose stage 1 with
+    `ivf_topk`'s cell restriction; stage 2 is unchanged. Both stages break
+    ties on neighbor id, so results are deterministic and oracle-exact."""
+    n_queries = queries.limit(max_broadcast_queries + 1).count()
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"two_stage_topk broadcasts the query set: it exceeds "
+            f"max_broadcast_queries={max_broadcast_queries}; restrict "
+            f"queries or use ivf_topk for the shortlist stage"
+        )
+    pq, pc = f"slice(qv, 1, {prefix_dims})", f"slice(cv, 1, {prefix_dims})"
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm("qv")).withColumn("qpn", l2_norm(pq))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm("cv")).withColumn("cpn", l2_norm(pc))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "prefix_cos",
+            dot_product(pc, pq) / (F.col("cpn") * F.col("qpn")),
+        )
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.col("prefix_cos").desc(), F.col("neighbor_id")
+    )
+    shortlist = scored.withColumn("prank", F.row_number().over(w1)).filter(
+        F.col("prank") <= m
+    )
+    reranked = shortlist.withColumn(
+        "cosine", dot_product("cv", "qv") / (F.col("cn") * F.col("qn"))
+    )
+    return _rank_topk(reranked, k)

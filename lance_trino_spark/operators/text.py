@@ -522,3 +522,73 @@ def rare_ngram_novelty(
         "novelty",
         F.col("n_rare").cast("double") / F.col("n_ngrams").cast("double"),
     )
+
+
+def corpus_token_histogram(
+    docs: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Corpus-level token frequency distribution — the canonical distributed
+    wordcount, with exact frequency shares.
+
+    Scale shape: one explode (narrow) + one hash-shuffled groupBy with
+    map-side partial counts; the global top-n is TakeOrderedAndProject
+    (per-partition heaps, no full sort), and the corpus total joins back as
+    a single-row broadcast scalar. Nothing in the plan is proportional to
+    vocabulary size except the one counts shuffle."""
+    toks = docs.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(top_n)
+    w = W.orderBy(F.col("n").desc(), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "token",
+            "n",
+            (F.col("n") * F.lit(10000.0) / F.col("total_tokens")).alias(
+                "freq_per_10k"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def vocab_stats_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source vocabulary health: token volume, distinct vocabulary
+    (type count), type/token ratio, and tokens per document — the corpus
+    diagnostics a mixing/dedup pipeline watches per source.
+
+    Scale shape: one explode + one groupBy(source) with two-phase
+    COUNT(DISTINCT) (Spark's expand + partial aggregate); doc counts ride
+    the same aggregate via countDistinct(id), so the whole operator is a
+    single shuffle keyed on the (low-cardinality) source column."""
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("token").alias("n_types"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            (F.col("n_types") / F.col("n_tokens")).alias("type_token_ratio"),
+            (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+        )
+        .orderBy("source")
+    )

@@ -348,3 +348,56 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# d07 — cross-source duplicate-content groups: the order-insensitive
+# fingerprint (md5 of the sorted token multiset) catches syndicated copies
+# whose token ORDER differs. The synthetic corpus has no natural multiset
+# duplicates (verified), so every 17th document is mirrored into a
+# 'syndicated' source with its tokens reversed — byte-different text, same
+# multiset — and the operator must recover exactly those groups.
+# ---------------------------------------------------------------------------
+@register(
+    "d07_cross_source_duplicates",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' '),
+             'syndicated'
+      FROM documents WHERE doc_id % 17 = 0),
+    fps AS (
+      SELECT md5(array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' '))
+               AS fingerprint,
+             doc_id, source
+      FROM corpus)
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM fps
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    ORDER BY min_doc_id
+    """,
+    doc="cross-source duplicate groups via order-insensitive content "
+        "fingerprint (sorted token multiset)",
+    tags=("dedup", "fingerprint", "cross-source"),
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import tokens
+    from ..operators.dedup import cross_source_duplicate_groups
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirrored = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.reverse(tokens("text")), " ").alias("text"),
+        F.lit("syndicated").alias("source"),
+    )
+    corpus = docs.unionByName(mirrored)
+    return cross_source_duplicate_groups(corpus).orderBy("min_doc_id")

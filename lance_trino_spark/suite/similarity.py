@@ -360,3 +360,60 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+# DuckDB prefix-fold cosine over the first p elements of {a} and {b}.
+def _pcos_sql(a: str, b: str, p: int) -> str:
+    def dot(x: str, y: str, n: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {n}),"
+            f" i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return (
+        f"({dot(a, b, str(p))} / "
+        f"(sqrt({dot(a, a, str(p))}) * sqrt({dot(b, b, str(p))})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# s08 — two-stage truncated-embedding retrieval: prefix-16-dim cosine
+# shortlists 20 candidates/query, exact 64-dim cosine re-ranks to top-5
+# (the Matryoshka retrieval pattern). Both stages are deterministic
+# (neighbor-id tie-breaks), so the oracle replays them exactly — no recall
+# floor needed, the VALUES must match bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "s08_two_stage_prefix_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id >= 490),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s1 AS (SELECT query_id, neighbor_id, cv, qv,
+                  {_pcos_sql('cv', 'qv', 16)} AS prefix_cos
+           FROM c, q WHERE neighbor_id <> query_id),
+    r1 AS (SELECT query_id, neighbor_id, cv, qv,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY prefix_cos DESC, neighbor_id) AS prank
+           FROM s1),
+    s2 AS (SELECT query_id, neighbor_id, {_cos_sql('cv', 'qv')} AS cosine
+           FROM r1 WHERE prank <= 20),
+    r2 AS (SELECT query_id, neighbor_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s2)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM r2 WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="two-stage retrieval: prefix-dim shortlist + exact full-dim re-rank "
+        "(truncated-embedding pattern)",
+    tags=("similarity", "ann", "rerank"),
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import two_stage_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return two_stage_topk(
+        emb, emb.filter(F.col("vec_id") >= 490), k=5, m=20, prefix_dims=16
+    ).orderBy("query_id", "rank")

@@ -815,3 +815,67 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return rare_ngram_novelty(docs, k=2, max_df=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t16 — corpus token histogram (distributed wordcount + Zipf view): global
+# top-20 tokens with exact counts and frequency-per-10k shares. Shares are
+# raw IEEE divisions of exact integers, so both engines produce identical
+# doubles with no rounding step.
+# ---------------------------------------------------------------------------
+@register(
+    "t16_corpus_token_histogram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+               FROM toks WHERE token <> '' GROUP BY token),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM counts),
+    ranked AS (SELECT token, n,
+                      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT)
+                        AS rank
+               FROM counts)
+    SELECT rank, token, n, n * 10000.0 / total_tokens AS freq_per_10k
+    FROM ranked, total
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+    doc="corpus-level wordcount: top-20 tokens, exact counts + freq shares",
+    tags=("text", "corpus", "histogram"),
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import corpus_token_histogram
+
+    return corpus_token_histogram(load_table(spark, sf_dir, "documents"), top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# t17 — per-source vocabulary health: token volume, distinct vocabulary,
+# type/token ratio, tokens/doc. Ratios are divisions of exact BIGINTs —
+# deterministic doubles in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "t17_vocab_stats_by_source",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS type_token_ratio,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS tokens_per_doc
+    FROM toks WHERE token <> ''
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="per-source vocabulary stats: volume, types, TTR, tokens/doc",
+    tags=("text", "corpus", "vocab"),
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import vocab_stats_by_source
+
+    return vocab_stats_by_source(load_table(spark, sf_dir, "documents"))

@@ -561,3 +561,89 @@ def test_quantized_topk_approximates_exact_inner_product(spark):
             cell = [j for j in range(40) if j % 4 == r["query_id"] % 4 and j != r["query_id"]]
             best = max(cell, key=lambda j: x[r["query_id"]] @ x[j])
             assert r["neighbor_id"] == best
+
+
+def test_two_stage_topk_matches_exact_on_full_prefix(spark):
+    """With prefix_dims == full dims and m >= corpus, the two-stage path IS
+    the exact brute-force ranking — results must equal cosine_topk."""
+    import numpy as np
+
+    from lance_trino_spark.operators.similarity import cosine_topk, two_stage_topk
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+    staged = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in two_stage_topk(emb, q, k=3, m=60, prefix_dims=8).collect()
+    }
+    assert staged == exact
+
+    # Narrow prefix + small shortlist still recovers most of the exact set
+    # (recall sanity, not a bitwise claim).
+    approx = two_stage_topk(emb, q, k=3, m=10, prefix_dims=4).collect()
+    hits = sum(
+        1 for r in approx if exact.get((r["query_id"], r["rank"])) == r["neighbor_id"]
+    )
+    assert hits >= 8  # of 15
+
+
+def test_two_stage_topk_refuses_unbroadcastable_queries(spark):
+    import pytest as _pytest
+
+    from lance_trino_spark.operators.similarity import two_stage_topk
+
+    emb = spark.range(30).selectExpr(
+        "id AS vec_id", "array(cast(id as float), 1.0f) AS embedding"
+    )
+    with _pytest.raises(ValueError, match="max_broadcast_queries"):
+        two_stage_topk(emb, emb, max_broadcast_queries=10)
+
+
+def test_cross_source_duplicates_order_insensitive(spark):
+    from lance_trino_spark.operators.dedup import cross_source_duplicate_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "web"),
+            (2, "gamma beta alpha", "books"),   # same multiset, shuffled
+            (3, "alpha beta beta", "web"),      # different multiset
+            (4, "alpha  beta   gamma", "news"),  # whitespace noise, same multiset
+        ],
+        "doc_id long, text string, source string",
+    )
+    groups = cross_source_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g["n_docs"], g["n_sources"], g["min_doc_id"], g["max_doc_id"]) == (
+        3, 3, 1, 4,
+    )
+
+
+def test_corpus_histogram_and_vocab_stats(spark):
+    from lance_trino_spark.operators.text import (
+        corpus_token_histogram,
+        vocab_stats_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a b c", "s1"), (3, "c c c d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    hist = {r["token"]: (r["rank"], r["n"]) for r in
+            corpus_token_histogram(docs, top_n=10).collect()}
+    assert hist["c"] == (1, 4) and hist["a"] == (2, 3)
+    assert hist["b"] == (3, 2) and hist["d"] == (4, 1)
+
+    vocab = {r["source"]: r for r in vocab_stats_by_source(docs).collect()}
+    assert vocab["s1"]["n_tokens"] == 6 and vocab["s1"]["n_types"] == 3
+    assert vocab["s2"]["n_docs"] == 1 and vocab["s2"]["n_types"] == 2
+    assert vocab["s2"]["type_token_ratio"] == 0.5

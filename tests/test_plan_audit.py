@@ -101,6 +101,15 @@ SUITE_AUDIT_ALLOW = {
     # hash-bucket sampling predicate (md5 of concat) is not expressible as
     # a parquet pushdown by design — the filter must run engine-side
     "t06_stratified_sample": "PushedFilters",
+    # two-stage rerank broadcasts the guarded-small query set (same
+    # sanctioned shape as s01; the loud max_broadcast_queries cap applies)
+    "s08_two_stage_prefix_rerank": "BroadcastNestedLoopJoin",
+    # t16: (a) single-row corpus-total broadcast scalar; (b) Spark's
+    # InferFiltersFromGenerate puts a size(split(...))>0 filter above the
+    # scan — derived from the generator, intrinsically non-pushable
+    "t16_corpus_token_histogram": ("BroadcastNestedLoopJoin", "PushedFilters"),
+    # same InferFiltersFromGenerate-derived filter as t16
+    "t17_vocab_stats_by_source": "PushedFilters",
 }
 
 
@@ -112,8 +121,9 @@ def test_whole_suite_plans_audit_clean(spark):
             continue
         df = q.build(spark, SF_DIR)
         fs = audit_plan(df)
-        allowed = SUITE_AUDIT_ALLOW.get(name)
-        fs = [f for f in fs if not (allowed and allowed in f)]
+        allowed = SUITE_AUDIT_ALLOW.get(name) or ()
+        allowed = (allowed,) if isinstance(allowed, str) else allowed
+        fs = [f for f in fs if not any(a in f for a in allowed)]
         if fs:
             findings[name] = fs
     assert findings == {}
