@@ -387,7 +387,7 @@ def _pcos_sql(a: str, b: str, p: int) -> str:
     "s08_two_stage_prefix_rerank",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-               WHERE vec_id >= 490),
+               WHERE vec_id BETWEEN 200 AND 219),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     s1 AS (SELECT query_id, neighbor_id, cv, qv,
                   {_pcos_sql('cv', 'qv', 16)} AS prefix_cos
@@ -414,6 +414,10 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import two_stage_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return two_stage_topk(
-        emb, emb.filter(F.col("vec_id") >= 490), k=5, m=20, prefix_dims=16
-    ).orderBy("query_id", "rank")
+    # Fixed 20-vector query window: the query set must stay constant across
+    # scale factors (vec_id >= N would grow linearly with the corpus and
+    # turn the broadcast side quadratic at sf0.1+).
+    queries = emb.filter(F.col("vec_id").between(200, 219))
+    return two_stage_topk(emb, queries, k=5, m=20, prefix_dims=16).orderBy(
+        "query_id", "rank"
+    )
