@@ -81,6 +81,7 @@ DEFAULT_QUERIES = [
     "t16_corpus_token_histogram",
     "t17_vocab_stats_by_source",
     "d07_cross_source_duplicates",
+    "s09_persisted_ivf_index",
 ]
 
 

@@ -391,6 +391,23 @@ class LanceCatalog:
         ds = self.load(ns, tbl).create_scalar_index(self.spark, col)
         return self._status(f"indexed {ns}.{tbl}({col}) v{ds.version}")
 
+    def _h_create_vector_index(self, m) -> DataFrame:
+        """`CREATE VECTOR INDEX ON <schema>.<table> (<col>) [USING IVF_FLAT|
+        IVF_PQ] [WITH (n_cells = N)]` — persisted IVF postings sidecars
+        (format/vector_index.py), the Lance vector-index analogue
+        (`docs/src/performance.md:21-58` index cache of opened vector
+        indices)."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        kind = (m.group("kind") or "IVF_FLAT").upper()
+        n_cells = int(m.group("ncells") or 16)
+        ds = self.load(ns, tbl).create_vector_index(
+            self.spark, col, n_cells=n_cells, index_type=kind
+        )
+        return self._status(
+            f"vector-indexed {ns}.{tbl}({col}) {kind} n_cells={n_cells} "
+            f"v{ds.version}"
+        )
+
     def _h_history(self, m) -> DataFrame:
         """`DESCRIBE HISTORY <schema>.<table>` — the version log (Delta-style
         history): one row per retained version with commit time + operation."""
@@ -505,6 +522,13 @@ class LanceCatalog:
             rf"CREATE\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
             _h_create_index,
+        ),
+        (
+            rf"CREATE\s+VECTOR\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
+            rf"(?:\s+USING\s+(?P<kind>IVF_FLAT|IVF_PQ))?"
+            rf"(?:\s+WITH\s*\(\s*n_cells\s*=\s*(?P<ncells>\d+)\s*\))?$",
+            _h_create_vector_index,
         ),
         (
             rf"VACUUM\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

@@ -622,6 +622,7 @@ class LanceDataset:
         # no sidecars — rebuild them here so OPTIMIZE is the index-build
         # moment and point lookups stay bounded after compaction
         out.ensure_scalar_index_files(spark)
+        out.ensure_vector_index_files(spark)
         return out
 
     def ensure_scalar_index_files(self, spark: SparkSession) -> int:
@@ -715,6 +716,281 @@ class LanceDataset:
         )
         commit_manifest(self.path, m)
         return LanceDataset(self.path, m)
+
+    # -------------------------------------------------------- vector index
+    def create_vector_index(
+        self,
+        spark: SparkSession,
+        column: str,
+        n_cells: int = 16,
+        iters: int = 5,
+        sample: int = 4096,
+        index_type: str = "IVF_FLAT",
+        pq_m: int = 8,
+    ) -> "LanceDataset":
+        """Build a persisted IVF vector index for `column` (Lance's flagship
+        capability — `docs/src/performance.md:21-58` index cache of "opened
+        vector indices", fixture `_indices/`). Trains a deterministic
+        coarse codebook (and PQ sub-codebooks for IVF_PQ) on a bounded
+        fragment-ordered sample on the driver, then builds one postings
+        sidecar per fragment in parallel (mapInPandas, no shuffle), and
+        commits the index registration as a new manifest version."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from .vector_index import (
+            VINDEX_PROP,
+            build_fragment_postings,
+            train_index,
+            write_index_meta,
+        )
+
+        if column not in {f.name for f in self.schema.fields}:
+            raise ValueError(f"no such column to index: {column!r}")
+        # bounded, deterministic, deletion-aware training sample: fragments
+        # in manifest order, first `sample` live rows — cost independent of
+        # dataset size (the standard IVF recipe: FAISS/Lance sample too)
+        vecs: list = []
+        for f in self.manifest.fragments:
+            if len(vecs) >= sample:
+                break
+            t = _pq.read_table(
+                os.path.join(self.path, f.path), columns=[column]
+            )
+            vals = t.column(column).to_pylist()
+            if f.deletion is not None:
+                dead = set(
+                    _pq.read_table(
+                        os.path.join(self.path, f.deletion.path),
+                        columns=["row_index"],
+                    ).column("row_index").to_pylist()
+                )
+                vals = [v for i, v in enumerate(vals) if i not in dead]
+            vecs.extend(v for v in vals if v is not None)
+        centroids, pq_books = train_index(
+            np.array(vecs[:sample], dtype=np.float64),
+            n_cells=n_cells, iters=iters, index_type=index_type, pq_m=pq_m,
+        )
+        meta = write_index_meta(self.path, column, centroids, pq_books,
+                                index_type)
+        root = self.path
+        frag_paths = [f.path for f in self.manifest.fragments]
+        if frag_paths:
+            def _build(batches):
+                for pdf in batches:
+                    for p in pdf["path"]:
+                        build_fragment_postings(root, p, column, centroids,
+                                                pq_books)
+                    yield pd.DataFrame({"path": pdf["path"]})
+
+            built = (
+                spark.createDataFrame([(p,) for p in frag_paths], "path string")
+                .repartition(len(frag_paths))
+                .mapInPandas(_build, "path string")
+                .count()
+            )
+            assert built == len(frag_paths)
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        registered = dict(base.properties.get(VINDEX_PROP, {}))
+        registered[column] = meta
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            operation="create_index",
+            read_version=self.version,
+            max_fragment_id=base.max_fragment_id,
+            properties={**base.properties, VINDEX_PROP: registered},
+        )
+        commit_manifest(self.path, m)
+        return LanceDataset(self.path, m)
+
+    def ensure_vector_index_files(self, spark: SparkSession) -> int:
+        """Rebuild missing postings sidecars for every registered vector
+        index from the PERSISTED codebooks — the maintenance half (new
+        fragments from DML/compaction have no postings until this runs;
+        centroids are never retrained behind the user's back)."""
+        import pandas as pd
+
+        from .vector_index import (
+            VINDEX_PROP,
+            build_fragment_postings,
+            load_centroids,
+            load_pq_codebooks,
+            postings_rel,
+        )
+
+        registered = self.manifest.properties.get(VINDEX_PROP, {})
+        if not registered:
+            return 0
+        root = self.path
+        todo = [
+            (f.path, col)
+            for col in registered
+            for f in self.manifest.fragments
+            if not os.path.exists(os.path.join(root, postings_rel(col, f.path)))
+        ]
+        if not todo:
+            return 0
+        codebooks = {
+            col: (
+                load_centroids(root, col),
+                load_pq_codebooks(root, col, meta)
+                if meta.get("index_type") == "IVF_PQ" else None,
+            )
+            for col, meta in registered.items()
+        }
+
+        def _build(batches):
+            for pdf in batches:
+                for p, col in zip(pdf["path"], pdf["col"]):
+                    cents, books = codebooks[col]
+                    build_fragment_postings(root, p, col, cents, books)
+                yield pdf[["path"]]
+
+        n = (
+            spark.createDataFrame(todo, "path string, col string")
+            .repartition(len(todo))
+            .mapInPandas(_build, "path string")
+            .count()
+        )
+        assert n == len(todo)
+        return n
+
+    def vector_search(
+        self,
+        spark: SparkSession,
+        column: str,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        id_columns: list[str] | None = None,
+        refine: int = 50,
+        with_io_stats: bool = False,
+        max_queries: int = 4096,
+    ) -> DataFrame:
+        """Index-backed ANN search: top-k cosine neighbors per query row.
+
+        `queries` must have columns (query_id, <column>) and be bounded
+        (<= max_queries — query sets are broadcast-sized by contract; fails
+        loudly past the cap, same convention as `operators/similarity`).
+        Fragment-parallel: each task reads ONLY the probed-cell row groups
+        of its postings sidecar (~nprobe/n_cells of the index bytes), masks
+        deletion vectors, scores locally (ADC + bounded exact refine for
+        IVF_PQ), and emits its local top-k; the global merge is a tiny
+        (fragments x queries x k) window. Never rescans the data files.
+
+        Returns (query_id, *id_columns, cosine [, postings_read]) with one
+        row per (query, neighbor)."""
+        from pyspark.sql import Window as W
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from .vector_index import (
+            VINDEX_PROP,
+            load_centroids,
+            load_index_meta,
+            load_pq_codebooks,
+            search_fragment,
+        )
+
+        registered = self.manifest.properties.get(VINDEX_PROP, {})
+        if column not in registered:
+            raise ValueError(f"no vector index on column {column!r}")
+        id_columns = list(id_columns or [])
+        rows = queries.select("query_id", column).collect()
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"query set ({len(rows)}) exceeds max_queries ({max_queries}) "
+                "— vector_search ships queries to every fragment task; batch "
+                "the query set or raise the cap explicitly"
+            )
+        import numpy as np
+
+        from .vector_index import nearest_cells
+
+        root = self.path
+        meta = load_index_meta(root, column)
+        centroids = load_centroids(root, column)
+        pq_books = (
+            load_pq_codebooks(root, column, meta)
+            if meta.get("index_type") == "IVF_PQ" else None
+        )
+        q_ids = [r[0] for r in rows]
+        q_vecs = np.array([r[1] for r in rows], dtype=np.float64)
+        q_cells = nearest_cells(q_vecs, centroids, nprobe)
+
+        qid_field = queries.schema["query_id"]
+        name_of = {f.name: f for f in self.schema.fields}
+        out_fields = [StructField("query_id", qid_field.dataType)]
+        out_fields += [
+            StructField(c, name_of[c].dataType) for c in id_columns
+        ]
+        out_fields += [
+            StructField("cosine", DoubleType()),
+            StructField("row_index", LongType()),
+            StructField("postings_read", LongType()),
+        ]
+        out_schema = StructType(out_fields)
+        frag_rows = [
+            (f.path,
+             os.path.join(root, f.deletion.path) if f.deletion else None)
+            for f in self.manifest.fragments
+        ]
+
+        def _search(batches):
+            import pandas as pd
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                for p, dpath in zip(pdf["path"], pdf["deletion_path"]):
+                    del_idx = None
+                    if dpath is not None and not (
+                        isinstance(dpath, float) and pd.isna(dpath)
+                    ):
+                        del_idx = np.sort(
+                            _pq.read_table(dpath, columns=["row_index"])
+                            .column("row_index")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        )
+                    hits, n_read = search_fragment(
+                        root, p, column, centroids, pq_books,
+                        q_ids, q_vecs, q_cells, k, id_columns,
+                        deletion_indices=del_idx, refine=refine,
+                    )
+                    yield pd.DataFrame(
+                        [(*h, n_read) for h in hits],
+                        columns=[f.name for f in out_fields],
+                    )
+
+        local = (
+            spark.createDataFrame(
+                frag_rows, "path string, deletion_path string"
+            )
+            .repartition(max(1, len(frag_rows)))
+            .mapInPandas(_search, out_schema)
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("row_index").asc()
+        )
+        out = (
+            local.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+        if not with_io_stats:
+            out = out.drop("postings_read")
+        return out.drop("row_index") if not with_io_stats else out
 
     def commit_overwrite(
         self, fragment_files: list[tuple[str, int]]

@@ -421,3 +421,83 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_stage_topk(emb, queries, k=5, m=20, prefix_dims=16).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# s09 — PERSISTED IVF vector index: build a Lance-semantics dataset, create
+# the on-disk IVF index (`_indices/<col>.ivf/` codebook + per-fragment
+# postings — the Lance vector-index analogue, docs/src/performance.md:21-58
+# "Index Cache: caches opened vector indices"), and run the index-backed
+# search path (fragment-parallel, probed-cell row groups only). Self-
+# validating like s04: joins the index result against the exact baseline
+# in-query and emits scalar recall floors the oracle value-checks — a wrong
+# codebook, a broken postings build, or a mis-probed search flips
+# recall_ok/mean_ok to false and the hash compare flunks the row.
+# ---------------------------------------------------------------------------
+@register(
+    "s09_persisted_ivf_index",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_ann,
+           TRUE AS recall_ok,
+           TRUE AS mean_ok
+    FROM embeddings WHERE vec_id < 10
+    ORDER BY query_id
+    """,
+    doc="persisted IVF vector index: on-disk codebook + postings sidecars, "
+        "index-backed fragment-parallel search, self-validating recall@5",
+    tags=("similarity", "ann", "ivf", "index", "format"),
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..format.dataset import LanceDataset
+    from .lance_format import _fresh_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _fresh_path(sf_dir, "s09")
+    # deterministic layout: ordered single-task write → fragment contents
+    # (and therefore the fragment-ordered training sample) are reproducible
+    ds = LanceDataset.create(
+        path,
+        emb.select("vec_id", "label", "embedding").orderBy("vec_id").coalesce(1),
+        max_rows_per_file=200,  # multi-fragment at every sf (corpus <= 2000)
+    )
+    ds = ds.create_vector_index(spark, "embedding", n_cells=16, sample=2048)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ds.vector_search(
+        spark, "embedding", queries, k=6, nprobe=2, id_columns=["vec_id"]
+    )
+    rk = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        hits.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    n_hits = (
+        ann.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per = (
+        ann.groupBy("query_id")
+        .agg(F.count("*").alias("n_ann"))
+        .join(n_hits, "query_id", "left")
+        .na.fill({"n_hit": 0})
+        .withColumn("recall", F.col("n_hit") / F.lit(5.0))
+    )
+    return per.select(
+        "query_id",
+        "n_ann",
+        (F.col("recall") >= 0.4).alias("recall_ok"),
+        (F.avg("recall").over(W.partitionBy(F.lit(1))) >= 0.6).alias("mean_ok"),
+    ).orderBy("query_id")

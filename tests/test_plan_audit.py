@@ -95,6 +95,10 @@ SUITE_AUDIT_ALLOW = {
     # same sanctioned broadcast-small crossJoin as s01; the IVF search
     # itself stays an equi-join on cell id
     "s04_ivf_trained_topk": "BroadcastNestedLoopJoin",
+    # s09 embeds the same exact-baseline recall validator as s04; the
+    # index-backed search itself is fragment-parallel mapInPandas over
+    # postings sidecars (no join at all)
+    "s09_persisted_ivf_index": "BroadcastNestedLoopJoin",
     # scalar subquery (single-row threshold) planned as nested-loop
     "q11_important_parts": "BroadcastNestedLoopJoin",
     "q22_idle_customers": "BroadcastNestedLoopJoin",
