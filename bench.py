@@ -82,6 +82,7 @@ DEFAULT_QUERIES = [
     "t17_vocab_stats_by_source",
     "d07_cross_source_duplicates",
     "s09_persisted_ivf_index",
+    "lf12_schema_evolution",
 ]
 
 

@@ -391,6 +391,26 @@ class LanceCatalog:
         ds = self.load(ns, tbl).create_scalar_index(self.spark, col)
         return self._status(f"indexed {ns}.{tbl}({col}) v{ds.version}")
 
+    def _h_alter_add_column(self, m) -> DataFrame:
+        """`ALTER TABLE <schema>.<table> ADD COLUMN <name> <type>` —
+        metadata-only schema evolution (format/dataset.py add_column):
+        existing fragments read NULL for the new column, no data rewrite."""
+        ns, tbl = m.group("ns"), m.group("tbl")
+        ds = self.load(ns, tbl).add_column(m.group("col"), m.group("dtype"))
+        return self._status(
+            f"added column {m.group('col')} to {ns}.{tbl} v{ds.version}"
+        )
+
+    def _h_alter_drop_column(self, m) -> DataFrame:
+        """`ALTER TABLE <schema>.<table> DROP COLUMN <name>` — metadata-only
+        drop; the name is retired permanently (re-adding it would resurrect
+        pre-drop bytes via parquet name resolution)."""
+        ns, tbl = m.group("ns"), m.group("tbl")
+        ds = self.load(ns, tbl).drop_column(m.group("col"))
+        return self._status(
+            f"dropped column {m.group('col')} from {ns}.{tbl} v{ds.version}"
+        )
+
     def _h_create_vector_index(self, m) -> DataFrame:
         """`CREATE VECTOR INDEX ON <schema>.<table> (<col>) [USING IVF_FLAT|
         IVF_PQ] [WITH (n_cells = N)]` — persisted IVF postings sidecars
@@ -522,6 +542,18 @@ class LanceCatalog:
             rf"CREATE\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
             _h_create_index,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s+ADD\s+COLUMNS?\s+\(?\s*(?P<col>{_IDENT})\s+"
+            rf"(?P<dtype>[A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+            rf"(?:\s*<[^>]+>)?)\s*\)?$",
+            _h_alter_add_column,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s+DROP\s+COLUMNS?\s+\(?\s*(?P<col>{_IDENT})\s*\)?$",
+            _h_alter_drop_column,
         ),
         (
             rf"CREATE\s+VECTOR\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

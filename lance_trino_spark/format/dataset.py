@@ -43,6 +43,8 @@ from .blob import (
     virtual_columns,
 )
 from .fragments import as_fragments, stage_via_tasks
+
+RETIRED_PROP = "retired_columns"  # manifest.properties: dropped column names
 from .vector import VECTOR_PROP, enforce_vector_columns, parse_vector_columns
 from .manifest import (
     DATA_DIR,
@@ -416,8 +418,11 @@ class LanceDataset:
             # (lazy — no work until staging executes)
             df = stage_blob_columns(df, self.blob_columns, self.path)
         # checked AFTER the blob transform so the comparison sees the stored
-        # schema; schema evolution is unsupported, like the reference
-        # (`TestLanceConnectorTest.java:139-146`)
+        # schema; an append never evolves the schema implicitly — the
+        # reference rejects evolution outright
+        # (`TestLanceConnectorTest.java:139-146`), here it is an explicit
+        # metadata-only ALTER (add_column/drop_column) followed by appends
+        # matching the NEW schema
         if not schemas_compatible(self.manifest.schema_json, df.schema.jsonValue()):
             raise ValueError(
                 "append schema does not match the table schema (schema "
@@ -713,6 +718,106 @@ class LanceDataset:
             read_version=self.version,
             max_fragment_id=base.max_fragment_id,
             properties={**base.properties, INDEX_PROP: indexed},
+        )
+        commit_manifest(self.path, m)
+        return LanceDataset(self.path, m)
+
+    # ----------------------------------------------------- schema evolution
+    def add_column(self, name: str, dtype) -> "LanceDataset":
+        """ALTER TABLE ADD COLUMN — metadata-only commit: the new (nullable)
+        column joins the schema; existing fragment files are untouched and
+        read as NULL for it (schema-on-read: Spark's parquet reader and the
+        DataSource null-fill both resolve absent columns to null).
+
+        Beyond-reference: the reference connector rejects schema evolution
+        outright (`TestLanceConnectorTest.java:139-146`), but a training-data
+        pipeline accretes label/feature/score columns over a table's life —
+        rewriting 100 TB to add one is not an option, so this is the same
+        metadata-only ADD that Lance core itself supports.
+
+        A name that was ever DROPPED is refused: parquet-by-name resolution
+        would silently resurrect the dropped column's bytes from old files."""
+        from pyspark.sql.types import DataType
+
+        if isinstance(dtype, DataType):
+            field_json = {"name": name, "type": dtype.jsonValue(),
+                          "nullable": True, "metadata": {}}
+        else:
+            parsed = StructType.fromDDL(f"`{name}` {dtype}")
+            field_json = parsed.fields[0].jsonValue()
+            field_json["nullable"] = True
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        existing = {f["name"] for f in base.schema_json["fields"]}
+        if name in existing:
+            raise ValueError(f"column {name!r} already exists")
+        retired = base.properties.get(RETIRED_PROP, [])
+        if name in retired:
+            raise ValueError(
+                f"column name {name!r} was previously dropped; re-adding it "
+                "would resurrect the old column's values from pre-drop "
+                "fragment files (parquet resolves columns by name) — pick a "
+                "fresh name"
+            )
+        new_schema = {**base.schema_json,
+                      "fields": base.schema_json["fields"] + [field_json]}
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=new_schema,
+            fragments=base.fragments,
+            operation="alter",
+            read_version=self.version,
+            max_fragment_id=base.max_fragment_id,
+            properties=base.properties,
+        )
+        commit_manifest(self.path, m)
+        return LanceDataset(self.path, m)
+
+    def drop_column(self, name: str) -> "LanceDataset":
+        """ALTER TABLE DROP COLUMN — metadata-only: the column leaves the
+        schema (old files keep the bytes; VACUUM of rewritten fragments is
+        the space-reclaim path, as in Lance). The name is recorded as
+        retired so it can never be re-added (see add_column). Scalar/vector
+        index registrations on the column are unregistered in the same
+        commit; blob columns cannot be dropped (their sidecar layout is
+        write-once, A15)."""
+        from .index import INDEX_PROP
+        from .vector_index import VINDEX_PROP
+
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        fields = base.schema_json["fields"]
+        if name not in {f["name"] for f in fields}:
+            raise ValueError(f"no such column: {name!r}")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in (base.properties.get(BLOB_PROP) or []):
+            raise ValueError(f"cannot drop blob column {name!r}")
+        props = dict(base.properties)
+        props[RETIRED_PROP] = sorted(
+            set(props.get(RETIRED_PROP, [])) | {name}
+        )
+        if name in (props.get(INDEX_PROP) or []):
+            props[INDEX_PROP] = [c for c in props[INDEX_PROP] if c != name]
+        if name in (props.get(VINDEX_PROP) or {}):
+            props[VINDEX_PROP] = {
+                k: v for k, v in props[VINDEX_PROP].items() if k != name
+            }
+        m = Manifest(
+            version=base.version + 1,
+            schema_json={**base.schema_json,
+                         "fields": [f for f in fields if f["name"] != name]},
+            fragments=base.fragments,
+            operation="alter",
+            read_version=self.version,
+            max_fragment_id=base.max_fragment_id,
+            properties=props,
         )
         commit_manifest(self.path, m)
         return LanceDataset(self.path, m)

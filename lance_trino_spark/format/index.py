@@ -55,6 +55,11 @@ def build_fragment_index(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(os.path.join(root, frag_rel_path))
+    if column not in pf.schema_arrow.names:
+        # fragment predates a metadata-only ADD COLUMN — no sidecar; scans
+        # fall back to a full fragment read (consult-if-present)
+        return None
     data = pq.read_table(os.path.join(root, frag_rel_path), columns=[column])
     v = data.column(column)
     tbl = pa.table(

@@ -236,6 +236,11 @@ def build_fragment_postings(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(os.path.join(root, frag_rel_path))
+    if column not in pf.schema_arrow.names:
+        # fragment predates a metadata-only ADD COLUMN — no postings; the
+        # search treats absent postings as an empty cell set
+        return None
     data = pq.read_table(os.path.join(root, frag_rel_path), columns=[column])
     vecs = np.array(
         [np.asarray(v, dtype=np.float64) for v in data.column(column).to_pylist()]
@@ -311,8 +316,12 @@ def search_fragment(
     from .index import read_rows_by_index
 
     union_cells = sorted({int(c) for row in query_cells for c in row})
-    t = probe_postings(os.path.join(root, postings_rel(column, frag_rel_path)),
-                       union_cells)
+    postings_path = os.path.join(root, postings_rel(column, frag_rel_path))
+    if not os.path.exists(postings_path):
+        # consult-if-present: fragments that predate the column (or whose
+        # maintenance rebuild hasn't run) contribute no candidates
+        return [], 0
+    t = probe_postings(postings_path, union_cells)
     postings_read = len(t)
     if postings_read == 0:
         return [], 0

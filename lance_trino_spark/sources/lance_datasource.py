@@ -348,6 +348,32 @@ def _reorder_struct(arr, dtype):
     )
 
 
+def _evolution_split(file_names, schema: StructType):
+    """Schema evolution support (metadata-only ADD/DROP COLUMN,
+    format/dataset.py add_column): fragment files written before an ADD
+    lack the new column. Returns (columns_to_read, missing_fields); the
+    read list is never empty — when every requested column is absent, one
+    file column is read as a row-count carrier and dropped by the
+    conforming select in `_fill_missing`."""
+    present = [f.name for f in schema.fields if f.name in file_names]
+    missing = [f for f in schema.fields if f.name not in file_names]
+    read_cols = present if present else list(file_names)[:1]
+    return read_cols, missing
+
+
+def _fill_missing(table, schema: StructType, missing):
+    """Append typed all-null columns for `missing` fields and conform to the
+    schema's column order (drops any row-count-carrier column)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    for f in missing:
+        table = table.append_column(
+            f.name, pa.nulls(table.num_rows, type=to_arrow_type(f.dataType))
+        )
+    return table.select([f.name for f in schema.fields])
+
+
 def _conform_table(table, schema: StructType):
     """Reorder a pruned-read table's columns (and nested struct fields) to the
     schema — types are untouched; only ordering differs after a leaf read."""
@@ -470,10 +496,13 @@ class LanceScanReaderNoPushdown(DataSourceReader):
                 del_idx = np.sort(
                     deleted.to_numpy(zero_copy_only=False).astype(np.int64)
                 )
-            columns = [f.name for f in self._schema.fields]
+            file_names = pq.ParquetFile(partition.data_path).schema_arrow.names
+            columns, missing = _evolution_split(file_names, self._schema)
             table, _ = read_rows_by_index(
                 partition.data_path, hits, columns, del_idx
             )
+            if missing:
+                table = _fill_missing(table, self._schema, missing)
             if expr is not None and table.num_rows:
                 table = table.filter(expr)
             yield from table.to_batches(max_chunksize=self._batch_size)
@@ -481,9 +510,18 @@ class LanceScanReaderNoPushdown(DataSourceReader):
         if partition.deletion_path is None and not self._nested_pruned:
             # No deletion vector, flat projection: let pyarrow evaluate the
             # filter inside the parquet scan (row-group/page pruning).
-            columns = [f.name for f in self._schema.fields]
             ds = pads.dataset(partition.data_path, format="parquet")
-            table = ds.to_table(columns=columns, filter=expr)
+            columns, missing = _evolution_split(ds.schema.names, self._schema)
+            if missing:
+                # the filter may reference an added column the file lacks —
+                # fill nulls first, then apply it
+                table = _fill_missing(
+                    ds.to_table(columns=columns), self._schema, missing
+                )
+                if expr is not None:
+                    table = table.filter(expr)
+            else:
+                table = ds.to_table(columns=columns, filter=expr)
             yield from table.to_batches(max_chunksize=self._batch_size)
             return
         # Streaming path — used when a deletion vector applies (row indexes
@@ -492,11 +530,6 @@ class LanceScanReaderNoPushdown(DataSourceReader):
         # nested dereference was pushed down (read only the referenced
         # parquet leaf columns). Pushed filters are applied per batch, so
         # memory stays bounded by one batch instead of the whole fragment.
-        columns = (
-            _leaf_prefixes(self._schema)
-            if self._nested_pruned
-            else [f.name for f in self._schema.fields]
-        )
         del_idx = None
         if partition.deletion_path is not None:
             deleted = pq.read_table(
@@ -504,6 +537,16 @@ class LanceScanReaderNoPushdown(DataSourceReader):
             ).column("row_index")
             del_idx = np.sort(deleted.to_numpy(zero_copy_only=False).astype(np.int64))
         pf = pq.ParquetFile(partition.data_path)
+        file_names = pf.schema_arrow.names
+        _, missing = _evolution_split(file_names, self._schema)
+        missing_names = {f.name for f in missing}
+        if self._nested_pruned:
+            columns = [
+                c for c in _leaf_prefixes(self._schema)
+                if c.split(".", 1)[0] not in missing_names
+            ] or list(file_names)[:1]
+        else:
+            columns, _ = _evolution_split(file_names, self._schema)
         offset = 0
         for batch in pf.iter_batches(batch_size=self._batch_size, columns=columns):
             n = batch.num_rows
@@ -518,6 +561,8 @@ class LanceScanReaderNoPushdown(DataSourceReader):
             if batch.num_rows == 0:
                 continue
             table = pa.Table.from_batches([batch])
+            if missing:
+                table = _fill_missing(table, self._schema, missing)
             if expr is not None:
                 table = table.filter(expr)
                 if table.num_rows == 0:
@@ -909,13 +954,26 @@ class LanceStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: "LanceFragmentPartition") -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if partition is None:
             return
         pf = pq.ParquetFile(partition.data_path)
-        columns = [f.name for f in self._schema.fields]
-        yield from pf.iter_batches(batch_size=self._batch_size, columns=columns)
+        # schema evolution: the stream pins its start-time schema; fragments
+        # appended after a metadata-only ADD carry extra columns (pruned by
+        # the column list) and fragments appended after a DROP lack the
+        # pinned column — null-fill keeps the pinned schema stable for the
+        # life of the stream (same contract as the batch reader)
+        columns, missing = _evolution_split(pf.schema_arrow.names, self._schema)
+        for batch in pf.iter_batches(batch_size=self._batch_size, columns=columns):
+            if missing:
+                table = _fill_missing(
+                    pa.Table.from_batches([batch]), self._schema, missing
+                )
+                yield from table.to_batches(max_chunksize=self._batch_size)
+            else:
+                yield batch
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the query checkpoint

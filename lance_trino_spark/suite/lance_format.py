@@ -481,3 +481,56 @@ def lf11(spark: SparkSession, sf_dir: str) -> DataFrame:
         fragment_id_of(F.col("_rowaddr")).alias("fragment_id"),
         row_index_of(F.col("_rowaddr")).alias("row_index"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# lf12 — schema evolution: metadata-only ADD COLUMN (old fragments read
+# NULL), append under the new schema, UPDATE backfills the new column for
+# old rows (MoR), then metadata-only DROP COLUMN. Beyond-reference: the
+# reference connector rejects evolution (`TestLanceConnectorTest.java:
+# 139-146`); a 100 TB training-data table accretes label/score columns over
+# its life and cannot be rewritten to add one, so this is the Lance-core-
+# style metadata-only path (format/dataset.py add_column/drop_column).
+# ---------------------------------------------------------------------------
+@register(
+    "lf12_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey, n_name, n_regionkey,
+             CAST(NULL AS BIGINT) AS pop
+      FROM nation
+      UNION ALL
+      SELECT k, 'NATION_' || CAST(k AS VARCHAR), k % 5,
+             CAST(k * 10 AS BIGINT)
+      FROM (SELECT unnest(generate_series(100, 104)) AS k)
+    )
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_regionkey = 2
+                THEN CAST(n_nationkey * 7 AS BIGINT) ELSE pop END AS pop
+    FROM base
+    ORDER BY n_nationkey
+    """,
+    doc="format: ALTER TABLE ADD/DROP COLUMN metadata-only evolution with "
+        "null-filled old fragments, new-schema appends, and MoR backfill",
+    tags=("format", "evolution", "alter"),
+)
+def lf12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fresh_path(sf_dir, "lf12")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ds = LanceDataset.create(path, nation, max_rows_per_file=8)
+    ds = ds.add_column("pop", "bigint")
+    extra = spark.range(100, 105).selectExpr(
+        "CAST(id AS INT) AS n_nationkey",
+        "CONCAT('NATION_', CAST(id AS STRING)) AS n_name",
+        "CAST(id % 5 AS INT) AS n_regionkey",
+        "id * 10 AS pop",
+    )
+    ds = ds.append(extra)
+    ds = dml.update(
+        ds, spark, {"pop": "CAST(n_nationkey * 7 AS BIGINT)"},
+        "n_regionkey = 2",
+    )
+    ds = ds.drop_column("n_regionkey")
+    return ds.to_df(spark).orderBy("n_nationkey")
