@@ -83,6 +83,7 @@ DEFAULT_QUERIES = [
     "d07_cross_source_duplicates",
     "s09_persisted_ivf_index",
     "lf12_schema_evolution",
+    "e12_hll_distinct_sketch",
 ]
 
 

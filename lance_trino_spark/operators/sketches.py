@@ -150,3 +150,72 @@ def kmv_distinct(
         )
         .alias("kmv_estimate"),
     )
+
+
+HLL_P = 8  # 2^8 = 256 buckets, ~6.5% standard error
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Engine-portable HyperLogLog distinct estimate per group.
+
+    The classic HLL (Flajolet et al. 2007) from the same md5-derived 32-bit
+    hash as the KMV sketch, all-integer until the final estimate division:
+    bucket = top p bits, rank = leading-zero count of the remaining
+    (32-p)-bit word + 1, registers = per-bucket MAX(rank). The denominator
+    sum 2^-M_j is carried as the exact integer sum(1 << (maxrank - M_j))
+    (empty buckets contribute 1 << maxrank), so two engines agree
+    bit-for-bit — no logarithms anywhere (the small-range linear-counting
+    branch is deliberately omitted for that reason; `empty_buckets` is
+    emitted so a consumer can apply it).
+
+    Scale shape — the reason HLL beats KMV at 100 TB: register state is a
+    FIXED 2^p integers per group. Stage 1 (group, bucket) MAX(rank) is a
+    map-side partial max — each partition contributes at most 2^p rows per
+    group to the exchange regardless of its distinct count (KMV's level-1
+    state is the task-local distinct set). Stage 2 merges 2^p rows per
+    group. Registers are also trivially mergeable across datasets/time
+    windows (MAX is associative), which bottom-k union is not without
+    re-truncation.
+
+    Output: group_cols, empty_buckets, rank_checksum (the exact integer
+    denominator — a strong cross-engine validation value), hll_estimate
+    (BIGINT floor of alpha_m * m^2 / sum 2^-M_j).
+    """
+    m = 1 << p
+    wbits = 32 - p
+    maxrank = wbits + 1
+    h = h32(F.col(value_col).cast("string"))
+    w = h % F.lit(1 << wbits)
+    rank = (
+        F.when(w == 0, F.lit(maxrank))
+        .otherwise(F.lit(wbits) - (F.length(F.bin(w)) - 1))
+    )
+    keyed = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        (h / F.lit(1 << wbits)).cast("int").alias("_bucket"),
+        rank.alias("_rank"),
+    )
+    registers = keyed.groupBy(*group_cols, "_bucket").agg(
+        F.max("_rank").alias("_mr")
+    )
+    per_group = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_nonempty"),
+        F.sum(F.expr(f"shiftleft(1L, {maxrank} - _mr)")).alias("_isum"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)  # standard HLL bias constant, m >= 128
+    isum_full = F.col("_isum") + (F.lit(m) - F.col("_nonempty")) * F.lit(
+        1 << maxrank
+    )
+    return per_group.select(
+        *group_cols,
+        (F.lit(m) - F.col("_nonempty")).alias("empty_buckets"),
+        isum_full.alias("rank_checksum"),
+        F.floor(
+            F.lit(alpha * m * m * (1 << maxrank)) / isum_full
+        ).cast("bigint").alias("hll_estimate"),
+    )

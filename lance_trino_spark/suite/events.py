@@ -552,3 +552,65 @@ def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e12 — HyperLogLog distinct sketch (operators/sketches.hll_distinct): the
+# fixed-register companion to e08's KMV. Registers are 2^8 integers per
+# group — map-side partial MAX bounds the exchange at 256 rows per group
+# per partition regardless of distinct count, and registers merge across
+# windows/datasets with plain MAX. All-integer until the final division
+# (no logarithms), so DuckDB replays it bit-for-bit; the numerator
+# constant alpha*m^2*2^25 is inlined as the identical double literal in
+# both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "e12_hll_distinct_sketch",
+    oracle="""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    keyed AS (
+      SELECT event_type,
+             CAST(h // 16777216 AS INT) AS bucket,
+             CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 24 - (length(printf('%b', h % 16777216)) - 1)
+             END AS rank
+      FROM hashed),
+    regs AS (
+      SELECT event_type, bucket, MAX(rank) AS mr
+      FROM keyed GROUP BY event_type, bucket),
+    agg AS (
+      SELECT event_type, COUNT(*) AS nonempty,
+             SUM(1 << (25 - mr)) AS isum
+      FROM regs GROUP BY event_type),
+    sk AS (
+      SELECT event_type,
+             CAST(256 - nonempty AS BIGINT) AS empty_buckets,
+             CAST(isum + (256 - nonempty) * 33554432 AS BIGINT)
+               AS rank_checksum
+      FROM agg)
+    SELECT s.event_type, s.empty_buckets, s.rank_checksum,
+           CAST(FLOOR(1579498136381.3938 / s.rank_checksum) AS BIGINT)
+             AS hll_estimate,
+           x.n_exact
+    FROM sk s JOIN (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type) x
+      ON s.event_type = x.event_type
+    ORDER BY s.event_type
+    """,
+    doc="HyperLogLog distinct sketch per event_type vs exact count, "
+        "bit-identical across engines (fixed 256-register state)",
+    tags=("events", "sketch", "hll"),
+)
+def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").orderBy("event_type")

