@@ -84,6 +84,8 @@ DEFAULT_QUERIES = [
     "s09_persisted_ivf_index",
     "lf12_schema_evolution",
     "e12_hll_distinct_sketch",
+    "e13_hll_register_merge",
+    "t18_url_domain_stats",
 ]
 
 

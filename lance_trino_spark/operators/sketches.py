@@ -186,6 +186,22 @@ def hll_distinct(
     denominator — a strong cross-engine validation value), hll_estimate
     (BIGINT floor of alpha_m * m^2 / sum 2^-M_j).
     """
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col, p), group_cols, p
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """The register table alone: (group_cols, _bucket, _mr). Registers are
+    the MERGEABLE representation — MAX over buckets combines sketches built
+    on disjoint (or overlapping!) slices of the data with no loss, the
+    property that lets per-day/per-shard sketches roll up to any window
+    without touching raw data (see hll_merge)."""
     m = 1 << p
     wbits = 32 - p
     maxrank = wbits + 1
@@ -200,9 +216,28 @@ def hll_distinct(
         (h / F.lit(1 << wbits)).cast("int").alias("_bucket"),
         rank.alias("_rank"),
     )
-    registers = keyed.groupBy(*group_cols, "_bucket").agg(
+    return keyed.groupBy(*group_cols, "_bucket").agg(
         F.max("_rank").alias("_mr")
     )
+
+
+def hll_merge(
+    registers: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Merge register tables down to coarser groups (drop key columns from
+    group_cols) and estimate: MAX per bucket, then the estimate formula.
+    Exactly equal to sketching the union directly — asserted by suite e13."""
+    merged = registers.groupBy(*group_cols, "_bucket").agg(
+        F.max("_mr").alias("_mr")
+    )
+    return hll_estimate_from_registers(merged, group_cols, p)
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    m = 1 << p
+    maxrank = (32 - p) + 1
     per_group = registers.groupBy(*group_cols).agg(
         F.count("*").alias("_nonempty"),
         F.sum(F.expr(f"shiftleft(1L, {maxrank} - _mr)")).alias("_isum"),

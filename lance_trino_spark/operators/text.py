@@ -592,3 +592,29 @@ def vocab_stats_by_source(
         )
         .orderBy("source")
     )
+
+
+def url_domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain link statistics over a document corpus — the URL half of
+    a crawl-curation pipeline (domain allow/block lists, per-domain dedup
+    budgets, citation graphs). Extracts every URL, parses its domain with
+    plain regexp (JVM-side, no UDF), and aggregates: url count, distinct
+    linking documents, and a deterministic sample URL (MIN) per domain.
+
+    Scale shape: regexp_extract_all + explode is a narrow per-row
+    projection; the only shuffle is the final domain aggregation, and
+    domains are a heavy-hitter-friendly key (map-side combine collapses
+    each partition to its distinct domain set first)."""
+    urls = df.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    ).withColumn(
+        "domain", F.regexp_extract(F.col("url"), r"https?://([^/\s]+)", 1)
+    )
+    return urls.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("url").alias("sample_url"),
+    )

@@ -614,3 +614,74 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     )
     return sk.join(exact, "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# e13 — HLL register MERGE: per-day register tables rolled up to the full
+# window with plain MAX, versus sketching the union directly. Merge is
+# lossless by construction (MAX is associative), so merged == direct
+# EXACTLY — asserted in-query as merge_exact and value-checked by the
+# oracle, which computes the direct estimate once and emits it for both
+# columns. This is the property that makes fixed-register sketches the
+# 100 TB answer: per-day/per-shard sketches roll up to any window without
+# touching raw data again.
+# ---------------------------------------------------------------------------
+@register(
+    "e13_hll_register_merge",
+    oracle="""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    keyed AS (
+      SELECT event_type,
+             CAST(h // 16777216 AS INT) AS bucket,
+             CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 24 - (length(printf('%b', h % 16777216)) - 1)
+             END AS rank
+      FROM hashed),
+    regs AS (
+      SELECT event_type, bucket, MAX(rank) AS mr
+      FROM keyed GROUP BY event_type, bucket),
+    agg AS (
+      SELECT event_type, COUNT(*) AS nonempty, SUM(1 << (25 - mr)) AS isum
+      FROM regs GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+             CAST(FLOOR(1579498136381.3938 /
+                  (isum + (256 - nonempty) * 33554432)) AS BIGINT) AS e
+      FROM agg)
+    SELECT event_type, e AS merged_estimate, e AS direct_estimate,
+           TRUE AS merge_exact
+    FROM est
+    ORDER BY event_type
+    """,
+    doc="HLL register merge: per-day sketches rolled up with MAX equal the "
+        "direct sketch exactly (lossless mergeability)",
+    tags=("events", "sketch", "hll", "merge"),
+)
+def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_registers(ev, ["event_type", "day"], "user_id")
+    merged = hll_merge(daily, ["event_type"]).select(
+        "event_type", F.col("hll_estimate").alias("merged_estimate")
+    )
+    direct = hll_distinct(ev, ["event_type"], "user_id").select(
+        "event_type", F.col("hll_estimate").alias("direct_estimate")
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "merged_estimate",
+            "direct_estimate",
+            (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+                "merge_exact"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -879,3 +879,70 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import vocab_stats_by_source
 
     return vocab_stats_by_source(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# t18 — per-domain URL statistics (operators/text.url_domain_stats): the
+# crawl-curation half of the URL story (t14 scores documents; this scores
+# DOMAINS for allow/block lists and per-domain dedup budgets). URLs are
+# synthesized deterministically like t14 (the synthetic corpus has none).
+# ---------------------------------------------------------------------------
+@register(
+    "t18_url_domain_stats",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN
+               text || ' https://d' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                    || ' see http://mirror.net/x' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN doc_id % 4 = 0 THEN
+               text || ' http://mirror.net/x' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
+      FROM docs2),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain
+      FROM urls)
+    SELECT domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(url) AS sample_url
+    FROM parsed
+    GROUP BY domain
+    ORDER BY domain
+    """,
+    doc="text pipeline: per-domain URL counts, linking-doc counts and a "
+        "deterministic sample URL (domain allow/block-list input)",
+    tags=("text", "url", "pipeline"),
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import url_domain_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" https://d"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+                F.lit(" see http://mirror.net/x"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" http://mirror.net/x"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return url_domain_stats(docs).orderBy("domain")

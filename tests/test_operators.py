@@ -675,3 +675,47 @@ def test_hll_distinct_estimate_and_registers(spark):
     assert whole == {r["g"]: r["rank_checksum"]
                      for r in hll_distinct(df, ["g"], "v").collect()}
     assert half1  # smoke: subset sketch computes
+
+
+def test_url_domain_stats(spark):
+    from lance_trino_spark.operators.text import url_domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://a.com/x and https://a.com/y plus http://b.io/z"),
+            (2, "only https://a.com/q here"),
+            (3, "no links at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["domain"]: r for r in url_domain_stats(docs).collect()}
+    assert out["a.com"]["n_urls"] == 3 and out["a.com"]["n_docs"] == 2
+    assert out["b.io"]["n_urls"] == 1
+    assert out["a.com"]["sample_url"] == "https://a.com/q"
+    assert "no" not in out
+
+
+def test_hll_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.operators.sketches import (
+        hll_distinct,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4, f"u{i % 700}", f"v{i}") for i in range(3000)],
+        "g int, u string, shard string",
+    ).withColumn("half", (F.col("u") < "u35").cast("int"))
+    merged = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_merge(
+            hll_registers(df, ["g", "half"], "u"), ["g"]
+        ).collect()
+    }
+    direct = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_distinct(df, ["g"], "u").collect()
+    }
+    assert merged == direct
