@@ -86,6 +86,7 @@ DEFAULT_QUERIES = [
     "e12_hll_distinct_sketch",
     "e13_hll_register_merge",
     "t18_url_domain_stats",
+    "st08_watermark_late_drop",
 ]
 
 

@@ -550,3 +550,125 @@ def run_to_memory_counted(sdf: DataFrame, output_mode: str):
         pass
     shutil.rmtree(ckpt, ignore_errors=True)
     return result, n_batches
+
+
+
+def stream_table_out_of_order(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """File-source stream staged as THREE deterministic microbatches with
+    the timeline deliberately out of order:
+
+      batch 0 — the bulk: everything from ``min(ts) + 2h`` on (drives the
+                watermark up to ``max(ts) - delay``);
+      batch 1 — the second hour of the timeline (below the event-time
+                high-water mark, but still ACCEPTED: Spark filters batch N
+                with the watermark as of the END of batch N-1, and batch 0
+                STARTED at watermark 0 — the documented one-batch lag);
+      batch 2 — the first hour (now filtered with the post-batch-0
+                watermark, far past these events' times → DROPPED).
+
+    This is the watermark-semantics harness: it makes both halves of the
+    late-data contract observable in one run — bounded acceptance of
+    slightly-late data, guaranteed drop once the (lagged) watermark passes.
+    File order is pinned with mtimes (Spark's file source orders by
+    modification time)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    stage_dir = os.path.join(
+        tempfile.gettempdir(),
+        "lts_stream_ooo",
+        sf_dir.strip("/").replace("/", "_"),
+        f"{name}_{st.st_size}_{st.st_mtime_ns}",
+    )
+    done = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(stage_dir, exist_ok=True)
+        table = pq.read_table(path)
+        ts = table.column("ts").cast(pa.int64())
+        unit = table.column("ts").type.unit  # 'us' or 'ns'
+        hour = 3600 * (1_000_000_000 if unit == "ns" else 1_000_000)
+        t0 = pc.min(ts).as_py()
+        slices = [
+            table.filter(pc.greater_equal(ts, pa.scalar(t0 + 2 * hour))),
+            table.filter(
+                pc.and_(
+                    pc.greater_equal(ts, pa.scalar(t0 + hour)),
+                    pc.less(ts, pa.scalar(t0 + 2 * hour)),
+                )
+            ),
+            table.filter(pc.less(ts, pa.scalar(t0 + hour))),
+        ]
+        if any(s.num_rows == 0 for s in slices):
+            raise AssertionError(
+                f"out-of-order split produced an empty phase "
+                f"({[s.num_rows for s in slices]}) — timeline too short "
+                "for the late-data harness"
+            )
+        paths = []
+        for i, s in enumerate(slices):
+            p = os.path.join(stage_dir, f"part-{i:04d}.parquet")
+            pq.write_table(s, p)
+            paths.append(p)
+        now = os.stat(paths[-1]).st_mtime
+        for i, p in enumerate(paths[:-1]):
+            os.utime(p, (now - 100 * (len(paths) - 1 - i),) * 2)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    if name == "events":
+        from ..tables import _normalize_events
+
+        sdf = _normalize_events(sdf)
+    return sdf
+
+
+def late_data_drop_stream(
+    spark: SparkSession, sf_dir: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermark late-data semantics over the out-of-order stream: a
+    watermarked streaming dedup (append mode) accepts batches 0 and 1 and
+    DROPS every batch-2 event (their event times sit a full timeline below
+    the lagged filtering watermark). The accepted rows are rolled up
+    batch-side to per-(event_type, hour) stats; the oracle replays the
+    contract by excluding the first timeline hour — if the watermark failed
+    to drop the late batch (or dropped the accepted mid batch), counts and
+    sums diverge and the hash compare flunks.
+
+    Scale shape: dropDuplicates state is keyed (event_id, ts) and evicted
+    by the same watermark that drops late rows — state stays bounded by the
+    delay window on a real out-of-order firehose, which is the entire point
+    of watermarks at 100 TB/day ingest rates."""
+    ev = stream_table_out_of_order(spark, sf_dir, "events")
+    deduped = ev.withWatermark("ts", delay).dropDuplicates(["event_id", "ts"])
+    out, n_batches = run_to_memory_counted(deduped, "append")
+    if n_batches < 3:
+        raise AssertionError(
+            f"out-of-order source produced {n_batches} microbatch(es); the "
+            "late batch never ran as its own trigger"
+        )
+    return (
+        out.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint")
+            .alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )

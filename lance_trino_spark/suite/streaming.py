@@ -157,3 +157,27 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import multibatch_user_stats_stream
 
     return multibatch_user_stats_stream(spark, sf_dir)
+
+
+@register(
+    "st08_watermark_late_drop",
+    oracle="""
+    WITH m AS (SELECT MIN(ts) AS t0 FROM events)
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events, m
+    WHERE ts >= t0 + INTERVAL 1 HOUR
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, hour_epoch
+    """,
+    doc="streaming watermark late-data contract: out-of-order 3-batch "
+        "replay — slightly-late batch accepted (one-batch watermark lag), "
+        "very-late batch dropped; oracle excludes exactly the dropped hour",
+    tags=("streaming", "watermark", "late-data"),
+)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import late_data_drop_stream
+
+    return late_data_drop_stream(spark, sf_dir)

@@ -88,3 +88,60 @@ def test_stream_dedup_matches_batch_distinct(spark):
     )
     assert got.columns == want.columns
     assert _rows(got) == _rows(want)
+
+
+def test_watermark_drops_late_batch_with_one_batch_lag(spark, tmp_path):
+    """Pins the Spark behavior st08 relies on: batch N is filtered with the
+    watermark as of the END of batch N-1, so a very-late THIRD batch is
+    dropped while a slightly-late SECOND batch is accepted."""
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    us = lambda s: int(datetime.fromisoformat(s).timestamp() * 1_000_000)
+
+    def mk(vals):
+        return pa.table({
+            "ts": pa.array([us(v) for v, _ in vals], pa.timestamp("us")),
+            "v": [x for _, x in vals],
+        })
+
+    d = tmp_path / "src"
+    d.mkdir()
+    pq.write_table(mk([("2024-01-10T10:05", 1), ("2024-01-10T12:05", 2)]),
+                   str(d / "part-0000.parquet"))
+    pq.write_table(mk([("2024-01-10T08:05", 3)]), str(d / "part-0001.parquet"))
+    pq.write_table(mk([("2024-01-10T07:05", 4)]), str(d / "part-0002.parquet"))
+    now = os.path.getmtime(str(d / "part-0002.parquet"))
+    for i, off in ((0, -200), (1, -100)):
+        os.utime(str(d / f"part-000{i}.parquet"), (now + off, now + off))
+    sdf = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    dd = sdf.withWatermark("ts", "10 minutes").dropDuplicates(["v", "ts"])
+    ckpt = tmp_path / "ckpt"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("wm_lag_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = [
+        op.get("numRowsDroppedByWatermark")
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    got = sorted(r["v"] for r in spark.table("wm_lag_test").collect())
+    spark.catalog.dropTempView("wm_lag_test")
+    # slightly-late v=3 accepted (lagged watermark was still 0), very-late
+    # v=4 dropped (filtered with the post-bulk watermark)
+    assert got == [1, 2, 3]
+    assert dropped[-1] == 1
