@@ -87,6 +87,7 @@ DEFAULT_QUERIES = [
     "e13_hll_register_merge",
     "t18_url_domain_stats",
     "st08_watermark_late_drop",
+    "cat12_sql_vector_search",
 ]
 
 

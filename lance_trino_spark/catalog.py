@@ -30,6 +30,12 @@ DDL surface, docs/src/operations/ddl/*):
       WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e[, ...] | DELETE
       [WHEN NOT MATCHED THEN INSERT]        -- source columns as src.<name>
     CREATE INDEX ON <schema>.<table> (<col>)
+    CREATE VECTOR INDEX ON <schema>.<table> (<col>)
+      [USING IVF_FLAT|IVF_PQ] [WITH (n_cells = N)]
+    VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
+      [TOP <k>] [NPROBE <n>]                -- queries: (query_id, <col>)
+    ALTER TABLE <schema>.<table> ADD COLUMN <name> <type>
+    ALTER TABLE <schema>.<table> DROP COLUMN <name>
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
 
@@ -428,6 +434,28 @@ class LanceCatalog:
             f"v{ds.version}"
         )
 
+    def _h_vector_search(self, m) -> DataFrame:
+        """`VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
+        [TOP <k>] [NPROBE <n>]` — index-backed ANN through the SQL surface:
+        the queries table supplies (query_id, <col>) rows; the result is
+        (query_id, <col's id columns...>, cosine) from the persisted IVF
+        index (format/vector_index.py). The id columns are every non-vector
+        column of the indexed table."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        qns, qtbl = m.group("qns"), m.group("qtbl")
+        k = int(m.group("k") or 5)
+        nprobe = int(m.group("nprobe") or 2)
+        ds = self.load(ns, tbl)
+        queries = self.load(qns, qtbl).to_df(self.spark).select(
+            "query_id", col
+        )
+        id_cols = [
+            f.name for f in ds.schema.fields if f.name != col
+        ]
+        return ds.vector_search(
+            self.spark, col, queries, k=k, nprobe=nprobe, id_columns=id_cols
+        )
+
     def _h_history(self, m) -> DataFrame:
         """`DESCRIBE HISTORY <schema>.<table>` — the version log (Delta-style
         history): one row per retained version with commit time + operation."""
@@ -561,6 +589,14 @@ class LanceCatalog:
             rf"(?:\s+USING\s+(?P<kind>IVF_FLAT|IVF_PQ))?"
             rf"(?:\s+WITH\s*\(\s*n_cells\s*=\s*(?P<ncells>\d+)\s*\))?$",
             _h_create_vector_index,
+        ),
+        (
+            rf"VECTOR\s+SEARCH\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
+            rf"\s+USING\s+(?P<qns>{_NSID})\.(?P<qtbl>{_IDENT})"
+            rf"(?:\s+TOP\s+(?P<k>\d+))?"
+            rf"(?:\s+NPROBE\s+(?P<nprobe>\d+))?$",
+            _h_vector_search,
         ),
         (
             rf"VACUUM\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

@@ -9,6 +9,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import LanceCatalog
 from ..tables import load_table
@@ -568,3 +569,45 @@ def cat11(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize before the server shuts down — the plan itself reads
         # only local parquet, but keep the contract airtight.
         return out.localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# cat12 — SQL-only vector search: CREATE VECTOR INDEX + the VECTOR SEARCH
+# route, end-to-end through the catalog with no Python API calls. TOP 1
+# over a query set drawn from the corpus itself makes the oracle exact:
+# every vector's nearest neighbor (nprobe includes its own cell; cosine
+# with itself is the maximum 1.0) is itself.
+# ---------------------------------------------------------------------------
+@register(
+    "cat12_sql_vector_search",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id AS neighbor_id
+    FROM embeddings WHERE vec_id < 25
+    ORDER BY query_id
+    """,
+    doc="catalog: CREATE VECTOR INDEX + VECTOR SEARCH SQL routes, "
+        "TOP-1 self-match identity oracle",
+    tags=("catalog", "ann", "index", "sql"),
+)
+def cat12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat12")
+    load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).createOrReplaceTempView("_cat12_emb")
+    cat.sql("CREATE SCHEMA vs")
+    cat.sql("CREATE TABLE vs.corpus AS SELECT * FROM _cat12_emb")
+    cat.sql(
+        "CREATE TABLE vs.queries AS "
+        "SELECT vec_id AS query_id, embedding FROM _cat12_emb "
+        "WHERE vec_id < 25"
+    )
+    cat.sql(
+        "CREATE VECTOR INDEX ON vs.corpus (embedding) USING IVF_FLAT "
+        "WITH (n_cells = 16)"
+    )
+    hits = cat.sql(
+        "VECTOR SEARCH vs.corpus (embedding) USING vs.queries TOP 1 NPROBE 2"
+    )
+    return hits.select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).orderBy("query_id")

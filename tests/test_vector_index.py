@@ -184,3 +184,35 @@ def test_sql_create_vector_index_route(spark, emb):
     assert "vector-indexed" in status[0][0]
     ds = cat.load("vx", "e")
     assert ds.manifest.properties["vector_indexes"]["embedding"]["n_cells"] == 8
+
+
+def test_sql_vector_search_route(spark, emb):
+    from lance_trino_spark.catalog import LanceCatalog
+
+    root = os.path.abspath(os.path.join(SCRATCH, "test-vsearch-cat"))
+    shutil.rmtree(root, ignore_errors=True)
+    cat = LanceCatalog(spark, root)
+    cat.sql("CREATE SCHEMA vq")
+    emb.select("vec_id", "embedding").limit(300).createOrReplaceTempView(
+        "_vsearch_src"
+    )
+    cat.sql("CREATE TABLE vq.c AS SELECT * FROM _vsearch_src")
+    cat.sql(
+        "CREATE TABLE vq.q AS SELECT vec_id AS query_id, embedding "
+        "FROM _vsearch_src WHERE vec_id < 5"
+    )
+    # searching before the index exists fails loudly
+    with pytest.raises(ValueError, match="no vector index"):
+        cat.sql("VECTOR SEARCH vq.c (embedding) USING vq.q TOP 3")
+    cat.sql("CREATE VECTOR INDEX ON vq.c (embedding) WITH (n_cells = 8)")
+    hits = cat.sql(
+        "VECTOR SEARCH vq.c (embedding) USING vq.q TOP 3 NPROBE 2"
+    ).collect()
+    assert len(hits) == 15
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # top-1 is always the query vector itself
+    for qid, rows in by_q.items():
+        best = max(rows, key=lambda r: r["cosine"])
+        assert best["vec_id"] == qid
