@@ -88,6 +88,7 @@ DEFAULT_QUERIES = [
     "t18_url_domain_stats",
     "st08_watermark_late_drop",
     "cat12_sql_vector_search",
+    "d08_semantic_dedup",
 ]
 
 

@@ -462,3 +462,40 @@ def cross_source_duplicate_groups(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-space (semantic) deduplication — the composition the other
+    operators exist for: cell-blocked cosine near-dup pairs
+    (`similarity.embedding_neardup_pairs`) → transitive clusters
+    (`connected_components`) → keeper = the cluster's minimum id. Returns
+    every input row as (id_col, cluster, is_keeper); singletons are their
+    own cluster and keeper.
+
+    Scale shape inherits from the parts: pair generation never leaves its
+    coarse cell (no all-pairs), the component graph holds only near-dup
+    members (orders of magnitude smaller than the corpus), and the final
+    assignment is one broadcast-sized left join back onto the corpus scan.
+    """
+    from .similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        cell_col=cell_col,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs).withColumnRenamed("doc_id", "_cc_id")
+    out = (
+        df.select(id_col)
+        .join(cc, F.col(id_col) == F.col("_cc_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
+    return out.withColumn("is_keeper", F.col(id_col) == F.col("cluster"))

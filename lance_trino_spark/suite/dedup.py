@@ -401,3 +401,75 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(mirrored)
     return cross_source_duplicate_groups(corpus).orderBy("min_doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d08 — semantic (embedding-space) dedup: the full composition — cell-
+# blocked cosine near-dup pairs → connected components → keeper = cluster
+# minimum — over the exact-copy-augmented corpus s03 uses, then rolled up
+# per cluster. Singletons stay their own keeper, so the oracle's recursive
+# reach CTE is joined back onto the whole corpus with COALESCE.
+# ---------------------------------------------------------------------------
+def _semantic_dedup_oracle() -> str:
+    from .similarity import _cos_sql
+
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding, label FROM embeddings
+      WHERE vec_id % 20 = 0),
+    a AS (SELECT vec_id AS id_a, embedding AS va, label AS cell_a FROM corpus),
+    b AS (SELECT vec_id AS id_b, embedding AS vb, label AS cell_b FROM corpus),
+    verified AS (
+      SELECT id_a, id_b FROM a JOIN b ON cell_a = cell_b AND id_a < id_b
+      WHERE {_cos_sql('va', 'vb')} >= 0.999),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION ALL SELECT id_b, id_a FROM verified),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(x, y) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.x, e.dst FROM reach r JOIN edges e ON r.y = e.src),
+    cc AS (SELECT x AS doc_id, MIN(y) AS cluster FROM reach GROUP BY x),
+    assigned AS (
+      SELECT corpus.vec_id,
+             COALESCE(cc.cluster, corpus.vec_id) AS cluster
+      FROM corpus LEFT JOIN cc ON cc.doc_id = corpus.vec_id)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN vec_id = cluster THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keepers,
+           MAX(vec_id) AS max_member
+    FROM assigned
+    GROUP BY cluster
+    ORDER BY cluster
+    """
+
+
+@register(
+    "d08_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="semantic dedup composition: embedding near-dup pairs -> connected "
+        "components -> keeper per cluster, singletons self-kept",
+    tags=("dedup", "similarity", "graph", "pipeline"),
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_dedup
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionAll(dup)
+    assigned = semantic_dedup(corpus, threshold=0.999)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+            F.max("vec_id").alias("max_member"),
+        )
+        .orderBy("cluster")
+    )
