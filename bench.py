@@ -89,6 +89,8 @@ DEFAULT_QUERIES = [
     "st08_watermark_late_drop",
     "cat12_sql_vector_search",
     "d08_semantic_dedup",
+    "lf13_table_changes",
+    "cat13_sql_restore",
 ]
 
 

@@ -36,6 +36,8 @@ DDL surface, docs/src/operations/ddl/*):
       [TOP <k>] [NPROBE <n>]                -- queries: (query_id, <col>)
     ALTER TABLE <schema>.<table> ADD COLUMN <name> <type>
     ALTER TABLE <schema>.<table> DROP COLUMN <name>
+    RESTORE TABLE <schema>.<table> TO VERSION <n>
+    TABLE CHANGES <schema>.<table> FROM <v1> TO <v2>   -- CDC read
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
 
@@ -434,6 +436,27 @@ class LanceCatalog:
             f"v{ds.version}"
         )
 
+    def _h_restore(self, m) -> DataFrame:
+        """`RESTORE TABLE <schema>.<table> TO VERSION <n>` — republishes the
+        old snapshot as a new commit (history preserved; one manifest
+        write, no data movement)."""
+        ns, tbl = m.group("ns"), m.group("tbl")
+        ds = self.load(ns, tbl).restore(int(m.group("v")))
+        return self._status(
+            f"restored {ns}.{tbl} to v{m.group('v')} as v{ds.version}"
+        )
+
+    def _h_table_changes(self, m) -> DataFrame:
+        """`TABLE CHANGES <schema>.<table> FROM <v1> TO <v2>` — the CDC read
+        (format/dataset.py table_changes): rows inserted/deleted in the
+        version range, tagged _change_type."""
+        from .format.dataset import table_changes
+
+        path = self.table_path(m.group("ns"), m.group("tbl"))
+        return table_changes(
+            self.spark, path, int(m.group("v1")), int(m.group("v2"))
+        )
+
     def _h_vector_search(self, m) -> DataFrame:
         """`VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
         [TOP <k>] [NPROBE <n>]` — index-backed ANN through the SQL surface:
@@ -589,6 +612,16 @@ class LanceCatalog:
             rf"(?:\s+USING\s+(?P<kind>IVF_FLAT|IVF_PQ))?"
             rf"(?:\s+WITH\s*\(\s*n_cells\s*=\s*(?P<ncells>\d+)\s*\))?$",
             _h_create_vector_index,
+        ),
+        (
+            rf"RESTORE\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s+TO\s+VERSION\s+(?P<v>\d+)$",
+            _h_restore,
+        ),
+        (
+            rf"TABLE\s+CHANGES\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s+FROM\s+(?P<v1>\d+)\s+TO\s+(?P<v2>\d+)$",
+            _h_table_changes,
         ),
         (
             rf"VECTOR\s+SEARCH\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

@@ -722,6 +722,31 @@ class LanceDataset:
         commit_manifest(self.path, m)
         return LanceDataset(self.path, m)
 
+    def restore(self, version: int) -> "LanceDataset":
+        """RESTORE to an earlier version as a NEW commit (Lance
+        `dataset.restore` / Delta RESTORE semantics): the restored
+        snapshot's schema, fragments, and properties are republished at
+        version latest+1, so history is preserved (time travel still sees
+        everything) and the restore itself is just one manifest write —
+        no data movement at any scale. Conflict-checked like every commit."""
+        target = read_manifest(self.path, version)  # raises if unknown
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=target.schema_json,
+            fragments=target.fragments,
+            operation="restore",
+            read_version=version,
+            max_fragment_id=base.max_fragment_id,
+            properties=target.properties,
+        )
+        commit_manifest(self.path, m)
+        return LanceDataset(self.path, m)
+
     # ----------------------------------------------------- schema evolution
     def add_column(self, name: str, dtype) -> "LanceDataset":
         """ALTER TABLE ADD COLUMN — metadata-only commit: the new (nullable)
@@ -1189,3 +1214,143 @@ class LanceDataset:
         )
         commit_manifest(self.path, m)
         return LanceDataset(self.path, m)
+
+
+def table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change-data-feed read between two versions (Delta CDF / Lance diff
+    analogue): every row inserted or deleted in (from_version, to_version],
+    tagged `_change_type` ('insert' | 'delete'). A MoR UPDATE surfaces as
+    its delete + insert pair, the standard CDF rendering without pre/post
+    image pairing.
+
+    Physical diff over manifests — no log replay:
+      * inserts  = fragments present in `to` but not `from`, scanned with
+        `to`'s deletion vectors applied (a row both appended and deleted
+        inside the range never existed to a reader and is not emitted);
+      * deletes  = per-fragment deletion-vector DELTA on fragments common
+        to both versions, joined back onto an undeleted scan of ONLY the
+        affected fragments to recover the deleted rows' values.
+
+    Rewrites (compaction / overwrite / CoW) inside the range are refused
+    loudly: a physical diff cannot distinguish a rewrite from delete+insert
+    churn, and emitting 100 TB of phantom changes is worse than an error —
+    re-window the CDC read to start past the rewrite (same contract as the
+    append-only streaming source).
+
+    Scale shape: manifest-only planning; inserts scan only new fragments;
+    deletes scan only fragments whose deletion file changed, with the
+    (small) deletion delta broadcast onto the row-address join."""
+    if from_version >= to_version:
+        raise ValueError("from_version must be < to_version")
+    mf_from = read_manifest(path, from_version)
+    mf_to = read_manifest(path, to_version)
+    # rewrites are detected from the operation log, not fragment diffing:
+    # a fragment can legitimately DISAPPEAR from the manifest when every
+    # one of its rows is deleted (full-fragment MoR delete drops the entry)
+    for v in range(from_version + 1, to_version + 1):
+        op = read_manifest(path, v).operation
+        if op in ("overwrite", "restore"):
+            raise ValueError(
+                f"version {v} is a {op} (compaction/overwrite/restore) — a "
+                "physical diff cannot represent a rewrite; start the CDC "
+                "window after it"
+            )
+    from_ids = {f.id: f for f in mf_from.fragments}
+    to_ids = {f.id: f for f in mf_to.fragments}
+    moved = [
+        fid for fid, f in from_ids.items()
+        if fid in to_ids and to_ids[fid].path != f.path
+    ]
+    if moved:  # unreachable given the op guard; defense in depth
+        raise ValueError(f"fragments {sorted(moved)} changed data files")
+    schema = StructType.fromJson(mf_to.schema_json)
+    empty = spark.createDataFrame([], schema).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    out = empty.limit(0)
+
+    new_frags = [f for fid, f in to_ids.items() if fid not in from_ids]
+    if new_frags:
+        inserted = LanceDataset(
+            path,
+            Manifest(
+                version=to_version,
+                schema_json=mf_to.schema_json,
+                fragments=new_frags,
+                properties=mf_to.properties,
+            ),
+        ).to_df(spark)
+        out = out.unionByName(
+            inserted.withColumn("_change_type", F.lit("insert"))
+        )
+
+    # fragments fully deleted in the range: every row still live at
+    # from_version is a delete (the manifest entry itself is gone)
+    removed = [f for fid, f in from_ids.items() if fid not in to_ids]
+    if removed:
+        gone = LanceDataset(
+            path,
+            Manifest(
+                version=from_version,
+                schema_json=mf_to.schema_json,
+                fragments=removed,  # keep from-version DVs applied
+                properties=mf_to.properties,
+            ),
+        ).to_df(spark)
+        out = out.unionByName(
+            gone.withColumn("_change_type", F.lit("delete"))
+        )
+
+    affected = [
+        (from_ids[fid], f)
+        for fid, f in to_ids.items()
+        if fid in from_ids
+        and (f.deletion.path if f.deletion else None)
+        != (from_ids[fid].deletion.path if from_ids[fid].deletion else None)
+    ]
+    if affected:
+        def _del_df(frags):
+            paths = [
+                os.path.join(path, f.deletion.path) for f in frags if f.deletion
+            ]
+            if not paths:
+                return None
+            return spark.read.schema(
+                "fragment_id long, row_index long"
+            ).parquet(*paths)
+
+        d_to = _del_df([f for _, f in affected])
+        d_from = _del_df([f for f, _ in affected])
+        delta = d_to if d_from is None else d_to.exceptAll(d_from)
+        addr = delta.select(
+            (
+                F.col("fragment_id") * F.lit(1 << FRAGMENT_SHIFT)
+                + F.col("row_index")
+            ).alias("_del_addr")
+        )
+        # undeleted scan of ONLY the affected fragments (deletion stripped so
+        # the deleted rows are still readable), then pick the delta addresses
+        base_rows = LanceDataset(
+            path,
+            Manifest(
+                version=to_version,
+                schema_json=mf_to.schema_json,
+                fragments=[
+                    Fragment(f.id, f.path, f.physical_rows, None, f.stats)
+                    for _, f in affected
+                ],
+                properties=mf_to.properties,
+            ),
+        ).to_df(spark, with_row_address=True)
+        deleted = (
+            base_rows.join(
+                F.broadcast(addr),
+                base_rows[ROW_ADDR_COL] == F.col("_del_addr"),
+            )
+            .drop("_del_addr", ROW_ADDR_COL)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        out = out.unionByName(deleted)
+    return out

@@ -611,3 +611,38 @@ def cat12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id", F.col("vec_id").alias("neighbor_id")
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# cat13 — RESTORE: delete a slice, restore the pre-delete version as a new
+# commit, and read the table back whole. History is preserved (the restore
+# is version 4; time travel to the deleted state still works — asserted
+# in-query by comparing the v3 count).
+# ---------------------------------------------------------------------------
+@register(
+    "cat13_sql_restore",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 <> 0)
+             AS n_after_delete
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="catalog: RESTORE TABLE TO VERSION republishes the old snapshot as "
+        "a new commit; deleted state stays time-travelable",
+    tags=("catalog", "restore", "time-travel"),
+)
+def cat13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat13")
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).createOrReplaceTempView("_cat13_cust")
+    cat.sql("CREATE SCHEMA r")
+    cat.sql("CREATE TABLE r.c AS SELECT * FROM _cat13_cust")        # v1
+    cat.sql("DELETE FROM r.c WHERE c_custkey % 3 = 0")              # v2
+    cat.sql("RESTORE TABLE r.c TO VERSION 1")                       # v3
+    restored = cat.sql("SELECT * FROM r.c")
+    deleted_state = cat.sql("SELECT COUNT(*) AS n FROM r.c VERSION AS OF 2")
+    return restored.crossJoin(
+        deleted_state.select(F.col("n").alias("n_after_delete"))
+    ).orderBy("c_custkey")

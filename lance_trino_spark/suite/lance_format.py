@@ -534,3 +534,52 @@ def lf12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ds = ds.drop_column("n_regionkey")
     return ds.to_df(spark).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# lf13 — change-data-feed read (format/dataset.py table_changes): the net
+# row-level diff between two versions. Appends surface as inserts (with the
+# target version's deletion vectors applied — a row appended AND deleted
+# inside the range never existed to a reader and is absent), MoR deletes
+# surface as deletes carrying the deleted rows' values. The appended batch
+# deliberately includes one row the later DELETE also hits, pinning the
+# net-semantics corner.
+# ---------------------------------------------------------------------------
+@register(
+    "lf13_table_changes",
+    oracle="""
+    WITH added AS (
+      SELECT k AS n_nationkey, 'NATION_' || CAST(k AS VARCHAR) AS n_name,
+             k % 5 AS n_regionkey
+      FROM (SELECT unnest(generate_series(100, 104)) AS k))
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey,
+           'insert' AS _change_type
+    FROM added WHERE n_regionkey <> 3
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change_type
+    FROM nation WHERE n_regionkey = 3
+    ORDER BY _change_type, n_nationkey
+    """,
+    doc="format: CDC table_changes — appends as inserts (net of in-range "
+        "deletes), MoR deletes with recovered row values",
+    tags=("format", "cdc", "diff"),
+)
+def lf13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import table_changes
+
+    path = _fresh_path(sf_dir, "lf13")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ds = LanceDataset.create(path, nation, max_rows_per_file=8)  # v1
+    extra = spark.range(100, 105).selectExpr(
+        "CAST(id AS INT) AS n_nationkey",
+        "CONCAT('NATION_', CAST(id AS STRING)) AS n_name",
+        "CAST(id % 5 AS INT) AS n_regionkey",
+    )
+    ds = ds.append(extra)  # v2
+    ds = dml.delete(ds, spark, "n_regionkey = 3")  # v3 (hits 103 too)
+    return table_changes(spark, path, 1, ds.version).orderBy(
+        "_change_type", "n_nationkey"
+    )

@@ -291,3 +291,49 @@ def test_compact_zorder_clusters_both_columns(spark, tmp_path):
     # values survive the rewrite
     assert out.to_df(spark).count() == 4096
     assert out.to_df(spark).agg({"x": "sum"}).collect()[0][0] == 4096 * 63 // 2
+
+
+def test_restore_preserves_history_and_guards(spark, tmp_path):
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.operators import dml
+
+    path = str(tmp_path / "restore.lance")
+    ds = LanceDataset.create(path, spark.range(20).selectExpr("id AS k"))
+    ds = dml.delete(ds, spark, "k >= 10")          # v2
+    assert ds.to_df(spark).count() == 10
+    ds = ds.restore(1)                              # v3
+    assert ds.version == 3
+    assert ds.to_df(spark).count() == 20
+    # deleted state remains time-travelable
+    assert LanceDataset.open(path, version=2).to_df(spark).count() == 10
+    # fragment-id counter survives the restore: appends never reuse ids
+    ds2 = ds.append(spark.range(20, 25).selectExpr("id AS k"))
+    ids = [f.id for f in ds2.manifest.fragments]
+    assert len(ids) == len(set(ids))
+
+
+def test_table_changes_insert_delete_and_rewrite_guard(spark, tmp_path):
+    import pytest
+
+    from lance_trino_spark.format.dataset import LanceDataset, table_changes
+    from lance_trino_spark.operators import dml
+
+    path = str(tmp_path / "cdc.lance")
+    ds = LanceDataset.create(
+        path, spark.range(10).selectExpr("id AS k"), max_rows_per_file=4
+    )                                               # v1
+    ds = ds.append(spark.range(10, 14).selectExpr("id AS k"))   # v2
+    ds = dml.delete(ds, spark, "k = 3 OR k = 12")   # v3 (one old, one new)
+    ch = table_changes(spark, path, 1, 3).collect()
+    ins = sorted(r["k"] for r in ch if r["_change_type"] == "insert")
+    dels = sorted(r["k"] for r in ch if r["_change_type"] == "delete")
+    # k=12 was appended AND deleted inside the range -> net absent
+    assert ins == [10, 11, 13]
+    assert dels == [3]
+    # a narrower window sees only its own slice
+    ch23 = table_changes(spark, path, 2, 3).collect()
+    assert sorted(r["k"] for r in ch23 if r["_change_type"] == "delete") == [3, 12]
+    # compaction inside the range is refused
+    ds = ds.compact(spark, target_rows_per_file=100)
+    with pytest.raises(ValueError, match="rewrite"):
+        table_changes(spark, path, 1, ds.version)
