@@ -91,6 +91,7 @@ DEFAULT_QUERIES = [
     "d08_semantic_dedup",
     "lf13_table_changes",
     "cat13_sql_restore",
+    "cat14_version_tags",
 ]
 
 

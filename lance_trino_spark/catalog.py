@@ -38,6 +38,10 @@ DDL surface, docs/src/operations/ddl/*):
     ALTER TABLE <schema>.<table> DROP COLUMN <name>
     RESTORE TABLE <schema>.<table> TO VERSION <n>
     TABLE CHANGES <schema>.<table> FROM <v1> TO <v2>   -- CDC read
+    CREATE TAG <name> ON <schema>.<table> [AS OF VERSION <n>]
+    DROP TAG <name> ON <schema>.<table>
+    SHOW TAGS <schema>.<table>
+    SELECT ... FROM <schema>.<table> VERSION AS OF '<tag>'
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
 
@@ -173,12 +177,13 @@ class LanceCatalog:
         table: str,
         version: int | None = None,
         asof_timestamp_ms: int | None = None,
+        tag: str | None = None,
     ) -> LanceDataset:
         path = self.table_path(ns, table)
         if not LanceDataset.exists(path):
             raise CatalogError(f"table {ns}.{table} does not exist")
         return LanceDataset.open(
-            path, version=version, asof_timestamp_ms=asof_timestamp_ms
+            path, version=version, asof_timestamp_ms=asof_timestamp_ms, tag=tag
         )
 
     def create_table(
@@ -436,6 +441,30 @@ class LanceCatalog:
             f"v{ds.version}"
         )
 
+    def _h_create_tag(self, m) -> DataFrame:
+        """`CREATE TAG <name> ON <schema>.<table> [AS OF VERSION <n>]` —
+        an immutable named version alias (Lance tags); readable via
+        `VERSION AS OF '<name>'`, pinned against VACUUM."""
+        ns, tbl = m.group("ns"), m.group("tbl")
+        ds = self.load(ns, tbl)
+        v = int(m.group("v")) if m.group("v") else None
+        ds.create_tag(m.group("tag"), v)
+        return self._status(
+            f"tagged {ns}.{tbl} v{v if v is not None else ds.version} "
+            f"as {m.group('tag')!r}"
+        )
+
+    def _h_drop_tag(self, m) -> DataFrame:
+        ns, tbl = m.group("ns"), m.group("tbl")
+        self.load(ns, tbl).delete_tag(m.group("tag"))
+        return self._status(f"dropped tag {m.group('tag')!r} on {ns}.{tbl}")
+
+    def _h_show_tags(self, m) -> DataFrame:
+        tags = self.load(m.group("ns"), m.group("tbl")).tags()
+        return self.spark.createDataFrame(
+            sorted(tags.items()), "tag string, version long"
+        )
+
     def _h_restore(self, m) -> DataFrame:
         """`RESTORE TABLE <schema>.<table> TO VERSION <n>` — republishes the
         old snapshot as a new commit (history preserved; one manifest
@@ -619,6 +648,21 @@ class LanceCatalog:
             _h_restore,
         ),
         (
+            rf"CREATE\s+TAG\s+(?P<tag>[A-Za-z0-9][A-Za-z0-9._-]*)\s+ON\s+"
+            rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?$",
+            _h_create_tag,
+        ),
+        (
+            rf"DROP\s+TAG\s+(?P<tag>[A-Za-z0-9][A-Za-z0-9._-]*)\s+ON\s+"
+            rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
+            _h_drop_tag,
+        ),
+        (
+            rf"SHOW\s+TAGS\s+(?:ON\s+|IN\s+)?(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
+            _h_show_tags,
+        ),
+        (
             rf"TABLE\s+CHANGES\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s+FROM\s+(?P<v1>\d+)\s+TO\s+(?P<v2>\d+)$",
             _h_table_changes,
@@ -695,7 +739,14 @@ class LanceCatalog:
                 if kind is None:
                     ds = self.load(ns, tbl)
                 elif kind.upper() == "VERSION":
-                    ds = self.load(ns, tbl, version=int(val))
+                    # a quoted, non-numeric value is a TAG name (Lance tags:
+                    # immutable version aliases)
+                    bare = val.strip("'")
+                    ds = (
+                        self.load(ns, tbl, version=int(bare))
+                        if bare.lstrip("-").isdigit()
+                        else self.load(ns, tbl, tag=bare)
+                    )
                 else:
                     ds = self.load(ns, tbl, asof_timestamp_ms=_parse_ts_ms(val))
             except CatalogError:

@@ -87,9 +87,16 @@ class LanceDataset:
         path: str,
         version: int | None = None,
         asof_timestamp_ms: int | None = None,
+        tag: str | None = None,
     ) -> "LanceDataset":
-        if version is not None and asof_timestamp_ms is not None:
-            raise ValueError("specify at most one of version / asof_timestamp_ms")
+        if sum(x is not None for x in (version, asof_timestamp_ms, tag)) > 1:
+            raise ValueError(
+                "specify at most one of version / asof_timestamp_ms / tag"
+            )
+        if tag is not None:
+            from .refs import resolve_tag
+
+            version = resolve_tag(path, tag)
         if version is None:
             version = (
                 version_at_timestamp(path, asof_timestamp_ms)
@@ -469,8 +476,17 @@ class LanceDataset:
 
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
+        from .refs import tagged_versions
+
         versions = list_versions(path)
         retained, dropped = versions[-keep_versions:], versions[:-keep_versions]
+        # tagged versions are pinned: a tag is a promise that the snapshot
+        # stays readable, so vacuum keeps its manifest AND files
+        pinned = tagged_versions(path)
+        if pinned:
+            keep_extra = [v for v in dropped if v in pinned]
+            dropped = [v for v in dropped if v not in pinned]
+            retained = sorted(set(retained) | set(keep_extra))
         referenced: set[str] = set()
         for v in retained:
             m = read_manifest(path, v)
@@ -721,6 +737,25 @@ class LanceDataset:
         )
         commit_manifest(self.path, m)
         return LanceDataset(self.path, m)
+
+    # -------------------------------------------------------------- tags
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        """Tag a version with an immutable name (Lance tags): `VERSION AS
+        OF '<name>'` then resolves to that snapshot forever, and VACUUM
+        keeps tagged versions readable."""
+        from .refs import create_tag
+
+        create_tag(self.path, name, self.version if version is None else version)
+
+    def delete_tag(self, name: str) -> None:
+        from .refs import delete_tag
+
+        delete_tag(self.path, name)
+
+    def tags(self) -> dict[str, int]:
+        from .refs import list_tags
+
+        return list_tags(self.path)
 
     def restore(self, version: int) -> "LanceDataset":
         """RESTORE to an earlier version as a NEW commit (Lance

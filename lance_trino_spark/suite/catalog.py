@@ -646,3 +646,45 @@ def cat13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return restored.crossJoin(
         deleted_state.select(F.col("n").alias("n_after_delete"))
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# cat14 — version tags: CREATE TAG pins a snapshot under a name; reads via
+# VERSION AS OF '<tag>' see the tagged state after later DML, and VACUUM
+# keeps the tagged version readable (the tag is the retention contract).
+# ---------------------------------------------------------------------------
+@register(
+    "cat14_version_tags",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_tagged,
+           CAST((SELECT COUNT(*) FROM supplier WHERE NOT (s_acctbal < 500))
+                AS BIGINT) AS n_now
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    doc="catalog: CREATE TAG + VERSION AS OF '<tag>' reads the pinned "
+        "snapshot through later DML and VACUUM",
+    tags=("catalog", "tags", "time-travel"),
+)
+def cat14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat14")
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    ).createOrReplaceTempView("_cat14_supp")
+    cat.sql("CREATE SCHEMA tg")
+    cat.sql("CREATE TABLE tg.s AS SELECT * FROM _cat14_supp")     # v1
+    cat.sql("CREATE TAG baseline ON tg.s AS OF VERSION 1")
+    cat.sql("DELETE FROM tg.s WHERE s_acctbal < 500")             # v2
+    cat.sql("VACUUM tg.s RETAIN 1 VERSIONS")  # must keep the tagged v1
+    tagged = cat.sql(
+        "SELECT s_nationkey, COUNT(*) AS n_tagged "
+        "FROM tg.s VERSION AS OF 'baseline' GROUP BY s_nationkey"
+    )
+    now = cat.sql("SELECT COUNT(*) AS n_now FROM tg.s")
+    return (
+        tagged.crossJoin(now)
+        .select("s_nationkey", "n_tagged", "n_now")
+        .orderBy("s_nationkey")
+    )

@@ -337,3 +337,34 @@ def test_table_changes_insert_delete_and_rewrite_guard(spark, tmp_path):
     ds = ds.compact(spark, target_rows_per_file=100)
     with pytest.raises(ValueError, match="rewrite"):
         table_changes(spark, path, 1, ds.version)
+
+
+def test_tags_lifecycle_and_vacuum_pinning(spark, tmp_path):
+    import pytest
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.format.refs import TagError
+
+    path = str(tmp_path / "tags.lance")
+    ds = LanceDataset.create(path, spark.range(10).selectExpr("id AS k"))
+    ds.create_tag("v1-release")
+    ds = ds.append(spark.range(10, 20).selectExpr("id AS k"))      # v2
+    ds = ds.append(spark.range(20, 30).selectExpr("id AS k"))      # v3
+    assert LanceDataset.open(path, tag="v1-release").to_df(spark).count() == 10
+    assert ds.tags() == {"v1-release": 1}
+    with pytest.raises(TagError, match="already exists"):
+        ds.create_tag("v1-release")
+    with pytest.raises(TagError, match="no such tag"):
+        LanceDataset.open(path, tag="nope")
+    # vacuum keeps the tagged version AND its files readable
+    LanceDataset.vacuum(path, keep_versions=1)
+    assert LanceDataset.open(path, tag="v1-release").to_df(spark).count() == 10
+    assert LanceDataset.open(path).to_df(spark).count() == 30
+    with pytest.raises(Exception):
+        LanceDataset.open(path, version=2)  # untagged middle version GC'd
+    # after dropping the tag, a second vacuum may reclaim it
+    ds = LanceDataset.open(path)
+    ds.delete_tag("v1-release")
+    LanceDataset.vacuum(path, keep_versions=1)
+    with pytest.raises(Exception):
+        LanceDataset.open(path, version=1)
