@@ -92,6 +92,7 @@ DEFAULT_QUERIES = [
     "lf13_table_changes",
     "cat13_sql_restore",
     "cat14_version_tags",
+    "ds09_stream_cdc_source",
 ]
 
 

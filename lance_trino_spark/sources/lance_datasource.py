@@ -136,6 +136,22 @@ class LanceFragmentPartition(InputPartition):
     physical_rows: int
 
 
+@dataclass
+class LanceCdcPartition(InputPartition):
+    """One CDC event batch = one task (streaming mode=cdc): either the
+    INSERTed rows of a fragment's first appearance (its own deletion file,
+    if any, applied) or the DELETEd rows of one version step (the delta
+    between two deletion files, or a whole fragment removed by a
+    full-fragment delete, minus its prior deletion state)."""
+
+    kind: str  # 'insert' | 'delete'
+    data_path: str
+    old_deletion_path: str | None  # deletes: DV before the step
+    new_deletion_path: str | None  # inserts: DV at first appearance;
+    #                                 deletes: DV after the step
+    whole_fragment: bool  # delete of a removed fragment
+
+
 # Literal types we trust to round-trip exactly between Spark's filter API and
 # pyarrow compute. Floats are allowed except NaN (NaN comparison semantics
 # differ between engines — the reference leaves unsupported types as residual,
@@ -823,6 +839,14 @@ class LanceSparkDataSource(DataSource):
         else:
             v = latest_version(path)
         full = StructType.fromJson(read_manifest(path, v).schema_json)
+        if (self.options.get("mode") or "").lower() == "cdc":
+            # streaming CDC: rows are tagged insert/delete (table_changes'
+            # streaming form — per-version events, not a net diff)
+            from pyspark.sql.types import StringType, StructField
+
+            return StructType(
+                full.fields + [StructField("_change_type", StringType())]
+            )
         cols = self.options.get("columns")
         if cols is None:
             return full
@@ -889,6 +913,7 @@ class LanceStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
         self._start = int(options.get("startingversion", 1))
+        self._cdc = (options.get("mode") or "").lower() == "cdc"
 
     def initialOffset(self) -> dict:
         # "everything strictly after version start-1 is unconsumed"
@@ -907,6 +932,10 @@ class LanceStreamReader(DataSourceStreamReader):
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence["LanceFragmentPartition"]:
+        if self._cdc:
+            return self._cdc_partitions(
+                int(start["version"]), int(end["version"])
+            )
         out: list[LanceFragmentPartition] = []
         sv, ev = int(start["version"]), int(end["version"])
         prev: dict = (
@@ -953,11 +982,120 @@ class LanceStreamReader(DataSourceStreamReader):
             prev = {fid: self._frag_key(f) for fid, f in cur.items()}
         return out
 
+    def _cdc_partitions(self, sv: int, ev: int) -> Sequence["LanceCdcPartition"]:
+        """Per-version CDC events: new fragments → inserts (their own DV at
+        first appearance applied), deletion-file deltas → deletes, removed
+        fragments (full-fragment MoR delete) → deletes of their prior live
+        rows. Rewrites (overwrite/restore) cannot be represented — fail
+        with the same restart contract as the append-only mode."""
+        out: list[LanceCdcPartition] = []
+        prev = (
+            {f.id: f for f in read_manifest(self._path, sv).fragments}
+            if sv >= 1 else {}
+        )
+        for v in range(sv + 1, ev + 1):
+            mf = read_manifest(self._path, v)
+            if mf.operation in ("overwrite", "restore"):
+                raise ValueError(
+                    f"version {v} is a {mf.operation} — the CDC stream "
+                    "cannot represent a rewrite; restart from a fresh "
+                    "startingVersion past it"
+                )
+            cur = {f.id: f for f in mf.fragments}
+            ap = lambda rel: os.path.join(self._path, rel) if rel else None
+            for fid in sorted(set(cur) - set(prev)):
+                f = cur[fid]
+                out.append(LanceCdcPartition(
+                    kind="insert",
+                    data_path=ap(f.path),
+                    old_deletion_path=None,
+                    new_deletion_path=ap(f.deletion.path if f.deletion else None),
+                    whole_fragment=False,
+                ))
+            for fid in sorted(set(prev) - set(cur)):
+                f = prev[fid]
+                out.append(LanceCdcPartition(
+                    kind="delete",
+                    data_path=ap(f.path),
+                    old_deletion_path=ap(f.deletion.path if f.deletion else None),
+                    new_deletion_path=None,
+                    whole_fragment=True,
+                ))
+            for fid in sorted(set(prev) & set(cur)):
+                fp, fc = prev[fid], cur[fid]
+                dp = fp.deletion.path if fp.deletion else None
+                dc = fc.deletion.path if fc.deletion else None
+                if dp != dc:
+                    out.append(LanceCdcPartition(
+                        kind="delete",
+                        data_path=ap(fc.path),
+                        old_deletion_path=ap(dp),
+                        new_deletion_path=ap(dc),
+                        whole_fragment=False,
+                    ))
+            prev = cur
+        return out
+
+    def _read_cdc(self, partition: "LanceCdcPartition") -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _del_idx(p):
+            if p is None:
+                return np.empty(0, dtype=np.int64)
+            return np.sort(
+                pq.read_table(p, columns=["row_index"])  # per-fragment file
+                .column("row_index")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+        pf = pq.ParquetFile(partition.data_path)
+        n = pf.metadata.num_rows
+        # the pinned schema includes _change_type; data columns are the rest
+        data_schema = StructType(
+            [f for f in self._schema.fields if f.name != "_change_type"]
+        )
+        if partition.kind == "insert":
+            drop = _del_idx(partition.new_deletion_path)
+            keep = np.setdiff1d(np.arange(n, dtype=np.int64), drop)
+        elif partition.whole_fragment:
+            keep = np.setdiff1d(
+                np.arange(n, dtype=np.int64),
+                _del_idx(partition.old_deletion_path),
+            )
+        else:
+            keep = np.setdiff1d(
+                _del_idx(partition.new_deletion_path),
+                _del_idx(partition.old_deletion_path),
+            )
+        if keep.size == 0:
+            return
+        from ..format.index import read_rows_by_index
+
+        columns, missing = _evolution_split(
+            pf.schema_arrow.names, data_schema
+        )
+        table, _ = read_rows_by_index(
+            partition.data_path, keep.tolist(), columns
+        )
+        if missing:
+            table = _fill_missing(table, data_schema, missing)
+        table = table.append_column(
+            "_change_type",
+            pa.array([partition.kind] * table.num_rows, type=pa.string()),
+        )
+        yield from table.to_batches(max_chunksize=self._batch_size)
+
     def read(self, partition: "LanceFragmentPartition") -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         if partition is None:
+            return
+        if self._cdc:
+            yield from self._read_cdc(partition)
             return
         pf = pq.ParquetFile(partition.data_path)
         # schema evolution: the stream pins its start-time schema; fragments

@@ -374,3 +374,67 @@ def ds08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey").isin(7, 11))
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds09 — streaming CDC source (`mode=cdc`): tails the version log emitting
+# insert/delete EVENTS per version (table_changes' streaming form — per-
+# version, not net: a row appended then deleted appears as both). The
+# oracle replays the event history: every created+appended row as insert,
+# every MoR-deleted row as delete.
+# ---------------------------------------------------------------------------
+@register(
+    "ds09_stream_cdc_source",
+    oracle="""
+    WITH added AS (
+      SELECT k AS n_nationkey, k % 5 AS n_regionkey
+      FROM (SELECT unnest(generate_series(100, 104)) AS k)),
+    events AS (
+      SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+             CAST(n_regionkey AS INT) AS n_regionkey,
+             'insert' AS _change_type
+      FROM (SELECT n_nationkey, n_regionkey FROM nation
+            UNION ALL SELECT * FROM added)
+      UNION ALL
+      SELECT CAST(n_nationkey AS INT), CAST(n_regionkey AS INT), 'delete'
+      FROM (SELECT n_nationkey, n_regionkey FROM nation
+            UNION ALL SELECT * FROM added)
+      WHERE n_regionkey = 3)
+    SELECT _change_type, n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM events
+    GROUP BY _change_type, n_regionkey
+    ORDER BY _change_type, n_regionkey
+    """,
+    doc="connector: streaming CDC source tails the version log as "
+        "insert/delete events (per-version table_changes)",
+    tags=("connector", "streaming", "cdc"),
+)
+def ds09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dml
+    from ..streaming.events import run_to_memory
+
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds09")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    ds = LanceDataset.create(path, nation, max_rows_per_file=8)      # v1
+    ds = ds.append(
+        spark.range(100, 105).selectExpr(
+            "CAST(id AS INT) AS n_nationkey",
+            "CAST(id % 5 AS INT) AS n_regionkey",
+        )
+    )                                                                # v2
+    dml.delete(ds, spark, "n_regionkey = 3")                         # v3
+    sdf = spark.readStream.format("lance").option("mode", "cdc").load(path)
+    out = run_to_memory(sdf, "append")
+    return (
+        out.groupBy("_change_type", "n_regionkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("_change_type", "n_regionkey")
+    )

@@ -696,3 +696,54 @@ def test_huge_in_list_stays_residual(spark, tmp_path):
     df_small = spark.read.format("lance").load(path).filter(F.col("k").isin(small))
     assert df_big.count() == len([v for v in big if v < 5000])
     assert df_small.count() == 3
+
+
+def test_cdc_stream_events_and_rewrite_guard(spark, tmp_path):
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.operators import dml
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "cdcstream.lance")
+    ds = LanceDataset.create(
+        path, spark.range(10).selectExpr("id AS k"), max_rows_per_file=4
+    )
+    ds = ds.append(spark.range(10, 14).selectExpr("id AS k"))
+    ds = dml.delete(ds, spark, "k = 3 OR k = 12")
+
+    def _drain():
+        sdf = spark.readStream.format("lance").option("mode", "cdc").load(path)
+        ck = tempfile.mkdtemp(prefix="cdc_ck_")
+        q = (
+            sdf.writeStream.format("memory").queryName("cdc_t")
+            .outputMode("append").option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        rows = spark.table("cdc_t").collect()
+        spark.catalog.dropTempView("cdc_t")
+        return rows
+
+    rows = _drain()
+    ins = sorted(r["k"] for r in rows if r["_change_type"] == "insert")
+    dels = sorted(r["k"] for r in rows if r["_change_type"] == "delete")
+    # per-version events: k=12 appears as BOTH insert and delete
+    assert ins == list(range(14))
+    assert dels == [3, 12]
+    # full-fragment delete surfaces the remaining live rows as deletes
+    ds = LanceDataset.open(path)
+    ds = dml.delete(ds, spark, "k < 2")
+    rows = _drain()
+    dels = sorted(r["k"] for r in rows if r["_change_type"] == "delete")
+    assert set(dels) >= {0, 1}
+    # a compaction makes the stream refuse loudly
+    LanceDataset.open(path).compact(spark, target_rows_per_file=100)
+    with pytest.raises(Exception, match="rewrite|overwrite"):
+        _drain()
