@@ -41,6 +41,7 @@ DDL surface, docs/src/operations/ddl/*):
     CREATE TAG <name> ON <schema>.<table> [AS OF VERSION <n>]
     DROP TAG <name> ON <schema>.<table>
     SHOW TAGS <schema>.<table>
+    SHOW STATS [FOR] <schema>.<table>        -- zone-map column statistics
     SELECT ... FROM <schema>.<table> VERSION AS OF '<tag>'
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
@@ -441,6 +442,32 @@ class LanceCatalog:
             f"v{ds.version}"
         )
 
+    def _h_show_stats(self, m) -> DataFrame:
+        """`SHOW STATS <schema>.<table>` — per-column min/max/null-count
+        aggregated from the manifest's fragment zone maps plus the O(1) row
+        count: the statistics surface the reference feeds Trino's CBO
+        (`LanceMetadata.java:561-588` getTableStatistics), answerable here
+        with ZERO data scanned."""
+        ds = self.load(m.group("ns"), m.group("tbl"))
+        frags = ds.manifest.fragments
+        rows = []
+        for f_ in ds.schema.fields:
+            c = f_.name
+            stats = [f.stats[c] for f in frags if f.stats and c in f.stats]
+            covered = len(stats) == len(frags) and frags
+            rows.append((
+                c,
+                ds.count_rows(),
+                str(min(s["min"] for s in stats)) if covered else None,
+                str(max(s["max"] for s in stats)) if covered else None,
+                sum(s.get("nulls", 0) for s in stats) if covered else None,
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "column string, row_count long, min_value string, "
+            "max_value string, null_count long",
+        )
+
     def _h_create_tag(self, m) -> DataFrame:
         """`CREATE TAG <name> ON <schema>.<table> [AS OF VERSION <n>]` —
         an immutable named version alias (Lance tags); readable via
@@ -661,6 +688,10 @@ class LanceCatalog:
         (
             rf"SHOW\s+TAGS\s+(?:ON\s+|IN\s+)?(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
             _h_show_tags,
+        ),
+        (
+            rf"SHOW\s+STATS\s+(?:FOR\s+)?(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
+            _h_show_stats,
         ),
         (
             rf"TABLE\s+CHANGES\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

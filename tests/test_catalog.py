@@ -389,3 +389,20 @@ def test_estimated_size_unbounded_columns_never_hint(cat, spark, tmp_path):
         str(tmp_path / "s.lance"), spark.range(4).selectExpr("CAST(id AS STRING) AS t")
     )
     assert s.estimated_size_bytes() == 4 * 64
+
+
+def test_show_stats_zero_scan(spark, tmp_path):
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, str(tmp_path / "statcat"))
+    cat.sql("CREATE SCHEMA st")
+    spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 10 AS INT) AS b",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE CONCAT('s', id) END AS s",
+    ).createOrReplaceTempView("_stats_src")
+    cat.sql("CREATE TABLE st.t AS SELECT * FROM _stats_src")
+    rows = {r["column"]: r for r in cat.sql("SHOW STATS FOR st.t").collect()}
+    assert rows["k"]["row_count"] == 100
+    assert rows["k"]["min_value"] == "0" and rows["k"]["max_value"] == "99"
+    assert rows["b"]["max_value"] == "9"
+    assert rows["s"]["null_count"] == 25

@@ -103,3 +103,125 @@ def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, seed):
         assert _rows_of(old, spark) == set(snap.items()), f"version {v} drifted"
         assert old.count_rows() == len(snap)
     assert os.path.isdir(ds.path)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution model check: random add-column / drop-column / append /
+# delete / restore sequences. The model tracks both the schema (ordered
+# column list) and per-row values; NULL-fill of pre-add fragments, retired-
+# name enforcement, restore's snapshot semantics, and historical replay all
+# fall out of the comparison.
+# ---------------------------------------------------------------------------
+_EVO_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(min_value=1, max_value=8)),
+        st.tuples(st.just("add_col"), st.integers(min_value=0, max_value=3)),
+        st.tuples(st.just("drop_col"), st.integers(min_value=0, max_value=3)),
+        st.tuples(st.just("delete_mod"), st.integers(min_value=2, max_value=4)),
+        st.tuples(st.just("restore"), st.integers(min_value=0, max_value=5)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_EVO_OPS, seed=st.integers(min_value=0, max_value=10_000))
+def test_random_evolution_sequences_match_model(
+    spark, tmp_path_factory, ops, seed
+):
+    root = str(tmp_path_factory.mktemp("evoprop") / "t.lance")
+    next_id = seed
+
+    def rows_df(rows, cols):
+        schema = ", ".join(f"{c} long" for c in cols)
+        return spark.createDataFrame(rows, schema)
+
+    cols = ["id", "val"]
+    retired: set[str] = set()
+    model: dict[int, dict] = {}
+
+    def batch(n):
+        nonlocal next_id
+        out = []
+        for i in range(n):
+            rid = next_id + i
+            out.append({c: (rid if c == "id" else rid * 7 % 101 if c == "val"
+                            else rid % 13) for c in cols})
+        next_id += n
+        return out
+
+    first = batch(4)
+    model = {r["id"]: r for r in first}
+    ds = LanceDataset.create(
+        root,
+        rows_df([tuple(r[c] for c in cols) for r in first], cols),
+        max_rows_per_file=3,
+    )
+    snapshots = {ds.version: ({i: dict(r) for i, r in model.items()}, list(cols))}
+
+    def check(ds, model, cols):
+        got = {
+            r["id"]: {c: r[c] for c in cols}
+            for r in ds.to_df(spark).collect()
+        }
+        assert set(ds.to_df(spark).columns) == set(cols)
+        assert got == model
+        assert ds.count_rows() == len(model)
+
+    for kind, p in ops:
+        if kind == "append":
+            rows = batch(p)
+            for r in rows:
+                model[r["id"]] = dict(r)
+            ds = ds.append(
+                rows_df([tuple(r[c] for c in cols) for r in rows], cols),
+                max_rows_per_file=3,
+            )
+        elif kind == "add_col":
+            name = f"c{p}"
+            if name in cols or name in retired:
+                continue
+            ds = ds.add_column(name, "bigint")
+            cols.append(name)
+            for r in model.values():
+                r[name] = None
+        elif kind == "drop_col":
+            name = f"c{p}"
+            if name not in cols:
+                continue
+            ds = ds.drop_column(name)
+            cols.remove(name)
+            retired.add(name)
+            for r in model.values():
+                r.pop(name, None)
+        elif kind == "delete_mod":
+            victims = [i for i in model if i % p == 0]
+            for i in victims:
+                del model[i]
+            ds = dml.delete(ds, spark, f"id % {p} = 0")
+        elif kind == "restore":
+            versions = sorted(snapshots)
+            target = versions[p % len(versions)]
+            snap_model, snap_cols = snapshots[target]
+            ds = ds.restore(target)
+            model = {i: dict(r) for i, r in snap_model.items()}
+            cols = list(snap_cols)
+        snapshots[ds.version] = (
+            {i: dict(r) for i, r in model.items()}, list(cols)
+        )
+        check(ds, model, cols)
+
+    # historical replay incl. schema history
+    for v, (snap, snap_cols) in snapshots.items():
+        old = LanceDataset.open(ds.path, version=v)
+        assert [f.name for f in old.schema.fields] == snap_cols
+        got = {
+            r["id"]: {c: r[c] for c in snap_cols}
+            for r in old.to_df(spark).collect()
+        }
+        assert got == snap, f"version {v} drifted"
