@@ -93,6 +93,8 @@ DEFAULT_QUERIES = [
     "cat13_sql_restore",
     "cat14_version_tags",
     "ds09_stream_cdc_source",
+    "q36_lateral_explode",
+    "q37_recursive_cte",
 ]
 
 

@@ -1554,3 +1554,87 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "priority", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q36 — LATERAL VIEW / UNNEST: split a derived array per row, explode with
+# position, and re-aggregate. The classic "one row per element" relational
+# shape (DuckDB: UNNEST WITH ORDINALITY).
+# ---------------------------------------------------------------------------
+@register(
+    "q36_lateral_explode",
+    oracle="""
+    WITH parts AS (
+      SELECT o_orderkey, o_orderpriority,
+             u.part AS word, u.pos - 1 AS pos
+      FROM orders,
+           LATERAL (SELECT unnest(string_split(o_orderpriority, '-')) AS part,
+                           generate_subscripts(string_split(o_orderpriority, '-'), 1) AS pos) u
+      WHERE o_orderkey < 2000)
+    SELECT word, CAST(pos AS INT) AS pos, COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM parts
+    GROUP BY word, pos
+    ORDER BY word, pos
+    """,
+    doc="LATERAL VIEW posexplode over a split column, re-aggregated "
+        "(UNNEST WITH ORDINALITY parity)",
+    tags=("sql", "lateral", "explode"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") < 2000).createOrReplaceTempView(
+        "_q36_orders"
+    )
+    return spark.sql("""
+        SELECT word, pos, COUNT(*) AS n,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM _q36_orders
+        LATERAL VIEW posexplode(split(o_orderpriority, '-')) AS pos, word
+        GROUP BY word, pos
+        ORDER BY word, pos
+    """)
+
+
+# ---------------------------------------------------------------------------
+# q37 — WITH RECURSIVE (new in Spark 4): ancestry depth over an implicit
+# binary-tree hierarchy (parent(k) = k/2) rooted at customer 1, joined back
+# to customer balances. DuckDB replays the identical recursion.
+# ---------------------------------------------------------------------------
+@register(
+    "q37_recursive_cte",
+    oracle="""
+    WITH RECURSIVE tree(c_custkey, depth) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1
+      FROM customer c JOIN tree t ON c.c_custkey // 2 = t.c_custkey
+      WHERE c.c_custkey BETWEEN 2 AND 255)
+    SELECT t.depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal
+    FROM tree t JOIN customer c ON c.c_custkey = t.c_custkey
+    GROUP BY t.depth
+    ORDER BY t.depth
+    """,
+    doc="recursive CTE: binary-tree ancestry depth rollup (Spark 4 "
+        "WITH RECURSIVE)",
+    tags=("sql", "recursive", "cte"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_q37_customer"
+    )
+    return spark.sql("""
+        WITH RECURSIVE tree(c_custkey, depth) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM _q37_customer c JOIN tree t ON CAST(c.c_custkey / 2 AS BIGINT) = t.c_custkey
+          WHERE c.c_custkey BETWEEN 2 AND 255
+        )
+        SELECT t.depth, COUNT(*) AS n_nodes,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal
+        FROM tree t JOIN _q37_customer c ON c.c_custkey = t.c_custkey
+        GROUP BY t.depth
+        ORDER BY t.depth
+    """)
