@@ -95,6 +95,7 @@ DEFAULT_QUERIES = [
     "ds09_stream_cdc_source",
     "q36_lateral_explode",
     "q37_recursive_cte",
+    "m06_multimodal_ann",
 ]
 
 

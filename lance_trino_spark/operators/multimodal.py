@@ -212,3 +212,50 @@ def audio_frame_energy(
     return df.mapInPandas(
         run, schema=f"{id_col} long, frame_idx int, energy double"
     )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Feature extraction for multimodal retrieval: a deterministic
+    pixel-intensity histogram (`n_bins` float32s, L1-normalized) per image
+    payload — the stand-in for a real vision-embedding model (the model
+    call would replace the histogram inside the SAME mapInPandas batch
+    loop; schema, batching, and downstream indexing are identical).
+
+    Arrow-batched mapInPandas, no shuffle; feeds straight into
+    `LanceDataset.create_vector_index` / `vector_search` (suite m06)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                if b[:4] != _MAGIC:
+                    raise ValueError("bad magic")
+                px = np.frombuffer(b, dtype=np.uint8, offset=10).astype(
+                    np.float64
+                )
+                hist, _ = np.histogram(px, bins=n_bins, range=(0, 256))
+                hist = hist / max(1, int(hist.sum()))
+                # two spatial-moment dims: order-sensitive, so payloads with
+                # identical histograms but different pixel layouts still get
+                # distinct features (self-match stays exact)
+                n = len(px)
+                i = np.arange(n)
+                m1 = float((i * px).sum()) / (n * n * 255)
+                m2 = float(((i % 7) * px).sum()) / (n * 255 * 7)
+                feats.append(
+                    np.concatenate([hist, [m1, m2]]).astype("float32").tolist()
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "feature": feats}
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, feature array<float>"
+    )

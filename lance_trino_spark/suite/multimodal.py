@@ -208,3 +208,52 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_subset(spark, sf_dir)
     return audio_frame_energy(docs).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# m06 — multimodal retrieval end-to-end: payload → deterministic feature
+# extraction (histogram embedding; a vision model drops into the same
+# mapInPandas loop) → Lance dataset with a PERSISTED IVF index → index-
+# backed top-1 search. Query vectors come from the corpus itself, so top-1
+# is the identity (cosine with itself is maximal) — an exact oracle with
+# no recall floors.
+# ---------------------------------------------------------------------------
+@register(
+    "m06_multimodal_ann",
+    oracle="""
+    SELECT doc_id AS query_id, doc_id AS neighbor_id
+    FROM documents WHERE doc_id < 20
+    ORDER BY query_id
+    """,
+    doc="multimodal: feature-extract -> persisted IVF index -> top-1 "
+        "self-match retrieval",
+    tags=("multimodal", "ann", "index", "pipeline"),
+)
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..format.dataset import LanceDataset
+    from ..operators.multimodal import attach_payloads, extract_features
+    from .lance_format import _fresh_path
+
+    feats = extract_features(attach_payloads(_docs_subset(spark, sf_dir)))
+    path = _fresh_path(sf_dir, "m06")
+    ds = LanceDataset.create(
+        path, feats.orderBy("doc_id").coalesce(1), max_rows_per_file=64
+    )
+    ds = ds.create_vector_index(spark, "feature", n_cells=8, sample=512)
+    queries = feats.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "feature"
+    )
+    hits = ds.vector_search(
+        spark, "feature", queries, k=1, nprobe=2, id_columns=["doc_id"]
+    )
+    rk = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") == 1)
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+        .orderBy("query_id")
+    )

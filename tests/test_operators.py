@@ -719,3 +719,22 @@ def test_hll_merge_equals_direct(spark):
         for r in hll_distinct(df, ["g"], "u").collect()
     }
     assert merged == direct
+
+
+def test_extract_features_deterministic_and_distinct(spark):
+    from lance_trino_spark.operators.multimodal import (
+        attach_payloads,
+        extract_features,
+    )
+
+    docs = spark.range(50).selectExpr("id AS doc_id")
+    feats = {r["doc_id"]: tuple(r["feature"]) for r in
+             extract_features(attach_payloads(docs)).collect()}
+    assert len(feats) == 50
+    assert all(len(v) == 18 for v in feats.values())  # 16 bins + 2 moments
+    # injective over the corpus (self-match retrieval depends on it)
+    assert len(set(feats.values())) == 50
+    # deterministic across runs
+    again = {r["doc_id"]: tuple(r["feature"]) for r in
+             extract_features(attach_payloads(docs)).collect()}
+    assert feats == again
