@@ -96,6 +96,7 @@ DEFAULT_QUERIES = [
     "q36_lateral_explode",
     "q37_recursive_cte",
     "m06_multimodal_ann",
+    "s10_filtered_vector_search",
 ]
 
 

@@ -33,7 +33,8 @@ DDL surface, docs/src/operations/ddl/*):
     CREATE VECTOR INDEX ON <schema>.<table> (<col>)
       [USING IVF_FLAT|IVF_PQ] [WITH (n_cells = N)]
     VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
-      [TOP <k>] [NPROBE <n>]                -- queries: (query_id, <col>)
+      [TOP <k>] [NPROBE <n>] [WHERE <col2> IN (v, ...)]
+      -- queries table: (query_id, <col>); WHERE is a true PREFILTER
     ALTER TABLE <schema>.<table> ADD COLUMN <name> <type>
     ALTER TABLE <schema>.<table> DROP COLUMN <name>
     RESTORE TABLE <schema>.<table> TO VERSION <n>
@@ -524,6 +525,14 @@ class LanceCatalog:
         qns, qtbl = m.group("qns"), m.group("qtbl")
         k = int(m.group("k") or 5)
         nprobe = int(m.group("nprobe") or 2)
+        prefilter = None
+        if m.group("fcol"):
+            vals = [
+                v.strip().strip("'")
+                for v in m.group("fvals").split(",") if v.strip()
+            ]
+            vals = [int(v) if v.lstrip("-").isdigit() else v for v in vals]
+            prefilter = (m.group("fcol"), vals)
         ds = self.load(ns, tbl)
         queries = self.load(qns, qtbl).to_df(self.spark).select(
             "query_id", col
@@ -532,7 +541,8 @@ class LanceCatalog:
             f.name for f in ds.schema.fields if f.name != col
         ]
         return ds.vector_search(
-            self.spark, col, queries, k=k, nprobe=nprobe, id_columns=id_cols
+            self.spark, col, queries, k=k, nprobe=nprobe, id_columns=id_cols,
+            prefilter=prefilter,
         )
 
     def _h_history(self, m) -> DataFrame:
@@ -703,7 +713,9 @@ class LanceCatalog:
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
             rf"\s+USING\s+(?P<qns>{_NSID})\.(?P<qtbl>{_IDENT})"
             rf"(?:\s+TOP\s+(?P<k>\d+))?"
-            rf"(?:\s+NPROBE\s+(?P<nprobe>\d+))?$",
+            rf"(?:\s+NPROBE\s+(?P<nprobe>\d+))?"
+            rf"(?:\s+WHERE\s+(?P<fcol>{_IDENT})\s+IN\s*"
+            rf"\(\s*(?P<fvals>(?:'[^']*'|-?\d+)(?:\s*,\s*(?:'[^']*'|-?\d+))*)\s*\))?$",
             _h_vector_search,
         ),
         (

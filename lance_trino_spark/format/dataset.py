@@ -1038,8 +1038,18 @@ class LanceDataset:
         refine: int = 50,
         with_io_stats: bool = False,
         max_queries: int = 4096,
+        prefilter: tuple[str, list] | None = None,
     ) -> DataFrame:
         """Index-backed ANN search: top-k cosine neighbors per query row.
+
+        `prefilter=(column, values)` is FILTERED ANN — the flagship
+        LanceDB query shape: only rows whose metadata column is in
+        `values` compete for top-k (true prefilter semantics: recall over
+        the filtered population equals unfiltered recall, which
+        post-filtering a shortlist cannot guarantee). Per fragment the
+        allowed row set comes from the column's scalar-index sidecar when
+        one exists (row-group-bounded IO — the scalar and vector indexes
+        COMPOSE) and from a single-column fragment read otherwise.
 
         `queries` must have columns (query_id, <column>) and be bounded
         (<= max_queries — query sets are broadcast-sized by contract; fails
@@ -1112,6 +1122,28 @@ class LanceDataset:
             for f in self.manifest.fragments
         ]
 
+        pf_col, pf_vals = prefilter if prefilter is not None else (None, None)
+        if pf_col is not None and pf_col not in {
+            f.name for f in self.schema.fields
+        }:
+            raise ValueError(f"no such prefilter column: {pf_col!r}")
+
+        def _allowed(frag_path: str):
+            """Matching physical row indices for the prefilter on one
+            fragment: scalar-index sidecar when present (bounded IO),
+            single-column read otherwise."""
+            from .index import index_rel_path, lookup
+
+            sidecar = os.path.join(root, index_rel_path(pf_col, frag_path))
+            if os.path.exists(sidecar):
+                return lookup(sidecar, list(pf_vals))
+            import pyarrow.parquet as _pq2
+
+            col = _pq2.read_table(
+                os.path.join(root, frag_path), columns=[pf_col]
+            ).column(pf_col).to_numpy(zero_copy_only=False)
+            return np.flatnonzero(np.isin(col, list(pf_vals))).astype(np.int64)
+
         def _search(batches):
             import pandas as pd
             import pyarrow.parquet as _pq
@@ -1132,6 +1164,9 @@ class LanceDataset:
                         root, p, column, centroids, pq_books,
                         q_ids, q_vecs, q_cells, k, id_columns,
                         deletion_indices=del_idx, refine=refine,
+                        allowed_indices=(
+                            _allowed(p) if pf_col is not None else None
+                        ),
                     )
                     yield pd.DataFrame(
                         [(*h, n_read) for h in hits],

@@ -302,6 +302,7 @@ def search_fragment(
     id_columns: list[str],
     deletion_indices=None,
     refine: int = 0,
+    allowed_indices=None,
 ):
     """One fragment's local top-k per query. Returns a list of python rows
     (query_id, *id_column values, cosine, row_index) plus the count of
@@ -327,6 +328,15 @@ def search_fragment(
         return [], 0
     cells = t.column("cell").to_numpy()
     row_idx = t.column("row_index").to_numpy()
+    if allowed_indices is not None:
+        # PREFILTER (filtered ANN): only rows passing the metadata predicate
+        # compete for top-k — recall over the filtered population is the
+        # same as unfiltered recall, unlike post-filtering a shortlist
+        ok = np.isin(row_idx, np.asarray(allowed_indices, dtype=np.int64))
+        cells, row_idx = cells[ok], row_idx[ok]
+        t = t.take(np.flatnonzero(ok))
+        if len(row_idx) == 0:
+            return [], postings_read
     if deletion_indices is not None and len(deletion_indices):
         live = ~np.isin(row_idx, np.asarray(deletion_indices, dtype=np.int64))
         cells, row_idx = cells[live], row_idx[live]

@@ -501,3 +501,60 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("recall") >= 0.4).alias("recall_ok"),
         (F.avg("recall").over(W.partitionBy(F.lit(1))) >= 0.6).alias("mean_ok"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# s10 — FILTERED vector search (the flagship LanceDB query shape): the
+# metadata predicate is a PREFILTER — per fragment the allowed row set
+# comes from the label column's scalar-index sidecar, composed with the
+# IVF postings, so only label-matching rows compete for top-k. Queries are
+# drawn from the filtered population with k=1, so the oracle is the exact
+# self-match identity plus a label check.
+# ---------------------------------------------------------------------------
+@register(
+    "s10_filtered_vector_search",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id AS neighbor_id,
+           CAST(label AS INT) AS label
+    FROM embeddings WHERE label = 3 AND vec_id < 400
+    ORDER BY query_id
+    """,
+    doc="filtered ANN: scalar-index prefilter composed with the persisted "
+        "IVF index; top-1 self-match identity within the filtered set",
+    tags=("similarity", "ann", "index", "filter"),
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..format.dataset import LanceDataset
+    from .lance_format import _fresh_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _fresh_path(sf_dir, "s10")
+    ds = LanceDataset.create(
+        path,
+        emb.select("vec_id", "label", "embedding").orderBy("vec_id").coalesce(1),
+        max_rows_per_file=200,
+    )
+    ds = ds.create_scalar_index(spark, "label")
+    ds = ds.create_vector_index(spark, "embedding", n_cells=16, sample=2048)
+    queries = emb.filter((F.col("label") == 3) & (F.col("vec_id") < 400)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ds.vector_search(
+        spark, "embedding", queries, k=1, nprobe=2,
+        id_columns=["vec_id", "label"], prefilter=("label", [3]),
+    )
+    rk = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        hits.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("int").alias("label"),
+        )
+        .orderBy("query_id")
+    )

@@ -216,3 +216,47 @@ def test_sql_vector_search_route(spark, emb):
     for qid, rows in by_q.items():
         best = max(rows, key=lambda r: r["cosine"])
         assert best["vec_id"] == qid
+
+
+def test_filtered_search_prefilter_semantics(spark, emb):
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.operators.similarity import cosine_topk
+
+    path = _fresh("vidx-filter")
+    ds = LanceDataset.create(
+        path,
+        emb.select("vec_id", "label", "embedding").orderBy("vec_id").coalesce(1),
+        max_rows_per_file=150,
+    )
+    ds = ds.create_scalar_index(spark, "label")
+    ds = ds.create_vector_index(spark, "embedding", n_cells=16, sample=2048)
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ds.vector_search(
+        spark, "embedding", q, k=4, nprobe=2,
+        id_columns=["vec_id", "label"], prefilter=("label", [2]),
+    ).collect()
+    # every result passes the predicate
+    assert hits and all(r["label"] == 2 for r in hits)
+    # prefilter recall: agree with the exact top-k over the label-2 subset
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            emb.filter(F.col("label") == 2),
+            emb.filter(F.col("vec_id") < 6), k=4,
+        ).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in hits}
+    assert len(got & exact) / len(exact) >= 0.5
+    # a filter on a column with NO scalar index falls back and still works
+    hits2 = ds.vector_search(
+        spark, "embedding", q, k=2, nprobe=2,
+        id_columns=["vec_id", "label"], prefilter=("vec_id", [10, 20, 30]),
+    ).collect()
+    assert hits2 and all(r["vec_id"] in (10, 20, 30) for r in hits2)
+    with pytest.raises(ValueError, match="no such prefilter column"):
+        ds.vector_search(
+            spark, "embedding", q, k=2, id_columns=["vec_id"],
+            prefilter=("nope", [1]),
+        )
