@@ -97,6 +97,8 @@ DEFAULT_QUERIES = [
     "q37_recursive_cte",
     "m06_multimodal_ann",
     "s10_filtered_vector_search",
+    "q38_range_frame_rolling",
+    "e14_rolling_hll_uniques",
 ]
 
 

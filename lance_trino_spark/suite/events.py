@@ -685,3 +685,93 @@ def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# e14 — ROLLING distinct users via HLL register merge: per-(event_type,
+# day) register tables, then each day's trailing-7-day window is a MAX-
+# merge of its days' registers — the production pattern for rolling
+# uniques at scale (no day's raw data is ever re-read; the sliding join
+# moves only 2^8-integer sketches). The oracle recomputes each window's
+# registers directly from the raw events — merge losslessness makes the
+# two byte-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "e14_rolling_hll_uniques",
+    oracle="""
+    WITH hashed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    days AS (SELECT DISTINCT event_type, day FROM hashed),
+    win AS (
+      SELECT d.event_type, d.day, h.h
+      FROM days d JOIN hashed h
+        ON h.event_type = d.event_type
+       AND h.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+    keyed AS (
+      SELECT event_type, day,
+             CAST(h // 16777216 AS INT) AS bucket,
+             CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 24 - (length(printf('%b', h % 16777216)) - 1)
+             END AS rank
+      FROM win),
+    regs AS (
+      SELECT event_type, day, bucket, MAX(rank) AS mr
+      FROM keyed GROUP BY event_type, day, bucket),
+    agg AS (
+      SELECT event_type, day, COUNT(*) AS nonempty,
+             SUM(1 << (25 - mr)) AS isum
+      FROM regs GROUP BY event_type, day)
+    SELECT event_type, CAST(day AS DATE) AS day,
+           CAST(isum + (256 - nonempty) * 33554432 AS BIGINT)
+             AS rank_checksum,
+           CAST(FLOOR(1579498136381.3938 /
+                (isum + (256 - nonempty) * 33554432)) AS BIGINT)
+             AS rolling_uniques
+    FROM agg
+    ORDER BY event_type, day
+    """,
+    doc="rolling 7-day distinct users per event_type from MAX-merged daily "
+        "HLL registers (sketch slide, raw data read once)",
+    tags=("events", "sketch", "hll", "window"),
+)
+def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate_from_registers
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    from ..operators.sketches import hll_registers
+
+    daily = hll_registers(ev, ["event_type", "day"], "user_id").alias("d")
+    days = (
+        daily.select("event_type", "day").distinct()
+        .select(
+            F.col("event_type").alias("w_event_type"),
+            F.col("day").alias("win_day"),
+        )
+        .alias("w")
+    )
+    # sketch slide: each window day MAX-merges its trailing 7 days' tiny
+    # register tables — the only join input is (groups x 256) sketch rows
+    slid = daily.join(
+        days,
+        (F.col("d.event_type") == F.col("w.w_event_type"))
+        & F.col("d.day").between(
+            F.date_sub(F.col("w.win_day"), 6), F.col("w.win_day")
+        ),
+    ).select(
+        F.col("w.w_event_type").alias("event_type"),
+        "win_day", "_bucket", "_mr",
+    )
+    merged = slid.groupBy("event_type", "win_day", "_bucket").agg(
+        F.max("_mr").alias("_mr")
+    )
+    est = hll_estimate_from_registers(merged, ["event_type", "win_day"])
+    return est.select(
+        "event_type",
+        F.col("win_day").alias("day"),
+        "rank_checksum",
+        F.col("hll_estimate").alias("rolling_uniques"),
+    ).orderBy("event_type", "day")

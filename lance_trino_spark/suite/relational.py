@@ -1638,3 +1638,41 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.depth
         ORDER BY t.depth
     """)
+
+
+# ---------------------------------------------------------------------------
+# q38 — time-RANGE window frame: per-customer rolling 30-day order spend
+# (RANGE BETWEEN uses the ORDER-BY VALUE, not row offsets — the frame an
+# order belongs to depends on o_orderdate arithmetic, which rows-BETWEEN
+# cannot express). Decimal accumulator for cross-engine exactness.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_range_frame_rolling",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="RANGE BETWEEN INTERVAL window frame: rolling 30-day spend per "
+        "customer (value-based frames vs row-based)",
+    tags=("sql", "window", "range-frame"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_custkey") < 200).createOrReplaceTempView(
+        "_q38_orders"
+    )
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_30d
+        FROM _q38_orders
+        ORDER BY o_custkey, o_orderkey
+    """)
