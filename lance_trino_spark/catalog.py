@@ -30,6 +30,7 @@ DDL surface, docs/src/operations/ddl/*):
       WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e[, ...] | DELETE
       [WHEN NOT MATCHED THEN INSERT]        -- source columns as src.<name>
     CREATE INDEX ON <schema>.<table> (<col>)
+    DROP [VECTOR] INDEX ON <schema>.<table> (<col>)
     CREATE VECTOR INDEX ON <schema>.<table> (<col>)
       [USING IVF_FLAT|IVF_PQ] [WITH (n_cells = N)]
     VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
@@ -406,6 +407,20 @@ class LanceCatalog:
         ds = self.load(ns, tbl).create_scalar_index(self.spark, col)
         return self._status(f"indexed {ns}.{tbl}({col}) v{ds.version}")
 
+    def _h_drop_index(self, m) -> DataFrame:
+        """`DROP [VECTOR] INDEX ON <schema>.<table> (<col>)` — unregister
+        the index and reclaim its sidecars."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        ds = self.load(ns, tbl)
+        if m.group("vec"):
+            ds = ds.drop_vector_index(self.spark, col)
+        else:
+            ds = ds.drop_scalar_index(self.spark, col)
+        return self._status(
+            f"dropped {'vector ' if m.group('vec') else ''}index on "
+            f"{ns}.{tbl}({col}) v{ds.version}"
+        )
+
     def _h_alter_add_column(self, m) -> DataFrame:
         """`ALTER TABLE <schema>.<table> ADD COLUMN <name> <type>` —
         metadata-only schema evolution (format/dataset.py add_column):
@@ -659,6 +674,12 @@ class LanceCatalog:
             rf"CREATE\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
             _h_create_index,
+        ),
+        (
+            rf"DROP\s+(?P<vec>VECTOR\s+)?INDEX\s+ON\s+"
+            rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
+            _h_drop_index,
         ),
         (
             rf"ALTER\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

@@ -504,6 +504,23 @@ class LanceDataset:
                 if rel not in referenced:
                     os.unlink(os.path.join(path, rel))
                     removed_files += 1
+        # orphaned index sidecars: scalar sidecars and vector postings are
+        # keyed by data-file basename, so once a fragment file is vacuumed
+        # its sidecars can never be consulted again — reclaim them too
+        from .index import INDICES_DIR
+
+        ref_basenames = {os.path.basename(r) for r in referenced}
+        idx_root = os.path.join(path, INDICES_DIR)
+        if os.path.isdir(idx_root):
+            for dirpath, _dirnames, filenames in os.walk(idx_root):
+                for name in filenames:
+                    if (
+                        name.endswith(".parquet")
+                        and name not in ref_basenames
+                        and name not in ("centroids.parquet", "pq_codebooks.parquet")
+                    ):
+                        os.unlink(os.path.join(dirpath, name))
+                        removed_files += 1
         backend = get_backend()
         for v in dropped:
             backend.delete_manifest(path, v)
@@ -880,6 +897,67 @@ class LanceDataset:
             properties=props,
         )
         commit_manifest(self.path, m)
+        return LanceDataset(self.path, m)
+
+    def drop_scalar_index(self, spark: SparkSession, column: str) -> "LanceDataset":
+        """Unregister `column`'s scalar index and delete its sidecars (the
+        deregistration is the commit; file removal is best-effort cleanup —
+        orphans are also reclaimed by VACUUM)."""
+        import shutil as _sh
+
+        from .index import INDEX_PROP, INDICES_DIR
+
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        cols = base.properties.get(INDEX_PROP, [])
+        if column not in cols:
+            raise ValueError(f"no scalar index on column {column!r}")
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            operation="drop_index",
+            read_version=self.version,
+            max_fragment_id=base.max_fragment_id,
+            properties={**base.properties,
+                        INDEX_PROP: [c for c in cols if c != column]},
+        )
+        commit_manifest(self.path, m)
+        _sh.rmtree(os.path.join(self.path, INDICES_DIR, column),
+                   ignore_errors=True)
+        return LanceDataset(self.path, m)
+
+    def drop_vector_index(self, spark: SparkSession, column: str) -> "LanceDataset":
+        """Unregister `column`'s vector index and delete codebooks +
+        postings."""
+        import shutil as _sh
+
+        from .vector_index import VINDEX_PROP, vindex_dir
+
+        base = read_manifest(self.path, latest_version(self.path))
+        if base.version != self.version:
+            raise CommitConflictError(
+                f"dataset advanced to v{base.version} since v{self.version} was read"
+            )
+        registered = dict(base.properties.get(VINDEX_PROP, {}))
+        if column not in registered:
+            raise ValueError(f"no vector index on column {column!r}")
+        registered.pop(column)
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=base.schema_json,
+            fragments=base.fragments,
+            operation="drop_index",
+            read_version=self.version,
+            max_fragment_id=base.max_fragment_id,
+            properties={**base.properties, VINDEX_PROP: registered},
+        )
+        commit_manifest(self.path, m)
+        _sh.rmtree(os.path.join(self.path, vindex_dir(column)),
+                   ignore_errors=True)
         return LanceDataset(self.path, m)
 
     # -------------------------------------------------------- vector index

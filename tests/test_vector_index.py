@@ -260,3 +260,57 @@ def test_filtered_search_prefilter_semantics(spark, emb):
             spark, "embedding", q, k=2, id_columns=["vec_id"],
             prefilter=("nope", [1]),
         )
+
+
+def test_drop_indexes_and_vacuum_reclaims_orphans(spark, emb):
+    from lance_trino_spark.catalog import LanceCatalog
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    root = os.path.abspath(os.path.join(SCRATCH, "test-dropidx-cat"))
+    shutil.rmtree(root, ignore_errors=True)
+    cat = LanceCatalog(spark, root)
+    cat.sql("CREATE SCHEMA di")
+    emb.select("vec_id", "label", "embedding").limit(300).createOrReplaceTempView(
+        "_dropidx_src"
+    )
+    cat.sql("CREATE TABLE di.t AS SELECT * FROM _dropidx_src")
+    cat.sql("CREATE INDEX ON di.t (label)")
+    cat.sql("CREATE VECTOR INDEX ON di.t (embedding) WITH (n_cells = 8)")
+    tpath = cat.table_path("di", "t")
+    assert os.path.isdir(os.path.join(tpath, "_indices/label"))
+    assert os.path.isdir(os.path.join(tpath, "_indices/embedding.ivf"))
+    assert "dropped index" in cat.sql(
+        "DROP INDEX ON di.t (label)"
+    ).collect()[0][0]
+    assert not os.path.isdir(os.path.join(tpath, "_indices/label"))
+    assert "dropped vector index" in cat.sql(
+        "DROP VECTOR INDEX ON di.t (embedding)"
+    ).collect()[0][0]
+    assert not os.path.isdir(os.path.join(tpath, "_indices/embedding.ivf"))
+    # negative: double drop fails loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no scalar index"):
+        cat.sql("DROP INDEX ON di.t (label)")
+
+    # orphan reclamation: compaction rewrites data files; the OLD files'
+    # sidecars become orphans once vacuum drops the old versions
+    ds = cat.load("di", "t")
+    ds = ds.create_vector_index(spark, "embedding", n_cells=8, sample=256)
+    old_postings = set(
+        os.listdir(os.path.join(tpath, "_indices/embedding.ivf/frags"))
+    )
+    ds.compact(spark, target_rows_per_file=1000, sort_by="vec_id")  # rewrites all
+    out = LanceDataset.vacuum(tpath, keep_versions=1)
+    left = set(
+        os.listdir(os.path.join(tpath, "_indices/embedding.ivf/frags"))
+    )
+    assert not (left & old_postings)  # orphaned postings reclaimed
+    assert out["removed_files"] > 0
+    # index still serves after compact+vacuum
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = LanceDataset.open(tpath).vector_search(
+        spark, "embedding", q, k=1, id_columns=["vec_id"]
+    ).collect()
+    assert {r["vec_id"] for r in hits} == {0, 1, 2}
