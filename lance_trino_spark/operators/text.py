@@ -158,18 +158,24 @@ def contamination_check(
     """
     from ..functions import tokens, word_shingles
 
-    d = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col)), k))).alias(
-            "shingle"
-        ),
-    )
-    b = benchmark.select(
-        F.col(bench_id_col),
-        F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col)), k))).alias(
-            "shingle"
-        ),
-    )
+    # tokenization is PROJECTED before the shingle transform: Spark does no
+    # common-subexpression elimination inside transform() lambdas, so an
+    # inlined tokens() would re-split the text once per shingle — measured
+    # ~5x slower at sf0.1 (same lesson as dedup.shingle_hashes)
+    def _shingled(df, out_id, in_id):
+        return (
+            df.select(F.col(in_id).alias(out_id),
+                      tokens(F.col(text_col)).alias("_toks"))
+            .select(
+                out_id,
+                F.explode(
+                    F.array_distinct(word_shingles(F.col("_toks"), k))
+                ).alias("shingle"),
+            )
+        )
+
+    d = _shingled(docs, id_col, id_col)
+    b = _shingled(benchmark, bench_id_col, bench_id_col)
     return (
         d.join(F.broadcast(b), "shingle")
         .groupBy(id_col, bench_id_col)
