@@ -99,6 +99,7 @@ DEFAULT_QUERIES = [
     "s10_filtered_vector_search",
     "q38_range_frame_rolling",
     "e14_rolling_hll_uniques",
+    "cat15_metastore_namespace",
 ]
 
 

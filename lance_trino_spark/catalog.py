@@ -125,7 +125,15 @@ class LanceCatalog:
             if root is None:
                 raise CatalogError("either root or namespace is required")
             try:
-                namespace = DirectoryNamespace(root, schema_mode=schema_mode)
+                if schema_mode == "metastore":
+                    # the reference's hive/glue-style mode: schema→table
+                    # mapping lives in the Spark session catalog (the Hive
+                    # metastore when the session is Hive-enabled)
+                    from .format.namespace import SparkCatalogNamespace
+
+                    namespace = SparkCatalogNamespace(spark, root)
+                else:
+                    namespace = DirectoryNamespace(root, schema_mode=schema_mode)
             except NamespaceError as e:
                 raise CatalogError(str(e)) from None
         self.namespace = namespace

@@ -335,3 +335,111 @@ class RestNamespaceServer:
         self._httpd.shutdown()
         self._httpd.server_close()
         self._thread.join(timeout=5)
+
+
+class SparkCatalogNamespace:
+    """Metastore-backed namespace: schemas are Spark session-catalog
+    DATABASES and each Lance table's storage location is recorded in the
+    owning database's properties (`lance.table.<name>` → path). With a
+    Hive-enabled session (`spark.sql.catalogImplementation=hive`) the
+    mapping lives in the Hive metastore — the reference's `hive` namespace
+    mode (`LanceConfig.java:73-105`); with the default in-memory catalog
+    the same API works per-session. Data I/O still goes straight to the
+    returned locations (metadata/IO split, `LanceRuntime.java:303-343`).
+
+    Table entries are database properties rather than catalog tables
+    because the session catalog would otherwise try to resolve the Lance
+    directory as a Spark-readable table; the property map is exactly the
+    external-location indirection the glue/hive namespaces provide."""
+
+    _PREFIX = "lance.table."
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # -- helpers ----------------------------------------------------------
+    def _dbs(self) -> list[str]:
+        return [r.name for r in self.spark.catalog.listDatabases()]
+
+    def _props(self, ns: str) -> dict:
+        rows = self.spark.sql(
+            f"DESCRIBE DATABASE EXTENDED `{ns}`"
+        ).collect()
+        for r in rows:
+            if r[0] == "Properties":
+                raw = r[1]
+                out = {}
+                if raw and raw.strip("()"):
+                    for kv in raw.strip("()").split("), ("):
+                        k, _, v = kv.partition(",")
+                        out[k.strip()] = v.strip()
+                return out
+        return {}
+
+    # -- namespaces -------------------------------------------------------
+    def create_namespace(self, ns: str, if_not_exists: bool = False) -> None:
+        _check_ident(ns, "schema")
+        if ns in self._dbs():
+            if if_not_exists:
+                return
+            raise NamespaceError(f"schema already exists: {ns}")
+        self.spark.sql(f"CREATE DATABASE `{ns}`")
+
+    def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
+        if ns not in self._dbs():
+            if if_exists:
+                return
+            raise NamespaceError(f"no such schema: {ns}")
+        if self.list_tables(ns):
+            raise NamespaceError(f"schema not empty: {ns}")
+        self.spark.sql(f"DROP DATABASE `{ns}`")
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(d for d in self._dbs() if d != "default")
+
+    def namespace_exists(self, ns: str) -> bool:
+        return ns in self._dbs()
+
+    # -- tables -----------------------------------------------------------
+    def table_location(self, ns: str, table: str) -> str:
+        loc = self._props(ns).get(f"{self._PREFIX}{table}")
+        if not loc:
+            raise NamespaceError(f"no such table: {ns}.{table}")
+        return loc
+
+    def declare_table(self, ns: str, table: str) -> str:
+        _check_ident(table, "table")
+        if not self.namespace_exists(ns):
+            raise NamespaceError(f"no such schema: {ns}")
+        loc = os.path.join(self.root, ns, f"{table}{SUFFIX}")
+        self.spark.sql(
+            f"ALTER DATABASE `{ns}` SET DBPROPERTIES "
+            f"('{self._PREFIX}{table}' = '{loc}')"
+        )
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        return loc
+
+    def list_tables(self, ns: str) -> list[str]:
+        if not self.namespace_exists(ns):
+            raise NamespaceError(f"no such schema: {ns}")
+        return sorted(
+            k[len(self._PREFIX):]
+            for k, v in self._props(ns).items()
+            if k.startswith(self._PREFIX) and v
+        )
+
+    def drop_table(self, ns: str, table: str, if_exists: bool = False) -> None:
+        try:
+            loc = self.table_location(ns, table)
+        except NamespaceError:
+            if if_exists:
+                return
+            raise
+        # tombstone: the in-memory/Hive catalogs have no UNSET for database
+        # properties in every version, so an empty value marks deletion
+        self.spark.sql(
+            f"ALTER DATABASE `{ns}` SET DBPROPERTIES "
+            f"('{self._PREFIX}{table}' = '')"
+        )
+        shutil.rmtree(loc, ignore_errors=True)

@@ -688,3 +688,46 @@ def cat14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_nationkey", "n_tagged", "n_now")
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# cat15 — metastore namespace mode: the schema→table mapping lives in the
+# Spark session catalog (the Hive metastore in a Hive-enabled session —
+# the reference's `hive`/`glue` namespace modes, LanceConfig.java:73-105)
+# while data I/O goes straight to the resolved locations. Full lifecycle:
+# create, CTAS, DML, SELECT, drop.
+# ---------------------------------------------------------------------------
+@register(
+    "cat15_metastore_namespace",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM part
+    WHERE NOT (p_size > 40)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="catalog: metastore-backed namespace (Spark session catalog / Hive "
+        "metastore) — lifecycle + DML through the same SQL surface",
+    tags=("catalog", "namespace", "metastore"),
+)
+def cat15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat15-ms")
+    shutil.rmtree(root, ignore_errors=True)
+    # the session catalog persists across suite runs in one session —
+    # reset the database so the run is self-contained
+    spark.sql("DROP DATABASE IF EXISTS lance_ms_parts CASCADE")
+    cat = LanceCatalog(spark, root, schema_mode="metastore")
+    load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    ).createOrReplaceTempView("_cat15_part")
+    cat.sql("CREATE SCHEMA lance_ms_parts")
+    cat.sql("CREATE TABLE lance_ms_parts.p AS SELECT * FROM _cat15_part")
+    cat.sql("DELETE FROM lance_ms_parts.p WHERE p_size > 40")
+    out = cat.sql(
+        "SELECT p_brand, COUNT(*) AS n, "
+        "CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total "
+        "FROM lance_ms_parts.p GROUP BY p_brand ORDER BY p_brand"
+    )
+    return out

@@ -406,3 +406,33 @@ def test_show_stats_zero_scan(spark, tmp_path):
     assert rows["k"]["min_value"] == "0" and rows["k"]["max_value"] == "99"
     assert rows["b"]["max_value"] == "9"
     assert rows["s"]["null_count"] == 25
+
+
+def test_metastore_namespace_lifecycle(spark, tmp_path):
+    from lance_trino_spark.catalog import CatalogError, LanceCatalog
+
+    spark.sql("DROP DATABASE IF EXISTS lance_ms_test CASCADE")
+    cat = LanceCatalog(spark, str(tmp_path / "ms"), schema_mode="metastore")
+    cat.sql("CREATE SCHEMA lance_ms_test")
+    assert "lance_ms_test" in [
+        r[0] for r in cat.sql("SHOW SCHEMAS").collect()
+    ]
+    spark.range(5).selectExpr("id AS k").createOrReplaceTempView("_ms_t_src")
+    cat.sql("CREATE TABLE lance_ms_test.a AS SELECT * FROM _ms_t_src")
+    cat.sql("CREATE TABLE lance_ms_test.b AS SELECT * FROM _ms_t_src")
+    assert [r["table"] for r in
+            cat.sql("SHOW TABLES IN lance_ms_test").collect()] == ["a", "b"]
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM lance_ms_test.a"
+    ).collect()[0]["n"] == 5
+    # schema with live tables refuses to drop
+    import pytest as _pt
+    with _pt.raises((CatalogError, Exception)):
+        cat.sql("DROP SCHEMA lance_ms_test")
+    cat.sql("DROP TABLE lance_ms_test.a")
+    cat.sql("DROP TABLE lance_ms_test.b")
+    assert cat.sql("SHOW TABLES IN lance_ms_test").collect() == []
+    cat.sql("DROP SCHEMA lance_ms_test")
+    assert "lance_ms_test" not in [
+        r[0] for r in cat.sql("SHOW SCHEMAS").collect()
+    ]
