@@ -100,6 +100,8 @@ DEFAULT_QUERIES = [
     "q38_range_frame_rolling",
     "e14_rolling_hll_uniques",
     "cat15_metastore_namespace",
+    "e15_quantile_sketch",
+    "q39_not_in_null_semantics",
 ]
 
 

@@ -254,3 +254,71 @@ def hll_estimate_from_registers(
             F.lit(alpha * m * m * (1 << maxrank)) / isum_full
         ).cast("bigint").alias("hll_estimate"),
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bucket_width_cents: int = 10_000,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Engine-portable quantile sketch: a fixed-width integer histogram
+    over exact cents. Completes the sketch family (HLL/KMV = distinct,
+    count-min = frequency, this = rank): per group, values are floored to
+    cents, bucketed by `bucket_width_cents`, and each requested quantile is
+    answered with the LOWER BOUND (in cents) of the first bucket whose
+    cumulative count reaches ceil(q * n) — all-integer arithmetic, so two
+    engines agree bit-for-bit, unlike t-digest/KLL whose float centroids
+    cannot be replayed across engines.
+
+    Error bound: one bucket width. Scale shape: one groupBy(group, bucket)
+    with map-side combine (state = occupied buckets per group, bounded by
+    value range / width), then a per-group sorted fold over that SMALL
+    bucket array — never a sort or window over the raw rows. Histograms
+    merge across shards/windows by adding counts (associative), the same
+    rollup property as the HLL registers.
+
+    Output: group_cols, n_rows, then q<NN>_cents (BIGINT lower bound) per
+    requested quantile."""
+    bucketed = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        (
+            F.floor(F.col(value_col).cast("decimal(38,2)") * 100)
+            .cast("bigint") / F.lit(bucket_width_cents)
+        ).cast("bigint").alias("_bucket"),
+    )
+    hist = bucketed.groupBy(*group_cols, "_bucket").agg(
+        F.count("*").alias("_cnt")
+    )
+    per_group = hist.groupBy(*group_cols).agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.array_sort(
+            F.collect_list(F.struct("_bucket", "_cnt"))
+        ).alias("_h"),
+    )
+    out_cols = [*group_cols, "n_rows"]
+    for q in quantiles:
+        name = f"q{str(q)[2:].ljust(2, '0')}_cents"
+        target = F.ceil(F.col("n_rows") * F.lit(q)).cast("bigint")
+        # fold the (tiny) sorted bucket array: first bucket whose cumulative
+        # count reaches the target rank
+        expr = F.aggregate(
+            "_h",
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(None).cast("bigint").alias("ans"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["_cnt"]).alias("cum"),
+                F.when(
+                    acc["ans"].isNull()
+                    & ((acc["cum"] + x["_cnt"]) >= target),
+                    x["_bucket"] * F.lit(bucket_width_cents),
+                ).otherwise(acc["ans"]).alias("ans"),
+            ),
+            lambda acc: acc["ans"],
+        )
+        per_group = per_group.withColumn(name, expr)
+        out_cols.append(name)
+    return per_group.select(*out_cols)

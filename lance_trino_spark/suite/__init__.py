@@ -87,7 +87,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # relational + streaming additions
     "q34_window_analytics", "q35_grouping_sets", "q36_lateral_explode",
     "q37_recursive_cte", "q38_range_frame_rolling",
-    "st08_watermark_late_drop",
+    "st08_watermark_late_drop", "e15_quantile_sketch",
+    "q39_not_in_null_semantics",
     # --- implementations CHANGED in round 4 ------------------------------
     "lf08_wide_types_roundtrip", "s04_ivf_trained_topk", "e07_asof_join",
     "e08_kmv_distinct_sketch", "s06_bm25_topk",

@@ -775,3 +775,51 @@ def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_checksum",
         F.col("hll_estimate").alias("rolling_uniques"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# e15 — integer-histogram quantile sketch (operators/sketches
+# .quantile_sketch): the rank-query member of the sketch family (HLL/KMV =
+# distinct, count-min = frequency). Fixed-width buckets over exact cents,
+# quantile = lower bound of the first bucket reaching ceil(q*n) cumulative
+# count — all-integer, so DuckDB replays it bit-for-bit where
+# t-digest/KLL float centroids never could. Histograms merge by adding
+# counts (same rollup property as HLL registers).
+# ---------------------------------------------------------------------------
+@register(
+    "e15_quantile_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS pri,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(38,2)) * 100) AS BIGINT)
+               // 10000 AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    h AS (SELECT pri, bucket, COUNT(*) AS cnt FROM b GROUP BY pri, bucket),
+    c AS (SELECT pri, bucket, cnt,
+                 SUM(cnt) OVER (PARTITION BY pri ORDER BY bucket) AS cum,
+                 SUM(cnt) OVER (PARTITION BY pri) AS n_rows
+          FROM h)
+    SELECT pri AS o_orderpriority,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(CASE WHEN cum >= CEIL(n_rows * 0.5)
+                    THEN bucket * 10000 END) AS BIGINT) AS q50_cents,
+           CAST(MIN(CASE WHEN cum >= CEIL(n_rows * 0.95)
+                    THEN bucket * 10000 END) AS BIGINT) AS q95_cents,
+           CAST(MIN(CASE WHEN cum >= CEIL(n_rows * 0.99)
+                    THEN bucket * 10000 END) AS BIGINT) AS q99_cents
+    FROM c
+    GROUP BY pri
+    ORDER BY pri
+    """,
+    doc="integer-histogram quantile sketch per order priority: bucketed "
+        "exact cents, rank via cumulative counts, engine-exact",
+    tags=("events", "sketch", "quantile"),
+)
+def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import quantile_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quantile_sketch(
+        orders, ["o_orderpriority"], "o_totalprice",
+        bucket_width_cents=10_000,
+    ).orderBy("o_orderpriority")

@@ -1676,3 +1676,54 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _q38_orders
         ORDER BY o_custkey, o_orderkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# q39 — NOT IN vs NOT EXISTS under NULLs: the classic three-valued-logic
+# trap. The subquery's key set deliberately CONTAINS a NULL (injected via
+# CASE), so `NOT IN` must return zero rows for every probe (x <> NULL is
+# UNKNOWN) while `NOT EXISTS` with an equality correlation ignores the
+# NULL and returns the true anti-join. Both engines must agree on both
+# counts — a correctness trap engines have historically botched.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey < 500),
+    keys AS (
+      SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_custkey < 400)
+    SELECT
+      CAST((SELECT COUNT(*) FROM probe
+            WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT COUNT(*) FROM probe p
+            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = p.c_custkey))
+           AS BIGINT) AS n_not_exists,
+      CAST((SELECT COUNT(*) FROM probe
+            WHERE c_custkey IN (SELECT k FROM keys)) AS BIGINT) AS n_in
+    """,
+    doc="NOT IN / NOT EXISTS / IN under a NULL-bearing subquery key set "
+        "(three-valued logic parity)",
+    tags=("sql", "subquery", "null-semantics"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q39_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q39_orders")
+    return spark.sql("""
+        WITH probe AS (
+          SELECT c_custkey FROM _q39_cust WHERE c_custkey < 500),
+        keys AS (
+          SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+          FROM _q39_orders WHERE o_custkey < 400)
+        SELECT
+          CAST((SELECT COUNT(*) FROM probe
+                WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT COUNT(*) FROM probe p
+                WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = p.c_custkey))
+               AS BIGINT) AS n_not_exists,
+          CAST((SELECT COUNT(*) FROM probe
+                WHERE c_custkey IN (SELECT k FROM keys)) AS BIGINT) AS n_in
+    """)

@@ -738,3 +738,26 @@ def test_extract_features_deterministic_and_distinct(spark):
     again = {r["doc_id"]: tuple(r["feature"]) for r in
              extract_features(attach_payloads(docs)).collect()}
     assert feats == again
+
+
+def test_quantile_sketch_bounds_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.operators.sketches import quantile_sketch
+
+    df = spark.createDataFrame(
+        [(i % 2, float(i)) for i in range(1, 1001)], "g int, v double"
+    )
+    out = {r["g"]: r for r in
+           quantile_sketch(df, ["g"], "v", bucket_width_cents=1000).collect()}
+    for g in (0, 1):
+        # true medians ~500; bucket lower bound within one bucket (10.0)
+        assert abs(out[g]["q50_cents"] / 100 - 500) <= 10
+        assert abs(out[g]["q99_cents"] / 100 - 990) <= 15
+        assert out[g]["n_rows"] == 500
+    # exactness at the bucket grid: integer values on bucket boundaries
+    exact = quantile_sketch(
+        spark.createDataFrame([(1, 10.0), (1, 20.0), (1, 30.0)], "g int, v double"),
+        ["g"], "v", bucket_width_cents=1000,
+    ).collect()[0]
+    assert exact["q50_cents"] == 2000  # median 20.00 -> its own bucket
