@@ -102,6 +102,7 @@ DEFAULT_QUERIES = [
     "cat15_metastore_namespace",
     "e15_quantile_sketch",
     "q39_not_in_null_semantics",
+    "st09_stream_hll_registers",
 ]
 
 

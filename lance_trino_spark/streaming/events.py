@@ -672,3 +672,38 @@ def late_data_drop_stream(
         )
         .orderBy("event_type", "hour_epoch")
     )
+
+
+def streaming_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers maintained INCREMENTALLY over a multi-microbatch
+    stream: groupBy(group, bucket) MAX(rank) in update mode — register
+    state is a fixed 2^p integers per group in the state store, updated by
+    the same associative MAX that merges batch sketches, so the stream's
+    final registers equal the batch sketch's exactly. Emissions are
+    monotone (MAX only grows), so the post-hoc reduction per (group,
+    bucket) is MAX over update-mode emissions. This is the streaming
+    production shape for rolling uniques: per-trigger cost is bounded by
+    occupied registers, never by the user-id cardinality."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = stream_table_multibatch(spark, sf_dir, "events", n_slices=4)
+    regs = hll_registers(
+        ev.filter(F.col("user_id").isNotNull()), ["event_type"], "user_id"
+    )
+    out, n_batches = run_to_memory_counted(regs, "update")
+    if n_batches < 2:
+        raise AssertionError(
+            f"multibatch source produced {n_batches} microbatch(es); "
+            "cross-batch register state was not exercised"
+        )
+    final = out.groupBy("event_type", "_bucket").agg(
+        F.max("_mr").alias("_mr")
+    )
+    return hll_estimate_from_registers(final, ["event_type"]).orderBy(
+        "event_type"
+    )

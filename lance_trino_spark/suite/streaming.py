@@ -181,3 +181,45 @@ def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import late_data_drop_stream
 
     return late_data_drop_stream(spark, sf_dir)
+
+
+@register(
+    "st09_stream_hll_registers",
+    # identical final state to the batch sketch — e12's oracle shape
+    oracle="""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    keyed AS (
+      SELECT event_type,
+             CAST(h // 16777216 AS INT) AS bucket,
+             CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 24 - (length(printf('%b', h % 16777216)) - 1)
+             END AS rank
+      FROM hashed),
+    regs AS (
+      SELECT event_type, bucket, MAX(rank) AS mr
+      FROM keyed GROUP BY event_type, bucket),
+    agg AS (
+      SELECT event_type, COUNT(*) AS nonempty, SUM(1 << (25 - mr)) AS isum
+      FROM regs GROUP BY event_type)
+    SELECT event_type,
+           CAST(256 - nonempty AS BIGINT) AS empty_buckets,
+           CAST(isum + (256 - nonempty) * 33554432 AS BIGINT)
+             AS rank_checksum,
+           CAST(FLOOR(1579498136381.3938 /
+                (isum + (256 - nonempty) * 33554432)) AS BIGINT)
+             AS hll_estimate
+    FROM agg
+    ORDER BY event_type
+    """,
+    doc="streaming HLL: registers maintained incrementally across real "
+        "microbatches equal the batch sketch exactly (associative MAX "
+        "state, bounded per-trigger cost)",
+    tags=("streaming", "sketch", "hll", "state"),
+)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import streaming_hll_stream
+
+    return streaming_hll_stream(spark, sf_dir)
