@@ -573,6 +573,8 @@ class LanceCatalog:
         history): one row per retained version with commit time + operation."""
         path = self.table_path(m.group("ns"), m.group("tbl"))
         rows = []
+        import json as _json
+
         for v in LanceDataset.open(path).versions():
             mf = read_manifest(path, v)
             rows.append(
@@ -583,12 +585,15 @@ class LanceCatalog:
                     mf.total_rows,
                     len(mf.fragments),
                     mf.read_version,
+                    _json.dumps(mf.commit_metadata, sort_keys=True)
+                    if mf.commit_metadata else None,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version int, operation string, timestamp_ms long, "
-            "total_rows long, n_fragments int, read_version int",
+            "total_rows long, n_fragments int, read_version int, "
+            "commit_metadata string",
         )
 
     def _h_vacuum(self, m) -> DataFrame:

@@ -412,10 +412,15 @@ class LanceDataset:
         return LanceDataset(path, m)
 
     def append(
-        self, df: DataFrame, max_rows_per_file: int = MAX_ROWS_PER_FILE
+        self,
+        df: DataFrame,
+        max_rows_per_file: int = MAX_ROWS_PER_FILE,
+        commit_metadata: dict | None = None,
     ) -> "LanceDataset":
         """INSERT/append (A11): distributed fragment write + single Append
-        commit; safe to retry on conflict (append commutes)."""
+        commit; safe to retry on conflict (append commutes).
+        ``commit_metadata`` records user provenance (run ids, job names)
+        on the commit — surfaced by DESCRIBE HISTORY."""
         if self.manifest.properties.get(VECTOR_PROP):
             df = enforce_vector_columns(
                 df, parse_vector_columns(self.manifest.properties[VECTOR_PROP])
@@ -450,6 +455,7 @@ class LanceDataset:
                 read_version=self.version,
                 max_fragment_id=base.max_fragment_id + len(new_frags),
                 properties=base.properties,
+                commit_metadata=commit_metadata,
             )
             try:
                 commit_manifest(self.path, m)

@@ -108,6 +108,10 @@ class Manifest:
     timestamp_ms: int = 0
     max_fragment_id: int = -1
     properties: dict = field(default_factory=dict)  # e.g. streaming epochs
+    # user-supplied provenance for THIS commit (Delta commitInfo.userMetadata
+    # analogue): pipeline run ids, job names, source offsets... — surfaced by
+    # DESCRIBE HISTORY, never interpreted by the engine
+    commit_metadata: dict | None = None
 
     @property
     def total_rows(self) -> int:
@@ -125,6 +129,8 @@ class Manifest:
             "timestamp_ms": self.timestamp_ms,
             "max_fragment_id": self.max_fragment_id,
             "properties": self.properties,
+            **({"commit_metadata": self.commit_metadata}
+               if self.commit_metadata else {}),
         }
 
     @staticmethod
@@ -138,6 +144,7 @@ class Manifest:
             timestamp_ms=d.get("timestamp_ms", 0),
             max_fragment_id=d.get("max_fragment_id", -1),
             properties=d.get("properties", {}),
+            commit_metadata=d.get("commit_metadata"),
         )
 
 

@@ -368,3 +368,34 @@ def test_tags_lifecycle_and_vacuum_pinning(spark, tmp_path):
     LanceDataset.vacuum(path, keep_versions=1)
     with pytest.raises(Exception):
         LanceDataset.open(path, version=1)
+
+
+def test_commit_metadata_provenance(spark, tmp_path):
+    from lance_trino_spark.catalog import LanceCatalog
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    path = str(tmp_path / "prov.lance")
+    ds = LanceDataset.create(path, spark.range(5).selectExpr("id AS k"))
+    ds = ds.append(
+        spark.range(5, 8).selectExpr("id AS k"),
+        commit_metadata={"job": "ingest-42", "source_offset": 1234},
+    )
+    assert ds.manifest.commit_metadata == {
+        "job": "ingest-42", "source_offset": 1234
+    }
+    # survives the manifest round-trip and is absent on plain commits
+    reread = LanceDataset.open(path, version=2)
+    assert reread.manifest.commit_metadata["job"] == "ingest-42"
+    assert LanceDataset.open(path, version=1).manifest.commit_metadata is None
+    # surfaced through DESCRIBE HISTORY
+    cat = LanceCatalog(spark, str(tmp_path / "provcat"))
+    cat.sql("CREATE SCHEMA pv")
+    spark.range(3).selectExpr("id AS k").createOrReplaceTempView("_prov_src")
+    cat.sql("CREATE TABLE pv.t AS SELECT * FROM _prov_src")
+    cat.load("pv", "t").append(
+        spark.range(3, 5).selectExpr("id AS k"),
+        commit_metadata={"run": "r1"},
+    )
+    hist = {r["version"]: r["commit_metadata"]
+            for r in cat.sql("DESCRIBE HISTORY pv.t").collect()}
+    assert hist[1] is None and '"run": "r1"' in hist[2]
