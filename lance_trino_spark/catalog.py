@@ -44,6 +44,7 @@ DDL surface, docs/src/operations/ddl/*):
     DROP TAG <name> ON <schema>.<table>
     SHOW TAGS <schema>.<table>
     SHOW STATS [FOR] <schema>.<table>        -- zone-map column statistics
+    SHOW CREATE TABLE <schema>.<table>
     SELECT ... FROM <schema>.<table> VERSION AS OF '<tag>'
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
@@ -466,6 +467,42 @@ class LanceCatalog:
             f"v{ds.version}"
         )
 
+    def _h_show_create(self, m) -> DataFrame:
+        """`SHOW CREATE TABLE <schema>.<table>` — reconstructed DDL with
+        the table's properties (vector columns, indexes, blob columns)
+        rendered as WITH options, Trino-style."""
+        ns, tbl = m.group("ns"), m.group("tbl")
+        ds = self.load(ns, tbl)
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in ds.schema.fields
+        )
+        props = []
+        p = ds.manifest.properties
+        if p.get("vector_columns"):
+            spec = p["vector_columns"]
+            if isinstance(spec, dict):
+                spec = ", ".join(f"{k}:{v}" for k, v in sorted(spec.items()))
+            props.append(f"vector_columns = '{spec}'")
+        if p.get("blob_columns"):
+            props.append(
+                "blob_columns = '" + ", ".join(p["blob_columns"]) + "'"
+            )
+        if p.get("scalar_indexes"):
+            props.append(
+                "scalar_indexes = '" + ", ".join(p["scalar_indexes"]) + "'"
+            )
+        if p.get("vector_indexes"):
+            props.append(
+                "vector_indexes = '"
+                + ", ".join(sorted(p["vector_indexes"])) + "'"
+            )
+        with_clause = (
+            "\nWITH (\n  " + ",\n  ".join(props) + "\n)" if props else ""
+        )
+        ddl = f"CREATE TABLE {ns}.{tbl} (\n  {cols}\n){with_clause}"
+        return self.spark.createDataFrame([(ddl,)], "create_table string")
+
     def _h_show_stats(self, m) -> DataFrame:
         """`SHOW STATS <schema>.<table>` — per-column min/max/null-count
         aggregated from the manifest's fragment zone maps plus the O(1) row
@@ -736,6 +773,10 @@ class LanceCatalog:
         (
             rf"SHOW\s+STATS\s+(?:FOR\s+)?(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
             _h_show_stats,
+        ),
+        (
+            rf"SHOW\s+CREATE\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
+            _h_show_create,
         ),
         (
             rf"TABLE\s+CHANGES\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

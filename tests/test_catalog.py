@@ -436,3 +436,21 @@ def test_metastore_namespace_lifecycle(spark, tmp_path):
     assert "lance_ms_test" not in [
         r[0] for r in cat.sql("SHOW SCHEMAS").collect()
     ]
+
+
+def test_show_create_table(spark, tmp_path):
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, str(tmp_path / "sct"))
+    cat.sql("CREATE SCHEMA sc")
+    spark.range(20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v",
+        "array(CAST(id AS FLOAT), CAST(id+1 AS FLOAT)) AS emb",
+    ).createOrReplaceTempView("_sct_src")
+    cat.sql("CREATE TABLE sc.t AS SELECT * FROM _sct_src")
+    cat.sql("CREATE INDEX ON sc.t (k)")
+    ddl = cat.sql("SHOW CREATE TABLE sc.t").collect()[0][0]
+    assert "CREATE TABLE sc.t" in ddl
+    assert "k BIGINT" in ddl and "v DOUBLE" in ddl
+    assert "emb ARRAY<FLOAT>" in ddl
+    assert "scalar_indexes = 'k'" in ddl
