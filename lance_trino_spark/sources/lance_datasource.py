@@ -390,6 +390,27 @@ def _fill_missing(table, schema: StructType, missing):
     return table.select([f.name for f in schema.fields])
 
 
+def _resolve_version(path: str, options: dict) -> int:
+    """Pinned version from read options: versionAsOf (int), timestampAsOf
+    (epoch ms), or tagAsOf (named ref, format/refs.py) — at most one."""
+    version = options.get("versionasof")
+    ts = options.get("timestampasof")
+    tag = options.get("tagasof")
+    if sum(x is not None for x in (version, ts, tag)) > 1:
+        raise ValueError(
+            "specify at most one of versionAsOf / timestampAsOf / tagAsOf"
+        )
+    if tag is not None:
+        from ..format.refs import resolve_tag
+
+        return resolve_tag(path, tag)
+    if version is not None:
+        return int(version)
+    if ts is not None:
+        return version_at_timestamp(path, int(ts))
+    return latest_version(path)
+
+
 def _conform_table(table, schema: StructType):
     """Reorder a pruned-read table's columns (and nested struct fields) to the
     schema — types are untouched; only ordering differs after a leaf read."""
@@ -410,15 +431,7 @@ class LanceScanReaderNoPushdown(DataSourceReader):
     this subclass-free variant keeps scans working (all filters residual)."""
 
     def __init__(self, path: str, schema: StructType, options: dict):
-        version = options.get("versionasof")
-        ts = options.get("timestampasof")
-        if version is not None:
-            v = int(version)
-        elif ts is not None:
-            v = version_at_timestamp(path, int(ts))
-        else:
-            v = latest_version(path)
-        self._manifest = read_manifest(path, v)
+        self._manifest = read_manifest(path, _resolve_version(path, options))
         self._path = path
         self._schema = schema
         self._batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
@@ -830,14 +843,7 @@ class LanceSparkDataSource(DataSource):
 
     def schema(self) -> StructType:
         path = self._path()
-        version = self.options.get("versionasof")
-        ts = self.options.get("timestampasof")
-        if version is not None:
-            v = int(version)
-        elif ts is not None:
-            v = version_at_timestamp(path, int(ts))
-        else:
-            v = latest_version(path)
+        v = _resolve_version(path, dict(self.options))
         full = StructType.fromJson(read_manifest(path, v).schema_json)
         if (self.options.get("mode") or "").lower() == "cdc":
             # streaming CDC: rows are tagged insert/delete (table_changes'

@@ -747,3 +747,27 @@ def test_cdc_stream_events_and_rewrite_guard(spark, tmp_path):
     LanceDataset.open(path).compact(spark, target_rows_per_file=100)
     with pytest.raises(Exception, match="rewrite|overwrite"):
         _drain()
+
+
+def test_tag_as_of_read_option(spark, tmp_path):
+    import pytest
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "tagread.lance")
+    ds = LanceDataset.create(path, spark.range(10).selectExpr("id AS k"))
+    ds.create_tag("v1")
+    ds.append(spark.range(10, 30).selectExpr("id AS k"))
+    assert (
+        spark.read.format("lance").option("tagAsOf", "v1").load(path).count()
+        == 10
+    )
+    assert spark.read.format("lance").load(path).count() == 30
+    with pytest.raises(Exception, match="at most one"):
+        spark.read.format("lance").option("tagAsOf", "v1").option(
+            "versionAsOf", "1"
+        ).load(path).count()
