@@ -454,3 +454,50 @@ def test_show_create_table(spark, tmp_path):
     assert "k BIGINT" in ddl and "v DOUBLE" in ddl
     assert "emb ARRAY<FLOAT>" in ddl
     assert "scalar_indexes = 'k'" in ddl
+
+
+def test_router_case_and_whitespace_invariance(spark, tmp_path):
+    """Every routed statement must tolerate arbitrary case and interior
+    whitespace — regex routers rot exactly here."""
+    import re
+
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, str(tmp_path / "fuzzcat"))
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").createOrReplaceTempView(
+        "_fuzz_src"
+    )
+    statements = [
+        "CREATE SCHEMA fz",
+        "CREATE TABLE fz.t AS SELECT * FROM _fuzz_src",
+        "INSERT INTO fz.t SELECT 100 AS k, 200 AS v",
+        "UPDATE fz.t SET v = v + 1 WHERE k = 0",
+        "DELETE FROM fz.t WHERE k = 1",
+        "CREATE INDEX ON fz.t (k)",
+        "CREATE TAG snap ON fz.t",
+        "SHOW TAGS fz.t",
+        "SHOW STATS FOR fz.t",
+        "SHOW CREATE TABLE fz.t",
+        "DESCRIBE HISTORY fz.t",
+        "ALTER TABLE fz.t ADD COLUMN note STRING",
+        "ALTER TABLE fz.t DROP COLUMN note",
+        "OPTIMIZE fz.t",
+        "VACUUM fz.t RETAIN 2 VERSIONS",
+        "SELECT COUNT(*) AS n FROM fz.t",
+    ]
+
+    def mangle(stmt: str, mode: int) -> str:
+        # identifiers are case-sensitive by design (only KEYWORDS are
+        # case-insensitive) — all identifiers here are lowercase, so
+        # full lower() exercises keyword folding without renaming them
+        if mode == 0:
+            return stmt.lower()
+        if mode == 1:
+            return re.sub(r"\s+", "   ", stmt)
+        return stmt
+
+    for i, stmt in enumerate(statements):
+        out = cat.sql(mangle(stmt, i % 3))
+        assert out is not None, stmt
+    # identifiers keep their case even when keywords are mangled
+    assert cat.sql("select count(*) as n from fz.t").collect()[0]["n"] >= 9
