@@ -68,3 +68,39 @@ def test_mor_delete_equals_filter_property(spark, tmp_path_factory, values, cuto
     want = sorted((i, v) for i, v in enumerate(values) if not (v < cutoff))
     assert got == want
     assert ds.count_rows() == len(want)
+
+
+def test_concurrent_append_storm_with_tag_and_index(spark, tmp_path):
+    """Heavier race: 8 threads appending while a tag is created mid-storm —
+    every append lands exactly once, the tag pins whatever version it saw,
+    and the scalar index built afterwards covers every fragment."""
+    path = str(tmp_path / "storm.lance")
+    LanceDataset.create(path, spark.range(10).select(F.col("id").alias("x")))
+
+    def append_batch(i: int) -> int:
+        ds = LanceDataset.open(path)
+        out = ds.append(
+            spark.range(1000 * (i + 1), 1000 * (i + 1) + 20).select(
+                F.col("id").alias("x")
+            )
+        )
+        if i == 3:
+            out.create_tag(f"mid-{out.version}")
+        return out.version
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = sorted(ex.map(append_batch, range(8)))
+
+    final = LanceDataset.open(path)
+    assert final.count_rows() == 10 + 8 * 20
+    assert versions == list(range(2, 10))  # unique, gap-free commits
+    tags = final.tags()
+    assert len(tags) == 1
+    (tag_name, tag_v), = tags.items()
+    assert LanceDataset.open(path, tag=tag_name).version == tag_v
+    idx = final.create_scalar_index(spark, "x")
+    got = {
+        r["x"]
+        for r in idx.to_df(spark, filter="x = 5005").collect()
+    }
+    assert got == {5005}

@@ -73,3 +73,34 @@ def test_jvm_catalog_via_add_jar(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.catalog.lance_jvm_t")
         spark.conf.unset("spark.sql.catalog.lance_jvm_t.root")
+
+
+def test_jvm_catalog_reads_evolved_schema(spark, tmp_path):
+    """Metadata-only ADD COLUMN through the Python API must be visible via
+    the JVM catalog's delegated parquet scan: the table schema comes from
+    the manifest, so old fragments null-fill natively in Spark's reader."""
+    _ensure_jar()
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    root = str(tmp_path / "wh2")
+    os.makedirs(os.path.join(root, "evo"))
+    path = os.path.join(root, "evo", "t.lance")
+    ds = LanceDataset.create(
+        path, spark.range(6).selectExpr("id AS k")
+    )
+    ds = ds.add_column("score", "double")
+    ds.append(spark.range(6, 9).selectExpr("id AS k", "CAST(id AS DOUBLE) AS score"))
+
+    spark.sql(f"ADD JAR {JAR}")
+    spark.conf.set("spark.sql.catalog.lance_jvm_e", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm_e.root", root)
+    try:
+        rows = spark.sql(
+            "SELECT k, score FROM lance_jvm_e.evo.t ORDER BY k"
+        ).collect()
+        assert len(rows) == 9
+        assert all(r.score is None for r in rows[:6])
+        assert [r.score for r in rows[6:]] == [6.0, 7.0, 8.0]
+    finally:
+        spark.conf.unset("spark.sql.catalog.lance_jvm_e")
+        spark.conf.unset("spark.sql.catalog.lance_jvm_e.root")
