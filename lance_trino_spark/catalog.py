@@ -46,6 +46,7 @@ DDL surface, docs/src/operations/ddl/*):
     SHOW STATS [FOR] <schema>.<table>        -- zone-map column statistics
     SHOW CREATE TABLE <schema>.<table>
     SELECT ... FROM <schema>.<table> VERSION AS OF '<tag>'
+    EXPLAIN [FORMATTED|EXTENDED] <select>  -- plan with pinned snapshots
     SELECT ... FROM <schema>.<table> [FOR] VERSION AS OF <n>
                                      [FOR] TIMESTAMP AS OF '<ts>' ...
 
@@ -226,6 +227,24 @@ class LanceCatalog:
     # ------------------------------------------------------------ SQL router
     def sql(self, query: str) -> DataFrame:
         q = query.strip().rstrip(";").strip()
+        # EXPLAIN [FORMATTED|EXTENDED] <select>: resolve table refs exactly
+        # like a real run (same pinned snapshots, same broadcast hints) and
+        # return the physical plan as one row instead of executing.
+        em = re.match(
+            r"EXPLAIN\s+(?:(?P<mode>FORMATTED|EXTENDED)\s+)?(?P<body>SELECT\b.*)$",
+            q, re.IGNORECASE | re.DOTALL,
+        )
+        if em:
+            df = self._select(em.group("body"))
+            mode = (em.group("mode") or "simple").lower()
+            plan = df._jdf.queryExecution()
+            text = (
+                plan.explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString(mode)
+                )
+            )
+            return self.spark.createDataFrame([(text,)], "plan string")
         for pattern, handler in self._ROUTES:
             m = re.match(pattern, q, re.IGNORECASE | re.DOTALL)
             if m:

@@ -501,3 +501,21 @@ def test_router_case_and_whitespace_invariance(spark, tmp_path):
         assert out is not None, stmt
     # identifiers keep their case even when keywords are mangled
     assert cat.sql("select count(*) as n from fz.t").collect()[0]["n"] >= 9
+
+
+def test_explain_route(spark, tmp_path):
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, str(tmp_path / "explcat"))
+    cat.sql("CREATE SCHEMA ex")
+    spark.range(50).selectExpr("id AS k").createOrReplaceTempView("_expl_src")
+    cat.sql("CREATE TABLE ex.t AS SELECT * FROM _expl_src")
+    plan = cat.sql("EXPLAIN SELECT k FROM ex.t WHERE k > 10").collect()[0][0]
+    assert "Physical Plan" in plan and "FileScan parquet" in plan
+    # pushed filter visible in the plan — the EXPLAIN sees the same pinned
+    # snapshot resolution as a real run
+    assert "k#" in plan and "10" in plan
+    fm = cat.sql(
+        "EXPLAIN FORMATTED SELECT COUNT(*) AS n FROM ex.t"
+    ).collect()[0][0]
+    assert "Physical Plan" in fm
