@@ -59,6 +59,16 @@ def shingle_hashes(
     string): under 32-bit collisions a document's set can be smaller by a
     hair, which is the standard trade — and the suite oracles replicate
     hash-distinctness exactly."""
+    # Small-input parallelization guard: a corpus that arrives as fewer
+    # input splits than the cluster has slots (e.g. one small parquet file)
+    # would run the whole shingle+hash projection in ONE task. Repartition
+    # only in that case — the shuffle moves just the raw text, which is by
+    # definition small here; at real scale input splits already saturate
+    # the cluster and this is a no-op.
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, slots // 2):
+        df = df.repartition(slots)
     # Tokenize ONCE in its own projection: referencing split() inside the
     # transform() lambda would re-evaluate it per shingle (Spark does no CSE
     # inside higher-order functions) — O(tokens²) per document.
