@@ -103,6 +103,7 @@ DEFAULT_QUERIES = [
     "e15_quantile_sketch",
     "q39_not_in_null_semantics",
     "st09_stream_hll_registers",
+    "s11_hnsw_index",
 ]
 
 

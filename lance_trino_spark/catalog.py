@@ -32,7 +32,7 @@ DDL surface, docs/src/operations/ddl/*):
     CREATE INDEX ON <schema>.<table> (<col>)
     DROP [VECTOR] INDEX ON <schema>.<table> (<col>)
     CREATE VECTOR INDEX ON <schema>.<table> (<col>)
-      [USING IVF_FLAT|IVF_PQ] [WITH (n_cells = N)]
+      [USING IVF_FLAT|IVF_PQ|HNSW] [WITH (n_cells = N)]
     VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
       [TOP <k>] [NPROBE <n>] [WHERE <col2> IN (v, ...)]
       -- queries table: (query_id, <col>); WHERE is a true PREFILTER
@@ -765,7 +765,7 @@ class LanceCatalog:
         (
             rf"CREATE\s+VECTOR\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
-            rf"(?:\s+USING\s+(?P<kind>IVF_FLAT|IVF_PQ))?"
+            rf"(?:\s+USING\s+(?P<kind>IVF_FLAT|IVF_PQ|HNSW))?"
             rf"(?:\s+WITH\s*\(\s*n_cells\s*=\s*(?P<ncells>\d+)\s*\))?$",
             _h_create_vector_index,
         ),

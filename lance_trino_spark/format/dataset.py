@@ -964,6 +964,10 @@ class LanceDataset:
         commit_manifest(self.path, m)
         _sh.rmtree(os.path.join(self.path, vindex_dir(column)),
                    ignore_errors=True)
+        from .index import INDICES_DIR as _IDX
+
+        _sh.rmtree(os.path.join(self.path, _IDX, f"{column}.hnsw"),
+                   ignore_errors=True)
         return LanceDataset(self.path, m)
 
     # -------------------------------------------------------- vector index
@@ -976,20 +980,30 @@ class LanceDataset:
         sample: int = 4096,
         index_type: str = "IVF_FLAT",
         pq_m: int = 8,
+        hnsw_m: int = 8,
+        hnsw_ef_construction: int = 64,
     ) -> "LanceDataset":
-        """Build a persisted IVF vector index for `column` (Lance's flagship
+        """Build a persisted vector index for `column` (Lance's flagship
         capability — `docs/src/performance.md:21-58` index cache of "opened
-        vector indices", fixture `_indices/`). Trains a deterministic
-        coarse codebook (and PQ sub-codebooks for IVF_PQ) on a bounded
-        fragment-ordered sample on the driver, then builds one postings
-        sidecar per fragment in parallel (mapInPandas, no shuffle), and
-        commits the index registration as a new manifest version."""
+        vector indices", fixture `_indices/`).
+
+        IVF_FLAT / IVF_PQ: trains a deterministic coarse codebook (and PQ
+        sub-codebooks) on a bounded fragment-ordered sample on the driver,
+        then builds one postings sidecar per fragment in parallel.
+
+        HNSW: no training — one deterministic layered graph per fragment
+        (insertion in row order, hash-derived levels, no RNG), the
+        latency-optimal family: a search loads the probed fragment's whole
+        graph but computes far fewer distances than IVF probing. All types
+        build fragment-parallel (mapInPandas, no shuffle) and commit the
+        registration as a new manifest version."""
         import numpy as np
         import pandas as pd
         import pyarrow.parquet as _pq
 
         from .vector_index import (
             VINDEX_PROP,
+            build_fragment_hnsw,
             build_fragment_postings,
             train_index,
             write_index_meta,
@@ -997,6 +1011,50 @@ class LanceDataset:
 
         if column not in {f.name for f in self.schema.fields}:
             raise ValueError(f"no such column to index: {column!r}")
+        if index_type == "HNSW":
+            root = self.path
+            frag_paths = [f.path for f in self.manifest.fragments]
+            if frag_paths:
+                def _build_h(batches):
+                    for pdf in batches:
+                        for p in pdf["path"]:
+                            build_fragment_hnsw(
+                                root, p, column, hnsw_m, hnsw_ef_construction
+                            )
+                        yield pd.DataFrame({"path": pdf["path"]})
+
+                built = (
+                    spark.createDataFrame(
+                        [(p,) for p in frag_paths], "path string"
+                    )
+                    .repartition(len(frag_paths))
+                    .mapInPandas(_build_h, "path string")
+                    .count()
+                )
+                assert built == len(frag_paths)
+            base = read_manifest(self.path, latest_version(self.path))
+            if base.version != self.version:
+                raise CommitConflictError(
+                    f"dataset advanced to v{base.version} since "
+                    f"v{self.version} was read"
+                )
+            registered = dict(base.properties.get(VINDEX_PROP, {}))
+            registered[column] = {
+                "index_type": "HNSW", "m": int(hnsw_m),
+                "ef_construction": int(hnsw_ef_construction),
+                "metric": "cosine",
+            }
+            m = Manifest(
+                version=base.version + 1,
+                schema_json=base.schema_json,
+                fragments=base.fragments,
+                operation="create_index",
+                read_version=self.version,
+                max_fragment_id=base.max_fragment_id,
+                properties={**base.properties, VINDEX_PROP: registered},
+            )
+            commit_manifest(self.path, m)
+            return LanceDataset(self.path, m)
         # bounded, deterministic, deletion-aware training sample: fragments
         # in manifest order, first `sample` live rows — cost independent of
         # dataset size (the standard IVF recipe: FAISS/Lance sample too)
@@ -1077,29 +1135,47 @@ class LanceDataset:
         registered = self.manifest.properties.get(VINDEX_PROP, {})
         if not registered:
             return 0
+        from .vector_index import build_fragment_hnsw, hnsw_rel
+
         root = self.path
+
+        def _sidecar(col: str, frag_path: str) -> str:
+            if registered[col].get("index_type") == "HNSW":
+                return hnsw_rel(col, frag_path)
+            return postings_rel(col, frag_path)
+
         todo = [
             (f.path, col)
             for col in registered
             for f in self.manifest.fragments
-            if not os.path.exists(os.path.join(root, postings_rel(col, f.path)))
+            if not os.path.exists(os.path.join(root, _sidecar(col, f.path)))
         ]
         if not todo:
             return 0
         codebooks = {
             col: (
-                load_centroids(root, col),
-                load_pq_codebooks(root, col, meta)
-                if meta.get("index_type") == "IVF_PQ" else None,
+                (None, None) if meta.get("index_type") == "HNSW" else (
+                    load_centroids(root, col),
+                    load_pq_codebooks(root, col, meta)
+                    if meta.get("index_type") == "IVF_PQ" else None,
+                )
             )
             for col, meta in registered.items()
         }
+        metas = dict(registered)
 
         def _build(batches):
             for pdf in batches:
                 for p, col in zip(pdf["path"], pdf["col"]):
-                    cents, books = codebooks[col]
-                    build_fragment_postings(root, p, col, cents, books)
+                    meta = metas[col]
+                    if meta.get("index_type") == "HNSW":
+                        build_fragment_hnsw(
+                            root, p, col,
+                            meta.get("m", 8), meta.get("ef_construction", 64),
+                        )
+                    else:
+                        cents, books = codebooks[col]
+                        build_fragment_postings(root, p, col, cents, books)
                 yield pdf[["path"]]
 
         n = (
@@ -1123,6 +1199,7 @@ class LanceDataset:
         with_io_stats: bool = False,
         max_queries: int = 4096,
         prefilter: tuple[str, list] | None = None,
+        ef_search: int = 48,
     ) -> DataFrame:
         """Index-backed ANN search: top-k cosine neighbors per query row.
 
@@ -1178,15 +1255,19 @@ class LanceDataset:
         from .vector_index import nearest_cells
 
         root = self.path
-        meta = load_index_meta(root, column)
-        centroids = load_centroids(root, column)
-        pq_books = (
-            load_pq_codebooks(root, column, meta)
-            if meta.get("index_type") == "IVF_PQ" else None
-        )
+        meta = registered[column]
+        is_hnsw = meta.get("index_type") == "HNSW"
         q_ids = [r[0] for r in rows]
         q_vecs = np.array([r[1] for r in rows], dtype=np.float64)
-        q_cells = nearest_cells(q_vecs, centroids, nprobe)
+        if is_hnsw:
+            centroids = pq_books = q_cells = None
+        else:
+            centroids = load_centroids(root, column)
+            pq_books = (
+                load_pq_codebooks(root, column, meta)
+                if meta.get("index_type") == "IVF_PQ" else None
+            )
+            q_cells = nearest_cells(q_vecs, centroids, nprobe)
 
         qid_field = queries.schema["query_id"]
         name_of = {f.name: f for f in self.schema.fields}
@@ -1244,14 +1325,26 @@ class LanceDataset:
                             .to_numpy(zero_copy_only=False)
                             .astype(np.int64)
                         )
-                    hits, n_read = search_fragment(
-                        root, p, column, centroids, pq_books,
-                        q_ids, q_vecs, q_cells, k, id_columns,
-                        deletion_indices=del_idx, refine=refine,
-                        allowed_indices=(
-                            _allowed(p) if pf_col is not None else None
-                        ),
-                    )
+                    if is_hnsw:
+                        from .vector_index import search_fragment_hnsw
+
+                        hits, n_read = search_fragment_hnsw(
+                            root, p, column, q_ids, q_vecs, k, id_columns,
+                            deletion_indices=del_idx,
+                            ef_search=max(ef_search, k),
+                            allowed_indices=(
+                                _allowed(p) if pf_col is not None else None
+                            ),
+                        )
+                    else:
+                        hits, n_read = search_fragment(
+                            root, p, column, centroids, pq_books,
+                            q_ids, q_vecs, q_cells, k, id_columns,
+                            deletion_indices=del_idx, refine=refine,
+                            allowed_indices=(
+                                _allowed(p) if pf_col is not None else None
+                            ),
+                        )
                     yield pd.DataFrame(
                         [(*h, n_read) for h in hits],
                         columns=[f.name for f in out_fields],

@@ -424,3 +424,258 @@ def search_fragment(
                      float(cos[j]), int(short[j]))
                 )
     return out_rows, postings_read
+
+
+# --------------------------------------------------------------------- HNSW
+# Per-fragment HNSW graphs — the latency-optimal ANN index family,
+# complementing IVF (which is IO-optimal: it reads ~nprobe/n_cells of the
+# index; HNSW loads a whole fragment's graph but computes far fewer
+# distances). Deterministic construction: insertion in row order, levels
+# from a hash-derived uniform (no RNG), greedy+beam search identical on
+# every run — so recall gates replay exactly. The sidecar serializes graph
+# + float32 vectors per fragment; search is fragment-parallel with a tiny
+# global top-k merge, the disk-ANN-style sharded-graph layout.
+
+HNSW_M = 8           # neighbors per node per level
+HNSW_EF_CONSTRUCTION = 64
+HNSW_EF_SEARCH = 48
+
+
+def _hash_uniform(i: int) -> float:
+    """Deterministic pseudo-uniform in (0, 1) from a row index (md5-based,
+    same provenance as h32) — replaces HNSW's RNG level draw."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hnsw:{i}".encode()).hexdigest()[:8], 16)
+    return (h + 1) / (0xFFFFFFFF + 2)
+
+
+def build_hnsw(vecs, m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION):
+    """Construct the layered graph for one fragment's vectors (cosine via
+    normalized dot). Returns (levels, neighbors, entry): levels[i] = top
+    level of node i; neighbors = dict[(level, i)] -> list[int]."""
+    import math
+
+    import numpy as np
+
+    n = len(vecs)
+    x = np.asarray(vecs, dtype=np.float32)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    xn = x / norms[:, None]
+    ml = 1.0 / math.log(max(2, m))
+    levels = [int(-math.log(_hash_uniform(i)) * ml) for i in range(n)]
+    neighbors: dict[tuple[int, int], list[int]] = {}
+    entry = 0
+    max_level = -1
+
+    def _search_layer(q, ep, level, width):
+        """Beam search on one layer from entry points `ep`; returns up to
+        `width` (sim, node) best, sorted desc. Deterministic: ties broken
+        by node id via the sort key."""
+        import heapq
+
+        visited = set(ep)
+        cand = [(-float(xn[e] @ q), e) for e in ep]
+        heapq.heapify(cand)
+        best = sorted([(-s, e) for s, e in cand], reverse=True)[:width]
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if -negs < best[-1][0] and len(best) >= width:
+                break
+            for nb in neighbors.get((level, c), ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                sim = float(xn[nb] @ q)
+                if len(best) < width or sim > best[-1][0]:
+                    heapq.heappush(cand, (-sim, nb))
+                    best.append((sim, nb))
+                    best.sort(key=lambda t: (-t[0], t[1]))
+                    del best[width:]
+        return best
+
+    for i in range(n):
+        li = levels[i]
+        if max_level < 0:  # first node
+            for lvl in range(li + 1):
+                neighbors[(lvl, i)] = []
+            entry, max_level = i, li
+            continue
+        q = xn[i]
+        ep = [entry]
+        for lvl in range(max_level, li, -1):
+            ep = [_search_layer(q, ep, lvl, 1)[0][1]]
+        for lvl in range(min(max_level, li), -1, -1):
+            found = _search_layer(q, ep, lvl, ef)
+            chosen = [e for _, e in found[:m]]
+            neighbors[(lvl, i)] = list(chosen)
+            for e in chosen:  # bidirectional, pruned to m by similarity
+                lst = neighbors.setdefault((lvl, e), [])
+                if i not in lst:
+                    lst.append(i)
+                    if len(lst) > m:
+                        lst.sort(
+                            key=lambda j: (-float(xn[e] @ xn[j]), j)
+                        )
+                        del lst[m:]
+            ep = [e for _, e in found]
+        if li > max_level:
+            for lvl in range(max_level + 1, li + 1):
+                neighbors.setdefault((lvl, i), [])
+            entry, max_level = i, li
+    return levels, neighbors, entry
+
+
+def hnsw_rel(column: str, frag_rel_path: str) -> str:
+    return os.path.join(
+        INDICES_DIR, f"{column}.hnsw", os.path.basename(frag_rel_path)
+    )
+
+
+def build_fragment_hnsw(
+    root: str, frag_rel_path: str, column: str,
+    m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION,
+) -> str | None:
+    """Executor-side: one fragment's HNSW sidecar — (row_index, vec,
+    level, neighbors flattened as 'lvl:id,lvl:id,...'). Atomic, idempotent,
+    consult-if-present (None when the column predates the fragment file)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(root, frag_rel_path))
+    if column not in pf.schema_arrow.names:
+        return None
+    data = pq.read_table(os.path.join(root, frag_rel_path), columns=[column])
+    vecs = np.array(
+        [np.asarray(v, dtype=np.float32)
+         for v in data.column(column).to_pylist()]
+    )
+    n = len(data)
+    if n == 0:
+        levels, neighbors, entry = [], {}, -1
+    else:
+        levels, neighbors, entry = build_hnsw(vecs, m, ef)
+    adj = [
+        ",".join(
+            f"{lvl}:{nb}"
+            for lvl in range(levels[i] + 1)
+            for nb in neighbors.get((lvl, i), ())
+        )
+        for i in range(n)
+    ]
+    tbl = pa.table({
+        "row_index": pa.array(range(n), type=pa.int64()),
+        "vec": pa.array([v.tolist() for v in vecs] if n else [],
+                        type=pa.list_(pa.float32())),
+        "level": pa.array(levels, type=pa.int32()),
+        "adj": pa.array(adj, type=pa.string()),
+        "is_entry": pa.array([i == entry for i in range(n)]),
+    })
+    rel = hnsw_rel(column, frag_rel_path)
+    _atomic_write_table(tbl, os.path.join(root, rel), VINDEX_ROW_GROUP)
+    return rel
+
+
+def search_fragment_hnsw(
+    root: str,
+    frag_rel_path: str,
+    column: str,
+    query_ids,
+    query_vecs,
+    k: int,
+    id_columns: list[str],
+    deletion_indices=None,
+    ef_search: int = HNSW_EF_SEARCH,
+    allowed_indices=None,
+):
+    """One fragment's HNSW top-k per query: load the graph sidecar, beam-
+    search each query, exact-cosine results (the sidecar carries the
+    vectors). Deleted/filtered-out nodes still ROUTE (the graph stays
+    connected) but never land in results — the standard filtered-HNSW
+    treatment."""
+    import heapq
+
+    import numpy as np
+
+    from .index import read_rows_by_index
+
+    path = os.path.join(root, hnsw_rel(column, frag_rel_path))
+    if not os.path.exists(path):
+        return [], 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    n = len(t)
+    if n == 0:
+        return [], 0
+    xn = np.array([np.asarray(v, np.float32) for v in t.column("vec").to_pylist()])
+    norms = np.linalg.norm(xn, axis=1)
+    norms[norms == 0] = 1.0
+    xn = xn / norms[:, None]
+    levels = t.column("level").to_numpy()
+    entry = int(np.flatnonzero(t.column("is_entry").to_numpy())[0])
+    neighbors: dict[tuple[int, int], list[int]] = {}
+    for i, s in enumerate(t.column("adj").to_pylist()):
+        if not s:
+            continue
+        for part in s.split(","):
+            lvl, nb = part.split(":")
+            neighbors.setdefault((int(lvl), i), []).append(int(nb))
+    blocked = set()
+    if deletion_indices is not None:
+        blocked |= {int(r) for r in deletion_indices}
+    if allowed_indices is not None:
+        allowed = {int(r) for r in allowed_indices}
+        blocked |= set(range(n)) - allowed
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    out_rows = []
+    hits_per_query = []
+    for qi in range(len(qm)):
+        q = (qm[qi] / qnorm[qi]).astype(np.float32)
+        ep = entry
+        for lvl in range(int(levels.max()), 0, -1):
+            improved = True
+            while improved:
+                improved = False
+                for nb in neighbors.get((lvl, ep), ()):
+                    if float(xn[nb] @ q) > float(xn[ep] @ q):
+                        ep, improved = nb, True
+        # level-0 beam
+        visited = {ep}
+        cand = [(-float(xn[ep] @ q), ep)]
+        best = [(float(xn[ep] @ q), ep)]
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if -negs < best[-1][0] and len(best) >= ef_search:
+                break
+            for nb in neighbors.get((0, c), ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                sim = float(xn[nb] @ q)
+                if len(best) < ef_search or sim > best[-1][0]:
+                    heapq.heappush(cand, (-sim, nb))
+                    best.append((sim, nb))
+                    best.sort(key=lambda x: (-x[0], x[1]))
+                    del best[ef_search:]
+        hits = [(s, i) for s, i in best if i not in blocked][:k]
+        hits_per_query.append(hits)
+    need = sorted({i for hits in hits_per_query for _, i in hits})
+    if not need:
+        return [], n
+    tbl, _ = read_rows_by_index(
+        os.path.join(root, frag_rel_path), need, columns=list(id_columns)
+    )
+    pos_of = {r: j for j, r in enumerate(need)}
+    id_arrays = [tbl.column(c).to_pylist() for c in id_columns]
+    for qi, hits in enumerate(hits_per_query):
+        for sim, i in hits:
+            p = pos_of[i]
+            out_rows.append(
+                (query_ids[qi], *(a[p] for a in id_arrays), float(sim), int(i))
+            )
+    return out_rows, n

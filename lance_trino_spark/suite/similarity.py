@@ -558,3 +558,81 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s11 — persisted HNSW index: the latency-optimal ANN family beside IVF
+# (s09). One deterministic layered graph per fragment — insertion in row
+# order, hash-derived levels, no RNG anywhere — searched fragment-parallel
+# with a beam per query. Self-validating like s04/s09: recall@5 against
+# the exact baseline as oracle-checked scalar floors.
+# ---------------------------------------------------------------------------
+@register(
+    "s11_hnsw_index",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_ann,
+           TRUE AS recall_ok,
+           TRUE AS mean_ok
+    FROM embeddings WHERE vec_id < 10
+    ORDER BY query_id
+    """,
+    doc="persisted HNSW vector index: deterministic per-fragment layered "
+        "graphs, fragment-parallel beam search, self-validating recall@5",
+    tags=("similarity", "ann", "hnsw", "index", "format"),
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..format.dataset import LanceDataset
+    from .lance_format import _fresh_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _fresh_path(sf_dir, "s11")
+    ds = LanceDataset.create(
+        path,
+        emb.select("vec_id", "label", "embedding").orderBy("vec_id").coalesce(1),
+        max_rows_per_file=200,
+    )
+    ds = ds.create_vector_index(
+        spark, "embedding", index_type="HNSW", hnsw_m=8,
+        hnsw_ef_construction=48,
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ds.vector_search(
+        spark, "embedding", queries, k=6, id_columns=["vec_id"],
+        ef_search=48,
+    )
+    rk = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        hits.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    n_hits = (
+        ann.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per = (
+        ann.groupBy("query_id")
+        .agg(F.count("*").alias("n_ann"))
+        .join(n_hits, "query_id", "left")
+        .na.fill({"n_hit": 0})
+        .withColumn("recall", F.col("n_hit") / F.lit(5.0))
+    )
+    return per.select(
+        "query_id",
+        "n_ann",
+        (F.col("recall") >= 0.4).alias("recall_ok"),
+        (F.avg("recall").over(W.partitionBy(F.lit(1))) >= 0.6).alias("mean_ok"),
+    ).orderBy("query_id")

@@ -99,6 +99,8 @@ SUITE_AUDIT_ALLOW = {
     # index-backed search itself is fragment-parallel mapInPandas over
     # postings sidecars (no join at all)
     "s09_persisted_ivf_index": "BroadcastNestedLoopJoin",
+    # s11 embeds the same exact-baseline recall validator (HNSW index)
+    "s11_hnsw_index": "BroadcastNestedLoopJoin",
     # scalar subquery (single-row threshold) planned as nested-loop
     "q11_important_parts": "BroadcastNestedLoopJoin",
     "q22_idle_customers": "BroadcastNestedLoopJoin",

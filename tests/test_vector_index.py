@@ -314,3 +314,92 @@ def test_drop_indexes_and_vacuum_reclaims_orphans(spark, emb):
         spark, "embedding", q, k=1, id_columns=["vec_id"]
     ).collect()
     assert {r["vec_id"] for r in hits} == {0, 1, 2}
+
+
+def test_hnsw_build_search_and_lifecycle(spark, emb):
+    from lance_trino_spark.catalog import LanceCatalog
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.operators.dml import delete
+
+    path = _fresh("hnsw")
+    ds = LanceDataset.create(
+        path,
+        emb.select("vec_id", "label", "embedding").orderBy("vec_id").coalesce(1),
+        max_rows_per_file=150,
+    )
+    ds = ds.create_vector_index(
+        spark, "embedding", index_type="HNSW", hnsw_m=8,
+        hnsw_ef_construction=48,
+    )
+    assert ds.manifest.properties["vector_indexes"]["embedding"][
+        "index_type"] == "HNSW"
+    exact = _exact_topk(spark, emb)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ds.vector_search(
+        spark, "embedding", q, k=6, id_columns=["vec_id"]
+    ).collect()
+    ann = {}
+    for r in sorted(hits, key=lambda r: (r["query_id"], -r["cosine"], r["vec_id"])):
+        if r["vec_id"] != r["query_id"]:
+            ann.setdefault(r["query_id"], [])
+            if len(ann[r["query_id"]]) < 5:
+                ann[r["query_id"]].append(r["vec_id"])
+    pairs = {(qk, n) for qk, ns in ann.items() for n in ns}
+    assert len(pairs & exact) / len(exact) >= 0.6
+    # deterministic across runs
+    hits2 = ds.vector_search(
+        spark, "embedding", q, k=6, id_columns=["vec_id"]
+    ).collect()
+    assert sorted(map(tuple, hits)) == sorted(map(tuple, hits2))
+    # deletion masking: the deleted node routes but never lands in results
+    top = ann[0][0]
+    after = delete(ds, spark, F.col("vec_id") == top)
+    hits3 = after.vector_search(
+        spark, "embedding",
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=3, id_columns=["vec_id"],
+    ).collect()
+    assert top not in {r["vec_id"] for r in hits3}
+    # prefilter composes with the graph search
+    hf = after.vector_search(
+        spark, "embedding", q, k=3, id_columns=["vec_id", "label"],
+        prefilter=("label", [1]),
+    ).collect()
+    assert hf and all(r["label"] == 1 for r in hf)
+    # compaction rebuild from the registered meta (no codebooks needed)
+    out = after.compact(spark, target_rows_per_file=2000, sort_by="vec_id")
+    from lance_trino_spark.format.vector_index import hnsw_rel
+
+    for f in out.manifest.fragments:
+        assert os.path.exists(os.path.join(path, hnsw_rel("embedding", f.path)))
+    # drop removes the graph dir
+    dropped = out.drop_vector_index(spark, "embedding")
+    assert not os.path.isdir(os.path.join(path, "_indices/embedding.hnsw"))
+    assert "embedding" not in dropped.manifest.properties["vector_indexes"]
+
+
+def test_hnsw_sql_route(spark, emb):
+    from lance_trino_spark.catalog import LanceCatalog
+
+    root = os.path.abspath(os.path.join(SCRATCH, "test-hnsw-cat"))
+    shutil.rmtree(root, ignore_errors=True)
+    cat = LanceCatalog(spark, root)
+    cat.sql("CREATE SCHEMA h")
+    emb.select("vec_id", "embedding").limit(200).createOrReplaceTempView(
+        "_hnsw_src"
+    )
+    cat.sql("CREATE TABLE h.c AS SELECT * FROM _hnsw_src")
+    cat.sql(
+        "CREATE TABLE h.q AS SELECT vec_id AS query_id, embedding "
+        "FROM _hnsw_src WHERE vec_id < 3"
+    )
+    status = cat.sql("CREATE VECTOR INDEX ON h.c (embedding) USING HNSW")
+    assert "HNSW" in status.collect()[0][0]
+    hits = cat.sql(
+        "VECTOR SEARCH h.c (embedding) USING h.q TOP 1"
+    ).collect()
+    assert {r["vec_id"] for r in hits} == {0, 1, 2}  # top-1 self-match
