@@ -104,6 +104,7 @@ DEFAULT_QUERIES = [
     "q39_not_in_null_semantics",
     "st09_stream_hll_registers",
     "s11_hnsw_index",
+    "st10_stream_vector_ingest",
 ]
 
 

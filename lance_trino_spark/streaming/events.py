@@ -707,3 +707,38 @@ def streaming_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_registers(final, ["event_type"]).orderBy(
         "event_type"
     )
+
+
+def vector_ingest_stream(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Streaming vector ingestion with LIVE index maintenance — the vector-
+    database pipeline: embeddings arrive as microbatches, each batch lands
+    as an atomic append commit, and the registered vector index's missing
+    per-fragment sidecars are built at the end of every batch
+    (`ensure_vector_index_files` — incremental by construction: only NEW
+    fragments lack sidecars, so per-trigger index work is proportional to
+    the batch, never the corpus). Searches between batches see a complete
+    index; searches racing a batch fall back to consult-if-present for the
+    newest fragments."""
+    from ..format.dataset import LanceDataset
+
+    sdf = stream_table_multibatch(spark, sf_dir, "embeddings", n_slices=4)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ds = LanceDataset.open(path)
+        ds = ds.append(
+            batch_df.select("vec_id", "label", "embedding"),
+            commit_metadata={"stream_batch": int(batch_id)},
+        )
+        ds.ensure_vector_index_files(batch_df.sparkSession)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="lts_vec_ckpt_")
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -88,7 +88,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q34_window_analytics", "q35_grouping_sets", "q36_lateral_explode",
     "q37_recursive_cte", "q38_range_frame_rolling",
     "st08_watermark_late_drop", "e15_quantile_sketch",
-    "q39_not_in_null_semantics", "st09_stream_hll_registers", "s11_hnsw_index",
+    "q39_not_in_null_semantics", "st09_stream_hll_registers", "s11_hnsw_index", "st10_stream_vector_ingest",
     # --- implementations CHANGED in round 4 ------------------------------
     "lf08_wide_types_roundtrip", "s04_ivf_trained_topk", "e07_asof_join",
     "e08_kmv_distinct_sketch", "s06_bm25_topk",

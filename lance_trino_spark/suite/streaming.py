@@ -12,6 +12,7 @@ exact-decimal, or min/max.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming import (
     attribution_join_stream,
@@ -223,3 +224,65 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import streaming_hll_stream
 
     return streaming_hll_stream(spark, sf_dir)
+
+
+@register(
+    "st10_stream_vector_ingest",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id AS neighbor_id,
+           (SELECT COUNT(*) FROM embeddings) AS n_indexed
+    FROM embeddings WHERE vec_id < 15
+    ORDER BY query_id
+    """,
+    doc="streaming vector ingestion with live index maintenance: per-batch "
+        "append commits + incremental sidecar builds, then index-backed "
+        "top-1 self-match over the fully-streamed corpus",
+    tags=("streaming", "ann", "index", "pipeline"),
+)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..format.dataset import LanceDataset
+    from ..streaming.events import vector_ingest_stream
+    from ..tables import load_table
+    from .lance_format import _fresh_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _fresh_path(sf_dir, "st10")
+    # empty table + registered index BEFORE the stream starts: every
+    # arriving fragment gets its sidecar built by its own microbatch
+    ds = LanceDataset.create_empty(
+        path, emb.select("vec_id", "label", "embedding").schema
+    )
+    ds = ds.create_vector_index(
+        spark, "embedding", index_type="HNSW", hnsw_m=8,
+        hnsw_ef_construction=48,
+    )
+    vector_ingest_stream(spark, sf_dir, path)
+    final = LanceDataset.open(path)
+    if final.version < 4:  # create + index + >= 2 microbatch appends
+        raise AssertionError(
+            f"vector ingest produced v{final.version}; the stream never "
+            "split into multiple microbatches"
+        )
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = final.vector_search(
+        spark, "embedding", queries, k=1, id_columns=["vec_id"],
+        ef_search=48,
+    )
+    rk = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    n_indexed = final.count_rows()
+    return (
+        hits.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(n_indexed).cast("bigint").alias("n_indexed"),
+        )
+        .orderBy("query_id")
+    )
