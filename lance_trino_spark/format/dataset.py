@@ -416,11 +416,18 @@ class LanceDataset:
         df: DataFrame,
         max_rows_per_file: int = MAX_ROWS_PER_FILE,
         commit_metadata: dict | None = None,
+        maintain_indexes: bool = False,
+        spark: SparkSession | None = None,
     ) -> "LanceDataset":
         """INSERT/append (A11): distributed fragment write + single Append
         commit; safe to retry on conflict (append commutes).
         ``commit_metadata`` records user provenance (run ids, job names)
-        on the commit — surfaced by DESCRIBE HISTORY."""
+        on the commit — surfaced by DESCRIBE HISTORY.
+        ``maintain_indexes=True`` builds the new fragments' scalar/vector
+        index sidecars right after the commit (incremental: only the
+        appended fragments lack them) — the streaming-ingest pattern as one
+        flag; by default new fragments scan via consult-if-present until
+        the next OPTIMIZE/ensure call."""
         if self.manifest.properties.get(VECTOR_PROP):
             df = enforce_vector_columns(
                 df, parse_vector_columns(self.manifest.properties[VECTOR_PROP])
@@ -459,7 +466,12 @@ class LanceDataset:
             )
             try:
                 commit_manifest(self.path, m)
-                return LanceDataset(self.path, m)
+                out = LanceDataset(self.path, m)
+                if maintain_indexes:
+                    sp = spark or df.sparkSession
+                    out.ensure_scalar_index_files(sp)
+                    out.ensure_vector_index_files(sp)
+                return out
             except CommitConflictError:
                 continue
 

@@ -724,12 +724,11 @@ def vector_ingest_stream(spark: SparkSession, sf_dir: str, path: str) -> None:
     sdf = stream_table_multibatch(spark, sf_dir, "embeddings", n_slices=4)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ds = LanceDataset.open(path)
-        ds = ds.append(
+        LanceDataset.open(path).append(
             batch_df.select("vec_id", "label", "embedding"),
             commit_metadata={"stream_batch": int(batch_id)},
+            maintain_indexes=True,
         )
-        ds.ensure_vector_index_files(batch_df.sparkSession)
 
     import tempfile
 

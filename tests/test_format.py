@@ -399,3 +399,57 @@ def test_commit_metadata_provenance(spark, tmp_path):
     hist = {r["version"]: r["commit_metadata"]
             for r in cat.sql("DESCRIBE HISTORY pv.t").collect()}
     assert hist[1] is None and '"run": "r1"' in hist[2]
+
+
+def test_append_maintain_indexes_flag(spark, tmp_path):
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.format.index import index_rel_path
+    from lance_trino_spark.format.vector_index import hnsw_rel
+
+    import os
+
+    path = str(tmp_path / "maint.lance")
+    emb = spark.range(100).selectExpr(
+        "id AS k",
+        "transform(sequence(1, 8), i -> CAST((id * i) % 17 AS FLOAT)) AS v",
+    )
+    ds = LanceDataset.create(path, emb)
+    ds = ds.create_scalar_index(spark, "k")
+    ds = ds.create_vector_index(spark, "v", index_type="HNSW", hnsw_m=4)
+    more = spark.range(100, 140).selectExpr(
+        "id AS k",
+        "transform(sequence(1, 8), i -> CAST((id * i) % 17 AS FLOAT)) AS v",
+    )
+    out = ds.append(more, maintain_indexes=True)
+    new_frags = [f for f in out.manifest.fragments
+                 if f.id > max(f2.id for f2 in ds.manifest.fragments)]
+    assert new_frags
+    for f in new_frags:
+        assert os.path.exists(os.path.join(path, index_rel_path("k", f.path)))
+        assert os.path.exists(os.path.join(path, hnsw_rel("v", f.path)))
+    # default append leaves sidecars to consult-if-present
+    out2 = out.append(
+        spark.range(140, 150).selectExpr(
+            "id AS k",
+            "transform(sequence(1, 8), i -> CAST((id * i) % 17 AS FLOAT)) AS v",
+        )
+    )
+    newest = max(out2.manifest.fragments, key=lambda f: f.id)
+    assert not os.path.exists(
+        os.path.join(path, index_rel_path("k", newest.path))
+    )
+
+
+def test_vacuum_then_cdc_raises_cleanly(spark, tmp_path):
+    import pytest
+
+    from lance_trino_spark.format.backend import VersionNotFoundError
+    from lance_trino_spark.format.dataset import LanceDataset, table_changes
+
+    path = str(tmp_path / "vac-cdc.lance")
+    ds = LanceDataset.create(path, spark.range(10).selectExpr("id AS k"))
+    ds = ds.append(spark.range(10, 20).selectExpr("id AS k"))
+    ds = ds.append(spark.range(20, 30).selectExpr("id AS k"))
+    LanceDataset.vacuum(path, keep_versions=1)
+    with pytest.raises(VersionNotFoundError):
+        table_changes(spark, path, 1, 3)  # window predates retention
