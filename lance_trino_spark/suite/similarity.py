@@ -636,3 +636,54 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("recall") >= 0.4).alias("recall_ok"),
         (F.avg("recall").over(W.partitionBy(F.lit(1))) >= 0.6).alias("mean_ok"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# s12 — binary quantization: the coarsest tier of the vector-compression
+# ladder (float32 → int8 s05 → PQ s09 → 1-bit here, 32x smaller). Sign
+# codes over decimal-exact centered dimensions, XOR+bit_count hamming
+# shortlist, exact cosine rerank. Self-validating: structural n_ann plus
+# an oracle-checked mean-recall floor (1-bit codes on unstructured random
+# vectors bottom out around 0.6 mean — the floor sits at 0.4).
+# ---------------------------------------------------------------------------
+@register(
+    "s12_binary_quantization",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_ann,
+           TRUE AS mean_ok
+    FROM embeddings WHERE vec_id < 10
+    ORDER BY query_id
+    """,
+    doc="1-bit binary quantization: hamming shortlist over packed sign "
+        "codes + exact rerank, self-validating mean recall",
+    tags=("similarity", "ann", "quantization"),
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.similarity import binary_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = binary_topk(emb, queries, k=5, shortlist=100)
+    exact = cosine_topk(emb, queries, k=5)
+    n_hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per = (
+        ann.groupBy("query_id")
+        .agg(F.count("*").alias("n_ann"))
+        .join(n_hits, "query_id", "left")
+        .na.fill({"n_hit": 0})
+        .withColumn("recall", F.col("n_hit") / F.lit(5.0))
+    )
+    return per.select(
+        "query_id",
+        "n_ann",
+        (F.avg("recall").over(W.partitionBy(F.lit(1))) >= 0.4).alias("mean_ok"),
+    ).orderBy("query_id")
