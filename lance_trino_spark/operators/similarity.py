@@ -381,8 +381,28 @@ def two_stage_topk(
     return _rank_topk(reranked, k)
 
 
+def quantization_mean(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Single-row per-dimension mean used as the binary-quantization sign
+    threshold. Decimal-backed sum: exact, order-independent, so the
+    thresholds (and therefore every code bit) are deterministic across
+    runs/partitionings — the suite's hash gate depends on it."""
+    dims = df.select(F.size(vec_col).alias("d")).first()["d"]
+    return df.select(
+        *[
+            (
+                F.sum(F.col(vec_col)[i].cast("decimal(38,12)"))
+                / F.count(F.lit(1))
+            ).cast("double").alias(f"m{i}")
+            for i in range(dims)
+        ]
+    )
+
+
 def binary_quantize(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_df: DataFrame | None = None,
 ) -> DataFrame:
     """1-bit binary quantization: sign bit per CENTERED dimension, packed
     into bytes — 32x smaller than float32, the coarsest tier of the
@@ -393,20 +413,14 @@ def binary_quantize(
     angular distance; `binary_topk` reranks a hamming shortlist exactly.
 
     Pure JVM expressions: the pack is an aggregate over bit positions —
-    no UDFs, so the DuckDB oracle replays it bit-for-bit."""
+    no UDFs, so the DuckDB oracle replays it bit-for-bit.
+
+    ``mean_df`` lets a caller precompute the centering row ONCE (from the
+    corpus) and reuse it for query-set quantization — query and corpus
+    codes must share sign thresholds, or hamming distances between them
+    are meaningless (an exact duplicate of a corpus vector could miss)."""
     dims = df.select(F.size(vec_col).alias("d")).first()["d"]
-    # decimal-backed mean: exact, order-independent sum so the sign
-    # thresholds (and therefore every code bit) are deterministic across
-    # runs/partitionings — the suite's hash gate depends on it
-    mean_row = df.select(
-        *[
-            (
-                F.sum(F.col(vec_col)[i].cast("decimal(38,12)"))
-                / F.count(F.lit(1))
-            ).cast("double").alias(f"m{i}")
-            for i in range(dims)
-        ]
-    )
+    mean_row = mean_df if mean_df is not None else quantization_mean(df, vec_col)
     with_mean = df.crossJoin(F.broadcast(mean_row))
     nbytes = (dims + 7) // 8
     byte_cols = []
@@ -432,15 +446,31 @@ def binary_topk(
     shortlist: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Binary-quantized ANN: hamming-distance shortlist over the packed
     sign codes (bit_count on XORed bytes — integer-exact), then an exact
     cosine rerank of the shortlist. The corpus never ships floats to the
     shortlist stage — at 100 TB the hamming pass touches 1/32 of the
-    vector bytes; only shortlist x queries rows are rescored exactly."""
-    codes = binary_quantize(corpus, id_col, vec_col)
+    vector bytes; only shortlist x queries rows are rescored exactly.
+
+    The query codes are broadcast against every corpus partition, so the
+    query set must be broadcast-small — same loud guard as `cosine_topk`;
+    a large query set belongs on `ivf_topk`/the persisted index path."""
+    n_queries = queries.limit(max_broadcast_queries + 1).count()
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"binary_topk broadcasts the query codes: query set exceeds "
+            f"max_broadcast_queries={max_broadcast_queries}; use ivf_topk/"
+            f"the persisted vector index for large query sets"
+        )
+    # ONE set of sign thresholds, from the corpus: query codes quantized
+    # against a different mean would have inconsistent bits (an exact
+    # duplicate of a corpus vector could miss the shortlist entirely).
+    mean_row = quantization_mean(corpus, vec_col)
+    codes = binary_quantize(corpus, id_col, vec_col, mean_df=mean_row)
     nbytes = len([c for c in codes.columns if c.startswith("b")])
-    qcodes = binary_quantize(queries, id_col, vec_col).select(
+    qcodes = binary_quantize(queries, id_col, vec_col, mean_df=mean_row).select(
         F.col(id_col).alias("query_id"),
         *[F.col(f"b{b}").alias(f"qb{b}") for b in range(nbytes)],
     )

@@ -20,6 +20,14 @@ Determinism contract (the driver hash-compares values order-insensitively):
     cannot hash list-typed cells. Stringify (array_join / array_to_string)
     or flatten nested outputs; the STORED columns may still be real
     arrays/structs.
+  - NO float32 or DECIMAL output columns in oracle-gated queries — the
+    driver's pandas canonicalizer diverges on those dtypes even when the
+    values are bitwise-identical (lf08 was hash-red 4 rounds straight with
+    locally-bitwise-equal outputs; t15's plain double ratio likewise).
+    Project them to integers (cents/ppm via exact widening + round or
+    integer floor-division) or, for float64 that must stay FP, derive it
+    from exact integer/decimal math so both engines emit the same double.
+    The STORED columns may still be real float/decimal.
 """
 
 from __future__ import annotations
@@ -66,40 +74,41 @@ def register(
 # round-2/3-green driver row and stays locally checked at both scales by
 # tools/check_correctness.py.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- never driver-checked: added in round 4 (31 queries) -------------
-    # format layer capabilities
-    "lf12_schema_evolution", "lf13_table_changes",
-    "ds08_scalar_index_point_lookup", "ds09_stream_cdc_source",
-    # vector index family
-    "s09_persisted_ivf_index", "s10_filtered_vector_search",
-    "cat12_sql_vector_search", "m06_multimodal_ann",
-    # catalog surface
-    "cat09_namespace_modes", "cat10_jvm_catalog", "cat11_rest_namespace",
-    "cat13_sql_restore", "cat14_version_tags", "cat15_metastore_namespace",
-    # sketches + events
-    "e11_cms_heavy_hitters", "e12_hll_distinct_sketch",
-    "e13_hll_register_merge", "e14_rolling_hll_uniques",
-    # text/dedup/similarity additions
-    "t15_rare_ngram_novelty", "t16_corpus_token_histogram",
-    "t17_vocab_stats_by_source", "t18_url_domain_stats",
-    "d07_cross_source_duplicates", "d08_semantic_dedup",
-    "s08_two_stage_prefix_rerank",
-    # relational + streaming additions
-    "q34_window_analytics", "q35_grouping_sets", "q36_lateral_explode",
-    "q37_recursive_cte", "q38_range_frame_rolling",
-    "st08_watermark_late_drop", "e15_quantile_sketch",
-    "q39_not_in_null_semantics", "st09_stream_hll_registers", "s11_hnsw_index", "st10_stream_vector_ingest",
-    # --- implementations CHANGED in round 4 ------------------------------
-    "lf08_wide_types_roundtrip", "s04_ivf_trained_topk", "e07_asof_join",
-    "e08_kmv_distinct_sketch", "s06_bm25_topk",
-    "t05_contamination", "t09_repetition_stats",
-    # --- stalest prior rows (round-1-only driver checks) -----------------
-    "lf01_roundtrip_scan", "lf02_time_travel",
-    "m01_image_decode", "m02_frame_sampling", "m03_blob_columns",
-    "s01_cosine_topk", "s02_bucketed_ann_topk", "s03_embedding_neardup",
-    # --- round-2 representatives (one per family) ------------------------
-    "d02_minhash_lsh_dedup", "q01_pricing_summary",
-    "e02_sessionization", "cat01_sql_ddl_time_travel",
+    # --- round 5 window. Front: the only never-driver-checked query (s12,
+    # new cap + corpus-mean fix), the two r4 hash-red rows whose outputs
+    # were made canonicalizer-proof this round (lf08/t15), and the one
+    # query whose latest driver row is round 1 (s03). New round-5 queries
+    # are inserted right after. Then the 48 queries whose latest driver row
+    # is round 2 — the stalest cohort. The r3-latest cohort (45 queries)
+    # rotates in next round; everything stays locally gated at two scales
+    # by tools/check_correctness.py regardless.
+    "s12_binary_quantization",
+    "lf08_wide_types_roundtrip",
+    "t15_rare_ngram_novelty",
+    "s03_embedding_neardup",
+    # --- new in round 5 (inserted as added) ------------------------------
+    # --- r2-latest cohort (stalest driver rows) --------------------------
+    "q01_pricing_summary", "q02_topk_open_orders", "q03_shipping_priority",
+    "q04_order_priority_check", "q05_local_supplier_volume",
+    "q06_revenue_forecast", "q07_nation_volume", "q08_market_share",
+    "q09_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_priority_classes", "q13_order_count_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_relationship", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q20_potential_promotion", "q21_waiting_suppliers",
+    "q22_idle_customers", "q23_setops_customer_cohorts",
+    "q24_window_running_revenue", "q25_top_orders_per_segment",
+    "q26_rollup_sales", "q27_pagination", "q28_distinct_pairs",
+    "q29_cte_nation_stats", "q30_full_outer_activity",
+    "q31_cube_order_stats",
+    "d01_exact_dedup", "d02_minhash_lsh_dedup", "d03_simhash_near_dup",
+    "d04_ngram_jaccard", "d05_dedup_clusters", "d06_quality_keep_best",
+    "e01_hourly_event_stats", "e02_sessionization",
+    "e03_funnel_conversion", "e04_top_purchasers",
+    "t01_token_stats", "t02_language_id", "t03_quality_scores",
+    "t04_fingerprints", "t06_stratified_sample", "t07_pii_redaction",
+    "t08_document_chunking",
 )
 
 

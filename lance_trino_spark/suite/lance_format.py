@@ -321,14 +321,14 @@ def lf09(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            CAST(p_partkey AS INTEGER) AS i32,
            p_partkey * 1000000000 AS i64,
-           CAST(p_retailprice AS REAL) AS f32,
-           p_retailprice * 1.5 AS f64,
+           CAST(round(CAST(CAST(p_retailprice AS REAL) AS DOUBLE) * 100) AS BIGINT) AS f32_cents,
+           CAST(round(p_retailprice * 1.5 * 1000) AS BIGINT) AS f64_mills,
            rpad(p_name, 2000, 'x') AS s_long,
            hex(encode(substr(p_name, 1, 5))) AS bin_hex,
            DATE '1992-01-01' + CAST(p_partkey % 1000 AS INT) AS d,
            (802008000 + p_partkey % 86400) * 1000000 AS ts_us,
            (802008000 + p_partkey % 3600) * 1000000 AS ntz_us,
-           CAST(p_retailprice AS DECIMAL(12,2)) AS dec2,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS dec2_cents,
            array_to_string([CAST(p_partkey % 10 AS INT), CAST(p_partkey % 7 AS INT)], ',') AS arr_s,
            CAST(p_partkey % 5 AS INT) AS st_a,
            substr(p_name, 1, 3) AS st_b,
@@ -369,19 +369,26 @@ def lf08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = LanceDataset.create(path, wide, max_rows_per_file=5000)
     back = ds.to_df(spark)
     # engine-proof projections: ts/ntz → epoch micros, binary → hex,
-    # struct → flattened leaf columns (Spark Row vs DuckDB dict canon diverge).
+    # struct → flattened leaf columns (Spark Row vs DuckDB dict canon
+    # diverge). Float32/decimal outputs are projected to INTEGERS
+    # (registry contract: no float32/decimal outputs in oracle-gated
+    # queries — the driver's pandas canonicalizer diverges on those
+    # dtypes even when values are bitwise-equal): f32 widens exactly to
+    # double then rounds to cents; dec2 scales exactly to cents. The
+    # STORED columns remain real float/double/decimal — the round-trip
+    # fidelity being tested is unchanged.
     return back.select(
         "p_partkey",
         "i32",
         "i64",
-        "f32",
-        "f64",
+        F.round(F.col("f32").cast("double") * 100, 0).cast("bigint").alias("f32_cents"),
+        F.round(F.col("f64") * 1000, 0).cast("bigint").alias("f64_mills"),
         "s_long",
         F.hex("bin").alias("bin_hex"),
         "d",
         F.unix_micros("ts").alias("ts_us"),
         F.unix_micros(F.col("ts_ntz").cast("timestamp")).alias("ntz_us"),
-        "dec2",
+        (F.col("dec2") * 100).cast("bigint").alias("dec2_cents"),
         # the STORED column is a real array<int>; the OUTPUT is stringified
         # because the correctness driver's pandas canonicalizer cannot sort
         # list-typed cells (registry contract: scalar-only output columns)

@@ -803,7 +803,7 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh JOIN freq ON sh.h = freq.h
       GROUP BY sh.doc_id)
     SELECT doc_id, n_ngrams, n_rare,
-           CAST(n_rare AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS novelty
+           (n_rare * 1000000) // n_ngrams AS novelty_ppm
     FROM per_doc
     ORDER BY doc_id
     """,
@@ -814,7 +814,20 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import rare_ngram_novelty
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return rare_ngram_novelty(docs, k=2, max_df=2).orderBy("doc_id")
+    # driver-proof projection (registry contract: no FP outputs in
+    # oracle-gated queries): the double `novelty` ratio becomes integer
+    # parts-per-million via exact integer floor-division; the raw counts
+    # stay in the output so nothing is lost.
+    return (
+        rare_ngram_novelty(docs, k=2, max_df=2)
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_rare",
+            F.expr("(n_rare * 1000000L) div n_ngrams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

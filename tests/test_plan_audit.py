@@ -101,6 +101,12 @@ SUITE_AUDIT_ALLOW = {
     "s09_persisted_ivf_index": "BroadcastNestedLoopJoin",
     # s11 embeds the same exact-baseline recall validator (HNSW index)
     "s11_hnsw_index": "BroadcastNestedLoopJoin",
+    # s12: the hamming shortlist broadcasts the guarded-small query CODES
+    # (max_broadcast_queries cap in binary_topk, mirroring cosine_topk) —
+    # the sanctioned s06 shape: broadcast-small side x corpus with a
+    # non-equi (hamming) predicate; plus the same exact-baseline recall
+    # validator crossJoin as s01/s04/s09/s11
+    "s12_binary_quantization": "BroadcastNestedLoopJoin",
     # scalar subquery (single-row threshold) planned as nested-loop
     "q11_important_parts": "BroadcastNestedLoopJoin",
     "q22_idle_customers": "BroadcastNestedLoopJoin",
