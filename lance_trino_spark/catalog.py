@@ -534,13 +534,17 @@ class LanceCatalog:
         for f_ in ds.schema.fields:
             c = f_.name
             stats = [f.stats[c] for f in frags if f.stats and c in f.stats]
-            covered = len(stats) == len(frags) and frags
+            # an all-NULL fragment records {'nulls': n} with no min/max —
+            # null counts still aggregate, but min/max need every fragment
+            # to carry bounds (a boundless fragment makes them unknown)
+            counted = len(stats) == len(frags) and frags
+            bounded = counted and all("min" in s and "max" in s for s in stats)
             rows.append((
                 c,
                 ds.count_rows(),
-                str(min(s["min"] for s in stats)) if covered else None,
-                str(max(s["max"] for s in stats)) if covered else None,
-                sum(s.get("nulls", 0) for s in stats) if covered else None,
+                str(min(s["min"] for s in stats)) if bounded else None,
+                str(max(s["max"] for s in stats)) if bounded else None,
+                sum(s.get("nulls", 0) for s in stats) if counted else None,
             ))
         return self.spark.createDataFrame(
             rows,

@@ -466,14 +466,34 @@ class LanceDataset:
             )
             try:
                 commit_manifest(self.path, m)
-                out = LanceDataset(self.path, m)
-                if maintain_indexes:
+            except CommitConflictError:
+                continue
+            out = LanceDataset(self.path, m)
+            if maintain_indexes:
+                # The commit above is DURABLE; a failure building index
+                # sidecars must not make append() look failed — callers
+                # (notably streaming foreachBatch retries) would re-run the
+                # append and duplicate the batch's rows. Sidecars are
+                # rebuildable at any time via ensure_*_index_files /
+                # OPTIMIZE, and scans consult-if-present, so degrade to a
+                # warning instead.
+                try:
                     sp = spark or df.sparkSession
                     out.ensure_scalar_index_files(sp)
                     out.ensure_vector_index_files(sp)
-                return out
-            except CommitConflictError:
-                continue
+                except Exception as exc:  # noqa: BLE001 — commit is durable
+                    import warnings
+
+                    warnings.warn(
+                        "append committed version "
+                        f"{m.version} but incremental index maintenance "
+                        f"failed ({exc!r}); sidecars remain rebuildable via "
+                        "ensure_scalar_index_files/ensure_vector_index_files"
+                        " or OPTIMIZE",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+            return out
 
     @staticmethod
     def vacuum(path: str, keep_versions: int = 1) -> dict:

@@ -242,10 +242,19 @@ def build_fragment_postings(
         # search treats absent postings as an empty cell set
         return None
     data = pq.read_table(os.path.join(root, frag_rel_path), columns=[column])
-    vecs = np.array(
-        [np.asarray(v, dtype=np.float64) for v in data.column(column).to_pylist()]
+    raw = data.column(column).to_pylist()
+    # NULL vectors are legal (enforce_vector_columns allows them); they are
+    # simply unindexed — keep the ORIGINAL row indices for the non-null
+    # rows so postings row_index still addresses the fragment file.
+    row_idx = np.array(
+        [i for i, v in enumerate(raw) if v is not None], dtype=np.int64
     )
-    n = len(data)
+    vecs = (
+        np.array([np.asarray(raw[i], dtype=np.float64) for i in row_idx])
+        if len(row_idx)
+        else np.zeros((0, centroids.shape[1]), dtype=np.float64)
+    )
+    n = len(row_idx)
     if n == 0:
         cells = np.zeros(0, dtype=np.int32)
     else:
@@ -253,7 +262,7 @@ def build_fragment_postings(
     order = np.argsort(cells, kind="stable")
     cols = {
         "cell": pa.array(cells[order], type=pa.int32()),
-        "row_index": pa.array(np.arange(n, dtype=np.int64)[order]),
+        "row_index": pa.array(row_idx[order]),
     }
     if pq_books is None:
         cols["vec"] = pa.array(
@@ -548,11 +557,13 @@ def build_fragment_hnsw(
     if column not in pf.schema_arrow.names:
         return None
     data = pq.read_table(os.path.join(root, frag_rel_path), columns=[column])
-    vecs = np.array(
-        [np.asarray(v, dtype=np.float32)
-         for v in data.column(column).to_pylist()]
-    )
-    n = len(data)
+    raw = data.column(column).to_pylist()
+    # NULL vectors are legal and simply unindexed; graph node ids are
+    # positions in the non-null subset, and the sidecar's row_index column
+    # carries the ORIGINAL fragment row index per node.
+    row_idx = [i for i, v in enumerate(raw) if v is not None]
+    vecs = np.array([np.asarray(raw[i], dtype=np.float32) for i in row_idx])
+    n = len(row_idx)
     if n == 0:
         levels, neighbors, entry = [], {}, -1
     else:
@@ -566,7 +577,7 @@ def build_fragment_hnsw(
         for i in range(n)
     ]
     tbl = pa.table({
-        "row_index": pa.array(range(n), type=pa.int64()),
+        "row_index": pa.array(row_idx, type=pa.int64()),
         "vec": pa.array([v.tolist() for v in vecs] if n else [],
                         type=pa.list_(pa.float32())),
         "level": pa.array(levels, type=pa.int32()),
@@ -593,8 +604,13 @@ def search_fragment_hnsw(
     """One fragment's HNSW top-k per query: load the graph sidecar, beam-
     search each query, exact-cosine results (the sidecar carries the
     vectors). Deleted/filtered-out nodes still ROUTE (the graph stays
-    connected) but never land in results — the standard filtered-HNSW
-    treatment."""
+    connected) but never land in results, and the RESULT beam counts only
+    ALLOWED candidates (standard filtered-HNSW — the search keeps
+    expanding until ef_search allowed candidates are held, so a selective
+    prefilter cannot starve the beam with blocked nodes). When the allowed
+    set is small enough that an exact scan is cheaper than graph routing,
+    the search falls back to exact cosine over the allowed nodes — recall
+    over the filtered population then EQUALS unfiltered recall exactly."""
     import heapq
 
     import numpy as np
@@ -623,19 +639,40 @@ def search_fragment_hnsw(
         for part in s.split(","):
             lvl, nb = part.split(":")
             neighbors.setdefault((int(lvl), i), []).append(int(nb))
+    # Node ids are positions in the (non-null) indexed subset; the sidecar's
+    # row_index column maps node id -> ORIGINAL fragment row index.
+    # deletion_indices / allowed_indices speak in fragment row indices.
+    ridx = t.column("row_index").to_numpy()
     blocked = set()
     if deletion_indices is not None:
-        blocked |= {int(r) for r in deletion_indices}
+        dset = {int(r) for r in deletion_indices}
+        blocked |= {i for i in range(n) if int(ridx[i]) in dset}
     if allowed_indices is not None:
-        allowed = {int(r) for r in allowed_indices}
-        blocked |= set(range(n)) - allowed
+        aset = {int(r) for r in allowed_indices}
+        blocked |= {i for i in range(n) if int(ridx[i]) not in aset}
+    allowed_nodes = (
+        np.array([i for i in range(n) if i not in blocked], dtype=np.int64)
+        if blocked
+        else np.arange(n, dtype=np.int64)
+    )
+    if len(allowed_nodes) == 0:
+        return [], n
     qm = np.asarray(query_vecs, dtype=np.float64)
     qnorm = np.linalg.norm(qm, axis=1)
     qnorm[qnorm == 0] = 1.0
     out_rows = []
     hits_per_query = []
+    # Selective-filter fallback: when few nodes remain allowed, one
+    # vectorized matmul over them beats graph routing AND is exact.
+    exact_fallback = len(allowed_nodes) <= max(4 * ef_search, 4 * k)
     for qi in range(len(qm)):
         q = (qm[qi] / qnorm[qi]).astype(np.float32)
+        if exact_fallback:
+            sims = xn[allowed_nodes] @ q
+            order = np.lexsort((allowed_nodes, -sims))[:k]
+            hits = [(float(sims[j]), int(allowed_nodes[j])) for j in order]
+            hits_per_query.append(hits)
+            continue
         ep = entry
         for lvl in range(int(levels.max()), 0, -1):
             improved = True
@@ -644,13 +681,17 @@ def search_fragment_hnsw(
                 for nb in neighbors.get((lvl, ep), ()):
                     if float(xn[nb] @ q) > float(xn[ep] @ q):
                         ep, improved = nb, True
-        # level-0 beam
+        # level-0 beam: `best` holds ALLOWED candidates only (the result
+        # beam); blocked nodes still enter `cand` and route. Termination
+        # requires a full allowed beam — a selective filter therefore
+        # widens exploration instead of silently returning < k hits.
         visited = {ep}
-        cand = [(-float(xn[ep] @ q), ep)]
-        best = [(float(xn[ep] @ q), ep)]
+        ep_sim = float(xn[ep] @ q)
+        cand = [(-ep_sim, ep)]
+        best = [(ep_sim, ep)] if ep not in blocked else []
         while cand:
             negs, c = heapq.heappop(cand)
-            if -negs < best[-1][0] and len(best) >= ef_search:
+            if len(best) >= ef_search and -negs < best[-1][0]:
                 break
             for nb in neighbors.get((0, c), ()):
                 if nb in visited:
@@ -659,14 +700,15 @@ def search_fragment_hnsw(
                 sim = float(xn[nb] @ q)
                 if len(best) < ef_search or sim > best[-1][0]:
                     heapq.heappush(cand, (-sim, nb))
-                    best.append((sim, nb))
-                    best.sort(key=lambda x: (-x[0], x[1]))
-                    del best[ef_search:]
-        hits = [(s, i) for s, i in best if i not in blocked][:k]
-        hits_per_query.append(hits)
-    need = sorted({i for hits in hits_per_query for _, i in hits})
-    if not need:
+                    if nb not in blocked:
+                        best.append((sim, nb))
+                        best.sort(key=lambda x: (-x[0], x[1]))
+                        del best[ef_search:]
+        hits_per_query.append(best[:k])
+    need_nodes = sorted({i for hits in hits_per_query for _, i in hits})
+    if not need_nodes:
         return [], n
+    need = sorted({int(ridx[i]) for i in need_nodes})
     tbl, _ = read_rows_by_index(
         os.path.join(root, frag_rel_path), need, columns=list(id_columns)
     )
@@ -674,8 +716,9 @@ def search_fragment_hnsw(
     id_arrays = [tbl.column(c).to_pylist() for c in id_columns]
     for qi, hits in enumerate(hits_per_query):
         for sim, i in hits:
-            p = pos_of[i]
+            p = pos_of[int(ridx[i])]
             out_rows.append(
-                (query_ids[qi], *(a[p] for a in id_arrays), float(sim), int(i))
+                (query_ids[qi], *(a[p] for a in id_arrays),
+                 float(sim), int(ridx[i]))
             )
     return out_rows, n

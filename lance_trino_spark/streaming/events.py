@@ -718,12 +718,37 @@ def vector_ingest_stream(spark: SparkSession, sf_dir: str, path: str) -> None:
     fragments lack sidecars, so per-trigger index work is proportional to
     the batch, never the corpus). Searches between batches see a complete
     index; searches racing a batch fall back to consult-if-present for the
-    newest fragments."""
+    newest fragments.
+
+    Exactly-once: foreachBatch is at-least-once (Spark re-delivers a batch
+    whose foreachBatch raised after a partial effect), so the ingest is
+    made idempotent per batch_id — every commit records its stream_batch
+    in commit_metadata, and a redelivered batch whose id is already
+    committed is a no-op. append() itself never raises after its commit
+    is durable (index-maintenance errors degrade to warnings), so the
+    only replay source left is a crash between commit and checkpoint —
+    which this check absorbs."""
     from ..format.dataset import LanceDataset
+    from ..format.manifest import latest_version, read_manifest
 
     sdf = stream_table_multibatch(spark, sf_dir, "embeddings", n_slices=4)
 
+    def _already_committed(batch_id: int) -> bool:
+        # Walk back from the newest manifest to the most recent commit that
+        # carries a stream_batch marker; stream batch ids are monotonic, so
+        # one marker decides (no full-history scan at steady state).
+        v = latest_version(path)
+        while v >= 1:
+            m = read_manifest(path, v)
+            sb = (m.commit_metadata or {}).get("stream_batch")
+            if sb is not None:
+                return int(sb) >= batch_id
+            v -= 1
+        return False
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_committed(int(batch_id)):
+            return
         LanceDataset.open(path).append(
             batch_df.select("vec_id", "label", "embedding"),
             commit_metadata={"stream_batch": int(batch_id)},

@@ -408,6 +408,26 @@ def test_show_stats_zero_scan(spark, tmp_path):
     assert rows["s"]["null_count"] == 25
 
 
+def test_show_stats_all_null_column(spark, tmp_path):
+    """Regression: an entirely-NULL column records {'nulls': n} with no
+    min/max in the fragment stats; SHOW STATS must emit NULL bounds while
+    still summing null counts — not KeyError. Also covers the post-ADD
+    COLUMN shape (old fragments all-null on the new column)."""
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, str(tmp_path / "statnull"))
+    cat.sql("CREATE SCHEMA sn")
+    spark.range(50).selectExpr(
+        "id AS k", "CAST(NULL AS STRING) AS dead"
+    ).createOrReplaceTempView("_allnull_src")
+    cat.sql("CREATE TABLE sn.t AS SELECT * FROM _allnull_src")
+    rows = {r["column"]: r for r in cat.sql("SHOW STATS FOR sn.t").collect()}
+    assert rows["dead"]["min_value"] is None
+    assert rows["dead"]["max_value"] is None
+    assert rows["dead"]["null_count"] == 50
+    assert rows["k"]["min_value"] == "0" and rows["k"]["max_value"] == "49"
+
+
 def test_metastore_namespace_lifecycle(spark, tmp_path):
     from lance_trino_spark.catalog import CatalogError, LanceCatalog
 

@@ -403,3 +403,91 @@ def test_hnsw_sql_route(spark, emb):
         "VECTOR SEARCH h.c (embedding) USING h.q TOP 1"
     ).collect()
     assert {r["vec_id"] for r in hits} == {0, 1, 2}  # top-1 self-match
+
+
+def test_null_vectors_are_unindexed_not_fatal(spark, emb):
+    """NULL embeddings are legal (enforce_vector_columns allows them): the
+    index build must skip them — keeping ORIGINAL row indices for the
+    non-null rows — and searches must never return a null-vector row.
+    Regression: np.array over a pylist with None raised 'inhomogeneous
+    shape' and broke create_vector_index / maintain_indexes entirely."""
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    src = emb.select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % 7 == 3, None)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    ).orderBy("vec_id").coalesce(1)
+    nulls = {r["vec_id"] for r in src.filter(F.col("embedding").isNull())
+             .select("vec_id").collect()}
+    assert nulls  # fixture really has null rows
+
+    for itype in ("IVF_FLAT", "HNSW"):
+        path = _fresh(f"vidx-nulls-{itype.lower()}")
+        ds = LanceDataset.create(path, src, max_rows_per_file=150)
+        ds = (
+            ds.create_vector_index(spark, "embedding", index_type="HNSW",
+                                   hnsw_m=8, hnsw_ef_construction=48)
+            if itype == "HNSW"
+            else ds.create_vector_index(spark, "embedding", n_cells=8,
+                                        sample=2048)
+        )
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        hits = ds.vector_search(
+            spark, "embedding", q, k=5, nprobe=4, id_columns=["vec_id"]
+        ).collect()
+        assert hits, itype
+        assert not ({r["vec_id"] for r in hits} & nulls), itype
+        # incremental maintenance over a null-bearing append also survives
+        extra = src.filter(F.col("vec_id") < 20)
+        ds2 = ds.append(extra, maintain_indexes=True, spark=spark)
+        assert ds2.count_rows() == ds.count_rows() + extra.count()
+
+
+def test_hnsw_selective_prefilter_returns_k(spark, emb):
+    """A selective prefilter must not starve the beam: the allowed-only
+    result beam (plus the exact fallback for tiny allowed sets) returns
+    the true top-k over the filtered population."""
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.operators.similarity import cosine_topk
+
+    path = _fresh("hnsw-selective")
+    ds = LanceDataset.create(
+        path,
+        emb.select("vec_id", "label", "embedding").orderBy("vec_id").coalesce(1),
+        max_rows_per_file=150,
+    )
+    ds = ds.create_vector_index(
+        spark, "embedding", index_type="HNSW", hnsw_m=8,
+        hnsw_ef_construction=48,
+    )
+    # ~1/30 of rows allowed — far fewer than ef_search per fragment;
+    # offset 7 keeps query ids (<5) out so no self-match asymmetry vs
+    # cosine_topk (which excludes self; vector_search does not)
+    allowed = [int(v * 30 + 7) for v in range(40)]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ds.vector_search(
+        spark, "embedding", q, k=3, id_columns=["vec_id"],
+        prefilter=("vec_id", allowed),
+    ).collect()
+    per_q = {}
+    for r in hits:
+        per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 3 for v in per_q.values())
+    assert all(v in allowed for vs in per_q.values() for v in vs)
+    # exact over the allowed subset agrees (fallback is exact per fragment,
+    # so global top-3 must match the brute-force answer exactly)
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id").isin(allowed)),
+        emb.filter(F.col("vec_id") < 5), k=3,
+    ).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got_pairs = {(qk, v) for qk, vs in per_q.items() for v in vs}
+    assert got_pairs == exact_pairs
