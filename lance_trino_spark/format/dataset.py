@@ -547,15 +547,20 @@ class LanceDataset:
         # its sidecars can never be consulted again — reclaim them too
         from .index import INDICES_DIR
 
+        import re as _re
+
         ref_basenames = {os.path.basename(r) for r in referenced}
         idx_root = os.path.join(path, INDICES_DIR)
         if os.path.isdir(idx_root):
             for dirpath, _dirnames, filenames in os.walk(idx_root):
                 for name in filenames:
+                    # HNSW shard sidecars carry a .sK-of-N suffix after the
+                    # data-file basename — strip it before the orphan check
+                    stem = _re.sub(r"\.s\d{4}-of-\d{4}$", "", name)
                     if (
-                        name.endswith(".parquet")
-                        and name not in ref_basenames
-                        and name not in ("centroids.parquet", "pq_codebooks.parquet")
+                        stem.endswith(".parquet")
+                        and stem not in ref_basenames
+                        and stem not in ("centroids.parquet", "pq_codebooks.parquet")
                     ):
                         os.unlink(os.path.join(dirpath, name))
                         removed_files += 1
@@ -1044,26 +1049,41 @@ class LanceDataset:
         if column not in {f.name for f in self.schema.fields}:
             raise ValueError(f"no such column to index: {column!r}")
         if index_type == "HNSW":
+            from .vector_index import hnsw_n_shards
+
             root = self.path
-            frag_paths = [f.path for f in self.manifest.fragments]
-            if frag_paths:
+            # one task per (fragment, shard): graph insertion is
+            # sequential per graph, so shards are the parallelism unit —
+            # a 1M-row fragment builds as ~64 concurrent tasks instead of
+            # one long insert loop (shard count from manifest row counts,
+            # no file IO on the driver)
+            items = [
+                (f.path, s, hnsw_n_shards(f.physical_rows))
+                for f in self.manifest.fragments
+                for s in range(hnsw_n_shards(f.physical_rows))
+            ]
+            if items:
                 def _build_h(batches):
                     for pdf in batches:
-                        for p in pdf["path"]:
+                        for p, s, ns in zip(
+                            pdf["path"], pdf["shard"], pdf["n_shards"]
+                        ):
                             build_fragment_hnsw(
-                                root, p, column, hnsw_m, hnsw_ef_construction
+                                root, p, column, hnsw_m,
+                                hnsw_ef_construction,
+                                shard=int(s), n_shards=int(ns),
                             )
-                        yield pd.DataFrame({"path": pdf["path"]})
+                        yield pdf[["path"]]
 
                 built = (
                     spark.createDataFrame(
-                        [(p,) for p in frag_paths], "path string"
+                        items, "path string, shard int, n_shards int"
                     )
-                    .repartition(len(frag_paths))
+                    .repartition(len(items))
                     .mapInPandas(_build_h, "path string")
                     .count()
                 )
-                assert built == len(frag_paths)
+                assert built == len(items)
             base = read_manifest(self.path, latest_version(self.path))
             if base.version != self.version:
                 raise CommitConflictError(
@@ -1167,21 +1187,37 @@ class LanceDataset:
         registered = self.manifest.properties.get(VINDEX_PROP, {})
         if not registered:
             return 0
-        from .vector_index import build_fragment_hnsw, hnsw_rel
+        from .vector_index import (
+            build_fragment_hnsw,
+            hnsw_n_shards,
+            hnsw_shard_files,
+            hnsw_shard_rel,
+        )
 
         root = self.path
 
-        def _sidecar(col: str, frag_path: str) -> str:
-            if registered[col].get("index_type") == "HNSW":
-                return hnsw_rel(col, frag_path)
-            return postings_rel(col, frag_path)
-
-        todo = [
-            (f.path, col)
-            for col in registered
-            for f in self.manifest.fragments
-            if not os.path.exists(os.path.join(root, _sidecar(col, f.path)))
-        ]
+        # Work items are (path, col, shard, n_shards); shard == -1 means
+        # an IVF postings file. HNSW fragments fan out one task per
+        # missing SHARD (a legacy complete single-file sidecar counts as
+        # built; a torn shard set rebuilds only the absent shards).
+        todo: list[tuple[str, str, int, int]] = []
+        for col in registered:
+            is_h = registered[col].get("index_type") == "HNSW"
+            for f in self.manifest.fragments:
+                if is_h:
+                    if hnsw_shard_files(root, col, f.path):
+                        continue
+                    ns = hnsw_n_shards(f.physical_rows)
+                    todo.extend(
+                        (f.path, col, s, ns)
+                        for s in range(ns)
+                        if not os.path.exists(os.path.join(
+                            root, hnsw_shard_rel(col, f.path, s, ns)))
+                    )
+                elif not os.path.exists(
+                    os.path.join(root, postings_rel(col, f.path))
+                ):
+                    todo.append((f.path, col, -1, 0))
         if not todo:
             return 0
         codebooks = {
@@ -1198,12 +1234,15 @@ class LanceDataset:
 
         def _build(batches):
             for pdf in batches:
-                for p, col in zip(pdf["path"], pdf["col"]):
+                for p, col, s, ns in zip(
+                    pdf["path"], pdf["col"], pdf["shard"], pdf["n_shards"]
+                ):
                     meta = metas[col]
                     if meta.get("index_type") == "HNSW":
                         build_fragment_hnsw(
                             root, p, col,
                             meta.get("m", 8), meta.get("ef_construction", 64),
+                            shard=int(s), n_shards=int(ns),
                         )
                     else:
                         cents, books = codebooks[col]
@@ -1211,7 +1250,9 @@ class LanceDataset:
                 yield pdf[["path"]]
 
         n = (
-            spark.createDataFrame(todo, "path string, col string")
+            spark.createDataFrame(
+                todo, "path string, col string, shard int, n_shards int"
+            )
             .repartition(len(todo))
             .mapInPandas(_build, "path string")
             .count()
@@ -1313,11 +1354,30 @@ class LanceDataset:
             StructField("postings_read", LongType()),
         ]
         out_schema = StructType(out_fields)
-        frag_rows = [
-            (f.path,
-             os.path.join(root, f.deletion.path) if f.deletion else None)
-            for f in self.manifest.fragments
-        ]
+        if is_hnsw:
+            # one task per SHARD graph (the HNSW parallelism unit — a
+            # 1M-row fragment searches as ~64 concurrent beam tasks); the
+            # global top-k window below merges shard-local hits exactly
+            # like fragment-local ones. shard=None -> fragment has no
+            # complete shard set; keep one row so consult-if-present
+            # reports 0 candidates uniformly.
+            from .vector_index import hnsw_shard_files
+
+            frag_rows = []
+            for f in self.manifest.fragments:
+                dp = os.path.join(root, f.deletion.path) if f.deletion else None
+                shards = hnsw_shard_files(root, column, f.path)
+                if shards:
+                    frag_rows += [(f.path, dp, s) for s in shards]
+                else:
+                    frag_rows.append((f.path, dp, None))
+        else:
+            frag_rows = [
+                (f.path,
+                 os.path.join(root, f.deletion.path) if f.deletion else None,
+                 None)
+                for f in self.manifest.fragments
+            ]
 
         pf_col, pf_vals = prefilter if prefilter is not None else (None, None)
         if pf_col is not None and pf_col not in {
@@ -1346,7 +1406,9 @@ class LanceDataset:
             import pyarrow.parquet as _pq
 
             for pdf in batches:
-                for p, dpath in zip(pdf["path"], pdf["deletion_path"]):
+                for p, dpath, shard in zip(
+                    pdf["path"], pdf["deletion_path"], pdf["shard"]
+                ):
                     del_idx = None
                     if dpath is not None and not (
                         isinstance(dpath, float) and pd.isna(dpath)
@@ -1360,6 +1422,12 @@ class LanceDataset:
                     if is_hnsw:
                         from .vector_index import search_fragment_hnsw
 
+                        shard_arg = (
+                            None
+                            if shard is None
+                            or (isinstance(shard, float) and pd.isna(shard))
+                            else [shard]
+                        )
                         hits, n_read = search_fragment_hnsw(
                             root, p, column, q_ids, q_vecs, k, id_columns,
                             deletion_indices=del_idx,
@@ -1367,6 +1435,7 @@ class LanceDataset:
                             allowed_indices=(
                                 _allowed(p) if pf_col is not None else None
                             ),
+                            shard_paths=shard_arg,
                         )
                     else:
                         hits, n_read = search_fragment(
@@ -1384,7 +1453,7 @@ class LanceDataset:
 
         local = (
             spark.createDataFrame(
-                frag_rows, "path string, deletion_path string"
+                frag_rows, "path string, deletion_path string, shard string"
             )
             .repartition(max(1, len(frag_rows)))
             .mapInPandas(_search, out_schema)

@@ -448,6 +448,10 @@ def search_fragment(
 HNSW_M = 8           # neighbors per node per level
 HNSW_EF_CONSTRUCTION = 64
 HNSW_EF_SEARCH = 48
+HNSW_BUILD_BATCH = 16  # frontier nodes expanded per vectorized round
+# Graph insertion is sequential per graph; shards bound it so a big
+# fragment's index builds as independent parallel tasks (scale unit).
+HNSW_SHARD_ROWS = 16384
 
 
 def _hash_uniform(i: int) -> float:
@@ -459,10 +463,21 @@ def _hash_uniform(i: int) -> float:
     return (h + 1) / (0xFFFFFFFF + 2)
 
 
-def build_hnsw(vecs, m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION):
+def build_hnsw(vecs, m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION,
+               batch: int = HNSW_BUILD_BATCH):
     """Construct the layered graph for one fragment's vectors (cosine via
     normalized dot). Returns (levels, neighbors, entry): levels[i] = top
-    level of node i; neighbors = dict[(level, i)] -> list[int]."""
+    level of node i; neighbors = dict[(level, i)] -> list[int].
+
+    Throughput-shaped for large fragments: every distance evaluation is a
+    BATCHED numpy matvec (all of a node's unvisited neighbors scored in
+    one `xn[nbs] @ q`), the beam is a pair of heaps instead of a
+    sort-per-insert list, and the bidirectional prune ranks with one
+    vectorized lexsort. Deterministic: the level draw is hash-based, heap
+    tie-handling is reproducible for distinct node ids, and the prune's
+    tie-break is (sim desc, node asc) — identical inputs rebuild an
+    identical graph."""
+    import heapq
     import math
 
     import numpy as np
@@ -471,51 +486,127 @@ def build_hnsw(vecs, m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION):
     x = np.asarray(vecs, dtype=np.float32)
     norms = np.linalg.norm(x, axis=1)
     norms[norms == 0] = 1.0
-    xn = x / norms[:, None]
+    xn = np.ascontiguousarray(x / norms[:, None])
     ml = 1.0 / math.log(max(2, m))
     levels = [int(-math.log(_hash_uniform(i)) * ml) for i in range(n)]
+    # Upper layers (>=1) hold ~n/m^lvl nodes — a dict of lists is fine.
+    # Layer 0 carries ~95% of the search work: fixed-capacity int32
+    # adjacency (n x m, -1-filled) + counts, so a whole frontier batch's
+    # neighborhoods gather as one fancy-index with no Python per-edge work.
     neighbors: dict[tuple[int, int], list[int]] = {}
+    adj0 = np.full((n, m), -1, dtype=np.int32)
+    cnt0 = np.zeros(n, dtype=np.int32)
+    vis = np.zeros(n, dtype=np.int64)  # generation stamps (no per-search set)
+    gen = 0
     entry = 0
     max_level = -1
 
     def _search_layer(q, ep, level, width):
-        """Beam search on one layer from entry points `ep`; returns up to
-        `width` (sim, node) best, sorted desc. Deterministic: ties broken
-        by node id via the sort key."""
-        import heapq
-
+        """Beam search on an UPPER layer (>=1, tiny node population) from
+        entry points `ep`; returns up to `width` (sim, node) best, sorted
+        desc (ties: node id asc)."""
         visited = set(ep)
-        cand = [(-float(xn[e] @ q), e) for e in ep]
+        sims0 = xn[ep] @ q
+        cand = [(-float(s), e) for s, e in zip(sims0, ep)]
         heapq.heapify(cand)
-        best = sorted([(-s, e) for s, e in cand], reverse=True)[:width]
+        best = [(float(s), e) for s, e in zip(sims0, ep)]
+        heapq.heapify(best)
+        while len(best) > width:
+            heapq.heappop(best)
         while cand:
             negs, c = heapq.heappop(cand)
-            if -negs < best[-1][0] and len(best) >= width:
+            if len(best) >= width and -negs < best[0][0]:
                 break
-            for nb in neighbors.get((level, c), ()):
-                if nb in visited:
+            nbs = [nb for nb in neighbors.get((level, c), ())
+                   if nb not in visited]
+            if not nbs:
+                continue
+            visited.update(nbs)
+            sims = (xn[nbs] @ q).tolist()
+            thr = best[0][0] if len(best) >= width else -math.inf
+            for nb, s in zip(nbs, sims):
+                if len(best) < width or s > thr:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(best, (s, nb))
+                    if len(best) > width:
+                        heapq.heappop(best)
+                        thr = best[0][0]
+        return sorted(best, key=lambda t: (-t[0], t[1]))
+
+    def _search_level0(q, ep, width, batch=batch):
+        """Layer-0 beam with BATCHED expansion: pop up to `batch` frontier
+        nodes, gather all their neighborhoods in one fancy-index, stamp
+        visited via the generation array, and score every fresh neighbor
+        in a single matvec. A popped candidate below the beam floor is
+        discarded permanently (the floor only rises, so it could never be
+        expanded later either) — expansion ORDER relaxes vs the canonical
+        one-pop loop but the visit set and termination rule are the same."""
+        nonlocal gen
+        gen += 1
+        eps = np.asarray(ep, dtype=np.int64)
+        vis[eps] = gen
+        sims0 = xn[eps] @ q
+        cand = [(-float(s), int(e)) for s, e in zip(sims0, eps)]
+        heapq.heapify(cand)
+        best = [(float(s), int(e)) for s, e in zip(sims0, eps)]
+        heapq.heapify(best)
+        while len(best) > width:
+            heapq.heappop(best)
+        while cand:
+            pops = []
+            while cand and len(pops) < batch:
+                negs, c = heapq.heappop(cand)
+                if len(best) >= width and -negs < best[0][0]:
+                    break
+                pops.append(c)
+            if not pops:
+                break
+            rows = adj0[np.asarray(pops, dtype=np.int64)]
+            flat = rows[rows >= 0]
+            if flat.size == 0:
+                continue
+            fresh = np.unique(flat[vis[flat] != gen])
+            if fresh.size == 0:
+                continue
+            vis[fresh] = gen
+            sims = xn[fresh] @ q
+            full = len(best) >= width
+            if full:
+                # vectorized floor cut: anything at or below the current
+                # beam floor can never enter `best` nor be expanded later
+                keep = sims > best[0][0]
+                fresh, sims = fresh[keep], sims[keep]
+                if fresh.size == 0:
                     continue
-                visited.add(nb)
-                sim = float(xn[nb] @ q)
-                if len(best) < width or sim > best[-1][0]:
-                    heapq.heappush(cand, (-sim, nb))
-                    best.append((sim, nb))
-                    best.sort(key=lambda t: (-t[0], t[1]))
-                    del best[width:]
-        return best
+            # best-first insertion raises the floor as early as possible,
+            # so later (worse) neighbors fail the cheap `s > thr` test
+            ord_ = np.argsort(-sims, kind="stable")
+            thr = best[0][0] if full else -math.inf
+            for nb, s in zip(fresh[ord_].tolist(), sims[ord_].tolist()):
+                if len(best) < width:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(best, (s, nb))
+                elif s > thr:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappushpop(best, (s, nb))
+                    thr = best[0][0]
+        return sorted(best, key=lambda t: (-t[0], t[1]))
 
     for i in range(n):
         li = levels[i]
         if max_level < 0:  # first node
-            for lvl in range(li + 1):
+            for lvl in range(1, li + 1):
                 neighbors[(lvl, i)] = []
             entry, max_level = i, li
             continue
         q = xn[i]
         ep = [entry]
         for lvl in range(max_level, li, -1):
-            ep = [_search_layer(q, ep, lvl, 1)[0][1]]
-        for lvl in range(min(max_level, li), -1, -1):
+            if lvl == 0:
+                ep = [_search_level0(q, ep, 1)[0][1]]
+            else:
+                ep = [_search_layer(q, ep, lvl, 1)[0][1]]
+        for lvl in range(min(max_level, li), 0, -1):
             found = _search_layer(q, ep, lvl, ef)
             chosen = [e for _, e in found[:m]]
             neighbors[(lvl, i)] = list(chosen)
@@ -524,15 +615,35 @@ def build_hnsw(vecs, m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION):
                 if i not in lst:
                     lst.append(i)
                     if len(lst) > m:
-                        lst.sort(
-                            key=lambda j: (-float(xn[e] @ xn[j]), j)
-                        )
-                        del lst[m:]
+                        arr = np.array(lst)
+                        sims_e = xn[arr] @ xn[e]
+                        order = np.lexsort((arr, -sims_e))[:m]
+                        neighbors[(lvl, e)] = [int(arr[j]) for j in order]
             ep = [e for _, e in found]
+        # layer 0 (always inserted)
+        found = _search_level0(q, ep, ef)
+        chosen = [e for _, e in found[:m]]
+        adj0[i, : len(chosen)] = chosen
+        cnt0[i] = len(chosen)
+        for e in chosen:  # bidirectional, pruned to m by similarity
+            k_e = int(cnt0[e])
+            row = adj0[e]
+            if i in row[:k_e]:
+                continue
+            if k_e < m:
+                row[k_e] = i
+                cnt0[e] = k_e + 1
+            else:
+                cand_ids = np.append(row[:k_e], np.int32(i))
+                sims_e = xn[cand_ids] @ xn[e]
+                order = np.lexsort((cand_ids, -sims_e))[:m]
+                adj0[e] = cand_ids[order]
         if li > max_level:
             for lvl in range(max_level + 1, li + 1):
                 neighbors.setdefault((lvl, i), [])
             entry, max_level = i, li
+    for i in range(n):
+        neighbors[(0, i)] = [int(v) for v in adj0[i, : int(cnt0[i])]]
     return levels, neighbors, entry
 
 
@@ -542,27 +653,105 @@ def hnsw_rel(column: str, frag_rel_path: str) -> str:
     )
 
 
+def hnsw_n_shards(physical_rows: int) -> int:
+    return max(1, -(-int(physical_rows) // HNSW_SHARD_ROWS))
+
+
+def hnsw_shard_rel(
+    column: str, frag_rel_path: str, shard: int, n_shards: int
+) -> str:
+    return hnsw_rel(column, frag_rel_path) + f".s{shard:04d}-of-{n_shards:04d}"
+
+
+def hnsw_shard_files(root: str, column: str, frag_rel_path: str) -> list[str]:
+    """Absolute paths of the fragment's COMPLETE HNSW shard set, oldest
+    naming first: the sharded `.sK-of-N` files when every one of the N is
+    present, else the legacy single-file sidecar, else [] (unindexed —
+    consult-if-present). An incomplete shard set counts as unindexed: a
+    torn build must not silently search half a fragment."""
+    import glob
+
+    base = os.path.join(root, hnsw_rel(column, frag_rel_path))
+    shards = sorted(glob.glob(base + ".s*-of-*"))
+    if shards:
+        n = int(shards[0].rsplit("-of-", 1)[1])
+        return shards if len(shards) == n else []
+    return [base] if os.path.exists(base) else []
+
+
 def build_fragment_hnsw(
     root: str, frag_rel_path: str, column: str,
     m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION,
+    shard: int | None = None, n_shards: int | None = None,
 ) -> str | None:
-    """Executor-side: one fragment's HNSW sidecar — (row_index, vec,
-    level, neighbors flattened as 'lvl:id,lvl:id,...'). Atomic, idempotent,
-    consult-if-present (None when the column predates the fragment file)."""
-    import numpy as np
-    import pyarrow as pa
+    """Executor-side HNSW sidecar build. Each SHARD covers a contiguous
+    ~HNSW_SHARD_ROWS row range of the fragment and gets its own layered
+    graph file `<frag>.sK-of-N` — the scale unit: graph insertion is
+    inherently sequential per graph, so a 1M-row fragment builds as N
+    independent tasks instead of one 1M-insert loop (the driver fans
+    (fragment, shard) pairs out as separate Spark tasks). Search probes
+    every shard graph and merges by similarity; at the default shard size
+    the per-shard beam cost keeps fragment search latency flat.
+
+    `shard=None` builds every shard serially (compat path for direct
+    calls and small fragments). Atomic + idempotent per shard;
+    returns None when the column predates the fragment file."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(os.path.join(root, frag_rel_path))
     if column not in pf.schema_arrow.names:
         return None
-    data = pq.read_table(os.path.join(root, frag_rel_path), columns=[column])
-    raw = data.column(column).to_pylist()
+    total = pf.metadata.num_rows
+    n = hnsw_n_shards(total) if n_shards is None else int(n_shards)
+    if shard is None:
+        rel = None
+        for s in range(n):
+            rel = _build_hnsw_shard(root, frag_rel_path, column, s, n, m, ef)
+        return rel
+    return _build_hnsw_shard(
+        root, frag_rel_path, column, int(shard), n, m, ef
+    )
+
+
+def _build_hnsw_shard(
+    root: str, frag_rel_path: str, column: str,
+    shard: int, n_shards: int, m: int, ef: int,
+) -> str:
+    """One shard's graph: row-group-bounded read of the shard's row range
+    (never the whole fragment), NULL vectors skipped, node row_index =
+    ORIGINAL fragment row position."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, frag_rel_path)
+    pf = pq.ParquetFile(path)
+    total = pf.metadata.num_rows
+    span = -(-total // n_shards) if total else 0
+    lo = min(shard * span, total)
+    hi = min(lo + span, total)
+    md = pf.metadata
+    groups, g_start, off = [], None, 0
+    for gi in range(md.num_row_groups):
+        nr = md.row_group(gi).num_rows
+        if off < hi and off + nr > lo:
+            groups.append(gi)
+            if g_start is None:
+                g_start = off
+        off += nr
+    if groups:
+        data = pf.read_row_groups(groups, columns=[column])
+        data = data.slice(lo - g_start, hi - lo)
+        raw = data.column(column).to_pylist()
+    else:
+        raw = []
     # NULL vectors are legal and simply unindexed; graph node ids are
     # positions in the non-null subset, and the sidecar's row_index column
     # carries the ORIGINAL fragment row index per node.
-    row_idx = [i for i, v in enumerate(raw) if v is not None]
-    vecs = np.array([np.asarray(raw[i], dtype=np.float32) for i in row_idx])
+    row_idx = [lo + i for i, v in enumerate(raw) if v is not None]
+    vecs = np.array(
+        [np.asarray(raw[i - lo], dtype=np.float32) for i in row_idx]
+    )
     n = len(row_idx)
     if n == 0:
         levels, neighbors, entry = [], {}, -1
@@ -584,48 +773,32 @@ def build_fragment_hnsw(
         "adj": pa.array(adj, type=pa.string()),
         "is_entry": pa.array([i == entry for i in range(n)]),
     })
-    rel = hnsw_rel(column, frag_rel_path)
+    rel = hnsw_shard_rel(column, frag_rel_path, shard, n_shards)
     _atomic_write_table(tbl, os.path.join(root, rel), VINDEX_ROW_GROUP)
     return rel
 
 
-def search_fragment_hnsw(
-    root: str,
-    frag_rel_path: str,
-    column: str,
-    query_ids,
-    query_vecs,
-    k: int,
-    id_columns: list[str],
-    deletion_indices=None,
-    ef_search: int = HNSW_EF_SEARCH,
-    allowed_indices=None,
+def _search_hnsw_graph(
+    t, query_vecs, k: int, ef_search: int,
+    deletion_set=None, allowed_set=None,
 ):
-    """One fragment's HNSW top-k per query: load the graph sidecar, beam-
-    search each query, exact-cosine results (the sidecar carries the
-    vectors). Deleted/filtered-out nodes still ROUTE (the graph stays
-    connected) but never land in results, and the RESULT beam counts only
-    ALLOWED candidates (standard filtered-HNSW — the search keeps
-    expanding until ef_search allowed candidates are held, so a selective
-    prefilter cannot starve the beam with blocked nodes). When the allowed
-    set is small enough that an exact scan is cheaper than graph routing,
-    the search falls back to exact cosine over the allowed nodes — recall
-    over the filtered population then EQUALS unfiltered recall exactly."""
+    """Beam-search one shard graph table for every query; returns a list
+    (per query) of up to k (sim, fragment_row_index) hits.
+
+    Node ids are positions in the (non-null) indexed subset; the sidecar's
+    row_index column maps node id -> ORIGINAL fragment row index.
+    deletion_set / allowed_set speak in fragment row indices. The RESULT
+    beam counts only ALLOWED candidates (blocked nodes still route) —
+    standard filtered-HNSW — and when the allowed set is small an exact
+    scan over it replaces routing entirely (recall over the filtered
+    population then EQUALS unfiltered recall)."""
     import heapq
 
     import numpy as np
 
-    from .index import read_rows_by_index
-
-    path = os.path.join(root, hnsw_rel(column, frag_rel_path))
-    if not os.path.exists(path):
-        return [], 0
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path)
     n = len(t)
     if n == 0:
-        return [], 0
+        return None
     xn = np.array([np.asarray(v, np.float32) for v in t.column("vec").to_pylist()])
     norms = np.linalg.norm(xn, axis=1)
     norms[norms == 0] = 1.0
@@ -639,29 +812,23 @@ def search_fragment_hnsw(
         for part in s.split(","):
             lvl, nb = part.split(":")
             neighbors.setdefault((int(lvl), i), []).append(int(nb))
-    # Node ids are positions in the (non-null) indexed subset; the sidecar's
-    # row_index column maps node id -> ORIGINAL fragment row index.
-    # deletion_indices / allowed_indices speak in fragment row indices.
     ridx = t.column("row_index").to_numpy()
     blocked = set()
-    if deletion_indices is not None:
-        dset = {int(r) for r in deletion_indices}
-        blocked |= {i for i in range(n) if int(ridx[i]) in dset}
-    if allowed_indices is not None:
-        aset = {int(r) for r in allowed_indices}
-        blocked |= {i for i in range(n) if int(ridx[i]) not in aset}
+    if deletion_set:
+        blocked |= {i for i in range(n) if int(ridx[i]) in deletion_set}
+    if allowed_set is not None:
+        blocked |= {i for i in range(n) if int(ridx[i]) not in allowed_set}
     allowed_nodes = (
         np.array([i for i in range(n) if i not in blocked], dtype=np.int64)
         if blocked
         else np.arange(n, dtype=np.int64)
     )
     if len(allowed_nodes) == 0:
-        return [], n
+        return [[] for _ in range(len(query_vecs))]
     qm = np.asarray(query_vecs, dtype=np.float64)
     qnorm = np.linalg.norm(qm, axis=1)
     qnorm[qnorm == 0] = 1.0
-    out_rows = []
-    hits_per_query = []
+    out = []
     # Selective-filter fallback: when few nodes remain allowed, one
     # vectorized matmul over them beats graph routing AND is exact.
     exact_fallback = len(allowed_nodes) <= max(4 * ef_search, 4 * k)
@@ -669,9 +836,10 @@ def search_fragment_hnsw(
         q = (qm[qi] / qnorm[qi]).astype(np.float32)
         if exact_fallback:
             sims = xn[allowed_nodes] @ q
-            order = np.lexsort((allowed_nodes, -sims))[:k]
-            hits = [(float(sims[j]), int(allowed_nodes[j])) for j in order]
-            hits_per_query.append(hits)
+            order = np.lexsort((ridx[allowed_nodes], -sims))[:k]
+            out.append(
+                [(float(sims[j]), int(ridx[allowed_nodes[j]])) for j in order]
+            )
             continue
         ep = entry
         for lvl in range(int(levels.max()), 0, -1):
@@ -704,21 +872,76 @@ def search_fragment_hnsw(
                         best.append((sim, nb))
                         best.sort(key=lambda x: (-x[0], x[1]))
                         del best[ef_search:]
-        hits_per_query.append(best[:k])
-    need_nodes = sorted({i for hits in hits_per_query for _, i in hits})
-    if not need_nodes:
-        return [], n
-    need = sorted({int(ridx[i]) for i in need_nodes})
+        out.append([(s, int(ridx[i])) for s, i in best[:k]])
+    return out
+
+
+def search_fragment_hnsw(
+    root: str,
+    frag_rel_path: str,
+    column: str,
+    query_ids,
+    query_vecs,
+    k: int,
+    id_columns: list[str],
+    deletion_indices=None,
+    ef_search: int = HNSW_EF_SEARCH,
+    allowed_indices=None,
+    shard_paths=None,
+):
+    """One fragment's HNSW top-k per query: beam-search shard graphs (see
+    build_fragment_hnsw for the sharding rationale), merge the per-shard
+    hits by similarity, then resolve id columns with one bounded read of
+    the data file. Returns (rows, n_indexed).
+
+    `shard_paths=None` searches every shard of the fragment serially;
+    the caller may instead pass an explicit subset — vector_search fans
+    one Spark task out PER SHARD and merges globally, so big fragments
+    search wide instead of deep."""
+    from .index import read_rows_by_index
+
+    if shard_paths is None:
+        shard_paths = hnsw_shard_files(root, column, frag_rel_path)
+    if not shard_paths:
+        return [], 0
+    import pyarrow.parquet as pq
+
+    deletion_set = (
+        {int(r) for r in deletion_indices}
+        if deletion_indices is not None else None
+    )
+    allowed_set = (
+        {int(r) for r in allowed_indices}
+        if allowed_indices is not None else None
+    )
+    n_total = 0
+    per_query = [[] for _ in range(len(query_ids))]
+    for sp in shard_paths:
+        t = pq.read_table(sp)
+        n_total += len(t)
+        hits = _search_hnsw_graph(
+            t, query_vecs, k, ef_search, deletion_set, allowed_set
+        )
+        if hits is None:
+            continue
+        for qi, h in enumerate(hits):
+            per_query[qi].extend(h)
+    hits_per_query = [
+        sorted(h, key=lambda x: (-x[0], x[1]))[:k] for h in per_query
+    ]
+    need = sorted({r for hits in hits_per_query for _, r in hits})
+    if not need:
+        return [], n_total
     tbl, _ = read_rows_by_index(
         os.path.join(root, frag_rel_path), need, columns=list(id_columns)
     )
     pos_of = {r: j for j, r in enumerate(need)}
     id_arrays = [tbl.column(c).to_pylist() for c in id_columns]
+    out_rows = []
     for qi, hits in enumerate(hits_per_query):
-        for sim, i in hits:
-            p = pos_of[int(ridx[i])]
+        for sim, r in hits:
+            p = pos_of[r]
             out_rows.append(
-                (query_ids[qi], *(a[p] for a in id_arrays),
-                 float(sim), int(ridx[i]))
+                (query_ids[qi], *(a[p] for a in id_arrays), float(sim), r)
             )
-    return out_rows, n
+    return out_rows, n_total

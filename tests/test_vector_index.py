@@ -372,10 +372,10 @@ def test_hnsw_build_search_and_lifecycle(spark, emb):
     assert hf and all(r["label"] == 1 for r in hf)
     # compaction rebuild from the registered meta (no codebooks needed)
     out = after.compact(spark, target_rows_per_file=2000, sort_by="vec_id")
-    from lance_trino_spark.format.vector_index import hnsw_rel
+    from lance_trino_spark.format.vector_index import hnsw_shard_files
 
     for f in out.manifest.fragments:
-        assert os.path.exists(os.path.join(path, hnsw_rel("embedding", f.path)))
+        assert hnsw_shard_files(path, "embedding", f.path)
     # drop removes the graph dir
     dropped = out.drop_vector_index(spark, "embedding")
     assert not os.path.isdir(os.path.join(path, "_indices/embedding.hnsw"))
@@ -491,3 +491,62 @@ def test_hnsw_selective_prefilter_returns_k(spark, emb):
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
     got_pairs = {(qk, v) for qk, vs in per_q.items() for v in vs}
     assert got_pairs == exact_pairs
+
+
+def test_hnsw_sharded_build_and_merge(spark, emb, monkeypatch):
+    """Shards are the HNSW scale unit (graph insertion is sequential per
+    graph): with a shard size smaller than the fragment, the build writes
+    one .sK-of-N graph per row range, searches merge across shards with
+    recall equal to the single-graph build, and maintenance rebuilds only
+    absent shards. An incomplete shard set counts as unindexed."""
+    import glob
+
+    import lance_trino_spark.format.vector_index as VI
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.format.vector_index import hnsw_shard_files
+
+    monkeypatch.setattr(VI, "HNSW_SHARD_ROWS", 64)
+    path = _fresh("hnsw-shards")
+    ds = LanceDataset.create(
+        path,
+        emb.select("vec_id", "label", "embedding").orderBy("vec_id").coalesce(1),
+        max_rows_per_file=150,
+    )
+    ds = ds.create_vector_index(
+        spark, "embedding", index_type="HNSW", hnsw_m=8,
+        hnsw_ef_construction=48,
+    )
+    # every fragment produced ceil(150/64) = 3 shard files
+    for f in ds.manifest.fragments:
+        files = hnsw_shard_files(path, "embedding", f.path)
+        expect = -(-f.physical_rows // 64)
+        assert len(files) == expect
+        assert all("-of-%04d" % expect in p for p in files)
+    exact = _exact_topk(spark, emb)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ds.vector_search(
+        spark, "embedding", q, k=6, id_columns=["vec_id"]
+    ).collect()
+    ann = {}
+    for r in sorted(hits, key=lambda r: (r["query_id"], -r["cosine"], r["vec_id"])):
+        if r["vec_id"] != r["query_id"]:
+            ann.setdefault(r["query_id"], [])
+            if len(ann[r["query_id"]]) < 5:
+                ann[r["query_id"]].append(r["vec_id"])
+    pairs = {(qk, n) for qk, ns in ann.items() for n in ns}
+    # small shard graphs searched exhaustively-ish: recall should be HIGH
+    assert len(pairs & exact) / len(exact) >= 0.7
+    # torn shard set = unindexed (never silently search half a fragment)
+    f0 = ds.manifest.fragments[0]
+    victim = hnsw_shard_files(path, "embedding", f0.path)[1]
+    os.unlink(victim)
+    assert hnsw_shard_files(path, "embedding", f0.path) == []
+    # maintenance rebuilds ONLY the missing shard
+    before = set(glob.glob(os.path.join(path, "_indices/embedding.hnsw/*")))
+    n_built = ds.ensure_vector_index_files(spark)
+    assert n_built == 1
+    assert os.path.exists(victim)
+    after_files = set(glob.glob(os.path.join(path, "_indices/embedding.hnsw/*")))
+    assert after_files == before | {victim}
