@@ -87,6 +87,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t15_rare_ngram_novelty",
     "s03_embedding_neardup",
     # --- new in round 5 (inserted as added) ------------------------------
+    "lf14_native_lance_interop",
     # --- r2-latest cohort (stalest driver rows) --------------------------
     "q01_pricing_summary", "q02_topk_open_orders", "q03_shipping_priority",
     "q04_order_priority_check", "q05_local_supplier_volume",

@@ -590,3 +590,46 @@ def lf13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(spark, path, 1, ds.version).orderBy(
         "_change_type", "n_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# lf14 — REAL `.lance` format interop (format/lance_native.py): write a
+# genuine Lance v1 legacy-format dataset (protobuf manifest, plain value
+# pages, page table, LANC footer — the exact on-disk layout of the
+# reference's checked-in fixtures, `example_db/test_table1.lance`), then
+# open it with the native decoder and scan it back. The byte layout and
+# resolution rules are pinned separately against the reference's binary
+# fixtures in tests/test_lance_native.py (values from
+# `TestLanceFragmentPageSource.java:199-240`).
+# ---------------------------------------------------------------------------
+@register(
+    "lf14_native_lance_interop",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           n_nationkey * 10 AS decade,
+           CAST(n_regionkey AS BIGINT) - 2 AS region_off
+    FROM nation
+    ORDER BY nationkey
+    """,
+    doc="format: real .lance v1 round-trip (native protobuf manifest + "
+        "value pages + LANC footer) via the fixture-validated decoder",
+    tags=("format", "interop", "lance-native"),
+)
+def lf14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import LanceNativeDataset, write_native_dataset
+
+    path = _fresh_path(sf_dir, "lf14-native")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    write_native_dataset(path, {
+        "nationkey": [int(r["n_nationkey"]) for r in nation],
+        "decade": [int(r["n_nationkey"]) * 10 for r in nation],
+        "region_off": [int(r["n_regionkey"]) - 2 for r in nation],
+    })
+    ds = LanceNativeDataset(path)
+    assert ds.version == 1 and ds.count_rows() == len(nation)
+    return ds.to_df(spark).orderBy("nationkey")

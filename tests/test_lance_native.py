@@ -1,0 +1,147 @@
+"""Real `.lance` dataset interop (format/lance_native.py): decode the
+reference's checked-in binary fixtures end-to-end and round-trip our own
+v1 writer. Expected values are the ones the reference's tests pin
+(`TestLanceFragmentPageSource.java:195-240`, `TestLanceCountPageSource.java:83`,
+`TestLanceMetadata.java:105-151`)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+EXAMPLE_DB = (
+    "/root/reference/plugin/trino-lance/src/test/resources/example_db"
+)
+SCRATCH = os.path.join(os.path.dirname(__file__), os.pardir, ".scratch")
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(EXAMPLE_DB), reason="reference fixtures not present"
+)
+
+
+@needs_fixtures
+def test_table1_versions_schema_and_values():
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/test_table1.lance")
+    # 6 committed versions (FIXTURES.md §2), latest = 6
+    assert ds.versions() == [1, 2, 3, 4, 5, 6]
+    assert ds.version == 6
+    assert ds.schema_names() == ["x", "y", "b", "c"]
+    # 2 fragments x 2 rows, COUNT from manifest only
+    # (TestLanceCountPageSource.java:83)
+    assert ds.count_rows() == 4
+    t = ds.to_arrow().to_pydict()
+    # exact values pinned by TestLanceFragmentPageSource.java:199-240
+    assert t == {
+        "x": [0, 1, 2, 3],
+        "y": [0, 2, 4, 6],
+        "b": [0, 3, 6, 9],
+        "c": [0, -1, -2, -3],
+    }
+    # column projection in requested order
+    proj = ds.to_arrow(columns=["b", "x"])
+    assert proj.column_names == ["b", "x"]
+    assert proj.to_pydict() == {"b": [0, 3, 6, 9], "x": [0, 1, 2, 3]}
+
+
+@needs_fixtures
+def test_table1_time_travel():
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/test_table1.lance")
+    v1 = ds.checkout(1)
+    assert v1.schema_names() == ["x"]
+    assert v1.count_rows() == 2
+    assert v1.to_arrow().to_pydict() == {"x": [0, 1]}
+    # v2 had columns x, y, z (later dropped)
+    v2 = ds.checkout(2)
+    assert v2.schema_names() == ["x", "y", "z"]
+
+
+@needs_fixtures
+def test_deletion_vectors_mask_rows():
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    # test_table2: 100 physical rows, rows 10-19 deleted via the
+    # _deletions/*.arrow vector -> 90 live (FIXTURES.md §3)
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/test_table2.lance")
+    assert ds.count_rows() == 90
+    xs = ds.to_arrow().column("x").to_pylist()
+    assert len(xs) == 90
+    assert not ({10, 11, 18, 19} & set(xs))
+    assert {9, 20} <= set(xs)
+
+
+@needs_fixtures
+def test_table5_v2_files_and_nonsequential_field_ids():
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    # descending-u64 manifest names; field ids x=0, b=2, c=3, e=4
+    # (TestLanceMetadata.java:138-151); data files are Lance FILE v2
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/test_table5.lance")
+    assert ds.schema_names() == ["x", "b", "c", "e"]
+    assert {f.name: f.id for f in ds.manifest.top_level_fields()} == {
+        "x": 0, "b": 2, "c": 3, "e": 4
+    }
+    assert ds.count_rows() == 3
+    t = ds.to_arrow().to_pydict()
+    assert t["x"] == [1, 2, 3]
+    # e lives in its own merged data file (multi-file fragment)
+    assert len(t["e"]) == 3
+
+
+@needs_fixtures
+def test_wide_types_metadata_and_unsupported_encoding_is_loud():
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        LanceNativeError,
+    )
+
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/wide_types_table.lance")
+    assert ds.count_rows() == 2
+    names = ds.schema_names()
+    assert {"id", "col_bool", "col_string", "col_fsl_f32"} <= set(names)
+    # non-flat v2 encodings refuse loudly instead of guessing
+    with pytest.raises(LanceNativeError):
+        ds.to_arrow()
+
+
+@needs_fixtures
+def test_native_to_spark_dataframe(spark):
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/test_table1.lance")
+    df = ds.to_df(spark)
+    assert df.count() == 4
+    assert df.columns == ["x", "y", "b", "c"]
+    assert sorted(r["y"] for r in df.collect()) == [0, 2, 4, 6]
+
+
+def test_writer_reader_roundtrip():
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        write_native_dataset,
+    )
+
+    p = os.path.abspath(os.path.join(SCRATCH, "native-rt.lance"))
+    shutil.rmtree(p, ignore_errors=True)
+    cols = {"x": [0, 1, 2, 3], "y": [0, 2, 4, 6], "neg": [0, -1, -2, -3]}
+    write_native_dataset(p, cols)
+    ds = LanceNativeDataset(p)
+    assert ds.version == 1
+    assert ds.schema_names() == ["x", "y", "neg"]
+    assert ds.count_rows() == 4
+    assert ds.to_arrow().to_pydict() == cols
+    # the written layout matches the fixture layout byte-structurally:
+    # footer magic + version, length-prefixed manifest proto
+    data_dir = os.path.join(p, "data")
+    raw = open(
+        os.path.join(data_dir, os.listdir(data_dir)[0]), "rb"
+    ).read()
+    assert raw[-4:] == b"LANC"
+    import struct as _s
+
+    assert _s.unpack_from("<HH", raw, len(raw) - 8) == (0, 1)
