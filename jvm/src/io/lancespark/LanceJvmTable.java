@@ -31,9 +31,11 @@ import java.util.Set;
 
 import com.fasterxml.jackson.databind.JsonNode;
 
+import org.apache.spark.sql.connector.catalog.SupportsDeleteV2;
 import org.apache.spark.sql.connector.catalog.SupportsRead;
 import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
+import org.apache.spark.sql.connector.expressions.filter.Predicate;
 import org.apache.spark.sql.connector.read.ScanBuilder;
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat;
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable;
@@ -41,7 +43,7 @@ import org.apache.spark.sql.types.DataType;
 import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
-public class LanceJvmTable implements Table, SupportsRead {
+public class LanceJvmTable implements Table, SupportsRead, SupportsDeleteV2 {
 
   private final String tableName;
   private final Path tableDir;
@@ -89,14 +91,62 @@ public class LanceJvmTable implements Table, SupportsRead {
     return props;
   }
 
+  /* ---- native SQL DELETE (SupportsDeleteV2) ---------------------------
+   * `DELETE FROM lance.ns.t WHERE ...` in plain spark.sql() — MoR
+   * deletion vectors written by LanceJvmDelete with the same on-disk
+   * layout and hard-link commit protocol as the Python committer
+   * (reference surface: LanceMetadata.java:1116-1271). Unsupported
+   * predicate shapes make canDeleteWhere return false so Spark raises
+   * its standard analysis error instead of a wrong answer. */
+  @Override
+  public boolean canDeleteWhere(Predicate[] predicates) {
+    return LanceJvmDelete.toSql(predicates) != null;
+  }
+
+  @Override
+  public void deleteWhere(Predicate[] predicates) {
+    String cond = LanceJvmDelete.toSql(predicates);
+    if (cond == null) {
+      throw new UnsupportedOperationException(
+          "DELETE predicate has no SQL rendering; use the Python committer");
+    }
+    LanceJvmDelete.run(tableDir, version, manifest, schema, cond);
+  }
+
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
     if (LanceJvmCatalog.hasDeletions(manifest)) {
-      throw new UnsupportedOperationException(
+      // Refusal is deferred to toBatch() (execution), not raised here:
+      // DELETE planning instantiates a scan it never executes, and a
+      // second DELETE on an already-DV-bearing table must still plan.
+      // SELECTs still fail loudly before any deleted row could leak.
+      final String msg =
           "table " + tableName + " has merge-on-read deletion vectors, which the "
           + "JVM parquet delegation path cannot apply; run OPTIMIZE (compaction) "
           + "to materialize deletes, or read through the deletion-aware Python "
-          + "path: spark.read.format(\"lance\").load(...)");
+          + "path: spark.read.format(\"lance\").load(...)";
+      final StructType tableSchema = schema;
+      return new ScanBuilder() {
+        @Override
+        public org.apache.spark.sql.connector.read.Scan build() {
+          return new org.apache.spark.sql.connector.read.Scan() {
+            @Override
+            public StructType readSchema() {
+              return tableSchema;
+            }
+
+            @Override
+            public String description() {
+              return "lance-dv-refusal(" + tableName + ")";
+            }
+
+            @Override
+            public org.apache.spark.sql.connector.read.Batch toBatch() {
+              throw new UnsupportedOperationException(msg);
+            }
+          };
+        }
+      };
     }
     List<String> paths = LanceJvmCatalog.livePaths(tableDir, manifest);
     ParquetTable delegate = ParquetTable.apply(

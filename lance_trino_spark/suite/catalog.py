@@ -731,3 +731,72 @@ def cat15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lance_ms_parts.p GROUP BY p_brand ORDER BY p_brand"
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# cat16 — native SQL DELETE through the JVM TableCatalog (SupportsDeleteV2):
+# plain `spark.sql("DELETE FROM lance_jvm.ns.t WHERE ...")` writes MoR
+# deletion vectors from the JVM with the same on-disk layout and hard-link
+# commit protocol as the Python committer, so either side can read/commit
+# next. Reference surface: LanceMetadata.java:1116-1271 (row-level delete
+# via per-fragment buckets, union-before-apply :1199-1213). The result is
+# read back through the deletion-aware Python DataSource — proving the two
+# committers interoperate on one table.
+# ---------------------------------------------------------------------------
+@register(
+    "cat16_jvm_native_delete",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+    FROM nation
+    WHERE NOT (n_nationkey % 3 = 0)
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="catalog: native SQL DELETE via the JVM catalog (SupportsDeleteV2 "
+        "deletion vectors), read back through the Python MoR path",
+    tags=("catalog", "jvm", "dml", "mor"),
+)
+def cat16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..format.dataset import LanceDataset
+    from ..sources.lance_datasource import register_lance_datasource
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat16-jvmdel")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "geo"))
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tbl = os.path.join(root, "geo", "nation.lance")
+    # two fragments so the delete buckets per fragment
+    ds = LanceDataset.create(tbl, nation.filter(F.col("n_nationkey") < 13))
+    ds = ds.append(nation.filter(F.col("n_nationkey") >= 13))
+    v_before = ds.version
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_d", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_d.root", root)
+
+    spark.sql("DELETE FROM lance_jvm_d.geo.nation WHERE n_nationkey % 3 = 0")
+
+    after = LanceDataset.open(tbl)
+    if after.version != v_before + 1 or after.manifest.operation != "update":
+        raise AssertionError(
+            f"JVM delete did not commit an update: v{after.version} "
+            f"{after.manifest.operation}"
+        )
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(tbl)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("sk"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -101,6 +101,55 @@ def main() -> None:
     check("drop-table", [r.tableName for r in
                          spark.sql("SHOW TABLES IN lance.scratch").collect()] == [])
 
+    # ---- native SQL DELETE through the JVM catalog (SupportsDeleteV2) ----
+    # Plain spark.sql() DML: MoR deletion vectors written by the JVM with
+    # the same layout + hard-link commit protocol as the Python committer.
+    dtbl = os.path.join(warehouse, "main", "deltest.lance")
+    d1 = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 6)], "id int, name string"
+    )
+    dds = LanceDataset.create(dtbl, d1)
+    dds = dds.append(
+        spark.createDataFrame([(i, f"n{i}") for i in range(6, 9)],
+                              "id int, name string")
+    )
+    spark.sql("DELETE FROM lance.main.deltest WHERE id % 2 = 0")
+    after = LanceDataset.open(dtbl)
+    check("jvm-delete-commit", after.version == dds.version + 1
+          and after.manifest.operation == "update",
+          f"v{after.version} {after.manifest.operation}")
+    check("jvm-delete-count", after.count_rows() == 4, str(after.count_rows()))
+    # Python reads the JVM-written deletion vectors (committer interop)
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource as _reg,
+    )
+
+    _reg(spark)
+    left = sorted(r.id for r in spark.read.format("lance").load(dtbl).collect())
+    check("python-reads-jvm-dv", left == [1, 3, 5, 7], str(left))
+    # JVM scans refuse the now-DV-bearing table (never silently wrong)
+    try:
+        spark.sql("SELECT * FROM lance.main.deltest").collect()
+        check("jvm-delete-scan-refusal", False, "DV scan succeeded")
+    except Exception as e:  # noqa: BLE001
+        check("jvm-delete-scan-refusal", "deletion vector" in str(e),
+              type(e).__name__)
+    # deleting every remaining row of a fragment drops the fragment;
+    # a second JVM delete must union with the existing vectors
+    spark.sql("DELETE FROM lance.main.deltest WHERE id >= 5")
+    after2 = LanceDataset.open(dtbl)
+    left2 = sorted(r.id for r in spark.read.format("lance").load(dtbl).collect())
+    check("jvm-delete-union", left2 == [1, 3], str(left2))
+    check("jvm-delete-drops-fragment",
+          len(after2.manifest.fragments) < len(after.manifest.fragments),
+          f"{len(after.manifest.fragments)} -> {len(after2.manifest.fragments)}")
+    # unconditional DELETE = metadata-only truncate (zero data IO)
+    spark.sql("DELETE FROM lance.main.deltest")
+    after3 = LanceDataset.open(dtbl)
+    check("jvm-truncate-metadata-only",
+          after3.count_rows() == 0 and after3.manifest.fragments == [],
+          f"v{after3.version}")
+
     try:
         spark.sql("INSERT INTO lance.main.people VALUES (9, 'ivy', 90.0)")
         check("write-refused", False, "INSERT unexpectedly succeeded")
