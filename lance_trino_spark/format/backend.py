@@ -136,6 +136,172 @@ class DirectoryBackend:
             pass
 
 
+@runtime_checkable
+class ObjectStore(Protocol):
+    """Minimal object-store surface the metadata plane needs. The one
+    non-trivial primitive is `put_if_absent` — conditional create, the
+    object-store equivalent of DirectoryBackend's hard-link commit. Real
+    stores provide it natively: S3 `PUT If-None-Match: *`, GCS
+    `x-goog-if-generation-match: 0`, ABFS `If-None-Match: *` — the same
+    primitive the reference's coordinator relies on for manifest publication
+    (`LanceMetadata.java:1489-1513` conflict model)."""
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        """Create `key` with `data`; False (no write) if the key exists."""
+        ...
+
+    def get(self, key: str) -> bytes | None:
+        ...
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        ...
+
+    def delete(self, key: str) -> None:
+        """Missing key is a no-op."""
+        ...
+
+
+class MemoryObjectStore:
+    """Dict-backed ObjectStore with true conditional-put semantics — the
+    conformance target proving the seam holds beyond posix paths (no
+    filesystem involved at all). Thread-safe like a real store's
+    conditional PUT."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        with self._lock:
+            if key in self._objects:
+                return False
+            self._objects[key] = bytes(data)
+            return True
+
+    def get(self, key: str) -> bytes | None:
+        return self._objects.get(key)
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        return sorted(k for k in self._objects if k.startswith(prefix))
+
+    def delete(self, key: str) -> None:
+        self._objects.pop(key, None)
+
+
+class FsspecObjectStore:
+    """fsspec-backed ObjectStore (s3://, gs://, abfs://, memory://...).
+
+    Gated behind an import-try because fsspec is not installed in this
+    environment. IMPORTANT atomicity note: generic fsspec filesystems do
+    NOT expose conditional create, so `put_if_absent` here is
+    check-then-write — atomic only for stores whose `_put` maps to a
+    conditional request. Production use on S3/GCS should subclass and
+    route the conditional headers through the store's native API; shipping
+    a silently non-atomic commit path is exactly what this seam refuses to
+    do, hence the loud warning on construction."""
+
+    def __init__(self, protocol: str, **fs_kwargs):
+        try:
+            import fsspec
+        except ImportError as e:  # pragma: no cover — env-dependent
+            raise RuntimeError(
+                "FsspecObjectStore requires the fsspec package (not "
+                "installed in this environment); use MemoryObjectStore for "
+                "tests or DirectoryBackend for posix paths"
+            ) from e
+        import warnings
+
+        self.fs = fsspec.filesystem(protocol, **fs_kwargs)
+        warnings.warn(
+            "FsspecObjectStore.put_if_absent is check-then-write on generic "
+            "fsspec filesystems; for S3/GCS route conditional-create through "
+            "the store's native API before using this for concurrent commits",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        if self.fs.exists(key):
+            return False
+        with self.fs.open(key, "wb") as f:
+            f.write(data)
+        return True
+
+    def get(self, key: str) -> bytes | None:
+        if not self.fs.exists(key):
+            return None
+        with self.fs.open(key, "rb") as f:
+            return f.read()
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        try:
+            return sorted(p for p in self.fs.ls(prefix.rsplit("/", 1)[0]))
+        except FileNotFoundError:
+            return []
+
+    def delete(self, key: str) -> None:
+        try:
+            self.fs.rm(key)
+        except FileNotFoundError:
+            pass
+
+
+class ObjectStoreBackend:
+    """StorageBackend over any ObjectStore: manifests live at
+    `<root>/_versions/<N>.manifest.json` keys; the atomic commit is the
+    store's conditional put instead of a posix hard link. This is the
+    object-store shape of the metadata plane — the layout and protocol are
+    identical to DirectoryBackend, only the atomicity primitive differs."""
+
+    def __init__(self, store: ObjectStore):
+        self.store = store
+
+    @staticmethod
+    def _key(root: str, version: int) -> str:
+        return f"{root.rstrip('/')}/{VERSIONS_DIR}/{version}.manifest.json"
+
+    @staticmethod
+    def _prefix(root: str) -> str:
+        return f"{root.rstrip('/')}/{VERSIONS_DIR}/"
+
+    def list_versions(self, root: str) -> list[int]:
+        out = []
+        for key in self.store.list_prefix(self._prefix(root)):
+            name = key.rsplit("/", 1)[-1]
+            if name.endswith(".manifest.json"):
+                try:
+                    out.append(int(name.split(".", 1)[0]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_manifest_json(self, root: str, version: int) -> dict:
+        data = self.store.get(self._key(root, version))
+        if data is None:
+            raise VersionNotFoundError(
+                f"no version {version} at {root}"
+            )
+        return json.loads(data)
+
+    def manifest_fingerprint(self, root: str, version: int):
+        # content-addressed: object stores have no inode/mtime identity
+        data = self.store.get(self._key(root, version))
+        return None if data is None else hash(data)
+
+    def commit_manifest_json(self, root: str, version: int, payload: dict) -> None:
+        blob = json.dumps(payload).encode()
+        if not self.store.put_if_absent(self._key(root, version), blob):
+            raise CommitConflictError(
+                f"version {version} at {root} was committed by another "
+                "transaction"
+            )
+
+    def delete_manifest(self, root: str, version: int) -> None:
+        self.store.delete(self._key(root, version))
+
+
 _BACKEND: StorageBackend = DirectoryBackend()
 
 

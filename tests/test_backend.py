@@ -82,11 +82,19 @@ def test_backend_version_resolution(mem_backend):
         version_at_timestamp(root, 50)
 
 
-@pytest.fixture(params=["directory", "memory"])
+@pytest.fixture(params=["directory", "memory", "objectstore"])
 def any_backend(request, tmp_path):
     """Every registered backend implementation, paired with a root it owns."""
     if request.param == "directory":
         yield be.DirectoryBackend(), str(tmp_path / "conformance.lance")
+    elif request.param == "objectstore":
+        # the PRODUCT object-store backend over a conditional-put store —
+        # the seam beyond posix (no filesystem, keys only); an fsspec
+        # binding exists behind an import-try (FsspecObjectStore)
+        yield (
+            be.ObjectStoreBackend(be.MemoryObjectStore()),
+            "mem://bucket/conformance.lance",
+        )
     else:
         yield InMemoryBackend(), "/virtual/conformance.lance"
 
