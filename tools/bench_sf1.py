@@ -1,0 +1,102 @@
+"""sf1 bench anchor: headline relational queries, Spark vs DuckDB on the
+SAME parquet files, best-of-3 per query (the pinned noise-band method —
+sandbox single-run variance at sf0.1 was measured up to ~2x, so no
+regression call is valid off a single run).
+
+Usage: python3 tools/bench_sf1.py [sf_dir]   (default .scratch/sf1;
+run tools/gen_sf1.py first). Appends a markdown table to BENCH_SF1.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_revenue_forecast", "q09_product_profit", "q12_priority_classes",
+    "q14_promo_revenue", "q18_large_volume_customers",
+    "q21_waiting_suppliers", "q24_window_running_revenue",
+]
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, ".scratch", "sf1"
+    )
+    import duckdb
+
+    from lance_trino_spark.session import get_spark
+    from lance_trino_spark.suite import all_queries
+
+    spark = get_spark("bench-sf1")
+    registry = all_queries()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = p if os.path.isfile(p) else os.path.join(p, "*.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+        )
+
+    rows = []
+    for name in QUERIES:
+        q = registry[name]
+        spark_times, duck_times = [], []
+        n_rows = 0
+        for _ in range(3):
+            t0 = time.time()
+            n_rows = len(q.build(spark, sf_dir).collect())
+            spark_times.append(time.time() - t0)
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(q.oracle).fetchall()
+            duck_times.append(time.time() - t0)
+        rows.append({
+            "query": name, "rows": n_rows,
+            "spark_best": round(min(spark_times), 3),
+            "spark_all": [round(x, 3) for x in spark_times],
+            "duck_best": round(min(duck_times), 3),
+            "duck_all": [round(x, 3) for x in duck_times],
+        })
+        print(json.dumps(rows[-1]))
+
+    total_s = sum(r["spark_best"] for r in rows)
+    total_d = sum(r["duck_best"] for r in rows)
+    lines = [
+        "",
+        f"## sf1 anchor run ({time.strftime('%Y-%m-%d %H:%M')}, "
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], best-of-3)",
+        "",
+        "| query | rows | spark best (s) | spark runs | duckdb best (s) | ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        ratio = (r["spark_best"] / r["duck_best"]) if r["duck_best"] else 0
+        lines.append(
+            f"| {r['query']} | {r['rows']} | {r['spark_best']} | "
+            f"{r['spark_all']} | {r['duck_best']} | {ratio:.1f}x |"
+        )
+    lines.append(
+        f"| **total** | | **{total_s:.2f}** | | **{total_d:.2f}** | "
+        f"**{total_s / total_d:.1f}x** |"
+    )
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH_SF1.md"), "a") as f:
+        f.write("\n".join(lines))
+    print(f"total spark {total_s:.2f}s, duckdb {total_d:.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
