@@ -253,7 +253,7 @@ final class LanceJvmDelete {
     return latest;
   }
 
-  private static void commitManifest(Path tableDir, long version,
+  static void commitManifest(Path tableDir, long version,
       ObjectNode payload) {
     // Hard-link create-if-absent: the identical atomic protocol as
     // format/backend.py DirectoryBackend.commit_manifest_json, so the JVM

@@ -33,17 +33,25 @@ import com.fasterxml.jackson.databind.JsonNode;
 
 import org.apache.spark.sql.connector.catalog.SupportsDeleteV2;
 import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.SupportsWrite;
 import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.expressions.filter.Predicate;
 import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.SupportsTruncate;
+import org.apache.spark.sql.connector.write.V1Write;
+import org.apache.spark.sql.connector.write.Write;
+import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.sources.InsertableRelation;
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat;
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable;
 import org.apache.spark.sql.types.DataType;
 import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
-public class LanceJvmTable implements Table, SupportsRead, SupportsDeleteV2 {
+public class LanceJvmTable
+    implements Table, SupportsRead, SupportsWrite, SupportsDeleteV2 {
 
   private final String tableName;
   private final Path tableDir;
@@ -71,7 +79,11 @@ public class LanceJvmTable implements Table, SupportsRead, SupportsDeleteV2 {
 
   @Override
   public Set<TableCapability> capabilities() {
-    return Collections.unmodifiableSet(EnumSet.of(TableCapability.BATCH_READ));
+    return Collections.unmodifiableSet(EnumSet.of(
+        TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE,
+        TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE));
   }
 
   @Override
@@ -89,6 +101,50 @@ public class LanceJvmTable implements Table, SupportsRead, SupportsDeleteV2 {
     }
     props.put("total_rows", Long.toString(totalRows));
     return props;
+  }
+
+  /* ---- native SQL INSERT (SupportsWrite, V1 fallback) -----------------
+   * Executors stage parquet parts; the driver moves them into data/ and
+   * commits an Append (retry: append commutes) or Overwrite (refuse on
+   * conflict) manifest through the shared hard-link protocol — the JVM
+   * half of the reference's beginInsert/finishInsert two-phase commit
+   * (LanceMetadata.java). Blob-column tables are refused: their appends
+   * REQUIRE the Python staging transform (out-of-line blob descriptors),
+   * and a raw parquet append would corrupt the layout. Vector/scalar
+   * index sidecars are not built here — new fragments scan via
+   * consult-if-present until ensure_*_index_files/OPTIMIZE runs, same as
+   * a Python append without maintain_indexes. */
+  @Override
+  public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+    if (manifest.path("properties").has("blob_columns")) {
+      throw new UnsupportedOperationException(
+          "table " + tableName + " has blob columns; INSERT must go through "
+          + "the Python committer (LanceDataset.append), which stages blob "
+          + "descriptors");
+    }
+    return new LanceWriteBuilder();
+  }
+
+  private final class LanceWriteBuilder implements WriteBuilder, SupportsTruncate {
+    private boolean overwrite;
+
+    @Override
+    public WriteBuilder truncate() {
+      overwrite = true;
+      return this;
+    }
+
+    @Override
+    public Write build() {
+      final boolean ovr = overwrite;
+      return new V1Write() {
+        @Override
+        public InsertableRelation toInsertableRelation() {
+          return (data, overwriteFlag) ->
+              LanceJvmWrite.insert(tableDir, data, ovr || overwriteFlag);
+        }
+      };
+    }
   }
 
   /* ---- native SQL DELETE (SupportsDeleteV2) ---------------------------

@@ -89,6 +89,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # --- new in round 5 (inserted as added) ------------------------------
     "lf14_native_lance_interop",
     "cat16_jvm_native_delete",
+    "cat17_jvm_native_insert",
     # --- r2-latest cohort (stalest driver rows) --------------------------
     "q01_pricing_summary", "q02_topk_open_orders", "q03_shipping_priority",
     "q04_order_priority_check", "q05_local_supplier_volume",

@@ -800,3 +800,69 @@ def cat16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# cat17 — native SQL INSERT through the JVM TableCatalog (V1Write fallback):
+# plain `spark.sql("INSERT INTO lance_jvm.ns.t SELECT ...")` stages parquet
+# parts from executors and commits an Append manifest through the shared
+# hard-link protocol (retrying through conflicts — append commutes), the
+# JVM half of the reference's beginInsert/finishInsert two-phase commit
+# (LanceMetadata.java). Verified by reading the combined table back through
+# the SAME JVM catalog and by the Python committer seeing the new version.
+# ---------------------------------------------------------------------------
+@register(
+    "cat17_jvm_native_insert",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_acctbal * 100) AS BIGINT) AS bal_c
+    FROM (
+      SELECT s_nationkey, s_acctbal FROM supplier
+      UNION ALL
+      SELECT s_nationkey, s_acctbal + 1000 AS s_acctbal FROM supplier
+      WHERE s_nationkey < 10
+    )
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    doc="catalog: native SQL INSERT via the JVM catalog (V1Write staged "
+        "fragments + append commit), read back through Catalyst",
+    tags=("catalog", "jvm", "dml", "insert"),
+)
+def cat17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat17-jvmins")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "geo"))
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    tbl = os.path.join(root, "geo", "supplier.lance")
+    ds = LanceDataset.create(tbl, supplier)
+    v_before = ds.version
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_i", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_i.root", root)
+    supplier.createOrReplaceTempView("_cat17_src")
+    spark.sql(
+        "INSERT INTO lance_jvm_i.geo.supplier "
+        "SELECT s_suppkey + 1000000, s_nationkey, s_acctbal + 1000 "
+        "FROM _cat17_src WHERE s_nationkey < 10"
+    )
+    after = LanceDataset.open(tbl)
+    if after.version != v_before + 1 or after.manifest.operation != "append":
+        raise AssertionError(
+            f"JVM insert did not commit an append: v{after.version} "
+            f"{after.manifest.operation}"
+        )
+    return spark.sql(
+        "SELECT s_nationkey, COUNT(*) AS n,"
+        "       CAST(SUM(s_acctbal * 100) AS BIGINT) AS bal_c "
+        "FROM lance_jvm_i.geo.supplier "
+        "GROUP BY s_nationkey ORDER BY s_nationkey"
+    )

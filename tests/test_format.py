@@ -404,7 +404,7 @@ def test_commit_metadata_provenance(spark, tmp_path):
 def test_append_maintain_indexes_flag(spark, tmp_path):
     from lance_trino_spark.format.dataset import LanceDataset
     from lance_trino_spark.format.index import index_rel_path
-    from lance_trino_spark.format.vector_index import hnsw_rel
+    from lance_trino_spark.format.vector_index import hnsw_shard_files
 
     import os
 
@@ -426,7 +426,7 @@ def test_append_maintain_indexes_flag(spark, tmp_path):
     assert new_frags
     for f in new_frags:
         assert os.path.exists(os.path.join(path, index_rel_path("k", f.path)))
-        assert os.path.exists(os.path.join(path, hnsw_rel("v", f.path)))
+        assert hnsw_shard_files(path, "v", f.path)
     # default append leaves sidecars to consult-if-present
     out2 = out.append(
         spark.range(140, 150).selectExpr(

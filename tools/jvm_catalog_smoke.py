@@ -7,7 +7,10 @@ the jar + catalog confs are set before the JVM starts):
 
 Exercises: SHOW NAMESPACES / SHOW TABLES, SELECT through Catalyst with
 pushdown, VERSION AS OF / TIMESTAMP AS OF time travel, CREATE/DROP TABLE,
-the deletion-vector refusal, and the read-only write refusal.
+native SQL DELETE (SupportsDeleteV2: deletion vectors, DV union, fragment
+drop, metadata-only truncate), native SQL INSERT / INSERT OVERWRITE
+(V1Write fallback), Python<->JVM committer interop both ways, and the
+deletion-vector scan refusal.
 """
 
 from __future__ import annotations
@@ -150,12 +153,29 @@ def main() -> None:
           after3.count_rows() == 0 and after3.manifest.fragments == [],
           f"v{after3.version}")
 
-    try:
-        spark.sql("INSERT INTO lance.main.people VALUES (9, 'ivy', 90.0)")
-        check("write-refused", False, "INSERT unexpectedly succeeded")
-    except Exception as e:  # noqa: BLE001 — any analysis error is the pass
-        check("write-refused", "support" in str(e).lower() or "writ" in str(e).lower(),
-              type(e).__name__)
+    # ---- native SQL INSERT through the JVM catalog (V1Write fallback) ----
+    v_people = LanceDataset.open(os.path.join(warehouse, "main", "people.lance")).version
+    spark.sql("INSERT INTO lance.main.people VALUES (9, 'ivy', 90.0), (10, 'jax', 15.5)")
+    ppl = LanceDataset.open(os.path.join(warehouse, "main", "people.lance"))
+    check("jvm-insert-commit", ppl.version == v_people + 1
+          and ppl.manifest.operation == "append",
+          f"v{ppl.version} {ppl.manifest.operation}")
+    got9 = spark.sql(
+        "SELECT name FROM lance.main.people WHERE id >= 9 ORDER BY id"
+    ).collect()
+    check("jvm-insert-readback", [r.name for r in got9] == ["ivy", "jax"], str(got9))
+    check("python-reads-jvm-insert", ppl.count_rows() == 10, str(ppl.count_rows()))
+    # INSERT OVERWRITE commits an Overwrite manifest
+    spark.sql("CREATE TABLE lance.main.ow (i INT, s STRING)")
+    spark.sql("INSERT INTO lance.main.ow VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE lance.main.ow VALUES (7, 'z')")
+    ow = LanceDataset.open(os.path.join(warehouse, "main", "ow.lance"))
+    check("jvm-insert-overwrite", ow.count_rows() == 1
+          and ow.manifest.operation == "overwrite",
+          f"{ow.count_rows()} {ow.manifest.operation}")
+    got_ow = spark.sql("SELECT i, s FROM lance.main.ow").collect()
+    check("jvm-overwrite-readback", [(r.i, r.s) for r in got_ow] == [(7, "z")],
+          str(got_ow))
 
     # MoR deletion vectors: JVM path must refuse, Python path must serve.
     # id=4 sits in a 2-row fragment, so the delete leaves a real deletion
@@ -163,7 +183,8 @@ def main() -> None:
     # manifest, which the JVM path handles fine).
     from lance_trino_spark.operators.dml import delete as lance_delete
 
-    ds = lance_delete(ds, spark, "id = 4")
+    # fresh handle: the JVM INSERT above advanced the table version
+    ds = lance_delete(LanceDataset.open(tbl), spark, "id = 4")
     try:
         spark.sql("SELECT * FROM lance.main.people").collect()
         check("dv-refusal", False, "scan of MoR-deleted table unexpectedly succeeded")
@@ -173,7 +194,7 @@ def main() -> None:
 
     register_lance_datasource(spark)
     n_py = spark.read.format("lance").load(tbl).count()
-    check("python-path-serves-dv", n_py == 7, str(n_py))
+    check("python-path-serves-dv", n_py == 9, str(n_py))  # 10 rows - id=4
 
     spark.stop()
     if failures:
