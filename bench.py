@@ -105,6 +105,11 @@ DEFAULT_QUERIES = [
     "st09_stream_hll_registers",
     "s11_hnsw_index",
     "st10_stream_vector_ingest",
+    # round 5 additions
+    "s12_binary_quantization",
+    "lf14_native_lance_interop",
+    "cat16_jvm_native_delete",
+    "cat17_jvm_native_insert",
 ]
 
 

@@ -294,11 +294,15 @@ def _arrow_type(ltype: str):
             "halffloat": pa.float16(), "float": pa.float32(),
             "double": pa.float64(),
         }[ltype]
+    if ltype == "bool":
+        return pa.bool_()
     if ltype == "date32:day":
         return pa.date32()
     if ltype.startswith("timestamp:"):
-        unit = ltype.split(":")[1]
-        return pa.timestamp(unit)
+        # "timestamp:us", "timestamp:us:-" (naive), "timestamp:us:UTC"
+        parts = ltype.split(":")
+        tz = parts[2] if len(parts) > 2 and parts[2] not in ("-", "") else None
+        return pa.timestamp(parts[1], tz=tz)
     if ltype in ("string", "large_string"):
         return pa.string()
     if ltype in ("binary", "large_binary"):
@@ -341,45 +345,21 @@ def _page_entry(raw: bytes, meta: _FileMeta, col_idx: int, batch: int):
     return struct.unpack_from("<qq", raw, off)
 
 
-def _v2_read_column(raw: bytes, col_idx: int, nfield: NativeField):
-    """Minimal Lance FILE v2 column read: footer -> column-metadata offset
-    table -> page buffers. Only the FLAT value encoding is decoded (single
-    buffer whose byte size equals rows x type width — true for plain
-    fixed-width columns like test_table5's int64s); anything compressed,
-    bit-packed, or variable-width raises LanceNativeError loudly rather
-    than guessing. Footer (40B): [col_meta_start:u64]
-    [col_meta_offsets_start:u64][global_buf_offsets_start:u64]
-    [n_global_bufs:u32][n_columns:u32][major:u16][minor:u16]'LANC'."""
-    import numpy as np
-    import pyarrow as pa
-
+def _v2_pages(raw: bytes, col_idx: int):
+    """Page descriptors [(buffer_offsets, buffer_sizes, n_rows)] of one
+    column from a Lance FILE v2 footer + column-metadata offset table.
+    Footer (40B): [col_meta_start:u64][col_meta_offsets_start:u64]
+    [global_buf_offsets_start:u64][n_global_bufs:u32][n_columns:u32]
+    [major:u16][minor:u16]'LANC'."""
     (_cms, cmos, _gbos, _ngb, ncol, _maj, _min) = struct.unpack_from(
         "<QQQIIHH", raw, len(raw) - 40
     )
     if col_idx >= ncol:
         raise LanceNativeError(f"column {col_idx} >= {ncol} in v2 file")
-    # column metadata block is NOT length-prefixed; its size comes from the
-    # offset table entry
     pos, size = struct.unpack_from("<QQ", raw, cmos + 16 * col_idx)
-    meta_buf = raw[pos:pos + size]
-    if nfield.logical_type not in _FIXED_TYPES and nfield.logical_type not in (
-        "date32:day",
-    ) and not nfield.logical_type.startswith("timestamp:"):
-        raise LanceNativeError(
-            f"v2 decode supports fixed-width scalars only, not "
-            f"{nfield.logical_type!r}"
-        )
-    if nfield.logical_type in _FIXED_TYPES:
-        width = int(_FIXED_TYPES[nfield.logical_type][1])
-        np_dt = "<" + _FIXED_TYPES[nfield.logical_type]
-    elif nfield.logical_type == "date32:day":
-        width, np_dt = 4, "<i4"
-    else:
-        width, np_dt = 8, "<i8"
-    atype = _arrow_type(nfield.logical_type)
-    chunks = []
-    for f, _wt, v in pb_items(meta_buf):
-        if f != 2:  # pages
+    pages = []
+    for f, _wt, v in pb_items(raw[pos:pos + size]):
+        if f != 2:
             continue
         offs, sizes, nrows = [], [], 0
         for f2, wt2, v2 in pb_items(v):
@@ -389,22 +369,137 @@ def _v2_read_column(raw: bytes, col_idx: int, nfield: NativeField):
                 sizes = _packed_varints(v2) if wt2 == 2 else sizes + [v2]
             elif f2 == 3:
                 nrows = v2
-        if not offs or len(offs) != 1 or sizes[0] != nrows * width:
-            raise LanceNativeError(
-                f"non-flat v2 page encoding for column {nfield.name!r} "
-                f"(buffers={len(offs)}, size={sizes}, rows={nrows}) — "
-                "only plain fixed-width pages are decoded"
+        pages.append((offs, sizes, nrows))
+    return pages
+
+
+def _v2_fixed_np(raw, offs, sizes, nrows, np_dt, width, what):
+    import numpy as np
+
+    if len(offs) != 1 or sizes[0] != nrows * width:
+        raise LanceNativeError(
+            f"non-flat v2 page encoding for {what} (buffers={len(offs)}, "
+            f"sizes={sizes}, rows={nrows}) — only plain pages are decoded"
+        )
+    return np.frombuffer(raw, dtype=np_dt, count=nrows, offset=offs[0])
+
+
+def _v2_read_column(
+    raw: bytes,
+    col_idx: int,
+    nfield: NativeField,
+    manifest: NativeManifest | None = None,
+    data_file: NativeDataFile | None = None,
+):
+    """Minimal Lance FILE v2 column read covering the fixture matrix
+    (wide_types_table / test_table5): flat fixed-width scalars, bitpacked
+    bools, var-width string/binary (end-offsets buffer + data buffer),
+    list<T> (end-offsets into the CHILD column, one v2 column per child
+    field), and fixed_size_list<T, n> (flat child values). Compressed /
+    dictionary / miniblock encodings raise loudly rather than guess —
+    every size is cross-checked against rows x width first."""
+    import numpy as np
+    import pyarrow as pa
+
+    pages = _v2_pages(raw, col_idx)
+    lt = nfield.logical_type
+    what = f"column {nfield.name!r} ({lt})"
+    chunks = []
+    for offs, sizes, nrows in pages:
+        if lt in _FIXED_TYPES:
+            np_dt = "<" + _FIXED_TYPES[lt]
+            width = int(_FIXED_TYPES[lt][1])
+            vals = _v2_fixed_np(raw, offs, sizes, nrows, np_dt, width, what)
+            if lt == "halffloat":
+                # Spark has no float16 — widen exactly (FIXTURES.md §1)
+                chunks.append(pa.array(vals.astype(np.float32),
+                                       type=pa.float32()))
+            else:
+                chunks.append(pa.array(vals, type=_arrow_type(lt)))
+        elif lt == "bool":
+            if len(offs) != 1 or sizes[0] != (nrows + 7) // 8:
+                raise LanceNativeError(f"non-bitpacked bool page for {what}")
+            bits = np.unpackbits(
+                np.frombuffer(raw, np.uint8, count=sizes[0], offset=offs[0]),
+                bitorder="little",
+            )[:nrows]
+            chunks.append(pa.array(bits.astype(bool), type=pa.bool_()))
+        elif lt == "date32:day":
+            vals = _v2_fixed_np(raw, offs, sizes, nrows, "<i4", 4, what)
+            chunks.append(pa.array(vals, type=pa.date32()))
+        elif lt.startswith("timestamp:"):
+            vals = _v2_fixed_np(raw, offs, sizes, nrows, "<i8", 8, what)
+            chunks.append(pa.array(vals, type=_arrow_type(lt)))
+        elif lt in ("string", "large_string", "binary", "large_binary"):
+            if len(offs) != 2 or sizes[0] != nrows * 8:
+                raise LanceNativeError(
+                    f"unexpected var-width layout for {what}: buffers="
+                    f"{len(offs)}, sizes={sizes}"
+                )
+            ends = np.frombuffer(raw, "<i8", count=nrows, offset=offs[0])
+            data = raw[offs[1]:offs[1] + sizes[1]]
+            out, start = [], 0
+            for e in ends.tolist():
+                piece = data[start:e]
+                out.append(
+                    piece.decode() if lt.endswith("string") else piece
+                )
+                start = e
+            chunks.append(pa.array(out, type=_arrow_type(lt)))
+        elif lt == "list":
+            if manifest is None or data_file is None:
+                raise LanceNativeError(
+                    f"list column {what} needs the manifest for its child"
+                )
+            child = _child_field(manifest, nfield)
+            child_col = data_file.field_ids.index(child.id)
+            ends = _v2_fixed_np(raw, offs, sizes, nrows, "<i8", 8, what)
+            child_vals = _v2_read_column(
+                raw, child_col, child, manifest, data_file
             )
-        vals = np.frombuffer(raw, dtype=np.dtype(np_dt), count=nrows,
-                             offset=offs[0])
-        chunks.append(pa.array(vals, type=atype))
+            offsets = pa.array([0] + ends.tolist(), type=pa.int32())
+            chunks.append(pa.ListArray.from_arrays(offsets, child_vals))
+        elif lt.startswith("fixed_size_list:"):
+            _, item_t, dim_s = lt.split(":")
+            dim = int(dim_s)
+            item_field = NativeField("item", -1, nfield.id, item_t, True, 1)
+            if item_t in _FIXED_TYPES:
+                np_dt = "<" + _FIXED_TYPES[item_t]
+                width = int(_FIXED_TYPES[item_t][1])
+                vals = _v2_fixed_np(
+                    raw, offs, sizes, nrows * dim, np_dt, width, what
+                )
+                if item_t == "halffloat":
+                    inner = pa.array(vals.astype(np.float32), pa.float32())
+                else:
+                    inner = pa.array(vals, type=_arrow_type(item_t))
+                chunks.append(pa.FixedSizeListArray.from_arrays(inner, dim))
+            else:
+                raise LanceNativeError(
+                    f"fixed_size_list of {item_t!r} not decoded for {what}"
+                )
+        else:
+            raise LanceNativeError(
+                f"v2 decode does not support logical type {lt!r} ({what})"
+            )
     if not chunks:
-        return pa.array([], type=atype)
+        return pa.array([], type=pa.null())
     return pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
 
 
+def _child_field(manifest: NativeManifest, parent: NativeField) -> NativeField:
+    for f in manifest.fields:
+        if _signed(f.parent_id) == parent.id:
+            return f
+    raise LanceNativeError(f"no child field under {parent.name!r}")
+
+
 def read_file_column(
-    root: str, data_file: NativeDataFile, col_idx: int, nfield: NativeField
+    root: str,
+    data_file: NativeDataFile,
+    col_idx: int,
+    nfield: NativeField,
+    manifest: NativeManifest | None = None,
 ):
     """One column of one v1 data file as a pyarrow Array (all batches)."""
     import numpy as np
@@ -418,7 +513,7 @@ def read_file_column(
     maj, minor = struct.unpack_from("<HH", raw, len(raw) - 8)
     if (maj, minor) not in ((0, 1),):
         # footer version 0.3+ = Lance FILE v2 layout (40-byte footer)
-        return _v2_read_column(raw, col_idx, nfield)
+        return _v2_read_column(raw, col_idx, nfield, manifest, data_file)
     meta = _read_file_meta(raw, len(data_file.field_ids), data_file.field_ids)
     n_batches = max(1, len(meta.batch_offsets) - 1)
     atype = _arrow_type(nfield.logical_type)
@@ -485,7 +580,7 @@ def read_native_fragment(
     arrays, names = [], []
     for nf in tops:
         dfile, col_idx = frag.file_for_field(nf.id)
-        arrays.append(read_file_column(root, dfile, col_idx, nf))
+        arrays.append(read_file_column(root, dfile, col_idx, nf, manifest))
         names.append(nf.name)
     t = pa.table(dict(zip(names, arrays)))
     if frag.deletion is not None:

@@ -814,7 +814,8 @@ def cat16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cat17_jvm_native_insert",
     oracle="""
-    SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_acctbal * 100) AS BIGINT) AS bal_c
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS bal_c
     FROM (
       SELECT s_nationkey, s_acctbal FROM supplier
       UNION ALL
@@ -860,9 +861,12 @@ def cat17(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"JVM insert did not commit an append: v{after.version} "
             f"{after.manifest.operation}"
         )
+    # decimal-exact cents (registry determinism contract: no double-sum
+    # casts in oracle-gated outputs — engine CAST rounding differs)
     return spark.sql(
         "SELECT s_nationkey, COUNT(*) AS n,"
-        "       CAST(SUM(s_acctbal * 100) AS BIGINT) AS bal_c "
+        "       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        "         AS bal_c "
         "FROM lance_jvm_i.geo.supplier "
         "GROUP BY s_nationkey ORDER BY s_nationkey"
     )

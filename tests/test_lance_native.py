@@ -94,19 +94,40 @@ def test_table5_v2_files_and_nonsequential_field_ids():
 
 
 @needs_fixtures
-def test_wide_types_metadata_and_unsupported_encoding_is_loud():
-    from lance_trino_spark.format.lance_native import (
-        LanceNativeDataset,
-        LanceNativeError,
-    )
+def test_wide_types_every_cell_matches_documented_values():
+    """The reference's wide-types matrix, decoded cell-exactly
+    (TestLanceArrowToPageScanner.java:60-78 / FIXTURES.md §1): flat
+    scalars, bitpacked bool, var-width string/binary, date/timestamp
+    (naive + UTC), variable-length list<f32>, fixed-size lists (f32 and
+    f16, both widened per the documented Spark mapping)."""
+    import datetime as dt
+
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
 
     ds = LanceNativeDataset(f"{EXAMPLE_DB}/wide_types_table.lance")
     assert ds.count_rows() == 2
-    names = ds.schema_names()
-    assert {"id", "col_bool", "col_string", "col_fsl_f32"} <= set(names)
-    # non-flat v2 encodings refuse loudly instead of guessing
-    with pytest.raises(LanceNativeError):
-        ds.to_arrow()
+    t = ds.to_arrow()
+    got = {n: t.column(n).to_pylist() for n in t.column_names}
+    assert got["id"] == [1, 2]
+    assert got["col_bool"] == [True, False]
+    assert got["col_int32"] == [10, -10]
+    assert got["col_int64"] == [100, -100]
+    assert got["col_uint64"] == [42, 99]
+    assert got["col_float16"] == [3.5, -3.5]  # widened to float32
+    assert got["col_float32"] == [1.5, -1.5]
+    assert got["col_float64"] == [2.5, -2.5]
+    assert got["col_string"] == ["hello", "world"]
+    assert got["col_binary"] == [b"\x01\x02", b"\x03\x04"]
+    assert got["col_date"] == [dt.date(2024, 1, 15), dt.date(2024, 6, 30)]
+    assert [x.replace(tzinfo=None) for x in got["col_ts"]] == [
+        dt.datetime(2024, 1, 15, 10, 30), dt.datetime(2024, 6, 30, 20, 0)
+    ]
+    assert [x.replace(tzinfo=None) for x in got["col_ts_tz"]] == [
+        dt.datetime(2024, 1, 15, 10, 30), dt.datetime(2024, 6, 30, 20, 0)
+    ]
+    assert got["col_list_f32"] == [[1.0, 2.0], [3.0, 4.0, 5.0]]
+    assert got["col_fsl_f32"] == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    assert got["col_fsl_f16"] == [[7.0, 8.0, 9.0], [10.0, 11.0, 12.0]]
 
 
 @needs_fixtures
