@@ -13,10 +13,10 @@
  *
  * INSERT OVERWRITE commits an Overwrite manifest instead and, like the
  * Python commit_overwrite, refuses on conflict rather than retrying (the
- * snapshot it replaces is gone).  Zone-map stats are currently left absent
- * on JVM-written fragments (consumers treat missing stats as
- * no-zonemap/conservative); the Python writer remains the stats-bearing
- * path.
+ * snapshot it replaces is gone).  Zone-map stats come from the parquet
+ * footers for the SOUND subset (untagged int columns — see footerStats);
+ * other columns carry no stats and are simply never pruned, matching the
+ * Python accumulator's conservative poisoning rules.
  */
 package io.lancespark;
 
@@ -26,6 +26,8 @@ import java.nio.file.Files;
 import java.nio.file.Path;
 import java.util.ArrayList;
 import java.util.List;
+import java.util.Map;
+import java.util.Set;
 import java.util.UUID;
 
 import com.fasterxml.jackson.databind.JsonNode;
@@ -51,6 +53,7 @@ final class LanceJvmWrite {
     data.write().mode("overwrite").parquet(tmpDir.toString());
     List<String> rels = new ArrayList<>();
     List<Long> rowCounts = new ArrayList<>();
+    List<ObjectNode> fragStats = new ArrayList<>();
     Configuration conf = new Configuration();
     try {
       Files.createDirectories(tableDir.resolve("data"));
@@ -65,10 +68,12 @@ final class LanceJvmWrite {
         parts.sort(java.util.Comparator.comparing(Path::toString));
         for (Path p : parts) {
           long rows;
+          ObjectNode stats;
           try (ParquetFileReader r = ParquetFileReader.open(
               HadoopInputFile.fromPath(
                   new org.apache.hadoop.fs.Path(p.toString()), conf))) {
             rows = r.getRecordCount();
+            stats = footerStats(r);
           }
           if (rows == 0) {
             continue; // empty partitions produce empty parts — skip
@@ -77,6 +82,7 @@ final class LanceJvmWrite {
           Files.move(p, tableDir.resolve(rel));
           rels.add(rel);
           rowCounts.add(rows);
+          fragStats.add(stats);
         }
       }
       deleteRecursively(tmpDir);
@@ -105,6 +111,9 @@ final class LanceJvmWrite {
         f.put("path", rels.get(i));
         f.put("physical_rows", rowCounts.get(i));
         f.set("deletion", MAPPER.nullNode());
+        if (fragStats.get(i) != null && fragStats.get(i).size() > 0) {
+          f.set("stats", fragStats.get(i));
+        }
         frags.add(f);
         nextId++;
       }
@@ -120,6 +129,66 @@ final class LanceJvmWrite {
         // append commutes: re-read the new latest and retry
       }
     }
+  }
+
+  /** Zone-map stats from the parquet footer — the SOUND subset only:
+   *  untagged integer columns (footer int stats are exact; footer
+   *  STRING stats are unsound under truncation and float stats under NaN,
+   *  so those columns get no stats — a fragment without stats for a
+   *  column is simply never pruned on it, conservative-correct, matching
+   *  format/fragments.py's poisoning rules). Shape matches the Python
+   *  writer: {col: {"min": v, "max": v, "nulls": n}}. */
+  private static ObjectNode footerStats(ParquetFileReader r) {
+    ObjectNode out = MAPPER.createObjectNode();
+    Map<String, long[]> agg = new java.util.LinkedHashMap<>(); // min,max,nulls,seen
+    Set<String> poisoned = new java.util.HashSet<>();
+    for (org.apache.parquet.hadoop.metadata.BlockMetaData block
+        : r.getFooter().getBlocks()) {
+      for (org.apache.parquet.hadoop.metadata.ColumnChunkMetaData c
+          : block.getColumns()) {
+        if (c.getPath().size() != 1) {
+          continue; // top-level columns only, like the Python accumulator
+        }
+        String name = c.getPath().toDotString();
+        if (poisoned.contains(name)) {
+          continue;
+        }
+        org.apache.parquet.column.statistics.Statistics<?> st = c.getStatistics();
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName t =
+            c.getPrimitiveType().getPrimitiveTypeName();
+        boolean intLike =
+            t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32
+            || t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64;
+        // only untagged ints/bools: logical annotations (DATE, DECIMAL,
+        // TIMESTAMP...) have value spaces the raw footer longs don't match
+        if (!intLike || c.getPrimitiveType().getLogicalTypeAnnotation() != null
+            || st == null || !st.isNumNullsSet()
+            || (!st.hasNonNullValue() && st.getNumNulls() < block.getRowCount())) {
+          poisoned.add(name);
+          agg.remove(name);
+          continue;
+        }
+        long[] cur = agg.computeIfAbsent(name,
+            k -> new long[] {Long.MAX_VALUE, Long.MIN_VALUE, 0, 0});
+        cur[2] += st.getNumNulls();
+        if (st.hasNonNullValue()) {
+          cur[0] = Math.min(cur[0], ((Number) st.genericGetMin()).longValue());
+          cur[1] = Math.max(cur[1], ((Number) st.genericGetMax()).longValue());
+          cur[3] = 1;
+        }
+      }
+    }
+    for (Map.Entry<String, long[]> e : agg.entrySet()) {
+      ObjectNode s = MAPPER.createObjectNode();
+      long[] v = e.getValue();
+      if (v[3] == 1) {
+        s.put("min", v[0]);
+        s.put("max", v[1]);
+      }
+      s.put("nulls", v[2]);
+      out.set(e.getKey(), s);
+    }
+    return out;
   }
 
   private static JsonNode readManifest(Path tableDir, long version) {

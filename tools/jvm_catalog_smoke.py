@@ -165,6 +165,17 @@ def main() -> None:
     ).collect()
     check("jvm-insert-readback", [r.name for r in got9] == ["ivy", "jax"], str(got9))
     check("python-reads-jvm-insert", ppl.count_rows() == 10, str(ppl.count_rows()))
+    # JVM-written fragments carry sound footer zone-map stats (int cols);
+    # the insert may split across parts, so aggregate over the new frags
+    old_max_id = max(f.id for f in ds.manifest.fragments)
+    new_frags = [f for f in ppl.manifest.fragments if f.id > old_max_id]
+    id_mins = [f.stats["id"]["min"] for f in new_frags if f.stats and "id" in f.stats]
+    id_maxs = [f.stats["id"]["max"] for f in new_frags if f.stats and "id" in f.stats]
+    check("jvm-insert-zonemap-stats",
+          new_frags and len(id_mins) == len(new_frags)
+          and min(id_mins) == 9 and max(id_maxs) == 10
+          and all("score" not in (f.stats or {}) for f in new_frags),
+          str([f.stats for f in new_frags]))
     # INSERT OVERWRITE commits an Overwrite manifest
     spark.sql("CREATE TABLE lance.main.ow (i INT, s STRING)")
     spark.sql("INSERT INTO lance.main.ow VALUES (1, 'a'), (2, 'b')")
