@@ -764,3 +764,81 @@ def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
     for name in ("_versions/1.manifest", "_latest.manifest"):
         with open(os.path.join(root, name), "wb") as fh:
             fh.write(blob)
+
+
+# ------------------------------------------------------- Spark integration
+def is_native_dataset(path: str) -> bool:
+    """True when `path` is a REAL `.lance` dataset (binary protobuf
+    manifests under _versions/), as opposed to this repo's parquet+JSON
+    layout (`_versions/<n>.manifest.json`)."""
+    vdir = os.path.join(path, "_versions")
+    if not os.path.isdir(vdir):
+        return False
+    names = os.listdir(vdir)
+    return any(n.endswith(".manifest") for n in names) and not any(
+        n.endswith(".manifest.json") for n in names
+    )
+
+
+def native_spark_schema(manifest: NativeManifest):
+    """Spark StructType for a native manifest — the reference's type
+    mapping (FIXTURES.md §1 / docs data-types): uint64 -> BIGINT,
+    float16 -> FLOAT (widened), timestamps promoted to UTC TIMESTAMP,
+    list/fixed_size_list -> ARRAY<T>."""
+    from pyspark.sql import types as T
+
+    scalar = {
+        "bool": T.BooleanType(), "int8": T.ByteType(), "uint8": T.ShortType(),
+        "int16": T.ShortType(), "uint16": T.IntegerType(),
+        "int32": T.IntegerType(), "uint32": T.LongType(),
+        "int64": T.LongType(), "uint64": T.LongType(),
+        "halffloat": T.FloatType(), "float": T.FloatType(),
+        "double": T.DoubleType(), "string": T.StringType(),
+        "large_string": T.StringType(), "binary": T.BinaryType(),
+        "large_binary": T.BinaryType(), "date32:day": T.DateType(),
+    }
+
+    def spark_type(f: NativeField):
+        lt = f.logical_type
+        if lt in scalar:
+            return scalar[lt]
+        if lt.startswith("timestamp:"):
+            return T.TimestampType()
+        if lt == "list":
+            return T.ArrayType(spark_type(_child_field_of(f)))
+        if lt.startswith("fixed_size_list:"):
+            item_t = lt.split(":")[1]
+            inner = scalar.get("float" if item_t == "halffloat" else item_t)
+            if inner is None:
+                raise LanceNativeError(f"unmapped fsl item type {item_t!r}")
+            return T.ArrayType(inner)
+        raise LanceNativeError(f"unmapped lance logical type {lt!r}")
+
+    def _child_field_of(parent: NativeField) -> NativeField:
+        return _child_field(manifest, parent)
+
+    return T.StructType([
+        T.StructField(f.name, spark_type(f), True)
+        for f in manifest.top_level_fields()
+    ])
+
+
+def conform_native_table(table, spark_schema):
+    """Cast a decoded fragment table to the Arrow schema Spark expects for
+    `spark_schema` (uint64 -> int64, fixed_size_list -> list, naive
+    timestamps promoted to UTC — the documented read promotion)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(spark_schema)
+    cols = []
+    for f in target:
+        arr = table.column(f.name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_timestamp(f.type) and pa.types.is_timestamp(arr.type) \
+                and arr.type.tz is None and f.type.tz is not None:
+            # documented promotion: naive instants are UTC
+            arr = arr.cast(pa.timestamp(arr.type.unit, tz="UTC"))
+        cols.append(arr.cast(f.type))
+    return pa.table(dict(zip(target.names, cols)), schema=target)

@@ -617,6 +617,7 @@ def lf13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lf14(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import LanceNativeDataset, write_native_dataset
+    from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf14-native")
     nation = (
@@ -632,4 +633,7 @@ def lf14(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
     ds = LanceNativeDataset(path)
     assert ds.version == 1 and ds.count_rows() == len(nation)
-    return ds.to_df(spark).orderBy("nationkey")
+    # read back through the DISTRIBUTED path: format("lance") auto-detects
+    # binary manifests and decodes fragment-parallel on executors
+    register_lance_datasource(spark)
+    return spark.read.format("lance").load(path).orderBy("nationkey")

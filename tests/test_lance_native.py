@@ -166,3 +166,39 @@ def test_writer_reader_roundtrip():
     import struct as _s
 
     assert _s.unpack_from("<HH", raw, len(raw) - 8) == (0, 1)
+
+
+@needs_fixtures
+def test_format_lance_autodetects_native_datasets(spark):
+    """`spark.read.format('lance').load(<real .lance>)` — the DataSource
+    detects binary manifests and routes to the fragment-parallel native
+    decoder: values, projection, version time travel, deletion vectors,
+    the full wide-types matrix, and a loud write refusal."""
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    t1 = f"{EXAMPLE_DB}/test_table1.lance"
+    df = spark.read.format("lance").load(t1)
+    assert df.schema.simpleString() == "struct<x:bigint,y:bigint,b:bigint,c:bigint>"
+    assert sorted((r.x, r.y, r.b, r.c) for r in df.collect()) == [
+        (0, 0, 0, 0), (1, 2, 3, -1), (2, 4, 6, -2), (3, 6, 9, -3)
+    ]
+    proj = spark.read.format("lance").option("columns", "b,x").load(t1)
+    assert proj.columns == ["b", "x"] and proj.count() == 4
+    v1 = spark.read.format("lance").option("version", "1").load(t1)
+    assert v1.columns == ["x"] and v1.count() == 2
+    # deletion vectors applied per fragment
+    assert spark.read.format("lance").load(
+        f"{EXAMPLE_DB}/test_table2.lance").count() == 90
+    # wide types end-to-end through Spark (v2 file, all 16 columns)
+    wt = spark.read.format("lance").load(
+        f"{EXAMPLE_DB}/wide_types_table.lance")
+    rows = {r.id: r for r in wt.collect()}
+    assert rows[1].col_string == "hello" and rows[2].col_int32 == -10
+    assert rows[1].col_list_f32 == [1.0, 2.0]
+    assert rows[2].col_fsl_f16 == [10.0, 11.0, 12.0]
+    # the native decoder is read-only interop
+    with pytest.raises(Exception, match="not supported|PYTHON_DATA_SOURCE"):
+        df.limit(1).write.format("lance").mode("append").save(t1)
