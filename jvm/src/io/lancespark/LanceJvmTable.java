@@ -8,16 +8,16 @@
  * ScanBuilder supplies predicate pushdown, column pruning and vectorized
  * reads (SURVEY §4.1 "built-in driver" rows) with zero custom scan code.
  *
- * Merge-on-read deletion vectors cannot be applied on this path (the stock
- * parquet scan has no DV hook), so newScanBuilder refuses such tables with
- * guidance instead of returning deleted rows — the same "never silently
- * wrong" stance as the reference's dataset-level-scan-for-DV-correctness
- * comment (LanceFragmentPageSource.java:87-92,144-151).
+ * Merge-on-read deletion vectors ARE applied on this path: DV-bearing
+ * tables scan through LanceDvScan (row-counted readers over whole-file
+ * partitions — correct but row-based and unpushed; OPTIMIZE restores the
+ * vectorized pushdown path), mirroring the reference's
+ * dataset-level-scan-for-DV-correctness stance
+ * (LanceFragmentPageSource.java:87-92,144-151).
  *
- * Writes are not supported through this catalog (no SupportsWrite): Spark
- * raises its standard "does not support append in batch mode" analysis
- * error, and users write through the Python two-phase committer
- * (format("lance") / LanceDataset), which owns manifest publication.
+ * Writes: INSERT / INSERT OVERWRITE via the V1Write fallback
+ * (LanceJvmWrite) and DELETE / TRUNCATE via SupportsDeleteV2
+ * (LanceJvmDelete); UPDATE/MERGE remain Python-committer capabilities.
  */
 package io.lancespark;
 
@@ -171,39 +171,6 @@ public class LanceJvmTable
 
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-    if (LanceJvmCatalog.hasDeletions(manifest)) {
-      // Refusal is deferred to toBatch() (execution), not raised here:
-      // DELETE planning instantiates a scan it never executes, and a
-      // second DELETE on an already-DV-bearing table must still plan.
-      // SELECTs still fail loudly before any deleted row could leak.
-      final String msg =
-          "table " + tableName + " has merge-on-read deletion vectors, which the "
-          + "JVM parquet delegation path cannot apply; run OPTIMIZE (compaction) "
-          + "to materialize deletes, or read through the deletion-aware Python "
-          + "path: spark.read.format(\"lance\").load(...)";
-      final StructType tableSchema = schema;
-      return new ScanBuilder() {
-        @Override
-        public org.apache.spark.sql.connector.read.Scan build() {
-          return new org.apache.spark.sql.connector.read.Scan() {
-            @Override
-            public StructType readSchema() {
-              return tableSchema;
-            }
-
-            @Override
-            public String description() {
-              return "lance-dv-refusal(" + tableName + ")";
-            }
-
-            @Override
-            public org.apache.spark.sql.connector.read.Batch toBatch() {
-              throw new UnsupportedOperationException(msg);
-            }
-          };
-        }
-      };
-    }
     List<String> paths = LanceJvmCatalog.livePaths(tableDir, manifest);
     ParquetTable delegate = ParquetTable.apply(
         name(),
@@ -212,6 +179,14 @@ public class LanceJvmTable
         scala.jdk.javaapi.CollectionConverters.asScala(paths).toSeq(),
         scala.Option.apply(schema),
         ParquetFileFormat.class);
+    if (LanceJvmCatalog.hasDeletions(manifest)) {
+      // merge-on-read: wrap the delegate with the deletion-vector-applying
+      // scan (row-based, `_metadata.row_index`-keyed — see LanceDvScan).
+      // Vectorized reads come back after OPTIMIZE materializes deletes.
+      return LanceDvScan.builder(
+          delegate.newScanBuilder(options), schema, tableDir, manifest,
+          tableName);
+    }
     return delegate.newScanBuilder(options);
   }
 }

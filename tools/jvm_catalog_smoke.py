@@ -130,13 +130,14 @@ def main() -> None:
     _reg(spark)
     left = sorted(r.id for r in spark.read.format("lance").load(dtbl).collect())
     check("python-reads-jvm-dv", left == [1, 3, 5, 7], str(left))
-    # JVM scans refuse the now-DV-bearing table (never silently wrong)
-    try:
-        spark.sql("SELECT * FROM lance.main.deltest").collect()
-        check("jvm-delete-scan-refusal", False, "DV scan succeeded")
-    except Exception as e:  # noqa: BLE001
-        check("jvm-delete-scan-refusal", "deletion vector" in str(e),
-              type(e).__name__)
+    # JVM scans APPLY the deletion vectors (merge-on-read reads natively:
+    # row-counted readers over whole-file partitions, LanceDvScan)
+    jvm_left = sorted(
+        r.id for r in spark.sql("SELECT id FROM lance.main.deltest").collect()
+    )
+    check("jvm-dv-scan-values", jvm_left == [1, 3, 5, 7], str(jvm_left))
+    jvm_n = spark.sql("SELECT count(*) c FROM lance.main.deltest").collect()[0].c
+    check("jvm-dv-scan-count", jvm_n == 4, str(jvm_n))
     # deleting every remaining row of a fragment drops the fragment;
     # a second JVM delete must union with the existing vectors
     spark.sql("DELETE FROM lance.main.deltest WHERE id >= 5")
@@ -196,11 +197,13 @@ def main() -> None:
 
     # fresh handle: the JVM INSERT above advanced the table version
     ds = lance_delete(LanceDataset.open(tbl), spark, "id = 4")
-    try:
-        spark.sql("SELECT * FROM lance.main.people").collect()
-        check("dv-refusal", False, "scan of MoR-deleted table unexpectedly succeeded")
-    except Exception as e:  # noqa: BLE001
-        check("dv-refusal", "deletion vector" in str(e), type(e).__name__)
+    # Python-committed DV, JVM merge-on-read scan: both committers' vectors
+    # are served natively now
+    jvm_ppl = sorted(
+        r.id for r in spark.sql("SELECT id FROM lance.main.people").collect()
+    )
+    check("jvm-serves-python-dv", 4 not in jvm_ppl and len(jvm_ppl) == 9,
+          str(jvm_ppl))
     from lance_trino_spark.sources.lance_datasource import register_lance_datasource
 
     register_lance_datasource(spark)
