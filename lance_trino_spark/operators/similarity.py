@@ -381,13 +381,20 @@ def two_stage_topk(
     return _rank_topk(reranked, k)
 
 
-def quantization_mean(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Single-row per-dimension mean used as the binary-quantization sign
-    threshold. Decimal-backed sum: exact, order-independent, so the
-    thresholds (and therefore every code bit) are deterministic across
-    runs/partitionings — the suite's hash gate depends on it."""
+def quantization_mean(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension corpus mean used as the binary-quantization sign
+    threshold, collected to the driver as ONE row of scalars (sanctioned
+    bounded collect — dim doubles). Decimal-backed sum: exact,
+    order-independent, so the thresholds (and therefore every code bit)
+    are deterministic across runs/partitionings — the suite's hash gate
+    depends on it. Returning literals instead of a broadcast single-row
+    frame keeps the quantization plan join-free AND computes the
+    aggregate exactly once even when corpus and query sets both
+    quantize against it."""
     dims = df.select(F.size(vec_col).alias("d")).first()["d"]
-    return df.select(
+    row = df.select(
         *[
             (
                 F.sum(F.col(vec_col)[i].cast("decimal(38,12)"))
@@ -395,14 +402,15 @@ def quantization_mean(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             ).cast("double").alias(f"m{i}")
             for i in range(dims)
         ]
-    )
+    ).first()
+    return [float(row[f"m{i}"]) for i in range(dims)]
 
 
 def binary_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    mean_df: DataFrame | None = None,
+    mean: list[float] | None = None,
 ) -> DataFrame:
     """1-bit binary quantization: sign bit per CENTERED dimension, packed
     into bytes — 32x smaller than float32, the coarsest tier of the
@@ -412,22 +420,25 @@ def binary_quantize(
     broadcast scalar row. Hamming distance between codes approximates
     angular distance; `binary_topk` reranks a hamming shortlist exactly.
 
-    Pure JVM expressions: the pack is an aggregate over bit positions —
-    no UDFs, so the DuckDB oracle replays it bit-for-bit.
+    Pure JVM expressions: the pack is an aggregate over bit positions with
+    the mean thresholds folded in as LITERALS (join-free plan) — no UDFs,
+    so the DuckDB oracle replays it bit-for-bit.
 
-    ``mean_df`` lets a caller precompute the centering row ONCE (from the
-    corpus) and reuse it for query-set quantization — query and corpus
-    codes must share sign thresholds, or hamming distances between them
-    are meaningless (an exact duplicate of a corpus vector could miss)."""
-    dims = df.select(F.size(vec_col).alias("d")).first()["d"]
-    mean_row = mean_df if mean_df is not None else quantization_mean(df, vec_col)
-    with_mean = df.crossJoin(F.broadcast(mean_row))
+    ``mean`` lets a caller precompute the centering thresholds ONCE (from
+    the corpus) and reuse them for query-set quantization — query and
+    corpus codes must share sign thresholds, or hamming distances between
+    them are meaningless (an exact duplicate of a corpus vector could
+    miss)."""
+    if mean is None:
+        mean = quantization_mean(df, vec_col)
+    dims = len(mean)
     nbytes = (dims + 7) // 8
     byte_cols = []
     for b in range(nbytes):
         bits = [
             F.when(
-                F.col(vec_col)[b * 8 + j].cast("double") > F.col(f"m{b * 8 + j}"),
+                F.col(vec_col)[b * 8 + j].cast("double")
+                > F.lit(mean[b * 8 + j]),
                 F.lit(1 << j),
             ).otherwise(F.lit(0))
             for j in range(min(8, dims - b * 8))
@@ -436,7 +447,7 @@ def binary_quantize(
         for x in bits[1:]:
             acc = acc + x
         byte_cols.append(acc.cast("int").alias(f"b{b}"))
-    return with_mean.select(F.col(id_col), *byte_cols)
+    return df.select(F.col(id_col), *byte_cols)
 
 
 def binary_topk(
@@ -467,10 +478,10 @@ def binary_topk(
     # ONE set of sign thresholds, from the corpus: query codes quantized
     # against a different mean would have inconsistent bits (an exact
     # duplicate of a corpus vector could miss the shortlist entirely).
-    mean_row = quantization_mean(corpus, vec_col)
-    codes = binary_quantize(corpus, id_col, vec_col, mean_df=mean_row)
+    mean = quantization_mean(corpus, vec_col)
+    codes = binary_quantize(corpus, id_col, vec_col, mean=mean)
     nbytes = len([c for c in codes.columns if c.startswith("b")])
-    qcodes = binary_quantize(queries, id_col, vec_col, mean_df=mean_row).select(
+    qcodes = binary_quantize(queries, id_col, vec_col, mean=mean).select(
         F.col(id_col).alias("query_id"),
         *[F.col(f"b{b}").alias(f"qb{b}") for b in range(nbytes)],
     )
