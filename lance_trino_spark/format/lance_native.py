@@ -688,28 +688,27 @@ def _enc_u64_neg1() -> int:
     return (1 << 64) - 1  # parent_id = -1 as uint64 complement
 
 
-def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
-    """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
-    one fragment, one data file, plain int64 columns) that lance 0.10-era
-    readers — and `LanceNativeDataset` — can open. The mirror image of the
-    reader above, kept to the same byte layout the reference fixtures use:
-    pages at offset 0, page table, length-prefixed schema proto, Metadata
-    proto, 16-byte footer. Interop scope: int64 only (the fixture tables'
-    type) — a full writer is the lance SDK's job, not this seam's."""
+def _v1_field_proto(name: str, fid: int) -> bytes:
+    p = _enc_field(2, 2, name.encode())
+    if fid:
+        p += _enc_field(3, 0, fid)
+    p += _enc_field(4, 0, _enc_u64_neg1())
+    p += _enc_field(5, 2, b"int64")
+    p += _enc_field(6, 0, 1)  # nullable
+    p += _enc_field(7, 0, 1)  # plain encoding
+    return p
+
+
+def _write_v1_data_file(root: str, names: list[str], columns: dict) -> tuple[str, int]:
+    """One v1 legacy data file (plain int64 pages, page table, schema +
+    Metadata protos, 16-byte footer). Returns (file name, rows)."""
     import uuid as _uuid
 
     import numpy as np
 
-    if not columns:
-        raise LanceNativeError("need at least one column")
-    names = list(columns)
     n_rows = len(columns[names[0]])
     if any(len(v) != n_rows for v in columns.values()):
         raise LanceNativeError("ragged columns")
-    os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
-
-    # ---- data file ----
     buf = bytearray()
     page_entries = []
     for name in names:
@@ -719,19 +718,8 @@ def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
     page_table_pos = len(buf)
     for pos, nv in page_entries:
         buf += struct.pack("<qq", pos, nv)
-
-    def field_proto(name: str, fid: int) -> bytes:
-        p = _enc_field(2, 2, name.encode())
-        if fid:
-            p += _enc_field(3, 0, fid)
-        p += _enc_field(4, 0, _enc_u64_neg1())
-        p += _enc_field(5, 2, b"int64")
-        p += _enc_field(6, 0, 1)  # nullable
-        p += _enc_field(7, 0, 1)  # plain encoding
-        return p
-
     schema_proto = b"".join(
-        _enc_field(1, 2, field_proto(n, i)) for i, n in enumerate(names)
+        _enc_field(1, 2, _v1_field_proto(n, i)) for i, n in enumerate(names)
     )
     schema_pos = len(buf)
     buf += struct.pack("<I", len(schema_proto)) + schema_proto
@@ -744,26 +732,76 @@ def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
     buf += struct.pack("<I", len(meta_proto)) + meta_proto
     buf += struct.pack("<QHH", meta_pos, 0, 1) + b"LANC"
     file_name = f"{_uuid.uuid4()}.lance"
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
     with open(os.path.join(root, "data", file_name), "wb") as fh:
         fh.write(bytes(buf))
+    return file_name, n_rows
 
-    # ---- manifest ----
-    datafile = _enc_field(1, 2, file_name.encode()) + _enc_field(
-        2, 2, b"".join(_enc_varint(i) for i in range(len(names)))
-    )
-    fragment = _enc_field(2, 2, datafile) + _enc_field(4, 0, n_rows)
+
+def _write_v1_manifest(
+    root: str, names: list[str],
+    fragments: list[tuple[int, str, int]],  # (id, file, rows)
+    version: int,
+) -> None:
+    frag_protos = b""
+    for fid, file_name, n_rows in fragments:
+        datafile = _enc_field(1, 2, file_name.encode()) + _enc_field(
+            2, 2, b"".join(_enc_varint(i) for i in range(len(names)))
+        )
+        frag = b""
+        if fid:
+            frag += _enc_field(1, 0, fid)
+        frag += _enc_field(2, 2, datafile) + _enc_field(4, 0, n_rows)
+        frag_protos += _enc_field(2, 2, frag)
     manifest = (
         b"".join(
-            _enc_field(1, 2, field_proto(n, i)) for i, n in enumerate(names)
+            _enc_field(1, 2, _v1_field_proto(n, i)) for i, n in enumerate(names)
         )
-        + _enc_field(2, 2, fragment)
-        + _enc_field(3, 0, 1)  # version
+        + frag_protos
+        + _enc_field(3, 0, version)
     )
     blob = struct.pack("<I", len(manifest)) + manifest
     blob += struct.pack("<QHH", 0, 0, 1) + b"LANC"
-    for name in ("_versions/1.manifest", "_latest.manifest"):
+    os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+    for name in (f"_versions/{version}.manifest", "_latest.manifest"):
         with open(os.path.join(root, name), "wb") as fh:
             fh.write(blob)
+
+
+def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
+    """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
+    one fragment, one data file, plain int64 columns) that lance 0.10-era
+    readers — and `LanceNativeDataset` — can open. The mirror image of the
+    reader above, kept to the same byte layout the reference fixtures use:
+    pages at offset 0, page table, length-prefixed schema proto, Metadata
+    proto, 16-byte footer. Interop scope: int64 only (the fixture tables'
+    type) — a full writer is the lance SDK's job, not this seam's."""
+    if not columns:
+        raise LanceNativeError("need at least one column")
+    names = list(columns)
+    file_name, n_rows = _write_v1_data_file(root, names, columns)
+    _write_v1_manifest(root, names, [(0, file_name, n_rows)], 1)
+
+
+def append_native_rows(root: str, columns: dict[str, list[int]]) -> int:
+    """Append one fragment to a (writer-produced) native dataset as a new
+    committed version; returns the new version number. Column names must
+    match the existing schema. Exists so streaming/time-travel tests can
+    replay multi-version native histories without the lance SDK."""
+    m = read_native_manifest(root)
+    names = [f.name for f in m.top_level_fields()]
+    if list(columns) != names:
+        raise LanceNativeError(
+            f"append schema {list(columns)} != dataset schema {names}"
+        )
+    file_name, n_rows = _write_v1_data_file(root, names, columns)
+    frags = [
+        (f.id, f.files[0].path, f.physical_rows) for f in m.fragments
+    ]
+    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    frags.append((next_id, file_name, n_rows))
+    _write_v1_manifest(root, names, frags, m.version + 1)
+    return m.version + 1
 
 
 # ------------------------------------------------------- Spark integration

@@ -485,6 +485,91 @@ class LanceNativeScanReader(DataSourceReader):
         return iter(out.to_batches(max_chunksize=8192))
 
 
+@dataclass
+class LanceNativeStreamPartition(InputPartition):
+    root: str
+    version: int  # manifest version the fragment first appeared in
+    frag_id: int
+    columns: tuple | None
+
+
+class LanceNativeStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE tailing a REAL `.lance` dataset's version log —
+    the native-format twin of LanceStreamReader: offset = manifest
+    version, each microbatch decodes the fragments that first APPEAR in
+    (start, end], append-only contract enforced (a version that removes a
+    fragment or whose new fragment already carries a deletion file is a
+    rewrite this source refuses to misrepresent)."""
+
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self._path = path
+        self._schema = schema
+        self._start = int(options.get("startingversion", 1))
+        cols = options.get("columns")
+        self._columns = (
+            tuple(c.strip() for c in cols.split(",")) if cols else None
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        from ..format.lance_native import list_native_versions
+
+        return {"version": max(list_native_versions(self._path))}
+
+    def partitions(self, start: dict, end: dict):
+        from ..format.lance_native import read_native_manifest
+
+        sv, ev = int(start["version"]), int(end["version"])
+        prev_ids: set = (
+            {f.id for f in read_native_manifest(self._path, sv).fragments}
+            if sv >= 1
+            else set()
+        )
+        out: list[LanceNativeStreamPartition] = []
+        for v in range(sv + 1, ev + 1):
+            m = read_native_manifest(self._path, v)
+            cur = {f.id: f for f in m.fragments}
+            if prev_ids - set(cur):
+                raise ValueError(
+                    f"native version {v} removed fragments — the lance "
+                    "streaming source is append-only; restart from a fresh "
+                    "startingVersion past the rewrite"
+                )
+            for fid in sorted(set(cur) - prev_ids):
+                if cur[fid].deletion is not None:
+                    raise ValueError(
+                        f"native version {v} added fragment {fid} with a "
+                        "deletion file — the lance streaming source is "
+                        "append-only; restart past the rewrite"
+                    )
+                out.append(LanceNativeStreamPartition(
+                    self._path, v, fid, self._columns
+                ))
+            prev_ids = set(cur)
+        return out
+
+    def read(self, partition: LanceNativeStreamPartition):
+        from ..format.lance_native import (
+            conform_native_table,
+            read_native_fragment,
+            read_native_manifest,
+        )
+
+        m = read_native_manifest(partition.root, partition.version)
+        frag = next(f for f in m.fragments if f.id == partition.frag_id)
+        t = read_native_fragment(
+            partition.root, frag, m,
+            list(partition.columns) if partition.columns else None,
+        )
+        out = conform_native_table(t, self._schema)
+        return iter(out.to_batches(max_chunksize=8192))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint
+
+
 class LanceScanReaderNoPushdown(DataSourceReader):
     """Fallback used when `spark.sql.python.filterPushdown.enabled` is off:
     Spark refuses any reader that *implements* pushFilters in that case, so
@@ -976,7 +1061,13 @@ class LanceSparkDataSource(DataSource):
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
         return LanceStreamWriter(self._path(), schema, overwrite, dict(self.options))
 
-    def streamReader(self, schema: StructType) -> "LanceStreamReader":
+    def streamReader(self, schema: StructType):
+        from ..format.lance_native import is_native_dataset
+
+        if is_native_dataset(self._path()):
+            return LanceNativeStreamReader(
+                self._path(), schema, dict(self.options)
+            )
         return LanceStreamReader(self._path(), schema, dict(self.options))
 
 

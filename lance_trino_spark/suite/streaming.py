@@ -286,3 +286,86 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# st11 — streaming from a REAL `.lance` dataset: the native version log is
+# the stream (offset = manifest version, microbatch = newly appeared
+# fragments, LanceNativeStreamReader). The harness writes a 3-version
+# native dataset with the fixture-validated v1 writer, drains it with
+# availableNow, appends one more version, and drains again from the SAME
+# checkpoint — proving delta-only delivery over the binary format.
+# ---------------------------------------------------------------------------
+@register(
+    "st11_native_stream_tail",
+    oracle="""
+    SELECT n_regionkey AS region, COUNT(*) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sk
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY region
+    """,
+    doc="streaming: readStream over a REAL .lance dataset (native version "
+        "log as offsets, checkpoint-resumed delta delivery)",
+    tags=("streaming", "interop", "lance-native"),
+)
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..format.lance_native import append_native_rows, write_native_dataset
+    from ..sources.lance_datasource import register_lance_datasource
+    from ..tables import load_table
+
+    register_lance_datasource(spark)
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".scratch")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    p = os.path.join(scratch, f"{tag}-st11-native.lance")
+    shutil.rmtree(p, ignore_errors=True)
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    half = len(nation) // 2
+    def cols(rows):
+        return {
+            "region": [int(r["n_regionkey"]) for r in rows],
+            "nationkey": [int(r["n_nationkey"]) for r in rows],
+        }
+    write_native_dataset(p, cols(nation[:half]))
+    append_native_rows(p, cols(nation[half:half + 5]))
+    ckpt = tempfile.mkdtemp(prefix="st11_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="st11_out_")
+
+    def drain():
+        q = (
+            spark.readStream.format("lance").load(p)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_first = spark.read.parquet(out_dir).count()
+    append_native_rows(p, cols(nation[half + 5:]))  # late arrivals
+    drain()
+    out = spark.read.parquet(out_dir)
+    if n_first >= out.count():
+        raise AssertionError("checkpoint resume did not deliver the delta")
+    return (
+        out.groupBy("region")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nationkey").cast("bigint").alias("sk"),
+        )
+        .orderBy("region")
+    )

@@ -202,3 +202,44 @@ def test_format_lance_autodetects_native_datasets(spark):
     # the native decoder is read-only interop
     with pytest.raises(Exception, match="not supported|PYTHON_DATA_SOURCE"):
         df.limit(1).write.format("lance").mode("append").save(t1)
+
+
+def test_native_stream_source_tails_versions(spark):
+    """readStream over a REAL .lance dataset: offset = manifest version,
+    microbatches = newly appeared fragments, checkpoint resume emits only
+    the delta (native twin of LanceStreamReader / ds07)."""
+    import tempfile
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    p = os.path.abspath(os.path.join(SCRATCH, "native-stream-test.lance"))
+    shutil.rmtree(p, ignore_errors=True)
+    write_native_dataset(p, {"k": [1, 2, 3], "v": [10, 20, 30]})
+    append_native_rows(p, {"k": [4, 5], "v": [40, 50]})
+    ckpt = tempfile.mkdtemp(prefix="native_tail_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="native_tail_out_")
+
+    def drain():
+        q = (
+            spark.readStream.format("lance").load(p)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["k"] for r in spark.read.parquet(out_dir).collect())
+
+    assert drain() == [1, 2, 3, 4, 5]
+    # resume from the SAME checkpoint: only the new fragment is emitted
+    append_native_rows(p, {"k": [6], "v": [60]})
+    assert drain() == [1, 2, 3, 4, 5, 6]
