@@ -110,6 +110,7 @@ DEFAULT_QUERIES = [
     "lf14_native_lance_interop",
     "cat16_jvm_native_delete",
     "cat17_jvm_native_insert",
+    "st11_native_stream_tail",
 ]
 
 

@@ -23,10 +23,13 @@ QUERIES = [
     "q06_revenue_forecast", "q09_product_profit", "q12_priority_classes",
     "q14_promo_revenue", "q18_large_volume_customers",
     "q21_waiting_suppliers", "q24_window_running_revenue",
+    # pipeline operators at sf1 (documents/embeddings key-shifted replicas)
+    "d01_exact_dedup", "d02_minhash_lsh_dedup", "t01_token_stats",
+    "t02_language_id", "t15_rare_ngram_novelty", "s02_bucketed_ann_topk",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem")
+          "lineitem", "documents", "embeddings")
 
 
 def main() -> None:

@@ -44,6 +44,12 @@ def main() -> None:
             .agg(F.max(key)).first()[0] + 1
         )
 
+    for tbl, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        spans[key] = (
+            spark.read.parquet(f"{SRC}/{tbl}.parquet")
+            .agg(F.max(key)).first()[0] + 1
+        )
+
     shifted_keys = {
         "customer": {"c_custkey": spans["c_custkey"]},
         "orders": {"o_orderkey": spans["o_orderkey"],
@@ -53,6 +59,11 @@ def main() -> None:
                      "l_suppkey": spans["s_suppkey"]},
         "part": {"p_partkey": spans["p_partkey"]},
         "supplier": {"s_suppkey": spans["s_suppkey"]},
+        # pipeline tables: key-shifted replicas keep the text/embedding
+        # payloads (duplicate CONTENT across copies is realistic for dedup
+        # workloads — that's what near-dup detection hunts at 100 TB)
+        "documents": {"doc_id": spans["doc_id"]},
+        "embeddings": {"vec_id": spans["vec_id"]},
     }
 
     for tbl in ("region", "nation"):
