@@ -111,6 +111,7 @@ DEFAULT_QUERIES = [
     "cat16_jvm_native_delete",
     "cat17_jvm_native_insert",
     "st11_native_stream_tail",
+    "t19_temperature_mix",
 ]
 
 

@@ -94,3 +94,52 @@ def source_mix_weights(
             weight.alias("weight"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    inv_temperature: float = 2.0,
+    target_rows: int = 10_000,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled source sampling — the standard multi-source LLM
+    data recipe (mC4/ROOTS-style): sampling shares p_s ∝ n_s^(1/T), so
+    lower temperatures flatten the source distribution (head sources
+    down-sampled, tail sources surfaced). ``inv_temperature`` is 1/T; the
+    default 2.0 (T=0.5) squares the counts.
+
+    Per-source acceptance rate r_s = min(1, target_rows * p_s / n_s);
+    rows are kept by the same deterministic hash-bucket rule as
+    `stratified_sample` (h32(salt||id) % DENOM < floor(r_s * DENOM)) —
+    stable across runs AND engines, so the DuckDB oracle replays it
+    bit-for-bit (every arithmetic step is IEEE-exact given the exact
+    integer counts).
+
+    Scale shape: ONE map-side-combined count aggregate (#strata rows), a
+    broadcast of the #strata rate table back onto the corpus, and a
+    narrow filter — no extra shuffle of the data itself.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    powed = counts.withColumn(
+        "p_raw",
+        F.pow(F.col("n_rows").cast("double"), F.lit(float(inv_temperature))),
+    )
+    tot = powed.agg(F.sum("p_raw").alias("z"))
+    rates = powed.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.col("n_rows"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows))
+            * (F.col("p_raw") / F.col("z"))
+            / F.col("n_rows").cast("double"),
+        ).alias("rate"),
+    )
+    bucket = h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % DENOM
+    return (
+        df.join(F.broadcast(rates.select(strata_col, "rate")), strata_col)
+        .filter(bucket < F.floor(F.col("rate") * DENOM))
+        .drop("rate")
+    )

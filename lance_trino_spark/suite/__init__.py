@@ -91,6 +91,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat16_jvm_native_delete",
     "cat17_jvm_native_insert",
     "st11_native_stream_tail",
+    "t19_temperature_mix",
     # --- r2-latest cohort (stalest driver rows) --------------------------
     "q01_pricing_summary", "q02_topk_open_orders", "q03_shipping_priority",
     "q04_order_priority_check", "q05_local_supplier_volume",

@@ -959,3 +959,58 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return url_domain_stats(docs).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# t19 — temperature-scaled source mixing (operators/sampling.py
+# temperature_mix): the standard multi-source LLM recipe — sampling shares
+# p_s ∝ n_s^(1/T) flatten the source distribution as T drops; rows kept by
+# the same engine-replayable hash-bucket rule as t06. With 1/T = 2 the
+# pow/sum arithmetic stays on exact integers inside doubles, so the rates
+# (and therefore every kept row) match DuckDB bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "t19_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents
+      GROUP BY source),
+    powed AS (
+      SELECT source, n_rows, pow(CAST(n_rows AS DOUBLE), 2.0) AS p_raw
+      FROM counts),
+    tot AS (SELECT SUM(p_raw) AS z FROM powed),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, 2000.0 * (p_raw / z) / CAST(n_rows AS DOUBLE)) AS rate
+      FROM powed, tot),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE ('0x' || substr(md5('tmix19' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10000 < FLOOR(r.rate * 10000))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="data-mixing: temperature-scaled source sampling (p ~ n^(1/T), "
+        "deterministic hash acceptance)",
+    tags=("text", "sampling", "pipeline", "mixing"),
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    kept = temperature_mix(
+        docs, "source", "doc_id",
+        inv_temperature=2.0, target_rows=2000, salt="tmix19",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
