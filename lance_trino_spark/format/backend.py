@@ -236,10 +236,19 @@ class FsspecObjectStore:
             return f.read()
 
     def list_prefix(self, prefix: str) -> list[str]:
+        # fs.ls lists the parent directory; filter back down to the prefix
+        # (the ObjectStore contract MemoryObjectStore implements), tolerant
+        # of fsspec implementations that strip or add the protocol scheme.
+        bare = prefix.split("://", 1)[-1]
         try:
-            return sorted(p for p in self.fs.ls(prefix.rsplit("/", 1)[0]))
+            entries = self.fs.ls(prefix.rsplit("/", 1)[0])
         except FileNotFoundError:
             return []
+        return sorted(
+            p
+            for p in entries
+            if p.startswith(prefix) or p.split("://", 1)[-1].startswith(bare)
+        )
 
     def delete(self, key: str) -> None:
         try:

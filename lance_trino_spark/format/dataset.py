@@ -64,6 +64,8 @@ from .manifest import (
 ROW_ADDR_COL = "_rowaddr"
 FRAGMENT_SHIFT = 32  # RowAddress.java:22-43 — high 32 bits fragment id
 MAX_ROWS_PER_FILE = 1_000_000  # reference default, LanceConfig.java:128
+# vacuum only reaps .stage-*/.tmp-* dirs idle this long (live-writer safety)
+STAGING_RETENTION_SECS = 3600.0
 
 
 def fragment_id_of(rowaddr: Column) -> Column:
@@ -545,10 +547,20 @@ class LanceDataset:
                 if os.path.isdir(full):
                     # staging DIRECTORIES (JVM INSERT .stage-*, deletion
                     # .tmp-*) left by a crashed writer: reap our own temp
-                    # names, never touch unknown directories
+                    # names, never touch unknown directories — and only
+                    # dirs idle longer than the retention window, so a
+                    # vacuum racing an in-flight writer can't delete its
+                    # live staging area mid-commit
                     if name.startswith((".stage-", ".tmp-")):
-                        _shutil.rmtree(full, ignore_errors=True)
-                        removed_files += 1
+                        import time as _time
+
+                        try:
+                            idle = _time.time() - os.path.getmtime(full)
+                        except OSError:
+                            continue
+                        if idle > STAGING_RETENTION_SECS:
+                            _shutil.rmtree(full, ignore_errors=True)
+                            removed_files += 1
                     continue
                 if rel not in referenced:
                     os.unlink(full)

@@ -307,6 +307,11 @@ def _arrow_type(ltype: str):
         return pa.string()
     if ltype in ("binary", "large_binary"):
         return pa.binary()
+    if ltype.startswith("fixed_size_list:"):
+        _, item_t, dim_s = ltype.split(":")
+        # halffloat items widen to float32 on decode (Spark has no f16)
+        item = _arrow_type("float" if item_t == "halffloat" else item_t)
+        return pa.list_(item, int(dim_s))
     raise LanceNativeError(f"unsupported lance v1 logical type: {ltype!r}")
 
 
@@ -451,6 +456,16 @@ def _v2_read_column(
                 raise LanceNativeError(
                     f"list column {what} needs the manifest for its child"
                 )
+            if len(pages) > 1:
+                # each page's end-offsets index into the page's OWN child
+                # rows, but _v2_read_column reads the whole child column —
+                # pairing page 2+ offsets with the full child would be
+                # silently wrong, so raise loudly (fixtures are
+                # single-page; multi-page needs per-page child slicing)
+                raise LanceNativeError(
+                    f"multi-page v2 list column not decoded ({what}: "
+                    f"{len(pages)} pages)"
+                )
             child = _child_field(manifest, nfield)
             child_col = data_file.field_ids.index(child.id)
             ends = _v2_fixed_np(raw, offs, sizes, nrows, "<i8", 8, what)
@@ -544,9 +559,43 @@ def read_file_column(
                 for i in range(nvals)
             ]
             chunks.append(pa.array(vals, type=atype))
+        elif nfield.logical_type.startswith("fixed_size_list:"):
+            # v1 fsl page: nvals is the ROW count; the page body is
+            # nvals*dim contiguous plain-encoded items (fixture
+            # test_table4: col 0 page (0, 100) spans exactly
+            # 100*128*4 bytes before col 1's page)
+            _, item_t, dim_s = nfield.logical_type.split(":")
+            dim = int(dim_s)
+            if item_t not in _FIXED_TYPES:
+                raise LanceNativeError(
+                    f"v1 fixed_size_list of {item_t!r} not decoded"
+                )
+            dt = np.dtype("<" + _FIXED_TYPES[item_t])
+            vals = np.frombuffer(raw, dtype=dt, count=nvals * dim, offset=pos)
+            if item_t == "halffloat":
+                inner = pa.array(vals.astype(np.float32), pa.float32())
+            else:
+                inner = pa.array(vals, type=_arrow_type(item_t))
+            chunks.append(pa.FixedSizeListArray.from_arrays(inner, dim))
         else:  # pragma: no cover — _arrow_type already raised
             raise LanceNativeError(nfield.logical_type)
     return pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
+
+
+def _physical_rows_from_file(root: str, dfile: NativeDataFile) -> int:
+    """Row count of one data file from its own metadata (footer batch
+    offsets for v1, first column's page row counts for v2) — no value
+    pages are touched."""
+    with open(os.path.join(root, "data", dfile.path), "rb") as fh:
+        raw = fh.read()
+    if raw[-4:] != b"LANC":
+        raise LanceNativeError("missing LANC footer magic")
+    maj, minor = struct.unpack_from("<HH", raw, len(raw) - 8)
+    if (maj, minor) == (0, 1):
+        return _read_file_meta(
+            raw, len(dfile.field_ids), dfile.field_ids
+        ).batch_offsets[-1]
+    return sum(nrows for _offs, _sizes, nrows in _v2_pages(raw, 0))
 
 
 def _deleted_rows(root: str, deletion: NativeDeletion) -> set[int]:
@@ -566,7 +615,8 @@ def read_native_fragment(
     columns: list[str] | None = None,
 ):
     """One fragment as a pyarrow Table: per-column page reads from the
-    LAST file carrying each field, deletion mask applied."""
+    FIRST file carrying each field (file_for_field's resolution, pinned
+    by the reference fixtures), deletion mask applied."""
     import numpy as np
     import pyarrow as pa
 
@@ -614,25 +664,29 @@ class LanceNativeDataset:
         return [f.name for f in self.manifest.top_level_fields()]
 
     def count_rows(self) -> int:
-        """COUNT(*) from metadata only: manifest physical_rows minus
-        deletion-file cardinalities; falls back to the data file's batch
-        offsets when an old manifest lacks physical_rows — never scans
-        value pages (the reference's ManifestSummary fast path,
-        `TestLanceCountPageSource.java:64-85`)."""
+        """COUNT(*) from metadata only: physical rows minus deletion-file
+        cardinalities — never scans value pages (the reference's
+        ManifestSummary fast path, `TestLanceCountPageSource.java:64-85`).
+
+        Physical rows per fragment come from the manifest's physical_rows
+        field ONLY for deletion-free fragments. When a fragment carries a
+        deletion file the proto field is ambiguous across lance writer
+        versions — some record the raw file row count, others the count
+        net of deletions (fixture test_table3 stores 90 for a 100-row file
+        with a 10-row DV; trusting it double-subtracted to 82 while the
+        scan correctly returned 92). In that case we derive the physical
+        count from the data file's own footer (batch offsets / v2 page row
+        counts — one metadata read, still O(1) in data size) and subtract
+        the DV cardinality exactly once."""
         total = 0
         for frag in self.manifest.fragments:
-            n = frag.physical_rows
-            if n is None:
-                dfile = frag.files[0]
-                with open(
-                    os.path.join(self.root, "data", dfile.path), "rb"
-                ) as fh:
-                    raw = fh.read()
-                n = _read_file_meta(
-                    raw, len(dfile.field_ids), dfile.field_ids
-                ).batch_offsets[-1]
             if frag.deletion is not None:
+                n = _physical_rows_from_file(self.root, frag.files[0])
                 n -= len(_deleted_rows(self.root, frag.deletion))
+            else:
+                n = frag.physical_rows
+                if n is None:
+                    n = _physical_rows_from_file(self.root, frag.files[0])
             total += n
         return total
 

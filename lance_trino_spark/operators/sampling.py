@@ -100,15 +100,18 @@ def temperature_mix(
     df: DataFrame,
     strata_col: str,
     id_col: str,
-    inv_temperature: float = 2.0,
+    inv_temperature: float = 0.5,
     target_rows: int = 10_000,
     salt: str = "tmix",
 ) -> DataFrame:
     """Temperature-scaled source sampling — the standard multi-source LLM
-    data recipe (mC4/ROOTS-style): sampling shares p_s ∝ n_s^(1/T), so
-    lower temperatures flatten the source distribution (head sources
-    down-sampled, tail sources surfaced). ``inv_temperature`` is 1/T; the
-    default 2.0 (T=0.5) squares the counts.
+    data recipe (mC4/ROOTS-style): sampling shares p_s ∝ n_s^α with
+    α = ``inv_temperature`` = 1/T. Exponents α < 1 (T > 1) FLATTEN the
+    source distribution — head sources down-sampled, tail sources
+    surfaced — which is the published recipe (mC4 uses α ≈ 0.3); the
+    default 0.5 (T=2) is a mild flatten. Exponents α > 1 (T < 1) SHARPEN
+    toward head sources instead — callers wanting the tail-surfacing
+    behavior must keep α < 1.
 
     Per-source acceptance rate r_s = min(1, target_rows * p_s / n_s);
     rows are kept by the same deterministic hash-bucket rule as

@@ -1059,6 +1059,15 @@ class LanceSparkDataSource(DataSource):
         return LanceBatchWriter(self._path(), schema, overwrite, dict(self.options))
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
+        from ..format.lance_native import is_native_dataset
+
+        if is_native_dataset(self._path()):
+            raise ValueError(
+                "streaming into a REAL .lance dataset is not supported (the "
+                "native decoder is read-only interop); appending repo-format "
+                "fragments would shadow the native manifest and hide its "
+                "data on every subsequent read"
+            )
         return LanceStreamWriter(self._path(), schema, overwrite, dict(self.options))
 
     def streamReader(self, schema: StructType):

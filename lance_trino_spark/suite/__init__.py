@@ -28,6 +28,17 @@ Determinism contract (the driver hash-compares values order-insensitively):
     integer floor-division) or, for float64 that must stay FP, derive it
     from exact integer/decimal math so both engines emit the same double.
     The STORED columns may still be real float/decimal.
+  - Every ORACLE aggregate is CAST to BIGINT (or DOUBLE): DuckDB's
+    SUM/COUNT arithmetic widens to HUGEINT, and `duckdb.sql(...).df()`
+    materializes HUGEINT as pandas float64 — the driver's dtype-sensitive
+    hash then sees 42.0 vs Spark's int64 42 (t15 was hash-red two rounds
+    on exactly this while fetchall()-based local checks passed).
+
+Process rule (two rounds died on skipping it): a commit that ADDS or
+CHANGES a registered query MUST run `pytest tests/test_plan_audit.py`
+in the same session — unsanctioned plan shapes (BroadcastNestedLoopJoin,
+missing pushdown) need a SUITE_AUDIT_ALLOW entry with a rationale BEFORE
+the commit, not after the driver flags it.
 """
 
 from __future__ import annotations

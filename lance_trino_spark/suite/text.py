@@ -799,11 +799,12 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT h, COUNT(*) AS df_ FROM sh GROUP BY h),
     per_doc AS (
       SELECT sh.doc_id, COUNT(*) AS n_ngrams,
-             SUM(CASE WHEN freq.df_ <= 2 THEN 1 ELSE 0 END) AS n_rare
+             CAST(SUM(CASE WHEN freq.df_ <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare
       FROM sh JOIN freq ON sh.h = freq.h
       GROUP BY sh.doc_id)
     SELECT doc_id, n_ngrams, n_rare,
-           (n_rare * 1000000) // n_ngrams AS novelty_ppm
+           CAST((n_rare * 1000000) // n_ngrams AS BIGINT) AS novelty_ppm
     FROM per_doc
     ORDER BY doc_id
     """,

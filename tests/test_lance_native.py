@@ -76,6 +76,66 @@ def test_deletion_vectors_mask_rows():
 
 
 @needs_fixtures
+def test_count_rows_matches_scan_on_all_fixtures():
+    """count_rows() (metadata-only) must agree with the actual scan on
+    EVERY fixture and every version. Regression: test_table3's manifest
+    stores physical_rows=90 for a 100-row file with a 10-row deletion
+    vector — trusting the proto field double-subtracted to 82 while the
+    scan returned 92 (the class of bug the reference pins with
+    `TestLanceCountPageSource.java:64-85`)."""
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    for name in (
+        "test_table1", "test_table2", "test_table3",
+        "test_table4", "test_table5", "wide_types_table",
+    ):
+        ds = LanceNativeDataset(f"{EXAMPLE_DB}/{name}.lance")
+        for v in ds.versions():
+            d = ds.checkout(v)
+            try:
+                n_scan = len(d.to_arrow())
+            except Exception:
+                continue  # undecodable historic version: no parity claim
+            assert d.count_rows() == n_scan, f"{name}@v{v}"
+
+
+@needs_fixtures
+def test_table3_deletion_netted_manifest():
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/test_table3.lance")
+    # 100-row fragment with a 10-row DV (manifest already nets it to 90)
+    # plus a 2-row appended fragment -> 92 live rows
+    assert ds.count_rows() == 92
+    assert len(ds.to_arrow()) == 92
+
+
+@needs_fixtures
+def test_table4_vector_table_decodes_every_version():
+    """test_table4: v1 files with fixed_size_list:float:128 vectors,
+    double, string, int64 — 10 fragments / 1900 rows at v5. All five
+    versions decode and count==scan."""
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    ds = LanceNativeDataset(f"{EXAMPLE_DB}/test_table4.lance")
+    assert ds.versions() == [1, 2, 3, 4, 5]
+    assert ds.schema_names() == ["vector", "price", "meta", "id"]
+    assert ds.count_rows() == 1900
+    t = ds.to_arrow()
+    assert len(t) == 1900
+    ids = t.column("id").to_pylist()
+    assert (min(ids), max(ids), len(set(ids))) == (100, 1999, 1900)
+    vec0 = t.column("vector")[0].as_py()
+    assert len(vec0) == 128
+    assert all(isinstance(x, float) for x in vec0[:4])
+    meta0 = t.column("meta")[0].as_py()
+    assert isinstance(meta0, str) and len(meta0) > 0
+    for v, expect in [(1, 1000), (2, 1000), (3, 900), (4, 1900)]:
+        d = ds.checkout(v)
+        assert d.count_rows() == expect == len(d.to_arrow())
+
+
+@needs_fixtures
 def test_table5_v2_files_and_nonsequential_field_ids():
     from lance_trino_spark.format.lance_native import LanceNativeDataset
 

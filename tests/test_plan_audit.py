@@ -122,6 +122,10 @@ SUITE_AUDIT_ALLOW = {
     "t16_corpus_token_histogram": ("BroadcastNestedLoopJoin", "PushedFilters"),
     # same InferFiltersFromGenerate-derived filter as t16
     "t17_vocab_stats_by_source": "PushedFilters",
+    # t19: one-row corpus-total aggregate crossJoin'd onto #strata rows —
+    # the identical sanctioned scalar-broadcast shape as t12 (the strata
+    # count is bounded by #distinct sources, never row-scale)
+    "t19_temperature_mix": "BroadcastNestedLoopJoin",
 }
 
 
