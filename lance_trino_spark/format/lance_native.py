@@ -515,8 +515,19 @@ def read_file_column(
     col_idx: int,
     nfield: NativeField,
     manifest: NativeManifest | None = None,
+    indices=None,
 ):
-    """One column of one v1 data file as a pyarrow Array (all batches)."""
+    """One column of one v1 data file as a pyarrow Array.
+
+    ``indices`` (sorted int64 array of file-physical row positions, or
+    None for all rows) is the late-materialization hook the pushdown scan
+    uses: batches with no selected rows are skipped entirely, fixed-width
+    pages materialize only the selected values, and v1 var-width pages —
+    whose position arrays are ABSOLUTE file offsets — decode only the
+    selected strings/bytes. A selective filter therefore touches O(matches)
+    of the non-filter columns instead of O(rows) (the reference's
+    substrait-pushed fragment scan, `LanceFragmentPageSource.java:121-151`).
+    """
     import numpy as np
     import pyarrow as pa
 
@@ -528,22 +539,43 @@ def read_file_column(
     maj, minor = struct.unpack_from("<HH", raw, len(raw) - 8)
     if (maj, minor) not in ((0, 1),):
         # footer version 0.3+ = Lance FILE v2 layout (40-byte footer)
-        return _v2_read_column(raw, col_idx, nfield, manifest, data_file)
+        arr = _v2_read_column(raw, col_idx, nfield, manifest, data_file)
+        if indices is not None:
+            arr = arr.take(pa.array(np.asarray(indices, dtype=np.int64)))
+        return arr
     meta = _read_file_meta(raw, len(data_file.field_ids), data_file.field_ids)
     n_batches = max(1, len(meta.batch_offsets) - 1)
     atype = _arrow_type(nfield.logical_type)
+    sel_all = (
+        None if indices is None else np.asarray(indices, dtype=np.int64)
+    )
     chunks = []
+    row_off = 0
     for b in range(n_batches):
         pos, nvals = _page_entry(raw, meta, col_idx, b)
+        sel = None
+        if sel_all is not None:
+            lo = np.searchsorted(sel_all, row_off)
+            hi = np.searchsorted(sel_all, row_off + nvals)
+            sel = sel_all[lo:hi] - row_off
+            row_off += nvals
+            if len(sel) == 0:
+                continue
         if nfield.logical_type in _FIXED_TYPES:
             dt = np.dtype("<" + _FIXED_TYPES[nfield.logical_type])
             vals = np.frombuffer(raw, dtype=dt, count=nvals, offset=pos)
+            if sel is not None:
+                vals = vals[sel]
             chunks.append(pa.array(vals, type=atype))
         elif nfield.logical_type == "date32:day":
             vals = np.frombuffer(raw, dtype="<i4", count=nvals, offset=pos)
+            if sel is not None:
+                vals = vals[sel]
             chunks.append(pa.array(vals, type=atype))
         elif nfield.logical_type.startswith("timestamp:"):
             vals = np.frombuffer(raw, dtype="<i8", count=nvals, offset=pos)
+            if sel is not None:
+                vals = vals[sel]
             chunks.append(pa.array(vals, type=atype))
         elif nfield.logical_type in (
             "string", "large_string", "binary", "large_binary"
@@ -552,11 +584,12 @@ def read_file_column(
             # the page position; the value bytes live between consecutive
             # positions (absolute file offsets)
             offs = np.frombuffer(raw, dtype="<i8", count=nvals + 1, offset=pos)
+            rows = range(nvals) if sel is None else sel.tolist()
             vals = [
                 raw[offs[i]:offs[i + 1]].decode()
                 if nfield.logical_type.endswith("string")
                 else raw[offs[i]:offs[i + 1]]
-                for i in range(nvals)
+                for i in rows
             ]
             chunks.append(pa.array(vals, type=atype))
         elif nfield.logical_type.startswith("fixed_size_list:"):
@@ -572,6 +605,8 @@ def read_file_column(
                 )
             dt = np.dtype("<" + _FIXED_TYPES[item_t])
             vals = np.frombuffer(raw, dtype=dt, count=nvals * dim, offset=pos)
+            if sel is not None:
+                vals = vals.reshape(nvals, dim)[sel].reshape(-1)
             if item_t == "halffloat":
                 inner = pa.array(vals.astype(np.float32), pa.float32())
             else:
@@ -579,6 +614,8 @@ def read_file_column(
             chunks.append(pa.FixedSizeListArray.from_arrays(inner, dim))
         else:  # pragma: no cover — _arrow_type already raised
             raise LanceNativeError(nfield.logical_type)
+    if not chunks:
+        return pa.array([], type=atype)
     return pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
 
 
@@ -613,33 +650,72 @@ def read_native_fragment(
     frag: NativeFragment,
     manifest: NativeManifest,
     columns: list[str] | None = None,
+    filter_expr=None,
+    filter_cols: list[str] | None = None,
 ):
     """One fragment as a pyarrow Table: per-column page reads from the
     FIRST file carrying each field (file_for_field's resolution, pinned
-    by the reference fixtures), deletion mask applied."""
+    by the reference fixtures), deletion mask applied.
+
+    With ``filter_expr`` (a pyarrow dataset Expression over the columns
+    named in ``filter_cols``) the read is LATE-MATERIALIZED: only the
+    filter columns are decoded for every live row; the remaining projected
+    columns are decoded solely at the surviving row indices (zero decode
+    when nothing matches). This is the native-path analogue of the
+    reference pushing substrait filters into every fragment scan
+    (`LanceFragmentPageSource.java:121-151`)."""
     import numpy as np
     import pyarrow as pa
 
     tops = manifest.top_level_fields()
+    by_name = {f.name: f for f in tops}
     if columns is not None:
-        by_name = {f.name: f for f in tops}
         missing = [c for c in columns if c not in by_name]
         if missing:
             raise LanceNativeError(f"no such columns: {missing}")
         tops = [by_name[c] for c in columns]
-    arrays, names = [], []
-    for nf in tops:
-        dfile, col_idx = frag.file_for_field(nf.id)
-        arrays.append(read_file_column(root, dfile, col_idx, nf, manifest))
-        names.append(nf.name)
-    t = pa.table(dict(zip(names, arrays)))
+
+    # live physical row indices (deletion vector applied up front so every
+    # column decode below is already deletion-aware)
+    n_phys = _physical_rows_from_file(root, frag.files[0])
     if frag.deletion is not None:
         dead = _deleted_rows(root, frag.deletion)
-        keep = np.array(
-            [i for i in range(len(t)) if i not in dead], dtype=np.int64
+        live = np.array(
+            [i for i in range(n_phys) if i not in dead], dtype=np.int64
         )
-        t = t.take(keep)
-    return t
+    else:
+        live = None  # all rows — decode whole pages, no take
+
+    def _decode(nf: NativeField, idx):
+        dfile, col_idx = frag.file_for_field(nf.id)
+        return read_file_column(root, dfile, col_idx, nf, manifest, idx)
+
+    if filter_expr is None or not filter_cols:
+        arrays = {nf.name: _decode(nf, live) for nf in tops}
+        return pa.table(arrays)
+
+    fc_missing = [c for c in filter_cols if c not in by_name]
+    if fc_missing:
+        raise LanceNativeError(f"no such filter columns: {fc_missing}")
+    # phase 1: decode filter columns for every live row, evaluate
+    fdata = {c: _decode(by_name[c], live) for c in filter_cols}
+    phys = live if live is not None else np.arange(n_phys, dtype=np.int64)
+    ft = pa.table({**fdata, "__phys__": pa.array(phys)})
+    surv_t = ft.filter(filter_expr)
+    surv = surv_t.column("__phys__").to_numpy()
+    # phase 2: remaining projected columns only at surviving indices;
+    # filter columns that are also projected reuse the phase-1 decode
+    arrays = {}
+    for nf in tops:
+        if nf.name in fdata:
+            col = surv_t.column(nf.name)
+            arrays[nf.name] = (
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col
+            )
+        else:
+            arrays[nf.name] = _decode(nf, surv)
+    return pa.table(arrays)
 
 
 # ------------------------------------------------------------------ dataset

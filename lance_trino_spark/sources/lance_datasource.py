@@ -450,9 +450,16 @@ class LanceNativeScanReader(DataSourceReader):
         self._path = path
         self._schema = schema
         self._options = options
+        limit = options.get("limit")
+        self._limit = int(limit) if limit is not None else None
+        self._pushed: list[Filter] = []
 
     def partitions(self) -> Sequence[LanceNativePartition]:
-        from ..format.lance_native import read_native_manifest
+        from ..format.lance_native import (
+            _deleted_rows,
+            _physical_rows_from_file,
+            read_native_manifest,
+        )
 
         v = self._options.get("version")
         m = read_native_manifest(
@@ -460,9 +467,33 @@ class LanceNativeScanReader(DataSourceReader):
         )
         cols = self._options.get("columns")
         cols_t = tuple(c.strip() for c in cols.split(",")) if cols else None
+        frag_idx = list(range(len(m.fragments)))
+        if self._limit is not None and not self._pushed:
+            # A6/A7 parity on the native path: with a limit and no pushed
+            # filter, plan only the leading fragments whose deletion-aware
+            # live row counts cover the limit (metadata-only planning —
+            # footer batch offsets + DV cardinalities, no value pages;
+            # reference coalescing: `LanceSplitManager.java:56-112`)
+            taken, acc = [], 0
+            for i in frag_idx:
+                if acc >= self._limit:
+                    break
+                frag = m.fragments[i]
+                if frag.deletion is not None:
+                    n = _physical_rows_from_file(self._path, frag.files[0])
+                    n -= len(_deleted_rows(self._path, frag.deletion))
+                else:
+                    n = frag.physical_rows
+                    if n is None:
+                        n = _physical_rows_from_file(
+                            self._path, frag.files[0]
+                        )
+                taken.append(i)
+                acc += n
+            frag_idx = taken
         return [
             LanceNativePartition(self._path, m.version, i, cols_t)
-            for i in range(len(m.fragments))
+            for i in frag_idx
         ] or [LanceNativePartition(self._path, m.version, -1, cols_t)]
 
     def read(self, partition: LanceNativePartition):
@@ -474,15 +505,57 @@ class LanceNativeScanReader(DataSourceReader):
 
         if partition.frag_index < 0:
             return iter(())
+        expr = None
+        for f in self._pushed:
+            e = _to_arrow_expr(f)
+            expr = e if expr is None else (expr & e)
+        fcols = sorted(
+            {
+                (f.child if isinstance(f, Not) else f).attribute[0]
+                for f in self._pushed
+            }
+        )
         m = read_native_manifest(partition.root, partition.version)
         t = read_native_fragment(
             partition.root,
             m.fragments[partition.frag_index],
             m,
             list(partition.columns) if partition.columns else None,
+            filter_expr=expr,
+            filter_cols=fcols or None,
         )
         out = conform_native_table(t, self._schema)
         return iter(out.to_batches(max_chunksize=8192))
+
+
+class LanceNativeScanReaderPushdown(LanceNativeScanReader):
+    """Native-path filter pushdown (A4 parity on real `.lance` datasets):
+    accepted filters are evaluated inside the fragment read with late
+    materialization (non-filter columns decode only at matching rows —
+    `format/lance_native.py` read_native_fragment). Date/timestamp and
+    decimal comparisons stay residual: the decode path promotes naive
+    timestamps to UTC AFTER filtering would run, so pushing them could
+    compare across representations."""
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        from datetime import date as _date
+        from datetime import datetime as _datetime
+        from decimal import Decimal as _Decimal
+
+        def _temporal_free(f: Filter) -> bool:
+            inner = f.child if isinstance(f, Not) else f
+            vals = getattr(inner, "value", None)
+            vals = vals if isinstance(vals, (list, tuple)) else [vals]
+            return not any(
+                isinstance(v, (_date, _datetime, _Decimal)) for v in vals
+            )
+
+        cols = {f.name for f in self._schema.fields}
+        for f in filters:
+            if _filter_pushable(f, cols) and _temporal_free(f):
+                self._pushed.append(f)
+            else:
+                yield f  # residual — Spark evaluates it above the scan
 
 
 @dataclass
@@ -1036,14 +1109,19 @@ class LanceSparkDataSource(DataSource):
         # every planned query — the worst possible failure mode.
         from ..format.lance_native import is_native_dataset
 
-        if is_native_dataset(self._path()):
-            return LanceNativeScanReader(self._path(), schema, dict(self.options))
         spark = SparkSession.getActiveSession()
         known_off = (
             spark is not None
             and spark.conf.get("spark.sql.python.filterPushdown.enabled", "true")
             != "true"
         )
+        if is_native_dataset(self._path()):
+            cls = (
+                LanceNativeScanReader
+                if known_off
+                else LanceNativeScanReaderPushdown
+            )
+            return cls(self._path(), schema, dict(self.options))
         cls = LanceScanReaderNoPushdown if known_off else LanceScanReader
         return cls(self._path(), schema, dict(self.options))
 

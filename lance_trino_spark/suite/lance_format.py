@@ -637,3 +637,69 @@ def lf14(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary manifests and decodes fragment-parallel on executors
     register_lance_datasource(spark)
     return spark.read.format("lance").load(path).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# lf15 — native-path FILTER PUSHDOWN (A4 parity on real `.lance` scans):
+# a selective predicate over a MULTI-FRAGMENT genuine Lance dataset is
+# pushed into the fragment read and evaluated with late materialization
+# (filter columns decode for every live row; everything else decodes only
+# at matching indices — zero decode for fragments with no matches).
+# Boundedness is asserted separately in tests/test_lance_native.py via a
+# decode-call counter; this query gates VALUE correctness of the pushed
+# path against DuckDB. Reference: substrait filter pushdown per fragment,
+# `LanceFragmentPageSource.java:121-151`.
+# ---------------------------------------------------------------------------
+@register(
+    "lf15_native_pushdown_scan",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nk,
+           COUNT(*) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE c_nationkey >= 20
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="format: pushed filter over a multi-fragment real .lance dataset "
+        "(late-materialized native scan)",
+    tags=("format", "interop", "lance-native", "pushdown"),
+)
+def lf15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf15-native-pushdown")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    # 4 fragments so the pushed filter demonstrably runs per fragment
+    quarters = [cust[i::4] for i in range(4)]
+    write_native_dataset(path, {
+        "custkey": [int(r["c_custkey"]) for r in quarters[0]],
+        "nk": [int(r["c_nationkey"]) for r in quarters[0]],
+    })
+    for q in quarters[1:]:
+        append_native_rows(path, {
+            "custkey": [int(r["c_custkey"]) for r in q],
+            "nk": [int(r["c_nationkey"]) for r in q],
+        })
+    assert LanceNativeDataset(path).count_rows() == len(cust)
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(path)
+        .filter(F.col("nk") >= 20)  # pushed into the native fragment scan
+        .groupBy("nk")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("custkey").alias("sum_key"),
+        )
+        .orderBy("nk")
+    )

@@ -136,6 +136,86 @@ def test_table4_vector_table_decodes_every_version():
 
 
 @needs_fixtures
+def test_filtered_fragment_read_is_late_materialized(monkeypatch):
+    """Pushed filters bound the decode: the filter column decodes for all
+    live rows, every OTHER projected column decodes only at surviving
+    indices — and not at all when the fragment has zero matches."""
+    import pyarrow.dataset as pads
+
+    from lance_trino_spark.format import lance_native as ln
+
+    root = f"{EXAMPLE_DB}/test_table4.lance"
+    m = ln.read_native_manifest(root)
+    calls = []
+    real = ln.read_file_column
+
+    def counting(root_, dfile, ci, nf, manifest=None, indices=None):
+        calls.append((nf.name, None if indices is None else len(indices)))
+        return real(root_, dfile, ci, nf, manifest, indices)
+
+    monkeypatch.setattr(ln, "read_file_column", counting)
+
+    # fragment 0 holds ids 100-199 -> 'id >= 195' matches 5 rows
+    t = ln.read_native_fragment(
+        root, m.fragments[0], m,
+        columns=["id", "meta", "vector"],
+        filter_expr=pads.field("id") >= 195,
+        filter_cols=["id"],
+    )
+    assert len(t) == 5
+    assert sorted(t.column("id").to_pylist()) == [195, 196, 197, 198, 199]
+    by_col = dict(calls)
+    assert by_col["id"] is None          # filter col: decoded fully
+    assert by_col["meta"] == 5           # late-materialized at matches
+    assert by_col["vector"] == 5
+    assert "price" not in by_col         # not projected, not filter: never
+
+    # zero-match fragment: only the filter column is touched
+    calls.clear()
+    t0 = ln.read_native_fragment(
+        root, m.fragments[1], m,
+        columns=["id", "meta"],
+        filter_expr=pads.field("id") >= 10_000,
+        filter_cols=["id"],
+    )
+    assert len(t0) == 0
+    assert dict(calls) == {"id": None, "meta": 0}
+
+
+@needs_fixtures
+def test_native_reader_pushdown_and_limit(spark):
+    """format('lance') on a native dataset: comparison filters are pushed
+    (values match the unfiltered scan), temporal filters stay residual,
+    and a limit plans only leading fragments."""
+    from lance_trino_spark.format.lance_native import read_native_manifest
+    from lance_trino_spark.sources.lance_datasource import (
+        LanceNativeScanReaderPushdown,
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    root = f"{EXAMPLE_DB}/test_table4.lance"
+    df = spark.read.format("lance").load(root)
+    got = {r.id for r in df.filter("id >= 1995 OR id < 102").collect()}
+    assert got == {100, 101, 1995, 1996, 1997, 1998, 1999}
+
+    # deletion-aware: filter over the DV-bearing table agrees with full scan
+    d3 = spark.read.format("lance").load(f"{EXAMPLE_DB}/test_table3.lance")
+    full = sorted(r.x for r in d3.collect() if r.x < 3)
+    assert sorted(r.x for r in d3.filter("x < 3").collect()) == full
+
+    # limit coalescing plans fewer partitions than fragments
+    from pyspark.sql.types import StructType
+
+    schema = df.schema
+    rd = LanceNativeScanReaderPushdown(root, schema, {"limit": "150"})
+    n_frags = len(read_native_manifest(root).fragments)
+    parts = rd.partitions()
+    assert 0 < len(parts) < n_frags
+    assert isinstance(schema, StructType)
+
+
+@needs_fixtures
 def test_table5_v2_files_and_nonsequential_field_ids():
     from lance_trino_spark.format.lance_native import LanceNativeDataset
 
