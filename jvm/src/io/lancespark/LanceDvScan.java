@@ -1,25 +1,32 @@
 /*
- * Deletion-vector-aware JVM scan: merge-on-read SELECTs for DV-bearing
- * tables through the delegated parquet reader.
+ * Deletion-vector-aware JVM scan: VECTORIZED merge-on-read SELECTs for
+ * DV-bearing tables through the delegated parquet reader.
  *
  * The reference applies Lance deletion vectors below its Arrow scanner
  * (LanceFragmentPageSource.java:87-92,144-151 — "dataset-level scan for DV
- * correctness").  The stock ParquetTable delegation has no DV hook, and
- * DSv2 file scans expose no `_metadata.row_index`, so this scan derives
- * row positions the same way the committers define them: it re-groups the
- * delegate's planned PartitionedFiles into ONE partition per data file
- * (splits of a file ordered by start offset), reads each file start to
- * finish with NO pushed filters (nothing can skip row groups), and counts
- * rows — the counter IS the fragment row index (fragment_id << 32 |
- * row_index row addressing, RowAddress.java:22-43).  Rows whose index is
- * in the fragment's deletion vector are skipped.
+ * correctness").  Spark's own metadata machinery supplies the missing hook:
+ * appending the parquet row-index temporary column
+ * (ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME — the column that
+ * backs `_metadata.row_index`) to the delegate's read schema makes BOTH
+ * the vectorized and the row-based parquet readers emit each row's true
+ * physical file position, robust to filter pushdown and row-group
+ * skipping.  The scan therefore keeps the delegate's columnar decode,
+ * predicate pushdown, column pruning and split parallelism, and applies
+ * the deletion vector per batch:
  *
- * Cost model: row-based readers, no filter pushdown, one task per data
- * file — correct first, and only for tables that currently carry deletion
- * vectors; OPTIMIZE (compaction) restores the vectorized pushdown path.
- * Deletion vectors are loaded once on the driver (bounded by fragment
- * size, same bound the committers enforce) and ship inside the serialized
- * reader factory.
+ *   - columnar: read the row-index vector, build the surviving-position
+ *     map, and wrap each projected column in a remapping ColumnVector
+ *     (one indirection per access — the standard MoR position-delete
+ *     shape); batches with no deleted rows pass through untouched.
+ *   - row-based fallback (nested schemas etc.): skip rows whose index is
+ *     in the DV, hide the trailing row-index field.
+ *
+ * Partition planning only changes for files that CARRY a deletion vector:
+ * their splits each become a single-file partition so the reader can
+ * attribute row indexes to the right DV; DV-free files keep the
+ * delegate's bin-packed partitions.  Deletion vectors are loaded once on
+ * the driver (bounded by fragment size, same bound the committers
+ * enforce) and ship inside the serialized reader factory.
  */
 package io.lancespark;
 
@@ -27,11 +34,10 @@ import java.io.IOException;
 import java.io.Serializable;
 import java.nio.file.Path;
 import java.util.ArrayList;
+import java.util.Arrays;
 import java.util.HashMap;
 import java.util.HashSet;
-import java.util.LinkedHashMap;
 import java.util.List;
-import java.util.Map;
 
 import com.fasterxml.jackson.databind.JsonNode;
 import com.fasterxml.jackson.databind.node.ArrayNode;
@@ -41,19 +47,54 @@ import org.apache.parquet.example.data.Group;
 import org.apache.parquet.hadoop.ParquetReader;
 import org.apache.parquet.hadoop.example.GroupReadSupport;
 import org.apache.spark.sql.catalyst.InternalRow;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.util.ArrayData;
+import org.apache.spark.sql.catalyst.util.MapData;
+import org.apache.spark.sql.connector.expressions.filter.Predicate;
 import org.apache.spark.sql.connector.read.Batch;
 import org.apache.spark.sql.connector.read.InputPartition;
 import org.apache.spark.sql.connector.read.PartitionReader;
 import org.apache.spark.sql.connector.read.PartitionReaderFactory;
 import org.apache.spark.sql.connector.read.Scan;
 import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
 import org.apache.spark.sql.execution.datasources.FilePartition;
 import org.apache.spark.sql.execution.datasources.PartitionedFile;
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat$;
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder;
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters;
+import org.apache.spark.sql.types.Decimal;
+import org.apache.spark.sql.types.StructField;
 import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.vectorized.ColumnVector;
+import org.apache.spark.sql.vectorized.ColumnarArray;
+import org.apache.spark.sql.vectorized.ColumnarBatch;
+import org.apache.spark.sql.vectorized.ColumnarMap;
+import org.apache.spark.unsafe.types.CalendarInterval;
+import org.apache.spark.unsafe.types.UTF8String;
 
 final class LanceDvScan {
 
   private LanceDvScan() {}
+
+  static StructField rowIndexField() {
+    // NOT ROW_INDEX_FIELD() — that is the `row_index` field nested inside
+    // the `_metadata` struct; the readers recognize the TEMPORARY column
+    // by the _tmp_metadata_row_index name
+    // nullable: the parquet schema clipper maps missing NULLABLE columns
+    // to optional (null-filled) vectors, which the row-index generator
+    // then overwrites with true file positions; a non-nullable field
+    // fails the read with "Required column is missing in data file"
+    return new StructField(
+        rowIndexName(),
+        org.apache.spark.sql.types.DataTypes.LongType,
+        true,
+        org.apache.spark.sql.types.Metadata.empty());
+  }
+
+  static String rowIndexName() {
+    return ParquetFileFormat$.MODULE$.ROW_INDEX_TEMPORARY_COLUMN_NAME();
+  }
 
   /** Driver-side: load every fragment's deletion vector into
    *  {data-file basename -> deleted row indexes}. */
@@ -88,23 +129,89 @@ final class LanceDvScan {
     return i < 0 ? path : path.substring(i + 1);
   }
 
-  /** ScanBuilder for DV tables: no filter pushdown reaches the delegate
-   *  (full-file sequential reads keep the row counter == row index),
-   *  Spark evaluates every predicate above the scan. */
+  /** ScanBuilder for DV tables.  The delegate builder MUST come from a
+   *  ParquetTable whose schema already carries the row-index temp field
+   *  (FileScanBuilder.readDataSchema filters dataSchema by the required
+   *  name set, so the field has to exist in both). */
   static ScanBuilder builder(ScanBuilder delegateBuilder, StructType tableSchema,
       Path tableDir, JsonNode manifest, String tableName) {
-    return () -> {
-      Scan inner = delegateBuilder.build();
-      HashMap<String, HashSet<Long>> deletions = loadDeletions(tableDir, manifest);
+    return new DvScanBuilder((FileScanBuilder) delegateBuilder, tableSchema,
+        loadDeletions(tableDir, manifest), tableName);
+  }
+
+  /** Passes column pruning and catalyst filter pushdown through to the
+   *  delegate parquet builder (always adding the row-index column), and
+   *  deliberately does NOT implement SupportsPushDownAggregates: a
+   *  pushed COUNT/MIN/MAX would bypass deletion-vector filtering. */
+  static final class DvScanBuilder
+      implements SupportsPushDownRequiredColumns, SupportsPushDownCatalystFilters {
+    private final FileScanBuilder delegate;
+    private final StructType tableSchema;
+    private final HashMap<String, HashSet<Long>> deletions;
+    private final String tableName;
+    private boolean pruned;
+
+    DvScanBuilder(FileScanBuilder delegate, StructType tableSchema,
+        HashMap<String, HashSet<Long>> deletions, String tableName) {
+      this.delegate = delegate;
+      this.tableSchema = tableSchema;
+      this.deletions = deletions;
+      this.tableName = tableName;
+    }
+
+    @Override
+    public void pruneColumns(StructType requiredSchema) {
+      pruned = true;
+      delegate.pruneColumns(requiredSchema.add(rowIndexField()));
+    }
+
+    @Override
+    public scala.collection.immutable.Seq<Expression> pushFilters(
+        scala.collection.immutable.Seq<Expression> filters) {
+      return delegate.pushFilters(filters);
+    }
+
+    @Override
+    public Predicate[] pushedFilters() {
+      return delegate.pushedFilters();
+    }
+
+    @Override
+    public Scan build() {
+      if (!pruned) {
+        pruneColumns(tableSchema);
+      }
+      Scan inner = delegate.build();
+      // delegate emits readDataSchema order (dataSchema-ordered) with the
+      // row-index field somewhere inside — locate it, surface the rest
+      StructType innerRead = inner.readSchema();
+      int rowIdxOrdinal = -1;
+      List<StructField> visible = new ArrayList<>();
+      StructField[] innerFields = innerRead.fields();
+      for (int i = 0; i < innerFields.length; i++) {
+        if (innerFields[i].name().equals(rowIndexName())) {
+          rowIdxOrdinal = i;
+        } else {
+          visible.add(innerFields[i]);
+        }
+      }
+      if (rowIdxOrdinal < 0) {
+        throw new IllegalStateException(
+            "row-index column missing from delegate read schema " + innerRead);
+      }
+      StructType outSchema = new StructType(visible.toArray(new StructField[0]));
+      final int ordinal = rowIdxOrdinal;
       return new Scan() {
         @Override
         public StructType readSchema() {
-          return tableSchema;
+          return outSchema;
         }
 
         @Override
         public String description() {
-          return "lance-dv-scan(" + tableName + ")";
+          // include the delegate's description so EXPLAIN surfaces its
+          // PushedFilters / ReadSchema lines for the DV path too
+          return "lance-dv-scan(" + tableName + ") over " + inner.description();
         }
 
         @Override
@@ -113,23 +220,27 @@ final class LanceDvScan {
           return new Batch() {
             @Override
             public InputPartition[] planInputPartitions() {
-              // regroup: one partition per data FILE, its splits ordered
-              // by start offset — sequential whole-file read, so the
-              // reader-side row counter equals the fragment row index
-              Map<String, List<PartitionedFile>> byFile = new LinkedHashMap<>();
-              for (InputPartition p : innerBatch.planInputPartitions()) {
-                FilePartition fp = (FilePartition) p;
-                for (PartitionedFile f : fp.files()) {
-                  byFile.computeIfAbsent(
-                      f.filePath().toString(), k -> new ArrayList<>()).add(f);
-                }
-              }
+              // files carrying a DV get single-file partitions (row-index
+              // -> DV attribution); everything else keeps the delegate's
+              // bin-packed split planning
               List<InputPartition> out = new ArrayList<>();
               int idx = 0;
-              for (List<PartitionedFile> files : byFile.values()) {
-                files.sort(java.util.Comparator.comparingLong(PartitionedFile::start));
-                out.add(new FilePartition(
-                    idx++, files.toArray(new PartitionedFile[0])));
+              for (InputPartition p : innerBatch.planInputPartitions()) {
+                FilePartition fp = (FilePartition) p;
+                boolean touchesDv = false;
+                for (PartitionedFile f : fp.files()) {
+                  if (deletions.containsKey(baseName(f.filePath().toString()))) {
+                    touchesDv = true;
+                    break;
+                  }
+                }
+                if (!touchesDv) {
+                  out.add(new FilePartition(idx++, fp.files()));
+                } else {
+                  for (PartitionedFile f : fp.files()) {
+                    out.add(new FilePartition(idx++, new PartitionedFile[] {f}));
+                  }
+                }
               }
               return out.toArray(new InputPartition[0]);
             }
@@ -137,52 +248,63 @@ final class LanceDvScan {
             @Override
             public PartitionReaderFactory createReaderFactory() {
               return new DvReaderFactory(
-                  innerBatch.createReaderFactory(), deletions);
+                  innerBatch.createReaderFactory(), deletions, ordinal);
             }
           };
         }
       };
-    };
+    }
   }
 
-  /** Serializable factory shipping the DV map to executors; readers are
-   *  row-based and skip deleted positions by per-partition row count. */
+  /** Serializable factory shipping the DV map to executors. */
   static final class DvReaderFactory implements PartitionReaderFactory, Serializable {
     private final PartitionReaderFactory delegate;
     private final HashMap<String, HashSet<Long>> deletions;
+    private final int rowIdxOrdinal;
 
     DvReaderFactory(PartitionReaderFactory delegate,
-        HashMap<String, HashSet<Long>> deletions) {
+        HashMap<String, HashSet<Long>> deletions, int rowIdxOrdinal) {
       this.delegate = delegate;
       this.deletions = deletions;
+      this.rowIdxOrdinal = rowIdxOrdinal;
     }
 
     @Override
     public boolean supportColumnarReads(InputPartition partition) {
-      return false; // DV filtering is row-counted; compaction restores columnar
+      return delegate.supportColumnarReads(partition);
+    }
+
+    private HashSet<Long> deadFor(InputPartition partition) {
+      FilePartition fp = (FilePartition) partition;
+      HashSet<Long> dead = null;
+      for (PartitionedFile f : fp.files()) {
+        HashSet<Long> d = deletions.get(baseName(f.filePath().toString()));
+        if (d != null && !d.isEmpty()) {
+          if (fp.files().length > 1) {
+            throw new IllegalStateException(
+                "DV-bearing file in a multi-file partition: " + f.filePath());
+          }
+          dead = d;
+        }
+      }
+      return dead;
     }
 
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition partition) {
-      FilePartition fp = (FilePartition) partition;
-      String base = baseName(fp.files()[0].filePath().toString());
-      HashSet<Long> dead = deletions.get(base);
+      HashSet<Long> dead = deadFor(partition);
       PartitionReader<InternalRow> inner = delegate.createReader(partition);
-      if (dead == null || dead.isEmpty()) {
-        return inner;
-      }
       return new PartitionReader<>() {
-        private long rowIndex = -1;
         private InternalRow current;
 
         @Override
         public boolean next() throws IOException {
           while (inner.next()) {
-            rowIndex++;
-            if (dead.contains(rowIndex)) {
+            InternalRow r = inner.get();
+            if (dead != null && dead.contains(r.getLong(rowIdxOrdinal))) {
               continue;
             }
-            current = inner.get();
+            current = new OrdinalSkipRow(r, rowIdxOrdinal);
             return true;
           }
           return false;
@@ -198,6 +320,318 @@ final class LanceDvScan {
           inner.close();
         }
       };
+    }
+
+    @Override
+    public PartitionReader<ColumnarBatch> createColumnarReader(InputPartition partition) {
+      HashSet<Long> dead = deadFor(partition);
+      PartitionReader<ColumnarBatch> inner = delegate.createColumnarReader(partition);
+      return new PartitionReader<>() {
+        private ColumnarBatch current;
+
+        @Override
+        public boolean next() throws IOException {
+          if (!inner.next()) {
+            return false;
+          }
+          current = apply(inner.get());
+          return true;
+        }
+
+        private ColumnarBatch apply(ColumnarBatch b) {
+          int n = b.numRows();
+          int visible = b.numCols() - 1;
+          ColumnVector[] cols = new ColumnVector[visible];
+          if (dead == null || dead.isEmpty()) {
+            for (int i = 0; i < visible; i++) {
+              cols[i] = b.column(i < rowIdxOrdinal ? i : i + 1);
+            }
+            return new ColumnarBatch(cols, n);
+          }
+          ColumnVector rowIdx = b.column(rowIdxOrdinal);
+          int[] map = new int[n];
+          int live = 0;
+          for (int i = 0; i < n; i++) {
+            if (!dead.contains(rowIdx.getLong(i))) {
+              map[live++] = i;
+            }
+          }
+          if (live == n) {
+            for (int i = 0; i < visible; i++) {
+              cols[i] = b.column(i < rowIdxOrdinal ? i : i + 1);
+            }
+            return new ColumnarBatch(cols, n);
+          }
+          int[] m = Arrays.copyOf(map, live);
+          for (int i = 0; i < visible; i++) {
+            cols[i] = new MappedColumnVector(
+                b.column(i < rowIdxOrdinal ? i : i + 1), m);
+          }
+          return new ColumnarBatch(cols, live);
+        }
+
+        @Override
+        public ColumnarBatch get() {
+          return current;
+        }
+
+        @Override
+        public void close() throws IOException {
+          inner.close();
+        }
+      };
+    }
+  }
+
+  /** ColumnVector view remapping logical position i to the delegate's
+   *  physical position map[i] — vectorized decode stays with the delegate;
+   *  the view costs one array indirection per access (the standard MoR
+   *  position-delete application). Lifecycle stays with the delegate
+   *  reader, so close() is a no-op. */
+  static final class MappedColumnVector extends ColumnVector {
+    private final ColumnVector data;
+    private final int[] map;
+    private HashMap<Integer, ColumnVector> children;
+
+    MappedColumnVector(ColumnVector data, int[] map) {
+      super(data.dataType());
+      this.data = data;
+      this.map = map;
+    }
+
+    @Override
+    public void close() {}
+
+    @Override
+    public boolean hasNull() {
+      return data.hasNull();
+    }
+
+    @Override
+    public int numNulls() {
+      if (!data.hasNull()) {
+        return 0;
+      }
+      int n = 0;
+      for (int i : map) {
+        if (data.isNullAt(i)) {
+          n++;
+        }
+      }
+      return n;
+    }
+
+    @Override
+    public boolean isNullAt(int i) {
+      return data.isNullAt(map[i]);
+    }
+
+    @Override
+    public boolean getBoolean(int i) {
+      return data.getBoolean(map[i]);
+    }
+
+    @Override
+    public byte getByte(int i) {
+      return data.getByte(map[i]);
+    }
+
+    @Override
+    public short getShort(int i) {
+      return data.getShort(map[i]);
+    }
+
+    @Override
+    public int getInt(int i) {
+      return data.getInt(map[i]);
+    }
+
+    @Override
+    public long getLong(int i) {
+      return data.getLong(map[i]);
+    }
+
+    @Override
+    public float getFloat(int i) {
+      return data.getFloat(map[i]);
+    }
+
+    @Override
+    public double getDouble(int i) {
+      return data.getDouble(map[i]);
+    }
+
+    @Override
+    public ColumnarArray getArray(int i) {
+      return data.getArray(map[i]);
+    }
+
+    @Override
+    public ColumnarMap getMap(int i) {
+      return data.getMap(map[i]);
+    }
+
+    @Override
+    public Decimal getDecimal(int i, int precision, int scale) {
+      return data.getDecimal(map[i], precision, scale);
+    }
+
+    @Override
+    public UTF8String getUTF8String(int i) {
+      return data.getUTF8String(map[i]);
+    }
+
+    @Override
+    public byte[] getBinary(int i) {
+      return data.getBinary(map[i]);
+    }
+
+    @Override
+    public CalendarInterval getInterval(int i) {
+      return data.getInterval(map[i]);
+    }
+
+    @Override
+    public ColumnVector getChild(int ordinal) {
+      // struct children are accessed per row through the parent's rowId —
+      // remap them with the same position map (array/map children are
+      // reached through getArray/getMap above and stay unwrapped)
+      if (children == null) {
+        children = new HashMap<>();
+      }
+      return children.computeIfAbsent(
+          ordinal, o -> new MappedColumnVector(data.getChild(o), map));
+    }
+  }
+
+  /** InternalRow view hiding one ordinal (the trailing row-index column)
+   *  from the delegate row. Read-only. */
+  static final class OrdinalSkipRow extends InternalRow {
+    private final InternalRow row;
+    private final int skip;
+
+    OrdinalSkipRow(InternalRow row, int skip) {
+      this.row = row;
+      this.skip = skip;
+    }
+
+    private int map(int i) {
+      return i < skip ? i : i + 1;
+    }
+
+    @Override
+    public int numFields() {
+      return row.numFields() - 1;
+    }
+
+    @Override
+    public void setNullAt(int i) {
+      throw new UnsupportedOperationException("read-only row");
+    }
+
+    @Override
+    public void update(int i, Object value) {
+      throw new UnsupportedOperationException("read-only row");
+    }
+
+    @Override
+    public InternalRow copy() {
+      return new OrdinalSkipRow(row.copy(), skip);
+    }
+
+    @Override
+    public boolean isNullAt(int i) {
+      return row.isNullAt(map(i));
+    }
+
+    @Override
+    public boolean getBoolean(int i) {
+      return row.getBoolean(map(i));
+    }
+
+    @Override
+    public byte getByte(int i) {
+      return row.getByte(map(i));
+    }
+
+    @Override
+    public short getShort(int i) {
+      return row.getShort(map(i));
+    }
+
+    @Override
+    public int getInt(int i) {
+      return row.getInt(map(i));
+    }
+
+    @Override
+    public long getLong(int i) {
+      return row.getLong(map(i));
+    }
+
+    @Override
+    public float getFloat(int i) {
+      return row.getFloat(map(i));
+    }
+
+    @Override
+    public double getDouble(int i) {
+      return row.getDouble(map(i));
+    }
+
+    @Override
+    public Decimal getDecimal(int i, int precision, int scale) {
+      return row.getDecimal(map(i), precision, scale);
+    }
+
+    @Override
+    public UTF8String getUTF8String(int i) {
+      return row.getUTF8String(map(i));
+    }
+
+    @Override
+    public byte[] getBinary(int i) {
+      return row.getBinary(map(i));
+    }
+
+    @Override
+    public org.apache.spark.unsafe.types.GeographyVal getGeography(int i) {
+      return row.getGeography(map(i));
+    }
+
+    @Override
+    public org.apache.spark.unsafe.types.GeometryVal getGeometry(int i) {
+      return row.getGeometry(map(i));
+    }
+
+    @Override
+    public CalendarInterval getInterval(int i) {
+      return row.getInterval(map(i));
+    }
+
+    @Override
+    public org.apache.spark.unsafe.types.VariantVal getVariant(int i) {
+      return row.getVariant(map(i));
+    }
+
+    @Override
+    public InternalRow getStruct(int i, int numFields) {
+      return row.getStruct(map(i), numFields);
+    }
+
+    @Override
+    public ArrayData getArray(int i) {
+      return row.getArray(map(i));
+    }
+
+    @Override
+    public MapData getMap(int i) {
+      return row.getMap(map(i));
+    }
+
+    @Override
+    public Object get(int i, org.apache.spark.sql.types.DataType dataType) {
+      return row.get(map(i), dataType);
     }
   }
 }

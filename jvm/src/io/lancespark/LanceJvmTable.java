@@ -172,17 +172,23 @@ public class LanceJvmTable
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
     List<String> paths = LanceJvmCatalog.livePaths(tableDir, manifest);
+    boolean mor = LanceJvmCatalog.hasDeletions(manifest);
+    // merge-on-read tables ask the delegate for the parquet row-index
+    // temporary column too (it must live in the delegate's dataSchema for
+    // FileScanBuilder to keep it through pruning) — the readers populate
+    // it with true file positions even under row-group skipping, and
+    // LanceDvScan filters batches against the deletion vectors while
+    // keeping the delegate's vectorized decode and filter pushdown.
+    StructType delegateSchema =
+        mor ? schema.add(LanceDvScan.rowIndexField()) : schema;
     ParquetTable delegate = ParquetTable.apply(
         name(),
         org.apache.spark.sql.classic.SparkSession.active(),
         options,
         scala.jdk.javaapi.CollectionConverters.asScala(paths).toSeq(),
-        scala.Option.apply(schema),
+        scala.Option.apply(delegateSchema),
         ParquetFileFormat.class);
-    if (LanceJvmCatalog.hasDeletions(manifest)) {
-      // merge-on-read: wrap the delegate with the deletion-vector-applying
-      // scan (row-based, `_metadata.row_index`-keyed — see LanceDvScan).
-      // Vectorized reads come back after OPTIMIZE materializes deletes.
+    if (mor) {
       return LanceDvScan.builder(
           delegate.newScanBuilder(options), schema, tableDir, manifest,
           tableName);
