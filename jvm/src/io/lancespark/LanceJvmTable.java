@@ -51,7 +51,8 @@ import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
 public class LanceJvmTable
-    implements Table, SupportsRead, SupportsWrite, SupportsDeleteV2 {
+    implements Table, SupportsRead, SupportsWrite, SupportsDeleteV2,
+    org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private final String tableName;
   private final Path tableDir;
@@ -70,6 +71,27 @@ public class LanceJvmTable
   @Override
   public String name() {
     return tableName + "@v" + version;
+  }
+
+  java.nio.file.Path dir() {
+    return tableDir;
+  }
+
+  long snapshotVersion() {
+    return version;
+  }
+
+  /* ---- native SQL UPDATE / MERGE (SupportsRowLevelOperations) ---------
+   * Group-based copy-on-write: Spark rewrites the statement into a
+   * ReplaceData plan over the table's normal DV-aware scan; the write
+   * stages parquet fragments executor-side and commits one replacing
+   * manifest (LanceJvmRowLevel). DELETE still routes through
+   * SupportsDeleteV2 (MoR deletion vectors) when the predicate allows. */
+  @Override
+  public org.apache.spark.sql.connector.write.RowLevelOperationBuilder
+      newRowLevelOperationBuilder(
+          org.apache.spark.sql.connector.write.RowLevelOperationInfo info) {
+    return () -> new LanceJvmRowLevel(this, info);
   }
 
   @Override

@@ -138,7 +138,7 @@ final class LanceJvmWrite {
    *  column is simply never pruned on it, conservative-correct, matching
    *  format/fragments.py's poisoning rules). Shape matches the Python
    *  writer: {col: {"min": v, "max": v, "nulls": n}}. */
-  private static ObjectNode footerStats(ParquetFileReader r) {
+  static ObjectNode footerStats(ParquetFileReader r) {
     ObjectNode out = MAPPER.createObjectNode();
     Map<String, long[]> agg = new java.util.LinkedHashMap<>(); // min,max,nulls,seen
     Set<String> poisoned = new java.util.HashSet<>();

@@ -870,3 +870,101 @@ def cat17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lance_jvm_i.geo.supplier "
         "GROUP BY s_nationkey ORDER BY s_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat18 — native SQL UPDATE + MERGE INTO through the JVM TableCatalog
+# (SupportsRowLevelOperations, group-based copy-on-write): plain
+# spark.sql("UPDATE ...") / spark.sql("MERGE INTO ...") plan as Spark
+# ReplaceData over the table's DV-aware vectorized scan (filters kept
+# ABOVE the scan — a pushed condition plus row-group skipping would drop
+# non-matching rows from the rewrite); executors stage parquet fragments
+# through Spark's own ParquetWriteSupport and the driver commits one
+# replacing manifest via the shared hard-link protocol. Reference:
+# `LanceMetadata.java:1116-1271`, docs/src/operations/dml/merge.md.
+# ---------------------------------------------------------------------------
+@register(
+    "cat18_jvm_native_update_merge",
+    oracle="""
+    WITH updated AS (
+      SELECT c_custkey,
+             c_nationkey,
+             CASE WHEN c_nationkey < 5
+                  THEN CAST(c_acctbal AS DECIMAL(18,2)) + 500
+                  ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+      FROM customer
+    ),
+    merged AS (
+      SELECT u.c_custkey, u.c_nationkey,
+             CASE WHEN u.c_custkey % 100 = 0 THEN CAST(0 AS DECIMAL(18,2))
+                  ELSE u.bal END AS bal
+      FROM updated u
+      UNION ALL
+      SELECT 9000000 + n_nationkey, n_nationkey,
+             CAST(n_nationkey AS DECIMAL(18,2))
+      FROM nation
+    )
+    SELECT c_nationkey AS nk, COUNT(*) AS n,
+           CAST(SUM(bal * 100) AS BIGINT) AS bal_c
+    FROM merged
+    GROUP BY c_nationkey
+    ORDER BY nk
+    """,
+    doc="catalog: native SQL UPDATE + MERGE INTO via the JVM catalog "
+        "(SupportsRowLevelOperations copy-on-write ReplaceData)",
+    tags=("catalog", "jvm", "dml", "update", "merge"),
+)
+def cat18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat18-jvmcow")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "crm"))
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    tbl = os.path.join(root, "crm", "customer.lance")
+    ds = LanceDataset.create(tbl, customer)
+    v_before = ds.version
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_u", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_u.root", root)
+    # plain SQL UPDATE (copy-on-write rewrite, one commit)
+    spark.sql(
+        "UPDATE lance_jvm_u.crm.customer SET bal = bal + 500 "
+        "WHERE c_nationkey < 5"
+    )
+    # plain SQL MERGE INTO: matched rows zeroed, nation rows inserted
+    load_table(spark, sf_dir, "nation").select(
+        (F.lit(9000000) + F.col("n_nationkey")).alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("decimal(18,2)").alias("bal"),
+    ).createOrReplaceTempView("_cat18_src")
+    spark.sql(
+        "MERGE INTO lance_jvm_u.crm.customer t USING _cat18_src s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    spark.sql(
+        "UPDATE lance_jvm_u.crm.customer SET bal = 0 "
+        "WHERE c_custkey % 100 = 0 AND c_custkey < 9000000"
+    )
+    after = LanceDataset.open(tbl)
+    if after.version != v_before + 3 or after.manifest.operation != "overwrite":
+        raise AssertionError(
+            f"JVM COW did not commit replaces: v{after.version} "
+            f"{after.manifest.operation}"
+        )
+    return spark.sql(
+        "SELECT c_nationkey AS nk, COUNT(*) AS n,"
+        "       CAST(SUM(bal * 100) AS BIGINT) AS bal_c "
+        "FROM lance_jvm_u.crm.customer "
+        "GROUP BY c_nationkey ORDER BY nk"
+    )

@@ -210,6 +210,44 @@ def main() -> None:
     n_py = spark.read.format("lance").load(tbl).count()
     check("python-path-serves-dv", n_py == 9, str(n_py))  # 10 rows - id=4
 
+    # native SQL UPDATE / MERGE (SupportsRowLevelOperations, copy-on-write)
+    spark.sql("CREATE TABLE lance.main.cow (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO lance.main.cow VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("UPDATE lance.main.cow SET v = v * 10 WHERE id >= 2")
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.sql("SELECT id, v FROM lance.main.cow").collect()
+    )
+    check("jvm-update", got == [(1, 1.0), (2, 20.0), (3, 30.0)], str(got))
+    spark.createDataFrame(
+        [(3, 99.0), (4, 4.0)], "id long, v double"
+    ).createOrReplaceTempView("_cow_src")
+    spark.sql(
+        "MERGE INTO lance.main.cow t USING _cow_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.sql("SELECT id, v FROM lance.main.cow").collect()
+    )
+    check("jvm-merge",
+          got == [(1, 1.0), (2, 20.0), (3, 99.0), (4, 4.0)], str(got))
+    # UPDATE over a DV-bearing table merges the DV into the rewrite
+    spark.sql("DELETE FROM lance.main.cow WHERE id = 1")
+    spark.sql("UPDATE lance.main.cow SET v = 0.0 WHERE id = 4")
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.sql("SELECT id, v FROM lance.main.cow").collect()
+    )
+    check("jvm-update-over-dv",
+          got == [(2, 20.0), (3, 99.0), (4, 0.0)], str(got))
+    cow_ds = LanceDataset.open(os.path.join(warehouse, "main", "cow.lance"))
+    check("jvm-cow-python-readback",
+          cow_ds.to_df(spark).count() == 3
+          and cow_ds.manifest.operation == "overwrite",
+          f"{cow_ds.manifest.operation} v{cow_ds.manifest.version}")
+
     spark.stop()
     if failures:
         print(f"== SMOKE FAILED: {failures} ==")
