@@ -818,20 +818,56 @@ def _enc_u64_neg1() -> int:
     return (1 << 64) - 1  # parent_id = -1 as uint64 complement
 
 
-def _v1_field_proto(name: str, fid: int) -> bytes:
+def _v1_field_proto(name: str, fid: int, ltype: str = "int64") -> bytes:
     p = _enc_field(2, 2, name.encode())
     if fid:
         p += _enc_field(3, 0, fid)
     p += _enc_field(4, 0, _enc_u64_neg1())
-    p += _enc_field(5, 2, b"int64")
+    p += _enc_field(5, 2, ltype.encode())
     p += _enc_field(6, 0, 1)  # nullable
-    p += _enc_field(7, 0, 1)  # plain encoding
+    # encoding: 1=plain, 2=var-binary (matches the fixture manifests)
+    p += _enc_field(7, 0, 2 if ltype in ("string", "binary") else 1)
     return p
 
 
+def _infer_v1_type(values) -> str:
+    """Writer-side logical type from a Python column: int64, double,
+    string, binary, or fixed_size_list:float:<dim> (uniform list lengths).
+    Mirrors the fixture type surface the reader decodes."""
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            break  # no bool pages in the minimal writer — treat as error
+        if isinstance(v, int):
+            return "int64"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, bytes):
+            return "binary"
+        if isinstance(v, (list, tuple)):
+            dims = {len(x) for x in values if x is not None}
+            if len(dims) != 1:
+                raise LanceNativeError(
+                    "ragged lists: minimal writer supports fixed_size_list only"
+                )
+            return f"fixed_size_list:float:{dims.pop()}"
+        break
+    raise LanceNativeError(
+        f"cannot infer a v1 logical type from {values[:3]!r}"
+    )
+
+
 def _write_v1_data_file(root: str, names: list[str], columns: dict) -> tuple[str, int]:
-    """One v1 legacy data file (plain int64 pages, page table, schema +
-    Metadata protos, 16-byte footer). Returns (file name, rows)."""
+    """One v1 legacy data file (page table, schema + Metadata protos,
+    16-byte footer). Pages: plain int64/double/fsl-float values, or the
+    v1 var-binary layout for string/binary (value bytes followed by the
+    absolute-position array the page table points at — the exact layout
+    read_file_column decodes from the fixtures). Returns (file name, rows).
+    Nulls are not supported (the minimal writer's scope is round-trip
+    interop tests, not production writes — that is the lance SDK's job)."""
     import uuid as _uuid
 
     import numpy as np
@@ -839,17 +875,44 @@ def _write_v1_data_file(root: str, names: list[str], columns: dict) -> tuple[str
     n_rows = len(columns[names[0]])
     if any(len(v) != n_rows for v in columns.values()):
         raise LanceNativeError("ragged columns")
+    types = {n: _infer_v1_type(columns[n]) for n in names}
     buf = bytearray()
     page_entries = []
     for name in names:
-        pos = len(buf)
-        buf += np.asarray(columns[name], dtype="<i8").tobytes()
+        vals = columns[name]
+        lt = types[name]
+        if lt == "int64":
+            pos = len(buf)
+            buf += np.asarray(vals, dtype="<i8").tobytes()
+        elif lt == "double":
+            pos = len(buf)
+            buf += np.asarray(vals, dtype="<f8").tobytes()
+        elif lt in ("string", "binary"):
+            raw = [
+                v.encode() if isinstance(v, str) else bytes(v) for v in vals
+            ]
+            offs = [0] * (n_rows + 1)
+            data_pos = len(buf)
+            run = data_pos
+            for i, b in enumerate(raw):
+                offs[i] = run
+                run += len(b)
+            offs[n_rows] = run
+            buf += b"".join(raw)
+            pos = len(buf)  # page position = the positions array
+            buf += np.asarray(offs, dtype="<i8").tobytes()
+        else:  # fixed_size_list:float:<dim>
+            pos = len(buf)
+            buf += np.asarray(
+                [x for row in vals for x in row], dtype="<f4"
+            ).tobytes()
         page_entries.append((pos, n_rows))
     page_table_pos = len(buf)
     for pos, nv in page_entries:
         buf += struct.pack("<qq", pos, nv)
     schema_proto = b"".join(
-        _enc_field(1, 2, _v1_field_proto(n, i)) for i, n in enumerate(names)
+        _enc_field(1, 2, _v1_field_proto(n, i, types[n]))
+        for i, n in enumerate(names)
     )
     schema_pos = len(buf)
     buf += struct.pack("<I", len(schema_proto)) + schema_proto
@@ -872,6 +935,7 @@ def _write_v1_manifest(
     root: str, names: list[str],
     fragments: list[tuple[int, str, int]],  # (id, file, rows)
     version: int,
+    types: dict[str, str] | None = None,
 ) -> None:
     frag_protos = b""
     for fid, file_name, n_rows in fragments:
@@ -885,7 +949,11 @@ def _write_v1_manifest(
         frag_protos += _enc_field(2, 2, frag)
     manifest = (
         b"".join(
-            _enc_field(1, 2, _v1_field_proto(n, i)) for i, n in enumerate(names)
+            _enc_field(
+                1, 2,
+                _v1_field_proto(n, i, (types or {}).get(n, "int64")),
+            )
+            for i, n in enumerate(names)
         )
         + frag_protos
         + _enc_field(3, 0, version)
@@ -904,13 +972,15 @@ def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
     readers — and `LanceNativeDataset` — can open. The mirror image of the
     reader above, kept to the same byte layout the reference fixtures use:
     pages at offset 0, page table, length-prefixed schema proto, Metadata
-    proto, 16-byte footer. Interop scope: int64 only (the fixture tables'
-    type) — a full writer is the lance SDK's job, not this seam's."""
+    proto, 16-byte footer. Interop scope: int64, double, string/binary
+    (var-binary pages), and fixed_size_list<float> — no nulls; a full
+    writer is the lance SDK's job, not this seam's."""
     if not columns:
         raise LanceNativeError("need at least one column")
     names = list(columns)
     file_name, n_rows = _write_v1_data_file(root, names, columns)
-    _write_v1_manifest(root, names, [(0, file_name, n_rows)], 1)
+    types = {n: _infer_v1_type(columns[n]) for n in names}
+    _write_v1_manifest(root, names, [(0, file_name, n_rows)], 1, types)
 
 
 def append_native_rows(root: str, columns: dict[str, list[int]]) -> int:
@@ -924,13 +994,20 @@ def append_native_rows(root: str, columns: dict[str, list[int]]) -> int:
         raise LanceNativeError(
             f"append schema {list(columns)} != dataset schema {names}"
         )
+    types = {f.name: f.logical_type for f in m.top_level_fields()}
+    for n in names:
+        inferred = _infer_v1_type(columns[n])
+        if inferred != types[n]:
+            raise LanceNativeError(
+                f"append type mismatch for {n!r}: {inferred} != {types[n]}"
+            )
     file_name, n_rows = _write_v1_data_file(root, names, columns)
     frags = [
         (f.id, f.files[0].path, f.physical_rows) for f in m.fragments
     ]
     next_id = max((f.id for f in m.fragments), default=-1) + 1
     frags.append((next_id, file_name, n_rows))
-    _write_v1_manifest(root, names, frags, m.version + 1)
+    _write_v1_manifest(root, names, frags, m.version + 1, types)
     return m.version + 1
 
 

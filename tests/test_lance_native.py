@@ -182,6 +182,72 @@ def test_filtered_fragment_read_is_late_materialized(monkeypatch):
     assert dict(calls) == {"id": None, "meta": 0}
 
 
+def test_writer_mixed_types_roundtrip(tmp_path):
+    """Round-trip the v1 writer's full type surface through the REAL
+    binary format: int64, double, string, binary, fixed_size_list<float>
+    — multi-fragment (append), decoded back cell-exactly."""
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        write_native_dataset,
+    )
+
+    root = str(tmp_path / "mixed.lance")
+    cols = {
+        "id": [1, 2, 3],
+        "price": [1.5, -2.25, 0.0],
+        "name": ["alpha", "", "göttingen"],
+        "blob": [b"\x00\x01", b"", b"xyz"],
+        "vec": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+    }
+    write_native_dataset(root, cols)
+    append_native_rows(root, {
+        "id": [4], "price": [9.75], "name": ["four"],
+        "blob": [b"\xff"], "vec": [[7.0, 8.0]],
+    })
+    ds = LanceNativeDataset(root)
+    assert ds.count_rows() == 4
+    t = ds.to_arrow()
+    assert t.column("id").to_pylist() == [1, 2, 3, 4]
+    assert t.column("price").to_pylist() == [1.5, -2.25, 0.0, 9.75]
+    assert t.column("name").to_pylist() == ["alpha", "", "göttingen", "four"]
+    assert t.column("blob").to_pylist() == [b"\x00\x01", b"", b"xyz", b"\xff"]
+    assert t.column("vec").to_pylist() == [
+        [1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]
+    ]
+    # type mismatch on append raises loudly
+    import pytest as _pytest
+
+    from lance_trino_spark.format.lance_native import LanceNativeError
+
+    with _pytest.raises(LanceNativeError, match="type mismatch"):
+        append_native_rows(root, {
+            "id": ["not-an-int"], "price": [0.0], "name": ["x"],
+            "blob": [b""], "vec": [[0.0, 0.0]],
+        })
+
+
+def test_writer_mixed_types_through_spark(spark, tmp_path):
+    from lance_trino_spark.format.lance_native import write_native_dataset
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "spark_mixed.lance")
+    write_native_dataset(root, {
+        "id": [10, 20, 30],
+        "label": ["a", "bb", "ccc"],
+        "score": [0.5, 1.5, 2.5],
+    })
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    got = sorted((r.id, r.label, r.score) for r in df.collect())
+    assert got == [(10, "a", 0.5), (20, "bb", 1.5), (30, "ccc", 2.5)]
+    # pushed string filter over the writer's var-binary pages
+    got = [r.id for r in df.filter("label = 'bb'").collect()]
+    assert got == [20]
+
+
 @needs_fixtures
 def test_native_reader_pushdown_and_limit(spark):
     """format('lance') on a native dataset: comparison filters are pushed
