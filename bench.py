@@ -112,6 +112,9 @@ DEFAULT_QUERIES = [
     "cat17_jvm_native_insert",
     "st11_native_stream_tail",
     "t19_temperature_mix",
+    # round 6 additions
+    "lf15_native_pushdown_scan",
+    "cat18_jvm_native_update_merge",
 ]
 
 

@@ -26,6 +26,9 @@ QUERIES = [
     # pipeline operators at sf1 (documents/embeddings key-shifted replicas)
     "d01_exact_dedup", "d02_minhash_lsh_dedup", "t01_token_stats",
     "t02_language_id", "t15_rare_ngram_novelty", "s02_bucketed_ann_topk",
+    # index family: persisted IVF (build+search), sharded HNSW, binary
+    # quantization — the heaviest operators, regression-pinned at sf1 too
+    "s09_persisted_ivf_index", "s11_hnsw_index", "s12_binary_quantization",
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
