@@ -76,38 +76,185 @@ final class LanceJvmRowLevel implements RowLevelOperation {
     return command;
   }
 
-  @Override
-  public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-    // the table's normal scan (vectorized, DV-aware) wrapped so that NO
-    // data filters reach the parquet delegate: the rewrite must see EVERY
-    // row of the table — a pushed condition plus row-group skipping would
-    // silently drop the non-matching rows from the replacement (Spark
-    // keeps the condition above the scan and CASE-WHENs per row instead).
-    // Column pruning is forwarded (it never drops rows).
-    ScanBuilder inner = table.newScanBuilder(options);
-    return new UnfilteredScanBuilder(inner);
+  /** Rewrite-candidate fragment ids after zone-map pruning; null = every
+   *  fragment is a candidate (no usable filters were offered). */
+  private java.util.LinkedHashSet<Long> candidateIds;
+
+  java.util.Set<Long> candidateIds() {
+    return candidateIds;
   }
 
-  static final class UnfilteredScanBuilder
-      implements org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-    private final ScanBuilder inner;
+  @Override
+  public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+    // Spark offers the statement's condition to this builder purely as a
+    // GROUP-granularity hint (the ReplaceData plan has no Filter above the
+    // scan — it CASE-WHENs every scanned row), so filters here may prune
+    // whole fragments via manifest zone-map stats but must NEVER reach the
+    // parquet delegate: row-group skipping inside a kept fragment would
+    // silently drop its non-matching rows from the replacement. The commit
+    // then replaces exactly the scanned fragments and carries the pruned
+    // ones over untouched — the Iceberg copy-on-write file contract.
+    return new CowScanBuilder(options);
+  }
 
-    UnfilteredScanBuilder(ScanBuilder inner) {
-      this.inner = inner;
+  final class CowScanBuilder
+      implements org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns,
+      org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    private final CaseInsensitiveStringMap options;
+    private StructType required;
+
+    CowScanBuilder(CaseInsensitiveStringMap options) {
+      this.options = options;
+    }
+
+    @Override
+    public org.apache.spark.sql.sources.Filter[] pushFilters(
+        org.apache.spark.sql.sources.Filter[] filters) {
+      java.util.LinkedHashSet<Long> ids = new java.util.LinkedHashSet<>();
+      for (JsonNode frag : table.manifestJson().get("fragments")) {
+        boolean admit = true;
+        for (org.apache.spark.sql.sources.Filter f : filters) {
+          if (!fragmentAdmits(frag, f)) {
+            admit = false;
+            break;
+          }
+        }
+        if (admit) {
+          ids.add(frag.get("id").asLong());
+        }
+      }
+      candidateIds = ids;
+      return filters; // ALL residual — nothing is applied at row level
+    }
+
+    @Override
+    public org.apache.spark.sql.sources.Filter[] pushedFilters() {
+      return new org.apache.spark.sql.sources.Filter[0];
     }
 
     @Override
     public void pruneColumns(StructType requiredSchema) {
-      if (inner instanceof org.apache.spark.sql.connector.read
-          .SupportsPushDownRequiredColumns cols) {
-        cols.pruneColumns(requiredSchema);
-      }
+      required = requiredSchema;
     }
 
     @Override
     public org.apache.spark.sql.connector.read.Scan build() {
+      ScanBuilder inner = table.newScanBuilderFor(options, candidateIds);
+      if (required != null
+          && inner instanceof org.apache.spark.sql.connector.read
+              .SupportsPushDownRequiredColumns cols) {
+        cols.pruneColumns(required);
+      }
       return inner.build();
     }
+  }
+
+  /** Zone-map admission: can any row of the fragment satisfy the filter?
+   *  Conservative — admit on any uncertainty (no stats, unknown filter
+   *  shape, incomparable types). Mirrors the Python reader's _stats_admit
+   *  (sources/lance_datasource.py). */
+  static boolean fragmentAdmits(JsonNode frag, Object filter) {
+    JsonNode stats = frag.get("stats");
+    long physicalRows = frag.path("physical_rows").asLong(Long.MAX_VALUE);
+    if (filter instanceof org.apache.spark.sql.sources.And a) {
+      return fragmentAdmits(frag, a.left()) && fragmentAdmits(frag, a.right());
+    }
+    if (filter instanceof org.apache.spark.sql.sources.Or o) {
+      return fragmentAdmits(frag, o.left()) || fragmentAdmits(frag, o.right());
+    }
+    if (stats == null || stats.isNull()) {
+      return true;
+    }
+    if (filter instanceof org.apache.spark.sql.sources.IsNull n) {
+      JsonNode s = stats.get(n.attribute());
+      return s == null || s.path("nulls").asLong(1) > 0;
+    }
+    if (filter instanceof org.apache.spark.sql.sources.IsNotNull n) {
+      JsonNode s = stats.get(n.attribute());
+      return s == null || s.path("nulls").asLong(0) < physicalRows;
+    }
+    if (filter instanceof org.apache.spark.sql.sources.Not not) {
+      if (not.child() instanceof org.apache.spark.sql.sources.EqualTo eq) {
+        JsonNode s = stats.get(eq.attribute());
+        if (s == null) {
+          return true;
+        }
+        Integer mnv = cmp(s.get("min"), eq.value());
+        Integer mxv = cmp(s.get("max"), eq.value());
+        if (mnv == null || mxv == null) {
+          return true;
+        }
+        // every row equals v and none are null -> nothing satisfies <>
+        return !(mnv == 0 && mxv == 0 && s.path("nulls").asLong(1) == 0);
+      }
+      return true;
+    }
+    String attr;
+    Object value;
+    int kind; // 0 '=', 1 '>', 2 '>=', 3 '<', 4 '<='
+    if (filter instanceof org.apache.spark.sql.sources.EqualTo f) {
+      attr = f.attribute(); value = f.value(); kind = 0;
+    } else if (filter instanceof org.apache.spark.sql.sources.GreaterThan f) {
+      attr = f.attribute(); value = f.value(); kind = 1;
+    } else if (filter instanceof org.apache.spark.sql.sources.GreaterThanOrEqual f) {
+      attr = f.attribute(); value = f.value(); kind = 2;
+    } else if (filter instanceof org.apache.spark.sql.sources.LessThan f) {
+      attr = f.attribute(); value = f.value(); kind = 3;
+    } else if (filter instanceof org.apache.spark.sql.sources.LessThanOrEqual f) {
+      attr = f.attribute(); value = f.value(); kind = 4;
+    } else if (filter instanceof org.apache.spark.sql.sources.In f) {
+      JsonNode s = stats.get(f.attribute());
+      if (s == null) {
+        return true;
+      }
+      for (Object v : f.values()) {
+        Integer lo = cmp(s.get("min"), v);
+        Integer hi = cmp(s.get("max"), v);
+        if (lo == null || hi == null) {
+          return true; // incomparable value -> admit
+        }
+        if (lo <= 0 && hi >= 0) {
+          return true; // min <= v <= max
+        }
+      }
+      return false;
+    } else {
+      return true; // unknown shape -> conservative admit
+    }
+    JsonNode s = stats.get(attr);
+    if (s == null) {
+      return true;
+    }
+    Integer lo = cmp(s.get("min"), value); // sign of (min - v)
+    Integer hi = cmp(s.get("max"), value); // sign of (max - v)
+    if (lo == null || hi == null) {
+      return true;
+    }
+    switch (kind) {
+      case 0: return lo <= 0 && hi >= 0; // min <= v <= max
+      case 1: return hi > 0;             // max > v
+      case 2: return hi >= 0;            // max >= v
+      case 3: return lo < 0;             // min < v
+      default: return lo <= 0;           // min <= v
+    }
+  }
+
+  /** signum(statValue - filterValue), or null when incomparable. Only
+   *  number-vs-number (boolean excluded) and string-vs-string order is
+   *  trusted — everything else admits. */
+  private static Integer cmp(JsonNode stat, Object value) {
+    if (stat == null || stat.isNull() || value == null) {
+      return null;
+    }
+    if (stat.isNumber() && value instanceof Number
+        && !(value instanceof Boolean)) {
+      return Integer.valueOf(new java.math.BigDecimal(stat.asText())
+          .compareTo(new java.math.BigDecimal(value.toString())));
+    }
+    if (stat.isTextual() && value instanceof String str) {
+      return Integer.valueOf(Integer.signum(stat.asText().compareTo(str)));
+    }
+    return null;
   }
 
   @Override
@@ -115,7 +262,7 @@ final class LanceJvmRowLevel implements RowLevelOperation {
     return new WriteBuilder() {
       @Override
       public Write build() {
-        return new CowWrite(table, info.schema());
+        return new CowWrite(table, info.schema(), LanceJvmRowLevel.this);
       }
     };
   }
@@ -132,11 +279,13 @@ final class LanceJvmRowLevel implements RowLevelOperation {
     private final long snapshotVersion;
     private final StructType schema;
     private final Path stagingDir;
+    private final LanceJvmRowLevel operation;
 
-    CowWrite(LanceJvmTable table, StructType schema) {
+    CowWrite(LanceJvmTable table, StructType schema, LanceJvmRowLevel operation) {
       this.tableDir = table.dir();
       this.snapshotVersion = table.snapshotVersion();
       this.schema = schema;
+      this.operation = operation;
       this.stagingDir =
           tableDir.resolve("data").resolve(".stage-" + UUID.randomUUID());
     }
@@ -242,9 +391,21 @@ final class LanceJvmRowLevel implements RowLevelOperation {
       next.put("read_version", latest);
       next.put("timestamp_ms", System.currentTimeMillis());
       next.remove("commit_metadata");
+      // fragments the zone-map pruning excluded from the rewrite scan were
+      // never read — carry them over UNCHANGED (ids, DVs, stats intact);
+      // candidates == null means no usable filters: full replace
+      java.util.Set<Long> candidates = operation.candidateIds();
       ArrayNode frags = MAPPER.createArrayNode();
-      long id = 0;
+      long id = -1;
+      for (JsonNode frag : base.get("fragments")) {
+        long fid = frag.get("id").asLong();
+        id = Math.max(id, fid);
+        if (candidates != null && !candidates.contains(fid)) {
+          frags.add(frag.deepCopy());
+        }
+      }
       for (int i = 0; i < rels.size(); i++) {
+        id++;
         ObjectNode f = MAPPER.createObjectNode();
         f.put("id", id);
         f.put("path", rels.get(i));
@@ -254,10 +415,9 @@ final class LanceJvmRowLevel implements RowLevelOperation {
           f.set("stats", fragStats.get(i));
         }
         frags.add(f);
-        id++;
       }
       next.set("fragments", frags);
-      next.put("max_fragment_id", id - 1);
+      next.put("max_fragment_id", id);
       LanceJvmDelete.commitManifest(tableDir, latest + 1, next);
       cleanup();
     }

@@ -191,10 +191,33 @@ public class LanceJvmTable
     LanceJvmDelete.run(tableDir, version, manifest, schema, cond);
   }
 
+  JsonNode manifestJson() {
+    return manifest;
+  }
+
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-    List<String> paths = LanceJvmCatalog.livePaths(tableDir, manifest);
-    boolean mor = LanceJvmCatalog.hasDeletions(manifest);
+    return newScanBuilderFor(options, null);
+  }
+
+  /** Scan over a FRAGMENT SUBSET (null = all): the copy-on-write rewrite
+   *  uses this to read only the fragments its zone-map pruning selected
+   *  as rewrite candidates (LanceJvmRowLevel). */
+  ScanBuilder newScanBuilderFor(
+      CaseInsensitiveStringMap options, java.util.Set<Long> fragIds) {
+    List<String> paths = new java.util.ArrayList<>();
+    boolean mor = false;
+    for (JsonNode frag : manifest.get("fragments")) {
+      if (fragIds != null && !fragIds.contains(frag.get("id").asLong())) {
+        continue;
+      }
+      paths.add(tableDir.resolve(frag.get("path").asText()).toString());
+      JsonNode del = frag.get("deletion");
+      if (del != null && !del.isNull()
+          && del.path("num_deleted").asLong() > 0) {
+        mor = true;
+      }
+    }
     // merge-on-read tables ask the delegate for the parquet row-index
     // temporary column too (it must live in the delegate's dataSchema for
     // FileScanBuilder to keep it through pruning) — the readers populate

@@ -248,6 +248,34 @@ def main() -> None:
           and cow_ds.manifest.operation == "overwrite",
           f"{cow_ds.manifest.operation} v{cow_ds.manifest.version}")
 
+    # zone-map fragment pruning: a selective UPDATE rewrites only the
+    # fragments whose stats admit the condition; the rest carry over
+    # with their original data files untouched
+    from lance_trino_spark.format.manifest import latest_version, read_manifest
+
+    prune_tbl = os.path.join(warehouse, "main", "prune.lance")
+    LanceDataset.create(
+        prune_tbl,
+        spark.range(1000).selectExpr(
+            "id", "concat('r', id) as tag"
+        ).coalesce(1),
+        max_rows_per_file=200,
+    )
+    before = {
+        f.id: f.path
+        for f in read_manifest(prune_tbl, latest_version(prune_tbl)).fragments
+    }
+    spark.sql("UPDATE lance.main.prune SET tag = 'hit' WHERE id < 150")
+    after = read_manifest(prune_tbl, latest_version(prune_tbl)).fragments
+    kept = sorted(f.id for f in after if f.path == before.get(f.id))
+    n_hit = spark.sql(
+        "SELECT count(*) FROM lance.main.prune WHERE tag = 'hit'"
+    ).collect()[0][0]
+    n_all = spark.sql("SELECT count(*) FROM lance.main.prune").collect()[0][0]
+    check("jvm-cow-fragment-pruning",
+          kept == [1, 2, 3, 4] and n_hit == 150 and n_all == 1000,
+          f"kept={kept} hits={n_hit} total={n_all}")
+
     spark.stop()
     if failures:
         print(f"== SMOKE FAILED: {failures} ==")
