@@ -115,6 +115,8 @@ DEFAULT_QUERIES = [
     # round 6 additions
     "lf15_native_pushdown_scan",
     "cat18_jvm_native_update_merge",
+    "e16_last_touch_attribution",
+    "t20_boilerplate_by_source",
 ]
 
 

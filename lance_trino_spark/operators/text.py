@@ -636,3 +636,49 @@ def url_domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("url").alias("sample_url"),
     )
+
+
+def boilerplate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-source boilerplate coverage: the share of each source's distinct
+    word k-grams that are corpus-COMMON (document frequency >= min_df) —
+    the inverse lens of rare_ngram_novelty and the standard signal for
+    template/boilerplate-heavy sources that need cleaning before training
+    (navigation chrome, license footers, scraped templates).
+
+    Scale shape: the same inverted-index skeleton as the dedup family —
+    distinct (doc, ngram-hash) pairs, one groupBy(h) for document
+    frequencies, a hash-join back, a per-doc aggregate, then a small
+    dimension join on doc_id and a per-source rollup. No all-pairs step;
+    every count is exact integer so the DuckDB oracle matches bitwise."""
+    from .dedup import shingle_hashes
+
+    sh = shingle_hashes(df, id_col, text_col, k)
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df_"))
+    per_doc = (
+        sh.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("df_") >= min_df).cast("long")).alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.join(df.select(id_col, source_col), id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ngrams").alias("total_ngrams"),
+            F.sum("n_boiler").alias("boiler_ngrams"),
+        )
+        .withColumn(
+            "boiler_ppm",
+            F.expr("(boiler_ngrams * 1000000L) div total_ngrams"),
+        )
+    )

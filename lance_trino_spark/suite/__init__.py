@@ -76,16 +76,19 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 6 window. Front: the two queries added this round (lf15
-    # native pushdown, cat18 JVM COW update/merge), then t15 (the one
-    # r5 hash-red row — root cause was the oracle's HUGEINT dtype, now
-    # CAST to BIGINT), then the 7 queries whose latest driver row is
-    # round 2 (stalest), then the r3-latest cohort (45). The driver's
-    # 50-row prefix covers through the first 40 of the r3 cohort; the
-    # remaining 5 lead the round-7 window. The r4/r5-latest cohorts
-    # (98 queries) stay locally gated by tools/check_correctness.py.
+    # --- round 6 window. Front: the four queries added this round (lf15
+    # native pushdown, cat18 JVM COW update/merge, e16 attribution, t20
+    # boilerplate), then t15 (the one r5 hash-red row — root cause was
+    # the oracle's HUGEINT dtype, now CAST to BIGINT), then the 7 queries
+    # whose latest driver row is round 2 (stalest), then the r3-latest
+    # cohort (45). The driver's 50-row prefix covers through the first 38
+    # of the r3 cohort; the tail leads the round-7 window. The
+    # r4/r5-latest cohorts (98 queries) stay locally gated by
+    # tools/check_correctness.py.
     "lf15_native_pushdown_scan",
     "cat18_jvm_native_update_merge",
+    "e16_last_touch_attribution",
+    "t20_boilerplate_by_source",
     "t15_rare_ngram_novelty",
     "t01_token_stats",
     "t02_language_id",

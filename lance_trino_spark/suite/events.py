@@ -823,3 +823,67 @@ def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ["o_orderpriority"], "o_totalprice",
         bucket_width_cents=10_000,
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# e16 — last-touch attribution: each purchase is credited to the user's
+# most recent preceding view/click (or 'direct' when none). The classic
+# marketing-attribution window shape: one IGNORE-NULLS last() over a
+# (user, time)-ordered frame ending 1 row before current — single shuffle
+# on user_id, no self-join (the naive formulation is an inequality
+# self-join that explodes quadratically in events-per-user).
+# ---------------------------------------------------------------------------
+@register(
+    "e16_last_touch_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events)
+    SELECT COALESCE(touch, 'direct') AS touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS value_c
+    FROM e
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="events: last-touch purchase attribution (IGNORE NULLS window, "
+        "no self-join)",
+    tags=("events", "window", "attribution"),
+)
+def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast(
+                    "decimal(28,0)"
+                )
+            ).cast("long").alias("value_c"),
+        )
+        .orderBy("touch")
+    )

@@ -1015,3 +1015,62 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — per-source boilerplate n-gram coverage (operators/text.py
+# boilerplate_by_source): the inverse lens of t15 — the share of each
+# source's distinct 5-grams that are corpus-common (df >= 3), the standard
+# signal for template-heavy sources needing cleaning. The oracle rebuilds
+# the identical distinct shingle-hash sets (same md5-derived 32-bit
+# hashes as the dedup family), so every count matches bitwise.
+# ---------------------------------------------------------------------------
+@register(
+    "t20_boilerplate_by_source",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents),
+    pos AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+            FROM tok),
+    sh0 AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle FROM pos),
+    sh AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh0),
+    freq AS (SELECT h, COUNT(*) AS df_ FROM sh GROUP BY h),
+    per_doc AS (
+      SELECT sh.doc_id, COUNT(*) AS n_ngrams,
+             CAST(SUM(CASE WHEN freq.df_ >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler
+      FROM sh JOIN freq ON sh.h = freq.h
+      GROUP BY sh.doc_id)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.n_ngrams) AS BIGINT) AS total_ngrams,
+           CAST(SUM(p.n_boiler) AS BIGINT) AS boiler_ngrams,
+           CAST((SUM(p.n_boiler) * 1000000) // SUM(p.n_ngrams) AS BIGINT)
+             AS boiler_ppm
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="text: per-source boilerplate 5-gram coverage (corpus-df inverted "
+        "index + dimension rollup)",
+    tags=("text", "quality", "ngram", "boilerplate"),
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import boilerplate_by_source
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    return (
+        boilerplate_by_source(docs, k=5, min_df=3)
+        .select(
+            "source",
+            "n_docs",
+            "total_ngrams",
+            "boiler_ngrams",
+            "boiler_ppm",
+        )
+        .orderBy("source")
+    )
