@@ -117,6 +117,7 @@ DEFAULT_QUERIES = [
     "cat18_jvm_native_update_merge",
     "e16_last_touch_attribution",
     "t20_boilerplate_by_source",
+    "lf16_native_vector_ann",
 ]
 
 

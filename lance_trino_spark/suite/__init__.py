@@ -89,6 +89,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat18_jvm_native_update_merge",
     "e16_last_touch_attribution",
     "t20_boilerplate_by_source",
+    "lf16_native_vector_ann",
     "t15_rare_ngram_novelty",
     "t01_token_stats",
     "t02_language_id",

@@ -703,3 +703,81 @@ def lf15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf16 — vector ANN over a REAL `.lance` dataset: the LanceDB flagship
+# shape end-to-end through the interop path. Embedding vectors are written
+# into a genuine Lance v1 dataset (fixed_size_list<float> value pages —
+# the same layout as the reference's test_table4 vector fixture), the
+# dataset is scanned back fragment-parallel via format("lance"), and the
+# engine serves exact cosine top-k over the decoded vectors. Gates that
+# the fsl page decode is value-exact enough for similarity math to match
+# DuckDB bitwise, not just cell-compare.
+# ---------------------------------------------------------------------------
+def _lf16_cos_sql(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({x})),"
+            f" i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+@register(
+    "lf16_native_vector_ann",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM sub
+          WHERE vec_id < 5),
+    scored AS (SELECT query_id, vec_id AS neighbor_id,
+                      {_lf16_cos_sql('s.embedding', 'qv')} AS cosine
+               FROM sub s, q WHERE vec_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+                        AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="format: exact cosine ANN over vectors round-tripped through a "
+        "REAL .lance v1 dataset (fsl<float> pages, fragment-parallel scan)",
+    tags=("format", "interop", "lance-native", "similarity", "ann"),
+)
+def lf16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import LanceNativeDataset, write_native_dataset
+    from ..operators.similarity import cosine_topk
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf16-native-ann")
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    write_native_dataset(path, {
+        "vec_id": [int(r["vec_id"]) for r in rows],
+        "embedding": [[float(x) for x in r["embedding"]] for r in rows],
+    })
+    ds = LanceNativeDataset(path)
+    assert ds.count_rows() == len(rows)
+    register_lance_datasource(spark)
+    native = spark.read.format("lance").load(path)
+    # The query side is a SEPARATE in-memory relation, not a filtered
+    # re-read of `native`: Spark 4.1's Python-DataSource bridge keeps ONE
+    # mutable readInfo slot per source instance (PythonDataSourceV2
+    # .getOrCreateReadInfo / setReadInfo), so planning a filtered scan of
+    # the same relation would overwrite the unfiltered corpus scan's
+    # partitions and silently shrink the corpus (pinned by
+    # tests/test_datasource.py::test_shared_relation_filter_leak_pinned).
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in rows if r["vec_id"] < 5],
+        "vec_id long, embedding array<float>",
+    )
+    return cosine_topk(native, queries, k=5).orderBy("query_id", "rank")

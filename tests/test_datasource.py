@@ -771,3 +771,31 @@ def test_tag_as_of_read_option(spark, tmp_path):
         spark.read.format("lance").option("tagAsOf", "v1").option(
             "versionAsOf", "1"
         ).load(path).count()
+
+
+def test_shared_relation_filter_leak_pinned(spark, tmp_path):
+    """PINS an upstream Spark 4.1 Python-DataSource limitation so future
+    rounds know it exists (it is NOT a bug in this reader): the bridge
+    keeps ONE mutable readInfo slot per source instance
+    (PythonDataSourceV2.getOrCreateReadInfo / setReadInfo), so after a
+    FILTERED scan of a relation is planned, an unfiltered scan of the
+    SAME relation executes the filtered partitions. Workaround used by
+    the suite (lf16): give each differently-filtered side its own
+    relation (fresh load() per single-scan plan, or an in-memory frame).
+    If this test ever FAILS, Spark fixed the slot — remove the
+    workarounds."""
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    path = str(tmp_path / "leak.lance")
+    LanceDataset.create(path, spark.range(100).selectExpr("id AS k"))
+
+    df = spark.read.format("lance").load(path)
+    assert df.count() == 100
+    assert df.filter("k < 7").count() == 7
+    # the unfiltered count now reads the FILTERED readInfo (upstream slot)
+    assert df.count() == 7, "Spark fixed SPARK readInfo sharing? drop workarounds"
+    # a fresh load() resets the slot — the single-relation-per-plan rule
+    assert spark.read.format("lance").load(path).count() == 100
