@@ -118,6 +118,7 @@ DEFAULT_QUERIES = [
     "e16_last_touch_attribution",
     "t20_boilerplate_by_source",
     "lf16_native_vector_ann",
+    "t21_pipeline_funnel",
 ]
 
 

@@ -90,6 +90,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "e16_last_touch_attribution",
     "t20_boilerplate_by_source",
     "lf16_native_vector_ann",
+    "t21_pipeline_funnel",
     "t15_rare_ngram_novelty",
     "t01_token_stats",
     "t02_language_id",

@@ -1074,3 +1074,106 @@ def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t21 — the end-to-end training-data funnel, composed from the pipeline
+# operators the suite gates individually: exact dedup (keep-min-id per
+# normalized-text fingerprint, t04's key) -> quality gate (t03's composite
+# score >= 0.5) -> deterministic hash-bucket sampling (t06's rule, 50%).
+# Output is the per-source funnel: totals at each stage plus the sampled
+# token budget — the numbers a data-curation run actually reports. Every
+# stage is a narrow projection or a single shuffle; the funnel aggregates
+# are four small per-source rollups joined on the source key.
+# ---------------------------------------------------------------------------
+@register(
+    "t21_pipeline_funnel",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS fp
+            FROM documents) t
+      GROUP BY fp),
+    uniq AS (
+      SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+    {quality_ctes("uniq")},
+    qual AS (
+      SELECT u.doc_id, u.source, q.n_tokens
+      FROM uniq u JOIN q ON u.doc_id = q.doc_id
+      WHERE q.quality_score >= 0.5),
+    sampled AS (
+      SELECT * FROM qual
+      WHERE ('0x' || substr(md5('pipe' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 10000
+            < (CASE source WHEN 'src0' THEN 2000
+                           WHEN 'src1' THEN 8000
+                           ELSE 5000 END)),
+    s_total AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+    s_uniq AS (SELECT source, COUNT(*) AS n_unique FROM uniq GROUP BY source),
+    s_qual AS (SELECT source, COUNT(*) AS n_quality FROM qual GROUP BY source),
+    s_samp AS (SELECT source, COUNT(*) AS n_sampled,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tokens_sampled
+               FROM sampled GROUP BY source)
+    SELECT t.source,
+           t.n_total,
+           COALESCE(u.n_unique, 0) AS n_unique,
+           COALESCE(ql.n_quality, 0) AS n_quality,
+           COALESCE(sp.n_sampled, 0) AS n_sampled,
+           COALESCE(sp.tokens_sampled, 0) AS tokens_sampled
+    FROM s_total t
+    LEFT JOIN s_uniq u ON t.source = u.source
+    LEFT JOIN s_qual ql ON t.source = ql.source
+    LEFT JOIN s_samp sp ON t.source = sp.source
+    ORDER BY t.source
+    """,
+    doc="pipeline: dedup -> quality gate -> deterministic sample, "
+        "per-source funnel counts + sampled token budget",
+    tags=("text", "pipeline", "dedup", "quality", "sampling"),
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalize_text
+    from ..operators.sampling import stratified_sample
+    from ..operators.text import quality_score as _qs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    keepers = (
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = docs.join(keepers, "doc_id")
+    qual = (
+        _qs(uniq)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "source", "n_tokens")
+    )
+    sampled = stratified_sample(
+        qual, "source", {"src0": 0.2, "src1": 0.8},
+        id_col="doc_id", salt="pipe", default_fraction=0.5,
+    )
+    s_total = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    s_uniq = uniq.groupBy("source").agg(F.count("*").alias("n_unique"))
+    s_qual = qual.groupBy("source").agg(F.count("*").alias("n_quality"))
+    s_samp = sampled.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_tokens").alias("tokens_sampled"),
+    )
+    return (
+        s_total.join(s_uniq, "source", "left")
+        .join(s_qual, "source", "left")
+        .join(s_samp, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+        .orderBy("source")
+    )
