@@ -384,6 +384,13 @@ final class LanceJvmRowLevel implements RowLevelOperation {
       } catch (IOException e) {
         throw new RuntimeException("staging copy-on-write fragments failed", e);
       }
+      java.util.Set<Long> candidatesEarly = operation.candidateIds();
+      if (rels.isEmpty() && candidatesEarly != null && candidatesEarly.isEmpty()) {
+        // zone maps excluded every fragment and nothing was written: the
+        // statement provably changed no rows — skip the no-op version
+        cleanup();
+        return;
+      }
       JsonNode base = readManifest(tableDir, latest);
       ObjectNode next = ((ObjectNode) base).deepCopy();
       next.put("version", latest + 1);
