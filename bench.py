@@ -119,6 +119,7 @@ DEFAULT_QUERIES = [
     "t20_boilerplate_by_source",
     "lf16_native_vector_ann",
     "t21_pipeline_funnel",
+    "cat19_jvm_row_address",
 ]
 
 

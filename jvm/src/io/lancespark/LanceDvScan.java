@@ -129,14 +129,25 @@ final class LanceDvScan {
     return i < 0 ? path : path.substring(i + 1);
   }
 
-  /** ScanBuilder for DV tables.  The delegate builder MUST come from a
-   *  ParquetTable whose schema already carries the row-index temp field
-   *  (FileScanBuilder.readDataSchema filters dataSchema by the required
-   *  name set, so the field has to exist in both). */
+  static final String ROW_ADDRESS_COL = "$row_address";
+
+  static HashMap<String, Long> fragIdsByBase(JsonNode manifest) {
+    HashMap<String, Long> out = new HashMap<>();
+    for (JsonNode frag : (ArrayNode) manifest.get("fragments")) {
+      out.put(baseName(frag.get("path").asText()), frag.get("id").asLong());
+    }
+    return out;
+  }
+
+  /** ScanBuilder for DV-bearing and/or $row_address-requesting scans.
+   *  The delegate builder MUST come from a ParquetTable whose schema
+   *  already carries the row-index temp field (FileScanBuilder
+   *  .readDataSchema filters dataSchema by the required name set, so the
+   *  field has to exist in both). */
   static ScanBuilder builder(ScanBuilder delegateBuilder, StructType tableSchema,
       Path tableDir, JsonNode manifest, String tableName) {
     return new DvScanBuilder((FileScanBuilder) delegateBuilder, tableSchema,
-        loadDeletions(tableDir, manifest), tableName);
+        loadDeletions(tableDir, manifest), fragIdsByBase(manifest), tableName);
   }
 
   /** Passes column pruning and catalyst filter pushdown through to the
@@ -144,25 +155,67 @@ final class LanceDvScan {
    *  deliberately does NOT implement SupportsPushDownAggregates: a
    *  pushed COUNT/MIN/MAX would bypass deletion-vector filtering. */
   static final class DvScanBuilder
-      implements SupportsPushDownRequiredColumns, SupportsPushDownCatalystFilters {
+      implements SupportsPushDownRequiredColumns, SupportsPushDownCatalystFilters,
+      org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
     private final FileScanBuilder delegate;
     private final StructType tableSchema;
     private final HashMap<String, HashSet<Long>> deletions;
+    private final HashMap<String, Long> fragIds;
     private final String tableName;
     private boolean pruned;
+    private boolean addrRequested;
+    private boolean aggPushed;
 
     DvScanBuilder(FileScanBuilder delegate, StructType tableSchema,
-        HashMap<String, HashSet<Long>> deletions, String tableName) {
+        HashMap<String, HashSet<Long>> deletions,
+        HashMap<String, Long> fragIds, String tableName) {
       this.delegate = delegate;
       this.tableSchema = tableSchema;
       this.deletions = deletions;
+      this.fragIds = fragIds;
       this.tableName = tableName;
     }
 
     @Override
     public void pruneColumns(StructType requiredSchema) {
       pruned = true;
-      delegate.pruneColumns(requiredSchema.add(rowIndexField()));
+      // $row_address is OURS (SupportsMetadataColumns): strip it before
+      // the delegate sees it; its value derives from the row-index column
+      List<StructField> data = new ArrayList<>();
+      for (StructField f : requiredSchema.fields()) {
+        if (f.name().equals(ROW_ADDRESS_COL)) {
+          addrRequested = true;
+        } else {
+          data.add(f);
+        }
+      }
+      StructType stripped = new StructType(data.toArray(new StructField[0]));
+      if (addrRequested || !deletions.isEmpty()) {
+        delegate.pruneColumns(stripped.add(rowIndexField()));
+      } else {
+        delegate.pruneColumns(stripped);
+      }
+    }
+
+    /* Aggregate pushdown may ONLY reach the delegate when no deletion
+     * vectors exist (a pushed COUNT/MIN/MAX bypasses DV filtering). */
+    public boolean supportCompletePushDown(
+        org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      return deletions.isEmpty()
+          && delegate instanceof org.apache.spark.sql.connector.read
+              .SupportsPushDownAggregates a
+          && a.supportCompletePushDown(agg);
+    }
+
+    public boolean pushAggregation(
+        org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      if (!deletions.isEmpty()
+          || !(delegate instanceof org.apache.spark.sql.connector.read
+              .SupportsPushDownAggregates a)) {
+        return false;
+      }
+      aggPushed = a.pushAggregation(agg);
+      return aggPushed;
     }
 
     @Override
@@ -178,10 +231,16 @@ final class LanceDvScan {
 
     @Override
     public Scan build() {
+      if (aggPushed) {
+        return delegate.build(); // agg results only — no DVs, no address
+      }
       if (!pruned) {
         pruneColumns(tableSchema);
       }
       Scan inner = delegate.build();
+      if (!addrRequested && deletions.isEmpty()) {
+        return inner; // plain vectorized parquet scan, untouched
+      }
       // delegate emits readDataSchema order (dataSchema-ordered) with the
       // row-index field somewhere inside — locate it, surface the rest
       StructType innerRead = inner.readSchema();
@@ -199,7 +258,14 @@ final class LanceDvScan {
         throw new IllegalStateException(
             "row-index column missing from delegate read schema " + innerRead);
       }
-      StructType outSchema = new StructType(visible.toArray(new StructField[0]));
+      StructType dataSchema = new StructType(visible.toArray(new StructField[0]));
+      final StructType outSchema = addrRequested
+          // metadata columns surface AFTER the data columns
+          ? dataSchema.add(new StructField(
+              ROW_ADDRESS_COL, org.apache.spark.sql.types.DataTypes.LongType,
+              false, org.apache.spark.sql.types.Metadata.empty()))
+          : dataSchema;
+      final boolean addr = addrRequested;
       final int ordinal = rowIdxOrdinal;
       return new Scan() {
         @Override
@@ -227,14 +293,14 @@ final class LanceDvScan {
               int idx = 0;
               for (InputPartition p : innerBatch.planInputPartitions()) {
                 FilePartition fp = (FilePartition) p;
-                boolean touchesDv = false;
+                boolean needFileIdentity = addr;
                 for (PartitionedFile f : fp.files()) {
                   if (deletions.containsKey(baseName(f.filePath().toString()))) {
-                    touchesDv = true;
+                    needFileIdentity = true;
                     break;
                   }
                 }
-                if (!touchesDv) {
+                if (!needFileIdentity) {
                   out.add(new FilePartition(idx++, fp.files()));
                 } else {
                   for (PartitionedFile f : fp.files()) {
@@ -248,7 +314,8 @@ final class LanceDvScan {
             @Override
             public PartitionReaderFactory createReaderFactory() {
               return new DvReaderFactory(
-                  innerBatch.createReaderFactory(), deletions, ordinal);
+                  innerBatch.createReaderFactory(), deletions, ordinal,
+                  addr, fragIds);
             }
           };
         }
@@ -261,12 +328,33 @@ final class LanceDvScan {
     private final PartitionReaderFactory delegate;
     private final HashMap<String, HashSet<Long>> deletions;
     private final int rowIdxOrdinal;
+    private final boolean addr;
+    private final HashMap<String, Long> fragIds;
 
     DvReaderFactory(PartitionReaderFactory delegate,
-        HashMap<String, HashSet<Long>> deletions, int rowIdxOrdinal) {
+        HashMap<String, HashSet<Long>> deletions, int rowIdxOrdinal,
+        boolean addr, HashMap<String, Long> fragIds) {
       this.delegate = delegate;
       this.deletions = deletions;
       this.rowIdxOrdinal = rowIdxOrdinal;
+      this.addr = addr;
+      this.fragIds = fragIds;
+    }
+
+    /** fragment_id << 32 for this partition's single file ($row_address
+     *  high bits, RowAddress.java:22-43); -1 when addresses are off. */
+    private long addrHi(InputPartition partition) {
+      if (!addr) {
+        return -1L;
+      }
+      FilePartition fp = (FilePartition) partition;
+      String base = baseName(fp.files()[0].filePath().toString());
+      Long fid = fragIds.get(base);
+      if (fid == null) {
+        throw new IllegalStateException(
+            "no fragment id for data file " + base);
+      }
+      return fid.longValue() << 32;
     }
 
     @Override
@@ -293,6 +381,7 @@ final class LanceDvScan {
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition partition) {
       HashSet<Long> dead = deadFor(partition);
+      long hi = addrHi(partition);
       PartitionReader<InternalRow> inner = delegate.createReader(partition);
       return new PartitionReader<>() {
         private InternalRow current;
@@ -304,7 +393,9 @@ final class LanceDvScan {
             if (dead != null && dead.contains(r.getLong(rowIdxOrdinal))) {
               continue;
             }
-            current = new OrdinalSkipRow(r, rowIdxOrdinal);
+            current = addr
+                ? new AddressRow(r, rowIdxOrdinal, hi)
+                : new OrdinalSkipRow(r, rowIdxOrdinal);
             return true;
           }
           return false;
@@ -325,6 +416,7 @@ final class LanceDvScan {
     @Override
     public PartitionReader<ColumnarBatch> createColumnarReader(InputPartition partition) {
       HashSet<Long> dead = deadFor(partition);
+      long hi = addrHi(partition);
       PartitionReader<ColumnarBatch> inner = delegate.createColumnarReader(partition);
       return new PartitionReader<>() {
         private ColumnarBatch current;
@@ -341,14 +433,18 @@ final class LanceDvScan {
         private ColumnarBatch apply(ColumnarBatch b) {
           int n = b.numRows();
           int visible = b.numCols() - 1;
-          ColumnVector[] cols = new ColumnVector[visible];
+          int outCols = addr ? visible + 1 : visible;
+          ColumnVector[] cols = new ColumnVector[outCols];
+          ColumnVector rowIdx = b.column(rowIdxOrdinal);
           if (dead == null || dead.isEmpty()) {
             for (int i = 0; i < visible; i++) {
               cols[i] = b.column(i < rowIdxOrdinal ? i : i + 1);
             }
+            if (addr) {
+              cols[visible] = new AddressColumnVector(rowIdx, hi);
+            }
             return new ColumnarBatch(cols, n);
           }
-          ColumnVector rowIdx = b.column(rowIdxOrdinal);
           int[] map = new int[n];
           int live = 0;
           for (int i = 0; i < n; i++) {
@@ -360,12 +456,21 @@ final class LanceDvScan {
             for (int i = 0; i < visible; i++) {
               cols[i] = b.column(i < rowIdxOrdinal ? i : i + 1);
             }
+            if (addr) {
+              cols[visible] = new AddressColumnVector(rowIdx, hi);
+            }
             return new ColumnarBatch(cols, n);
           }
           int[] m = Arrays.copyOf(map, live);
           for (int i = 0; i < visible; i++) {
             cols[i] = new MappedColumnVector(
                 b.column(i < rowIdxOrdinal ? i : i + 1), m);
+          }
+          if (addr) {
+            // surviving rows keep their ORIGINAL file positions — the
+            // address is stable across merge-on-read deletes
+            cols[visible] = new AddressColumnVector(
+                new MappedColumnVector(rowIdx, m), hi);
           }
           return new ColumnarBatch(cols, live);
         }
@@ -501,6 +606,247 @@ final class LanceDvScan {
       }
       return children.computeIfAbsent(
           ordinal, o -> new MappedColumnVector(data.getChild(o), map));
+    }
+  }
+
+  /** $row_address synthesis over the (possibly DV-remapped) row-index
+   *  vector: fragment_id << 32 | row_index (RowAddress.java:22-43). */
+  static final class AddressColumnVector extends ColumnVector {
+    private final ColumnVector rowIdx;
+    private final long hi;
+
+    AddressColumnVector(ColumnVector rowIdx, long hi) {
+      super(org.apache.spark.sql.types.DataTypes.LongType);
+      this.rowIdx = rowIdx;
+      this.hi = hi;
+    }
+
+    @Override
+    public void close() {}
+
+    @Override
+    public boolean hasNull() {
+      return false;
+    }
+
+    @Override
+    public int numNulls() {
+      return 0;
+    }
+
+    @Override
+    public boolean isNullAt(int i) {
+      return false;
+    }
+
+    @Override
+    public long getLong(int i) {
+      return hi | rowIdx.getLong(i);
+    }
+
+    @Override
+    public boolean getBoolean(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public byte getByte(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public short getShort(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public int getInt(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public float getFloat(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public double getDouble(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public ColumnarArray getArray(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public ColumnarMap getMap(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public Decimal getDecimal(int i, int precision, int scale) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public UTF8String getUTF8String(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public byte[] getBinary(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public CalendarInterval getInterval(int i) {
+      throw new UnsupportedOperationException();
+    }
+
+    @Override
+    public ColumnVector getChild(int ordinal) {
+      throw new UnsupportedOperationException();
+    }
+  }
+
+  /** Row view hiding the row-index ordinal and appending the computed
+   *  $row_address as the LAST field. Read-only. */
+  static final class AddressRow extends InternalRow {
+    private final InternalRow row;
+    private final int skip;
+    private final long hi;
+
+    AddressRow(InternalRow row, int skip, long hi) {
+      this.row = row;
+      this.skip = skip;
+      this.hi = hi;
+    }
+
+    private int map(int i) {
+      return i < skip ? i : i + 1;
+    }
+
+    private boolean isAddress(int i) {
+      return i == numFields() - 1;
+    }
+
+    @Override
+    public int numFields() {
+      return row.numFields(); // minus row-index, plus $row_address
+    }
+
+    @Override
+    public void setNullAt(int i) {
+      throw new UnsupportedOperationException("read-only row");
+    }
+
+    @Override
+    public void update(int i, Object value) {
+      throw new UnsupportedOperationException("read-only row");
+    }
+
+    @Override
+    public InternalRow copy() {
+      return new AddressRow(row.copy(), skip, hi);
+    }
+
+    @Override
+    public boolean isNullAt(int i) {
+      return !isAddress(i) && row.isNullAt(map(i));
+    }
+
+    @Override
+    public long getLong(int i) {
+      return isAddress(i) ? (hi | row.getLong(skip)) : row.getLong(map(i));
+    }
+
+    @Override
+    public boolean getBoolean(int i) {
+      return row.getBoolean(map(i));
+    }
+
+    @Override
+    public byte getByte(int i) {
+      return row.getByte(map(i));
+    }
+
+    @Override
+    public short getShort(int i) {
+      return row.getShort(map(i));
+    }
+
+    @Override
+    public int getInt(int i) {
+      return row.getInt(map(i));
+    }
+
+    @Override
+    public float getFloat(int i) {
+      return row.getFloat(map(i));
+    }
+
+    @Override
+    public double getDouble(int i) {
+      return row.getDouble(map(i));
+    }
+
+    @Override
+    public Decimal getDecimal(int i, int precision, int scale) {
+      return row.getDecimal(map(i), precision, scale);
+    }
+
+    @Override
+    public UTF8String getUTF8String(int i) {
+      return row.getUTF8String(map(i));
+    }
+
+    @Override
+    public byte[] getBinary(int i) {
+      return row.getBinary(map(i));
+    }
+
+    @Override
+    public org.apache.spark.unsafe.types.GeographyVal getGeography(int i) {
+      return row.getGeography(map(i));
+    }
+
+    @Override
+    public org.apache.spark.unsafe.types.GeometryVal getGeometry(int i) {
+      return row.getGeometry(map(i));
+    }
+
+    @Override
+    public CalendarInterval getInterval(int i) {
+      return row.getInterval(map(i));
+    }
+
+    @Override
+    public org.apache.spark.unsafe.types.VariantVal getVariant(int i) {
+      return row.getVariant(map(i));
+    }
+
+    @Override
+    public InternalRow getStruct(int i, int numFields) {
+      return row.getStruct(map(i), numFields);
+    }
+
+    @Override
+    public ArrayData getArray(int i) {
+      return row.getArray(map(i));
+    }
+
+    @Override
+    public MapData getMap(int i) {
+      return row.getMap(map(i));
+    }
+
+    @Override
+    public Object get(int i, org.apache.spark.sql.types.DataType dataType) {
+      if (isAddress(i)) {
+        return Long.valueOf(hi | row.getLong(skip));
+      }
+      return row.get(map(i), dataType);
     }
   }
 

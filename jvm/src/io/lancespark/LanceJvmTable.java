@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
 public class LanceJvmTable
     implements Table, SupportsRead, SupportsWrite, SupportsDeleteV2,
-    org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations,
+    org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private final String tableName;
   private final Path tableDir;
@@ -75,6 +76,39 @@ public class LanceJvmTable
 
   java.nio.file.Path dir() {
     return tableDir;
+  }
+
+  /* ---- $row_address hidden column (SupportsMetadataColumns) -----------
+   * The reference's 64-bit row identity (fragment_id << 32 | row_index,
+   * RowAddress.java:22-43, exposed as $row_address by
+   * LanceFragmentPageSource.java:36,62-75). Selectable in plain SQL as
+   * `$row_address` (backticks); synthesized from the parquet row-index
+   * column inside LanceDvScan, stable across merge-on-read deletes. */
+  @Override
+  public org.apache.spark.sql.connector.catalog.MetadataColumn[] metadataColumns() {
+    return new org.apache.spark.sql.connector.catalog.MetadataColumn[] {
+        new org.apache.spark.sql.connector.catalog.MetadataColumn() {
+          @Override
+          public String name() {
+            return LanceDvScan.ROW_ADDRESS_COL;
+          }
+
+          @Override
+          public DataType dataType() {
+            return org.apache.spark.sql.types.DataTypes.LongType;
+          }
+
+          @Override
+          public boolean isNullable() {
+            return false;
+          }
+
+          @Override
+          public String comment() {
+            return "fragment_id << 32 | row_index (Lance row address)";
+          }
+        }
+    };
   }
 
   long snapshotVersion() {
@@ -206,26 +240,22 @@ public class LanceJvmTable
   ScanBuilder newScanBuilderFor(
       CaseInsensitiveStringMap options, java.util.Set<Long> fragIds) {
     List<String> paths = new java.util.ArrayList<>();
-    boolean mor = false;
     for (JsonNode frag : manifest.get("fragments")) {
       if (fragIds != null && !fragIds.contains(frag.get("id").asLong())) {
         continue;
       }
       paths.add(tableDir.resolve(frag.get("path").asText()).toString());
-      JsonNode del = frag.get("deletion");
-      if (del != null && !del.isNull()
-          && del.path("num_deleted").asLong() > 0) {
-        mor = true;
-      }
     }
+    boolean mor = true; // delegate schema always carries the row-index
+                        // field now: the wrapper decides per scan whether
+                        // to request it ($row_address and/or DVs)
     // merge-on-read tables ask the delegate for the parquet row-index
     // temporary column too (it must live in the delegate's dataSchema for
     // FileScanBuilder to keep it through pruning) — the readers populate
     // it with true file positions even under row-group skipping, and
     // LanceDvScan filters batches against the deletion vectors while
     // keeping the delegate's vectorized decode and filter pushdown.
-    StructType delegateSchema =
-        mor ? schema.add(LanceDvScan.rowIndexField()) : schema;
+    StructType delegateSchema = schema.add(LanceDvScan.rowIndexField());
     ParquetTable delegate = ParquetTable.apply(
         name(),
         org.apache.spark.sql.classic.SparkSession.active(),
@@ -233,11 +263,8 @@ public class LanceJvmTable
         scala.jdk.javaapi.CollectionConverters.asScala(paths).toSeq(),
         scala.Option.apply(delegateSchema),
         ParquetFileFormat.class);
-    if (mor) {
-      return LanceDvScan.builder(
-          delegate.newScanBuilder(options), schema, tableDir, manifest,
-          tableName);
-    }
-    return delegate.newScanBuilder(options);
+    return LanceDvScan.builder(
+        delegate.newScanBuilder(options), schema, tableDir, manifest,
+        tableName);
   }
 }

@@ -91,6 +91,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t20_boilerplate_by_source",
     "lf16_native_vector_ann",
     "t21_pipeline_funnel",
+    "cat19_jvm_row_address",
     "t15_rare_ngram_novelty",
     "t01_token_stats",
     "t02_language_id",

@@ -968,3 +968,67 @@ def cat18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lance_jvm_u.crm.customer "
         "GROUP BY c_nationkey ORDER BY nk"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat19 — the `$row_address` hidden column through the JVM catalog in
+# plain SQL (SupportsMetadataColumns): the reference's 64-bit row
+# identity (fragment_id << 32 | row_index, `RowAddress.java:22-43`,
+# `LanceFragmentPageSource.java:36,62-75`), synthesized from the parquet
+# row-index column inside the scan and STABLE across merge-on-read
+# deletes. The table is built from one sorted partition with fixed
+# rows-per-file so the oracle recomputes every address by row_number
+# arithmetic; a DELETE then removes every third row and the oracle keeps
+# the ORIGINAL addresses for survivors — the MoR stability contract.
+# ---------------------------------------------------------------------------
+@register(
+    "cat19_jvm_row_address",
+    oracle="""
+    WITH rn AS (
+      SELECT n_nationkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
+               AS rn
+      FROM nation)
+    SELECT n_nationkey,
+           (rn // 10) * 4294967296 + (rn % 10) AS rowaddr,
+           CAST(rn // 10 AS BIGINT) AS fragment_id,
+           CAST(rn % 10 AS BIGINT) AS row_index
+    FROM rn
+    WHERE n_nationkey % 3 <> 0
+    ORDER BY n_nationkey
+    """,
+    doc="catalog: $row_address metadata column via plain SQL on the JVM "
+        "catalog, stable across a MoR DELETE",
+    tags=("catalog", "jvm", "rowaddr"),
+)
+def cat19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat19-rowaddr")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "geo"))
+
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey")
+        .repartition(1)
+        .sortWithinPartitions("n_nationkey")
+    )
+    tbl = os.path.join(root, "geo", "nation.lance")
+    LanceDataset.create(tbl, nation, max_rows_per_file=10)
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_a", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_a.root", root)
+    # MoR delete: survivors must keep their ORIGINAL addresses
+    spark.sql("DELETE FROM lance_jvm_a.geo.nation WHERE n_nationkey % 3 = 0")
+    return spark.sql(
+        "SELECT n_nationkey,"
+        "       `$row_address` AS rowaddr,"
+        "       CAST(shiftright(`$row_address`, 32) AS BIGINT) AS fragment_id,"
+        "       CAST(`$row_address` & 4294967295 AS BIGINT) AS row_index "
+        "FROM lance_jvm_a.geo.nation ORDER BY n_nationkey"
+    )

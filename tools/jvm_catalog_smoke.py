@@ -276,6 +276,30 @@ def main() -> None:
           kept == [1, 2, 3, 4] and n_hit == 150 and n_all == 1000,
           f"kept={kept} hits={n_hit} total={n_all}")
 
+    # $row_address metadata column: fragment_id << 32 | row_index,
+    # selectable in plain SQL, stable across merge-on-read deletes
+    addr_tbl = os.path.join(warehouse, "main", "addr.lance")
+    LanceDataset.create(
+        addr_tbl,
+        spark.range(500).selectExpr("id").coalesce(1),
+        max_rows_per_file=100,
+    )
+    rows = spark.sql(
+        "SELECT id, `$row_address` AS a FROM lance.main.addr ORDER BY id"
+    ).collect()
+    ok_addr = all(r.a == ((r.id // 100) << 32 | (r.id % 100)) for r in rows)
+    check("jvm-row-address", ok_addr and len(rows) == 500,
+          f"n={len(rows)} first={rows[0].a} frag1={rows[100].a}")
+    spark.sql("DELETE FROM lance.main.addr WHERE id % 3 = 0")
+    rows = spark.sql(
+        "SELECT id, `$row_address` AS a FROM lance.main.addr ORDER BY id"
+    ).collect()
+    ok_stable = all(
+        r.a == ((r.id // 100) << 32 | (r.id % 100)) for r in rows
+    )
+    check("jvm-row-address-stable-across-mor",
+          ok_stable and len(rows) == 333, f"n={len(rows)}")
+
     spark.stop()
     if failures:
         print(f"== SMOKE FAILED: {failures} ==")
