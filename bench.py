@@ -120,6 +120,7 @@ DEFAULT_QUERIES = [
     "lf16_native_vector_ann",
     "t21_pipeline_funnel",
     "cat19_jvm_row_address",
+    "cat20_jvm_count_star",
 ]
 
 

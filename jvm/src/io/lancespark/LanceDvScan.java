@@ -146,8 +146,17 @@ final class LanceDvScan {
    *  field has to exist in both). */
   static ScanBuilder builder(ScanBuilder delegateBuilder, StructType tableSchema,
       Path tableDir, JsonNode manifest, String tableName) {
+    long liveRows = 0;
+    for (JsonNode frag : (ArrayNode) manifest.get("fragments")) {
+      long physical = frag.get("physical_rows").asLong();
+      JsonNode del = frag.get("deletion");
+      long deleted = (del == null || del.isNull())
+          ? 0 : del.path("num_deleted").asLong();
+      liveRows += physical - deleted;
+    }
     return new DvScanBuilder((FileScanBuilder) delegateBuilder, tableSchema,
-        loadDeletions(tableDir, manifest), fragIdsByBase(manifest), tableName);
+        loadDeletions(tableDir, manifest), fragIdsByBase(manifest), tableName,
+        liveRows);
   }
 
   /** Passes column pruning and catalyst filter pushdown through to the
@@ -166,14 +175,19 @@ final class LanceDvScan {
     private boolean addrRequested;
     private boolean aggPushed;
 
+    private final long liveRows;
+    private boolean filtersSeen;
+    private boolean countStarPushed;
+
     DvScanBuilder(FileScanBuilder delegate, StructType tableSchema,
         HashMap<String, HashSet<Long>> deletions,
-        HashMap<String, Long> fragIds, String tableName) {
+        HashMap<String, Long> fragIds, String tableName, long liveRows) {
       this.delegate = delegate;
       this.tableSchema = tableSchema;
       this.deletions = deletions;
       this.fragIds = fragIds;
       this.tableName = tableName;
+      this.liveRows = liveRows;
     }
 
     @Override
@@ -197,11 +211,35 @@ final class LanceDvScan {
       }
     }
 
-    /* Aggregate pushdown may ONLY reach the delegate when no deletion
-     * vectors exist (a pushed COUNT/MIN/MAX bypasses DV filtering). */
+    /* A8 COUNT(*) pushdown (LanceCountPageSource parity,
+     * LanceMetadata.java:604-665): an unfiltered, ungrouped COUNT(*) is
+     * answered from the manifest's deletion-aware row counts with ZERO
+     * data scanned (a LocalScan — no partitions at all). Any filter or
+     * grouping refuses, exactly like the reference's guards. Other
+     * aggregates delegate to the parquet builder ONLY on DV-free tables
+     * (a pushed MIN/MAX would bypass deletion-vector filtering). */
+    private boolean isManifestCount(
+        org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      if (filtersSeen || agg.groupByExpressions().length != 0
+          || agg.aggregateExpressions().length == 0) {
+        return false;
+      }
+      for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc f
+          : agg.aggregateExpressions()) {
+        if (!(f instanceof org.apache.spark.sql.connector.expressions
+            .aggregate.CountStar)) {
+          return false;
+        }
+      }
+      return true;
+    }
+
     public boolean supportCompletePushDown(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
-      return deletions.isEmpty()
+      if (isManifestCount(agg)) {
+        return true;
+      }
+      return deletions.isEmpty() && !filtersSeen
           && delegate instanceof org.apache.spark.sql.connector.read
               .SupportsPushDownAggregates a
           && a.supportCompletePushDown(agg);
@@ -209,6 +247,11 @@ final class LanceDvScan {
 
     public boolean pushAggregation(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      if (isManifestCount(agg)) {
+        countStarPushed = true;
+        aggPushed = true;
+        return true;
+      }
       if (!deletions.isEmpty()
           || !(delegate instanceof org.apache.spark.sql.connector.read
               .SupportsPushDownAggregates a)) {
@@ -221,6 +264,9 @@ final class LanceDvScan {
     @Override
     public scala.collection.immutable.Seq<Expression> pushFilters(
         scala.collection.immutable.Seq<Expression> filters) {
+      if (!filters.isEmpty()) {
+        filtersSeen = true; // any WHERE disables the manifest COUNT path
+      }
       return delegate.pushFilters(filters);
     }
 
@@ -231,6 +277,29 @@ final class LanceDvScan {
 
     @Override
     public Scan build() {
+      if (countStarPushed) {
+        StructType schema = new StructType().add(
+            "count_star", org.apache.spark.sql.types.DataTypes.LongType, false);
+        InternalRow row =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                new Object[] {Long.valueOf(liveRows)});
+        return new org.apache.spark.sql.connector.read.LocalScan() {
+          @Override
+          public InternalRow[] rows() {
+            return new InternalRow[] {row};
+          }
+
+          @Override
+          public StructType readSchema() {
+            return schema;
+          }
+
+          @Override
+          public String description() {
+            return "lance-manifest-count(" + tableName + ")";
+          }
+        };
+      }
       if (aggPushed) {
         return delegate.build(); // agg results only — no DVs, no address
       }

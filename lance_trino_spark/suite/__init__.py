@@ -92,6 +92,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf16_native_vector_ann",
     "t21_pipeline_funnel",
     "cat19_jvm_row_address",
+    "cat20_jvm_count_star",
     "t15_rare_ngram_novelty",
     "t01_token_stats",
     "t02_language_id",

@@ -1032,3 +1032,71 @@ def cat19(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       CAST(`$row_address` & 4294967295 AS BIGINT) AS row_index "
         "FROM lance_jvm_a.geo.nation ORDER BY n_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat20 — A8 COUNT(*) pushdown through the JVM catalog: an unfiltered,
+# ungrouped COUNT(*) in plain SQL is answered from the manifest's
+# deletion-aware row counts as a LocalScan — ZERO data files scanned
+# (asserted on the physical plan), exactly the reference's
+# `LanceCountPageSource` fast path (`LanceMetadata.java:604-665` guards:
+# filters and grouping refuse and scan normally). Counts are taken
+# before and after a MoR DELETE so the fast path's deletion-awareness is
+# value-gated, the JVM twin of cat03.
+# ---------------------------------------------------------------------------
+@register(
+    "cat20_jvm_count_star",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM supplier) AS before_delete,
+           (SELECT COUNT(*) FROM supplier WHERE NOT (s_nationkey < 5))
+             AS after_delete,
+           (SELECT COUNT(*) FROM supplier
+            WHERE NOT (s_nationkey < 5) AND s_acctbal > 1000)
+             AS filtered_scan
+    """,
+    doc="catalog: JVM COUNT(*) manifest fast path (LocalScan, zero files "
+        "read), deletion-aware, filters refuse to the normal scan",
+    tags=("catalog", "jvm", "count"),
+)
+def cat20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat20-count")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "geo"))
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    tbl = os.path.join(root, "geo", "supplier.lance")
+    LanceDataset.create(tbl, supplier, max_rows_per_file=500)
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_c", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_c.root", root)
+    before = spark.sql(
+        "SELECT COUNT(*) AS n FROM lance_jvm_c.geo.supplier"
+    ).collect()[0]["n"]
+    # proof the fast path planned: a LocalScan, no BatchScan of data files
+    plan = spark.sql(
+        "EXPLAIN FORMATTED SELECT COUNT(*) FROM lance_jvm_c.geo.supplier"
+    ).collect()[0][0]
+    if "LocalTableScan" not in plan or "BatchScan" in plan:
+        raise AssertionError(
+            f"COUNT(*) did not plan as the manifest LocalScan:\n{plan[:500]}"
+        )
+    spark.sql("DELETE FROM lance_jvm_c.geo.supplier WHERE s_nationkey < 5")
+    after = spark.sql(
+        "SELECT COUNT(*) AS n FROM lance_jvm_c.geo.supplier"
+    ).collect()[0]["n"]
+    filtered = spark.sql(
+        "SELECT COUNT(*) AS n FROM lance_jvm_c.geo.supplier "
+        "WHERE s_acctbal > 1000"
+    ).collect()[0]["n"]
+    return spark.createDataFrame(
+        [(before, after, filtered)],
+        "before_delete long, after_delete long, filtered_scan long",
+    )

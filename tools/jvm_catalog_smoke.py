@@ -300,6 +300,21 @@ def main() -> None:
     check("jvm-row-address-stable-across-mor",
           ok_stable and len(rows) == 333, f"n={len(rows)}")
 
+    # A8 COUNT(*) pushdown: unfiltered ungrouped COUNT answered from the
+    # manifest as a LocalScan — zero data files scanned, deletion-aware;
+    # filtered counts still scan and stay exact
+    n0 = spark.sql("SELECT COUNT(*) FROM lance.main.addr").collect()[0][0]
+    plan = spark.sql(
+        "EXPLAIN FORMATTED SELECT COUNT(*) FROM lance.main.addr"
+    ).collect()[0][0]
+    check("jvm-count-star-manifest",
+          n0 == 333 and "LocalTableScan" in plan and "BatchScan" not in plan,
+          f"n={n0} local={'LocalTableScan' in plan}")
+    nf = spark.sql(
+        "SELECT COUNT(*) FROM lance.main.addr WHERE id < 30"
+    ).collect()[0][0]
+    check("jvm-count-filtered-scans", nf == 20, f"n={nf}")
+
     spark.stop()
     if failures:
         print(f"== SMOKE FAILED: {failures} ==")
