@@ -121,6 +121,7 @@ DEFAULT_QUERIES = [
     "t21_pipeline_funnel",
     "cat19_jvm_row_address",
     "cat20_jvm_count_star",
+    "d09_url_dedup",
 ]
 
 

@@ -509,3 +509,35 @@ def semantic_dedup(
         )
     )
     return out.withColumn("is_keeper", F.col(id_col) == F.col("cluster"))
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """URL-level duplicate detection — the crawl-dedup primitive that runs
+    BEFORE content hashing at corpus scale: documents citing the same URL
+    are re-crawl / mirror candidates. Extracts URLs with the same JVM-side
+    regexp as url_domain_stats (no UDF), groups by exact URL, and reports
+    every URL cited by >= 2 distinct documents with the canonical keeper
+    (min id) — the dedup decision list a crawl pipeline consumes.
+
+    Scale shape: regexp_extract_all + explode is a narrow projection; the
+    only shuffle is one groupBy(url) with map-side distinct combine. URLs
+    are a heavy-hitter-friendly key; no all-pairs step exists."""
+    from .text import URL_PATTERN
+
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    ).dropDuplicates([id_col, "url"])
+    return (
+        urls.groupBy("url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+            F.sum(id_col).alias("id_sum"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

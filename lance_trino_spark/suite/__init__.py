@@ -93,6 +93,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t21_pipeline_funnel",
     "cat19_jvm_row_address",
     "cat20_jvm_count_star",
+    "d09_url_dedup",
     "t15_rare_ngram_novelty",
     "t01_token_stats",
     "t02_language_id",

@@ -473,3 +473,70 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# d09 — URL-level duplicate detection (operators/dedup.py url_dedup): the
+# crawl-dedup primitive that runs BEFORE content hashing — documents
+# citing the same URL are re-crawl/mirror candidates. Synthetic URLs are
+# injected with t18's deterministic rule so mirror.net/xN repeats across
+# many documents; the decision list is every URL cited by >= 2 distinct
+# docs with its canonical keeper (min doc_id).
+# ---------------------------------------------------------------------------
+@register(
+    "d09_url_dedup",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN
+               text || ' https://d' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                    || ' see http://mirror.net/x' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN doc_id % 4 = 0 THEN
+               text || ' http://mirror.net/x' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents),
+    urls AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
+      FROM docs2)
+    SELECT url,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM urls
+    GROUP BY url
+    HAVING COUNT(*) >= 2
+    ORDER BY url
+    """,
+    doc="dedup: URL-level duplicate decision list (>=2 citing docs, "
+        "canonical keeper), crawl-pipeline primitive",
+    tags=("dedup", "url", "pipeline"),
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" https://d"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+                F.lit(" see http://mirror.net/x"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" http://mirror.net/x"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return url_dedup(docs).orderBy("url")
