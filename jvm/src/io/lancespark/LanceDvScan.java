@@ -24,9 +24,14 @@
  * Partition planning only changes for files that CARRY a deletion vector:
  * their splits each become a single-file partition so the reader can
  * attribute row indexes to the right DV; DV-free files keep the
- * delegate's bin-packed partitions.  Deletion vectors are loaded once on
- * the driver (bounded by fragment size, same bound the committers
- * enforce) and ship inside the serialized reader factory.
+ * delegate's bin-packed partitions.  The driver never loads DV rows at
+ * plan time: only the {data-file basename -> DV file path} map ships in
+ * the serialized reader factory, and each executor loads ITS partition's
+ * deletion vector into a compressed long-word bitmap when the reader is
+ * created — the reference's per-fragment DV application inside the scan
+ * (LanceFragmentPageSource.java:144-151), and the shape that survives
+ * 100 TB delete churn (a whole-table row-index map in every task closure
+ * would not).  Live-row counts come from the manifest's num_deleted.
  */
 package io.lancespark;
 
@@ -36,7 +41,6 @@ import java.nio.file.Path;
 import java.util.ArrayList;
 import java.util.Arrays;
 import java.util.HashMap;
-import java.util.HashSet;
 import java.util.List;
 
 import com.fasterxml.jackson.databind.JsonNode;
@@ -96,32 +100,73 @@ final class LanceDvScan {
     return ParquetFileFormat$.MODULE$.ROW_INDEX_TEMPORARY_COLUMN_NAME();
   }
 
-  /** Driver-side: load every fragment's deletion vector into
-   *  {data-file basename -> deleted row indexes}. */
-  static HashMap<String, HashSet<Long>> loadDeletions(Path tableDir, JsonNode manifest) {
-    HashMap<String, HashSet<Long>> out = new HashMap<>();
-    Configuration conf = new Configuration();
+  /** Driver-side, metadata only: {data-file basename -> DV parquet path}.
+   *  No deletion ROWS are read at plan time — executors load their own
+   *  partition's DV (see {@link #loadDvBitmap}). */
+  static HashMap<String, String> dvFiles(Path tableDir, JsonNode manifest) {
+    HashMap<String, String> out = new HashMap<>();
     for (JsonNode frag : (ArrayNode) manifest.get("fragments")) {
       JsonNode del = frag.get("deletion");
       if (del == null || del.isNull()) {
         continue;
       }
-      String dataBase = baseName(frag.get("path").asText());
-      HashSet<Long> rows = new HashSet<>();
-      org.apache.hadoop.fs.Path p = new org.apache.hadoop.fs.Path(
+      out.put(baseName(frag.get("path").asText()),
           tableDir.resolve(del.get("path").asText()).toString());
-      try (ParquetReader<Group> r =
-          ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()) {
-        Group g;
-        while ((g = r.read()) != null) {
-          rows.add(g.getLong("row_index", 0));
-        }
-      } catch (IOException e) {
-        throw new RuntimeException("reading deletion vector " + p + " failed", e);
-      }
-      out.put(dataBase, rows);
     }
     return out;
+  }
+
+  /** Executor-side: one fragment's deletion vector as a compressed
+   *  long-word bitmap (fragment row indexes are dense small ints, so a
+   *  bitset is ~8 KB per 64k rows vs ~48 B per boxed HashSet entry). */
+  static DvBitmap loadDvBitmap(String dvPath, Configuration conf) {
+    DvBitmap bm = new DvBitmap();
+    org.apache.hadoop.fs.Path p = new org.apache.hadoop.fs.Path(dvPath);
+    try (ParquetReader<Group> r =
+        ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()) {
+      Group g;
+      while ((g = r.read()) != null) {
+        bm.set(g.getLong("row_index", 0));
+      }
+    } catch (IOException e) {
+      throw new RuntimeException("reading deletion vector " + p + " failed", e);
+    }
+    return bm;
+  }
+
+  /** Growable bitset over fragment-relative row indexes. */
+  static final class DvBitmap {
+    private long[] words = new long[64];
+    private long max = -1;
+
+    void set(long idx) {
+      if (idx < 0 || idx > Integer.MAX_VALUE) {
+        throw new IllegalArgumentException("row index out of range: " + idx);
+      }
+      int w = (int) (idx >>> 6);
+      if (w >= words.length) {
+        int cap = words.length;
+        while (cap <= w) {
+          cap <<= 1;
+        }
+        words = Arrays.copyOf(words, cap);
+      }
+      words[w] |= 1L << (idx & 63);
+      if (idx > max) {
+        max = idx;
+      }
+    }
+
+    boolean contains(long idx) {
+      if (idx < 0 || idx > max) {
+        return false;
+      }
+      return (words[(int) (idx >>> 6)] & (1L << (idx & 63))) != 0;
+    }
+
+    boolean isEmpty() {
+      return max < 0;
+    }
   }
 
   static String baseName(String path) {
@@ -155,7 +200,7 @@ final class LanceDvScan {
       liveRows += physical - deleted;
     }
     return new DvScanBuilder((FileScanBuilder) delegateBuilder, tableSchema,
-        loadDeletions(tableDir, manifest), fragIdsByBase(manifest), tableName,
+        dvFiles(tableDir, manifest), fragIdsByBase(manifest), tableName,
         liveRows);
   }
 
@@ -168,7 +213,7 @@ final class LanceDvScan {
       org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
     private final FileScanBuilder delegate;
     private final StructType tableSchema;
-    private final HashMap<String, HashSet<Long>> deletions;
+    private final HashMap<String, String> dvFiles;
     private final HashMap<String, Long> fragIds;
     private final String tableName;
     private boolean pruned;
@@ -180,11 +225,11 @@ final class LanceDvScan {
     private boolean countStarPushed;
 
     DvScanBuilder(FileScanBuilder delegate, StructType tableSchema,
-        HashMap<String, HashSet<Long>> deletions,
+        HashMap<String, String> dvFiles,
         HashMap<String, Long> fragIds, String tableName, long liveRows) {
       this.delegate = delegate;
       this.tableSchema = tableSchema;
-      this.deletions = deletions;
+      this.dvFiles = dvFiles;
       this.fragIds = fragIds;
       this.tableName = tableName;
       this.liveRows = liveRows;
@@ -204,7 +249,7 @@ final class LanceDvScan {
         }
       }
       StructType stripped = new StructType(data.toArray(new StructField[0]));
-      if (addrRequested || !deletions.isEmpty()) {
+      if (addrRequested || !dvFiles.isEmpty()) {
         delegate.pruneColumns(stripped.add(rowIndexField()));
       } else {
         delegate.pruneColumns(stripped);
@@ -220,18 +265,15 @@ final class LanceDvScan {
      * (a pushed MIN/MAX would bypass deletion-vector filtering). */
     private boolean isManifestCount(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
+      // exactly ONE CountStar: the LocalScan emits a single one-column
+      // row, so a multi-aggregate pushdown (if Spark ever stopped
+      // deduping SELECT COUNT(*), COUNT(*)) would mismatch its schema
       if (filtersSeen || agg.groupByExpressions().length != 0
-          || agg.aggregateExpressions().length == 0) {
+          || agg.aggregateExpressions().length != 1) {
         return false;
       }
-      for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc f
-          : agg.aggregateExpressions()) {
-        if (!(f instanceof org.apache.spark.sql.connector.expressions
-            .aggregate.CountStar)) {
-          return false;
-        }
-      }
-      return true;
+      return agg.aggregateExpressions()[0]
+          instanceof org.apache.spark.sql.connector.expressions.aggregate.CountStar;
     }
 
     public boolean supportCompletePushDown(
@@ -239,7 +281,7 @@ final class LanceDvScan {
       if (isManifestCount(agg)) {
         return true;
       }
-      return deletions.isEmpty() && !filtersSeen
+      return dvFiles.isEmpty() && !filtersSeen
           && delegate instanceof org.apache.spark.sql.connector.read
               .SupportsPushDownAggregates a
           && a.supportCompletePushDown(agg);
@@ -252,7 +294,7 @@ final class LanceDvScan {
         aggPushed = true;
         return true;
       }
-      if (!deletions.isEmpty()
+      if (!dvFiles.isEmpty()
           || !(delegate instanceof org.apache.spark.sql.connector.read
               .SupportsPushDownAggregates a)) {
         return false;
@@ -307,7 +349,7 @@ final class LanceDvScan {
         pruneColumns(tableSchema);
       }
       Scan inner = delegate.build();
-      if (!addrRequested && deletions.isEmpty()) {
+      if (!addrRequested && dvFiles.isEmpty()) {
         return inner; // plain vectorized parquet scan, untouched
       }
       // delegate emits readDataSchema order (dataSchema-ordered) with the
@@ -364,7 +406,7 @@ final class LanceDvScan {
                 FilePartition fp = (FilePartition) p;
                 boolean needFileIdentity = addr;
                 for (PartitionedFile f : fp.files()) {
-                  if (deletions.containsKey(baseName(f.filePath().toString()))) {
+                  if (dvFiles.containsKey(baseName(f.filePath().toString()))) {
                     needFileIdentity = true;
                     break;
                   }
@@ -383,8 +425,11 @@ final class LanceDvScan {
             @Override
             public PartitionReaderFactory createReaderFactory() {
               return new DvReaderFactory(
-                  innerBatch.createReaderFactory(), deletions, ordinal,
-                  addr, fragIds);
+                  innerBatch.createReaderFactory(), dvFiles, ordinal,
+                  addr, fragIds,
+                  new org.apache.spark.util.SerializableConfiguration(
+                      org.apache.spark.sql.SparkSession.active()
+                          .sessionState().newHadoopConf()));
             }
           };
         }
@@ -392,22 +437,29 @@ final class LanceDvScan {
     }
   }
 
-  /** Serializable factory shipping the DV map to executors. */
+  /** Serializable factory. Its serialized form carries ONLY metadata —
+   *  {data-file basename -> DV file path} strings, never deletion row
+   *  indexes (pinned by tests/test_jvm_catalog.py) — so the task closure
+   *  stays O(#fragments) regardless of how many rows are deleted. Each
+   *  reader loads its own partition's DV into a bitmap on the executor. */
   static final class DvReaderFactory implements PartitionReaderFactory, Serializable {
     private final PartitionReaderFactory delegate;
-    private final HashMap<String, HashSet<Long>> deletions;
+    private final HashMap<String, String> dvFiles;
     private final int rowIdxOrdinal;
     private final boolean addr;
     private final HashMap<String, Long> fragIds;
+    private final org.apache.spark.util.SerializableConfiguration conf;
 
     DvReaderFactory(PartitionReaderFactory delegate,
-        HashMap<String, HashSet<Long>> deletions, int rowIdxOrdinal,
-        boolean addr, HashMap<String, Long> fragIds) {
+        HashMap<String, String> dvFiles, int rowIdxOrdinal,
+        boolean addr, HashMap<String, Long> fragIds,
+        org.apache.spark.util.SerializableConfiguration conf) {
       this.delegate = delegate;
-      this.deletions = deletions;
+      this.dvFiles = dvFiles;
       this.rowIdxOrdinal = rowIdxOrdinal;
       this.addr = addr;
       this.fragIds = fragIds;
+      this.conf = conf;
     }
 
     /** fragment_id << 32 for this partition's single file ($row_address
@@ -431,25 +483,29 @@ final class LanceDvScan {
       return delegate.supportColumnarReads(partition);
     }
 
-    private HashSet<Long> deadFor(InputPartition partition) {
+    /** Executor-side: load THIS partition's deletion vector (null when
+     *  none of its files carry one). DV-bearing files are planned as
+     *  single-file partitions, so each DV parquet is read exactly once
+     *  per scan of its fragment. */
+    private DvBitmap deadFor(InputPartition partition) {
       FilePartition fp = (FilePartition) partition;
-      HashSet<Long> dead = null;
+      DvBitmap dead = null;
       for (PartitionedFile f : fp.files()) {
-        HashSet<Long> d = deletions.get(baseName(f.filePath().toString()));
-        if (d != null && !d.isEmpty()) {
+        String dvPath = dvFiles.get(baseName(f.filePath().toString()));
+        if (dvPath != null) {
           if (fp.files().length > 1) {
             throw new IllegalStateException(
                 "DV-bearing file in a multi-file partition: " + f.filePath());
           }
-          dead = d;
+          dead = loadDvBitmap(dvPath, conf.value());
         }
       }
-      return dead;
+      return dead == null || dead.isEmpty() ? null : dead;
     }
 
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition partition) {
-      HashSet<Long> dead = deadFor(partition);
+      DvBitmap dead = deadFor(partition);
       long hi = addrHi(partition);
       PartitionReader<InternalRow> inner = delegate.createReader(partition);
       return new PartitionReader<>() {
@@ -484,7 +540,7 @@ final class LanceDvScan {
 
     @Override
     public PartitionReader<ColumnarBatch> createColumnarReader(InputPartition partition) {
-      HashSet<Long> dead = deadFor(partition);
+      DvBitmap dead = deadFor(partition);
       long hi = addrHi(partition);
       PartitionReader<ColumnarBatch> inner = delegate.createColumnarReader(partition);
       return new PartitionReader<>() {
@@ -832,81 +888,145 @@ final class LanceDvScan {
 
     @Override
     public boolean getBoolean(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getBoolean(map(i));
     }
 
     @Override
     public byte getByte(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getByte(map(i));
     }
 
     @Override
     public short getShort(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getShort(map(i));
     }
 
     @Override
     public int getInt(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getInt(map(i));
     }
 
     @Override
     public float getFloat(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getFloat(map(i));
     }
 
     @Override
     public double getDouble(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getDouble(map(i));
     }
 
     @Override
     public Decimal getDecimal(int i, int precision, int scale) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getDecimal(map(i), precision, scale);
     }
 
     @Override
     public UTF8String getUTF8String(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getUTF8String(map(i));
     }
 
     @Override
     public byte[] getBinary(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getBinary(map(i));
     }
 
     @Override
     public org.apache.spark.unsafe.types.GeographyVal getGeography(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getGeography(map(i));
     }
 
     @Override
     public org.apache.spark.unsafe.types.GeometryVal getGeometry(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getGeometry(map(i));
     }
 
     @Override
     public CalendarInterval getInterval(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getInterval(map(i));
     }
 
     @Override
     public org.apache.spark.unsafe.types.VariantVal getVariant(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getVariant(map(i));
     }
 
     @Override
     public InternalRow getStruct(int i, int numFields) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getStruct(map(i), numFields);
     }
 
     @Override
     public ArrayData getArray(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getArray(map(i));
     }
 
     @Override
     public MapData getMap(int i) {
+      if (isAddress(i)) {
+        throw new UnsupportedOperationException(
+            "$row_address is a LONG column — use getLong");
+      }
       return row.getMap(map(i));
     }
 

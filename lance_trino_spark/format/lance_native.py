@@ -621,18 +621,50 @@ def read_file_column(
 
 def _physical_rows_from_file(root: str, dfile: NativeDataFile) -> int:
     """Row count of one data file from its own metadata (footer batch
-    offsets for v1, first column's page row counts for v2) — no value
-    pages are touched."""
+    offsets for v1, first column's page row counts for v2). Seeks to the
+    footer and reads ONLY the metadata region it points at — O(metadata
+    bytes), never O(file bytes), so count_rows()/limit planning stay
+    cheap on multi-hundred-MB vector fragments."""
     with open(os.path.join(root, "data", dfile.path), "rb") as fh:
-        raw = fh.read()
-    if raw[-4:] != b"LANC":
-        raise LanceNativeError("missing LANC footer magic")
-    maj, minor = struct.unpack_from("<HH", raw, len(raw) - 8)
-    if (maj, minor) == (0, 1):
-        return _read_file_meta(
-            raw, len(dfile.field_ids), dfile.field_ids
-        ).batch_offsets[-1]
-    return sum(nrows for _offs, _sizes, nrows in _v2_pages(raw, 0))
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        # Both footers end with [major:u16][minor:u16]"LANC"; v1's full
+        # trailer is 16 B ([metadata_pos:u64] first), v2's is 40 B.
+        fh.seek(max(0, fsize - 40))
+        tail = fh.read()
+        if tail[-4:] != b"LANC":
+            raise LanceNativeError("missing LANC footer magic")
+        maj, minor = struct.unpack_from("<HH", tail, len(tail) - 8)
+        if (maj, minor) == (0, 1):
+            pos = struct.unpack_from("<Q", tail, len(tail) - 16)[0]
+            fh.seek(pos)
+            meta = fh.read(fsize - pos)  # metadata + page table + footer
+            ln = struct.unpack_from("<I", meta, 0)[0]
+            batch_offsets = [0]
+            for f, wt, v in pb_items(meta[4:4 + ln]):
+                if f == 2:
+                    batch_offsets = _packed_varints(v) if wt == 2 else [v]
+            return batch_offsets[-1]
+        # FILE v2 40-byte footer: [col_meta_start:u64]
+        # [col_meta_offsets_start:u64][global_buf_offsets_start:u64]
+        # [n_global_bufs:u32][n_columns:u32][major:u16][minor:u16]"LANC"
+        (_cms, cmos, _gbos, _ngb, ncol) = struct.unpack_from(
+            "<QQQII", tail, len(tail) - 40
+        )
+        if ncol == 0:
+            raise LanceNativeError("v2 data file has no columns")
+        fh.seek(cmos)
+        pos, size = struct.unpack_from("<QQ", fh.read(16), 0)
+        fh.seek(pos)
+        colmeta = fh.read(size)
+    total = 0
+    for f, _wt, v in pb_items(colmeta):
+        if f != 2:
+            continue
+        for f2, _wt2, v2 in pb_items(v):
+            if f2 == 3:
+                total += v2
+    return total
 
 
 def _deleted_rows(root: str, deletion: NativeDeletion) -> set[int]:

@@ -113,6 +113,12 @@ def temperature_mix(
     toward head sources instead — callers wanting the tail-surfacing
     behavior must keep α < 1.
 
+    .. warning:: BREAKING DEFAULT CHANGE — ``inv_temperature`` defaulted
+       to ``2.0`` (sharpen) before 2026-08; it now defaults to ``0.5``
+       (flatten), matching the published mC4/ROOTS recipe. Callers that
+       relied on the old sharpening default must pass
+       ``inv_temperature=2.0`` explicitly.
+
     Per-source acceptance rate r_s = min(1, target_rows * p_s / n_s);
     rows are kept by the same deterministic hash-bucket rule as
     `stratified_sample` (h32(salt||id) % DENOM < floor(r_s * DENOM)) —

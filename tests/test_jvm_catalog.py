@@ -104,3 +104,28 @@ def test_jvm_catalog_reads_evolved_schema(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.catalog.lance_jvm_e")
         spark.conf.unset("spark.sql.catalog.lance_jvm_e.root")
+
+
+def test_dv_reader_factory_serialized_form_is_metadata_only(spark):
+    """Scale pin (VERDICT r6 #1): DvReaderFactory — the object serialized
+    into EVERY task closure of a DV-bearing scan — must carry only
+    {data-file -> DV file path} strings, never deleted row indexes. Row
+    sets are loaded executor-side per partition (LanceDvScan.deadFor ->
+    loadDvBitmap), so a 100 TB table with heavy delete churn ships
+    O(#fragments) metadata per task, not O(#deleted rows)."""
+    _ensure_jar()
+    spark.sql(f"ADD JAR {JAR}")
+    jvm = spark._jvm
+    loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    cls = loader.loadClass("io.lancespark.LanceDvScan$DvReaderFactory")
+    # .toString() not .getTypeName(): py4j cannot reflect methods on the
+    # package-private ParameterizedTypeImpl the JDK returns here
+    fields = {
+        f.getName(): f.getGenericType().toString()
+        for f in cls.getDeclaredFields()
+    }
+    assert "dvFiles" in fields, fields
+    assert fields["dvFiles"] == "java.util.HashMap<java.lang.String, java.lang.String>"
+    banned = ("HashSet", "Set<", "long[]", "Long[]", "Roaring", "BitSet")
+    for name, typ in fields.items():
+        assert not any(b in typ for b in banned), (name, typ, fields)
