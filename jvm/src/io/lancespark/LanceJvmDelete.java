@@ -197,7 +197,7 @@ final class LanceJvmDelete {
     commitManifest(tableDir, version + 1, next);
   }
 
-  private static void writeDeletionParquet(SparkSession spark, Path tableDir,
+  static void writeDeletionParquet(SparkSession spark, Path tableDir,
       String rel, long fid, TreeSet<Long> rows) {
     // Same layout the Python committer writes (dataset.py commit_update):
     // columns (fragment_id: i64, row_index: i64) sorted by row_index.

@@ -1,36 +1,62 @@
 /*
- * Native SQL UPDATE / MERGE INTO through the JVM catalog
- * (SupportsRowLevelOperations, group-based COPY-ON-WRITE).
+ * Native SQL UPDATE / MERGE INTO / (complex-predicate) DELETE through the
+ * JVM catalog — MERGE-ON-READ deltas via SupportsDelta.
  *
- * Reference surface: LanceMetadata.java:1116-1271 (beginMerge/finishMerge,
- * row-level change SQL) and docs/src/operations/dml/merge.md.  Spark's
- * RewriteUpdateTable / RewriteMergeIntoTable rewrite the statement into a
- * ReplaceData plan over this operation: the SCAN is the table's normal
- * DV-aware vectorized scan (LanceJvmTable.newScanBuilder), Spark computes
- * the post-image rows, and the WRITE stages parquet fragments executor-side
- * (Spark's own ParquetWriteSupport — the same row->parquet encoder the
- * built-in writer uses) and commits ONE manifest that replaces the table
- * content, through the shared hard-link protocol.
+ * Reference parity: the reference plans row-level operations as
+ * DELETE_ROW_AND_INSERT_ROW — touched rows become per-fragment deletion
+ * vector entries and replacement rows land in NEW fragments
+ * (LanceMetadata.java:1116-1133,1175-1271; LanceMergeSink.java:49-204).
+ * Spark's native shape for exactly that paradigm is SupportsDelta with
+ * representUpdateAsDeleteAndInsert(): RewriteUpdateTable /
+ * RewriteMergeIntoTable produce a WriteDelta plan whose scan is the
+ * table's normal DV-aware vectorized scan (filters push down — only
+ * MATCHED rows flow through a delta plan, so row-group skipping is safe
+ * here, unlike the old copy-on-write ReplaceData where it lost rows), and
+ * each row reaches the DeltaWriter as delete($row_address) / insert(row).
+ *
+ * Row identity is the table's $row_address metadata column
+ * (fragment_id << 32 | row_index — RowAddress.java:22-43), the same
+ * 64-bit address the reference's merge sink keys its deletion buckets by.
  *
  * Scale/semantics notes:
- *   - COPY-ON-WRITE: an UPDATE/MERGE rewrites the table (no runtime group
- *     filtering is implemented, so every fragment is a candidate group).
- *     Correct first; selective MoR updates remain the Python committer's
- *     capability (operators/dml.py), exactly like the reference keeps both
- *     paths.  DELETE never lands here — SupportsDeleteV2 handles it with
- *     MoR deletion vectors (LanceJvmDelete).
- *   - Conflicts: the commit refuses when the table moved past the snapshot
- *     the statement planned against (same stance as INSERT OVERWRITE — a
- *     replace cannot retry through a lost snapshot).
+ *   - Write amplification is O(changed rows), not O(admitted fragments):
+ *     a 1-row UPDATE on a 1M-row fragment commits one DV entry plus a
+ *     1-row fragment — no fragment rewrite (pinned by the smoke's
+ *     jvm-mor-write-amplification check). The old COW path rewrote every
+ *     zone-map-admitted fragment wholesale.
+ *   - Executors stream deletes to staged address files and inserts to
+ *     staged parquet; the commit message names ONLY the files that task
+ *     attempt actually committed, and the driver moves exactly those —
+ *     orphans from failed/speculative attempts in the staging dir are
+ *     purged, never committed.
+ *   - The driver unions new deletes with existing per-fragment DVs
+ *     (LanceMetadata.java:1199-1213 union-before-apply), drops fully
+ *     deleted fragments, and commits ONE manifest through the hard-link
+ *     protocol shared with the Python committer. Conflict stance: refuse
+ *     when the table moved past the planned snapshot.
+ *   - Driver delete collection is capped (same 10M bound as
+ *     LanceJvmDelete) — a delete that large should be a copy-on-write
+ *     rewrite through the Python committer.
  */
 package io.lancespark;
 
+import java.io.BufferedInputStream;
+import java.io.BufferedOutputStream;
+import java.io.DataInputStream;
+import java.io.DataOutputStream;
+import java.io.EOFException;
+import java.io.FileInputStream;
+import java.io.FileOutputStream;
 import java.io.IOException;
 import java.nio.file.Files;
 import java.nio.file.Path;
 import java.nio.file.Paths;
 import java.util.ArrayList;
+import java.util.HashMap;
+import java.util.HashSet;
 import java.util.List;
+import java.util.Map;
+import java.util.TreeSet;
 import java.util.UUID;
 
 import com.fasterxml.jackson.databind.JsonNode;
@@ -39,29 +65,36 @@ import com.fasterxml.jackson.databind.node.ArrayNode;
 import com.fasterxml.jackson.databind.node.ObjectNode;
 
 import org.apache.hadoop.conf.Configuration;
+import org.apache.parquet.example.data.Group;
+import org.apache.parquet.hadoop.ParquetReader;
 import org.apache.parquet.hadoop.ParquetWriter;
 import org.apache.parquet.hadoop.api.WriteSupport;
+import org.apache.parquet.hadoop.example.GroupReadSupport;
 import org.apache.parquet.hadoop.metadata.CompressionCodecName;
 import org.apache.spark.sql.catalyst.InternalRow;
+import org.apache.spark.sql.connector.expressions.NamedReference;
 import org.apache.spark.sql.connector.read.ScanBuilder;
-import org.apache.spark.sql.connector.write.BatchWrite;
-import org.apache.spark.sql.connector.write.DataWriter;
-import org.apache.spark.sql.connector.write.DataWriterFactory;
+import org.apache.spark.sql.connector.write.DeltaBatchWrite;
+import org.apache.spark.sql.connector.write.DeltaWrite;
+import org.apache.spark.sql.connector.write.DeltaWriter;
+import org.apache.spark.sql.connector.write.DeltaWriterFactory;
+import org.apache.spark.sql.connector.write.DeltaWriteBuilder;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
 import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
-import org.apache.spark.sql.connector.write.RowLevelOperation;
 import org.apache.spark.sql.connector.write.RowLevelOperationInfo;
-import org.apache.spark.sql.connector.write.Write;
-import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.connector.write.SupportsDelta;
 import org.apache.spark.sql.connector.write.WriterCommitMessage;
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport;
 import org.apache.spark.sql.types.DataType;
 import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
-final class LanceJvmRowLevel implements RowLevelOperation {
+final class LanceJvmRowLevel implements SupportsDelta {
 
   private static final ObjectMapper MAPPER = new ObjectMapper();
+  /** Mirrors LanceJvmDelete.MAX_COLLECTED_DELETES: beyond this, the
+   *  statement should be a copy-on-write rewrite (Python committer). */
+  private static final long MAX_COLLECTED_DELETES = 10_000_000L;
 
   private final LanceJvmTable table;
   private final Command command;
@@ -76,227 +109,73 @@ final class LanceJvmRowLevel implements RowLevelOperation {
     return command;
   }
 
-  /** Rewrite-candidate fragment ids after zone-map pruning; null = every
-   *  fragment is a candidate (no usable filters were offered). */
-  private java.util.LinkedHashSet<Long> candidateIds;
+  @Override
+  public NamedReference[] rowId() {
+    // the $row_address metadata column — non-nullable 64-bit row identity,
+    // already served by the DV-aware scan (SupportsMetadataColumns)
+    // FieldReference.apply(Seq) — NOT Expressions.column/FieldReference
+    // .apply(String), which PARSE the name and choke on the '$'
+    return new NamedReference[] {
+        org.apache.spark.sql.connector.expressions.FieldReference.apply(
+            scala.jdk.javaapi.CollectionConverters.asScala(
+                java.util.List.of(LanceDvScan.ROW_ADDRESS_COL)).toSeq())};
+  }
 
-  java.util.Set<Long> candidateIds() {
-    return candidateIds;
+  @Override
+  public boolean representUpdateAsDeleteAndInsert() {
+    // the reference's DELETE_ROW_AND_INSERT_ROW paradigm
+    // (LanceMergeSink.java:49-204)
+    return true;
   }
 
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-    // Spark offers the statement's condition to this builder purely as a
-    // GROUP-granularity hint (the ReplaceData plan has no Filter above the
-    // scan — it CASE-WHENs every scanned row), so filters here may prune
-    // whole fragments via manifest zone-map stats but must NEVER reach the
-    // parquet delegate: row-group skipping inside a kept fragment would
-    // silently drop its non-matching rows from the replacement. The commit
-    // then replaces exactly the scanned fragments and carries the pruned
-    // ones over untouched — the Iceberg copy-on-write file contract.
-    return new CowScanBuilder(options);
-  }
-
-  final class CowScanBuilder
-      implements org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns,
-      org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-    private final CaseInsensitiveStringMap options;
-    private StructType required;
-
-    CowScanBuilder(CaseInsensitiveStringMap options) {
-      this.options = options;
-    }
-
-    @Override
-    public org.apache.spark.sql.sources.Filter[] pushFilters(
-        org.apache.spark.sql.sources.Filter[] filters) {
-      java.util.LinkedHashSet<Long> ids = new java.util.LinkedHashSet<>();
-      for (JsonNode frag : table.manifestJson().get("fragments")) {
-        boolean admit = true;
-        for (org.apache.spark.sql.sources.Filter f : filters) {
-          if (!fragmentAdmits(frag, f)) {
-            admit = false;
-            break;
-          }
-        }
-        if (admit) {
-          ids.add(frag.get("id").asLong());
-        }
-      }
-      candidateIds = ids;
-      return filters; // ALL residual — nothing is applied at row level
-    }
-
-    @Override
-    public org.apache.spark.sql.sources.Filter[] pushedFilters() {
-      return new org.apache.spark.sql.sources.Filter[0];
-    }
-
-    @Override
-    public void pruneColumns(StructType requiredSchema) {
-      required = requiredSchema;
-    }
-
-    @Override
-    public org.apache.spark.sql.connector.read.Scan build() {
-      ScanBuilder inner = table.newScanBuilderFor(options, candidateIds);
-      if (required != null
-          && inner instanceof org.apache.spark.sql.connector.read
-              .SupportsPushDownRequiredColumns cols) {
-        cols.pruneColumns(required);
-      }
-      return inner.build();
-    }
-  }
-
-  /** Zone-map admission: can any row of the fragment satisfy the filter?
-   *  Conservative — admit on any uncertainty (no stats, unknown filter
-   *  shape, incomparable types). Mirrors the Python reader's _stats_admit
-   *  (sources/lance_datasource.py). */
-  static boolean fragmentAdmits(JsonNode frag, Object filter) {
-    JsonNode stats = frag.get("stats");
-    long physicalRows = frag.path("physical_rows").asLong(Long.MAX_VALUE);
-    if (filter instanceof org.apache.spark.sql.sources.And a) {
-      return fragmentAdmits(frag, a.left()) && fragmentAdmits(frag, a.right());
-    }
-    if (filter instanceof org.apache.spark.sql.sources.Or o) {
-      return fragmentAdmits(frag, o.left()) || fragmentAdmits(frag, o.right());
-    }
-    if (stats == null || stats.isNull()) {
-      return true;
-    }
-    if (filter instanceof org.apache.spark.sql.sources.IsNull n) {
-      JsonNode s = stats.get(n.attribute());
-      return s == null || s.path("nulls").asLong(1) > 0;
-    }
-    if (filter instanceof org.apache.spark.sql.sources.IsNotNull n) {
-      JsonNode s = stats.get(n.attribute());
-      return s == null || s.path("nulls").asLong(0) < physicalRows;
-    }
-    if (filter instanceof org.apache.spark.sql.sources.Not not) {
-      if (not.child() instanceof org.apache.spark.sql.sources.EqualTo eq) {
-        JsonNode s = stats.get(eq.attribute());
-        if (s == null) {
-          return true;
-        }
-        Integer mnv = cmp(s.get("min"), eq.value());
-        Integer mxv = cmp(s.get("max"), eq.value());
-        if (mnv == null || mxv == null) {
-          return true;
-        }
-        // every row equals v and none are null -> nothing satisfies <>
-        return !(mnv == 0 && mxv == 0 && s.path("nulls").asLong(1) == 0);
-      }
-      return true;
-    }
-    String attr;
-    Object value;
-    int kind; // 0 '=', 1 '>', 2 '>=', 3 '<', 4 '<='
-    if (filter instanceof org.apache.spark.sql.sources.EqualTo f) {
-      attr = f.attribute(); value = f.value(); kind = 0;
-    } else if (filter instanceof org.apache.spark.sql.sources.GreaterThan f) {
-      attr = f.attribute(); value = f.value(); kind = 1;
-    } else if (filter instanceof org.apache.spark.sql.sources.GreaterThanOrEqual f) {
-      attr = f.attribute(); value = f.value(); kind = 2;
-    } else if (filter instanceof org.apache.spark.sql.sources.LessThan f) {
-      attr = f.attribute(); value = f.value(); kind = 3;
-    } else if (filter instanceof org.apache.spark.sql.sources.LessThanOrEqual f) {
-      attr = f.attribute(); value = f.value(); kind = 4;
-    } else if (filter instanceof org.apache.spark.sql.sources.In f) {
-      JsonNode s = stats.get(f.attribute());
-      if (s == null) {
-        return true;
-      }
-      for (Object v : f.values()) {
-        Integer lo = cmp(s.get("min"), v);
-        Integer hi = cmp(s.get("max"), v);
-        if (lo == null || hi == null) {
-          return true; // incomparable value -> admit
-        }
-        if (lo <= 0 && hi >= 0) {
-          return true; // min <= v <= max
-        }
-      }
-      return false;
-    } else {
-      return true; // unknown shape -> conservative admit
-    }
-    JsonNode s = stats.get(attr);
-    if (s == null) {
-      return true;
-    }
-    Integer lo = cmp(s.get("min"), value); // sign of (min - v)
-    Integer hi = cmp(s.get("max"), value); // sign of (max - v)
-    if (lo == null || hi == null) {
-      return true;
-    }
-    switch (kind) {
-      case 0: return lo <= 0 && hi >= 0; // min <= v <= max
-      case 1: return hi > 0;             // max > v
-      case 2: return hi >= 0;            // max >= v
-      case 3: return lo < 0;             // min < v
-      default: return lo <= 0;           // min <= v
-    }
-  }
-
-  /** signum(statValue - filterValue), or null when incomparable. Only
-   *  number-vs-number (boolean excluded) and string-vs-string order is
-   *  trusted — everything else admits. */
-  private static Integer cmp(JsonNode stat, Object value) {
-    if (stat == null || stat.isNull() || value == null) {
-      return null;
-    }
-    if (stat.isNumber() && value instanceof Number
-        && !(value instanceof Boolean)) {
-      return Integer.valueOf(new java.math.BigDecimal(stat.asText())
-          .compareTo(new java.math.BigDecimal(value.toString())));
-    }
-    if (stat.isTextual() && value instanceof String str) {
-      return Integer.valueOf(Integer.signum(stat.asText().compareTo(str)));
-    }
-    return null;
+    // The table's normal DV-aware vectorized scan. Unlike the group-based
+    // COW rewrite, a delta plan only consumes rows the statement actually
+    // touches, so predicate pushdown (and parquet row-group skipping) is
+    // both safe and the point: untouched rows are never read or written.
+    return table.newScanBuilder(options);
   }
 
   @Override
-  public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
-    return new WriteBuilder() {
+  public DeltaWriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+    return new DeltaWriteBuilder() {
       @Override
-      public Write build() {
-        return new CowWrite(table, info.schema(), LanceJvmRowLevel.this);
+      public DeltaWrite build() {
+        return new MorDeltaWrite(table, info.schema());
       }
     };
   }
 
   @Override
   public String description() {
-    return "lance-cow-" + command + "(" + table.name() + ")";
+    return "lance-mor-" + command + "(" + table.name() + ")";
   }
 
-  /** Whole-table copy-on-write replace: executors stage parquet fragments,
-   *  the driver commits one replacing manifest. */
-  static final class CowWrite implements Write, BatchWrite {
+  /** MoR delta write: executors stage per-task delete-address files and
+   *  insert parquet fragments; the driver turns them into per-fragment
+   *  DV unions plus appended fragments in ONE manifest commit. */
+  static final class MorDeltaWrite implements DeltaWrite, DeltaBatchWrite {
     private final Path tableDir;
     private final long snapshotVersion;
     private final StructType schema;
     private final Path stagingDir;
-    private final LanceJvmRowLevel operation;
 
-    CowWrite(LanceJvmTable table, StructType schema, LanceJvmRowLevel operation) {
+    MorDeltaWrite(LanceJvmTable table, StructType schema) {
       this.tableDir = table.dir();
       this.snapshotVersion = table.snapshotVersion();
       this.schema = schema;
-      this.operation = operation;
       this.stagingDir =
           tableDir.resolve("data").resolve(".stage-" + UUID.randomUUID());
     }
 
     @Override
-    public BatchWrite toBatch() {
+    public DeltaBatchWrite toBatch() {
       return this;
     }
 
     @Override
-    public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
+    public DeltaWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
       try {
         Files.createDirectories(stagingDir);
       } catch (IOException e) {
@@ -310,9 +189,7 @@ final class LanceJvmRowLevel implements RowLevelOperation {
       Configuration conf = session.sessionState().newHadoopConf();
       ParquetWriteSupport.setSchema(schema, conf);
       // the keys ParquetFileFormat.prepareWrite sets explicitly (they
-      // are not guaranteed present in newHadoopConf at default values);
-      // resolved generically through the SQLConf entries the schema
-      // converter reads, so this stays in sync with the session
+      // are not guaranteed present in newHadoopConf at default values)
       org.apache.spark.sql.internal.SQLConf sql = session.sessionState().conf();
       org.apache.spark.internal.config.ConfigEntry<?>[] entries = {
           org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT(),
@@ -328,9 +205,25 @@ final class LanceJvmRowLevel implements RowLevelOperation {
           conf.set(e.key(), v.toString());
         }
       }
-      return new CowWriterFactory(
+      return new MorDeltaWriterFactory(
           stagingDir.toString(), schema.json(),
           new org.apache.spark.util.SerializableConfiguration(conf));
+    }
+
+    /** Reads a public String[] field off a commit message by name via
+     *  reflection: an ADD JAR jar lives in different classloaders on the
+     *  write path and the commit path, so an instanceof/cast would fail —
+     *  but field NAMES and java.lang.String[] values are classloader-safe. */
+    private static String[] messageFiles(WriterCommitMessage m, String field) {
+      try {
+        java.lang.reflect.Field f = m.getClass().getField(field);
+        f.setAccessible(true);
+        Object v = f.get(m);
+        return v == null ? new String[0] : (String[]) v;
+      } catch (ReflectiveOperationException e) {
+        throw new IllegalStateException(
+            "unexpected delta commit message " + m.getClass().getName(), e);
+      }
     }
 
     @Override
@@ -338,37 +231,74 @@ final class LanceJvmRowLevel implements RowLevelOperation {
       long latest = LanceJvmDelete.latestVersion(tableDir);
       if (latest != snapshotVersion) {
         throw new IllegalStateException(
-            "copy-on-write conflict: table moved from v" + snapshotVersion
-            + " to v" + latest + " during the rewrite; rerun the statement");
+            "row-level conflict: table moved from v" + snapshotVersion
+            + " to v" + latest + " during the statement; rerun it");
       }
-      // messages are deliberately NOT inspected: a jar loaded via ADD JAR
-      // lives in different classloaders on the write path and the commit
-      // path, so casting a custom message class across them fails. The
-      // staging dir is this write's private namespace — list it and read
-      // authoritative row counts (and sound zone-map stats) from the
-      // parquet footers, exactly like the INSERT commit.
+      // ONLY files named by successful task commits are eligible; anything
+      // else in the staging dir is an orphan from a failed or speculative
+      // attempt whose abort never ran — purge it, never commit it
+      HashSet<String> insertFiles = new HashSet<>();
+      HashSet<String> deleteFiles = new HashSet<>();
+      for (WriterCommitMessage m : messages) {
+        if (m == null) {
+          continue;
+        }
+        for (String f : messageFiles(m, "insertFiles")) {
+          insertFiles.add(f);
+        }
+        for (String f : messageFiles(m, "deleteFiles")) {
+          deleteFiles.add(f);
+        }
+      }
+      try {
+        purgeOrphans(insertFiles, deleteFiles);
+      } catch (IOException e) {
+        throw new RuntimeException("purging staging orphans failed", e);
+      }
+
+      // deleted addresses -> per-fragment row-index sets (bounded)
+      Map<Long, TreeSet<Long>> byFrag = new HashMap<>();
+      long total = 0;
+      for (String f : new TreeSet<>(deleteFiles)) {
+        try (DataInputStream in = new DataInputStream(
+            new BufferedInputStream(new FileInputStream(f)))) {
+          while (true) {
+            long addr;
+            try {
+              addr = in.readLong();
+            } catch (EOFException eof) {
+              break;
+            }
+            byFrag.computeIfAbsent(addr >>> 32, k -> new TreeSet<>())
+                .add(addr & 0xFFFFFFFFL);
+            if (++total > MAX_COLLECTED_DELETES) {
+              throw new UnsupportedOperationException(
+                  "row-level statement deletes > " + MAX_COLLECTED_DELETES
+                  + " rows; a change this large should rewrite the table "
+                  + "copy-on-write through the Python committer "
+                  + "(operators/dml)");
+            }
+          }
+        } catch (IOException e) {
+          throw new RuntimeException("reading staged deletes " + f + " failed", e);
+        }
+      }
+
+      // staged inserts -> new fragments (authoritative row counts and
+      // zone-map stats from the parquet footers, like the INSERT commit)
       List<String> rels = new ArrayList<>();
       List<Long> rowCounts = new ArrayList<>();
       List<ObjectNode> fragStats = new ArrayList<>();
       Configuration conf = new Configuration();
       try {
         Files.createDirectories(tableDir.resolve("data"));
-        List<Path> parts = new ArrayList<>();
-        try (var s = Files.newDirectoryStream(stagingDir)) {
-          for (Path p : s) {
-            if (p.getFileName().toString().endsWith(".parquet")) {
-              parts.add(p);
-            }
-          }
-        }
-        parts.sort(java.util.Comparator.comparing(Path::toString));
-        for (Path p : parts) {
+        for (String f : new TreeSet<>(insertFiles)) {
           long rows;
           ObjectNode stats;
           try (org.apache.parquet.hadoop.ParquetFileReader r =
               org.apache.parquet.hadoop.ParquetFileReader.open(
                   org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                      new org.apache.hadoop.fs.Path(p.toString()), conf))) {
+                      new org.apache.hadoop.fs.Path(f), conf))) {
             rows = r.getRecordCount();
             stats = LanceJvmWrite.footerStats(r);
           }
@@ -376,45 +306,69 @@ final class LanceJvmRowLevel implements RowLevelOperation {
             continue;
           }
           String rel = "data/" + UUID.randomUUID() + ".parquet";
-          Files.move(p, tableDir.resolve(rel));
+          Files.move(Paths.get(f), tableDir.resolve(rel));
           rels.add(rel);
           rowCounts.add(rows);
           fragStats.add(stats);
         }
       } catch (IOException e) {
-        throw new RuntimeException("staging copy-on-write fragments failed", e);
+        throw new RuntimeException("staging delta insert fragments failed", e);
       }
-      java.util.Set<Long> candidatesEarly = operation.candidateIds();
-      if (rels.isEmpty() && candidatesEarly != null && candidatesEarly.isEmpty()) {
-        // zone maps excluded every fragment and nothing was written: the
-        // statement provably changed no rows — skip the no-op version
-        cleanup();
+
+      if (byFrag.isEmpty() && rels.isEmpty()) {
+        cleanup(); // statement changed no rows: skip the no-op version
         return;
       }
+
       JsonNode base = readManifest(tableDir, latest);
       ObjectNode next = ((ObjectNode) base).deepCopy();
       next.put("version", latest + 1);
-      next.put("operation", "overwrite"); // COW replace == overwrite commit
+      next.put("operation", "update");
       next.put("read_version", latest);
       next.put("timestamp_ms", System.currentTimeMillis());
       next.remove("commit_metadata");
-      // fragments the zone-map pruning excluded from the rewrite scan were
-      // never read — carry them over UNCHANGED (ids, DVs, stats intact);
-      // candidates == null means no usable filters: full replace
-      java.util.Set<Long> candidates = operation.candidateIds();
+
+      org.apache.spark.sql.classic.SparkSession spark =
+          org.apache.spark.sql.classic.SparkSession.active();
       ArrayNode frags = MAPPER.createArrayNode();
-      long id = -1;
+      long maxId = -1;
       for (JsonNode frag : base.get("fragments")) {
         long fid = frag.get("id").asLong();
-        id = Math.max(id, fid);
-        if (candidates != null && !candidates.contains(fid)) {
-          frags.add(frag.deepCopy());
+        maxId = Math.max(maxId, fid);
+        TreeSet<Long> adds = byFrag.remove(fid);
+        if (adds == null) {
+          frags.add(frag.deepCopy()); // untouched — ids, DVs, stats intact
+          continue;
         }
+        TreeSet<Long> merged = new TreeSet<>(adds);
+        JsonNode del = frag.get("deletion");
+        if (del != null && !del.isNull()) {
+          // union-before-apply (LanceMetadata.java:1199-1213)
+          readDvRows(tableDir.resolve(del.get("path").asText()).toString(),
+              conf, merged);
+        }
+        long physical = frag.get("physical_rows").asLong();
+        if (merged.size() >= physical) {
+          continue; // fully deleted fragment drops out of the manifest
+        }
+        String rel = "_deletions/"
+            + UUID.randomUUID().toString().replace("-", "") + ".parquet";
+        LanceJvmDelete.writeDeletionParquet(spark, tableDir, rel, fid, merged);
+        ObjectNode updated = frag.deepCopy();
+        ObjectNode delNode = MAPPER.createObjectNode();
+        delNode.put("path", rel);
+        delNode.put("num_deleted", merged.size());
+        updated.set("deletion", delNode);
+        frags.add(updated);
+      }
+      if (!byFrag.isEmpty()) {
+        throw new IllegalStateException(
+            "deletes target unknown fragment ids " + byFrag.keySet());
       }
       for (int i = 0; i < rels.size(); i++) {
-        id++;
+        maxId++;
         ObjectNode f = MAPPER.createObjectNode();
-        f.put("id", id);
+        f.put("id", maxId);
         f.put("path", rels.get(i));
         f.put("physical_rows", rowCounts.get(i));
         f.set("deletion", MAPPER.nullNode());
@@ -424,7 +378,7 @@ final class LanceJvmRowLevel implements RowLevelOperation {
         frags.add(f);
       }
       next.set("fragments", frags);
-      next.put("max_fragment_id", id);
+      next.put("max_fragment_id", maxId);
       LanceJvmDelete.commitManifest(tableDir, latest + 1, next);
       cleanup();
     }
@@ -432,6 +386,22 @@ final class LanceJvmRowLevel implements RowLevelOperation {
     @Override
     public void abort(WriterCommitMessage[] messages) {
       cleanup();
+    }
+
+    /** Deletes every staging-dir entry NOT named by a commit message. */
+    private void purgeOrphans(HashSet<String> insertFiles,
+        HashSet<String> deleteFiles) throws IOException {
+      if (!Files.isDirectory(stagingDir)) {
+        return;
+      }
+      try (var s = Files.newDirectoryStream(stagingDir)) {
+        for (Path p : s) {
+          String abs = p.toString();
+          if (!insertFiles.contains(abs) && !deleteFiles.contains(abs)) {
+            Files.deleteIfExists(p);
+          }
+        }
+      }
     }
 
     private void cleanup() {
@@ -449,6 +419,20 @@ final class LanceJvmRowLevel implements RowLevelOperation {
       }
     }
 
+    private static void readDvRows(String dvPath, Configuration conf,
+        TreeSet<Long> into) {
+      org.apache.hadoop.fs.Path p = new org.apache.hadoop.fs.Path(dvPath);
+      try (ParquetReader<Group> r =
+          ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()) {
+        Group g;
+        while ((g = r.read()) != null) {
+          into.add(g.getLong("row_index", 0));
+        }
+      } catch (IOException e) {
+        throw new RuntimeException("reading deletion vector " + p + " failed", e);
+      }
+    }
+
     private static JsonNode readManifest(Path tableDir, long version) {
       try {
         return MAPPER.readTree(Files.readAllBytes(
@@ -459,25 +443,28 @@ final class LanceJvmRowLevel implements RowLevelOperation {
     }
   }
 
-  static final class CowCommitMessage implements WriterCommitMessage {
-    final String stagedFile;
-    final long rows;
+  /** Classloader-safe commit message: the driver reads the public fields
+   *  by NAME via reflection (see MorDeltaWrite.messageFiles). */
+  public static final class DeltaCommitMessage implements WriterCommitMessage {
+    public final String[] insertFiles;
+    public final String[] deleteFiles;
 
-    CowCommitMessage(String stagedFile, long rows) {
-      this.stagedFile = stagedFile;
-      this.rows = rows;
+    public DeltaCommitMessage(String[] insertFiles, String[] deleteFiles) {
+      this.insertFiles = insertFiles;
+      this.deleteFiles = deleteFiles;
     }
   }
 
-  /** Executor side: each task writes one staged parquet file through
-   *  Spark's own ParquetWriteSupport (full type coverage, same encoding
-   *  as the built-in vectorized writer's output). */
-  static final class CowWriterFactory implements DataWriterFactory {
+  /** Executor side: deletes stream to a per-task address file (8 bytes per
+   *  deleted row), inserts to a per-task staged parquet file through
+   *  Spark's own ParquetWriteSupport. Both open lazily — a task that only
+   *  deletes stages no parquet, and vice versa. */
+  static final class MorDeltaWriterFactory implements DeltaWriterFactory {
     private final String stagingDir;
     private final String schemaJson;
     private final org.apache.spark.util.SerializableConfiguration conf;
 
-    CowWriterFactory(String stagingDir, String schemaJson,
+    MorDeltaWriterFactory(String stagingDir, String schemaJson,
         org.apache.spark.util.SerializableConfiguration conf) {
       this.stagingDir = stagingDir;
       this.schemaJson = schemaJson;
@@ -485,53 +472,73 @@ final class LanceJvmRowLevel implements RowLevelOperation {
     }
 
     @Override
-    public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
+    public DeltaWriter<InternalRow> createWriter(int partitionId, long taskId) {
       StructType schema = (StructType) DataType.fromJson(schemaJson);
-      String file = stagingDir + "/part-" + partitionId + "-" + taskId + ".parquet";
-      return new DataWriter<>() {
-        private ParquetWriter<InternalRow> writer;
-        private long rows;
+      String insertFile =
+          stagingDir + "/ins-" + partitionId + "-" + taskId + ".parquet";
+      String deleteFile =
+          stagingDir + "/del-" + partitionId + "-" + taskId + ".addrs";
+      return new DeltaWriter<>() {
+        private ParquetWriter<InternalRow> insertWriter;
+        private DataOutputStream deleteOut;
 
-        private void open() throws IOException {
-          Configuration c = conf.value();
-          writer = new SupportBuilder(
-              new org.apache.hadoop.fs.Path(file), new ParquetWriteSupport())
-              .withConf(c)
-              .withCompressionCodec(CompressionCodecName.SNAPPY)
-              .build();
+        @Override
+        public void delete(InternalRow meta, InternalRow id) throws IOException {
+          if (deleteOut == null) {
+            deleteOut = new DataOutputStream(
+                new BufferedOutputStream(new FileOutputStream(deleteFile)));
+          }
+          deleteOut.writeLong(id.getLong(0)); // $row_address
         }
 
         @Override
-        public void write(InternalRow row) throws IOException {
-          if (writer == null) {
-            open();
+        public void update(InternalRow meta, InternalRow id, InternalRow row)
+            throws IOException {
+          // unreachable with representUpdateAsDeleteAndInsert() == true,
+          // but the decomposition is exactly what it would mean anyway
+          delete(meta, id);
+          insert(row);
+        }
+
+        @Override
+        public void insert(InternalRow row) throws IOException {
+          if (insertWriter == null) {
+            insertWriter = new SupportBuilder(
+                new org.apache.hadoop.fs.Path(insertFile),
+                new ParquetWriteSupport())
+                .withConf(conf.value())
+                .withCompressionCodec(CompressionCodecName.SNAPPY)
+                .build();
           }
-          if (row.numFields() == schema.length() + 1) {
-            // group-based ReplaceData with no metadata projection hands
-            // the writer raw rows led by the __row_operation marker
-            // (RowDeltaUtils.OPERATION_COLUMN; ReplaceDataExec falls back
-            // to the plain writing task when metadataProjection is None)
-            // — every row is a keep/write, so drop the marker ordinal
-            row = new LanceDvScan.OrdinalSkipRow(row, 0);
-          }
-          writer.write(row);
-          rows++;
+          insertWriter.write(row);
         }
 
         @Override
         public WriterCommitMessage commit() throws IOException {
-          if (writer != null) {
-            writer.close();
+          List<String> ins = new ArrayList<>();
+          List<String> dels = new ArrayList<>();
+          if (insertWriter != null) {
+            insertWriter.close();
+            ins.add(insertFile);
           }
-          return new CowCommitMessage(file, rows);
+          if (deleteOut != null) {
+            deleteOut.close();
+            dels.add(deleteFile);
+          }
+          return new DeltaCommitMessage(
+              ins.toArray(new String[0]), dels.toArray(new String[0]));
         }
 
         @Override
         public void abort() throws IOException {
-          if (writer != null) {
-            writer.close();
+          if (insertWriter != null) {
+            insertWriter.close();
           }
-          Files.deleteIfExists(Paths.get(file));
+          if (deleteOut != null) {
+            deleteOut.close();
+          }
+          Files.deleteIfExists(Paths.get(insertFile));
+          Files.deleteIfExists(Paths.get(deleteFile));
         }
 
         @Override

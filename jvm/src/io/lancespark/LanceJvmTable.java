@@ -116,11 +116,13 @@ public class LanceJvmTable
   }
 
   /* ---- native SQL UPDATE / MERGE (SupportsRowLevelOperations) ---------
-   * Group-based copy-on-write: Spark rewrites the statement into a
-   * ReplaceData plan over the table's normal DV-aware scan; the write
-   * stages parquet fragments executor-side and commits one replacing
-   * manifest (LanceJvmRowLevel). DELETE still routes through
-   * SupportsDeleteV2 (MoR deletion vectors) when the predicate allows. */
+   * MERGE-ON-READ deltas (SupportsDelta, representUpdateAsDeleteAndInsert):
+   * Spark rewrites the statement into a WriteDelta plan over the table's
+   * normal DV-aware scan keyed by the $row_address metadata column;
+   * deleted rows become per-fragment deletion-vector entries and
+   * replacement rows land in new fragments (LanceJvmRowLevel) — the
+   * reference's DELETE_ROW_AND_INSERT_ROW paradigm. Simple-predicate
+   * DELETE still optimizes down to SupportsDeleteV2's metadata path. */
   @Override
   public org.apache.spark.sql.connector.write.RowLevelOperationBuilder
       newRowLevelOperationBuilder(
@@ -231,19 +233,8 @@ public class LanceJvmTable
 
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-    return newScanBuilderFor(options, null);
-  }
-
-  /** Scan over a FRAGMENT SUBSET (null = all): the copy-on-write rewrite
-   *  uses this to read only the fragments its zone-map pruning selected
-   *  as rewrite candidates (LanceJvmRowLevel). */
-  ScanBuilder newScanBuilderFor(
-      CaseInsensitiveStringMap options, java.util.Set<Long> fragIds) {
     List<String> paths = new java.util.ArrayList<>();
     for (JsonNode frag : manifest.get("fragments")) {
-      if (fragIds != null && !fragIds.contains(frag.get("id").asLong())) {
-        continue;
-      }
       paths.add(tableDir.resolve(frag.get("path").asText()).toString());
     }
     boolean mor = true; // delegate schema always carries the row-index

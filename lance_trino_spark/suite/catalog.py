@@ -874,14 +874,15 @@ def cat17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # cat18 — native SQL UPDATE + MERGE INTO through the JVM TableCatalog
-# (SupportsRowLevelOperations, group-based copy-on-write): plain
+# (SupportsDelta MERGE-ON-READ, representUpdateAsDeleteAndInsert): plain
 # spark.sql("UPDATE ...") / spark.sql("MERGE INTO ...") plan as Spark
-# ReplaceData over the table's DV-aware vectorized scan (filters kept
-# ABOVE the scan — a pushed condition plus row-group skipping would drop
-# non-matching rows from the rewrite); executors stage parquet fragments
-# through Spark's own ParquetWriteSupport and the driver commits one
-# replacing manifest via the shared hard-link protocol. Reference:
-# `LanceMetadata.java:1116-1271`, docs/src/operations/dml/merge.md.
+# WriteDelta over the table's DV-aware vectorized scan keyed by the
+# $row_address metadata column; touched rows become per-fragment
+# deletion-vector entries plus NEW fragments of replacement rows — the
+# reference's DELETE_ROW_AND_INSERT_ROW paradigm, with O(changed rows)
+# write amplification (no fragment is ever rewritten; asserted below).
+# Reference: `LanceMetadata.java:1116-1271`, `LanceMergeSink.java:49-204`,
+# docs/src/operations/dml/merge.md.
 # ---------------------------------------------------------------------------
 @register(
     "cat18_jvm_native_update_merge",
@@ -911,7 +912,8 @@ def cat17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nk
     """,
     doc="catalog: native SQL UPDATE + MERGE INTO via the JVM catalog "
-        "(SupportsRowLevelOperations copy-on-write ReplaceData)",
+        "(SupportsDelta merge-on-read WriteDelta, DV entries + new "
+        "fragments, no fragment rewrite)",
     tags=("catalog", "jvm", "dml", "update", "merge"),
 )
 def cat18(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,13 +932,14 @@ def cat18(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = os.path.join(root, "crm", "customer.lance")
     ds = LanceDataset.create(tbl, customer)
     v_before = ds.version
+    paths_before = {f.id: f.path for f in ds.manifest.fragments}
 
     spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
     spark.conf.set(
         "spark.sql.catalog.lance_jvm_u", "io.lancespark.LanceJvmCatalog"
     )
     spark.conf.set("spark.sql.catalog.lance_jvm_u.root", root)
-    # plain SQL UPDATE (copy-on-write rewrite, one commit)
+    # plain SQL UPDATE (merge-on-read delta, one commit)
     spark.sql(
         "UPDATE lance_jvm_u.crm.customer SET bal = bal + 500 "
         "WHERE c_nationkey < 5"
@@ -957,11 +960,20 @@ def cat18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c_custkey % 100 = 0 AND c_custkey < 9000000"
     )
     after = LanceDataset.open(tbl)
-    if after.version != v_before + 3 or after.manifest.operation != "overwrite":
+    if after.version != v_before + 3 or after.manifest.operation != "update":
         raise AssertionError(
-            f"JVM COW did not commit replaces: v{after.version} "
+            f"JVM MoR did not commit deltas: v{after.version} "
             f"{after.manifest.operation}"
         )
+    # write-amplification pin: every ORIGINAL fragment's data file carried
+    # over untouched — changed rows live in DVs + new fragments only
+    after_paths = {f.id: f.path for f in after.manifest.fragments}
+    rewritten = {
+        fid for fid, path in paths_before.items()
+        if fid in after_paths and after_paths[fid] != path
+    }
+    if rewritten:
+        raise AssertionError(f"MoR rewrote fragments {sorted(rewritten)}")
     return spark.sql(
         "SELECT c_nationkey AS nk, COUNT(*) AS n,"
         "       CAST(SUM(bal * 100) AS BIGINT) AS bal_c "

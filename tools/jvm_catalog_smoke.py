@@ -243,14 +243,15 @@ def main() -> None:
     check("jvm-update-over-dv",
           got == [(2, 20.0), (3, 99.0), (4, 0.0)], str(got))
     cow_ds = LanceDataset.open(os.path.join(warehouse, "main", "cow.lance"))
-    check("jvm-cow-python-readback",
+    check("jvm-mor-python-readback",
           cow_ds.to_df(spark).count() == 3
-          and cow_ds.manifest.operation == "overwrite",
+          and cow_ds.manifest.operation == "update",
           f"{cow_ds.manifest.operation} v{cow_ds.manifest.version}")
 
-    # zone-map fragment pruning: a selective UPDATE rewrites only the
-    # fragments whose stats admit the condition; the rest carry over
-    # with their original data files untouched
+    # MoR write amplification (SupportsDelta, DELETE_ROW_AND_INSERT_ROW):
+    # a selective UPDATE must NOT rewrite any fragment — every original
+    # data file carries over untouched; touched rows become deletion-vector
+    # entries on their fragment plus ONE new fragment of replacement rows
     from lance_trino_spark.format.manifest import latest_version, read_manifest
 
     prune_tbl = os.path.join(warehouse, "main", "prune.lance")
@@ -268,13 +269,29 @@ def main() -> None:
     spark.sql("UPDATE lance.main.prune SET tag = 'hit' WHERE id < 150")
     after = read_manifest(prune_tbl, latest_version(prune_tbl)).fragments
     kept = sorted(f.id for f in after if f.path == before.get(f.id))
+    dv = {f.id: f.deletion.num_deleted for f in after if f.deletion}
+    new_frags = [f for f in after if f.id not in before]
     n_hit = spark.sql(
         "SELECT count(*) FROM lance.main.prune WHERE tag = 'hit'"
     ).collect()[0][0]
     n_all = spark.sql("SELECT count(*) FROM lance.main.prune").collect()[0][0]
-    check("jvm-cow-fragment-pruning",
-          kept == [1, 2, 3, 4] and n_hit == 150 and n_all == 1000,
-          f"kept={kept} hits={n_hit} total={n_all}")
+    check("jvm-mor-update-no-rewrite",
+          kept == [0, 1, 2, 3, 4] and dv == {0: 150}
+          and len(new_frags) == 1 and new_frags[0].physical_rows == 150
+          and n_hit == 150 and n_all == 1000,
+          f"kept={kept} dv={dv} new={[(f.id, f.physical_rows) for f in new_frags]}"
+          f" hits={n_hit} total={n_all}")
+
+    # write amplification, sharpest form: a 1-row UPDATE on a 5-fragment
+    # table commits exactly one DV entry + a 1-row fragment
+    spark.sql("UPDATE lance.main.prune SET tag = 'one' WHERE id = 777")
+    after2 = read_manifest(prune_tbl, latest_version(prune_tbl)).fragments
+    dv2 = {f.id: f.deletion.num_deleted for f in after2 if f.deletion}
+    new2 = [f for f in after2 if f.id not in {g.id for g in after}]
+    check("jvm-mor-1row-update-amplification",
+          dv2 == {0: 150, 3: 1} and len(new2) == 1
+          and new2[0].physical_rows == 1,
+          f"dv={dv2} new={[(f.id, f.physical_rows) for f in new2]}")
 
     # $row_address metadata column: fragment_id << 32 | row_index,
     # selectable in plain SQL, stable across merge-on-read deletes
