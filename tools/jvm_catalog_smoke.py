@@ -147,6 +147,15 @@ def main() -> None:
     check("jvm-delete-drops-fragment",
           len(after2.manifest.fragments) < len(after.manifest.fragments),
           f"{len(after.manifest.fragments)} -> {len(after2.manifest.fragments)}")
+    # subquery DELETE: no V2-predicate rendering exists, so the metadata
+    # path refuses — the statement falls through to the SupportsDelta MoR
+    # plan (delete-only WriteDelta) instead of erroring out
+    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView("_kill")
+    spark.sql(
+        "DELETE FROM lance.main.deltest WHERE id IN (SELECT id FROM _kill)"
+    )
+    left3 = sorted(r.id for r in spark.read.format("lance").load(dtbl).collect())
+    check("jvm-delete-subquery-mor", left3 == [3], str(left3))
     # unconditional DELETE = metadata-only truncate (zero data IO)
     spark.sql("DELETE FROM lance.main.deltest")
     after3 = LanceDataset.open(dtbl)
