@@ -1119,3 +1119,424 @@ def conform_native_table(table, spark_schema):
             arr = arr.cast(pa.timestamp(arr.type.unit, tz="UTC"))
         cols.append(arr.cast(f.type))
     return pa.table(dict(zip(target.names, cols)), schema=target)
+
+
+# ---------------------------------------------------------------------------
+# Persisted vector index interop: `_indices/<uuid>/index.idx`
+#
+# test_table4 ships two of these (FIXTURES.md §4). Reverse-engineered from
+# the fixture bytes (verified cell-exact against brute force over the
+# dataset's decoded vectors, tests/test_lance_native.py):
+#
+#   index.idx = [partition 0 body][partition 1 body]... [len:u32][Index
+#   proto] ... [metadata_pos:u64][0:u16][1:u16]"LANC"   (v1 file trailer)
+#
+#   partition body = [pq codes: rows x nsub u8][row ids: rows u64 LE]
+#     row id = fragment_id << 32 | row_index (RowAddress.java:22-43)
+#
+#   Index proto:   1=name 2=column 3=dataset_version 5=VectorIndex
+#   VectorIndex:   1=spec_version 2=dimension 3=stages (repeated)
+#   stage oneof:   2=IVF 3=PQ
+#   IVF:           2=packed partition byte offsets, 3=packed partition row
+#                  counts, 4=centroids Tensor(1=dtype 2=packed shape 3=f32
+#                  LE data, shape [n_cells, dim])
+#   PQ:            1=num_bits(8) 2=num_sub_vectors 3=dimension 4=codebook
+#                  f32 LE, laid out [nsub][256][dim/nsub] (sub-vector
+#                  major), trained on IVF RESIDUALS (vector - centroid)
+#
+# The reference consumes these through the Lance JNI scanner
+# (LanceFragmentPageSource.java:126 setting useScalarIndex/vector search on
+# every scan); this module is the Spark-side equivalent: probe nprobe IVF
+# cells, read ONLY those partitions' byte ranges, PQ-shortlist, then refine
+# exact over the shortlist with late-materialized vector reads.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NativeVectorIndex:
+    path: str               # absolute path of index.idx
+    name: str
+    column: str
+    dataset_version: int
+    dim: int
+    centroids: object       # np.ndarray [n_cells, dim] f32
+    part_offsets: list[int]  # byte offsets of partition bodies
+    part_lengths: list[int]  # rows per partition
+    pq_nbits: int
+    pq_nsub: int
+    pq_codebook: object     # np.ndarray [nsub, 256, dim // nsub] f32
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.part_lengths)
+
+
+def read_native_vector_index(path: str) -> NativeVectorIndex:
+    """Parse one `_indices/<uuid>/index.idx` (metadata only: footer seek +
+    proto — partition bodies are read later, per probed cell)."""
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        fh.seek(fsize - 16)
+        tail = fh.read(16)
+        if tail[-4:] != b"LANC":
+            raise LanceNativeError(f"{path}: missing LANC footer magic")
+        pos = struct.unpack_from("<Q", tail, 0)[0]
+        fh.seek(pos)
+        metar = fh.read(fsize - pos)
+    ln = struct.unpack_from("<I", metar, 0)[0]
+    meta = metar[4:4 + ln]
+    name = column = None
+    dsver = 0
+    impl = None
+    for f, _wt, v in pb_items(meta):
+        if f == 1:
+            name = v.decode()
+        elif f == 2:
+            column = v.decode()
+        elif f == 3:
+            dsver = v
+        elif f == 5:
+            impl = v
+    if impl is None:
+        raise LanceNativeError(f"{path}: no VectorIndex implementation")
+    dim = None
+    ivf = pq = None
+    for f, _wt, v in pb_items(impl):
+        if f == 2:
+            dim = v
+        elif f == 3:
+            for f2, _wt2, v2 in pb_items(v):
+                if f2 == 2:
+                    ivf = v2
+                elif f2 == 3:
+                    pq = v2
+    if ivf is None or pq is None or not dim:
+        raise LanceNativeError(
+            f"{path}: expected IVF + PQ stages (got ivf={ivf is not None}, "
+            f"pq={pq is not None})")
+    offs = lens = None
+    cent = None
+    for f, wt, v in pb_items(ivf):
+        if f == 2:
+            offs = _packed_varints(v) if wt == 2 else [v]
+        elif f == 3:
+            lens = _packed_varints(v) if wt == 2 else [v]
+        elif f == 4:
+            shape = data = None
+            for f2, _wt2, v2 in pb_items(v):
+                if f2 == 2:
+                    shape = _packed_varints(v2)
+                elif f2 == 3:
+                    data = v2
+            cent = np.frombuffer(data, dtype="<f4").reshape(shape)
+    nbits = nsub = None
+    codebook = None
+    for f, _wt, v in pb_items(pq):
+        if f == 1:
+            nbits = v
+        elif f == 2:
+            nsub = v
+        elif f == 4:
+            codebook = np.frombuffer(v, dtype="<f4")
+    if offs is None or lens is None or cent is None or codebook is None:
+        raise LanceNativeError(f"{path}: incomplete IVF/PQ metadata")
+    if nbits != 8:
+        raise LanceNativeError(f"{path}: only 8-bit PQ decoded (got {nbits})")
+    if len(offs) != len(lens) or cent.shape[0] != len(lens):
+        raise LanceNativeError(f"{path}: IVF partition metadata mismatch")
+    subdim = dim // nsub
+    return NativeVectorIndex(
+        path=path, name=name, column=column, dataset_version=dsver, dim=dim,
+        centroids=cent, part_offsets=list(offs), part_lengths=list(lens),
+        pq_nbits=nbits, pq_nsub=nsub,
+        pq_codebook=codebook.reshape(nsub, 256, subdim),
+    )
+
+
+def list_native_vector_indices(root: str) -> list[NativeVectorIndex]:
+    """Every parseable `_indices/<uuid>/index.idx` under the dataset,
+    sorted by dataset_version ascending (the latest covering index for a
+    column is the last match)."""
+    idx_dir = os.path.join(root, "_indices")
+    out = []
+    if not os.path.isdir(idx_dir):
+        return out
+    for d in sorted(os.listdir(idx_dir)):
+        p = os.path.join(idx_dir, d, "index.idx")
+        if os.path.isfile(p):
+            out.append(read_native_vector_index(p))
+    out.sort(key=lambda i: i.dataset_version)
+    return out
+
+
+def _read_index_partition(index: NativeVectorIndex, cell: int):
+    """One IVF partition's (pq codes [n, nsub] u8, row ids [n] u64) via a
+    bounded range read — never the whole index file."""
+    import numpy as np
+
+    n = index.part_lengths[cell]
+    nsub = index.pq_nsub
+    with open(index.path, "rb") as fh:
+        fh.seek(index.part_offsets[cell])
+        body = fh.read(n * (nsub + 8))
+    codes = np.frombuffer(body, dtype="u1", count=n * nsub).reshape(n, nsub)
+    rids = np.frombuffer(body, dtype="<u8", count=n, offset=n * nsub)
+    return codes, rids
+
+
+def native_index_search(
+    root: str,
+    index: NativeVectorIndex,
+    queries,
+    k: int = 10,
+    nprobe: int = 1,
+    manifest: NativeManifest | None = None,
+    max_candidates: int = 200_000,
+):
+    """ANN over a persisted `.lance` vector index: per query, probe the
+    ``nprobe`` nearest IVF cells (L2 to centroids), range-read ONLY those
+    partitions of index.idx, compute residual-PQ approximate L2 via
+    per-sub-vector lookup tables, then REFINE the probed candidates with
+    exact vectors late-materialized from the dataset (read_file_column at
+    candidate row indices only). Returns a list of dicts with exact-L2
+    top-k plus access-path proof fields (cells_probed, n_candidates,
+    index_bytes_read).
+
+    Scale shape: candidate count is bounded by the probed partitions (loud
+    ``max_candidates`` cap, mirroring the repo's own-format nprobe-bounded
+    postings reads in format/vector_index.py); the 100 TB fan-out path is
+    one Spark task per probed (cell, fragment) pair — this driver-side
+    variant mirrors the reference's single JNI scanner call
+    (LanceFragmentPageSource.java:126)."""
+    import numpy as np
+
+    if manifest is None:
+        manifest = read_native_manifest(root, index.dataset_version)
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q.reshape(1, -1)
+    if q.shape[1] != index.dim:
+        raise LanceNativeError(
+            f"query dim {q.shape[1]} != index dim {index.dim}")
+    nprobe = max(1, min(nprobe, index.n_cells))
+    nsub, subdim = index.pq_nsub, index.dim // index.pq_nsub
+    cb = index.pq_codebook  # [nsub, 256, subdim]
+    frag_by_id = {f.id: f for f in manifest.fragments}
+    part_cache: dict[int, tuple] = {}
+    results = []
+    for qi in range(q.shape[0]):
+        qv = q[qi]
+        cells = np.argsort(((index.centroids - qv) ** 2).sum(axis=1))[:nprobe]
+        cand_rids = []
+        cand_dist = []
+        bytes_read = 0
+        for cell in cells:
+            cell = int(cell)
+            if cell not in part_cache:
+                part_cache[cell] = _read_index_partition(index, cell)
+            codes, rids = part_cache[cell]
+            bytes_read += index.part_lengths[cell] * (nsub + 8)
+            # residual-PQ lookup table for this cell: [nsub, 256]
+            resid = (qv - index.centroids[cell]).reshape(nsub, 1, subdim)
+            lut = ((cb - resid) ** 2).sum(axis=2)
+            d = lut[np.arange(nsub)[:, None], codes.T].sum(axis=0)
+            cand_rids.append(rids)
+            cand_dist.append(d)
+        rids = np.concatenate(cand_rids)
+        if len(rids) > max_candidates:
+            raise LanceNativeError(
+                f"index search would refine {len(rids)} candidates "
+                f"(> {max_candidates}); lower nprobe or raise the cap "
+                "explicitly")
+        # exact refine: group candidates per fragment, late-materialize the
+        # vector column at candidate row indices only
+        exact = np.empty(len(rids), dtype=np.float64)
+        order = np.argsort(rids)
+        srids = rids[order]
+        fids = (srids >> np.uint64(32)).astype(np.int64)
+        rows = (srids & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        pos = 0
+        while pos < len(srids):
+            end = pos
+            fid = fids[pos]
+            while end < len(srids) and fids[end] == fid:
+                end += 1
+            frag = frag_by_id.get(int(fid))
+            if frag is None:
+                raise LanceNativeError(f"index references unknown fragment {fid}")
+            nfield = next(
+                f for f in manifest.top_level_fields()
+                if f.name == index.column)
+            dfile, col_idx = frag.file_for_field(nfield.id)
+            arr = read_file_column(
+                root, dfile, col_idx, nfield, manifest,
+                indices=rows[pos:end])
+            vec = np.asarray(
+                arr.flatten(), dtype=np.float32).reshape(-1, index.dim)
+            exact[order[pos:end]] = ((vec - qv) ** 2).sum(axis=1)
+            pos = end
+        top = np.argsort(exact, kind="stable")[:k]
+        results.append({
+            "neighbors": [int(r) for r in rids[top]],
+            "distances": [float(x) for x in exact[top]],
+            "cells_probed": int(nprobe),
+            "n_candidates": int(len(rids)),
+            "index_bytes_read": int(bytes_read),
+        })
+    return results
+
+
+def _kmeans(data, k: int, iters: int, seed: int):
+    """Tiny deterministic k-means (numpy, k-means++ -lite seeding by
+    evenly spaced sorted-norm picks). Good enough to TRAIN indexes the
+    reader/search path consumes — quality is pinned by recall tests, and
+    determinism (fixed seed, fixed iteration count) keeps suite queries
+    oracle-stable."""
+    import numpy as np
+
+    data = np.asarray(data, dtype=np.float32)
+    n = len(data)
+    if n == 0:
+        raise LanceNativeError("cannot train on an empty sample")
+    rng = np.random.default_rng(seed)
+    init = rng.permutation(n)[:k]
+    cent = data[init].copy()
+    if len(cent) < k:  # fewer rows than centroids: pad with repeats
+        cent = np.concatenate([cent, data[rng.integers(0, n, k - len(cent))]])
+    for _ in range(iters):
+        d = ((data[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = data[m].mean(axis=0)
+    return cent
+
+
+def write_native_vector_index(
+    root: str,
+    column: str,
+    n_cells: int = 4,
+    nsub: int = 8,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 0,
+) -> str:
+    """Build and persist an IVF_PQ vector index in the REAL old-Lance
+    binary layout (the exact format read_native_vector_index parses off
+    test_table4's fixtures): train IVF centroids + residual-PQ codebooks
+    on a bounded driver sample, encode every row, and write
+    `_indices/<uuid>/index.idx`. Returns the index uuid.
+
+    The training sample is bounded (FAISS recipe, same stance as
+    format/vector_index.py) — ENCODING streams per fragment and appends to
+    per-cell buckets, so memory is O(corpus codes), 9-24 bytes/row."""
+    import uuid as uuidlib
+
+    import numpy as np
+
+    manifest = read_native_manifest(root)
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column), None)
+    if nfield is None or not nfield.logical_type.startswith("fixed_size_list:"):
+        raise LanceNativeError(
+            f"column {column!r} is not a fixed_size_list vector column")
+    dim = int(nfield.logical_type.split(":")[2])
+    if dim % nsub:
+        raise LanceNativeError(f"dim {dim} not divisible by nsub {nsub}")
+    subdim = dim // nsub
+
+    # pass 1: bounded training sample (first `sample` rows, deterministic)
+    train = []
+    got = 0
+    for frag in manifest.fragments:
+        if got >= sample:
+            break
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        v = np.asarray(arr.flatten(), dtype=np.float32).reshape(-1, dim)
+        train.append(v[: sample - got])
+        got += len(train[-1])
+    tr = np.concatenate(train)
+    cent = _kmeans(tr, n_cells, iters, seed)
+    assign = ((tr[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = tr - cent[assign]
+    codebook = np.stack([
+        _kmeans(resid[:, s * subdim:(s + 1) * subdim], 256, iters, seed + 1 + s)
+        for s in range(nsub)
+    ])  # [nsub, 256, subdim]
+
+    # pass 2: encode every row into per-cell (codes, row ids) buckets
+    buckets = [([], []) for _ in range(n_cells)]
+    for frag in manifest.fragments:
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        v = np.asarray(arr.flatten(), dtype=np.float32).reshape(-1, dim)
+        a = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        r = v - cent[a]
+        codes = np.empty((len(v), nsub), dtype=np.uint8)
+        for s in range(nsub):
+            sub = r[:, s * subdim:(s + 1) * subdim]
+            d = ((sub[:, None, :] - codebook[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
+            len(v), dtype=np.uint64)
+        for c in range(n_cells):
+            m = a == c
+            if m.any():
+                buckets[c][0].append(codes[m])
+                buckets[c][1].append(addr[m])
+
+    body = bytearray()
+    offsets, lengths = [], []
+    for c in range(n_cells):
+        offsets.append(len(body))
+        if buckets[c][0]:
+            codes = np.concatenate(buckets[c][0])
+            rids = np.concatenate(buckets[c][1])
+        else:
+            codes = np.empty((0, nsub), dtype=np.uint8)
+            rids = np.empty(0, dtype=np.uint64)
+        lengths.append(len(rids))
+        body += codes.tobytes() + rids.astype("<u8").tobytes()
+
+    tensor = (
+        _enc_field(1, 0, 2)  # dtype float32
+        + _enc_field(2, 2, b"".join(_enc_varint(int(x)) for x in cent.shape))
+        + _enc_field(3, 2, cent.astype("<f4").tobytes())
+    )
+    ivf = (
+        _enc_field(2, 2, b"".join(_enc_varint(o) for o in offsets))
+        + _enc_field(3, 2, b"".join(_enc_varint(n) for n in lengths))
+        + _enc_field(4, 2, tensor)
+    )
+    pq = (
+        _enc_field(1, 0, 8)
+        + _enc_field(2, 0, nsub)
+        + _enc_field(3, 0, dim)
+        + _enc_field(4, 2, codebook.astype("<f4").tobytes())
+    )
+    impl = (
+        _enc_field(1, 0, 1)
+        + _enc_field(2, 0, dim)
+        + _enc_field(3, 2, _enc_field(2, 2, ivf))
+        + _enc_field(3, 2, _enc_field(3, 2, pq))
+    )
+    meta = (
+        _enc_field(1, 2, b"vector_idx")
+        + _enc_field(2, 2, column.encode())
+        + _enc_field(3, 0, manifest.version)
+        + _enc_field(5, 2, impl)
+    )
+    uid = str(uuidlib.uuid4())
+    d = os.path.join(root, "_indices", uid)
+    os.makedirs(d, exist_ok=True)
+    meta_pos = len(body)
+    blob = bytes(body) + struct.pack("<I", len(meta)) + meta
+    blob += struct.pack("<QHH", meta_pos, 0, 1) + b"LANC"
+    with open(os.path.join(d, "index.idx"), "wb") as fh:
+        fh.write(blob)
+    return uid

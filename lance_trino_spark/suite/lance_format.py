@@ -781,3 +781,93 @@ def lf16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, embedding array<float>",
     )
     return cosine_topk(native, queries, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# lf17 — PERSISTED vector index on the native `.lance` interop path: the
+# index is written in the REAL old-Lance `_indices/<uuid>/index.idx`
+# binary layout (IVF partition bodies [pq codes][row addresses] + Index
+# proto footer — the exact format test_table4's SDK-written fixtures use,
+# reverse-engineered and pinned cell-exact in tests/test_lance_native.py),
+# re-read through the same parser that decodes the fixtures, and searched
+# with bounded per-cell range reads + residual-PQ shortlists + exact
+# refine over late-materialized vectors. Self-validating like s09: the
+# all-cells search must equal brute force ORDER-EXACTLY and the bounded
+# probe must provably read less than the corpus; the oracle value-checks
+# the booleans. Reference: LanceFragmentPageSource.java:126 (index-aware
+# scans), FIXTURES.md §4.
+# ---------------------------------------------------------------------------
+@register(
+    "lf17_native_persisted_index_ann",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_ann,
+           TRUE AS exact_when_all_cells,
+           TRUE AS bounded_when_probed
+    FROM embeddings WHERE vec_id < 8
+    ORDER BY query_id
+    """,
+    doc="format: persisted IVF_PQ index in the real .lance binary layout "
+        "— write, re-parse, bounded probe + exact refine, order-exact vs "
+        "brute force at nprobe=all",
+    tags=("format", "interop", "lance-native", "similarity", "ann", "index"),
+)
+def lf17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import numpy as np
+
+    from ..format.lance_native import (
+        append_native_rows, list_native_vector_indices, native_index_search,
+        write_native_dataset, write_native_vector_index)
+
+    path = _fresh_path(sf_dir, "lf17-native-index")
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    half = len(rows) // 2
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "vec_id": [int(r["vec_id"]) for r in rs],
+        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
+    }
+    write_native_dataset(path, cols(rows[:half]))
+    append_native_rows(path, cols(rows[half:]))  # second fragment: real
+    # fragment_id<<32 addresses, not just row numbers
+    write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
+    idx = list_native_vector_indices(path)[-1]
+
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    addr = np.where(
+        np.arange(len(rows)) < half,
+        np.arange(len(rows)),
+        (np.int64(1) << np.int64(32)) + (np.arange(len(rows)) - half),
+    ).astype(np.uint64)
+    queries = vecs[:8]
+
+    res_all = native_index_search(path, idx, queries, k=5, nprobe=idx.n_cells)
+    res_b = native_index_search(path, idx, queries, k=5, nprobe=2)
+    idx_size = os.path.getsize(idx.path)
+    out = []
+    for qi in range(len(queries)):
+        true = addr[np.argsort(((vecs - queries[qi]) ** 2).sum(1),
+                               kind="stable")[:5]].tolist()
+        exact_ok = [int(a) for a in res_all[qi]["neighbors"]] == [
+            int(a) for a in true]
+        b = res_b[qi]
+        bounded_ok = (
+            b["cells_probed"] == 2
+            and b["n_candidates"] < len(rows)
+            and b["index_bytes_read"] < idx_size
+            and len(b["neighbors"]) == 5
+        )
+        out.append((int(ids[qi]), 5, bool(exact_ok), bool(bounded_ok)))
+    return spark.createDataFrame(
+        out,
+        "query_id long, n_ann long, exact_when_all_cells boolean, "
+        "bounded_when_probed boolean",
+    ).orderBy("query_id")

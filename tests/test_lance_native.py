@@ -449,3 +449,94 @@ def test_native_stream_source_tails_versions(spark):
     # resume from the SAME checkpoint: only the new fragment is emitted
     append_native_rows(p, {"k": [6], "v": [60]})
     assert drain() == [1, 2, 3, 4, 5, 6]
+
+
+@needs_fixtures
+def test_table4_real_vector_index_decodes_and_searches():
+    """The SDK-written `_indices/<uuid>/index.idx` fixtures parse into
+    IVF(4 cells, [n,128] centroid tensor) + residual PQ(16x256x8), their
+    partition row counts sum to the dataset size at the index's version,
+    and index-backed search with nprobe = all cells + exact refine equals
+    brute force EXACTLY (the refine set is then the whole corpus). A
+    bounded probe must read strictly less of the index file."""
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        list_native_vector_indices, native_index_search,
+        read_native_fragment, read_native_manifest)
+
+    root = f"{EXAMPLE_DB}/test_table4.lance"
+    indices = list_native_vector_indices(root)
+    assert [(i.name, i.column, i.dataset_version) for i in indices] == [
+        ("vector_idx", "vector", 1), ("vector_idx", "vector", 4)]
+    for idx, expect_rows in zip(indices, (1000, 2000)):
+        assert idx.dim == 128 and idx.n_cells == 4
+        assert idx.pq_nsub == 16 and idx.pq_codebook.shape == (16, 256, 8)
+        assert sum(idx.part_lengths) == expect_rows
+
+    idx = indices[0]
+    man = read_native_manifest(root, idx.dataset_version)
+    vecs = {}
+    for frag in man.fragments:
+        ft = read_native_fragment(root, frag, man, columns=["vector"])
+        v = np.asarray(
+            ft.column("vector").combine_chunks().flatten(),
+            dtype=np.float32).reshape(-1, 128)
+        for i in range(len(v)):
+            vecs[(frag.id << 32) | i] = v[i]
+    addrs = np.array(sorted(vecs))
+    mat = np.stack([vecs[a] for a in addrs])
+    queries = mat[:8]
+
+    exact = native_index_search(root, idx, queries, k=10, nprobe=4, manifest=man)
+    for qi, r in enumerate(exact):
+        true = [int(a) for a in
+                addrs[np.argsort(((mat - queries[qi]) ** 2).sum(1),
+                                 kind="stable")[:10]]]
+        assert r["neighbors"] == true  # order-exact, not just set recall
+        assert r["n_candidates"] == 1000
+
+    idx_size = os.path.getsize(idx.path)
+    bounded = native_index_search(root, idx, queries, k=10, nprobe=2, manifest=man)
+    for r in bounded:
+        assert r["cells_probed"] == 2
+        assert r["n_candidates"] < 1000
+        assert r["index_bytes_read"] < idx_size
+        assert len(r["neighbors"]) == 10
+
+
+def test_native_vector_index_round_trip(tmp_path):
+    """write_native_vector_index emits the fixture-exact binary layout:
+    the file re-parses through the same reader that decodes test_table4's
+    SDK-written indices, and all-cells search + exact refine reproduces
+    brute force order-exactly."""
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        list_native_vector_indices, native_index_search,
+        write_native_dataset, write_native_vector_index)
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    root = str(tmp_path / "vt.lance")
+    write_native_dataset(root, {
+        "vec_id": list(range(n)),
+        "embedding": [[float(x) for x in row] for row in vecs],
+    })
+    uid = write_native_vector_index(root, "embedding", n_cells=4, nsub=4)
+    assert os.path.isfile(os.path.join(root, "_indices", uid, "index.idx"))
+
+    idx = list_native_vector_indices(root)[0]
+    assert idx.column == "embedding" and idx.dim == dim
+    assert sum(idx.part_lengths) == n
+    assert idx.pq_codebook.shape == (4, 256, 4)
+
+    queries = vecs[:5]
+    res = native_index_search(root, idx, queries, k=7, nprobe=4)
+    # single-fragment dataset: address == row number
+    for qi, r in enumerate(res):
+        true = np.argsort(((vecs - queries[qi]) ** 2).sum(1),
+                          kind="stable")[:7].tolist()
+        assert r["neighbors"] == true
+        assert r["distances"][0] == 0.0  # the query IS row qi
