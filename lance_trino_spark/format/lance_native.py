@@ -545,6 +545,48 @@ def read_file_column(
         return arr
     meta = _read_file_meta(raw, len(data_file.field_ids), data_file.field_ids)
     n_batches = max(1, len(meta.batch_offsets) - 1)
+    if nfield.logical_type == "struct":
+        # Parent page = one validity byte per row (the writer's own layout,
+        # _v1_field_specs — no SDK struct fixture exists to pin against);
+        # children are ordinary leaf columns of the same file, decoded
+        # recursively at the same row selection, then masked by the parent
+        # validity (null-mask propagation: a NULL struct nulls every leaf,
+        # the reference's ancestor-null rule in
+        # LanceArrowToPageScanner.java:302-342).
+        if manifest is None:
+            raise LanceNativeError("struct decode needs the manifest")
+        sel_np = (
+            None if indices is None else np.asarray(indices, dtype=np.int64)
+        )
+        valid_chunks = []
+        row_off = 0
+        for b in range(n_batches):
+            pos, nvals = _page_entry(raw, meta, col_idx, b)
+            vb = np.frombuffer(raw, dtype=np.uint8, count=nvals, offset=pos)
+            if sel_np is not None:
+                lo = np.searchsorted(sel_np, row_off)
+                hi = np.searchsorted(sel_np, row_off + nvals)
+                vb = vb[sel_np[lo:hi] - row_off]
+            valid_chunks.append(vb)
+            row_off += nvals
+        valid = np.concatenate(valid_chunks) if valid_chunks else             np.empty(0, dtype=np.uint8)
+        children = [
+            f for f in manifest.fields if _signed(f.parent_id) == nfield.id
+        ]
+        if not children:
+            raise LanceNativeError(
+                f"struct field {nfield.name!r} has no children in manifest")
+        arrays, names = [], []
+        for ch in children:
+            ch_idx = data_file.field_ids.index(ch.id)
+            arr = read_file_column(
+                root, data_file, ch_idx, ch, manifest, indices)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arrays.append(arr)
+            names.append(ch.name)
+        mask = pa.array(valid == 0)
+        return pa.StructArray.from_arrays(arrays, names=names, mask=mask)
     atype = _arrow_type(nfield.logical_type)
     sel_all = (
         None if indices is None else np.asarray(indices, dtype=np.int64)
@@ -850,11 +892,13 @@ def _enc_u64_neg1() -> int:
     return (1 << 64) - 1  # parent_id = -1 as uint64 complement
 
 
-def _v1_field_proto(name: str, fid: int, ltype: str = "int64") -> bytes:
+def _v1_field_proto(
+    name: str, fid: int, ltype: str = "int64", parent: int = -1
+) -> bytes:
     p = _enc_field(2, 2, name.encode())
     if fid:
         p += _enc_field(3, 0, fid)
-    p += _enc_field(4, 0, _enc_u64_neg1())
+    p += _enc_field(4, 0, parent if parent >= 0 else _enc_u64_neg1())
     p += _enc_field(5, 2, ltype.encode())
     p += _enc_field(6, 0, 1)  # nullable
     # encoding: 1=plain, 2=var-binary (matches the fixture manifests)
@@ -879,6 +923,8 @@ def _infer_v1_type(values) -> str:
             return "string"
         if isinstance(v, bytes):
             return "binary"
+        if isinstance(v, dict):
+            return "struct"
         if isinstance(v, (list, tuple)):
             dims = {len(x) for x in values if x is not None}
             if len(dims) != 1:
@@ -892,28 +938,84 @@ def _infer_v1_type(values) -> str:
     )
 
 
-def _write_v1_data_file(root: str, names: list[str], columns: dict) -> tuple[str, int]:
+def _v1_field_specs(names: list[str], columns: dict) -> list[tuple]:
+    """Flattened (name, fid, parent_fid, ltype, values) specs in PAGE
+    order: each top-level column, then — for a struct — its children
+    immediately after, exactly the order their pages land in the data file
+    and their protos land in the schema. Struct columns are lists of
+    dict|None; a None row is a NULL struct (masked by the parent validity
+    page); a non-null dict must have every child non-null (plain v1 pages
+    carry no leaf validity — refused loudly rather than silently zeroed).
+
+    No SDK struct fixture exists (FIXTURES.md §6 prescribes creating one),
+    so the struct layout is this writer's own, kept self-consistent with
+    read_file_column: parent page = one validity byte per row, child pages
+    = ordinary leaf pages with placeholder values at NULL-struct rows."""
+    specs = []
+    fid = 0
+    for n in names:
+        vals = columns[n]
+        lt = _infer_v1_type(vals)
+        if lt != "struct":
+            specs.append((n, fid, -1, lt, vals))
+            fid += 1
+            continue
+        parent_fid = fid
+        fid += 1
+        proto_row = next(v for v in vals if v is not None)
+        child_names = list(proto_row)
+        if not child_names:
+            raise LanceNativeError(f"struct column {n!r} has no fields")
+        validity = [v is not None for v in vals]
+        specs.append((n, parent_fid, -1, "struct", validity))
+        placeholder = {"int64": 0, "double": 0.0, "string": "", "binary": b""}
+        for cn in child_names:
+            non_null = []
+            for v in vals:
+                if v is None:
+                    continue
+                if cn not in v or v[cn] is None:
+                    raise LanceNativeError(
+                        f"struct column {n!r}: NULL child {cn!r} in a "
+                        "non-null row — v1 plain pages carry no leaf "
+                        "validity")
+                non_null.append(v[cn])
+            clt = _infer_v1_type(non_null)
+            if clt == "struct":
+                raise LanceNativeError(
+                    "nested struct-in-struct is outside the minimal "
+                    "writer's scope")
+            cvals = [
+                placeholder[clt] if v is None else v[cn] for v in vals
+            ]
+            specs.append((cn, fid, parent_fid, clt, cvals))
+            fid += 1
+    return specs
+
+
+def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
     """One v1 legacy data file (page table, schema + Metadata protos,
-    16-byte footer). Pages: plain int64/double/fsl-float values, or the
+    16-byte footer). Pages: plain int64/double/fsl-float values, the
     v1 var-binary layout for string/binary (value bytes followed by the
     absolute-position array the page table points at — the exact layout
-    read_file_column decodes from the fixtures). Returns (file name, rows).
-    Nulls are not supported (the minimal writer's scope is round-trip
+    read_file_column decodes from the fixtures), or a struct validity
+    byte page (see _v1_field_specs). Returns (file name, rows).
+    Leaf nulls are not supported (the minimal writer's scope is round-trip
     interop tests, not production writes — that is the lance SDK's job)."""
     import uuid as _uuid
 
     import numpy as np
 
-    n_rows = len(columns[names[0]])
-    if any(len(v) != n_rows for v in columns.values()):
+    n_rows = len(specs[0][4])
+    if any(len(sp[4]) != n_rows for sp in specs):
         raise LanceNativeError("ragged columns")
-    types = {n: _infer_v1_type(columns[n]) for n in names}
     buf = bytearray()
     page_entries = []
-    for name in names:
-        vals = columns[name]
-        lt = types[name]
-        if lt == "int64":
+    for _name, _fid, _parent, lt, vals in specs:
+        if lt == "struct":
+            pos = len(buf)
+            buf += bytes(1 if v else 0 for v in vals)
+        elif lt == "int64":
             pos = len(buf)
             buf += np.asarray(vals, dtype="<i8").tobytes()
         elif lt == "double":
@@ -943,8 +1045,8 @@ def _write_v1_data_file(root: str, names: list[str], columns: dict) -> tuple[str
     for pos, nv in page_entries:
         buf += struct.pack("<qq", pos, nv)
     schema_proto = b"".join(
-        _enc_field(1, 2, _v1_field_proto(n, i, types[n]))
-        for i, n in enumerate(names)
+        _enc_field(1, 2, _v1_field_proto(n, fid, lt, parent))
+        for n, fid, parent, lt, _vals in specs
     )
     schema_pos = len(buf)
     buf += struct.pack("<I", len(schema_proto)) + schema_proto
@@ -964,15 +1066,16 @@ def _write_v1_data_file(root: str, names: list[str], columns: dict) -> tuple[str
 
 
 def _write_v1_manifest(
-    root: str, names: list[str],
+    root: str,
+    field_specs: list[tuple],  # (name, fid, parent_fid, ltype)
     fragments: list[tuple[int, str, int]],  # (id, file, rows)
     version: int,
-    types: dict[str, str] | None = None,
 ) -> None:
+    field_ids = [sp[1] for sp in field_specs]
     frag_protos = b""
     for fid, file_name, n_rows in fragments:
         datafile = _enc_field(1, 2, file_name.encode()) + _enc_field(
-            2, 2, b"".join(_enc_varint(i) for i in range(len(names)))
+            2, 2, b"".join(_enc_varint(i) for i in field_ids)
         )
         frag = b""
         if fid:
@@ -981,11 +1084,8 @@ def _write_v1_manifest(
         frag_protos += _enc_field(2, 2, frag)
     manifest = (
         b"".join(
-            _enc_field(
-                1, 2,
-                _v1_field_proto(n, i, (types or {}).get(n, "int64")),
-            )
-            for i, n in enumerate(names)
+            _enc_field(1, 2, _v1_field_proto(n, fid, lt, parent))
+            for n, fid, parent, lt in field_specs
         )
         + frag_protos
         + _enc_field(3, 0, version)
@@ -1009,10 +1109,10 @@ def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
     writer is the lance SDK's job, not this seam's."""
     if not columns:
         raise LanceNativeError("need at least one column")
-    names = list(columns)
-    file_name, n_rows = _write_v1_data_file(root, names, columns)
-    types = {n: _infer_v1_type(columns[n]) for n in names}
-    _write_v1_manifest(root, names, [(0, file_name, n_rows)], 1, types)
+    specs = _v1_field_specs(list(columns), columns)
+    file_name, n_rows = _write_v1_data_file(root, specs)
+    _write_v1_manifest(
+        root, [sp[:4] for sp in specs], [(0, file_name, n_rows)], 1)
 
 
 def append_native_rows(root: str, columns: dict[str, list[int]]) -> int:
@@ -1026,20 +1126,21 @@ def append_native_rows(root: str, columns: dict[str, list[int]]) -> int:
         raise LanceNativeError(
             f"append schema {list(columns)} != dataset schema {names}"
         )
-    types = {f.name: f.logical_type for f in m.top_level_fields()}
-    for n in names:
-        inferred = _infer_v1_type(columns[n])
-        if inferred != types[n]:
-            raise LanceNativeError(
-                f"append type mismatch for {n!r}: {inferred} != {types[n]}"
-            )
-    file_name, n_rows = _write_v1_data_file(root, names, columns)
+    specs = _v1_field_specs(names, columns)
+    existing = [(f.name, f.id, _signed(f.parent_id), f.logical_type)
+                for f in m.fields]
+    got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
+    if got != existing:
+        raise LanceNativeError(
+            f"append field/type mismatch: {got} != dataset fields {existing}"
+        )
+    file_name, n_rows = _write_v1_data_file(root, specs)
     frags = [
         (f.id, f.files[0].path, f.physical_rows) for f in m.fragments
     ]
     next_id = max((f.id for f in m.fragments), default=-1) + 1
     frags.append((next_id, file_name, n_rows))
-    _write_v1_manifest(root, names, frags, m.version + 1, types)
+    _write_v1_manifest(root, [sp[:4] for sp in specs], frags, m.version + 1)
     return m.version + 1
 
 
@@ -1089,6 +1190,16 @@ def native_spark_schema(manifest: NativeManifest):
             if inner is None:
                 raise LanceNativeError(f"unmapped fsl item type {item_t!r}")
             return T.ArrayType(inner)
+        if lt == "struct":
+            kids = [
+                k for k in manifest.fields if _signed(k.parent_id) == f.id
+            ]
+            if not kids:
+                raise LanceNativeError(
+                    f"struct field {f.name!r} has no children")
+            return T.StructType([
+                T.StructField(k.name, spark_type(k), True) for k in kids
+            ])
         raise LanceNativeError(f"unmapped lance logical type {lt!r}")
 
     def _child_field_of(parent: NativeField) -> NativeField:

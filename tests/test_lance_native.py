@@ -540,3 +540,56 @@ def test_native_vector_index_round_trip(tmp_path):
                           kind="stable")[:7].tolist()
         assert r["neighbors"] == true
         assert r["distances"][0] == 0.0  # the query IS row qi
+
+
+def test_native_struct_column_round_trip_and_spark_projection(tmp_path, spark):
+    """FIXTURES.md §6: a struct (ROW) column round-trips through the v1
+    writer/reader with NULL-struct masking (parent validity page; a NULL
+    struct nulls every leaf — the reference's ancestor-null rule,
+    LanceArrowToPageScanner.java:302-342), and nested field projection
+    works through the Spark datasource."""
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset, LanceNativeError, append_native_rows,
+        write_native_dataset)
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "struct.lance")
+    write_native_dataset(root, {
+        "id": [1, 2, 3],
+        "metadata": [
+            {"name": "alice", "value": 10},
+            {"name": "bob", "value": 20},
+            None,
+        ],
+    })
+    ds = LanceNativeDataset(root)
+    t = ds.to_arrow()
+    assert t.column("metadata").to_pylist() == [
+        {"name": "alice", "value": 10},
+        {"name": "bob", "value": 20},
+        None,
+    ]
+    # appends re-derive the SAME nested field ids or refuse
+    append_native_rows(root, {
+        "id": [4], "metadata": [{"name": "carol", "value": 40}]})
+    assert LanceNativeDataset(root).count_rows() == 4
+
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    assert df.schema["metadata"].dataType.typeName() == "struct"
+    got = sorted(
+        (r.id, r.name) for r in
+        df.selectExpr("id", "metadata.name AS name").collect()
+    )
+    assert got == [(1, "alice"), (2, "bob"), (3, None), (4, "carol")]
+    vals = {r.id: r.v for r in
+            df.selectExpr("id", "metadata.value AS v").collect()}
+    assert vals == {1: 10, 2: 20, 3: None, 4: 40}
+
+    # leaf nulls inside a NON-null struct are refused loudly, not zeroed
+    import pytest as _pytest
+
+    with _pytest.raises(LanceNativeError, match="NULL child"):
+        write_native_dataset(str(tmp_path / "bad.lance"), {
+            "id": [1], "m": [{"name": None}]})
