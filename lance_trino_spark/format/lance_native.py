@@ -1065,6 +1065,77 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
     return file_name, n_rows
 
 
+def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
+    """One Lance FILE-v2 data file (footer 0.3 — the format current Lance
+    SDKs produce and the fixtures test_table5 / wide_types_table carry):
+    one plain page per column, column-metadata protos, the 16-byte-entry
+    column-metadata offset table, and the 40-byte footer. Buffer layouts
+    mirror exactly what _v2_read_column decodes: flat fixed-width scalars,
+    bitpacked bools never written (no bool inference), var-width
+    string/binary as [end-offsets i64][payload] buffer pairs, and
+    fixed_size_list<float> as one flat f4 buffer. No global buffers are
+    emitted (the dataset manifest carries the schema; a file-level schema
+    copy is optional for readers that resolve columns positionally, as
+    this repo's does). Struct stays v1-writer-only."""
+    import uuid as _uuid
+
+    import numpy as np
+
+    n_rows = len(specs[0][4])
+    if any(len(sp[4]) != n_rows for sp in specs):
+        raise LanceNativeError("ragged columns")
+    buf = bytearray()
+    col_pages = []
+    for _name, _fid, _parent, lt, vals in specs:
+        if lt == "struct":
+            raise LanceNativeError(
+                "struct columns are v1-writer-only (no v2 struct layout "
+                "is decoded either)")
+        if lt == "int64":
+            bufs = [np.asarray(vals, dtype="<i8").tobytes()]
+        elif lt == "double":
+            bufs = [np.asarray(vals, dtype="<f8").tobytes()]
+        elif lt in ("string", "binary"):
+            raw = [
+                v.encode() if isinstance(v, str) else bytes(v) for v in vals
+            ]
+            ends = np.cumsum([len(b) for b in raw], dtype="<i8")
+            bufs = [ends.tobytes(), b"".join(raw)]
+        elif lt.startswith("fixed_size_list:"):
+            bufs = [np.asarray(
+                [x for row in vals for x in row], dtype="<f4").tobytes()]
+        else:
+            raise LanceNativeError(f"v2 writer does not emit {lt!r}")
+        offsets, sizes = [], []
+        for b in bufs:
+            offsets.append(len(buf))
+            sizes.append(len(b))
+            buf += b
+        col_pages.append((offsets, sizes))
+    cms = len(buf)
+    entries = []
+    for offsets, sizes in col_pages:
+        page = (
+            _enc_field(1, 2, b"".join(_enc_varint(o) for o in offsets))
+            + _enc_field(2, 2, b"".join(_enc_varint(x) for x in sizes))
+            + _enc_field(3, 0, n_rows)
+        )
+        colmeta = _enc_field(2, 2, page)
+        entries.append((len(buf), len(colmeta)))
+        buf += colmeta
+    cmos = len(buf)
+    for pos, size in entries:
+        buf += struct.pack("<QQ", pos, size)
+    gbos = len(buf)
+    buf += struct.pack(
+        "<QQQIIHH", cms, cmos, gbos, 0, len(specs), 0, 3) + b"LANC"
+    file_name = f"{_uuid.uuid4()}.lance"
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    with open(os.path.join(root, "data", file_name), "wb") as fh:
+        fh.write(bytes(buf))
+    return file_name, n_rows
+
+
 def _write_v1_manifest(
     root: str,
     field_specs: list[tuple],  # (name, fid, parent_fid, ltype)
@@ -1098,7 +1169,9 @@ def _write_v1_manifest(
             fh.write(blob)
 
 
-def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
+def write_native_dataset(
+    root: str, columns: dict[str, list[int]], file_version: int = 1
+) -> None:
     """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
     one fragment, one data file, plain int64 columns) that lance 0.10-era
     readers — and `LanceNativeDataset` — can open. The mirror image of the
@@ -1110,12 +1183,15 @@ def write_native_dataset(root: str, columns: dict[str, list[int]]) -> None:
     if not columns:
         raise LanceNativeError("need at least one column")
     specs = _v1_field_specs(list(columns), columns)
-    file_name, n_rows = _write_v1_data_file(root, specs)
+    writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
+    file_name, n_rows = writer(root, specs)
     _write_v1_manifest(
         root, [sp[:4] for sp in specs], [(0, file_name, n_rows)], 1)
 
 
-def append_native_rows(root: str, columns: dict[str, list[int]]) -> int:
+def append_native_rows(
+    root: str, columns: dict[str, list[int]], file_version: int = 1
+) -> int:
     """Append one fragment to a (writer-produced) native dataset as a new
     committed version; returns the new version number. Column names must
     match the existing schema. Exists so streaming/time-travel tests can
@@ -1134,7 +1210,8 @@ def append_native_rows(root: str, columns: dict[str, list[int]]) -> int:
         raise LanceNativeError(
             f"append field/type mismatch: {got} != dataset fields {existing}"
         )
-    file_name, n_rows = _write_v1_data_file(root, specs)
+    writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
+    file_name, n_rows = writer(root, specs)
     frags = [
         (f.id, f.files[0].path, f.physical_rows) for f in m.fragments
     ]
