@@ -1340,7 +1340,9 @@ class LanceDataset:
         if column not in registered:
             raise ValueError(f"no vector index on column {column!r}")
         id_columns = list(id_columns or [])
-        rows = queries.select("query_id", column).collect()
+        # limit BEFORE collect: the refusal below must not first pull an
+        # unbounded query set onto the driver
+        rows = queries.select("query_id", column).limit(max_queries + 1).collect()
         if len(rows) > max_queries:
             raise ValueError(
                 f"query set ({len(rows)}) exceeds max_queries ({max_queries}) "

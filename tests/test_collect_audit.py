@@ -1,0 +1,104 @@
+"""Driver-collect ceiling audit (VERDICT r6 #8).
+
+Every `.collect()` / `.toPandas()` in the operator/format/streaming
+modules must be either (a) syntactically bounded by a `.limit(...)` in the
+same call chain, or (b) allowlisted here with a written reason for why its
+cardinality is bounded. A new operator that silently adds an unbounded
+driver collect fails this test — the same spirit as the plan-audit gate.
+
+The allowlist is keyed (module-relative path, enclosing function name):
+line numbers churn, function names do not.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "lance_trino_spark")
+SCOPES = ("operators", "format", "streaming")
+
+# (relpath, enclosing function) -> documented bound
+ALLOWLIST: dict[tuple[str, str], str] = {
+    ("operators/dml.py", "_collect_deletions"):
+        "matched (fragment, row-index-set) agg rows — one row per touched "
+        "fragment; dml.delete switches to copy-on-write above "
+        "cow_threshold_rows so the set stays bounded",
+    ("format/dataset.py", "_zorder_column"):
+        "single agg row of per-column min/max bounds",
+    ("format/fragments.py", "stage_via_tasks"):
+        "one report row per written fragment file (mapInArrow commit "
+        "reports — the coordinator role the reference's finishInsert plays)",
+    ("format/namespace.py", "_props"):
+        "DESCRIBE DATABASE EXTENDED output — a handful of metadata rows",
+    ("streaming/events.py", "run_to_memory"):
+        "bounded memory-sink result of the micro-batch harness",
+    ("streaming/events.py", "run_to_memory_counted"):
+        "bounded memory-sink result of the counted micro-batch harness",
+    ("streaming/events.py", "cdc_upsert_stream"):
+        "bounded per-suite sink materialized to detach from scratch dir",
+}
+
+
+def _chain_has_limit(call: ast.Call) -> bool:
+    """True when the receiver chain of x.y(...).collect() contains a
+    .limit(...) / .head(n) call."""
+    node = call.func.value  # the receiver of .collect
+    while True:
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Attribute) and f.attr in ("limit", "head"):
+                return True
+            node = f.value if isinstance(f, ast.Attribute) else None
+        elif isinstance(node, ast.Attribute):
+            node = node.value
+        else:
+            return False
+        if node is None:
+            return False
+
+
+def _enclosing_function(tree: ast.AST, lineno: int) -> str:
+    best = "<module>"
+    best_line = -1
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if node.lineno <= lineno and node.lineno > best_line:
+                end = getattr(node, "end_lineno", None)
+                if end is None or end >= lineno:
+                    best = node.name
+                    best_line = node.lineno
+    return best
+
+
+def test_no_unbounded_driver_collects():
+    offenders = []
+    used_keys = set()
+    for scope in SCOPES:
+        base = os.path.join(PKG, scope)
+        for fn in sorted(os.listdir(base)):
+            if not fn.endswith(".py"):
+                continue
+            rel = f"{scope}/{fn}"
+            src = open(os.path.join(base, fn)).read()
+            tree = ast.parse(src)
+            for node in ast.walk(tree):
+                if not (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr in ("collect", "toPandas",
+                                               "collectAsList")):
+                    continue
+                if _chain_has_limit(node):
+                    continue
+                key = (rel, _enclosing_function(tree, node.lineno))
+                if key in ALLOWLIST:
+                    used_keys.add(key)
+                    continue
+                offenders.append(f"{rel}:{node.lineno} in {key[1]}()")
+    assert not offenders, (
+        "unbounded driver collect(s) found — bound them with .limit(...) "
+        "or allowlist with a written reason:\n  " + "\n  ".join(offenders)
+    )
+    stale = set(ALLOWLIST) - used_keys
+    assert not stale, f"allowlist entries no longer match any code: {stale}"
