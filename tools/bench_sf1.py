@@ -35,10 +35,109 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings")
 
 
+def jvm_dml_anchor(sf_dir: str) -> None:
+    """JVM-catalog DML at sf1 (VERDICT r6 #7): MoR DELETE + DV-bearing
+    6M-row scan + SupportsDelta UPDATE write-amplification rows, single
+    run each (DML mutates state; the relational anchor carries the
+    noise-band method). DuckDB column: the same statement on a duckdb
+    table loaded from the same parquet."""
+    import shutil
+
+    import duckdb
+
+    from lance_trino_spark.format.dataset import LanceDataset
+    from lance_trino_spark.format.manifest import latest_version, read_manifest
+    from lance_trino_spark.session import get_spark
+
+    spark = get_spark("bench-sf1-dml")
+    root = os.path.join(REPO, ".scratch", "sf1-jvm-dml")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "bench"))
+    tbl = os.path.join(root, "bench", "lineitem.lance")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    t0 = time.time()
+    LanceDataset.create(tbl, li, max_rows_per_file=1_000_000)
+    t_create = time.time() - t0
+    jar = os.path.join(REPO, "jvm", "lance-jvm-catalog.jar")
+    spark.sql(f"ADD JAR {jar}")
+    spark.conf.set("spark.sql.catalog.lance_b", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_b.root", root)
+    rows = []
+
+    def run(name, sql_spark, duck_sql, con):
+        t0 = time.time()
+        spark.sql(sql_spark)
+        ts = time.time() - t0
+        t0 = time.time()
+        con.execute(duck_sql)
+        td = time.time() - t0
+        rows.append((name, ts, td))
+        print(json.dumps({"anchor": name, "spark_sec": round(ts, 3),
+                          "duck_sec": round(td, 3)}))
+
+    li_src = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(li_src):
+        li_src = os.path.join(li_src, "*.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE li AS SELECT * FROM read_parquet('{li_src}')")
+
+    n0 = spark.sql("SELECT COUNT(*) FROM lance_b.bench.lineitem").collect()[0][0]
+    run("delete_1pct_mor",
+        "DELETE FROM lance_b.bench.lineitem WHERE l_orderkey % 100 = 0",
+        "DELETE FROM li WHERE l_orderkey % 100 = 0", con)
+    # DV-bearing full scan (the executor-side bitmap path)
+    t0 = time.time()
+    n1 = spark.sql(
+        "SELECT COUNT(*), SUM(l_quantity) FROM lance_b.bench.lineitem "
+        "WHERE l_shipdate IS NOT NULL").collect()[0][0]
+    ts = time.time() - t0
+    t0 = time.time()
+    con.execute("SELECT COUNT(*), SUM(l_quantity) FROM li "
+                "WHERE l_shipdate IS NOT NULL").fetchall()
+    td = time.time() - t0
+    rows.append(("scan_with_dv_6m", ts, td))
+    print(json.dumps({"anchor": "scan_with_dv_6m", "rows": int(n1),
+                      "spark_sec": round(ts, 3), "duck_sec": round(td, 3)}))
+    run("update_1row_mor",
+        "UPDATE lance_b.bench.lineitem SET l_tax = 0.5 "
+        "WHERE l_orderkey = 1 AND l_linenumber = 1",
+        "UPDATE li SET l_tax = 0.5 "
+        "WHERE l_orderkey = 1 AND l_linenumber = 1", con)
+    run("update_1pct_mor",
+        "UPDATE lance_b.bench.lineitem SET l_discount = 0.0 "
+        "WHERE l_orderkey % 100 = 1",
+        "UPDATE li SET l_discount = 0.0 WHERE l_orderkey % 100 = 1", con)
+    # write-amplification proof: no original fragment was rewritten
+    m = read_manifest(tbl, latest_version(tbl))
+    n_frag = len(m.fragments)
+    dv_rows = sum(f.deletion.num_deleted for f in m.fragments if f.deletion)
+    lines = [
+        "",
+        f"## sf1 JVM DML anchor ({time.strftime('%Y-%m-%d %H:%M')}, "
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], single-run; "
+        f"6M-row lineitem, create {t_create:.1f}s, start {n0} rows; "
+        f"post-DML: {n_frag} fragments, {dv_rows} DV entries — no fragment "
+        "rewritten)",
+        "",
+        "| anchor | spark (s) | duckdb (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, ts, td in rows:
+        lines.append(f"| {name} | {ts:.3f} | {td:.3f} | "
+                     f"{(ts / td if td else 0):.1f}x |")
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH_SF1.md"), "a") as f:
+        f.write("\n".join(lines))
+    spark.stop()
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, ".scratch", "sf1"
-    )
+    args = [a for a in sys.argv[1:] if a != "--jvm-dml"]
+    sf_dir = args[0] if args else os.path.join(REPO, ".scratch", "sf1")
+    if "--jvm-dml" in sys.argv:
+        jvm_dml_anchor(sf_dir)
+        return
     import duckdb
 
     from lance_trino_spark.session import get_spark
