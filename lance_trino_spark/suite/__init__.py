@@ -76,65 +76,14 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 6 window. Front: the four queries added this round (lf15
-    # native pushdown, cat18 JVM COW update/merge, e16 attribution, t20
-    # boilerplate), then t15 (the one r5 hash-red row — root cause was
-    # the oracle's HUGEINT dtype, now CAST to BIGINT), then the 7 queries
-    # whose latest driver row is round 2 (stalest), then the r3-latest
-    # cohort (45). The driver's 50-row prefix covers through the first 38
-    # of the r3 cohort; the tail leads the round-7 window. The
-    # r4/r5-latest cohorts (98 queries) stay locally gated by
-    # tools/check_correctness.py.
-    "lf15_native_pushdown_scan",
-    "cat18_jvm_native_update_merge",
-    "e16_last_touch_attribution",
-    "t20_boilerplate_by_source",
-    "lf16_native_vector_ann",
-    "t21_pipeline_funnel",
-    "cat19_jvm_row_address",
-    "cat20_jvm_count_star",
-    "d09_url_dedup",
-    "t15_rare_ngram_novelty",
-    "t01_token_stats",
-    "t02_language_id",
-    "t03_quality_scores",
-    "t04_fingerprints",
-    "t06_stratified_sample",
-    "t07_pii_redaction",
-    "t08_document_chunking",
-    "cat01_sql_ddl_time_travel",
-    "cat02_sql_dml",
-    "cat03_count_star_manifest",
-    "cat04_sql_merge",
-    "cat05_sql_maintenance",
-    "cat06_sql_clustered_optimize",
-    "cat07_stats_broadcast_join",
-    "cat08_sql_zorder_optimize",
-    "ds01_datasource_scan_pushdown",
-    "ds02_datasource_write_commit",
-    "ds03_streaming_ingest",
-    "ds04_limit_coalesced_scan",
-    "ds05_nested_projection",
-    "ds06_zonemap_pruned_scan",
-    "ds07_stream_source_tail",
-    "e05_json_props_stats",
-    "e06_retention_cohorts",
-    "e09_range_join",
-    "e10_funnel_sequence",
-    "lf03_mor_delete",
-    "lf04_update",
-    "lf05_merge",
-    "lf06_count_star_fast_path",
-    "lf07_timestamp_time_travel",
-    "lf09_merge_conditional_clauses",
-    "lf10_compaction",
-    "lf11_row_address_column",
-    "m04_image_resize",
-    "m05_audio_frame_energy",
-    "q32_pivot_priority_by_year",
-    "q33_discrete_quantiles",
-    "s05_int8_quantization",
-    "s07_quantized_topk",
+    # --- round 7 window. Front: the query added this round (lf17
+    # persisted native vector index), then the 12 r3-latest stale queries
+    # (st01-st07, t10-t14 — the driver's 50-row prefix missed them in r6),
+    # then the 48-query r4-latest cohort sorted by name. The driver's
+    # 50-row prefix covers lf17 + all 12 r3-stale + the first 37 of the r4
+    # cohort; the r4 tail leads the round-8 window. r5/r6-latest cohorts
+    # (99 queries) stay locally gated by tools/check_correctness.py.
+    "lf17_native_persisted_index_ann",
     "st01_stream_hourly_stats",
     "st02_stream_session_window",
     "st03_stream_stateful_user_stats",
@@ -147,6 +96,54 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t12_source_mix_weights",
     "t13_sequence_packing",
     "t14_link_density",
+    "cat09_namespace_modes",
+    "cat10_jvm_catalog",
+    "cat11_rest_namespace",
+    "cat12_sql_vector_search",
+    "cat13_sql_restore",
+    "cat14_version_tags",
+    "cat15_metastore_namespace",
+    "d07_cross_source_duplicates",
+    "d08_semantic_dedup",
+    "ds08_scalar_index_point_lookup",
+    "ds09_stream_cdc_source",
+    "e07_asof_join",
+    "e08_kmv_distinct_sketch",
+    "e11_cms_heavy_hitters",
+    "e12_hll_distinct_sketch",
+    "e13_hll_register_merge",
+    "e14_rolling_hll_uniques",
+    "e15_quantile_sketch",
+    "lf01_roundtrip_scan",
+    "lf02_time_travel",
+    "lf12_schema_evolution",
+    "lf13_table_changes",
+    "m01_image_decode",
+    "m02_frame_sampling",
+    "m03_blob_columns",
+    "m06_multimodal_ann",
+    "q34_window_analytics",
+    "q35_grouping_sets",
+    "q36_lateral_explode",
+    "q37_recursive_cte",
+    "q38_range_frame_rolling",
+    "q39_not_in_null_semantics",
+    "s01_cosine_topk",
+    "s02_bucketed_ann_topk",
+    "s04_ivf_trained_topk",
+    "s06_bm25_topk",
+    "s08_two_stage_prefix_rerank",
+    "s09_persisted_ivf_index",
+    "s10_filtered_vector_search",
+    "s11_hnsw_index",
+    "st08_watermark_late_drop",
+    "st09_stream_hll_registers",
+    "st10_stream_vector_ingest",
+    "t05_contamination",
+    "t09_repetition_stats",
+    "t16_corpus_token_histogram",
+    "t17_vocab_stats_by_source",
+    "t18_url_domain_stats",
 )
 
 
