@@ -541,3 +541,58 @@ def url_dedup(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 25,
+) -> DataFrame:
+    """Passage-level (sub-document) deduplication — the RefinedWeb/CCNet
+    recipe step that removes repeated boilerplate PASSAGES across a corpus
+    rather than whole near-duplicate documents: each document is chunked
+    into non-overlapping ``window``-word passages, passages are exact-
+    deduped globally (first occurrence by (doc id, passage index) wins),
+    and each document reports how much of it survives.
+
+    Returns one row per document: n_passages, n_kept, retained (double in
+    [0,1]). A wholly-duplicated document retains 0.0; boilerplate-heavy
+    documents retain partially — the signal a pipeline thresholds on.
+
+    Scale shape: split + posexplode is a narrow projection (passage rows ~
+    corpus words / window); the global dedup is ONE window function over a
+    shuffle by passage hash (heavy-hitter passages — boilerplate — are
+    exactly the interesting keys, and a window over hash is a single
+    partial-aggregatable exchange, never an all-pairs join); the per-doc
+    rollup is one more groupBy. All JVM-side built-ins, no UDFs."""
+    from pyspark.sql.window import Window as W
+
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    )
+    passages = words.select(
+        id_col,
+        F.posexplode(F.expr(
+            "transform("
+            f"sequence(0L, CAST(ceil(size(w) / {window}.0) AS BIGINT) - 1), "
+            f"i -> concat_ws(' ', slice(w, int(i) * {window} + 1, {window})))"
+        )).alias("chunk_idx", "passage"),
+    ).withColumn("phash", F.md5(F.col("passage")))
+    first = W.partitionBy("phash").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    marked = passages.withColumn(
+        "kept", (F.row_number().over(first) == 1).cast("long")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .withColumn(
+            "retained",
+            F.col("n_kept").cast("double") / F.col("n_passages").cast("double"),
+        )
+    )

@@ -76,14 +76,19 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 7 window. Front: the query added this round (lf17
-    # persisted native vector index), then the 12 r3-latest stale queries
+    # --- round 7 window. Front: the four queries added this round (lf17
+    # persisted native vector index, cat21 subquery DELETE via MoR delta,
+    # lf18 FILE-v2 write+scan, d10 passage dedup), then the 12 r3-latest
+    # stale queries
     # (st01-st07, t10-t14 — the driver's 50-row prefix missed them in r6),
     # then the 48-query r4-latest cohort sorted by name. The driver's
-    # 50-row prefix covers lf17 + all 12 r3-stale + the first 37 of the r4
-    # cohort; the r4 tail leads the round-8 window. r5/r6-latest cohorts
-    # (99 queries) stay locally gated by tools/check_correctness.py.
+    # 50-row prefix covers the 4 new + all 12 r3-stale + the first 34 of
+    # the r4 cohort; the r4 tail leads the round-8 window. r5/r6-latest
+    # cohorts (99 queries) stay locally gated by tools/check_correctness.py.
     "lf17_native_persisted_index_ann",
+    "cat21_jvm_subquery_delete",
+    "lf18_native_v2_file_scan",
+    "d10_passage_dedup",
     "st01_stream_hourly_stats",
     "st02_stream_session_window",
     "st03_stream_stateful_user_stats",

@@ -1112,3 +1112,78 @@ def cat20(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(before, after, filtered)],
         "before_delete long, after_delete long, filtered_scan long",
     )
+
+
+# ---------------------------------------------------------------------------
+# cat21 — DELETE with an IN-subquery through the JVM catalog: the
+# predicate has no V2 rendering, so the metadata path (SupportsDeleteV2
+# canDeleteWhere) refuses and Spark's row-level rewrite plans the
+# statement as a delete-only MoR WriteDelta over the $row_address rowId —
+# matched rows become per-fragment deletion-vector entries, no data file
+# is rewritten (asserted on the manifest). This is the delta-path DELETE
+# the reference serves through DELETE_ROW_AND_INSERT_ROW
+# (`LanceMetadata.java:1116-1271`); before SupportsDelta landed, this
+# statement errored out.
+# ---------------------------------------------------------------------------
+@register(
+    "cat21_jvm_subquery_delete",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+    FROM orders o
+    WHERE o.o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    doc="catalog: DELETE ... WHERE IN (subquery) via the JVM catalog — "
+        "MoR delta DVs, no fragment rewrite, metadata path refused",
+    tags=("catalog", "jvm", "dml", "delete", "mor"),
+)
+def cat21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat21-sqdel")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "sales"))
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    tbl = os.path.join(root, "sales", "orders.lance")
+    ds = LanceDataset.create(tbl, orders)
+    paths_before = {f.id: f.path for f in ds.manifest.fragments}
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_sq", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_sq.root", root)
+    load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey").createOrReplaceTempView("_cat21_kill")
+    spark.sql(
+        "DELETE FROM lance_jvm_sq.sales.orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM _cat21_kill)"
+    )
+    after = LanceDataset.open(tbl)
+    if after.manifest.operation != "update":
+        raise AssertionError(
+            f"subquery DELETE was not a MoR delta: {after.manifest.operation}"
+        )
+    after_paths = {f.id: f.path for f in after.manifest.fragments}
+    rewritten = {
+        fid for fid, p in after_paths.items()
+        if paths_before.get(fid) not in (None, p)
+    }
+    if rewritten:
+        raise AssertionError(f"MoR DELETE rewrote fragments {sorted(rewritten)}")
+    return spark.sql(
+        "SELECT o_orderpriority AS priority, COUNT(*) AS n,"
+        "       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c "
+        "FROM lance_jvm_sq.sales.orders "
+        "GROUP BY o_orderpriority ORDER BY priority"
+    )

@@ -27,6 +27,7 @@ from ..operators.dedup import (
     shingle_hashes,
     simhash_near_dup_pairs,
     simhash_signatures,
+    passage_dedup,
 )
 from ..tables import load_table
 from . import register
@@ -540,3 +541,41 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return url_dedup(docs).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# d10 — passage-level (sub-document) dedup: the RefinedWeb/CCNet pipeline
+# step that strips REPEATED PASSAGES across the corpus instead of whole
+# near-duplicate documents. Documents chunk into non-overlapping 25-word
+# passages; passages exact-dedup globally (first (doc_id, chunk) wins);
+# each document reports its retained fraction — the threshold signal a
+# boilerplate filter consumes. One narrow posexplode, ONE shuffle keyed by
+# passage, one per-doc rollup; no UDF, no all-pairs step.
+# ---------------------------------------------------------------------------
+@register(
+    "d10_passage_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+             array_to_string(w[t.i*25+1 : t.i*25+25], ' ') AS passage
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+           CAST(ceil(len(w)/25.0) AS BIGINT) - 1)) AS i) t
+    ),
+    m AS (SELECT doc_id, chunk_idx,
+            CASE WHEN ROW_NUMBER() OVER (PARTITION BY passage
+                 ORDER BY doc_id, chunk_idx) = 1 THEN 1 ELSE 0 END AS kept
+          FROM c)
+    SELECT doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS retained
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="dedup: passage-level (25-word window) corpus dedup with per-doc "
+        "retained fraction — the sub-document boilerplate-strip recipe",
+    tags=("dedup", "passage", "pipeline"),
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, "doc_id", "text", window=25).orderBy("doc_id")

@@ -871,3 +871,76 @@ def lf17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, n_ann long, exact_when_all_cells boolean, "
         "bounded_when_probed boolean",
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# lf18 — FILE-v2 data files through the full engine path: the dataset's
+# fragments are written in the MODERN Lance file layout (40-byte footer
+# 0.3, column-metadata offset tables, [end-offsets][payload] var-width
+# buffer pairs — the format current Lance SDKs produce and the
+# test_table5 / wide_types fixtures carry), one fragment per writer call,
+# then scanned back fragment-parallel via format("lance") and aggregated.
+# Gates that the v2 WRITE slice (new this round) round-trips through the
+# same per-file-footer dispatch that reads the SDK fixtures — not just
+# through unit tests. Reference: FIXTURES.md §5, LanceArrowToPageScanner.
+# ---------------------------------------------------------------------------
+@register(
+    "lf18_native_v2_file_scan",
+    oracle="""
+    SELECT substr(p_name, 1, 6) AS name6,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_c,
+           MIN(p_partkey) AS min_key
+    FROM part
+    WHERE p_partkey <= 400
+    GROUP BY substr(p_name, 1, 6)
+    ORDER BY name6
+    """,
+    doc="format: FILE-v2 (footer 0.3) data files written and scanned back "
+        "through format(\"lance\") — modern-layout round-trip in-engine",
+    tags=("format", "interop", "lance-native", "v2"),
+)
+def lf18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        LanceNativeDataset, append_native_rows, write_native_dataset)
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf18-native-v2")
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 400)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+        .collect()
+    )
+    half = len(rows) // 2
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "p_partkey": [int(r["p_partkey"]) for r in rs],
+        "p_name": [str(r["p_name"]) for r in rs],
+        "p_retailprice": [float(r["p_retailprice"]) for r in rs],
+    }
+    write_native_dataset(path, cols(rows[:half]), file_version=2)
+    append_native_rows(path, cols(rows[half:]), file_version=2)
+    ds = LanceNativeDataset(path)
+    assert ds.count_rows() == len(rows)
+    # the data files on disk really are FILE-v2 (footer 0.3)
+    import glob
+    import struct as _struct
+
+    for f in glob.glob(os.path.join(path, "data", "*.lance")):
+        raw = open(f, "rb").read()
+        ver = _struct.unpack_from("<HH", raw, len(raw) - 8)
+        if ver != (0, 3):
+            raise AssertionError(f"{f} is not FILE-v2: footer {ver}")
+    register_lance_datasource(spark)
+    native = spark.read.format("lance").load(path)
+    return (
+        native.groupBy(F.substring("p_name", 1, 6).alias("name6"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long"))
+            .alias("price_c"),
+            F.min("p_partkey").alias("min_key"),
+        )
+        .orderBy("name6")
+    )
