@@ -122,6 +122,11 @@ DEFAULT_QUERIES = [
     "cat19_jvm_row_address",
     "cat20_jvm_count_star",
     "d09_url_dedup",
+    # round 7 additions
+    "lf17_native_persisted_index_ann",
+    "lf18_native_v2_file_scan",
+    "cat21_jvm_subquery_delete",
+    "d10_passage_dedup",
 ]
 
 
