@@ -1177,3 +1177,92 @@ def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t22 — bigram-coverage LM quality proxy (the CCNet recipe, engine-exact):
+# train a tiny "language model" = the top-K corpus bigrams (count desc,
+# bigram asc — fully deterministic), then score every document by what
+# fraction of ITS bigrams the model covers. Low coverage ⇒ out-of-domain
+# or noisy text — the quality-filter signal CCNet thresholds with a real
+# LM, reproduced here with exact integer counts so two engines agree
+# bit-for-bit (no floating logprob sums, which are summation-order
+# dependent). Scale shape: ONE bigram-count shuffle + a window for the
+# top-K + a BROADCAST of the K-row model back onto the corpus + one
+# per-source rollup. No UDFs.
+# ---------------------------------------------------------------------------
+@register(
+    "t22_bigram_coverage",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    bg AS (
+      SELECT doc_id, source, w[t.i] || ' ' || w[t.i + 1] AS bg
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+      WHERE len(w) >= 2
+    ),
+    model AS (
+      SELECT bg FROM (
+        SELECT bg, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bg ASC) AS rk
+        FROM bg GROUP BY bg) WHERE rk <= 2000
+    ),
+    scored AS (
+      SELECT b.doc_id, b.source,
+             COUNT(*) AS n_bg,
+             SUM(CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+      FROM bg b LEFT JOIN model m ON b.bg = m.bg
+      GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_in) AS BIGINT) AS n_covered,
+           CAST(SUM(n_in) AS DOUBLE) / SUM(n_bg) AS coverage
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="text: bigram-coverage LM quality proxy (top-2000 corpus bigram "
+        "model, exact integer coverage per source — the CCNet filter shape)",
+    tags=("text", "quality", "lm", "pipeline"),
+)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    bg = w.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[int(i)], ' ', w[int(i) + 1]))"
+        )).alias("bg"),
+    )
+    # orderBy + limit plans as TakeOrderedAndProject — a DISTRIBUTED
+    # per-partition top-K + driver merge, not the single-task global sort
+    # a row_number window would be; ties break on the bigram string so the
+    # model set is deterministic in both engines
+    model = (
+        bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bg").asc())
+        .limit(2000)
+        .select("bg", F.lit(1).alias("in_model"))
+    )
+    scored = (
+        bg.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bg"),
+            F.sum(F.coalesce("in_model", F.lit(0))).alias("n_in"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bg").alias("n_bigrams"),
+            F.sum("n_in").alias("n_covered"),
+            (F.sum("n_in").cast("double") / F.sum("n_bg")).alias("coverage"),
+        )
+        .orderBy("source")
+    )
