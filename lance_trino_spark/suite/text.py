@@ -1230,12 +1230,16 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", "source", F.split("text", " ").alias("w")
-    ).filter(F.size("w") >= 2)
+    )
+    # the <2-word guard lives INSIDE the expression (empty array -> zero
+    # exploded rows), not as a Filter node the scan can't push
     bg = w.select(
         "doc_id", "source",
         F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
             "transform(sequence(0, size(w) - 2), "
-            "i -> concat(w[int(i)], ' ', w[int(i) + 1]))"
+            "i -> concat(w[int(i)], ' ', w[int(i) + 1])) "
+            "ELSE array() END"
         )).alias("bg"),
     )
     # orderBy + limit plans as TakeOrderedAndProject — a DISTRIBUTED
