@@ -524,3 +524,72 @@ def binary_topk(
         .withColumn("cosine", dot_product("cv", "qv") / (F.col("cn") * F.col("qn")))
     )
     return _rank_topk(rescored, k)
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    pool: int = 40,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval — the
+    dedup-aware retrieval recipe (Carbonell & Goldstein 1998) an eval-set
+    or RAG-context builder uses so the k results aren't k near-copies:
+    greedily pick argmax over ``lam * rel(q, d) - (1 - lam) * max_sim(d,
+    selected)``, seeded with the single most relevant candidate.
+
+    Two stages, both distributed where it matters:
+      1. candidate pool = exact cosine top-``pool`` per query
+         (`cosine_topk` — corpus never moves, broadcast-guarded queries);
+      2. MMR selection runs per query over its TINY pool (``pool`` rows x
+         dim floats) via applyInPandas — Arrow-batched, one group per
+         query, O(pool^2) pairwise sims inside the group only. No
+         all-pairs step ever touches the corpus.
+
+    Output: (query_id, neighbor_id, mmr_rank 1..k, cosine). Deterministic:
+    float ties break on neighbor_id ascending."""
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    pooled = cand.join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "nv"
+    )
+
+    def _select(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf["nv"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["cosine"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = [0]  # seed: most relevant candidate
+        max_sim = unit @ unit[0]
+        while len(selected) < min(k, n):
+            score = lam * rel - (1.0 - lam) * max_sim
+            score[selected] = -np.inf
+            # argmax with neighbor_id ascending tie-break
+            best = np.lexsort((ids, -score))[0]
+            selected.append(int(best))
+            max_sim = np.maximum(max_sim, unit @ unit[int(best)])
+        return pd.DataFrame({
+            "query_id": pdf["query_id"].iloc[selected].to_numpy(),
+            "neighbor_id": ids[selected],
+            "mmr_rank": np.arange(1, len(selected) + 1),
+            "cosine": rel[selected],
+        })
+
+    return pooled.groupBy("query_id").applyInPandas(
+        _select,
+        "query_id long, neighbor_id long, mmr_rank int, cosine double",
+    )

@@ -687,3 +687,102 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ann",
         (F.avg("recall").over(W.partitionBy(F.lit(1))) >= 0.4).alias("mean_ok"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# s13 — MMR diversified retrieval (Carbonell & Goldstein 1998): the
+# dedup-aware retrieval shape an eval-set / RAG-context builder needs so
+# its k results aren't k near-copies. Two distributed stages: exact
+# cosine top-40 candidate pool per query (corpus never moves), then
+# per-query Arrow-batched MMR selection over the tiny pool
+# (operators/similarity.mmr_topk; numpy-reference-pinned in
+# tests/test_vector.py). Self-validating like s09: the emitted booleans
+# assert (a) k rows selected, (b) the seed equals the exact top-1,
+# (c) every selection came from the pool, (d) the MMR set's max pairwise
+# cosine does not exceed the plain top-k set's (diversity not worse) —
+# the oracle value-checks all four.
+# ---------------------------------------------------------------------------
+@register(
+    "s13_mmr_diversified_topk",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(8 AS BIGINT) AS n_selected,
+           TRUE AS first_is_top1,
+           TRUE AS all_from_pool,
+           TRUE AS diversity_not_worse
+    FROM embeddings WHERE vec_id < 10
+    ORDER BY query_id
+    """,
+    doc="similarity: MMR diversified top-k (pool -> per-query Arrow-batched "
+        "greedy selection), self-validating vs the exact baseline",
+    tags=("similarity", "ann", "mmr", "diversity", "pipeline"),
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pool = cosine_topk(emb, queries, k=40).select(
+        "query_id", "neighbor_id", F.col("rank").alias("pool_rank")
+    )
+    mmr = mmr_topk(emb, queries, k=8, pool=40, lam=0.7)
+
+    def max_pairwise(sel: DataFrame) -> DataFrame:
+        """Max pairwise cosine inside each query's selected set (8x8 rows
+        per query — bounded)."""
+        v = emb.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
+        a = sel.join(v, "neighbor_id").select(
+            "query_id", F.col("neighbor_id").alias("ia"),
+            F.col("embedding").alias("va"),
+        )
+        b = sel.join(v, "neighbor_id").select(
+            "query_id", F.col("neighbor_id").alias("ib"),
+            F.col("embedding").alias("vb"),
+        )
+        from ..operators.similarity import dot_product, l2_norm
+
+        pairs = a.join(b, "query_id").filter(F.col("ia") < F.col("ib"))
+        return pairs.select(
+            "query_id",
+            (dot_product("va", "vb") / (l2_norm("va") * l2_norm("vb")))
+            .alias("sim"),
+        ).groupBy("query_id").agg(F.max("sim").alias("max_sim"))
+
+    plain = cosine_topk(emb, queries, k=8).select("query_id", "neighbor_id")
+    mmr_div = max_pairwise(mmr.select("query_id", "neighbor_id"))
+    plain_div = max_pairwise(plain)
+
+    top1 = pool.filter(F.col("pool_rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("top1_id")
+    )
+    checks = (
+        mmr.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.min(F.when(F.col("mmr_rank") == 1, F.col("neighbor_id")))
+            .alias("seed_id"),
+        )
+        .join(top1, "query_id")
+        .join(
+            mmr.join(pool, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                (F.sum(F.when(F.col("pool_rank").isNull(), 1).otherwise(0))
+                 == 0).alias("all_from_pool")
+            ),
+            "query_id",
+        )
+        .join(mmr_div, "query_id")
+        .join(plain_div, "query_id")
+        .select(
+            "query_id",
+            "n_selected",
+            (F.col("seed_id") == F.col("top1_id")).alias("first_is_top1"),
+            "all_from_pool",
+            (F.col("max_sim") <= F.col("plain_div.max_sim") + F.lit(1e-12))
+            .alias("diversity_not_worse"),
+        )
+    )
+    return checks.orderBy("query_id")

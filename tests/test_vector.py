@@ -76,3 +76,58 @@ def test_vector_append_enforced(spark, scratch_dir):
     assert ds.count_rows() == 60
     with pytest.raises(Exception, match="dimension 4"):
         ds.append(_vec_df(spark, dim=3, n=5))
+
+
+def test_mmr_topk_matches_numpy_reference(spark):
+    """mmr_topk's distributed two-stage plan (exact top-pool, per-query
+    Arrow-batched MMR) must reproduce a straight numpy MMR over the full
+    corpus exactly — same selections, same order — and actually diversify
+    (the MMR set's max pairwise cosine must not exceed the plain top-k
+    set's)."""
+    import numpy as np
+
+    from lance_trino_spark.operators.similarity import cosine_topk, mmr_topk
+
+    rng = np.random.default_rng(11)
+    n, dim, k, pool, lam = 80, 12, 6, 30, 0.7
+    base = rng.normal(size=(n // 4, dim))
+    # clustered corpus: near-duplicate groups make diversity measurable
+    vecs = np.concatenate([
+        base + rng.normal(0, 0.05, size=(n // 4, dim)) for _ in range(4)
+    ])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id < 3")
+    got = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in mmr_topk(corpus, queries, k=k, pool=pool, lam=lam).collect()
+    }
+
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    for q in range(3):
+        sims = unit @ unit[q]
+        cand = np.lexsort((np.arange(n), -sims))
+        cand = [c for c in cand if c != q][:pool]
+        rel = sims[np.array(cand)]
+        ids = np.array(cand)
+        selected = [0]
+        max_sim = unit[ids] @ unit[ids[0]]
+        while len(selected) < k:
+            score = lam * rel - (1 - lam) * max_sim
+            score[selected] = -np.inf
+            best = int(np.lexsort((ids, -score))[0])
+            selected.append(best)
+            max_sim = np.maximum(max_sim, unit[ids] @ unit[ids[best]])
+        expect = ids[selected]
+        for rank, nid in enumerate(expect, start=1):
+            assert got[(q, rank)] == nid, (q, rank, got[(q, rank)], nid)
+        # diversity: MMR's max pairwise sim <= plain top-k's
+        plain = ids[:k]
+        def max_pair(sel):
+            u = unit[np.array(sel)]
+            s = u @ u.T
+            np.fill_diagonal(s, -1)
+            return s.max()
+        assert max_pair(expect) <= max_pair(plain) + 1e-12
