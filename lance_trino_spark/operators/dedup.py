@@ -561,13 +561,18 @@ def passage_dedup(
     documents retain partially — the signal a pipeline thresholds on.
 
     Scale shape: split + posexplode is a narrow projection (passage rows ~
-    corpus words / window); the global dedup is ONE window function over a
-    shuffle by passage hash (heavy-hitter passages — boilerplate — are
-    exactly the interesting keys, and a window over hash is a single
-    partial-aggregatable exchange, never an all-pairs join); the per-doc
-    rollup is one more groupBy. All JVM-side built-ins, no UDFs."""
-    from pyspark.sql.window import Window as W
-
+    corpus words / window); the global dedup is a ``groupBy(phash).agg(
+    min(struct(doc_id, chunk_idx)))`` — a hash aggregate with MAP-SIDE
+    partial aggregation, so every occurrence of a heavy-hitter passage
+    (boilerplate IS the hot key — a cookie banner in 10% of a 100 TB
+    corpus) collapses to one row per task before the exchange. This
+    replaces an earlier ``row_number() OVER (PARTITION BY phash)`` window,
+    which funnelled all occurrences of the hottest passage into a single
+    reducer task; a window function cannot partially aggregate. No join
+    back by phash either (that shuffle re-skews): winners are attributed
+    to their first-occurrence DOCUMENT and counted per doc, then joined
+    to the per-doc passage counts on the doc id — a uniformly-distributed
+    key. All JVM-side built-ins, no UDFs."""
     words = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("w")
     )
@@ -579,20 +584,30 @@ def passage_dedup(
             f"i -> concat_ws(' ', slice(w, int(i) * {window} + 1, {window})))"
         )).alias("chunk_idx", "passage"),
     ).withColumn("phash", F.md5(F.col("passage")))
-    first = W.partitionBy("phash").orderBy(
-        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    # First occurrence per passage = min (doc id, chunk idx) — struct min
+    # orders lexicographically, matching the old window's ORDER BY. The
+    # aggregate is partial-aggregatable (partial_min in the plan), so the
+    # hottest boilerplate passage never lands in one task: every task
+    # pre-collapses its local occurrences before the exchange.
+    winners = passages.groupBy("phash").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("first_occ")
     )
-    marked = passages.withColumn(
-        "kept", (F.row_number().over(first) == 1).cast("long")
+    # One winner row per DISTINCT passage; count them per first-occurrence
+    # document. n_kept(D) = #distinct passages whose global first
+    # occurrence lies in D — identical to summing the old window's
+    # row_number()==1 marks per doc.
+    kept_per_doc = winners.groupBy(
+        F.col(f"first_occ.{id_col}").alias(id_col)
+    ).agg(F.count("*").alias("n_kept"))
+    totals = passages.groupBy(id_col).agg(
+        F.count("*").alias("n_passages")
     )
     return (
-        marked.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_passages"),
-            F.sum("kept").alias("n_kept"),
-        )
+        totals.join(kept_per_doc, id_col, "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
         .withColumn(
             "retained",
             F.col("n_kept").cast("double") / F.col("n_passages").cast("double"),
         )
+        .select(id_col, "n_passages", "n_kept", "retained")
     )

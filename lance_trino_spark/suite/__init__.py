@@ -76,65 +76,21 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 7 window. Front: the four queries added this round (lf17
-    # persisted native vector index, cat21 subquery DELETE via MoR delta,
-    # lf18 FILE-v2 write+scan, d10 passage dedup), then the 12 r3-latest
-    # stale queries
-    # (st01-st07, t10-t14 — the driver's 50-row prefix missed them in r6),
-    # then the 48-query r4-latest cohort sorted by name. The driver's
-    # 50-row prefix covers the 4 new + all 12 r3-stale + the first 34 of
-    # the r4 cohort; the r4 tail leads the round-8 window. r5/r6-latest
-    # cohorts (99 queries) stay locally gated by tools/check_correctness.py.
-    "lf17_native_persisted_index_ann",
+    # --- round 8 window. Front: never-checked/red, then queries whose
+    # code was rewritten since their last check (rotation rule: changed
+    # code outranks staleness), then the 14 r4-latest stale, then the
+    # r5-latest cohort sorted by name. The driver's 50-row prefix covers
+    # the 9 front + 14 r4 + first 27 of the r5 cohort; the r5 tail
+    # leads the round-9 window.
+    "s13_mmr_diversified_topk",
+    "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",
     "lf18_native_v2_file_scan",
+    "cat16_jvm_native_delete",
+    "cat18_jvm_native_update_merge",
+    "cat19_jvm_row_address",
+    "cat20_jvm_count_star",
     "d10_passage_dedup",
-    "st01_stream_hourly_stats",
-    "st02_stream_session_window",
-    "st03_stream_stateful_user_stats",
-    "st04_stream_dedup",
-    "st05_stream_stream_join",
-    "st06_stream_cdc_upsert",
-    "st07_stream_multibatch_state",
-    "t10_gopher_quality_filter",
-    "t11_accent_fold",
-    "t12_source_mix_weights",
-    "t13_sequence_packing",
-    "t14_link_density",
-    "cat09_namespace_modes",
-    "cat10_jvm_catalog",
-    "cat11_rest_namespace",
-    "cat12_sql_vector_search",
-    "cat13_sql_restore",
-    "cat14_version_tags",
-    "cat15_metastore_namespace",
-    "d07_cross_source_duplicates",
-    "d08_semantic_dedup",
-    "ds08_scalar_index_point_lookup",
-    "ds09_stream_cdc_source",
-    "e07_asof_join",
-    "e08_kmv_distinct_sketch",
-    "e11_cms_heavy_hitters",
-    "e12_hll_distinct_sketch",
-    "e13_hll_register_merge",
-    "e14_rolling_hll_uniques",
-    "e15_quantile_sketch",
-    "lf01_roundtrip_scan",
-    "lf02_time_travel",
-    "lf12_schema_evolution",
-    "lf13_table_changes",
-    "m01_image_decode",
-    "m02_frame_sampling",
-    "m03_blob_columns",
-    "m06_multimodal_ann",
-    "q34_window_analytics",
-    "q35_grouping_sets",
-    "q36_lateral_explode",
-    "q37_recursive_cte",
-    "q38_range_frame_rolling",
-    "q39_not_in_null_semantics",
-    "s01_cosine_topk",
-    "s02_bucketed_ann_topk",
     "s04_ivf_trained_topk",
     "s06_bm25_topk",
     "s08_two_stage_prefix_rerank",
@@ -149,6 +105,54 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t16_corpus_token_histogram",
     "t17_vocab_stats_by_source",
     "t18_url_domain_stats",
+    "cat17_jvm_native_insert",
+    "d01_exact_dedup",
+    "d02_minhash_lsh_dedup",
+    "d03_simhash_near_dup",
+    "d04_ngram_jaccard",
+    "d05_dedup_clusters",
+    "d06_quality_keep_best",
+    "e01_hourly_event_stats",
+    "e02_sessionization",
+    "e03_funnel_conversion",
+    "e04_top_purchasers",
+    "lf08_wide_types_roundtrip",
+    "lf14_native_lance_interop",
+    "q01_pricing_summary",
+    "q02_topk_open_orders",
+    "q03_shipping_priority",
+    "q04_order_priority_check",
+    "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_classes",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q23_setops_customer_cohorts",
+    "q24_window_running_revenue",
+    "q25_top_orders_per_segment",
+    "q26_rollup_sales",
+    "q27_pagination",
+    "q28_distinct_pairs",
+    "q29_cte_nation_stats",
+    "q30_full_outer_activity",
+    "q31_cube_order_stats",
+    "s03_embedding_neardup",
+    "s12_binary_quantization",
+    "st11_native_stream_tail",
+    "t19_temperature_mix",
 )
 
 

@@ -1130,7 +1130,7 @@ def cat20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority AS priority,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
     FROM orders o
     WHERE o.o_custkey NOT IN (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

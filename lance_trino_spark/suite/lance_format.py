@@ -889,7 +889,7 @@ def lf17(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT substr(p_name, 1, 6) AS name6,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_c,
+           CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c,
            MIN(p_partkey) AS min_key
     FROM part
     WHERE p_partkey <= 400

@@ -43,3 +43,31 @@ def test_registry_integrity():
     assert len(set(qs)) == len(qs)
     for q in qs.values():
         assert callable(q.build) and q.doc
+
+
+def test_no_oracle_returns_hugeint():
+    """DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders as
+    float64 — the driver's value-hash then diverges from Spark's exact
+    integers even when every value is correct. This bit the corpus three
+    times (t15 r4-r5, cat21+lf18 r7). Binding each oracle (relation
+    .types — no execution) and refusing HUGEINT/UHUGEINT output columns
+    makes the class structurally impossible: any aggregate that widens
+    must carry an outer CAST."""
+    from check_correctness import duck_connection
+
+    from lance_trino_spark.suite import all_queries
+
+    con = duck_connection(SF_DIR)
+    offenders = []
+    for name, q in all_queries().items():
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if "HUGEINT" in t:  # covers HUGEINT and UHUGEINT
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        "oracle columns reach pandas as float64 (add an outer CAST):\n"
+        + "\n".join(offenders)
+    )

@@ -122,6 +122,11 @@ SUITE_AUDIT_ALLOW = {
     "t16_corpus_token_histogram": ("BroadcastNestedLoopJoin", "PushedFilters"),
     # same InferFiltersFromGenerate-derived filter as t16
     "t17_vocab_stats_by_source": "PushedFilters",
+    # s13 embeds the exact-baseline pool builder (cosine_topk — the
+    # sanctioned guarded-broadcast crossJoin as s01); the MMR selection
+    # itself is per-query applyInPandas over 40-row pools, and the
+    # greedy-optimality recheck is bounded equi-joins (pool x k per query)
+    "s13_mmr_diversified_topk": "BroadcastNestedLoopJoin",
     # t19: one-row corpus-total aggregate crossJoin'd onto #strata rows —
     # the identical sanctioned scalar-broadcast shape as t12 (the strata
     # count is bounded by #distinct sources, never row-scale)
