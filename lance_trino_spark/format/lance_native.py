@@ -726,10 +726,16 @@ def read_native_fragment(
     columns: list[str] | None = None,
     filter_expr=None,
     filter_cols: list[str] | None = None,
+    preselected=None,
 ):
     """One fragment as a pyarrow Table: per-column page reads from the
     FIRST file carrying each field (file_for_field's resolution, pinned
     by the reference fixtures), deletion mask applied.
+
+    ``preselected`` (sorted int64 physical row indices, e.g. from a
+    scalar-index lookup) restricts EVERY decode — including the filter
+    columns — to those rows before anything else runs; ``filter_expr``
+    still applies on top as the exactness-preserving residual.
 
     With ``filter_expr`` (a pyarrow dataset Expression over the columns
     named in ``filter_cols``) the read is LATE-MATERIALIZED: only the
@@ -759,6 +765,10 @@ def read_native_fragment(
         )
     else:
         live = None  # all rows — decode whole pages, no take
+    if preselected is not None:
+        pre = np.asarray(preselected, dtype=np.int64)
+        live = pre if live is None else np.intersect1d(
+            live, pre, assume_unique=True)
 
     def _decode(nf: NativeField, idx):
         dfile, col_idx = frag.file_for_field(nf.id)
@@ -962,7 +972,11 @@ def _v1_field_specs(names: list[str], columns: dict) -> list[tuple]:
             continue
         parent_fid = fid
         fid += 1
-        proto_row = next(v for v in vals if v is not None)
+        proto_row = next((v for v in vals if v is not None), None)
+        if proto_row is None:
+            raise LanceNativeError(
+                f"struct column {n!r} has no non-null rows to derive "
+                "fields from")
         child_names = list(proto_row)
         if not child_names:
             raise LanceNativeError(f"struct column {n!r} has no fields")
@@ -1455,7 +1469,10 @@ def list_native_vector_indices(root: str) -> list[NativeVectorIndex]:
     for d in sorted(os.listdir(idx_dir)):
         p = os.path.join(idx_dir, d, "index.idx")
         if os.path.isfile(p):
-            out.append(read_native_vector_index(p))
+            try:
+                out.append(read_native_vector_index(p))
+            except LanceNativeError:
+                continue  # scalar (btree) sidecar — listed separately
     out.sort(key=lambda i: i.dataset_version)
     return out
 
@@ -1483,15 +1500,24 @@ def native_index_search(
     nprobe: int = 1,
     manifest: NativeManifest | None = None,
     max_candidates: int = 200_000,
+    refine_factor: int | None = None,
 ):
     """ANN over a persisted `.lance` vector index: per query, probe the
     ``nprobe`` nearest IVF cells (L2 to centroids), range-read ONLY those
-    partitions of index.idx, compute residual-PQ approximate L2 via
-    per-sub-vector lookup tables, then REFINE the probed candidates with
-    exact vectors late-materialized from the dataset (read_file_column at
-    candidate row indices only). Returns a list of dicts with exact-L2
-    top-k plus access-path proof fields (cells_probed, n_candidates,
+    partitions of index.idx, then REFINE candidates with exact vectors
+    late-materialized from the dataset (read_file_column at candidate row
+    indices only). Returns a list of dicts with exact-L2 top-k plus
+    access-path proof fields (cells_probed, n_candidates, n_refined,
     index_bytes_read).
+
+    ``refine_factor``: with None (default) every probed candidate is
+    exactly refined — refine cost is bounded only by the probed
+    partitions, and the result is order-exact within them (the lf17 pin).
+    With an int, a residual-PQ lookup-table pass first SHORTLISTS the
+    ``k * refine_factor`` best candidates by approximate L2 and only the
+    shortlist is refined — the SDK's refine_factor knob; approximate by
+    nature (PQ misranking beyond the shortlist can drop a true
+    neighbor), so recall-checked rather than order-pinned.
 
     Scale shape: candidate count is bounded by the probed partitions (loud
     ``max_candidates`` cap, mirroring the repo's own-format nprobe-bounded
@@ -1527,13 +1553,20 @@ def native_index_search(
                 part_cache[cell] = _read_index_partition(index, cell)
             codes, rids = part_cache[cell]
             bytes_read += index.part_lengths[cell] * (nsub + 8)
-            # residual-PQ lookup table for this cell: [nsub, 256]
-            resid = (qv - index.centroids[cell]).reshape(nsub, 1, subdim)
-            lut = ((cb - resid) ** 2).sum(axis=2)
-            d = lut[np.arange(nsub)[:, None], codes.T].sum(axis=0)
             cand_rids.append(rids)
-            cand_dist.append(d)
+            if refine_factor is not None:
+                # residual-PQ lookup table for this cell: [nsub, 256]
+                resid = (qv - index.centroids[cell]).reshape(nsub, 1, subdim)
+                lut = ((cb - resid) ** 2).sum(axis=2)
+                d = lut[np.arange(nsub)[:, None], codes.T].sum(axis=0)
+                cand_dist.append(d)
         rids = np.concatenate(cand_rids)
+        n_candidates = len(rids)
+        if refine_factor is not None and len(rids) > k * refine_factor:
+            approx = np.concatenate(cand_dist)
+            keep = np.argpartition(approx, k * refine_factor - 1)[
+                : k * refine_factor]
+            rids = rids[keep]
         if len(rids) > max_candidates:
             raise LanceNativeError(
                 f"index search would refine {len(rids)} candidates "
@@ -1571,7 +1604,8 @@ def native_index_search(
             "neighbors": [int(r) for r in rids[top]],
             "distances": [float(x) for x in exact[top]],
             "cells_probed": int(nprobe),
-            "n_candidates": int(len(rids)),
+            "n_candidates": int(n_candidates),
+            "n_refined": int(len(rids)),
             "index_bytes_read": int(bytes_read),
         })
     return results
@@ -1728,3 +1762,380 @@ def write_native_vector_index(
     with open(os.path.join(d, "index.idx"), "wb") as fh:
         fh.write(blob)
     return uid
+
+
+# ---------------------------------------------------------------------------
+# Scalar (btree) index: `_indices/<uuid>/index.idx`
+#
+# The reference turns scalar-index consumption on for EVERY scan
+# (`LanceFragmentPageSource.java:126` useScalarIndex(true);
+# docs/src/performance.md: "Lance will automatically use scalar indexes
+# (btree, bitmap) if they cover the filter columns") and delegates the
+# byte format to the Lance SDK. NO public fixture ships a scalar index —
+# both test_table4 sidecars are `vector_idx` on column `vector` (verified
+# by proto dump of their trailing Index messages) — so the layout below is
+# repo-defined, kept to the SAME container conventions as the vector
+# sidecars this module already round-trips (page bodies at offset 0,
+# trailing Index proto with name/column/dataset_version, v1 file trailer
+# [metadata_pos:u64][0:u16][1:u16]"LANC").
+#
+#   index.idx = [page 0 body][page 1 body]... [len:u32][Index proto]
+#               [metadata_pos:u64][0:u16][1:u16]"LANC"
+#
+#   page body  = [values block][row addresses: rows x u64 LE]
+#     values block: int64 -> <q LE; float64 -> <d LE;
+#                   string -> [u32 (rows+1) end-offsets][utf8 bytes]
+#     row address = fragment_id << 32 | row_index (RowAddress.java:22-43)
+#
+#   Index proto: 1=name 2=column 3=dataset_version 6=BTree
+#   BTree: 1=value kind (bytes: int64|float64|string)
+#          2=packed page byte offsets  3=packed page row counts
+#          4=fences block (page mins + global max, n_pages+1 values,
+#            same encoding as a values block)
+#          5=packed covered fragment ids (the SDK's fragment_bitmap role:
+#            fragments appended AFTER the build are not covered and must
+#            scan unindexed)
+#
+# Pages hold a GLOBALLY SORTED run of (value, row address) — NULLs are
+# excluded (SQL eq/range predicates never match NULL) — so any eq/IN/range
+# probe binary-searches the fences and range-reads ONLY overlapping page
+# bodies: a point lookup touches one page (+1 on a fence tie), never the
+# column. Scale shape: the BUILD here is a driver sort (fixture scale —
+# a production build is a distributed sort writing per-range pages, same
+# layout); CONSUMPTION is per-task bounded page reads, with only the
+# index path + predicate in the task closure (executor-side metadata
+# seek, mirroring the DV-bitmap lesson from LanceDvScan.java:106-155).
+# ---------------------------------------------------------------------------
+
+_SCALAR_KINDS = {
+    "int8": "int64", "int16": "int64", "int32": "int64", "int64": "int64",
+    "uint8": "int64", "uint16": "int64", "uint32": "int64",
+    "float": "float64", "double": "float64",
+    "string": "string", "large_string": "string",
+}
+
+
+def _enc_values_block(kind: str, values) -> bytes:
+    import numpy as np
+
+    if kind == "int64":
+        return np.asarray(values, dtype="<i8").tobytes()
+    if kind == "float64":
+        return np.asarray(values, dtype="<f8").tobytes()
+    bs = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
+    offs = [0]
+    for b in bs:
+        offs.append(offs[-1] + len(b))
+    import struct as _s
+    return b"".join(_s.pack("<I", o) for o in offs) + b"".join(bs)
+
+
+def _dec_values_block(kind: str, raw: bytes, n: int):
+    import numpy as np
+
+    if kind == "int64":
+        return np.frombuffer(raw, dtype="<i8", count=n)
+    if kind == "float64":
+        return np.frombuffer(raw, dtype="<f8", count=n)
+    offs = np.frombuffer(raw, dtype="<u4", count=n + 1)
+    base = 4 * (n + 1)
+    return [
+        raw[base + offs[i]: base + offs[i + 1]].decode()
+        for i in range(n)
+    ]
+
+
+@dataclass
+class NativeScalarIndex:
+    path: str
+    name: str
+    column: str
+    dataset_version: int
+    kind: str                   # int64 | float64 | string
+    page_offsets: list[int]     # byte offsets of page bodies
+    page_rows: list[int]        # rows per page
+    body_len: int               # total page-body bytes (= metadata_pos)
+    fences: list                # page mins + global max (n_pages + 1)
+    covered_fragments: frozenset
+
+    @property
+    def n_pages(self) -> int:
+        return len(self.page_rows)
+
+    @property
+    def n_rows(self) -> int:
+        return sum(self.page_rows)
+
+
+def write_native_scalar_index(
+    root: str, column: str, page_rows: int = 4096
+) -> str:
+    """Build and persist a btree scalar index over ``column`` of a native
+    `.lance` dataset (layout documented above). Returns the index uuid.
+    Deleted rows ARE indexed (the DV is applied at scan time by the
+    live-row intersection, exactly as the unindexed path does) so the
+    index stays valid as deletion vectors evolve."""
+    import uuid as uuidlib
+
+    import numpy as np
+
+    manifest = read_native_manifest(root)
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column), None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column {column!r}")
+    kind = _SCALAR_KINDS.get(nfield.logical_type)
+    if kind is None:
+        raise LanceNativeError(
+            f"column {column!r} type {nfield.logical_type!r} is not "
+            "scalar-indexable (int/float/string only)")
+    vals_all, addr_all = [], []
+    for frag in manifest.fragments:
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
+            len(arr), dtype=np.uint64)
+        mask = np.asarray(arr.is_valid())
+        if kind == "string":
+            py = arr.to_pylist()
+            vals_all.extend(v for v, m in zip(py, mask) if m)
+        else:
+            npk = "<i8" if kind == "int64" else "<f8"
+            vals_all.append(np.asarray(
+                arr.cast("int64" if kind == "int64" else "float64")
+                .to_numpy(zero_copy_only=False), dtype=npk)[mask])
+        addr_all.append(addr[mask])
+    addrs = (np.concatenate(addr_all) if addr_all
+             else np.empty(0, dtype=np.uint64))
+    if kind == "string":
+        vals = vals_all
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], addrs[i]))
+        svals = [vals[i] for i in order]
+        saddr = addrs[np.asarray(order, dtype=np.int64)] if len(order) \
+            else addrs
+    else:
+        vals = (np.concatenate(vals_all) if vals_all
+                else np.empty(0, dtype="<i8" if kind == "int64" else "<f8"))
+        order = np.lexsort((addrs, vals))
+        svals = vals[order]
+        saddr = addrs[order]
+
+    body = bytearray()
+    offsets, counts, fences = [], [], []
+    n = len(saddr)
+    for start in range(0, n, page_rows):
+        end = min(start + page_rows, n)
+        offsets.append(len(body))
+        counts.append(end - start)
+        fences.append(svals[start])
+        body += _enc_values_block(kind, svals[start:end])
+        body += np.asarray(saddr[start:end], dtype="<u8").tobytes()
+    if n:
+        fences.append(svals[n - 1])  # global max
+    btree = (
+        _enc_field(1, 2, kind.encode())
+        + _enc_field(2, 2, b"".join(_enc_varint(o) for o in offsets))
+        + _enc_field(3, 2, b"".join(_enc_varint(c) for c in counts))
+        + _enc_field(4, 2, _enc_values_block(kind, fences))
+        + _enc_field(5, 2, b"".join(
+            _enc_varint(f.id) for f in manifest.fragments))
+    )
+    meta = (
+        _enc_field(1, 2, f"{column}_btree_idx".encode())
+        + _enc_field(2, 2, column.encode())
+        + _enc_field(3, 0, manifest.version)
+        + _enc_field(6, 2, btree)
+    )
+    uid = str(uuidlib.uuid4())
+    d = os.path.join(root, "_indices", uid)
+    os.makedirs(d, exist_ok=True)
+    meta_pos = len(body)
+    blob = bytes(body) + struct.pack("<I", len(meta)) + meta
+    blob += struct.pack("<QHH", meta_pos, 0, 1) + b"LANC"
+    with open(os.path.join(d, "index.idx"), "wb") as fh:
+        fh.write(blob)
+    return uid
+
+
+def read_native_scalar_index(path: str) -> NativeScalarIndex:
+    """Parse one scalar index sidecar — METADATA ONLY (footer seek + proto;
+    page bodies are range-read later, per probe)."""
+    with open(path, "rb") as fh:
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        fh.seek(fsize - 16)
+        tail = fh.read(16)
+        if tail[-4:] != b"LANC":
+            raise LanceNativeError(f"{path}: missing LANC footer magic")
+        pos = struct.unpack_from("<Q", tail, 0)[0]
+        fh.seek(pos)
+        metar = fh.read(fsize - pos)
+    ln = struct.unpack_from("<I", metar, 0)[0]
+    meta = metar[4:4 + ln]
+    name = column = None
+    dsver = 0
+    bt = None
+    for f, _wt, v in pb_items(meta):
+        if f == 1:
+            name = v.decode()
+        elif f == 2:
+            column = v.decode()
+        elif f == 3:
+            dsver = v
+        elif f == 6:
+            bt = v
+    if bt is None:
+        raise LanceNativeError(f"{path}: not a scalar (btree) index")
+    kind = None
+    offs = counts = covered = None
+    fences_raw = b""
+    for f, wt, v in pb_items(bt):
+        if f == 1:
+            kind = v.decode()
+        elif f == 2:
+            offs = _packed_varints(v) if wt == 2 else [v]
+        elif f == 3:
+            counts = _packed_varints(v) if wt == 2 else [v]
+        elif f == 4:
+            fences_raw = v
+        elif f == 5:
+            covered = _packed_varints(v) if wt == 2 else [v]
+    if kind not in ("int64", "float64", "string") or offs is None \
+            or counts is None or covered is None:
+        raise LanceNativeError(f"{path}: incomplete btree metadata")
+    n_pages = len(counts)
+    fences = (
+        list(_dec_values_block(kind, fences_raw, n_pages + 1))
+        if n_pages else []
+    )
+    return NativeScalarIndex(
+        path=path, name=name, column=column, dataset_version=dsver,
+        kind=kind, page_offsets=list(offs), page_rows=list(counts),
+        body_len=pos, fences=fences, covered_fragments=frozenset(covered),
+    )
+
+
+def list_native_scalar_indices(root: str) -> list[NativeScalarIndex]:
+    """Every parseable scalar-index sidecar under `_indices/`, sorted by
+    dataset_version ascending (latest covering index wins)."""
+    idx_dir = os.path.join(root, "_indices")
+    out = []
+    if not os.path.isdir(idx_dir):
+        return out
+    for d in sorted(os.listdir(idx_dir)):
+        p = os.path.join(idx_dir, d, "index.idx")
+        if os.path.isfile(p):
+            try:
+                out.append(read_native_scalar_index(p))
+            except LanceNativeError:
+                continue  # vector sidecar (or foreign) — not ours to read
+    out.sort(key=lambda i: i.dataset_version)
+    return out
+
+
+def scalar_index_lookup(
+    index: NativeScalarIndex,
+    eq_values=None,
+    lo=None,
+    hi=None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = True,
+):
+    """Row addresses matching an equality/IN set (``eq_values``) or a
+    range [lo, hi] on the indexed column, reading ONLY the page bodies
+    whose fence interval overlaps the probe. Returns
+    (dict fragment_id -> sorted np.int64 row indices, stats) where stats
+    carries the access-path proof: pages_read / n_pages / bytes_read.
+
+    Page selection is sound because the run is globally sorted: page i
+    spans [fences[i], fences[i+1]] (its max never exceeds the next page's
+    min... which is fences[i+1] for the last row tie), so a probe interval
+    selects a CONTIGUOUS page span via two binary searches."""
+    import bisect
+
+    import numpy as np
+
+    out: dict[int, list] = {}
+    stats = {"pages_read": 0, "n_pages": index.n_pages, "bytes_read": 0}
+    if index.n_pages == 0:
+        return {}, stats
+
+    def probe_intervals():
+        if eq_values is not None:
+            for v in eq_values:
+                yield v, v, True, True
+        else:
+            yield lo, hi, lo_inclusive, hi_inclusive
+
+    pages_needed = set()
+    intervals = list(probe_intervals())
+    fences = index.fences
+    n_pages = index.n_pages
+    for plo, phi, _li, _hi_inc in intervals:
+        # first page whose UPPER fence >= plo; last page whose LOWER
+        # fence <= phi. (None = unbounded side.)
+        first = 0 if plo is None else bisect.bisect_left(fences, plo, 1,
+                                                         n_pages + 1) - 1
+        last = n_pages - 1 if phi is None else (
+            bisect.bisect_right(fences, phi, 0, n_pages) - 1)
+        for pg in range(max(0, first), min(n_pages - 1, last) + 1):
+            pages_needed.add(pg)
+
+    page_cache: dict[int, tuple] = {}
+    with open(index.path, "rb") as fh:
+        for pg in sorted(pages_needed):
+            nrows = index.page_rows[pg]
+            if index.kind == "string":
+                # var-width values block length = offsets + payload: read to
+                # the next page boundary (or metadata) to cover it.
+                end = (index.page_offsets[pg + 1]
+                       if pg + 1 < n_pages else index.body_len)
+                fh.seek(index.page_offsets[pg])
+                raw = fh.read(end - index.page_offsets[pg])
+            else:
+                width = 8
+                fh.seek(index.page_offsets[pg])
+                raw = fh.read(nrows * width + nrows * 8)
+            vals = _dec_values_block(index.kind, raw, nrows)
+            vbytes = (
+                nrows * 8 if index.kind != "string"
+                else 4 * (nrows + 1) + 0
+            )
+            if index.kind == "string":
+                offs_arr = np.frombuffer(raw, dtype="<u4", count=nrows + 1)
+                vbytes = 4 * (nrows + 1) + int(offs_arr[-1])
+            addrs = np.frombuffer(
+                raw, dtype="<u8", count=nrows, offset=vbytes)
+            page_cache[pg] = (vals, addrs)
+            stats["pages_read"] += 1
+            stats["bytes_read"] += len(raw)
+
+    for plo, phi, li, hi_inc in intervals:
+        for pg in sorted(pages_needed):
+            vals, addrs = page_cache[pg]
+            va = np.asarray(vals) if index.kind != "string" else vals
+            if index.kind == "string":
+                sel = [
+                    i for i, v in enumerate(va)
+                    if (plo is None or (v > plo or (li and v == plo)))
+                    and (phi is None or (v < phi or (hi_inc and v == phi)))
+                ]
+                hit = addrs[np.asarray(sel, dtype=np.int64)] if sel \
+                    else addrs[:0]
+            else:
+                m = np.ones(len(va), dtype=bool)
+                if plo is not None:
+                    m &= (va >= plo) if li else (va > plo)
+                if phi is not None:
+                    m &= (va <= phi) if hi_inc else (va < phi)
+                hit = addrs[m]
+            for rid in hit:
+                rid = int(rid)
+                out.setdefault(rid >> 32, []).append(rid & 0xFFFFFFFF)
+    return (
+        {
+            fid: np.unique(np.asarray(rows, dtype=np.int64))
+            for fid, rows in out.items()
+        },
+        stats,
+    )

@@ -516,6 +516,11 @@ class LanceNativeScanReader(DataSourceReader):
             }
         )
         m = read_native_manifest(partition.root, partition.version)
+        pre = None
+        if self._pushed and str(
+            self._options.get("use_scalar_index", "true")
+        ).lower() != "false":
+            pre = self._scalar_index_preselect(partition, m)
         t = read_native_fragment(
             partition.root,
             m.fragments[partition.frag_index],
@@ -523,9 +528,98 @@ class LanceNativeScanReader(DataSourceReader):
             list(partition.columns) if partition.columns else None,
             filter_expr=expr,
             filter_cols=fcols or None,
+            preselected=pre,
         )
         out = conform_native_table(t, self._schema)
         return iter(out.to_batches(max_chunksize=8192))
+
+    def _scalar_index_preselect(self, partition, manifest):
+        """Scalar (btree) index consumption — A4's index half on the
+        native path (reference: `LanceFragmentPageSource.java:126`
+        useScalarIndex(true); docs/src/performance.md "Index Usage"):
+        when a pushed eq/IN/range filter lands on a column with a
+        persisted btree sidecar COVERING this fragment, resolve the
+        matching physical row set from the index's page-bounded lookup
+        and hand it to the fragment read as ``preselected`` — the filter
+        column then decodes only O(matches) values instead of every live
+        row. The index predicate stays in ``filter_expr`` as a residual
+        (exactness never rests on the sidecar), and the task closure
+        carries only the dataset path: index metadata is footer-seeked
+        executor-side, per task, like the DV bitmaps. Returns None
+        (no covering index / unsupported probe type) to fall back to the
+        plain late-materialized scan."""
+        import numpy as np
+
+        from ..format.lance_native import (
+            list_native_scalar_indices,
+            scalar_index_lookup,
+        )
+
+        frag = manifest.fragments[partition.frag_index]
+        probe_types = (
+            EqualTo, In, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual,
+        )
+        by_col: dict = {}
+        for f in self._pushed:
+            if isinstance(f, probe_types):
+                by_col.setdefault(f.attribute[0], []).append(f)
+        if not by_col:
+            return None
+        _KIND_OK = {
+            "int64": lambda v: isinstance(v, int) and not isinstance(v, bool),
+            "float64": lambda v: isinstance(v, (int, float))
+            and not isinstance(v, bool),
+            "string": lambda v: isinstance(v, str),
+        }
+        for idx in reversed(list_native_scalar_indices(partition.root)):
+            if idx.column not in by_col or frag.id not in idx.covered_fragments:
+                continue
+            ok = _KIND_OK[idx.kind]
+            eq_vals = None
+            lo = hi = None
+            lo_inc = hi_inc = True
+            usable = False
+            for f in by_col[idx.column]:
+                vals = (
+                    list(f.value) if isinstance(f, In) else [f.value]
+                )
+                if not all(ok(v) for v in vals):
+                    continue  # type-mismatched probe: leave to residual
+                if isinstance(f, EqualTo):
+                    eq_vals = (
+                        vals if eq_vals is None
+                        else [v for v in eq_vals if v == f.value]
+                    )
+                elif isinstance(f, In):
+                    eq_vals = (
+                        vals if eq_vals is None
+                        else [v for v in eq_vals if v in set(vals)]
+                    )
+                elif isinstance(f, GreaterThan):
+                    if lo is None or f.value >= lo:
+                        lo, lo_inc = f.value, False
+                elif isinstance(f, GreaterThanOrEqual):
+                    if lo is None or f.value > lo:
+                        lo, lo_inc = f.value, True
+                elif isinstance(f, LessThan):
+                    if hi is None or f.value <= hi:
+                        hi, hi_inc = f.value, False
+                elif isinstance(f, LessThanOrEqual):
+                    if hi is None or f.value < hi:
+                        hi, hi_inc = f.value, True
+                usable = True
+            if not usable:
+                continue
+            if eq_vals is not None:
+                rows, _stats = scalar_index_lookup(idx, eq_values=eq_vals)
+            else:
+                rows, _stats = scalar_index_lookup(
+                    idx, lo=lo, hi=hi,
+                    lo_inclusive=lo_inc, hi_inclusive=hi_inc,
+                )
+            return rows.get(frag.id, np.empty(0, dtype=np.int64))
+        return None
 
 
 class LanceNativeScanReaderPushdown(LanceNativeScanReader):

@@ -82,6 +82,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # r5-latest cohort sorted by name. The driver's 50-row prefix covers
     # the 9 front + 14 r4 + first 27 of the r5 cohort; the r5 tail
     # leads the round-9 window.
+    "lf19_native_scalar_index_scan",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",

@@ -944,3 +944,103 @@ def lf18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name6")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf19 — scalar (btree) index consumption on native `.lance` scans: the
+# reference switches useScalarIndex(true) on for EVERY fragment scan
+# (`LanceFragmentPageSource.java:126`; docs/src/performance.md "Lance
+# will automatically use scalar indexes (btree, bitmap) if they cover
+# the filter columns"). Here: the dataset's fragments are written
+# natively, a btree sidecar (`_indices/<uuid>/index.idx`,
+# format/lance_native.py write_native_scalar_index) is built over
+# p_partkey, and the format("lance") scan resolves the pushed range
+# predicate through page-bounded index lookups — the filter column
+# decodes O(matches) values, not every live row. Proof columns pin the
+# access path: idx_page_bounded (the probe read a strict subset of the
+# index pages) and matches_unindexed (row-identical to the
+# use_scalar_index=false scan).
+# ---------------------------------------------------------------------------
+@register(
+    "lf19_native_scalar_index_scan",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 10) AS name10,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+           TRUE AS idx_page_bounded,
+           TRUE AS matches_unindexed
+    FROM part
+    WHERE p_partkey BETWEEN 150 AND 250
+    ORDER BY p_partkey
+    """,
+    doc="format: btree scalar-index consumption on a native .lance scan — "
+        "pushed range filter resolved via page-bounded sidecar lookups",
+    tags=("format", "interop", "lance-native", "scalar-index"),
+)
+def lf19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        append_native_rows,
+        list_native_scalar_indices,
+        scalar_index_lookup,
+        write_native_dataset,
+        write_native_scalar_index,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf19-scalar-idx")
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "p_partkey": [int(r["p_partkey"]) for r in rs],
+        "p_name": [str(r["p_name"]) for r in rs],
+        "p_retailprice": [float(r["p_retailprice"]) for r in rs],
+    }
+    third = max(1, len(rows) // 3)
+    write_native_dataset(path, cols(rows[:third]))
+    append_native_rows(path, cols(rows[third:2 * third]))
+    append_native_rows(path, cols(rows[2 * third:]))
+    write_native_scalar_index(path, "p_partkey", page_rows=128)
+
+    # driver-side access-path proof: the probe touches a strict subset of
+    # the index pages (the same lookup the executor-side preselect runs)
+    idx = [
+        i for i in list_native_scalar_indices(path)
+        if i.column == "p_partkey"
+    ][-1]
+    _rows, st = scalar_index_lookup(idx, lo=150, hi=250)
+    page_bounded = bool(
+        0 < st["pages_read"] < st["n_pages"]
+        and sum(len(r) for r in _rows.values()) > 0
+    )
+
+    register_lance_datasource(spark)
+    cond = (F.col("p_partkey") >= 150) & (F.col("p_partkey") <= 250)
+    native = (
+        spark.read.format("lance").load(path)
+        .filter(cond)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    unindexed = (
+        spark.read.format("lance")
+        .option("use_scalar_index", "false").load(path)
+        .filter(cond)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    a = sorted(tuple(r) for r in native.collect())
+    b = sorted(tuple(r) for r in unindexed.collect())
+    matches = bool(a == b and len(a) > 0)
+    return (
+        native.select(
+            "p_partkey",
+            F.substring("p_name", 1, 10).alias("name10"),
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+            .alias("price_c"),
+            F.lit(page_bounded).alias("idx_page_bounded"),
+            F.lit(matches).alias("matches_unindexed"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -638,3 +638,153 @@ def test_v2_writer_round_trip_matches_v1(tmp_path):
     t = LanceNativeDataset(r2).to_arrow()
     assert t.column("id").to_pylist() == [1, 2, 3, 4]
     assert t.column("name").to_pylist() == ["alpha", "", "göttingen", "delta"]
+
+
+# --------------------------------------------------------------- scalar index
+def _build_scalar_ds(tmp_path):
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        write_native_dataset,
+    )
+
+    root = str(tmp_path / "scalar_ds")
+    n1, n2 = 5000, 3000
+    write_native_dataset(root, {
+        "k": list(range(n1)),
+        "name": [f"row-{i:05d}" for i in range(n1)],
+        "price": [i * 0.5 for i in range(n1)],
+    })
+    append_native_rows(root, {
+        "k": list(range(n1, n1 + n2)),
+        "name": [f"row-{i:05d}" for i in range(n1, n1 + n2)],
+        "price": [i * 0.5 for i in range(n1, n1 + n2)],
+    })
+    return root, n1 + n2
+
+
+def test_scalar_index_lookup_is_page_bounded(tmp_path):
+    """A point probe reads ONE page (+1 on a fence tie), never the column —
+    the useScalarIndex(true) page-skip the reference gets from the SDK
+    (`LanceFragmentPageSource.java:126`)."""
+    from lance_trino_spark.format.lance_native import (
+        list_native_scalar_indices,
+        scalar_index_lookup,
+        write_native_scalar_index,
+    )
+
+    root, total = _build_scalar_ds(tmp_path)
+    write_native_scalar_index(root, "k", page_rows=512)
+    idx = list_native_scalar_indices(root)[0]
+    assert idx.column == "k" and idx.kind == "int64"
+    assert idx.n_rows == total and idx.n_pages == (total + 511) // 512
+    rows, st = scalar_index_lookup(idx, eq_values=[7321])
+    assert {f: list(r) for f, r in rows.items()} == {1: [2321]}
+    assert st["pages_read"] <= 2 < st["n_pages"]
+    # range probe: contiguous page span only
+    rows, st = scalar_index_lookup(idx, lo=4990, hi=5010)
+    assert sum(len(r) for r in rows.values()) == 21
+    assert set(rows) == {0, 1}  # straddles the fragment boundary
+    assert st["pages_read"] <= 2
+    # unbounded side
+    rows, _ = scalar_index_lookup(idx, lo=7990, hi=None)
+    assert sum(len(r) for r in rows.values()) == 10
+
+
+def test_scalar_index_string_and_double(tmp_path):
+    from lance_trino_spark.format.lance_native import (
+        list_native_scalar_indices,
+        scalar_index_lookup,
+        write_native_scalar_index,
+    )
+
+    root, _ = _build_scalar_ds(tmp_path)
+    write_native_scalar_index(root, "name", page_rows=512)
+    write_native_scalar_index(root, "price", page_rows=512)
+    by_col = {
+        i.column: i for i in list_native_scalar_indices(root)
+    }
+    rows, st = scalar_index_lookup(by_col["name"], eq_values=["row-00042"])
+    assert {f: list(r) for f, r in rows.items()} == {0: [42]}
+    assert st["pages_read"] <= 2
+    rows, _ = scalar_index_lookup(by_col["price"], lo=100.0, hi=101.0)
+    assert sum(len(r) for r in rows.values()) == 3  # 100.0, 100.5, 101.0
+
+
+def test_scalar_index_spark_scan_parity_and_fallbacks(tmp_path, spark):
+    """format("lance") consumes the index transparently; results are
+    IDENTICAL with the index disabled; fragments appended AFTER the build
+    are not covered and scan unindexed (the SDK fragment_bitmap rule)."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        write_native_scalar_index,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root, total = _build_scalar_ds(tmp_path)
+    write_native_scalar_index(root, "k", page_rows=512)
+    # a fragment the index does NOT cover
+    append_native_rows(root, {
+        "k": [90001, 90002],
+        "name": ["late-1", "late-2"],
+        "price": [1.0, 2.0],
+    })
+    register_lance_datasource(spark)
+    on = spark.read.format("lance").load(root)
+    off = (
+        spark.read.format("lance")
+        .option("use_scalar_index", "false").load(root)
+    )
+    for cond in [
+        F.col("k") == 7321,
+        (F.col("k") >= 4990) & (F.col("k") <= 5010),
+        F.col("k").isin([5, 5005, 7999, 90002]),
+        F.col("k") == 123456,
+        (F.col("k") < 1000) & (F.col("price") > 250.0),
+        F.col("k") >= 90000,  # only the uncovered fragment matches
+    ]:
+        a = sorted(tuple(r) for r in on.filter(cond).collect())
+        b = sorted(tuple(r) for r in off.filter(cond).collect())
+        assert a == b, str(cond)
+    assert on.filter(F.col("k") >= 90000).count() == 2
+
+
+def test_scalar_index_respects_deletion_vectors(tmp_path, spark):
+    """Index built over a fixture WITH a deletion vector: deleted rows are
+    indexed but never surface (live-row intersection applies the DV after
+    the index preselect, exactly like the unindexed path)."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        write_native_scalar_index,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    if not os.path.isdir(EXAMPLE_DB):
+        pytest.skip("reference fixtures not present")
+    src = f"{EXAMPLE_DB}/test_table3.lance"
+    root = str(tmp_path / "t3")
+    shutil.copytree(src, root)
+    os.chmod(root, 0o755)
+    write_native_scalar_index(root, "x", page_rows=16)
+    ds = LanceNativeDataset(root)
+    live = set(ds.to_arrow().column("x").to_pylist())
+    dead = sorted(set(range(100)) - live)
+    assert len(dead) == 10  # the fixture's 10-row DV
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    # probing a deleted key through the index returns nothing
+    assert df.filter(F.col("x") == dead[0]).count() == 0
+    got = {
+        r["x"]
+        for r in df.filter(
+            (F.col("x") >= 0) & (F.col("x") <= 99)
+        ).collect()
+    }
+    assert got == live
