@@ -117,6 +117,9 @@ class NativeField:
     logical_type: str
     nullable: bool
     encoding: int
+    # Field proto map<string,string> metadata (field 10) — carries the
+    # reference's `lance-encoding:blob=true` marker (BlobUtils.java:23-27)
+    metadata: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -168,6 +171,7 @@ class NativeManifest:
 
 def _parse_field(buf: bytes) -> NativeField:
     name, fid, parent, ltype, nullable, enc = "", 0, -1, "", False, 0
+    meta: dict = {}
     for f, _wt, v in pb_items(buf):
         if f == 2:
             name = v.decode()
@@ -181,7 +185,17 @@ def _parse_field(buf: bytes) -> NativeField:
             nullable = bool(v)
         elif f == 7:
             enc = v
-    return NativeField(name, fid, parent, ltype, nullable, enc)
+        elif f == 10:
+            # map<string, bytes> entry: 1=key, 2=value
+            k = mv = None
+            for f2, _wt2, v2 in pb_items(v):
+                if f2 == 1:
+                    k = v2.decode()
+                elif f2 == 2:
+                    mv = v2.decode(errors="replace")
+            if k is not None:
+                meta[k] = mv
+    return NativeField(name, fid, parent, ltype, nullable, enc, meta)
 
 
 def _parse_fragment(buf: bytes) -> NativeFragment:
@@ -493,6 +507,39 @@ def _v2_read_column(
                 raise LanceNativeError(
                     f"fixed_size_list of {item_t!r} not decoded for {what}"
                 )
+        elif lt == "struct":
+            # parent page = one validity byte per row; children are
+            # ordinary v2 columns of the same file (the v2 twin of the v1
+            # writer's struct layout; ancestor-null propagation mirrors
+            # LanceArrowToPageScanner.java:302-342)
+            if manifest is None or data_file is None:
+                raise LanceNativeError(
+                    f"struct column {what} needs the manifest")
+            if len(pages) > 1:
+                raise LanceNativeError(
+                    f"multi-page v2 struct column not decoded ({what})")
+            if len(offs) != 1 or sizes[0] != nrows:
+                raise LanceNativeError(
+                    f"unexpected struct validity layout for {what}")
+            valid = np.frombuffer(
+                raw, np.uint8, count=nrows, offset=offs[0])
+            children = [
+                f for f in manifest.fields
+                if _signed(f.parent_id) == nfield.id
+            ]
+            if not children:
+                raise LanceNativeError(
+                    f"struct field {nfield.name!r} has no children")
+            arrays, names = [], []
+            for ch in children:
+                ch_idx = data_file.field_ids.index(ch.id)
+                a = _v2_read_column(raw, ch_idx, ch, manifest, data_file)
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                arrays.append(a)
+                names.append(ch.name)
+            chunks.append(pa.StructArray.from_arrays(
+                arrays, names=names, mask=pa.array(valid == 0)))
         else:
             raise LanceNativeError(
                 f"v2 decode does not support logical type {lt!r} ({what})"
@@ -903,7 +950,8 @@ def _enc_u64_neg1() -> int:
 
 
 def _v1_field_proto(
-    name: str, fid: int, ltype: str = "int64", parent: int = -1
+    name: str, fid: int, ltype: str = "int64", parent: int = -1,
+    metadata: dict | None = None,
 ) -> bytes:
     p = _enc_field(2, 2, name.encode())
     if fid:
@@ -913,6 +961,10 @@ def _v1_field_proto(
     p += _enc_field(6, 0, 1)  # nullable
     # encoding: 1=plain, 2=var-binary (matches the fixture manifests)
     p += _enc_field(7, 0, 2 if ltype in ("string", "binary") else 1)
+    for k, v in (metadata or {}).items():
+        p += _enc_field(
+            10, 2, _enc_field(1, 2, k.encode()) + _enc_field(2, 2, v.encode())
+        )
     return p
 
 
@@ -937,11 +989,14 @@ def _infer_v1_type(values) -> str:
             return "struct"
         if isinstance(v, (list, tuple)):
             dims = {len(x) for x in values if x is not None}
-            if len(dims) != 1:
-                raise LanceNativeError(
-                    "ragged lists: minimal writer supports fixed_size_list only"
-                )
-            return f"fixed_size_list:float:{dims.pop()}"
+            elems = [
+                x for row in values if row is not None for x in row
+            ]
+            if len(dims) == 1 and elems and all(
+                isinstance(e, float) for e in elems
+            ):
+                return f"fixed_size_list:float:{dims.pop()}"
+            return "list"  # ragged or non-float elements -> true list<T>
         break
     raise LanceNativeError(
         f"cannot infer a v1 logical type from {values[:3]!r}"
@@ -966,6 +1021,24 @@ def _v1_field_specs(names: list[str], columns: dict) -> list[tuple]:
     for n in names:
         vals = columns[n]
         lt = _infer_v1_type(vals)
+        if lt == "list":
+            if any(v is None for v in vals):
+                raise LanceNativeError(
+                    f"list column {n!r}: NULL rows are outside the "
+                    "minimal writer's scope")
+            elems = [x for row in vals for x in row]
+            if any(e is None for e in elems):
+                raise LanceNativeError(
+                    f"list column {n!r}: NULL elements are outside the "
+                    "minimal writer's scope")
+            clt = _infer_v1_type(elems) if elems else "int64"
+            if clt not in ("int64", "double", "string", "binary"):
+                raise LanceNativeError(
+                    f"list column {n!r}: unsupported element type {clt!r}")
+            specs.append((n, fid, -1, "list", vals))
+            specs.append(("item", fid + 1, fid, clt, elems))
+            fid += 2
+            continue
         if lt != "struct":
             specs.append((n, fid, -1, lt, vals))
             fid += 1
@@ -1020,6 +1093,9 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
 
     import numpy as np
 
+    if any(sp[3] == "list" for sp in specs):
+        raise LanceNativeError(
+            "v1 writer does not emit list columns — use file_version=2")
     n_rows = len(specs[0][4])
     if any(len(sp[4]) != n_rows for sp in specs):
         raise LanceNativeError("ragged columns")
@@ -1049,11 +1125,15 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
             buf += b"".join(raw)
             pos = len(buf)  # page position = the positions array
             buf += np.asarray(offs, dtype="<i8").tobytes()
-        else:  # fixed_size_list:float:<dim>
+        elif lt.startswith("fixed_size_list:"):
             pos = len(buf)
             buf += np.asarray(
                 [x for row in vals for x in row], dtype="<f4"
             ).tobytes()
+        else:
+            raise LanceNativeError(
+                f"v1 writer does not emit {lt!r} — write list columns "
+                "with file_version=2 (the layout _v2_read_column decodes)")
         page_entries.append((pos, n_rows))
     page_table_pos = len(buf)
     for pos, nv in page_entries:
@@ -1086,26 +1166,40 @@ def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
     column-metadata offset table, and the 40-byte footer. Buffer layouts
     mirror exactly what _v2_read_column decodes: flat fixed-width scalars,
     bitpacked bools never written (no bool inference), var-width
-    string/binary as [end-offsets i64][payload] buffer pairs, and
-    fixed_size_list<float> as one flat f4 buffer. No global buffers are
+    string/binary as [end-offsets i64][payload] buffer pairs,
+    fixed_size_list<float> as one flat f4 buffer, list<T> as an
+    end-offsets i64 column whose CHILD is its own v2 column (the
+    test_table5 layout), and struct as a validity-byte column plus child
+    columns (mirroring the v1 writer's parent-validity convention —
+    decoded by _v2_read_column's struct branch). No global buffers are
     emitted (the dataset manifest carries the schema; a file-level schema
     copy is optional for readers that resolve columns positionally, as
-    this repo's does). Struct stays v1-writer-only."""
+    this repo's does)."""
     import uuid as _uuid
 
     import numpy as np
 
     n_rows = len(specs[0][4])
-    if any(len(sp[4]) != n_rows for sp in specs):
+    # list CHILD columns legitimately carry a different row count (one
+    # page row per element); everything else must align
+    list_fids = {sp[1] for sp in specs if sp[3] == "list"}
+    if any(
+        len(sp[4]) != n_rows
+        for sp in specs
+        if sp[2] not in list_fids
+    ):
         raise LanceNativeError("ragged columns")
     buf = bytearray()
     col_pages = []
     for _name, _fid, _parent, lt, vals in specs:
         if lt == "struct":
-            raise LanceNativeError(
-                "struct columns are v1-writer-only (no v2 struct layout "
-                "is decoded either)")
-        if lt == "int64":
+            bufs = [np.asarray(
+                [1 if v else 0 for v in vals], dtype=np.uint8).tobytes()]
+        elif lt == "list":
+            ends = np.cumsum(
+                [len(row) for row in vals], dtype="<i8")
+            bufs = [ends.tobytes()]
+        elif lt == "int64":
             bufs = [np.asarray(vals, dtype="<i8").tobytes()]
         elif lt == "double":
             bufs = [np.asarray(vals, dtype="<f8").tobytes()]
@@ -1128,11 +1222,11 @@ def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
         col_pages.append((offsets, sizes))
     cms = len(buf)
     entries = []
-    for offsets, sizes in col_pages:
+    for sp, (offsets, sizes) in zip(specs, col_pages):
         page = (
             _enc_field(1, 2, b"".join(_enc_varint(o) for o in offsets))
             + _enc_field(2, 2, b"".join(_enc_varint(x) for x in sizes))
-            + _enc_field(3, 0, n_rows)
+            + _enc_field(3, 0, len(sp[4]))
         )
         colmeta = _enc_field(2, 2, page)
         entries.append((len(buf), len(colmeta)))
@@ -1152,7 +1246,7 @@ def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
 
 def _write_v1_manifest(
     root: str,
-    field_specs: list[tuple],  # (name, fid, parent_fid, ltype)
+    field_specs: list[tuple],  # (name, fid, parent_fid, ltype[, metadata])
     fragments: list[tuple[int, str, int]],  # (id, file, rows)
     version: int,
 ) -> None:
@@ -1169,8 +1263,9 @@ def _write_v1_manifest(
         frag_protos += _enc_field(2, 2, frag)
     manifest = (
         b"".join(
-            _enc_field(1, 2, _v1_field_proto(n, fid, lt, parent))
-            for n, fid, parent, lt in field_specs
+            _enc_field(1, 2, _v1_field_proto(sp[0], sp[1], sp[3], sp[2],
+                                             sp[4] if len(sp) > 4 else None))
+            for sp in field_specs
         )
         + frag_protos
         + _enc_field(3, 0, version)
@@ -1183,8 +1278,64 @@ def _write_v1_manifest(
             fh.write(blob)
 
 
+BLOB_METADATA_KEY = "lance-encoding:blob"
+BLOB_FIELD_METADATA = {BLOB_METADATA_KEY: "true"}
+
+
+def native_blob_columns(manifest: NativeManifest) -> list[str]:
+    """Top-level struct fields carrying the reference's blob marker
+    (`lance-encoding:blob=true` field metadata, BlobUtils.java:23-57) —
+    their stored form is a {position, size} descriptor struct; the read
+    surface is empty VARBINARY + `<col>__blob_pos`/`<col>__blob_size`
+    BIGINT virtual columns."""
+    return [
+        f.name for f in manifest.top_level_fields()
+        if f.logical_type == "struct"
+        and str(f.metadata.get(BLOB_METADATA_KEY, "")).lower() == "true"
+    ]
+
+
+def apply_native_blob_semantics(table, blob_cols: list[str]):
+    """Reference read behavior on a decoded fragment table
+    (`LanceArrowToPageScanner.java:571-581` empty-VARBINARY base column;
+    `:344-392` position/size virtual columns, NULL where the descriptor
+    struct row is NULL): replace each blob descriptor struct with
+    (empty-bytes base, `<col>__blob_pos`, `<col>__blob_size`)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not blob_cols:
+        return table
+    out_names, out_arrays = [], []
+    for name in table.column_names:
+        col = table.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if name not in blob_cols:
+            out_names.append(name)
+            out_arrays.append(col)
+            continue
+        if not pa.types.is_struct(col.type):
+            raise LanceNativeError(
+                f"blob column {name!r} is not a struct (got {col.type})")
+        valid = col.is_valid()
+        empty = pc.if_else(
+            valid, pa.array([b""] * len(col), type=pa.binary()),
+            pa.array([None] * len(col), type=pa.binary()))
+        pos = pc.if_else(
+            valid, col.field("position").cast(pa.int64()),
+            pa.array([None] * len(col), type=pa.int64()))
+        size = pc.if_else(
+            valid, col.field("size").cast(pa.int64()),
+            pa.array([None] * len(col), type=pa.int64()))
+        out_names += [name, f"{name}__blob_pos", f"{name}__blob_size"]
+        out_arrays += [empty, pos, size]
+    return pa.table(dict(zip(out_names, out_arrays)))
+
+
 def write_native_dataset(
-    root: str, columns: dict[str, list[int]], file_version: int = 1
+    root: str, columns: dict[str, list[int]], file_version: int = 1,
+    blob_columns: set[str] | frozenset[str] = frozenset(),
 ) -> None:
     """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
     one fragment, one data file, plain int64 columns) that lance 0.10-era
@@ -1197,10 +1348,20 @@ def write_native_dataset(
     if not columns:
         raise LanceNativeError("need at least one column")
     specs = _v1_field_specs(list(columns), columns)
+    for bc in blob_columns:
+        sp = next((x for x in specs if x[0] == bc and x[2] == -1), None)
+        if sp is None or sp[3] != "struct":
+            raise LanceNativeError(
+                f"blob column {bc!r} must be a {{position, size}} struct "
+                "column (list of dicts)")
     writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
     file_name, n_rows = writer(root, specs)
-    _write_v1_manifest(
-        root, [sp[:4] for sp in specs], [(0, file_name, n_rows)], 1)
+    field_specs = [
+        sp[:4] + ((BLOB_FIELD_METADATA,)
+                  if sp[0] in blob_columns and sp[2] == -1 else ())
+        for sp in specs
+    ]
+    _write_v1_manifest(root, field_specs, [(0, file_name, n_rows)], 1)
 
 
 def append_native_rows(
@@ -1231,7 +1392,12 @@ def append_native_rows(
     ]
     next_id = max((f.id for f in m.fragments), default=-1) + 1
     frags.append((next_id, file_name, n_rows))
-    _write_v1_manifest(root, [sp[:4] for sp in specs], frags, m.version + 1)
+    meta_by_fid = {f.id: f.metadata for f in m.fields}
+    field_specs = [
+        sp[:4] + ((meta_by_fid[sp[1]],) if meta_by_fid.get(sp[1]) else ())
+        for sp in specs
+    ]
+    _write_v1_manifest(root, field_specs, frags, m.version + 1)
     return m.version + 1
 
 
@@ -1296,10 +1462,20 @@ def native_spark_schema(manifest: NativeManifest):
     def _child_field_of(parent: NativeField) -> NativeField:
         return _child_field(manifest, parent)
 
-    return T.StructType([
-        T.StructField(f.name, spark_type(f), True)
-        for f in manifest.top_level_fields()
-    ])
+    blob = set(native_blob_columns(manifest))
+    out = []
+    for f in manifest.top_level_fields():
+        if f.name in blob:
+            # blob descriptor struct surfaces as empty VARBINARY plus the
+            # position/size virtual columns (BlobUtils.java:69-77)
+            out.append(T.StructField(f.name, T.BinaryType(), True))
+            out.append(T.StructField(f"{f.name}__blob_pos", T.LongType(),
+                                     True))
+            out.append(T.StructField(f"{f.name}__blob_size", T.LongType(),
+                                     True))
+        else:
+            out.append(T.StructField(f.name, spark_type(f), True))
+    return T.StructType(out)
 
 
 def conform_native_table(table, spark_schema):

@@ -467,6 +467,22 @@ class LanceNativeScanReader(DataSourceReader):
         )
         cols = self._options.get("columns")
         cols_t = tuple(c.strip() for c in cols.split(",")) if cols else None
+        if cols_t:
+            # blob columns: base + __blob_pos/__blob_size all decode from
+            # the one physical {position, size} descriptor struct
+            from ..format.lance_native import native_blob_columns
+
+            blob = set(native_blob_columns(m))
+            phys, seen = [], set()
+            for c in cols_t:
+                base = c
+                for suf in ("__blob_pos", "__blob_size"):
+                    if c.endswith(suf) and c[: -len(suf)] in blob:
+                        base = c[: -len(suf)]
+                if base not in seen:
+                    seen.add(base)
+                    phys.append(base)
+            cols_t = tuple(phys)
         frag_idx = list(range(len(m.fragments)))
         if self._limit is not None and not self._pushed:
             # A6/A7 parity on the native path: with a limit and no pushed
@@ -530,6 +546,14 @@ class LanceNativeScanReader(DataSourceReader):
             filter_cols=fcols or None,
             preselected=pre,
         )
+        from ..format.lance_native import (
+            apply_native_blob_semantics,
+            native_blob_columns,
+        )
+
+        blob = [c for c in native_blob_columns(m) if c in t.column_names]
+        if blob:
+            t = apply_native_blob_semantics(t, blob)
         out = conform_native_table(t, self._schema)
         return iter(out.to_batches(max_chunksize=8192))
 
@@ -644,7 +668,21 @@ class LanceNativeScanReaderPushdown(LanceNativeScanReader):
                 isinstance(v, (_date, _datetime, _Decimal)) for v in vals
             )
 
+        from ..format.lance_native import (
+            native_blob_columns,
+            read_native_manifest,
+        )
+
         cols = {f.name for f in self._schema.fields}
+        # blob base + virtual columns are DERIVED at decode time (the
+        # physical column is the descriptor struct) — a pushed predicate
+        # would compare against the wrong representation, so they stay
+        # residual, mirroring the reference evaluating them engine-side
+        try:
+            for b in native_blob_columns(read_native_manifest(self._path)):
+                cols -= {b, f"{b}__blob_pos", f"{b}__blob_size"}
+        except Exception:
+            pass  # unreadable manifest surfaces at scan time, not here
         for f in filters:
             if _filter_pushable(f, cols) and _temporal_free(f):
                 self._pushed.append(f)

@@ -83,6 +83,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # the 9 front + 14 r4 + first 27 of the r5 cohort; the r5 tail
     # leads the round-9 window.
     "lf19_native_scalar_index_scan",
+    "lf20_native_blob_virtual_columns",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",

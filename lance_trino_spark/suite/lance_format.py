@@ -1044,3 +1044,68 @@ def lf19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf20 — blob virtual columns on the NATIVE interop path: a field whose
+# manifest proto carries `lance-encoding:blob=true` metadata stores a
+# {position, size} descriptor struct; the engine surface is empty
+# VARBINARY for the column plus hidden-from-storage
+# `<col>__blob_pos`/`<col>__blob_size` BIGINTs (BlobUtils.java:23-111,
+# LanceArrowToPageScanner.java:344-392,571-581). No public fixture ships
+# a blob dataset (both test_table4 sidecars are vector indexes), so the
+# dataset is produced by the native writer and scanned back through
+# format("lance"). Proof column base_is_empty pins the empty-VARBINARY
+# contract row by row.
+# ---------------------------------------------------------------------------
+@register(
+    "lf20_native_blob_virtual_columns",
+    oracle="""
+    SELECT p_brand AS brand,
+           COUNT(*) AS n,
+           CAST(SUM(p_partkey * 100) AS BIGINT) AS pos_sum,
+           CAST(SUM(p_size * 10) AS BIGINT) AS size_sum,
+           TRUE AS base_is_empty
+    FROM part
+    WHERE p_partkey <= 300
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+    doc="format: blob descriptor structs on a native .lance dataset read "
+        "back as empty VARBINARY + __blob_pos/__blob_size virtual columns",
+    tags=("format", "interop", "lance-native", "blob"),
+)
+def lf20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import write_native_dataset
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf20-native-blob")
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+        .collect()
+    )
+    write_native_dataset(path, {
+        "p_partkey": [int(r["p_partkey"]) for r in rows],
+        "p_brand": [str(r["p_brand"]) for r in rows],
+        "img": [
+            {"position": int(r["p_partkey"]) * 100,
+             "size": int(r["p_size"]) * 10}
+            for r in rows
+        ],
+    }, blob_columns={"img"})
+    register_lance_datasource(spark)
+    native = spark.read.format("lance").load(path)
+    return (
+        native.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("img__blob_pos").alias("pos_sum"),
+            F.sum("img__blob_size").alias("size_sum"),
+            (F.sum(F.when(F.col("img") == F.lit(b""), 0).otherwise(1)) == 0)
+            .alias("base_is_empty"),
+        )
+        .orderBy("brand")
+    )
