@@ -312,6 +312,12 @@ def _arrow_type(ltype: str):
         return pa.bool_()
     if ltype == "date32:day":
         return pa.date32()
+    if ltype.startswith("time64:") or ltype.startswith("time32:"):
+        # Spark has no TIME type; surface the raw count since midnight as
+        # an integer (the reference writes TIME_MICROS as a long as well,
+        # LanceArrowToPageScanner.java:438-441 — SURVEY's documented
+        # skip-or-LongType mapping)
+        return pa.int64() if ltype.startswith("time64:") else pa.int32()
     if ltype.startswith("timestamp:"):
         # "timestamp:us", "timestamp:us:-" (naive), "timestamp:us:UTC"
         parts = ltype.split(":")
@@ -448,6 +454,12 @@ def _v2_read_column(
             chunks.append(pa.array(vals, type=pa.date32()))
         elif lt.startswith("timestamp:"):
             vals = _v2_fixed_np(raw, offs, sizes, nrows, "<i8", 8, what)
+            chunks.append(pa.array(vals, type=_arrow_type(lt)))
+        elif lt.startswith(("time64:", "time32:")):
+            wide = lt.startswith("time64:")
+            vals = _v2_fixed_np(
+                raw, offs, sizes, nrows,
+                "<i8" if wide else "<i4", 8 if wide else 4, what)
             chunks.append(pa.array(vals, type=_arrow_type(lt)))
         elif lt in ("string", "large_string", "binary", "large_binary"):
             if len(offs) != 2 or sizes[0] != nrows * 8:
@@ -663,6 +675,12 @@ def read_file_column(
             chunks.append(pa.array(vals, type=atype))
         elif nfield.logical_type.startswith("timestamp:"):
             vals = np.frombuffer(raw, dtype="<i8", count=nvals, offset=pos)
+            if sel is not None:
+                vals = vals[sel]
+            chunks.append(pa.array(vals, type=atype))
+        elif nfield.logical_type.startswith(("time64:", "time32:")):
+            w = "<i8" if nfield.logical_type.startswith("time64:") else "<i4"
+            vals = np.frombuffer(raw, dtype=w, count=nvals, offset=pos)
             if sel is not None:
                 vals = vals[sel]
             chunks.append(pa.array(vals, type=atype))
@@ -1439,6 +1457,10 @@ def native_spark_schema(manifest: NativeManifest):
             return scalar[lt]
         if lt.startswith("timestamp:"):
             return T.TimestampType()
+        if lt.startswith("time64:"):
+            return T.LongType()  # micro/nanos since midnight (no TIME type)
+        if lt.startswith("time32:"):
+            return T.IntegerType()
         if lt == "list":
             return T.ArrayType(spark_type(_child_field_of(f)))
         if lt.startswith("fixed_size_list:"):
