@@ -127,6 +127,10 @@ DEFAULT_QUERIES = [
     "lf18_native_v2_file_scan",
     "cat21_jvm_subquery_delete",
     "d10_passage_dedup",
+    "s13_mmr_diversified_topk",
+    "t22_bigram_coverage",
+    "lf19_native_scalar_index_scan",
+    "lf20_native_blob_virtual_columns",
 ]
 
 
