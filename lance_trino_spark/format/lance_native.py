@@ -792,6 +792,7 @@ def read_native_fragment(
     filter_expr=None,
     filter_cols: list[str] | None = None,
     preselected=None,
+    with_row_address: bool = False,
 ):
     """One fragment as a pyarrow Table: per-column page reads from the
     FIRST file carrying each field (file_for_field's resolution, pinned
@@ -801,6 +802,12 @@ def read_native_fragment(
     scalar-index lookup) restricts EVERY decode — including the filter
     columns — to those rows before anything else runs; ``filter_expr``
     still applies on top as the exactness-preserving residual.
+
+    ``with_row_address`` appends a ``_row_address`` int64 column carrying
+    the reference's 64-bit row identity ``fragment_id << 32 | row_index``
+    (`RowAddress.java:22-43`) for every RETURNED row — stable across
+    deletion-vector evolution because it is the PHYSICAL position, the
+    same contract the JVM catalog's $row_address column keeps.
 
     With ``filter_expr`` (a pyarrow dataset Expression over the columns
     named in ``filter_cols``) the read is LATE-MATERIALIZED: only the
@@ -841,6 +848,14 @@ def read_native_fragment(
 
     if filter_expr is None or not filter_cols:
         arrays = {nf.name: _decode(nf, live) for nf in tops}
+        if with_row_address:
+            phys = (
+                live if live is not None
+                else np.arange(n_phys, dtype=np.int64)
+            )
+            arrays["_row_address"] = pa.array(
+                (np.int64(frag.id) << np.int64(32)) | phys.astype(np.int64),
+                type=pa.int64())
         return pa.table(arrays)
 
     fc_missing = [c for c in filter_cols if c not in by_name]
@@ -864,6 +879,10 @@ def read_native_fragment(
             )
         else:
             arrays[nf.name] = _decode(nf, surv)
+    if with_row_address:
+        arrays["_row_address"] = pa.array(
+            (np.int64(frag.id) << np.int64(32)) | surv.astype(np.int64),
+            type=pa.int64())
     return pa.table(arrays)
 
 
@@ -2066,13 +2085,20 @@ class NativeScalarIndex:
 
 
 def write_native_scalar_index(
-    root: str, column: str, page_rows: int = 4096
+    root: str, column: str, page_rows: int = 4096, spark=None
 ) -> str:
     """Build and persist a btree scalar index over ``column`` of a native
     `.lance` dataset (layout documented above). Returns the index uuid.
     Deleted rows ARE indexed (the DV is applied at scan time by the
     live-row intersection, exactly as the unindexed path does) so the
-    index stays valid as deletion vectors evolve."""
+    index stays valid as deletion vectors evolve.
+
+    With ``spark`` given, the SORT — the only super-linear step — runs
+    as a DISTRIBUTED range-partitioned orderBy over the format("lance")
+    scan (row addresses from the ``row_address`` read option), and the
+    driver streams the sorted run page by page via toLocalIterator:
+    driver memory is O(page_rows), not O(n) — the 100 TB build shape.
+    Without ``spark``, a driver-side numpy sort (fixture scale)."""
     import uuid as uuidlib
 
     import numpy as np
@@ -2087,49 +2113,90 @@ def write_native_scalar_index(
         raise LanceNativeError(
             f"column {column!r} type {nfield.logical_type!r} is not "
             "scalar-indexable (int/float/string only)")
-    vals_all, addr_all = [], []
-    for frag in manifest.fragments:
-        dfile, col_idx = frag.file_for_field(nfield.id)
-        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
-        addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
-            len(arr), dtype=np.uint64)
-        mask = np.asarray(arr.is_valid())
+
+    def sorted_rows():
+        """Yield (value, row address) in (value, address) order."""
+        if spark is not None:
+            from pyspark.sql import functions as F
+
+            from ..sources.lance_datasource import (
+                register_lance_datasource,
+            )
+
+            register_lance_datasource(spark)
+            df = (
+                spark.read.format("lance")
+                .option("row_address", "true")
+                .option("use_scalar_index", "false")
+                .option("version", str(manifest.version))
+                .load(root)
+                .select(
+                    F.col(column).alias("v"),
+                    F.col("_row_address").alias("a"),
+                )
+                .where(F.col("v").isNotNull())
+                .orderBy("v", "a")
+            )
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                yield row["v"], row["a"]
+            return
+        vals_all, addr_all = [], []
+        for frag in manifest.fragments:
+            dfile, col_idx = frag.file_for_field(nfield.id)
+            arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+            addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
+                len(arr), dtype=np.uint64)
+            mask = np.asarray(arr.is_valid())
+            if kind == "string":
+                py = arr.to_pylist()
+                vals_all.extend(v for v, m in zip(py, mask) if m)
+            else:
+                npk = "<i8" if kind == "int64" else "<f8"
+                vals_all.append(np.asarray(
+                    arr.cast("int64" if kind == "int64" else "float64")
+                    .to_numpy(zero_copy_only=False), dtype=npk)[mask])
+            addr_all.append(addr[mask])
+        addrs = (np.concatenate(addr_all) if addr_all
+                 else np.empty(0, dtype=np.uint64))
         if kind == "string":
-            py = arr.to_pylist()
-            vals_all.extend(v for v, m in zip(py, mask) if m)
+            vals = vals_all
+            order = sorted(
+                range(len(vals)), key=lambda i: (vals[i], int(addrs[i])))
+            for i in order:
+                yield vals[i], int(addrs[i])
         else:
-            npk = "<i8" if kind == "int64" else "<f8"
-            vals_all.append(np.asarray(
-                arr.cast("int64" if kind == "int64" else "float64")
-                .to_numpy(zero_copy_only=False), dtype=npk)[mask])
-        addr_all.append(addr[mask])
-    addrs = (np.concatenate(addr_all) if addr_all
-             else np.empty(0, dtype=np.uint64))
-    if kind == "string":
-        vals = vals_all
-        order = sorted(range(len(vals)), key=lambda i: (vals[i], addrs[i]))
-        svals = [vals[i] for i in order]
-        saddr = addrs[np.asarray(order, dtype=np.int64)] if len(order) \
-            else addrs
-    else:
-        vals = (np.concatenate(vals_all) if vals_all
-                else np.empty(0, dtype="<i8" if kind == "int64" else "<f8"))
-        order = np.lexsort((addrs, vals))
-        svals = vals[order]
-        saddr = addrs[order]
+            vals = (np.concatenate(vals_all) if vals_all else
+                    np.empty(0, dtype="<i8" if kind == "int64" else "<f8"))
+            order = np.lexsort((addrs, vals))
+            for i in order:
+                yield vals[i], int(addrs[i])
 
     body = bytearray()
     offsets, counts, fences = [], [], []
-    n = len(saddr)
-    for start in range(0, n, page_rows):
-        end = min(start + page_rows, n)
+    page_v, page_a = [], []
+    last_v = None
+    n = 0
+
+    def flush():
         offsets.append(len(body))
-        counts.append(end - start)
-        fences.append(svals[start])
-        body += _enc_values_block(kind, svals[start:end])
-        body += np.asarray(saddr[start:end], dtype="<u8").tobytes()
+        counts.append(len(page_a))
+        fences.append(page_v[0])
+        body.extend(_enc_values_block(kind, page_v))
+        body.extend(np.asarray(page_a, dtype="<u8").tobytes())
+        page_v.clear()
+        page_a.clear()
+
+    for v, a in sorted_rows():
+        page_v.append(v)
+        page_a.append(a)
+        last_v = v
+        n += 1
+        if len(page_a) >= page_rows:
+            flush()
+    if page_a:
+        flush()
     if n:
-        fences.append(svals[n - 1])  # global max
+        fences.append(last_v)  # global max
     btree = (
         _enc_field(1, 2, kind.encode())
         + _enc_field(2, 2, b"".join(_enc_varint(o) for o in offsets))

@@ -537,14 +537,26 @@ class LanceNativeScanReader(DataSourceReader):
             self._options.get("use_scalar_index", "true")
         ).lower() != "false":
             pre = self._scalar_index_preselect(partition, m)
+        want_addr = (
+            str(self._options.get("row_address", "")).lower() == "true"
+            and (
+                partition.columns is None
+                or "_row_address" in partition.columns
+            )
+        )
+        phys_cols = (
+            [c for c in partition.columns if c != "_row_address"]
+            if partition.columns else None
+        )
         t = read_native_fragment(
             partition.root,
             m.fragments[partition.frag_index],
             m,
-            list(partition.columns) if partition.columns else None,
+            phys_cols or None,
             filter_expr=expr,
             filter_cols=fcols or None,
             preselected=pre,
+            with_row_address=want_addr,
         )
         from ..format.lance_native import (
             apply_native_blob_semantics,
@@ -674,6 +686,7 @@ class LanceNativeScanReaderPushdown(LanceNativeScanReader):
         )
 
         cols = {f.name for f in self._schema.fields}
+        cols.discard("_row_address")  # synthesized at decode time
         # blob base + virtual columns are DERIVED at decode time (the
         # physical column is the descriptor struct) — a pushed predicate
         # would compare against the wrong representation, so they stay
@@ -1204,6 +1217,16 @@ class LanceSparkDataSource(DataSource):
             v = self.options.get("version")
             m = read_native_manifest(path, int(v) if v is not None else None)
             full = native_spark_schema(m)
+            if str(self.options.get("row_address", "")).lower() == "true":
+                # the reference's 64-bit row identity (fragment << 32 |
+                # row index, RowAddress.java:22-43) on the NATIVE path —
+                # the Python twin of the JVM catalog's $row_address
+                from pyspark.sql.types import LongType, StructField
+
+                full = StructType(
+                    full.fields
+                    + [StructField("_row_address", LongType(), False)]
+                )
             cols = self.options.get("columns")
             if cols:
                 wanted = [c.strip() for c in cols.split(",")]

@@ -908,3 +908,69 @@ def test_native_blob_virtual_columns(tmp_path, spark):
     with pytest.raises(LanceNativeError, match="struct"):
         write_native_dataset(
             str(tmp_path / "bad"), {"x": [1, 2]}, blob_columns={"x"})
+
+
+def test_native_row_address_option(tmp_path, spark):
+    """format('lance') .option('row_address','true') appends the
+    reference's 64-bit row identity (fragment_id << 32 | row_index,
+    RowAddress.java:22-43) — the native-path twin of the JVM catalog's
+    $row_address. Synthesized at decode time: filters on it stay
+    residual, physical projection is untouched."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root, _ = _build_scalar_ds(tmp_path)
+    register_lance_datasource(spark)
+
+    def load():
+        return (
+            spark.read.format("lance")
+            .option("row_address", "true").load(root)
+        )
+
+    r = load().filter(F.col("k").isin([0, 4999, 5000, 7999])).select(
+        "k", "_row_address").orderBy("k").collect()
+    assert [(x["k"], x["_row_address"]) for x in r] == [
+        (0, 0), (4999, 4999), (5000, 1 << 32), (7999, (1 << 32) + 2999),
+    ]
+    assert load().select("_row_address").count() == 8000
+    # residual filter on the synthesized column
+    assert load().where(
+        F.col("_row_address") >= (1 << 32)).count() == 3000
+    # absent without the option
+    assert "_row_address" not in (
+        spark.read.format("lance").load(root).columns)
+
+
+def test_scalar_index_spark_build_parity(tmp_path, spark):
+    """The distributed build path (orderBy over the format('lance') scan,
+    O(page) driver memory via toLocalIterator) produces an index whose
+    every probe answers identically to the driver-side numpy build."""
+    from lance_trino_spark.format.lance_native import (
+        list_native_scalar_indices,
+        scalar_index_lookup,
+        write_native_scalar_index,
+    )
+
+    root, _ = _build_scalar_ds(tmp_path)
+    write_native_scalar_index(root, "k", page_rows=512)
+    write_native_scalar_index(root, "k", page_rows=512, spark=spark)
+    drv, dist = [
+        i for i in list_native_scalar_indices(root) if i.column == "k"
+    ]
+    assert (drv.page_rows, drv.fences[:3]) == (
+        dist.page_rows, dist.fences[:3])
+    for probe in [
+        dict(eq_values=[7321]),
+        dict(lo=4990, hi=5010),
+        dict(lo=None, hi=100, hi_inclusive=False),
+        dict(eq_values=[-1]),
+    ]:
+        r1, _ = scalar_index_lookup(drv, **probe)
+        r2, st = scalar_index_lookup(dist, **probe)
+        assert {k: list(v) for k, v in r1.items()} == {
+            k: list(v) for k, v in r2.items()}
+        assert st["pages_read"] <= 2
