@@ -2222,6 +2222,24 @@ def write_native_scalar_index(
     return uid
 
 
+def ensure_native_scalar_index(
+    root: str, column: str, page_rows: int = 4096, spark=None
+) -> str | None:
+    """Rebuild the btree sidecar for ``column`` iff the newest one no
+    longer covers every fragment (appends after a build scan unindexed —
+    the covered_fragments rule). Returns the new uuid, or None when the
+    existing index already covers the dataset. The maintenance hook a
+    table service calls after ingest, mirroring the repo's own-format
+    ensure_scalar_index_files."""
+    manifest = read_native_manifest(root)
+    frag_ids = {f.id for f in manifest.fragments}
+    for idx in reversed(list_native_scalar_indices(root)):
+        if idx.column == column and frag_ids <= idx.covered_fragments:
+            return None
+    return write_native_scalar_index(
+        root, column, page_rows=page_rows, spark=spark)
+
+
 def read_native_scalar_index(path: str) -> NativeScalarIndex:
     """Parse one scalar index sidecar — METADATA ONLY (footer seek + proto;
     page bodies are range-read later, per probe)."""
@@ -2332,19 +2350,20 @@ def scalar_index_lookup(
         else:
             yield lo, hi, lo_inclusive, hi_inclusive
 
-    pages_needed = set()
-    intervals = list(probe_intervals())
+    intervals = []
     fences = index.fences
     n_pages = index.n_pages
-    for plo, phi, _li, _hi_inc in intervals:
+    pages_needed = set()
+    for plo, phi, li, hi_inc in probe_intervals():
         # first page whose UPPER fence >= plo; last page whose LOWER
         # fence <= phi. (None = unbounded side.)
         first = 0 if plo is None else bisect.bisect_left(fences, plo, 1,
                                                          n_pages + 1) - 1
         last = n_pages - 1 if phi is None else (
             bisect.bisect_right(fences, phi, 0, n_pages) - 1)
-        for pg in range(max(0, first), min(n_pages - 1, last) + 1):
-            pages_needed.add(pg)
+        span = range(max(0, first), min(n_pages - 1, last) + 1)
+        intervals.append((plo, phi, li, hi_inc, span))
+        pages_needed.update(span)
 
     page_cache: dict[int, tuple] = {}
     with open(index.path, "rb") as fh:
@@ -2375,8 +2394,8 @@ def scalar_index_lookup(
             stats["pages_read"] += 1
             stats["bytes_read"] += len(raw)
 
-    for plo, phi, li, hi_inc in intervals:
-        for pg in sorted(pages_needed):
+    for plo, phi, li, hi_inc, span in intervals:
+        for pg in span:
             vals, addrs = page_cache[pg]
             va = np.asarray(vals) if index.kind != "string" else vals
             if index.kind == "string":

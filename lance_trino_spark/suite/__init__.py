@@ -84,6 +84,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # leads the round-9 window.
     "lf19_native_scalar_index_scan",
     "lf20_native_blob_virtual_columns",
+    "lf21_native_row_address",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",

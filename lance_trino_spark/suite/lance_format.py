@@ -1109,3 +1109,79 @@ def lf20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf21 — `$row_address` parity on the NATIVE path: the reference exposes a
+# 64-bit row identity `fragment_id << 32 | row_index` on every scan
+# (`RowAddress.java:22-43`, `LanceFragmentPageSource.java:36,62-75`; the
+# JVM catalog's cat19 covers the SQL surface). Here the format("lance")
+# read option `row_address=true` synthesizes the same identity on real
+# `.lance` datasets. The dataset is written in THREE fragments of known
+# sizes sorted by p_partkey, so every row's expected address is a pure
+# function of its rank — the oracle value-checks fragment id, row index,
+# and the recomposed address for every row.
+# ---------------------------------------------------------------------------
+@register(
+    "lf21_native_row_address",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey,
+               ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS rk,
+               CAST((SELECT COUNT(*) FROM part WHERE p_partkey <= 300) // 3
+                    AS BIGINT) AS third
+        FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           CAST(CASE WHEN rk < third THEN 0
+                     WHEN rk < 2 * third THEN 1
+                     ELSE 2 END AS BIGINT) AS frag_id,
+           CAST(CASE WHEN rk < third THEN rk
+                     WHEN rk < 2 * third THEN rk - third
+                     ELSE rk - 2 * third END AS BIGINT) AS row_idx,
+           CAST(CASE WHEN rk < third THEN 0
+                     WHEN rk < 2 * third THEN 1
+                     ELSE 2 END * 4294967296
+                + CASE WHEN rk < third THEN rk
+                       WHEN rk < 2 * third THEN rk - third
+                       ELSE rk - 2 * third END AS BIGINT) AS row_address
+    FROM ranked
+    ORDER BY p_partkey
+    """,
+    doc="format: 64-bit $row_address identity (frag << 32 | row idx) "
+        "synthesized on native .lance scans via the row_address option",
+    tags=("format", "interop", "lance-native", "row-address"),
+)
+def lf21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import append_native_rows, write_native_dataset
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf21-row-address")
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select("p_partkey")
+        .orderBy("p_partkey")
+        .collect()
+    )
+    keys = [int(r["p_partkey"]) for r in rows]
+    third = len(keys) // 3
+    write_native_dataset(path, {"p_partkey": keys[:third]})
+    append_native_rows(path, {"p_partkey": keys[third:2 * third]})
+    append_native_rows(path, {"p_partkey": keys[2 * third:]})
+    register_lance_datasource(spark)
+    native = (
+        spark.read.format("lance")
+        .option("row_address", "true")
+        .load(path)
+    )
+    return (
+        native.select(
+            "p_partkey",
+            F.shiftrightunsigned("_row_address", 32).alias("frag_id"),
+            (F.col("_row_address").bitwiseAND(F.lit(0xFFFFFFFF)))
+            .alias("row_idx"),
+            F.col("_row_address").alias("row_address"),
+        )
+        .orderBy("p_partkey")
+    )

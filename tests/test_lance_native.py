@@ -974,3 +974,30 @@ def test_scalar_index_spark_build_parity(tmp_path, spark):
         assert {k: list(v) for k, v in r1.items()} == {
             k: list(v) for k, v in r2.items()}
         assert st["pages_read"] <= 2
+
+
+def test_ensure_native_scalar_index_rebuilds_on_stale(tmp_path):
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        ensure_native_scalar_index,
+        list_native_scalar_indices,
+        scalar_index_lookup,
+        write_native_scalar_index,
+    )
+
+    root, _ = _build_scalar_ds(tmp_path)
+    write_native_scalar_index(root, "k", page_rows=512)
+    # covered: no rebuild
+    assert ensure_native_scalar_index(root, "k", page_rows=512) is None
+    append_native_rows(root, {
+        "k": [90001], "name": ["late"], "price": [1.0],
+    })
+    uid = ensure_native_scalar_index(root, "k", page_rows=512)
+    assert uid is not None
+    newest = [
+        i for i in list_native_scalar_indices(root) if i.column == "k"
+    ][-1]
+    rows, _ = scalar_index_lookup(newest, eq_values=[90001])
+    assert sum(len(v) for v in rows.values()) == 1
+    # idempotent again
+    assert ensure_native_scalar_index(root, "k", page_rows=512) is None
