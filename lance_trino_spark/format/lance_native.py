@@ -591,8 +591,23 @@ def read_file_column(
     import pyarrow as pa
 
     path = os.path.join(root, "data", data_file.path)
-    with open(path, "rb") as fh:
-        raw = fh.read()
+    # mmap, not read(): a SELECTIVE decode (late materialization /
+    # scalar-index preselect) then faults in only the byte ranges it
+    # touches — a 1-row probe reads O(pages touched), not the whole data
+    # file. numpy fancy-indexing and pyarrow both COPY out of the map
+    # before return, and the map stays alive via buffer references for
+    # any zero-copy full-column arrays. (On object storage the same
+    # boundedness comes from ranged GETs — posix mmap is the local twin.)
+    import mmap as _mmap
+
+    fh = open(path, "rb")
+    try:
+        # mmap dups the fd internally, so the handle closes right away
+        raw = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+    except (ValueError, OSError):
+        raw = fh.read()  # empty or unmappable file
+    finally:
+        fh.close()
     if raw[-4:] != b"LANC":
         raise LanceNativeError("missing LANC footer magic")
     maj, minor = struct.unpack_from("<HH", raw, len(raw) - 8)
