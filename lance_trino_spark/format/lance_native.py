@@ -1299,19 +1299,26 @@ def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
 def _write_v1_manifest(
     root: str,
     field_specs: list[tuple],  # (name, fid, parent_fid, ltype[, metadata])
-    fragments: list[tuple[int, str, int]],  # (id, file, rows)
+    fragments: list[tuple],  # (id, file, rows[, (read_version, del_id)])
     version: int,
 ) -> None:
     field_ids = [sp[1] for sp in field_specs]
     frag_protos = b""
-    for fid, file_name, n_rows in fragments:
+    for entry in fragments:
+        fid, file_name, n_rows = entry[0], entry[1], entry[2]
+        deletion = entry[3] if len(entry) > 3 else None
         datafile = _enc_field(1, 2, file_name.encode()) + _enc_field(
             2, 2, b"".join(_enc_varint(i) for i in field_ids)
         )
         frag = b""
         if fid:
             frag += _enc_field(1, 0, fid)
-        frag += _enc_field(2, 2, datafile) + _enc_field(4, 0, n_rows)
+        frag += _enc_field(2, 2, datafile)
+        if deletion is not None:
+            rv, did = deletion
+            frag += _enc_field(
+                3, 2, _enc_field(2, 0, rv) + _enc_field(3, 0, did))
+        frag += _enc_field(4, 0, n_rows)
         frag_protos += _enc_field(2, 2, frag)
     manifest = (
         b"".join(
@@ -1440,7 +1447,10 @@ def append_native_rows(
     writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
     file_name, n_rows = writer(root, specs)
     frags = [
-        (f.id, f.files[0].path, f.physical_rows) for f in m.fragments
+        (f.id, f.files[0].path, f.physical_rows)
+        + (((f.deletion.read_version, f.deletion.id),)
+           if f.deletion is not None else ())
+        for f in m.fragments
     ]
     next_id = max((f.id for f in m.fragments), default=-1) + 1
     frags.append((next_id, file_name, n_rows))
@@ -1451,6 +1461,103 @@ def append_native_rows(
     ]
     _write_v1_manifest(root, field_specs, frags, m.version + 1)
     return m.version + 1
+
+
+def native_delete(
+    root: str, rows_by_fragment: dict[int, "object"]
+) -> int:
+    """Merge-on-read DELETE on a real `.lance` dataset WITHOUT the SDK:
+    for each fragment, union the new deleted physical rows with its
+    existing deletion vector, write a fresh `_deletions/<frag>-<rv>-
+    <id>.arrow` file (Arrow IPC, col row_id:uint32 — the exact layout
+    `_deleted_rows` and the reference's JNI scanner consume), and commit
+    manifest version+1 where those fragments reference their new DV.
+    Fully-deleted fragments are DROPPED from the manifest (the
+    reference's fragment-drop rule); data files are NEVER rewritten —
+    write amplification is O(deleted rows). Returns the new version."""
+    import uuid as uuidlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    m = read_native_manifest(root)
+    by_id = {f.id: f for f in m.fragments}
+    unknown = sorted(set(rows_by_fragment) - set(by_id))
+    if unknown:
+        raise LanceNativeError(f"no such fragments: {unknown}")
+    os.makedirs(os.path.join(root, "_deletions"), exist_ok=True)
+    frag_entries = []
+    n_deleted = 0
+    for f in m.fragments:
+        new_rows = rows_by_fragment.get(f.id)
+        if new_rows is None or len(new_rows) == 0:
+            frag_entries.append(
+                (f.id, f.files[0].path, f.physical_rows)
+                + (((f.deletion.read_version, f.deletion.id),)
+                   if f.deletion is not None else ()))
+            continue
+        dead = set(int(r) for r in new_rows)
+        n_phys = _physical_rows_from_file(root, f.files[0])
+        bad = [r for r in dead if r < 0 or r >= n_phys]
+        if bad:
+            raise LanceNativeError(
+                f"fragment {f.id}: row indices out of range: {bad[:5]}")
+        if f.deletion is not None:
+            dead |= _deleted_rows(root, f.deletion)
+        n_deleted += len(dead)
+        if len(dead) >= n_phys:
+            continue  # fully deleted -> fragment dropped from the manifest
+        did = uuidlib.uuid4().int & 0x7FFFFFFF
+        deletion = NativeDeletion(f.id, m.version, did)
+        t = pa.table({
+            "row_id": pa.array(
+                np.asarray(sorted(dead), dtype=np.uint32),
+                type=pa.uint32())
+        })
+        dv_path = os.path.join(root, "_deletions", deletion.file_name())
+        with ipc.new_file(dv_path, t.schema) as w:
+            w.write_table(t)
+        frag_entries.append(
+            (f.id, f.files[0].path, f.physical_rows,
+             (deletion.read_version, deletion.id)))
+    field_specs = [
+        (f.name, f.id, _signed(f.parent_id), f.logical_type)
+        + ((f.metadata,) if f.metadata else ())
+        for f in m.fields
+    ]
+    _write_v1_manifest(root, field_specs, frag_entries, m.version + 1)
+    return m.version + 1
+
+
+def native_delete_where(spark, root: str, condition) -> int:
+    """DELETE ... WHERE on a real `.lance` dataset through the Spark
+    scan: predicate evaluation is DISTRIBUTED (format("lance") with the
+    ``row_address`` option — pushed filters, scalar-index preselect and
+    late materialization all apply), matched row addresses stream back
+    ordered by address so the driver groups them fragment by fragment
+    with O(fragment-delta) memory, then `native_delete` commits the MoR
+    deletion vectors. Returns the new manifest version."""
+    from pyspark.sql import functions as F
+
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    df = (
+        spark.read.format("lance")
+        .option("row_address", "true")
+        .load(root)
+        .where(condition)
+        .select(F.col("_row_address").alias("a"))
+        .orderBy("a")
+    )
+    rows_by_fragment: dict[int, list] = {}
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        a = int(row["a"])
+        rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+    if not rows_by_fragment:
+        return read_native_manifest(root).version  # no-op, no new version
+    return native_delete(root, rows_by_fragment)
 
 
 # ------------------------------------------------------- Spark integration

@@ -85,6 +85,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf19_native_scalar_index_scan",
     "lf20_native_blob_virtual_columns",
     "lf21_native_row_address",
+    "lf22_native_mor_delete",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",

@@ -1185,3 +1185,89 @@ def lf21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf22 — merge-on-read DELETE on a REAL `.lance` dataset without the SDK:
+# predicate evaluation distributes through the format("lance") scan
+# (row_address option), matched addresses become per-fragment deletion
+# vectors in the exact `_deletions/<frag>-<rv>-<id>.arrow` layout the
+# reference's scanner consumes, and the manifest commits as version+1
+# with ZERO data-file rewrites (write amplification O(deleted rows) —
+# the reference's MoR rule). The query deletes low-priority orders,
+# then aggregates the survivors through a fresh native scan; proof
+# columns pin no-rewrite and the O(1) metadata count agreeing with the
+# scan.
+# ---------------------------------------------------------------------------
+@register(
+    "lf22_native_mor_delete",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_c,
+           TRUE AS no_rewrite,
+           TRUE AS count_is_metadata_exact
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: MoR DELETE on a native .lance dataset — distributed "
+        "predicate, per-fragment DV files, zero fragment rewrites",
+    tags=("format", "interop", "lance-native", "dml", "mor"),
+)
+def lf22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        native_delete_where,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf22-native-mor-delete")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        "o_totalprice": [float(r["o_totalprice"]) for r in rs],
+    }
+    half = len(rows) // 2
+    write_native_dataset(path, cols(rows[:half]))
+    append_native_rows(path, cols(rows[half:]))
+    files_before = sorted(glob.glob(os.path.join(path, "data", "*")))
+
+    register_lance_datasource(spark)
+    native_delete_where(
+        spark, path, F.col("o_orderpriority") == "5-LOW")
+
+    no_rewrite = (
+        sorted(glob.glob(os.path.join(path, "data", "*"))) == files_before
+    )
+    ds = LanceNativeDataset(path)
+    survivors = spark.read.format("lance").load(path)
+    count_exact = ds.count_rows() == survivors.count()
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("total_c"),
+        )
+        .withColumn("no_rewrite", F.lit(bool(no_rewrite)))
+        .withColumn(
+            "count_is_metadata_exact", F.lit(bool(count_exact)))
+        .orderBy("priority")
+    )

@@ -1050,3 +1050,72 @@ def test_scalar_index_bounds_the_decode(tmp_path, monkeypatch):
     assert t.num_rows == 1
     k_decodes = [n for name, n in seen if name == "k"]
     assert k_decodes and k_decodes[0] is None  # full-column decode
+
+
+def test_native_mor_delete(tmp_path, spark):
+    """Merge-on-read DELETE on a real `.lance` dataset without the SDK:
+    DV files in the exact _deletions/<frag>-<rv>-<id>.arrow layout the
+    reader (and the reference's scanner) consume, fragments never
+    rewritten, fully-deleted fragments dropped, pre-delete versions
+    intact, DVs unioned across deletes and carried through appends."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        native_delete,
+        native_delete_where,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "ndel")
+    write_native_dataset(
+        root, {"k": list(range(1000)), "s": [f"v{i}" for i in range(1000)]})
+    append_native_rows(root, {
+        "k": list(range(1000, 2000)),
+        "s": [f"v{i}" for i in range(1000, 2000)],
+    })
+    files_before = sorted(glob.glob(os.path.join(root, "data", "*")))
+
+    register_lance_datasource(spark)
+    v = native_delete_where(spark, root, F.col("k") % 10 == 0)
+    assert v == 3
+    assert LanceNativeDataset(root).count_rows() == 1800
+    assert LanceNativeDataset(root, version=2).count_rows() == 2000
+    df = spark.read.format("lance").load(root)
+    assert df.filter(F.col("k") == 10).count() == 0
+    assert df.filter(F.col("k") == 11).count() == 1
+
+    # second delete UNIONS with the existing DV
+    native_delete_where(spark, root, F.col("k") % 10 == 1)
+    assert LanceNativeDataset(root).count_rows() == 1600
+
+    # fully-deleted fragment is dropped from the manifest
+    native_delete_where(spark, root, F.col("k") >= 1000)
+    ds = LanceNativeDataset(root)
+    assert ds.count_rows() == 800
+    assert len(ds.manifest.fragments) == 1
+
+    # no rewrite: the data files on disk are untouched
+    assert sorted(glob.glob(os.path.join(root, "data", "*"))) == files_before
+
+    # appends carry the DVs forward
+    append_native_rows(root, {"k": [5000], "s": ["late"]})
+    assert LanceNativeDataset(root).count_rows() == 801
+    assert spark.read.format("lance").load(root).filter(
+        F.col("k") == 10).count() == 0
+
+    # direct API: bad fragment / out-of-range rows refuse loudly
+    import pytest as _pytest
+
+    from lance_trino_spark.format.lance_native import LanceNativeError
+
+    with _pytest.raises(LanceNativeError, match="no such fragments"):
+        native_delete(root, {99: [0]})
+    with _pytest.raises(LanceNativeError, match="out of range"):
+        native_delete(root, {0: [10_000_000]})
