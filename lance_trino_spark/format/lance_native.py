@@ -1475,20 +1475,40 @@ def native_delete(
     Fully-deleted fragments are DROPPED from the manifest (the
     reference's fragment-drop rule); data files are NEVER rewritten —
     write amplification is O(deleted rows). Returns the new version."""
+    m = read_native_manifest(root)
+    frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
+    _write_v1_manifest(
+        root, _field_specs_of(m), frag_entries, m.version + 1)
+    return m.version + 1
+
+
+def _field_specs_of(m: NativeManifest) -> list[tuple]:
+    return [
+        (f.name, f.id, _signed(f.parent_id), f.logical_type)
+        + ((f.metadata,) if f.metadata else ())
+        for f in m.fields
+    ]
+
+
+def _stage_deletion_entries(
+    root: str, m: NativeManifest, rows_by_fragment: dict
+) -> list[tuple]:
+    """Write the per-fragment DV files for a MoR delete (unioned with
+    existing DVs, fully-deleted fragments omitted) and return the
+    manifest fragment entries — the caller commits (possibly together
+    with new fragments, for a single-version UPDATE delta)."""
     import uuid as uuidlib
 
     import numpy as np
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    m = read_native_manifest(root)
     by_id = {f.id: f for f in m.fragments}
     unknown = sorted(set(rows_by_fragment) - set(by_id))
     if unknown:
         raise LanceNativeError(f"no such fragments: {unknown}")
     os.makedirs(os.path.join(root, "_deletions"), exist_ok=True)
     frag_entries = []
-    n_deleted = 0
     for f in m.fragments:
         new_rows = rows_by_fragment.get(f.id)
         if new_rows is None or len(new_rows) == 0:
@@ -1505,7 +1525,6 @@ def native_delete(
                 f"fragment {f.id}: row indices out of range: {bad[:5]}")
         if f.deletion is not None:
             dead |= _deleted_rows(root, f.deletion)
-        n_deleted += len(dead)
         if len(dead) >= n_phys:
             continue  # fully deleted -> fragment dropped from the manifest
         did = uuidlib.uuid4().int & 0x7FFFFFFF
@@ -1521,13 +1540,7 @@ def native_delete(
         frag_entries.append(
             (f.id, f.files[0].path, f.physical_rows,
              (deletion.read_version, deletion.id)))
-    field_specs = [
-        (f.name, f.id, _signed(f.parent_id), f.logical_type)
-        + ((f.metadata,) if f.metadata else ())
-        for f in m.fields
-    ]
-    _write_v1_manifest(root, field_specs, frag_entries, m.version + 1)
-    return m.version + 1
+    return frag_entries
 
 
 def native_delete_where(spark, root: str, condition) -> int:
@@ -1558,6 +1571,97 @@ def native_delete_where(spark, root: str, condition) -> int:
     if not rows_by_fragment:
         return read_native_manifest(root).version  # no-op, no new version
     return native_delete(root, rows_by_fragment)
+
+
+def native_update_where(
+    spark, root: str, condition, assignments: dict
+) -> int:
+    """UPDATE ... SET ... WHERE on a real `.lance` dataset as a
+    SINGLE-COMMIT merge-on-read delta (the reference's
+    DELETE_ROW_AND_INSERT_ROW shape, `LanceMergeSink.java:49-204`):
+    matched rows' addresses become per-fragment deletion-vector entries
+    AND their reassigned replacements land in a new fragment — both
+    changes commit as ONE manifest version, data files never rewritten,
+    write amplification O(changed rows).
+
+    ``assignments`` maps column name -> pyspark Column expression
+    (evaluated DISTRIBUTED over the matched scan). Blob-marked datasets
+    refuse (their read surface is virtual; reassigning descriptors
+    byte-wise is the SDK's job). Returns the new manifest version, or
+    the current one when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from ..sources.lance_datasource import register_lance_datasource
+
+    m = read_native_manifest(root)
+    if native_blob_columns(m):
+        raise LanceNativeError(
+            "native_update_where on blob-marked datasets is not supported")
+    data_cols = [f.name for f in m.top_level_fields()]
+    unknown = sorted(set(assignments) - set(data_cols))
+    if unknown:
+        raise LanceNativeError(f"no such columns: {unknown}")
+    register_lance_datasource(spark)
+    matched = (
+        spark.read.format("lance")
+        .option("row_address", "true")
+        .load(root)
+        .where(condition)
+        .select(
+            *[
+                (assignments[c] if c in assignments else F.col(c)).alias(c)
+                for c in data_cols
+            ],
+            F.col("_row_address").alias("__addr"),
+        )
+        .orderBy("__addr")
+    )
+    rows_by_fragment: dict[int, list] = {}
+    new_cols: dict[str, list] = {c: [] for c in data_cols}
+    struct_cols = {
+        f.name for f in m.top_level_fields() if f.logical_type == "struct"
+    }
+    for row in matched.toLocalIterator(prefetchPartitions=True):
+        a = int(row["__addr"])
+        rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+        for c in data_cols:
+            v = row[c]
+            if c in struct_cols and v is not None:
+                v = v.asDict()
+            elif hasattr(v, "tolist"):
+                v = v.tolist()
+            elif isinstance(v, (list, tuple)):
+                v = list(v)
+            new_cols[c].append(v)
+    if not rows_by_fragment:
+        return m.version
+    frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
+    # replacement fragment in the dataset's own file flavor
+    first = os.path.join(root, "data", m.fragments[0].files[0].path)
+    with open(first, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        ver = struct.unpack("<HH", fh.read(4) + fh.read(4) and b"")            if False else None
+    with open(first, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        maj, minor = struct.unpack("<HH", fh.read(4))
+    file_version = 1 if (maj, minor) == (0, 1) else 2
+    specs = _v1_field_specs(data_cols, new_cols)
+    got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
+    existing = [
+        (f.name, f.id, _signed(f.parent_id), f.logical_type)
+        for f in m.fields
+    ]
+    if got != existing:
+        raise LanceNativeError(
+            f"update field/type mismatch: {got} != {existing}")
+    writer = (
+        _write_v2_data_file if file_version == 2 else _write_v1_data_file)
+    file_name, n_rows = writer(root, specs)
+    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    frag_entries.append((next_id, file_name, n_rows))
+    _write_v1_manifest(
+        root, _field_specs_of(m), frag_entries, m.version + 1)
+    return m.version + 1
 
 
 # ------------------------------------------------------- Spark integration

@@ -86,6 +86,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf20_native_blob_virtual_columns",
     "lf21_native_row_address",
     "lf22_native_mor_delete",
+    "lf23_native_mor_update",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",

@@ -1271,3 +1271,89 @@ def lf22(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_is_metadata_exact", F.lit(bool(count_exact)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf23 — single-commit merge-on-read UPDATE on a REAL `.lance` dataset:
+# the reference's DELETE_ROW_AND_INSERT_ROW delta shape
+# (`LanceMergeSink.java:49-204`) without the SDK — matched rows' DV
+# entries AND their reassigned replacement fragment commit as ONE
+# manifest version; data files are never rewritten (write amplification
+# O(changed rows)). Assignments evaluate DISTRIBUTED over the
+# format("lance") scan. Proof columns pin one-version-commit and
+# no-rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "lf23_native_mor_update",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+                         ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS total_c,
+           TRUE AS one_version_commit,
+           TRUE AS no_rewrite
+    FROM orders
+    WHERE o_orderkey <= 2000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: single-commit MoR UPDATE on a native .lance dataset — "
+        "DV entries + replacement fragment in one manifest version",
+    tags=("format", "interop", "lance-native", "dml", "mor"),
+)
+def lf23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        native_update_where,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf23-native-mor-update")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        # cents as int64 so the doubled values stay float-exact
+        "price_c": [
+            int(float(r["o_totalprice"]) * 100 + 0.5) for r in rs
+        ],
+    }
+    half = len(rows) // 2
+    write_native_dataset(path, cols(rows[:half]))
+    append_native_rows(path, cols(rows[half:]))
+    files_before = set(glob.glob(os.path.join(path, "data", "*")))
+    v_before = LanceNativeDataset(path).version
+
+    register_lance_datasource(spark)
+    v_after = native_update_where(
+        spark, path,
+        F.col("o_orderpriority") == "1-URGENT",
+        {"price_c": F.col("price_c") * 2},
+    )
+    one_version = v_after == v_before + 1
+    no_rewrite = files_before <= set(
+        glob.glob(os.path.join(path, "data", "*")))
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_c").alias("total_c"),
+        )
+        .withColumn("one_version_commit", F.lit(bool(one_version)))
+        .withColumn("no_rewrite", F.lit(bool(no_rewrite)))
+        .orderBy("priority")
+    )

@@ -1119,3 +1119,58 @@ def test_native_mor_delete(tmp_path, spark):
         native_delete(root, {99: [0]})
     with _pytest.raises(LanceNativeError, match="out of range"):
         native_delete(root, {0: [10_000_000]})
+
+
+def test_native_mor_update(tmp_path, spark):
+    """Single-commit MoR UPDATE on a real `.lance` dataset: matched
+    rows' DV entries AND their reassigned replacement fragment land in
+    ONE manifest version; original data files untouched."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        LanceNativeError,
+        append_native_rows,
+        native_update_where,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "nupd")
+    write_native_dataset(root, {
+        "k": list(range(100)),
+        "price": [float(i) for i in range(100)],
+        "tag": [f"t{i % 3}" for i in range(100)],
+    })
+    append_native_rows(root, {
+        "k": list(range(100, 200)),
+        "price": [float(i) for i in range(100, 200)],
+        "tag": [f"t{i % 3}" for i in range(100, 200)],
+    })
+    files_before = set(glob.glob(os.path.join(root, "data", "*")))
+    register_lance_datasource(spark)
+    v = native_update_where(
+        spark, root, F.col("tag") == "t0", {"price": F.col("price") * 2})
+    assert v == 3  # ONE new version for DV + replacement fragment
+    files_after = set(glob.glob(os.path.join(root, "data", "*")))
+    assert files_before <= files_after
+    assert len(files_after) == len(files_before) + 1
+
+    def load():
+        return spark.read.format("lance").load(root)
+
+    assert LanceNativeDataset(root).count_rows() == 200
+    assert load().filter(F.col("k") == 99).collect()[0]["price"] == 198.0
+    assert load().filter(F.col("k") == 100).collect()[0]["price"] == 100.0
+    exp = float(sum((i * 2 if i % 3 == 0 else i) for i in range(200)))
+    assert load().agg(F.sum("price")).collect()[0][0] == exp
+    # pre-update version intact; no-op returns the current version
+    assert LanceNativeDataset(root, version=2).count_rows() == 200
+    assert native_update_where(
+        spark, root, F.col("k") > 9999, {"price": F.lit(0.0)}) == 3
+    with pytest.raises(LanceNativeError, match="no such columns"):
+        native_update_where(spark, root, F.col("k") == 1, {"nope": F.lit(1)})
