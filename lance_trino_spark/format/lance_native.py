@@ -1664,6 +1664,97 @@ def native_update_where(
     return m.version + 1
 
 
+def native_merge_into(
+    spark, root: str, source, on: list[str]
+) -> int:
+    """MERGE (upsert) into a real `.lance` dataset as a single-commit
+    merge-on-read delta: target rows whose ``on`` key appears in
+    ``source`` get deletion-vector entries, and EVERY source row —
+    replacement or brand new — lands in one new fragment; both changes
+    commit as ONE manifest version (the reference's MERGE sink shape,
+    `LanceMergeSink.java:49-204`). The key join runs DISTRIBUTED; only
+    matched addresses and the source delta stream to the committer.
+    Rows are replaced WHOLESALE by their source row (upsert semantics;
+    per-column assignments are `native_update_where`'s job). Returns the
+    new manifest version."""
+    from pyspark.sql import functions as F
+
+    from ..sources.lance_datasource import register_lance_datasource
+
+    m = read_native_manifest(root)
+    if native_blob_columns(m):
+        raise LanceNativeError(
+            "native_merge_into on blob-marked datasets is not supported")
+    data_cols = [f.name for f in m.top_level_fields()]
+    missing = sorted(set(on) - set(data_cols))
+    if missing:
+        raise LanceNativeError(f"merge keys not in schema: {missing}")
+    src_missing = sorted(set(data_cols) - set(source.columns))
+    if src_missing:
+        raise LanceNativeError(
+            f"source lacks target columns: {src_missing}")
+    register_lance_datasource(spark)
+    target_keys = (
+        spark.read.format("lance")
+        .option("row_address", "true")
+        .load(root)
+        .select(*on, F.col("_row_address").alias("__addr"))
+    )
+    # matched target addresses: semi-join side of the upsert
+    matched = (
+        target_keys.join(source.select(*on).distinct(), on, "inner")
+        .select("__addr")
+        .orderBy("__addr")
+    )
+    rows_by_fragment: dict[int, list] = {}
+    for row in matched.toLocalIterator(prefetchPartitions=True):
+        a = int(row["__addr"])
+        rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+    # the delta fragment carries every source row (replacements + news)
+    struct_cols = {
+        f.name for f in m.top_level_fields() if f.logical_type == "struct"
+    }
+    new_cols: dict[str, list] = {c: [] for c in data_cols}
+    n_src = 0
+    for row in source.select(*data_cols).toLocalIterator(
+            prefetchPartitions=True):
+        n_src += 1
+        for c in data_cols:
+            v = row[c]
+            if c in struct_cols and v is not None:
+                v = v.asDict()
+            elif hasattr(v, "tolist"):
+                v = v.tolist()
+            elif isinstance(v, (list, tuple)):
+                v = list(v)
+            new_cols[c].append(v)
+    if n_src == 0:
+        return m.version
+    frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
+    first = os.path.join(root, "data", m.fragments[0].files[0].path)
+    with open(first, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        maj, minor = struct.unpack("<HH", fh.read(4))
+    file_version = 1 if (maj, minor) == (0, 1) else 2
+    specs = _v1_field_specs(data_cols, new_cols)
+    got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
+    existing = [
+        (f.name, f.id, _signed(f.parent_id), f.logical_type)
+        for f in m.fields
+    ]
+    if got != existing:
+        raise LanceNativeError(
+            f"merge field/type mismatch: {got} != {existing}")
+    writer = (
+        _write_v2_data_file if file_version == 2 else _write_v1_data_file)
+    file_name, n_rows = writer(root, specs)
+    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    frag_entries.append((next_id, file_name, n_rows))
+    _write_v1_manifest(
+        root, _field_specs_of(m), frag_entries, m.version + 1)
+    return m.version + 1
+
+
 # ------------------------------------------------------- Spark integration
 def is_native_dataset(path: str) -> bool:
     """True when `path` is a REAL `.lance` dataset (binary protobuf

@@ -87,6 +87,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf21_native_row_address",
     "lf22_native_mor_delete",
     "lf23_native_mor_update",
+    "lf24_native_merge_upsert",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",

@@ -11,6 +11,7 @@ repeated driver runs.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 
@@ -1356,4 +1357,104 @@ def lf23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("one_version_commit", F.lit(bool(one_version)))
         .withColumn("no_rewrite", F.lit(bool(no_rewrite)))
         .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lf24 — MERGE (upsert) into a REAL `.lance` dataset as a single-commit
+# MoR delta: matched target keys become deletion-vector entries, every
+# source row (replacement or insert) lands in ONE delta fragment, one
+# manifest version, zero data-file rewrites (`LanceMergeSink.java:49-204`
+# re-expressed without the SDK; the JVM catalog's cat04/cat18 cover the
+# SQL MERGE surface — this is the same delta shape on the interop path).
+# Source: customers 1..300 with doubled account balances for segment
+# AUTOMOBILE plus 10 synthetic new customers; the oracle reproduces the
+# upsert with an anti-join union.
+# ---------------------------------------------------------------------------
+@register(
+    "lf24_native_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+               c_mktsegment
+        FROM customer WHERE c_custkey <= 300
+    ),
+    src AS (
+        SELECT c_custkey, bal_c * 2 AS bal_c, c_mktsegment
+        FROM target WHERE c_mktsegment = 'AUTOMOBILE'
+        UNION ALL
+        SELECT 100000 + i AS c_custkey, CAST(i * 100 AS BIGINT) AS bal_c,
+               'SYNTH' AS c_mktsegment
+        FROM range(1, 11) t(i)
+    ),
+    merged AS (
+        SELECT * FROM src
+        UNION ALL
+        SELECT * FROM target
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(bal_c) AS BIGINT) AS bal_sum,
+           TRUE AS one_version_commit
+    FROM merged
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="format: MERGE upsert into a native .lance dataset — matched-key "
+        "DVs + one delta fragment, single manifest version",
+    tags=("format", "interop", "lance-native", "dml", "mor", "merge"),
+)
+def lf24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        native_merge_into,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf24-native-merge")
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    write_native_dataset(path, {
+        "c_custkey": [int(r["c_custkey"]) for r in rows],
+        # EXACTLY the oracle's FLOOR(x*100 + 0.5) — sign-split rounding
+        # diverges for negative balances on .xx5 boundaries
+        "bal_c": [
+            math.floor(float(r["c_acctbal"]) * 100 + 0.5) for r in rows
+        ],
+        "c_mktsegment": [str(r["c_mktsegment"]) for r in rows],
+    })
+    register_lance_datasource(spark)
+    target = spark.read.format("lance").load(path)
+    src = (
+        target.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(
+            "c_custkey",
+            (F.col("bal_c") * 2).alias("bal_c"),
+            "c_mktsegment",
+        )
+        .unionByName(spark.createDataFrame(
+            [(100000 + i, i * 100, "SYNTH") for i in range(1, 11)],
+            "c_custkey long, bal_c long, c_mktsegment string",
+        ))
+    )
+    v_before = LanceNativeDataset(path).version
+    v_after = native_merge_into(spark, path, src, on=["c_custkey"])
+    one_version = v_after == v_before + 1
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bal_c").alias("bal_sum"),
+        )
+        .withColumn("one_version_commit", F.lit(bool(one_version)))
+        .orderBy("segment")
     )

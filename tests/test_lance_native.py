@@ -1174,3 +1174,56 @@ def test_native_mor_update(tmp_path, spark):
         spark, root, F.col("k") > 9999, {"price": F.lit(0.0)}) == 3
     with pytest.raises(LanceNativeError, match="no such columns"):
         native_update_where(spark, root, F.col("k") == 1, {"nope": F.lit(1)})
+
+
+def test_native_merge_upsert(tmp_path, spark):
+    """Single-commit MoR MERGE (upsert): matched target keys get DV
+    entries, every source row lands in one delta fragment, one manifest
+    version, no data-file rewrites."""
+    import glob
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        LanceNativeError,
+        append_native_rows,
+        native_merge_into,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "nmerge")
+    write_native_dataset(
+        root, {"k": list(range(50)), "v": [f"old{i}" for i in range(50)]})
+    append_native_rows(root, {
+        "k": list(range(50, 100)),
+        "v": [f"old{i}" for i in range(50, 100)],
+    })
+    files_before = set(glob.glob(os.path.join(root, "data", "*")))
+    register_lance_datasource(spark)
+    src = spark.createDataFrame(
+        [(k, f"new{k}") for k in range(40, 60)]
+        + [(k, f"ins{k}") for k in range(100, 110)],
+        "k long, v string",
+    )
+    v = native_merge_into(spark, root, src, on=["k"])
+    assert v == 3  # one version for DVs + delta fragment
+    assert files_before <= set(glob.glob(os.path.join(root, "data", "*")))
+    df = spark.read.format("lance").load(root)
+    assert df.count() == 110
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got[39] == "old39"        # untouched
+    assert got[40] == "new40"        # replaced across fragment 0
+    assert got[59] == "new59"        # replaced across fragment 1
+    assert got[60] == "old60"        # untouched
+    assert got[105] == "ins105"      # inserted
+    assert LanceNativeDataset(root, version=2).count_rows() == 100
+    # empty source: no-op
+    empty = spark.createDataFrame([], "k long, v string")
+    assert native_merge_into(spark, root, empty, on=["k"]) == 3
+    with pytest.raises(LanceNativeError, match="source lacks"):
+        native_merge_into(
+            spark, root, src.select("k"), on=["k"])
