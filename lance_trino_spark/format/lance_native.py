@@ -1331,10 +1331,26 @@ def _write_v1_manifest(
     )
     blob = struct.pack("<I", len(manifest)) + manifest
     blob += struct.pack("<QHH", 0, 0, 1) + b"LANC"
-    os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
-    for name in (f"_versions/{version}.manifest", "_latest.manifest"):
-        with open(os.path.join(root, name), "wb") as fh:
-            fh.write(blob)
+    vdir = os.path.join(root, "_versions")
+    os.makedirs(vdir, exist_ok=True)
+    final = os.path.join(vdir, f"{version}.manifest")
+    if os.path.exists(final):
+        # first-writer-wins optimistic commit, same stance as the
+        # own-format backend's hard-link protocol (format/backend.py)
+        raise LanceNativeError(
+            f"concurrent commit: version {version} already exists")
+    tmp = os.path.join(vdir, f".{version}.manifest.tmp-{os.getpid()}")
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    try:
+        os.link(tmp, final)  # atomic on posix: loses races loudly
+    except FileExistsError:
+        raise LanceNativeError(
+            f"concurrent commit: version {version} already exists")
+    finally:
+        os.unlink(tmp)
+    with open(os.path.join(root, "_latest.manifest"), "wb") as fh:
+        fh.write(blob)
 
 
 BLOB_METADATA_KEY = "lance-encoding:blob"

@@ -1227,3 +1227,26 @@ def test_native_merge_upsert(tmp_path, spark):
     with pytest.raises(LanceNativeError, match="source lacks"):
         native_merge_into(
             spark, root, src.select("k"), on=["k"])
+
+
+def test_native_manifest_commit_conflict_refuses(tmp_path):
+    """First-writer-wins: committing a manifest version that already
+    exists raises instead of silently overwriting history (the native
+    twin of the own-format hard-link protocol)."""
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeError,
+        _field_specs_of,
+        _write_v1_manifest,
+        read_native_manifest,
+        write_native_dataset,
+    )
+
+    root = str(tmp_path / "conflict")
+    write_native_dataset(root, {"k": [1, 2, 3]})
+    m = read_native_manifest(root)
+    entries = [(f.id, f.files[0].path, f.physical_rows)
+               for f in m.fragments]
+    _write_v1_manifest(root, _field_specs_of(m), entries, m.version + 1)
+    with pytest.raises(LanceNativeError, match="concurrent commit"):
+        _write_v1_manifest(
+            root, _field_specs_of(m), entries, m.version + 1)
