@@ -1020,15 +1020,36 @@ def _v1_field_proto(
     return p
 
 
+def _days_since_epoch(v) -> int:
+    import datetime as _dt
+
+    return (v - _dt.date(1970, 1, 1)).days
+
+
+def _micros_since_epoch(v) -> int:
+    import datetime as _dt
+
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    # timedelta floor-division is exact over the full datetime range
+    return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+
+
 def _infer_v1_type(values) -> str:
     """Writer-side logical type from a Python column: int64, double,
     string, binary, or fixed_size_list:float:<dim> (uniform list lengths).
     Mirrors the fixture type surface the reader decodes."""
+    import datetime as _dt
+
     for v in values:
         if v is None:
             continue
         if isinstance(v, bool):
             break  # no bool pages in the minimal writer — treat as error
+        if isinstance(v, _dt.datetime):
+            return "timestamp:us:-"  # naive micros (UTC promotion on read)
+        if isinstance(v, _dt.date):
+            return "date32:day"
         if isinstance(v, int):
             return "int64"
         if isinstance(v, float):
@@ -1163,6 +1184,15 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
         elif lt == "double":
             pos = len(buf)
             buf += np.asarray(vals, dtype="<f8").tobytes()
+        elif lt == "date32:day":
+            pos = len(buf)
+            buf += np.asarray(
+                [_days_since_epoch(v) for v in vals], dtype="<i4").tobytes()
+        elif lt.startswith("timestamp:"):
+            pos = len(buf)
+            buf += np.asarray(
+                [_micros_since_epoch(v) for v in vals], dtype="<i8"
+            ).tobytes()
         elif lt in ("string", "binary"):
             raw = [
                 v.encode() if isinstance(v, str) else bytes(v) for v in vals
@@ -1255,6 +1285,13 @@ def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
             bufs = [np.asarray(vals, dtype="<i8").tobytes()]
         elif lt == "double":
             bufs = [np.asarray(vals, dtype="<f8").tobytes()]
+        elif lt == "date32:day":
+            bufs = [np.asarray(
+                [_days_since_epoch(v) for v in vals], dtype="<i4").tobytes()]
+        elif lt.startswith("timestamp:"):
+            bufs = [np.asarray(
+                [_micros_since_epoch(v) for v in vals], dtype="<i8"
+            ).tobytes()]
         elif lt in ("string", "binary"):
             raw = [
                 v.encode() if isinstance(v, str) else bytes(v) for v in vals

@@ -1250,3 +1250,43 @@ def test_native_manifest_commit_conflict_refuses(tmp_path):
     with pytest.raises(LanceNativeError, match="concurrent commit"):
         _write_v1_manifest(
             root, _field_specs_of(m), entries, m.version + 1)
+
+
+def test_writer_temporal_types_round_trip(tmp_path, spark):
+    """date32/timestamp[us] columns round-trip through BOTH writer
+    flavors and scan through format('lance') with the documented naive ->
+    UTC promotion."""
+    import datetime as dt
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    data = {
+        "d": [dt.date(2020, 1, 1), dt.date(1969, 12, 31),
+              dt.date(2026, 8, 14)],
+        "ts": [
+            dt.datetime(2020, 1, 1, 12, 30, 45, 123456),
+            dt.datetime(1969, 12, 31, 23, 59, 59),
+            dt.datetime(2026, 8, 14, 0, 0),
+        ],
+        "k": [1, 2, 3],
+    }
+    register_lance_datasource(spark)
+    for fv in (1, 2):
+        root = str(tmp_path / f"temporal_v{fv}")
+        write_native_dataset(root, data, file_version=fv)
+        got = LanceNativeDataset(root).to_arrow().to_pydict()
+        assert got["d"] == data["d"]
+        assert got["ts"] == data["ts"]
+        rows = (
+            spark.read.format("lance").load(root)
+            .orderBy("k").collect()
+        )
+        assert [r["d"] for r in rows] == data["d"]
+        # Spark session tz is UTC in tests: naive micros surface verbatim
+        assert [r["ts"].replace(tzinfo=None) for r in rows] == data["ts"]
