@@ -1458,3 +1458,104 @@ def lf24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("one_version_commit", F.lit(bool(one_version)))
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf25 — batch change-data-feed over a REAL `.lance` dataset's version
+# log (native twin of lf13's own-format table_changes / Delta CDF):
+# appends surface as inserts, deletion-vector growth as deletes of the
+# newly-dead rows (decoded preselected — O(changed rows)), and a MoR
+# UPDATE as delete+insert in ONE commit version. The scenario is
+# deterministic (append a batch, delete the low-priority orders, double
+# one priority's prices), so the oracle reproduces the full event log.
+# ---------------------------------------------------------------------------
+@register(
+    "lf25_native_table_changes",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey <= 1000
+    ),
+    b1 AS (SELECT * FROM base WHERE o_orderkey <= 500),
+    b2 AS (SELECT * FROM base WHERE o_orderkey > 500),
+    ev AS (
+        SELECT 2 AS commit_version, 'insert' AS change_type,
+               o_orderkey, o_orderpriority, price_c
+        FROM b2
+        UNION ALL
+        SELECT 3, 'delete', o_orderkey, o_orderpriority, price_c
+        FROM base WHERE o_orderpriority = '5-LOW'
+        UNION ALL
+        SELECT 4, 'delete', o_orderkey, o_orderpriority, price_c
+        FROM base
+        WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 4, 'insert', o_orderkey, o_orderpriority, price_c * 2
+        FROM base
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT commit_version, change_type,
+           COUNT(*) AS n,
+           CAST(SUM(price_c) AS BIGINT) AS price_sum,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM ev
+    GROUP BY commit_version, change_type
+    ORDER BY commit_version, change_type
+    """,
+    doc="format: batch CDF over the native version log — append/DV-"
+        "growth/MoR-update events with per-version aggregates",
+    tags=("format", "interop", "lance-native", "cdc"),
+)
+def lf25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        append_native_rows,
+        native_delete_where,
+        native_table_changes,
+        native_update_where,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf25-native-cdf")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        "price_c": [
+            math.floor(float(r["o_totalprice"]) * 100 + 0.5) for r in rs
+        ],
+    }
+    b1 = [r for r in rows if int(r["o_orderkey"]) <= 500]
+    b2 = [r for r in rows if int(r["o_orderkey"]) > 500]
+    write_native_dataset(path, cols(b1))                       # v1
+    append_native_rows(path, cols(b2))                         # v2
+    register_lance_datasource(spark)
+    native_delete_where(                                       # v3
+        spark, path, F.col("o_orderpriority") == "5-LOW")
+    native_update_where(                                       # v4
+        spark, path,
+        F.col("o_orderpriority") == "1-URGENT",
+        {"price_c": F.col("price_c") * 2},
+    )
+    changes = native_table_changes(path, 1)
+    df = spark.createDataFrame(changes.to_pandas())
+    return (
+        df.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_c").alias("price_sum"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

@@ -1290,3 +1290,46 @@ def test_writer_temporal_types_round_trip(tmp_path, spark):
         assert [r["d"] for r in rows] == data["d"]
         # Spark session tz is UTC in tests: naive micros surface verbatim
         assert [r["ts"].replace(tzinfo=None) for r in rows] == data["ts"]
+
+
+def test_native_table_changes(tmp_path, spark):
+    """Batch CDF over the native version log: appends surface as
+    inserts, DV growth as deletes of the newly-dead rows, a MoR UPDATE
+    as delete+insert at ONE version; empty windows return an empty,
+    fully-typed table."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        native_delete_where,
+        native_table_changes,
+        native_update_where,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "ncdc")
+    write_native_dataset(
+        root, {"k": list(range(10)), "v": [f"a{i}" for i in range(10)]})
+    append_native_rows(root, {"k": [10, 11], "v": ["b10", "b11"]})
+    register_lance_datasource(spark)
+    native_delete_where(spark, root, F.col("k").isin([3, 10]))
+    native_update_where(spark, root, F.col("k") == 5, {"v": F.lit("UPD")})
+
+    d = native_table_changes(root, 1).to_pydict()
+    rows = sorted(zip(
+        d["_commit_version"], d["_change_type"], d["k"], d["v"]))
+    assert rows == sorted([
+        (2, "insert", 10, "b10"), (2, "insert", 11, "b11"),
+        (3, "delete", 3, "a3"), (3, "delete", 10, "b10"),
+        (4, "delete", 5, "a5"), (4, "insert", 5, "UPD"),
+    ])
+    # bounded window
+    d = native_table_changes(root, 2, 3).to_pydict()
+    assert sorted(d["_change_type"]) == ["delete", "delete"]
+    # empty window keeps the full schema
+    t = native_table_changes(root, 4)
+    assert t.num_rows == 0
+    assert t.column_names == ["k", "v", "_change_type", "_commit_version"]
