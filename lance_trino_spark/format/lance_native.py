@@ -1835,12 +1835,19 @@ def native_table_changes(
     versions = sorted(list_native_versions(root))
     if end_version is None:
         end_version = versions[-1]
-    if start_version not in versions:
+    if start_version != 0 and start_version not in versions:
         raise LanceNativeError(
             f"start version {start_version} not in {versions}")
     steps = [v for v in versions if start_version < v <= end_version]
     chunks = []
-    prev = read_native_manifest(root, start_version)
+    if start_version == 0:
+        # empty-dataset baseline: version 1's fragments are all inserts
+        first = read_native_manifest(root, versions[0])
+        prev = NativeManifest(
+            fields=first.fields, fragments=[], version=0,
+            timestamp_s=first.timestamp_s)
+    else:
+        prev = read_native_manifest(root, start_version)
     schema_fields = prev.top_level_fields()
 
     def _dead(m, f):

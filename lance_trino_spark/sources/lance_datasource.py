@@ -788,6 +788,60 @@ class LanceNativeStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint
 
 
+@dataclass
+class LanceNativeCdcPartition(InputPartition):
+    root: str
+    version: int  # emit the delta (version-1 -> version)
+
+
+class LanceNativeCdcStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE-DATA-FEED over a REAL `.lance` dataset's version
+    log (`.option("mode", "cdc")`): each microbatch emits, per committed
+    version in (start, end], the rows that version inserted or deleted —
+    appends as inserts, deletion-vector growth as deletes of the
+    newly-dead rows, a MoR UPDATE/MERGE as delete+insert at one commit
+    version (format/lance_native.native_table_changes, suite lf25's
+    batch shape). Unlike the append-only tail, rewrites ARE representable
+    here, so native DML histories stream without restarts. One partition
+    per version step: each delta is a bounded, independent task."""
+
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self._path = path
+        self._schema = schema
+        self._start = int(options.get("startingversion", 1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        from ..format.lance_native import list_native_versions
+
+        return {"version": max(list_native_versions(self._path))}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = int(start["version"]), int(end["version"])
+        return [
+            LanceNativeCdcPartition(self._path, v)
+            for v in range(sv + 1, ev + 1)
+        ] or [LanceNativeCdcPartition(self._path, -1)]
+
+    def read(self, partition: LanceNativeCdcPartition):
+        if partition.version < 0:
+            return iter(())
+        from ..format.lance_native import (
+            conform_native_table,
+            native_table_changes,
+        )
+
+        t = native_table_changes(
+            partition.root, partition.version - 1, partition.version)
+        out = conform_native_table(t, self._schema)
+        return iter(out.to_batches(max_chunksize=8192))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint
+
+
 class LanceScanReaderNoPushdown(DataSourceReader):
     """Fallback used when `spark.sql.python.filterPushdown.enabled` is off:
     Spark refuses any reader that *implements* pushFilters in that case, so
@@ -1217,6 +1271,23 @@ class LanceSparkDataSource(DataSource):
             v = self.options.get("version")
             m = read_native_manifest(path, int(v) if v is not None else None)
             full = native_spark_schema(m)
+            if (self.options.get("mode") or "").lower() == "cdc":
+                # streaming CDC over the native version log: rows tagged
+                # insert/delete with their commit version (lf25's batch
+                # shape, streamed)
+                from pyspark.sql.types import (
+                    LongType,
+                    StringType,
+                    StructField,
+                )
+
+                return StructType(
+                    full.fields
+                    + [
+                        StructField("_change_type", StringType()),
+                        StructField("_commit_version", LongType()),
+                    ]
+                )
             if str(self.options.get("row_address", "")).lower() == "true":
                 # the reference's 64-bit row identity (fragment << 32 |
                 # row index, RowAddress.java:22-43) on the NATIVE path —
@@ -1307,6 +1378,10 @@ class LanceSparkDataSource(DataSource):
         from ..format.lance_native import is_native_dataset
 
         if is_native_dataset(self._path()):
+            if (self.options.get("mode") or "").lower() == "cdc":
+                return LanceNativeCdcStreamReader(
+                    self._path(), schema, dict(self.options)
+                )
             return LanceNativeStreamReader(
                 self._path(), schema, dict(self.options)
             )

@@ -438,3 +438,96 @@ def ds09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type", "n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds10 — streaming CDC over a REAL `.lance` dataset's version log
+# (`.option("mode", "cdc")` on format("lance") readStream): the native
+# twin of ds09 — but here the underlying DML is the round-8 NATIVE MoR
+# path (deletion-vector files + delta fragments written without the
+# SDK), so the stream must represent rewriting versions as
+# delete+insert events instead of refusing them like the append-only
+# tail (st11). Scenario: create, append, MoR DELETE, MoR UPDATE — the
+# oracle reproduces the full event log.
+# ---------------------------------------------------------------------------
+@register(
+    "ds10_native_stream_cdc",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey <= 600
+    ),
+    ev AS (
+        SELECT 'insert' AS _change_type, o_orderkey, price_c FROM base
+        UNION ALL
+        SELECT 'delete', o_orderkey, price_c
+        FROM base WHERE o_orderpriority = '5-LOW'
+        UNION ALL
+        SELECT 'delete', o_orderkey, price_c
+        FROM base WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'insert', o_orderkey, price_c * 2
+        FROM base WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT _change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(price_c) AS BIGINT) AS price_sum,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM ev
+    GROUP BY _change_type
+    ORDER BY _change_type
+    """,
+    doc="connector: streaming CDC over the native .lance version log — "
+        "MoR delete/update histories stream as insert/delete events",
+    tags=("connector", "streaming", "cdc", "lance-native"),
+)
+def ds10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..format.lance_native import (
+        append_native_rows,
+        native_delete_where,
+        native_update_where,
+        write_native_dataset,
+    )
+    from ..streaming.events import run_to_memory
+
+    register_lance_datasource(spark)
+    path = _fresh_path(sf_dir, "ds10-native-cdc")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 600)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        "price_c": [
+            math.floor(float(r["o_totalprice"]) * 100 + 0.5) for r in rs
+        ],
+    }
+    half = len(rows) // 2
+    write_native_dataset(path, cols(rows[:half]))               # v1
+    append_native_rows(path, cols(rows[half:]))                 # v2
+    native_delete_where(                                        # v3
+        spark, path, F.col("o_orderpriority") == "5-LOW")
+    native_update_where(                                        # v4
+        spark, path,
+        F.col("o_orderpriority") == "1-URGENT",
+        {"price_c": F.col("price_c") * 2},
+    )
+    sdf = spark.readStream.format("lance").option("mode", "cdc").load(path)
+    out = run_to_memory(sdf, "append")
+    return (
+        out.groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price_c").alias("price_sum"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("_change_type")
+    )

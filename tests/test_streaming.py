@@ -145,3 +145,46 @@ def test_watermark_drops_late_batch_with_one_batch_lag(spark, tmp_path):
     # v=4 dropped (filtered with the post-bulk watermark)
     assert got == [1, 2, 3]
     assert dropped[-1] == 1
+
+
+def test_native_stream_cdc(tmp_path, spark):
+    """Streaming mode=cdc over the native version log: MoR delete/update
+    histories stream as insert/delete events with their commit version
+    (the append-only tail st11 refuses these rewrites by contract)."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        native_delete_where,
+        native_update_where,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+    from lance_trino_spark.streaming.events import run_to_memory
+
+    root = str(tmp_path / "ncdc")
+    write_native_dataset(
+        root, {"k": list(range(10)), "v": [f"a{i}" for i in range(10)]})
+    append_native_rows(root, {"k": [10, 11], "v": ["b10", "b11"]})
+    register_lance_datasource(spark)
+    native_delete_where(spark, root, F.col("k").isin([3, 10]))
+    native_update_where(spark, root, F.col("k") == 5, {"v": F.lit("UPD")})
+
+    sdf = spark.readStream.format("lance").option("mode", "cdc").load(root)
+    out = run_to_memory(sdf, "append")
+    rows = sorted(
+        tuple(r)
+        for r in out.select(
+            "_commit_version", "_change_type", "k", "v").collect()
+    )
+    exp = sorted(
+        [(1, "insert", i, f"a{i}") for i in range(10)]
+        + [
+            (2, "insert", 10, "b10"), (2, "insert", 11, "b11"),
+            (3, "delete", 3, "a3"), (3, "delete", 10, "b10"),
+            (4, "delete", 5, "a5"), (4, "insert", 5, "UPD"),
+        ]
+    )
+    assert rows == exp
