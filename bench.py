@@ -131,6 +131,12 @@ DEFAULT_QUERIES = [
     "t22_bigram_coverage",
     "lf19_native_scalar_index_scan",
     "lf20_native_blob_virtual_columns",
+    "lf21_native_row_address",
+    "lf22_native_mor_delete",
+    "lf23_native_mor_update",
+    "lf24_native_merge_upsert",
+    "lf25_native_table_changes",
+    "ds10_native_stream_cdc",
 ]
 
 
