@@ -1600,10 +1600,9 @@ def native_delete_where(spark, root: str, condition) -> int:
     """DELETE ... WHERE on a real `.lance` dataset through the Spark
     scan: predicate evaluation is DISTRIBUTED (format("lance") with the
     ``row_address`` option — pushed filters, scalar-index preselect and
-    late materialization all apply), matched row addresses stream back
-    ordered by address so the driver groups them fragment by fragment
-    with O(fragment-delta) memory, then `native_delete` commits the MoR
-    deletion vectors. Returns the new manifest version."""
+    late materialization all apply); matched addresses stream to the
+    committer, whose working set is O(delete delta) — the DV write
+    itself. Returns the new manifest version."""
     from pyspark.sql import functions as F
 
     from ..sources.lance_datasource import register_lance_datasource
@@ -1615,7 +1614,6 @@ def native_delete_where(spark, root: str, condition) -> int:
         .load(root)
         .where(condition)
         .select(F.col("_row_address").alias("a"))
-        .orderBy("a")
     )
     rows_by_fragment: dict[int, list] = {}
     for row in df.toLocalIterator(prefetchPartitions=True):
@@ -1667,7 +1665,6 @@ def native_update_where(
             ],
             F.col("_row_address").alias("__addr"),
         )
-        .orderBy("__addr")
     )
     rows_by_fragment: dict[int, list] = {}
     new_cols: dict[str, list] = {c: [] for c in data_cols}
@@ -1757,7 +1754,6 @@ def native_merge_into(
     matched = (
         target_keys.join(source.select(*on).distinct(), on, "inner")
         .select("__addr")
-        .orderBy("__addr")
     )
     rows_by_fragment: dict[int, list] = {}
     for row in matched.toLocalIterator(prefetchPartitions=True):
