@@ -2317,6 +2317,7 @@ def write_native_vector_index(
     sample: int = 4096,
     iters: int = 8,
     seed: int = 0,
+    spark=None,
 ) -> str:
     """Build and persist an IVF_PQ vector index in the REAL old-Lance
     binary layout (the exact format read_native_vector_index parses off
@@ -2326,7 +2327,19 @@ def write_native_vector_index(
 
     The training sample is bounded (FAISS recipe, same stance as
     format/vector_index.py) — ENCODING streams per fragment and appends to
-    per-cell buckets, so memory is O(corpus codes), 9-24 bytes/row."""
+    per-cell buckets, so memory is O(corpus codes), 9-24 bytes/row.
+
+    With ``spark`` given, the ENCODE pass — the only O(corpus) compute —
+    distributes as an Arrow-batched mapInPandas over the format("lance")
+    scan (row addresses from the ``row_address`` option; centroids +
+    codebooks ship in the task closure, a few hundred KB), emitting one
+    pre-packed (cell, codes, addrs) chunk per (batch, cell); the driver
+    only concatenates chunks into the single index file. Driver memory
+    stays O(corpus codes) either way — that is the single-file sidecar's
+    floor, and matches the SDK's own build. On DV-free datasets the two
+    paths produce BYTE-IDENTICAL files (pytest-pinned); with deletion
+    vectors the distributed pass indexes LIVE rows only (the scan applies
+    DVs), which is the stricter behavior."""
     import uuid as uuidlib
 
     import numpy as np
@@ -2364,24 +2377,70 @@ def write_native_vector_index(
 
     # pass 2: encode every row into per-cell (codes, row ids) buckets
     buckets = [([], []) for _ in range(n_cells)]
-    for frag in manifest.fragments:
-        dfile, col_idx = frag.file_for_field(nfield.id)
-        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
-        v = np.asarray(arr.flatten(), dtype=np.float32).reshape(-1, dim)
-        a = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    def _encode_block(v: "np.ndarray"):
+        a = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(
+            axis=1)
         r = v - cent[a]
         codes = np.empty((len(v), nsub), dtype=np.uint8)
         for s in range(nsub):
             sub = r[:, s * subdim:(s + 1) * subdim]
-            d = ((sub[:, None, :] - codebook[s][None, :, :]) ** 2).sum(axis=2)
+            d = ((sub[:, None, :] - codebook[s][None, :, :]) ** 2).sum(
+                axis=2)
             codes[:, s] = d.argmin(axis=1)
-        addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
-            len(v), dtype=np.uint64)
-        for c in range(n_cells):
-            m = a == c
-            if m.any():
-                buckets[c][0].append(codes[m])
-                buckets[c][1].append(addr[m])
+        return a, codes
+
+    if spark is not None:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        df = (
+            spark.read.format("lance")
+            .option("row_address", "true")
+            .option("version", str(manifest.version))
+            .load(root)
+            .select(F.col(column).alias("v"), "_row_address")
+        )
+
+        def encode(batches):
+            for pdf in batches:
+                v = np.asarray(
+                    np.vstack(pdf["v"].to_numpy()), dtype=np.float32
+                ).reshape(-1, dim)
+                a, codes = _encode_block(v)
+                addr = pdf["_row_address"].to_numpy().astype(np.uint64)
+                cells, cbufs, abufs = [], [], []
+                for c in np.unique(a):
+                    m = a == c
+                    cells.append(int(c))
+                    cbufs.append(codes[m].tobytes())
+                    abufs.append(addr[m].astype("<u8").tobytes())
+                yield pd.DataFrame(
+                    {"cell": cells, "codes": cbufs, "addrs": abufs})
+
+        enc = df.mapInPandas(encode, "cell int, codes binary, addrs binary")
+        for row in enc.toLocalIterator(prefetchPartitions=True):
+            c = int(row["cell"])
+            buckets[c][0].append(np.frombuffer(
+                row["codes"], dtype=np.uint8).reshape(-1, nsub))
+            buckets[c][1].append(np.frombuffer(row["addrs"], dtype="<u8"))
+    else:
+        for frag in manifest.fragments:
+            dfile, col_idx = frag.file_for_field(nfield.id)
+            arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+            v = np.asarray(
+                arr.flatten(), dtype=np.float32).reshape(-1, dim)
+            a, codes = _encode_block(v)
+            addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
+                len(v), dtype=np.uint64)
+            for c in range(n_cells):
+                m = a == c
+                if m.any():
+                    buckets[c][0].append(codes[m])
+                    buckets[c][1].append(addr[m])
 
     body = bytearray()
     offsets, lengths = [], []

@@ -1333,3 +1333,47 @@ def test_native_table_changes(tmp_path, spark):
     t = native_table_changes(root, 4)
     assert t.num_rows == 0
     assert t.column_names == ["k", "v", "_change_type", "_commit_version"]
+
+
+def test_vector_index_spark_encode_parity(tmp_path, spark):
+    """The distributed IVF_PQ encode (mapInPandas over the row_address
+    scan) produces a BYTE-IDENTICAL index file to the driver-side pass on
+    a DV-free dataset — search results included."""
+    import hashlib
+
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        list_native_vector_indices,
+        native_index_search,
+        write_native_dataset,
+        write_native_vector_index,
+    )
+
+    root = str(tmp_path / "ivf_dist")
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(3000, 32)).astype(np.float32)
+    write_native_dataset(root, {
+        "vec_id": list(range(2000)),
+        "vector": [v.tolist() for v in vecs[:2000]],
+    })
+    append_native_rows(root, {
+        "vec_id": list(range(2000, 3000)),
+        "vector": [v.tolist() for v in vecs[2000:]],
+    })
+    u1 = write_native_vector_index(root, "vector", n_cells=8, nsub=4)
+    u2 = write_native_vector_index(
+        root, "vector", n_cells=8, nsub=4, spark=spark)
+
+    def digest(uid):
+        p = os.path.join(root, "_indices", uid, "index.idx")
+        return hashlib.md5(open(p, "rb").read()).hexdigest()
+
+    assert digest(u1) == digest(u2)
+    i1, i2 = list_native_vector_indices(root)
+    q = vecs[[5, 777, 2500]]
+    r1 = native_index_search(root, i1, q, k=5, nprobe=8)
+    r2 = native_index_search(root, i2, q, k=5, nprobe=8)
+    assert [r["neighbors"] for r in r1] == [r["neighbors"] for r in r2]
+    assert [r["distances"] for r in r1] == [r["distances"] for r in r2]
