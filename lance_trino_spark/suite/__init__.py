@@ -76,12 +76,15 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 8 window. Front: never-checked/red, then queries whose
-    # code was rewritten since their last check (rotation rule: changed
-    # code outranks staleness), then the 14 r4-latest stale, then the
-    # r5-latest cohort sorted by name. The driver's 50-row prefix covers
-    # the 9 front + 14 r4 + first 27 of the r5 cohort; the r5 tail
-    # leads the round-9 window.
+    # --- round 8 window. Front: the EIGHT queries added this round
+    # (lf19-lf25, ds10 — never driver-checked), then never-checked/red
+    # (s13 fixed, t22, cat21/lf18 oracle-fixed), then queries whose code
+    # was rewritten since their last check (ROTATION RULE: changed code
+    # outranks staleness — cat16/18/19/20 on the r7 DvScan/RowLevel
+    # rewrite, d10 on the round-8 de-skew), then the 14 r4-latest stale,
+    # then the r5-latest cohort sorted by name. The driver's 50-row
+    # prefix covers 8 new + 9 + 14 r4 + the first 19 of the r5 cohort;
+    # the r5 tail leads the round-9 window.
     "lf19_native_scalar_index_scan",
     "lf20_native_blob_virtual_columns",
     "lf21_native_row_address",
