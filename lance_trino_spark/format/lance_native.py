@@ -430,7 +430,19 @@ def _v2_read_column(
     lt = nfield.logical_type
     what = f"column {nfield.name!r} ({lt})"
     chunks = []
-    for offs, sizes, nrows in pages:
+    child_cache: dict = {}  # child col idx -> decoded full column (the
+    # per-parent-page loop slices it; without the cache a P-page parent
+    # would re-decode its child P times)
+
+    def _child_column(ch_idx, ch):
+        if ch_idx not in child_cache:
+            a = _v2_read_column(raw, ch_idx, ch, manifest, data_file)
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            child_cache[ch_idx] = a
+        return child_cache[ch_idx]
+
+    for pg_i, (offs, sizes, nrows) in enumerate(pages):
         if lt in _FIXED_TYPES:
             np_dt = "<" + _FIXED_TYPES[lt]
             width = int(_FIXED_TYPES[lt][1])
@@ -482,22 +494,23 @@ def _v2_read_column(
                 raise LanceNativeError(
                     f"list column {what} needs the manifest for its child"
                 )
-            if len(pages) > 1:
-                # each page's end-offsets index into the page's OWN child
-                # rows, but _v2_read_column reads the whole child column —
-                # pairing page 2+ offsets with the full child would be
-                # silently wrong, so raise loudly (fixtures are
-                # single-page; multi-page needs per-page child slicing)
-                raise LanceNativeError(
-                    f"multi-page v2 list column not decoded ({what}: "
-                    f"{len(pages)} pages)"
-                )
             child = _child_field(manifest, nfield)
             child_col = data_file.field_ids.index(child.id)
             ends = _v2_fixed_np(raw, offs, sizes, nrows, "<i8", 8, what)
-            child_vals = _v2_read_column(
-                raw, child_col, child, manifest, data_file
-            )
+            child_vals = _child_column(child_col, child)
+            if len(pages) > 1:
+                # each page's end-offsets index into the page's OWN child
+                # rows; this writer's convention (and the alignment the
+                # decode depends on) is 1:1 parent/child page pairing, so
+                # slice the child at the cumulative child-page boundary
+                child_pages = _v2_pages(raw, child_col)
+                if len(child_pages) != len(pages):
+                    raise LanceNativeError(
+                        f"multi-page v2 list column {what}: "
+                        f"{len(pages)} parent pages vs "
+                        f"{len(child_pages)} child pages — cannot pair")
+                base = sum(cp[2] for cp in child_pages[:pg_i])
+                child_vals = child_vals.slice(base, child_pages[pg_i][2])
             offsets = pa.array([0] + ends.tolist(), type=pa.int32())
             chunks.append(pa.ListArray.from_arrays(offsets, child_vals))
         elif lt.startswith("fixed_size_list:"):
@@ -527,9 +540,6 @@ def _v2_read_column(
             if manifest is None or data_file is None:
                 raise LanceNativeError(
                     f"struct column {what} needs the manifest")
-            if len(pages) > 1:
-                raise LanceNativeError(
-                    f"multi-page v2 struct column not decoded ({what})")
             if len(offs) != 1 or sizes[0] != nrows:
                 raise LanceNativeError(
                     f"unexpected struct validity layout for {what}")
@@ -542,12 +552,15 @@ def _v2_read_column(
             if not children:
                 raise LanceNativeError(
                     f"struct field {nfield.name!r} has no children")
+            # children share the parent's row slicing, so page pg_i's
+            # child rows start at the cumulative parent page row count
+            base = sum(pg[2] for pg in pages[:pg_i])
             arrays, names = [], []
             for ch in children:
                 ch_idx = data_file.field_ids.index(ch.id)
-                a = _v2_read_column(raw, ch_idx, ch, manifest, data_file)
-                if isinstance(a, pa.ChunkedArray):
-                    a = a.combine_chunks()
+                a = _child_column(ch_idx, ch)
+                if len(pages) > 1:
+                    a = a.slice(base, nrows)
                 arrays.append(a)
                 names.append(ch.name)
             chunks.append(pa.StructArray.from_arrays(
@@ -1241,22 +1254,30 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
     return file_name, n_rows
 
 
-def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
+def _write_v2_data_file(
+    root: str, specs: list[tuple], page_rows: int | None = None
+) -> tuple[str, int]:
     """One Lance FILE-v2 data file (footer 0.3 — the format current Lance
     SDKs produce and the fixtures test_table5 / wide_types_table carry):
-    one plain page per column, column-metadata protos, the 16-byte-entry
+    plain pages, column-metadata protos, the 16-byte-entry
     column-metadata offset table, and the 40-byte footer. Buffer layouts
     mirror exactly what _v2_read_column decodes: flat fixed-width scalars,
     bitpacked bools never written (no bool inference), var-width
-    string/binary as [end-offsets i64][payload] buffer pairs,
-    fixed_size_list<float> as one flat f4 buffer, list<T> as an
-    end-offsets i64 column whose CHILD is its own v2 column (the
-    test_table5 layout), and struct as a validity-byte column plus child
-    columns (mirroring the v1 writer's parent-validity convention —
-    decoded by _v2_read_column's struct branch). No global buffers are
-    emitted (the dataset manifest carries the schema; a file-level schema
-    copy is optional for readers that resolve columns positionally, as
-    this repo's does)."""
+    string/binary as [end-offsets i64][payload] buffer pairs with
+    PAGE-LOCAL end offsets, fixed_size_list<float> as one flat f4
+    buffer, list<T> as an end-offsets i64 column whose CHILD is its own
+    v2 column (the test_table5 layout; list end offsets are page-local
+    and the child column's page boundaries ALIGN 1:1 with the parent's
+    — page i of the child holds exactly page i's elements), and struct
+    as a validity-byte column plus child columns. No global buffers are
+    emitted (the dataset manifest carries the schema; a file-level
+    schema copy is optional for readers that resolve columns
+    positionally, as this repo's does).
+
+    ``page_rows`` splits every column into ceil(rows/page_rows) pages —
+    the production shape (bounded page memory on read AND write; the SDK
+    writes ~8 MB pages). Default None = one page per column, the
+    fixture-compatible minimum."""
     import uuid as _uuid
 
     import numpy as np
@@ -1271,53 +1292,83 @@ def _write_v2_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
         if sp[2] not in list_fids
     ):
         raise LanceNativeError("ragged columns")
-    buf = bytearray()
-    col_pages = []
-    for _name, _fid, _parent, lt, vals in specs:
+
+    # Per-spec page row-slices. Default: equal page_rows chunks of the
+    # spec's OWN length; list children instead follow their parent's page
+    # boundaries translated to element counts (the 1:1 alignment the
+    # multi-page list read depends on).
+    def _slices(n, step):
+        if not step or n == 0:
+            return [(0, n)]
+        return [(i, min(i + step, n)) for i in range(0, n, step)]
+
+    slices_by_fid = {}
+    for name, fid, parent, lt, vals in specs:
+        if parent in list_fids:
+            pvals = next(sp[4] for sp in specs if sp[1] == parent)
+            bounds = [0]
+            for lo, hi in _slices(len(pvals), page_rows):
+                bounds.append(bounds[-1] + sum(
+                    len(row) for row in pvals[lo:hi]))
+            slices_by_fid[fid] = list(zip(bounds[:-1], bounds[1:]))
+        else:
+            slices_by_fid[fid] = _slices(len(vals), page_rows)
+
+    def _page_bufs(lt, vals):
         if lt == "struct":
-            bufs = [np.asarray(
+            return [np.asarray(
                 [1 if v else 0 for v in vals], dtype=np.uint8).tobytes()]
-        elif lt == "list":
-            ends = np.cumsum(
-                [len(row) for row in vals], dtype="<i8")
-            bufs = [ends.tobytes()]
-        elif lt == "int64":
-            bufs = [np.asarray(vals, dtype="<i8").tobytes()]
-        elif lt == "double":
-            bufs = [np.asarray(vals, dtype="<f8").tobytes()]
-        elif lt == "date32:day":
-            bufs = [np.asarray(
-                [_days_since_epoch(v) for v in vals], dtype="<i4").tobytes()]
-        elif lt.startswith("timestamp:"):
-            bufs = [np.asarray(
-                [_micros_since_epoch(v) for v in vals], dtype="<i8"
-            ).tobytes()]
-        elif lt in ("string", "binary"):
+        if lt == "list":
+            ends = np.cumsum([len(row) for row in vals], dtype="<i8")
+            return [ends.tobytes()]
+        if lt == "int64":
+            return [np.asarray(vals, dtype="<i8").tobytes()]
+        if lt == "double":
+            return [np.asarray(vals, dtype="<f8").tobytes()]
+        if lt == "date32:day":
+            return [np.asarray(
+                [_days_since_epoch(v) for v in vals],
+                dtype="<i4").tobytes()]
+        if lt.startswith("timestamp:"):
+            return [np.asarray(
+                [_micros_since_epoch(v) for v in vals],
+                dtype="<i8").tobytes()]
+        if lt in ("string", "binary"):
             raw = [
-                v.encode() if isinstance(v, str) else bytes(v) for v in vals
+                v.encode() if isinstance(v, str) else bytes(v)
+                for v in vals
             ]
             ends = np.cumsum([len(b) for b in raw], dtype="<i8")
-            bufs = [ends.tobytes(), b"".join(raw)]
-        elif lt.startswith("fixed_size_list:"):
-            bufs = [np.asarray(
+            return [ends.tobytes(), b"".join(raw)]
+        if lt.startswith("fixed_size_list:"):
+            return [np.asarray(
                 [x for row in vals for x in row], dtype="<f4").tobytes()]
-        else:
-            raise LanceNativeError(f"v2 writer does not emit {lt!r}")
-        offsets, sizes = [], []
-        for b in bufs:
-            offsets.append(len(buf))
-            sizes.append(len(b))
-            buf += b
-        col_pages.append((offsets, sizes))
+        raise LanceNativeError(f"v2 writer does not emit {lt!r}")
+
+    buf = bytearray()
+    col_pages = []
+    for _name, fid, _parent, lt, vals in specs:
+        pages = []
+        for lo, hi in slices_by_fid[fid]:
+            bufs = _page_bufs(lt, vals[lo:hi])
+            offsets, sizes = [], []
+            for b in bufs:
+                offsets.append(len(buf))
+                sizes.append(len(b))
+                buf += b
+            pages.append((offsets, sizes, hi - lo))
+        col_pages.append(pages)
     cms = len(buf)
     entries = []
-    for sp, (offsets, sizes) in zip(specs, col_pages):
-        page = (
-            _enc_field(1, 2, b"".join(_enc_varint(o) for o in offsets))
-            + _enc_field(2, 2, b"".join(_enc_varint(x) for x in sizes))
-            + _enc_field(3, 0, len(sp[4]))
+    for pages in col_pages:
+        colmeta = b"".join(
+            _enc_field(2, 2, (
+                _enc_field(1, 2, b"".join(_enc_varint(o) for o in offsets))
+                + _enc_field(2, 2, b"".join(_enc_varint(x) for x in sizes))
+                + _enc_field(3, 0, nrows)
+            ))
+            for offsets, sizes, nrows in pages
         )
-        colmeta = _enc_field(2, 2, page)
         entries.append((len(buf), len(colmeta)))
         buf += colmeta
     cmos = len(buf)
