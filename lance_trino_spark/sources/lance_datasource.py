@@ -791,7 +791,9 @@ class LanceNativeStreamReader(DataSourceStreamReader):
 @dataclass
 class LanceNativeCdcPartition(InputPartition):
     root: str
-    version: int  # emit the delta (version-1 -> version)
+    version: int      # the commit whose delta this task emits
+    kind: str         # "insert" | "dv_delta" | "dropped" | "noop"
+    frag_id: int
 
 
 class LanceNativeCdcStreamReader(DataSourceStreamReader):
@@ -800,10 +802,15 @@ class LanceNativeCdcStreamReader(DataSourceStreamReader):
     version in (start, end], the rows that version inserted or deleted —
     appends as inserts, deletion-vector growth as deletes of the
     newly-dead rows, a MoR UPDATE/MERGE as delete+insert at one commit
-    version (format/lance_native.native_table_changes, suite lf25's
-    batch shape). Unlike the append-only tail, rewrites ARE representable
-    here, so native DML histories stream without restarts. One partition
-    per version step: each delta is a bounded, independent task."""
+    version (suite lf25's batch shape). Unlike the append-only tail,
+    rewrites ARE representable here, so native DML histories stream
+    without restarts.
+
+    Scale shape: ONE TASK PER (version, fragment-delta) unit — planning
+    diffs manifests metadata-only (a fragment's DV change is detected by
+    its deletion-file identity, no DV is read on the driver), and each
+    task decodes exactly its own bounded delta. A commit that touches a
+    thousand fragments fans out as a thousand tasks, not one."""
 
     def __init__(self, path: str, schema: StructType, options: dict):
         self._path = path
@@ -819,22 +826,88 @@ class LanceNativeCdcStreamReader(DataSourceStreamReader):
         return {"version": max(list_native_versions(self._path))}
 
     def partitions(self, start: dict, end: dict):
+        from ..format.lance_native import read_native_manifest
+
         sv, ev = int(start["version"]), int(end["version"])
-        return [
-            LanceNativeCdcPartition(self._path, v)
-            for v in range(sv + 1, ev + 1)
-        ] or [LanceNativeCdcPartition(self._path, -1)]
+        out: list[LanceNativeCdcPartition] = []
+        prev = (
+            {f.id: f for f in read_native_manifest(self._path, sv).fragments}
+            if sv >= 1 else {}
+        )
+        for v in range(sv + 1, ev + 1):
+            cur = {
+                f.id: f
+                for f in read_native_manifest(self._path, v).fragments
+            }
+            for fid in sorted(set(cur) - set(prev)):
+                out.append(LanceNativeCdcPartition(
+                    self._path, v, "insert", fid))
+            for fid in sorted(set(cur) & set(prev)):
+                dv_prev = prev[fid].deletion
+                dv_cur = cur[fid].deletion
+                if (dv_prev is None) != (dv_cur is None) or (
+                    dv_cur is not None
+                    and (dv_prev.read_version, dv_prev.id)
+                    != (dv_cur.read_version, dv_cur.id)
+                ):
+                    out.append(LanceNativeCdcPartition(
+                        self._path, v, "dv_delta", fid))
+            for fid in sorted(set(prev) - set(cur)):
+                out.append(LanceNativeCdcPartition(
+                    self._path, v, "dropped", fid))
+            prev = cur
+        return out or [LanceNativeCdcPartition(self._path, -1, "noop", -1)]
 
     def read(self, partition: LanceNativeCdcPartition):
-        if partition.version < 0:
+        if partition.kind == "noop":
             return iter(())
+        import numpy as np
+        import pyarrow as pa
+
         from ..format.lance_native import (
+            _deleted_rows,
             conform_native_table,
-            native_table_changes,
+            read_native_fragment,
+            read_native_manifest,
         )
 
-        t = native_table_changes(
-            partition.root, partition.version - 1, partition.version)
+        v = partition.version
+        if partition.kind == "insert":
+            m = read_native_manifest(partition.root, v)
+            frag = next(
+                f for f in m.fragments if f.id == partition.frag_id)
+            t = read_native_fragment(partition.root, frag, m)
+            kind = "insert"
+        elif partition.kind == "dv_delta":
+            m_prev = read_native_manifest(partition.root, v - 1)
+            m_cur = read_native_manifest(partition.root, v)
+            f_prev = next(
+                f for f in m_prev.fragments if f.id == partition.frag_id)
+            f_cur = next(
+                f for f in m_cur.fragments if f.id == partition.frag_id)
+            dead_prev = (
+                set() if f_prev.deletion is None
+                else _deleted_rows(partition.root, f_prev.deletion))
+            dead_cur = (
+                set() if f_cur.deletion is None
+                else _deleted_rows(partition.root, f_cur.deletion))
+            newly = sorted(dead_cur - dead_prev)
+            t = read_native_fragment(
+                partition.root, f_prev, m_prev,
+                preselected=np.asarray(newly, dtype=np.int64))
+            kind = "delete"
+        else:  # dropped: full-fragment MoR delete
+            m_prev = read_native_manifest(partition.root, v - 1)
+            f_prev = next(
+                f for f in m_prev.fragments if f.id == partition.frag_id)
+            t = read_native_fragment(partition.root, f_prev, m_prev)
+            kind = "delete"
+        if not len(t):
+            return iter(())
+        t = t.append_column(
+            "_change_type", pa.array([kind] * len(t), type=pa.string())
+        ).append_column(
+            "_commit_version", pa.array([v] * len(t), type=pa.int64()))
         out = conform_native_table(t, self._schema)
         return iter(out.to_batches(max_chunksize=8192))
 
