@@ -480,15 +480,20 @@ def _v2_read_column(
                     f"{len(offs)}, sizes={sizes}"
                 )
             ends = np.frombuffer(raw, "<i8", count=nrows, offset=offs[0])
-            data = raw[offs[1]:offs[1] + sizes[1]]
-            out, start = [], 0
-            for e in ends.tolist():
-                piece = data[start:e]
-                out.append(
-                    piece.decode() if lt.endswith("string") else piece
-                )
-                start = e
-            chunks.append(pa.array(out, type=_arrow_type(lt)))
+            data = bytes(raw[offs[1]:offs[1] + sizes[1]])
+            # vectorized: [0] + ends IS the arrow offsets buffer — build
+            # the large_* array zero-copy, then cast to the 32-bit type
+            offs64 = np.empty(nrows + 1, dtype="<i8")
+            offs64[0] = 0
+            offs64[1:] = ends
+            arr = pa.Array.from_buffers(
+                pa.large_utf8() if lt.endswith("string")
+                else pa.large_binary(),
+                nrows,
+                [None, pa.py_buffer(offs64.tobytes()),
+                 pa.py_buffer(data)],
+            )
+            chunks.append(arr.cast(_arrow_type(lt)))
         elif lt == "list":
             if manifest is None or data_file is None:
                 raise LanceNativeError(
@@ -719,14 +724,30 @@ def read_file_column(
             # the page position; the value bytes live between consecutive
             # positions (absolute file offsets)
             offs = np.frombuffer(raw, dtype="<i8", count=nvals + 1, offset=pos)
-            rows = range(nvals) if sel is None else sel.tolist()
-            vals = [
-                raw[offs[i]:offs[i + 1]].decode()
-                if nfield.logical_type.endswith("string")
-                else raw[offs[i]:offs[i + 1]]
-                for i in rows
-            ]
-            chunks.append(pa.array(vals, type=atype))
+            if sel is None:
+                # vectorized full-page decode: the payload between the
+                # first and last position is contiguous, so rebasing the
+                # positions IS the arrow offsets buffer (a per-row python
+                # slice loop is O(rows) interpreter work)
+                data = bytes(raw[offs[0]:offs[nvals]])
+                rebased = (offs - offs[0]).astype("<i8")
+                arr = pa.Array.from_buffers(
+                    pa.large_utf8()
+                    if nfield.logical_type.endswith("string")
+                    else pa.large_binary(),
+                    nvals,
+                    [None, pa.py_buffer(rebased.tobytes()),
+                     pa.py_buffer(data)],
+                )
+                chunks.append(arr.cast(atype))
+            else:
+                vals = [
+                    bytes(raw[offs[i]:offs[i + 1]]).decode()
+                    if nfield.logical_type.endswith("string")
+                    else bytes(raw[offs[i]:offs[i + 1]])
+                    for i in sel.tolist()
+                ]
+                chunks.append(pa.array(vals, type=atype))
         elif nfield.logical_type.startswith("fixed_size_list:"):
             # v1 fsl page: nvals is the ROW count; the page body is
             # nvals*dim contiguous plain-encoded items (fixture
@@ -860,9 +881,11 @@ def read_native_fragment(
     n_phys = _physical_rows_from_file(root, frag.files[0])
     if frag.deletion is not None:
         dead = _deleted_rows(root, frag.deletion)
-        live = np.array(
-            [i for i in range(n_phys) if i not in dead], dtype=np.int64
-        )
+        # vectorized complement — a python `i not in dead` loop is O(rows)
+        # interpreter work per task on large fragments
+        dead_arr = np.fromiter(dead, dtype=np.int64, count=len(dead))
+        live = np.setdiff1d(
+            np.arange(n_phys, dtype=np.int64), dead_arr)
     else:
         live = None  # all rows — decode whole pages, no take
     if preselected is not None:
