@@ -824,13 +824,23 @@ def _physical_rows_from_file(root: str, dfile: NativeDataFile) -> int:
 
 
 def _deleted_rows(root: str, deletion: NativeDeletion) -> set[int]:
+    return set(_deleted_rows_np(root, deletion).tolist())
+
+
+def _deleted_rows_np(root: str, deletion: NativeDeletion):
+    """Deletion vector as a sorted int64 numpy array — the scan/count hot
+    path's form (no per-row python objects); `_deleted_rows` wraps it for
+    the set-algebra consumers (DML staging, CDC diffs)."""
+    import numpy as np
     import pyarrow.ipc as ipc
 
     p = os.path.join(root, "_deletions", deletion.file_name())
     if not os.path.exists(p):
         raise LanceNativeError(f"missing deletion file {p}")
     t = ipc.open_file(p).read_all()
-    return set(t.column("row_id").to_pylist())
+    arr = t.column("row_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    return np.sort(arr)
 
 
 def read_native_fragment(
@@ -880,12 +890,12 @@ def read_native_fragment(
     # column decode below is already deletion-aware)
     n_phys = _physical_rows_from_file(root, frag.files[0])
     if frag.deletion is not None:
-        dead = _deleted_rows(root, frag.deletion)
         # vectorized complement — a python `i not in dead` loop is O(rows)
         # interpreter work per task on large fragments
-        dead_arr = np.fromiter(dead, dtype=np.int64, count=len(dead))
+        dead_arr = _deleted_rows_np(root, frag.deletion)
         live = np.setdiff1d(
-            np.arange(n_phys, dtype=np.int64), dead_arr)
+            np.arange(n_phys, dtype=np.int64), dead_arr,
+            assume_unique=True)
     else:
         live = None  # all rows — decode whole pages, no take
     if preselected is not None:
@@ -977,7 +987,7 @@ class LanceNativeDataset:
         for frag in self.manifest.fragments:
             if frag.deletion is not None:
                 n = _physical_rows_from_file(self.root, frag.files[0])
-                n -= len(_deleted_rows(self.root, frag.deletion))
+                n -= len(_deleted_rows_np(self.root, frag.deletion))
             else:
                 n = frag.physical_rows
                 if n is None:

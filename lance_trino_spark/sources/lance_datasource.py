@@ -456,7 +456,7 @@ class LanceNativeScanReader(DataSourceReader):
 
     def partitions(self) -> Sequence[LanceNativePartition]:
         from ..format.lance_native import (
-            _deleted_rows,
+            _deleted_rows_np,
             _physical_rows_from_file,
             read_native_manifest,
         )
@@ -497,7 +497,7 @@ class LanceNativeScanReader(DataSourceReader):
                 frag = m.fragments[i]
                 if frag.deletion is not None:
                     n = _physical_rows_from_file(self._path, frag.files[0])
-                    n -= len(_deleted_rows(self._path, frag.deletion))
+                    n -= len(_deleted_rows_np(self._path, frag.deletion))
                 else:
                     n = frag.physical_rows
                     if n is None:
