@@ -1976,6 +1976,88 @@ def native_table_changes(
     return pa.concat_tables(out)
 
 
+def native_compact(
+    root: str, small_fragment_rows: int = 0
+) -> tuple[int, int] | None:
+    """Compaction / optimize on a real `.lance` dataset WITHOUT the SDK
+    (the reference's table-maintenance surface, own-format twin lf10):
+    every fragment carrying a deletion vector — plus any fragment with
+    fewer than ``small_fragment_rows`` live rows — has its LIVE rows
+    rewritten into one fresh consolidated fragment; the originals drop
+    from the manifest in the SAME single commit. Returns
+    (new_version, n_fragments_compacted), or None when nothing qualifies.
+
+    Time travel keeps pre-compaction versions readable; the CDC feed
+    necessarily reports the rewrite as delete+insert (a physical rewrite
+    is indistinguishable from one in the version log — documented
+    contract). Data outside the compacted fragments is untouched, so
+    write amplification is O(live rows of compacted fragments)."""
+    import numpy as np
+
+    m = read_native_manifest(root)
+    if native_blob_columns(m):
+        raise LanceNativeError(
+            "native_compact on blob-marked datasets is not supported")
+    data_cols = [f.name for f in m.top_level_fields()]
+
+    def live_count(f):
+        n = _physical_rows_from_file(root, f.files[0])
+        if f.deletion is not None:
+            n -= len(_deleted_rows_np(root, f.deletion))
+        return n
+
+    victims = [
+        f for f in m.fragments
+        if f.deletion is not None or live_count(f) < small_fragment_rows
+    ]
+    if not victims:
+        return None
+    victim_ids = {f.id for f in victims}
+    merged: dict[str, list] = {c: [] for c in data_cols}
+    struct_cols = {
+        f.name for f in m.top_level_fields() if f.logical_type == "struct"
+    }
+    for f in victims:
+        t = read_native_fragment(root, f, m)
+        d = t.to_pydict()
+        for c in data_cols:
+            vals = d[c]
+            if c in struct_cols:
+                vals = [dict(v) if v is not None else None for v in vals]
+            merged[c].extend(vals)
+    n_live = len(merged[data_cols[0]])
+    frag_entries = [
+        (f.id, f.files[0].path, f.physical_rows)
+        + (((f.deletion.read_version, f.deletion.id),)
+           if f.deletion is not None else ())
+        for f in m.fragments if f.id not in victim_ids
+    ]
+    if n_live:
+        first = os.path.join(root, "data", m.fragments[0].files[0].path)
+        with open(first, "rb") as fh:
+            fh.seek(-8, os.SEEK_END)
+            maj, minor = struct.unpack("<HH", fh.read(4))
+        file_version = 1 if (maj, minor) == (0, 1) else 2
+        specs = _v1_field_specs(data_cols, merged)
+        got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
+        existing = [
+            (f.name, f.id, _signed(f.parent_id), f.logical_type)
+            for f in m.fields
+        ]
+        if got != existing:
+            raise LanceNativeError(
+                f"compaction field/type mismatch: {got} != {existing}")
+        writer = (
+            _write_v2_data_file if file_version == 2
+            else _write_v1_data_file)
+        file_name, n_rows = writer(root, specs)
+        next_id = max((f.id for f in m.fragments), default=-1) + 1
+        frag_entries.append((next_id, file_name, n_rows))
+    _write_v1_manifest(
+        root, _field_specs_of(m), frag_entries, m.version + 1)
+    return m.version + 1, len(victims)
+
+
 # ------------------------------------------------------- Spark integration
 def is_native_dataset(path: str) -> bool:
     """True when `path` is a REAL `.lance` dataset (binary protobuf

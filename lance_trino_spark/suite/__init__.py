@@ -93,6 +93,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf24_native_merge_upsert",
     "lf25_native_table_changes",
     "ds10_native_stream_cdc",
+    "lf26_native_compaction",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",

@@ -1559,3 +1559,91 @@ def lf25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf26 — compaction / OPTIMIZE on a REAL `.lance` dataset (the
+# table-maintenance op; own-format twin lf10, reference surface
+# `docs/src/operations`): after MoR deletes leave deletion vectors
+# behind, `native_compact` rewrites the DV-laden fragments' LIVE rows
+# into one clean consolidated fragment and drops the originals in a
+# single commit. Proof columns pin: all DVs cleared, fragment count
+# reduced, pre-compaction version still time-travels, and the data is
+# value-identical before/after (the aggregate the oracle checks).
+# ---------------------------------------------------------------------------
+@register(
+    "lf26_native_compaction",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_c,
+           TRUE AS dvs_cleared,
+           TRUE AS fragments_reduced,
+           TRUE AS old_version_intact
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: compaction on a native .lance dataset — DV-laden "
+        "fragments rewritten clean in one commit, history preserved",
+    tags=("format", "interop", "lance-native", "maintenance"),
+)
+def lf26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        native_compact,
+        native_delete_where,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf26-native-compact")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        "o_totalprice": [float(r["o_totalprice"]) for r in rs],
+    }
+    half = len(rows) // 2
+    write_native_dataset(path, cols(rows[:half]))
+    append_native_rows(path, cols(rows[half:]))
+    register_lance_datasource(spark)
+    native_delete_where(
+        spark, path, F.col("o_orderpriority") == "5-LOW")       # v3: DVs
+    pre = LanceNativeDataset(path)
+    n_frags_pre, live_pre = len(pre.manifest.fragments), pre.count_rows()
+
+    native_compact(path)                                        # v4
+
+    post = LanceNativeDataset(path)
+    dvs_cleared = all(
+        f.deletion is None for f in post.manifest.fragments)
+    fragments_reduced = (
+        len(post.manifest.fragments) <= n_frags_pre
+        and post.count_rows() == live_pre
+    )
+    old_intact = LanceNativeDataset(path, version=3).count_rows() == live_pre
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("total_c"),
+        )
+        .withColumn("dvs_cleared", F.lit(bool(dvs_cleared)))
+        .withColumn("fragments_reduced", F.lit(bool(fragments_reduced)))
+        .withColumn("old_version_intact", F.lit(bool(old_intact)))
+        .orderBy("priority")
+    )

@@ -1420,3 +1420,44 @@ def test_v2_multipage_round_trip(tmp_path, spark):
         "name", F.size("tags").alias("nt"), F.col("info.a").alias("a")
     ).collect()[0]
     assert (r["name"], r["nt"], r["a"]) == ("row-00999", 3, 999)
+
+
+def test_native_compact(tmp_path, spark):
+    """Compaction: DV-laden + small fragments rewrite into one clean
+    consolidated fragment in a single commit; values intact, pre-
+    compaction versions time-travel, no-op when nothing qualifies."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        native_compact,
+        native_delete_where,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "ncompact")
+    write_native_dataset(
+        root, {"k": list(range(1000)), "v": [f"a{i}" for i in range(1000)]})
+    append_native_rows(root, {"k": [5000, 5001], "v": ["tiny1", "tiny2"]})
+    register_lance_datasource(spark)
+    native_delete_where(spark, root, F.col("k") % 10 == 0)
+    before = LanceNativeDataset(root)
+    assert before.count_rows() == 901
+
+    v, n = native_compact(root, small_fragment_rows=10)
+    assert (v, n) == (4, 2)
+    after = LanceNativeDataset(root)
+    assert after.count_rows() == 901
+    assert len(after.manifest.fragments) == 1
+    assert all(f.deletion is None for f in after.manifest.fragments)
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.format("lance").load(root).collect()
+    }
+    assert got[11] == "a11" and 10 not in got and got[5001] == "tiny2"
+    assert LanceNativeDataset(root, version=3).count_rows() == 901
+    assert native_compact(root, small_fragment_rows=0) is None
