@@ -137,6 +137,7 @@ DEFAULT_QUERIES = [
     "lf24_native_merge_upsert",
     "lf25_native_table_changes",
     "ds10_native_stream_cdc",
+    "lf26_native_compaction",
 ]
 
 
