@@ -701,6 +701,15 @@ def read_file_column(
             if sel is not None:
                 vals = vals[sel]
             chunks.append(pa.array(vals, type=atype))
+        elif nfield.logical_type == "bool":
+            # bitpacked little-endian page, ceil(nvals/8) bytes — the
+            # same layout the v2 path decodes and _encode_plain_page emits
+            packed = np.frombuffer(
+                raw, dtype=np.uint8, count=(nvals + 7) // 8, offset=pos)
+            bits = np.unpackbits(packed, bitorder="little")[:nvals]
+            if sel is not None:
+                bits = bits[sel]
+            chunks.append(pa.array(bits.astype(bool), type=pa.bool_()))
         elif nfield.logical_type == "date32:day":
             vals = np.frombuffer(raw, dtype="<i4", count=nvals, offset=pos)
             if sel is not None:
@@ -1058,7 +1067,10 @@ def _v1_field_proto(
     p += _enc_field(5, 2, ltype.encode())
     p += _enc_field(6, 0, 1)  # nullable
     # encoding: 1=plain, 2=var-binary (matches the fixture manifests)
-    p += _enc_field(7, 0, 2 if ltype in ("string", "binary") else 1)
+    p += _enc_field(
+        7, 0,
+        2 if ltype in ("string", "large_string", "binary", "large_binary")
+        else 1)
     for k, v in (metadata or {}).items():
         p += _enc_field(
             10, 2, _enc_field(1, 2, k.encode()) + _enc_field(2, 2, v.encode())
@@ -1081,6 +1093,73 @@ def _micros_since_epoch(v) -> int:
     return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
 
 
+def _encode_plain_page(lt: str, vals) -> bytes:
+    """Plain-page bytes for one page of a scalar/temporal/fsl column —
+    the single encode matrix BOTH writers share, covering every logical
+    type the readers decode (full signed/unsigned fixed-width family,
+    bitpacked bool, date/timestamp from python objects, raw time counts,
+    fixed_size_list with the ITEM's width — not hardcoded f4)."""
+    import numpy as np
+
+    try:
+        if lt in _FIXED_TYPES:
+            return np.asarray(vals, dtype="<" + _FIXED_TYPES[lt]).tobytes()
+        if lt == "bool":
+            return np.packbits(
+                np.asarray(vals, dtype=np.uint8), bitorder="little"
+            ).tobytes()
+        if lt == "date32:day":
+            return np.asarray(
+                [_days_since_epoch(v) for v in vals], dtype="<i4").tobytes()
+        if lt.startswith("timestamp:"):
+            return np.asarray(
+                [_micros_since_epoch(v) for v in vals], dtype="<i8"
+            ).tobytes()
+        if lt.startswith(("time64:", "time32:")):
+            # time columns surface as raw counts since midnight
+            # (BIGINT/INT) on read, so write-side values are integers
+            w = "<i8" if lt.startswith("time64:") else "<i4"
+            return np.asarray(vals, dtype=w).tobytes()
+        if lt.startswith("fixed_size_list:"):
+            _, item_t, _dim = lt.split(":")
+            if item_t not in _FIXED_TYPES:
+                raise LanceNativeError(
+                    f"fixed_size_list of {item_t!r} is not writable")
+            return np.asarray(
+                [x for row in vals for x in row],
+                dtype="<" + _FIXED_TYPES[item_t]).tobytes()
+    except (ValueError, TypeError, AttributeError, OverflowError) as e:
+        # schema-driven specs reach here with whatever values the caller
+        # staged — a wrong-typed value keeps the loud-error contract
+        raise LanceNativeError(
+            f"value/type mismatch: column does not encode as {lt!r}: {e}"
+        ) from e
+    raise LanceNativeError(f"no plain-page encoding for {lt!r}")
+
+
+def _placeholder_value(lt: str):
+    """Dead-slot filler for NULL-struct rows' child pages (masked out by
+    the parent validity page on read)."""
+    import datetime as _dt
+
+    if lt in _FIXED_TYPES or lt.startswith(("time64:", "time32:")):
+        return 0
+    if lt == "bool":
+        return False
+    if lt == "date32:day":
+        return _dt.date(1970, 1, 1)
+    if lt.startswith("timestamp:"):
+        return _dt.datetime(1970, 1, 1)
+    if lt in ("string", "large_string"):
+        return ""
+    if lt in ("binary", "large_binary"):
+        return b""
+    if lt.startswith("fixed_size_list:"):
+        dim = int(lt.split(":")[2])
+        return [0.0] * dim
+    raise LanceNativeError(f"no placeholder for {lt!r}")
+
+
 def _infer_v1_type(values) -> str:
     """Writer-side logical type from a Python column: int64, double,
     string, binary, or fixed_size_list:float:<dim> (uniform list lengths).
@@ -1091,7 +1170,7 @@ def _infer_v1_type(values) -> str:
         if v is None:
             continue
         if isinstance(v, bool):
-            break  # no bool pages in the minimal writer — treat as error
+            return "bool"  # bitpacked page (before int: bool <: int)
         if isinstance(v, _dt.datetime):
             return "timestamp:us:-"  # naive micros (UTC promotion on read)
         if isinstance(v, _dt.date):
@@ -1122,7 +1201,9 @@ def _infer_v1_type(values) -> str:
     )
 
 
-def _v1_field_specs(names: list[str], columns: dict) -> list[tuple]:
+def _v1_field_specs(
+    names: list[str], columns: dict, types: dict | None = None
+) -> list[tuple]:
     """Flattened (name, fid, parent_fid, ltype, values) specs in PAGE
     order: each top-level column, then — for a struct — its children
     immediately after, exactly the order their pages land in the data file
@@ -1139,7 +1220,7 @@ def _v1_field_specs(names: list[str], columns: dict) -> list[tuple]:
     fid = 0
     for n in names:
         vals = columns[n]
-        lt = _infer_v1_type(vals)
+        lt = (types or {}).get(n) or _infer_v1_type(vals)
         if lt == "list":
             if any(v is None for v in vals):
                 raise LanceNativeError(
@@ -1174,7 +1255,6 @@ def _v1_field_specs(names: list[str], columns: dict) -> list[tuple]:
             raise LanceNativeError(f"struct column {n!r} has no fields")
         validity = [v is not None for v in vals]
         specs.append((n, parent_fid, -1, "struct", validity))
-        placeholder = {"int64": 0, "double": 0.0, "string": "", "binary": b""}
         for cn in child_names:
             non_null = []
             for v in vals:
@@ -1192,10 +1272,76 @@ def _v1_field_specs(names: list[str], columns: dict) -> list[tuple]:
                     "nested struct-in-struct is outside the minimal "
                     "writer's scope")
             cvals = [
-                placeholder[clt] if v is None else v[cn] for v in vals
+                _placeholder_value(clt) if v is None else v[cn]
+                for v in vals
             ]
             specs.append((cn, fid, parent_fid, clt, cvals))
             fid += 1
+    return specs
+
+
+def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
+    """Writer specs driven by the MANIFEST schema instead of value
+    inference — the shape DML deltas, appends and compaction need:
+    an int32/uint16/float/bool dataset's replacement fragment encodes
+    with the dataset's OWN logical types (inference would guess
+    int64/double and trip the field cross-check), field ids and parent
+    links come straight from the manifest, and struct NULL rows fill
+    child placeholder slots per child type. ``columns`` maps top-level
+    field name -> python values (struct rows as dict|None, list rows as
+    lists)."""
+    names = [f.name for f in m.top_level_fields()]
+    missing = sorted(set(names) - set(columns))
+    if missing:
+        raise LanceNativeError(f"columns missing for write: {missing}")
+    by_parent: dict[int, list] = {}
+    for f in m.fields:
+        by_parent.setdefault(_signed(f.parent_id), []).append(f)
+    specs = []
+    for f in m.top_level_fields():
+        vals = columns[f.name]
+        lt = f.logical_type
+        if lt == "struct":
+            children = by_parent.get(f.id, [])
+            if not children:
+                raise LanceNativeError(
+                    f"struct field {f.name!r} has no children in manifest")
+            validity = [v is not None for v in vals]
+            specs.append((f.name, f.id, -1, "struct", validity))
+            for ch in children:
+                cvals = []
+                for v in vals:
+                    if v is None:
+                        cvals.append(_placeholder_value(ch.logical_type))
+                        continue
+                    cv = v.get(ch.name) if isinstance(v, dict) else None
+                    if cv is None:
+                        raise LanceNativeError(
+                            f"struct column {f.name!r}: NULL child "
+                            f"{ch.name!r} in a non-null row — v1 plain "
+                            "pages carry no leaf validity")
+                    cvals.append(cv)
+                specs.append((ch.name, ch.id, f.id, ch.logical_type, cvals))
+        elif lt == "list":
+            children = by_parent.get(f.id, [])
+            if len(children) != 1:
+                raise LanceNativeError(
+                    f"list field {f.name!r}: expected one child, got "
+                    f"{len(children)}")
+            if any(v is None for v in vals):
+                raise LanceNativeError(
+                    f"list column {f.name!r}: NULL rows are outside the "
+                    "minimal writer's scope")
+            elems = [x for row in vals for x in row]
+            if any(e is None for e in elems):
+                raise LanceNativeError(
+                    f"list column {f.name!r}: NULL elements are outside "
+                    "the minimal writer's scope")
+            ch = children[0]
+            specs.append((f.name, f.id, -1, "list", vals))
+            specs.append((ch.name, ch.id, f.id, ch.logical_type, elems))
+        else:
+            specs.append((f.name, f.id, -1, lt, vals))
     return specs
 
 
@@ -1224,22 +1370,7 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
         if lt == "struct":
             pos = len(buf)
             buf += bytes(1 if v else 0 for v in vals)
-        elif lt == "int64":
-            pos = len(buf)
-            buf += np.asarray(vals, dtype="<i8").tobytes()
-        elif lt == "double":
-            pos = len(buf)
-            buf += np.asarray(vals, dtype="<f8").tobytes()
-        elif lt == "date32:day":
-            pos = len(buf)
-            buf += np.asarray(
-                [_days_since_epoch(v) for v in vals], dtype="<i4").tobytes()
-        elif lt.startswith("timestamp:"):
-            pos = len(buf)
-            buf += np.asarray(
-                [_micros_since_epoch(v) for v in vals], dtype="<i8"
-            ).tobytes()
-        elif lt in ("string", "binary"):
+        elif lt in ("string", "large_string", "binary", "large_binary"):
             raw = [
                 v.encode() if isinstance(v, str) else bytes(v) for v in vals
             ]
@@ -1253,15 +1384,12 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
             buf += b"".join(raw)
             pos = len(buf)  # page position = the positions array
             buf += np.asarray(offs, dtype="<i8").tobytes()
-        elif lt.startswith("fixed_size_list:"):
-            pos = len(buf)
-            buf += np.asarray(
-                [x for row in vals for x in row], dtype="<f4"
-            ).tobytes()
         else:
-            raise LanceNativeError(
-                f"v1 writer does not emit {lt!r} — write list columns "
-                "with file_version=2 (the layout _v2_read_column decodes)")
+            # the shared plain-page matrix: every fixed-width family
+            # member, bitpacked bool, temporals, raw time counts, fsl
+            # with the item's own width (raises on list — v2's job)
+            pos = len(buf)
+            buf += _encode_plain_page(lt, vals)
         page_entries.append((pos, n_rows))
     page_table_pos = len(buf)
     for pos, nv in page_entries:
@@ -1295,7 +1423,7 @@ def _write_v2_data_file(
     plain pages, column-metadata protos, the 16-byte-entry
     column-metadata offset table, and the 40-byte footer. Buffer layouts
     mirror exactly what _v2_read_column decodes: flat fixed-width scalars,
-    bitpacked bools never written (no bool inference), var-width
+    bitpacked bools, the full fixed-width scalar family, var-width
     string/binary as [end-offsets i64][payload] buffer pairs with
     PAGE-LOCAL end offsets, fixed_size_list<float> as one flat f4
     buffer, list<T> as an end-offsets i64 column whose CHILD is its own
@@ -1354,29 +1482,16 @@ def _write_v2_data_file(
         if lt == "list":
             ends = np.cumsum([len(row) for row in vals], dtype="<i8")
             return [ends.tobytes()]
-        if lt == "int64":
-            return [np.asarray(vals, dtype="<i8").tobytes()]
-        if lt == "double":
-            return [np.asarray(vals, dtype="<f8").tobytes()]
-        if lt == "date32:day":
-            return [np.asarray(
-                [_days_since_epoch(v) for v in vals],
-                dtype="<i4").tobytes()]
-        if lt.startswith("timestamp:"):
-            return [np.asarray(
-                [_micros_since_epoch(v) for v in vals],
-                dtype="<i8").tobytes()]
-        if lt in ("string", "binary"):
+        if lt in ("string", "large_string", "binary", "large_binary"):
             raw = [
                 v.encode() if isinstance(v, str) else bytes(v)
                 for v in vals
             ]
             ends = np.cumsum([len(b) for b in raw], dtype="<i8")
             return [ends.tobytes(), b"".join(raw)]
-        if lt.startswith("fixed_size_list:"):
-            return [np.asarray(
-                [x for row in vals for x in row], dtype="<f4").tobytes()]
-        raise LanceNativeError(f"v2 writer does not emit {lt!r}")
+        # shared plain-page matrix (fixed-width family, bitpacked bool,
+        # temporals, raw time counts, fsl at the item's width)
+        return [_encode_plain_page(lt, vals)]
 
     buf = bytearray()
     col_pages = []
@@ -1532,18 +1647,22 @@ def apply_native_blob_semantics(table, blob_cols: list[str]):
 def write_native_dataset(
     root: str, columns: dict[str, list[int]], file_version: int = 1,
     blob_columns: set[str] | frozenset[str] = frozenset(),
+    types: dict[str, str] | None = None,
 ) -> None:
     """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
     one fragment, one data file, plain int64 columns) that lance 0.10-era
     readers — and `LanceNativeDataset` — can open. The mirror image of the
     reader above, kept to the same byte layout the reference fixtures use:
     pages at offset 0, page table, length-prefixed schema proto, Metadata
-    proto, 16-byte footer. Interop scope: int64, double, string/binary
-    (var-binary pages), and fixed_size_list<float> — no nulls; a full
-    writer is the lance SDK's job, not this seam's."""
+    proto, 16-byte footer. Interop scope: the full fixed-width scalar
+    family (``types`` pins what inference can't reach), bitpacked bool,
+    temporals, string/binary (var-binary pages), and fixed_size_list —
+    no nulls; a full writer is the lance SDK's job, not this seam's."""
     if not columns:
         raise LanceNativeError("need at least one column")
-    specs = _v1_field_specs(list(columns), columns)
+    # ``types`` pins logical types inference can't reach (int32, uint16,
+    # float, halffloat, time64:us, ...) — per top-level column, optional
+    specs = _v1_field_specs(list(columns), columns, types)
     for bc in blob_columns:
         sp = next((x for x in specs if x[0] == bc and x[2] == -1), None)
         if sp is None or sp[3] != "struct":
@@ -1573,14 +1692,7 @@ def append_native_rows(
         raise LanceNativeError(
             f"append schema {list(columns)} != dataset schema {names}"
         )
-    specs = _v1_field_specs(names, columns)
-    existing = [(f.name, f.id, _signed(f.parent_id), f.logical_type)
-                for f in m.fields]
-    got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
-    if got != existing:
-        raise LanceNativeError(
-            f"append field/type mismatch: {got} != dataset fields {existing}"
-        )
+    specs = _specs_for_manifest(m, columns)
     writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
     file_name, n_rows = writer(root, specs)
     frags = [
@@ -1770,24 +1882,14 @@ def native_update_where(
     if not rows_by_fragment:
         return m.version
     frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
-    # replacement fragment in the dataset's own file flavor
+    # replacement fragment in the dataset's own file flavor, encoded
+    # with the dataset's OWN logical types (schema-driven specs)
     first = os.path.join(root, "data", m.fragments[0].files[0].path)
-    with open(first, "rb") as fh:
-        fh.seek(-8, os.SEEK_END)
-        ver = struct.unpack("<HH", fh.read(4) + fh.read(4) and b"")            if False else None
     with open(first, "rb") as fh:
         fh.seek(-8, os.SEEK_END)
         maj, minor = struct.unpack("<HH", fh.read(4))
     file_version = 1 if (maj, minor) == (0, 1) else 2
-    specs = _v1_field_specs(data_cols, new_cols)
-    got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
-    existing = [
-        (f.name, f.id, _signed(f.parent_id), f.logical_type)
-        for f in m.fields
-    ]
-    if got != existing:
-        raise LanceNativeError(
-            f"update field/type mismatch: {got} != {existing}")
+    specs = _specs_for_manifest(m, new_cols)
     writer = (
         _write_v2_data_file if file_version == 2 else _write_v1_data_file)
     file_name, n_rows = writer(root, specs)
@@ -1869,15 +1971,7 @@ def native_merge_into(
         fh.seek(-8, os.SEEK_END)
         maj, minor = struct.unpack("<HH", fh.read(4))
     file_version = 1 if (maj, minor) == (0, 1) else 2
-    specs = _v1_field_specs(data_cols, new_cols)
-    got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
-    existing = [
-        (f.name, f.id, _signed(f.parent_id), f.logical_type)
-        for f in m.fields
-    ]
-    if got != existing:
-        raise LanceNativeError(
-            f"merge field/type mismatch: {got} != {existing}")
+    specs = _specs_for_manifest(m, new_cols)
     writer = (
         _write_v2_data_file if file_version == 2 else _write_v1_data_file)
     file_name, n_rows = writer(root, specs)
@@ -2038,15 +2132,7 @@ def native_compact(
             fh.seek(-8, os.SEEK_END)
             maj, minor = struct.unpack("<HH", fh.read(4))
         file_version = 1 if (maj, minor) == (0, 1) else 2
-        specs = _v1_field_specs(data_cols, merged)
-        got = [(n, fid, parent, lt) for n, fid, parent, lt, _v in specs]
-        existing = [
-            (f.name, f.id, _signed(f.parent_id), f.logical_type)
-            for f in m.fields
-        ]
-        if got != existing:
-            raise LanceNativeError(
-                f"compaction field/type mismatch: {got} != {existing}")
+        specs = _specs_for_manifest(m, merged)
         writer = (
             _write_v2_data_file if file_version == 2
             else _write_v1_data_file)
