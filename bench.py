@@ -138,6 +138,7 @@ DEFAULT_QUERIES = [
     "lf25_native_table_changes",
     "ds10_native_stream_cdc",
     "lf26_native_compaction",
+    "lf27_native_vacuum",
 ]
 
 

@@ -2145,6 +2145,82 @@ def native_compact(
 
 
 # ------------------------------------------------------- Spark integration
+def native_cleanup_old_versions(
+    root: str, keep_versions: int = 1
+) -> dict:
+    """Reclaim storage on a REAL `.lance` dataset — the native twin of
+    the lance SDK's `cleanup_old_versions` and of the own-format
+    `LanceDataset.vacuum`: drop every manifest older than the newest
+    ``keep_versions``, then delete the data files and deletion-vector
+    files no RETAINED version references. Like vacuum, this is the
+    explicit point of no return — time travel to a dropped version
+    raises afterwards; retained versions keep working (their files are
+    kept live no matter how old).
+
+    Index sidecars: a SCALAR sidecar is removed once none of its
+    covered fragments exist in any retained version (it can never serve
+    a probe again — covered-fragments rule); VECTOR sidecars carry no
+    fragment-coverage metadata, so they are conservatively KEPT (their
+    row addresses are validated against the live manifest at search
+    time; reclaiming them is `ensure_*`/reindex territory, not vacuum's).
+
+    Deliberately driver-side and metadata-only: the work is O(#files)
+    directory listings + unlinks, never a data read — the same shape at
+    100 TB, where the file census comes from the manifests themselves.
+    Returns counts: {removed_manifests, removed_data_files,
+    removed_deletion_files, removed_index_dirs, retained_versions}."""
+    import shutil
+
+    if keep_versions < 1:
+        raise LanceNativeError("keep_versions must be >= 1")
+    vdir = os.path.join(root, "_versions")
+    versions = sorted(
+        int(n.split(".")[0])
+        for n in os.listdir(vdir)
+        if n.endswith(".manifest") and not n.startswith(".")
+    )
+    if not versions:
+        raise LanceNativeError(f"no committed versions under {vdir}")
+    retained = versions[-keep_versions:]
+    dropped = versions[:-keep_versions]
+    live_data: set[str] = set()
+    live_dv: set[str] = set()
+    live_frags: set[int] = set()
+    for v in retained:
+        m = read_native_manifest(root, version=v)
+        for f in m.fragments:
+            live_frags.add(f.id)
+            for df in f.files:
+                live_data.add(df.path)
+            if f.deletion is not None:
+                live_dv.add(f.deletion.file_name())
+    out = {
+        "removed_manifests": 0, "removed_data_files": 0,
+        "removed_deletion_files": 0, "removed_index_dirs": 0,
+        "retained_versions": list(retained),
+    }
+    for v in dropped:
+        os.unlink(os.path.join(vdir, f"{v}.manifest"))
+        out["removed_manifests"] += 1
+    ddir = os.path.join(root, "data")
+    if os.path.isdir(ddir):
+        for n in os.listdir(ddir):
+            if not n.startswith(".") and n not in live_data:
+                os.unlink(os.path.join(ddir, n))
+                out["removed_data_files"] += 1
+    deldir = os.path.join(root, "_deletions")
+    if os.path.isdir(deldir):
+        for n in os.listdir(deldir):
+            if not n.startswith(".") and n not in live_dv:
+                os.unlink(os.path.join(deldir, n))
+                out["removed_deletion_files"] += 1
+    for idx in list_native_scalar_indices(root):
+        if not (idx.covered_fragments & live_frags):
+            shutil.rmtree(os.path.dirname(idx.path))
+            out["removed_index_dirs"] += 1
+    return out
+
+
 def is_native_dataset(path: str) -> bool:
     """True when `path` is a REAL `.lance` dataset (binary protobuf
     manifests under _versions/), as opposed to this repo's parquet+JSON

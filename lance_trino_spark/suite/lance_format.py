@@ -1647,3 +1647,113 @@ def lf26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("old_version_intact", F.lit(bool(old_intact)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf27 — native vacuum (`cleanup_old_versions`) on a REAL `.lance`
+# dataset: after a write/append/delete/compact history, dropping every
+# version but the newest unlinks exactly the superseded manifests, the
+# two pre-compaction data files, the two deletion-vector files, and
+# the scalar-index sidecar whose covered fragments no longer exist — while
+# the retained version keeps scanning (values re-checked against the
+# oracle) and time travel to a reclaimed version raises. The work is
+# metadata-only (directory census + unlinks, no data reads) — the same
+# O(#files) shape at 100 TB. Native twin of the lance SDK's
+# `cleanup_old_versions` and the own-format `LanceDataset.vacuum`.
+# ---------------------------------------------------------------------------
+@register(
+    "lf27_native_vacuum",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_c,
+           3 AS removed_manifests,
+           2 AS removed_data_files,
+           2 AS removed_deletion_files,
+           1 AS removed_index_dirs,
+           TRUE AS dropped_version_unreadable,
+           TRUE AS count_is_metadata_exact
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: native vacuum — cleanup_old_versions drops superseded "
+        "manifests + unreferenced data/DV/index files, retained version "
+        "scans on, reclaimed versions refuse",
+    tags=("format", "interop", "lance-native", "maintenance"),
+)
+def lf27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        LanceNativeError,
+        append_native_rows,
+        native_cleanup_old_versions,
+        native_compact,
+        native_delete_where,
+        write_native_scalar_index,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf27-native-vacuum")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        "o_totalprice": [float(r["o_totalprice"]) for r in rs],
+    }
+    half = len(rows) // 2
+    write_native_dataset(path, cols(rows[:half]))            # v1
+    append_native_rows(path, cols(rows[half:]))              # v2
+    write_native_scalar_index(path, "o_orderkey")            # covers 0,1
+    register_lance_datasource(spark)
+    native_delete_where(                                     # v3: DV file
+        spark, path, F.col("o_orderpriority") == "5-LOW")
+    native_compact(path)                                     # v4: rewrite
+
+    stats = native_cleanup_old_versions(path, keep_versions=1)
+    try:
+        LanceNativeDataset(path, version=1)
+        dropped_unreadable = False
+    except LanceNativeError:
+        dropped_unreadable = True
+    ds = LanceNativeDataset(path)
+    survivors = spark.read.format("lance").load(path)
+    count_exact = ds.count_rows() == survivors.count()
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("total_c"),
+        )
+        .withColumn(
+            "removed_manifests",
+            F.lit(int(stats["removed_manifests"])))
+        .withColumn(
+            "removed_data_files",
+            F.lit(int(stats["removed_data_files"])))
+        .withColumn(
+            "removed_deletion_files",
+            F.lit(int(stats["removed_deletion_files"])))
+        .withColumn(
+            "removed_index_dirs",
+            F.lit(int(stats["removed_index_dirs"])))
+        .withColumn(
+            "dropped_version_unreadable",
+            F.lit(bool(dropped_unreadable)))
+        .withColumn(
+            "count_is_metadata_exact", F.lit(bool(count_exact)))
+        .orderBy("priority")
+    )

@@ -1565,3 +1565,75 @@ def test_native_dml_on_typed_dataset(tmp_path, spark):
     assert got[3]["score"] == 99.5 and got[3]["live"] is True
     assert got[1000]["live"] is False
     assert LanceNativeDataset(root).count_rows() == 51
+
+
+def test_native_cleanup_old_versions(tmp_path):
+    """Native vacuum: dropping all but the newest version unlinks the
+    superseded manifests, the unreferenced data/DV files, and any
+    scalar-index sidecar with zero live covered fragments; the retained
+    version keeps scanning; reclaimed versions raise; keep_versions
+    guards; a second cleanup is a no-op."""
+    import pytest as _pytest
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        LanceNativeError,
+        append_native_rows,
+        list_native_scalar_indices,
+        native_cleanup_old_versions,
+        native_compact,
+        native_delete,
+        write_native_dataset,
+        write_native_scalar_index,
+    )
+
+    root = str(tmp_path / "nvac")
+    write_native_dataset(
+        root,
+        {"k": list(range(100)), "v": [float(i) for i in range(100)]})
+    append_native_rows(root, {"k": [100, 101], "v": [1.0, 2.0]})
+    write_native_scalar_index(root, "k")  # covers fragments {0, 1}
+    native_delete(root, {0: list(range(0, 100, 2))})
+    # DV fragment + tiny fragment both rewrite -> one fresh fragment
+    native_compact(root, small_fragment_rows=10)
+
+    stats = native_cleanup_old_versions(root, keep_versions=1)
+    assert stats["removed_manifests"] == 3
+    assert stats["removed_data_files"] == 2
+    assert stats["removed_deletion_files"] == 1
+    assert stats["removed_index_dirs"] == 1
+    assert stats["retained_versions"] == [4]
+    assert list_native_scalar_indices(root) == []
+    ds = LanceNativeDataset(root)
+    assert ds.count_rows() == 52
+    assert sorted(ds.to_arrow().column("k").to_pylist())[:3] == [1, 3, 5]
+    with _pytest.raises(LanceNativeError):
+        LanceNativeDataset(root, version=1)
+    with _pytest.raises(LanceNativeError, match="keep_versions"):
+        native_cleanup_old_versions(root, keep_versions=0)
+    again = native_cleanup_old_versions(root, keep_versions=1)
+    assert again["removed_manifests"] == 0
+    assert again["removed_data_files"] == 0
+
+
+def test_native_cleanup_keeps_multiple_versions(tmp_path):
+    """keep_versions=2 retains both newest manifests AND every file
+    either references — time travel to the older retained version still
+    works after the vacuum."""
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        native_cleanup_old_versions,
+        write_native_dataset,
+    )
+
+    root = str(tmp_path / "nvac2")
+    write_native_dataset(root, {"k": [1, 2, 3]})
+    append_native_rows(root, {"k": [4]})
+    append_native_rows(root, {"k": [5]})
+    stats = native_cleanup_old_versions(root, keep_versions=2)
+    assert stats["removed_manifests"] == 1
+    # v2's fragments are a subset of v3's: nothing to unlink
+    assert stats["removed_data_files"] == 0
+    assert LanceNativeDataset(root, version=2).count_rows() == 4
+    assert LanceNativeDataset(root).count_rows() == 5
