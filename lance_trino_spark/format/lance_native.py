@@ -1820,8 +1820,87 @@ def native_delete_where(spark, root: str, condition) -> int:
     return native_delete(root, rows_by_fragment)
 
 
+def _pdf_to_columns(pdf, m: "NativeManifest") -> dict[str, list]:
+    """One pandas partition frame -> python value columns keyed by
+    top-level field name, in the shapes `_specs_for_manifest` consumes
+    (struct rows as dicts, array rows as lists)."""
+    out: dict[str, list] = {}
+    for f in m.top_level_fields():
+        vals = pdf[f.name].tolist()
+        lt = f.logical_type
+        if lt == "list" or lt.startswith("fixed_size_list:"):
+            vals = [
+                v.tolist() if hasattr(v, "tolist")
+                else (list(v) if v is not None else None)
+                for v in vals
+            ]
+        elif lt == "struct":
+            vals = [dict(v) if v is not None else None for v in vals]
+        out[f.name] = vals
+    return out
+
+
+def stage_native_fragments(
+    df, root: str, m: "NativeManifest", file_version: int,
+    rows_per_fragment: int = 1_000_000,
+) -> list[tuple[str, int]]:
+    """Write ``df``'s rows as native data files FROM THE EXECUTORS —
+    the scale path for UPDATE/MERGE deltas and bulk appends: each task
+    accumulates Arrow batches to ``rows_per_fragment`` and writes its
+    own data file into ``root`` (shared storage on a real cluster),
+    so the delta never funnels through the driver; only the tiny
+    (file_name, n_rows) manifest entries are collected. The caller
+    commits them — staging writes no manifest. Executor memory is
+    bounded by rows_per_fragment, not by the delta size."""
+    from pyspark.sql import types as T
+
+    data_cols = [f.name for f in m.top_level_fields()]
+    out_schema = T.StructType([
+        T.StructField("file_name", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ])
+    writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
+
+    def stage(it):
+        import pandas as pd
+
+        buf: list = []
+        n = 0
+
+        def flush():
+            nonlocal buf, n
+            if not n:
+                return None
+            pdf = (
+                pd.concat(buf, ignore_index=True)
+                if len(buf) > 1 else buf[0]
+            )
+            buf, n = [], 0
+            specs = _specs_for_manifest(m, _pdf_to_columns(pdf, m))
+            fn, nr = writer(root, specs)
+            return {"file_name": fn, "n_rows": nr}
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            n += len(pdf)
+            if n >= rows_per_fragment:
+                r = flush()
+                if r is not None:
+                    yield pd.DataFrame([r])
+        r = flush()
+        if r is not None:
+            yield pd.DataFrame([r])
+
+    staged = df.select(*data_cols).mapInPandas(
+        stage, schema=out_schema).collect()
+    return [(r["file_name"], int(r["n_rows"])) for r in staged]
+
+
 def native_update_where(
-    spark, root: str, condition, assignments: dict
+    spark, root: str, condition, assignments: dict,
+    distributed: bool = False, rows_per_fragment: int = 1_000_000,
 ) -> int:
     """UPDATE ... SET ... WHERE on a real `.lance` dataset as a
     SINGLE-COMMIT merge-on-read delta (the reference's
@@ -1835,7 +1914,16 @@ def native_update_where(
     (evaluated DISTRIBUTED over the matched scan). Blob-marked datasets
     refuse (their read surface is virtual; reassigning descriptors
     byte-wise is the SDK's job). Returns the new manifest version, or
-    the current one when nothing matched."""
+    the current one when nothing matched.
+
+    ``distributed=True`` stages the replacement rows as data files FROM
+    THE EXECUTORS (`stage_native_fragments`: one file per
+    ~rows_per_fragment, written straight into the dataset on shared
+    storage) — the bulk-update scale path, where only the matched row
+    ADDRESSES (8 bytes each, for the DV entries) and the tiny
+    (file, rows) manifest entries reach the driver. The default
+    driver-side single-fragment path stays right for small deltas
+    (one task, no second scan)."""
     from pyspark.sql import functions as F
 
     from ..sources.lance_datasource import register_lance_datasource
@@ -1849,59 +1937,94 @@ def native_update_where(
     if unknown:
         raise LanceNativeError(f"no such columns: {unknown}")
     register_lance_datasource(spark)
-    matched = (
-        spark.read.format("lance")
-        .option("row_address", "true")
-        .load(root)
-        .where(condition)
-        .select(
+    first = os.path.join(root, "data", m.fragments[0].files[0].path)
+    with open(first, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        maj, minor = struct.unpack("<HH", fh.read(4))
+    file_version = 1 if (maj, minor) == (0, 1) else 2
+
+    def _assigned(df):
+        return df.select(
             *[
                 (assignments[c] if c in assignments else F.col(c)).alias(c)
                 for c in data_cols
             ],
             F.col("_row_address").alias("__addr"),
         )
-    )
+
     rows_by_fragment: dict[int, list] = {}
-    new_cols: dict[str, list] = {c: [] for c in data_cols}
-    struct_cols = {
-        f.name for f in m.top_level_fields() if f.logical_type == "struct"
-    }
-    for row in matched.toLocalIterator(prefetchPartitions=True):
-        a = int(row["__addr"])
-        rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
-        for c in data_cols:
-            v = row[c]
-            if c in struct_cols and v is not None:
-                v = v.asDict()
-            elif hasattr(v, "tolist"):
-                v = v.tolist()
-            elif isinstance(v, (list, tuple)):
-                v = list(v)
-            new_cols[c].append(v)
-    if not rows_by_fragment:
-        return m.version
+    staged: list[tuple[str, int]] = []
+    if distributed:
+        # pass 1: matched ADDRESSES only (8 B/row to the driver — the
+        # DV committer's input); pass 2: replacement rows stage as data
+        # files executor-side. Fresh load() per pass (the Spark 4.1
+        # shared-readInfo hazard, tests/test_datasource.py).
+        addr = (
+            spark.read.format("lance")
+            .option("row_address", "true")
+            .load(root)
+            .where(condition)
+            .select(F.col("_row_address").alias("a"))
+        )
+        for row in addr.toLocalIterator(prefetchPartitions=True):
+            a = int(row["a"])
+            rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+        if not rows_by_fragment:
+            return m.version
+        repl = _assigned(
+            spark.read.format("lance")
+            .option("row_address", "true")
+            .load(root)
+            .where(condition)
+        ).drop("__addr")
+        staged = stage_native_fragments(
+            repl, root, m, file_version,
+            rows_per_fragment=rows_per_fragment)
+    else:
+        matched = _assigned(
+            spark.read.format("lance")
+            .option("row_address", "true")
+            .load(root)
+            .where(condition)
+        )
+        new_cols: dict[str, list] = {c: [] for c in data_cols}
+        struct_cols = {
+            f.name for f in m.top_level_fields()
+            if f.logical_type == "struct"
+        }
+        for row in matched.toLocalIterator(prefetchPartitions=True):
+            a = int(row["__addr"])
+            rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+            for c in data_cols:
+                v = row[c]
+                if c in struct_cols and v is not None:
+                    v = v.asDict()
+                elif hasattr(v, "tolist"):
+                    v = v.tolist()
+                elif isinstance(v, (list, tuple)):
+                    v = list(v)
+                new_cols[c].append(v)
+        if not rows_by_fragment:
+            return m.version
+        # replacement fragment in the dataset's own file flavor, encoded
+        # with the dataset's OWN logical types (schema-driven specs)
+        writer = (
+            _write_v2_data_file if file_version == 2
+            else _write_v1_data_file)
+        staged = [writer(root, _specs_for_manifest(m, new_cols))]
     frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
-    # replacement fragment in the dataset's own file flavor, encoded
-    # with the dataset's OWN logical types (schema-driven specs)
-    first = os.path.join(root, "data", m.fragments[0].files[0].path)
-    with open(first, "rb") as fh:
-        fh.seek(-8, os.SEEK_END)
-        maj, minor = struct.unpack("<HH", fh.read(4))
-    file_version = 1 if (maj, minor) == (0, 1) else 2
-    specs = _specs_for_manifest(m, new_cols)
-    writer = (
-        _write_v2_data_file if file_version == 2 else _write_v1_data_file)
-    file_name, n_rows = writer(root, specs)
     next_id = max((f.id for f in m.fragments), default=-1) + 1
-    frag_entries.append((next_id, file_name, n_rows))
+    for file_name, n_rows in staged:
+        frag_entries.append((next_id, file_name, n_rows))
+        next_id += 1
     _write_v1_manifest(
         root, _field_specs_of(m), frag_entries, m.version + 1)
     return m.version + 1
 
 
 def native_merge_into(
-    spark, root: str, source, on: list[str]
+    spark, root: str, source, on: list[str],
+    distributed: bool = False, rows_per_fragment: int = 1_000_000,
 ) -> int:
     """MERGE (upsert) into a real `.lance` dataset as a single-commit
     merge-on-read delta: target rows whose ``on`` key appears in
@@ -1912,7 +2035,14 @@ def native_merge_into(
     matched addresses and the source delta stream to the committer.
     Rows are replaced WHOLESALE by their source row (upsert semantics;
     per-column assignments are `native_update_where`'s job). Returns the
-    new manifest version."""
+    new manifest version.
+
+    ``distributed=True`` stages the source rows as data files FROM THE
+    EXECUTORS (`stage_native_fragments`, one per ~rows_per_fragment) —
+    the bulk-upsert scale path: the source never funnels through the
+    driver, which sees only matched addresses and (file, rows) manifest
+    entries. A failed commit's staged files are unreferenced and
+    reclaimed by `native_cleanup_old_versions`."""
     from pyspark.sql import functions as F
 
     from ..sources.lance_datasource import register_lance_datasource
@@ -1945,38 +2075,51 @@ def native_merge_into(
     for row in matched.toLocalIterator(prefetchPartitions=True):
         a = int(row["__addr"])
         rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
-    # the delta fragment carries every source row (replacements + news)
-    struct_cols = {
-        f.name for f in m.top_level_fields() if f.logical_type == "struct"
-    }
-    new_cols: dict[str, list] = {c: [] for c in data_cols}
-    n_src = 0
-    for row in source.select(*data_cols).toLocalIterator(
-            prefetchPartitions=True):
-        n_src += 1
-        for c in data_cols:
-            v = row[c]
-            if c in struct_cols and v is not None:
-                v = v.asDict()
-            elif hasattr(v, "tolist"):
-                v = v.tolist()
-            elif isinstance(v, (list, tuple)):
-                v = list(v)
-            new_cols[c].append(v)
-    if n_src == 0:
-        return m.version
-    frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
+    # the delta fragment(s) carry every source row (replacements + news)
     first = os.path.join(root, "data", m.fragments[0].files[0].path)
     with open(first, "rb") as fh:
         fh.seek(-8, os.SEEK_END)
         maj, minor = struct.unpack("<HH", fh.read(4))
     file_version = 1 if (maj, minor) == (0, 1) else 2
-    specs = _specs_for_manifest(m, new_cols)
-    writer = (
-        _write_v2_data_file if file_version == 2 else _write_v1_data_file)
-    file_name, n_rows = writer(root, specs)
+    if distributed:
+        # the bulk-upsert scale path: source rows write their own data
+        # files executor-side; only (file, rows) entries reach the
+        # committer (stage_native_fragments)
+        staged = stage_native_fragments(
+            source.select(*data_cols), root, m, file_version,
+            rows_per_fragment=rows_per_fragment)
+        if not staged:
+            return m.version
+    else:
+        struct_cols = {
+            f.name for f in m.top_level_fields()
+            if f.logical_type == "struct"
+        }
+        new_cols: dict[str, list] = {c: [] for c in data_cols}
+        n_src = 0
+        for row in source.select(*data_cols).toLocalIterator(
+                prefetchPartitions=True):
+            n_src += 1
+            for c in data_cols:
+                v = row[c]
+                if c in struct_cols and v is not None:
+                    v = v.asDict()
+                elif hasattr(v, "tolist"):
+                    v = v.tolist()
+                elif isinstance(v, (list, tuple)):
+                    v = list(v)
+                new_cols[c].append(v)
+        if n_src == 0:
+            return m.version
+        writer = (
+            _write_v2_data_file if file_version == 2
+            else _write_v1_data_file)
+        staged = [writer(root, _specs_for_manifest(m, new_cols))]
+    frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
     next_id = max((f.id for f in m.fragments), default=-1) + 1
-    frag_entries.append((next_id, file_name, n_rows))
+    for file_name, n_rows in staged:
+        frag_entries.append((next_id, file_name, n_rows))
+        next_id += 1
     _write_v1_manifest(
         root, _field_specs_of(m), frag_entries, m.version + 1)
     return m.version + 1

@@ -38,6 +38,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "bounded memory-sink result of the counted micro-batch harness",
     ("streaming/events.py", "cdc_upsert_stream"):
         "bounded per-suite sink materialized to detach from scratch dir",
+    ("format/lance_native.py", "stage_native_fragments"):
+        "one (file_name, n_rows) report row per executor-staged data "
+        "file — ceil(delta_rows / rows_per_fragment) rows, the commit "
+        "coordinator's manifest entries (same shape as stage_via_tasks)",
 }
 
 

@@ -1637,3 +1637,68 @@ def test_native_cleanup_keeps_multiple_versions(tmp_path):
     assert stats["removed_data_files"] == 0
     assert LanceNativeDataset(root, version=2).count_rows() == 4
     assert LanceNativeDataset(root).count_rows() == 5
+
+
+def test_native_dml_distributed_staging(tmp_path, spark):
+    """distributed=True stages UPDATE replacements and MERGE source rows
+    as data files FROM THE EXECUTORS (multiple fragments, bounded by
+    rows_per_fragment) — results identical to the driver-side path, one
+    manifest version per statement, original data files untouched."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        native_merge_into,
+        native_update_where,
+        read_native_manifest,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "dist_dml")
+    n = 3000
+    write_native_dataset(root, {
+        "k": list(range(n)),
+        "price": [float(i) for i in range(n)],
+        "tag": [f"t{i % 3}" for i in range(n)],
+    })
+    register_lance_datasource(spark)
+    files_before = set(glob.glob(os.path.join(root, "data", "*")))
+
+    v = native_update_where(
+        spark, root, F.col("tag") == "t0",
+        {"price": F.col("price") * 2},
+        distributed=True, rows_per_fragment=400)
+    assert v == 2  # single commit: DVs + all staged fragments
+    assert files_before <= set(glob.glob(os.path.join(root, "data", "*")))
+    df = spark.read.format("lance").load(root)
+    exp = float(sum((i * 2 if i % 3 == 0 else i) for i in range(n)))
+    assert df.agg(F.sum("price")).collect()[0][0] == exp
+    assert LanceNativeDataset(root).count_rows() == n
+
+    src = spark.createDataFrame(
+        [(i, 999.0, "up") for i in range(50)]
+        + [(n + i, 1.0, "new") for i in range(1200)],
+        schema=df.select("k", "price", "tag").schema)
+    v = native_merge_into(
+        spark, root, src, on=["k"], distributed=True,
+        rows_per_fragment=500)
+    assert v == 3
+    m = read_native_manifest(root)
+    # merge staged >1 fragment (1250 rows / 500-row flush bound)
+    assert len(m.fragments) >= 4
+    df2 = spark.read.format("lance").load(root)
+    assert df2.count() == n + 1200
+    assert df2.filter(F.col("k") == 10).collect()[0]["price"] == 999.0
+    assert df2.filter(F.col("k") == n + 7).collect()[0]["tag"] == "new"
+    # no-match / empty-source short-circuits: no new version
+    assert native_update_where(
+        spark, root, F.col("k") > 10**9, {"price": F.lit(0.0)},
+        distributed=True) == 3
+    empty = spark.createDataFrame([], schema=src.schema)
+    assert native_merge_into(
+        spark, root, empty, on=["k"], distributed=True) == 3
