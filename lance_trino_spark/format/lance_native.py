@@ -2214,7 +2214,8 @@ def native_table_changes(
 
 
 def native_compact(
-    root: str, small_fragment_rows: int = 0
+    root: str, small_fragment_rows: int = 0,
+    spark=None, rows_per_fragment: int = 1_000_000,
 ) -> tuple[int, int] | None:
     """Compaction / optimize on a real `.lance` dataset WITHOUT the SDK
     (the reference's table-maintenance surface, own-format twin lf10):
@@ -2228,7 +2229,18 @@ def native_compact(
     necessarily reports the rewrite as delete+insert (a physical rewrite
     is indistinguishable from one in the version log — documented
     contract). Data outside the compacted fragments is untouched, so
-    write amplification is O(live rows of compacted fragments)."""
+    write amplification is O(live rows of compacted fragments).
+
+    With ``spark`` given, the rewrite runs DISTRIBUTED: the victim
+    fragments scan through format("lance") restricted by the
+    ``fragments`` read option (the reference scan's fragmentIds,
+    `LanceFragmentPageSource.java:32-169`) — one task per victim, DVs
+    applied executor-side — and the consolidated fragments stage
+    executor-side too (`stage_native_fragments`, one per
+    ~rows_per_fragment). The driver handles only manifest entries: the
+    shape that compacts a TB of delete-churned fragments without
+    pulling a row through the driver. Without ``spark``, a driver-side
+    pass (fixture scale)."""
     import numpy as np
 
     m = read_native_manifest(root)
@@ -2250,38 +2262,56 @@ def native_compact(
     if not victims:
         return None
     victim_ids = {f.id for f in victims}
-    merged: dict[str, list] = {c: [] for c in data_cols}
-    struct_cols = {
-        f.name for f in m.top_level_fields() if f.logical_type == "struct"
-    }
-    for f in victims:
-        t = read_native_fragment(root, f, m)
-        d = t.to_pydict()
-        for c in data_cols:
-            vals = d[c]
-            if c in struct_cols:
-                vals = [dict(v) if v is not None else None for v in vals]
-            merged[c].extend(vals)
-    n_live = len(merged[data_cols[0]])
+    first = os.path.join(root, "data", m.fragments[0].files[0].path)
+    with open(first, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        maj, minor = struct.unpack("<HH", fh.read(4))
+    file_version = 1 if (maj, minor) == (0, 1) else 2
     frag_entries = [
         (f.id, f.files[0].path, f.physical_rows)
         + (((f.deletion.read_version, f.deletion.id),)
            if f.deletion is not None else ())
         for f in m.fragments if f.id not in victim_ids
     ]
-    if n_live:
-        first = os.path.join(root, "data", m.fragments[0].files[0].path)
-        with open(first, "rb") as fh:
-            fh.seek(-8, os.SEEK_END)
-            maj, minor = struct.unpack("<HH", fh.read(4))
-        file_version = 1 if (maj, minor) == (0, 1) else 2
-        specs = _specs_for_manifest(m, merged)
-        writer = (
-            _write_v2_data_file if file_version == 2
-            else _write_v1_data_file)
-        file_name, n_rows = writer(root, specs)
-        next_id = max((f.id for f in m.fragments), default=-1) + 1
+    if spark is not None:
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        victim_df = (
+            spark.read.format("lance")
+            .option("fragments", ",".join(str(i) for i in sorted(
+                victim_ids)))
+            .load(root)
+        )
+        staged = stage_native_fragments(
+            victim_df, root, m, file_version,
+            rows_per_fragment=rows_per_fragment)
+    else:
+        merged: dict[str, list] = {c: [] for c in data_cols}
+        struct_cols = {
+            f.name for f in m.top_level_fields()
+            if f.logical_type == "struct"
+        }
+        for f in victims:
+            t = read_native_fragment(root, f, m)
+            d = t.to_pydict()
+            for c in data_cols:
+                vals = d[c]
+                if c in struct_cols:
+                    vals = [
+                        dict(v) if v is not None else None for v in vals
+                    ]
+                merged[c].extend(vals)
+        staged = (
+            [(_write_v2_data_file if file_version == 2
+              else _write_v1_data_file)(
+                  root, _specs_for_manifest(m, merged))]
+            if merged[data_cols[0]] else []
+        )
+    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    for file_name, n_rows in staged:
         frag_entries.append((next_id, file_name, n_rows))
+        next_id += 1
     _write_v1_manifest(
         root, _field_specs_of(m), frag_entries, m.version + 1)
     return m.version + 1, len(victims)

@@ -484,6 +484,21 @@ class LanceNativeScanReader(DataSourceReader):
                     phys.append(base)
             cols_t = tuple(phys)
         frag_idx = list(range(len(m.fragments)))
+        frags_opt = self._options.get("fragments")
+        if frags_opt:
+            # the reference scan's fragmentIds option
+            # (`LanceFragmentPageSource.java:32-169` — read a chosen
+            # subset of fragments): comma-separated fragment IDs;
+            # planning drops every other fragment (metadata-only).
+            # Unknown ids raise loudly rather than silently scan less.
+            want = {int(x) for x in str(frags_opt).split(",") if x.strip()}
+            have = {m.fragments[i].id for i in frag_idx}
+            unknown = sorted(want - have)
+            if unknown:
+                raise ValueError(
+                    f"fragments option names unknown fragment ids "
+                    f"{unknown} (dataset has {sorted(have)})")
+            frag_idx = [i for i in frag_idx if m.fragments[i].id in want]
         if self._limit is not None and not self._pushed:
             # A6/A7 parity on the native path: with a limit and no pushed
             # filter, plan only the leading fragments whose deletion-aware

@@ -1702,3 +1702,92 @@ def test_native_dml_distributed_staging(tmp_path, spark):
     empty = spark.createDataFrame([], schema=src.schema)
     assert native_merge_into(
         spark, root, empty, on=["k"], distributed=True) == 3
+
+
+def test_fragments_read_option(tmp_path, spark):
+    """The reference scan's fragmentIds option
+    (`LanceFragmentPageSource.java:32-169`) on format("lance"):
+    planning drops every unlisted fragment (metadata-only), unknown ids
+    raise loudly, and deletion vectors still apply inside the subset."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        native_delete,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "fragsopt")
+    write_native_dataset(root, {"k": list(range(100))})
+    append_native_rows(root, {"k": list(range(100, 200))})
+    append_native_rows(root, {"k": list(range(200, 300))})
+    native_delete(root, {1: list(range(0, 100, 2))})
+    register_lance_datasource(spark)
+
+    def load(frags):
+        return (
+            spark.read.format("lance")
+            .option("fragments", frags).load(root)
+        )
+
+    assert load("0").count() == 100
+    assert load("1").count() == 50  # DV applies inside the subset
+    assert load("0,2").agg(F.sum("k")).collect()[0][0] == (
+        sum(range(100)) + sum(range(200, 300)))
+    with _pytest.raises(Exception, match="unknown fragment ids"):
+        load("9").count()
+
+
+def test_native_compact_distributed(tmp_path, spark):
+    """Distributed compaction: victims scan via the fragments option
+    (one task per victim, DVs executor-side) and consolidated fragments
+    stage executor-side — same results as the driver pass, untouched
+    fragments carried over byte-identically."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        native_compact,
+        native_delete_where,
+        read_native_manifest,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "ncompact_dist")
+    write_native_dataset(
+        root, {"k": list(range(1000)), "v": [f"a{i}" for i in range(1000)]})
+    append_native_rows(
+        root,
+        {"k": list(range(1000, 2000)),
+         "v": [f"b{i}" for i in range(1000)]})
+    append_native_rows(root, {"k": [9999], "v": ["tiny"]})
+    register_lance_datasource(spark)
+    native_delete_where(spark, root, F.col("k") % 10 == 0)
+
+    v, n = native_compact(
+        root, small_fragment_rows=10, spark=spark, rows_per_fragment=600)
+    assert (v, n) == (5, 3)
+    m = read_native_manifest(root)
+    assert all(f.deletion is None for f in m.fragments)
+    assert sum(f.physical_rows for f in m.fragments) == 1801
+    assert len(m.fragments) >= 3  # rows_per_fragment bound fanned out
+    assert LanceNativeDataset(root).count_rows() == 1801
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.format("lance").load(root).collect()
+    }
+    assert len(got) == 1801
+    assert 10 not in got and got[11] == "a11"
+    assert got[1001] == "b1" and got[9999] == "tiny"
+    # pre-compaction version still time-travels
+    assert LanceNativeDataset(root, version=4).count_rows() == 1801
