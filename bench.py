@@ -139,6 +139,7 @@ DEFAULT_QUERIES = [
     "ds10_native_stream_cdc",
     "lf26_native_compaction",
     "lf27_native_vacuum",
+    "lf28_native_dictionary_encoding",
 ]
 
 

@@ -120,6 +120,11 @@ class NativeField:
     # Field proto map<string,string> metadata (field 10) — carries the
     # reference's `lance-encoding:blob=true` marker (BlobUtils.java:23-27)
     metadata: dict = field(default_factory=dict)
+    # Field proto Dictionary message (field 8): (positions_array_pos,
+    # n_entries) — set only on DATA-FILE-local field protos of
+    # dictionary-encoded columns (encoding=3); each data file carries
+    # its own dictionary, so the manifest copy stays offset-free
+    dictionary: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -172,6 +177,7 @@ class NativeManifest:
 def _parse_field(buf: bytes) -> NativeField:
     name, fid, parent, ltype, nullable, enc = "", 0, -1, "", False, 0
     meta: dict = {}
+    dictionary = None
     for f, _wt, v in pb_items(buf):
         if f == 2:
             name = v.decode()
@@ -185,6 +191,16 @@ def _parse_field(buf: bytes) -> NativeField:
             nullable = bool(v)
         elif f == 7:
             enc = v
+        elif f == 8:
+            # Dictionary message: 1=positions array pos, 2=n entries
+            dpos = dn = None
+            for f2, _wt2, v2 in pb_items(v):
+                if f2 == 1:
+                    dpos = v2
+                elif f2 == 2:
+                    dn = v2
+            if dpos is not None and dn is not None:
+                dictionary = (dpos, dn)
         elif f == 10:
             # map<string, bytes> entry: 1=key, 2=value
             k = mv = None
@@ -195,7 +211,8 @@ def _parse_field(buf: bytes) -> NativeField:
                     mv = v2.decode(errors="replace")
             if k is not None:
                 meta[k] = mv
-    return NativeField(name, fid, parent, ltype, nullable, enc, meta)
+    return NativeField(
+        name, fid, parent, ltype, nullable, enc, meta, dictionary)
 
 
 def _parse_fragment(buf: bytes) -> NativeFragment:
@@ -341,6 +358,7 @@ class _FileMeta:
     page_table_pos: int
     n_fields: int
     field_ids: list[int]
+    schema_pos: int | None = None
 
 
 def _read_file_meta(raw: bytes, n_fields: int, field_ids: list[int]) -> _FileMeta:
@@ -353,15 +371,33 @@ def _read_file_meta(raw: bytes, n_fields: int, field_ids: list[int]) -> _FileMet
             "(only the v1 legacy format is decoded here)"
         )
     ln = struct.unpack_from("<I", raw, pos)[0]
-    batch_offsets, pt_pos = [0], None
+    batch_offsets, pt_pos, schema_pos = [0], None, None
     for f, wt, v in pb_items(raw[pos + 4:pos + 4 + ln]):
-        if f == 2:
+        if f == 1:
+            schema_pos = v
+        elif f == 2:
             batch_offsets = _packed_varints(v) if wt == 2 else [v]
         elif f == 3:
             pt_pos = v
     if pt_pos is None:
         raise LanceNativeError("data file metadata lacks a page table")
-    return _FileMeta(batch_offsets, pt_pos, n_fields, field_ids)
+    return _FileMeta(batch_offsets, pt_pos, n_fields, field_ids, schema_pos)
+
+
+def _file_local_fields(raw, schema_pos: int | None) -> list[NativeField]:
+    """The DATA FILE's own schema proto (Metadata proto field 1), in
+    page order — the per-file truth for dictionary offsets (each file
+    carries its own dictionary block, so the manifest field stays
+    offset-free and files of one column may mix plain and
+    dictionary encodings)."""
+    if schema_pos is None:
+        return []
+    ln = struct.unpack_from("<I", raw, schema_pos)[0]
+    out = []
+    for f, _wt, v in pb_items(raw[schema_pos + 4:schema_pos + 4 + ln]):
+        if f == 1:
+            out.append(_parse_field(v))
+    return out
 
 
 def _page_entry(raw: bytes, meta: _FileMeta, col_idx: int, batch: int):
@@ -683,6 +719,10 @@ def read_file_column(
     sel_all = (
         None if indices is None else np.asarray(indices, dtype=np.int64)
     )
+    # dictionary encoding (encoding=3) is declared by the DATA FILE's
+    # own field proto (each file carries its own dictionary block);
+    # resolved lazily, once, only for var-width columns
+    _dict_state = [False, None]
     chunks = []
     row_off = 0
     for b in range(n_batches):
@@ -729,6 +769,35 @@ def read_file_column(
         elif nfield.logical_type in (
             "string", "large_string", "binary", "large_binary"
         ):
+            if not _dict_state[0]:
+                _dict_state[0] = True
+                ffs = _file_local_fields(raw, meta.schema_pos)
+                if col_idx < len(ffs):
+                    _dict_state[1] = ffs[col_idx].dictionary
+            if _dict_state[1] is not None:
+                # dictionary page (encoding=3): the page holds plain i32
+                # codes; the dictionary VALUES live once per file as a
+                # var-binary block whose absolute-positions array the
+                # file-local Field proto (Dictionary message) points at
+                dpos, n_dict = _dict_state[1]
+                dpositions = np.frombuffer(
+                    raw, dtype="<i8", count=n_dict + 1, offset=dpos)
+                dvals = bytes(raw[dpositions[0]:dpositions[n_dict]])
+                rebased = (dpositions - dpositions[0]).astype("<i8")
+                dict_arr = pa.Array.from_buffers(
+                    pa.large_utf8()
+                    if nfield.logical_type.endswith("string")
+                    else pa.large_binary(),
+                    n_dict,
+                    [None, pa.py_buffer(rebased.tobytes()),
+                     pa.py_buffer(dvals)],
+                ).cast(atype)
+                codes = np.frombuffer(
+                    raw, dtype="<i4", count=nvals, offset=pos)
+                if sel is not None:
+                    codes = codes[sel]
+                chunks.append(dict_arr.take(pa.array(codes)))
+                continue
             # v1 var-binary page: i64 position array (nvals+1 entries) at
             # the page position; the value bytes live between consecutive
             # positions (absolute file offsets)
@@ -1058,7 +1127,7 @@ def _enc_u64_neg1() -> int:
 
 def _v1_field_proto(
     name: str, fid: int, ltype: str = "int64", parent: int = -1,
-    metadata: dict | None = None,
+    metadata: dict | None = None, dictionary: tuple | None = None,
 ) -> bytes:
     p = _enc_field(2, 2, name.encode())
     if fid:
@@ -1066,11 +1135,20 @@ def _v1_field_proto(
     p += _enc_field(4, 0, parent if parent >= 0 else _enc_u64_neg1())
     p += _enc_field(5, 2, ltype.encode())
     p += _enc_field(6, 0, 1)  # nullable
-    # encoding: 1=plain, 2=var-binary (matches the fixture manifests)
+    # encoding: 1=plain, 2=var-binary, 3=dictionary (matches the
+    # fixture manifests' matrix; see the header doc)
     p += _enc_field(
         7, 0,
-        2 if ltype in ("string", "large_string", "binary", "large_binary")
+        3 if dictionary is not None
+        else 2 if ltype in ("string", "large_string", "binary",
+                            "large_binary")
         else 1)
+    if dictionary is not None:
+        # Dictionary message: 1=positions array pos, 2=n entries —
+        # file-local offsets, so only DATA FILE protos carry it
+        dpos, dn = dictionary
+        p += _enc_field(
+            8, 2, _enc_field(1, 0, dpos) + _enc_field(2, 0, dn))
     for k, v in (metadata or {}).items():
         p += _enc_field(
             10, 2, _enc_field(1, 2, k.encode()) + _enc_field(2, 2, v.encode())
@@ -1345,7 +1423,10 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
     return specs
 
 
-def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
+def _write_v1_data_file(
+    root: str, specs: list[tuple],
+    dictionary_names: frozenset = frozenset(),
+) -> tuple[str, int]:
     """One v1 legacy data file (page table, schema + Metadata protos,
     16-byte footer). Pages: plain int64/double/fsl-float values, the
     v1 var-binary layout for string/binary (value bytes followed by the
@@ -1353,7 +1434,16 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
     read_file_column decodes from the fixtures), or a struct validity
     byte page (see _v1_field_specs). Returns (file name, rows).
     Leaf nulls are not supported (the minimal writer's scope is round-trip
-    interop tests, not production writes — that is the lance SDK's job)."""
+    interop tests, not production writes — that is the lance SDK's job).
+
+    Var-width specs named in ``dictionary_names`` write DICTIONARY
+    encoded (encoding=3): the page holds plain i32 codes; the sorted
+    unique values live once per file as a var-binary block whose
+    positions array the file-local Field proto's Dictionary message
+    points at. No public fixture carries encoding=3, so the block
+    layout is this repo's own, kept self-consistent with
+    read_file_column's dictionary branch and shaped after the proto
+    skeleton (Field.dictionary, the encoding enum's third member)."""
     import uuid as _uuid
 
     import numpy as np
@@ -1366,7 +1456,8 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
         raise LanceNativeError("ragged columns")
     buf = bytearray()
     page_entries = []
-    for _name, _fid, _parent, lt, vals in specs:
+    dict_info: dict[int, tuple] = {}  # spec idx -> (positions pos, n)
+    for sp_i, (_name, _fid, _parent, lt, vals) in enumerate(specs):
         if lt == "struct":
             pos = len(buf)
             buf += bytes(1 if v else 0 for v in vals)
@@ -1374,6 +1465,24 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
             raw = [
                 v.encode() if isinstance(v, str) else bytes(v) for v in vals
             ]
+            if _name in dictionary_names:
+                uniq = sorted(set(raw))
+                code_of = {b: i for i, b in enumerate(uniq)}
+                dpositions = [0] * (len(uniq) + 1)
+                run = len(buf)
+                for i, b in enumerate(uniq):
+                    dpositions[i] = run
+                    run += len(b)
+                dpositions[len(uniq)] = run
+                buf += b"".join(uniq)
+                dpos = len(buf)  # the positions array the proto points at
+                buf += np.asarray(dpositions, dtype="<i8").tobytes()
+                dict_info[sp_i] = (dpos, len(uniq))
+                pos = len(buf)  # page position = the i32 code page
+                buf += np.asarray(
+                    [code_of[b] for b in raw], dtype="<i4").tobytes()
+                page_entries.append((pos, n_rows))
+                continue
             offs = [0] * (n_rows + 1)
             data_pos = len(buf)
             run = data_pos
@@ -1395,8 +1504,9 @@ def _write_v1_data_file(root: str, specs: list[tuple]) -> tuple[str, int]:
     for pos, nv in page_entries:
         buf += struct.pack("<qq", pos, nv)
     schema_proto = b"".join(
-        _enc_field(1, 2, _v1_field_proto(n, fid, lt, parent))
-        for n, fid, parent, lt, _vals in specs
+        _enc_field(1, 2, _v1_field_proto(
+            n, fid, lt, parent, dictionary=dict_info.get(i)))
+        for i, (n, fid, parent, lt, _vals) in enumerate(specs)
     )
     schema_pos = len(buf)
     buf += struct.pack("<I", len(schema_proto)) + schema_proto
@@ -1648,6 +1758,7 @@ def write_native_dataset(
     root: str, columns: dict[str, list[int]], file_version: int = 1,
     blob_columns: set[str] | frozenset[str] = frozenset(),
     types: dict[str, str] | None = None,
+    dictionary_columns: set[str] | frozenset[str] = frozenset(),
 ) -> None:
     """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
     one fragment, one data file, plain int64 columns) that lance 0.10-era
@@ -1669,8 +1780,25 @@ def write_native_dataset(
             raise LanceNativeError(
                 f"blob column {bc!r} must be a {{position, size}} struct "
                 "column (list of dicts)")
-    writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
-    file_name, n_rows = writer(root, specs)
+    if dictionary_columns:
+        if file_version == 2:
+            raise LanceNativeError(
+                "dictionary_columns is a v1 (encoding=3) feature — the "
+                "FILE-v2 writer emits plain pages only")
+        bad = [
+            c for c in dictionary_columns
+            if next((x[3] for x in specs if x[0] == c and x[2] == -1), None)
+            not in ("string", "large_string", "binary", "large_binary")
+        ]
+        if bad:
+            raise LanceNativeError(
+                f"dictionary_columns must be top-level var-width "
+                f"columns; bad: {sorted(bad)}")
+    if file_version == 2:
+        file_name, n_rows = _write_v2_data_file(root, specs)
+    else:
+        file_name, n_rows = _write_v1_data_file(
+            root, specs, dictionary_names=frozenset(dictionary_columns))
     field_specs = [
         sp[:4] + ((BLOB_FIELD_METADATA,)
                   if sp[0] in blob_columns and sp[2] == -1 else ())
@@ -1680,12 +1808,16 @@ def write_native_dataset(
 
 
 def append_native_rows(
-    root: str, columns: dict[str, list[int]], file_version: int = 1
+    root: str, columns: dict[str, list[int]], file_version: int = 1,
+    dictionary_columns: set[str] | frozenset[str] = frozenset(),
 ) -> int:
     """Append one fragment to a (writer-produced) native dataset as a new
     committed version; returns the new version number. Column names must
     match the existing schema. Exists so streaming/time-travel tests can
-    replay multi-version native histories without the lance SDK."""
+    replay multi-version native histories without the lance SDK.
+    ``dictionary_columns`` writes the new file's pages dictionary-encoded
+    (v1 only); encoding is per data file, so plain and dictionary files
+    of one column mix freely."""
     m = read_native_manifest(root)
     names = [f.name for f in m.top_level_fields()]
     if list(columns) != names:
@@ -1693,8 +1825,14 @@ def append_native_rows(
             f"append schema {list(columns)} != dataset schema {names}"
         )
     specs = _specs_for_manifest(m, columns)
-    writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
-    file_name, n_rows = writer(root, specs)
+    if file_version == 2:
+        if dictionary_columns:
+            raise LanceNativeError(
+                "dictionary_columns is a v1 (encoding=3) feature")
+        file_name, n_rows = _write_v2_data_file(root, specs)
+    else:
+        file_name, n_rows = _write_v1_data_file(
+            root, specs, dictionary_names=frozenset(dictionary_columns))
     frags = [
         (f.id, f.files[0].path, f.physical_rows)
         + (((f.deletion.read_version, f.deletion.id),)

