@@ -140,6 +140,8 @@ DEFAULT_QUERIES = [
     "lf26_native_compaction",
     "lf27_native_vacuum",
     "lf28_native_dictionary_encoding",
+    "s14_kmeans_cluster_balance",
+    "t23_bpe_token_inflation",
 ]
 
 

@@ -593,3 +593,94 @@ def mmr_topk(
         _select,
         "query_id long, neighbor_id long, mmr_rank int, cosine double",
     )
+
+
+def kmeans_lattice(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    scale: int = 1000,
+    offset: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means on an INTEGER lattice — the exact,
+    full-corpus complement of `train_ivf_centroids` (which trains on a
+    bounded driver-side sample). Embedding clustering is the
+    cluster-balanced-curation primitive (pick evenly across clusters
+    instead of oversampling the dense modes).
+
+    Determinism is the whole design: coordinates quantize to
+    ``floor(x*scale + 0.5) + offset`` BIGINTs (offset makes them
+    non-negative), so distances, argmins and the round-half-up centroid
+    update ``(2*s + n) div (2*n)`` are all exact integer arithmetic —
+    no float summation-order divergence between executors, plans, or
+    engines (the DuckDB oracle reproduces every value bit-for-bit).
+
+    Scale shape: centroids are k x dim literals compiled into the plan
+    (no join, no broadcast exchange); assignment is a narrow map
+    (array_min over a k-element literal struct array, whole-stage
+    codegen); each Lloyd update is ONE groupBy(cid) with dim partial
+    SUM aggregates (map-side combinable — the hot path never shuffles
+    vectors, only k*(dim+1) partial sums per task); the driver only
+    ever sees k centroid rows per iteration. Returns per-vector
+    (id, cid, dist) for the final assignment.
+    """
+    q = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: (F.floor(x * scale + 0.5)).cast("long") + offset,
+        ).alias("qv"),
+    )
+
+    def _assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        choices = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(int(v)) for v in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+            for cid, cv in cents
+        ])
+        best = F.array_min(choices)
+        return q.select(
+            F.col(id_col),
+            F.col("qv"),
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
+
+    init_rows = q.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    if any(len(r["qv"]) != dim for r in init_rows):
+        raise ValueError(f"vectors are not {dim}-dimensional")
+    cents = [(i, list(r["qv"])) for i, r in enumerate(init_rows)]
+    for _ in range(iters):
+        sums = (
+            _assign(cents)
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()  # k rows — one per cluster (collect-audit entry)
+        )
+        cents = sorted(
+            (
+                int(r["cid"]),
+                [(2 * int(r[f"s{i}"]) + int(r["n"])) // (2 * int(r["n"]))
+                 for i in range(dim)],
+            )
+            for r in sums
+        )
+    return _assign(cents).select(id_col, "cid", "dist")

@@ -87,6 +87,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # the r5 tail leads the round-9 window.
     "lf27_native_vacuum",
     "lf28_native_dictionary_encoding",
+    "s14_kmeans_cluster_balance",
+    "t23_bpe_token_inflation",
     "lf19_native_scalar_index_scan",
     "lf20_native_blob_virtual_columns",
     "lf21_native_row_address",

@@ -15,6 +15,7 @@ from ..operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
+    kmeans_lattice,
     train_ivf_centroids,
 )
 from ..tables import load_table
@@ -826,3 +827,75 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return checks.orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# s14 — distributed integer-lattice k-means + cluster-balanced sampling
+# plan. The exact, full-corpus complement of s04's sample-trained IVF:
+# one Lloyd iteration where EVERY update is integer arithmetic (quantized
+# non-negative lattice, round-half-up centroid division), so the DuckDB
+# oracle reproduces sizes AND inertia bit-exactly — no float summation
+# order anywhere. The balanced-take column (min(n, cap)) is the
+# cluster-balanced curation decision a training-data mixer consumes.
+# Scale shape: centroids ride the plan as k x dim literals (no join);
+# each update is one map-side-combinable groupBy; driver sees k rows.
+# ---------------------------------------------------------------------------
+@register(
+    "s14_kmeans_cluster_balance",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(FLOOR(x*1000 + 0.5) AS BIGINT) + 2000) AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             qv AS cv
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)
+    ),
+    asg0 AS (
+      SELECT vec_id, qv,
+             MIN(list_reduce(list_transform(generate_series(1, 64),
+                 i -> (qv[i]-cv[i])*(qv[i]-cv[i])), (a,b) -> a+b) * 16
+                 + cid) % 16 AS cid
+      FROM q, c0 GROUP BY vec_id, qv
+    ),
+    sums AS (
+      SELECT cid, g.i AS i, SUM(qv[g.i]) AS s, COUNT(*) AS n
+      FROM asg0, generate_series(1, 64) AS g(i)
+      GROUP BY cid, g.i
+    ),
+    c1 AS (
+      SELECT cid, list((2*s + n) // (2*n) ORDER BY i) AS cv
+      FROM sums GROUP BY cid
+    ),
+    asg1 AS (
+      SELECT vec_id,
+             MIN(list_reduce(list_transform(generate_series(1, 64),
+                 i -> (qv[i]-cv[i])*(qv[i]-cv[i])), (a,b) -> a+b) * 16
+                 + cid) AS key
+      FROM q, c1 GROUP BY vec_id
+    )
+    SELECT CAST(key % 16 AS BIGINT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(key // 16) AS BIGINT) AS inertia,
+           CAST(LEAST(COUNT(*), 40) AS BIGINT) AS sample_n
+    FROM asg1 GROUP BY cid ORDER BY cid
+    """,
+    doc="distributed integer-lattice k-means (1 Lloyd iteration, exact "
+        "integer inertia) + cluster-balanced sample plan",
+    tags=("similarity", "clustering", "curation", "pipeline"),
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_lattice(emb, k=8, iters=1, dim=64)
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dist").alias("inertia"),
+            F.least(F.count("*"), F.lit(40)).cast("long").alias("sample_n"),
+        )
+        .orderBy("cid")
+    )

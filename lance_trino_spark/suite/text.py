@@ -15,6 +15,7 @@ from ..operators.text import (
     language_id,
     quality_score,
     token_count,
+    token_count_bpe,
 )
 from ..tables import load_table
 from . import register
@@ -1269,4 +1270,75 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_in").cast("double") / F.sum("n_bg")).alias("coverage"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t23 — BPE-ish pre-tokenizer inflation (token-budget estimation). The
+# cheap subword proxy every token-budget planner runs before paying for a
+# real BPE pass: split on digit/letter transitions and punctuation, then
+# compare against the whitespace count — the inflation ratio (in exact
+# integer ppm) is the per-source fudge factor between "words" and "BPE
+# tokens". Runs over a synthesized log-line corpus (event_type ||
+# user_id || ' ' || props) because it exercises BOTH split rules:
+# 'click42' hits the letter->digit transition, the JSON props hit the
+# punctuation rule. Pure built-ins (regexp_replace/split/size), zero
+# Python in the hot path; one map-side-combinable groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "t23_bpe_token_inflation",
+    oracle=r"""
+    WITH msg AS (
+      SELECT event_type,
+             event_type || CAST(user_id AS VARCHAR) || ' ' || props AS m
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             len(regexp_split_to_array(trim(m), '\s+')) AS ws_n,
+             len(regexp_split_to_array(trim(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(m, '(\d)([a-zA-Z])', '\1 \2', 'g'),
+                   '([a-zA-Z])(\d)', '\1 \2', 'g'),
+                 '([.,!?;:])', ' \1 ', 'g')), '\s+')) AS bpe_n
+      FROM msg
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(ws_n) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_n) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(bpe_n) * 1000000 // SUM(ws_n) AS BIGINT)
+             AS inflation_ppm
+    FROM b GROUP BY event_type ORDER BY event_type
+    """,
+    doc="text: BPE-ish pre-tokenizer inflation vs whitespace tokens "
+        "(integer ppm) over synthesized log lines — the token-budget "
+        "fudge factor",
+    tags=("text", "tokens", "bpe", "pipeline"),
+)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    msg = ev.select(
+        "event_type",
+        F.concat(
+            F.col("event_type"), F.col("user_id").cast("string"),
+            F.lit(" "), F.col("props"),
+        ).alias("text"),
+    )
+    toks = msg.select(
+        "event_type",
+        token_count("text").alias("ws_n"),
+        token_count_bpe("text").alias("bpe_n"),
+    )
+    return (
+        toks.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("ws_n").alias("ws_tokens"),
+            F.sum("bpe_n").alias("bpe_tokens"),
+            F.expr("sum(bpe_n) * 1000000 div sum(ws_n)")
+            .alias("inflation_ppm"),
+        )
+        .orderBy("event_type")
     )

@@ -38,6 +38,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "bounded memory-sink result of the counted micro-batch harness",
     ("streaming/events.py", "cdc_upsert_stream"):
         "bounded per-suite sink materialized to detach from scratch dir",
+    ("operators/similarity.py", "kmeans_lattice"):
+        "one aggregated row per cluster (k rows, k a small constant) — "
+        "the Lloyd-update centroid sums; vectors never reach the driver",
     ("format/lance_native.py", "stage_native_fragments"):
         "one (file_name, n_rows) report row per executor-staged data "
         "file — ceil(delta_rows / rows_per_fragment) rows, the commit "
