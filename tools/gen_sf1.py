@@ -44,7 +44,8 @@ def main() -> None:
             .agg(F.max(key)).first()[0] + 1
         )
 
-    for tbl, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    for tbl, key in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                     ("events", "event_id")):
         spans[key] = (
             spark.read.parquet(f"{SRC}/{tbl}.parquet")
             .agg(F.max(key)).first()[0] + 1
@@ -64,6 +65,9 @@ def main() -> None:
         # workloads — that's what near-dup detection hunts at 100 TB)
         "documents": {"doc_id": spans["doc_id"]},
         "embeddings": {"vec_id": spans["vec_id"]},
+        # events: shift ids so sessions/funnels gain USERS (shuffle keys),
+        # not longer per-user histories; ts/value/props replicate unchanged
+        "events": {"event_id": spans["event_id"], "user_id": 1500},
     }
 
     for tbl in ("region", "nation"):
