@@ -161,9 +161,10 @@ def _minhash_oracle() -> str:
     tags=("dedup", "minhash", "lsh"),
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_dedup(_corpus(spark, sf_dir), threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    # no trailing global sort: its range-sampling pass would re-execute
+    # the LSH-verify subtree (the driver/checker compare is
+    # order-insensitive; see s03 for the measured cost of the sort)
+    return minhash_lsh_dedup(_corpus(spark, sf_dir), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -206,10 +207,11 @@ def _simhash_oracle() -> str:
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_hashes(_corpus(spark, sf_dir))
     sig = simhash_signatures(sh)
+    # no trailing global sort (order-insensitive compare; a range sort
+    # would re-execute the banded-join verify pass for its sampling)
     return (
         simhash_near_dup_pairs(sig, max_hamming=3)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -239,9 +241,8 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard"),
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    # no trailing global sort — same rationale as d02/d03/s03
+    return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -761,3 +761,70 @@ def test_quantile_sketch_bounds_and_merge(spark):
         ["g"], "v", bucket_width_cents=1000,
     ).collect()[0]
     assert exact["q50_cents"] == 2000  # median 20.00 -> its own bucket
+
+
+def test_ngram_jaccard_canonicalization_matches_naive(spark):
+    """The exact-content canonicalization inside ngram_jaccard_pairs
+    (group by text fingerprint -> quadratic pass over representatives ->
+    expand back) must reproduce the naive all-documents inverted-index
+    pass EXACTLY — pairs, values, and the frequency cap's doc-level
+    meaning — on a corpus with exact copies, near variants, a hot capped
+    shingle, and a no-shingle short doc."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_hashes,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight nine",
+        "totally different words nothing shared here at all",
+        "hot hot hot hot hot",  # its shingles go over the tiny cap
+        "tiny doc",  # < k words: no shingles at all
+    ]
+    rows = []
+    did = 0
+    for t in base:
+        for _copy in range(3):  # exact copies of everything
+            rows.append((did, t))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=4)
+
+    # naive reference: the pre-canonicalization algorithm, verbatim
+    sh = shingle_hashes(df)
+    freq = sh.groupBy("h").agg(F.count("*").alias("df_"))
+    rare = sh.join(freq.filter(F.col("df_") <= 4), "h")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = rare.select(F.col("doc_id").alias("id_a"), "h")
+    b = rare.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    inter = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    naive = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                    .cast("double"))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+    got_set = {(r.id_a, r.id_b, r.jaccard) for r in got.collect()}
+    naive_set = {(r.id_a, r.id_b, r.jaccard) for r in naive.collect()}
+    assert got_set == naive_set
+    assert len(got_set) > 3  # the scenario actually produces pairs
+    paired = {i for p in got_set for i in p[:2]}
+    # exact copies of the hot doc pair at jaccard 1.0 (its single
+    # distinct shingle has doc-level df 3 <= cap)...
+    assert (12, 13, 1.0) in got_set
+    # ...but the 'tiny doc' copies (< k words -> no shingles) never pair
+    assert not paired & {15, 16, 17}
