@@ -40,8 +40,10 @@ DEFAULT_QUERIES = [
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
     "d03_simhash_near_dup",
+    "d04_ngram_jaccard",
     "s01_cosine_topk",
     "s02_bucketed_ann_topk",
+    "s03_embedding_neardup",
     "lf01_roundtrip_scan",
     "lf03_mor_delete",
     "lf05_merge",
