@@ -1,0 +1,147 @@
+"""Property-based round-trip tests for the native `.lance` writer/reader
+pair (hypothesis): ARBITRARY typed columns written with
+write_native_dataset must come back cell-exact through
+read_native_fragment, for both the v1 legacy layout and FILE-v2, with
+and without dictionary encoding on var-width columns. The example-based
+tests pin the fixture byte layouts; this pins the WHOLE value space the
+writer claims (no driver or Spark session involved — the codec pair is
+plain Python, so hundreds of cases run in seconds)."""
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import math
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lance_trino_spark.format.lance_native import (
+    LanceNativeDataset,
+    read_native_fragment,
+    read_native_manifest,
+    write_native_dataset,
+)
+
+_SEQ = itertools.count()  # unique dataset dir per hypothesis example
+
+# exactly-representable value strategies per pinned logical type
+_EPOCH = dt.date(1970, 1, 1)
+_TYPED = {
+    "int64": st.integers(-(2**63), 2**63 - 1),
+    "int32": st.integers(-(2**31), 2**31 - 1),
+    "int16": st.integers(-(2**15), 2**15 - 1),
+    "int8": st.integers(-128, 127),
+    "uint8": st.integers(0, 255),
+    "double": st.floats(allow_nan=False, width=64),
+    "float": st.floats(allow_nan=False, width=32),
+    "bool": st.booleans(),
+    "string": st.text(max_size=40),
+    "binary": st.binary(max_size=40),
+    "date32:day": st.integers(-300_000, 300_000).map(
+        lambda d: _EPOCH + dt.timedelta(days=d)
+    ),
+    "timestamp:us:-": st.integers(-(2**50), 2**50).map(
+        lambda us: dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    ),
+}
+# FILE-v2's writer covers the flat scalar/var-width family too
+_V2_TYPES = ("int64", "int32", "double", "float", "string", "binary")
+
+
+def _norm(lt: str, v):
+    """Writer-input -> reader-output normalization: the reader hands back
+    pyarrow-converted Python values (date/datetime objects, floats)."""
+    if lt == "float":
+        # f32 page: compare through the f32 grid (inputs are width-32
+        # floats already, so this is the identity — belt and braces)
+        import struct as _s
+
+        return _s.unpack("<f", _s.pack("<f", v))[0]
+    return v
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_v1_typed_roundtrip_property(tmp_path, data):
+    n = data.draw(st.integers(1, 40), label="rows")
+    lts = data.draw(
+        st.lists(
+            st.sampled_from(sorted(_TYPED)), min_size=1, max_size=4
+        ),
+        label="types",
+    )
+    cols, types = {}, {}
+    for i, lt in enumerate(lts):
+        name = f"c{i}"
+        cols[name] = data.draw(
+            st.lists(_TYPED[lt], min_size=n, max_size=n), label=name
+        )
+        types[name] = lt
+    root = str(tmp_path / f"prop-{next(_SEQ)}")
+    write_native_dataset(root, cols, types=types)
+
+    m = read_native_manifest(root)
+    t = read_native_fragment(root, m.fragments[0], m)
+    assert t.num_rows == n
+    for i, lt in enumerate(lts):
+        got = t.column(f"c{i}").to_pylist()
+        want = [_norm(lt, v) for v in cols[f"c{i}"]]
+        if lt in ("double", "float"):
+            for g, w in zip(got, want):
+                assert (g == w) or (math.isnan(g) and math.isnan(w)), (lt, g, w)
+        else:
+            assert got == want, lt
+    # count_rows agrees without decoding
+    assert LanceNativeDataset(root).count_rows() == n
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_v2_and_dictionary_roundtrip_property(tmp_path, data):
+    n = data.draw(st.integers(1, 40), label="rows")
+    v2 = data.draw(st.booleans(), label="file_v2")
+    lts = data.draw(
+        st.lists(st.sampled_from(_V2_TYPES), min_size=1, max_size=3),
+        label="types",
+    )
+    cols, types = {}, {}
+    for i, lt in enumerate(lts):
+        cols[f"c{i}"] = data.draw(
+            st.lists(_TYPED[lt], min_size=n, max_size=n), label=f"c{i}"
+        )
+        types[f"c{i}"] = lt
+    dict_cols = (
+        frozenset(
+            f"c{i}" for i, lt in enumerate(lts) if lt in ("string", "binary")
+        )
+        if (not v2 and data.draw(st.booleans(), label="dict"))
+        else frozenset()
+    )
+    root = str(tmp_path / f"prop2-{next(_SEQ)}")
+    write_native_dataset(
+        root, cols, types=types, file_version=2 if v2 else 1,
+        dictionary_columns=dict_cols,
+    )
+    m = read_native_manifest(root)
+    t = read_native_fragment(root, m.fragments[0], m)
+    for i, lt in enumerate(lts):
+        got = t.column(f"c{i}").to_pylist()
+        want = [_norm(lt, v) for v in cols[f"c{i}"]]
+        if lt in ("double", "float"):
+            for g, w in zip(got, want):
+                assert (g == w) or (math.isnan(g) and math.isnan(w))
+        else:
+            assert got == want, (lt, v2, bool(dict_cols))
+    # (encoding=3 is a per-DATA-FILE property — the manifest keeps the
+    # column's base var-binary encoding so files may mix freely; the
+    # file-local proto is pinned by test_dictionary_encoded_v1_pages.
+    # Here the property is the value round-trip through both layouts.)
