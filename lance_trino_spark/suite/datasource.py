@@ -174,7 +174,13 @@ def ds04(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_lance_datasource(spark)
     path = _fresh_path(sf_dir, "ds04")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    ds = LanceDataset.create(path, li, max_rows_per_file=1000)
+    # fragment size scales WITH the table (~30 fragments at any sf): the
+    # proof needs several fragments, not thousands of tiny files — a fixed
+    # 1000-row size made the setup write 6000 fragments at sf1 (63 s of
+    # harness, zero extra coverage)
+    ds = LanceDataset.create(
+        path, li, max_rows_per_file=max(1000, li.count() // 30)
+    )
     limited = spark.read.format("lance").option("limit", 2000).load(path)
     # the limit hint bounds the *planned fragments*; Spark re-applies the
     # exact limit above the scan (same non-guaranteed contract as A6)

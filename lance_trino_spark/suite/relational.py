@@ -885,7 +885,8 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -895,13 +896,20 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # exact integer cents, not DECIMAL(38,2): ROLLUP's Expand runs every
+    # row through the aggregate once per grouping set, and a BigDecimal
+    # sum there costs ~4x the long sum (measured at sf1) for the same
+    # bit-exact double (cents are exact in BIGINT; /100.0 rounds once,
+    # identically in both engines)
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        li.withColumn(
+            "cents",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+        )
+        .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double").alias(
-                "total_price"
-            ),
+            (F.sum("cents") / F.lit(100.0)).alias("total_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
