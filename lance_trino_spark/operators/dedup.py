@@ -204,21 +204,54 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
 
+    EXACT-CONTENT CANONICALIZATION first (same recipe as
+    ngram_jaccard_pairs, same exactness argument): signatures, band
+    buckets and Jaccard are all functions of content, so the LSH +
+    verify stages run over one representative per identical-text group
+    and the surviving pairs expand back to member pairs. Identical
+    members pair with each other at exactly 1.0 (their full shingle
+    sets coincide), PROVIDED the content has at least one shingle —
+    shingle-less docs never enter a band, matching the naive pass. The
+    candidate-verify volume — the quadratic-in-duplication term —
+    shrinks by the duplication factor squared.
+
     The shingle frame feeds both the signature and the verify stage — persist
     it so the explode+distinct runs once (at cluster scale: a checkpoint to
     fast storage). The big intermediates (shingle set, candidate pairs) are
     RELEASED before returning: the verified pair list is materialized with
     localCheckpoint (it is orders of magnitude smaller than the corpus), so
     the caches don't accumulate across queries in a long-lived session."""
-    sh = shingle_hashes(df, id_col, text_col, k).persist()
+    fpd = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_fp"), F.col(text_col)
+    )
+    groups = fpd.groupBy("_fp").agg(
+        F.min(id_col).alias("rep"), F.count("*").alias("gsize")
+    ).persist()
+    mem = fpd.select("_fp", F.col(id_col))
+    reps = fpd.join(
+        groups.select(F.col("rep").alias(id_col)), id_col
+    ).select(id_col, text_col)
+
+    sh = shingle_hashes(reps, id_col, text_col, k).persist()
     sh.count()  # materialize once; feeds both signatures and verify
     sig = minhash_signatures(sh, id_col, num_perm)
     # candidate pairs are tiny but sit on a deep plan; persisting them keeps
     # the verify stage from recomputing the whole LSH subtree per join branch
     release: list = []
     pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands, _release=release).persist()
-    verified = jaccard_verify(pairs, sh, id_col, threshold).localCheckpoint()
-    for frame in (*release, pairs, sh):
+    rep_pairs = jaccard_verify(pairs, sh, id_col, threshold).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
+    )
+    # intra-group pairs: identical shingle sets -> jaccard exactly 1.0,
+    # always >= threshold; groups of shingle-less docs emit nothing
+    has_sh = sh.select(F.col(id_col).alias("rep")).distinct()
+    selfj = (
+        groups.filter(F.col("gsize") >= 2)
+        .join(has_sh, "rep")
+        .select("_fp", F.lit(1.0).alias("jaccard"))
+    )
+    verified = _expand_rep_pairs(rep_pairs, groups, mem, id_col, selfj)
+    for frame in (*release, pairs, sh, groups):
         frame.unpersist()
     return verified
 
@@ -392,6 +425,55 @@ def simhash_near_dup_pairs(
     return out
 
 
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    mem: DataFrame,
+    id_col: str,
+    selfj: DataFrame,
+) -> DataFrame:
+    """Expand representative-level near-dup results back to ALL member
+    pairs after exact-content canonicalization. ``rep_pairs`` is
+    (rep_a, rep_b, jaccard) for cross-group survivors; ``selfj`` is
+    (_fp, jaccard) for groups whose identical members pair with each
+    other. Similarity is a function of content, so every member pair of
+    a surviving (group_a, group_b) combination carries the
+    representative pair's exact value — the expansion is pure equi-join
+    bookkeeping sized by the TRUE OUTPUT (least/greatest restores the
+    id_a < id_b contract). Returns a localCheckpoint'd pair list so
+    callers can release their upstream caches."""
+    r2f = groups.select("rep", "_fp")
+    cross = (
+        rep_pairs
+        .join(
+            r2f.select(F.col("rep").alias("rep_a"), F.col("_fp").alias("fa")),
+            "rep_a",
+        )
+        .join(
+            r2f.select(F.col("rep").alias("rep_b"), F.col("_fp").alias("fb")),
+            "rep_b",
+        )
+        .join(mem.select(F.col("_fp").alias("fa"), F.col(id_col).alias("ma")), "fa")
+        .join(mem.select(F.col("_fp").alias("fb"), F.col(id_col).alias("mb")), "fb")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    ma = mem.select("_fp", F.col(id_col).alias("ma"))
+    mb = mem.select(F.col("_fp").alias("_fpb"), F.col(id_col).alias("mb"))
+    intra = (
+        selfj.join(ma, "_fp")
+        .join(mb, F.col("_fp") == F.col("_fpb"))
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("id_a"), F.col("mb").alias("id_b"), "jaccard"
+        )
+    )
+    return cross.unionAll(intra).localCheckpoint()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -462,32 +544,10 @@ def ngram_jaccard_pairs(
         )
     )
 
-    # expansion 1: cross-group pairs — every member of A with every
-    # member of B (least/greatest restores the id_a < id_b contract)
-    r2f = groups.select("rep", "_fp")
-    cross = (
-        rep_pairs
-        .join(
-            r2f.select(F.col("rep").alias("rep_a"), F.col("_fp").alias("fa")),
-            "rep_a",
-        )
-        .join(
-            r2f.select(F.col("rep").alias("rep_b"), F.col("_fp").alias("fb")),
-            "rep_b",
-        )
-        .join(mem.select(F.col("_fp").alias("fa"), F.col(id_col).alias("ma")), "fa")
-        .join(mem.select(F.col("_fp").alias("fb"), F.col(id_col).alias("mb")), "fb")
-        .select(
-            F.least("ma", "mb").alias("id_a"),
-            F.greatest("ma", "mb").alias("id_b"),
-            "jaccard",
-        )
-    )
-    # expansion 2: intra-group pairs — identical content, so the pair's
-    # Jaccard is rare_cnt / (2*sz - rare_cnt) (the cap keeps the same
-    # denominator-vs-numerator asymmetry the naive pass has); a group
-    # whose representative has NO uncapped shingles generates no pairs,
-    # exactly like the naive co-occurrence join
+    # intra-group pairs carry jaccard rare_cnt / (2*sz - rare_cnt) (the
+    # cap keeps the same numerator-vs-denominator asymmetry the naive
+    # pass has); a group whose representative has NO uncapped shingles
+    # generates no pairs, exactly like the naive co-occurrence join
     rare_cnt = rare.groupBy(id_col).agg(F.count("*").alias("rc"))
     selfj = (
         groups.filter(F.col("gsize") >= 2)
@@ -501,17 +561,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("_fp", "jaccard")
     )
-    ma = mem.select("_fp", F.col(id_col).alias("ma"))
-    mb = mem.select(F.col("_fp").alias("_fpb"), F.col(id_col).alias("mb"))
-    intra = (
-        selfj.join(ma, "_fp")
-        .join(mb, F.col("_fp") == F.col("_fpb"))
-        .filter(F.col("ma") < F.col("mb"))
-        .select(
-            F.col("ma").alias("id_a"), F.col("mb").alias("id_b"), "jaccard"
-        )
-    )
-    out = cross.unionAll(intra).localCheckpoint()  # tiny verified pair list
+    out = _expand_rep_pairs(rep_pairs, groups, mem, id_col, selfj)
     sh.unpersist()
     groups.unpersist()
     return out
