@@ -76,15 +76,16 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 8 window. Front: the EIGHT queries added this round
-    # (lf19-lf25, ds10 — never driver-checked), then never-checked/red
-    # (s13 fixed, t22, cat21/lf18 oracle-fixed), then queries whose code
-    # was rewritten since their last check (ROTATION RULE: changed code
-    # outranks staleness — cat16/18/19/20 on the r7 DvScan/RowLevel
-    # rewrite, d10 on the round-8 de-skew), then the 14 r4-latest stale,
-    # then the r5-latest cohort sorted by name. The driver's 50-row
-    # prefix covers 8 new + 9 + 14 r4 + the first 19 of the r5 cohort;
-    # the r5 tail leads the round-9 window.
+    # --- round 8 window. Front: the queries ADDED this round (lf19-lf28,
+    # ds10, s14, t23 — never driver-checked), then queries whose CODE
+    # CHANGED this round after their last check (ROTATION RULE: changed
+    # code outranks staleness — the scale-hardening pass rewrote the
+    # near-dup pair join (s03/d08), canonicalized d02/d04 and their d05/
+    # d06 consumers, re-derived q26's rollup sum, resized ds04's setup),
+    # then never-checked/red from r7 (s13 fixed, t22, cat21/lf18
+    # oracle-fixed), then the r7-rewritten JVM paths, then the 14
+    # r4-latest stale, then the r5-latest cohort sorted by name; the r5
+    # tail leads the round-9 window.
     "lf27_native_vacuum",
     "lf28_native_dictionary_encoding",
     "s14_kmeans_cluster_balance",
@@ -98,6 +99,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf25_native_table_changes",
     "ds10_native_stream_cdc",
     "lf26_native_compaction",
+    "s03_embedding_neardup",
+    "d02_minhash_lsh_dedup",
+    "d04_ngram_jaccard",
+    "d05_dedup_clusters",
+    "d06_quality_keep_best",
+    "d08_semantic_dedup",
+    "q26_rollup_sales",
+    "ds04_limit_coalesced_scan",
     "s13_mmr_diversified_topk",
     "t22_bigram_coverage",
     "cat21_jvm_subquery_delete",
@@ -123,11 +132,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t18_url_domain_stats",
     "cat17_jvm_native_insert",
     "d01_exact_dedup",
-    "d02_minhash_lsh_dedup",
     "d03_simhash_near_dup",
-    "d04_ngram_jaccard",
-    "d05_dedup_clusters",
-    "d06_quality_keep_best",
     "e01_hourly_event_stats",
     "e02_sessionization",
     "e03_funnel_conversion",
@@ -159,13 +164,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q23_setops_customer_cohorts",
     "q24_window_running_revenue",
     "q25_top_orders_per_segment",
-    "q26_rollup_sales",
     "q27_pagination",
     "q28_distinct_pairs",
     "q29_cte_nation_stats",
     "q30_full_outer_activity",
     "q31_cube_order_stats",
-    "s03_embedding_neardup",
     "s12_binary_quantization",
     "st11_native_stream_tail",
     "t19_temperature_mix",
