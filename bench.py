@@ -142,6 +142,7 @@ DEFAULT_QUERIES = [
     "lf26_native_compaction",
     "lf27_native_vacuum",
     "lf28_native_dictionary_encoding",
+    "lf29_native_add_column",
     "s14_kmeans_cluster_balance",
     "t23_bpe_token_inflation",
 ]

@@ -1280,7 +1280,8 @@ def _infer_v1_type(values) -> str:
 
 
 def _v1_field_specs(
-    names: list[str], columns: dict, types: dict | None = None
+    names: list[str], columns: dict, types: dict | None = None,
+    fid_base: int = 0,
 ) -> list[tuple]:
     """Flattened (name, fid, parent_fid, ltype, values) specs in PAGE
     order: each top-level column, then — for a struct — its children
@@ -1293,9 +1294,11 @@ def _v1_field_specs(
     No SDK struct fixture exists (FIXTURES.md §6 prescribes creating one),
     so the struct layout is this writer's own, kept self-consistent with
     read_file_column: parent page = one validity byte per row, child pages
-    = ordinary leaf pages with placeholder values at NULL-struct rows."""
+    = ordinary leaf pages with placeholder values at NULL-struct rows.
+    ``fid_base`` offsets the assigned field ids — the add-column path
+    numbers new fields after the existing schema's maximum."""
     specs = []
-    fid = 0
+    fid = fid_base
     for n in names:
         vals = columns[n]
         lt = (types or {}).get(n) or _infer_v1_type(vals)
@@ -1642,24 +1645,41 @@ def _write_v2_data_file(
     return file_name, n_rows
 
 
+def _relist_files(f: "NativeFragment"):
+    """Manifest re-listing value for an UNTOUCHED fragment: pass every
+    data file through with its own field ids (column-split add-column
+    fragments must survive DML/compaction/append commits losslessly);
+    single-file fragments keep the compact str form."""
+    if len(f.files) == 1:
+        return f.files[0].path
+    return [(df.path, list(df.field_ids)) for df in f.files]
+
+
 def _write_v1_manifest(
     root: str,
     field_specs: list[tuple],  # (name, fid, parent_fid, ltype[, metadata])
-    fragments: list[tuple],  # (id, file, rows[, (read_version, del_id)])
+    fragments: list[tuple],  # (id, file(s), rows[, (read_version, del_id)])
     version: int,
 ) -> None:
+    """``file(s)`` per fragment entry is either a str — one data file
+    carrying EVERY field — or a list of (file_name, field_ids) pairs for
+    column-split fragments (the add-column layout: later files carry the
+    added fields; readers resolve field → first file carrying it)."""
     field_ids = [sp[1] for sp in field_specs]
     frag_protos = b""
     for entry in fragments:
-        fid, file_name, n_rows = entry[0], entry[1], entry[2]
+        fid, files, n_rows = entry[0], entry[1], entry[2]
         deletion = entry[3] if len(entry) > 3 else None
-        datafile = _enc_field(1, 2, file_name.encode()) + _enc_field(
-            2, 2, b"".join(_enc_varint(i) for i in field_ids)
-        )
+        if isinstance(files, str):
+            files = [(files, field_ids)]
         frag = b""
         if fid:
             frag += _enc_field(1, 0, fid)
-        frag += _enc_field(2, 2, datafile)
+        for file_name, fids in files:
+            frag += _enc_field(2, 2, (
+                _enc_field(1, 2, file_name.encode())
+                + _enc_field(2, 2, b"".join(_enc_varint(i) for i in fids))
+            ))
         if deletion is not None:
             rv, did = deletion
             frag += _enc_field(
@@ -1834,7 +1854,7 @@ def append_native_rows(
         file_name, n_rows = _write_v1_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns))
     frags = [
-        (f.id, f.files[0].path, f.physical_rows)
+        (f.id, _relist_files(f), f.physical_rows)
         + (((f.deletion.read_version, f.deletion.id),)
            if f.deletion is not None else ())
         for f in m.fragments
@@ -1847,6 +1867,61 @@ def append_native_rows(
         for sp in specs
     ]
     _write_v1_manifest(root, field_specs, frags, m.version + 1)
+    return m.version + 1
+
+
+def native_add_column(
+    root: str, columns: dict[str, list], types: dict[str, str] | None = None,
+) -> int:
+    """ALTER TABLE ADD COLUMN on a real `.lance` dataset — the lance
+    SDK's `add_columns` re-expressed for the native path (own-format
+    twin: `LanceDataset.add_column`, lf12): each existing fragment gains
+    ONE NEW DATA FILE carrying only the new field's pages, the manifest
+    schema grows the field protos, and the commit is a single new
+    version. NO existing byte is rewritten — write amplification is
+    O(new column), the column-split layout the fixture fragments already
+    exercise on read (`file_for_field`: field → first file carrying it).
+
+    ``columns`` values align to the fragments' PHYSICAL rows in manifest
+    order (deleted rows still occupy physical slots — supply
+    placeholders there; the DV masks them on every read path). Appends
+    after the evolution write full-schema single-file fragments;
+    DML/compaction/vacuum commits pass multi-file fragments through
+    losslessly (`_relist_files`). Returns the new version."""
+    m = read_native_manifest(root)
+    existing = {f.name for f in m.fields}
+    clash = sorted(set(columns) & existing)
+    if clash:
+        raise LanceNativeError(f"columns already exist: {clash}")
+    phys = [
+        _physical_rows_from_file(root, f.files[0]) for f in m.fragments
+    ]
+    total = sum(phys)
+    bad = {n: len(v) for n, v in columns.items() if len(v) != total}
+    if bad:
+        raise LanceNativeError(
+            f"add_column values must cover all {total} physical rows "
+            f"(fragment order); got {bad}")
+    fid_base = max(f.id for f in m.fields) + 1
+    new_frags, off = [], 0
+    new_specs = None
+    for f, n in zip(m.fragments, phys):
+        sliced = {name: v[off:off + n] for name, v in columns.items()}
+        off += n
+        specs = _v1_field_specs(list(columns), sliced, types, fid_base)
+        if new_specs is None:
+            new_specs = specs  # fids/types identical across fragments
+        file_name, _ = _write_v1_data_file(root, specs)
+        files = [(df.path, list(df.field_ids)) for df in f.files]
+        files.append((file_name, [sp[1] for sp in specs]))
+        new_frags.append(
+            (f.id, files, f.physical_rows)
+            + (((f.deletion.read_version, f.deletion.id),)
+               if f.deletion is not None else ()))
+    field_specs = _field_specs_of(m) + [
+        sp[:4] for sp in (new_specs or [])
+    ]
+    _write_v1_manifest(root, field_specs, new_frags, m.version + 1)
     return m.version + 1
 
 
@@ -1900,7 +1975,7 @@ def _stage_deletion_entries(
         new_rows = rows_by_fragment.get(f.id)
         if new_rows is None or len(new_rows) == 0:
             frag_entries.append(
-                (f.id, f.files[0].path, f.physical_rows)
+                (f.id, _relist_files(f), f.physical_rows)
                 + (((f.deletion.read_version, f.deletion.id),)
                    if f.deletion is not None else ()))
             continue
@@ -1925,7 +2000,7 @@ def _stage_deletion_entries(
         with ipc.new_file(dv_path, t.schema) as w:
             w.write_table(t)
         frag_entries.append(
-            (f.id, f.files[0].path, f.physical_rows,
+            (f.id, _relist_files(f), f.physical_rows,
              (deletion.read_version, deletion.id)))
     return frag_entries
 
@@ -2395,7 +2470,11 @@ def native_compact(
 
     victims = [
         f for f in m.fragments
-        if f.deletion is not None or live_count(f) < small_fragment_rows
+        # DV-laden, under-sized, or COLUMN-SPLIT (add-column evolution
+        # leaves one extra data file per fragment; compaction is the
+        # moment those consolidate back to one file per fragment)
+        if f.deletion is not None or len(f.files) > 1
+        or live_count(f) < small_fragment_rows
     ]
     if not victims:
         return None
@@ -2406,7 +2485,7 @@ def native_compact(
         maj, minor = struct.unpack("<HH", fh.read(4))
     file_version = 1 if (maj, minor) == (0, 1) else 2
     frag_entries = [
-        (f.id, f.files[0].path, f.physical_rows)
+        (f.id, _relist_files(f), f.physical_rows)
         + (((f.deletion.read_version, f.deletion.id),)
            if f.deletion is not None else ())
         for f in m.fragments if f.id not in victim_ids

@@ -1840,3 +1840,90 @@ def lf28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mixed_files_scan", F.lit(True))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf29 — ALTER TABLE ADD COLUMN on a REAL `.lance` dataset: each existing
+# fragment gains one COLUMN-SPLIT data file carrying only the new field
+# (zero existing bytes rewritten — the lance SDK's add_columns layout;
+# readers resolve field -> first file carrying it, the rule the
+# test_table1 fixture pins). The query evolves a two-fragment dataset
+# with a derived column, MoR-deletes through the evolved schema, scans
+# old + new columns in one aggregate, and pins the evolution's write
+# amplification (original files untouched, exactly one new file per
+# fragment).
+# ---------------------------------------------------------------------------
+@register(
+    "lf29_native_add_column",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(o_orderkey % 7) AS BIGINT) AS kmod_sum,
+           TRUE AS originals_untouched,
+           TRUE AS one_new_file_per_fragment
+    FROM orders
+    WHERE o_orderkey <= 2000 AND o_orderkey % 5 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: ADD COLUMN on a native .lance dataset — column-split "
+        "fragment files, zero rewrites, evolved scan + MoR delete",
+    tags=("format", "interop", "lance-native", "evolution"),
+)
+def lf29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..format.lance_native import (
+        append_native_rows,
+        native_add_column,
+        native_delete_where,
+        read_native_manifest,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf29-native-add-column")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+    }
+    half = len(rows) // 2
+    write_native_dataset(path, cols(rows[:half]))
+    append_native_rows(path, cols(rows[half:]))
+    files_before = sorted(glob.glob(os.path.join(path, "data", "*")))
+
+    native_add_column(
+        path, {"kmod": [int(r["o_orderkey"]) % 7 for r in rows]})
+
+    files_after = sorted(glob.glob(os.path.join(path, "data", "*")))
+    originals_untouched = set(files_before) <= set(files_after)
+    m = read_native_manifest(path)
+    one_new_each = (
+        len(files_after) == len(files_before) + len(m.fragments)
+        and all(len(f.files) == 2 for f in m.fragments)
+    )
+
+    register_lance_datasource(spark)
+    native_delete_where(spark, path, F.col("o_orderkey") % 5 == 0)
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("kmod").alias("kmod_sum"),
+        )
+        .withColumn("originals_untouched", F.lit(bool(originals_untouched)))
+        .withColumn(
+            "one_new_file_per_fragment", F.lit(bool(one_new_each)))
+        .orderBy("priority")
+    )

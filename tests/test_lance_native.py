@@ -1864,3 +1864,88 @@ def test_dictionary_encoded_v1_pages(tmp_path, spark):
             os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
 
     assert dbytes(droot) < dbytes(proot) / 3
+
+
+def test_native_add_column(tmp_path, spark):
+    """ALTER TABLE ADD COLUMN on the native path: each fragment gains one
+    column-split data file (no existing byte rewritten), reads resolve
+    field -> first file carrying it on every path (full, selective,
+    Spark scan with pushdown), DV/DML commits pass multi-file fragments
+    through losslessly, compaction consolidates them, and time travel
+    still sees the pre-evolution schema."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        LanceNativeError,
+        append_native_rows,
+        native_add_column,
+        native_compact,
+        native_delete,
+        read_native_fragment,
+        read_native_manifest,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "evolve")
+    write_native_dataset(
+        root, {"k": list(range(800)), "tag": [f"t{i % 3}" for i in range(800)]}
+    )
+    append_native_rows(
+        root, {"k": list(range(800, 1000)),
+               "tag": [f"t{i % 3}" for i in range(800, 1000)]}
+    )
+    with _pytest.raises(LanceNativeError, match="already exist"):
+        native_add_column(root, {"tag": ["x"] * 1000})
+    with _pytest.raises(LanceNativeError, match="physical rows"):
+        native_add_column(root, {"w": [1.0] * 999})
+
+    v = native_add_column(
+        root, {"w": [float(i) * 0.5 for i in range(1000)]},
+        types={"w": "double"})
+    m = read_native_manifest(root)
+    assert [len(f.files) for f in m.fragments] == [2, 2]
+    assert [f.name for f in m.fields] == ["k", "tag", "w"]
+
+    # selective (late-materialized) read crosses the file split
+    sel = read_native_fragment(
+        root, m.fragments[0], m, preselected=np.array([0, 7, 799]))
+    assert sel.column("w").to_pylist() == [0.0, 3.5, 399.5]
+
+    # Spark scan: projection + pushed filter touching old AND new columns
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    got = df.filter(F.col("w") >= 499.0).agg(
+        F.count("*"), F.sum("k")).first()
+    assert (got[0], got[1]) == (2, 998 + 999)
+
+    # DV commit keeps both files; deleted rows mask on the split read
+    native_delete(root, {0: list(range(100))})
+    m2 = read_native_manifest(root)
+    assert [len(f.files) for f in m2.fragments] == [2, 2]
+    t = read_native_fragment(root, m2.fragments[0], m2)
+    assert t.num_rows == 700 and t.column("w").to_pylist()[0] == 50.0
+    assert LanceNativeDataset(root).count_rows() == 900
+
+    # time travel: the pre-evolution version still scans without `w`
+    assert [f.name for f in read_native_manifest(root, v - 1).fields] == [
+        "k", "tag"]
+    assert LanceNativeDataset(root, version=v - 1).count_rows() == 1000
+
+    # append after evolution writes full-schema single-file fragments
+    append_native_rows(root, {"k": [5000], "tag": ["tX"], "w": [9.25]})
+    assert LanceNativeDataset(root).count_rows() == 901
+
+    # compaction consolidates the column-split fragment into one file
+    native_compact(root, spark=spark)
+    m3 = read_native_manifest(root)
+    assert all(len(f.files) == 1 for f in m3.fragments)
+    df2 = spark.read.format("lance").load(root)
+    assert df2.count() == 901
+    assert df2.filter(F.col("k") == 5000).first()["w"] == 9.25
+    assert df2.filter(F.col("k") == 50).count() == 0  # still deleted
