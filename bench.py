@@ -143,6 +143,7 @@ DEFAULT_QUERIES = [
     "lf27_native_vacuum",
     "lf28_native_dictionary_encoding",
     "lf29_native_add_column",
+    "lf30_native_drop_column",
     "s14_kmeans_cluster_balance",
     "t23_bpe_token_inflation",
 ]

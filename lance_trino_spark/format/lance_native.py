@@ -1647,11 +1647,12 @@ def _write_v2_data_file(
 
 def _relist_files(f: "NativeFragment"):
     """Manifest re-listing value for an UNTOUCHED fragment: pass every
-    data file through with its own field ids (column-split add-column
-    fragments must survive DML/compaction/append commits losslessly);
-    single-file fragments keep the compact str form."""
-    if len(f.files) == 1:
-        return f.files[0].path
+    data file through with ITS OWN field ids, always the explicit form.
+    The compact str form (writer-only, for NEW files) stamps the
+    manifest's current id list onto the file — which silently re-labels
+    a file's physical columns once the schema has evolved (a dropped
+    leading column would shift every later field onto the wrong pages,
+    and a dropped id could be recycled against still-shadowed data)."""
     return [(df.path, list(df.field_ids)) for df in f.files]
 
 
@@ -1902,7 +1903,16 @@ def native_add_column(
         raise LanceNativeError(
             f"add_column values must cover all {total} physical rows "
             f"(fragment order); got {bad}")
-    fid_base = max(f.id for f in m.fields) + 1
+    # fresh ids must clear BOTH the live schema and every id any data
+    # file ever carried: after a DROP, re-adding with a recycled id
+    # would resolve the OLD shadowed pages (first-file-wins) instead of
+    # the new file — the fixture's drop-then-re-add rule requires the
+    # re-added field to win by carrying an id no old file has
+    fid_base = 1 + max(
+        max((f.id for f in m.fields), default=-1),
+        max((i for fr in m.fragments for df in fr.files
+             for i in df.field_ids), default=-1),
+    )
     new_frags, off = [], 0
     new_specs = None
     for f, n in zip(m.fragments, phys):
@@ -1922,6 +1932,46 @@ def native_add_column(
         sp[:4] for sp in (new_specs or [])
     ]
     _write_v1_manifest(root, field_specs, new_frags, m.version + 1)
+    return m.version + 1
+
+
+def native_drop_column(root: str, names: set[str] | frozenset[str]) -> int:
+    """ALTER TABLE DROP COLUMN on a real `.lance` dataset — METADATA-ONLY,
+    the lance SDK's semantic the test_table1 fixture pins: the field
+    protos leave the manifest, every data file stays (the dropped
+    field's pages are simply never resolved again), and a later re-add
+    allocates a FRESH field id so the old pages remain shadowed
+    (TestLanceFragmentPageSource.java:199-240 — after drop-then-re-add
+    of ids 2/3, reads surface the re-added files, not the originals).
+    O(1) data movement at any scale. Returns the new version."""
+    m = read_native_manifest(root)
+    tops = {f.name for f in m.top_level_fields()}
+    unknown = sorted(set(names) - tops)
+    if unknown:
+        raise LanceNativeError(f"no such columns: {unknown}")
+    if set(names) >= tops:
+        raise LanceNativeError("cannot drop every column")
+    dropped_ids = {
+        f.id for f in m.top_level_fields() if f.name in names
+    }
+    # children of dropped structs/lists/fsl go with their parent
+    changed = True
+    while changed:
+        changed = False
+        for f in m.fields:
+            if f.id not in dropped_ids and _signed(f.parent_id) in dropped_ids:
+                dropped_ids.add(f.id)
+                changed = True
+    field_specs = [
+        sp for sp in _field_specs_of(m) if sp[1] not in dropped_ids
+    ]
+    frags = [
+        (f.id, _relist_files(f), f.physical_rows)
+        + (((f.deletion.read_version, f.deletion.id),)
+           if f.deletion is not None else ())
+        for f in m.fragments
+    ]
+    _write_v1_manifest(root, field_specs, frags, m.version + 1)
     return m.version + 1
 
 

@@ -1927,3 +1927,88 @@ def lf29(spark: SparkSession, sf_dir: str) -> DataFrame:
             "one_new_file_per_fragment", F.lit(bool(one_new_each)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf30 — DROP COLUMN (metadata-only) + re-add on a REAL `.lance` dataset:
+# the field protos leave the manifest while every data file stays with
+# its ORIGINAL field-id list (surviving fields keep their true pages
+# even when the dropped field came first), and re-adding the name
+# allocates a FRESH id so the old pages stay shadowed — the fixture's
+# drop-then-re-add rule (TestLanceFragmentPageSource.java:199-240).
+# The query drops o_totalprice, re-adds it as zeroed cents, and scans
+# the evolved table; proof columns pin the metadata-only property and
+# the fresh-id shadowing.
+# ---------------------------------------------------------------------------
+@register(
+    "lf30_native_drop_column",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(0 AS BIGINT) AS readd_cents_sum,
+           TRUE AS drop_was_metadata_only,
+           TRUE AS readd_id_is_fresh
+    FROM orders
+    WHERE o_orderkey <= 1500
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: DROP COLUMN metadata-only + fresh-id re-add on a native "
+        ".lance dataset — shadowed pages, original files untouched",
+    tags=("format", "interop", "lance-native", "evolution"),
+)
+def lf30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..format.lance_native import (
+        native_add_column,
+        native_drop_column,
+        read_native_manifest,
+        write_native_dataset,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf30-native-drop-column")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1500)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    write_native_dataset(path, {
+        "o_orderkey": [int(r["o_orderkey"]) for r in rows],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rows],
+        "o_totalprice": [float(r["o_totalprice"]) for r in rows],
+    })
+    files_before = sorted(glob.glob(os.path.join(path, "data", "*")))
+    old_id = next(
+        f.id for f in read_native_manifest(path).fields
+        if f.name == "o_totalprice")
+
+    native_drop_column(path, {"o_totalprice"})
+    metadata_only = (
+        sorted(glob.glob(os.path.join(path, "data", "*"))) == files_before
+    )
+    # re-add under the same name: zeroed integer cents, FRESH field id
+    native_add_column(
+        path, {"o_totalprice": [0] * len(rows)})
+    new_id = next(
+        f.id for f in read_native_manifest(path).fields
+        if f.name == "o_totalprice")
+
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_totalprice").alias("readd_cents_sum"),
+        )
+        .withColumn(
+            "drop_was_metadata_only", F.lit(bool(metadata_only)))
+        .withColumn("readd_id_is_fresh", F.lit(bool(new_id > old_id)))
+        .orderBy("priority")
+    )

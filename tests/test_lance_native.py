@@ -1949,3 +1949,62 @@ def test_native_add_column(tmp_path, spark):
     assert df2.count() == 901
     assert df2.filter(F.col("k") == 5000).first()["w"] == 9.25
     assert df2.filter(F.col("k") == 50).count() == 0  # still deleted
+
+
+def test_native_drop_column(tmp_path, spark):
+    """DROP COLUMN on the native path is metadata-only (field protos
+    leave the manifest; every data file stays with its ORIGINAL field-id
+    list, so surviving fields keep resolving their true pages even when
+    the dropped field came first), and re-adding the name allocates a
+    FRESH id — the old pages stay shadowed (the fixture's
+    drop-then-re-add rule, TestLanceFragmentPageSource.java:199-240)."""
+    import glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeError,
+        native_add_column,
+        native_drop_column,
+        read_native_fragment,
+        read_native_manifest,
+        write_native_dataset,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    root = str(tmp_path / "dropcol")
+    write_native_dataset(
+        root, {"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [7.0, 8.0, 9.0]}
+    )
+    files_before = sorted(glob.glob(os.path.join(root, "data", "*")))
+
+    with _pytest.raises(LanceNativeError, match="no such columns"):
+        native_drop_column(root, {"zzz"})
+    with _pytest.raises(LanceNativeError, match="every column"):
+        native_drop_column(root, {"a", "b", "c"})
+
+    # drop the FIRST column: later fields must keep their true pages
+    native_drop_column(root, {"a"})
+    m = read_native_manifest(root)
+    assert [f.name for f in m.fields] == ["b", "c"]
+    assert read_native_fragment(root, m.fragments[0], m).to_pydict() == {
+        "b": ["x", "y", "z"], "c": [7.0, 8.0, 9.0]}
+    # metadata-only: no data file added or removed
+    assert sorted(glob.glob(os.path.join(root, "data", "*"))) == files_before
+
+    # re-add 'a': fresh field id, old pages shadowed, new values win
+    native_add_column(root, {"a": [10, 20, 30]})
+    m2 = read_native_manifest(root)
+    ids = {f.name: f.id for f in m2.fields}
+    assert ids["a"] > max(ids["b"], ids["c"])
+    register_lance_datasource(spark)
+    got = spark.read.format("lance").load(root).orderBy("b").collect()
+    assert [(r["a"], r["b"], r["c"]) for r in got] == [
+        (10, "x", 7.0), (20, "y", 8.0), (30, "z", 9.0)]
+    # the pre-drop version still reads the ORIGINAL a values
+    m0 = read_native_manifest(root, 1)
+    assert read_native_fragment(root, m0.fragments[0], m0).column(
+        "a").to_pylist() == [1, 2, 3]
