@@ -144,6 +144,7 @@ DEFAULT_QUERIES = [
     "lf28_native_dictionary_encoding",
     "lf29_native_add_column",
     "lf30_native_drop_column",
+    "lf31_native_create_from_dataframe",
     "s14_kmeans_cluster_balance",
     "t23_bpe_token_inflation",
 ]

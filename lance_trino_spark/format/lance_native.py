@@ -2103,6 +2103,50 @@ def _pdf_to_columns(pdf, m: "NativeManifest") -> dict[str, list]:
     return out
 
 
+_SPARK_TO_NATIVE = {
+    "long": "int64", "integer": "int32", "short": "int16", "byte": "int8",
+    "double": "double", "float": "float", "boolean": "bool",
+    "string": "string", "binary": "binary", "date": "date32:day",
+    "timestamp": "timestamp:us:-", "timestamp_ntz": "timestamp:us:-",
+}
+
+
+def create_native_dataset(
+    df, root: str, file_version: int = 1,
+    rows_per_fragment: int = 1_000_000,
+) -> None:
+    """CREATE a real `.lance` dataset FROM A SPARK DATAFRAME, fully
+    distributed — the CTAS counterpart of the interop readers: executors
+    write the data files straight into ``root`` (`stage_native_fragments`
+    — one file per ~rows_per_fragment per task, memory bounded, nothing
+    funnels through the driver), the driver commits manifest version 1
+    listing the staged (file, rows) entries. The scalar type family maps
+    from the Spark schema (`_SPARK_TO_NATIVE`); arrays/structs/maps and
+    NULL-bearing columns are refused loudly (plain v1 pages carry no
+    validity — the lance SDK is the full writer, this is the interop
+    seam). The result opens with LanceNativeDataset, format("lance"),
+    and every native DML/index/evolution/maintenance path here."""
+    fields, specs = [], []
+    for i, f in enumerate(df.schema.fields):
+        lt = _SPARK_TO_NATIVE.get(f.dataType.typeName())
+        if lt is None:
+            raise LanceNativeError(
+                f"create_native_dataset: unsupported Spark type "
+                f"{f.dataType.simpleString()!r} for column {f.name!r} "
+                f"(supported: {sorted(_SPARK_TO_NATIVE)})")
+        fields.append(NativeField(f.name, i, (1 << 64) - 1, lt, True, 0))
+        specs.append((f.name, i, -1, lt))
+    if not fields:
+        raise LanceNativeError("create_native_dataset: empty schema")
+    m = NativeManifest(
+        fields=fields, fragments=[], version=0, timestamp_s=None)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    staged = stage_native_fragments(
+        df, root, m, file_version, rows_per_fragment)
+    frags = [(i, fn, nr) for i, (fn, nr) in enumerate(staged)]
+    _write_v1_manifest(root, specs, frags, 1)
+
+
 def stage_native_fragments(
     df, root: str, m: "NativeManifest", file_version: int,
     rows_per_fragment: int = 1_000_000,

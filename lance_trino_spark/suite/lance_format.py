@@ -2012,3 +2012,70 @@ def lf30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("readd_id_is_fresh", F.lit(bool(new_id > old_id)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf31 — distributed CREATE of a REAL `.lance` dataset from a Spark
+# DataFrame (the CTAS counterpart of the interop readers): executors
+# stage the native data files directly (one per ~rows_per_fragment per
+# task — nothing funnels through the driver), the driver commits
+# manifest v1. The query creates from a multi-partition orders slice,
+# then proves the result is a first-class native dataset: O(1) metadata
+# count, pushed-filter scan parity, and a MoR DELETE on top.
+# ---------------------------------------------------------------------------
+@register(
+    "lf31_native_create_from_dataframe",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS fragments_are_executor_staged,
+           TRUE AS count_is_metadata_exact
+    FROM orders
+    WHERE o_orderkey <= 3000 AND o_orderkey % 11 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: distributed CREATE of a native .lance dataset from a "
+        "Spark DataFrame — executor-staged fragments, then MoR DELETE",
+    tags=("format", "interop", "lance-native", "write"),
+)
+def lf31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+        native_delete_where,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf31-native-create")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(4)
+    )
+    create_native_dataset(src, path, rows_per_fragment=500)
+    m = read_native_manifest(path)
+    staged_ok = m.version == 1 and len(m.fragments) >= 4
+
+    register_lance_datasource(spark)
+    native_delete_where(spark, path, F.col("o_orderkey") % 11 == 0)
+    ds = LanceNativeDataset(path)
+    survivors = spark.read.format("lance").load(path)
+    count_exact = ds.count_rows() == survivors.count()
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .withColumn(
+            "fragments_are_executor_staged", F.lit(bool(staged_ok)))
+        .withColumn(
+            "count_is_metadata_exact", F.lit(bool(count_exact)))
+        .orderBy("priority")
+    )
