@@ -193,6 +193,54 @@ def jaccard_verify(
     )
 
 
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Full SimHash near-dup pipeline -> (id_a, id_b, hamming), with the
+    same EXACT-CONTENT CANONICALIZATION as minhash_lsh_dedup /
+    ngram_jaccard_pairs: signatures and Hamming distances are content
+    functions, so the banded join + verify run over one representative
+    per identical-text group and survivors expand to member pairs
+    (identical members pair at Hamming 0 — always within max_hamming —
+    provided the content has at least one shingle)."""
+    fpd = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_fp"), F.col(text_col)
+    )
+    groups = fpd.groupBy("_fp").agg(
+        F.min(id_col).alias("rep"), F.count("*").alias("gsize")
+    ).persist()
+    mem = fpd.select("_fp", F.col(id_col))
+    reps = fpd.join(
+        groups.select(F.col("rep").alias(id_col)), id_col
+    ).select(id_col, text_col)
+
+    sh = shingle_hashes(reps, id_col, text_col, k).persist()
+    sh.count()
+    sig = simhash_signatures(sh, id_col, bits)
+    rep_pairs = simhash_near_dup_pairs(
+        sig, id_col, max_hamming
+    ).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"),
+        "hamming",
+    )
+    has_sh = sh.select(F.col(id_col).alias("rep")).distinct()
+    selfj = (
+        groups.filter(F.col("gsize") >= 2)
+        .join(has_sh, "rep")
+        .select("_fp", F.lit(0).cast("long").alias("hamming"))
+    )
+    out = _expand_rep_pairs(
+        rep_pairs, groups, mem, id_col, selfj, value_col="hamming")
+    sh.unpersist()
+    groups.unpersist()
+    return out
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -431,6 +479,7 @@ def _expand_rep_pairs(
     mem: DataFrame,
     id_col: str,
     selfj: DataFrame,
+    value_col: str = "jaccard",
 ) -> DataFrame:
     """Expand representative-level near-dup results back to ALL member
     pairs after exact-content canonicalization. ``rep_pairs`` is
@@ -458,7 +507,7 @@ def _expand_rep_pairs(
         .select(
             F.least("ma", "mb").alias("id_a"),
             F.greatest("ma", "mb").alias("id_b"),
-            "jaccard",
+            value_col,
         )
     )
     ma = mem.select("_fp", F.col(id_col).alias("ma"))
@@ -468,7 +517,7 @@ def _expand_rep_pairs(
         .join(mb, F.col("_fp") == F.col("_fpb"))
         .filter(F.col("ma") < F.col("mb"))
         .select(
-            F.col("ma").alias("id_a"), F.col("mb").alias("id_b"), "jaccard"
+            F.col("ma").alias("id_a"), F.col("mb").alias("id_b"), value_col
         )
     )
     return cross.unionAll(intra).localCheckpoint()

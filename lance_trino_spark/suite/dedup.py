@@ -25,6 +25,7 @@ from ..operators.dedup import (
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     shingle_hashes,
+    simhash_dedup,
     simhash_near_dup_pairs,
     simhash_signatures,
     passage_dedup,
@@ -205,12 +206,10 @@ def _simhash_oracle() -> str:
     tags=("dedup", "simhash"),
 )
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_hashes(_corpus(spark, sf_dir))
-    sig = simhash_signatures(sh)
-    # no trailing global sort (order-insensitive compare; a range sort
-    # would re-execute the banded-join verify pass for its sampling)
+    # composed operator: exact-content canonicalization + banded simhash
+    # (signatures are content functions; see operators/dedup.simhash_dedup)
     return (
-        simhash_near_dup_pairs(sig, max_hamming=3)
+        simhash_dedup(_corpus(spark, sf_dir), max_hamming=3)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
