@@ -2057,3 +2057,11 @@ def test_create_native_dataset_from_dataframe(tmp_path, spark):
         create_native_dataset(
             spark.range(3).selectExpr("array(id) AS a"),
             str(tmp_path / "bad"))
+
+    # FILE-v2 creation: same staging path, footer-0.3 files
+    root2 = str(tmp_path / "cnd-v2.lance")
+    create_native_dataset(
+        df.limit(500), root2, file_version=2, rows_per_fragment=200)
+    back2 = spark.read.format("lance").load(root2)
+    assert back2.count() == 500
+    assert {tuple(r) for r in back2.select(cols).collect()} <= want
