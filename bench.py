@@ -145,6 +145,7 @@ DEFAULT_QUERIES = [
     "lf29_native_add_column",
     "lf30_native_drop_column",
     "lf31_native_create_from_dataframe",
+    "st12_native_stream_sink",
     "s14_kmeans_cluster_balance",
     "t23_bpe_token_inflation",
 ]

@@ -169,6 +169,11 @@ class NativeManifest:
     fragments: list[NativeFragment]
     version: int
     timestamp_s: float | None
+    # repo-defined manifest extension (proto field 99, skipped by any
+    # standard protobuf reader): the streaming sink's "appId:batchId"
+    # transaction marker — riding INSIDE the manifest makes exactly-once
+    # replay detection atomic with the commit itself
+    txn: str | None = None
 
     def top_level_fields(self) -> list[NativeField]:
         return [f for f in self.fields if _signed(f.parent_id) < 0]
@@ -253,7 +258,7 @@ def parse_manifest(raw: bytes) -> NativeManifest:
     if raw[-4:] == b"LANC":
         pos = struct.unpack_from("<Q", raw, len(raw) - 16)[0]
     ln = struct.unpack_from("<I", raw, pos)[0]
-    fields, fragments, version, ts = [], [], 0, None
+    fields, fragments, version, ts, txn = [], [], 0, None, None
     for f, _wt, v in pb_items(raw[pos + 4:pos + 4 + ln]):
         if f == 1:
             fields.append(_parse_field(v))
@@ -261,6 +266,9 @@ def parse_manifest(raw: bytes) -> NativeManifest:
             fragments.append(_parse_fragment(v))
         elif f == 3:
             version = v
+        elif f == 99:
+            # repo extension: streaming txn marker (see NativeManifest)
+            txn = v.decode(errors="replace")
         elif f == 7:
             secs = nanos = 0
             for f2, _wt2, v2 in pb_items(v):
@@ -269,7 +277,7 @@ def parse_manifest(raw: bytes) -> NativeManifest:
                 elif f2 == 2:
                     nanos = v2
             ts = secs + nanos / 1e9
-    return NativeManifest(fields, fragments, version, ts)
+    return NativeManifest(fields, fragments, version, ts, txn)
 
 
 def list_native_versions(root: str) -> dict[int, str]:
@@ -1661,6 +1669,7 @@ def _write_v1_manifest(
     field_specs: list[tuple],  # (name, fid, parent_fid, ltype[, metadata])
     fragments: list[tuple],  # (id, file(s), rows[, (read_version, del_id)])
     version: int,
+    txn: str | None = None,
 ) -> None:
     """``file(s)`` per fragment entry is either a str — one data file
     carrying EVERY field — or a list of (file_name, field_ids) pairs for
@@ -1695,6 +1704,7 @@ def _write_v1_manifest(
         )
         + frag_protos
         + _enc_field(3, 0, version)
+        + (_enc_field(99, 2, txn.encode()) if txn else b"")
     )
     blob = struct.pack("<I", len(manifest)) + manifest
     blob += struct.pack("<QHH", 0, 0, 1) + b"LANC"
@@ -2145,6 +2155,55 @@ def create_native_dataset(
         df, root, m, file_version, rows_per_fragment)
     frags = [(i, fn, nr) for i, (fn, nr) in enumerate(staged)]
     _write_v1_manifest(root, specs, frags, 1)
+
+
+def native_stream_commit_batch(
+    bdf, batch_id: int, root: str, app_id: str = "stream",
+    file_version: int = 1, rows_per_fragment: int = 1_000_000,
+) -> int | None:
+    """EXACTLY-ONCE streaming micro-batch append into a real `.lance`
+    dataset — the `foreachBatch` body of a native streaming SINK. The
+    transaction marker ``appId:batchId`` commits INSIDE the manifest
+    (proto field 99, a documented repo extension any standard protobuf
+    reader skips), so replay detection is atomic with the commit: a
+    re-delivered batch finds its marker in the version log and returns
+    without staging a row; a batch that staged files but died before the
+    manifest hard-link left no marker, so the retry re-stages and the
+    orphaned files fall to vacuum (lf27). Concurrent writers are handled
+    by the usual first-writer-wins commit — on version conflict the
+    already-staged files are re-committed under the next version (one
+    stage pass per delivery, at most). Rows never touch the driver
+    (`stage_native_fragments`). Returns the committed (or previously
+    committed) version; None for an empty batch."""
+    txn = f"{app_id}:{int(batch_id)}"
+    versions = list_native_versions(root)
+    for v in sorted(versions, reverse=True):
+        with open(versions[v], "rb") as fh:
+            if parse_manifest(fh.read()).txn == txn:
+                return v  # replayed delivery of a committed batch
+    m = read_native_manifest(root)
+    staged = stage_native_fragments(
+        bdf, root, m, file_version, rows_per_fragment)
+    if not staged:
+        return None
+    while True:
+        frags = [
+            (f.id, _relist_files(f), f.physical_rows)
+            + (((f.deletion.read_version, f.deletion.id),)
+               if f.deletion is not None else ())
+            for f in m.fragments
+        ]
+        next_id = max((f.id for f in m.fragments), default=-1) + 1
+        for i, (fn, nr) in enumerate(staged):
+            frags.append((next_id + i, fn, nr))
+        try:
+            _write_v1_manifest(
+                root, _field_specs_of(m), frags, m.version + 1, txn=txn)
+            return m.version + 1
+        except LanceNativeError as ex:
+            if "concurrent commit" not in str(ex):
+                raise
+            m = read_native_manifest(root)  # lost the race: rebase, retry
 
 
 def stage_native_fragments(

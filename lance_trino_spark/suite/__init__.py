@@ -91,6 +91,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf29_native_add_column",
     "lf30_native_drop_column",
     "lf31_native_create_from_dataframe",
+    "st12_native_stream_sink",
     "s14_kmeans_cluster_balance",
     "t23_bpe_token_inflation",
     "lf19_native_scalar_index_scan",

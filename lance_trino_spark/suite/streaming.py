@@ -369,3 +369,102 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# st12 — EXACTLY-ONCE streaming ingest INTO a real `.lance` dataset: a
+# file-source stream drains through foreachBatch into
+# native_stream_commit_batch — each micro-batch stages its data files
+# from the executors and commits ONE manifest version carrying the
+# "appId:batchId" transaction marker (manifest proto field 99, a
+# documented repo extension), so a re-delivered batch is detected
+# atomically with the commit. The query re-delivers the LAST batch by
+# hand after the stream drains (the crash-replay case) and proves no
+# duplicate rows; result equals a batch query over the source.
+# ---------------------------------------------------------------------------
+@register(
+    "st12_native_stream_sink",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           COUNT(DISTINCT c_nationkey) AS nations,
+           TRUE AS replay_was_skipped,
+           TRUE AS one_version_per_batch
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="streaming: exactly-once micro-batch ingest into a native .lance "
+        "dataset (manifest-embedded txn markers, replay-safe)",
+    tags=("streaming", "format", "lance-native", "sink", "exactly-once"),
+)
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+        list_native_versions,
+        native_stream_commit_batch,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+    from ..tables import load_table
+    from .lance_format import _fresh_path
+
+    out = _fresh_path(sf_dir, "st12-native-sink")
+    src, ckpt = out + ".src", out + ".ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cust.repartition(4).write.parquet(src)
+    create_native_dataset(cust.limit(0), out)
+
+    seen: list[tuple] = []
+
+    def commit(bdf, bid):
+        v = native_stream_commit_batch(bdf, bid, out, app_id="st12")
+        seen.append((int(bid), v))
+
+    (
+        spark.readStream
+        .schema("c_custkey long, c_nationkey long, c_mktsegment string")
+        .option("maxFilesPerTrigger", 1)  # several batches, several commits
+        .parquet(src)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    ds = LanceNativeDataset(out)
+    n_before = ds.count_rows()
+    # crash-replay: re-deliver the last batch out of band — the manifest
+    # txn marker must swallow it (no rows, no version)
+    last_bid = max(b for b, _ in seen)
+    replay_v = native_stream_commit_batch(
+        cust.limit(7), last_bid, out, app_id="st12")
+    replay_skipped = (
+        LanceNativeDataset(out).count_rows() == n_before
+        and replay_v == dict(seen)[last_bid]
+    )
+    committed = [v for _, v in seen if v is not None]
+    one_each = (
+        len(set(committed)) == len(committed)
+        and len(committed) >= 2
+        and max(list_native_versions(out)) == max(committed)
+    )
+
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("c_nationkey").alias("nations"),
+        )
+        .withColumn("replay_was_skipped", F.lit(bool(replay_skipped)))
+        .withColumn("one_version_per_batch", F.lit(bool(one_each)))
+        .orderBy("c_mktsegment")
+    )

@@ -2065,3 +2065,52 @@ def test_create_native_dataset_from_dataframe(tmp_path, spark):
     back2 = spark.read.format("lance").load(root2)
     assert back2.count() == 500
     assert {tuple(r) for r in back2.select(cols).collect()} <= want
+
+
+def test_native_stream_commit_batch_exactly_once(tmp_path, spark):
+    """The native streaming sink's txn marker (manifest proto field 99)
+    makes micro-batch commits exactly-once: a replayed batch id returns
+    the original version and appends nothing; a concurrent foreign
+    commit between batches just shifts the version; empty batches
+    commit nothing; per-app markers are independent."""
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        create_native_dataset,
+        native_stream_commit_batch,
+        read_native_manifest,
+    )
+
+    root = str(tmp_path / "sink.lance")
+    create_native_dataset(
+        spark.range(0).selectExpr("id AS k", "concat('s', id) AS tag"), root)
+
+    b0 = spark.range(100).selectExpr("id AS k", "concat('s', id % 3) AS tag")
+    v0 = native_stream_commit_batch(b0, 0, root)
+    assert v0 == 2 and LanceNativeDataset(root).count_rows() == 100
+    assert read_native_manifest(root).txn == "stream:0"
+
+    # crash-replay of the same delivery: same version back, no rows
+    assert native_stream_commit_batch(b0, 0, root) == v0
+    assert LanceNativeDataset(root).count_rows() == 100
+
+    # a foreign (non-stream) commit interleaves; next batch rebases
+    append_native_rows(root, {"k": [999], "tag": ["zz"]})
+    v1 = native_stream_commit_batch(
+        spark.range(100, 150).selectExpr(
+            "id AS k", "concat('s', id % 3) AS tag"), 1, root)
+    assert v1 == 4 and LanceNativeDataset(root).count_rows() == 151
+    # replaying batch 0 is STILL detected behind the newer versions
+    assert native_stream_commit_batch(b0, 0, root) == v0
+    assert LanceNativeDataset(root).count_rows() == 151
+
+    # empty batch: nothing staged, nothing committed
+    assert native_stream_commit_batch(
+        spark.range(0).selectExpr("id AS k", "'x' AS tag"), 2, root) is None
+
+    # a DIFFERENT app's batch 0 is a different transaction
+    v_other = native_stream_commit_batch(
+        spark.range(150, 160).selectExpr(
+            "id AS k", "concat('s', id % 3) AS tag"), 0, root,
+        app_id="other")
+    assert v_other == 5 and LanceNativeDataset(root).count_rows() == 161
