@@ -2177,10 +2177,23 @@ def native_stream_commit_batch(
     committed) version; None for an empty batch."""
     txn = f"{app_id}:{int(batch_id)}"
     versions = list_native_versions(root)
+    # replay scan, newest first, BOUNDED: batch ids are monotonic per
+    # app (Spark redelivers only the last uncommitted batch), so the
+    # first marker of this app with a SMALLER batch id proves ours was
+    # never committed — the walk covers only the manifests since the
+    # app's previous commit, not the whole version log
+    prefix = f"{app_id}:"
     for v in sorted(versions, reverse=True):
         with open(versions[v], "rb") as fh:
-            if parse_manifest(fh.read()).txn == txn:
-                return v  # replayed delivery of a committed batch
+            seen = parse_manifest(fh.read()).txn
+        if seen == txn:
+            return v  # replayed delivery of a committed batch
+        if seen and seen.startswith(prefix):
+            try:
+                if int(seen[len(prefix):]) < int(batch_id):
+                    break
+            except ValueError:
+                pass
     m = read_native_manifest(root)
     staged = stage_native_fragments(
         bdf, root, m, file_version, rows_per_fragment)

@@ -11,7 +11,6 @@ from __future__ import annotations
 import datetime as dt
 import itertools
 import math
-import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
