@@ -2099,6 +2099,19 @@ def _pdf_to_columns(pdf, m: "NativeManifest") -> dict[str, list]:
     (struct rows as dicts, array rows as lists)."""
     out: dict[str, list] = {}
     for f in m.top_level_fields():
+        if (
+            f.logical_type not in ("struct", "double", "float", "halffloat")
+            and pdf[f.name].isna().any()
+        ):
+            # fail with the module's loud contract instead of whatever
+            # np.asarray/encode throws three frames deeper in a task.
+            # Float columns are exempt: NaN is a legitimate page value,
+            # and Arrow->pandas folds SQL NULL into NaN there anyway —
+            # a float NULL round-trips as NaN (documented coercion).
+            raise LanceNativeError(
+                f"column {f.name!r} carries NULLs — plain v1/v2 pages "
+                "have no validity; the native writers are a null-free "
+                "interop seam (the lance SDK is the full writer)")
         vals = pdf[f.name].tolist()
         lt = f.logical_type
         if lt == "list" or lt.startswith("fixed_size_list:"):
