@@ -2171,7 +2171,7 @@ def create_native_dataset(
 
 
 def native_stream_commit_batch(
-    bdf, batch_id: int, root: str, app_id: str = "stream",
+    bdf, batch_id: int, root: str, *, app_id: str,
     file_version: int = 1, rows_per_fragment: int = 1_000_000,
 ) -> int | None:
     """EXACTLY-ONCE streaming micro-batch append into a real `.lance`
@@ -2184,29 +2184,55 @@ def native_stream_commit_batch(
     manifest hard-link left no marker, so the retry re-stages and the
     orphaned files fall to vacuum (lf27). Concurrent writers are handled
     by the usual first-writer-wins commit — on version conflict the
-    already-staged files are re-committed under the next version (one
-    stage pass per delivery, at most). Rows never touch the driver
+    already-staged files are re-committed under the next version, after
+    RE-RUNNING the replay scan over the manifests that won the race: two
+    concurrent deliveries of the same batch (zombie driver, duplicated
+    foreachBatch invocation — the canonical exactly-once threat) both
+    pass the pre-stage scan, but the race loser then finds the winner's
+    marker and returns its version instead of double-committing the rows
+    (its staged files fall to vacuum). Rows never touch the driver
     (`stage_native_fragments`). Returns the committed (or previously
-    committed) version; None for an empty batch."""
+    committed) version; None for an empty batch.
+
+    ``app_id`` is the Delta-style transactional application id: it must
+    be UNIQUE per (streaming query, checkpoint location) and stable
+    across restarts of that query — batch ids are monotonic within one
+    checkpoint, which is what bounds the replay scan. Restarting a query
+    with a FRESH checkpoint resets batch ids to 0, so it needs a fresh
+    app_id (reusing the old one would make the reset batches look like
+    replays of the old run's commits and silently drop them) — hence no
+    default value."""
     txn = f"{app_id}:{int(batch_id)}"
-    versions = list_native_versions(root)
-    # replay scan, newest first, BOUNDED: batch ids are monotonic per
-    # app (Spark redelivers only the last uncommitted batch), so the
-    # first marker of this app with a SMALLER batch id proves ours was
-    # never committed — the walk covers only the manifests since the
-    # app's previous commit, not the whole version log
     prefix = f"{app_id}:"
-    for v in sorted(versions, reverse=True):
-        with open(versions[v], "rb") as fh:
-            seen = parse_manifest(fh.read()).txn
-        if seen == txn:
-            return v  # replayed delivery of a committed batch
-        if seen and seen.startswith(prefix):
-            try:
-                if int(seen[len(prefix):]) < int(batch_id):
-                    break
-            except ValueError:
-                pass
+
+    def _already_committed(versions: dict, floor_version: int = 0):
+        # replay scan, newest first, BOUNDED: batch ids are monotonic
+        # per app (Spark redelivers only the last uncommitted batch), so
+        # the first marker of this app with a SMALLER batch id proves
+        # ours was never committed — the walk covers only the manifests
+        # since the app's previous commit, not the whole version log.
+        # ``floor_version`` bounds re-scans after a lost commit race to
+        # just the manifests that appeared since our first scan.
+        for v in sorted(versions, reverse=True):
+            if v < floor_version:
+                break
+            with open(versions[v], "rb") as fh:
+                seen = parse_manifest(fh.read()).txn
+            if seen == txn:
+                return v  # replayed delivery of a committed batch
+            if seen and seen.startswith(prefix):
+                try:
+                    if int(seen[len(prefix):]) < int(batch_id):
+                        break
+                except ValueError:
+                    pass
+        return None
+
+    versions = list_native_versions(root)
+    done = _already_committed(versions)
+    if done is not None:
+        return done
+    scanned_to = max(versions, default=0)
     m = read_native_manifest(root)
     staged = stage_native_fragments(
         bdf, root, m, file_version, rows_per_fragment)
@@ -2229,7 +2255,15 @@ def native_stream_commit_batch(
         except LanceNativeError as ex:
             if "concurrent commit" not in str(ex):
                 raise
-            m = read_native_manifest(root)  # lost the race: rebase, retry
+            # lost the race: before rebasing, check whether the winner
+            # WAS this very batch (concurrent duplicate delivery) — the
+            # re-scan covers only the manifests newer than our first scan
+            versions = list_native_versions(root)
+            done = _already_committed(versions, floor_version=scanned_to)
+            if done is not None:
+                return done  # duplicate delivery won; don't double-commit
+            scanned_to = max(versions, default=0)
+            m = read_native_manifest(root)  # rebase, retry
 
 
 def stage_native_fragments(
@@ -2290,6 +2324,23 @@ def stage_native_fragments(
     return [(r["file_name"], int(r["n_rows"])) for r in staged]
 
 
+def _dataset_file_version(root: str, m: NativeManifest, default: int = 1
+                          ) -> int:
+    """The dataset's data-file flavor (1 = legacy page-table, 2 = FILE
+    v2), sniffed from the first data file's footer. A ZERO-fragment
+    dataset (create_native_dataset over df.limit(0) — the streaming-sink
+    bootstrap shape) has no file to sniff; ``default`` keeps DML/compact
+    working instead of an IndexError."""
+    for f in m.fragments:
+        if f.files:
+            first = os.path.join(root, "data", f.files[0].path)
+            with open(first, "rb") as fh:
+                fh.seek(-8, os.SEEK_END)
+                maj, minor = struct.unpack("<HH", fh.read(4))
+            return 1 if (maj, minor) == (0, 1) else 2
+    return default
+
+
 def native_update_where(
     spark, root: str, condition, assignments: dict,
     distributed: bool = False, rows_per_fragment: int = 1_000_000,
@@ -2329,11 +2380,7 @@ def native_update_where(
     if unknown:
         raise LanceNativeError(f"no such columns: {unknown}")
     register_lance_datasource(spark)
-    first = os.path.join(root, "data", m.fragments[0].files[0].path)
-    with open(first, "rb") as fh:
-        fh.seek(-8, os.SEEK_END)
-        maj, minor = struct.unpack("<HH", fh.read(4))
-    file_version = 1 if (maj, minor) == (0, 1) else 2
+    file_version = _dataset_file_version(root, m)
 
     def _assigned(df):
         return df.select(
@@ -2468,11 +2515,7 @@ def native_merge_into(
         a = int(row["__addr"])
         rows_by_fragment.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
     # the delta fragment(s) carry every source row (replacements + news)
-    first = os.path.join(root, "data", m.fragments[0].files[0].path)
-    with open(first, "rb") as fh:
-        fh.seek(-8, os.SEEK_END)
-        maj, minor = struct.unpack("<HH", fh.read(4))
-    file_version = 1 if (maj, minor) == (0, 1) else 2
+    file_version = _dataset_file_version(root, m)
     if distributed:
         # the bulk-upsert scale path: source rows write their own data
         # files executor-side; only (file, rows) entries reach the
@@ -2658,11 +2701,7 @@ def native_compact(
     if not victims:
         return None
     victim_ids = {f.id for f in victims}
-    first = os.path.join(root, "data", m.fragments[0].files[0].path)
-    with open(first, "rb") as fh:
-        fh.seek(-8, os.SEEK_END)
-        maj, minor = struct.unpack("<HH", fh.read(4))
-    file_version = 1 if (maj, minor) == (0, 1) else 2
+    file_version = _dataset_file_version(root, m)
     frag_entries = [
         (f.id, _relist_files(f), f.physical_rows)
         + (((f.deletion.read_version, f.deletion.id),)
@@ -2743,13 +2782,16 @@ def native_cleanup_old_versions(
     if keep_versions < 1:
         raise LanceNativeError("keep_versions must be >= 1")
     vdir = os.path.join(root, "_versions")
-    versions = sorted(
-        int(n.split(".")[0])
-        for n in os.listdir(vdir)
-        if n.endswith(".manifest") and not n.startswith(".")
-    )
-    if not versions:
+    # version -> manifest PATH from the manifest protos, not filenames:
+    # newer lance SDKs name manifests by DESCENDING u64, so the filename
+    # integer is neither the version nor sort-ordered (list_native_versions
+    # docstring; fixture test_table5) — splitting filenames here would
+    # compute the retained/dropped split on the wrong axis and unlink the
+    # wrong files on an SDK-written dataset.
+    version_paths = list_native_versions(root)
+    if not version_paths:
         raise LanceNativeError(f"no committed versions under {vdir}")
+    versions = sorted(version_paths)
     retained = versions[-keep_versions:]
     dropped = versions[:-keep_versions]
     live_data: set[str] = set()
@@ -2769,7 +2811,7 @@ def native_cleanup_old_versions(
         "retained_versions": list(retained),
     }
     for v in dropped:
-        os.unlink(os.path.join(vdir, f"{v}.manifest"))
+        os.unlink(version_paths[v])
         out["removed_manifests"] += 1
     ddir = os.path.join(root, "data")
     if os.path.isdir(ddir):

@@ -689,6 +689,16 @@ def kmeans_lattice(
     ever sees k centroid rows per iteration. Returns per-vector
     (id, cid, dist) for the final assignment.
     """
+    # Centroids compile into the plan as k*dim literals — exactly right
+    # at curation scale (k~8, dim~64), but IVF-scale k would explode the
+    # Catalyst plan (and each iteration re-plans it). Refuse loudly past
+    # the literal-plan budget instead of grinding the driver to a halt.
+    if k * dim > 100_000:
+        raise ValueError(
+            f"kmeans_lattice compiles k*dim={k * dim} centroid literals "
+            "into the plan; past 100000 that is a Catalyst plan "
+            "explosion — use train_ivf_centroids (sampled, broadcast) "
+            "for IVF-scale k")
     q = corpus.select(
         F.col(id_col),
         F.transform(

@@ -2086,27 +2086,29 @@ def test_native_stream_commit_batch_exactly_once(tmp_path, spark):
         spark.range(0).selectExpr("id AS k", "concat('s', id) AS tag"), root)
 
     b0 = spark.range(100).selectExpr("id AS k", "concat('s', id % 3) AS tag")
-    v0 = native_stream_commit_batch(b0, 0, root)
+    v0 = native_stream_commit_batch(b0, 0, root, app_id="stream")
     assert v0 == 2 and LanceNativeDataset(root).count_rows() == 100
     assert read_native_manifest(root).txn == "stream:0"
 
     # crash-replay of the same delivery: same version back, no rows
-    assert native_stream_commit_batch(b0, 0, root) == v0
+    assert native_stream_commit_batch(b0, 0, root, app_id="stream") == v0
     assert LanceNativeDataset(root).count_rows() == 100
 
     # a foreign (non-stream) commit interleaves; next batch rebases
     append_native_rows(root, {"k": [999], "tag": ["zz"]})
     v1 = native_stream_commit_batch(
         spark.range(100, 150).selectExpr(
-            "id AS k", "concat('s', id % 3) AS tag"), 1, root)
+            "id AS k", "concat('s', id % 3) AS tag"), 1, root,
+        app_id="stream")
     assert v1 == 4 and LanceNativeDataset(root).count_rows() == 151
     # replaying batch 0 is STILL detected behind the newer versions
-    assert native_stream_commit_batch(b0, 0, root) == v0
+    assert native_stream_commit_batch(b0, 0, root, app_id="stream") == v0
     assert LanceNativeDataset(root).count_rows() == 151
 
     # empty batch: nothing staged, nothing committed
     assert native_stream_commit_batch(
-        spark.range(0).selectExpr("id AS k", "'x' AS tag"), 2, root) is None
+        spark.range(0).selectExpr("id AS k", "'x' AS tag"), 2, root,
+        app_id="stream") is None
 
     # a DIFFERENT app's batch 0 is a different transaction
     v_other = native_stream_commit_batch(
@@ -2114,3 +2116,115 @@ def test_native_stream_commit_batch_exactly_once(tmp_path, spark):
             "id AS k", "concat('s', id % 3) AS tag"), 0, root,
         app_id="other")
     assert v_other == 5 and LanceNativeDataset(root).count_rows() == 161
+
+
+def test_native_stream_commit_duplicate_concurrent_delivery(
+        tmp_path, spark, monkeypatch):
+    """The canonical exactly-once threat: TWO concurrent deliveries of
+    the same batch (zombie driver / duplicated foreachBatch). Both pass
+    the pre-stage replay scan; the race loser must find the winner's
+    txn marker during its commit-conflict rebase and return the
+    winner's version WITHOUT committing the rows again."""
+    from lance_trino_spark.format import lance_native as ln
+
+    root = str(tmp_path / "dup.lance")
+    ln.create_native_dataset(
+        spark.range(10).selectExpr("id AS k", "concat('s', id) AS tag"),
+        root)
+
+    bdf = spark.range(100, 140).selectExpr(
+        "id AS k", "concat('b', id % 3) AS tag")
+    real_stage = ln.stage_native_fragments
+    state = {"interleaved": False}
+
+    def racing_stage(df, r, m, fv, rows_per_fragment=1_000_000):
+        staged = real_stage(df, r, m, fv, rows_per_fragment)
+        if not state["interleaved"]:
+            # the OTHER delivery of the same batch wins the race between
+            # our staging and our commit
+            state["interleaved"] = True
+            state["winner"] = ln.native_stream_commit_batch(
+                bdf, 7, root, app_id="race")
+        return staged
+
+    monkeypatch.setattr(ln, "stage_native_fragments", racing_stage)
+    v = ln.native_stream_commit_batch(bdf, 7, root, app_id="race")
+    monkeypatch.undo()
+    assert state["interleaved"]
+    assert v == state["winner"]
+    # the batch landed exactly once: 10 seed rows + 40 batch rows
+    assert ln.LanceNativeDataset(root).count_rows() == 50
+    # the loser's staged-but-uncommitted files are vacuum's job
+    ln.native_cleanup_old_versions(root, keep_versions=1)
+    assert ln.LanceNativeDataset(root).count_rows() == 50
+
+
+def test_native_dml_on_zero_fragment_dataset(tmp_path, spark):
+    """DML and maintenance on a ZERO-fragment dataset (the streaming
+    sink's create-from-df.limit(0) bootstrap): update/compact no-op
+    cleanly, and MERGE inserts the whole source instead of raising
+    IndexError sniffing a data file that does not exist."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+        native_compact,
+        native_merge_into,
+        native_update_where,
+    )
+
+    root = str(tmp_path / "empty.lance")
+    create_native_dataset(
+        spark.range(0).selectExpr("id AS k", "concat('s', id) AS tag"),
+        root)
+
+    m_v = native_update_where(
+        spark, root, F.col("k") < 5, {"tag": F.lit("x")})
+    assert m_v == 1  # nothing matched, no new version
+    assert native_compact(root) is None
+
+    src = spark.range(5).selectExpr("id AS k", "concat('m', id) AS tag")
+    v = native_merge_into(spark, root, src, on=["k"])
+    assert v == 2
+    ds = LanceNativeDataset(root)
+    assert ds.count_rows() == 5
+    got = ds.to_arrow().to_pydict()
+    assert sorted(got["tag"]) == [f"m{i}" for i in range(5)]
+
+
+def test_native_cleanup_uses_proto_versions(tmp_path, spark):
+    """Vacuum's retained/dropped split must come from manifest PROTO
+    versions, not filenames: SDK datasets name manifests by descending
+    u64, where filename order is the REVERSE of version order."""
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        append_native_rows,
+        create_native_dataset,
+        native_cleanup_old_versions,
+        read_native_manifest,
+    )
+
+    root = str(tmp_path / "sdknames.lance")
+    create_native_dataset(
+        spark.range(4).selectExpr("id AS k", "concat('s', id) AS tag"),
+        root)
+    append_native_rows(root, {"k": [100], "tag": ["a"]})
+    append_native_rows(root, {"k": [101], "tag": ["b"]})
+
+    # rename to the SDK's descending-u64 scheme: version v ->
+    # (2^64 - 4 - v).manifest, so the LARGEST filename is the OLDEST
+    vdir = os.path.join(root, "_versions")
+    for n in list(os.listdir(vdir)):
+        with open(os.path.join(vdir, n), "rb") as fh:
+            from lance_trino_spark.format.lance_native import parse_manifest
+            v = parse_manifest(fh.read()).version
+        os.rename(
+            os.path.join(vdir, n),
+            os.path.join(vdir, f"{(1 << 64) - 4 - v}.manifest"))
+
+    out = native_cleanup_old_versions(root, keep_versions=1)
+    assert out["retained_versions"] == [3]
+    assert out["removed_manifests"] == 2
+    assert read_native_manifest(root).version == 3
+    assert LanceNativeDataset(root).count_rows() == 6

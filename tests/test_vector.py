@@ -181,3 +181,17 @@ def test_kmeans_lattice_matches_integer_reference(spark):
         kmeans_lattice(corpus.limit(2), k=4, dim=dim)
     with pytest.raises(ValueError, match="dimensional"):
         kmeans_lattice(corpus, k=4, dim=dim + 1)
+
+
+def test_kmeans_lattice_refuses_ivf_scale_k(spark):
+    """kmeans_lattice compiles k*dim centroid literals into the plan;
+    IVF-scale k must refuse loudly (pointing at train_ivf_centroids)
+    instead of exploding the Catalyst plan."""
+    import pytest
+
+    from lance_trino_spark.operators.similarity import kmeans_lattice
+
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(CAST(id AS float)) AS embedding")
+    with pytest.raises(ValueError, match="train_ivf_centroids"):
+        kmeans_lattice(df, k=2000, dim=64)
