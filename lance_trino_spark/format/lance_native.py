@@ -780,7 +780,21 @@ def read_file_column(
             if not _dict_state[0]:
                 _dict_state[0] = True
                 ffs = _file_local_fields(raw, meta.schema_pos)
-                if col_idx < len(ffs):
+                if col_idx < len(ffs) and ffs[col_idx].dictionary:
+                    # encoding=3 block layouts are REPO-DEFINED (no
+                    # public fixture pins the SDK's) — refuse any
+                    # dictionary-encoded file not stamped by this
+                    # repo's writer rather than silently decoding a
+                    # foreign layout to garbage values
+                    fp = ffs[col_idx].metadata.get(DICTIONARY_METADATA_KEY)
+                    if fp != DICTIONARY_LAYOUT_V1:
+                        raise LanceNativeError(
+                            f"column {nfield.name!r}: dictionary-encoded "
+                            "data file with an unknown block layout "
+                            f"(writer fingerprint {fp!r}, expected "
+                            f"{DICTIONARY_LAYOUT_V1!r}) — foreign "
+                            "encoding=3 layouts are not decoded; "
+                            "rewrite the file plain or use the lance SDK")
                     _dict_state[1] = ffs[col_idx].dictionary
             if _dict_state[1] is not None:
                 # dictionary page (encoding=3): the page holds plain i32
@@ -790,6 +804,14 @@ def read_file_column(
                 dpos, n_dict = _dict_state[1]
                 dpositions = np.frombuffer(
                     raw, dtype="<i8", count=n_dict + 1, offset=dpos)
+                if len(dpositions) and not (
+                    bool(np.all(np.diff(dpositions) >= 0))
+                    and 0 <= int(dpositions[0])
+                    and int(dpositions[-1]) <= len(raw)
+                ):
+                    raise LanceNativeError(
+                        f"column {nfield.name!r}: corrupt dictionary "
+                        "positions array (non-monotonic or out of bounds)")
                 dvals = bytes(raw[dpositions[0]:dpositions[n_dict]])
                 rebased = (dpositions - dpositions[0]).astype("<i8")
                 dict_arr = pa.Array.from_buffers(
@@ -1246,6 +1268,18 @@ def _placeholder_value(lt: str):
     raise LanceNativeError(f"no placeholder for {lt!r}")
 
 
+# Writer fingerprint for dictionary-encoded (encoding=3) pages. NO public
+# fixture pins the SDK's encoding=3 block layout, so the layout written
+# here (plain i32 code page + a var-binary dictionary block whose
+# absolute-positions array the file-local Field proto points at) is
+# REPO-DEFINED. The writer stamps this marker into the file-local field
+# metadata and the reader REFUSES encoding=3 files without it — a foreign
+# SDK-written dictionary file must fail loudly, never decode through the
+# wrong block layout to silent garbage.
+DICTIONARY_METADATA_KEY = "lance-repo:dictionary"
+DICTIONARY_LAYOUT_V1 = "plainpos-v1"
+
+
 def _infer_v1_type(values) -> str:
     """Writer-side logical type from a Python column: int64, double,
     string, binary, or fixed_size_list:float:<dim> (uniform list lengths).
@@ -1516,7 +1550,10 @@ def _write_v1_data_file(
         buf += struct.pack("<qq", pos, nv)
     schema_proto = b"".join(
         _enc_field(1, 2, _v1_field_proto(
-            n, fid, lt, parent, dictionary=dict_info.get(i)))
+            n, fid, lt, parent,
+            metadata=({DICTIONARY_METADATA_KEY: DICTIONARY_LAYOUT_V1}
+                      if i in dict_info else None),
+            dictionary=dict_info.get(i)))
         for i, (n, fid, parent, lt, _vals) in enumerate(specs)
     )
     schema_pos = len(buf)

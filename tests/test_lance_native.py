@@ -2228,3 +2228,33 @@ def test_native_cleanup_uses_proto_versions(tmp_path, spark):
     assert out["removed_manifests"] == 2
     assert read_native_manifest(root).version == 3
     assert LanceNativeDataset(root).count_rows() == 6
+
+
+def test_dictionary_foreign_layout_refuses(tmp_path, monkeypatch):
+    """encoding=3 block layouts are repo-defined (no public fixture pins
+    the SDK's), so the reader must REFUSE a dictionary-encoded file not
+    stamped with this writer's fingerprint — a foreign SDK file with a
+    different block layout would otherwise decode to silent garbage."""
+    from lance_trino_spark.format import lance_native as ln
+
+    # our own writer's file reads fine (fingerprint round-trip)
+    root = str(tmp_path / "dict.lance")
+    ln.write_native_dataset(
+        root,
+        {"k": [1, 2, 3, 4], "cat": ["a", "b", "a", "b"]},
+        dictionary_columns=("cat",),
+    )
+    ds = ln.LanceNativeDataset(root)
+    assert ds.to_arrow().column("cat").to_pylist() == ["a", "b", "a", "b"]
+
+    # a "foreign" writer stamping a DIFFERENT (or no) layout fingerprint
+    monkeypatch.setattr(ln, "DICTIONARY_LAYOUT_V1", "sdk-mystery-layout")
+    root2 = str(tmp_path / "foreign.lance")
+    ln.write_native_dataset(
+        root2,
+        {"k": [1, 2], "cat": ["x", "y"]},
+        dictionary_columns=("cat",),
+    )
+    monkeypatch.undo()
+    with pytest.raises(ln.LanceNativeError, match="unknown block layout"):
+        ln.LanceNativeDataset(root2).to_arrow()
