@@ -487,6 +487,22 @@ def _v2_read_column(
         return child_cache[ch_idx]
 
     for pg_i, (offs, sizes, nrows) in enumerate(pages):
+        # leaf-validity detection (LEAF_VALIDITY_LAYOUT's v2 arm): a page
+        # with one MORE buffer than its plain shape, whose first buffer
+        # is exactly the bitpacked row count, leads with a validity
+        # bitmap (1 = valid); strip it, decode the rest normally, mask.
+        valid = None
+        if lt not in ("struct", "list"):
+            base = 2 if lt in (
+                "string", "large_string", "binary", "large_binary") else 1
+            nb = (nrows + 7) // 8
+            if len(offs) == base + 1 and sizes[0] == nb:
+                valid = np.unpackbits(
+                    np.frombuffer(raw, np.uint8, count=nb, offset=offs[0]),
+                    bitorder="little")[:nrows].astype(bool)
+                offs, sizes = offs[1:], sizes[1:]
+        nmask = None if valid is None else ~valid
+
         if lt in _FIXED_TYPES:
             np_dt = "<" + _FIXED_TYPES[lt]
             width = int(_FIXED_TYPES[lt][1])
@@ -494,9 +510,10 @@ def _v2_read_column(
             if lt == "halffloat":
                 # Spark has no float16 — widen exactly (FIXTURES.md §1)
                 chunks.append(pa.array(vals.astype(np.float32),
-                                       type=pa.float32()))
+                                       type=pa.float32(), mask=nmask))
             else:
-                chunks.append(pa.array(vals, type=_arrow_type(lt)))
+                chunks.append(pa.array(vals, type=_arrow_type(lt),
+                                       mask=nmask))
         elif lt == "bool":
             if len(offs) != 1 or sizes[0] != (nrows + 7) // 8:
                 raise LanceNativeError(f"non-bitpacked bool page for {what}")
@@ -504,19 +521,20 @@ def _v2_read_column(
                 np.frombuffer(raw, np.uint8, count=sizes[0], offset=offs[0]),
                 bitorder="little",
             )[:nrows]
-            chunks.append(pa.array(bits.astype(bool), type=pa.bool_()))
+            chunks.append(pa.array(bits.astype(bool), type=pa.bool_(),
+                                   mask=nmask))
         elif lt == "date32:day":
             vals = _v2_fixed_np(raw, offs, sizes, nrows, "<i4", 4, what)
-            chunks.append(pa.array(vals, type=pa.date32()))
+            chunks.append(pa.array(vals, type=pa.date32(), mask=nmask))
         elif lt.startswith("timestamp:"):
             vals = _v2_fixed_np(raw, offs, sizes, nrows, "<i8", 8, what)
-            chunks.append(pa.array(vals, type=_arrow_type(lt)))
+            chunks.append(pa.array(vals, type=_arrow_type(lt), mask=nmask))
         elif lt.startswith(("time64:", "time32:")):
             wide = lt.startswith("time64:")
             vals = _v2_fixed_np(
                 raw, offs, sizes, nrows,
                 "<i8" if wide else "<i4", 8 if wide else 4, what)
-            chunks.append(pa.array(vals, type=_arrow_type(lt)))
+            chunks.append(pa.array(vals, type=_arrow_type(lt), mask=nmask))
         elif lt in ("string", "large_string", "binary", "large_binary"):
             if len(offs) != 2 or sizes[0] != nrows * 8:
                 raise LanceNativeError(
@@ -526,7 +544,8 @@ def _v2_read_column(
             ends = np.frombuffer(raw, "<i8", count=nrows, offset=offs[0])
             data = bytes(raw[offs[1]:offs[1] + sizes[1]])
             # vectorized: [0] + ends IS the arrow offsets buffer — build
-            # the large_* array zero-copy, then cast to the 32-bit type
+            # the large_* array zero-copy, then cast to the 32-bit type;
+            # the stored validity bitmap is bit-for-bit Arrow's own
             offs64 = np.empty(nrows + 1, dtype="<i8")
             offs64[0] = 0
             offs64[1:] = ends
@@ -534,8 +553,12 @@ def _v2_read_column(
                 pa.large_utf8() if lt.endswith("string")
                 else pa.large_binary(),
                 nrows,
-                [None, pa.py_buffer(offs64.tobytes()),
+                [None if valid is None
+                 else pa.py_buffer(_pack_validity(nmask)),
+                 pa.py_buffer(offs64.tobytes()),
                  pa.py_buffer(data)],
+                null_count=(
+                    0 if valid is None else int(nrows - valid.sum())),
             )
             chunks.append(arr.cast(_arrow_type(lt)))
         elif lt == "list":
@@ -576,7 +599,14 @@ def _v2_read_column(
                     inner = pa.array(vals.astype(np.float32), pa.float32())
                 else:
                     inner = pa.array(vals, type=_arrow_type(item_t))
-                chunks.append(pa.FixedSizeListArray.from_arrays(inner, dim))
+                arr = pa.FixedSizeListArray.from_arrays(inner, dim)
+                if valid is not None:
+                    arr = pa.Array.from_buffers(
+                        arr.type, nrows,
+                        [pa.py_buffer(_pack_validity(nmask))],
+                        null_count=int(nrows - valid.sum()),
+                        children=[inner])
+                chunks.append(arr)
             else:
                 raise LanceNativeError(
                     f"fixed_size_list of {item_t!r} not decoded for {what}"
@@ -727,10 +757,48 @@ def read_file_column(
     sel_all = (
         None if indices is None else np.asarray(indices, dtype=np.int64)
     )
-    # dictionary encoding (encoding=3) is declared by the DATA FILE's
-    # own field proto (each file carries its own dictionary block);
-    # resolved lazily, once, only for var-width columns
-    _dict_state = [False, None]
+    # The DATA FILE's own field proto declares per-file encodings:
+    # dictionary blocks (encoding=3) and the leaf-validity marker
+    # (LEAF_VALIDITY_LAYOUT) — both are file-local, offset-bearing
+    # facts the manifest copy never carries.
+    ffs = _file_local_fields(raw, meta.schema_pos)
+    ff = ffs[col_idx] if col_idx < len(ffs) else None
+    file_dict = None
+    if ff is not None and ff.dictionary:
+        # encoding=3 block layouts are REPO-DEFINED (no public fixture
+        # pins the SDK's) — refuse any dictionary-encoded file not
+        # stamped by this repo's writer rather than silently decoding
+        # a foreign layout to garbage values
+        fp = ff.metadata.get(DICTIONARY_METADATA_KEY)
+        if fp != DICTIONARY_LAYOUT_V1:
+            raise LanceNativeError(
+                f"column {nfield.name!r}: dictionary-encoded data file "
+                f"with an unknown block layout (writer fingerprint "
+                f"{fp!r}, expected {DICTIONARY_LAYOUT_V1!r}) — foreign "
+                "encoding=3 layouts are not decoded; rewrite the file "
+                "plain or use the lance SDK")
+        file_dict = ff.dictionary
+    lv_marker = (
+        ff.metadata.get(LEAF_VALIDITY_METADATA_KEY)
+        if ff is not None else None)
+    if lv_marker is not None and lv_marker != LEAF_VALIDITY_LAYOUT:
+        raise LanceNativeError(
+            f"column {nfield.name!r}: unknown leaf-validity layout "
+            f"{lv_marker!r} (expected {LEAF_VALIDITY_LAYOUT!r})")
+    has_validity = lv_marker == LEAF_VALIDITY_LAYOUT
+
+    def _page_valid(payload_end: int, nvals: int, sel):
+        """np bool VALID flags (True = non-null) for one page, read from
+        the trailing bitmap right after the payload; None when the
+        column carries no leaf validity. Subset by ``sel`` if given."""
+        if not has_validity:
+            return None
+        nb = (nvals + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(raw, np.uint8, count=nb, offset=payload_end),
+            bitorder="little")[:nvals].astype(bool)
+        return bits[sel] if sel is not None else bits
+
     chunks = []
     row_off = 0
     for b in range(n_batches):
@@ -746,62 +814,46 @@ def read_file_column(
         if nfield.logical_type in _FIXED_TYPES:
             dt = np.dtype("<" + _FIXED_TYPES[nfield.logical_type])
             vals = np.frombuffer(raw, dtype=dt, count=nvals, offset=pos)
+            valid = _page_valid(pos + nvals * dt.itemsize, nvals, sel)
             if sel is not None:
                 vals = vals[sel]
-            chunks.append(pa.array(vals, type=atype))
+            chunks.append(pa.array(
+                vals, type=atype,
+                mask=None if valid is None else ~valid))
         elif nfield.logical_type == "bool":
             # bitpacked little-endian page, ceil(nvals/8) bytes — the
             # same layout the v2 path decodes and _encode_plain_page emits
-            packed = np.frombuffer(
-                raw, dtype=np.uint8, count=(nvals + 7) // 8, offset=pos)
+            nb = (nvals + 7) // 8
+            packed = np.frombuffer(raw, dtype=np.uint8, count=nb, offset=pos)
             bits = np.unpackbits(packed, bitorder="little")[:nvals]
+            valid = _page_valid(pos + nb, nvals, sel)
             if sel is not None:
                 bits = bits[sel]
-            chunks.append(pa.array(bits.astype(bool), type=pa.bool_()))
-        elif nfield.logical_type == "date32:day":
-            vals = np.frombuffer(raw, dtype="<i4", count=nvals, offset=pos)
+            chunks.append(pa.array(
+                bits.astype(bool), type=pa.bool_(),
+                mask=None if valid is None else ~valid))
+        elif nfield.logical_type == "date32:day" or (
+            nfield.logical_type.startswith(
+                ("timestamp:", "time64:", "time32:"))
+        ):
+            wide = nfield.logical_type.startswith(("timestamp:", "time64:"))
+            dt = np.dtype("<i8" if wide else "<i4")
+            vals = np.frombuffer(raw, dtype=dt, count=nvals, offset=pos)
+            valid = _page_valid(pos + nvals * dt.itemsize, nvals, sel)
             if sel is not None:
                 vals = vals[sel]
-            chunks.append(pa.array(vals, type=atype))
-        elif nfield.logical_type.startswith("timestamp:"):
-            vals = np.frombuffer(raw, dtype="<i8", count=nvals, offset=pos)
-            if sel is not None:
-                vals = vals[sel]
-            chunks.append(pa.array(vals, type=atype))
-        elif nfield.logical_type.startswith(("time64:", "time32:")):
-            w = "<i8" if nfield.logical_type.startswith("time64:") else "<i4"
-            vals = np.frombuffer(raw, dtype=w, count=nvals, offset=pos)
-            if sel is not None:
-                vals = vals[sel]
-            chunks.append(pa.array(vals, type=atype))
+            chunks.append(pa.array(
+                vals, type=atype,
+                mask=None if valid is None else ~valid))
         elif nfield.logical_type in (
             "string", "large_string", "binary", "large_binary"
         ):
-            if not _dict_state[0]:
-                _dict_state[0] = True
-                ffs = _file_local_fields(raw, meta.schema_pos)
-                if col_idx < len(ffs) and ffs[col_idx].dictionary:
-                    # encoding=3 block layouts are REPO-DEFINED (no
-                    # public fixture pins the SDK's) — refuse any
-                    # dictionary-encoded file not stamped by this
-                    # repo's writer rather than silently decoding a
-                    # foreign layout to garbage values
-                    fp = ffs[col_idx].metadata.get(DICTIONARY_METADATA_KEY)
-                    if fp != DICTIONARY_LAYOUT_V1:
-                        raise LanceNativeError(
-                            f"column {nfield.name!r}: dictionary-encoded "
-                            "data file with an unknown block layout "
-                            f"(writer fingerprint {fp!r}, expected "
-                            f"{DICTIONARY_LAYOUT_V1!r}) — foreign "
-                            "encoding=3 layouts are not decoded; "
-                            "rewrite the file plain or use the lance SDK")
-                    _dict_state[1] = ffs[col_idx].dictionary
-            if _dict_state[1] is not None:
+            if file_dict is not None:
                 # dictionary page (encoding=3): the page holds plain i32
                 # codes; the dictionary VALUES live once per file as a
                 # var-binary block whose absolute-positions array the
                 # file-local Field proto (Dictionary message) points at
-                dpos, n_dict = _dict_state[1]
+                dpos, n_dict = file_dict
                 dpositions = np.frombuffer(
                     raw, dtype="<i8", count=n_dict + 1, offset=dpos)
                 if len(dpositions) and not (
@@ -824,35 +876,51 @@ def read_file_column(
                 ).cast(atype)
                 codes = np.frombuffer(
                     raw, dtype="<i4", count=nvals, offset=pos)
+                valid = _page_valid(pos + 4 * nvals, nvals, sel)
                 if sel is not None:
                     codes = codes[sel]
-                chunks.append(dict_arr.take(pa.array(codes)))
+                # a NULL take index yields a NULL value — the mask rides
+                # the code array straight through the dictionary lookup
+                chunks.append(dict_arr.take(pa.array(
+                    codes, mask=None if valid is None else ~valid)))
                 continue
             # v1 var-binary page: i64 position array (nvals+1 entries) at
             # the page position; the value bytes live between consecutive
             # positions (absolute file offsets)
             offs = np.frombuffer(raw, dtype="<i8", count=nvals + 1, offset=pos)
+            valid = _page_valid(pos + 8 * (nvals + 1), nvals, None)
             if sel is None:
                 # vectorized full-page decode: the payload between the
                 # first and last position is contiguous, so rebasing the
                 # positions IS the arrow offsets buffer (a per-row python
-                # slice loop is O(rows) interpreter work)
+                # slice loop is O(rows) interpreter work); the stored
+                # validity bitmap is bit-for-bit an Arrow validity buffer
                 data = bytes(raw[offs[0]:offs[nvals]])
                 rebased = (offs - offs[0]).astype("<i8")
+                vbuf = None
+                nnull = 0
+                if valid is not None:
+                    vbuf = pa.py_buffer(_pack_validity(~valid))
+                    nnull = int(nvals - valid.sum())
                 arr = pa.Array.from_buffers(
                     pa.large_utf8()
                     if nfield.logical_type.endswith("string")
                     else pa.large_binary(),
                     nvals,
-                    [None, pa.py_buffer(rebased.tobytes()),
+                    [vbuf, pa.py_buffer(rebased.tobytes()),
                      pa.py_buffer(data)],
+                    null_count=nnull,
                 )
                 chunks.append(arr.cast(atype))
             else:
                 vals = [
-                    bytes(raw[offs[i]:offs[i + 1]]).decode()
-                    if nfield.logical_type.endswith("string")
-                    else bytes(raw[offs[i]:offs[i + 1]])
+                    None
+                    if valid is not None and not valid[i]
+                    else (
+                        bytes(raw[offs[i]:offs[i + 1]]).decode()
+                        if nfield.logical_type.endswith("string")
+                        else bytes(raw[offs[i]:offs[i + 1]])
+                    )
                     for i in sel.tolist()
                 ]
                 chunks.append(pa.array(vals, type=atype))
@@ -869,13 +937,21 @@ def read_file_column(
                 )
             dt = np.dtype("<" + _FIXED_TYPES[item_t])
             vals = np.frombuffer(raw, dtype=dt, count=nvals * dim, offset=pos)
+            valid = _page_valid(pos + nvals * dim * dt.itemsize, nvals, sel)
             if sel is not None:
                 vals = vals.reshape(nvals, dim)[sel].reshape(-1)
             if item_t == "halffloat":
                 inner = pa.array(vals.astype(np.float32), pa.float32())
             else:
                 inner = pa.array(vals, type=_arrow_type(item_t))
-            chunks.append(pa.FixedSizeListArray.from_arrays(inner, dim))
+            arr = pa.FixedSizeListArray.from_arrays(inner, dim)
+            if valid is not None:
+                arr = pa.Array.from_buffers(
+                    arr.type, len(valid),
+                    [pa.py_buffer(_pack_validity(~valid))],
+                    null_count=int(len(valid) - valid.sum()),
+                    children=[inner])
+            chunks.append(arr)
         else:  # pragma: no cover — _arrow_type already raised
             raise LanceNativeError(nfield.logical_type)
     if not chunks:
@@ -1279,6 +1355,47 @@ def _placeholder_value(lt: str):
 DICTIONARY_METADATA_KEY = "lance-repo:dictionary"
 DICTIONARY_LAYOUT_V1 = "plainpos-v1"
 
+# Scalar-leaf NULL validity. The reference writes NULLs in every type
+# ("NULLs allowed everywhere", BaseLanceConnectorTest.java:118; null
+# handling throughout LancePageToArrowConverter.java:305-659), but no
+# public fixture pins how the SDK encodes leaf validity in either file
+# flavor — so, like the struct layout, the encoding here is this
+# writer's own, kept self-consistent with both readers and marked so
+# foreign readers/files fail loudly rather than mis-decode:
+#   v1: a page whose column contains NULLs keeps its normal payload
+#       (placeholder values in the dead slots) and appends a bitpacked
+#       little-endian validity bitmap (1 = valid, ceil(rows/8) bytes)
+#       IMMEDIATELY AFTER the payload; the file-local field proto is
+#       stamped with this metadata marker, which is how the reader
+#       knows to look (and refuses unknown validity layouts).
+#   v2: a page whose rows contain NULLs gains an extra LEADING buffer
+#       holding the same bitpacked bitmap — self-describing via the
+#       page's buffer count + first-buffer size, per-page.
+LEAF_VALIDITY_METADATA_KEY = "lance-repo:leaf-validity"
+LEAF_VALIDITY_LAYOUT = "trailing-bitmap-v1"
+
+
+def _pack_validity(mask_null) -> bytes:
+    """Bitpacked little-endian VALIDITY bytes (1 = valid) from a
+    null-mask sequence (True = null) — the same bit order Arrow's own
+    validity bitmaps use, so the var-width read path can hand the bytes
+    straight to pyarrow as the validity buffer."""
+    import numpy as np
+
+    return np.packbits(
+        ~np.asarray(mask_null, dtype=bool), bitorder="little").tobytes()
+
+
+def _split_nulls(lt: str, vals):
+    """(values-with-placeholders, null_mask|None) for one leaf page —
+    the writer-side half of the leaf-validity contract."""
+    if not any(v is None for v in vals):
+        return vals, None
+    mask = [v is None for v in vals]
+    return [
+        _placeholder_value(lt) if v is None else v for v in vals
+    ], mask
+
 
 def _infer_v1_type(values) -> str:
     """Writer-side logical type from a Python column: int64, double,
@@ -1317,7 +1434,8 @@ def _infer_v1_type(values) -> str:
             return "list"  # ragged or non-float elements -> true list<T>
         break
     raise LanceNativeError(
-        f"cannot infer a v1 logical type from {values[:3]!r}"
+        f"cannot infer a v1 logical type from {values[:3]!r} "
+        "(an all-NULL column needs an explicit type via ``types=``)"
     )
 
 
@@ -1350,11 +1468,9 @@ def _v1_field_specs(
                     f"list column {n!r}: NULL rows are outside the "
                     "minimal writer's scope")
             elems = [x for row in vals for x in row]
-            if any(e is None for e in elems):
-                raise LanceNativeError(
-                    f"list column {n!r}: NULL elements are outside the "
-                    "minimal writer's scope")
-            clt = _infer_v1_type(elems) if elems else "int64"
+            non_null_elems = [e for e in elems if e is not None]
+            clt = _infer_v1_type(non_null_elems) if non_null_elems \
+                else "int64"
             if clt not in ("int64", "double", "string", "binary"):
                 raise LanceNativeError(
                     f"list column {n!r}: unsupported element type {clt!r}")
@@ -1379,23 +1495,25 @@ def _v1_field_specs(
         validity = [v is not None for v in vals]
         specs.append((n, parent_fid, -1, "struct", validity))
         for cn in child_names:
-            non_null = []
-            for v in vals:
-                if v is None:
-                    continue
-                if cn not in v or v[cn] is None:
-                    raise LanceNativeError(
-                        f"struct column {n!r}: NULL child {cn!r} in a "
-                        "non-null row — v1 plain pages carry no leaf "
-                        "validity")
-                non_null.append(v[cn])
+            non_null = [
+                v[cn] for v in vals
+                if v is not None and v.get(cn) is not None
+            ]
+            if not non_null:
+                raise LanceNativeError(
+                    f"struct column {n!r}: child {cn!r} has no non-null "
+                    "values to derive a type from")
             clt = _infer_v1_type(non_null)
             if clt == "struct":
                 raise LanceNativeError(
                     "nested struct-in-struct is outside the minimal "
                     "writer's scope")
+            # NULL-struct rows fill placeholder slots (masked by the
+            # parent validity page, as always); a NULL child inside a
+            # NON-null row stays None — the leaf page's own validity
+            # bitmap carries it (LEAF_VALIDITY_LAYOUT)
             cvals = [
-                _placeholder_value(clt) if v is None else v[cn]
+                _placeholder_value(clt) if v is None else v.get(cn)
                 for v in vals
             ]
             specs.append((cn, fid, parent_fid, clt, cvals))
@@ -1432,18 +1550,14 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
             validity = [v is not None for v in vals]
             specs.append((f.name, f.id, -1, "struct", validity))
             for ch in children:
-                cvals = []
-                for v in vals:
-                    if v is None:
-                        cvals.append(_placeholder_value(ch.logical_type))
-                        continue
-                    cv = v.get(ch.name) if isinstance(v, dict) else None
-                    if cv is None:
-                        raise LanceNativeError(
-                            f"struct column {f.name!r}: NULL child "
-                            f"{ch.name!r} in a non-null row — v1 plain "
-                            "pages carry no leaf validity")
-                    cvals.append(cv)
+                # NULL-struct rows fill placeholders (parent validity
+                # masks them); NULL children in non-null rows stay None
+                # for the leaf page's own validity bitmap
+                cvals = [
+                    _placeholder_value(ch.logical_type) if v is None
+                    else (v.get(ch.name) if isinstance(v, dict) else None)
+                    for v in vals
+                ]
                 specs.append((ch.name, ch.id, f.id, ch.logical_type, cvals))
         elif lt == "list":
             children = by_parent.get(f.id, [])
@@ -1456,10 +1570,6 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
                     f"list column {f.name!r}: NULL rows are outside the "
                     "minimal writer's scope")
             elems = [x for row in vals for x in row]
-            if any(e is None for e in elems):
-                raise LanceNativeError(
-                    f"list column {f.name!r}: NULL elements are outside "
-                    "the minimal writer's scope")
             ch = children[0]
             specs.append((f.name, f.id, -1, "list", vals))
             specs.append((ch.name, ch.id, f.id, ch.logical_type, elems))
@@ -1478,8 +1588,10 @@ def _write_v1_data_file(
     absolute-position array the page table points at — the exact layout
     read_file_column decodes from the fixtures), or a struct validity
     byte page (see _v1_field_specs). Returns (file name, rows).
-    Leaf nulls are not supported (the minimal writer's scope is round-trip
-    interop tests, not production writes — that is the lance SDK's job).
+    Leaf NULLs write placeholder slots plus a trailing validity bitmap
+    (LEAF_VALIDITY_LAYOUT — the repo-defined encoding, marked in the
+    file-local proto; the reference's NULLs-everywhere write contract,
+    BaseLanceConnectorTest.java:118).
 
     Var-width specs named in ``dictionary_names`` write DICTIONARY
     encoded (encoding=3): the page holds plain i32 codes; the sorted
@@ -1502,7 +1614,16 @@ def _write_v1_data_file(
     buf = bytearray()
     page_entries = []
     dict_info: dict[int, tuple] = {}  # spec idx -> (positions pos, n)
+    validity_specs: set[int] = set()  # spec idx -> trailing bitmap present
     for sp_i, (_name, _fid, _parent, lt, vals) in enumerate(specs):
+        nmask = None
+        if lt != "struct":
+            # leaf NULLs: placeholder values in the dead slots plus a
+            # trailing validity bitmap after the payload (the marker in
+            # the file-local proto tells the reader to look)
+            vals, nmask = _split_nulls(lt, vals)
+            if nmask is not None:
+                validity_specs.add(sp_i)
         if lt == "struct":
             pos = len(buf)
             buf += bytes(1 if v else 0 for v in vals)
@@ -1511,7 +1632,7 @@ def _write_v1_data_file(
                 v.encode() if isinstance(v, str) else bytes(v) for v in vals
             ]
             if _name in dictionary_names:
-                uniq = sorted(set(raw))
+                uniq = sorted(set(raw)) or [b""]
                 code_of = {b: i for i, b in enumerate(uniq)}
                 dpositions = [0] * (len(uniq) + 1)
                 run = len(buf)
@@ -1526,6 +1647,8 @@ def _write_v1_data_file(
                 pos = len(buf)  # page position = the i32 code page
                 buf += np.asarray(
                     [code_of[b] for b in raw], dtype="<i4").tobytes()
+                if nmask is not None:
+                    buf += _pack_validity(nmask)
                 page_entries.append((pos, n_rows))
                 continue
             offs = [0] * (n_rows + 1)
@@ -1544,15 +1667,24 @@ def _write_v1_data_file(
             # with the item's own width (raises on list — v2's job)
             pos = len(buf)
             buf += _encode_plain_page(lt, vals)
+        if nmask is not None:
+            buf += _pack_validity(nmask)
         page_entries.append((pos, n_rows))
     page_table_pos = len(buf)
     for pos, nv in page_entries:
         buf += struct.pack("<qq", pos, nv)
+    def _file_meta(i):
+        md = {}
+        if i in dict_info:
+            md[DICTIONARY_METADATA_KEY] = DICTIONARY_LAYOUT_V1
+        if i in validity_specs:
+            md[LEAF_VALIDITY_METADATA_KEY] = LEAF_VALIDITY_LAYOUT
+        return md or None
+
     schema_proto = b"".join(
         _enc_field(1, 2, _v1_field_proto(
             n, fid, lt, parent,
-            metadata=({DICTIONARY_METADATA_KEY: DICTIONARY_LAYOUT_V1}
-                      if i in dict_info else None),
+            metadata=_file_meta(i),
             dictionary=dict_info.get(i)))
         for i, (n, fid, parent, lt, _vals) in enumerate(specs)
     )
@@ -1640,16 +1772,21 @@ def _write_v2_data_file(
         if lt == "list":
             ends = np.cumsum([len(row) for row in vals], dtype="<i8")
             return [ends.tobytes()]
+        # leaf NULLs: placeholder values plus an extra LEADING validity
+        # buffer (bitpacked, 1=valid) — self-describing per page via the
+        # buffer count + first-buffer size (LEAF_VALIDITY_LAYOUT's v2 arm)
+        vals, nmask = _split_nulls(lt, vals)
+        lead = [_pack_validity(nmask)] if nmask is not None else []
         if lt in ("string", "large_string", "binary", "large_binary"):
             raw = [
                 v.encode() if isinstance(v, str) else bytes(v)
                 for v in vals
             ]
             ends = np.cumsum([len(b) for b in raw], dtype="<i8")
-            return [ends.tobytes(), b"".join(raw)]
+            return lead + [ends.tobytes(), b"".join(raw)]
         # shared plain-page matrix (fixed-width family, bitpacked bool,
         # temporals, raw time counts, fsl at the item's width)
-        return [_encode_plain_page(lt, vals)]
+        return lead + [_encode_plain_page(lt, vals)]
 
     buf = bytearray()
     col_pages = []
@@ -2130,36 +2267,18 @@ def native_delete_where(spark, root: str, condition) -> int:
     return native_delete(root, rows_by_fragment)
 
 
-def _pdf_to_columns(pdf, m: "NativeManifest") -> dict[str, list]:
-    """One pandas partition frame -> python value columns keyed by
-    top-level field name, in the shapes `_specs_for_manifest` consumes
-    (struct rows as dicts, array rows as lists)."""
+def _arrow_to_columns(tbl, m: "NativeManifest") -> dict[str, list]:
+    """One Arrow table/batch -> python value columns keyed by top-level
+    field name, in the shapes `_specs_for_manifest` consumes (struct
+    rows as dicts, array rows as lists, SQL NULL as None). Arrow in,
+    NOT pandas: pandas coerces a nullable int64 column to float64+NaN,
+    which silently loses precision past 2^53 — `to_pylist` keeps every
+    value exact and every NULL a None (the leaf-validity writers carry
+    them; the reference's NULLs-everywhere contract,
+    BaseLanceConnectorTest.java:118)."""
     out: dict[str, list] = {}
     for f in m.top_level_fields():
-        if (
-            f.logical_type not in ("struct", "double", "float", "halffloat")
-            and pdf[f.name].isna().any()
-        ):
-            # fail with the module's loud contract instead of whatever
-            # np.asarray/encode throws three frames deeper in a task.
-            # Float columns are exempt: NaN is a legitimate page value,
-            # and Arrow->pandas folds SQL NULL into NaN there anyway —
-            # a float NULL round-trips as NaN (documented coercion).
-            raise LanceNativeError(
-                f"column {f.name!r} carries NULLs — plain v1/v2 pages "
-                "have no validity; the native writers are a null-free "
-                "interop seam (the lance SDK is the full writer)")
-        vals = pdf[f.name].tolist()
-        lt = f.logical_type
-        if lt == "list" or lt.startswith("fixed_size_list:"):
-            vals = [
-                v.tolist() if hasattr(v, "tolist")
-                else (list(v) if v is not None else None)
-                for v in vals
-            ]
-        elif lt == "struct":
-            vals = [dict(v) if v is not None else None for v in vals]
-        out[f.name] = vals
+        out[f.name] = tbl.column(f.name).to_pylist()
     return out
 
 
@@ -2181,11 +2300,12 @@ def create_native_dataset(
     — one file per ~rows_per_fragment per task, memory bounded, nothing
     funnels through the driver), the driver commits manifest version 1
     listing the staged (file, rows) entries. The scalar type family maps
-    from the Spark schema (`_SPARK_TO_NATIVE`); arrays/structs/maps and
-    NULL-bearing columns are refused loudly (plain v1 pages carry no
-    validity — the lance SDK is the full writer, this is the interop
-    seam). The result opens with LanceNativeDataset, format("lance"),
-    and every native DML/index/evolution/maintenance path here."""
+    from the Spark schema (`_SPARK_TO_NATIVE`); NULLs are carried by the
+    leaf-validity pages (LEAF_VALIDITY_LAYOUT) in every scalar type —
+    the reference's NULLs-everywhere write contract
+    (BaseLanceConnectorTest.java:118). The result opens with
+    LanceNativeDataset, format("lance"), and every native
+    DML/index/evolution/maintenance path here."""
     fields, specs = [], []
     for i, f in enumerate(df.schema.fields):
         lt = _SPARK_TO_NATIVE.get(f.dataType.typeName())
@@ -2314,7 +2434,11 @@ def stage_native_fragments(
     so the delta never funnels through the driver; only the tiny
     (file_name, n_rows) manifest entries are collected. The caller
     commits them — staging writes no manifest. Executor memory is
-    bounded by rows_per_fragment, not by the delta size."""
+    bounded by rows_per_fragment, not by the delta size.
+
+    The task-side hop is mapInArrow, not mapInPandas: Arrow batches
+    keep nullable int64 exact (pandas would coerce to float64+NaN) and
+    carry SQL NULLs straight into the leaf-validity writers."""
     from pyspark.sql import types as T
 
     data_cols = [f.name for f in m.top_level_fields()]
@@ -2325,7 +2449,7 @@ def stage_native_fragments(
     writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
 
     def stage(it):
-        import pandas as pd
+        import pyarrow as pa
 
         buf: list = []
         n = 0
@@ -2334,29 +2458,27 @@ def stage_native_fragments(
             nonlocal buf, n
             if not n:
                 return None
-            pdf = (
-                pd.concat(buf, ignore_index=True)
-                if len(buf) > 1 else buf[0]
-            )
+            tbl = pa.Table.from_batches(buf)
             buf, n = [], 0
-            specs = _specs_for_manifest(m, _pdf_to_columns(pdf, m))
+            specs = _specs_for_manifest(m, _arrow_to_columns(tbl, m))
             fn, nr = writer(root, specs)
-            return {"file_name": fn, "n_rows": nr}
+            return pa.RecordBatch.from_pydict(
+                {"file_name": [fn], "n_rows": [int(nr)]})
 
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            buf.append(pdf)
-            n += len(pdf)
+            buf.append(batch)
+            n += batch.num_rows
             if n >= rows_per_fragment:
                 r = flush()
                 if r is not None:
-                    yield pd.DataFrame([r])
+                    yield r
         r = flush()
         if r is not None:
-            yield pd.DataFrame([r])
+            yield r
 
-    staged = df.select(*data_cols).mapInPandas(
+    staged = df.select(*data_cols).mapInArrow(
         stage, schema=out_schema).collect()
     return [(r["file_name"], int(r["n_rows"])) for r in staged]
 

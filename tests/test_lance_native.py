@@ -587,12 +587,16 @@ def test_native_struct_column_round_trip_and_spark_projection(tmp_path, spark):
             df.selectExpr("id", "metadata.value AS v").collect()}
     assert vals == {1: 10, 2: 20, 3: None, 4: 40}
 
-    # leaf nulls inside a NON-null struct are refused loudly, not zeroed
-    import pytest as _pytest
-
-    with _pytest.raises(LanceNativeError, match="NULL child"):
-        write_native_dataset(str(tmp_path / "bad.lance"), {
-            "id": [1], "m": [{"name": None}]})
+    # leaf nulls inside a NON-null struct ride the leaf validity bitmap
+    # (LEAF_VALIDITY_LAYOUT) and round-trip as NULLs, not placeholders
+    root2 = str(tmp_path / "leafnull.lance")
+    write_native_dataset(root2, {
+        "id": [1, 2], "m": [{"name": None, "value": 5},
+                            {"name": "dee", "value": None}]})
+    t2 = LanceNativeDataset(root2).to_arrow()
+    assert t2.column("m").to_pylist() == [
+        {"name": None, "value": 5}, {"name": "dee", "value": None}]
+    assert LanceNativeError  # imported-contract sanity
 
 
 def test_v2_writer_round_trip_matches_v1(tmp_path):
@@ -2258,3 +2262,66 @@ def test_dictionary_foreign_layout_refuses(tmp_path, monkeypatch):
     monkeypatch.undo()
     with pytest.raises(ln.LanceNativeError, match="unknown block layout"):
         ln.LanceNativeDataset(root2).to_arrow()
+
+
+def test_null_bearing_native_pipeline_end_to_end(tmp_path, spark):
+    """The reference's NULLs-everywhere write contract
+    (BaseLanceConnectorTest.java:118) on the native path: a Spark
+    DataFrame with NULLs in long/double/string/bool/date columns
+    CTAS-es distributed (mapInArrow staging — no pandas float64
+    coercion of nullable int64), scans back cell-exact through
+    format("lance"), takes a MoR UPDATE that writes NULLs, and a
+    distributed MERGE whose source carries NULLs."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "nulls.lance")
+    df = spark.range(20).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id * 1.5 AS DOUBLE) "
+        "END AS f",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE concat('s', id) END AS s",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id % 2 = 0 END AS flag",
+        "CASE WHEN id % 6 = 0 THEN NULL "
+        "ELSE DATE'2020-01-01' + CAST(id AS INT) END AS d",
+    ).repartition(3)
+    ln.create_native_dataset(df, root, rows_per_fragment=7)
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(root)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in df.collect()}
+
+    # nullable int64 precision: values past 2^53 NEXT TO nulls must
+    # round-trip exactly (pandas would have folded them through float64)
+    root2 = str(tmp_path / "bigint.lance")
+    big = spark.createDataFrame(
+        [(1, 2**61 + 7,), (2, None,), (3, -(2**61) - 13,)],
+        "k long, v long")
+    ln.create_native_dataset(big, root2)
+    got = {r["k"]: r["v"] for r in
+           spark.read.format("lance").load(root2).collect()}
+    assert got == {1: 2**61 + 7, 2: None, 3: -(2**61) - 13}
+
+    # MoR UPDATE writing a NULL
+    ln.native_update_where(
+        spark, root, F.col("k") == 1, {"s": F.lit(None).cast("string")})
+    back2 = spark.read.format("lance").load(root)
+    assert back2.where("k = 1").collect()[0]["s"] is None
+    assert back2.where("s IS NULL").count() == 6
+
+    # distributed MERGE with an all-NULL payload column set
+    src = spark.range(18, 25).selectExpr(
+        "id AS k", "CAST(NULL AS DOUBLE) AS f", "concat('m', id) AS s",
+        "CAST(NULL AS BOOLEAN) AS flag", "CAST(NULL AS DATE) AS d")
+    ln.native_merge_into(spark, root, src, on=["k"], distributed=True)
+    back3 = spark.read.format("lance").load(root)
+    assert back3.count() == 25
+    assert back3.where(
+        "k >= 18 AND f IS NULL AND flag IS NULL AND d IS NULL"
+    ).count() == 7
+    # pushed filters keep SQL null semantics over validity pages
+    assert back3.where("flag = true").count() == \
+        sum(1 for r in back3.collect() if r["flag"] is True)

@@ -1,8 +1,10 @@
 """Property-based round-trip tests for the native `.lance` writer/reader
-pair (hypothesis): ARBITRARY typed columns written with
-write_native_dataset must come back cell-exact through
-read_native_fragment, for both the v1 legacy layout and FILE-v2, with
-and without dictionary encoding on var-width columns. The example-based
+pair (hypothesis): ARBITRARY typed columns — NULLs included, in every
+type (the reference's NULLs-everywhere write contract,
+BaseLanceConnectorTest.java:118, carried by the repo's leaf-validity
+pages) — written with write_native_dataset must come back cell-exact
+through read_native_fragment, for both the v1 legacy layout and FILE-v2,
+with and without dictionary encoding on var-width columns. The example-based
 tests pin the fixture byte layouts; this pins the WHOLE value space the
 writer claims (no driver or Spark session involved — the codec pair is
 plain Python, so hundreds of cases run in seconds)."""
@@ -51,6 +53,8 @@ _V2_TYPES = ("int64", "int32", "double", "float", "string", "binary")
 def _norm(lt: str, v):
     """Writer-input -> reader-output normalization: the reader hands back
     pyarrow-converted Python values (date/datetime objects, floats)."""
+    if v is None:
+        return None
     if lt == "float":
         # f32 page: compare through the f32 grid (inputs are width-32
         # floats already, so this is the identity — belt and braces)
@@ -78,7 +82,10 @@ def test_v1_typed_roundtrip_property(tmp_path, data):
     for i, lt in enumerate(lts):
         name = f"c{i}"
         cols[name] = data.draw(
-            st.lists(_TYPED[lt], min_size=n, max_size=n), label=name
+            st.lists(
+                st.one_of(st.none(), _TYPED[lt]), min_size=n, max_size=n
+            ),
+            label=name,
         )
         types[name] = lt
     root = str(tmp_path / f"prop-{next(_SEQ)}")
@@ -92,7 +99,10 @@ def test_v1_typed_roundtrip_property(tmp_path, data):
         want = [_norm(lt, v) for v in cols[f"c{i}"]]
         if lt in ("double", "float"):
             for g, w in zip(got, want):
-                assert (g == w) or (math.isnan(g) and math.isnan(w)), (lt, g, w)
+                assert (g == w) or (
+                    g is not None and w is not None
+                    and math.isnan(g) and math.isnan(w)
+                ), (lt, g, w)
         else:
             assert got == want, lt
     # count_rows agrees without decoding
@@ -115,7 +125,10 @@ def test_v2_and_dictionary_roundtrip_property(tmp_path, data):
     cols, types = {}, {}
     for i, lt in enumerate(lts):
         cols[f"c{i}"] = data.draw(
-            st.lists(_TYPED[lt], min_size=n, max_size=n), label=f"c{i}"
+            st.lists(
+                st.one_of(st.none(), _TYPED[lt]), min_size=n, max_size=n
+            ),
+            label=f"c{i}",
         )
         types[f"c{i}"] = lt
     dict_cols = (
@@ -137,7 +150,10 @@ def test_v2_and_dictionary_roundtrip_property(tmp_path, data):
         want = [_norm(lt, v) for v in cols[f"c{i}"]]
         if lt in ("double", "float"):
             for g, w in zip(got, want):
-                assert (g == w) or (math.isnan(g) and math.isnan(w))
+                assert (g == w) or (
+                    g is not None and w is not None
+                    and math.isnan(g) and math.isnan(w)
+                )
         else:
             assert got == want, (lt, v2, bool(dict_cols))
     # (encoding=3 is a per-DATA-FILE property — the manifest keeps the
