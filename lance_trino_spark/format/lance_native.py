@@ -2293,6 +2293,7 @@ _SPARK_TO_NATIVE = {
 def create_native_dataset(
     df, root: str, file_version: int = 1,
     rows_per_fragment: int = 1_000_000,
+    fsl_columns: dict | None = None,
 ) -> None:
     """CREATE a real `.lance` dataset FROM A SPARK DATAFRAME, fully
     distributed — the CTAS counterpart of the interop readers: executors
@@ -2305,17 +2306,76 @@ def create_native_dataset(
     the reference's NULLs-everywhere write contract
     (BaseLanceConnectorTest.java:118). The result opens with
     LanceNativeDataset, format("lance"), and every native
-    DML/index/evolution/maintenance path here."""
+    DML/index/evolution/maintenance path here.
+
+    Nested Spark types map too (the reference's CTAS writes ARRAY and
+    FixedSizeList vectors, `LancePageToArrowConverter.java:559-627,
+    190-230`): one-level STRUCTs of scalars become struct fields
+    (parent-validity page + leaf children); ARRAY<scalar> becomes a
+    true list<T> (FILE-v2 only — pass ``file_version=2``) unless the
+    column is named in ``fsl_columns`` ({name: dim}), which maps it to
+    fixed_size_list:<item>:<dim> — the embeddings-CTAS shape, writable
+    in both flavors and indexable by `write_native_vector_index`."""
+    neg1 = (1 << 64) - 1
     fields, specs = [], []
-    for i, f in enumerate(df.schema.fields):
-        lt = _SPARK_TO_NATIVE.get(f.dataType.typeName())
+    fid = 0
+
+    def _scalar_lt(dt, col):
+        lt = _SPARK_TO_NATIVE.get(dt.typeName())
         if lt is None:
             raise LanceNativeError(
                 f"create_native_dataset: unsupported Spark type "
-                f"{f.dataType.simpleString()!r} for column {f.name!r} "
-                f"(supported: {sorted(_SPARK_TO_NATIVE)})")
-        fields.append(NativeField(f.name, i, (1 << 64) - 1, lt, True, 0))
-        specs.append((f.name, i, -1, lt))
+                f"{dt.simpleString()!r} for column {col!r} "
+                f"(supported: {sorted(_SPARK_TO_NATIVE)}, one-level "
+                "struct<scalar...>, array<scalar>)")
+        return lt
+
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        if tn == "array":
+            elt = _scalar_lt(f.dataType.elementType, f"{f.name} element")
+            dim = (fsl_columns or {}).get(f.name)
+            if dim is not None:
+                if elt not in _FIXED_TYPES:
+                    raise LanceNativeError(
+                        f"fsl_columns[{f.name!r}]: fixed_size_list items "
+                        f"must be fixed-width, not {elt!r}")
+                lt = f"fixed_size_list:{elt}:{int(dim)}"
+                fields.append(NativeField(f.name, fid, neg1, lt, True, 0))
+                specs.append((f.name, fid, -1, lt))
+                fid += 1
+            else:
+                if file_version != 2:
+                    raise LanceNativeError(
+                        f"column {f.name!r}: variable-length list "
+                        "columns need file_version=2 (or name the "
+                        "column in fsl_columns for a fixed_size_list)")
+                fields.append(
+                    NativeField(f.name, fid, neg1, "list", True, 0))
+                specs.append((f.name, fid, -1, "list"))
+                fields.append(
+                    NativeField("item", fid + 1, fid, elt, True, 0))
+                specs.append(("item", fid + 1, fid, elt))
+                fid += 2
+        elif tn == "struct":
+            if not f.dataType.fields:
+                raise LanceNativeError(
+                    f"struct column {f.name!r} has no fields")
+            fields.append(
+                NativeField(f.name, fid, neg1, "struct", True, 0))
+            specs.append((f.name, fid, -1, "struct"))
+            pid = fid
+            fid += 1
+            for ch in f.dataType.fields:
+                clt = _scalar_lt(ch.dataType, f"{f.name}.{ch.name}")
+                fields.append(NativeField(ch.name, fid, pid, clt, True, 0))
+                specs.append((ch.name, fid, pid, clt))
+                fid += 1
+        else:
+            lt = _scalar_lt(f.dataType, f.name)
+            fields.append(NativeField(f.name, fid, neg1, lt, True, 0))
+            specs.append((f.name, fid, -1, lt))
+            fid += 1
     if not fields:
         raise LanceNativeError("create_native_dataset: empty schema")
     m = NativeManifest(

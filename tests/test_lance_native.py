@@ -2325,3 +2325,62 @@ def test_null_bearing_native_pipeline_end_to_end(tmp_path, spark):
     # pushed filters keep SQL null semantics over validity pages
     assert back3.where("flag = true").count() == \
         sum(1 for r in back3.collect() if r["flag"] is True)
+
+
+def test_create_native_dataset_nested_types(tmp_path, spark):
+    """Distributed CTAS with nested Spark types (the reference's CTAS
+    writes ARRAY and FixedSizeList vectors,
+    LancePageToArrowConverter.java:559-627,190-230): array<float> maps
+    to fixed_size_list via fsl_columns (the embeddings shape, both file
+    flavors, searchable by the native vector index), array<string> maps
+    to a true list<T> (FILE-v2), one-level structs map to struct
+    fields; v1 + list refuses loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    df = spark.range(48).selectExpr(
+        "id AS k",
+        "array(CAST(id AS float), CAST(id*2 AS float), "
+        "CAST(id%7 AS float), CAST(id%11 AS float)) AS emb",
+        "named_struct('src', concat('s', id % 3), "
+        "'score', CAST(id AS double)) AS meta",
+    ).withColumn(
+        "tags",
+        F.expr("transform(sequence(1, CAST(k % 3 AS int) + 1), "
+               "x -> concat('t', x))"),
+    ).repartition(3)
+
+    root = str(tmp_path / "nested2.lance")
+    ln.create_native_dataset(
+        df, root, file_version=2, fsl_columns={"emb": 4})
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(root)
+
+    def canon(rows):
+        return {
+            (r["k"], tuple(r["emb"]), (r["meta"]["src"],
+             r["meta"]["score"]), tuple(r["tags"]))
+            for r in rows
+        }
+
+    assert canon(back.collect()) == canon(df.collect())
+
+    # v1 flavor: fsl + struct land; a true list column refuses loudly
+    root1 = str(tmp_path / "nested1.lance")
+    ln.create_native_dataset(
+        df.drop("tags"), root1, file_version=1, fsl_columns={"emb": 4})
+    assert spark.read.format("lance").load(root1).count() == 48
+    with _pytest.raises(ln.LanceNativeError, match="file_version=2"):
+        ln.create_native_dataset(df, str(tmp_path / "bad.lance"))
+
+    # the CTAS'd fsl column is indexable + searchable natively
+    ln.write_native_vector_index(root1, "emb", n_cells=4, nsub=2)
+    idx = ln.list_native_vector_indices(root1)[-1]
+    res = ln.native_index_search(
+        root1, idx, [[10.0, 20.0, 3.0, 10.0]], k=3, nprobe=4)
+    assert len(res[0]["neighbors"]) == 3
+    assert res[0]["distances"][0] == 0.0  # k=10 row is an exact match
