@@ -1397,13 +1397,15 @@ def lf23(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment AS segment,
            COUNT(*) AS n,
            CAST(SUM(bal_c) AS BIGINT) AS bal_sum,
-           TRUE AS one_version_commit
+           TRUE AS one_version_commit,
+           TRUE AS executor_staged
     FROM merged
     GROUP BY c_mktsegment
     ORDER BY segment
     """,
-    doc="format: MERGE upsert into a native .lance dataset — matched-key "
-        "DVs + one delta fragment, single manifest version",
+    doc="format: DISTRIBUTED MERGE upsert into a native .lance dataset — "
+        "matched-key DVs + executor-staged delta fragments, single "
+        "manifest version",
     tags=("format", "interop", "lance-native", "dml", "mor", "merge"),
 )
 def lf24(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,10 +1446,23 @@ def lf24(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(100000 + i, i * 100, "SYNTH") for i in range(1, 11)],
             "c_custkey long, bal_c long, c_mktsegment string",
         ))
+        .repartition(4)
     )
+    from ..format.lance_native import read_native_manifest
+
     v_before = LanceNativeDataset(path).version
-    v_after = native_merge_into(spark, path, src, on=["c_custkey"])
+    frags_before = len(read_native_manifest(path).fragments)
+    # the 100 TB flavor: source rows stage as data files FROM THE
+    # EXECUTORS (one per task up to rows_per_fragment); the driver sees
+    # only matched addresses + (file, rows) manifest entries
+    v_after = native_merge_into(
+        spark, path, src, on=["c_custkey"], distributed=True,
+        rows_per_fragment=500)
     one_version = v_after == v_before + 1
+    # executor staging proof: the repartition(4) source lands >= 2 delta
+    # fragments (the driver-side flavor writes exactly ONE)
+    executor_staged = (
+        len(read_native_manifest(path).fragments) - frags_before >= 2)
     return (
         spark.read.format("lance").load(path)
         .groupBy(F.col("c_mktsegment").alias("segment"))
@@ -1456,6 +1471,7 @@ def lf24(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_c").alias("bal_sum"),
         )
         .withColumn("one_version_commit", F.lit(bool(one_version)))
+        .withColumn("executor_staged", F.lit(bool(executor_staged)))
         .orderBy("segment")
     )
 
@@ -2078,4 +2094,213 @@ def lf31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "count_is_metadata_exact", F.lit(bool(count_exact)))
         .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lf32 — NULLs everywhere on the native path (the reference's write
+# contract: "NULLs allowed everywhere", BaseLanceConnectorTest.java:118,
+# null handling throughout LancePageToArrowConverter.java:305-659): a
+# DataFrame with NULLs in long / string / timestamp / bool columns
+# CTAS-es DISTRIBUTED into a real `.lance` dataset (executor-staged
+# fragments, leaf-validity pages), takes a MoR UPDATE that writes NULLs
+# into matched rows, and scans back through format("lance") into
+# null-sensitive aggregates (COUNT(col) vs COUNT(*), SUM over a nullable
+# column, IS-NULL counts, a NULL group key). The oracle reproduces the
+# injected nulls and the update in plain SQL over the parquet source.
+# ---------------------------------------------------------------------------
+@register(
+    "lf32_native_null_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+                    THEN NULL
+                    ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               END AS price_c,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_orderdate END AS odate,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderkey % 2 = 0 END AS flag
+        FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT COALESCE(prio, 'NONE') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(price_c) AS BIGINT) AS n_price,
+           CAST(SUM(price_c) AS BIGINT) AS price_sum,
+           CAST(SUM(CASE WHEN odate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_date,
+           CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_true
+    FROM base
+    GROUP BY COALESCE(prio, 'NONE')
+    ORDER BY priority
+    """,
+    doc="format: NULL-bearing distributed CTAS + MoR UPDATE writing "
+        "NULLs on a native .lance dataset — leaf-validity pages in "
+        "long/string/timestamp/bool, null-sensitive aggregates back",
+    tags=("format", "interop", "lance-native", "write", "dml", "nulls"),
+)
+def lf32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        create_native_dataset,
+        native_update_where,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf32-native-nulls")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .selectExpr(
+            "o_orderkey AS k",
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE "
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "END AS price_c",
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE "
+            "o_orderpriority END AS prio",
+            "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE "
+            "o_orderdate END AS odate",
+            "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE "
+            "o_orderkey % 2 = 0 END AS flag",
+        )
+        .repartition(4)
+    )
+    create_native_dataset(src, path, rows_per_fragment=500)
+    executor_staged = len(read_native_manifest(path).fragments) >= 4
+
+    register_lance_datasource(spark)
+    # MoR UPDATE writing NULLs: matched rows' replacements carry a NULL
+    # price through the DML delta encoder's validity pages
+    native_update_where(
+        spark, path, F.col("k") % 13 == 0,
+        {"price_c": F.lit(None).cast("long")})
+    if not executor_staged:  # pragma: no cover — staging contract broke
+        raise RuntimeError("expected >= 4 executor-staged fragments")
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.coalesce(F.col("prio"), F.lit("NONE")).alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("price_c").alias("n_price"),
+            F.sum("price_c").alias("price_sum"),
+            F.sum(F.when(F.col("odate").isNull(), 1).otherwise(0))
+            .alias("n_null_date"),
+            F.sum(F.when(F.col("flag"), 1).otherwise(0))
+            .alias("n_flag_true"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lf33 — embeddings CTAS, the repo's flagship shape, landing NATIVE: a
+# Spark DataFrame with an array<float> vector column and a struct column
+# creates a real `.lance` dataset distributed (fsl_columns maps the
+# vector to fixed_size_list:float:64 — the reference CTAS's FixedSizeList
+# write, LancePageToArrowConverter.java:190-230,559-627), gets a
+# persisted IVF_PQ index in the real `_indices/<uuid>/index.idx` binary
+# layout, and is searched with all-cells probes that must equal brute
+# force ORDER-EXACTLY (the lf17 self-validation pattern). The scan-back
+# aggregates per struct bucket over exact integer-quantized components,
+# so the oracle value-checks the whole nested round-trip in plain SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "lf33_native_embeddings_ctas",
+    oracle="""
+    SELECT 'b' || CAST(label AS VARCHAR) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(list_aggregate(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                          AS BIGINT)), 'sum') AS BIGINT))
+                AS BIGINT) AS comp_sum,
+           TRUE AS ann_exact,
+           TRUE AS executor_staged
+    FROM embeddings
+    GROUP BY label
+    ORDER BY bucket
+    """,
+    doc="format: distributed embeddings CTAS into native .lance "
+        "(fsl<float,64> + struct columns), persisted IVF_PQ index, "
+        "all-cells ANN == brute force, nested scan-back aggregates",
+    tags=("format", "interop", "lance-native", "write", "similarity",
+          "ann", "nested"),
+)
+def lf33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..format.lance_native import (
+        create_native_dataset,
+        list_native_vector_indices,
+        native_index_search,
+        read_native_manifest,
+        write_native_vector_index,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf33-native-embeddings")
+    src = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            "named_struct('bucket', concat('b', CAST(label AS STRING)), "
+            "'label', CAST(label AS BIGINT)) AS meta",
+        )
+        .repartition(3)
+    )
+    create_native_dataset(
+        src, path, rows_per_fragment=200, fsl_columns={"embedding": 64})
+    m = read_native_manifest(path)
+    executor_staged = len(m.fragments) >= 3
+
+    # persisted IVF_PQ over the CTAS'd fsl column; all-cells probe must
+    # reproduce brute force order-exactly (self-validation, lf17)
+    write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
+    idx = list_native_vector_indices(path)[-1]
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(path)
+    rows = back.select("vec_id", "embedding").orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    queries = vecs[:4]
+    res = native_index_search(
+        path, idx, queries, k=5, nprobe=idx.n_cells)
+    # brute force is over (vec_id order == insertion order per fragment);
+    # compare by vec_id via the row-address -> vec_id mapping the scan
+    # itself provides
+    addr_rows = (
+        spark.read.format("lance").option("row_address", "true")
+        .load(path).select("vec_id", "_row_address").collect()
+    )
+    id_of_addr = {int(r["_row_address"]): int(r["vec_id"])
+                  for r in addr_rows}
+    ann_exact = True
+    for qi in range(len(queries)):
+        true_ids = ids[np.argsort(
+            ((vecs - queries[qi]) ** 2).sum(1), kind="stable")[:5]]
+        got_ids = [id_of_addr[int(a)] for a in res[qi]["neighbors"]]
+        if got_ids != [int(x) for x in true_ids]:
+            ann_exact = False
+    comp = (
+        "aggregate(transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)), "
+        "0L, (a, b) -> a + b)"
+    )
+    return (
+        back
+        .groupBy(F.col("meta.bucket").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vec_id").alias("id_sum"),
+            F.sum(F.expr(comp)).alias("comp_sum"),
+        )
+        .withColumn("ann_exact", F.lit(bool(ann_exact)))
+        .withColumn("executor_staged", F.lit(bool(executor_staged)))
+        .orderBy("bucket")
     )
