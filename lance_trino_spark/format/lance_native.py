@@ -3048,6 +3048,26 @@ def native_cleanup_old_versions(
         if not (idx.covered_fragments & live_frags):
             shutil.rmtree(os.path.dirname(idx.path))
             out["removed_index_dirs"] += 1
+    # vector sidecars: index.idx carries no fragment coverage (it is the
+    # SDK's byte layout), but indexes built HERE drop a coverage.json
+    # next to it — reap those once none of their covered fragments
+    # survive; sidecar-less (SDK-written) indexes stay conservatively
+    # kept, as before.
+    import json as _json
+    idx_root = os.path.join(root, "_indices")
+    if os.path.isdir(idx_root):
+        for dname in os.listdir(idx_root):
+            cov_path = os.path.join(idx_root, dname, "coverage.json")
+            if not os.path.isfile(cov_path):
+                continue
+            try:
+                with open(cov_path) as fh:
+                    covered = set(_json.load(fh).get("fragments", []))
+            except (ValueError, OSError):
+                continue  # unreadable sidecar: keep conservatively
+            if not (covered & live_frags):
+                shutil.rmtree(os.path.join(idx_root, dname))
+                out["removed_index_dirs"] += 1
     return out
 
 
@@ -3649,6 +3669,19 @@ def write_native_vector_index(
     blob += struct.pack("<QHH", meta_pos, 0, 1) + b"LANC"
     with open(os.path.join(d, "index.idx"), "wb") as fh:
         fh.write(blob)
+    # fragment-coverage sidecar (a repo file NEXT TO the SDK-layout
+    # index.idx, never inside it — index.idx stays byte-compatible with
+    # the fixture format): lets vacuum reap this index once none of its
+    # covered fragments survive in any retained version. SDK-written
+    # indexes lack the file and stay conservatively kept.
+    import json as _json
+
+    with open(os.path.join(d, "coverage.json"), "w") as fh:
+        _json.dump({
+            "column": column,
+            "dataset_version": manifest.version,
+            "fragments": sorted(int(f.id) for f in manifest.fragments),
+        }, fh)
     return uid
 
 

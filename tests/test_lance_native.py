@@ -2384,3 +2384,59 @@ def test_create_native_dataset_nested_types(tmp_path, spark):
         root1, idx, [[10.0, 20.0, 3.0, 10.0]], k=3, nprobe=4)
     assert len(res[0]["neighbors"]) == 3
     assert res[0]["distances"][0] == 0.0  # k=10 row is an exact match
+
+
+def test_vector_sidecar_vacuum_coverage(tmp_path):
+    """Vector-index sidecars built here carry a coverage.json next to
+    the SDK-layout index.idx; vacuum reaps a superseded index once none
+    of its covered fragments survive in any retained version, while the
+    live index keeps serving searches. A sidecar-less (SDK-written)
+    index dir stays conservatively kept."""
+    import os as _os
+
+    from lance_trino_spark.format import lance_native as ln
+
+    root = str(tmp_path / "vecvac.lance")
+    dim = 8
+    cols = lambda lo, hi: {  # noqa: E731
+        "vec_id": list(range(lo, hi)),
+        "embedding": [
+            [float((i * 7 + j) % 13) for j in range(dim)]
+            for i in range(lo, hi)
+        ],
+    }
+    ln.write_native_dataset(
+        root, cols(0, 120),
+        types={"embedding": f"fixed_size_list:float:{dim}"})
+    ln.append_native_rows(root, cols(120, 240))
+    ln.write_native_vector_index(root, "embedding", n_cells=2, nsub=2)
+    old_dir = _os.path.dirname(ln.list_native_vector_indices(root)[-1].path)
+    assert _os.path.isfile(_os.path.join(old_dir, "coverage.json"))
+
+    # delete rows in BOTH fragments, compact: every live row rewrites
+    # under a NEW fragment id, the old fragments drop from the manifest
+    ln.native_delete(root, {0: [0, 1, 2], 1: [5]})
+    assert ln.native_compact(root) is not None
+    ln.write_native_vector_index(root, "embedding", n_cells=2, nsub=2)
+    new_idx = ln.list_native_vector_indices(root)[-1]
+    new_dir = _os.path.dirname(new_idx.path)
+    assert new_dir != old_dir
+
+    # a foreign (SDK-shaped) index dir: index.idx, no coverage sidecar
+    foreign = _os.path.join(root, "_indices", "feedfeed-sdk")
+    _os.makedirs(foreign)
+    with open(ln.list_native_vector_indices(root)[0].path, "rb") as fh:
+        blob = fh.read()
+    with open(_os.path.join(foreign, "index.idx"), "wb") as fh:
+        fh.write(blob)
+
+    out = ln.native_cleanup_old_versions(root, keep_versions=1)
+    assert out["removed_index_dirs"] >= 1
+    assert not _os.path.isdir(old_dir)       # superseded: reaped
+    assert _os.path.isdir(new_dir)           # live coverage: kept
+    assert _os.path.isdir(foreign)           # sidecar-less: kept
+
+    res = ln.native_index_search(
+        root, ln.list_native_vector_indices(root)[-1],
+        [[float((5 * 7 + j) % 13) for j in range(dim)]], k=3, nprobe=2)
+    assert len(res[0]["neighbors"]) == 3
