@@ -448,7 +448,11 @@ def _v2_fixed_np(raw, offs, sizes, nrows, np_dt, width, what):
     if len(offs) != 1 or sizes[0] != nrows * width:
         raise LanceNativeError(
             f"non-flat v2 page encoding for {what} (buffers={len(offs)}, "
-            f"sizes={sizes}, rows={nrows}) — only plain pages are decoded"
+            f"sizes={sizes}, rows={nrows}) — only PLAIN v2 pages decode "
+            "(the 2.0-era value layout the checked-in SDK fixtures "
+            "test_table5/wide_types_table carry); miniblock / full-zip "
+            "structural encodings (Lance file format 2.1+) refuse "
+            "loudly here rather than guess an unpinned layout"
         )
     return np.frombuffer(raw, dtype=np_dt, count=nrows, offset=offs[0])
 
@@ -466,7 +470,19 @@ def _v2_read_column(
     list<T> (end-offsets into the CHILD column, one v2 column per child
     field), and fixed_size_list<T, n> (flat child values). Compressed /
     dictionary / miniblock encodings raise loudly rather than guess —
-    every size is cross-checked against rows x width first."""
+    every size is cross-checked against rows x width first.
+
+    VERSION ENVELOPE (pinned by tests/test_lance_native.py::
+    test_v2_foreign_structural_encodings_refuse): readable v2 files are
+    the 2.0-era PLAIN value layouts exactly as the checked-in SDK
+    fixtures carry them — one flat buffer per fixed-width page (+ an
+    optional leading validity buffer, the repo's own leaf-null arm),
+    [end-offsets][payload] pairs for var-width. Files from SDKs using
+    the 2.1 structural encodings (miniblock for narrow rows, full-zip
+    for wide) present different buffer counts/sizes and REFUSE with a
+    message naming the layout; decoding them needs a pinned fixture
+    first (the dictionary-encoding lesson: never decode a foreign
+    layout on faith)."""
     import numpy as np
     import pyarrow as pa
 

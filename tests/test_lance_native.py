@@ -2440,3 +2440,57 @@ def test_vector_sidecar_vacuum_coverage(tmp_path):
         root, ln.list_native_vector_indices(root)[-1],
         [[float((5 * 7 + j) % 13) for j in range(dim)]], k=3, nprobe=2)
     assert len(res[0]["neighbors"]) == 3
+
+
+def test_v2_foreign_structural_encodings_refuse(tmp_path):
+    """Version-envelope pin for the FILE-v2 reader: pages whose buffer
+    shape is neither the 2.0-era plain layout (one flat buffer per
+    fixed-width page; [end-offsets][payload] for var-width) nor the
+    repo's validity-prefixed variant must refuse LOUDLY, naming the
+    unsupported structural layout — a Lance 2.1 miniblock/full-zip page
+    must never decode on faith."""
+    import struct as _struct
+
+    from lance_trino_spark.format import lance_native as ln
+
+    def v2_file(bufs_per_page, nrows):
+        """Hand-roll a one-column v2 file with the given page buffers."""
+        buf = bytearray()
+        offsets, sizes = [], []
+        for b in bufs_per_page:
+            offsets.append(len(buf))
+            sizes.append(len(b))
+            buf += b
+        cms = len(buf)
+        colmeta = ln._enc_field(2, 2, (
+            ln._enc_field(1, 2, b"".join(
+                ln._enc_varint(o) for o in offsets))
+            + ln._enc_field(2, 2, b"".join(
+                ln._enc_varint(x) for x in sizes))
+            + ln._enc_field(3, 0, nrows)
+        ))
+        entries_pos = len(buf) + len(colmeta)
+        buf += colmeta
+        buf += _struct.pack("<QQ", cms, len(colmeta))
+        gbos = len(buf)
+        buf += _struct.pack(
+            "<QQQIIHH", cms, entries_pos, gbos, 0, 1, 0, 3) + b"LANC"
+        return bytes(buf)
+
+    f = ln.NativeField("x", 0, (1 << 64) - 1, "int64", True, 1)
+
+    # miniblock-ish: 3 buffers on a fixed-width column
+    raw = v2_file([b"\x01" * 4, b"\x02" * 8, b"\x03" * 16], nrows=2)
+    with pytest.raises(ln.LanceNativeError, match="miniblock"):
+        ln._v2_read_column(raw, 0, f)
+
+    # compressed-ish: one buffer but the wrong byte count for rows*width
+    raw = v2_file([b"\x05" * 11], nrows=4)
+    with pytest.raises(ln.LanceNativeError, match="PLAIN v2 pages"):
+        ln._v2_read_column(raw, 0, f)
+
+    # two buffers whose first is NOT the validity bitmap size: refuse,
+    # do not misread as validity + values
+    raw = v2_file([b"\x06" * 7, b"\x07" * 32], nrows=4)
+    with pytest.raises(ln.LanceNativeError, match="miniblock"):
+        ln._v2_read_column(raw, 0, f)
