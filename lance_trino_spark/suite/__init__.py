@@ -76,73 +76,36 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 8 window. Front: the queries ADDED this round (lf19-lf28,
-    # ds10, s14, t23 — never driver-checked), then queries whose CODE
-    # CHANGED this round after their last check (ROTATION RULE: changed
-    # code outranks staleness — the scale-hardening pass rewrote the
-    # near-dup pair join (s03/d08), canonicalized d02/d04 and their d05/
-    # d06 consumers, re-derived q26's rollup sum, resized ds04's setup),
-    # then never-checked/red from r7 (s13 fixed, t22, cat21/lf18
-    # oracle-fixed), then the r7-rewritten JVM paths, then the 14
-    # r4-latest stale, then the r5-latest cohort sorted by name; the r5
-    # tail leads the round-9 window.
-    "lf27_native_vacuum",
+    # --- round 9 window. Front: the queries ADDED this round (lf32
+    # NULL round-trip, lf33 embeddings CTAS — never driver-checked),
+    # then CHANGED-CODE queries (rotation rule: changed code outranks
+    # staleness — lf24 now commits the DISTRIBUTED merge flavor; the
+    # native readers/writers were rewritten for leaf-NULL validity and
+    # the dictionary fingerprint guard, staging moved to mapInArrow,
+    # the stream sink's conflict rebase re-scans, s14 gained the
+    # literal-plan ceiling), then the ENTIRE r5-stale cohort (judge r8
+    # item #4: after r9 nothing staler than r6), its own changed-code
+    # members first (lf14/st11 native decode, lf08 wide types, s12).
+    "lf32_native_null_roundtrip",
+    "lf33_native_embeddings_ctas",
+    "lf24_native_merge_upsert",
+    "lf23_native_mor_update",
+    "lf22_native_mor_delete",
+    "lf18_native_v2_file_scan",
     "lf28_native_dictionary_encoding",
-    "lf29_native_add_column",
-    "lf30_native_drop_column",
     "lf31_native_create_from_dataframe",
     "st12_native_stream_sink",
     "s14_kmeans_cluster_balance",
-    "t23_bpe_token_inflation",
-    "lf19_native_scalar_index_scan",
-    "lf20_native_blob_virtual_columns",
-    "lf21_native_row_address",
-    "lf22_native_mor_delete",
-    "lf23_native_mor_update",
-    "lf24_native_merge_upsert",
-    "lf25_native_table_changes",
-    "ds10_native_stream_cdc",
-    "lf26_native_compaction",
-    "s03_embedding_neardup",
-    "d02_minhash_lsh_dedup",
-    "d04_ngram_jaccard",
-    "d05_dedup_clusters",
-    "d06_quality_keep_best",
-    "d08_semantic_dedup",
-    "q26_rollup_sales",
-    "ds04_limit_coalesced_scan",
-    "s13_mmr_diversified_topk",
-    "t22_bigram_coverage",
-    "cat21_jvm_subquery_delete",
-    "lf18_native_v2_file_scan",
-    "cat16_jvm_native_delete",
-    "cat18_jvm_native_update_merge",
-    "cat19_jvm_row_address",
-    "cat20_jvm_count_star",
-    "d10_passage_dedup",
-    "s04_ivf_trained_topk",
-    "s06_bm25_topk",
-    "s08_two_stage_prefix_rerank",
-    "s09_persisted_ivf_index",
-    "s10_filtered_vector_search",
-    "s11_hnsw_index",
-    "st08_watermark_late_drop",
-    "st09_stream_hll_registers",
-    "st10_stream_vector_ingest",
-    "t05_contamination",
-    "t09_repetition_stats",
-    "t16_corpus_token_histogram",
-    "t17_vocab_stats_by_source",
-    "t18_url_domain_stats",
-    "cat17_jvm_native_insert",
-    "d01_exact_dedup",
+    "lf14_native_lance_interop",
+    "st11_native_stream_tail",
+    "lf08_wide_types_roundtrip",
+    "s12_binary_quantization",
     "d03_simhash_near_dup",
+    "t19_temperature_mix",
     "e01_hourly_event_stats",
     "e02_sessionization",
     "e03_funnel_conversion",
     "e04_top_purchasers",
-    "lf08_wide_types_roundtrip",
-    "lf14_native_lance_interop",
     "q01_pricing_summary",
     "q02_topk_open_orders",
     "q03_shipping_priority",
@@ -173,9 +136,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q29_cte_nation_stats",
     "q30_full_outer_activity",
     "q31_cube_order_stats",
-    "s12_binary_quantization",
-    "st11_native_stream_tail",
-    "t19_temperature_mix",
 )
 
 
