@@ -147,6 +147,8 @@ DEFAULT_QUERIES = [
     "lf31_native_create_from_dataframe",
     "st12_native_stream_sink",
     "s14_kmeans_cluster_balance",
+    "lf32_native_null_roundtrip",
+    "lf33_native_embeddings_ctas",
     "t23_bpe_token_inflation",
 ]
 

@@ -2494,3 +2494,31 @@ def test_v2_foreign_structural_encodings_refuse(tmp_path):
     raw = v2_file([b"\x06" * 7, b"\x07" * 32], nrows=4)
     with pytest.raises(ln.LanceNativeError, match="miniblock"):
         ln._v2_read_column(raw, 0, f)
+
+
+def test_scalar_index_on_null_bearing_column(tmp_path, spark):
+    """Scalar (btree) indexes skip NULL rows by construction (both build
+    paths filter them); eq/range probes can never match NULL in SQL
+    semantics and the probe predicate stays residual, so index-bounded
+    scans over a null-bearing column remain value-exact."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "nullidx.lance")
+    n = 4000
+    ln.write_native_dataset(root, {
+        "k": [None if i % 10 == 0 else i for i in range(n)],
+        "tag": [f"t{i % 5}" for i in range(n)],
+    }, types={"k": "int64"})
+    uid = ln.write_native_scalar_index(root, "k", page_rows=256)
+    assert uid
+    idx = ln.list_native_scalar_indices(root)[-1]
+    assert idx.n_rows == n - n // 10  # nulls not indexed
+
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    assert df.where("k = 777").count() == 1
+    assert df.where("k = 770").count() == 0  # a NULL slot: no match
+    assert df.where("k >= 100 AND k < 200").count() == 90
+    assert df.where("k IS NULL").count() == n // 10
