@@ -2057,10 +2057,17 @@ def test_create_native_dataset_from_dataframe(tmp_path, spark):
         (F.col("m") == 3) & F.col("flag")).count() == df.filter(
         (F.col("m") == 3) & F.col("flag")).count()
 
-    with _pytest.raises(LanceNativeError, match="unsupported Spark type"):
+    # arrays are supported since round 9 (FILE-v2 list / fsl_columns);
+    # on the v1 flavor they refuse with a pointer, and genuinely
+    # unmappable Spark types (map) keep the loud type error
+    with _pytest.raises(LanceNativeError, match="file_version=2"):
         create_native_dataset(
             spark.range(3).selectExpr("array(id) AS a"),
             str(tmp_path / "bad"))
+    with _pytest.raises(LanceNativeError, match="unsupported Spark type"):
+        create_native_dataset(
+            spark.range(3).selectExpr("map('k', id) AS mp"),
+            str(tmp_path / "bad2"))
 
     # FILE-v2 creation: same staging path, footer-0.3 files
     root2 = str(tmp_path / "cnd-v2.lance")
