@@ -463,6 +463,7 @@ def _v2_read_column(
     nfield: NativeField,
     manifest: NativeManifest | None = None,
     data_file: NativeDataFile | None = None,
+    indices=None,
 ):
     """Minimal Lance FILE v2 column read covering the fixture matrix
     (wide_types_table / test_table5): flat fixed-width scalars, bitpacked
@@ -482,13 +483,26 @@ def _v2_read_column(
     for wide) present different buffer counts/sizes and REFUSE with a
     message naming the layout; decoding them needs a pinned fixture
     first (the dictionary-encoding lesson: never decode a foreign
-    layout on faith)."""
+    layout on faith).
+
+    ``indices`` (sorted file-physical row positions) is the
+    late-materialization hook, the v2 twin of the v1 reader's: pages
+    holding no selected rows are SKIPPED entirely (never touched in the
+    mmap — a point probe on a multi-page file reads O(pages hit), not
+    O(rows)); partially-selected pages decode page-bounded and take
+    locally. Leaf types only — struct/list callers take post-hoc."""
     import numpy as np
     import pyarrow as pa
 
     pages = _v2_pages(raw, col_idx)
     lt = nfield.logical_type
     what = f"column {nfield.name!r} ({lt})"
+    if indices is not None and lt in ("struct", "list"):
+        raise LanceNativeError(
+            f"selective v2 decode of nested {what} — caller bug")
+    sel_all = (
+        None if indices is None else np.asarray(indices, dtype=np.int64)
+    )
     chunks = []
     child_cache: dict = {}  # child col idx -> decoded full column (the
     # per-parent-page loop slices it; without the cache a P-page parent
@@ -502,7 +516,16 @@ def _v2_read_column(
             child_cache[ch_idx] = a
         return child_cache[ch_idx]
 
+    row_base = 0
     for pg_i, (offs, sizes, nrows) in enumerate(pages):
+        sel_local = None
+        if sel_all is not None:
+            lo = np.searchsorted(sel_all, row_base)
+            hi = np.searchsorted(sel_all, row_base + nrows)
+            sel_local = sel_all[lo:hi] - row_base
+            row_base += nrows
+            if len(sel_local) == 0:
+                continue  # page skipped entirely — bounded IO
         # leaf-validity detection (LEAF_VALIDITY_LAYOUT's v2 arm): a page
         # with one MORE buffer than its plain shape, whose first buffer
         # is exactly the bitpacked row count, leads with a validity
@@ -664,8 +687,18 @@ def _v2_read_column(
             raise LanceNativeError(
                 f"v2 decode does not support logical type {lt!r} ({what})"
             )
+        if sel_local is not None:
+            # partially-selected page: take page-locally (page-bounded
+            # work; skipped pages never reached this point)
+            chunks[-1] = chunks[-1].take(
+                pa.array(sel_local, type=pa.int64()))
     if not chunks:
-        return pa.array([], type=pa.null())
+        if lt == "halffloat":
+            return pa.array([], type=pa.float32())
+        try:
+            return pa.array([], type=_arrow_type(lt))
+        except LanceNativeError:
+            return pa.array([], type=pa.null())
     return pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
 
 
@@ -720,7 +753,15 @@ def read_file_column(
         raise LanceNativeError("missing LANC footer magic")
     maj, minor = struct.unpack_from("<HH", raw, len(raw) - 8)
     if (maj, minor) not in ((0, 1),):
-        # footer version 0.3+ = Lance FILE v2 layout (40-byte footer)
+        # footer version 0.3+ = Lance FILE v2 layout (40-byte footer).
+        # Leaf columns push the selection into the page loop (pages with
+        # no selected rows are never touched); nested columns decode
+        # whole and take (their child-page pairing needs full pages).
+        if indices is not None and nfield.logical_type not in (
+            "struct", "list"
+        ):
+            return _v2_read_column(
+                raw, col_idx, nfield, manifest, data_file, indices)
         arr = _v2_read_column(raw, col_idx, nfield, manifest, data_file)
         if indices is not None:
             arr = arr.take(pa.array(np.asarray(indices, dtype=np.int64)))
@@ -2522,7 +2563,15 @@ def stage_native_fragments(
         T.StructField("file_name", T.StringType()),
         T.StructField("n_rows", T.LongType()),
     ])
-    writer = _write_v2_data_file if file_version == 2 else _write_v1_data_file
+    if file_version == 2:
+        # production v2 files write PAGED (the SDK writes ~8 MB pages):
+        # bounded page memory on write AND the unit of the reader's
+        # page-skip late materialization — a point probe on a staged
+        # fragment touches O(pages hit), not the whole column
+        def writer(r, s):
+            return _write_v2_data_file(r, s, page_rows=8192)
+    else:
+        writer = _write_v1_data_file
 
     def stage(it):
         import pyarrow as pa

@@ -2529,3 +2529,48 @@ def test_scalar_index_on_null_bearing_column(tmp_path, spark):
     assert df.where("k = 770").count() == 0  # a NULL slot: no match
     assert df.where("k >= 100 AND k < 200").count() == 90
     assert df.where("k IS NULL").count() == n // 10
+
+
+def test_v2_page_skip_late_materialization(tmp_path):
+    """The v2 reader's late-materialization twin of the v1 path: on a
+    multi-page FILE-v2 column, a selective decode touches only pages
+    holding selected rows (pages with none are skipped outright), and
+    values — nulls included — match the full decode at those positions
+    for every leaf family (fixed, var-width, bool, fsl)."""
+    import numpy as np
+
+    from lance_trino_spark.format import lance_native as ln
+
+    n = 10_000
+    cols = {
+        "k": list(range(n)),
+        "s": [None if i % 7 == 0 else f"v{i}" for i in range(n)],
+        "flag": [None if i % 11 == 0 else (i % 3 == 0) for i in range(n)],
+        "vec": [
+            None if i % 13 == 0 else [float(i), float(i % 5)]
+            for i in range(n)
+        ],
+    }
+    types = {"vec": "fixed_size_list:float:2", "flag": "bool"}
+    specs = ln._v1_field_specs(list(cols), cols, types)
+    root = str(tmp_path)
+    fn, _ = ln._write_v2_data_file(root, specs, page_rows=1024)
+    fields = [
+        ln.NativeField(nm, fid, p if p >= 0 else (1 << 64) - 1, lt, True, 0)
+        for (nm, fid, p, lt, _v) in specs
+    ]
+    mani = ln.NativeManifest(fields, [], 1, None)
+    dfile = ln.NativeDataFile(fn, [sp[1] for sp in specs])
+
+    sel = np.array([0, 7, 1023, 1024, 5000, 9999])
+    for ci, f in enumerate(fields):
+        full = ln.read_file_column(root, dfile, ci, f, mani)
+        part = ln.read_file_column(root, dfile, ci, f, mani, indices=sel)
+        assert part.to_pylist() == [
+            full[int(i)].as_py() for i in sel
+        ], f.name
+    # empty selection returns a typed empty array
+    empty = ln.read_file_column(
+        root, dfile, 0, fields[0], mani,
+        indices=np.array([], dtype=np.int64))
+    assert len(empty) == 0 and str(empty.type) == "int64"
