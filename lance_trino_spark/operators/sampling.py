@@ -152,3 +152,100 @@ def temperature_mix(
         .filter(bucket < F.floor(F.col("rate") * DENOM))
         .drop("rate")
     )
+
+
+def capped_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    caps: dict[str, int],
+    id_col: str,
+    salt: str = "cap",
+    default_cap: int = 0,
+    safety: float = 2.0,
+) -> DataFrame:
+    """EXACT per-group row caps ("at most N docs per source"), decided by
+    a deterministic salted hash order — the count-budgeted complement of
+    `stratified_sample`'s fractions, and the standard way to hold a
+    balanced training mix to per-source document budgets. Keeps, for
+    each group, the ``cap`` rows with the smallest ``(h32(salt||id),
+    id)`` — stable across runs, retries, partitionings, and engines
+    (DuckDB's ROW_NUMBER over the identical hash reproduces the set
+    row-for-row).
+
+    Scale shape (the naive plan is a global window over EVERY row —
+    a full shuffle of the corpus into per-group sorts, with the
+    biggest source becoming one giant sort task): here the window only
+    ever sees O(sum of caps) rows. Pass 1 takes map-side-combinable
+    group counts (k rows to the driver — k = #sources, small by
+    construction). Pass 2 keeps rows whose uniform 32-bit hash falls
+    under ``safety * cap / n`` of the hash space — a narrow, shuffle-
+    free predicate that leaves ~safety*cap survivors per group. A
+    verification count then EXACTLY detects the (hash-fluctuation)
+    case where a group's survivors fell short of its cap, and only
+    those groups fall back to threshold = full space, so the final
+    ranked window is provably identical to the naive plan while
+    ranking ~safety*caps rows instead of the corpus.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8),
+        16, 10,
+    ).cast("bigint")
+    with_h = df.withColumn("__h", h)
+    space = 1 << 32
+
+    def cap_of(g):
+        return int(caps.get(g, default_cap))
+
+    # pass 1: exact group sizes (k rows; k = #groups, bounded)
+    counts = {
+        r[0]: int(r[1])
+        for r in with_h.groupBy(group_col).count().collect()
+    }
+    thresholds = {}
+    for g, n in counts.items():
+        cap = cap_of(g)
+        if cap <= 0:
+            thresholds[g] = -1          # group dropped entirely
+        elif n <= cap:
+            thresholds[g] = space       # keep-all: no ranking needed
+        else:
+            thresholds[g] = min(
+                space, int(space * safety * cap / n) + 1)
+    pairs = []
+    for g, t in sorted(thresholds.items()):
+        pairs.extend([F.lit(g), F.lit(t)])
+    thr = F.coalesce(
+        F.create_map(*pairs)[F.col(group_col)], F.lit(-1))
+    survivors = with_h.filter(F.col("__h") < thr)
+
+    # verification: any group whose survivor pool fell short of its cap
+    # (possible hash fluctuation) re-runs with the FULL hash space —
+    # exactness never rests on the safety factor
+    got = {
+        r[0]: int(r[1])
+        for r in survivors.groupBy(group_col).count().collect()
+    }
+    short = [
+        g for g, n in counts.items()
+        if 0 < thresholds.get(g, -1) < space
+        and got.get(g, 0) < min(cap_of(g), n)
+    ]
+    if short:
+        widen = F.col(group_col).isin([str(g) for g in short])
+        survivors = with_h.filter(widen | (F.col("__h") < thr))
+
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        survivors
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.coalesce(
+            F.create_map(*[
+                x for g in sorted(counts) for x in
+                (F.lit(g), F.lit(cap_of(g)))
+            ])[F.col(group_col)], F.lit(0)))
+        .drop("__h", "__rn")
+    )

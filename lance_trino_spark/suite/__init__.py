@@ -88,6 +88,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # members first (lf14/st11 native decode, lf08 wide types, s12).
     "lf32_native_null_roundtrip",
     "lf33_native_embeddings_ctas",
+    "t24_capped_source_budgets",
     "lf24_native_merge_upsert",
     "lf23_native_mor_update",
     "lf22_native_mor_delete",

@@ -1342,3 +1342,63 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# t24 — EXACT per-source document budgets ("at most N docs from each
+# source"), the count-budgeted complement of t06's fractional mixing:
+# `capped_sample_per_group` keeps each source's cap smallest rows by a
+# salted-hash order — deterministic across runs, partitionings, and
+# engines. The operator's scale shape (group counts -> hash-space
+# pre-filter -> window over ~safety*caps survivors, never the corpus)
+# must produce EXACTLY the naive global window's answer, which is what
+# the oracle computes with a plain ROW_NUMBER over the identical hash.
+# ---------------------------------------------------------------------------
+@register(
+    "t24_capped_source_budgets",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('cap' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM ranked
+    WHERE rn <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 30
+                            WHEN 'src2' THEN 12 ELSE 8 END
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="data mixing: exact per-source document budgets via "
+        "deterministic hash-ranked caps (windowed over O(caps) "
+        "survivors, not the corpus)",
+    tags=("text", "sampling", "pipeline"),
+)
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import capped_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    kept = capped_sample_per_group(
+        docs,
+        "source",
+        {"src0": 5, "src1": 30, "src2": 12},
+        id_col="doc_id",
+        salt="cap",
+        default_cap=8,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

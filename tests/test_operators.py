@@ -828,3 +828,52 @@ def test_ngram_jaccard_canonicalization_matches_naive(spark):
     assert (12, 13, 1.0) in got_set
     # ...but the 'tiny doc' copies (< k words -> no shingles) never pair
     assert not paired & {15, 16, 17}
+
+
+def test_capped_sample_per_group_exact_and_bounded(spark):
+    """capped_sample_per_group's thresholded plan must EXACTLY equal the
+    naive global-window answer (including the shortfall fallback with a
+    tiny safety factor), honor keep-all and drop-group caps, and stay
+    deterministic across partitionings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.operators.sampling import capped_sample_per_group
+
+    df = spark.range(5000).selectExpr(
+        "id AS doc_id",
+        "concat('g', CAST(pmod(id, 7) AS STRING)) AS source",
+    )
+    caps = {"g0": 17, "g1": 5000, "g2": 0, "g3": 1}
+
+    def naive(caps, default_cap):
+        h = F.conv(F.substring(F.md5(
+            F.concat(F.lit("cap"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("bigint")
+        w = Window.partitionBy("source").orderBy(h, "doc_id")
+        cap = F.coalesce(F.create_map(*[
+            x for g, c in sorted(caps.items())
+            for x in (F.lit(g), F.lit(c))])[F.col("source")],
+            F.lit(default_cap))
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= cap).drop("__rn"))
+
+    want = {tuple(r) for r in naive(caps, 9).collect()}
+    got = {tuple(r) for r in capped_sample_per_group(
+        df, "source", caps, id_col="doc_id", default_cap=9).collect()}
+    assert got == want
+    # tiny safety factor forces the shortfall fallback; still exact
+    got_tight = {tuple(r) for r in capped_sample_per_group(
+        df, "source", caps, id_col="doc_id", default_cap=9,
+        safety=1.0000001).collect()}
+    assert got_tight == want
+    # partitioning-independence
+    got_repart = {tuple(r) for r in capped_sample_per_group(
+        df.repartition(13), "source", caps, id_col="doc_id",
+        default_cap=9).collect()}
+    assert got_repart == want
+    # per-group counts honor the caps (tuples are (doc_id, source))
+    from collections import Counter
+    n = Counter(src for _, src in got)
+    assert n["g0"] == 17 and n["g3"] == 1 and "g2" not in n
+    assert n["g1"] == 5000 // 7 + 1  # keep-all cap: whole group survives

@@ -113,6 +113,10 @@ SUITE_AUDIT_ALLOW = {
     # hash-bucket sampling predicate (md5 of concat) is not expressible as
     # a parquet pushdown by design — the filter must run engine-side
     "t06_stratified_sample": "PushedFilters",
+    # t24's hash-space pre-filter is the same md5-derived engine-side
+    # predicate as t06 (it is the mechanism that keeps the ranking window
+    # O(sum of caps) instead of a corpus-wide shuffle)
+    "t24_capped_source_budgets": "PushedFilters",
     # two-stage rerank broadcasts the guarded-small query set (same
     # sanctioned shape as s01; the loud max_broadcast_queries cap applies)
     "s08_two_stage_prefix_rerank": "BroadcastNestedLoopJoin",
