@@ -2254,8 +2254,11 @@ def lf33(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(3)
     )
+    # FILE-v2 flavor: the paged staging writer + v2 fsl/struct decode
+    # run through the driver's value gate, not just pytest
     create_native_dataset(
-        src, path, rows_per_fragment=200, fsl_columns={"embedding": 64})
+        src, path, file_version=2, rows_per_fragment=200,
+        fsl_columns={"embedding": 64})
     m = read_native_manifest(path)
     executor_staged = len(m.fragments) >= 3
 
