@@ -96,6 +96,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf28_native_dictionary_encoding",
     "lf31_native_create_from_dataframe",
     "st12_native_stream_sink",
+    "lf26_native_compaction",
     "s14_kmeans_cluster_balance",
     "lf14_native_lance_interop",
     "st11_native_stream_tail",

@@ -1638,7 +1638,9 @@ def lf26(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = LanceNativeDataset(path)
     n_frags_pre, live_pre = len(pre.manifest.fragments), pre.count_rows()
 
-    native_compact(path)                                        # v4
+    # the 100 TB flavor: victim fragments scan fragment-restricted via
+    # format("lance") and the consolidated fragments stage executor-side
+    native_compact(path, spark=spark)                           # v4
 
     post = LanceNativeDataset(path)
     dvs_cleared = all(

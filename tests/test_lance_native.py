@@ -2574,3 +2574,27 @@ def test_v2_page_skip_late_materialization(tmp_path):
         root, dfile, 0, fields[0], mani,
         indices=np.array([], dtype=np.int64))
     assert len(empty) == 0 and str(empty.type) == "int64"
+
+
+def test_stream_sink_with_nulls(tmp_path, spark):
+    """The exactly-once streaming sink composed with leaf-NULL validity:
+    null-bearing micro-batches stage and commit, replays stay no-ops,
+    and the landed rows scan back with their NULLs intact."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "nullsink.lance")
+    proto = spark.range(0).selectExpr(
+        "id AS k", "CAST(NULL AS STRING) AS tag")
+    ln.create_native_dataset(proto, root)
+
+    b = spark.range(40).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE concat('s', id) END AS tag")
+    v = ln.native_stream_commit_batch(b, 0, root, app_id="ns")
+    assert ln.native_stream_commit_batch(b, 0, root, app_id="ns") == v
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(root)
+    assert back.count() == 40
+    assert back.where("tag IS NULL").count() == 10
