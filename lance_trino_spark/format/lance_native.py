@@ -3598,7 +3598,10 @@ def write_native_vector_index(
         raise LanceNativeError(f"dim {dim} not divisible by nsub {nsub}")
     subdim = dim // nsub
 
-    # pass 1: bounded training sample (first `sample` rows, deterministic)
+    # pass 1: bounded training sample (first `sample` NON-NULL rows,
+    # deterministic — a NULL embedding must never train or be indexed as
+    # a placeholder zero-vector polluting ANN results; like the scalar
+    # index, null rows are simply unindexed)
     train = []
     got = 0
     for frag in manifest.fragments:
@@ -3606,9 +3609,15 @@ def write_native_vector_index(
             break
         dfile, col_idx = frag.file_for_field(nfield.id)
         arr = read_file_column(root, dfile, col_idx, nfield, manifest)
-        v = np.asarray(arr.flatten(), dtype=np.float32).reshape(-1, dim)
+        # .values, not .flatten(): flatten DROPS null slots, desyncing
+        # positions; values keeps every physical slot for exact masking
+        v = np.asarray(arr.values, dtype=np.float32).reshape(-1, dim)
+        v = v[np.asarray(arr.is_valid())]
         train.append(v[: sample - got])
         got += len(train[-1])
+    if got == 0:
+        raise LanceNativeError(
+            f"column {column!r} has no non-null vectors to index")
     tr = np.concatenate(train)
     cent = _kmeans(tr, n_cells, iters, seed)
     assign = ((tr[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
@@ -3646,6 +3655,7 @@ def write_native_vector_index(
             .option("version", str(manifest.version))
             .load(root)
             .select(F.col(column).alias("v"), "_row_address")
+            .where(F.col("v").isNotNull())  # NULLs are unindexed
         )
 
         def encode(batches):
@@ -3675,10 +3685,14 @@ def write_native_vector_index(
             dfile, col_idx = frag.file_for_field(nfield.id)
             arr = read_file_column(root, dfile, col_idx, nfield, manifest)
             v = np.asarray(
-                arr.flatten(), dtype=np.float32).reshape(-1, dim)
-            a, codes = _encode_block(v)
+                arr.values, dtype=np.float32).reshape(-1, dim)
             addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
                 len(v), dtype=np.uint64)
+            vmask = np.asarray(arr.is_valid())
+            v, addr = v[vmask], addr[vmask]  # NULLs are unindexed
+            if not len(v):
+                continue
+            a, codes = _encode_block(v)
             for c in range(n_cells):
                 m = a == c
                 if m.any():

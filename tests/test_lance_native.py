@@ -2598,3 +2598,33 @@ def test_stream_sink_with_nulls(tmp_path, spark):
     back = spark.read.format("lance").load(root)
     assert back.count() == 40
     assert back.where("tag IS NULL").count() == 10
+
+
+def test_vector_index_skips_null_embeddings(tmp_path):
+    """A NULL embedding row must be UNINDEXED (like scalar-index nulls),
+    never trained on or encoded as a placeholder zero-vector: a query at
+    the origin finds real vectors, not phantom nulls."""
+    import numpy as np
+
+    from lance_trino_spark.format import lance_native as ln
+
+    root = str(tmp_path / "nullvec.lance")
+    dim = 4
+    n = 200
+    vecs = [
+        None if i % 5 == 0 else [float(i % 17) + 1.0] * dim
+        for i in range(n)
+    ]
+    ln.write_native_dataset(
+        root, {"vec_id": list(range(n)), "embedding": vecs},
+        types={"embedding": f"fixed_size_list:float:{dim}"})
+    ln.write_native_vector_index(root, "embedding", n_cells=2, nsub=2)
+    idx = ln.list_native_vector_indices(root)[-1]
+    assert sum(idx.part_lengths) == n - n // 5  # nulls unindexed
+
+    res = ln.native_index_search(
+        root, idx, [[0.0] * dim], k=5, nprobe=2)
+    # nearest real vectors are the all-1.0 rows — never a null address
+    null_addrs = {i for i in range(n) if i % 5 == 0}
+    assert not (set(res[0]["neighbors"]) & null_addrs)
+    assert res[0]["distances"][0] == float(dim)  # [1,1,1,1] at d^2=4
