@@ -149,6 +149,8 @@ DEFAULT_QUERIES = [
     "s14_kmeans_cluster_balance",
     "lf32_native_null_roundtrip",
     "lf33_native_embeddings_ctas",
+    "lf34_native_backfill_column",
+    "t24_capped_source_budgets",
     "t23_bpe_token_inflation",
 ]
 

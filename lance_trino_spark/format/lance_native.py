@@ -2176,6 +2176,103 @@ def native_add_column(
     return m.version + 1
 
 
+def native_add_column_backfill(
+    spark, root: str, name: str, expr, ltype: str | None = None,
+) -> int:
+    """ALTER TABLE ADD COLUMN ... AS <expr> with a DISTRIBUTED backfill —
+    the 100 TB shape of `native_add_column` (whose ``columns`` lists
+    funnel the whole new column through the driver): ``expr`` (a pyspark
+    Column over the table's existing columns) evaluates inside the
+    fragment-parallel format("lance") scan, each task writes its
+    fragment's column-split data file straight into the dataset
+    (leaf-validity NULLs at deleted physical slots — the DV masks them
+    anyway), and the driver commits one manifest version from the
+    (fragment, file) entries. No existing byte rewritten, no row through
+    the driver; task memory is O(one fragment's new column).
+
+    The new file is always v1 flavor — per-file footer dispatch makes
+    mixed-flavor fragments transparent on read. Fully-empty fragments
+    (all rows deleted) get an all-NULL file driver-side. Returns the new
+    version. (SDK parity: `lance.add_columns(transforms=...)`.)"""
+    from pyspark.sql import functions as F
+
+    from ..sources.lance_datasource import register_lance_datasource
+
+    m = read_native_manifest(root)
+    if name in {f.name for f in m.fields}:
+        raise LanceNativeError(f"column already exists: {name!r}")
+    register_lance_datasource(spark)
+    scan = (
+        spark.read.format("lance").option("row_address", "true")
+        .load(root)
+        .select(expr.alias(name), F.col("_row_address").alias("__addr"))
+    )
+    if ltype is None:
+        ltype = _SPARK_TO_NATIVE.get(scan.schema[name].dataType.typeName())
+        if ltype is None:
+            raise LanceNativeError(
+                f"backfill expression type "
+                f"{scan.schema[name].dataType.simpleString()!r} needs an "
+                f"explicit native ltype (scalar family: "
+                f"{sorted(_SPARK_TO_NATIVE)})")
+    phys = {
+        f.id: _physical_rows_from_file(root, f.files[0])
+        for f in m.fragments
+    }
+    # fresh id past every id any data file ever carried (shadowing rule,
+    # same derivation as native_add_column)
+    fid_base = 1 + max(
+        max((f.id for f in m.fields), default=-1),
+        max((i for fr in m.fragments for df in fr.files
+             for i in df.field_ids), default=-1),
+    )
+    lt = ltype
+
+    def backfill(it):
+        import pyarrow as pa
+
+        vals_by_frag: dict[int, dict] = {}
+        for batch in it:
+            addrs = batch.column("__addr").to_pylist()
+            vs = batch.column(name).to_pylist()
+            for a, v in zip(addrs, vs):
+                vals_by_frag.setdefault(a >> 32, {})[a & 0xFFFFFFFF] = v
+        for fid, kv in vals_by_frag.items():
+            n = phys[fid]
+            col = [kv.get(i) for i in range(n)]
+            specs = _v1_field_specs([name], {name: col}, {name: lt},
+                                    fid_base)
+            fn, _ = _write_v1_data_file(root, specs)
+            yield pa.RecordBatch.from_pydict(
+                {"frag_id": [int(fid)], "file_name": [fn]})
+
+    staged = {
+        int(r["frag_id"]): r["file_name"]
+        for r in scan.mapInArrow(
+            backfill, "frag_id long, file_name string").collect()
+    }
+    new_specs = _v1_field_specs(
+        [name], {name: [None]}, {name: lt}, fid_base)
+    new_fids = [sp[1] for sp in new_specs]
+    new_frags = []
+    for f in m.fragments:
+        fn = staged.get(f.id)
+        if fn is None:
+            # zero live rows (fully-DV'd fragment): all-NULL column file
+            fn, _ = _write_v1_data_file(root, _v1_field_specs(
+                [name], {name: [None] * phys[f.id]}, {name: lt},
+                fid_base))
+        files = [(df.path, list(df.field_ids)) for df in f.files]
+        files.append((fn, list(new_fids)))
+        new_frags.append(
+            (f.id, files, f.physical_rows)
+            + (((f.deletion.read_version, f.deletion.id),)
+               if f.deletion is not None else ()))
+    field_specs = _field_specs_of(m) + [sp[:4] for sp in new_specs]
+    _write_v1_manifest(root, field_specs, new_frags, m.version + 1)
+    return m.version + 1
+
+
 def native_drop_column(root: str, names: set[str] | frozenset[str]) -> int:
     """ALTER TABLE DROP COLUMN on a real `.lance` dataset — METADATA-ONLY,
     the lance SDK's semantic the test_table1 fixture pins: the field

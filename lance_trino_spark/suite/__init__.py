@@ -89,6 +89,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf32_native_null_roundtrip",
     "lf33_native_embeddings_ctas",
     "t24_capped_source_budgets",
+    "lf34_native_backfill_column",
     "lf24_native_merge_upsert",
     "lf23_native_mor_update",
     "lf22_native_mor_delete",

@@ -2309,3 +2309,89 @@ def lf33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("executor_staged", F.lit(bool(executor_staged)))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf34 — distributed ADD COLUMN backfill: the 100 TB evolution shape
+# (`native_add_column_backfill`): a computed column materializes by
+# evaluating a Spark expression INSIDE the fragment-parallel scan; each
+# task writes its fragment's column-split data file (leaf-validity
+# NULLs at deleted physical slots and where the expression yields NULL),
+# the driver commits one version from (fragment, file) entries — no
+# existing byte rewritten, no value through the driver. The oracle
+# reproduces the delete + backfill in plain SQL. SDK parity:
+# `lance.add_columns(transforms=...)`; zero-rewrite evolution per the
+# reference's column-split read rule (test_table1's multi-file
+# fragments, TestLanceFragmentPageSource.java:199-240).
+# ---------------------------------------------------------------------------
+@register(
+    "lf34_native_backfill_column",
+    oracle="""
+    WITH live AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+               o_orderpriority AS prio
+        FROM orders
+        WHERE o_orderkey <= 4000 AND o_orderkey % 9 <> 0
+    ),
+    filled AS (
+        SELECT k, prio,
+               CASE WHEN prio = '1-URGENT' THEN NULL
+                    ELSE price_c % 7 END AS bucket
+        FROM live
+    )
+    SELECT COALESCE(CAST(bucket AS VARCHAR), 'NONE') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum
+    FROM filled
+    GROUP BY COALESCE(CAST(bucket AS VARCHAR), 'NONE')
+    ORDER BY bucket
+    """,
+    doc="format: distributed ADD COLUMN backfill on a native .lance "
+        "dataset — expression evaluated in the fragment-parallel scan, "
+        "column-split files executor-written, NULLs via leaf validity",
+    tags=("format", "interop", "lance-native", "evolution", "nulls"),
+)
+def lf34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        create_native_dataset,
+        native_add_column_backfill,
+        native_delete_where,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf34-native-backfill")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .selectExpr(
+            "o_orderkey AS k",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c",
+            "o_orderpriority AS prio",
+        )
+        .repartition(3)
+    )
+    create_native_dataset(src, path, rows_per_fragment=600)
+    register_lance_datasource(spark)
+    native_delete_where(spark, path, F.col("k") % 9 == 0)
+
+    native_add_column_backfill(
+        spark, path, "bucket",
+        F.when(F.col("prio") == "1-URGENT", None)
+        .otherwise(F.col("price_c") % 7))
+    # zero-rewrite proof: every fragment gained exactly one file
+    m = read_native_manifest(path)
+    if not all(len(f.files) == 2 for f in m.fragments):
+        raise RuntimeError("backfill rewrote data files")
+
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.coalesce(
+            F.col("bucket").cast("string"), F.lit("NONE")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+        )
+        .orderBy("bucket")
+    )

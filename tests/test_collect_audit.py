@@ -45,6 +45,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "one (file_name, n_rows) report row per executor-staged data "
         "file — ceil(delta_rows / rows_per_fragment) rows, the commit "
         "coordinator's manifest entries (same shape as stage_via_tasks)",
+    ("format/lance_native.py", "native_add_column_backfill"):
+        "one (frag_id, file_name) report row per fragment — the commit "
+        "coordinator's manifest entries (stage_native_fragments shape); "
+        "the backfilled VALUES never leave the executors",
     ("operators/sampling.py", "capped_sample_per_group"):
         "two map-side-combinable count aggregates of k rows each "
         "(k = #groups/sources, small by construction) — the hash-space "

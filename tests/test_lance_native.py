@@ -2628,3 +2628,46 @@ def test_vector_index_skips_null_embeddings(tmp_path):
     null_addrs = {i for i in range(n) if i % 5 == 0}
     assert not (set(res[0]["neighbors"]) & null_addrs)
     assert res[0]["distances"][0] == float(dim)  # [1,1,1,1] at d^2=4
+
+
+def test_native_add_column_backfill_distributed(tmp_path, spark):
+    """Distributed ADD COLUMN backfill: the expression evaluates inside
+    the fragment-parallel scan, tasks write the column-split files
+    (NULL slots at deleted physical rows via leaf validity), the driver
+    commits one version from (fragment, file) entries — values never
+    reach the driver. Composes with MoR deletes, NULL-producing
+    expressions, time travel, and compaction."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "bf.lance")
+    df = spark.range(3000).selectExpr("id AS k", "concat('s', id % 7) AS tag")
+    ln.create_native_dataset(df.repartition(3), root, rows_per_fragment=1000)
+    register_lance_datasource(spark)
+    ln.native_delete_where(spark, root, F.col("k") % 10 == 0)
+
+    v = ln.native_add_column_backfill(
+        spark, root, "score",
+        F.when(F.col("k") % 5 == 0, None)
+        .otherwise(F.length("tag") + F.col("k") % 3))
+    back = spark.read.format("lance").load(root)
+    rows = back.collect()
+    assert len(rows) == 2700
+    for r in rows:
+        want = None if r["k"] % 5 == 0 else len(r["tag"]) + r["k"] % 3
+        assert r["score"] == want
+    # no data file rewritten: each fragment gained exactly one file
+    m = ln.read_native_manifest(root)
+    assert all(len(f.files) == 2 for f in m.fragments)
+    # pre-backfill version time-travels without the column
+    old = spark.read.format("lance").option(
+        "version", str(v - 1)).load(root)
+    assert "score" not in old.columns
+    # compaction consolidates the split files, values intact
+    ln.native_compact(root)
+    back2 = spark.read.format("lance").load(root)
+    assert back2.where("score IS NULL").count() == \
+        len([r for r in rows if r["score"] is None])
