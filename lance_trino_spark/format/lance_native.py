@@ -2273,6 +2273,41 @@ def native_add_column_backfill(
     return m.version + 1
 
 
+def native_rename_column(root: str, renames: dict[str, str]) -> int:
+    """ALTER TABLE RENAME COLUMN on a real `.lance` dataset —
+    METADATA-ONLY, like the lance SDK's `alter_columns(name=...)`: the
+    field proto's NAME changes while its id (and therefore every data
+    file's pages, the field->file resolution, DVs, and indexes keyed by
+    field id) stays put. O(1) data movement at any scale; old versions
+    time-travel under the old name. Returns the new version."""
+    m = read_native_manifest(root)
+    tops = {f.name for f in m.top_level_fields()}
+    unknown = sorted(set(renames) - tops)
+    if unknown:
+        raise LanceNativeError(f"no such columns: {unknown}")
+    targets = list(renames.values())
+    if len(set(targets)) != len(targets):
+        raise LanceNativeError(f"duplicate rename targets: {targets}")
+    clash = sorted(
+        set(targets) & (tops - set(renames)))
+    if clash:
+        raise LanceNativeError(f"rename targets already exist: {clash}")
+    top_ids = {f.id for f in m.top_level_fields()}
+    field_specs = [
+        ((renames.get(sp[0], sp[0]) if sp[1] in top_ids else sp[0]),)
+        + sp[1:]
+        for sp in _field_specs_of(m)
+    ]
+    frags = [
+        (f.id, _relist_files(f), f.physical_rows)
+        + (((f.deletion.read_version, f.deletion.id),)
+           if f.deletion is not None else ())
+        for f in m.fragments
+    ]
+    _write_v1_manifest(root, field_specs, frags, m.version + 1)
+    return m.version + 1
+
+
 def native_drop_column(root: str, names: set[str] | frozenset[str]) -> int:
     """ALTER TABLE DROP COLUMN on a real `.lance` dataset — METADATA-ONLY,
     the lance SDK's semantic the test_table1 fixture pins: the field

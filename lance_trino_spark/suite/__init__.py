@@ -90,6 +90,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf33_native_embeddings_ctas",
     "t24_capped_source_budgets",
     "lf34_native_backfill_column",
+    "lf35_native_rename_column",
     "lf24_native_merge_upsert",
     "lf23_native_mor_update",
     "lf22_native_mor_delete",

@@ -2395,3 +2395,77 @@ def lf34(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf35 — metadata-only RENAME COLUMN on a native `.lance` dataset (the
+# lance SDK's `alter_columns(name=...)`): the field proto's name changes
+# while its id — and therefore every data file, DV binding, and
+# field->file resolution — stays put; pre-rename versions time-travel
+# under the old name. Composed with a MoR delete so the rename commit
+# provably carries DV state through untouched.
+# ---------------------------------------------------------------------------
+@register(
+    "lf35_native_rename_column",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS rename_was_metadata_only,
+           TRUE AS old_version_keeps_old_name
+    FROM orders
+    WHERE o_orderkey <= 2500 AND o_orderkey % 6 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: metadata-only RENAME COLUMN on a native .lance dataset "
+        "— field id and every data file stay put, DVs carry through, "
+        "old versions time-travel under the old name",
+    tags=("format", "interop", "lance-native", "evolution"),
+)
+def lf35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        create_native_dataset,
+        native_delete_where,
+        native_rename_column,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf35-native-rename")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2500)
+        .select("o_orderkey", F.col("o_orderpriority").alias("prio"))
+        .repartition(2)
+    )
+    create_native_dataset(src, path, rows_per_fragment=800)
+    register_lance_datasource(spark)
+    native_delete_where(spark, path, F.col("o_orderkey") % 6 == 0)
+    files_before = [
+        (df.path, tuple(df.field_ids))
+        for f in read_native_manifest(path).fragments for df in f.files
+    ]
+    v = native_rename_column(path, {"prio": "o_orderpriority"})
+    m = read_native_manifest(path)
+    metadata_only = [
+        (df.path, tuple(df.field_ids))
+        for f in m.fragments for df in f.files
+    ] == files_before
+    old_name_kept = "prio" in (
+        spark.read.format("lance").option("version", str(v - 1))
+        .load(path).columns
+    )
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .withColumn(
+            "rename_was_metadata_only", F.lit(bool(metadata_only)))
+        .withColumn(
+            "old_version_keeps_old_name", F.lit(bool(old_name_kept)))
+        .orderBy("priority")
+    )
