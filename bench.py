@@ -150,6 +150,7 @@ DEFAULT_QUERIES = [
     "lf32_native_null_roundtrip",
     "lf33_native_embeddings_ctas",
     "lf34_native_backfill_column",
+    "ds11_native_dsv2_write",
     "t24_capped_source_budgets",
     "t23_bpe_token_inflation",
 ]

@@ -91,6 +91,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t24_capped_source_budgets",
     "lf34_native_backfill_column",
     "lf35_native_rename_column",
+    "ds11_native_dsv2_write",
     "lf24_native_merge_upsert",
     "lf23_native_mor_update",
     "lf22_native_mor_delete",

@@ -537,3 +537,95 @@ def ds10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds11 — df.write.format("lance") into a REAL `.lance` dataset: the DSv2
+# writer face of the native commit path (A11 on the interop side) —
+# executors stage native data files (leaf-validity NULLs, the dataset's
+# file flavor), the driver commits ONE manifest version per save();
+# mode("overwrite") truncates-and-replaces keeping schema and history.
+# Scenario: create from customers, append a doubled-balance slice with
+# an injected NULL segment, overwrite with the final mix, aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "ds11_native_dsv2_write",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+               c_mktsegment AS seg
+        FROM customer WHERE c_custkey <= 400
+    ),
+    appended AS (
+        SELECT k + 100000 AS k, bal_c * 2 AS bal_c,
+               CASE WHEN k % 3 = 0 THEN NULL ELSE seg END AS seg
+        FROM base WHERE k <= 150
+    ),
+    final AS (
+        SELECT * FROM base UNION ALL SELECT * FROM appended
+    )
+    SELECT COALESCE(seg, 'NONE') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_c) AS BIGINT) AS bal_sum,
+           TRUE AS one_commit_per_save,
+           TRUE AS history_survives_overwrite
+    FROM final
+    GROUP BY COALESCE(seg, 'NONE')
+    ORDER BY segment
+    """,
+    doc="datasource: df.write.format('lance') append + overwrite into a "
+        "native .lance dataset — executor-staged files, one manifest "
+        "version per save, NULLs via leaf validity, history kept",
+    tags=("datasource", "interop", "lance-native", "write", "nulls"),
+)
+def ds11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import create_native_dataset, read_native_manifest
+    from ..sources.lance_datasource import register_lance_datasource
+    from ..tables import load_table
+
+    path = _fresh_path(sf_dir, "ds11-native-write")
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .selectExpr(
+            "c_custkey AS k",
+            "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c",
+            "c_mktsegment AS seg",
+        )
+    )
+    create_native_dataset(base.repartition(2), path, rows_per_fragment=150)
+    register_lance_datasource(spark)
+
+    appended = (
+        base.filter(F.col("k") <= 150)
+        .selectExpr(
+            "k + 100000 AS k", "bal_c * 2 AS bal_c",
+            "CASE WHEN k % 3 = 0 THEN NULL ELSE seg END AS seg",
+        )
+        .repartition(2)
+    )
+    v0 = read_native_manifest(path).version
+    appended.write.format("lance").mode("append").save(path)
+    v1 = read_native_manifest(path).version
+    one_commit = v1 == v0 + 1
+
+    # overwrite with the full final mix, then prove history survived
+    final = spark.read.format("lance").load(path).localCheckpoint()
+    final.write.format("lance").mode("overwrite").save(path)
+    history_ok = (
+        spark.read.format("lance").option("version", str(v1)).load(path)
+        .count() == final.count()
+    )
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.coalesce(F.col("seg"), F.lit("NONE")).alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bal_c").alias("bal_sum"),
+        )
+        .withColumn("one_commit_per_save", F.lit(bool(one_commit)))
+        .withColumn(
+            "history_survives_overwrite", F.lit(bool(history_ok)))
+        .orderBy("segment")
+    )

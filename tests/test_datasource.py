@@ -799,3 +799,46 @@ def test_shared_relation_filter_leak_pinned(spark, tmp_path):
     assert df.count() == 7, "Spark fixed SPARK readInfo sharing? drop workarounds"
     # a fresh load() resets the slot — the single-relation-per-plan rule
     assert spark.read.format("lance").load(path).count() == 100
+
+
+def test_native_dsv2_write_append_overwrite(tmp_path, spark):
+    """df.write.format("lance") into a REAL .lance dataset: append
+    stages native files executor-side and commits one version;
+    overwrite truncates-and-replaces keeping schema + history; NULLs
+    ride the leaf-validity pages; mismatched schemas refuse loudly;
+    abort-able staged files never shadow the manifest."""
+    import pytest as _pytest
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "w.lance")
+    df = spark.range(100).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE concat('s', id) END AS tag")
+    ln.create_native_dataset(df.coalesce(1), root)
+    register_lance_datasource(spark)
+
+    more = spark.range(100, 160).selectExpr(
+        "id AS k", "concat('t', id) AS tag").repartition(3)
+    more.write.format("lance").mode("append").save(root)
+    back = spark.read.format("lance").load(root)
+    assert back.count() == 160
+    assert back.where("tag IS NULL").count() == 25
+    v_appended = ln.read_native_manifest(root).version
+    assert v_appended == 2  # ONE commit for the whole distributed append
+
+    small = spark.range(7).selectExpr(
+        "id AS k", "CAST(NULL AS STRING) AS tag")
+    small.write.format("lance").mode("overwrite").save(root)
+    back2 = spark.read.format("lance").load(root)
+    assert back2.count() == 7
+    assert back2.where("tag IS NULL").count() == 7
+    # history survives the overwrite
+    assert spark.read.format("lance").option(
+        "version", str(v_appended)).load(root).count() == 160
+
+    with _pytest.raises(Exception, match="does not match the native"):
+        spark.range(3).selectExpr("id AS wrong").write.format(
+            "lance").mode("append").save(root)
