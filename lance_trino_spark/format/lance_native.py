@@ -2672,6 +2672,32 @@ def native_stream_commit_batch(
             m = read_native_manifest(root)  # rebase, retry
 
 
+def foreach_batch_native_sink(
+    root: str, app_id: str, file_version: int = 1,
+    rows_per_fragment: int = 1_000_000,
+):
+    """The `foreachBatch` body for streaming into a native `.lance`
+    dataset with exactly-once semantics::
+
+        q = (df.writeStream
+             .foreachBatch(foreach_batch_native_sink(path, app_id="q1"))
+             .option("checkpointLocation", ckpt).start())
+
+    ``app_id`` follows the Delta txnAppId contract documented on
+    `native_stream_commit_batch`: unique per (query, checkpoint
+    location), stable across restarts of that checkpoint, fresh when the
+    checkpoint is reset. It is required here for the same reason it is
+    required there — deriving it implicitly from a query would make a
+    checkpoint reset silently replay-swallow real batches."""
+    def _sink(bdf, batch_id: int):
+        native_stream_commit_batch(
+            bdf, batch_id, root, app_id=app_id,
+            file_version=file_version,
+            rows_per_fragment=rows_per_fragment)
+
+    return _sink
+
+
 def stage_native_fragments(
     df, root: str, m: "NativeManifest", file_version: int,
     rows_per_fragment: int = 1_000_000,

@@ -2716,3 +2716,18 @@ def test_native_rename_column(tmp_path, spark):
     assert v2 == v + 1
     assert [f.name for f in ln.read_native_manifest(root)
             .top_level_fields()] == ["key", "tag2"]
+
+
+def test_foreach_batch_native_sink_helper(tmp_path, spark):
+    """The foreachBatch helper is just the exactly-once sink curried:
+    batches land once, replays are no-ops."""
+    from lance_trino_spark.format import lance_native as ln
+
+    root = str(tmp_path / "fb.lance")
+    ln.create_native_dataset(
+        spark.range(0).selectExpr("id AS k"), root)
+    sink = ln.foreach_batch_native_sink(root, app_id="helper")
+    sink(spark.range(10).selectExpr("id AS k"), 0)
+    sink(spark.range(10).selectExpr("id AS k"), 0)  # replay: no-op
+    sink(spark.range(10, 15).selectExpr("id AS k"), 1)
+    assert ln.LanceNativeDataset(root).count_rows() == 15
