@@ -160,3 +160,61 @@ def test_v2_and_dictionary_roundtrip_property(tmp_path, data):
     # column's base var-binary encoding so files may mix freely; the
     # file-local proto is pinned by test_dictionary_encoded_v1_pages.
     # Here the property is the value round-trip through both layouts.)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_v2_page_skip_selective_matches_full_property(tmp_path, data):
+    """For ANY typed column (NULLs included), page size, and sorted
+    selection, the v2 page-skip selective decode must equal the full
+    decode taken at those positions."""
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        NativeDataFile,
+        NativeField,
+        NativeManifest,
+        _v1_field_specs,
+        _write_v2_data_file,
+        read_file_column,
+    )
+
+    n = data.draw(st.integers(1, 300), label="rows")
+    page_rows = data.draw(st.integers(1, 64), label="page_rows")
+    lt = data.draw(st.sampled_from(_V2_TYPES + ("bool",)), label="type")
+    vals = data.draw(
+        st.lists(
+            st.one_of(st.none(), _TYPED[lt]), min_size=n, max_size=n
+        ),
+        label="vals",
+    )
+    sel = sorted(data.draw(
+        st.sets(st.integers(0, n - 1), max_size=min(n, 20)), label="sel"
+    ))
+
+    root = str(tmp_path / f"sel-{next(_SEQ)}")
+    import os
+    os.makedirs(root, exist_ok=True)
+    specs = _v1_field_specs(["c"], {"c": vals}, {"c": lt})
+    fn, _ = _write_v2_data_file(root, specs, page_rows=page_rows)
+    fields = [NativeField("c", 0, (1 << 64) - 1, lt, True, 0)]
+    mani = NativeManifest(fields, [], 1, None)
+    dfile = NativeDataFile(fn, [0])
+
+    full = read_file_column(root, dfile, 0, fields[0], mani)
+    part = read_file_column(
+        root, dfile, 0, fields[0], mani,
+        indices=np.asarray(sel, dtype=np.int64))
+    want = [full[i].as_py() for i in sel]
+    got = part.to_pylist()
+    if lt in ("double", "float"):
+        for g, w in zip(got, want):
+            assert (g == w) or (
+                g is not None and w is not None
+                and math.isnan(g) and math.isnan(w))
+    else:
+        assert got == want, (lt, page_rows, sel[:5])
