@@ -375,7 +375,7 @@ def test_writer_reader_roundtrip():
 
 
 @needs_fixtures
-def test_format_lance_autodetects_native_datasets(spark):
+def test_format_lance_autodetects_native_datasets(spark, tmp_path):
     """`spark.read.format('lance').load(<real .lance>)` — the DataSource
     detects binary manifests and routes to the fragment-parallel native
     decoder: values, projection, version time travel, deletion vectors,
@@ -405,9 +405,17 @@ def test_format_lance_autodetects_native_datasets(spark):
     assert rows[1].col_string == "hello" and rows[2].col_int32 == -10
     assert rows[1].col_list_f32 == [1.0, 2.0]
     assert rows[2].col_fsl_f16 == [10.0, 11.0, 12.0]
-    # the native decoder is read-only interop
-    with pytest.raises(Exception, match="not supported|PYTHON_DATA_SOURCE"):
-        df.limit(1).write.format("lance").mode("append").save(t1)
+    # DSv2 writes into native datasets are SUPPORTED since ds11
+    # (LanceNativeBatchWriter) — exercised on a COPY: the checked-in
+    # fixture is read-only input and must never gain a version (a stale
+    # refusal-pin here once appended a stray v7 to it). Full write-path
+    # coverage: tests/test_datasource.py
+    # test_native_dsv2_write_append_overwrite.
+    t1_copy = str(tmp_path / "t1-copy.lance")
+    shutil.copytree(t1, t1_copy)
+    os.chmod(t1_copy, 0o755)
+    df.limit(1).write.format("lance").mode("append").save(t1_copy)
+    assert spark.read.format("lance").load(t1_copy).count() == 5
 
 
 def test_native_stream_source_tails_versions(spark):
