@@ -1431,6 +1431,131 @@ DICTIONARY_LAYOUT_V1 = "plainpos-v1"
 LEAF_VALIDITY_METADATA_KEY = "lance-repo:leaf-validity"
 LEAF_VALIDITY_LAYOUT = "trailing-bitmap-v1"
 
+# Per-data-file column statistics (fragment zone maps for the NATIVE
+# path). Real Lance keeps no min/max stats in its manifests — the SDK
+# prunes via scalar indexes only — so this sidecar is REPO-DEFINED
+# (like coverage.json for vector indexes): written by this repo's
+# writers, consumed by this repo's scan planner, and simply absent on
+# SDK-written datasets (the scan admits every fragment then —
+# conservative, never wrong). One tiny JSON per data file under
+# `_stats/`, keyed by FIELD ID (never by name: RENAME keeps ids stable
+# and DROP+re-add shadowing assigns a fresh id, so stale stats can
+# never misattribute to an evolved column). Data files are immutable,
+# so the sidecar is written exactly once, executor-side, race-free;
+# deletions only shrink a fragment's row set, which keeps every
+# admit-check conservative (min/max over a superset, nulls an upper
+# bound, all-null / all-equal refusals still exact on any subset).
+# Own-format twin: the manifest zone maps behind ds06
+# (`sources/lance_datasource.py _stats_admit`).
+FRAGSTATS_DIR = "_stats"
+FRAGSTATS_LAYOUT = "lance-repo:fragstats=minmax-v1"
+# stats are recorded for top-level scalar leaves only; temporals are
+# excluded because the native reader never pushes temporal filters
+# (they stay residual — LanceNativeScanReader.pushFilters)
+_FRAGSTATS_TYPES = frozenset({
+    "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64",
+    "halffloat", "float", "double",
+    "string", "large_string", "bool",
+})
+
+
+def _stats_for_specs(specs: list[tuple]) -> dict:
+    """{"layout", "rows", "fields": {str(fid): {lt, nulls[, min, max]}}}
+    computed from writer specs (values still carry None for NULLs — the
+    writers split validity after this runs). Non-finite floats make a
+    column's min/max meaningless under Spark's NaN-is-largest ordering,
+    so such columns record null counts only (range checks then admit)."""
+    import math
+
+    rows = len(specs[0][4]) if specs else 0
+    fields: dict[str, dict] = {}
+    for name, fid, parent, lt, vals in specs:
+        if parent != -1 or lt not in _FRAGSTATS_TYPES:
+            continue
+        non_null = [v for v in vals if v is not None]
+        ent: dict = {"lt": lt, "nulls": len(vals) - len(non_null)}
+        if non_null:
+            if lt in ("halffloat", "float", "double"):
+                fv = [float(v) for v in non_null]
+                if all(math.isfinite(x) for x in fv):
+                    ent["min"], ent["max"] = min(fv), max(fv)
+            elif lt in ("string", "large_string"):
+                sv = [v for v in non_null if isinstance(v, str)]
+                if len(sv) == len(non_null):
+                    # python str ordering == UTF-8 byte ordering (UTF-8
+                    # is order-preserving), i.e. the engine's ordering
+                    ent["min"], ent["max"] = min(sv), max(sv)
+            elif lt == "bool":
+                bv = [bool(v) for v in non_null]
+                ent["min"], ent["max"] = min(bv), max(bv)
+            else:
+                iv = [int(v) for v in non_null]
+                ent["min"], ent["max"] = min(iv), max(iv)
+        fields[str(fid)] = ent
+    return {"layout": FRAGSTATS_LAYOUT, "rows": rows, "fields": fields}
+
+
+def _write_file_stats(root: str, file_name: str, specs: list[tuple]
+                      ) -> None:
+    """Drop the stats sidecar for a freshly written data file. Runs on
+    the writing task (executor-side on the distributed paths) — the
+    file name is unique, so there is nothing to coordinate."""
+    import json as _json
+
+    sdir = os.path.join(root, FRAGSTATS_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, f"{file_name}.json"), "w") as fh:
+        _json.dump(_stats_for_specs(specs), fh)
+
+
+def load_file_stats(root: str, file_name: str) -> dict | None:
+    """The stats sidecar for one data file, or None (absent — e.g. an
+    SDK-written dataset — or an unrecognized layout; both mean 'admit')."""
+    import json as _json
+
+    p = os.path.join(root, FRAGSTATS_DIR, f"{file_name}.json")
+    try:
+        with open(p) as fh:
+            st = _json.load(fh)
+    except (OSError, ValueError):
+        return None
+    return st if st.get("layout") == FRAGSTATS_LAYOUT else None
+
+
+def fragment_stats_for_scan(
+    root: str, m: "NativeManifest", frag: "NativeFragment",
+) -> tuple[dict, int]:
+    """(per-column stats {name: {min,max,nulls}}, written physical rows)
+    for planning-time pruning. Stats are resolved per FIELD through the
+    same file_for_field indirection the decoder uses, so column-split
+    fragments (ADD COLUMN) and shadowed ids (DROP + re-add) attribute
+    each column's stats to exactly the file that would serve it. Missing
+    sidecars / fields contribute nothing (the admit check treats absent
+    columns as unconstrained). Row count is the WRITE-time physical row
+    count — deletions shrink the live set, and every refusal below
+    (all-null, all-equal) stays exact on any subset of the written rows."""
+    stats: dict[str, dict] = {}
+    rows = 0
+    cache: dict[str, dict | None] = {}
+    for f in m.top_level_fields():
+        if f.logical_type not in _FRAGSTATS_TYPES:
+            continue
+        try:
+            dfile, _ = frag.file_for_field(f.id)
+        except LanceNativeError:
+            continue
+        if dfile.path not in cache:
+            cache[dfile.path] = load_file_stats(root, dfile.path)
+        st = cache[dfile.path]
+        if st is None:
+            continue
+        ent = st["fields"].get(str(f.id))
+        if ent is not None and ent.get("lt") == f.logical_type:
+            stats[f.name] = ent
+            rows = max(rows, int(st.get("rows", 0)))
+    return stats, rows
+
 
 def _pack_validity(mask_null) -> bytes:
     """Bitpacked little-endian VALIDITY bytes (1 = valid) from a
@@ -1759,6 +1884,7 @@ def _write_v1_data_file(
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     with open(os.path.join(root, "data", file_name), "wb") as fh:
         fh.write(bytes(buf))
+    _write_file_stats(root, file_name, specs)
     return file_name, n_rows
 
 
@@ -1881,6 +2007,7 @@ def _write_v2_data_file(
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     with open(os.path.join(root, "data", file_name), "wb") as fh:
         fh.write(bytes(buf))
+    _write_file_stats(root, file_name, specs)
     return file_name, n_rows
 
 
@@ -3093,6 +3220,7 @@ def native_table_changes(
 def native_compact(
     root: str, small_fragment_rows: int = 0,
     spark=None, rows_per_fragment: int = 1_000_000,
+    sort_by: str | None = None,
 ) -> tuple[int, int] | None:
     """Compaction / optimize on a real `.lance` dataset WITHOUT the SDK
     (the reference's table-maintenance surface, own-format twin lf10):
@@ -3117,7 +3245,16 @@ def native_compact(
     ~rows_per_fragment). The driver handles only manifest entries: the
     shape that compacts a TB of delete-churned fragments without
     pulling a row through the driver. Without ``spark``, a driver-side
-    pass (fixture scale)."""
+    pass (fixture scale).
+
+    ``sort_by`` makes the rewrite CLUSTERED (the native twin of the
+    catalog's OPTIMIZE SORT BY, cat06): rewritten rows are
+    range-partitioned and sorted on the named column, so consolidated
+    fragments cover DISJOINT value ranges — their stats sidecars
+    (FRAGSTATS_LAYOUT) turn range filters into planning-time fragment
+    skips, and the v2 page-skip probe touches a minimal page run. At
+    scale this is `repartitionByRange` + `sortWithinPartitions`: one
+    total-order shuffle of the victims' live rows, executor-staged."""
     import numpy as np
 
     m = read_native_manifest(root)
@@ -3160,6 +3297,14 @@ def native_compact(
                 victim_ids)))
             .load(root)
         )
+        if sort_by is not None:
+            # total-order clustering: range-partition so each staging
+            # task (→ fragment) owns a disjoint slice of the sort key,
+            # then sort within — the same one-shuffle shape at 100 TB
+            n_live = sum(live_count(f) for f in victims)
+            n_parts = max(1, -(-n_live // rows_per_fragment))
+            victim_df = victim_df.repartitionByRange(
+                n_parts, sort_by).sortWithinPartitions(sort_by)
         staged = stage_native_fragments(
             victim_df, root, m, file_version,
             rows_per_fragment=rows_per_fragment)
@@ -3179,6 +3324,12 @@ def native_compact(
                         dict(v) if v is not None else None for v in vals
                     ]
                 merged[c].extend(vals)
+        if sort_by is not None and merged[data_cols[0]]:
+            order = sorted(
+                range(len(merged[sort_by])),
+                key=lambda i: (merged[sort_by][i] is None,
+                               merged[sort_by][i]))
+            merged = {c: [v[i] for i in order] for c, v in merged.items()}
         staged = (
             [(_write_v2_data_file if file_version == 2
               else _write_v1_data_file)(
@@ -3261,6 +3412,14 @@ def native_cleanup_old_versions(
             if not n.startswith(".") and n not in live_data:
                 os.unlink(os.path.join(ddir, n))
                 out["removed_data_files"] += 1
+    # stats sidecars (FRAGSTATS_LAYOUT) are 1:1 with data files — reap
+    # every sidecar whose data file is no longer referenced (covers both
+    # files unlinked just now and sidecars orphaned by earlier deletes)
+    sdir = os.path.join(root, FRAGSTATS_DIR)
+    if os.path.isdir(sdir):
+        for n in os.listdir(sdir):
+            if n.endswith(".json") and n[:-len(".json")] not in live_data:
+                os.unlink(os.path.join(sdir, n))
     deldir = os.path.join(root, "_deletions")
     if os.path.isdir(deldir):
         for n in os.listdir(deldir):

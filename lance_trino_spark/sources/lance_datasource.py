@@ -499,6 +499,27 @@ class LanceNativeScanReader(DataSourceReader):
                     f"fragments option names unknown fragment ids "
                     f"{unknown} (dataset has {sorted(have)})")
             frag_idx = [i for i in frag_idx if m.fragments[i].id in want]
+        if self._pushed:
+            # Fragment zone-map pruning on the NATIVE path: drop fragments
+            # whose per-file stats sidecars (written by this repo's native
+            # writers; `format/lance_native.py` FRAGSTATS_LAYOUT) prove no
+            # row can satisfy the pushed filters — planned driver-side from
+            # tiny JSON sidecars, so a selective filter on a clustered
+            # column never schedules tasks (or reads pages) for
+            # non-matching fragments. SDK-written datasets have no
+            # sidecars and admit everything; the admit check itself is
+            # the own-format `_stats_admit` (ds06 semantics).
+            from ..format.lance_native import fragment_stats_for_scan
+
+            kept = []
+            for i in frag_idx:
+                stats, rows = fragment_stats_for_scan(
+                    self._path, m, m.fragments[i])
+                if not stats or not rows or all(
+                    _stats_admit(stats, p, rows) for p in self._pushed
+                ):
+                    kept.append(i)
+            frag_idx = kept
         if self._limit is not None and not self._pushed:
             # A6/A7 parity on the native path: with a limit and no pushed
             # filter, plan only the leading fragments whose deletion-aware

@@ -2739,3 +2739,177 @@ def test_foreach_batch_native_sink_helper(tmp_path, spark):
     sink(spark.range(10).selectExpr("id AS k"), 0)  # replay: no-op
     sink(spark.range(10, 15).selectExpr("id AS k"), 1)
     assert ln.LanceNativeDataset(root).count_rows() == 15
+
+
+# --------------------------------------------------- fragment stats pruning
+def _stats_ds(tmp_path, file_version=1):
+    """3 fragments with DISJOINT k ranges + overlapping s values."""
+    from lance_trino_spark.format import lance_native as ln
+
+    root = str(tmp_path / f"fragstats-v{file_version}.lance")
+    ln.write_native_dataset(
+        root, {"k": [1, 2, 3, 4], "s": ["a", "b", "c", "d"]},
+        file_version=file_version)
+    ln.append_native_rows(root, {"k": [10, 11, 12], "s": ["x", "y", "z"]})
+    ln.append_native_rows(root, {"k": [20, 21], "s": ["q", "r"]})
+    return root
+
+
+def _planned(root, pushed, options=None):
+    """Fragment partitions the native reader would schedule for these
+    pushed filters — the exact planning path Spark drives."""
+    from lance_trino_spark.format.lance_native import (
+        native_spark_schema, read_native_manifest)
+    from lance_trino_spark.sources.lance_datasource import (
+        LanceNativeScanReader)
+
+    r = LanceNativeScanReader(
+        root, native_spark_schema(read_native_manifest(root)),
+        options or {})
+    r._pushed = list(pushed)
+    parts = r.partitions()
+    return [p.frag_index for p in parts if p.frag_index >= 0]
+
+
+@pytest.mark.parametrize("file_version", [1, 2])
+def test_fragment_stats_prune_native_scan(spark, tmp_path, file_version):
+    """Per-file stats sidecars (FRAGSTATS_LAYOUT) written by both native
+    writers turn pushed range/equality/IN filters into planning-time
+    fragment skips; values through Spark stay oracle-exact."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, In, IsNull, LessThan)
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    from pyspark.sql import functions as F
+
+    root = _stats_ds(tmp_path, file_version)
+    m = ln.read_native_manifest(root)
+    st0, rows0 = ln.fragment_stats_for_scan(root, m, m.fragments[0])
+    assert rows0 == 4 and st0["k"] == {
+        "lt": "int64", "nulls": 0, "min": 1, "max": 4}
+    assert st0["s"]["min"] == "a" and st0["s"]["max"] == "d"
+
+    assert _planned(root, [GreaterThanOrEqual(("k",), 10)]) == [1, 2]
+    assert _planned(root, [EqualTo(("s",), "b")]) == [0]
+    assert _planned(root, [In(("k",), (2, 21))]) == [0, 2]
+    assert _planned(root, [LessThan(("k",), 0)]) == []
+    # no NULLs anywhere -> IS NULL prunes everything
+    assert _planned(root, [IsNull(("k",))]) == []
+
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    assert sorted(r.k for r in df.filter("k >= 10").collect()) == [
+        10, 11, 12, 20, 21]
+    assert df.filter("k < 0").count() == 0
+    assert [r.k for r in df.filter("s = 'b'").collect()] == [2]
+
+    # deletions keep pruning conservative: stats describe the written
+    # superset, values stay exact
+    ln.native_delete_where(spark, root, F.col("k") == 10)
+    assert sorted(
+        r.k for r in spark.read.format("lance").load(root)
+        .filter("k >= 10").collect()) == [11, 12, 20, 21]
+
+    # a missing sidecar admits the fragment (SDK-written datasets)
+    for n in os.listdir(os.path.join(root, "_stats")):
+        os.unlink(os.path.join(root, "_stats", n))
+    assert _planned(root, [GreaterThanOrEqual(("k",), 10)]) == [0, 1, 2]
+
+
+def test_fragment_stats_follow_schema_evolution(tmp_path):
+    """Stats are keyed by FIELD ID: RENAME keeps them attributed, DROP +
+    re-add (fresh id) leaves the new column unconstrained — never a stale
+    range misapplied to different data."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from lance_trino_spark.format import lance_native as ln
+
+    root = _stats_ds(tmp_path)
+    ln.native_rename_column(root, {"k": "key"})
+    assert _planned(root, [GreaterThanOrEqual(("key",), 10)]) == [1, 2]
+
+    ln.native_drop_column(root, {"s"})
+    ln.native_add_column(
+        root, {"s": [f"n{i}" for i in range(9)]}, types={"s": "string"})
+    m = ln.read_native_manifest(root)
+    st0, _ = ln.fragment_stats_for_scan(root, m, m.fragments[0])
+    # the re-added 's' resolves to the NEW column-split file's stats
+    # (fresh field id) — the dropped column's a..d range is unreachable
+    assert st0["s"] == {"lt": "string", "nulls": 0, "min": "n0",
+                        "max": "n3"}
+    assert st0["key"]["max"] == 4
+    # the re-added column's stats live in the NEW column-split files and
+    # attribute to the fresh field id -- never the dropped column's data.
+    # (native_add_column writes through the same stats-emitting writers,
+    # so the new files DO carry fresh, correct stats for the new id.)
+    st1, _ = ln.fragment_stats_for_scan(root, m, m.fragments[0])
+    assert st1.get("s", {}).get("min", "n0") >= "n0"
+    assert _planned(root, [GreaterThanOrEqual(("key",), 10)]) == [1, 2]
+
+
+def test_vacuum_reaps_stats_sidecars(spark, tmp_path):
+    """cleanup_old_versions unlinks the stats sidecar of every reclaimed
+    data file; live sidecars survive 1:1 with live data files."""
+    from lance_trino_spark.format import lance_native as ln
+
+    from pyspark.sql import functions as F
+
+    root = _stats_ds(tmp_path)
+    ln.native_delete_where(spark, root, F.col("k") < 3)
+    ln.native_compact(root)  # rewrites the DV fragment -> dead file
+    sdir = os.path.join(root, "_stats")
+    assert len(os.listdir(sdir)) == 4  # 3 originals + 1 compacted
+    ln.native_cleanup_old_versions(root, keep_versions=1)
+    live = set(os.listdir(os.path.join(root, "data")))
+    assert {n[: -len(".json")] for n in os.listdir(sdir)} == live
+    assert sorted(
+        ln.LanceNativeDataset(root).to_arrow()["k"].to_pylist()
+    ) == [3, 4, 10, 11, 12, 20, 21]
+
+
+def test_sorted_compaction_enables_pruning(spark, tmp_path):
+    """native_compact(sort_by=...) — the native OPTIMIZE SORT BY: an
+    interleaved dataset (every fragment spans the full key range, so
+    stats admit everything) compacts DISTRIBUTED into range-disjoint
+    fragments; the same pushed filter then skips fragments at planning
+    and the values are identical to the pre-compaction live set."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "sorted-compact.lance")
+    # interleave: each fragment covers the whole range
+    ln.write_native_dataset(
+        root, {"k": [0, 30, 60, 90], "s": ["a", "b", "c", "d"]})
+    ln.append_native_rows(root, {"k": [1, 31, 61, 91],
+                                 "s": ["e", "f", "g", "h"]})
+    ln.append_native_rows(root, {"k": [2, 32, 62, 92],
+                                 "s": ["i", "j", "k", "l"]})
+    register_lance_datasource(spark)
+    ln.native_delete_where(spark, root, F.col("k") == 31)
+    assert _planned(root, [GreaterThanOrEqual(("k",), 60)]) == [0, 1, 2]
+
+    v = ln.native_compact(root, spark=spark, sort_by="k",
+                          rows_per_fragment=4, small_fragment_rows=5)
+    assert v is not None
+    m = ln.read_native_manifest(root)
+    assert len(m.fragments) >= 2
+    ranges = []
+    for f in m.fragments:
+        st, _ = ln.fragment_stats_for_scan(root, m, f)
+        ranges.append((st["k"]["min"], st["k"]["max"]))
+    # disjoint, sorted ranges
+    for (a, b), (c, d) in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert b < c
+    planned = _planned(root, [GreaterThanOrEqual(("k",), 60)])
+    assert 0 < len(planned) < len(m.fragments)
+    got = sorted(r.k for r in spark.read.format("lance").load(root)
+                 .filter("k >= 60").collect())
+    assert got == [60, 61, 62, 90, 91, 92]
