@@ -86,6 +86,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # literal-plan ceiling), then the ENTIRE r5-stale cohort (judge r8
     # item #4: after r9 nothing staler than r6), its own changed-code
     # members first (lf14/st11 native decode, lf08 wide types, s12).
+    "lf36_native_fragment_stats_pruning",
+    "lf37_native_clustered_compaction",
     "lf32_native_null_roundtrip",
     "lf33_native_embeddings_ctas",
     "t24_capped_source_budgets",

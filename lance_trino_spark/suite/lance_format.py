@@ -2469,3 +2469,194 @@ def lf35(spark: SparkSession, sf_dir: str) -> DataFrame:
             "old_version_keeps_old_name", F.lit(bool(old_name_kept)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf36 — fragment zone-map pruning on a native `.lance` scan: every native
+# data-file write drops a per-file min/max/nulls sidecar (_stats/,
+# FRAGSTATS_LAYOUT, field-id keyed), and the scan planner skips fragments
+# no pushed filter can match — metadata-only planning, the native twin of
+# the own-format zone maps (ds06) and of the reference's scalar-index
+# pruning below the scan (`LanceFragmentPageSource.java:126`). The CTAS is
+# range-clustered (repartitionByRange + sortWithinPartitions — the 100 TB
+# shape: one total-order shuffle, executor-staged fragments), so a pushed
+# key range provably plans a strict fragment subset; an out-of-range
+# probe plans ZERO fragments.
+# ---------------------------------------------------------------------------
+def _native_planned_fragments(path: str, pushed: list) -> int:
+    """How many fragment tasks the native reader would schedule for these
+    pushed filters — the exact planning path Spark drives (driver-side
+    proof, same pattern as lf19's scalar_index_lookup probe)."""
+    from ..format.lance_native import (
+        native_spark_schema,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import LanceNativeScanReader
+
+    r = LanceNativeScanReader(
+        path, native_spark_schema(read_native_manifest(path)), {})
+    r._pushed = list(pushed)
+    return len([p for p in r.partitions() if p.frag_index >= 0])
+
+
+@register(
+    "lf36_native_fragment_stats_pruning",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           TRUE AS planning_pruned_fragments,
+           TRUE AS out_of_range_plans_zero
+    FROM orders
+    WHERE o_orderkey BETWEEN 400 AND 700 AND o_orderkey <= 6000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: fragment zone-map pruning on a native .lance scan — "
+        "per-file stats sidecars turn a pushed key range into "
+        "planning-time fragment skips on a range-clustered CTAS",
+    tags=("format", "interop", "lance-native", "zonemap", "pruning"),
+)
+def lf36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from ..format.lance_native import (
+        create_native_dataset,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf36-fragstats")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long").alias("cents"),
+        )
+        .repartitionByRange(3, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    create_native_dataset(src, path)
+    register_lance_datasource(spark)
+
+    total = len(read_native_manifest(path).fragments)
+    in_range = [
+        GreaterThanOrEqual(("o_orderkey",), 400),
+        LessThanOrEqual(("o_orderkey",), 700),
+    ]
+    planned = _native_planned_fragments(path, in_range)
+    pruned = bool(0 < planned < total)
+    plans_zero = _native_planned_fragments(
+        path, [GreaterThan(("o_orderkey",), 10**9)]) == 0
+
+    return (
+        spark.read.format("lance").load(path)
+        .filter(
+            (F.col("o_orderkey") >= 400) & (F.col("o_orderkey") <= 700))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("planning_pruned_fragments", F.lit(pruned))
+        .withColumn("out_of_range_plans_zero", F.lit(bool(plans_zero)))
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lf37 — clustered compaction (native OPTIMIZE SORT BY): an interleaved
+# dataset (every fragment spans the whole key range, so stats admit all of
+# them) is MoR-deleted, then compacted DISTRIBUTED with sort_by — victims
+# stream through repartitionByRange + sortWithinPartitions into
+# range-disjoint executor-staged fragments in ONE commit. The same pushed
+# range that planned every fragment before the rewrite plans a strict
+# subset after, and the values are identical to the pre-compaction live
+# set (own-format twin: cat06 OPTIMIZE SORT BY zone-map clustering).
+# ---------------------------------------------------------------------------
+@register(
+    "lf37_native_clustered_compaction",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS unsorted_plans_every_fragment,
+           TRUE AS clustered_plan_prunes,
+           TRUE AS single_commit_rewrite
+    FROM orders
+    WHERE o_orderkey BETWEEN 400 AND 700 AND o_orderkey <= 6000
+      AND o_orderkey % 5 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: clustered compaction on a native .lance dataset — "
+        "sort_by rewrite turns an interleaved, DV-laden layout into "
+        "range-disjoint fragments a pushed filter can skip at planning",
+    tags=("format", "interop", "lance-native", "maintenance", "zonemap"),
+)
+def lf37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from ..format.lance_native import (
+        create_native_dataset,
+        native_compact,
+        native_delete_where,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf37-clustered")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(3)  # hash-interleaved: every fragment spans the range
+    )
+    create_native_dataset(src, path)
+    register_lance_datasource(spark)
+    native_delete_where(spark, path, F.col("o_orderkey") % 5 == 0)
+
+    in_range = [
+        GreaterThanOrEqual(("o_orderkey",), 400),
+        LessThanOrEqual(("o_orderkey",), 700),
+    ]
+    before_total = len(read_native_manifest(path).fragments)
+    unsorted_all = _native_planned_fragments(path, in_range) == before_total
+
+    v_before = read_native_manifest(path).version
+    live = spark.read.format("lance").load(path).count()
+    res = native_compact(
+        path, spark=spark, sort_by="o_orderkey",
+        small_fragment_rows=1 << 60,
+        rows_per_fragment=max(1, live // 3 + 1),
+    )
+    m = read_native_manifest(path)
+    single_commit = res is not None and m.version == v_before + 1
+    planned = _native_planned_fragments(path, in_range)
+    prunes = bool(0 < planned < len(m.fragments))
+
+    return (
+        spark.read.format("lance").load(path)
+        .filter(
+            (F.col("o_orderkey") >= 400) & (F.col("o_orderkey") <= 700))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .withColumn(
+            "unsorted_plans_every_fragment", F.lit(bool(unsorted_all)))
+        .withColumn("clustered_plan_prunes", F.lit(prunes))
+        .withColumn("single_commit_rewrite", F.lit(bool(single_commit)))
+        .orderBy("priority")
+    )
