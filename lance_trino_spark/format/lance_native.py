@@ -531,7 +531,9 @@ def _v2_read_column(
         # is exactly the bitpacked row count, leads with a validity
         # bitmap (1 = valid); strip it, decode the rest normally, mask.
         valid = None
-        if lt not in ("struct", "list"):
+        if lt != "struct":  # struct pages ARE validity bytes themselves
+            # plain buffer count: [ends][payload] for var-width, [ends]
+            # for list parents, one flat buffer otherwise
             base = 2 if lt in (
                 "string", "large_string", "binary", "large_binary") else 1
             nb = (nrows + 7) // 8
@@ -623,7 +625,9 @@ def _v2_read_column(
                 base = sum(cp[2] for cp in child_pages[:pg_i])
                 child_vals = child_vals.slice(base, child_pages[pg_i][2])
             offsets = pa.array([0] + ends.tolist(), type=pa.int32())
-            chunks.append(pa.ListArray.from_arrays(offsets, child_vals))
+            chunks.append(pa.ListArray.from_arrays(
+                offsets, child_vals,
+                mask=None if nmask is None else pa.array(nmask)))
         elif lt.startswith("fixed_size_list:"):
             _, item_t, dim_s = lt.split(":")
             dim = int(dim_s)
@@ -1645,11 +1649,9 @@ def _v1_field_specs(
         vals = columns[n]
         lt = (types or {}).get(n) or _infer_v1_type(vals)
         if lt == "list":
-            if any(v is None for v in vals):
-                raise LanceNativeError(
-                    f"list column {n!r}: NULL rows are outside the "
-                    "minimal writer's scope")
-            elems = [x for row in vals for x in row]
+            # NULL list rows ride the parent's validity buffer (v2 arm of
+            # LEAF_VALIDITY_LAYOUT) and contribute zero child elements
+            elems = [x for row in vals for x in (row or ())]
             non_null_elems = [e for e in elems if e is not None]
             clt = _infer_v1_type(non_null_elems) if non_null_elems \
                 else "int64"
@@ -1747,11 +1749,8 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
                 raise LanceNativeError(
                     f"list field {f.name!r}: expected one child, got "
                     f"{len(children)}")
-            if any(v is None for v in vals):
-                raise LanceNativeError(
-                    f"list column {f.name!r}: NULL rows are outside the "
-                    "minimal writer's scope")
-            elems = [x for row in vals for x in row]
+            # NULL list rows: parent validity buffer, zero child elements
+            elems = [x for row in vals for x in (row or ())]
             ch = children[0]
             specs.append((f.name, f.id, -1, "list", vals))
             specs.append((ch.name, ch.id, f.id, ch.logical_type, elems))
@@ -1943,7 +1942,7 @@ def _write_v2_data_file(
             bounds = [0]
             for lo, hi in _slices(len(pvals), page_rows):
                 bounds.append(bounds[-1] + sum(
-                    len(row) for row in pvals[lo:hi]))
+                    len(row or ()) for row in pvals[lo:hi]))
             slices_by_fid[fid] = list(zip(bounds[:-1], bounds[1:]))
         else:
             slices_by_fid[fid] = _slices(len(vals), page_rows)
@@ -1953,7 +1952,13 @@ def _write_v2_data_file(
             return [np.asarray(
                 [1 if v else 0 for v in vals], dtype=np.uint8).tobytes()]
         if lt == "list":
-            ends = np.cumsum([len(row) for row in vals], dtype="<i8")
+            # NULL rows: zero-length extents + a leading validity buffer
+            # (the same self-describing v2 arm scalar leaves use)
+            ends = np.cumsum(
+                [len(row or ()) for row in vals], dtype="<i8")
+            if any(row is None for row in vals):
+                return [_pack_validity([row is None for row in vals]),
+                        ends.tobytes()]
             return [ends.tobytes()]
         # leaf NULLs: placeholder values plus an extra LEADING validity
         # buffer (bitpacked, 1=valid) — self-describing per page via the

@@ -218,3 +218,44 @@ def test_v2_page_skip_selective_matches_full_property(tmp_path, data):
                 and math.isnan(g) and math.isnan(w))
     else:
         assert got == want, (lt, page_rows, sel[:5])
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_v2_nullable_list_roundtrip_property(tmp_path, data):
+    """list<T> columns with NULL ROWS (parent validity buffer, zero-length
+    extents), empty lists, and NULL ELEMENTS (child leaf validity) must
+    round-trip cell-exact through FILE-v2, across page boundaries."""
+    from lance_trino_spark.format.lance_native import (
+        _v1_field_specs, _write_v1_manifest, _write_v2_data_file)
+
+    elem = data.draw(st.sampled_from(["int64", "double", "string"]))
+    rows = data.draw(st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), _TYPED[elem]), max_size=5),
+        ),
+        min_size=1, max_size=25,
+    ))
+    # the child type is inferred from elements — guarantee one non-null
+    if not any(e is not None for r in rows if r for e in r):
+        rows = rows + [[data.draw(_TYPED[elem])]]
+    page_rows = data.draw(st.sampled_from([None, 3, 7]))
+
+    root = str(tmp_path / f"pl{next(_SEQ)}.lance")
+    cols = {"k": list(range(len(rows))), "a": rows}
+    specs = _v1_field_specs(["k", "a"], cols, types={"a": "list"})
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    fn, nr = _write_v2_data_file(root, specs, page_rows=page_rows)
+    _write_v1_manifest(
+        root, [(s[0], s[1], s[2], s[3]) for s in specs], [(0, fn, nr)], 1)
+    got = LanceNativeDataset(root).to_arrow().to_pydict()["a"]
+    want = [None if r is None else [_norm(elem, e) for e in r]
+            for r in rows]
+    assert got == want
