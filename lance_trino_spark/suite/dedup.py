@@ -579,3 +579,130 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return passage_dedup(docs, "doc_id", "text", window=25).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d11 — INCREMENTAL dedup over the native version log: the 100 TB
+# operational shape. The base corpus lives in a real `.lance` dataset; a
+# new crawl batch appends (DSv2 write, executor-staged); classification
+# then touches ONLY the delta — the appended fragments are read
+# fragment-restricted (the CDC fan-out unit; parity with
+# native_table_changes asserted as a proof column) and joined against the
+# base snapshot's fingerprint state (VERSION AS OF the pre-append commit).
+# Nothing rescans the base per batch beyond the state build, and in
+# steady state that state is the persisted index this query derives.
+# Batch docs classify as dup-of-base (fingerprint already in the corpus),
+# dup-in-batch (first occurrence wins inside the batch), or unique-new.
+# ---------------------------------------------------------------------------
+@register(
+    "d11_incremental_cdf_dedup",
+    oracle="""
+    WITH batch_src AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' dupword' || CAST(doc_id % 5 AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 4000000,
+             text || ' dupword' || CAST(doc_id % 5 AS VARCHAR)
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    basefp AS (
+      SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    bfp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM batch_src
+    ),
+    cls AS (
+      SELECT b.doc_id,
+             CASE WHEN base.f IS NOT NULL THEN 'dup-of-base'
+                  WHEN b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.f)
+                       THEN 'unique-new'
+                  ELSE 'dup-in-batch' END AS dup_kind
+      FROM bfp b LEFT JOIN basefp base ON b.f = base.f
+    )
+    SELECT dup_kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS cdf_delta_only
+    FROM cls GROUP BY dup_kind ORDER BY dup_kind
+    """,
+    doc="dedup: incremental batch classification over the native version "
+        "log — appended fragments read delta-only (CDF parity proven), "
+        "joined against the base snapshot's fingerprint state",
+    tags=("dedup", "incremental", "cdc", "lance-native", "pipeline"),
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..format.lance_native import (
+        create_native_dataset,
+        native_table_changes,
+        read_native_manifest,
+    )
+    from ..functions import normalize_text
+    from ..sources.lance_datasource import register_lance_datasource
+    from ..suite.lance_format import _fresh_path
+
+    path = _fresh_path(sf_dir, "d11-incr")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    create_native_dataset(docs, path)
+    v0 = read_native_manifest(path).version
+    base_frags = {f.id for f in read_native_manifest(path).fragments}
+
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" dupword"),
+                 (F.col("doc_id") % 5).cast("string")).alias("text"))
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" dupword"),
+                 (F.col("doc_id") % 5).cast("string")).alias("text"))
+    batch = near.unionAll(exact).unionAll(near2)
+    register_lance_datasource(spark)
+    batch.write.format("lance").mode("append").save(path)
+
+    # the delta plan: ONLY fragments committed after v0 are scheduled
+    m1 = read_native_manifest(path)
+    new_frags = sorted(f.id for f in m1.fragments if f.id not in base_frags)
+    delta = (
+        spark.read.format("lance")
+        .option("fragments", ",".join(str(i) for i in new_frags))
+        .load(path)
+    )
+    # CDF parity: the version-log diff names exactly the appended rows
+    cdf = native_table_changes(path, v0)
+    n_batch = batch.count()
+    cdf_ok = bool(
+        cdf.num_rows == n_batch
+        and set(cdf["_change_type"].to_pylist()) == {"insert"}
+    )
+
+    base_state = (
+        spark.read.format("lance").option("version", str(v0)).load(path)
+        .select(F.md5(normalize_text("text")).alias("f"))
+        .distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+    d = delta.select("doc_id", F.md5(normalize_text("text")).alias("f"))
+    w = Window.partitionBy("f")
+    cls = d.join(base_state, "f", "left").withColumn(
+        "dup_kind",
+        F.when(F.col("in_base").isNotNull(), F.lit("dup-of-base"))
+        .when(F.col("doc_id") == F.min("doc_id").over(w),
+              F.lit("unique-new"))
+        .otherwise(F.lit("dup-in-batch")),
+    )
+    return (
+        cls.groupBy("dup_kind")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+        .withColumn("cdf_delta_only", F.lit(cdf_ok))
+        .orderBy("dup_kind")
+    )
