@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import os
 import struct
+import time as _time
 from dataclasses import dataclass, field
 
 
@@ -296,6 +297,44 @@ def list_native_versions(root: str) -> dict[int, str]:
         with open(p, "rb") as fh:
             out[parse_manifest(fh.read()).version] = p
     return out
+
+
+def resolve_native_version_at(root: str, timestamp_ms: int) -> int:
+    """Newest committed version whose manifest timestamp is at or before
+    ``timestamp_ms`` — FOR TIMESTAMP AS OF on the native version log
+    (reference: `LanceMetadata.java` resolveTemporalVersion, which raises
+    'No Lance version found at or before timestamp'; own-format twin:
+    `_resolve_version`'s timestampAsOf arm). O(#versions) tiny proto
+    parses, no data reads. Manifests without a timestamp (other minimal
+    writers) are skipped conservatively."""
+    versions = list_native_versions(root)
+    best = None
+    for v in sorted(versions):
+        ts = read_native_manifest(root, v).timestamp_s
+        # millisecond granularity on BOTH sides (the reference resolves
+        # by epoch millis): flooring only the probe would make a version
+        # committed in the same millisecond unreachable
+        if ts is not None and int(ts * 1000.0) <= timestamp_ms:
+            best = v
+    if best is None:
+        raise LanceNativeError(
+            f"no Lance version found at or before timestamp {timestamp_ms}"
+        )
+    return best
+
+
+def resolve_native_read_version(root: str, options: dict) -> int | None:
+    """Pinned version from native read options: ``version`` (int) or
+    ``timestampAsOf`` (epoch ms) — at most one; None = latest. Spark
+    normalizes DSv2 option keys to lowercase."""
+    v = options.get("version")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise LanceNativeError(
+            "specify at most one of version / timestampAsOf")
+    if ts is not None:
+        return resolve_native_version_at(root, int(ts))
+    return int(v) if v is not None else None
 
 
 def read_native_manifest(root: str, version: int | None = None) -> NativeManifest:
@@ -2067,6 +2106,12 @@ def _write_v1_manifest(
         )
         + frag_protos
         + _enc_field(3, 0, version)
+        # commit timestamp (proto field 7 {1: secs, 2: nanos}, exactly the
+        # fixture manifests' shape) — feeds FOR TIMESTAMP AS OF resolution
+        + _enc_field(7, 2, (
+            _enc_field(1, 0, int(_time.time()))
+            + _enc_field(2, 0, int((_time.time() % 1) * 1e9))
+        ))
         + (_enc_field(99, 2, txn.encode()) if txn else b"")
     )
     blob = struct.pack("<I", len(manifest)) + manifest

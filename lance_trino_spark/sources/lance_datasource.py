@@ -461,9 +461,11 @@ class LanceNativeScanReader(DataSourceReader):
             read_native_manifest,
         )
 
-        v = self._options.get("version")
+        from ..format.lance_native import resolve_native_read_version
+
         m = read_native_manifest(
-            self._path, int(v) if v is not None else None
+            self._path,
+            resolve_native_read_version(self._path, self._options),
         )
         cols = self._options.get("columns")
         cols_t = tuple(c.strip() for c in cols.split(",")) if cols else None
@@ -1499,8 +1501,10 @@ class LanceSparkDataSource(DataSource):
                 read_native_manifest,
             )
 
-            v = self.options.get("version")
-            m = read_native_manifest(path, int(v) if v is not None else None)
+            from ..format.lance_native import resolve_native_read_version
+
+            m = read_native_manifest(
+                path, resolve_native_read_version(path, dict(self.options)))
             full = native_spark_schema(m)
             if (self.options.get("mode") or "").lower() == "cdc":
                 # streaming CDC over the native version log: rows tagged

@@ -2660,3 +2660,75 @@ def lf37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("single_commit_rewrite", F.lit(bool(single_commit)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf38 — FOR TIMESTAMP AS OF on the native version log (reference:
+# `LanceMetadata.java` temporal version resolution — "No Lance version
+# found at or before timestamp"; own-format twin lf07). Native commits
+# stamp the manifest's timestamp proto (field 7 {secs, nanos}, exactly the
+# SDK fixtures' shape); the `timestampAsOf` read option resolves the
+# newest version at-or-before the probe, pinning BOTH rows and schema.
+# Composed with a MoR delete so the pre-delete snapshot provably differs.
+# ---------------------------------------------------------------------------
+@register(
+    "lf38_native_timestamp_travel",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <> 0)
+                AS BIGINT) AS n_after,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum_before,
+           TRUE AS timestamp_resolved_pre_delete
+    FROM orders
+    WHERE o_orderkey <= 3000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: FOR TIMESTAMP AS OF on a native .lance dataset — "
+        "manifest timestamp protos resolve the pre-delete snapshot "
+        "(rows AND schema) while the latest read sees the MoR delete",
+    tags=("format", "interop", "lance-native", "time-travel"),
+)
+def lf38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _t
+
+    from ..format.lance_native import (
+        create_native_dataset,
+        native_delete_where,
+        resolve_native_version_at,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf38-ttravel")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    create_native_dataset(src, path)
+    t_mid_ms = int(_t.time() * 1000)
+    _t.sleep(0.01)
+    register_lance_datasource(spark)
+    native_delete_where(spark, path, F.col("o_orderkey") % 3 == 0)
+    resolved_pre = resolve_native_version_at(path, t_mid_ms) == 1
+
+    pre = (
+        spark.read.format("lance")
+        .option("timestampAsOf", str(t_mid_ms)).load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_before"),
+             F.sum("o_orderkey").alias("key_sum_before"))
+    )
+    post = (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        pre.join(post, "priority")
+        .select("priority", "n_before", "n_after", "key_sum_before")
+        .withColumn(
+            "timestamp_resolved_pre_delete", F.lit(bool(resolved_pre)))
+        .orderBy("priority")
+    )

@@ -2913,3 +2913,40 @@ def test_sorted_compaction_enables_pruning(spark, tmp_path):
     got = sorted(r.k for r in spark.read.format("lance").load(root)
                  .filter("k >= 60").collect())
     assert got == [60, 61, 62, 90, 91, 92]
+
+
+def test_native_timestamp_time_travel(spark, tmp_path):
+    """FOR TIMESTAMP AS OF on the native version log: commits stamp the
+    manifest timestamp proto (field 7, the fixture shape); resolution
+    picks the newest version at-or-before the probe (epoch ms, both
+    sides floored to ms); pre-epoch probes refuse with the reference's
+    message; version/timestampAsOf are mutually exclusive."""
+    import time
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "tt.lance")
+    ln.write_native_dataset(root, {"k": [1, 2]})
+    t_mid = time.time()
+    time.sleep(0.05)
+    ln.append_native_rows(root, {"k": [3]})
+    ln.native_add_column(root, {"s": ["a", "b", "c"]}, types={"s": "string"})
+
+    assert ln.resolve_native_version_at(root, int(t_mid * 1000)) == 1
+    with pytest.raises(ln.LanceNativeError, match="at or before timestamp"):
+        ln.resolve_native_version_at(root, 1000)
+
+    register_lance_datasource(spark)
+    mid = (spark.read.format("lance")
+           .option("timestampAsOf", str(int(t_mid * 1000))).load(root))
+    # schema AND rows resolve at the historical version
+    assert mid.columns == ["k"]
+    assert sorted(r.k for r in mid.collect()) == [1, 2]
+    latest = spark.read.format("lance").load(root)
+    assert sorted((r.k, r.s) for r in latest.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(Exception, match="at most one"):
+        (spark.read.format("lance").option("timestampAsOf", "1")
+         .option("version", "1").load(root).collect())
