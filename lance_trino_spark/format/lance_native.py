@@ -323,15 +323,89 @@ def resolve_native_version_at(root: str, timestamp_ms: int) -> int:
     return best
 
 
+def _native_tags_dir(root: str) -> str:
+    return os.path.join(root, "_refs", "tags")
+
+
+def native_create_tag(root: str, name: str, version: int | None = None
+                      ) -> int:
+    """Pin a version under a named tag — the lance SDK's `tags.create`,
+    using its on-disk layout (`_refs/tags/<name>.json` holding the
+    version and the manifest size; own-format twin: format/refs.py,
+    cat14). Tags are create-once (re-tagging needs delete first) and
+    make their version vacuum-immortal. Returns the tagged version."""
+    import json as _json
+
+    if not name or "/" in name or name.startswith("."):
+        raise LanceNativeError(f"invalid tag name {name!r}")
+    versions = list_native_versions(root)
+    v = max(versions) if version is None else int(version)
+    if v not in versions:
+        raise LanceNativeError(
+            f"version {v} not in committed versions {sorted(versions)}")
+    tdir = _native_tags_dir(root)
+    os.makedirs(tdir, exist_ok=True)
+    path = os.path.join(tdir, f"{name}.json")
+    if os.path.exists(path):
+        raise LanceNativeError(f"tag {name!r} already exists")
+    blob = _json.dumps({
+        "version": v,
+        "manifest_size": os.path.getsize(versions[v]),
+    }).encode()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    try:
+        os.link(tmp, path)  # create-once, loses races loudly
+    except FileExistsError:
+        raise LanceNativeError(f"tag {name!r} already exists")
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def native_delete_tag(root: str, name: str) -> None:
+    path = os.path.join(_native_tags_dir(root), f"{name}.json")
+    if not os.path.exists(path):
+        raise LanceNativeError(f"no such tag {name!r}")
+    os.unlink(path)
+
+
+def native_list_tags(root: str) -> dict[str, int]:
+    """{tag name -> pinned version} from `_refs/tags/` (empty if none)."""
+    import json as _json
+
+    tdir = _native_tags_dir(root)
+    out: dict[str, int] = {}
+    if not os.path.isdir(tdir):
+        return out
+    for n in sorted(os.listdir(tdir)):
+        if not n.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(tdir, n)) as fh:
+                out[n[:-len(".json")]] = int(_json.load(fh)["version"])
+        except (ValueError, KeyError, OSError):
+            raise LanceNativeError(f"unreadable tag file {n!r}")
+    return out
+
+
 def resolve_native_read_version(root: str, options: dict) -> int | None:
-    """Pinned version from native read options: ``version`` (int) or
-    ``timestampAsOf`` (epoch ms) — at most one; None = latest. Spark
-    normalizes DSv2 option keys to lowercase."""
+    """Pinned version from native read options: ``version`` (int),
+    ``timestampAsOf`` (epoch ms), or ``tagAsOf`` (named tag) — at most
+    one; None = latest. Spark normalizes DSv2 option keys to lowercase."""
     v = options.get("version")
     ts = options.get("timestampasof")
-    if v is not None and ts is not None:
+    tag = options.get("tagasof")
+    if sum(x is not None for x in (v, ts, tag)) > 1:
         raise LanceNativeError(
-            "specify at most one of version / timestampAsOf")
+            "specify at most one of version / timestampAsOf / tagAsOf")
+    if tag is not None:
+        tags = native_list_tags(root)
+        if tag not in tags:
+            raise LanceNativeError(
+                f"no such tag {tag!r} (have: {sorted(tags)})")
+        return tags[tag]
     if ts is not None:
         return resolve_native_version_at(root, int(ts))
     return int(v) if v is not None else None
@@ -3435,8 +3509,16 @@ def native_cleanup_old_versions(
     if not version_paths:
         raise LanceNativeError(f"no committed versions under {vdir}")
     versions = sorted(version_paths)
-    retained = versions[-keep_versions:]
-    dropped = versions[:-keep_versions]
+    # tagged versions are vacuum-immortal (the SDK contract; own-format
+    # twin: LanceDataset.vacuum keeps tag-pinned snapshots, cat14)
+    tagged = set(native_list_tags(root).values())
+    unknown_tags = tagged - set(versions)
+    if unknown_tags:
+        raise LanceNativeError(
+            f"tags pin unknown versions {sorted(unknown_tags)}")
+    keep = set(versions[-keep_versions:]) | tagged
+    retained = [v for v in versions if v in keep]
+    dropped = [v for v in versions if v not in keep]
     live_data: set[str] = set()
     live_dv: set[str] = set()
     live_frags: set[int] = set()

@@ -88,6 +88,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # members first (lf14/st11 native decode, lf08 wide types, s12).
     "d11_incremental_cdf_dedup",
     "lf38_native_timestamp_travel",
+    "lf39_native_version_tags",
     "lf36_native_fragment_stats_pruning",
     "lf37_native_clustered_compaction",
     "lf32_native_null_roundtrip",

@@ -2732,3 +2732,80 @@ def lf38(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestamp_resolved_pre_delete", F.lit(bool(resolved_pre)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf39 — version TAGS on a native `.lance` dataset, in the lance SDK's
+# on-disk layout (`_refs/tags/<name>.json` pinning {version,
+# manifest_size}): create-once pins survive later MoR DML AND a
+# keep_versions=1 vacuum (tag-pinned versions are vacuum-immortal, the
+# SDK contract), and `tagAsOf` resolves the pinned snapshot by name
+# (own-format twin: cat14; beyond the reference, which has no tag
+# surface). The untagged middle version is provably reclaimed.
+# ---------------------------------------------------------------------------
+@register(
+    "lf39_native_version_tags",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_tagged,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 4 <> 0)
+                AS BIGINT) AS n_latest,
+           TRUE AS tag_survived_vacuum,
+           TRUE AS untagged_version_reclaimed
+    FROM orders
+    WHERE o_orderkey <= 3000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: version tags on a native .lance dataset (SDK _refs "
+        "layout) — tagAsOf reads the pin through later DML and a "
+        "keep_versions=1 vacuum; untagged versions reclaim",
+    tags=("format", "interop", "lance-native", "tags", "time-travel"),
+)
+def lf39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        LanceNativeError,
+        create_native_dataset,
+        native_cleanup_old_versions,
+        native_create_tag,
+        native_delete_where,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf39-tags")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    create_native_dataset(src, path)
+    native_create_tag(path, "baseline")
+    register_lance_datasource(spark)
+    # two MoR deletes -> versions 2 and 3; latest live set = keys % 4 <> 0
+    native_delete_where(spark, path, F.col("o_orderkey") % 8 == 0)
+    native_delete_where(spark, path, F.col("o_orderkey") % 4 == 0)
+    out = native_cleanup_old_versions(path, keep_versions=1)
+    tag_ok = 1 in out["retained_versions"]
+    reclaimed = False
+    try:
+        read_native_manifest(path, 2)
+    except LanceNativeError:
+        reclaimed = True
+
+    tagged = (
+        spark.read.format("lance").option("tagAsOf", "baseline").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_tagged"))
+    )
+    latest = (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_latest"))
+    )
+    return (
+        tagged.join(latest, "priority")
+        .withColumn("tag_survived_vacuum", F.lit(bool(tag_ok)))
+        .withColumn("untagged_version_reclaimed", F.lit(bool(reclaimed)))
+        .orderBy("priority")
+    )

@@ -2950,3 +2950,47 @@ def test_native_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(Exception, match="at most one"):
         (spark.read.format("lance").option("timestampAsOf", "1")
          .option("version", "1").load(root).collect())
+
+
+def test_native_version_tags(spark, tmp_path):
+    """Native tags (`_refs/tags/<name>.json`, the SDK layout): create-once
+    pins, tagAsOf reads, vacuum immortality for tag-pinned versions, and
+    loud unknown-tag / re-tag refusals."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "tags.lance")
+    ln.write_native_dataset(root, {"k": [1, 2]})
+    ln.append_native_rows(root, {"k": [3]})
+    assert ln.native_create_tag(root, "v1-pin", version=1) == 1
+    ln.append_native_rows(root, {"k": [4]})
+    assert ln.native_list_tags(root) == {"v1-pin": 1}
+    with pytest.raises(ln.LanceNativeError, match="already exists"):
+        ln.native_create_tag(root, "v1-pin")
+    with pytest.raises(ln.LanceNativeError, match="not in committed"):
+        ln.native_create_tag(root, "zzz", version=99)
+
+    register_lance_datasource(spark)
+    pinned = (spark.read.format("lance")
+              .option("tagAsOf", "v1-pin").load(root))
+    assert sorted(r.k for r in pinned.collect()) == [1, 2]
+    with pytest.raises(Exception, match="no such tag"):
+        (spark.read.format("lance").option("tagAsOf", "nope")
+         .load(root).collect())
+
+    # vacuum keeps the tagged version even beyond keep_versions
+    out = ln.native_cleanup_old_versions(root, keep_versions=1)
+    assert out["retained_versions"] == [1, 3]
+    assert sorted(
+        r.k for r in spark.read.format("lance")
+        .option("tagAsOf", "v1-pin").load(root).collect()) == [1, 2]
+    with pytest.raises(ln.LanceNativeError):
+        ln.read_native_manifest(root, 2)  # untagged middle version gone
+
+    # delete the tag -> next vacuum reaps the version
+    ln.native_delete_tag(root, "v1-pin")
+    with pytest.raises(ln.LanceNativeError, match="no such tag"):
+        ln.native_delete_tag(root, "v1-pin")
+    out2 = ln.native_cleanup_old_versions(root, keep_versions=1)
+    assert out2["retained_versions"] == [3]
