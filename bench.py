@@ -153,6 +153,11 @@ DEFAULT_QUERIES = [
     "ds11_native_dsv2_write",
     "t24_capped_source_budgets",
     "t23_bpe_token_inflation",
+    "lf36_native_fragment_stats_pruning",
+    "lf37_native_clustered_compaction",
+    "lf38_native_timestamp_travel",
+    "lf39_native_version_tags",
+    "d11_incremental_cdf_dedup",
 ]
 
 
