@@ -158,6 +158,7 @@ DEFAULT_QUERIES = [
     "lf38_native_timestamp_travel",
     "lf39_native_version_tags",
     "d11_incremental_cdf_dedup",
+    "lf40_native_nested_tree",
 ]
 
 

@@ -1756,11 +1756,14 @@ def _v1_field_specs(
     = ordinary leaf pages with placeholder values at NULL-struct rows.
     ``fid_base`` offsets the assigned field ids — the add-column path
     numbers new fields after the existing schema's maximum."""
-    specs = []
+    specs: list[tuple] = []
     fid = fid_base
-    for n in names:
-        vals = columns[n]
-        lt = (types or {}).get(n) or _infer_v1_type(vals)
+
+    def emit(name: str, parent: int, vals, lt: str | None) -> None:
+        nonlocal fid
+        lt = lt or _infer_v1_type(vals)
+        my = fid
+        fid += 1
         if lt == "list":
             # NULL list rows ride the parent's validity buffer (v2 arm of
             # LEAF_VALIDITY_LAYOUT) and contribute zero child elements
@@ -1768,29 +1771,27 @@ def _v1_field_specs(
             non_null_elems = [e for e in elems if e is not None]
             clt = _infer_v1_type(non_null_elems) if non_null_elems \
                 else "int64"
-            if clt not in ("int64", "double", "string", "binary"):
+            if clt not in ("int64", "double", "string", "binary",
+                           "struct"):
                 raise LanceNativeError(
-                    f"list column {n!r}: unsupported element type {clt!r}")
-            specs.append((n, fid, -1, "list", vals))
-            specs.append(("item", fid + 1, fid, clt, elems))
-            fid += 2
-            continue
+                    f"list column {name!r}: unsupported element type "
+                    f"{clt!r}")
+            specs.append((name, my, parent, "list", vals))
+            emit("item", my, elems, clt)
+            return
         if lt != "struct":
-            specs.append((n, fid, -1, lt, vals))
-            fid += 1
-            continue
-        parent_fid = fid
-        fid += 1
+            specs.append((name, my, parent, lt, vals))
+            return
         proto_row = next((v for v in vals if v is not None), None)
         if proto_row is None:
             raise LanceNativeError(
-                f"struct column {n!r} has no non-null rows to derive "
+                f"struct column {name!r} has no non-null rows to derive "
                 "fields from")
         child_names = list(proto_row)
         if not child_names:
-            raise LanceNativeError(f"struct column {n!r} has no fields")
+            raise LanceNativeError(f"struct column {name!r} has no fields")
         validity = [v is not None for v in vals]
-        specs.append((n, parent_fid, -1, "struct", validity))
+        specs.append((name, my, parent, "struct", validity))
         for cn in child_names:
             non_null = [
                 v[cn] for v in vals
@@ -1798,13 +1799,19 @@ def _v1_field_specs(
             ]
             if not non_null:
                 raise LanceNativeError(
-                    f"struct column {n!r}: child {cn!r} has no non-null "
-                    "values to derive a type from")
+                    f"struct column {name!r}: child {cn!r} has no "
+                    "non-null values to derive a type from")
             clt = _infer_v1_type(non_null)
-            if clt == "struct":
-                raise LanceNativeError(
-                    "nested struct-in-struct is outside the minimal "
-                    "writer's scope")
+            if clt in ("struct", "list"):
+                # NESTED struct/list children recurse (FILE-v2 only — the
+                # v1 writer refuses non-top-level nesting): a NULL
+                # ancestor row makes the nested child NULL at that row
+                # (its own validity page/buffer masks it; the leaves
+                # below get placeholders through the same recursion)
+                emit(cn, my,
+                     [None if v is None else v.get(cn) for v in vals],
+                     clt)
+                continue
             # NULL-struct rows fill placeholder slots (masked by the
             # parent validity page, as always); a NULL child inside a
             # NON-null row stays None — the leaf page's own validity
@@ -1813,8 +1820,11 @@ def _v1_field_specs(
                 _placeholder_value(clt) if v is None else v.get(cn)
                 for v in vals
             ]
-            specs.append((cn, fid, parent_fid, clt, cvals))
+            specs.append((cn, fid, my, clt, cvals))
             fid += 1
+
+    for n in names:
+        emit(n, -1, columns[n], (types or {}).get(n))
     return specs
 
 
@@ -1835,9 +1845,9 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
     by_parent: dict[int, list] = {}
     for f in m.fields:
         by_parent.setdefault(_signed(f.parent_id), []).append(f)
-    specs = []
-    for f in m.top_level_fields():
-        vals = columns[f.name]
+    specs: list[tuple] = []
+
+    def emit(f: "NativeField", parent: int, vals) -> None:
         lt = f.logical_type
         if lt == "struct":
             children = by_parent.get(f.id, [])
@@ -1845,8 +1855,16 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
                 raise LanceNativeError(
                     f"struct field {f.name!r} has no children in manifest")
             validity = [v is not None for v in vals]
-            specs.append((f.name, f.id, -1, "struct", validity))
+            specs.append((f.name, f.id, parent, "struct", validity))
             for ch in children:
+                if ch.logical_type in ("struct", "list"):
+                    # nested children recurse: a NULL ancestor row makes
+                    # the nested child NULL there (own validity masks it)
+                    emit(ch, f.id, [
+                        None if not isinstance(v, dict) else v.get(ch.name)
+                        for v in vals
+                    ])
+                    continue
                 # NULL-struct rows fill placeholders (parent validity
                 # masks them); NULL children in non-null rows stay None
                 # for the leaf page's own validity bitmap
@@ -1855,7 +1873,8 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
                     else (v.get(ch.name) if isinstance(v, dict) else None)
                     for v in vals
                 ]
-                specs.append((ch.name, ch.id, f.id, ch.logical_type, cvals))
+                specs.append((ch.name, ch.id, f.id, ch.logical_type,
+                              cvals))
         elif lt == "list":
             children = by_parent.get(f.id, [])
             if len(children) != 1:
@@ -1865,10 +1884,17 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
             # NULL list rows: parent validity buffer, zero child elements
             elems = [x for row in vals for x in (row or ())]
             ch = children[0]
-            specs.append((f.name, f.id, -1, "list", vals))
-            specs.append((ch.name, ch.id, f.id, ch.logical_type, elems))
+            specs.append((f.name, f.id, parent, "list", vals))
+            if ch.logical_type in ("struct", "list"):
+                emit(ch, f.id, elems)
+            else:
+                specs.append((ch.name, ch.id, f.id, ch.logical_type,
+                              elems))
         else:
-            specs.append((f.name, f.id, -1, lt, vals))
+            specs.append((f.name, f.id, parent, lt, vals))
+
+    for f in m.top_level_fields():
+        emit(f, -1, columns[f.name])
     return specs
 
 
@@ -1902,6 +1928,10 @@ def _write_v1_data_file(
     if any(sp[3] == "list" for sp in specs):
         raise LanceNativeError(
             "v1 writer does not emit list columns — use file_version=2")
+    if any(sp[3] == "struct" and sp[2] != -1 for sp in specs):
+        raise LanceNativeError(
+            "v1 writer does not emit nested struct pages — use "
+            "file_version=2")
     n_rows = len(specs[0][4])
     if any(len(sp[4]) != n_rows for sp in specs):
         raise LanceNativeError("ragged columns")
@@ -2029,20 +2059,30 @@ def _write_v2_data_file(
     import numpy as np
 
     n_rows = len(specs[0][4])
-    # list CHILD columns legitimately carry a different row count (one
-    # page row per element); everything else must align
-    list_fids = {sp[1] for sp in specs if sp[3] == "list"}
-    if any(
-        len(sp[4]) != n_rows
-        for sp in specs
-        if sp[2] not in list_fids
-    ):
-        raise LanceNativeError("ragged columns")
+    # row-domain alignment, NESTING-AWARE: a top-level spec carries
+    # n_rows; a struct child carries its parent's row count; a list
+    # child carries one row per parent ELEMENT — transitively (list of
+    # struct of list, etc.)
+    by_fid = {sp[1]: sp for sp in specs}
 
-    # Per-spec page row-slices. Default: equal page_rows chunks of the
-    # spec's OWN length; list children instead follow their parent's page
-    # boundaries translated to element counts (the 1:1 alignment the
-    # multi-page list read depends on).
+    def _expected_len(sp):
+        if sp[2] == -1:
+            return n_rows
+        parent = by_fid[sp[2]]
+        if parent[3] == "list":
+            return sum(len(row or ()) for row in parent[4])
+        return len(parent[4])
+
+    bad = [sp[0] for sp in specs if len(sp[4]) != _expected_len(sp)]
+    if bad:
+        raise LanceNativeError(f"ragged columns: {bad}")
+
+    # Per-spec page row-slices, derived in DEPENDENCY order (parents
+    # precede children in spec order): top-level columns take equal
+    # page_rows chunks; struct children share their parent's exact
+    # boundaries; list children translate the parent's ACTUAL boundaries
+    # to element counts — the 1:1 page pairing the multi-page list read
+    # depends on, correct at any nesting depth.
     def _slices(n, step):
         if not step or n == 0:
             return [(0, n)]
@@ -2050,15 +2090,17 @@ def _write_v2_data_file(
 
     slices_by_fid = {}
     for name, fid, parent, lt, vals in specs:
-        if parent in list_fids:
-            pvals = next(sp[4] for sp in specs if sp[1] == parent)
+        if parent == -1:
+            slices_by_fid[fid] = _slices(len(vals), page_rows)
+        elif by_fid[parent][3] == "list":
+            pvals = by_fid[parent][4]
             bounds = [0]
-            for lo, hi in _slices(len(pvals), page_rows):
+            for lo, hi in slices_by_fid[parent]:
                 bounds.append(bounds[-1] + sum(
                     len(row or ()) for row in pvals[lo:hi]))
             slices_by_fid[fid] = list(zip(bounds[:-1], bounds[1:]))
-        else:
-            slices_by_fid[fid] = _slices(len(vals), page_rows)
+        else:  # struct child: same row domain and boundaries
+            slices_by_fid[fid] = slices_by_fid[parent]
 
     def _page_bufs(lt, vals):
         if lt == "struct":
@@ -2770,52 +2812,62 @@ def create_native_dataset(
                 "struct<scalar...>, array<scalar>)")
         return lt
 
-    for f in df.schema.fields:
-        tn = f.dataType.typeName()
+    def emit(name: str, dt, parent: int, qual: str,
+             fsl_dim=None) -> None:
+        # RECURSIVE Spark-type mapping: struct and array nest to any
+        # depth (FILE-v2; nested pages refuse loudly on v1 at write
+        # time); scalars map through _SPARK_TO_NATIVE
+        nonlocal fid
+        pid_proto = neg1 if parent == -1 else parent
+        tn = dt.typeName()
+        my = fid
         if tn == "array":
-            elt = _scalar_lt(f.dataType.elementType, f"{f.name} element")
-            dim = (fsl_columns or {}).get(f.name)
-            if dim is not None:
+            if fsl_dim is not None:
+                elt = _scalar_lt(dt.elementType, f"{qual} element")
                 if elt not in _FIXED_TYPES:
                     raise LanceNativeError(
-                        f"fsl_columns[{f.name!r}]: fixed_size_list items "
+                        f"fsl_columns[{name!r}]: fixed_size_list items "
                         f"must be fixed-width, not {elt!r}")
-                lt = f"fixed_size_list:{elt}:{int(dim)}"
-                fields.append(NativeField(f.name, fid, neg1, lt, True, 0))
-                specs.append((f.name, fid, -1, lt))
+                lt = f"fixed_size_list:{elt}:{int(fsl_dim)}"
+                fields.append(NativeField(name, my, pid_proto, lt,
+                                          True, 0))
+                specs.append((name, my, parent, lt))
                 fid += 1
-            else:
-                if file_version != 2:
-                    raise LanceNativeError(
-                        f"column {f.name!r}: variable-length list "
-                        "columns need file_version=2 (or name the "
-                        "column in fsl_columns for a fixed_size_list)")
-                fields.append(
-                    NativeField(f.name, fid, neg1, "list", True, 0))
-                specs.append((f.name, fid, -1, "list"))
-                fields.append(
-                    NativeField("item", fid + 1, fid, elt, True, 0))
-                specs.append(("item", fid + 1, fid, elt))
-                fid += 2
-        elif tn == "struct":
-            if not f.dataType.fields:
+                return
+            if file_version != 2:
                 raise LanceNativeError(
-                    f"struct column {f.name!r} has no fields")
-            fields.append(
-                NativeField(f.name, fid, neg1, "struct", True, 0))
-            specs.append((f.name, fid, -1, "struct"))
-            pid = fid
+                    f"column {qual!r}: variable-length list columns "
+                    "need file_version=2 (or name the column in "
+                    "fsl_columns for a fixed_size_list)")
+            fields.append(NativeField(name, my, pid_proto, "list",
+                                      True, 0))
+            specs.append((name, my, parent, "list"))
             fid += 1
-            for ch in f.dataType.fields:
-                clt = _scalar_lt(ch.dataType, f"{f.name}.{ch.name}")
-                fields.append(NativeField(ch.name, fid, pid, clt, True, 0))
-                specs.append((ch.name, fid, pid, clt))
-                fid += 1
-        else:
-            lt = _scalar_lt(f.dataType, f.name)
-            fields.append(NativeField(f.name, fid, neg1, lt, True, 0))
-            specs.append((f.name, fid, -1, lt))
+            emit("item", dt.elementType, my, f"{qual} element")
+            return
+        if tn == "struct":
+            if not dt.fields:
+                raise LanceNativeError(
+                    f"struct column {qual!r} has no fields")
+            if parent != -1 and file_version != 2:
+                raise LanceNativeError(
+                    f"column {qual!r}: nested struct columns need "
+                    "file_version=2")
+            fields.append(NativeField(name, my, pid_proto, "struct",
+                                      True, 0))
+            specs.append((name, my, parent, "struct"))
             fid += 1
+            for ch in dt.fields:
+                emit(ch.name, ch.dataType, my, f"{qual}.{ch.name}")
+            return
+        lt = _scalar_lt(dt, qual)
+        fields.append(NativeField(name, my, pid_proto, lt, True, 0))
+        specs.append((name, my, parent, lt))
+        fid += 1
+
+    for f in df.schema.fields:
+        emit(f.name, f.dataType, -1, f.name,
+             fsl_dim=(fsl_columns or {}).get(f.name))
     if not fields:
         raise LanceNativeError("create_native_dataset: empty schema")
     m = NativeManifest(

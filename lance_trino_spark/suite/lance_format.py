@@ -2809,3 +2809,76 @@ def lf39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("untagged_version_reclaimed", F.lit(bool(reclaimed)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf40 — the FULL nested type tree through the distributed native CTAS:
+# struct<scalar, struct<scalar>, array<scalar>> and array<struct<...>>
+# columns (the reference reads nested ROW/ARRAY shapes,
+# `LanceArrowToPageScanner.java:302-342,591-638`; this repo also WRITES
+# them, FILE-v2 recursive validity pages — ancestor NULLs propagate, NULL
+# elements ride leaf validity). The scan back dereferences through every
+# level and the aggregates are value-exact vs DuckDB computing the same
+# scalars from the flat base table.
+# ---------------------------------------------------------------------------
+@register(
+    "lf40_native_nested_tree",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 11 <> 0 THEN o_custkey END)
+                AS BIGINT) AS a_sum,
+           CAST(SUM(CASE WHEN o_orderkey % 11 <> 0
+                          AND o_orderkey % 13 <> 0
+                         THEN o_orderkey * 2 END) AS BIGINT) AS x_sum,
+           CAST(SUM(CASE WHEN o_orderkey % 11 <> 0
+                         THEN o_orderkey % 5 END) AS BIGINT) AS tag0_sum
+    FROM orders
+    WHERE o_orderkey <= 3000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: full nested type tree (struct<struct>, struct<array>, "
+        "array<struct>) through the distributed native CTAS — recursive "
+        "validity pages, ancestor-NULL propagation, dereferenced back "
+        "value-exact",
+    tags=("format", "interop", "lance-native", "nested", "write"),
+)
+def lf40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import create_native_dataset
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf40-nested")
+    k = F.col("o_orderkey")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(k <= 3000)
+        .select(
+            k.alias("k"),
+            F.when(k % 11 != 0, F.struct(
+                F.col("o_custkey").cast("long").alias("a"),
+                F.when(k % 13 != 0, F.struct(
+                    (k * 2).cast("long").alias("x"),
+                )).alias("inner"),
+                F.array((k % 5).cast("long"),
+                        (k % 7).cast("long")).alias("tags"),
+            )).alias("meta"),
+            F.array(F.struct(
+                (k % 3).cast("long").alias("u"),
+                F.col("o_orderpriority").alias("v"),
+            )).alias("los"),
+        )
+    )
+    create_native_dataset(src, path, file_version=2)
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(path)
+    return (
+        back.groupBy(F.element_at("los", 1).getField("v").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("meta.a").alias("a_sum"),
+            F.sum("meta.inner.x").alias("x_sum"),
+            F.sum(F.element_at("meta.tags", 1)).alias("tag0_sum"),
+        )
+        .orderBy("priority")
+    )

@@ -2994,3 +2994,50 @@ def test_native_version_tags(spark, tmp_path):
         ln.native_delete_tag(root, "v1-pin")
     out2 = ln.native_cleanup_old_versions(root, keep_versions=1)
     assert out2["retained_versions"] == [3]
+
+
+def test_native_nested_type_tree(spark, tmp_path):
+    """FULL nested type tree through the distributed CTAS and back:
+    struct<scalar, struct<...>, array<scalar>> and array<struct<...>>,
+    with NULLs at every level (ancestor-null propagation through nested
+    validity pages), across the executor staging path. v1 refuses nested
+    pages loudly."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, {"a": 1, "inner": {"x": 1.5, "y": "p"}, "tags": [1, 2]},
+         [{"u": 1, "v": "a"}, {"u": None, "v": "b"}]),
+        (2, None, None),
+        (3, {"a": None, "inner": None, "tags": []}, []),
+        (4, {"a": 4, "inner": {"x": None, "y": "q"}, "tags": [7, None]},
+         [{"u": 4, "v": None}]),
+    ]
+    schema = ("k int, meta struct<a:bigint, inner:struct<x:double,"
+              "y:string>, tags:array<bigint>>, "
+              "los array<struct<u:bigint,v:string>>")
+    df = spark.createDataFrame(rows, schema)
+    root = str(tmp_path / "nested.lance")
+    ln.create_native_dataset(df, root, file_version=2)
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(root)
+    got = {r.k: r for r in back.collect()}
+    assert got[2].meta is None and got[2].los is None
+    assert got[1].meta.inner.x == 1.5 and got[1].meta.tags == [1, 2]
+    assert got[3].meta.a is None and got[3].meta.tags == []
+    assert got[4].meta.inner.x is None
+    assert [tuple(e) for e in got[1].los] == [(1, "a"), (None, "b")]
+    assert got[4].los[0].v is None
+
+    # nested dereference + aggregate over the native scan
+    agg = back.filter(F.col("meta").isNotNull()).agg(
+        F.sum("meta.a").alias("sa")).collect()[0]
+    assert agg.sa == 5
+
+    with pytest.raises(ln.LanceNativeError, match="file_version=2"):
+        ln.create_native_dataset(
+            df.select("k", "meta"), str(tmp_path / "v1n.lance"),
+            file_version=1)
