@@ -3041,3 +3041,13 @@ def test_native_nested_type_tree(spark, tmp_path):
         ln.create_native_dataset(
             df.select("k", "meta"), str(tmp_path / "v1n.lance"),
             file_version=1)
+
+    # MoR DML on a nested table: the replacement fragment re-encodes the
+    # nested columns through the same recursive spec builder
+    ln.native_update_where(spark, root, F.col("k") == 3, {"k": F.lit(30)})
+    ln.native_delete_where(spark, root, F.col("k") == 1)
+    after = {r.k: r for r in
+             spark.read.format("lance").load(root).collect()}
+    assert sorted(after) == [2, 4, 30]
+    assert after[30].meta.a is None and after[30].meta.tags == []
+    assert after[4].meta.inner.x is None
