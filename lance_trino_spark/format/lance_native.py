@@ -1771,8 +1771,13 @@ def _v1_field_specs(
             non_null_elems = [e for e in elems if e is not None]
             clt = _infer_v1_type(non_null_elems) if non_null_elems \
                 else "int64"
+            if clt.startswith("fixed_size_list:"):
+                # uniform-length float elements infer fsl at top level;
+                # nested, only the explicit fsl_columns opt-in creates
+                # fixed_size_list — default to a true list<list<float>>
+                clt = "list"
             if clt not in ("int64", "double", "string", "binary",
-                           "struct"):
+                           "struct", "list"):
                 raise LanceNativeError(
                     f"list column {name!r}: unsupported element type "
                     f"{clt!r}")
