@@ -159,6 +159,7 @@ DEFAULT_QUERIES = [
     "lf39_native_version_tags",
     "d11_incremental_cdf_dedup",
     "lf40_native_nested_tree",
+    "ds12_native_nested_projection",
 ]
 
 

@@ -577,6 +577,7 @@ def _v2_read_column(
     manifest: NativeManifest | None = None,
     data_file: NativeDataFile | None = None,
     indices=None,
+    keep: dict | None = None,
 ):
     """Minimal Lance FILE v2 column read covering the fixture matrix
     (wide_types_table / test_table5): flat fixed-width scalars, bitpacked
@@ -621,9 +622,10 @@ def _v2_read_column(
     # per-parent-page loop slices it; without the cache a P-page parent
     # would re-decode its child P times)
 
-    def _child_column(ch_idx, ch):
+    def _child_column(ch_idx, ch, ch_keep=None):
         if ch_idx not in child_cache:
-            a = _v2_read_column(raw, ch_idx, ch, manifest, data_file)
+            a = _v2_read_column(
+                raw, ch_idx, ch, manifest, data_file, keep=ch_keep)
             if isinstance(a, pa.ChunkedArray):
                 a = a.combine_chunks()
             child_cache[ch_idx] = a
@@ -723,7 +725,7 @@ def _v2_read_column(
             child = _child_field(manifest, nfield)
             child_col = data_file.field_ids.index(child.id)
             ends = _v2_fixed_np(raw, offs, sizes, nrows, "<i8", 8, what)
-            child_vals = _child_column(child_col, child)
+            child_vals = _child_column(child_col, child, keep)
             if len(pages) > 1:
                 # each page's end-offsets index into the page's OWN child
                 # rows; this writer's convention (and the alignment the
@@ -787,13 +789,23 @@ def _v2_read_column(
             if not children:
                 raise LanceNativeError(
                     f"struct field {nfield.name!r} has no children")
+            if keep is not None:
+                unknown = sorted(
+                    set(keep) - {ch.name for ch in children})
+                if unknown:
+                    raise LanceNativeError(
+                        f"no such struct fields under "
+                        f"{nfield.name!r}: {unknown}")
+                children = [ch for ch in children if ch.name in keep]
             # children share the parent's row slicing, so page pg_i's
             # child rows start at the cumulative parent page row count
             base = sum(pg[2] for pg in pages[:pg_i])
             arrays, names = [], []
             for ch in children:
                 ch_idx = data_file.field_ids.index(ch.id)
-                a = _child_column(ch_idx, ch)
+                a = _child_column(
+                    ch_idx, ch,
+                    None if keep is None else keep.get(ch.name))
                 if len(pages) > 1:
                     a = a.slice(base, nrows)
                 arrays.append(a)
@@ -833,6 +845,7 @@ def read_file_column(
     nfield: NativeField,
     manifest: NativeManifest | None = None,
     indices=None,
+    keep: dict | None = None,
 ):
     """One column of one v1 data file as a pyarrow Array.
 
@@ -878,8 +891,10 @@ def read_file_column(
             "struct", "list"
         ):
             return _v2_read_column(
-                raw, col_idx, nfield, manifest, data_file, indices)
-        arr = _v2_read_column(raw, col_idx, nfield, manifest, data_file)
+                raw, col_idx, nfield, manifest, data_file, indices,
+                keep=keep)
+        arr = _v2_read_column(
+            raw, col_idx, nfield, manifest, data_file, keep=keep)
         if indices is not None:
             arr = arr.take(pa.array(np.asarray(indices, dtype=np.int64)))
         return arr
@@ -916,11 +931,19 @@ def read_file_column(
         if not children:
             raise LanceNativeError(
                 f"struct field {nfield.name!r} has no children in manifest")
+        if keep is not None:
+            unknown = sorted(set(keep) - {ch.name for ch in children})
+            if unknown:
+                raise LanceNativeError(
+                    f"no such struct fields under {nfield.name!r}: "
+                    f"{unknown}")
+            children = [ch for ch in children if ch.name in keep]
         arrays, names = [], []
         for ch in children:
             ch_idx = data_file.field_ids.index(ch.id)
             arr = read_file_column(
-                root, data_file, ch_idx, ch, manifest, indices)
+                root, data_file, ch_idx, ch, manifest, indices,
+                keep=None if keep is None else keep.get(ch.name))
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             arrays.append(arr)
@@ -1238,11 +1261,28 @@ def read_native_fragment(
 
     tops = manifest.top_level_fields()
     by_name = {f.name: f for f in tops}
+    keep_tree: dict | None = None
     if columns is not None:
-        missing = [c for c in columns if c not in by_name]
-        if missing:
-            raise LanceNativeError(f"no such columns: {missing}")
-        tops = [by_name[c] for c in columns]
+        # entries may be DOTTED nested paths ("meta.inner.x") — the
+        # nested-projection-pushdown hook (A5's native arm): only the
+        # named subtree's pages decode; None marks a whole subtree
+        keep_tree = {}
+        for c in columns:
+            parts = c.split(".")
+            if parts[0] not in by_name:
+                raise LanceNativeError(f"no such columns: [{parts[0]!r}]")
+            node = keep_tree
+            for i, seg in enumerate(parts):
+                last = i == len(parts) - 1
+                if last:
+                    if seg not in node or not isinstance(node.get(seg),
+                                                         dict):
+                        node[seg] = None  # whole subtree
+                else:
+                    if node.get(seg) is None and seg in node:
+                        break  # an earlier path already keeps it whole
+                    node = node.setdefault(seg, {})
+        tops = [by_name[t] for t in keep_tree]
 
     # live physical row indices (deletion vector applied up front so every
     # column decode below is already deletion-aware)
@@ -1263,7 +1303,9 @@ def read_native_fragment(
 
     def _decode(nf: NativeField, idx):
         dfile, col_idx = frag.file_for_field(nf.id)
-        return read_file_column(root, dfile, col_idx, nf, manifest, idx)
+        return read_file_column(
+            root, dfile, col_idx, nf, manifest, idx,
+            keep=None if keep_tree is None else keep_tree.get(nf.name))
 
     if filter_expr is None or not filter_cols:
         arrays = {nf.name: _decode(nf, live) for nf in tops}

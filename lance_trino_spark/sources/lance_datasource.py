@@ -1535,9 +1535,11 @@ class LanceSparkDataSource(DataSource):
                 )
             cols = self.options.get("columns")
             if cols:
-                wanted = [c.strip() for c in cols.split(",")]
-                by_name = {f.name: f for f in full.fields}
-                return StructType([by_name[c] for c in wanted])
+                # same nested-dereference pruning as the parquet path
+                # (A5): dotted paths select struct subtrees; the native
+                # decode reads ONLY the kept children's pages
+                return _prune_schema(
+                    full, _paths_to_tree(_parse_columns_option(cols)))
             return full
         v = _resolve_version(path, dict(self.options))
         full = StructType.fromJson(read_manifest(path, v).schema_json)

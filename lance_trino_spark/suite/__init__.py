@@ -90,6 +90,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf38_native_timestamp_travel",
     "lf39_native_version_tags",
     "lf40_native_nested_tree",
+    "ds12_native_nested_projection",
     "lf36_native_fragment_stats_pruning",
     "lf37_native_clustered_compaction",
     "lf32_native_null_roundtrip",

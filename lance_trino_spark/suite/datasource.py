@@ -629,3 +629,85 @@ def ds11(spark: SparkSession, sf_dir: str) -> DataFrame:
             "history_survives_overwrite", F.lit(bool(history_ok)))
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ds12 — NESTED projection pushdown on a native `.lance` scan: dotted
+# `columns` paths (the reference's escaped-dotted-path dereference
+# pruning, `LanceMetadata.java:463-551` / `LanceFieldPath.java:21-68`)
+# prune both the Spark schema AND the page decode — only the kept
+# subtree's pages are read; sibling struct children (here a wide payload
+# string) are never touched, proven by counting column-page accesses on
+# the same decode path the executors run (lf19's probe pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "ds12_native_nested_projection",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 11 <> 0
+                         THEN o_custkey END) AS BIGINT) AS a_sum,
+           TRUE AS siblings_never_decoded,
+           TRUE AS schema_pruned
+    FROM orders
+    WHERE o_orderkey <= 3000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="connector: nested dereference projection on a native .lance "
+        "scan — dotted columns paths prune schema and page decode; "
+        "sibling subtree pages provably untouched",
+    tags=("connector", "projection", "nested", "lance-native"),
+)
+def ds12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format import lance_native as ln
+    from ..suite.lance_format import _fresh_path
+
+    path = _fresh_path(sf_dir, "ds12-nproj")
+    k = F.col("o_orderkey")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(k <= 3000)
+        .select(
+            k.alias("k"),
+            F.col("o_orderpriority").alias("priority"),
+            F.when(k % 11 != 0, F.struct(
+                F.col("o_custkey").cast("long").alias("a"),
+                F.repeat(F.col("o_orderstatus"), 40).alias("payload"),
+                F.struct((k * 3).cast("long").alias("x")).alias("inner"),
+            )).alias("meta"),
+        )
+    )
+    ln.create_native_dataset(src, path, file_version=2)
+
+    # driver-side decode proof on the exact executor path: project only
+    # meta.a — the wide 'payload' and 'inner.x' pages must never load
+    m = ln.read_native_manifest(path)
+    calls: list[int] = []
+    orig = ln._v2_pages
+    ln._v2_pages = lambda raw, ci: calls.append(ci) or orig(raw, ci)
+    try:
+        ln.read_native_fragment(path, m.fragments[0], m,
+                                columns=["meta.a"])
+    finally:
+        ln._v2_pages = orig
+    fidx = m.fragments[0].files[0].field_ids
+    names = {f.id: f.name for f in m.fields}
+    touched = {names[fidx[c]] for c in set(calls)}
+    siblings_skipped = touched == {"meta", "a"}
+
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    pr = (spark.read.format("lance")
+          .option("columns", "priority,meta.a").load(path))
+    schema_pruned = pr.schema.simpleString() == (
+        "struct<priority:string,meta:struct<a:bigint>>")
+    return (
+        pr.groupBy("priority")
+        .agg(F.count("*").alias("n"), F.sum("meta.a").alias("a_sum"))
+        .withColumn(
+            "siblings_never_decoded", F.lit(bool(siblings_skipped)))
+        .withColumn("schema_pruned", F.lit(bool(schema_pruned)))
+        .orderBy("priority")
+    )

@@ -3051,3 +3051,53 @@ def test_native_nested_type_tree(spark, tmp_path):
     assert sorted(after) == [2, 4, 30]
     assert after[30].meta.a is None and after[30].meta.tags == []
     assert after[4].meta.inner.x is None
+
+
+def test_native_nested_projection_pushdown(spark, tmp_path, monkeypatch):
+    """Dotted `columns` paths prune nested struct decode on native scans
+    (A5's native arm): only the kept subtree's pages are read — sibling
+    child columns are never touched — and the Spark schema prunes to
+    match. Unknown nested names refuse loudly."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "big": "x" * 50, "inner": {"x": 1.5, "y": "p"}}),
+         (2, None),
+         (3, {"a": 3, "big": "y" * 50, "inner": None})],
+        "k int, meta struct<a:bigint, big:string, "
+        "inner:struct<x:double,y:string>>")
+    root = str(tmp_path / "nproj.lance")
+    ln.create_native_dataset(df, root, file_version=2)
+    register_lance_datasource(spark)
+
+    pr = (spark.read.format("lance")
+          .option("columns", "k,meta.inner.x,meta.a").load(root))
+    assert pr.schema.simpleString() == (
+        "struct<k:int,meta:struct<a:bigint,inner:struct<x:double>>>")
+    got = {r.k: r.meta for r in pr.collect()}
+    assert got[1].a == 1 and got[1].inner.x == 1.5
+    assert got[2] is None and got[3].inner is None
+
+    # decode proof: sibling children ('big', 'y') are never paged in
+    m = ln.read_native_manifest(root)
+    calls: list[int] = []
+    orig = ln._v2_pages
+    monkeypatch.setattr(
+        ln, "_v2_pages",
+        lambda raw, ci: calls.append(ci) or orig(raw, ci))
+    t = ln.read_native_fragment(
+        root, m.fragments[0], m, columns=["meta.inner.x"])
+    monkeypatch.undo()
+    fidx = m.fragments[0].files[0].field_ids
+    names = {f.id: f.name for f in m.fields}
+    touched = {names[fidx[c]] for c in set(calls)}
+    assert touched == {"meta", "inner", "x"}
+    assert t.column_names == ["meta"]
+
+    with pytest.raises(ln.LanceNativeError, match="no such struct"):
+        ln.read_native_fragment(
+            root, m.fragments[0], m, columns=["meta.zzz"])
