@@ -149,9 +149,10 @@ def test_filtered_fragment_read_is_late_materialized(monkeypatch):
     calls = []
     real = ln.read_file_column
 
-    def counting(root_, dfile, ci, nf, manifest=None, indices=None):
+    def counting(root_, dfile, ci, nf, manifest=None, indices=None,
+                 keep=None):
         calls.append((nf.name, None if indices is None else len(indices)))
-        return real(root_, dfile, ci, nf, manifest, indices)
+        return real(root_, dfile, ci, nf, manifest, indices, keep=keep)
 
     monkeypatch.setattr(ln, "read_file_column", counting)
 
@@ -392,7 +393,8 @@ def test_format_lance_autodetects_native_datasets(spark, tmp_path):
         (0, 0, 0, 0), (1, 2, 3, -1), (2, 4, 6, -2), (3, 6, 9, -3)
     ]
     proj = spark.read.format("lance").option("columns", "b,x").load(t1)
-    assert proj.columns == ["b", "x"] and proj.count() == 4
+    # declaration order, like the parquet path's nested pruner (A5)
+    assert proj.columns == ["x", "b"] and proj.count() == 4
     v1 = spark.read.format("lance").option("version", "1").load(t1)
     assert v1.columns == ["x"] and v1.count() == 2
     # deletion vectors applied per fragment
@@ -1034,9 +1036,11 @@ def test_scalar_index_bounds_the_decode(tmp_path, monkeypatch):
     seen = []
     real = ln.read_file_column
 
-    def spy(root_, data_file, col_idx, nfield, manifest_=None, indices=None):
+    def spy(root_, data_file, col_idx, nfield, manifest_=None, indices=None,
+            keep=None):
         seen.append((nfield.name, None if indices is None else len(indices)))
-        return real(root_, data_file, col_idx, nfield, manifest_, indices)
+        return real(root_, data_file, col_idx, nfield, manifest_, indices,
+                    keep=keep)
 
     monkeypatch.setattr(ln, "read_file_column", spy)
     import pyarrow.dataset as pads
