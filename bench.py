@@ -160,6 +160,7 @@ DEFAULT_QUERIES = [
     "d11_incremental_cdf_dedup",
     "lf40_native_nested_tree",
     "ds12_native_nested_projection",
+    "lf41_native_zorder_compaction",
 ]
 
 

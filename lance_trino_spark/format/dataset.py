@@ -617,30 +617,7 @@ class LanceDataset:
                     min(f.stats[c]["min"] for f in frags),
                     max(f.stats[c]["max"] for f in frags),
                 )
-        missing = [c for c in cols if c not in bounds]
-        if missing:
-            row = df.agg(
-                *[F.min(c).alias(f"mn_{c}") for c in missing],
-                *[F.max(c).alias(f"mx_{c}") for c in missing],
-            ).collect()[0]
-            for c in missing:
-                bounds[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
-        m = len(cols)
-        zval = F.lit(0).cast("long")
-        for i, c in enumerate(cols):
-            lo, hi = bounds[c]
-            if lo is None or hi is None or hi == lo:
-                continue  # constant / all-null column contributes nothing
-            bucket = F.floor(
-                (F.col(c).cast("double") - F.lit(float(lo)))
-                * F.lit(65535.0 / (float(hi) - float(lo)))
-            ).cast("long")
-            bucket = F.greatest(F.lit(0), F.least(F.lit(65535), bucket))
-            for b in range(16):
-                zval = zval + F.shiftleft(
-                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * m + i
-                )
-        return zval
+        return zorder_value(df, cols, bounds)
 
     def compact(
         self,
@@ -1728,3 +1705,36 @@ def table_changes(
         )
         out = out.unionByName(deleted)
     return out
+
+def zorder_value(df: DataFrame, cols: list[str],
+                 bounds: dict | None = None) -> Column:
+    """Morton (Z-order) value over min/max-scaled 16-bit buckets of the
+    given numeric columns — the interleaving core shared by the
+    own-format OPTIMIZE ZORDER (LanceDataset._zorder_column) and the
+    native clustered compaction. ``bounds`` maps column -> (lo, hi);
+    missing columns trigger one tiny min/max aggregate."""
+    bounds = dict(bounds or {})
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in missing],
+            *[F.max(c).alias(f"mx_{c}") for c in missing],
+        ).collect()[0]
+        for c in missing:
+            bounds[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+    m = len(cols)
+    zval = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = bounds[c]
+        if lo is None or hi is None or hi == lo:
+            continue  # constant / all-null column contributes nothing
+        bucket = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            * F.lit(65535.0 / (float(hi) - float(lo)))
+        ).cast("long")
+        bucket = F.greatest(F.lit(0), F.least(F.lit(65535), bucket))
+        for b in range(16):
+            zval = zval + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * m + i
+            )
+    return zval

@@ -3443,7 +3443,7 @@ def native_table_changes(
 def native_compact(
     root: str, small_fragment_rows: int = 0,
     spark=None, rows_per_fragment: int = 1_000_000,
-    sort_by: str | None = None,
+    sort_by: str | list[str] | None = None,
 ) -> tuple[int, int] | None:
     """Compaction / optimize on a real `.lance` dataset WITHOUT the SDK
     (the reference's table-maintenance surface, own-format twin lf10):
@@ -3523,11 +3523,25 @@ def native_compact(
         if sort_by is not None:
             # total-order clustering: range-partition so each staging
             # task (→ fragment) owns a disjoint slice of the sort key,
-            # then sort within — the same one-shuffle shape at 100 TB
+            # then sort within — the same one-shuffle shape at 100 TB.
+            # A LIST of columns Z-ORDERS instead (Morton interleave of
+            # 16-bit buckets — the native OPTIMIZE ZORDER, own-format
+            # twin cat08): fragments cut from the Z-sorted order hold
+            # small ranges of EVERY named column, so the stats sidecars
+            # prune filters on any of them.
             n_live = sum(live_count(f) for f in victims)
             n_parts = max(1, -(-n_live // rows_per_fragment))
+            keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            if len(keys) == 1:
+                key = keys[0]
+            else:
+                from .dataset import zorder_value
+
+                key = "_zval"
+                victim_df = victim_df.withColumn(
+                    key, zorder_value(victim_df, keys))
             victim_df = victim_df.repartitionByRange(
-                n_parts, sort_by).sortWithinPartitions(sort_by)
+                n_parts, key).sortWithinPartitions(key)
         staged = stage_native_fragments(
             victim_df, root, m, file_version,
             rows_per_fragment=rows_per_fragment)
@@ -3547,6 +3561,10 @@ def native_compact(
                         dict(v) if v is not None else None for v in vals
                     ]
                 merged[c].extend(vals)
+        if isinstance(sort_by, (list, tuple)):
+            raise LanceNativeError(
+                "Z-order compaction (sort_by=[...]) needs spark= — the "
+                "driver-side flavor sorts single columns only")
         if sort_by is not None and merged[data_cols[0]]:
             order = sorted(
                 range(len(merged[sort_by])),

@@ -2882,3 +2882,88 @@ def lf40(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf41 — native OPTIMIZE ZORDER: compaction with sort_by=[a, b] rewrites
+# the victims in Morton order (16-bit bucket interleave, the same core as
+# the own-format cat08), so the per-file stats sidecars prune range
+# filters on EITHER column — the multi-dimensional locality a single-key
+# sort cannot give. Proof columns pin that an interleaved layout admitted
+# every fragment before the rewrite and that BOTH dimensions plan strict
+# subsets after, with values oracle-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "lf41_native_zorder_compaction",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS both_dimensions_prune,
+           TRUE AS interleaved_admitted_all
+    FROM orders
+    WHERE o_orderkey <= 6000 AND o_orderkey % 5 <> 0
+      AND o_custkey BETWEEN 20 AND 60
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: native OPTIMIZE ZORDER — multi-column Morton rewrite "
+        "during compaction; stats sidecars prune range filters on either "
+        "z-column",
+    tags=("format", "interop", "lance-native", "maintenance", "zorder",
+          "zonemap"),
+)
+def lf41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from ..format.lance_native import (
+        create_native_dataset,
+        native_compact,
+        native_delete_where,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf41-zorder")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .repartition(3)  # hash-interleaved on both dimensions
+    )
+    create_native_dataset(src, path)
+    register_lance_datasource(spark)
+    native_delete_where(spark, path, F.col("o_orderkey") % 5 == 0)
+
+    key_range = [GreaterThanOrEqual(("o_orderkey",), 400),
+                 LessThanOrEqual(("o_orderkey",), 700)]
+    cust_range = [GreaterThanOrEqual(("o_custkey",), 20),
+                  LessThanOrEqual(("o_custkey",), 60)]
+    pre_total = len(read_native_manifest(path).fragments)
+    admitted_all = (
+        _native_planned_fragments(path, key_range) == pre_total
+        and _native_planned_fragments(path, cust_range) == pre_total
+    )
+    live = spark.read.format("lance").load(path).count()
+    # >= 8 z-fragments: with too few, one dimension's per-fragment
+    # range can still span the whole space and nothing prunes on it
+    native_compact(
+        path, spark=spark, sort_by=["o_orderkey", "o_custkey"],
+        small_fragment_rows=1 << 60,
+        rows_per_fragment=max(1, live // 8 + 1),
+    )
+    total = len(read_native_manifest(path).fragments)
+    pk = _native_planned_fragments(path, key_range)
+    pc = _native_planned_fragments(path, cust_range)
+    both_prune = bool(0 < pk < total and 0 < pc < total)
+
+    return (
+        spark.read.format("lance").load(path)
+        .filter((F.col("o_custkey") >= 20) & (F.col("o_custkey") <= 60))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"),
+             F.sum("o_orderkey").alias("key_sum"))
+        .withColumn("both_dimensions_prune", F.lit(both_prune))
+        .withColumn("interleaved_admitted_all", F.lit(bool(admitted_all)))
+        .orderBy("priority")
+    )

@@ -3105,3 +3105,51 @@ def test_native_nested_projection_pushdown(spark, tmp_path, monkeypatch):
     with pytest.raises(ln.LanceNativeError, match="no such struct"):
         ln.read_native_fragment(
             root, m.fragments[0], m, columns=["meta.zzz"])
+
+
+def test_native_zorder_compaction(spark, tmp_path):
+    """native_compact(sort_by=[a, b]) Z-orders the rewrite: the stats
+    sidecars then prune range filters on EITHER column; values identical;
+    the driver-side flavor refuses multi-column sort loudly."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    random.seed(7)
+    n = 4000
+    ks = list(range(n))
+    random.shuffle(ks)
+    df = spark.createDataFrame(
+        [(k, (k * 37) % n) for k in ks], "a long, b long").repartition(4)
+    root = str(tmp_path / "z.lance")
+    ln.create_native_dataset(df, root)
+    register_lance_datasource(spark)
+    ln.native_delete_where(spark, root, F.col("a") % 10 == 0)
+
+    def planned(lo_col, lo, hi):
+        m = ln.read_native_manifest(root)
+        return (len(_planned(root, [GreaterThanOrEqual((lo_col,), lo),
+                                    LessThanOrEqual((lo_col,), hi)])),
+                len(m.fragments))
+
+    got_pre, total_pre = planned("a", 100, 300)
+    assert got_pre == total_pre  # interleaved: nothing prunes
+    v = ln.native_compact(root, spark=spark, sort_by=["a", "b"],
+                          small_fragment_rows=1 << 60,
+                          rows_per_fragment=500)
+    assert v is not None
+    pa_, ta = planned("a", 100, 300)
+    pb_, tb = planned("b", 100, 300)
+    assert 0 < pa_ < ta and 0 < pb_ < tb  # both dimensions prune
+    got = sorted(r.a for r in spark.read.format("lance").load(root)
+                 .filter("a >= 100 and a <= 110").collect())
+    assert got == [101, 102, 103, 104, 105, 106, 107, 108, 109]
+
+    with pytest.raises(ln.LanceNativeError, match="needs spark"):
+        ln.native_compact(root, sort_by=["a", "b"],
+                          small_fragment_rows=1 << 60)
