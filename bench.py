@@ -161,6 +161,7 @@ DEFAULT_QUERIES = [
     "lf40_native_nested_tree",
     "ds12_native_nested_projection",
     "lf41_native_zorder_compaction",
+    "cat22_sql_native_table",
 ]
 
 

@@ -178,6 +178,32 @@ class LanceCatalog:
         except NamespaceError as e:
             raise CatalogError(str(e)) from None
 
+    def _native(self, ns: str, tbl: str) -> str | None:
+        """Location when the table is a REAL `.lance` dataset (binary
+        protobuf manifests) — the SQL router then drives the native
+        read/DML/maintenance surface instead of the own-format one, so a
+        catalog user manages SDK-written datasets through the same SQL."""
+        from .format.lance_native import is_native_dataset
+
+        try:
+            path = self.table_path(ns, tbl)
+        except CatalogError:
+            return None
+        return path if is_native_dataset(path) else None
+
+    def _native_df(self, path: str, version=None, ts_ms=None, tag=None):
+        from .sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(self.spark)
+        r = self.spark.read.format("lance")
+        if version is not None:
+            r = r.option("version", str(version))
+        if ts_ms is not None:
+            r = r.option("timestampAsOf", str(ts_ms))
+        if tag is not None:
+            r = r.option("tagAsOf", tag)
+        return r.load(path)
+
     def list_tables(self, ns: str) -> list[str]:
         try:
             return self.namespace.list_tables(ns)
@@ -292,6 +318,32 @@ class LanceCatalog:
         )
 
     def _h_insert(self, m) -> DataFrame:
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import (
+                native_spark_schema, read_native_manifest)
+
+            df = self._select(m.group("select"))
+            schema = native_spark_schema(read_native_manifest(np_))
+            cols = [f.name for f in schema.fields]
+            if set(c.lower() for c in df.columns) == set(
+                    c.lower() for c in cols):
+                df = df.select(*cols)
+            elif len(df.columns) == len(cols):
+                df = df.toDF(*cols)
+            else:
+                raise CatalogError(
+                    f"INSERT arity mismatch: table has {len(cols)} "
+                    f"columns, query produced {len(df.columns)}")
+            df = df.select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ])
+            df.write.format("lance").mode("append").save(np_)
+            v = read_native_manifest(np_).version
+            return self._status(
+                f"inserted into {m.group('ns')}.{m.group('tbl')} "
+                f"v{v} (native)")
         ds = self.load(m.group("ns"), m.group("tbl"))
         df = self._select(m.group("select"))
         cols = [f.name for f in ds.schema.fields]
@@ -313,16 +365,31 @@ class LanceCatalog:
         return self._status(f"inserted into {m.group('ns')}.{m.group('tbl')} v{out.version}")
 
     def _h_delete(self, m) -> DataFrame:
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import native_delete_where
+
+            v = native_delete_where(
+                self.spark, np_, F.expr(m.group("pred")))
+            return self._status(f"deleted v{v} (native)")
         ds = self.load(m.group("ns"), m.group("tbl"))
         out = dml.delete(ds, self.spark, m.group("pred"))
         return self._status(f"deleted v{out.version}")
 
     def _h_update(self, m) -> DataFrame:
-        ds = self.load(m.group("ns"), m.group("tbl"))
         sets = {}
         for part in _split_top_level(m.group("sets")):
             name, expr = part.split("=", 1)
             sets[name.strip()] = expr.strip()
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import native_update_where
+
+            v = native_update_where(
+                self.spark, np_, F.expr(m.group("pred")),
+                {k: F.expr(e) for k, e in sets.items()})
+            return self._status(f"updated v{v} (native)")
+        ds = self.load(m.group("ns"), m.group("tbl"))
         out = dml.update(ds, self.spark, sets, m.group("pred"))
         return self._status(f"updated v{out.version}")
 
@@ -412,6 +479,29 @@ class LanceCatalog:
         rewrites everything clustered on one key order, ZORDER BY on a
         Morton interleave of several columns so zone maps prune filters on
         any of them."""
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import (
+                native_compact, read_native_manifest)
+
+            before = len(read_native_manifest(np_).fragments)
+            kw = {}
+            if m.group("target"):
+                kw["rows_per_fragment"] = int(m.group("target"))
+            sort = m.group("sort") or m.group("zorder")
+            if sort:
+                keys = [c.strip() for c in sort.split(",")]
+                kw["sort_by"] = keys[0] if (
+                    m.group("sort") and len(keys) == 1) else keys
+                # clustered rewrite covers the whole table, not just
+                # the small/DV-laden victims
+                kw["small_fragment_rows"] = 1 << 60
+            native_compact(np_, spark=self.spark, **kw)
+            mm = read_native_manifest(np_)
+            return self._status(
+                f"optimized {m.group('ns')}.{m.group('tbl')} "
+                f"{before}->{len(mm.fragments)} fragments "
+                f"v{mm.version} (native)")
         ds = self.load(m.group("ns"), m.group("tbl"))
         before = len(ds.manifest.fragments)
         kwargs = {}
@@ -557,8 +647,15 @@ class LanceCatalog:
         an immutable named version alias (Lance tags); readable via
         `VERSION AS OF '<name>'`, pinned against VACUUM."""
         ns, tbl = m.group("ns"), m.group("tbl")
-        ds = self.load(ns, tbl)
+        np_ = self._native(ns, tbl)
         v = int(m.group("v")) if m.group("v") else None
+        if np_ is not None:
+            from .format.lance_native import native_create_tag
+
+            tv = native_create_tag(np_, m.group("tag"), v)
+            return self._status(
+                f"tagged {ns}.{tbl} v{tv} as {m.group('tag')!r} (native)")
+        ds = self.load(ns, tbl)
         ds.create_tag(m.group("tag"), v)
         return self._status(
             f"tagged {ns}.{tbl} v{v if v is not None else ds.version} "
@@ -567,11 +664,24 @@ class LanceCatalog:
 
     def _h_drop_tag(self, m) -> DataFrame:
         ns, tbl = m.group("ns"), m.group("tbl")
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            from .format.lance_native import native_delete_tag
+
+            native_delete_tag(np_, m.group("tag"))
+            return self._status(
+                f"dropped tag {m.group('tag')!r} on {ns}.{tbl} (native)")
         self.load(ns, tbl).delete_tag(m.group("tag"))
         return self._status(f"dropped tag {m.group('tag')!r} on {ns}.{tbl}")
 
     def _h_show_tags(self, m) -> DataFrame:
-        tags = self.load(m.group("ns"), m.group("tbl")).tags()
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import native_list_tags
+
+            tags = native_list_tags(np_)
+        else:
+            tags = self.load(m.group("ns"), m.group("tbl")).tags()
         return self.spark.createDataFrame(
             sorted(tags.items()), "tag string, version long"
         )
@@ -660,6 +770,14 @@ class LanceCatalog:
         """Maintenance: `VACUUM <schema>.<table> [RETAIN n VERSIONS]` — drop
         old manifests and unreferenced files (point of no return)."""
         keep = int(m.group("keep")) if m.group("keep") else 1
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import native_cleanup_old_versions
+
+            stats = native_cleanup_old_versions(np_, keep_versions=keep)
+            return self._status(
+                f"vacuumed {m.group('ns')}.{m.group('tbl')}: "
+                f"{stats} (native)")
         stats = LanceDataset.vacuum(self.table_path(m.group("ns"), m.group("tbl")), keep)
         return self._status(
             f"vacuumed {m.group('ns')}.{m.group('tbl')}: {stats}"
@@ -668,8 +786,14 @@ class LanceCatalog:
     def _h_count_star(self, m) -> DataFrame:
         # A8: O(1) from the manifest, zero fragments scanned. Guard: the
         # route pattern only matches bare, unfiltered, ungrouped COUNT(*).
-        ds = self.load(m.group("ns"), m.group("tbl"))
         alias = m.group("alias") or "count"
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import LanceNativeDataset
+
+            return self.spark.createDataFrame(
+                [(LanceNativeDataset(np_).count_rows(),)], f"{alias} long")
+        ds = self.load(m.group("ns"), m.group("tbl"))
         return self.spark.createDataFrame(
             [(ds.count_rows(),)], f"{alias} long"
         )
@@ -876,6 +1000,22 @@ class LanceCatalog:
             kind, val = m.group("kind"), m.group("val")
             if val is not None:
                 val = unmask(val)
+            np_ = self._native(ns, tbl)
+            if np_ is not None:
+                if kind is None:
+                    df = self._native_df(np_)
+                elif kind.upper() == "VERSION":
+                    bare = (val or "").strip("'")
+                    df = (self._native_df(np_, version=int(bare))
+                          if bare.lstrip("-").isdigit()
+                          else self._native_df(np_, tag=bare))
+                else:
+                    df = self._native_df(np_, ts_ms=_parse_ts_ms(val))
+                self._view_ids += 1
+                safe = re.sub(r"\W", "_", f"{ns}_{tbl}")
+                view = f"_lance_{safe}_{self._view_ids}"
+                df.createOrReplaceTempView(view)
+                return f"{m.group('kw')} {view}"
             try:
                 if kind is None:
                     ds = self.load(ns, tbl)

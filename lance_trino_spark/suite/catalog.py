@@ -1187,3 +1187,92 @@ def cat21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lance_jvm_sq.sales.orders "
         "GROUP BY o_orderpriority ORDER BY priority"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat22 — the SQL router over a REAL `.lance` table: the catalog detects
+# the binary-manifest layout at the table location and drives the NATIVE
+# surface through the exact same SQL a user types for own-format tables —
+# SELECT (incl. `VERSION AS OF '<tag>'`), O(1) COUNT(*) from the native
+# manifest, DELETE/UPDATE/INSERT as single-commit native MoR versions,
+# OPTIMIZE SORT BY as the clustered native compaction, and VACUUM via
+# native cleanup with tag-pinned versions immortal. This is the
+# reference's product shape (SQL over lance datasets, `LanceMetadata
+# .java`) composed over rounds 8-9's native write/DML/maintenance stack.
+# ---------------------------------------------------------------------------
+@register(
+    "cat22_sql_native_table",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 4 <> 0)
+                AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 4 <> 0 THEN
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                + CASE WHEN o_orderkey % 7 = 1 THEN 1 ELSE 0 END
+                END) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_tagged,
+           TRUE AS count_star_fast_path,
+           TRUE AS commits_were_native
+    FROM orders
+    WHERE o_orderkey <= 3000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="catalog: SQL router over a REAL .lance table — SELECT/tag "
+        "travel/COUNT(*)/DELETE/UPDATE/OPTIMIZE/VACUUM all route to the "
+        "native MoR surface through the same SQL as own-format tables",
+    tags=("catalog", "sql", "lance-native", "dml", "maintenance",
+          "tags"),
+)
+def cat22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        create_native_dataset,
+        read_native_manifest,
+    )
+
+    cat = _fresh_catalog(spark, sf_dir, "cat22")
+    cat.sql("CREATE SCHEMA ns")
+    loc = cat.namespace.declare_table("ns", "orders_native")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long").alias("cents"),
+        )
+    )
+    create_native_dataset(src, loc)
+    n_total = src.count()
+
+    cat.sql("CREATE TAG pre_dml ON ns.orders_native")
+    cat.sql("DELETE FROM ns.orders_native WHERE k % 4 = 0")
+    cat.sql("UPDATE ns.orders_native SET cents = cents + 1 "
+            "WHERE k % 7 = 1 AND k % 4 <> 0")
+    cat.sql("OPTIMIZE ns.orders_native SORT BY k")
+    cat.sql("VACUUM ns.orders_native RETAIN 1 VERSIONS")
+
+    fast = cat.sql(
+        "SELECT count(*) FROM ns.orders_native").collect()[0][0]
+    live = cat.sql("SELECT count(*) AS c FROM (SELECT k FROM "
+                   "ns.orders_native) x").collect()[0][0]
+    fast_ok = fast == live
+    native_ok = read_native_manifest(loc).version >= 4
+
+    tagged = (
+        cat.sql("SELECT priority, count(*) AS n_tagged FROM "
+                "ns.orders_native VERSION AS OF 'pre_dml' "
+                "GROUP BY priority")
+    )
+    cur = cat.sql(
+        "SELECT priority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS "
+        "cents FROM ns.orders_native GROUP BY priority")
+    assert n_total == tagged.agg(F.sum("n_tagged")).collect()[0][0]
+    return (
+        cur.join(tagged, "priority")
+        .select("priority", "n", "cents", "n_tagged")
+        .withColumn("count_star_fast_path", F.lit(bool(fast_ok)))
+        .withColumn("commits_were_native", F.lit(bool(native_ok)))
+        .orderBy("priority")
+    )

@@ -539,3 +539,45 @@ def test_explain_route(spark, tmp_path):
         "EXPLAIN FORMATTED SELECT COUNT(*) AS n FROM ex.t"
     ).collect()[0][0]
     assert "Physical Plan" in fm
+
+
+def test_sql_router_native_tables(spark, tmp_path):
+    """The SQL router drives REAL `.lance` tables: SELECT (incl. tag
+    time travel), O(1) COUNT(*), DELETE/UPDATE/INSERT as native MoR
+    commits, OPTIMIZE SORT BY as the clustered native compaction, VACUUM
+    via native cleanup with tag immortality."""
+    from lance_trino_spark.catalog import LanceCatalog
+    from lance_trino_spark.format.lance_native import (
+        create_native_dataset, read_native_manifest)
+
+    cat = LanceCatalog(spark, str(tmp_path / "cat"))
+    cat.sql("CREATE SCHEMA s")
+    loc = cat.namespace.declare_table("s", "t")
+    create_native_dataset(
+        spark.createDataFrame(
+            [(i, f"p{i % 3}", i * 10) for i in range(100)],
+            "k long, p string, v long"), loc)
+
+    assert cat.sql("SELECT count(*) FROM s.t").collect()[0][0] == 100
+    cat.sql("CREATE TAG base ON s.t")
+    cat.sql("DELETE FROM s.t WHERE k % 10 = 0")
+    cat.sql("UPDATE s.t SET v = v + 1 WHERE k = 1")
+    cat.sql("INSERT INTO s.t SELECT 1000 AS k, 'p9' AS p, 5 AS v")
+    assert cat.sql("SELECT count(*) FROM s.t").collect()[0][0] == 91
+    assert cat.sql(
+        "SELECT v FROM s.t WHERE k = 1").collect()[0][0] == 11
+    # the tag still reads the pre-DML snapshot...
+    assert cat.sql(
+        "SELECT count(*) FROM s.t VERSION AS OF 'base'"
+    ).collect()[0][0] == 100
+    cat.sql("OPTIMIZE s.t SORT BY k")
+    cat.sql("VACUUM s.t RETAIN 1 VERSIONS")
+    # ...even through OPTIMIZE and a keep-1 VACUUM (vacuum-immortal)
+    assert cat.sql(
+        "SELECT count(*) FROM s.t VERSION AS OF 'base'"
+    ).collect()[0][0] == 100
+    assert cat.sql("SELECT count(*) FROM s.t").collect()[0][0] == 91
+    assert {r.tag: r.version
+            for r in cat.sql("SHOW TAGS s.t").collect()} == {"base": 1}
+    # the commits were native MoR versions, not own-format manifests
+    assert read_native_manifest(loc).version >= 5
