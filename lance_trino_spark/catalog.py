@@ -303,6 +303,28 @@ class LanceCatalog:
             "ignore" if m.group("ine") else "error"
         )
         df = self._select(m.group("select"))
+        if m.group("native"):
+            # `CREATE NATIVE TABLE ns.t AS SELECT ...` — a REAL `.lance`
+            # dataset (binary manifests, FILE-v2 data files), distributed
+            # executor-staged CTAS; readable by the lance SDK and by every
+            # native route in this router
+            import shutil as _sh
+
+            from .format.lance_native import create_native_dataset
+
+            try:
+                location = self.namespace.declare_table(ns, tbl)
+            except NamespaceError as e:
+                raise CatalogError(str(e)) from None
+            if self._native(ns, tbl) is not None:
+                if m.group("ine"):
+                    return self._status(f"table {ns}.{tbl} exists")
+                if not m.group("replace"):
+                    raise CatalogError(f"table {ns}.{tbl} already exists")
+                _sh.rmtree(location, ignore_errors=True)
+            create_native_dataset(df, location, file_version=2)
+            return self._status(
+                f"created NATIVE table {ns}.{tbl} v1")
         ds = self.create_table(ns, tbl, df, mode=mode)
         return self._status(f"created table {ns}.{tbl} v{ds.version}")
 
@@ -311,9 +333,16 @@ class LanceCatalog:
         return self._status(f"dropped table {m.group('ns')}.{m.group('tbl')}")
 
     def _h_describe(self, m) -> DataFrame:
-        ds = self.load(m.group("ns"), m.group("tbl"))
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import (
+                native_spark_schema, read_native_manifest)
+
+            schema = native_spark_schema(read_native_manifest(np_))
+        else:
+            schema = self.load(m.group("ns"), m.group("tbl")).schema
         return self.spark.createDataFrame(
-            [(f.name, f.dataType.simpleString()) for f in ds.schema.fields],
+            [(f.name, f.dataType.simpleString()) for f in schema.fields],
             "col_name string, data_type string",
         )
 
@@ -745,6 +774,26 @@ class LanceCatalog:
         rows = []
         import json as _json
 
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            from .format.lance_native import (
+                list_native_versions, read_native_manifest)
+
+            for v in sorted(list_native_versions(np_)):
+                mf = read_native_manifest(np_, v)
+                rows.append((
+                    v, "native-commit",
+                    int(mf.timestamp_s * 1000)
+                    if mf.timestamp_s is not None else None,
+                    sum(f.physical_rows or 0 for f in mf.fragments),
+                    len(mf.fragments), None, None,
+                ))
+            return self.spark.createDataFrame(
+                rows,
+                "version int, operation string, timestamp_ms long, "
+                "total_rows long, n_fragments int, read_version int, "
+                "commit_metadata string",
+            )
         for v in LanceDataset.open(path).versions():
             mf = read_manifest(path, v)
             rows.append(
@@ -810,7 +859,8 @@ class LanceCatalog:
         (r"SHOW\s+SCHEMAS$", _h_show_schemas),
         (rf"SHOW\s+TABLES(?:\s+IN\s+(?P<ns>{_NSID}))?$", _h_show_tables),
         (
-            rf"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+            rf"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?"
+            rf"(?P<native>NATIVE\s+)?TABLE\s+"
             rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s+AS\s+(?P<select>.+)$",
             _h_create_table,

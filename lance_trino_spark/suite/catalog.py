@@ -1225,10 +1225,7 @@ def cat21(spark: SparkSession, sf_dir: str) -> DataFrame:
           "tags"),
 )
 def cat22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..format.lance_native import (
-        create_native_dataset,
-        read_native_manifest,
-    )
+    from ..format.lance_native import read_native_manifest
 
     cat = _fresh_catalog(spark, sf_dir, "cat22")
     cat.sql("CREATE SCHEMA ns")
@@ -1243,7 +1240,10 @@ def cat22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("cents"),
         )
     )
-    create_native_dataset(src, loc)
+    # creation itself goes through SQL too (distributed native CTAS)
+    src.createOrReplaceTempView("cat22_src")
+    cat.sql("CREATE OR REPLACE NATIVE TABLE ns.orders_native AS "
+            "SELECT * FROM cat22_src")
     n_total = src.count()
 
     cat.sql("CREATE TAG pre_dml ON ns.orders_native")

@@ -581,3 +581,20 @@ def test_sql_router_native_tables(spark, tmp_path):
             for r in cat.sql("SHOW TAGS s.t").collect()} == {"base": 1}
     # the commits were native MoR versions, not own-format manifests
     assert read_native_manifest(loc).version >= 5
+
+    # CREATE NATIVE TABLE AS SELECT / DESCRIBE / DESCRIBE HISTORY
+    spark.createDataFrame([(1, "a")], "k long, s string") \
+        .createOrReplaceTempView("cat22_src")
+    cat.sql("CREATE NATIVE TABLE s.nt AS SELECT * FROM cat22_src")
+    assert cat.sql("SELECT count(*) FROM s.nt").collect()[0][0] == 1
+    assert [(r.col_name, r.data_type)
+            for r in cat.sql("DESCRIBE s.nt").collect()] == [
+        ("k", "bigint"), ("s", "string")]
+    hist = cat.sql("DESCRIBE HISTORY s.nt").collect()
+    assert [r.version for r in hist] == [1]
+    assert hist[0].operation == "native-commit"
+    with pytest.raises(Exception, match="already exists"):
+        cat.sql("CREATE NATIVE TABLE s.nt AS SELECT * FROM cat22_src")
+    cat.sql("CREATE OR REPLACE NATIVE TABLE s.nt AS "
+            "SELECT k FROM cat22_src")
+    assert cat.sql("DESCRIBE s.nt").collect()[0].col_name == "k"
