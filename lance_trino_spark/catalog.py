@@ -423,7 +423,9 @@ class LanceCatalog:
         return self._status(f"updated v{out.version}")
 
     def _h_merge(self, m) -> DataFrame:
-        ds = self.load(m.group("ns"), m.group("tbl"))
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        ds = None if np_ is not None else self.load(
+            m.group("ns"), m.group("tbl"))
         src_text = m.group("src").strip()
         if src_text.startswith("("):
             source = self._select(src_text[1:-1])
@@ -478,6 +480,33 @@ class LanceCatalog:
             else:
                 raise CatalogError(f"unsupported MERGE action: {act!r}")
 
+        if np_ is not None:
+            # native MERGE is the reference's wholesale upsert
+            # (DELETE_ROW_AND_INSERT_ROW, LanceMergeSink.java:49-204):
+            # matched rows are replaced by their source row entirely.
+            # Route only the exactly-matching SQL shape; anything else
+            # (conditional clauses, partial SET, matched DELETE) refuses
+            # with a pointer instead of silently changing semantics.
+            from .format.lance_native import (
+                native_merge_into, native_spark_schema,
+                read_native_manifest)
+
+            cols = [f.name for f in native_spark_schema(
+                read_native_manifest(np_)).fields]
+            wholesale = {c: f"_src_{c}" for c in cols if c not in keys}
+            if (not_matched_insert and len(matched_clauses) == 1
+                    and matched_clauses[0][0] is None
+                    and matched_clauses[0][1] == wholesale):
+                v = native_merge_into(
+                    self.spark, np_, source.select(*cols), on=keys)
+                return self._status(
+                    f"merged into {m.group('ns')}.{m.group('tbl')} "
+                    f"v{v} (native)")
+            raise CatalogError(
+                "native MERGE supports the wholesale upsert shape only "
+                "(WHEN MATCHED THEN UPDATE SET <every non-key col> = "
+                "s.<col> WHEN NOT MATCHED THEN INSERT ...); for "
+                "per-column updates use UPDATE ... WHERE")
         out = dml.merge_multi(
             ds,
             self.spark,

@@ -598,3 +598,20 @@ def test_sql_router_native_tables(spark, tmp_path):
     cat.sql("CREATE OR REPLACE NATIVE TABLE s.nt AS "
             "SELECT k FROM cat22_src")
     assert cat.sql("DESCRIBE s.nt").collect()[0].col_name == "k"
+
+    # native MERGE routes the wholesale-upsert SQL shape only
+    spark.createDataFrame([(5, "p9", 555), (1000, "pX", 1)],
+                          "k long, p string, v long") \
+        .createOrReplaceTempView("cat22_delta")
+    cat.sql("MERGE INTO s.t t USING cat22_delta s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET p = s.p, v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, p, v) "
+            "VALUES (s.k, s.p, s.v)")
+    got = {r.k: (r.p, r.v) for r in cat.sql(
+        "SELECT k, p, v FROM s.t WHERE k IN (5, 1000)").collect()}
+    assert got[5] == ("p9", 555) and got[1000] == ("pX", 1)
+    with pytest.raises(CatalogError, match="wholesale upsert"):
+        cat.sql("MERGE INTO s.t t USING cat22_delta s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = s.v "
+                "WHEN NOT MATCHED THEN INSERT (k, p, v) "
+                "VALUES (s.k, s.p, s.v)")
