@@ -431,7 +431,9 @@ class LanceCatalog:
             source = self._select(src_text[1:-1])
         elif re.fullmatch(rf"{_IDENT}\.{_IDENT}", src_text):
             ns2, tbl2 = src_text.split(".")
-            source = self.load(ns2, tbl2).to_df(self.spark)
+            np2 = self._native(ns2, tbl2)
+            source = (self._native_df(np2) if np2 is not None
+                      else self.load(ns2, tbl2).to_df(self.spark))
         else:
             source = self.spark.table(src_text)
 
