@@ -25,8 +25,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "matched (fragment, row-index-set) agg rows — one row per touched "
         "fragment; dml.delete switches to copy-on-write above "
         "cow_threshold_rows so the set stays bounded",
-    ("format/dataset.py", "_zorder_column"):
-        "single agg row of per-column min/max bounds",
+    ("format/dataset.py", "zorder_value"):
+        "single agg row of per-column min/max bounds (the shared Morton "
+        "core _zorder_column delegates to; native_compact uses it too)",
     ("format/fragments.py", "stage_via_tasks"):
         "one report row per written fragment file (mapInArrow commit "
         "reports — the coordinator role the reference's finishInsert plays)",
