@@ -162,6 +162,7 @@ DEFAULT_QUERIES = [
     "ds12_native_nested_projection",
     "lf41_native_zorder_compaction",
     "cat22_sql_native_table",
+    "st13_stream_sink_maintenance",
 ]
 
 

@@ -3025,6 +3025,10 @@ def native_stream_commit_batch(
 def foreach_batch_native_sink(
     root: str, app_id: str, file_version: int = 1,
     rows_per_fragment: int = 1_000_000,
+    compact_every: int | None = None,
+    compact_sort_by=None,
+    small_fragment_rows: int | None = None,
+    keep_versions: int | None = None,
 ):
     """The `foreachBatch` body for streaming into a native `.lance`
     dataset with exactly-once semantics::
@@ -3038,12 +3042,47 @@ def foreach_batch_native_sink(
     location), stable across restarts of that checkpoint, fresh when the
     checkpoint is reset. It is required here for the same reason it is
     required there — deriving it implicitly from a query would make a
-    checkpoint reset silently replay-swallow real batches."""
+    checkpoint reset silently replay-swallow real batches.
+
+    IN-LINE MAINTENANCE — the continuous-ingest operational shape (every
+    streaming sink accretes small fragments; at 100 TB someone must
+    compact them, and doing it from the sink keeps one writer identity):
+    ``compact_every=N`` runs `native_compact` after every Nth batch
+    (victims = fragments under ``small_fragment_rows``, default
+    rows_per_fragment — i.e. anything smaller than a full fragment — plus
+    DV-laden ones; ``compact_sort_by`` makes the rewrite clustered/
+    Z-ordered); ``keep_versions=K`` then vacuums, retaining AT LEAST back
+    to this app's newest txn marker — reclaiming that marker would make a
+    crash-redelivery of the final batch undetectable and double-commit,
+    so the retention floor is enforced here, not left to the caller."""
     def _sink(bdf, batch_id: int):
-        native_stream_commit_batch(
+        v = native_stream_commit_batch(
             bdf, batch_id, root, app_id=app_id,
             file_version=file_version,
             rows_per_fragment=rows_per_fragment)
+        if (compact_every and v is not None
+                and (int(batch_id) + 1) % int(compact_every) == 0):
+            native_compact(
+                root,
+                spark=bdf.sparkSession,
+                sort_by=compact_sort_by,
+                small_fragment_rows=(
+                    rows_per_fragment if small_fragment_rows is None
+                    else small_fragment_rows),
+                rows_per_fragment=rows_per_fragment)
+        if keep_versions and v is not None:
+            versions = list_native_versions(root)
+            prefix = f"{app_id}:"
+            last_marker = None
+            for vv in sorted(versions, reverse=True):
+                t = read_native_manifest(root, vv).txn
+                if t and t.startswith(prefix):
+                    last_marker = vv
+                    break
+            floor = (max(versions) - last_marker + 1
+                     if last_marker is not None else 1)
+            native_cleanup_old_versions(
+                root, keep_versions=max(int(keep_versions), floor))
 
     return _sink
 

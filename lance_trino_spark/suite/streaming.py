@@ -468,3 +468,123 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("one_version_per_batch", F.lit(bool(one_each)))
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# st13 — continuous ingest WITH in-line maintenance: the exactly-once
+# native sink compacts its own small fragments every N batches (clustered
+# on the key, so the stats sidecars prune range probes) and vacuums
+# history down — retaining at least back to its newest txn marker, so a
+# crash-redelivery of the final batch is still swallowed AFTER
+# maintenance. This is the 100 TB steady-state shape: a streaming writer
+# that never lets the small-file problem accrete and never loses its
+# exactly-once ledger to its own vacuum.
+# ---------------------------------------------------------------------------
+@register(
+    "st13_stream_sink_maintenance",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           TRUE AS compaction_bounded_fragments,
+           TRUE AS vacuum_bounded_history,
+           TRUE AS replay_swallowed_after_maintenance,
+           TRUE AS clustered_stats_prune
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="streaming: exactly-once native sink with in-line maintenance — "
+        "compacts its own small fragments (clustered), vacuums history "
+        "with the txn-marker retention floor, replay still swallowed",
+    tags=("streaming", "format", "lance-native", "sink", "exactly-once",
+          "maintenance"),
+)
+def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+        foreach_batch_native_sink,
+        list_native_versions,
+        native_stream_commit_batch,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+    from ..tables import load_table
+    from .lance_format import _fresh_path, _native_planned_fragments
+
+    out = _fresh_path(sf_dir, "st13-sink-maint")
+    src, ckpt = out + ".src", out + ".ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    cust.repartition(6).write.parquet(src)
+    create_native_dataset(cust.limit(0), out)
+
+    # fragment budget scaled to the table so the clustered rewrite
+    # yields MULTIPLE range-disjoint fragments at every sf (a single
+    # consolidated fragment can never demonstrate pruning)
+    n_total = cust.count()
+    sink = foreach_batch_native_sink(
+        out, app_id="st13", compact_every=2, keep_versions=2,
+        compact_sort_by="c_custkey",
+        # every accreted fragment is a victim (smaller than the whole
+        # table), and the rewrite cuts ~4 range-disjoint fragments
+        small_fragment_rows=n_total + 1,
+        rows_per_fragment=max(25, n_total // 4))
+    n_batches = 0
+
+    def body(bdf, bid):
+        nonlocal n_batches
+        n_batches += 1
+        sink(bdf, bid)
+
+    (
+        spark.readStream
+        .schema("c_custkey long, c_nationkey long, c_mktsegment string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    ds = LanceNativeDataset(out)
+    n_rows = ds.count_rows()
+    frags_bounded = len(ds.manifest.fragments) < n_batches
+    history_bounded = len(list_native_versions(out)) < 2 * n_batches
+
+    # crash-redelivery of the final batch AFTER compaction+vacuum ran
+    native_stream_commit_batch(
+        cust.limit(5), n_batches - 1, out, app_id="st13")
+    replay_ok = LanceNativeDataset(out).count_rows() == n_rows
+
+    # clustered rewrite: a key-range probe plans a strict fragment subset
+    m = LanceNativeDataset(out).manifest
+    hi = max(r.c_custkey for r in cust.agg(
+        F.max("c_custkey").alias("c_custkey")).collect())
+    planned = _native_planned_fragments(out, [
+        GreaterThanOrEqual(("c_custkey",), 1),
+        LessThanOrEqual(("c_custkey",), max(1, hi // 20)),
+    ])
+    prunes = bool(0 < planned < len(m.fragments))
+
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(out)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"), F.sum("c_custkey").alias("key_sum"))
+        .withColumn("compaction_bounded_fragments",
+                    F.lit(bool(frags_bounded)))
+        .withColumn("vacuum_bounded_history", F.lit(bool(history_bounded)))
+        .withColumn("replay_swallowed_after_maintenance",
+                    F.lit(bool(replay_ok)))
+        .withColumn("clustered_stats_prune", F.lit(prunes))
+        .orderBy("segment")
+    )

@@ -3153,3 +3153,33 @@ def test_native_zorder_compaction(spark, tmp_path):
     with pytest.raises(ln.LanceNativeError, match="needs spark"):
         ln.native_compact(root, sort_by=["a", "b"],
                           small_fragment_rows=1 << 60)
+
+
+def test_sink_inline_maintenance(spark, tmp_path):
+    """foreach_batch_native_sink(compact_every, keep_versions): small
+    streaming fragments consolidate from inside the sink, history vacuums
+    down — and a crash-redelivery of the LAST batch is still swallowed
+    because the retention floor never reclaims the app's newest txn
+    marker."""
+    from lance_trino_spark.format import lance_native as ln
+
+    root = str(tmp_path / "sinkm.lance")
+    ln.create_native_dataset(
+        spark.range(0).selectExpr("id AS k"), root)
+    sink = ln.foreach_batch_native_sink(
+        root, app_id="m", compact_every=3, keep_versions=2,
+        compact_sort_by="k")
+    for b in range(6):
+        sink(spark.range(b * 10, b * 10 + 10).selectExpr("id AS k"), b)
+    ds = ln.LanceNativeDataset(root)
+    assert ds.count_rows() == 60
+    # compaction fired: far fewer fragments than batches
+    assert len(ds.manifest.fragments) < 6
+    # vacuum fired: history is bounded
+    assert len(ln.list_native_versions(root)) <= 4
+    # replay of the final batch after maintenance: swallowed, no new rows
+    sink(spark.range(50, 60).selectExpr("id AS k"), 5)
+    assert ln.LanceNativeDataset(root).count_rows() == 60
+    assert sorted(
+        ln.LanceNativeDataset(root).to_arrow()["k"].to_pylist()
+    ) == list(range(60))
