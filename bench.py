@@ -164,6 +164,7 @@ DEFAULT_QUERIES = [
     "cat22_sql_native_table",
     "st13_stream_sink_maintenance",
     "m07_native_blob_lifecycle",
+    "cat23_sql_native_index",
 ]
 
 

@@ -582,6 +582,14 @@ class LanceCatalog:
         index sidecars (format/index.py), the reference's useScalarIndex
         analogue for point lookups on unclustered columns."""
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            from .format.lance_native import ensure_native_scalar_index
+
+            uid = ensure_native_scalar_index(np_, col, spark=self.spark)
+            return self._status(
+                f"indexed {ns}.{tbl}({col}) "
+                f"{'(already covered)' if uid is None else uid} (native)")
         ds = self.load(ns, tbl).create_scalar_index(self.spark, col)
         return self._status(f"indexed {ns}.{tbl}({col}) v{ds.version}")
 
@@ -589,6 +597,22 @@ class LanceCatalog:
         """`DROP [VECTOR] INDEX ON <schema>.<table> (<col>)` — unregister
         the index and reclaim its sidecars."""
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            import shutil as _sh
+
+            from .format.lance_native import list_native_scalar_indices
+
+            victims = [i for i in list_native_scalar_indices(np_)
+                       if i.column == col]
+            if not victims:
+                raise CatalogError(
+                    f"no native scalar index on {ns}.{tbl}({col})")
+            for i in victims:
+                _sh.rmtree(os.path.dirname(i.path))
+            return self._status(
+                f"dropped {len(victims)} native index sidecar(s) on "
+                f"{ns}.{tbl}({col})")
         ds = self.load(ns, tbl)
         if m.group("vec"):
             ds = ds.drop_vector_index(self.spark, col)

