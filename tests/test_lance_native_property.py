@@ -355,3 +355,98 @@ def test_v2_nested_tree_roundtrip_property(tmp_path, data):
         return v
 
     assert got == [norm(tree, r) for r in rows]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fragment_stats_pruning_never_loses_rows_property(tmp_path, data):
+    """THE pruning invariant: for random multi-fragment datasets (ints,
+    strings, NULLs, duplicate values) and random pushed filters, the
+    stats-admitted fragment subset contains every row the full scan's
+    filter keeps — pruning may over-admit, never under-admit."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNull,
+        LessThan, LessThanOrEqual, Not)
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows, fragment_stats_for_scan,
+        read_native_fragment, read_native_manifest, write_native_dataset)
+    from lance_trino_spark.sources.lance_datasource import _stats_admit
+
+    n_frags = data.draw(st.integers(2, 4), label="frags")
+    root = str(tmp_path / f"ps{next(_SEQ)}.lance")
+    ints = st.one_of(st.none(), st.integers(-50, 50))
+    strs = st.one_of(st.none(), st.sampled_from(["a", "bb", "c", "dd"]))
+    frag_rows = []
+    for i in range(n_frags):
+        n = data.draw(st.integers(1, 8), label=f"rows{i}")
+        cols = {
+            "k": [data.draw(ints) for _ in range(n)],
+            "s": [data.draw(strs) for _ in range(n)],
+        }
+        if any(v is not None for v in cols["k"]) or True:
+            pass
+        frag_rows.append(cols)
+    # inference needs one non-null per column somewhere; pin fragment 0
+    frag_rows[0]["k"][0] = 0
+    frag_rows[0]["s"][0] = "a"
+    write_native_dataset(root, frag_rows[0],
+                         types={"k": "int64", "s": "string"})
+    for cols in frag_rows[1:]:
+        append_native_rows(root, cols)
+
+    col = data.draw(st.sampled_from(["k", "s"]), label="col")
+    if col == "k":
+        v = data.draw(st.integers(-55, 55), label="v")
+    else:
+        v = data.draw(st.sampled_from(["a", "bb", "c", "dd", "zz"]),
+                      label="v")
+    f = data.draw(st.sampled_from([
+        EqualTo((col,), v),
+        GreaterThan((col,), v),
+        GreaterThanOrEqual((col,), v),
+        LessThan((col,), v),
+        LessThanOrEqual((col,), v),
+        In((col,), (v,)),
+        IsNull((col,)),
+        Not(EqualTo((col,), v)),
+    ]), label="filter")
+
+    m = read_native_manifest(root)
+
+    def matches(row_v):
+        if isinstance(f, IsNull):
+            return row_v is None
+        if row_v is None:
+            return False
+        if isinstance(f, Not):
+            return row_v != v
+        if isinstance(f, EqualTo):
+            return row_v == v
+        if isinstance(f, In):
+            return row_v in f.value
+        if isinstance(f, GreaterThan):
+            return row_v > v
+        if isinstance(f, GreaterThanOrEqual):
+            return row_v >= v
+        if isinstance(f, LessThan):
+            return row_v < v
+        return row_v <= v
+
+    for frag in m.fragments:
+        stats, rows = fragment_stats_for_scan(root, m, frag)
+        admitted = (not stats or not rows
+                    or _stats_admit(stats, f, rows))
+        if admitted:
+            continue
+        # a REFUSED fragment must contain zero matching rows
+        t = read_native_fragment(root, frag, m)
+        vals = t.column(col).to_pylist()
+        losers = [x for x in vals if matches(x)]
+        assert not losers, (
+            f"pruning lost rows: filter={f!r} fragment={frag.id} "
+            f"stats={stats} lost={losers[:5]}")
