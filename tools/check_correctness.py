@@ -29,8 +29,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # Spark-written tables are DIRECTORIES of part files
+            # (.scratch/sf1); driver testdata is single files
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
