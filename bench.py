@@ -165,6 +165,7 @@ DEFAULT_QUERIES = [
     "st13_stream_sink_maintenance",
     "m07_native_blob_lifecycle",
     "cat23_sql_native_index",
+    "lf42_native_v2_dictionary",
 ]
 
 

@@ -646,11 +646,21 @@ def _v2_read_column(
         # is exactly the bitpacked row count, leads with a validity
         # bitmap (1 = valid); strip it, decode the rest normally, mask.
         valid = None
+        is_var = lt in (
+            "string", "large_string", "binary", "large_binary")
+        v2_dict = is_var and nfield.metadata.get(
+            DICTIONARY_METADATA_KEY) == DICTIONARY_LAYOUT_V2
         if lt != "struct":  # struct pages ARE validity bytes themselves
             # plain buffer count: [ends][payload] for var-width, [ends]
-            # for list parents, one flat buffer otherwise
-            base = 2 if lt in (
-                "string", "large_string", "binary", "large_binary") else 1
+            # for list parents, one flat buffer otherwise; a marked v2
+            # dictionary page adds a leading i32 code buffer (its size
+            # is exactly 4*rows — never ceil(rows/8), so the shapes
+            # cannot collide)
+            base = 2 if is_var else 1
+            if v2_dict and len(offs) >= 3 and sizes[0] != (nrows + 7) // 8:
+                base = 3
+            elif v2_dict and len(offs) == 4:
+                base = 3
             nb = (nrows + 7) // 8
             if len(offs) == base + 1 and sizes[0] == nb:
                 valid = np.unpackbits(
@@ -692,6 +702,36 @@ def _v2_read_column(
                 "<i8" if wide else "<i4", 8 if wide else 4, what)
             chunks.append(pa.array(vals, type=_arrow_type(lt), mask=nmask))
         elif lt in ("string", "large_string", "binary", "large_binary"):
+            if (v2_dict and len(offs) == 3
+                    and sizes[0] == nrows * 4):
+                # marked v2 dictionary page: [codes i32][dict ends i64]
+                # [dict payload] — decode the page-local dictionary and
+                # take by code
+                codes = np.frombuffer(
+                    raw, "<i4", count=nrows, offset=offs[0])
+                n_dict = sizes[1] // 8
+                dends = np.frombuffer(
+                    raw, "<i8", count=n_dict, offset=offs[1])
+                payload = bytes(raw[offs[2]:offs[2] + sizes[2]])
+                offs64 = np.empty(n_dict + 1, dtype="<i8")
+                offs64[0] = 0
+                offs64[1:] = dends
+                dict_arr = pa.Array.from_buffers(
+                    pa.large_utf8() if lt.endswith("string")
+                    else pa.large_binary(),
+                    n_dict,
+                    [None, pa.py_buffer(offs64.tobytes()),
+                     pa.py_buffer(payload)],
+                )
+                arr = dict_arr.take(pa.array(codes, type=pa.int32()))
+                if nmask is not None:
+                    arr = pa.array(
+                        arr.to_pylist(), type=arr.type, mask=nmask)
+                chunks.append(arr.cast(_arrow_type(lt)))
+                if sel_local is not None:
+                    chunks[-1] = chunks[-1].take(
+                        pa.array(sel_local, type=pa.int64()))
+                continue
             if len(offs) != 2 or sizes[0] != nrows * 8:
                 raise LanceNativeError(
                     f"unexpected var-width layout for {what}: buffers="
@@ -1570,6 +1610,11 @@ def _placeholder_value(lt: str):
 # wrong block layout to silent garbage.
 DICTIONARY_METADATA_KEY = "lance-repo:dictionary"
 DICTIONARY_LAYOUT_V1 = "plainpos-v1"
+# FILE-v2 dictionary pages (page-local dictionary; see _page_bufs) engage
+# ONLY under this MANIFEST field-metadata marker — v2 files carry no
+# file-local schema here, and accepting the shape on faith could
+# mis-decode a foreign 2.1 layout that happens to match
+DICTIONARY_LAYOUT_V2 = "plainpos-v2"
 
 # Scalar-leaf NULL validity. The reference writes NULLs in every type
 # ("NULLs allowed everywhere", BaseLanceConnectorTest.java:118; null
@@ -2142,7 +2187,8 @@ def _write_v1_data_file(
 
 
 def _write_v2_data_file(
-    root: str, specs: list[tuple], page_rows: int | None = None
+    root: str, specs: list[tuple], page_rows: int | None = None,
+    dictionary_names: frozenset = frozenset(),
 ) -> tuple[str, int]:
     """One Lance FILE-v2 data file (footer 0.3 — the format current Lance
     SDKs produce and the fixtures test_table5 / wide_types_table carry):
@@ -2215,7 +2261,7 @@ def _write_v2_data_file(
         else:  # struct child: same row domain and boundaries
             slices_by_fid[fid] = slices_by_fid[parent]
 
-    def _page_bufs(lt, vals):
+    def _page_bufs(lt, vals, name=None):
         if lt == "struct":
             return [np.asarray(
                 [1 if v else 0 for v in vals], dtype=np.uint8).tobytes()]
@@ -2238,6 +2284,22 @@ def _write_v2_data_file(
                 v.encode() if isinstance(v, str) else bytes(v)
                 for v in vals
             ]
+            if name in dictionary_names:
+                # DICTIONARY page (v2 arm, PAGE-LOCAL dictionary):
+                # [validity?][i32 codes][dict end-offsets i64][dict
+                # payload]. Self-describing by sizes (codes buffer is
+                # exactly 4*rows, never ceil(rows/8)), but the READ arm
+                # only engages under the manifest field's
+                # `lance-repo:dictionary=plainpos-v2` marker — a foreign
+                # v2 file can never mis-decode through it.
+                uniq = sorted(set(raw)) or [b""]
+                code_of = {b: i for i, b in enumerate(uniq)}
+                codes = np.asarray(
+                    [code_of[b] for b in raw], dtype="<i4")
+                ends = np.cumsum(
+                    [len(b) for b in uniq], dtype="<i8")
+                return lead + [codes.tobytes(), ends.tobytes(),
+                               b"".join(uniq)]
             ends = np.cumsum([len(b) for b in raw], dtype="<i8")
             return lead + [ends.tobytes(), b"".join(raw)]
         # shared plain-page matrix (fixed-width family, bitpacked bool,
@@ -2248,7 +2310,7 @@ def _write_v2_data_file(
     for _name, fid, _parent, lt, vals in specs:
         pages = []
         for lo, hi in slices_by_fid[fid]:
-            bufs = _page_bufs(lt, vals[lo:hi])
+            bufs = _page_bufs(lt, vals[lo:hi], _name)
             offsets, sizes = [], []
             for b in bufs:
                 offsets.append(len(buf))
@@ -2448,10 +2510,6 @@ def write_native_dataset(
                 f"blob column {bc!r} must be a {{position, size}} struct "
                 "column (list of dicts)")
     if dictionary_columns:
-        if file_version == 2:
-            raise LanceNativeError(
-                "dictionary_columns is a v1 (encoding=3) feature — the "
-                "FILE-v2 writer emits plain pages only")
         bad = [
             c for c in dictionary_columns
             if next((x[3] for x in specs if x[0] == c and x[2] == -1), None)
@@ -2462,15 +2520,24 @@ def write_native_dataset(
                 f"dictionary_columns must be top-level var-width "
                 f"columns; bad: {sorted(bad)}")
     if file_version == 2:
-        file_name, n_rows = _write_v2_data_file(root, specs)
+        file_name, n_rows = _write_v2_data_file(
+            root, specs, dictionary_names=frozenset(dictionary_columns))
     else:
         file_name, n_rows = _write_v1_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns))
-    field_specs = [
-        sp[:4] + ((BLOB_FIELD_METADATA,)
-                  if sp[0] in blob_columns and sp[2] == -1 else ())
-        for sp in specs
-    ]
+
+    def _fmeta(sp):
+        if sp[2] != -1:
+            return ()
+        if sp[0] in blob_columns:
+            return (BLOB_FIELD_METADATA,)
+        if sp[0] in dictionary_columns and file_version == 2:
+            # the v2 dictionary arm is MANIFEST-gated (no file-local
+            # schema in this writer's v2 files) — stamp the marker
+            return ({DICTIONARY_METADATA_KEY: DICTIONARY_LAYOUT_V2},)
+        return ()
+
+    field_specs = [sp[:4] + _fmeta(sp) for sp in specs]
     _write_v1_manifest(root, field_specs, [(0, file_name, n_rows)], 1)
 
 
@@ -2493,10 +2560,21 @@ def append_native_rows(
         )
     specs = _specs_for_manifest(m, columns)
     if file_version == 2:
-        if dictionary_columns:
+        # v2 dictionary pages require the manifest marker (the read arm
+        # is manifest-gated; stamping happens at CREATE)
+        unmarked = [
+            c for c in dictionary_columns
+            if next((f.metadata.get(DICTIONARY_METADATA_KEY)
+                     for f in m.top_level_fields() if f.name == c), None)
+            != DICTIONARY_LAYOUT_V2
+        ]
+        if unmarked:
             raise LanceNativeError(
-                "dictionary_columns is a v1 (encoding=3) feature")
-        file_name, n_rows = _write_v2_data_file(root, specs)
+                f"v2 dictionary append needs the manifest marker on "
+                f"{sorted(unmarked)} (create the dataset with "
+                "dictionary_columns)")
+        file_name, n_rows = _write_v2_data_file(
+            root, specs, dictionary_names=frozenset(dictionary_columns))
     else:
         file_name, n_rows = _write_v1_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns))

@@ -96,6 +96,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "st13_stream_sink_maintenance",
     "m07_native_blob_lifecycle",
     "cat23_sql_native_index",
+    "lf42_native_v2_dictionary",
     "lf36_native_fragment_stats_pruning",
     "lf37_native_clustered_compaction",
     "lf32_native_null_roundtrip",

@@ -2967,3 +2967,88 @@ def lf41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("interleaved_admitted_all", F.lit(bool(admitted_all)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf42 — dictionary-encoded FILE-v2 pages (the v2 twin of lf28's v1
+# encoding=3): low-cardinality var-width pages store a PAGE-LOCAL
+# dictionary ([i32 codes][dict end-offsets][dict payload], optional
+# leading validity), gated on the MANIFEST field marker
+# `lance-repo:dictionary=plainpos-v2` so a foreign v2 layout can never
+# mis-decode through the arm — the same bytes WITHOUT the marker refuse
+# loudly (proof column). Plain and dictionary data files mix in one
+# dataset; NULLs ride the ordinary v2 validity buffer.
+# ---------------------------------------------------------------------------
+@register(
+    "lf42_native_v2_dictionary",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+           TRUE AS dict_encoding_smaller,
+           TRUE AS unmarked_bytes_refuse
+    FROM part
+    WHERE p_partkey <= 1200
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+    doc="format: dictionary-encoded FILE-v2 pages — page-local "
+        "dictionaries behind the manifest marker, mixed plain/dict "
+        "files, unmarked bytes refuse loudly",
+    tags=("format", "interop", "lance-native", "encoding", "v2"),
+)
+def lf42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format import lance_native as ln
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf42-v2dict")
+    plain_path = _fresh_path(sf_dir, "lf42-v2plain")
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 1200)
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "p_partkey": [int(r["p_partkey"]) for r in rs],
+        "p_brand": [str(r["p_brand"]) for r in rs],
+    }
+    half = len(rows) // 2
+    ln.write_native_dataset(
+        path, cols(rows[:half]), file_version=2,
+        dictionary_columns={"p_brand"})
+    # second file PLAIN — mixed encodings under one marked field
+    ln.append_native_rows(path, cols(rows[half:]), file_version=2)
+    ln.write_native_dataset(plain_path, cols(rows[:half]), file_version=2)
+
+    def data_bytes(p):
+        d = os.path.join(p, "data")
+        return sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+
+    smaller = data_bytes(path) < 2 * data_bytes(plain_path)
+
+    # the SAME dictionary page bytes WITHOUT the manifest marker refuse
+    m = ln.read_native_manifest(path)
+    bfield = next(f for f in m.top_level_fields() if f.name == "p_brand")
+    dfile, ci = m.fragments[0].file_for_field(bfield.id)
+    stripped = ln.NativeField(
+        bfield.name, bfield.id, bfield.parent_id, bfield.logical_type,
+        bfield.nullable, bfield.encoding, metadata={})
+    refused = False
+    try:
+        ln.read_file_column(path, dfile, ci, stripped, m)
+    except ln.LanceNativeError:
+        refused = True
+
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n"),
+             F.sum("p_partkey").alias("key_sum"))
+        .withColumn("dict_encoding_smaller", F.lit(bool(smaller)))
+        .withColumn("unmarked_bytes_refuse", F.lit(bool(refused)))
+        .orderBy("brand")
+    )

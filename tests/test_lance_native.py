@@ -1862,10 +1862,17 @@ def test_dictionary_encoded_v1_pages(tmp_path, spark):
     with _pytest.raises(LanceNativeError, match="var-width"):
         write_native_dataset(
             str(tmp_path / "bad"), {"k": [1]}, dictionary_columns={"k"})
-    with _pytest.raises(LanceNativeError, match="v1"):
-        write_native_dataset(
-            str(tmp_path / "bad2"), {"s": ["a"]}, file_version=2,
-            dictionary_columns={"s"})
+    # v2 dictionary pages are SUPPORTED since round 9 (manifest-gated
+    # page-local dictionaries — test_v2_dictionary_pages) — the old v1
+    # refusal would be a stale pin here
+    write_native_dataset(
+        str(tmp_path / "ok2"), {"s": ["a", "b", "a"]}, file_version=2,
+        dictionary_columns={"s"})
+    from lance_trino_spark.format.lance_native import LanceNativeDataset
+
+    assert LanceNativeDataset(
+        str(tmp_path / "ok2")).to_arrow()["s"].to_pylist() == [
+        "a", "b", "a"]
 
     # the size win that motivates the encoding
     droot, proot = str(tmp_path / "dsz"), str(tmp_path / "psz")
@@ -3230,3 +3237,56 @@ def test_native_blob_write_path(spark, tmp_path, file_version):
         ln.create_native_dataset(
             df.select("k"), str(tmp_path / "badblob.lance"),
             blob_columns={"k"})
+
+
+def test_v2_dictionary_pages(spark, tmp_path):
+    """FILE-v2 dictionary pages: page-local dictionaries behind the
+    MANIFEST marker `lance-repo:dictionary=plainpos-v2` — transparent
+    scan with NULLs and multi-page files, mixed plain/dict data files in
+    one dataset, page-skip selective decode, and the loud-refusal
+    contract: the same bytes WITHOUT the marker refuse instead of
+    guessing (a foreign v2 layout can never mis-decode through the arm)."""
+    import pyarrow as pa
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "d2.lance")
+    vals = (["apple", "banana", None, "apple", "cherry"] * 5)[:23]
+    ln.write_native_dataset(
+        root, {"k": list(range(23)), "s": vals},
+        file_version=2, types={"s": "string"}, dictionary_columns={"s"})
+    ln.append_native_rows(root, {"k": [100], "s": ["plain-file"]},
+                          file_version=2)  # plain file, same dataset
+    got = ln.LanceNativeDataset(root).to_arrow().to_pydict()
+    assert got["s"] == vals + ["plain-file"]
+
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    assert df.filter("s = 'banana'").count() == vals.count("banana")
+    assert df.filter("s IS NULL").count() == vals.count(None)
+
+    # selective decode through the dict arm (page-skip hook)
+    m = ln.read_native_manifest(root)
+    t = ln.read_native_fragment(root, m.fragments[0], m)
+    f0 = m.fragments[0]
+    sfield = next(f for f in m.top_level_fields() if f.name == "s")
+    dfile, ci = f0.file_for_field(sfield.id)
+    sel = ln.read_file_column(
+        root, dfile, ci, sfield, m, indices=[1, 3])
+    assert sel.to_pylist() == ["banana", "apple"]
+
+    # strip the manifest marker -> the SAME page bytes refuse loudly
+    stripped = ln.NativeManifest(
+        fields=[
+            ln.NativeField(f.name, f.id, f.parent_id, f.logical_type,
+                           f.nullable, f.encoding, metadata={})
+            for f in m.fields
+        ],
+        fragments=m.fragments, version=m.version,
+        timestamp_s=m.timestamp_s)
+    sf2 = next(f for f in stripped.top_level_fields() if f.name == "s")
+    with pytest.raises(ln.LanceNativeError,
+                       match="unexpected var-width layout"):
+        ln.read_file_column(root, dfile, ci, sf2, stripped)
