@@ -642,6 +642,45 @@ def build_hnsw(vecs, m: int = HNSW_M, ef: int = HNSW_EF_CONSTRUCTION,
             for lvl in range(max_level + 1, li + 1):
                 neighbors.setdefault((lvl, i), [])
             entry, max_level = i, li
+    # Bootstrap repair: EARLY nodes ran their forward searches against a
+    # graph smaller than the beam (the first node against an EMPTY one),
+    # so their level-0 adjacency reflects whatever happened to exist at
+    # insert time; semantic neighbors inserted later can only link back
+    # if THEIR build-time searches reach the early node — a
+    # chicken-and-egg that can strand early nodes outside their true
+    # neighborhoods entirely (observed: an exact-duplicate query for the
+    # first node missing at any beam width). Re-searching the early
+    # cohort against the FINISHED graph and linking bidirectionally
+    # closes the hole at O(ef) extra searches.
+    for j in range(min(n - 1, 2 * ef)):
+        qj = xn[j]
+        ep = [entry]
+        for lvl in range(max_level, 0, -1):
+            ep = [_search_layer(qj, ep, lvl, 1)[0][1]]
+        found = _search_level0(qj, ep, ef)
+        chosen = [e for _, e in found if e != j][:m]
+        have = set(adj0[j, : int(cnt0[j])].tolist())
+        merged = sorted(have | set(chosen))
+        if len(merged) > m:
+            arr = np.array(merged, dtype=np.int32)
+            simsj = xn[arr] @ qj
+            order = np.lexsort((arr, -simsj))[:m]
+            merged = [int(arr[jj]) for jj in order]
+        adj0[j, : len(merged)] = merged
+        cnt0[j] = len(merged)
+        for e in chosen:
+            k_e = int(cnt0[e])
+            row = adj0[e]
+            if j in row[:k_e]:
+                continue
+            if k_e < m:
+                row[k_e] = j
+                cnt0[e] = k_e + 1
+            else:
+                cand_ids = np.append(row[:k_e], np.int32(j))
+                sims_e = xn[cand_ids] @ xn[e]
+                order = np.lexsort((cand_ids, -sims_e))[:m]
+                adj0[e] = cand_ids[order]
     for i in range(n):
         neighbors[(0, i)] = [int(v) for v in adj0[i, : int(cnt0[i])]]
     return levels, neighbors, entry

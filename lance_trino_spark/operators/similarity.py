@@ -703,7 +703,12 @@ def kmeans_lattice(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
-            lambda x: (F.floor(x * scale + 0.5)).cast("long") + offset,
+            # quantize in DOUBLE explicitly: float32*int promotes
+            # differently across engines (Spark float, DuckDB float),
+            # and near a lattice boundary the single-precision product
+            # floors differently — double is exact and engine-identical
+            lambda x: (F.floor(x.cast("double") * scale + 0.5))
+            .cast("long") + offset,
         ).alias("qv"),
     )
 

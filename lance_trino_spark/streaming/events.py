@@ -62,16 +62,30 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         tempfile.gettempdir(), "lts_stream", sf_dir.strip("/").replace("/", "_"), name
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, f"{name}.parquet")
-    # lexists (not exists) so a dangling symlink is repaired, and the
-    # create races benignly under concurrent runs (e.g. pytest-xdist).
-    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(path):
-        os.unlink(link)
-    if not os.path.lexists(link):
-        try:
-            os.symlink(path, link)
-        except FileExistsError:
-            pass  # concurrent creator won the race — same target either way
+    def _ensure_link(link: str, target: str) -> None:
+        # lexists (not exists) so a dangling symlink is repaired, and the
+        # create races benignly under concurrent runs (e.g. pytest-xdist).
+        if os.path.lexists(link) and (
+                os.path.realpath(link) != os.path.realpath(target)):
+            os.unlink(link)
+        if not os.path.lexists(link):
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                pass  # concurrent creator won the race — same target
+
+    if os.path.isdir(path):
+        # Spark-written tables (e.g. .scratch/sf1) are DIRECTORIES of
+        # part files; the file stream source does not recurse, so link
+        # each part file into the listing dir — which also yields real
+        # multi-file microbatch schedules at scale
+        for i, f in enumerate(sorted(os.listdir(path))):
+            if f.endswith(".parquet"):
+                _ensure_link(os.path.join(stream_dir,
+                                          f"{name}-{i}.parquet"),
+                             os.path.join(path, f))
+    else:
+        _ensure_link(os.path.join(stream_dir, f"{name}.parquet"), path)
     sdf = spark.readStream.schema(schema).parquet(stream_dir)
     if name == "events":
         from ..tables import _normalize_events

@@ -851,7 +851,8 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
-                 x -> CAST(FLOOR(x*1000 + 0.5) AS BIGINT) + 2000) AS qv
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5)
+                      AS BIGINT) + 2000) AS qv
       FROM embeddings
     ),
     c0 AS (

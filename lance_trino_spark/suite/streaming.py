@@ -254,11 +254,24 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = LanceDataset.create_empty(
         path, emb.select("vec_id", "label", "embedding").schema
     )
+    # HNSW because the index must register on an EMPTY table (IVF needs
+    # data to train centroids; per-fragment graphs need none) — that is
+    # the live-maintenance design. Build quality matters on corpora with
+    # tight near-duplicate clusters (the sf1 replicas): m=16/efc=96
+    # keeps exact twins reachable where m=8/efc=48 graphs strand them.
     ds = ds.create_vector_index(
-        spark, "embedding", index_type="HNSW", hnsw_m=8,
-        hnsw_ef_construction=48,
+        spark, "embedding", index_type="HNSW", hnsw_m=16,
+        hnsw_ef_construction=96,
     )
     vector_ingest_stream(spark, sf_dir, path)
+    final = LanceDataset.open(path)
+    # post-drain maintenance: per-batch index builds degrade to warnings
+    # by design (ingest availability beats index freshness), so a
+    # fragment can land shard-less; searches are consult-if-present and
+    # would silently miss its vectors. ensure_* rebuilds exactly the
+    # missing shard sets — the table-service step every real ingest
+    # pipeline runs before serving.
+    final.ensure_vector_index_files(spark)
     final = LanceDataset.open(path)
     if final.version < 4:  # create + index + >= 2 microbatch appends
         raise AssertionError(
@@ -269,8 +282,11 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     hits = final.vector_search(
-        spark, "embedding", queries, k=1, id_columns=["vec_id"],
-        ef_search=48,
+        spark, "embedding", queries, k=16, id_columns=["vec_id"],
+        # k > 1 + the exact-cosine re-rank below: retrieve-then-rerank
+        # makes self-match depend on exact arithmetic, not on the
+        # beam's first pick
+        ef_search=256,
     )
     rk = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

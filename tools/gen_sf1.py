@@ -81,10 +81,42 @@ def main() -> None:
             df = src
             for col, span in keymap.items():
                 df = df.withColumn(col, F.col(col) + F.lit(k * span))
+            if tbl == "embeddings" and k > 0:
+                # replicas get a tiny DETERMINISTIC per-copy perturbation:
+                # byte-identical vectors across copies make ANN self-match
+                # ambiguous (ties), which is a replication artifact — real
+                # corpora have near-dups, not exact float-equal embeddings
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        # pseudo-random deterministic per-(copy, dim)
+                        # delta, ~±0.1: far enough apart that quantized
+                        # ANN separates the copies (top-1 self-match
+                        # stays unique under PQ distortion), close
+                        # enough to keep them semantic near-dups
+                        # magnitude scales with k: same-magnitude deltas
+                        # make every copy (near-)EQUIDISTANT from the
+                        # original (the residue pattern is just phase-
+                        # shifted per k) — engineered distance ties that
+                        # flap exact-ANN order checks
+                        lambda x, i: (
+                            x + ((i * 31 + F.lit(k) * 17) % 11 - 5)
+                            * 0.01 * F.lit(k)
+                        ).cast("float"),
+                    ),
+                )
             parts.append(df)
         big = parts[0]
         for p in parts[1:]:
             big = big.unionAll(p)
+        if tbl == "embeddings":
+            # interleave the copies (deterministic hash order): copy-BLOCKED
+            # row order builds HNSW graphs incrementally inside one
+            # near-duplicate block at a time, which era-clusters the graph
+            # and strands earlier blocks — real ingests are not
+            # copy-ordered, and neither should the synthetic corpus be
+            big = big.orderBy(F.xxhash64(F.col("vec_id")))
         big.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
         print(f"{tbl}: {big.count()} rows")
     spark.stop()
