@@ -97,6 +97,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "m07_native_blob_lifecycle",
     "cat23_sql_native_index",
     "lf42_native_v2_dictionary",
+    # changed-code this round (rotation rule: changed code outranks
+    # staleness): st10 search/ensure path, s14 double-exact lattice
+    # (already below), and the stream_table source-path rewrite
+    # (directory tables) — three representative file-stream consumers
+    "st10_stream_vector_ingest",
+    "st01_stream_hourly_stats",
+    "st04_stream_dedup",
+    "st08_watermark_late_drop",
     "lf36_native_fragment_stats_pruning",
     "lf37_native_clustered_compaction",
     "lf32_native_null_roundtrip",
