@@ -166,6 +166,7 @@ DEFAULT_QUERIES = [
     "m07_native_blob_lifecycle",
     "cat23_sql_native_index",
     "lf42_native_v2_dictionary",
+    "cat24_sql_native_show_stats",
 ]
 
 

@@ -702,6 +702,41 @@ class LanceCatalog:
         count: the statistics surface the reference feeds Trino's CBO
         (`LanceMetadata.java:561-588` getTableStatistics), answerable here
         with ZERO data scanned."""
+        np_ = self._native(m.group("ns"), m.group("tbl"))
+        if np_ is not None:
+            # native twin: aggregate the per-file stats sidecars
+            # (FRAGSTATS_LAYOUT) — write-time bounds, zero data scanned;
+            # columns without sidecar coverage report unknown
+            from .format.lance_native import (
+                LanceNativeDataset, fragment_stats_for_scan,
+                read_native_manifest)
+
+            mm = read_native_manifest(np_)
+            per_frag = [fragment_stats_for_scan(np_, mm, f)[0]
+                        for f in mm.fragments]
+            n_rows = LanceNativeDataset(np_).count_rows()
+            rows = []
+            for fld in mm.top_level_fields():
+                c = fld.name
+                stats = [pf[c] for pf in per_frag if c in pf]
+                counted = mm.fragments and len(stats) == len(mm.fragments)
+                bounded = counted and all(
+                    "min" in st and "max" in st for st in stats)
+                rows.append((
+                    c,
+                    n_rows,
+                    str(min(st["min"] for st in stats))
+                    if bounded else None,
+                    str(max(st["max"] for st in stats))
+                    if bounded else None,
+                    sum(st.get("nulls", 0) for st in stats)
+                    if counted else None,
+                ))
+            return self.spark.createDataFrame(
+                rows,
+                "column string, row_count long, min_value string, "
+                "max_value string, null_count long",
+            )
         ds = self.load(m.group("ns"), m.group("tbl"))
         frags = ds.manifest.fragments
         rows = []

@@ -97,6 +97,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "m07_native_blob_lifecycle",
     "cat23_sql_native_index",
     "lf42_native_v2_dictionary",
+    "cat24_sql_native_show_stats",
     # changed-code this round (rotation rule: changed code outranks
     # staleness): st10 search/ensure path, s14 double-exact lattice
     # (already below), and the stream_table source-path rewrite

@@ -1352,3 +1352,51 @@ def cat23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("drop_falls_back_identical", F.lit(bool(identical)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# cat24 — SHOW STATS on a native table, answered ENTIRELY from the
+# per-file stats sidecars (FRAGSTATS_LAYOUT) + the O(1) manifest row
+# count — zero data scanned, the statistics surface the reference feeds
+# Trino's CBO (`LanceMetadata.java:561-588` getTableStatistics). The
+# oracle recomputes every min/max/null-count from the base table, so the
+# driver value-checks that the sidecars' CONTENT equals engine-computed
+# statistics (not merely that pruning is conservative).
+# ---------------------------------------------------------------------------
+@register(
+    "cat24_sql_native_show_stats",
+    oracle="""
+    SELECT 'k' AS "column", CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value,
+           CAST(0 AS BIGINT) AS null_count
+    FROM orders WHERE o_orderkey <= 3000
+    UNION ALL
+    SELECT 'pr', CAST(COUNT(*) AS BIGINT),
+           MIN(CASE WHEN o_orderkey % 4 <> 0 THEN o_orderpriority END),
+           MAX(CASE WHEN o_orderkey % 4 <> 0 THEN o_orderpriority END),
+           CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders WHERE o_orderkey <= 3000
+    ORDER BY "column"
+    """,
+    doc="catalog: SHOW STATS on a native table — per-column min/max/"
+        "null-count aggregated from the stats sidecars, zero data "
+        "scanned, value-exact vs engine-computed statistics",
+    tags=("catalog", "sql", "lance-native", "stats", "zonemap"),
+)
+def cat24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat24")
+    cat.sql("CREATE SCHEMA ns")
+    k = F.col("o_orderkey")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(k <= 3000)
+        .select(
+            k.alias("k"),
+            F.when(k % 4 != 0, F.col("o_orderpriority")).alias("pr"),
+        )
+    )
+    src.createOrReplaceTempView("cat24_src")
+    cat.sql("CREATE NATIVE TABLE ns.t AS SELECT * FROM cat24_src")
+    return cat.sql("SHOW STATS ns.t").orderBy("column")
