@@ -76,70 +76,12 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 9 window. Front: the queries ADDED this round (lf32
-    # NULL round-trip, lf33 embeddings CTAS — never driver-checked),
-    # then CHANGED-CODE queries (rotation rule: changed code outranks
-    # staleness — lf24 now commits the DISTRIBUTED merge flavor; the
-    # native readers/writers were rewritten for leaf-NULL validity and
-    # the dictionary fingerprint guard, staging moved to mapInArrow,
-    # the stream sink's conflict rebase re-scans, s14 gained the
-    # literal-plan ceiling), then the ENTIRE r5-stale cohort (judge r8
-    # item #4: after r9 nothing staler than r6), its own changed-code
-    # members first (lf14/st11 native decode, lf08 wide types, s12).
-    "d11_incremental_cdf_dedup",
-    "lf38_native_timestamp_travel",
-    "lf39_native_version_tags",
-    "lf40_native_nested_tree",
-    "ds12_native_nested_projection",
-    "lf41_native_zorder_compaction",
-    "cat22_sql_native_table",
-    "st13_stream_sink_maintenance",
-    "m07_native_blob_lifecycle",
-    "cat23_sql_native_index",
-    "lf42_native_v2_dictionary",
-    "cat24_sql_native_show_stats",
-    # changed-code this round (rotation rule: changed code outranks
-    # staleness): st10 search/ensure path, s14 double-exact lattice
-    # (already below), and the stream_table source-path rewrite
-    # (directory tables) — three representative file-stream consumers
-    "st10_stream_vector_ingest",
-    "st01_stream_hourly_stats",
-    "st04_stream_dedup",
-    "st08_watermark_late_drop",
-    "lf36_native_fragment_stats_pruning",
-    "lf37_native_clustered_compaction",
-    "lf32_native_null_roundtrip",
-    "lf33_native_embeddings_ctas",
-    "t24_capped_source_budgets",
-    "lf34_native_backfill_column",
-    "lf35_native_rename_column",
-    "ds11_native_dsv2_write",
-    "lf24_native_merge_upsert",
-    "lf23_native_mor_update",
-    "lf22_native_mor_delete",
-    "lf18_native_v2_file_scan",
-    "lf28_native_dictionary_encoding",
-    "lf31_native_create_from_dataframe",
-    "st12_native_stream_sink",
-    "lf26_native_compaction",
-    "s14_kmeans_cluster_balance",
-    "lf14_native_lance_interop",
-    "st11_native_stream_tail",
-    "lf08_wide_types_roundtrip",
-    "s12_binary_quantization",
-    "d03_simhash_near_dup",
-    "t19_temperature_mix",
-    "e01_hourly_event_stats",
-    "e02_sessionization",
-    "e03_funnel_conversion",
-    "e04_top_purchasers",
-    "q01_pricing_summary",
-    "q02_topk_open_orders",
-    "q03_shipping_priority",
-    "q04_order_priority_check",
-    "q05_local_supplier_volume",
-    "q06_revenue_forecast",
-    "q07_nation_volume",
+    # --- round 10 window (judge r9 item #3). Front: the 23-query
+    # q08–q31 relational battery (r5-stale — the overflow cohort the
+    # sample kept missing), then the cat01–cat15 block (cat01-08 r6,
+    # cat09-15 r7). Positions ~39-50: this round's NEW queries plus
+    # changed-code re-checks, appended as they land. Tail: the rest
+    # of the r6 cohort in case the driver samples past 50.
     "q08_market_share",
     "q09_product_profit",
     "q10_returned_items",
@@ -163,6 +105,62 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q29_cte_nation_stats",
     "q30_full_outer_activity",
     "q31_cube_order_stats",
+    # cat block (judge r9 item #3 second half)
+    "cat01_sql_ddl_time_travel",
+    "cat02_sql_dml",
+    "cat03_count_star_manifest",
+    "cat04_sql_merge",
+    "cat05_sql_maintenance",
+    "cat06_sql_clustered_optimize",
+    "cat07_stats_broadcast_join",
+    "cat08_sql_zorder_optimize",
+    "cat09_namespace_modes",
+    "cat10_jvm_catalog",
+    "cat11_rest_namespace",
+    "cat12_sql_vector_search",
+    "cat13_sql_restore",
+    "cat14_version_tags",
+    "cat15_metastore_namespace",
+    # --- new-in-r10 + changed-code slots (filled as work lands) ---
+    # --- tail: rest of the r6 cohort (sampled only if window > 50) ---
+    "d09_url_dedup",
+    "ds01_datasource_scan_pushdown",
+    "ds02_datasource_write_commit",
+    "ds03_streaming_ingest",
+    "ds05_nested_projection",
+    "ds06_zonemap_pruned_scan",
+    "ds07_stream_source_tail",
+    "e05_json_props_stats",
+    "e06_retention_cohorts",
+    "e09_range_join",
+    "e10_funnel_sequence",
+    "e16_last_touch_attribution",
+    "lf03_mor_delete",
+    "lf04_update",
+    "lf05_merge",
+    "lf06_count_star_fast_path",
+    "lf07_timestamp_time_travel",
+    "lf09_merge_conditional_clauses",
+    "lf10_compaction",
+    "lf11_row_address_column",
+    "lf15_native_pushdown_scan",
+    "lf16_native_vector_ann",
+    "m04_image_resize",
+    "m05_audio_frame_energy",
+    "q32_pivot_priority_by_year",
+    "q33_discrete_quantiles",
+    "s05_int8_quantization",
+    "s07_quantized_topk",
+    "t01_token_stats",
+    "t02_language_id",
+    "t03_quality_scores",
+    "t04_fingerprints",
+    "t06_stratified_sample",
+    "t07_pii_redaction",
+    "t08_document_chunking",
+    "t15_rare_ngram_novelty",
+    "t20_boilerplate_by_source",
+    "t21_pipeline_funnel",
 )
 
 
