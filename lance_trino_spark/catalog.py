@@ -316,7 +316,12 @@ class LanceCatalog:
                 location = self.namespace.declare_table(ns, tbl)
             except NamespaceError as e:
                 raise CatalogError(str(e)) from None
-            if self._native(ns, tbl) is not None:
+            # An OWN-FORMAT table at the same location must count as
+            # "exists" too: writing a binary manifest next to
+            # .manifest.json files would leave is_native_dataset()
+            # False and every later read silently serving the OLD data.
+            if self._native(ns, tbl) is not None or LanceDataset.exists(
+                    location):
                 if m.group("ine"):
                     return self._status(f"table {ns}.{tbl} exists")
                 if not m.group("replace"):
@@ -325,6 +330,18 @@ class LanceCatalog:
             create_native_dataset(df, location, file_version=2)
             return self._status(
                 f"created NATIVE table {ns}.{tbl} v1")
+        # Mirror guard: plain CREATE TABLE over an existing NATIVE table
+        # would interleave a JSON manifest into a binary-manifest dataset.
+        if self._native(ns, tbl) is not None:
+            if m.group("ine"):
+                return self._status(f"table {ns}.{tbl} exists")
+            if not m.group("replace"):
+                raise CatalogError(
+                    f"table {ns}.{tbl} already exists (native)")
+            import shutil as _sh2
+
+            _sh2.rmtree(self.namespace.table_location(ns, tbl),
+                        ignore_errors=True)
         ds = self.create_table(ns, tbl, df, mode=mode)
         return self._status(f"created table {ns}.{tbl} v{ds.version}")
 
@@ -601,18 +618,24 @@ class LanceCatalog:
         if np_ is not None:
             import shutil as _sh
 
-            from .format.lance_native import list_native_scalar_indices
+            from .format.lance_native import (
+                list_native_scalar_indices, list_native_vector_indices)
 
-            victims = [i for i in list_native_scalar_indices(np_)
-                       if i.column == col]
+            # DROP VECTOR INDEX must target the VECTOR sidecars — when
+            # both index kinds exist on one column, reaping the scalar
+            # set for a vector drop is a destructive wrong-target delete.
+            kind = "vector" if m.group("vec") else "scalar"
+            lister = (list_native_vector_indices if m.group("vec")
+                      else list_native_scalar_indices)
+            victims = [i for i in lister(np_) if i.column == col]
             if not victims:
                 raise CatalogError(
-                    f"no native scalar index on {ns}.{tbl}({col})")
+                    f"no native {kind} index on {ns}.{tbl}({col})")
             for i in victims:
                 _sh.rmtree(os.path.dirname(i.path))
             return self._status(
-                f"dropped {len(victims)} native index sidecar(s) on "
-                f"{ns}.{tbl}({col})")
+                f"dropped {len(victims)} native {kind} index sidecar(s) "
+                f"on {ns}.{tbl}({col})")
         ds = self.load(ns, tbl)
         if m.group("vec"):
             ds = ds.drop_vector_index(self.spark, col)

@@ -1681,7 +1681,15 @@ def _stats_for_specs(specs: list[tuple]) -> dict:
         ent: dict = {"lt": lt, "nulls": len(vals) - len(non_null)}
         if non_null:
             if lt in ("halffloat", "float", "double"):
-                fv = [float(v) for v in non_null]
+                # Bounds must describe the STORED values: the page encode
+                # rounds doubles to float32/float16, and a stored value can
+                # round ABOVE the pre-encode max (unsound prune). Cast
+                # through the storage dtype before taking min/max.
+                import numpy as _np
+
+                _store = {"halffloat": _np.float16, "float": _np.float32,
+                          "double": _np.float64}[lt]
+                fv = [float(_store(v)) for v in non_null]
                 if all(math.isfinite(x) for x in fv):
                     ent["min"], ent["max"] = min(fv), max(fv)
             elif lt in ("string", "large_string"):
@@ -2397,11 +2405,13 @@ def _write_v1_manifest(
         + frag_protos
         + _enc_field(3, 0, version)
         # commit timestamp (proto field 7 {1: secs, 2: nanos}, exactly the
-        # fixture manifests' shape) — feeds FOR TIMESTAMP AS OF resolution
-        + _enc_field(7, 2, (
-            _enc_field(1, 0, int(_time.time()))
-            + _enc_field(2, 0, int((_time.time() % 1) * 1e9))
-        ))
+        # fixture manifests' shape) — feeds FOR TIMESTAMP AS OF resolution.
+        # One clock read: secs and nanos from two reads can straddle a
+        # second boundary and stamp the commit ~1s in the past.
+        + _enc_field(7, 2, (lambda _t: (
+            _enc_field(1, 0, int(_t))
+            + _enc_field(2, 0, int((_t - int(_t)) * 1e9))
+        ))(_time.time()))
         + (_enc_field(99, 2, txn.encode()) if txn else b"")
     )
     blob = struct.pack("<I", len(manifest)) + manifest
@@ -4706,9 +4716,16 @@ def write_native_scalar_index(
                 vals_all.extend(v for v, m in zip(py, mask) if m)
             else:
                 npk = "<i8" if kind == "int64" else "<f8"
+                # Drop null slots ARROW-side before the numpy cast: a
+                # null slot reaches numpy as NaN, and NaN->int64 is a
+                # platform-defined value plus a RuntimeWarning — inside
+                # index fence construction, exactly where a silent
+                # wrong-pruning bug would incubate. drop_null preserves
+                # valid-slot order, matching addr[mask].
                 vals_all.append(np.asarray(
-                    arr.cast("int64" if kind == "int64" else "float64")
-                    .to_numpy(zero_copy_only=False), dtype=npk)[mask])
+                    arr.drop_null()
+                    .cast("int64" if kind == "int64" else "float64")
+                    .to_numpy(zero_copy_only=False), dtype=npk))
             addr_all.append(addr[mask])
         addrs = (np.concatenate(addr_all) if addr_all
                  else np.empty(0, dtype=np.uint64))

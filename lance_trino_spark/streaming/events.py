@@ -79,12 +79,32 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # part files; the file stream source does not recurse, so link
         # each part file into the listing dir — which also yields real
         # multi-file microbatch schedules at scale
-        for i, f in enumerate(sorted(os.listdir(path))):
-            if f.endswith(".parquet"):
-                _ensure_link(os.path.join(stream_dir,
-                                          f"{name}-{i}.parquet"),
-                             os.path.join(path, f))
+        parts = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        live = {f"{name}-{i}.parquet" for i in range(len(parts))}
+        # Reconcile against the CURRENT part census: a regenerated source
+        # with fewer/renamed parts (or a single-file-era plain link) would
+        # otherwise leave stale-target or dangling links behind, replaying
+        # old rows into the stream.
+        for f in os.listdir(stream_dir):
+            stale = (f.startswith(f"{name}-") and f.endswith(".parquet")
+                     and f not in live) or f == f"{name}.parquet"
+            if stale:
+                try:
+                    os.unlink(os.path.join(stream_dir, f))
+                except FileNotFoundError:
+                    pass  # concurrent reconciler won the race
+        for i, f in enumerate(parts):
+            _ensure_link(os.path.join(stream_dir,
+                                      f"{name}-{i}.parquet"),
+                         os.path.join(path, f))
     else:
+        # Table shape flipped dir -> single file: reap the old part links.
+        for f in os.listdir(stream_dir):
+            if f.startswith(f"{name}-") and f.endswith(".parquet"):
+                try:
+                    os.unlink(os.path.join(stream_dir, f))
+                except FileNotFoundError:
+                    pass
         _ensure_link(os.path.join(stream_dir, f"{name}.parquet"), path)
     sdf = spark.readStream.schema(schema).parquet(stream_dir)
     if name == "events":

@@ -615,3 +615,62 @@ def test_sql_router_native_tables(spark, tmp_path):
                 "WHEN MATCHED THEN UPDATE SET v = s.v "
                 "WHEN NOT MATCHED THEN INSERT (k, p, v) "
                 "VALUES (s.k, s.p, s.v)")
+
+
+def test_create_table_format_cross_guards(cat, spark):
+    """CREATE [NATIVE] TABLE must see a table of the OTHER storage format
+    as 'already exists' — a binary manifest written next to .manifest.json
+    files (or vice versa) is invisible to the format sniffers and every
+    later read silently serves the OLD data (ADVICE r9)."""
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame([(1, "a")], "k long, s string") \
+        .createOrReplaceTempView("xsrc")
+
+    # NATIVE CTAS over an existing OWN-FORMAT table
+    cat.sql("CREATE TABLE s.own AS SELECT * FROM xsrc")
+    with pytest.raises(CatalogError, match="already exists"):
+        cat.sql("CREATE NATIVE TABLE s.own AS SELECT * FROM xsrc")
+    cat.sql("CREATE OR REPLACE NATIVE TABLE s.own AS SELECT k FROM xsrc")
+    assert cat._native("s", "own") is not None  # really replaced
+    assert [r.col_name for r in cat.sql("DESCRIBE s.own").collect()] == ["k"]
+
+    # plain CTAS over an existing NATIVE table (mirror guard)
+    cat.sql("CREATE NATIVE TABLE s.nat AS SELECT * FROM xsrc")
+    with pytest.raises(CatalogError, match="already exists"):
+        cat.sql("CREATE TABLE s.nat AS SELECT * FROM xsrc")
+    cat.sql("CREATE OR REPLACE TABLE s.nat AS SELECT s FROM xsrc")
+    assert cat._native("s", "nat") is None  # native layout fully replaced
+    assert [r.col_name for r in cat.sql("DESCRIBE s.nat").collect()] == ["s"]
+
+
+def test_native_drop_vector_index_targets_vector_sidecars(cat, spark):
+    """DROP VECTOR INDEX on a native table with BOTH index kinds on one
+    column must reap only the vector sidecars (ADVICE r9: it used to
+    rmtree the scalar set — a destructive wrong-target delete)."""
+    from lance_trino_spark.format.lance_native import (
+        list_native_scalar_indices, list_native_vector_indices,
+        write_native_dataset, write_native_scalar_index,
+        write_native_vector_index)
+
+    cat.sql("CREATE SCHEMA vs")
+    loc = cat.namespace.declare_table("vs", "t")
+    n, dim = 256, 8
+    write_native_dataset(loc, {
+        "id": list(range(n)),
+        "emb": [[float(i % 7), *([0.0] * (dim - 1))] for i in range(n)],
+    })
+    write_native_scalar_index(loc, "id")
+    write_native_vector_index(loc, "emb", n_cells=4)
+    assert [i.column for i in list_native_scalar_indices(loc)] == ["id"]
+    assert [i.column for i in list_native_vector_indices(loc)] == ["emb"]
+
+    # vector drop on a column with no vector index: loud, nothing deleted
+    with pytest.raises(CatalogError, match="no native vector index"):
+        cat.sql("DROP VECTOR INDEX ON vs.t (id)")
+    assert len(list_native_scalar_indices(loc)) == 1
+
+    cat.sql("DROP VECTOR INDEX ON vs.t (emb)")
+    assert list_native_vector_indices(loc) == []
+    assert len(list_native_scalar_indices(loc)) == 1  # scalar untouched
+    cat.sql("DROP INDEX ON vs.t (id)")
+    assert list_native_scalar_indices(loc) == []

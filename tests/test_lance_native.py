@@ -2537,7 +2537,15 @@ def test_scalar_index_on_null_bearing_column(tmp_path, spark):
         "k": [None if i % 10 == 0 else i for i in range(n)],
         "tag": [f"t{i % 5}" for i in range(n)],
     }, types={"k": "int64"})
-    uid = ln.write_native_scalar_index(root, "k", page_rows=256)
+    import warnings
+
+    with warnings.catch_warnings():
+        # NULL slots must be dropped Arrow-side BEFORE the numpy cast:
+        # NaN->int64 is platform-defined, and inside fence construction a
+        # silent wrong value means a wrong-pruning index. Any RuntimeWarning
+        # here is a bug, not noise.
+        warnings.simplefilter("error", RuntimeWarning)
+        uid = ln.write_native_scalar_index(root, "k", page_rows=256)
     assert uid
     idx = ln.list_native_scalar_indices(root)[-1]
     assert idx.n_rows == n - n // 10  # nulls not indexed
