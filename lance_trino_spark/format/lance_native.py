@@ -175,6 +175,10 @@ class NativeManifest:
     # transaction marker — riding INSIDE the manifest makes exactly-once
     # replay detection atomic with the commit itself
     txn: str | None = None
+    # highest fragment id EVER allocated (Manifest proto field 11, the
+    # SDK's max_fragment_id — fixture test_table4 v5 stamps 10). None on
+    # manifests from writers that predate the field (test_table2 era).
+    max_fragment_id: int | None = None
 
     def top_level_fields(self) -> list[NativeField]:
         return [f for f in self.fields if _signed(f.parent_id) < 0]
@@ -260,6 +264,7 @@ def parse_manifest(raw: bytes) -> NativeManifest:
         pos = struct.unpack_from("<Q", raw, len(raw) - 16)[0]
     ln = struct.unpack_from("<I", raw, pos)[0]
     fields, fragments, version, ts, txn = [], [], 0, None, None
+    mfid = None
     for f, _wt, v in pb_items(raw[pos + 4:pos + 4 + ln]):
         if f == 1:
             fields.append(_parse_field(v))
@@ -267,6 +272,8 @@ def parse_manifest(raw: bytes) -> NativeManifest:
             fragments.append(_parse_fragment(v))
         elif f == 3:
             version = v
+        elif f == 11:
+            mfid = v  # max_fragment_id — never reuse ids below this
         elif f == 99:
             # repo extension: streaming txn marker (see NativeManifest)
             txn = v.decode(errors="replace")
@@ -278,7 +285,7 @@ def parse_manifest(raw: bytes) -> NativeManifest:
                 elif f2 == 2:
                     nanos = v2
             ts = secs + nanos / 1e9
-    return NativeManifest(fields, fragments, version, ts, txn)
+    return NativeManifest(fields, fragments, version, ts, txn, mfid)
 
 
 def list_native_versions(root: str) -> dict[int, str]:
@@ -2364,6 +2371,18 @@ def _relist_files(f: "NativeFragment"):
     return [(df.path, list(df.field_ids)) for df in f.files]
 
 
+def _next_fragment_id(m: NativeManifest) -> int:
+    """First NEVER-USED fragment id. max(live ids)+1 is unsound after a
+    fragment drop (delete-all, compaction): the recycled id would collide
+    with a historical fragment, and any vector/scalar index whose
+    coverage cites the dead id would silently resolve its row addresses
+    against the NEW fragment's rows. Real Lance prevents this with the
+    manifest's max_fragment_id watermark (proto field 11) — honored here,
+    with max(live) as the floor for pre-watermark manifests."""
+    return max(m.max_fragment_id if m.max_fragment_id is not None else -1,
+               max((f.id for f in m.fragments), default=-1)) + 1
+
+
 def _write_v1_manifest(
     root: str,
     field_specs: list[tuple],  # (name, fid, parent_fid, ltype[, metadata])
@@ -2374,8 +2393,22 @@ def _write_v1_manifest(
     """``file(s)`` per fragment entry is either a str — one data file
     carrying EVERY field — or a list of (file_name, field_ids) pairs for
     column-split fragments (the add-column layout: later files carry the
-    added fields; readers resolve field → first file carrying it)."""
+    added fields; readers resolve field → first file carrying it).
+
+    Stamps max_fragment_id (proto field 11, the SDK's never-reuse
+    watermark) as max(previous manifest's watermark, ids committed here)
+    — _next_fragment_id allocates above it, so a dropped fragment's id
+    can never be recycled onto new data (which would silently re-point
+    any index/coverage row addresses citing the dead id)."""
     field_ids = [sp[1] for sp in field_specs]
+    mfid = max((int(e[0]) for e in fragments), default=0)
+    if version > 1:
+        try:
+            prev = read_native_manifest(root, version - 1)
+            mfid = max(mfid, prev.max_fragment_id or 0,
+                       max((f.id for f in prev.fragments), default=0))
+        except (LanceNativeError, OSError):
+            pass  # prev vacuumed away: ids in this commit are the floor
     frag_protos = b""
     for entry in fragments:
         fid, files, n_rows = entry[0], entry[1], entry[2]
@@ -2404,6 +2437,7 @@ def _write_v1_manifest(
         )
         + frag_protos
         + _enc_field(3, 0, version)
+        + _enc_field(11, 0, mfid)
         # commit timestamp (proto field 7 {1: secs, 2: nanos}, exactly the
         # fixture manifests' shape) — feeds FOR TIMESTAMP AS OF resolution.
         # One clock read: secs and nanos from two reads can straddle a
@@ -2594,7 +2628,7 @@ def append_native_rows(
            if f.deletion is not None else ())
         for f in m.fragments
     ]
-    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    next_id = _next_fragment_id(m)
     frags.append((next_id, file_name, n_rows))
     meta_by_fid = {f.id: f.metadata for f in m.fields}
     field_specs = [
@@ -3177,7 +3211,7 @@ def native_stream_commit_batch(
                if f.deletion is not None else ())
             for f in m.fragments
         ]
-        next_id = max((f.id for f in m.fragments), default=-1) + 1
+        next_id = _next_fragment_id(m)
         for i, (fn, nr) in enumerate(staged):
             frags.append((next_id + i, fn, nr))
         try:
@@ -3459,7 +3493,7 @@ def native_update_where(
             else _write_v1_data_file)
         staged = [writer(root, _specs_for_manifest(m, new_cols))]
     frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
-    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    next_id = _next_fragment_id(m)
     for file_name, n_rows in staged:
         frag_entries.append((next_id, file_name, n_rows))
         next_id += 1
@@ -3558,7 +3592,7 @@ def native_merge_into(
             else _write_v1_data_file)
         staged = [writer(root, _specs_for_manifest(m, new_cols))]
     frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
-    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    next_id = _next_fragment_id(m)
     for file_name, n_rows in staged:
         frag_entries.append((next_id, file_name, n_rows))
         next_id += 1
@@ -3792,7 +3826,7 @@ def native_compact(
                   root, _specs_for_manifest(m, merged))]
             if merged[data_cols[0]] else []
         )
-    next_id = max((f.id for f in m.fragments), default=-1) + 1
+    next_id = _next_fragment_id(m)
     for file_name, n_rows in staged:
         frag_entries.append((next_id, file_name, n_rows))
         next_id += 1
@@ -4196,6 +4230,8 @@ def native_index_search(
     manifest: NativeManifest | None = None,
     max_candidates: int = 200_000,
     refine_factor: int | None = None,
+    skip_missing_fragments: bool = False,
+    mask_deletions: bool = False,
 ):
     """ANN over a persisted `.lance` vector index: per query, probe the
     ``nprobe`` nearest IVF cells (L2 to centroids), range-read ONLY those
@@ -4219,7 +4255,15 @@ def native_index_search(
     postings reads in format/vector_index.py); the 100 TB fan-out path is
     one Spark task per probed (cell, fragment) pair — this driver-side
     variant mirrors the reference's single JNI scanner call
-    (LanceFragmentPageSource.java:126)."""
+    (LanceFragmentPageSource.java:126).
+
+    ``skip_missing_fragments`` / ``mask_deletions``: the live-snapshot
+    knobs native_vector_search_fresh passes with a CURRENT manifest — an
+    index row id whose fragment was compacted away, or whose row a
+    deletion vector killed after the build, is a STALE hit and is dropped
+    (counted in ``stale_dropped``) instead of raising / resurrecting a
+    deleted row. Off by default: a pinned-snapshot search over the
+    index's own manifest has no stale rows by construction."""
     import numpy as np
 
     if manifest is None:
@@ -4235,6 +4279,7 @@ def native_index_search(
     cb = index.pq_codebook  # [nsub, 256, subdim]
     frag_by_id = {f.id: f for f in manifest.fragments}
     part_cache: dict[int, tuple] = {}
+    dead_cache: dict[int, "np.ndarray"] = {}
     results = []
     for qi in range(q.shape[0]):
         qv = q[qi]
@@ -4268,8 +4313,11 @@ def native_index_search(
                 f"(> {max_candidates}); lower nprobe or raise the cap "
                 "explicitly")
         # exact refine: group candidates per fragment, late-materialize the
-        # vector column at candidate row indices only
+        # vector column at candidate row indices only. Stale hits (see
+        # docstring) refine to +inf so they sort past every real neighbor
+        # and are cut before the top-k is taken.
         exact = np.empty(len(rids), dtype=np.float64)
+        stale_dropped = 0
         order = np.argsort(rids)
         srids = rids[order]
         fids = (srids >> np.uint64(32)).astype(np.int64)
@@ -4282,25 +4330,48 @@ def native_index_search(
                 end += 1
             frag = frag_by_id.get(int(fid))
             if frag is None:
+                if skip_missing_fragments:
+                    exact[order[pos:end]] = np.inf
+                    stale_dropped += end - pos
+                    pos = end
+                    continue
                 raise LanceNativeError(f"index references unknown fragment {fid}")
+            grp_rows = rows[pos:end]
+            live_m = None
+            if mask_deletions and frag.deletion is not None:
+                if int(fid) not in dead_cache:
+                    dead_cache[int(fid)] = _deleted_rows_np(
+                        root, frag.deletion)
+                live_m = ~np.isin(grp_rows, dead_cache[int(fid)])
+                if not live_m.all():
+                    exact[order[pos:end][~live_m]] = np.inf
+                    stale_dropped += int((~live_m).sum())
+                if not live_m.any():
+                    pos = end
+                    continue
             nfield = next(
                 f for f in manifest.top_level_fields()
                 if f.name == index.column)
             dfile, col_idx = frag.file_for_field(nfield.id)
+            sel = grp_rows if live_m is None else grp_rows[live_m]
             arr = read_file_column(
                 root, dfile, col_idx, nfield, manifest,
-                indices=rows[pos:end])
+                indices=sel)
             vec = np.asarray(
                 arr.flatten(), dtype=np.float32).reshape(-1, index.dim)
-            exact[order[pos:end]] = ((vec - qv) ** 2).sum(axis=1)
+            dst = (order[pos:end] if live_m is None
+                   else order[pos:end][live_m])
+            exact[dst] = ((vec - qv) ** 2).sum(axis=1)
             pos = end
         top = np.argsort(exact, kind="stable")[:k]
+        top = top[np.isfinite(exact[top])]
         results.append({
             "neighbors": [int(r) for r in rids[top]],
             "distances": [float(x) for x in exact[top]],
             "cells_probed": int(nprobe),
             "n_candidates": int(n_candidates),
             "n_refined": int(len(rids)),
+            "stale_dropped": int(stale_dropped),
             "index_bytes_read": int(bytes_read),
         })
     return results
@@ -4543,6 +4614,163 @@ def write_native_vector_index(
             "fragments": sorted(int(f.id) for f in manifest.fragments),
         }, fh)
     return uid
+
+
+def native_index_coverage(root: str, index: NativeVectorIndex
+                          ) -> frozenset[int]:
+    """Fragment ids ``index`` was built over: the coverage.json sidecar
+    when present (repo-built indexes), else the fragment set of the
+    manifest at ``index.dataset_version`` — an SDK-built index has no
+    sidecar, but its build scanned exactly the fragments live at that
+    version, so the pinned manifest IS its coverage."""
+    import json as _json
+
+    cov_path = os.path.join(os.path.dirname(index.path), "coverage.json")
+    if os.path.isfile(cov_path):
+        with open(cov_path) as fh:
+            return frozenset(int(x) for x in _json.load(fh)["fragments"])
+    m = read_native_manifest(root, index.dataset_version)
+    return frozenset(f.id for f in m.fragments)
+
+
+def latest_native_vector_index(root: str, column: str
+                               ) -> NativeVectorIndex | None:
+    """Newest (highest dataset_version) vector index on ``column``."""
+    for idx in reversed(list_native_vector_indices(root)):
+        if idx.column == column:
+            return idx
+    return None
+
+
+def ensure_native_vector_index(
+    root: str, column: str, n_cells: int = 4, nsub: int = 8,
+    spark=None, **kw
+) -> str | None:
+    """Rebuild the IVF_PQ sidecar for ``column`` iff the newest one no
+    longer covers every live fragment (appends after a build scan
+    unindexed — the scalar index's covered-fragments rule applied to
+    vectors). Returns the new uuid, or None when the existing index
+    already covers the dataset. The maintenance hook a table service
+    calls after ingest; between calls, native_vector_search_fresh keeps
+    results live via the uncovered-fragment exact fallback."""
+    manifest = read_native_manifest(root)
+    frag_ids = {f.id for f in manifest.fragments}
+    idx = latest_native_vector_index(root, column)
+    if idx is not None and frag_ids <= native_index_coverage(root, idx):
+        return None
+    return write_native_vector_index(
+        root, column, n_cells=n_cells, nsub=nsub, spark=spark, **kw)
+
+
+def native_vector_search_fresh(
+    root: str,
+    column: str,
+    queries,
+    k: int = 10,
+    nprobe: int = 1,
+    refine_factor: int | None = None,
+    max_candidates: int = 200_000,
+):
+    """LIVE-snapshot vector search: the index is an ACCELERATOR, never a
+    snapshot. The reference never serves stale ANN because Lance SDK
+    scans always see the dataset's live state (the index covers what it
+    covers; the scan unions the rest — useScalarIndex semantics,
+    `LanceFragmentPageSource.java:126`); this is that contract for the
+    native IVF_PQ sidecars:
+
+      - ANN over the newest index on ``column``, refined against the
+        CURRENT manifest — hits whose fragment was compacted away or
+        whose row a deletion vector killed since the build are dropped,
+        not resurrected;
+      - EXACT brute-force over uncovered live fragments (rows appended
+        after the build), deletion-aware;
+      - union re-ranked by exact L2, top-k.
+
+    With no index on the column at all, the exact arm covers everything
+    (a full scan — correct, just unaccelerated). Per-query proof fields:
+    ``uncovered_fragments``, ``exact_rows``, ``stale_dropped``,
+    ``from_index`` / ``from_exact`` (how the top-k split).
+
+    Scale shape: the exact arm is one bounded fragment read per
+    UNCOVERED fragment only — on a steady-state ingest pipeline that is
+    the newest few fragments, shrinking to zero after each
+    ensure_native_vector_index; the 100 TB fan-out is one task per
+    uncovered fragment unioned with the nprobe-bounded index reads."""
+    import numpy as np
+
+    live = read_native_manifest(root)
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q.reshape(1, -1)
+    idx = latest_native_vector_index(root, column)
+    covered = (native_index_coverage(root, idx)
+               if idx is not None else frozenset())
+    live_ids = {f.id for f in live.fragments}
+    uncovered = sorted(live_ids - covered)
+
+    if idx is not None:
+        ann = native_index_search(
+            root, idx, q, k=k, nprobe=nprobe, manifest=live,
+            refine_factor=refine_factor, max_candidates=max_candidates,
+            skip_missing_fragments=True, mask_deletions=True)
+    else:
+        ann = [{"neighbors": [], "distances": [], "cells_probed": 0,
+                "n_candidates": 0, "n_refined": 0, "stale_dropped": 0,
+                "index_bytes_read": 0} for _ in range(q.shape[0])]
+
+    # exact arm: deletion-aware scan of the uncovered fragments only
+    exact_rows = 0
+    vecs_parts, addr_parts = [], []
+    frag_by_id = {f.id: f for f in live.fragments}
+    for fid in uncovered:
+        frag = frag_by_id[fid]
+        tbl = read_native_fragment(
+            root, frag, live, columns=[column], with_row_address=True)
+        col = tbl.column(column).combine_chunks()
+        addr = np.asarray(tbl.column("_row_address").combine_chunks(),
+                          dtype=np.uint64)
+        valid = np.asarray(col.is_valid())  # NULL vectors unsearchable
+        if not valid.all():
+            addr = addr[valid]
+            col = col.drop_null()
+        if len(addr) == 0:
+            continue
+        dim = len(col[0])
+        vecs_parts.append(np.asarray(
+            col.values, dtype=np.float32).reshape(-1, dim))
+        addr_parts.append(addr)
+        exact_rows += len(addr)
+    ex_v = (np.concatenate(vecs_parts) if vecs_parts
+            else np.empty((0, q.shape[1]), dtype=np.float32))
+    ex_a = (np.concatenate(addr_parts) if addr_parts
+            else np.empty(0, dtype=np.uint64))
+
+    results = []
+    for qi in range(q.shape[0]):
+        qv = q[qi]
+        n_a, d_a = ann[qi]["neighbors"], ann[qi]["distances"]
+        if len(ex_a):
+            d_e = ((ex_v - qv) ** 2).sum(axis=1).astype(np.float64)
+            top_e = np.argsort(d_e, kind="stable")[:k]
+            merged = (
+                [(float(d), int(r), 0) for d, r in zip(d_a, n_a)]
+                + [(float(d_e[i]), int(ex_a[i]), 1) for i in top_e])
+        else:
+            merged = [(float(d), int(r), 0) for d, r in zip(d_a, n_a)]
+        merged.sort(key=lambda t: (t[0], t[1]))
+        merged = merged[:k]
+        results.append({
+            "neighbors": [r for _, r, _ in merged],
+            "distances": [d for d, _, _ in merged],
+            "from_index": sum(1 for t in merged if t[2] == 0),
+            "from_exact": sum(1 for t in merged if t[2] == 1),
+            "stale_dropped": int(ann[qi]["stale_dropped"]),
+            "uncovered_fragments": len(uncovered),
+            "exact_rows": int(exact_rows),
+            "cells_probed": int(ann[qi]["cells_probed"]),
+            "index_bytes_read": int(ann[qi]["index_bytes_read"]),
+        })
+    return results
 
 
 # ---------------------------------------------------------------------------

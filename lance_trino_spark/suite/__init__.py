@@ -122,6 +122,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat14_version_tags",
     "cat15_metastore_namespace",
     # --- new-in-r10 + changed-code slots (filled as work lands) ---
+    "lf43_native_ann_freshness",
     # --- tail: rest of the r6 cohort (sampled only if window > 50) ---
     "d09_url_dedup",
     "ds01_datasource_scan_pushdown",

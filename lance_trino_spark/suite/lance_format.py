@@ -3052,3 +3052,115 @@ def lf42(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("unmarked_bytes_refuse", F.lit(bool(refused)))
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf43 — ANN freshness on native datasets: the index is an ACCELERATOR,
+# never a snapshot. The reference never serves stale vector results
+# because Lance SDK scans always see the dataset's live state (the index
+# covers what it covers, the scan unions the rest —
+# LanceFragmentPageSource.java:126 useScalarIndex semantics); this entry
+# pins that contract for the repo's native IVF_PQ sidecars end-to-end:
+# append-after-build is visible immediately (uncovered-fragment exact
+# arm), ensure_native_vector_index rebuilds exactly when coverage lapses
+# and no-ops when it hasn't, and a post-build DELETE is never
+# resurrected by a stale index hit.
+# ---------------------------------------------------------------------------
+@register(
+    "lf43_native_ann_freshness",
+    oracle="""
+    SELECT vec_id AS query_id,
+           vec_id AS live_self_match,
+           TRUE AS pinned_index_missed,
+           TRUE AS served_by_exact_arm,
+           TRUE AS post_ensure_from_index,
+           TRUE AS deleted_never_resurrected
+    FROM embeddings WHERE vec_id BETWEEN 350 AND 354
+    ORDER BY query_id
+    """,
+    doc="format: append -> fresh vector search sees the new rows via the "
+        "uncovered-fragment exact fallback; ensure rebuilds on lapsed "
+        "coverage (and no-ops when covered); deleted rows are dropped "
+        "from stale index hits, never resurrected",
+    tags=("format", "lance-native", "similarity", "ann", "index",
+          "freshness"),
+)
+def lf43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..format.lance_native import (
+        append_native_rows, ensure_native_vector_index,
+        latest_native_vector_index, native_delete, native_index_search,
+        native_vector_search_fresh, write_native_dataset)
+
+    path = _fresh_path(sf_dir, "lf43-ann-freshness")
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "vec_id": [int(r["vec_id"]) for r in rs],
+        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
+    }
+    base, appended = rows[:350], rows[350:]
+    write_native_dataset(path, cols(base))
+    assert ensure_native_vector_index(path, "embedding", n_cells=4,
+                                      nsub=8) is not None
+    assert ensure_native_vector_index(path, "embedding") is None  # covered
+
+    # ingest arrives AFTER the build: fragment 1, rows 350..399
+    append_native_rows(path, cols(appended))
+    idx = latest_native_vector_index(path, "embedding")
+    queries = np.asarray([r["embedding"] for r in rows[350:355]],
+                         dtype=np.float32)
+
+    def addr_to_vid(a: int) -> int:
+        frag, row = a >> 32, a & 0xFFFFFFFF
+        return row if frag == 0 else 350 + row
+
+    pinned = native_index_search(path, idx, queries, k=1,
+                                 nprobe=idx.n_cells)
+    fresh = native_vector_search_fresh(path, "embedding", queries, k=1,
+                                       nprobe=idx.n_cells)
+
+    # re-ensure: coverage lapsed -> rebuild; then covered -> no-op, and
+    # the same self-queries are served from the index (zero exact rows)
+    assert ensure_native_vector_index(path, "embedding", n_cells=4,
+                                      nsub=8) is not None
+    assert ensure_native_vector_index(path, "embedding") is None
+    fresh2 = native_vector_search_fresh(path, "embedding", queries, k=1,
+                                        nprobe=4)
+
+    # delete vec_id 399 (fragment 1 row 49): its (now stale) index entry
+    # must be dropped by the DV mask, never returned
+    native_delete(path, {1: [49]})
+    probe399 = np.asarray([rows[399]["embedding"]], dtype=np.float32)
+    fresh3 = native_vector_search_fresh(path, "embedding", probe399,
+                                        k=3, nprobe=4)
+    gone = all(addr_to_vid(a) != 399 for a in fresh3[0]["neighbors"])
+    dropped = fresh3[0]["stale_dropped"] >= 1
+
+    out = []
+    for qi in range(5):
+        vid = 350 + qi
+        out.append((
+            vid,
+            addr_to_vid(fresh[qi]["neighbors"][0]),
+            addr_to_vid(pinned[qi]["neighbors"][0]) != vid,
+            bool(fresh[qi]["from_exact"] == 1
+                 and fresh[qi]["uncovered_fragments"] == 1),
+            bool(fresh2[qi]["neighbors"]
+                 and addr_to_vid(fresh2[qi]["neighbors"][0]) == vid
+                 and fresh2[qi]["from_index"] == 1
+                 and fresh2[qi]["exact_rows"] == 0),
+            bool(gone and dropped),
+        ))
+    return spark.createDataFrame(
+        out,
+        "query_id long, live_self_match long, pinned_index_missed boolean, "
+        "served_by_exact_arm boolean, post_ensure_from_index boolean, "
+        "deleted_never_resurrected boolean",
+    ).orderBy("query_id")
