@@ -500,15 +500,16 @@ class LanceCatalog:
                 raise CatalogError(f"unsupported MERGE action: {act!r}")
 
         if np_ is not None:
-            # native MERGE is the reference's wholesale upsert
-            # (DELETE_ROW_AND_INSERT_ROW, LanceMergeSink.java:49-204):
-            # matched rows are replaced by their source row entirely.
-            # Route only the exactly-matching SQL shape; anything else
-            # (conditional clauses, partial SET, matched DELETE) refuses
-            # with a pointer instead of silently changing semantics.
+            # native MERGE: the exact wholesale-upsert SQL shape keeps
+            # the one-join fast path (DELETE_ROW_AND_INSERT_ROW,
+            # LanceMergeSink.java:49-204); every other shape — ordered
+            # multi-WHEN with AND conditions, partial SET, matched
+            # DELETE — routes through native_merge_conditional, the
+            # reference's full five-op-code surface
+            # (LanceMergeSink.java:86-144).
             from .format.lance_native import (
-                native_merge_into, native_spark_schema,
-                read_native_manifest)
+                native_merge_conditional, native_merge_into,
+                native_spark_schema, read_native_manifest)
 
             cols = [f.name for f in native_spark_schema(
                 read_native_manifest(np_)).fields]
@@ -518,14 +519,14 @@ class LanceCatalog:
                     and matched_clauses[0][1] == wholesale):
                 v = native_merge_into(
                     self.spark, np_, source.select(*cols), on=keys)
-                return self._status(
-                    f"merged into {m.group('ns')}.{m.group('tbl')} "
-                    f"v{v} (native)")
-            raise CatalogError(
-                "native MERGE supports the wholesale upsert shape only "
-                "(WHEN MATCHED THEN UPDATE SET <every non-key col> = "
-                "s.<col> WHEN NOT MATCHED THEN INSERT ...); for "
-                "per-column updates use UPDATE ... WHERE")
+            else:
+                v = native_merge_conditional(
+                    self.spark, np_, source, on=keys,
+                    matched_clauses=matched_clauses,
+                    not_matched_insert=not_matched_insert)
+            return self._status(
+                f"merged into {m.group('ns')}.{m.group('tbl')} "
+                f"v{v} (native)")
         out = dml.merge_multi(
             ds,
             self.spark,

@@ -1400,3 +1400,79 @@ def cat24(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.createOrReplaceTempView("cat24_src")
     cat.sql("CREATE NATIVE TABLE ns.t AS SELECT * FROM cat24_src")
     return cat.sql("SHOW STATS ns.t").orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# cat25 — conditional multi-WHEN MERGE on a NATIVE table through the SQL
+# router: AND-condition UPDATE + matched DELETE + not-matched INSERT, all
+# in one statement and ONE native commit — the reference's full MERGE
+# surface (docs/src/operations/dml/merge.md "Conditional update or
+# delete"; LanceMergeSink.java:86-144 decodes the five op codes). Rows
+# matching no clause stay untouched. Oracle reconstructs the post-merge
+# state with a LEFT JOIN + anti-join UNION in plain SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "cat25_sql_native_conditional_merge",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey < 900
+    ), s AS (
+        SELECT o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_orderkey * 7 AS BIGINT) AS price_c
+        FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200
+    )
+    SELECT t.o_orderkey,
+           t.o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderkey % 3 = 0
+                THEN t.price_c + s.price_c ELSE t.price_c END AS price_c
+    FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NULL OR s.o_orderkey % 3 <> 1
+    UNION ALL
+    SELECT s.o_orderkey, s.o_custkey, s.price_c
+    FROM s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t)
+    ORDER BY o_orderkey
+    """,
+    doc="catalog: conditional multi-WHEN MERGE (AND-condition UPDATE, "
+        "matched DELETE, not-matched INSERT) on a native table via SQL, "
+        "single commit, untouched rows preserved",
+    tags=("catalog", "merge", "dml", "lance-native", "sql"),
+)
+def cat25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import read_native_manifest
+
+    cat = _fresh_catalog(spark, sf_dir, "cat25")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey AS LONG) AS o_custkey",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS LONG) AS price_c",
+    ).where("o_orderkey < 900").createOrReplaceTempView("_cat25_t")
+    orders.selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey AS LONG) AS o_custkey",
+        "CAST(o_orderkey * 7 AS LONG) AS price_c",
+    ).where("o_orderkey >= 600 AND o_orderkey < 1200") \
+        .createOrReplaceTempView("_cat25_src")
+    cat.sql("CREATE SCHEMA sales")
+    cat.sql("CREATE NATIVE TABLE sales.ord AS SELECT * FROM _cat25_t")
+    loc = cat._native("sales", "ord")
+    v_before = read_native_manifest(loc).version
+    cat.sql(
+        "MERGE INTO sales.ord AS t USING _cat25_src AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.o_orderkey % 3 = 0 THEN "
+        "UPDATE SET price_c = t.price_c + s.price_c "
+        "WHEN MATCHED AND s.o_orderkey % 3 = 1 THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, price_c) "
+        "VALUES (s.o_orderkey, s.o_custkey, s.price_c)"
+    )
+    if read_native_manifest(loc).version != v_before + 1:
+        raise AssertionError(
+            "conditional MERGE must commit exactly one native version")
+    return cat.sql(
+        "SELECT o_orderkey, o_custkey, price_c FROM sales.ord "
+        "ORDER BY o_orderkey")

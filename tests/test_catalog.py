@@ -610,11 +610,18 @@ def test_sql_router_native_tables(spark, tmp_path):
     got = {r.k: (r.p, r.v) for r in cat.sql(
         "SELECT k, p, v FROM s.t WHERE k IN (5, 1000)").collect()}
     assert got[5] == ("p9", 555) and got[1000] == ("pX", 1)
-    with pytest.raises(CatalogError, match="wholesale upsert"):
-        cat.sql("MERGE INTO s.t t USING cat22_delta s ON t.k = s.k "
-                "WHEN MATCHED THEN UPDATE SET v = s.v "
-                "WHEN NOT MATCHED THEN INSERT (k, p, v) "
-                "VALUES (s.k, s.p, s.v)")
+    # partial-SET merge is no longer a refusal: it routes through the
+    # conditional native MERGE (r10) — v updates, p is PRESERVED
+    spark.createDataFrame([(5, "zz", 777)], "k long, p string, v long") \
+        .createOrReplaceTempView("cat22_delta2")
+    cat.sql("MERGE INTO s.t t USING cat22_delta2 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, p, v) "
+            "VALUES (s.k, s.p, s.v)")
+    got2 = {r.k: (r.p, r.v) for r in cat.sql(
+        "SELECT k, p, v FROM s.t WHERE k IN (5, 1000)").collect()}
+    assert got2[5] == ("p9", 777)  # v updated, p kept (NOT wholesale)
+    assert got2[1000] == ("pX", 1)  # untouched
 
 
 def test_create_table_format_cross_guards(cat, spark):
