@@ -839,6 +839,16 @@ def _search_hnsw_graph(
     if n == 0:
         return None
     xn = np.array([np.asarray(v, np.float32) for v in t.column("vec").to_pylist()])
+    # Exact-duplicate short-circuit (fingerprint join): graph ROUTING can
+    # strand a byte-identical twin on duplicate-dense corpora — an
+    # inherent HNSW failure mode (the sf1 value sweep measured 1-2/15
+    # self-match misses even at ef_search=256). Byte equality needs no
+    # routing: hash every node's raw float32 bytes once per shard load
+    # (O(n), amortized over the query batch) and probe per query; hits
+    # are force-merged into the beam result below.
+    dup_map: dict[bytes, list[int]] = {}
+    for i in range(n):
+        dup_map.setdefault(xn[i].tobytes(), []).append(i)
     norms = np.linalg.norm(xn, axis=1)
     norms[norms == 0] = 1.0
     xn = xn / norms[:, None]
@@ -911,6 +921,14 @@ def _search_hnsw_graph(
                         best.append((sim, nb))
                         best.sort(key=lambda x: (-x[0], x[1]))
                         del best[ef_search:]
+        dups = [i for i in dup_map.get(
+            np.asarray(qm[qi], dtype=np.float32).tobytes(), ())
+            if i not in blocked]
+        if dups:
+            seen = {i for _, i in best}
+            best.extend(
+                (float(xn[i] @ q), i) for i in dups if i not in seen)
+            best.sort(key=lambda x: (-x[0], x[1]))
         out.append([(s, int(ridx[i])) for s, i in best[:k]])
     return out
 

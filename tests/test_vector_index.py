@@ -550,3 +550,45 @@ def test_hnsw_sharded_build_and_merge(spark, emb, monkeypatch):
     assert os.path.exists(victim)
     after_files = set(glob.glob(os.path.join(path, "_indices/embedding.hnsw/*")))
     assert after_files == before | {victim}
+
+
+def test_hnsw_exact_duplicate_short_circuit(spark):
+    """Byte-identical twins are findable WITHOUT graph routing (the
+    fingerprint join): on a duplicate-dense corpus, every exact copy of
+    the query vector must appear in the top-k even at a degenerate beam
+    width — the inherent HNSW stranding mode the sf1 sweep measured
+    (1-2/15 self-match misses at ef_search=256) can no longer hide a
+    byte-equal duplicate."""
+    import numpy as np
+
+    from lance_trino_spark.format.dataset import LanceDataset
+
+    rng = np.random.default_rng(11)
+    n, dim, copies = 600, 16, 24
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    twin = rng.normal(size=dim).astype(np.float32)
+    rows = []
+    twin_ids = set()
+    for i in range(n):
+        if i % (n // copies) == 0 and len(twin_ids) < copies:
+            rows.append((i, [float(x) for x in twin]))
+            twin_ids.add(i)
+        else:
+            rows.append((i, [float(x) for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = _fresh("hnsw-dup")
+    ds = LanceDataset.create(path, df.coalesce(1))
+    # tiny beam: routing alone cannot collect two dozen scattered twins
+    ds = ds.create_vector_index(
+        spark, "embedding", index_type="HNSW", hnsw_m=4,
+        hnsw_ef_construction=16,
+    )
+    q = df.filter(F.col("vec_id") == min(twin_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    hits = ds.vector_search(
+        spark, "embedding", q, k=copies, id_columns=["vec_id"],
+        ef_search=4,
+    ).collect()
+    got = {r["vec_id"] for r in hits}
+    assert got == twin_ids  # every byte-identical copy surfaced
+    assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in hits)
