@@ -652,6 +652,35 @@ def _v2_read_column(
         # with one MORE buffer than its plain shape, whose first buffer
         # is exactly the bitpacked row count, leads with a validity
         # bitmap (1 = valid); strip it, decode the rest normally, mask.
+        # MINIBLOCK arm (marker-gated, shape-checked — see
+        # MINIBLOCK_LAYOUT): tried BEFORE the generic validity strip
+        # because a miniblock page's [chunk-meta][payload] buffer pair
+        # can collide with [validity][plain] on size alone; a failed
+        # shape check falls through to the plain path (DML delta files
+        # of a marked column write plain pages — encodings mix per page)
+        if lt in _FIXED_TYPES and nfield.metadata.get(
+                MINIBLOCK_METADATA_KEY) == MINIBLOCK_LAYOUT:
+            moffs, msizes, mnmask = offs, sizes, None
+            nb = (nrows + 7) // 8
+            if len(offs) == 3 and sizes[0] == nb:
+                mvalid = np.unpackbits(
+                    np.frombuffer(raw, np.uint8, count=nb, offset=offs[0]),
+                    bitorder="little")[:nrows].astype(bool)
+                mnmask = ~mvalid
+                moffs, msizes = offs[1:], sizes[1:]
+            mvals = _try_decode_miniblock(
+                raw, moffs, msizes, nrows, lt, sel=sel_local)
+            if mvals is not None:
+                if mnmask is not None and sel_local is not None:
+                    mnmask = mnmask[sel_local]
+                if lt == "halffloat":
+                    chunks.append(pa.array(
+                        mvals.astype(np.float32), type=pa.float32(),
+                        mask=mnmask))
+                else:
+                    chunks.append(pa.array(
+                        mvals, type=_arrow_type(lt), mask=mnmask))
+                continue  # sel already applied chunk-bounded
         valid = None
         is_var = lt in (
             "string", "large_string", "binary", "large_binary")
@@ -1623,6 +1652,130 @@ DICTIONARY_LAYOUT_V1 = "plainpos-v1"
 # mis-decode a foreign 2.1 layout that happens to match
 DICTIONARY_LAYOUT_V2 = "plainpos-v2"
 
+# FILE-v2 MINIBLOCK pages (Lance file format 2.1's structural encoding
+# for narrow scalar rows: values are grouped into <=4 KiB chunks — one
+# disk-sector-ish read per point lookup — each chunk independently
+# compressed, with a tiny per-chunk metadata word [low 12 bits: chunk
+# byte size - 1, high 4 bits: log2(values per chunk)]). NO public
+# fixture pins the SDK's exact 2.1 chunk bytes, so — the dictionary
+# lesson — the chunk BODY layout here is REPO-DEFINED
+# (frame-of-reference + byte-width packing: [width:u8][reference:u64 LE]
+# [values at width bytes each, value = reference + packed mod 2^64];
+# float chunks pass raw bits, width == item width, reference 0) and the
+# read arm engages ONLY under this MANIFEST field marker, shape-checked;
+# unmarked or shape-inconsistent pages refuse/fall through rather than
+# guess. Plain and miniblock PAGES of one marked column mix freely (DML
+# delta writers emit plain pages), exactly like v1 dictionary files.
+MINIBLOCK_METADATA_KEY = "lance-repo:miniblock"
+MINIBLOCK_LAYOUT = "for-bytepack-v1"
+# power-of-two values per chunk, per item width: worst-case chunk =
+# 9-byte header + width * vpc <= 4096 (the 12-bit size field's ceiling)
+_MINIBLOCK_VPC = {8: 256, 4: 512, 2: 1024, 1: 2048}
+
+
+def _encode_miniblock_page(lt: str, vals) -> list[bytes]:
+    """[chunk-metadata u16s][chunk payloads] buffers for one MINIBLOCK
+    page of fixed-width scalars (see MINIBLOCK_LAYOUT). Values arrive
+    null-split (placeholders in dead slots), same contract as
+    _encode_plain_page — which this reuses for the canonical LE item
+    bytes, so the two encodings can never disagree on a value."""
+    import numpy as np
+
+    np_dt = "<" + _FIXED_TYPES[lt]
+    width = int(_FIXED_TYPES[lt][1])
+    vpc = _MINIBLOCK_VPC[width]
+    log2vpc = vpc.bit_length() - 1
+    is_float = lt in ("halffloat", "float", "double")
+    a = np.frombuffer(_encode_plain_page(lt, vals), dtype=np_dt)
+    meta, payload = bytearray(), bytearray()
+    for lo in range(0, len(a), vpc):
+        c = a[lo:lo + vpc]
+        if is_float:
+            body = bytes([width]) + b"\x00" * 8 + c.tobytes()
+        else:
+            # frame-of-reference in the wrap-around u64 domain: delta =
+            # (value - min) mod 2^64 is the true non-negative range for
+            # every int dtype (two's complement wrap included)
+            ref_u = np.asarray(c.min(), dtype=c.dtype).astype(np.uint64)
+            d = c.astype(np.uint64) - ref_u
+            dmax = int(d.max())
+            w = (1 if dmax < (1 << 8) else 2 if dmax < (1 << 16)
+                 else 4 if dmax < (1 << 32) else 8)
+            packed = d.astype({1: "u1", 2: "<u2", 4: "<u4",
+                               8: "<u8"}[w])
+            body = bytes([w]) + ref_u.tobytes() + packed.tobytes()
+        meta += int((len(body) - 1) | (log2vpc << 12)).to_bytes(2, "little")
+        payload += body
+    return [bytes(meta), bytes(payload)]
+
+
+def _try_decode_miniblock(raw, offs, sizes, nrows, lt, sel=None):
+    """Decode one (marker-gated) MINIBLOCK page; returns the numpy
+    values — all rows, or exactly ``sel``'s rows having touched ONLY the
+    chunks containing them (the 2.1 point-lookup shape: O(chunks hit),
+    never O(rows)) — or None when the buffers fail any shape check (a
+    plain page in a marked column, e.g. a DML delta file: the caller
+    falls through to the plain path)."""
+    import numpy as np
+
+    if lt not in _FIXED_TYPES or len(offs) != 2 or sizes[0] % 2:
+        return None
+    np_dt = "<" + _FIXED_TYPES[lt]
+    width = int(_FIXED_TYPES[lt][1])
+    vpc = _MINIBLOCK_VPC[width]
+    log2vpc = vpc.bit_length() - 1
+    is_float = lt in ("halffloat", "float", "double")
+    n_chunks = sizes[0] // 2
+    if n_chunks == 0:
+        return np.empty(0, dtype=np_dt) if nrows == 0 else None
+    if not (vpc * (n_chunks - 1) < nrows <= vpc * n_chunks):
+        return None
+    words = np.frombuffer(raw, "<u2", count=n_chunks, offset=offs[0])
+    if not (words >> 12 == log2vpc).all():
+        return None
+    csizes = (words & np.uint16(0xFFF)).astype(np.int64) + 1
+    if int(csizes.sum()) != sizes[1]:
+        return None
+    starts = np.empty(n_chunks, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(csizes[:-1], out=starts[1:])
+    if sel is None:
+        want = range(n_chunks)
+        out = np.empty(nrows, dtype=np.uint64 if not is_float else np_dt)
+    else:
+        sel = np.asarray(sel, dtype=np.int64)
+        want = np.unique(sel // vpc)
+        out = np.empty(len(sel), dtype=np.uint64 if not is_float else np_dt)
+    for ci in want:
+        count = (vpc if ci < n_chunks - 1
+                 else nrows - vpc * (n_chunks - 1))
+        pos = offs[1] + int(starts[ci])
+        w = raw[pos]
+        if csizes[ci] != 9 + w * count:
+            return None
+        if is_float:
+            if w != width:
+                return None
+            vals = np.frombuffer(raw, np_dt, count=count, offset=pos + 9)
+        else:
+            dt = {1: "u1", 2: "<u2", 4: "<u4", 8: "<u8"}.get(int(w))
+            if dt is None:
+                return None
+            ref = np.frombuffer(raw, "<u8", count=1, offset=pos + 1)[0]
+            vals = np.frombuffer(
+                raw, dt, count=count, offset=pos + 9
+            ).astype(np.uint64) + ref  # wraps mod 2^64 — exact
+        if sel is None:
+            out[ci * vpc:ci * vpc + count] = vals
+        else:
+            m = sel // vpc == ci
+            out[m] = vals[sel[m] - ci * vpc]
+    if is_float:
+        return out
+    # u64 wrap domain -> target dtype: C truncation keeps the exact
+    # low bits / two's complement pattern for every int width
+    return out.astype(np_dt)
+
 # Scalar-leaf NULL validity. The reference writes NULLs in every type
 # ("NULLs allowed everywhere", BaseLanceConnectorTest.java:118; null
 # handling throughout LancePageToArrowConverter.java:305-659), but no
@@ -2204,6 +2357,7 @@ def _write_v1_data_file(
 def _write_v2_data_file(
     root: str, specs: list[tuple], page_rows: int | None = None,
     dictionary_names: frozenset = frozenset(),
+    miniblock_names: frozenset = frozenset(),
 ) -> tuple[str, int]:
     """One Lance FILE-v2 data file (footer 0.3 — the format current Lance
     SDKs produce and the fixtures test_table5 / wide_types_table carry):
@@ -2317,6 +2471,10 @@ def _write_v2_data_file(
                                b"".join(uniq)]
             ends = np.cumsum([len(b) for b in raw], dtype="<i8")
             return lead + [ends.tobytes(), b"".join(raw)]
+        if lt in _FIXED_TYPES and name in miniblock_names:
+            # MINIBLOCK page (2.1 structural encoding for narrow scalar
+            # rows; manifest-marker-gated on read — see MINIBLOCK_LAYOUT)
+            return lead + _encode_miniblock_page(lt, vals)
         # shared plain-page matrix (fixed-width family, bitpacked bool,
         # temporals, raw time counts, fsl at the item's width)
         return lead + [_encode_plain_page(lt, vals)]
@@ -2532,6 +2690,7 @@ def write_native_dataset(
     blob_columns: set[str] | frozenset[str] = frozenset(),
     types: dict[str, str] | None = None,
     dictionary_columns: set[str] | frozenset[str] = frozenset(),
+    miniblock_columns: set[str] | frozenset[str] = frozenset(),
 ) -> None:
     """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
     one fragment, one data file, plain int64 columns) that lance 0.10-era
@@ -2563,9 +2722,24 @@ def write_native_dataset(
             raise LanceNativeError(
                 f"dictionary_columns must be top-level var-width "
                 f"columns; bad: {sorted(bad)}")
+    if miniblock_columns:
+        if file_version != 2:
+            raise LanceNativeError(
+                "miniblock is a FILE-v2 (2.1) structural encoding; "
+                "file_version=1 cannot carry it")
+        bad = [
+            c for c in miniblock_columns
+            if next((x[3] for x in specs if x[0] == c and x[2] == -1),
+                    None) not in _FIXED_TYPES
+        ]
+        if bad:
+            raise LanceNativeError(
+                f"miniblock_columns must be top-level fixed-width "
+                f"scalar columns; bad: {sorted(bad)}")
     if file_version == 2:
         file_name, n_rows = _write_v2_data_file(
-            root, specs, dictionary_names=frozenset(dictionary_columns))
+            root, specs, dictionary_names=frozenset(dictionary_columns),
+            miniblock_names=frozenset(miniblock_columns))
     else:
         file_name, n_rows = _write_v1_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns))
@@ -2579,6 +2753,9 @@ def write_native_dataset(
             # the v2 dictionary arm is MANIFEST-gated (no file-local
             # schema in this writer's v2 files) — stamp the marker
             return ({DICTIONARY_METADATA_KEY: DICTIONARY_LAYOUT_V2},)
+        if sp[0] in miniblock_columns:
+            # miniblock read arm is MANIFEST-gated the same way
+            return ({MINIBLOCK_METADATA_KEY: MINIBLOCK_LAYOUT},)
         return ()
 
     field_specs = [sp[:4] + _fmeta(sp) for sp in specs]
@@ -2588,6 +2765,7 @@ def write_native_dataset(
 def append_native_rows(
     root: str, columns: dict[str, list[int]], file_version: int = 1,
     dictionary_columns: set[str] | frozenset[str] = frozenset(),
+    miniblock_columns: set[str] | frozenset[str] = frozenset(),
 ) -> int:
     """Append one fragment to a (writer-produced) native dataset as a new
     committed version; returns the new version number. Column names must
@@ -2617,9 +2795,25 @@ def append_native_rows(
                 f"v2 dictionary append needs the manifest marker on "
                 f"{sorted(unmarked)} (create the dataset with "
                 "dictionary_columns)")
+        mb_unmarked = [
+            c for c in miniblock_columns
+            if next((f.metadata.get(MINIBLOCK_METADATA_KEY)
+                     for f in m.top_level_fields() if f.name == c), None)
+            != MINIBLOCK_LAYOUT
+        ]
+        if mb_unmarked:
+            raise LanceNativeError(
+                f"v2 miniblock append needs the manifest marker on "
+                f"{sorted(mb_unmarked)} (create the dataset with "
+                "miniblock_columns)")
         file_name, n_rows = _write_v2_data_file(
-            root, specs, dictionary_names=frozenset(dictionary_columns))
+            root, specs, dictionary_names=frozenset(dictionary_columns),
+            miniblock_names=frozenset(miniblock_columns))
     else:
+        if miniblock_columns:
+            raise LanceNativeError(
+                "miniblock is a FILE-v2 (2.1) structural encoding; "
+                "file_version=1 cannot carry it")
         file_name, n_rows = _write_v1_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns))
     frags = [

@@ -3164,3 +3164,126 @@ def lf43(spark: SparkSession, sf_dir: str) -> DataFrame:
         "served_by_exact_arm boolean, post_ensure_from_index boolean, "
         "deleted_never_resurrected boolean",
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# lf44 — MINIBLOCK FILE-v2 pages (Lance file format 2.1's structural
+# encoding for narrow scalar rows — the reference reads it via
+# lance-core JNI, LanceFragmentPageSource.java:121-151): values are
+# grouped into <=4 KiB chunks (u16 chunk-meta words: 12-bit size +
+# log2-values), each chunk frame-of-reference + byte-width packed —
+# real compression for narrow ints AND chunk-granular point lookups.
+# Chunk bytes are repo-pinned behind the MANIFEST marker
+# `lance-repo:miniblock=for-bytepack-v1`; unmarked bytes refuse (the
+# dictionary lesson). Plain DML-delta pages of a marked column mix
+# freely; NULLs ride the ordinary leading validity buffer.
+# ---------------------------------------------------------------------------
+@register(
+    "lf44_native_v2_miniblock",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           CAST(SUM(CASE WHEN o_orderkey < 10 THEN 0
+                    ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS price_c,
+           TRUE AS miniblock_smaller,
+           TRUE AS point_lookup_chunk_bounded
+    FROM orders
+    WHERE o_orderkey < 1400
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="format: MINIBLOCK v2 pages (2.1 narrow-scalar structural "
+        "encoding) — FOR+byte-width chunks behind the manifest marker, "
+        "smaller than plain for narrow ints, chunk-bounded point "
+        "lookups, plain DML deltas mix, values exact through DML",
+    tags=("format", "interop", "lance-native", "encoding", "v2",
+          "miniblock"),
+)
+def lf44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..format import lance_native as ln
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf44-miniblock")
+    plain_path = _fresh_path(sf_dir, "lf44-plain")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1400)
+        .selectExpr(
+            "o_orderkey", "CAST(o_custkey AS LONG) AS o_custkey",
+            "o_orderpriority",
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS LONG) AS price_c")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
+        "o_custkey": [int(r["o_custkey"]) for r in rs],
+        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
+        "price_c": [int(r["price_c"]) for r in rs],
+    }
+    half = len(rows) // 2
+    mb = {"o_orderkey", "o_custkey", "price_c"}
+    ln.write_native_dataset(
+        path, cols(rows[:half]), file_version=2, miniblock_columns=mb)
+    ln.append_native_rows(
+        path, cols(rows[half:]), file_version=2, miniblock_columns=mb)
+    ln.write_native_dataset(plain_path, cols(rows), file_version=2)
+
+    def data_bytes(p):
+        d = os.path.join(p, "data")
+        return sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+
+    smaller = data_bytes(path) < data_bytes(plain_path)
+
+    # chunk-bounded point lookup: a 2-row probe decodes only the chunks
+    # holding those rows (garble every other chunk's value bytes in a
+    # copy — the probe must still be exact: untouched-chunk proof)
+    m = ln.read_native_manifest(path)
+    kfield = next(f for f in m.top_level_fields()
+                  if f.name == "o_orderkey")
+    dfile, ci = m.fragments[0].file_for_field(kfield.id)
+    raw = open(os.path.join(path, "data", dfile.path), "rb").read()
+    offs, sizes, nrows = ln._v2_pages(raw, ci)[0]
+    words = np.frombuffer(raw, "<u2", count=sizes[0] // 2, offset=offs[0])
+    csizes = (words & np.uint16(0xFFF)).astype(np.int64) + 1
+    starts = np.concatenate(([0], np.cumsum(csizes[:-1])))
+    vpc = ln._MINIBLOCK_VPC[8]
+    probe = np.asarray([1, min(nrows - 1, vpc + 3)], dtype=np.int64)
+    keep_chunks = set(int(x) for x in probe // vpc)
+    garbled = bytearray(raw)
+    n_garbled = 0
+    for c in range(len(csizes)):
+        if c not in keep_chunks:
+            garbled[offs[1] + int(starts[c]) + 9] ^= 0xFF
+            n_garbled += 1
+    got = ln._try_decode_miniblock(
+        bytes(garbled), list(offs), list(sizes), nrows, "int64",
+        sel=probe)
+    bounded = (
+        got is not None
+        and got.tolist() == [cols(rows[:half])["o_orderkey"][int(i)]
+                             for i in probe]
+        and (n_garbled > 0 or len(csizes) <= len(keep_chunks)))
+
+    # DML writes PLAIN delta pages into the marked column: mixed
+    # encodings, values stay exact (price zeroed for o_orderkey < 10)
+    ln.native_update_where(
+        spark, path, "o_orderkey < 10",
+        {"price_c": F.lit(0).cast("long")})
+
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"),
+             F.sum("o_custkey").alias("cust_sum"),
+             F.sum("price_c").alias("price_c"))
+        .withColumn("miniblock_smaller", F.lit(bool(smaller)))
+        .withColumn("point_lookup_chunk_bounded", F.lit(bool(bounded)))
+        .orderBy("priority")
+    )

@@ -450,3 +450,66 @@ def test_fragment_stats_pruning_never_loses_rows_property(tmp_path, data):
         assert not losers, (
             f"pruning lost rows: filter={f!r} fragment={frag.id} "
             f"stats={stats} lost={losers[:5]}")
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_v2_miniblock_roundtrip_property(tmp_path, data):
+    """MINIBLOCK pages (FOR + byte-width chunks, MINIBLOCK_LAYOUT) must
+    round-trip cell-exact over the whole fixed-width value space, NULLs
+    and width extremes included, at any chunk-boundary-straddling row
+    count — and the selective (chunk-bounded) decode must agree with the
+    full decode at every selected position."""
+    import numpy as np
+
+    _MB_TYPES = ("int64", "int32", "int16", "int8", "uint8", "double",
+                 "float")
+    n = data.draw(st.integers(1, 5000), label="rows")
+    lts = data.draw(
+        st.lists(st.sampled_from(_MB_TYPES), min_size=1, max_size=2),
+        label="types",
+    )
+    cols, types = {}, {}
+    for i, lt in enumerate(lts):
+        cols[f"c{i}"] = data.draw(
+            st.lists(
+                st.one_of(st.none(), _TYPED[lt]), min_size=n, max_size=n
+            ),
+            label=f"c{i}",
+        )
+        types[f"c{i}"] = lt
+    root = str(tmp_path / f"propmb-{next(_SEQ)}")
+    write_native_dataset(
+        root, cols, types=types, file_version=2,
+        miniblock_columns=frozenset(cols),
+    )
+    m = read_native_manifest(root)
+    t = read_native_fragment(root, m.fragments[0], m)
+    sel = data.draw(
+        st.lists(st.integers(0, n - 1), min_size=1, max_size=8,
+                 unique=True).map(sorted),
+        label="sel",
+    )
+    t_sel = read_native_fragment(
+        root, m.fragments[0], m, preselected=np.asarray(sel, np.int64))
+    for i, lt in enumerate(lts):
+        got = t.column(f"c{i}").to_pylist()
+        want = [_norm(lt, v) for v in cols[f"c{i}"]]
+        if lt in ("double", "float"):
+            for g, w in zip(got, want):
+                assert (g == w) or (
+                    g is not None and w is not None
+                    and math.isnan(g) and math.isnan(w))
+        else:
+            assert got == want, lt
+        got_sel = t_sel.column(f"c{i}").to_pylist()
+        assert len(got_sel) == len(sel)
+        for g, j in zip(got_sel, sel):
+            w = got[j]
+            assert (g == w) or (
+                g is not None and w is not None
+                and isinstance(g, float) and math.isnan(g) and math.isnan(w))
