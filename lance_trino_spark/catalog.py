@@ -733,7 +733,7 @@ class LanceCatalog:
             # columns without sidecar coverage report unknown
             from .format.lance_native import (
                 LanceNativeDataset, fragment_stats_for_scan,
-                read_native_manifest)
+                hll_ndv_from_hex, read_native_manifest)
 
             mm = read_native_manifest(np_)
             per_frag = [fragment_stats_for_scan(np_, mm, f)[0]
@@ -746,6 +746,17 @@ class LanceCatalog:
                 counted = mm.fragments and len(stats) == len(mm.fragments)
                 bounded = counted and all(
                     "min" in st and "max" in st for st in stats)
+                # NDV estimate from the sidecars' HLL registers
+                # (lossless elementwise-max union across files; zero
+                # data scanned) — reported when every non-all-null
+                # file of the column carries registers
+                # (a sidecar omits hll only when the column is all-NULL
+                # in that file — zero distinct values to contribute —
+                # or predates the register layout: the latter has
+                # min/max recorded and must make NDV unknown)
+                hexes = [st["hll"] for st in stats if "hll" in st]
+                sketched = counted and hexes and all(
+                    "hll" in st or "min" not in st for st in stats)
                 rows.append((
                     c,
                     n_rows,
@@ -755,11 +766,12 @@ class LanceCatalog:
                     if bounded else None,
                     sum(st.get("nulls", 0) for st in stats)
                     if counted else None,
+                    hll_ndv_from_hex(hexes) if sketched else None,
                 ))
             return self.spark.createDataFrame(
                 rows,
                 "column string, row_count long, min_value string, "
-                "max_value string, null_count long",
+                "max_value string, null_count long, ndv long",
             )
         ds = self.load(m.group("ns"), m.group("tbl"))
         frags = ds.manifest.fragments
@@ -778,11 +790,12 @@ class LanceCatalog:
                 str(min(s["min"] for s in stats)) if bounded else None,
                 str(max(s["max"] for s in stats)) if bounded else None,
                 sum(s.get("nulls", 0) for s in stats) if counted else None,
+                None,  # own-format zone maps carry no NDV registers (yet)
             ))
         return self.spark.createDataFrame(
             rows,
             "column string, row_count long, min_value string, "
-            "max_value string, null_count long",
+            "max_value string, null_count long, ndv long",
         )
 
     def _h_create_tag(self, m) -> DataFrame:

@@ -1369,21 +1369,24 @@ def cat23(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'k' AS "column", CAST(COUNT(*) AS BIGINT) AS row_count,
            CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
            CAST(MAX(o_orderkey) AS VARCHAR) AS max_value,
-           CAST(0 AS BIGINT) AS null_count
+           CAST(0 AS BIGINT) AS null_count,
+           TRUE AS ndv_ok
     FROM orders WHERE o_orderkey <= 3000
     UNION ALL
     SELECT 'pr', CAST(COUNT(*) AS BIGINT),
            MIN(CASE WHEN o_orderkey % 4 <> 0 THEN o_orderpriority END),
            MAX(CASE WHEN o_orderkey % 4 <> 0 THEN o_orderpriority END),
            CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT)
+                AS BIGINT),
+           TRUE
     FROM orders WHERE o_orderkey <= 3000
     ORDER BY "column"
     """,
     doc="catalog: SHOW STATS on a native table — per-column min/max/"
-        "null-count aggregated from the stats sidecars, zero data "
-        "scanned, value-exact vs engine-computed statistics",
-    tags=("catalog", "sql", "lance-native", "stats", "zonemap"),
+        "null-count + HLL-register NDV aggregated from the stats "
+        "sidecars, zero data scanned; ndv_ok proves the estimate lands "
+        "within 10% of the engine-computed exact distinct count",
+    tags=("catalog", "sql", "lance-native", "stats", "zonemap", "ndv"),
 )
 def cat24(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _fresh_catalog(spark, sf_dir, "cat24")
@@ -1399,7 +1402,26 @@ def cat24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.createOrReplaceTempView("cat24_src")
     cat.sql("CREATE NATIVE TABLE ns.t AS SELECT * FROM cat24_src")
-    return cat.sql("SHOW STATS ns.t").orderBy("column")
+    # exact distinct counts (engine-computed, the PROOF scan — the
+    # stats themselves came from the sidecars with zero data scanned)
+    exact = {
+        "k": src.select(F.countDistinct("k")).collect()[0][0],
+        "pr": src.select(F.countDistinct("pr")).collect()[0][0],
+    }
+    stats = cat.sql("SHOW STATS ns.t")
+    tol = F.greatest(F.lit(2), (F.lit(0.10) * F.col("exact")).cast("long"))
+    exact_df = spark.createDataFrame(
+        list(exact.items()), "column string, exact long")
+    return (
+        stats.join(F.broadcast(exact_df), "column")
+        .withColumn(
+            "ndv_ok",
+            F.col("ndv").isNotNull()
+            & (F.abs(F.col("ndv") - F.col("exact")) <= tol))
+        .select("column", "row_count", "min_value", "max_value",
+                "null_count", "ndv_ok")
+        .orderBy("column")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -681,3 +681,53 @@ def test_native_drop_vector_index_targets_vector_sidecars(cat, spark):
     assert len(list_native_scalar_indices(loc)) == 1  # scalar untouched
     cat.sql("DROP INDEX ON vs.t (id)")
     assert list_native_scalar_indices(loc) == []
+
+
+def test_show_stats_ndv_from_sidecars(cat, spark):
+    """NDV estimates come from the sidecars' HLL registers — lossless
+    elementwise-max union across files, zero data scanned; a sidecar
+    predating the register layout makes NDV unknown rather than wrong."""
+    import json
+
+    from lance_trino_spark.format.lance_native import (
+        FRAGSTATS_DIR, append_native_rows, hll_ndv_from_hex,
+        write_native_dataset)
+
+    cat.sql("CREATE SCHEMA nd")
+    loc = cat.namespace.declare_table("nd", "t")
+    write_native_dataset(loc, {
+        "k": list(range(1000)),
+        "tag": [f"t{i % 7}" for i in range(1000)],
+    })
+    # second file overlaps half the key range: union must count the
+    # overlap once (distinct = 1500, not 2000)
+    append_native_rows(loc, {
+        "k": list(range(500, 1500)),
+        "tag": [f"t{i % 7}" for i in range(1000)],
+    })
+    got = {r["column"]: r for r in cat.sql("SHOW STATS nd.t").collect()}
+    assert got["k"]["row_count"] == 2000
+    assert abs(got["k"]["ndv"] - 1500) <= max(2, 1500 // 10)
+    assert got["tag"]["ndv"] == 7  # low cardinality: linear counting
+    # registers merged losslessly: union estimate == one-pass estimate
+    sdir = os.path.join(loc, FRAGSTATS_DIR)
+    hexes = []
+    for f in sorted(os.listdir(sdir)):
+        ent = json.load(open(os.path.join(sdir, f)))["fields"]["0"]
+        hexes.append(ent["hll"])
+    from lance_trino_spark.format.lance_native import _hll_hex
+
+    assert hll_ndv_from_hex(hexes) == hll_ndv_from_hex(
+        [_hll_hex("int64", list(range(1500)))])
+
+    # strip the registers from one sidecar (pre-layout file): NDV for
+    # that column must report unknown, min/max stay served
+    f0 = sorted(os.listdir(sdir))[0]
+    p = os.path.join(sdir, f0)
+    d = json.load(open(p))
+    d["fields"]["0"].pop("hll")
+    json.dump(d, open(p, "w"))
+    got2 = {r["column"]: r for r in cat.sql("SHOW STATS nd.t").collect()}
+    assert got2["k"]["ndv"] is None
+    assert got2["k"]["min_value"] == "0"
+    assert got2["tag"]["ndv"] == 7  # other column unaffected
