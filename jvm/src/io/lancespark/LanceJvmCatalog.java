@@ -319,6 +319,17 @@ public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
     try {
       v = Long.parseLong(version);
     } catch (NumberFormatException e) {
+      // non-numeric `VERSION AS OF 'name'` on a NATIVE table is a TAG
+      // (the SDK's _refs/tags layout; lf39) — delegate via tagasof
+      Path dir;
+      try {
+        dir = tableDir(ident);
+      } catch (NsMissing ee) {
+        throw new NoSuchTableException(ident);
+      }
+      if (isNativeDataset(dir)) {
+        return pythonNativeTable(dir, null, null, version);
+      }
       throw new IllegalArgumentException("version must be an integer: " + version);
     }
     if (v <= 0) {
@@ -341,6 +352,11 @@ public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
       throw new NoSuchTableException(ident);
     }
     long tsMs = Math.floorDiv(timestampMicros, 1000L);
+    if (isNativeDataset(dir)) {
+      // native FOR TIMESTAMP AS OF resolves in the Python source
+      // (manifest proto field 7 timestamps, ms-floored both sides)
+      return pythonNativeTable(dir, null, String.valueOf(tsMs), null);
+    }
     long best = -1;
     for (long v : listVersions(dir)) {
       if (readManifest(dir, v).path("timestamp_ms").asLong() <= tsMs) {
@@ -363,6 +379,15 @@ public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
     } catch (NsMissing e) {
       throw new NoSuchTableException(ident);
     }
+    if (isNativeDataset(dir)) {
+      // REAL `.lance` dataset (binary protobuf manifests): the JVM side
+      // cannot decode its pages — delegate the Table to the session's
+      // registered Python "lance" data source, which reads v1/v2 native
+      // files natively. Plain `spark.sql("SELECT ... FROM cat.ns.t
+      // [VERSION AS OF ...]")` then plans through Catalyst as usual.
+      return pythonNativeTable(
+          dir, version < 0 ? null : String.valueOf(version), null, null);
+    }
     List<Long> versions = listVersions(dir);
     if (versions.isEmpty()) {
       throw new NoSuchTableException(ident);
@@ -374,6 +399,66 @@ public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
     }
     JsonNode manifest = readManifest(dir, v);
     return new LanceJvmTable(catalogName + "." + ident, dir, v, manifest);
+  }
+
+  /** Binary-manifest (`_versions/<n>.manifest`, no `.manifest.json`)
+   *  detection — mirrors the Python side's is_native_dataset. */
+  private boolean isNativeDataset(Path dir) {
+    Path versions = dir.resolve("_versions");
+    if (!Files.isDirectory(versions)) {
+      return false;
+    }
+    boolean binary = false;
+    try (Stream<Path> s = Files.list(versions)) {
+      for (Path p : s.toList()) {
+        String n = p.getFileName().toString();
+        if (n.endsWith(".manifest.json")) {
+          return false;
+        }
+        if (n.endsWith(".manifest")) {
+          binary = true;
+        }
+      }
+    } catch (IOException e) {
+      return false;
+    }
+    return binary;
+  }
+
+  /** A Table served by the session-registered PYTHON "lance" data source
+   *  (one fresh PythonDataSourceV2 instance per load — Spark 4.1 keeps a
+   *  single mutable readInfo slot per instance, so instances must never
+   *  be shared across differently-pinned plans). Time travel rides the
+   *  Python source's native read options: version / timestampasof (epoch
+   *  ms) / tagasof. */
+  private Table pythonNativeTable(Path dir, String version, String tsMs, String tag) {
+    org.apache.spark.sql.execution.datasources.v2.python.PythonDataSourceV2 p =
+        new org.apache.spark.sql.execution.datasources.v2.python.PythonDataSourceV2();
+    p.setShortName("lance");
+    Map<String, String> opts = new HashMap<>();
+    opts.put("path", dir.toString());
+    if (version != null) {
+      opts.put("version", version);
+    }
+    if (tsMs != null) {
+      opts.put("timestampasof", tsMs);
+    }
+    if (tag != null) {
+      opts.put("tagasof", tag);
+    }
+    try {
+      StructType schema = p.inferSchema(new CaseInsensitiveStringMap(opts));
+      Table t = p.getTable(schema, new Transform[0], opts);
+      // wrapper re-injects path (+ pinned time travel) into scans AND
+      // writes — `INSERT INTO` via spark.sql leaves write options empty
+      return new LancePyNativeTable(
+          t, catalogName + "." + dir.getFileName(), opts);
+    } catch (RuntimeException e) {
+      throw new RuntimeException(
+          "native .lance table at " + dir + " needs the Python 'lance' data source "
+              + "registered in this session (lance_trino_spark.sources."
+              + "lance_datasource.register_lance_datasource(spark)): " + e, e);
+    }
   }
 
   @Override

@@ -1,0 +1,109 @@
+/*
+ * A catalog Table for REAL `.lance` datasets (binary protobuf manifests)
+ * that DELEGATES both planes to the session-registered PYTHON "lance"
+ * data source — the JVM cannot decode native v1/v2 pages, but the Python
+ * DSv2 reader/writer can, so plain `spark.sql("SELECT ... FROM
+ * cat.ns.native_table [VERSION AS OF ...]")` and `INSERT INTO` plan
+ * through Catalyst like any other table.
+ *
+ * Why a wrapper instead of returning Spark's PythonTable directly: the
+ * Python source resolves its dataset from the `path` OPTION. Reads carry
+ * it (the option map is pickled into the data source instance at
+ * creation), but catalog INSERTs construct the write-side Python
+ * instance from LogicalWriteInfo.options() — which a `spark.sql`
+ * statement leaves EMPTY, so the writer would fail with "requires a
+ * path". This wrapper re-injects the base options (path + any pinned
+ * time-travel keys) into every scan/write before delegating.
+ *
+ * Reference parity: plain-SQL-through-the-engine everywhere is the
+ * reference's product shape (the Trino connector serves every Lance
+ * table via standard SQL; LanceMetadata.java getTableHandle).
+ */
+package io.lancespark;
+
+import java.util.HashMap;
+import java.util.Map;
+import java.util.Set;
+
+import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.SupportsWrite;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCapability;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+public class LancePyNativeTable implements Table, SupportsRead, SupportsWrite {
+
+  private final Table inner; // Spark's PythonTable for the "lance" source
+  private final String name;
+  private final Map<String, String> baseOpts;
+
+  public LancePyNativeTable(Table inner, String name, Map<String, String> baseOpts) {
+    this.inner = inner;
+    this.name = name;
+    this.baseOpts = baseOpts;
+  }
+
+  private CaseInsensitiveStringMap merged(Map<String, String> extra) {
+    Map<String, String> m = new HashMap<>(baseOpts);
+    m.putAll(extra); // statement-level options win over the pinned base
+    return new CaseInsensitiveStringMap(m);
+  }
+
+  @Override
+  public String name() {
+    return name;
+  }
+
+  @Override
+  @SuppressWarnings("deprecation")
+  public StructType schema() {
+    return inner.schema();
+  }
+
+  @Override
+  public Transform[] partitioning() {
+    return inner.partitioning();
+  }
+
+  @Override
+  public Map<String, String> properties() {
+    return baseOpts;
+  }
+
+  @Override
+  public Set<TableCapability> capabilities() {
+    return inner.capabilities();
+  }
+
+  @Override
+  public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+    return ((SupportsRead) inner).newScanBuilder(merged(options));
+  }
+
+  @Override
+  public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+    CaseInsensitiveStringMap opts = merged(info.options());
+    LogicalWriteInfo withPath = new LogicalWriteInfo() {
+      @Override
+      public CaseInsensitiveStringMap options() {
+        return opts;
+      }
+
+      @Override
+      public String queryId() {
+        return info.queryId();
+      }
+
+      @Override
+      public StructType schema() {
+        return info.schema();
+      }
+    };
+    return ((SupportsWrite) inner).newWriteBuilder(withPath);
+  }
+}

@@ -125,6 +125,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf43_native_ann_freshness",
     "cat25_sql_native_conditional_merge",
     "lf44_native_v2_miniblock",
+    "cat26_spark_sql_native_table",
     # --- tail: rest of the r6 cohort (sampled only if window > 50) ---
     "d09_url_dedup",
     "ds01_datasource_scan_pushdown",

@@ -341,6 +341,45 @@ def main() -> None:
     ).collect()[0][0]
     check("jvm-count-filtered-scans", nf == 20, f"n={nf}")
 
+    # NATIVE `.lance` tables through plain spark.sql: the catalog
+    # detects binary manifests and delegates the Table to the Python
+    # "lance" data source (LancePyNativeTable) — SELECT, VERSION AS OF
+    # n/'tag', TIMESTAMP AS OF, and INSERT INTO all plan in Catalyst
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    register_lance_datasource(spark)
+    nat = os.path.join(warehouse, "main", "nat.lance")
+    ln.write_native_dataset(
+        nat, {"k": list(range(60)), "g": [i % 3 for i in range(60)]})
+    ln.append_native_rows(nat, {"k": list(range(60, 90)), "g": [9] * 30})
+    ln.native_create_tag(nat, "first", 1)
+    n_all = spark.sql("SELECT COUNT(*) FROM lance.main.nat").collect()[0][0]
+    n_v1 = spark.sql(
+        "SELECT COUNT(*) FROM lance.main.nat VERSION AS OF 1"
+    ).collect()[0][0]
+    n_tag = spark.sql(
+        "SELECT COUNT(*) FROM lance.main.nat VERSION AS OF 'first'"
+    ).collect()[0][0]
+    n_ts = spark.sql(
+        "SELECT COUNT(*) FROM lance.main.nat "
+        "TIMESTAMP AS OF current_timestamp()"
+    ).collect()[0][0]
+    check("jvm-native-sql-select-traveled",
+          (n_all, n_v1, n_tag, n_ts) == (90, 60, 60, 90),
+          f"{(n_all, n_v1, n_tag, n_ts)}")
+    spark.sql("INSERT INTO lance.main.nat VALUES (900, 9), (901, 9)")
+    check("jvm-native-sql-insert-commits",
+          ln.read_native_manifest(nat).version == 3
+          and spark.sql("SELECT COUNT(*) FROM lance.main.nat")
+          .collect()[0][0] == 92)
+    nj = spark.sql(
+        "SELECT COUNT(*) FROM lance.main.nat n JOIN lance.main.addr a "
+        "ON n.k = a.id"
+    ).collect()[0][0]
+    check("jvm-native-joins-own-format", nj > 0, f"n={nj}")
+
     spark.stop()
     if failures:
         print(f"== SMOKE FAILED: {failures} ==")
