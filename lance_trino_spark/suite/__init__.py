@@ -126,6 +126,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat25_sql_native_conditional_merge",
     "lf44_native_v2_miniblock",
     "cat26_spark_sql_native_table",
+    # changed-code re-checks (rotation rule: changed code outranks
+    # staleness): cat24 output gained ndv_ok, st10 search path gained
+    # the exact-dup short-circuit, cat22 CTAS gained cross-format guards
+    "cat24_sql_native_show_stats",
+    "st10_stream_vector_ingest",
+    "cat22_sql_native_table",
     # --- tail: rest of the r6 cohort (sampled only if window > 50) ---
     "d09_url_dedup",
     "ds01_datasource_scan_pushdown",
