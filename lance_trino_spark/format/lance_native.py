@@ -5057,6 +5057,7 @@ def native_vector_search_fresh(
     nprobe: int = 1,
     refine_factor: int | None = None,
     max_candidates: int = 200_000,
+    spark=None,
 ):
     """LIVE-snapshot vector search: the index is an ACCELERATOR, never a
     snapshot. The reference never serves stale ANN because Lance SDK
@@ -5105,45 +5106,109 @@ def native_vector_search_fresh(
                 "n_candidates": 0, "n_refined": 0, "stale_dropped": 0,
                 "index_bytes_read": 0} for _ in range(q.shape[0])]
 
-    # exact arm: deletion-aware scan of the uncovered fragments only
+    # exact arm: deletion-aware scan of the uncovered fragments only.
+    # With ``spark`` given this fans out ONE TASK PER UNCOVERED FRAGMENT
+    # (format("lance") restricted by the fragments option) — each task
+    # emits only its local per-query top-k, so driver traffic is
+    # O(queries * k * partitions); the driver flavor below is the same
+    # computation run serially (the per-task body).
     exact_rows = 0
-    vecs_parts, addr_parts = [], []
+    ex_cand: list[list[tuple[float, int]]] = [
+        [] for _ in range(q.shape[0])]
     frag_by_id = {f.id: f for f in live.fragments}
-    for fid in uncovered:
-        frag = frag_by_id[fid]
-        tbl = read_native_fragment(
-            root, frag, live, columns=[column], with_row_address=True)
-        col = tbl.column(column).combine_chunks()
-        addr = np.asarray(tbl.column("_row_address").combine_chunks(),
-                          dtype=np.uint64)
-        valid = np.asarray(col.is_valid())  # NULL vectors unsearchable
-        if not valid.all():
-            addr = addr[valid]
-            col = col.drop_null()
-        if len(addr) == 0:
-            continue
-        dim = len(col[0])
-        vecs_parts.append(np.asarray(
-            col.values, dtype=np.float32).reshape(-1, dim))
-        addr_parts.append(addr)
-        exact_rows += len(addr)
-    ex_v = (np.concatenate(vecs_parts) if vecs_parts
-            else np.empty((0, q.shape[1]), dtype=np.float32))
-    ex_a = (np.concatenate(addr_parts) if addr_parts
-            else np.empty(0, dtype=np.uint64))
+    if spark is not None and uncovered:
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        for fid in uncovered:
+            frag = frag_by_id[fid]
+            exact_rows += frag.physical_rows - (
+                0 if frag.deletion is None
+                else len(_deleted_rows_np(root, frag.deletion)))
+        df = (
+            spark.read.format("lance")
+            .option("fragments", ",".join(str(i) for i in uncovered))
+            .option("row_address", "true")
+            .load(root)
+            .select(column, "_row_address")
+            .where(f"{column} IS NOT NULL")
+        )
+        qb, kk, dim = q, k, q.shape[1]
+
+        def _topk(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            qn = (qb.astype(_np.float64) ** 2).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = _np.asarray(
+                    _np.vstack(pdf[column].to_numpy()),
+                    dtype=_np.float32).reshape(-1, dim)
+                addr = pdf["_row_address"].to_numpy().astype(_np.int64)
+                v64 = v.astype(_np.float64)
+                vn = (v64 ** 2).sum(axis=1)
+                # [Q, n] exact L2 via the dot identity — O(Q*n) memory,
+                # never the [Q, n, dim] broadcast
+                d = qn[:, None] + vn[None, :] - 2.0 * (
+                    qb.astype(_np.float64) @ v64.T)
+                out_q, out_a, out_d = [], [], []
+                for qi in range(len(qb)):
+                    t = _np.argsort(d[qi], kind="stable")[:kk]
+                    # re-derive the shortlisted distances subtract-square
+                    # (k values) so both flavors emit bit-identical
+                    # distances — the dot identity differs in the last
+                    # ulp and can go slightly negative on exact twins
+                    ex = ((v64[t] - qb[qi].astype(_np.float64)) ** 2
+                          ).sum(axis=1)
+                    out_q += [qi] * len(t)
+                    out_a += [int(addr[j]) for j in t]
+                    out_d += [float(x) for x in ex]
+                yield _pd.DataFrame(
+                    {"qi": out_q, "addr": out_a, "dist": out_d})
+
+        for row in df.mapInPandas(
+                _topk, "qi int, addr long, dist double").collect():
+            ex_cand[int(row["qi"])].append(
+                (float(row["dist"]), int(row["addr"])))
+    else:
+        vecs_parts, addr_parts = [], []
+        for fid in uncovered:
+            frag = frag_by_id[fid]
+            tbl = read_native_fragment(
+                root, frag, live, columns=[column], with_row_address=True)
+            col = tbl.column(column).combine_chunks()
+            addr = np.asarray(tbl.column("_row_address").combine_chunks(),
+                              dtype=np.uint64)
+            valid = np.asarray(col.is_valid())  # NULL vectors unsearchable
+            if not valid.all():
+                addr = addr[valid]
+                col = col.drop_null()
+            if len(addr) == 0:
+                continue
+            dim = len(col[0])
+            vecs_parts.append(np.asarray(
+                col.values, dtype=np.float32).reshape(-1, dim))
+            addr_parts.append(addr)
+            exact_rows += len(addr)
+        ex_v = (np.concatenate(vecs_parts) if vecs_parts
+                else np.empty((0, q.shape[1]), dtype=np.float32))
+        ex_a = (np.concatenate(addr_parts) if addr_parts
+                else np.empty(0, dtype=np.uint64))
+        if len(ex_a):
+            for qi in range(q.shape[0]):
+                d_e = ((ex_v - q[qi]) ** 2).sum(axis=1).astype(np.float64)
+                top_e = np.argsort(d_e, kind="stable")[:k]
+                ex_cand[qi] = [
+                    (float(d_e[i]), int(ex_a[i])) for i in top_e]
 
     results = []
     for qi in range(q.shape[0]):
-        qv = q[qi]
         n_a, d_a = ann[qi]["neighbors"], ann[qi]["distances"]
-        if len(ex_a):
-            d_e = ((ex_v - qv) ** 2).sum(axis=1).astype(np.float64)
-            top_e = np.argsort(d_e, kind="stable")[:k]
-            merged = (
-                [(float(d), int(r), 0) for d, r in zip(d_a, n_a)]
-                + [(float(d_e[i]), int(ex_a[i]), 1) for i in top_e])
-        else:
-            merged = [(float(d), int(r), 0) for d, r in zip(d_a, n_a)]
+        merged = (
+            [(float(d), int(r), 0) for d, r in zip(d_a, n_a)]
+            + [(d, r, 1) for d, r in ex_cand[qi]])
         merged.sort(key=lambda t: (t[0], t[1]))
         merged = merged[:k]
         results.append({

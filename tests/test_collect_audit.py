@@ -50,6 +50,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "one (frag_id, file_name) report row per fragment — the commit "
         "coordinator's manifest entries (stage_native_fragments shape); "
         "the backfilled VALUES never leave the executors",
+    ("format/lance_native.py", "native_vector_search_fresh"):
+        "distributed exact arm: each uncovered-fragment task emits only "
+        "its LOCAL per-query top-k — O(queries * k * partitions) rows "
+        "to the driver merge, never the scanned vectors",
     ("operators/sampling.py", "capped_sample_per_group"):
         "two map-side-combinable count aggregates of k rows each "
         "(k = #groups/sources, small by construction) — the hash-space "

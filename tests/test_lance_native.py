@@ -3571,3 +3571,39 @@ def test_v2_miniblock_roundtrip_and_chunk_bounded_reads(tmp_path, spark):
             str(tmp_path / "mb.lance"), {c: [1] if c not in ("f",)
                                          else [1.0] for c in cols},
             file_version=2, miniblock_columns={"nope"})
+
+
+def test_native_vector_search_fresh_distributed_parity(tmp_path, spark):
+    """The distributed exact arm (one task per uncovered fragment,
+    local top-k only to the driver) returns the same neighbors and
+    bit-identical distances as the driver flavor."""
+    import numpy as np
+
+    from lance_trino_spark.format import lance_native as ln
+
+    rng = np.random.default_rng(23)
+    n, dim = 400, 8
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    root = str(tmp_path / "freshd.lance")
+    ln.write_native_dataset(root, {
+        "vid": list(range(n)),
+        "emb": [[float(x) for x in r] for r in base],
+    })
+    ln.ensure_native_vector_index(root, "emb", n_cells=4, nsub=4)
+    # two uncovered fragments appended after the build
+    extra = rng.normal(size=(30, dim)).astype(np.float32)
+    ln.append_native_rows(root, {
+        "vid": list(range(n, n + 15)),
+        "emb": [[float(x) for x in r] for r in extra[:15]]})
+    ln.append_native_rows(root, {
+        "vid": list(range(n + 15, n + 30)),
+        "emb": [[float(x) for x in r] for r in extra[15:]]})
+    queries = np.vstack([extra[3], base[7], extra[20]])
+    a = ln.native_vector_search_fresh(root, "emb", queries, k=6, nprobe=4)
+    b = ln.native_vector_search_fresh(root, "emb", queries, k=6, nprobe=4,
+                                      spark=spark)
+    for qa, qb in zip(a, b):
+        assert qa["neighbors"] == qb["neighbors"]
+        assert qa["distances"] == qb["distances"]  # bit-identical
+        assert qa["uncovered_fragments"] == qb["uncovered_fragments"] == 2
+        assert qa["exact_rows"] == qb["exact_rows"] == 30
