@@ -167,6 +167,11 @@ DEFAULT_QUERIES = [
     "cat23_sql_native_index",
     "lf42_native_v2_dictionary",
     "cat24_sql_native_show_stats",
+    # round-10 additions
+    "lf43_native_ann_freshness",
+    "cat25_sql_native_conditional_merge",
+    "lf44_native_v2_miniblock",
+    "cat26_spark_sql_native_table",
 ]
 
 
