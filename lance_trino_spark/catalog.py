@@ -676,6 +676,23 @@ class LanceCatalog:
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
         kind = (m.group("kind") or "IVF_FLAT").upper()
         n_cells = int(m.group("ncells") or 16)
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            # native tables build the IVF_PQ sidecar via the ensure hook:
+            # covered -> no-op; uncovered (appends since last build) ->
+            # rebuild. VECTOR SEARCH stays live either way (fresh search
+            # unions an exact arm over uncovered fragments).
+            if m.group("kind") and kind != "IVF_PQ":
+                raise CatalogError(
+                    f"native vector index supports IVF_PQ only, got {kind}")
+            from .format.lance_native import ensure_native_vector_index
+
+            uid = ensure_native_vector_index(
+                np_, col, n_cells=n_cells, spark=self.spark)
+            return self._status(
+                f"vector-indexed {ns}.{tbl}({col}) IVF_PQ "
+                f"n_cells={n_cells} "
+                f"{'(already covered)' if uid is None else uid} (native)")
         ds = self.load(ns, tbl).create_vector_index(
             self.spark, col, n_cells=n_cells, index_type=kind
         )
@@ -882,6 +899,69 @@ class LanceCatalog:
             ]
             vals = [int(v) if v.lstrip("-").isdigit() else v for v in vals]
             prefilter = (m.group("fcol"), vals)
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            # NATIVE tables get LIVE-SNAPSHOT semantics (r10): the index
+            # accelerates its covered fragments, an exact arm covers
+            # appended-after-build fragments, stale hits (deleted rows /
+            # compacted fragments) are dropped — SQL users never see
+            # stale ANN. Prefilter stays an own-format feature for now
+            # (loud refusal, never silent post-filtering).
+            if prefilter is not None:
+                raise CatalogError(
+                    "VECTOR SEARCH WHERE prefilter is not supported on "
+                    "native tables yet — filter the result or use an "
+                    "own-format table")
+            from .format.lance_native import (
+                native_spark_schema, native_vector_search_fresh,
+                read_native_fragment, read_native_manifest)
+
+            qnp = self._native(qns, qtbl)
+            qdf = (self._native_df(qnp) if qnp is not None
+                   else self.load(qns, qtbl).to_df(self.spark))
+            qrows = qdf.select("query_id", col).limit(4097).collect()
+            if len(qrows) > 4096:
+                raise CatalogError(
+                    "VECTOR SEARCH query set exceeds 4096 rows — batch it")
+            qids = [r["query_id"] for r in qrows]
+            qvecs = [[float(x) for x in r[col]] for r in qrows]
+            res = native_vector_search_fresh(
+                np_, col, qvecs, k=k, nprobe=nprobe, spark=self.spark)
+            live = read_native_manifest(np_)
+            id_fields = [f for f in native_spark_schema(live).fields
+                         if f.name != col]
+            # resolve the k*Q neighbor addresses to id columns: one
+            # bounded preselected read per touched fragment
+            need: dict[int, set] = {}
+            for r in res:
+                for a in r["neighbors"]:
+                    need.setdefault(a >> 32, set()).add(a & 0xFFFFFFFF)
+            frag_by_id = {f.id: f for f in live.fragments}
+            vals_by_addr: dict[int, tuple] = {}
+            for fid, rows_ in need.items():
+                sel = sorted(rows_)
+                tbl_ = read_native_fragment(
+                    np_, frag_by_id[fid], live,
+                    columns=[f.name for f in id_fields],
+                    preselected=sel)
+                cols_ = [tbl_.column(f.name).to_pylist()
+                         for f in id_fields]
+                for j, ridx in enumerate(sel):
+                    vals_by_addr[(fid << 32) | ridx] = tuple(
+                        c[j] for c in cols_)
+            out = []
+            for qi, r in enumerate(res):
+                for a, d in zip(r["neighbors"], r["distances"]):
+                    out.append((qids[qi], *vals_by_addr[a], float(d)))
+            from pyspark.sql.types import (
+                DoubleType, StructField, StructType)
+
+            qid_t = qdf.schema["query_id"].dataType
+            schema = StructType(
+                [StructField("query_id", qid_t)]
+                + [StructField(f.name, f.dataType) for f in id_fields]
+                + [StructField("l2_distance", DoubleType())])
+            return self.spark.createDataFrame(out, schema)
         ds = self.load(ns, tbl)
         queries = self.load(qns, qtbl).to_df(self.spark).select(
             "query_id", col

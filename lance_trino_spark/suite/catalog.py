@@ -1607,3 +1607,90 @@ def cat26(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM lance_jvm_nat.geo.nation VERSION AS OF 1)"
         " ORDER BY snap"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat27 — VECTOR SEARCH through SQL on a NATIVE table with LIVE-SNAPSHOT
+# semantics (the r10 freshening surfaced to SQL users): rows appended
+# AFTER the index build are found immediately (uncovered-fragment exact
+# arm), CREATE VECTOR INDEX is the ensure hook (covered -> no-op,
+# uncovered -> rebuild), and after the rebuild the same self-queries are
+# served by the index. SQL users can never read stale ANN — the
+# reference's contract (Lance scans always see live data; the index is
+# an accelerator).
+# ---------------------------------------------------------------------------
+@register(
+    "cat27_sql_native_vector_search",
+    oracle="""
+    SELECT vec_id AS query_id,
+           vec_id AS live_self_match,
+           TRUE AS found_before_rebuild,
+           TRUE AS ensure_noop_when_covered,
+           TRUE AS served_after_rebuild
+    FROM embeddings WHERE vec_id BETWEEN 350 AND 354
+    ORDER BY query_id
+    """,
+    doc="catalog: SQL VECTOR SEARCH on a native table is live-snapshot — "
+        "appended rows found pre-rebuild via the exact arm, CREATE "
+        "VECTOR INDEX as the ensure hook (no-op when covered)",
+    tags=("catalog", "sql", "lance-native", "similarity", "ann",
+          "freshness"),
+)
+def cat27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import append_native_rows, write_native_dataset
+
+    cat = _fresh_catalog(spark, sf_dir, "cat27")
+    cat.sql("CREATE SCHEMA vs")
+    loc = cat.namespace.declare_table("vs", "e")
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "vec_id": [int(r["vec_id"]) for r in rs],
+        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
+    }
+    write_native_dataset(loc, cols(rows[:350]))
+    s1 = cat.sql(
+        "CREATE VECTOR INDEX ON vs.e (embedding) USING IVF_PQ "
+        "WITH (n_cells = 4)").collect()[0][0]
+    s2 = cat.sql(
+        "CREATE VECTOR INDEX ON vs.e (embedding)").collect()[0][0]
+    noop_when_covered = "already covered" in s2 and (
+        "already covered" not in s1)
+
+    append_native_rows(loc, cols(rows[350:]))  # AFTER the build
+    spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in rows[350:355]],
+        "query_id long, embedding array<float>",
+    ).createOrReplaceTempView("_cat27_q")
+    cat.sql("CREATE TABLE vs.q AS SELECT * FROM _cat27_q")
+
+    hits = cat.sql(
+        "VECTOR SEARCH vs.e (embedding) USING vs.q TOP 1 NPROBE 4"
+    ).collect()
+    pre = {r["query_id"]: r["vec_id"] for r in hits}
+
+    s3 = cat.sql(
+        "CREATE VECTOR INDEX ON vs.e (embedding)").collect()[0][0]
+    rebuilt = "already covered" not in s3
+    hits2 = cat.sql(
+        "VECTOR SEARCH vs.e (embedding) USING vs.q TOP 1 NPROBE 4"
+    ).collect()
+    post = {r["query_id"]: r["vec_id"] for r in hits2}
+
+    out = [(qid, pre.get(qid, -1),
+            pre.get(qid) == qid,
+            bool(noop_when_covered),
+            bool(rebuilt and post.get(qid) == qid))
+           for qid in range(350, 355)]
+    return spark.createDataFrame(
+        out,
+        "query_id long, live_self_match long, found_before_rebuild "
+        "boolean, ensure_noop_when_covered boolean, served_after_rebuild "
+        "boolean",
+    ).orderBy("query_id")
