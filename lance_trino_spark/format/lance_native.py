@@ -681,6 +681,31 @@ def _v2_read_column(
                     chunks.append(pa.array(
                         mvals, type=_arrow_type(lt), mask=mnmask))
                 continue  # sel already applied chunk-bounded
+        # FULL-ZIP arm (marker-gated, shape-checked — see FULLZIP_LAYOUT):
+        # also tried pre-validity-strip; a 2-row plain page's [ends]
+        # buffer is byte-size-identical to a 1-block rep index, so shape
+        # checks (K word, reps[0]==0, payload-length cross-check) decide
+        if lt in ("string", "large_string", "binary", "large_binary") \
+                and nfield.metadata.get(
+                    FULLZIP_METADATA_KEY) == FULLZIP_LAYOUT:
+            zoffs, zsizes, znmask = offs, sizes, None
+            nb = (nrows + 7) // 8
+            if len(offs) == 3 and sizes[0] == nb:
+                zvalid = np.unpackbits(
+                    np.frombuffer(raw, np.uint8, count=nb, offset=offs[0]),
+                    bitorder="little")[:nrows].astype(bool)
+                znmask = ~zvalid
+                zoffs, zsizes = offs[1:], sizes[1:]
+            zvals = _try_decode_fullzip(
+                raw, zoffs, zsizes, nrows, sel=sel_local)
+            if zvals is not None:
+                if znmask is not None and sel_local is not None:
+                    znmask = znmask[sel_local]
+                is_str = lt.endswith("string")
+                chunks.append(pa.array(
+                    [v.decode() for v in zvals] if is_str else zvals,
+                    type=_arrow_type(lt), mask=znmask))
+                continue  # sel already applied block-bounded
         valid = None
         is_var = lt in (
             "string", "large_string", "binary", "large_binary")
@@ -1824,6 +1849,95 @@ _FRAGSTATS_TYPES = frozenset({
 })
 
 
+# FILE-v2 FULL-ZIP pages (Lance 2.1's second structural encoding, for
+# WIDE rows: each value's bytes are "zipped" contiguously with its
+# length, so a point lookup is ONE ranged read of the row's bytes
+# instead of an end-offsets probe plus a payload read — the
+# object-store shape for multi-KB strings/blobs). NO public fixture
+# pins the SDK's zipped bytes, so — the dictionary/miniblock stance —
+# the layout here is REPO-DEFINED behind a MANIFEST field marker:
+#   buffer 0: repetition index — u64 K (values per block), then one
+#             u64 absolute payload offset per block of K values;
+#   buffer 1: payload — per value [len:u32 LE][bytes], NULL/absent
+#             slots zero-length.
+# Unmarked or shape-inconsistent pages refuse / fall through; plain
+# pages of a marked column (DML deltas) mix freely per page.
+FULLZIP_METADATA_KEY = "lance-repo:fullzip"
+FULLZIP_LAYOUT = "lenprefix-v1"
+_FULLZIP_K = 64  # values per repetition-index block
+
+
+def _encode_fullzip_page(vals) -> list[bytes]:
+    """[rep index][zipped payload] buffers for one FULL-ZIP page of
+    var-width values (str/bytes; None -> zero-length — the caller's
+    leading validity buffer distinguishes NULL from empty)."""
+    import struct as _struct
+
+    payload = bytearray()
+    offsets = []
+    for i, v in enumerate(vals):
+        if i % _FULLZIP_K == 0:
+            offsets.append(len(payload))
+        b = (b"" if v is None
+             else v.encode() if isinstance(v, str) else bytes(v))
+        payload += _struct.pack("<I", len(b)) + b
+    rep = _struct.pack("<Q", _FULLZIP_K) + b"".join(
+        _struct.pack("<Q", o) for o in offsets)
+    return [rep, bytes(payload)]
+
+
+def _try_decode_fullzip(raw, offs, sizes, nrows, sel=None):
+    """Decode one (marker-gated) FULL-ZIP page to a list of bytes —
+    all rows, or exactly ``sel``'s rows having touched ONLY the blocks
+    containing them (block seek via the repetition index, then at most
+    K length-prefix hops). None = shape check failed (a plain page in a
+    marked column): caller falls through."""
+    import struct as _struct
+
+    if len(offs) != 2 or sizes[0] < 8 or (sizes[0] - 8) % 8:
+        return None
+    k = _struct.unpack_from("<Q", raw, offs[0])[0]
+    n_blocks = (sizes[0] - 8) // 8
+    if k != _FULLZIP_K or n_blocks != -(-nrows // k):
+        return None
+    reps = [
+        _struct.unpack_from("<Q", raw, offs[0] + 8 + 8 * j)[0]
+        for j in range(n_blocks)
+    ]
+    if reps[:1] not in ([], [0]):
+        return None
+
+    def _block(j, upto=None):
+        """Values of block j (all, or the first upto+1)."""
+        pos = offs[1] + reps[j]
+        end_row = min((j + 1) * k, nrows)
+        out = []
+        for _i in range(j * k, end_row if upto is None
+                        else j * k + upto + 1):
+            ln = _struct.unpack_from("<I", raw, pos)[0]
+            out.append(bytes(raw[pos + 4:pos + 4 + ln]))
+            pos += 4 + ln
+        if upto is None and j == n_blocks - 1 and (
+                pos - offs[1]) != sizes[1]:
+            raise LanceNativeError(
+                "full-zip payload length mismatch — refusing")
+        return out
+
+    if sel is None:
+        out = []
+        for j in range(n_blocks):
+            out.extend(_block(j))
+        return out
+    res = []
+    cache: dict[int, list] = {}
+    for i in sel:
+        j, r = int(i) // k, int(i) % k
+        if j not in cache or len(cache[j]) <= r:
+            cache[j] = _block(j, upto=r)
+        res.append(cache[j][r])
+    return res
+
+
 _HLL_P = 8  # 256 registers, ~6.5% standard error — matches operators/sketches
 
 
@@ -2421,6 +2535,7 @@ def _write_v2_data_file(
     root: str, specs: list[tuple], page_rows: int | None = None,
     dictionary_names: frozenset = frozenset(),
     miniblock_names: frozenset = frozenset(),
+    fullzip_names: frozenset = frozenset(),
 ) -> tuple[str, int]:
     """One Lance FILE-v2 data file (footer 0.3 — the format current Lance
     SDKs produce and the fixtures test_table5 / wide_types_table carry):
@@ -2532,6 +2647,10 @@ def _write_v2_data_file(
                     [len(b) for b in uniq], dtype="<i8")
                 return lead + [codes.tobytes(), ends.tobytes(),
                                b"".join(uniq)]
+            if name in fullzip_names:
+                # FULL-ZIP page (2.1 structural encoding for wide rows;
+                # manifest-marker-gated on read — see FULLZIP_LAYOUT)
+                return lead + _encode_fullzip_page(raw)
             ends = np.cumsum([len(b) for b in raw], dtype="<i8")
             return lead + [ends.tobytes(), b"".join(raw)]
         if lt in _FIXED_TYPES and name in miniblock_names:
@@ -2754,6 +2873,7 @@ def write_native_dataset(
     types: dict[str, str] | None = None,
     dictionary_columns: set[str] | frozenset[str] = frozenset(),
     miniblock_columns: set[str] | frozenset[str] = frozenset(),
+    fullzip_columns: set[str] | frozenset[str] = frozenset(),
 ) -> None:
     """Write a minimal REAL `.lance` dataset (v1 legacy format, footer 0.1,
     one fragment, one data file, plain int64 columns) that lance 0.10-era
@@ -2799,10 +2919,31 @@ def write_native_dataset(
             raise LanceNativeError(
                 f"miniblock_columns must be top-level fixed-width "
                 f"scalar columns; bad: {sorted(bad)}")
+    if fullzip_columns:
+        if file_version != 2:
+            raise LanceNativeError(
+                "full-zip is a FILE-v2 (2.1) structural encoding; "
+                "file_version=1 cannot carry it")
+        bad = [
+            c for c in fullzip_columns
+            if next((x[3] for x in specs if x[0] == c and x[2] == -1),
+                    None) not in ("string", "large_string", "binary",
+                                  "large_binary")
+        ]
+        if bad:
+            raise LanceNativeError(
+                f"fullzip_columns must be top-level var-width columns; "
+                f"bad: {sorted(bad)}")
+        clash = set(fullzip_columns) & set(dictionary_columns)
+        if clash:
+            raise LanceNativeError(
+                f"a column cannot be both dictionary and full-zip: "
+                f"{sorted(clash)}")
     if file_version == 2:
         file_name, n_rows = _write_v2_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns),
-            miniblock_names=frozenset(miniblock_columns))
+            miniblock_names=frozenset(miniblock_columns),
+            fullzip_names=frozenset(fullzip_columns))
     else:
         file_name, n_rows = _write_v1_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns))
@@ -2819,6 +2960,8 @@ def write_native_dataset(
         if sp[0] in miniblock_columns:
             # miniblock read arm is MANIFEST-gated the same way
             return ({MINIBLOCK_METADATA_KEY: MINIBLOCK_LAYOUT},)
+        if sp[0] in fullzip_columns:
+            return ({FULLZIP_METADATA_KEY: FULLZIP_LAYOUT},)
         return ()
 
     field_specs = [sp[:4] + _fmeta(sp) for sp in specs]
@@ -2829,6 +2972,7 @@ def append_native_rows(
     root: str, columns: dict[str, list[int]], file_version: int = 1,
     dictionary_columns: set[str] | frozenset[str] = frozenset(),
     miniblock_columns: set[str] | frozenset[str] = frozenset(),
+    fullzip_columns: set[str] | frozenset[str] = frozenset(),
 ) -> int:
     """Append one fragment to a (writer-produced) native dataset as a new
     committed version; returns the new version number. Column names must
@@ -2869,14 +3013,26 @@ def append_native_rows(
                 f"v2 miniblock append needs the manifest marker on "
                 f"{sorted(mb_unmarked)} (create the dataset with "
                 "miniblock_columns)")
+        fz_unmarked = [
+            c for c in fullzip_columns
+            if next((f.metadata.get(FULLZIP_METADATA_KEY)
+                     for f in m.top_level_fields() if f.name == c), None)
+            != FULLZIP_LAYOUT
+        ]
+        if fz_unmarked:
+            raise LanceNativeError(
+                f"v2 full-zip append needs the manifest marker on "
+                f"{sorted(fz_unmarked)} (create the dataset with "
+                "fullzip_columns)")
         file_name, n_rows = _write_v2_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns),
-            miniblock_names=frozenset(miniblock_columns))
+            miniblock_names=frozenset(miniblock_columns),
+            fullzip_names=frozenset(fullzip_columns))
     else:
-        if miniblock_columns:
+        if miniblock_columns or fullzip_columns:
             raise LanceNativeError(
-                "miniblock is a FILE-v2 (2.1) structural encoding; "
-                "file_version=1 cannot carry it")
+                "miniblock/full-zip are FILE-v2 (2.1) structural "
+                "encodings; file_version=1 cannot carry them")
         file_name, n_rows = _write_v1_data_file(
             root, specs, dictionary_names=frozenset(dictionary_columns))
     frags = [

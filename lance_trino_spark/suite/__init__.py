@@ -127,6 +127,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf44_native_v2_miniblock",
     "cat26_spark_sql_native_table",
     "cat27_sql_native_vector_search",
+    "lf45_native_v2_fullzip",
     # changed-code re-checks (rotation rule: changed code outranks
     # staleness): cat24 output gained ndv_ok, st10 search path gained
     # the exact-dup short-circuit, cat22 CTAS gained cross-format guards

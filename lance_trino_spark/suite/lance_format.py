@@ -3287,3 +3287,112 @@ def lf44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("point_lookup_chunk_bounded", F.lit(bool(bounded)))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# lf45 — FULL-ZIP FILE-v2 pages (Lance 2.1's structural encoding for
+# WIDE rows — the second of the 2.1 pair, completing lf44's miniblock):
+# each value's bytes are zipped contiguously behind a length prefix with
+# a repetition index every K values, so a point lookup is one block-
+# bounded ranged read (the object-store shape for multi-KB documents).
+# Layout repo-pinned behind the MANIFEST marker
+# `lance-repo:fullzip=lenprefix-v1`; unmarked bytes refuse/fall through
+# (the dictionary lesson). Plain DML-delta pages of a marked column mix
+# per page; NULLs ride the leading validity buffer.
+# ---------------------------------------------------------------------------
+@register(
+    "lf45_native_v2_fullzip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN doc_id < 5 THEN 7
+                    ELSE length(text) END) AS BIGINT) AS chars_total,
+           CAST(SUM(length(source)) AS BIGINT) AS src_chars,
+           TRUE AS point_lookup_block_bounded
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="format: FULL-ZIP v2 pages (2.1 wide-row structural encoding) — "
+        "zipped length-prefixed values + repetition index behind the "
+        "manifest marker, block-bounded point lookups, plain DML deltas "
+        "mix, values exact through DML",
+    tags=("format", "interop", "lance-native", "encoding", "v2",
+          "fullzip"),
+)
+def lf45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import numpy as np
+
+    from ..format import lance_native as ln
+    from ..sources.lance_datasource import register_lance_datasource
+
+    path = _fresh_path(sf_dir, "lf45-fullzip")
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    cols = {
+        "doc_id": [int(r["doc_id"]) for r in rows],
+        "text": [str(r["text"]) for r in rows],
+        "lang": [str(r["lang"]) for r in rows],
+        "source": [str(r["source"]) for r in rows],
+    }
+    half = len(rows) // 2
+    fz = {"text", "source"}
+    ln.write_native_dataset(
+        path, {k: v[:half] for k, v in cols.items()}, file_version=2,
+        types={"text": "string", "lang": "string", "source": "string"},
+        fullzip_columns=fz)
+    ln.append_native_rows(
+        path, {k: v[half:] for k, v in cols.items()}, file_version=2,
+        fullzip_columns=fz)
+
+    # block-bounded point lookup proof: garble every non-probed block's
+    # value bytes in a COPY of the page — the probe must stay exact
+    m = ln.read_native_manifest(path)
+    tfield = next(f for f in m.top_level_fields() if f.name == "text")
+    dfile = m.fragments[0].files[0]
+    ci = dfile.field_ids.index(tfield.id)
+    raw = open(os.path.join(path, "data", dfile.path), "rb").read()
+    offs, sizes, nrows = ln._v2_pages(raw, ci)[0]
+    if len(offs) == 3:  # leading validity buffer
+        offs, sizes = offs[1:], sizes[1:]
+    k = _struct.unpack_from("<Q", raw, offs[0])[0]
+    n_blocks = (sizes[0] - 8) // 8
+    reps = [_struct.unpack_from("<Q", raw, offs[0] + 8 + 8 * j)[0]
+            for j in range(n_blocks)]
+    probe = [3, min(nrows - 1, int(k) + 4)]
+    keep = {p // int(k) for p in probe}
+    garbled = bytearray(raw)
+    n_garbled = 0
+    for j in range(n_blocks):
+        if j not in keep:
+            garbled[offs[1] + reps[j] + 5] ^= 0xFF
+            n_garbled += 1
+    zv = ln._try_decode_fullzip(
+        bytes(garbled), list(offs), list(sizes), nrows,
+        sel=np.asarray(probe, np.int64))
+    bounded = (
+        zv is not None
+        and [v.decode() for v in zv] == [cols["text"][p] for p in probe]
+        and (n_garbled > 0 or n_blocks <= len(keep)))
+
+    # DML writes PLAIN delta pages into the marked columns: mixed
+    # encodings, values stay exact (text stubbed for doc_id < 5)
+    ln.native_update_where(
+        spark, path, "doc_id < 5", {"text": F.lit("patched")})
+
+    register_lance_datasource(spark)
+    return (
+        spark.read.format("lance").load(path)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.length("text")).alias("chars_total"),
+             F.sum(F.length("source")).alias("src_chars"))
+        .withColumn("point_lookup_block_bounded", F.lit(bool(bounded)))
+        .orderBy("lang")
+    )

@@ -3607,3 +3607,87 @@ def test_native_vector_search_fresh_distributed_parity(tmp_path, spark):
         assert qa["distances"] == qb["distances"]  # bit-identical
         assert qa["uncovered_fragments"] == qb["uncovered_fragments"] == 2
         assert qa["exact_rows"] == qb["exact_rows"] == 30
+
+
+def test_v2_fullzip_roundtrip_and_block_bounded_reads(tmp_path, spark):
+    """FILE-v2 FULL-ZIP pages (Lance 2.1's wide-row structural encoding):
+    length-prefixed zipped values + a repetition index behind the
+    manifest marker `lance-repo:fullzip=lenprefix-v1` — round-trip for
+    strings and binary incl. NULLs and empties; point lookups touch ONLY
+    the blocks holding selected rows; plain DML-delta pages of a marked
+    column mix; v1 refuses."""
+    import numpy as np
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    n = 3000
+    cols = {
+        "k": list(range(n)),
+        "doc": [None if i % 61 == 0 else ("" if i % 97 == 0 else
+                f"wide-value-{i}-" + "x" * (i % 300)) for i in range(n)],
+        "blob": [None if i % 83 == 0 else bytes([i % 256]) * (i % 50)
+                 for i in range(n)],
+    }
+    root = str(tmp_path / "fz.lance")
+    ln.write_native_dataset(
+        root, cols, file_version=2, types={"doc": "string",
+                                           "blob": "binary"},
+        fullzip_columns={"doc", "blob"})
+    m = ln.read_native_manifest(root)
+    dfield = next(f for f in m.top_level_fields() if f.name == "doc")
+    assert dfield.metadata[ln.FULLZIP_METADATA_KEY] == ln.FULLZIP_LAYOUT
+
+    register_lance_datasource(spark)
+    got = {r["k"]: (r["doc"], r["blob"]) for r in
+           spark.read.format("lance").load(root).collect()}
+    for i in (0, 1, 61, 97, 100, 1234, n - 1):
+        want_b = cols["blob"][i]
+        assert got[i] == (cols["doc"][i],
+                          bytearray(want_b) if want_b is not None else None)
+
+    # block-bounded point lookup: garble every block except the probed
+    # ones — selective decode stays exact (untouched-block proof)
+    dfile = m.fragments[0].files[0]
+    raw = open(os.path.join(root, "data", dfile.path), "rb").read()
+    ci = dfile.field_ids.index(dfield.id)
+    offs, sizes, nrows = ln._v2_pages(raw, ci)[0]
+    if len(offs) == 3:  # leading validity buffer (doc has NULLs)
+        offs, sizes = offs[1:], sizes[1:]
+    import struct as _struct
+
+    k = _struct.unpack_from("<Q", raw, offs[0])[0]
+    n_blocks = (sizes[0] - 8) // 8
+    reps = [_struct.unpack_from("<Q", raw, offs[0] + 8 + 8 * j)[0]
+            for j in range(n_blocks)]
+    probe = [5, int(k) * 3 + 2]
+    keep = {p // int(k) for p in probe}
+    garbled = bytearray(raw)
+    for j in range(n_blocks):
+        if j not in keep:
+            garbled[offs[1] + reps[j] + 5] ^= 0xFF  # a value byte
+    zv = ln._try_decode_fullzip(
+        bytes(garbled), list(offs), list(sizes), nrows,
+        sel=np.asarray(probe, np.int64))
+    assert [v.decode() for v in zv] == [cols["doc"][p] or "" if
+                                        cols["doc"][p] is not None else ""
+                                        for p in probe]
+
+    # DML delta writes PLAIN pages into the marked column — mixed pages
+    from pyspark.sql import functions as F
+
+    ln.native_update_where(spark, root, "k < 3", {"doc": F.lit("patched")})
+    got2 = {r["k"]: r["doc"] for r in
+            spark.read.format("lance").load(root).collect()}
+    assert got2[1] == "patched" and got2[100] == cols["doc"][100]
+
+    # v1 refuses; append without the marker refuses
+    with pytest.raises(ln.LanceNativeError, match="FILE-v2"):
+        ln.write_native_dataset(
+            str(tmp_path / "fz1.lance"), {"doc": ["a"]},
+            types={"doc": "string"}, fullzip_columns={"doc"})
+    with pytest.raises(ln.LanceNativeError, match="marker"):
+        ln.append_native_rows(
+            root, {"k": [n], "doc": ["z"], "blob": [b"z"]},
+            file_version=2, fullzip_columns={"k"})

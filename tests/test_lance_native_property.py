@@ -513,3 +513,54 @@ def test_v2_miniblock_roundtrip_property(tmp_path, data):
             assert (g == w) or (
                 g is not None and w is not None
                 and isinstance(g, float) and math.isnan(g) and math.isnan(w))
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_v2_fullzip_roundtrip_property(tmp_path, data):
+    """FULL-ZIP pages (length-prefixed zipped values + repetition index,
+    FULLZIP_LAYOUT) must round-trip cell-exact over arbitrary var-width
+    values — NULLs, empties, block-boundary-straddling row counts — and
+    the selective (block-bounded) decode must agree with the full decode
+    at every selected position."""
+    import numpy as np
+
+    n = data.draw(st.integers(1, 400), label="rows")
+    lts = data.draw(
+        st.lists(st.sampled_from(("string", "binary")), min_size=1,
+                 max_size=2),
+        label="types",
+    )
+    cols, types = {}, {}
+    for i, lt in enumerate(lts):
+        cols[f"c{i}"] = data.draw(
+            st.lists(
+                st.one_of(st.none(), _TYPED[lt]), min_size=n, max_size=n
+            ),
+            label=f"c{i}",
+        )
+        types[f"c{i}"] = lt
+    root = str(tmp_path / f"propfz-{next(_SEQ)}")
+    write_native_dataset(
+        root, cols, types=types, file_version=2,
+        fullzip_columns=frozenset(cols),
+    )
+    m = read_native_manifest(root)
+    t = read_native_fragment(root, m.fragments[0], m)
+    sel = data.draw(
+        st.lists(st.integers(0, n - 1), min_size=1, max_size=6,
+                 unique=True).map(sorted),
+        label="sel",
+    )
+    t_sel = read_native_fragment(
+        root, m.fragments[0], m, preselected=np.asarray(sel, np.int64))
+    for i, lt in enumerate(lts):
+        got = t.column(f"c{i}").to_pylist()
+        want = [_norm(lt, v) for v in cols[f"c{i}"]]
+        assert got == want, lt
+        got_sel = t_sel.column(f"c{i}").to_pylist()
+        assert got_sel == [got[j] for j in sel]
