@@ -793,3 +793,53 @@ def passage_dedup(
         )
         .select(id_col, "n_passages", "n_kept", "retained")
     )
+
+
+def exact_substring_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication detection (the suffix-array method of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, re-expressed as a shuffle-on-window-key groupBy): two
+    documents are exact-substring duplicates when they share ANY
+    verbatim run of >= ``window`` characters. Every stride-1 window of
+    each document becomes a key; a key held by >= 2 distinct documents
+    marks a shared run. Returns one row per document that shares at
+    least one run: (id_col, n_dup_windows) where n_dup_windows counts
+    the document's distinct windows that also appear verbatim elsewhere
+    — the document's duplicated-span mass, the quantity the Lee et al.
+    recipe cuts.
+
+    Scale shape: the explode is the honest cost of exact-substring
+    matching (O(total characters) rows — what a distributed suffix
+    array also materializes); everything after is a map-side-combinable
+    groupBy + a semi-join, never an all-pairs join. With
+    ``hash_windows`` (the 100 TB default) only a 64-bit xxhash64 of
+    each window rides the shuffle instead of the window bytes —
+    oracle-gated suite runs pass False so DuckDB can reproduce the keys
+    exactly (no xxhash64 there)."""
+    win = F.explode(F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {window} + 1,"
+        f" 0)), i -> substring({text_col}, i, {window}))")).alias("win")
+    w = (
+        docs.where(F.length(text_col) >= window)
+        .select(F.col(id_col), win)
+        .withColumn("key", F.xxhash64("win") if hash_windows
+                    else F.col("win"))
+        .select(id_col, "key")
+        .distinct()
+    )
+    shared = (
+        w.groupBy("key").agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("key")
+    )
+    return (
+        w.join(shared, "key")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )

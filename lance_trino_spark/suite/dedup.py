@@ -706,3 +706,44 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cdf_delta_only", F.lit(cdf_ok))
         .orderBy("dup_kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# d12 — EXACT-SUBSTRING dedup (the suffix-array method of Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better"): two
+# documents are duplicates when they share ANY verbatim run of >= 64
+# characters; n_dup_windows is the document's duplicated-span mass (the
+# quantity the recipe removes). Spark-first: explode stride-1 windows
+# (the honest O(total chars) cost a distributed suffix array also
+# pays), map-side-combinable groupBy on the window key, semi-join back
+# — never an all-pairs join; at scale only the window's xxhash64 rides
+# the shuffle (hash_windows=True), the oracle-gated run keys on the raw
+# window so DuckDB reproduces it exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "d12_exact_substring_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT doc_id, u.win
+      FROM documents, LATERAL UNNEST(
+        list_transform(range(1, GREATEST(length(text) - 63, 0) + 1),
+                       i -> substr(text, i, 64))) AS u(win)
+      WHERE length(text) >= 64
+    ), g AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+    FROM w JOIN g USING (win)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="dedup: exact-substring duplication (Lee et al. suffix-array "
+        "recipe) — stride-1 64-char windows, shared-run mass per doc, "
+        "groupBy + semi-join shape (no all-pairs)",
+    tags=("dedup", "text", "exact-substring"),
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_substring_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_stats(
+        docs, "doc_id", "text", window=64, hash_windows=False
+    ).orderBy("doc_id")

@@ -877,3 +877,31 @@ def test_capped_sample_per_group_exact_and_bounded(spark):
     n = Counter(src for _, src in got)
     assert n["g0"] == 17 and n["g3"] == 1 and "g2" not in n
     assert n["g1"] == 5000 // 7 + 1  # keep-all cap: whole group survives
+
+
+def test_exact_substring_hash_parity(spark):
+    """The 100 TB key (xxhash64 of the window) and the oracle key (the
+    raw window string) produce identical per-doc duplicated-span mass —
+    the hash only compacts the shuffle, never the answer."""
+    from lance_trino_spark.operators.dedup import exact_substring_stats
+
+    rows = [
+        (0, "A" * 80 + "unique-tail-zero"),
+        (1, "prefix-one " + "A" * 80),          # shares the 80-A run
+        (2, "totally different content " * 6),
+        (3, "totally different content " * 6),  # exact twin of 2
+        (4, "short"),                            # below the window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["n_dup_windows"]
+         for r in exact_substring_stats(docs, window=64,
+                                        hash_windows=True).collect()}
+    b = {r["doc_id"]: r["n_dup_windows"]
+         for r in exact_substring_stats(docs, window=64,
+                                        hash_windows=False).collect()}
+    assert a == b
+    assert set(a) == {0, 1, 2, 3}  # 4 has no 64-char window
+    assert a[2] == a[3]  # exact twins share every window
+    # the 80-A run's 17 stride-1 windows are all the SAME string — the
+    # per-doc distinct() collapses them to one shared window
+    assert a[0] == a[1] == 1
