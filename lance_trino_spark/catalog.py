@@ -801,13 +801,23 @@ class LanceCatalog:
             # to carry bounds (a boundless fragment makes them unknown)
             counted = len(stats) == len(frags) and frags
             bounded = counted and all("min" in s and "max" in s for s in stats)
+            # NDV from the zone maps' HLL registers (numeric/bool columns;
+            # r10): same lossless elementwise-max union as the native
+            # sidecars. A register-less fragment that still has bounds
+            # (pre-register manifest, or a string column) makes NDV
+            # unknown; all-null fragments contribute nothing.
+            from .format.lance_native import hll_ndv_from_hex
+
+            hexes = [s["hll"] for s in stats if "hll" in s]
+            sketched = counted and hexes and all(
+                "hll" in s or "min" not in s for s in stats)
             rows.append((
                 c,
                 ds.count_rows(),
                 str(min(s["min"] for s in stats)) if bounded else None,
                 str(max(s["max"] for s in stats)) if bounded else None,
                 sum(s.get("nulls", 0) for s in stats) if counted else None,
-                None,  # own-format zone maps carry no NDV registers (yet)
+                hll_ndv_from_hex(hexes) if sketched else None,
             ))
         return self.spark.createDataFrame(
             rows,

@@ -34,6 +34,11 @@ _STAT_TYPES = (int, float, str, bool)
 
 _STAT_STRING_BOUND = 256  # stored string bounds are capped at this length
 
+import numpy as _np_lut  # noqa: E402 — module-level LUT for the HLL fold
+
+_HLL_BYTE_LUT = _np_lut.array(
+    [i.bit_length() for i in range(256)], dtype=_np_lut.uint8)
+
 
 def _bounded_str_max(s: str) -> str | None:
     """Sound truncated UPPER bound for a long string: prefix with the last
@@ -51,17 +56,65 @@ def _bounded_str_max(s: str) -> str | None:
     return None
 
 
+def _hll_numeric_update(regs, col, t):
+    """Fold one Arrow numeric/bool column into 256 HLL registers —
+    fully vectorized (splitmix64 over the values' 64-bit canonical
+    patterns; bit-length via a per-byte LUT), so the per-batch cost
+    stays a handful of numpy passes, never a Python loop. String
+    columns are excluded from own-format NDV (no vectorized stable
+    hash without per-value Python) — SHOW STATS reports their NDV as
+    unknown rather than paying a hot-path loop on every fragment
+    write."""
+    import numpy as np
+    import pyarrow as pa
+
+    vals = col.drop_null()
+    if len(vals) == 0:
+        return
+    if pa.types.is_boolean(t):
+        x = vals.to_numpy(zero_copy_only=False).astype(np.uint64)
+    elif pa.types.is_integer(t):
+        x = vals.to_numpy(zero_copy_only=False).astype(
+            np.int64).astype(np.uint64)
+    else:  # floating
+        x = vals.to_numpy(zero_copy_only=False).astype(
+            np.float64).view(np.uint64)
+    # splitmix64 (public-domain mix) — uint64 arithmetic wraps mod 2^64
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = z ^ (z >> np.uint64(31))
+    bucket = (h >> np.uint64(56)).astype(np.int64)
+    w = (h & np.uint64((1 << 56) - 1))
+    # exact vectorized bit_length: most-significant nonzero byte index
+    # * 8 + per-byte LUT (numpy 1.26 has no clz/popcount)
+    b = w.view(np.uint8).reshape(-1, 8)  # little-endian bytes
+    nz = b != 0
+    idx = 7 - np.argmax(nz[:, ::-1], axis=1)
+    blen = np.where(
+        nz.any(axis=1),
+        idx * 8 + _HLL_BYTE_LUT[b[np.arange(len(b)), idx]],
+        0,
+    )
+    rank = (56 - blen + 1).astype(np.uint8)
+    np.maximum.at(regs, bucket, rank)
+
+
 class StatsAccumulator:
     """Exact per-column min/max/null-count over the record batches a
     fragment file is written from — vectorized (`pyarrow.compute.min_max`)
     per batch, constant memory. Only top-level int/float/string/bool
     columns participate; NaN-bearing floats and unboundable strings poison
     their column (conservative: a fragment without stats for a column is
-    never pruned on it)."""
+    never pruned on it). Numeric/bool columns additionally fold into 256
+    HLL registers (vectorized splitmix64) so SHOW STATS can answer NDV
+    estimates from the manifest zone maps with zero data scanned —
+    own-format twin of the native stats sidecars' registers."""
 
     def __init__(self) -> None:
         self._agg: dict = {}
         self._poisoned: set = set()
+        self._hll: dict = {}
 
     def update(self, batch: "pa.RecordBatch") -> None:
         import math
@@ -86,6 +139,11 @@ class StatsAccumulator:
             nulls = col.null_count
             cur = self._agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
             cur["nulls"] += nulls
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                import numpy as _np
+
+                regs = self._hll.setdefault(name, _np.zeros(256, _np.uint8))
+                _hll_numeric_update(regs, col, t)
             if nulls == len(col):
                 continue  # all-null batch: bounds unchanged
             mm = pc.min_max(col)
@@ -117,6 +175,8 @@ class StatsAccumulator:
             if cur["min"] is not None:
                 entry["min"] = cur["min"]
                 entry["max"] = cur["max"]
+            if name in self._hll and self._hll[name].any():
+                entry["hll"] = self._hll[name].tobytes().hex()
             out[name] = entry
         return out
 

@@ -731,3 +731,26 @@ def test_show_stats_ndv_from_sidecars(cat, spark):
     assert got2["k"]["ndv"] is None
     assert got2["k"]["min_value"] == "0"
     assert got2["tag"]["ndv"] == 7  # other column unaffected
+
+
+def test_show_stats_ndv_own_format(cat, spark):
+    """Own-format zone maps carry HLL registers for numeric/bool columns
+    (vectorized splitmix64 fold): SHOW STATS answers NDV from the
+    manifest alone, unions losslessly across fragments, and reports
+    unknown for string columns (no registers) rather than wrong."""
+    cat.sql("CREATE SCHEMA nv")
+    spark.range(2000).selectExpr(
+        "id % 400 AS k", "id % 2 = 0 AS flag",
+        "CAST(id % 25 AS DOUBLE) / 4.0 AS x",
+        "concat('t', id % 9) AS tag",
+    ).createOrReplaceTempView("_nv_src")
+    cat.sql("CREATE TABLE nv.t AS SELECT * FROM _nv_src")
+    # overlapping second fragment: union counts the overlap once
+    cat.sql("INSERT INTO nv.t SELECT * FROM _nv_src")
+    got = {r["column"]: r for r in cat.sql("SHOW STATS nv.t").collect()}
+    assert got["k"]["row_count"] == 4000
+    assert abs(got["k"]["ndv"] - 400) <= 40   # ~6.5% stderr at p=8
+    assert got["flag"]["ndv"] == 2
+    assert abs(got["x"]["ndv"] - 25) <= 3
+    assert got["tag"]["ndv"] is None          # strings: no registers
+    assert got["tag"]["min_value"] == "t0"    # bounds still served
