@@ -201,7 +201,197 @@ final class LanceDvScan {
     }
     return new DvScanBuilder((FileScanBuilder) delegateBuilder, tableSchema,
         dvFiles(tableDir, manifest), fragIdsByBase(manifest), tableName,
-        liveRows);
+        liveRows, columnNdvStats(manifest, tableSchema));
+  }
+
+  /* ---- CBO column statistics from the manifest zone maps --------------
+   * The reference feeds Trino's CBO rowCount only
+   * (LanceMetadata.java:561-588); this goes further: per-column
+   * distinct-count estimates from the fragments' HLL registers (256
+   * registers per numeric/bool column, written by StatsAccumulator,
+   * unioned losslessly by elementwise max) plus exact null counts —
+   * surfaced to Catalyst via SupportsReportStatistics so join
+   * reordering sees real NDVs when spark.sql.cbo.enabled is on. A
+   * column is reported only when EVERY fragment that has bounds also
+   * carries registers (a register-less bounded fragment — e.g. a
+   * pre-register manifest or a JVM-INSERT fragment — makes the column
+   * unknown rather than wrong). */
+  static HashMap<String, long[]> columnNdvStats(JsonNode manifest,
+      StructType tableSchema) {
+    HashMap<String, long[]> out = new HashMap<>();
+    ArrayNode frags = (ArrayNode) manifest.get("fragments");
+    for (StructField f : tableSchema.fields()) {
+      String c = f.name();
+      byte[] regs = null;
+      long nulls = 0;
+      boolean ok = frags.size() > 0;
+      for (JsonNode frag : frags) {
+        JsonNode stats = frag.get("stats");
+        JsonNode s = (stats == null || stats.isNull()) ? null : stats.get(c);
+        if (s == null || s.isNull()) {
+          ok = false;
+          break;
+        }
+        nulls += s.path("nulls").asLong();
+        if (s.has("hll")) {
+          byte[] r = hexToBytes(s.get("hll").asText());
+          if (regs == null) {
+            regs = r;
+          } else {
+            for (int i = 0; i < regs.length && i < r.length; i++) {
+              if (r[i] > regs[i]) {
+                regs[i] = r[i];
+              }
+            }
+          }
+        } else if (s.has("min")) {
+          ok = false; // bounded but register-less: unknown, never wrong
+          break;
+        }
+      }
+      if (ok && regs != null) {
+        out.put(c, new long[] {hllEstimate(regs), nulls});
+      }
+    }
+    return out;
+  }
+
+  static byte[] hexToBytes(String hex) {
+    byte[] out = new byte[hex.length() / 2];
+    for (int i = 0; i < out.length; i++) {
+      out[i] = (byte) Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16);
+    }
+    return out;
+  }
+
+  /** Standard HLL estimator + linear-counting small-range correction —
+   *  the Java twin of format/lance_native.py hll_ndv_from_hex. */
+  static long hllEstimate(byte[] regs) {
+    int m = regs.length;
+    double sum = 0;
+    int zeros = 0;
+    for (byte b : regs) {
+      int v = b & 0xFF;
+      sum += Math.pow(2.0, -v);
+      if (v == 0) {
+        zeros++;
+      }
+    }
+    double alpha = 0.7213 / (1 + 1.079 / m);
+    double est = alpha * m * m / sum;
+    if (est <= 2.5 * m && zeros > 0) {
+      est = m * Math.log((double) m / zeros);
+    }
+    return Math.round(est);
+  }
+
+  /** Forwarding Scan that adds manifest-derived Statistics (rowCount +
+   *  per-column NDV/null-count). Applied ONLY when spark.sql.cbo.enabled
+   *  — the default plan tree stays byte-identical otherwise. Runtime
+   *  filtering (DPP) is forwarded so wrapping never costs the delegate's
+   *  capabilities. */
+  static final class StatsScan implements Scan,
+      org.apache.spark.sql.connector.read.SupportsReportStatistics,
+      org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    private final Scan inner;
+    private final long rows;
+    private final HashMap<String, long[]> colNdv;
+
+    StatsScan(Scan inner, long rows, HashMap<String, long[]> colNdv) {
+      this.inner = inner;
+      this.rows = rows;
+      this.colNdv = colNdv;
+    }
+
+    @Override
+    public StructType readSchema() {
+      return inner.readSchema();
+    }
+
+    @Override
+    public String description() {
+      return inner.description();
+    }
+
+    @Override
+    public Batch toBatch() {
+      return inner.toBatch();
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.expressions.NamedReference[]
+        filterAttributes() {
+      if (inner instanceof
+          org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering f) {
+        return f.filterAttributes();
+      }
+      return new org.apache.spark.sql.connector.expressions.NamedReference[0];
+    }
+
+    @Override
+    public void filter(Predicate[] predicates) {
+      if (inner instanceof
+          org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering f) {
+        f.filter(predicates);
+      }
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.read.Statistics estimateStatistics() {
+      final java.util.OptionalLong size;
+      if (inner instanceof
+          org.apache.spark.sql.connector.read.SupportsReportStatistics s) {
+        size = s.estimateStatistics().sizeInBytes();
+      } else {
+        size = java.util.OptionalLong.empty();
+      }
+      final java.util.Map<
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics>
+          cols = new HashMap<>();
+      for (StructField f : inner.readSchema().fields()) {
+        long[] st = colNdv.get(f.name());
+        if (st == null) {
+          continue;
+        }
+        final long ndv = st[0];
+        final long nulls = st[1];
+        cols.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+                .column(f.name()),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics() {
+              @Override
+              public java.util.OptionalLong distinctCount() {
+                return java.util.OptionalLong.of(ndv);
+              }
+
+              @Override
+              public java.util.OptionalLong nullCount() {
+                return java.util.OptionalLong.of(nulls);
+              }
+            });
+      }
+      return new org.apache.spark.sql.connector.read.Statistics() {
+        @Override
+        public java.util.OptionalLong sizeInBytes() {
+          return size;
+        }
+
+        @Override
+        public java.util.OptionalLong numRows() {
+          return java.util.OptionalLong.of(rows);
+        }
+
+        @Override
+        public java.util.Map<
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics>
+            columnStats() {
+          return cols;
+        }
+      };
+    }
   }
 
   /** Passes column pruning and catalyst filter pushdown through to the
@@ -221,18 +411,29 @@ final class LanceDvScan {
     private boolean aggPushed;
 
     private final long liveRows;
+    private final HashMap<String, long[]> colNdv;
     private boolean filtersSeen;
     private boolean countStarPushed;
 
     DvScanBuilder(FileScanBuilder delegate, StructType tableSchema,
         HashMap<String, String> dvFiles,
-        HashMap<String, Long> fragIds, String tableName, long liveRows) {
+        HashMap<String, Long> fragIds, String tableName, long liveRows,
+        HashMap<String, long[]> colNdv) {
       this.delegate = delegate;
       this.tableSchema = tableSchema;
       this.dvFiles = dvFiles;
       this.fragIds = fragIds;
       this.tableName = tableName;
       this.liveRows = liveRows;
+      this.colNdv = colNdv;
+    }
+
+    /** CBO-only stats wrapper (no-op at default confs so every existing
+     *  plan stays byte-identical). NOT applied above pushed aggregates
+     *  (their schema is no longer the table's columns). */
+    private Scan withStats(Scan s) {
+      boolean cbo = org.apache.spark.sql.internal.SQLConf.get().cboEnabled();
+      return cbo ? new StatsScan(s, liveRows, colNdv) : s;
     }
 
     @Override
@@ -350,7 +551,9 @@ final class LanceDvScan {
       }
       Scan inner = delegate.build();
       if (!addrRequested && dvFiles.isEmpty()) {
-        return inner; // plain vectorized parquet scan, untouched
+        // plain vectorized parquet scan, untouched (stats wrapper only
+        // under spark.sql.cbo.enabled — see withStats)
+        return withStats(inner);
       }
       // delegate emits readDataSchema order (dataSchema-ordered) with the
       // row-index field somewhere inside — locate it, surface the rest
@@ -378,7 +581,7 @@ final class LanceDvScan {
           : dataSchema;
       final boolean addr = addrRequested;
       final int ordinal = rowIdxOrdinal;
-      return new Scan() {
+      return withStats(new Scan() {
         @Override
         public StructType readSchema() {
           return outSchema;
@@ -433,7 +636,7 @@ final class LanceDvScan {
             }
           };
         }
-      };
+      });
     }
   }
 

@@ -380,6 +380,29 @@ def main() -> None:
     ).collect()[0][0]
     check("jvm-native-joins-own-format", nj > 0, f"n={nj}")
 
+    # CBO column statistics (r10): with spark.sql.cbo.enabled the scan
+    # reports per-column NDV (zone-map HLL registers) + null counts to
+    # Catalyst — the join-reordering input beyond the reference's
+    # rowCount floor. Default confs stay byte-identical (the wrapper is
+    # conf-gated), which every earlier plan check in this smoke pins.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        df = spark.sql("SELECT id FROM lance.main.addr")
+        st = df._jdf.queryExecution().optimizedPlan().stats()
+        got_rows = st.rowCount().isDefined()
+        ndvs = {}
+        it = st.attributeStats().iterator()
+        while it.hasNext():
+            kv = it.next()
+            cs = kv._2()
+            if cs.distinctCount().isDefined():
+                ndvs[kv._1().name()] = int(str(cs.distinctCount().get()))
+        check("jvm-cbo-column-ndv",
+              got_rows and "id" in ndvs and ndvs["id"] > 0,
+              f"ndvs={ndvs}")
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+
     spark.stop()
     if failures:
         print(f"== SMOKE FAILED: {failures} ==")
