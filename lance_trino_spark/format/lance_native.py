@@ -3710,6 +3710,24 @@ def foreach_batch_native_sink(
     return _sink
 
 
+def _marker_encoding_names(m: NativeManifest) -> tuple:
+    """(dictionary, miniblock, fullzip) column-name sets derived from the
+    MANIFEST field markers — so EVERY v2 write path (DML deltas,
+    executor staging, compaction, merge) emits the dataset's declared
+    encodings, not just create/append. A path that can't (v1 flavor)
+    simply mixes plain pages, which the marker-gated readers accept."""
+    dc, mb, fz = set(), set(), set()
+    for f in m.top_level_fields():
+        md = f.metadata or {}
+        if md.get(DICTIONARY_METADATA_KEY) == DICTIONARY_LAYOUT_V2:
+            dc.add(f.name)
+        if md.get(MINIBLOCK_METADATA_KEY) == MINIBLOCK_LAYOUT:
+            mb.add(f.name)
+        if md.get(FULLZIP_METADATA_KEY) == FULLZIP_LAYOUT:
+            fz.add(f.name)
+    return frozenset(dc), frozenset(mb), frozenset(fz)
+
+
 def stage_native_fragments(
     df, root: str, m: "NativeManifest", file_version: int,
     rows_per_fragment: int = 1_000_000,
@@ -3738,8 +3756,12 @@ def stage_native_fragments(
         # bounded page memory on write AND the unit of the reader's
         # page-skip late materialization — a point probe on a staged
         # fragment touches O(pages hit), not the whole column
+        _dc, _mb, _fz = _marker_encoding_names(m)
+
         def writer(r, s):
-            return _write_v2_data_file(r, s, page_rows=8192)
+            return _write_v2_data_file(
+                r, s, page_rows=8192, dictionary_names=_dc,
+                miniblock_names=_mb, fullzip_names=_fz)
     else:
         writer = _write_v1_data_file
 
@@ -3901,9 +3923,15 @@ def native_update_where(
             return m.version
         # replacement fragment in the dataset's own file flavor, encoded
         # with the dataset's OWN logical types (schema-driven specs)
-        writer = (
-            _write_v2_data_file if file_version == 2
-            else _write_v1_data_file)
+        if file_version == 2:
+            _dc, _mb, _fz = _marker_encoding_names(m)
+
+            def writer(r, s):
+                return _write_v2_data_file(
+                    r, s, dictionary_names=_dc, miniblock_names=_mb,
+                    fullzip_names=_fz)
+        else:
+            writer = _write_v1_data_file
         staged = [writer(root, _specs_for_manifest(m, new_cols))]
     frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
     next_id = _next_fragment_id(m)
@@ -4000,9 +4028,15 @@ def native_merge_into(
                 new_cols[c].append(v)
         if n_src == 0:
             return m.version
-        writer = (
-            _write_v2_data_file if file_version == 2
-            else _write_v1_data_file)
+        if file_version == 2:
+            _dc, _mb, _fz = _marker_encoding_names(m)
+
+            def writer(r, s):
+                return _write_v2_data_file(
+                    r, s, dictionary_names=_dc, miniblock_names=_mb,
+                    fullzip_names=_fz)
+        else:
+            writer = _write_v1_data_file
         staged = [writer(root, _specs_for_manifest(m, new_cols))]
     frag_entries = _stage_deletion_entries(root, m, rows_by_fragment)
     next_id = _next_fragment_id(m)
@@ -4363,10 +4397,18 @@ def native_compact(
                 key=lambda i: (merged[sort_by][i] is None,
                                merged[sort_by][i]))
             merged = {c: [v[i] for i in order] for c, v in merged.items()}
+        if file_version == 2:
+            _dc, _mb, _fz = _marker_encoding_names(m)
+
+            def _w2(r, s):
+                return _write_v2_data_file(
+                    r, s, dictionary_names=_dc, miniblock_names=_mb,
+                    fullzip_names=_fz)
+            _w = _w2
+        else:
+            _w = _write_v1_data_file
         staged = (
-            [(_write_v2_data_file if file_version == 2
-              else _write_v1_data_file)(
-                  root, _specs_for_manifest(m, merged))]
+            [_w(root, _specs_for_manifest(m, merged))]
             if merged[data_cols[0]] else []
         )
     next_id = _next_fragment_id(m)

@@ -3691,3 +3691,38 @@ def test_v2_fullzip_roundtrip_and_block_bounded_reads(tmp_path, spark):
         ln.append_native_rows(
             root, {"k": [n], "doc": ["z"], "blob": [b"z"]},
             file_version=2, fullzip_columns={"k"})
+
+
+def test_marker_encodings_follow_dml_deltas(tmp_path, spark):
+    """Every v2 write path honors the dataset's declared structural
+    encodings (r10): a DML delta / staged fragment of a
+    miniblock-marked column is itself MINIBLOCK-encoded (verified by
+    buffer shape), while a marker-less plain append still mixes freely
+    — the fall-through path the readers keep."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format import lance_native as ln
+
+    root = str(tmp_path / "mdml.lance")
+    n = 600
+    ln.write_native_dataset(
+        root, {"k": list(range(n)), "v": [i * 3 for i in range(n)]},
+        file_version=2, miniblock_columns={"k", "v"})
+    ln.native_update_where(spark, root, "k < 100",
+                           {"v": F.lit(-1).cast("long")})
+    m = ln.read_native_manifest(root)
+    kf = next(f for f in m.top_level_fields() if f.name == "k")
+    # the UPDATE's delta fragment is the newest one
+    delta = m.fragments[-1]
+    dfile, ci = delta.file_for_field(kf.id)
+    raw = open(os.path.join(root, "data", dfile.path), "rb").read()
+    offs, sizes, nrows = ln._v2_pages(raw, ci)[0]
+    assert ln._try_decode_miniblock(
+        raw, list(offs), list(sizes), nrows, "int64") is not None
+    # plain pages still mix: an append without miniblock_columns
+    ln.append_native_rows(root, {"k": [n], "v": [0]}, file_version=2)
+    got = {r["k"]: r["v"] for r in
+           spark.read.format("lance").load(root).collect()}
+    assert got[5] == -1 and got[200] == 600 and got[n] == 0
