@@ -129,6 +129,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat27_sql_native_vector_search",
     "lf45_native_v2_fullzip",
     "d12_exact_substring_dedup",
+    "cat28_cbo_column_statistics",
     # changed-code re-checks (rotation rule: changed code outranks
     # staleness): cat24 output gained ndv_ok, st10 search path gained
     # the exact-dup short-circuit, cat22 CTAS gained cross-format guards

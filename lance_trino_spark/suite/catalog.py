@@ -1694,3 +1694,86 @@ def cat27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boolean, ensure_noop_when_covered boolean, served_after_rebuild "
         "boolean",
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# cat28 — zone-map NDV feeds Spark's CBO (r10): with spark.sql.cbo.enabled
+# the JVM catalog's scans report per-column distinct-count estimates
+# (fragment HLL registers, lossless union) + null counts + deletion-aware
+# rowCount through SupportsReportStatistics, and Catalyst's optimized
+# plan carries them as attributeStats — the join-reordering input beyond
+# the reference's rowCount floor (LanceMetadata.java:561-588). The query
+# asserts the propagated NDVs are real (within 15% of exact) and returns
+# an oracle-checked join aggregate computed UNDER CBO.
+# ---------------------------------------------------------------------------
+@register(
+    "cat28_cbo_column_statistics",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o.o_custkey) AS BIGINT) AS cust_sum,
+           TRUE AS ndv_propagated
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 400 AND o.o_orderkey < 3000
+    GROUP BY o.o_orderstatus
+    ORDER BY status
+    """,
+    doc="catalog: CBO column statistics — zone-map HLL NDVs propagate "
+        "into Catalyst attributeStats under spark.sql.cbo.enabled; join "
+        "values oracle-exact under CBO",
+    tags=("catalog", "jvm", "stats", "cbo", "ndv"),
+)
+def cat28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat28-cbo")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "sales"))
+    from ..format.dataset import LanceDataset
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        "o_orderkey < 3000").select(
+        "o_orderkey", "o_custkey", "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").where(
+        "c_custkey < 400").select("c_custkey", "c_nationkey")
+    LanceDataset.create(os.path.join(root, "sales", "ord.lance"), orders)
+    LanceDataset.create(os.path.join(root, "sales", "cust.lance"), cust)
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_cbo", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_cbo.root", root)
+
+    exact_ok = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        df = spark.sql(
+            "SELECT o.o_orderstatus AS status, COUNT(*) AS n,"
+            "       CAST(SUM(o.o_custkey) AS BIGINT) AS cust_sum"
+            " FROM lance_cbo.sales.ord o"
+            " JOIN lance_cbo.sales.cust c ON o.o_custkey = c.c_custkey"
+            " GROUP BY o.o_orderstatus ORDER BY status")
+        # proof: Catalyst's optimized plan carries real per-column NDVs
+        scan = spark.sql(
+            "SELECT o_custkey FROM lance_cbo.sales.ord")
+        st = scan._jdf.queryExecution().optimizedPlan().stats()
+        ndvs = {}
+        it = st.attributeStats().iterator()
+        while it.hasNext():
+            kv = it.next()
+            cs = kv._2()
+            if cs.distinctCount().isDefined():
+                ndvs[kv._1().name()] = int(str(cs.distinctCount().get()))
+        got_ndv = ndvs.get("o_custkey")
+        propagated = (
+            st.rowCount().isDefined()
+            and got_ndv is not None
+            and abs(got_ndv - exact_ok) <= max(2, exact_ok * 15 // 100))
+        rows = df.collect()  # materialize UNDER CBO
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+    return spark.createDataFrame(
+        [(r["status"], r["n"], r["cust_sum"], bool(propagated))
+         for r in rows],
+        "status string, n long, cust_sum long, ndv_propagated boolean",
+    ).orderBy("status")
