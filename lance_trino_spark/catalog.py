@@ -915,13 +915,8 @@ class LanceCatalog:
             # accelerates its covered fragments, an exact arm covers
             # appended-after-build fragments, stale hits (deleted rows /
             # compacted fragments) are dropped — SQL users never see
-            # stale ANN. Prefilter stays an own-format feature for now
-            # (loud refusal, never silent post-filtering).
-            if prefilter is not None:
-                raise CatalogError(
-                    "VECTOR SEARCH WHERE prefilter is not supported on "
-                    "native tables yet — filter the result or use an "
-                    "own-format table")
+            # stale ANN. WHERE prefilter is TRUE-prefilter (allowed sets
+            # computed before any top-k; scalar indexes compose).
             from .format.lance_native import (
                 native_spark_schema, native_vector_search_fresh,
                 read_native_fragment, read_native_manifest)
@@ -936,7 +931,8 @@ class LanceCatalog:
             qids = [r["query_id"] for r in qrows]
             qvecs = [[float(x) for x in r[col]] for r in qrows]
             res = native_vector_search_fresh(
-                np_, col, qvecs, k=k, nprobe=nprobe, spark=self.spark)
+                np_, col, qvecs, k=k, nprobe=nprobe, spark=self.spark,
+                prefilter=prefilter)
             live = read_native_manifest(np_)
             id_fields = [f for f in native_spark_schema(live).fields
                          if f.name != col]

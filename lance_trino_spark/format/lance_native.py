@@ -4817,6 +4817,7 @@ def native_index_search(
     refine_factor: int | None = None,
     skip_missing_fragments: bool = False,
     mask_deletions: bool = False,
+    allowed_by_fragment: dict | None = None,
 ):
     """ANN over a persisted `.lance` vector index: per query, probe the
     ``nprobe`` nearest IVF cells (L2 to centroids), range-read ONLY those
@@ -4931,9 +4932,17 @@ def native_index_search(
                 if not live_m.all():
                     exact[order[pos:end][~live_m]] = np.inf
                     stale_dropped += int((~live_m).sum())
-                if not live_m.any():
-                    pos = end
-                    continue
+            if allowed_by_fragment is not None:
+                # prefilter mask: candidates outside the allowed set are
+                # EXCLUDED (not stale — they exist, they just don't match)
+                al = allowed_by_fragment.get(int(fid))
+                al_m = (np.isin(grp_rows, al) if al is not None
+                        else np.zeros(len(grp_rows), dtype=bool))
+                exact[order[pos:end][~al_m]] = np.inf
+                live_m = al_m if live_m is None else (live_m & al_m)
+            if live_m is not None and not live_m.any():
+                pos = end
+                continue
             nfield = next(
                 f for f in manifest.top_level_fields()
                 if f.name == index.column)
@@ -5247,6 +5256,53 @@ def ensure_native_vector_index(
         root, column, n_cells=n_cells, nsub=nsub, spark=spark, **kw)
 
 
+def _native_prefilter_rows(root: str, live: NativeManifest,
+                           prefilter: tuple) -> dict:
+    """{fragment_id -> sorted int64 physical rows matching the prefilter}
+    for every LIVE fragment — TRUE-prefilter semantics (the allowed set
+    is computed BEFORE any top-k, so recall over the filtered population
+    equals unfiltered recall; post-filtering a shortlist cannot
+    guarantee that). The newest scalar index on the filter column serves
+    its covered fragments page-bounded (the two index kinds COMPOSE, the
+    flagship LanceDB query shape); uncovered fragments fall back to one
+    bounded single-column read each. Fragments with no match map to an
+    empty array — they contribute nothing anywhere downstream."""
+    import numpy as np
+
+    pcol, pvals = prefilter
+    if pcol not in {f.name for f in live.top_level_fields()}:
+        raise LanceNativeError(f"no such prefilter column: {pcol!r}")
+    live_ids = {f.id for f in live.fragments}
+    out: dict[int, "np.ndarray"] = {
+        fid: np.empty(0, dtype=np.int64) for fid in live_ids}
+    covered: frozenset = frozenset()
+    sidx = None
+    for i in reversed(list_native_scalar_indices(root)):
+        if i.column == pcol:
+            sidx = i
+            break
+    if sidx is not None:
+        rows_by_frag, _stats = scalar_index_lookup(
+            sidx, eq_values=list(pvals))
+        covered = sidx.covered_fragments
+        for fid, rows in rows_by_frag.items():
+            if fid in live_ids:
+                out[int(fid)] = np.asarray(rows, dtype=np.int64)
+    pv = set(pvals)
+    frag_by_id = {f.id: f for f in live.fragments}
+    for fid in sorted(live_ids - covered):
+        frag = frag_by_id[fid]
+        tbl = read_native_fragment(
+            root, frag, live, columns=[pcol], with_row_address=True)
+        vals = tbl.column(pcol).to_pylist()
+        addr = np.asarray(tbl.column("_row_address").combine_chunks(),
+                          dtype=np.uint64)
+        rows = (addr & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        m2 = np.asarray([v in pv for v in vals], dtype=bool)
+        out[fid] = np.sort(rows[m2])
+    return out
+
+
 def native_vector_search_fresh(
     root: str,
     column: str,
@@ -5256,6 +5312,7 @@ def native_vector_search_fresh(
     refine_factor: int | None = None,
     max_candidates: int = 200_000,
     spark=None,
+    prefilter: tuple | None = None,
 ):
     """LIVE-snapshot vector search: the index is an ACCELERATOR, never a
     snapshot. The reference never serves stale ANN because Lance SDK
@@ -5293,12 +5350,18 @@ def native_vector_search_fresh(
                if idx is not None else frozenset())
     live_ids = {f.id for f in live.fragments}
     uncovered = sorted(live_ids - covered)
+    # TRUE-prefilter allowed sets (see _native_prefilter_rows): computed
+    # ONCE against the live manifest, masking BOTH arms below
+    allowed_by_frag = (
+        _native_prefilter_rows(root, live, prefilter)
+        if prefilter is not None else None)
 
     if idx is not None:
         ann = native_index_search(
             root, idx, q, k=k, nprobe=nprobe, manifest=live,
             refine_factor=refine_factor, max_candidates=max_candidates,
-            skip_missing_fragments=True, mask_deletions=True)
+            skip_missing_fragments=True, mask_deletions=True,
+            allowed_by_fragment=allowed_by_frag)
     else:
         ann = [{"neighbors": [], "distances": [], "cells_probed": 0,
                 "n_candidates": 0, "n_refined": 0, "stale_dropped": 0,
@@ -5328,9 +5391,15 @@ def native_vector_search_fresh(
             .option("fragments", ",".join(str(i) for i in uncovered))
             .option("row_address", "true")
             .load(root)
-            .select(column, "_row_address")
+            .select(column, "_row_address",
+                    *((prefilter[0],) if prefilter is not None else ()))
             .where(f"{column} IS NOT NULL")
         )
+        if prefilter is not None:
+            from pyspark.sql import functions as _F
+
+            df = df.where(_F.col(prefilter[0]).isin(
+                list(prefilter[1]))).select(column, "_row_address")
         qb, kk, dim = q, k, q.shape[1]
 
         def _topk(batches):
@@ -5374,8 +5443,13 @@ def native_vector_search_fresh(
         vecs_parts, addr_parts = [], []
         for fid in uncovered:
             frag = frag_by_id[fid]
+            pre = (None if allowed_by_frag is None
+                   else allowed_by_frag.get(fid))
+            if pre is not None and len(pre) == 0:
+                continue  # prefilter matched nothing in this fragment
             tbl = read_native_fragment(
-                root, frag, live, columns=[column], with_row_address=True)
+                root, frag, live, columns=[column], with_row_address=True,
+                preselected=pre)
             col = tbl.column(column).combine_chunks()
             addr = np.asarray(tbl.column("_row_address").combine_chunks(),
                               dtype=np.uint64)

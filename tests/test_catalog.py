@@ -754,3 +754,39 @@ def test_show_stats_ndv_own_format(cat, spark):
     assert abs(got["x"]["ndv"] - 25) <= 3
     assert got["tag"]["ndv"] is None          # strings: no registers
     assert got["tag"]["min_value"] == "t0"    # bounds still served
+
+
+def test_sql_vector_search_native_prefilter(cat, spark):
+    """`VECTOR SEARCH ... WHERE col IN (...)` on a NATIVE table is
+    TRUE-prefilter through the live-snapshot search — only matching rows
+    compete, including appended-after-build ones."""
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows, ensure_native_vector_index,
+        write_native_dataset)
+
+    cat.sql("CREATE SCHEMA pf")
+    loc = cat.namespace.declare_table("pf", "t")
+    rng = np.random.default_rng(41)
+    n, dim = 200, 8
+    vecs = rng.normal(size=(n + 10, dim)).astype(np.float32)
+    write_native_dataset(loc, {
+        "vid": list(range(n)),
+        "lab": [f"g{i % 2}" for i in range(n)],
+        "emb": [[float(x) for x in r] for r in vecs[:n]],
+    })
+    ensure_native_vector_index(loc, "emb", n_cells=4, nsub=4)
+    append_native_rows(loc, {  # post-build, labelled g1
+        "vid": list(range(n, n + 10)),
+        "lab": ["g1"] * 10,
+        "emb": [[float(x) for x in r] for r in vecs[n:]]})
+    spark.createDataFrame(
+        [(0, [float(x) for x in vecs[n + 3]])],  # an appended g1 row
+        "query_id long, emb array<float>").createOrReplaceTempView("_pfq")
+    cat.sql("CREATE TABLE pf.q AS SELECT * FROM _pfq")
+    hits = cat.sql(
+        "VECTOR SEARCH pf.t (emb) USING pf.q TOP 3 NPROBE 4 "
+        "WHERE lab IN ('g1')").collect()
+    assert [r["vid"] for r in hits][0] == n + 3  # fresh self-match
+    assert all(r["lab"] == "g1" for r in hits)

@@ -3726,3 +3726,67 @@ def test_marker_encodings_follow_dml_deltas(tmp_path, spark):
     got = {r["k"]: r["v"] for r in
            spark.read.format("lance").load(root).collect()}
     assert got[5] == -1 and got[200] == 600 and got[n] == 0
+
+
+def test_native_filtered_fresh_search(tmp_path, spark):
+    """TRUE-prefilter on the live-snapshot native search: only rows
+    matching the metadata filter compete for top-k, across BOTH arms
+    (index-covered and appended-after-build fragments); the scalar
+    index on the filter column composes when present; deleted rows
+    never resurface. At nprobe=all the filtered result is EXACTLY the
+    brute-force top-k over the allowed live population."""
+    import numpy as np
+
+    from lance_trino_spark.format import lance_native as ln
+
+    rng = np.random.default_rng(31)
+    n, dim = 300, 8
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = [f"g{i % 3}" for i in range(n)]
+    root = str(tmp_path / "pf.lance")
+    ln.write_native_dataset(root, {
+        "vid": list(range(n)),
+        "lab": labels,
+        "emb": [[float(x) for x in r] for r in base],
+    })
+    ln.ensure_native_vector_index(root, "emb", n_cells=4, nsub=4)
+    extra = rng.normal(size=(30, dim)).astype(np.float32)
+    xlabels = [f"g{i % 3}" for i in range(n, n + 30)]
+    ln.append_native_rows(root, {
+        "vid": list(range(n, n + 30)), "lab": xlabels,
+        "emb": [[float(x) for x in r] for r in extra]})
+    ln.native_delete(root, {1: [0]})  # vid 300 (lab g0) deleted
+
+    all_v = np.vstack([base, extra])
+    all_lab = labels + xlabels
+    alive = [i for i in range(n + 30) if i != n]
+
+    def brute(qv, lab, k):
+        cand = [i for i in alive if all_lab[i] == lab]
+        d = [(((all_v[i] - qv) ** 2).sum(), i) for i in cand]
+        d.sort()
+        return [i for _, i in d[:k]]
+
+    def addr_to_vid(a):
+        return (a & 0xFFFFFFFF) + (0 if (a >> 32) == 0 else n)
+
+    for qi, lab in ((17, "g1"), (305, "g0"), (299, "g2")):
+        qv = all_v[qi]
+        res = ln.native_vector_search_fresh(
+            root, "emb", qv, k=5, nprobe=4, prefilter=("lab", [lab]))
+        got = [addr_to_vid(a) for a in res[0]["neighbors"]]
+        assert got == brute(qv, lab, 5), (qi, lab)
+        assert all(all_lab[v] == lab for v in got)
+        assert 300 not in got  # the deleted row
+
+    # scalar index on the filter column composes (same values)
+    ln.ensure_native_scalar_index(root, "lab")
+    res2 = ln.native_vector_search_fresh(
+        root, "emb", all_v[17], k=5, nprobe=4,
+        prefilter=("lab", ["g1"]))
+    assert [addr_to_vid(a) for a in res2[0]["neighbors"]] == brute(
+        all_v[17], "g1", 5)
+    # unknown filter column refuses loudly
+    with pytest.raises(ln.LanceNativeError, match="prefilter"):
+        ln.native_vector_search_fresh(
+            root, "emb", all_v[0], k=2, prefilter=("nope", [1]))
