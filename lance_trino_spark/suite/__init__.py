@@ -130,6 +130,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf45_native_v2_fullzip",
     "d12_exact_substring_dedup",
     "cat28_cbo_column_statistics",
+    "s15_native_filtered_fresh_search",
     # changed-code re-checks (rotation rule: changed code outranks
     # staleness): cat24 output gained ndv_ok, st10 search path gained
     # the exact-dup short-circuit, cat22 CTAS gained cross-format guards

@@ -905,3 +905,84 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# s15 — FILTERED live-snapshot vector search on a NATIVE dataset (r10:
+# the flagship LanceDB query shape composed with the freshening): only
+# rows matching the metadata prefilter compete for top-k — TRUE
+# prefilter (allowed sets computed before any top-k, so recall over the
+# filtered population equals unfiltered recall), across BOTH arms:
+# index-covered fragments AND fragments appended after the build. The
+# proof columns pin self-match-through-filter on appended rows and
+# exact parity with brute force over the allowed live population.
+# ---------------------------------------------------------------------------
+@register(
+    "s15_native_filtered_fresh_search",
+    oracle="""
+    SELECT vec_id AS query_id,
+           vec_id AS live_self_match,
+           TRUE AS hits_match_filter,
+           TRUE AS brute_force_parity
+    FROM embeddings WHERE vec_id BETWEEN 350 AND 354
+    ORDER BY query_id
+    """,
+    doc="similarity: filtered (prefilter) live-snapshot ANN on a native "
+        "dataset — appended rows found through the filter, result == "
+        "brute force over the allowed population",
+    tags=("similarity", "ann", "lance-native", "prefilter", "freshness"),
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..format.lance_native import (
+        append_native_rows, ensure_native_vector_index,
+        native_vector_search_fresh, write_native_dataset)
+    from .lance_format import _fresh_path
+
+    path = _fresh_path(sf_dir, "s15-filtered-fresh")
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", "label", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "vec_id": [int(r["vec_id"]) for r in rs],
+        "label": [int(r["label"]) for r in rs],
+        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
+    }
+    write_native_dataset(path, cols(rows[:350]))
+    ensure_native_vector_index(path, "embedding", n_cells=4, nsub=8)
+    append_native_rows(path, cols(rows[350:]))  # AFTER the build
+
+    vecs = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+    labs = [int(r["label"]) for r in rows]
+
+    def addr_to_vid(a: int) -> int:
+        return (a & 0xFFFFFFFF) + (0 if (a >> 32) == 0 else 350)
+
+    k = 4
+    out = []
+    for qv_i in range(350, 355):
+        lab = labs[qv_i]
+        res = native_vector_search_fresh(
+            path, "embedding", vecs[qv_i], k=k, nprobe=4,
+            prefilter=("label", [lab]))[0]
+        got = [addr_to_vid(a) for a in res["neighbors"]]
+        cand = [i for i in range(400) if labs[i] == lab]
+        d = sorted((float(((vecs[i] - vecs[qv_i]) ** 2).sum()), i)
+                   for i in cand)
+        want = [i for _, i in d[:k]]
+        out.append((
+            qv_i,
+            got[0] if got else -1,
+            bool(all(labs[v] == lab for v in got)),
+            bool(got == want),
+        ))
+    return spark.createDataFrame(
+        out,
+        "query_id long, live_self_match long, hits_match_filter boolean, "
+        "brute_force_parity boolean",
+    ).orderBy("query_id")
