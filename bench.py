@@ -172,6 +172,11 @@ DEFAULT_QUERIES = [
     "cat25_sql_native_conditional_merge",
     "lf44_native_v2_miniblock",
     "cat26_spark_sql_native_table",
+    "cat27_sql_native_vector_search",
+    "lf45_native_v2_fullzip",
+    "d12_exact_substring_dedup",
+    "cat28_cbo_column_statistics",
+    "s15_native_filtered_fresh_search",
 ]
 
 
