@@ -3790,3 +3790,54 @@ def test_native_filtered_fresh_search(tmp_path, spark):
     with pytest.raises(ln.LanceNativeError, match="prefilter"):
         ln.native_vector_search_fresh(
             root, "emb", all_v[0], k=2, prefilter=("nope", [1]))
+
+
+def test_structural_encodings_multipage_pageskip(tmp_path):
+    """Miniblock and full-zip pages compose with the v2 multi-page
+    layout (the staging writers' page_rows=8192 shape): every page is
+    independently chunked/zipped, and the page-skip selective decode
+    agrees with the full decode across page boundaries."""
+    import os as _os
+
+    import numpy as np
+
+    from lance_trino_spark.format import lance_native as ln
+
+    n = 2500  # several 1000-row pages
+    root = str(tmp_path / "mp.lance")
+    _os.makedirs(root, exist_ok=True)
+    vals_k = [i * 11 for i in range(n)]
+    vals_s = [None if i % 71 == 0 else f"v{i}" + "y" * (i % 90)
+              for i in range(n)]
+    specs = ln._v1_field_specs(
+        ["k", "s"], {"k": vals_k, "s": vals_s},
+        {"k": "int64", "s": "string"})
+    fn, _ = ln._write_v2_data_file(
+        root, specs, page_rows=1000,
+        miniblock_names=frozenset({"k"}),
+        fullzip_names=frozenset({"s"}))
+    fields = [
+        ln.NativeField("k", 0, (1 << 64) - 1, "int64", True, 0,
+                       metadata={ln.MINIBLOCK_METADATA_KEY:
+                                 ln.MINIBLOCK_LAYOUT}),
+        ln.NativeField("s", 1, (1 << 64) - 1, "string", True, 0,
+                       metadata={ln.FULLZIP_METADATA_KEY:
+                                 ln.FULLZIP_LAYOUT}),
+    ]
+    mani = ln.NativeManifest(fields, [], 1, None)
+    dfile = ln.NativeDataFile(fn, [0, 1])
+    raw_path = _os.path.join(root, "data", fn)
+    assert len(ln._v2_pages(open(raw_path, "rb").read(), 0)) == 3
+
+    full_k = ln.read_file_column(root, dfile, 0, fields[0], mani)
+    full_s = ln.read_file_column(root, dfile, 1, fields[1], mani)
+    assert full_k.to_pylist() == vals_k
+    assert full_s.to_pylist() == vals_s
+
+    sel = np.asarray([0, 999, 1000, 1001, 2047, n - 1], dtype=np.int64)
+    part_k = ln.read_file_column(root, dfile, 0, fields[0], mani,
+                                 indices=sel)
+    part_s = ln.read_file_column(root, dfile, 1, fields[1], mani,
+                                 indices=sel)
+    assert part_k.to_pylist() == [vals_k[i] for i in sel]
+    assert part_s.to_pylist() == [vals_s[i] for i in sel]
