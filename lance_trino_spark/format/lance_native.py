@@ -5256,18 +5256,50 @@ def ensure_native_vector_index(
         root, column, n_cells=n_cells, nsub=nsub, spark=spark, **kw)
 
 
+def _prefilter_zonemap_admits(root: str, live: NativeManifest,
+                              frag: "NativeFragment", pcol: str,
+                              pvals) -> bool:
+    """Zone-map pre-prune for the prefilter membership test: can ANY row
+    of this fragment carry one of ``pvals`` in ``pcol``? Conservative —
+    admits on missing/foreign stats (same contract as the scan-side
+    `_stats_admit`, `sources/lance_datasource.py:209`)."""
+    try:
+        stats, _rows = fragment_stats_for_scan(root, live, frag)
+    except Exception:
+        return True
+    s = stats.get(pcol)
+    if not s:
+        return True
+    mn, mx = s.get("min"), s.get("max")
+    if mn is None or mx is None:
+        return True
+    try:
+        return any(mn <= v <= mx for v in pvals)
+    except TypeError:  # stats/value type mismatch — admit, stay exact
+        return True
+
+
 def _native_prefilter_rows(root: str, live: NativeManifest,
-                           prefilter: tuple) -> dict:
+                           prefilter: tuple, spark=None) -> dict:
     """{fragment_id -> sorted int64 physical rows matching the prefilter}
     for every LIVE fragment — TRUE-prefilter semantics (the allowed set
     is computed BEFORE any top-k, so recall over the filtered population
     equals unfiltered recall; post-filtering a shortlist cannot
     guarantee that). The newest scalar index on the filter column serves
     its covered fragments page-bounded (the two index kinds COMPOSE, the
-    flagship LanceDB query shape); uncovered fragments fall back to one
-    bounded single-column read each. Fragments with no match map to an
-    empty array — they contribute nothing anywhere downstream."""
+    flagship LanceDB query shape). Uncovered fragments are zone-map
+    pre-pruned, then — with ``spark`` — resolved DISTRIBUTED: one task
+    per surviving fragment (format("lance") fragments option) whose
+    kernel runs a vectorized isin and emits ONLY the matching row
+    addresses, so driver traffic is O(matching rows), never the decoded
+    column (the shape the reference gets from Lance's filtered scans,
+    `LanceFragmentPageSource.java:126`). Without ``spark`` the same
+    kernel runs serially per fragment with a pyarrow-vectorized
+    membership test (no per-row Python). Fragments with no match map to
+    an empty array — they contribute nothing anywhere downstream."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     pcol, pvals = prefilter
     if pcol not in {f.name for f in live.top_level_fields()}:
@@ -5288,17 +5320,60 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
         for fid, rows in rows_by_frag.items():
             if fid in live_ids:
                 out[int(fid)] = np.asarray(rows, dtype=np.int64)
-    pv = set(pvals)
     frag_by_id = {f.id: f for f in live.fragments}
-    for fid in sorted(live_ids - covered):
+    pending = [
+        fid for fid in sorted(live_ids - covered)
+        if _prefilter_zonemap_admits(
+            root, live, frag_by_id[fid], pcol, pvals)]
+    if not pending:
+        return out
+    if spark is not None:
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        df = (
+            spark.read.format("lance")
+            .option("fragments", ",".join(str(i) for i in pending))
+            .option("row_address", "true")
+            .load(root)
+            .select(pcol, "_row_address")
+        )
+        pv_b = list(pvals)
+
+        def _matches(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = pdf[pcol].isin(pv_b)  # vectorized (np.isin kernel)
+                yield _pd.DataFrame(
+                    {"addr": pdf["_row_address"][m].astype("int64")})
+
+        addrs = np.asarray(
+            [int(r["addr"])
+             for r in df.mapInPandas(_matches, "addr long").collect()],
+            dtype=np.int64)
+        fids = (addrs >> np.int64(32)).astype(np.int64)
+        rows = (addrs & np.int64(0xFFFFFFFF)).astype(np.int64)
+        for fid in pending:
+            out[int(fid)] = np.sort(rows[fids == fid])
+        return out
+    vset = pa.array(list(pvals))
+    for fid in pending:
         frag = frag_by_id[fid]
         tbl = read_native_fragment(
             root, frag, live, columns=[pcol], with_row_address=True)
-        vals = tbl.column(pcol).to_pylist()
         addr = np.asarray(tbl.column("_row_address").combine_chunks(),
                           dtype=np.uint64)
         rows = (addr & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        m2 = np.asarray([v in pv for v in vals], dtype=bool)
+        col = tbl.column(pcol).combine_chunks()
+        try:
+            vs = vset.cast(col.type)
+        except Exception:
+            vs = vset
+        m2 = np.asarray(
+            pc.fill_null(pc.is_in(col, value_set=vs), False))
         out[fid] = np.sort(rows[m2])
     return out
 
@@ -5353,7 +5428,7 @@ def native_vector_search_fresh(
     # TRUE-prefilter allowed sets (see _native_prefilter_rows): computed
     # ONCE against the live manifest, masking BOTH arms below
     allowed_by_frag = (
-        _native_prefilter_rows(root, live, prefilter)
+        _native_prefilter_rows(root, live, prefilter, spark=spark)
         if prefilter is not None else None)
 
     if idx is not None:
@@ -5469,8 +5544,13 @@ def native_vector_search_fresh(
         ex_a = (np.concatenate(addr_parts) if addr_parts
                 else np.empty(0, dtype=np.uint64))
         if len(ex_a):
+            # float64 end-to-end — bit-identical to the distributed
+            # flavor's shortlist distances (ADVICE r10: the old f32
+            # subtract-square could order near-ties differently)
+            ex64 = ex_v.astype(np.float64)
             for qi in range(q.shape[0]):
-                d_e = ((ex_v - q[qi]) ** 2).sum(axis=1).astype(np.float64)
+                q64 = q[qi].astype(np.float64)
+                d_e = ((ex64 - q64) ** 2).sum(axis=1)
                 top_e = np.argsort(d_e, kind="stable")[:k]
                 ex_cand[qi] = [
                     (float(d_e[i]), int(ex_a[i])) for i in top_e]

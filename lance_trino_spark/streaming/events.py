@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import re
 import shutil
 import tempfile
 from typing import TYPE_CHECKING, Iterator
@@ -85,9 +86,13 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # with fewer/renamed parts (or a single-file-era plain link) would
         # otherwise leave stale-target or dangling links behind, replaying
         # old rows into the stream.
+        # Strict `<name>-<index>.parquet` match — a prefix test would let
+        # table `x` reap table `x-y`'s links (`x-y-0.parquet` starts
+        # with `x-`).
+        _pat = re.compile(re.escape(name) + r"-\d+\.parquet\Z")
         for f in os.listdir(stream_dir):
-            stale = (f.startswith(f"{name}-") and f.endswith(".parquet")
-                     and f not in live) or f == f"{name}.parquet"
+            stale = (_pat.fullmatch(f) and f not in live
+                     ) or f == f"{name}.parquet"
             if stale:
                 try:
                     os.unlink(os.path.join(stream_dir, f))
@@ -99,8 +104,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                          os.path.join(path, f))
     else:
         # Table shape flipped dir -> single file: reap the old part links.
+        _pat = re.compile(re.escape(name) + r"-\d+\.parquet\Z")
         for f in os.listdir(stream_dir):
-            if f.startswith(f"{name}-") and f.endswith(".parquet"):
+            if _pat.fullmatch(f):
                 try:
                     os.unlink(os.path.join(stream_dir, f))
                 except FileNotFoundError:

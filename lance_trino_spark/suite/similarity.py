@@ -969,7 +969,8 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab = labs[qv_i]
         res = native_vector_search_fresh(
             path, "embedding", vecs[qv_i], k=k, nprobe=4,
-            prefilter=("label", [lab]))[0]
+            prefilter=("label", [lab]),
+            spark=spark if qv_i % 2 else None)[0]
         got = [addr_to_vid(a) for a in res["neighbors"]]
         cand = [i for i in range(400) if labs[i] == lab]
         d = sorted((float(((vecs[i] - vecs[qv_i]) ** 2).sum()), i)

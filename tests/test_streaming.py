@@ -188,3 +188,32 @@ def test_native_stream_cdc(tmp_path, spark):
         ]
     )
     assert rows == exp
+
+
+def test_stream_dir_reconcile_no_prefix_collision(spark, tmp_path):
+    """Stale-link reconciliation (ADVICE r10): table `x`'s reconciler must
+    not reap table `x-y`'s links — part links match the strict
+    `<name>-<digits>.parquet` pattern, never a bare prefix test."""
+    import os
+
+    from lance_trino_spark.streaming.events import stream_table
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # `x` as a DIRECTORY table (2 parts), `x-y` as a directory table too
+    for name, rows in (("x", [(1,), (2,)]), ("x-y", [(3,), (4,)])):
+        d = sf / f"{name}.parquet"
+        spark.createDataFrame(rows, "v long").repartition(2) \
+            .write.mode("overwrite").parquet(str(d))
+    df_long = stream_table(spark, str(sf), "x-y")
+    df_short = stream_table(spark, str(sf), "x")   # reconciler for `x` runs
+    df_long2 = stream_table(spark, str(sf), "x-y")  # must still see links
+    assert df_long.schema == df_long2.schema == df_short.schema
+    import tempfile
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "lts_stream",
+        str(sf).strip("/").replace("/", "_"))
+    longs = [f for f in os.listdir(os.path.join(stream_dir, "x-y"))
+             if f.endswith(".parquet")]
+    assert sorted(longs) == ["x-y-0.parquet", "x-y-1.parquet"]
