@@ -183,6 +183,21 @@ class MemoryObjectStore:
     def get(self, key: str) -> bytes | None:
         return self._objects.get(key)
 
+    def put(self, key: str, data: bytes) -> None:
+        """Unconditional PUT (data-plane writes; commits stay conditional)."""
+        with self._lock:
+            self._objects[key] = bytes(data)
+
+    def get_range(self, key: str, start: int, length: int) -> bytes:
+        """Ranged GET — the primitive that keeps footer-seek metadata
+        reads O(bytes asked) on real stores; callers are audited against
+        it here (bytes served per call are exactly the range)."""
+        return self._objects[key][start:start + length]
+
+    def size(self, key: str) -> int | None:
+        data = self._objects.get(key)
+        return None if data is None else len(data)
+
     def list_prefix(self, prefix: str) -> list[str]:
         return sorted(k for k in self._objects if k.startswith(prefix))
 

@@ -54,6 +54,8 @@ import struct
 import time as _time
 from dataclasses import dataclass, field
 
+from . import native_io as nio
+
 
 class LanceNativeError(RuntimeError):
     pass
@@ -294,15 +296,15 @@ def list_native_versions(root: str) -> dict[int, str]:
     u64 (`_versions/18446744073709551612.manifest`) so listing order is
     not version order (fixture test_table5 / wide_types_table)."""
     vdir = os.path.join(root, "_versions")
-    if not os.path.isdir(vdir):
+    names = nio.listdir(vdir)
+    if not names:
         raise LanceNativeError(f"not a lance dataset (no _versions): {root}")
     out: dict[int, str] = {}
-    for name in os.listdir(vdir):
+    for name in names:
         if not name.endswith(".manifest"):
             continue
         p = os.path.join(vdir, name)
-        with open(p, "rb") as fh:
-            out[parse_manifest(fh.read()).version] = p
+        out[parse_manifest(bytes(nio.read_bytes(p))).version] = p
     return out
 
 
@@ -351,31 +353,24 @@ def native_create_tag(root: str, name: str, version: int | None = None
         raise LanceNativeError(
             f"version {v} not in committed versions {sorted(versions)}")
     tdir = _native_tags_dir(root)
-    os.makedirs(tdir, exist_ok=True)
     path = os.path.join(tdir, f"{name}.json")
-    if os.path.exists(path):
-        raise LanceNativeError(f"tag {name!r} already exists")
     blob = _json.dumps({
         "version": v,
-        "manifest_size": os.path.getsize(versions[v]),
+        "manifest_size": nio.size(versions[v]),
     }).encode()
-    tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "wb") as fh:
-        fh.write(blob)
     try:
-        os.link(tmp, path)  # create-once, loses races loudly
-    except FileExistsError:
+        # create-once (posix hard link / conditional PUT): loses races loudly
+        nio.publish_if_absent(path, blob)
+    except nio.NativeIOConflictError:
         raise LanceNativeError(f"tag {name!r} already exists")
-    finally:
-        os.unlink(tmp)
     return v
 
 
 def native_delete_tag(root: str, name: str) -> None:
     path = os.path.join(_native_tags_dir(root), f"{name}.json")
-    if not os.path.exists(path):
+    if not nio.exists(path):
         raise LanceNativeError(f"no such tag {name!r}")
-    os.unlink(path)
+    nio.delete(path)
 
 
 def native_list_tags(root: str) -> dict[str, int]:
@@ -384,14 +379,12 @@ def native_list_tags(root: str) -> dict[str, int]:
 
     tdir = _native_tags_dir(root)
     out: dict[str, int] = {}
-    if not os.path.isdir(tdir):
-        return out
-    for n in sorted(os.listdir(tdir)):
+    for n in nio.listdir(tdir):
         if not n.endswith(".json"):
             continue
         try:
-            with open(os.path.join(tdir, n)) as fh:
-                out[n[:-len(".json")]] = int(_json.load(fh)["version"])
+            out[n[:-len(".json")]] = int(
+                _json.loads(nio.read_text(os.path.join(tdir, n)))["version"])
         except (ValueError, KeyError, OSError):
             raise LanceNativeError(f"unreadable tag file {n!r}")
     return out
@@ -426,8 +419,7 @@ def read_native_manifest(root: str, version: int | None = None) -> NativeManifes
         raise LanceNativeError(
             f"no version {version}; have {sorted(versions)}"
         )
-    with open(versions[version], "rb") as fh:
-        return parse_manifest(fh.read())
+    return parse_manifest(bytes(nio.read_bytes(versions[version])))
 
 
 # ---------------------------------------------------------------- data files
@@ -963,23 +955,15 @@ def read_file_column(
     import pyarrow as pa
 
     path = os.path.join(root, "data", data_file.path)
-    # mmap, not read(): a SELECTIVE decode (late materialization /
-    # scalar-index preselect) then faults in only the byte ranges it
-    # touches — a 1-row probe reads O(pages touched), not the whole data
-    # file. numpy fancy-indexing and pyarrow both COPY out of the map
-    # before return, and the map stays alive via buffer references for
-    # any zero-copy full-column arrays. (On object storage the same
-    # boundedness comes from ranged GETs — posix mmap is the local twin.)
-    import mmap as _mmap
-
-    fh = open(path, "rb")
-    try:
-        # mmap dups the fd internally, so the handle closes right away
-        raw = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
-    except (ValueError, OSError):
-        raw = fh.read()  # empty or unmappable file
-    finally:
-        fh.close()
+    # mmap, not read() (via nio.read_bytes): a SELECTIVE decode (late
+    # materialization / scalar-index preselect) then faults in only the
+    # byte ranges it touches — a 1-row probe reads O(pages touched), not
+    # the whole data file. numpy fancy-indexing and pyarrow both COPY out
+    # of the map before return, and the map stays alive via buffer
+    # references for any zero-copy full-column arrays. (On object storage
+    # the same boundedness comes from ranged GETs — posix mmap is the
+    # local twin; nio serves remote roots one GET per file.)
+    raw = nio.read_bytes(path)
     if raw[-4:] != b"LANC":
         raise LanceNativeError("missing LANC footer magic")
     maj, minor = struct.unpack_from("<HH", raw, len(raw) - 8)
@@ -1263,7 +1247,7 @@ def _physical_rows_from_file(root: str, dfile: NativeDataFile) -> int:
     footer and reads ONLY the metadata region it points at — O(metadata
     bytes), never O(file bytes), so count_rows()/limit planning stay
     cheap on multi-hundred-MB vector fragments."""
-    with open(os.path.join(root, "data", dfile.path), "rb") as fh:
+    with nio.open_read(os.path.join(root, "data", dfile.path)) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
         # Both footers end with [major:u16][minor:u16]"LANC"; v1's full
@@ -1314,12 +1298,15 @@ def _deleted_rows_np(root: str, deletion: NativeDeletion):
     path's form (no per-row python objects); `_deleted_rows` wraps it for
     the set-algebra consumers (DML staging, CDC diffs)."""
     import numpy as np
+    import pyarrow as pa
     import pyarrow.ipc as ipc
 
     p = os.path.join(root, "_deletions", deletion.file_name())
-    if not os.path.exists(p):
+    try:
+        t = ipc.open_file(pa.BufferReader(
+            pa.py_buffer(nio.read_bytes(p)))).read_all()
+    except FileNotFoundError:
         raise LanceNativeError(f"missing deletion file {p}")
-    t = ipc.open_file(p).read_all()
     arr = t.column("row_id").to_numpy(zero_copy_only=False).astype(
         np.int64)
     return np.sort(arr)
@@ -2053,9 +2040,8 @@ def _write_file_stats(root: str, file_name: str, specs: list[tuple]
     import json as _json
 
     sdir = os.path.join(root, FRAGSTATS_DIR)
-    os.makedirs(sdir, exist_ok=True)
-    with open(os.path.join(sdir, f"{file_name}.json"), "w") as fh:
-        _json.dump(_stats_for_specs(specs), fh)
+    nio.write_text(os.path.join(sdir, f"{file_name}.json"),
+                   _json.dumps(_stats_for_specs(specs)))
 
 
 def load_file_stats(root: str, file_name: str) -> dict | None:
@@ -2065,8 +2051,7 @@ def load_file_stats(root: str, file_name: str) -> dict | None:
 
     p = os.path.join(root, FRAGSTATS_DIR, f"{file_name}.json")
     try:
-        with open(p) as fh:
-            st = _json.load(fh)
+        st = _json.loads(nio.read_text(p))
     except (OSError, ValueError):
         return None
     return st if st.get("layout") == FRAGSTATS_LAYOUT else None
@@ -2388,7 +2373,7 @@ def read_blob_payload(root: str, file_name: str, position: int,
     """Fetch one blob payload by its descriptor — a bounded ranged read
     of the data file (object-store GET-range at scale), the fetch half
     of the blob surface (own-format twin m03's fetch-decode)."""
-    with open(os.path.join(root, "data", file_name), "rb") as fh:
+    with nio.open_read(os.path.join(root, "data", file_name)) as fh:
         fh.seek(position)
         b = fh.read(size)
     if len(b) != size:
@@ -2524,9 +2509,7 @@ def _write_v1_data_file(
     buf += struct.pack("<I", len(meta_proto)) + meta_proto
     buf += struct.pack("<QHH", meta_pos, 0, 1) + b"LANC"
     file_name = f"{_uuid.uuid4()}.lance"
-    os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    with open(os.path.join(root, "data", file_name), "wb") as fh:
-        fh.write(bytes(buf))
+    nio.write_bytes(os.path.join(root, "data", file_name), bytes(buf))
     _write_file_stats(root, file_name, specs)
     return file_name, n_rows
 
@@ -2693,9 +2676,7 @@ def _write_v2_data_file(
     buf += struct.pack(
         "<QQQIIHH", cms, cmos, gbos, 0, len(specs), 0, 3) + b"LANC"
     file_name = f"{_uuid.uuid4()}.lance"
-    os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    with open(os.path.join(root, "data", file_name), "wb") as fh:
-        fh.write(bytes(buf))
+    nio.write_bytes(os.path.join(root, "data", file_name), bytes(buf))
     _write_file_stats(root, file_name, specs)
     return file_name, n_rows
 
@@ -2790,26 +2771,17 @@ def _write_v1_manifest(
     )
     blob = struct.pack("<I", len(manifest)) + manifest
     blob += struct.pack("<QHH", 0, 0, 1) + b"LANC"
-    vdir = os.path.join(root, "_versions")
-    os.makedirs(vdir, exist_ok=True)
-    final = os.path.join(vdir, f"{version}.manifest")
-    if os.path.exists(final):
-        # first-writer-wins optimistic commit, same stance as the
-        # own-format backend's hard-link protocol (format/backend.py)
-        raise LanceNativeError(
-            f"concurrent commit: version {version} already exists")
-    tmp = os.path.join(vdir, f".{version}.manifest.tmp-{os.getpid()}")
-    with open(tmp, "wb") as fh:
-        fh.write(blob)
+    final = os.path.join(root, "_versions", f"{version}.manifest")
     try:
-        os.link(tmp, final)  # atomic on posix: loses races loudly
-    except FileExistsError:
+        # first-writer-wins optimistic commit, same stance as the
+        # own-format backend's protocol (format/backend.py): posix =
+        # tmp + hard link (atomic, loses races loudly), object store =
+        # conditional PUT (If-None-Match: *)
+        nio.publish_if_absent(final, blob)
+    except nio.NativeIOConflictError:
         raise LanceNativeError(
             f"concurrent commit: version {version} already exists")
-    finally:
-        os.unlink(tmp)
-    with open(os.path.join(root, "_latest.manifest"), "wb") as fh:
-        fh.write(blob)
+    nio.write_bytes(os.path.join(root, "_latest.manifest"), blob)
 
 
 BLOB_METADATA_KEY = "lance-encoding:blob"
@@ -3332,7 +3304,6 @@ def _stage_deletion_entries(
     unknown = sorted(set(rows_by_fragment) - set(by_id))
     if unknown:
         raise LanceNativeError(f"no such fragments: {unknown}")
-    os.makedirs(os.path.join(root, "_deletions"), exist_ok=True)
     frag_entries = []
     for f in m.fragments:
         new_rows = rows_by_fragment.get(f.id)
@@ -3360,8 +3331,10 @@ def _stage_deletion_entries(
                 type=pa.uint32())
         })
         dv_path = os.path.join(root, "_deletions", deletion.file_name())
-        with ipc.new_file(dv_path, t.schema) as w:
+        sink = pa.BufferOutputStream()
+        with ipc.new_file(sink, t.schema) as w:
             w.write_table(t)
+        nio.write_bytes(dv_path, sink.getvalue().to_pybytes())
         frag_entries.append(
             (f.id, _relist_files(f), f.physical_rows,
              (deletion.read_version, deletion.id)))
@@ -3542,7 +3515,7 @@ def create_native_dataset(
         raise LanceNativeError("create_native_dataset: empty schema")
     m = NativeManifest(
         fields=fields, fragments=[], version=0, timestamp_s=None)
-    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    nio.makedirs(os.path.join(root, "data"))
     staged = stage_native_fragments(
         df, root, m, file_version, rows_per_fragment)
     frags = [(i, fn, nr) for i, (fn, nr) in enumerate(staged)]
@@ -3595,8 +3568,7 @@ def native_stream_commit_batch(
         for v in sorted(versions, reverse=True):
             if v < floor_version:
                 break
-            with open(versions[v], "rb") as fh:
-                seen = parse_manifest(fh.read()).txn
+            seen = parse_manifest(bytes(nio.read_bytes(versions[v]))).txn
             if seen == txn:
                 return v  # replayed delivery of a committed batch
             if seen and seen.startswith(prefix):
@@ -3810,7 +3782,7 @@ def _dataset_file_version(root: str, m: NativeManifest, default: int = 1
     for f in m.fragments:
         if f.files:
             first = os.path.join(root, "data", f.files[0].path)
-            with open(first, "rb") as fh:
+            with nio.open_read(first) as fh:
                 fh.seek(-8, os.SEEK_END)
                 maj, minor = struct.unpack("<HH", fh.read(4))
             return 1 if (maj, minor) == (0, 1) else 2
@@ -4445,8 +4417,6 @@ def native_cleanup_old_versions(
     100 TB, where the file census comes from the manifests themselves.
     Returns counts: {removed_manifests, removed_data_files,
     removed_deletion_files, removed_index_dirs, retained_versions}."""
-    import shutil
-
     if keep_versions < 1:
         raise LanceNativeError("keep_versions must be >= 1")
     vdir = os.path.join(root, "_versions")
@@ -4487,31 +4457,28 @@ def native_cleanup_old_versions(
         "retained_versions": list(retained),
     }
     for v in dropped:
-        os.unlink(version_paths[v])
+        nio.delete(version_paths[v])
         out["removed_manifests"] += 1
     ddir = os.path.join(root, "data")
-    if os.path.isdir(ddir):
-        for n in os.listdir(ddir):
-            if not n.startswith(".") and n not in live_data:
-                os.unlink(os.path.join(ddir, n))
-                out["removed_data_files"] += 1
+    for n in nio.listdir(ddir):
+        if not n.startswith(".") and n not in live_data:
+            nio.delete(os.path.join(ddir, n))
+            out["removed_data_files"] += 1
     # stats sidecars (FRAGSTATS_LAYOUT) are 1:1 with data files — reap
     # every sidecar whose data file is no longer referenced (covers both
     # files unlinked just now and sidecars orphaned by earlier deletes)
     sdir = os.path.join(root, FRAGSTATS_DIR)
-    if os.path.isdir(sdir):
-        for n in os.listdir(sdir):
-            if n.endswith(".json") and n[:-len(".json")] not in live_data:
-                os.unlink(os.path.join(sdir, n))
+    for n in nio.listdir(sdir):
+        if n.endswith(".json") and n[:-len(".json")] not in live_data:
+            nio.delete(os.path.join(sdir, n))
     deldir = os.path.join(root, "_deletions")
-    if os.path.isdir(deldir):
-        for n in os.listdir(deldir):
-            if not n.startswith(".") and n not in live_dv:
-                os.unlink(os.path.join(deldir, n))
-                out["removed_deletion_files"] += 1
+    for n in nio.listdir(deldir):
+        if not n.startswith(".") and n not in live_dv:
+            nio.delete(os.path.join(deldir, n))
+            out["removed_deletion_files"] += 1
     for idx in list_native_scalar_indices(root):
         if not (idx.covered_fragments & live_frags):
-            shutil.rmtree(os.path.dirname(idx.path))
+            nio.rmtree(os.path.dirname(idx.path))
             out["removed_index_dirs"] += 1
     # vector sidecars: index.idx carries no fragment coverage (it is the
     # SDK's byte layout), but indexes built HERE drop a coverage.json
@@ -4520,19 +4487,16 @@ def native_cleanup_old_versions(
     # kept, as before.
     import json as _json
     idx_root = os.path.join(root, "_indices")
-    if os.path.isdir(idx_root):
-        for dname in os.listdir(idx_root):
-            cov_path = os.path.join(idx_root, dname, "coverage.json")
-            if not os.path.isfile(cov_path):
-                continue
-            try:
-                with open(cov_path) as fh:
-                    covered = set(_json.load(fh).get("fragments", []))
-            except (ValueError, OSError):
-                continue  # unreadable sidecar: keep conservatively
-            if not (covered & live_frags):
-                shutil.rmtree(os.path.join(idx_root, dname))
-                out["removed_index_dirs"] += 1
+    for dname in nio.listdir(idx_root):
+        cov_path = os.path.join(idx_root, dname, "coverage.json")
+        try:
+            covered = set(
+                _json.loads(nio.read_text(cov_path)).get("fragments", []))
+        except (ValueError, OSError):
+            continue  # no/unreadable sidecar: keep conservatively
+        if not (covered & live_frags):
+            nio.rmtree(os.path.join(idx_root, dname))
+            out["removed_index_dirs"] += 1
     return out
 
 
@@ -4540,10 +4504,7 @@ def is_native_dataset(path: str) -> bool:
     """True when `path` is a REAL `.lance` dataset (binary protobuf
     manifests under _versions/), as opposed to this repo's parquet+JSON
     layout (`_versions/<n>.manifest.json`)."""
-    vdir = os.path.join(path, "_versions")
-    if not os.path.isdir(vdir):
-        return False
-    names = os.listdir(vdir)
+    names = nio.listdir(os.path.join(path, "_versions"))
     return any(n.endswith(".manifest") for n in names) and not any(
         n.endswith(".manifest.json") for n in names
     )
@@ -4692,7 +4653,7 @@ def read_native_vector_index(path: str) -> NativeVectorIndex:
     proto — partition bodies are read later, per probed cell)."""
     import numpy as np
 
-    with open(path, "rb") as fh:
+    with nio.open_read(path) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
         fh.seek(fsize - 16)
@@ -4778,11 +4739,9 @@ def list_native_vector_indices(root: str) -> list[NativeVectorIndex]:
     column is the last match)."""
     idx_dir = os.path.join(root, "_indices")
     out = []
-    if not os.path.isdir(idx_dir):
-        return out
-    for d in sorted(os.listdir(idx_dir)):
+    for d in nio.listdir(idx_dir):
         p = os.path.join(idx_dir, d, "index.idx")
-        if os.path.isfile(p):
+        if nio.exists(p):
             try:
                 out.append(read_native_vector_index(p))
             except LanceNativeError:
@@ -4798,7 +4757,7 @@ def _read_index_partition(index: NativeVectorIndex, cell: int):
 
     n = index.part_lengths[cell]
     nsub = index.pq_nsub
-    with open(index.path, "rb") as fh:
+    with nio.open_read(index.path) as fh:
         fh.seek(index.part_offsets[cell])
         body = fh.read(n * (nsub + 8))
     codes = np.frombuffer(body, dtype="u1", count=n * nsub).reshape(n, nsub)
@@ -5188,12 +5147,10 @@ def write_native_vector_index(
     )
     uid = str(uuidlib.uuid4())
     d = os.path.join(root, "_indices", uid)
-    os.makedirs(d, exist_ok=True)
     meta_pos = len(body)
     blob = bytes(body) + struct.pack("<I", len(meta)) + meta
     blob += struct.pack("<QHH", meta_pos, 0, 1) + b"LANC"
-    with open(os.path.join(d, "index.idx"), "wb") as fh:
-        fh.write(blob)
+    nio.write_bytes(os.path.join(d, "index.idx"), blob)
     # fragment-coverage sidecar (a repo file NEXT TO the SDK-layout
     # index.idx, never inside it — index.idx stays byte-compatible with
     # the fixture format): lets vacuum reap this index once none of its
@@ -5201,12 +5158,11 @@ def write_native_vector_index(
     # indexes lack the file and stay conservatively kept.
     import json as _json
 
-    with open(os.path.join(d, "coverage.json"), "w") as fh:
-        _json.dump({
-            "column": column,
-            "dataset_version": manifest.version,
-            "fragments": sorted(int(f.id) for f in manifest.fragments),
-        }, fh)
+    nio.write_text(os.path.join(d, "coverage.json"), _json.dumps({
+        "column": column,
+        "dataset_version": manifest.version,
+        "fragments": sorted(int(f.id) for f in manifest.fragments),
+    }))
     return uid
 
 
@@ -5220,9 +5176,11 @@ def native_index_coverage(root: str, index: NativeVectorIndex
     import json as _json
 
     cov_path = os.path.join(os.path.dirname(index.path), "coverage.json")
-    if os.path.isfile(cov_path):
-        with open(cov_path) as fh:
-            return frozenset(int(x) for x in _json.load(fh)["fragments"])
+    try:
+        return frozenset(
+            int(x) for x in _json.loads(nio.read_text(cov_path))["fragments"])
+    except FileNotFoundError:
+        pass
     m = read_native_manifest(root, index.dataset_version)
     return frozenset(f.id for f in m.fragments)
 
@@ -5816,12 +5774,10 @@ def write_native_scalar_index(
     )
     uid = str(uuidlib.uuid4())
     d = os.path.join(root, "_indices", uid)
-    os.makedirs(d, exist_ok=True)
     meta_pos = len(body)
     blob = bytes(body) + struct.pack("<I", len(meta)) + meta
     blob += struct.pack("<QHH", meta_pos, 0, 1) + b"LANC"
-    with open(os.path.join(d, "index.idx"), "wb") as fh:
-        fh.write(blob)
+    nio.write_bytes(os.path.join(d, "index.idx"), blob)
     return uid
 
 
@@ -5846,7 +5802,7 @@ def ensure_native_scalar_index(
 def read_native_scalar_index(path: str) -> NativeScalarIndex:
     """Parse one scalar index sidecar — METADATA ONLY (footer seek + proto;
     page bodies are range-read later, per probe)."""
-    with open(path, "rb") as fh:
+    with nio.open_read(path) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
         fh.seek(fsize - 16)
@@ -5906,11 +5862,9 @@ def list_native_scalar_indices(root: str) -> list[NativeScalarIndex]:
     dataset_version ascending (latest covering index wins)."""
     idx_dir = os.path.join(root, "_indices")
     out = []
-    if not os.path.isdir(idx_dir):
-        return out
-    for d in sorted(os.listdir(idx_dir)):
+    for d in nio.listdir(idx_dir):
         p = os.path.join(idx_dir, d, "index.idx")
-        if os.path.isfile(p):
+        if nio.exists(p):
             try:
                 out.append(read_native_scalar_index(p))
             except LanceNativeError:
@@ -5969,7 +5923,7 @@ def scalar_index_lookup(
         pages_needed.update(span)
 
     page_cache: dict[int, tuple] = {}
-    with open(index.path, "rb") as fh:
+    with nio.open_read(index.path) as fh:
         for pg in sorted(pages_needed):
             nrows = index.page_rows[pg]
             if index.kind == "string":

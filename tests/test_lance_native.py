@@ -3916,3 +3916,93 @@ def test_prefilter_allowed_set_distributed_and_zonemap(tmp_path, spark,
         spark=spark)
     assert r_drv[0]["neighbors"] == r_spk[0]["neighbors"]
     assert r_drv[0]["distances"] == r_spk[0]["distances"]
+
+
+def test_native_lifecycle_on_memory_object_store(tmp_path):
+    """The native path runs end-to-end on an OBJECT STORE (no posix
+    filesystem under the dataset at all): CTAS-shape write, scan, time
+    travel, tags, scalar index, MoR DELETE, compaction, vacuum — with
+    the manifest commit going through the store's CONDITIONAL PUT
+    (first-writer-wins) instead of the posix hard link, and footer-seek
+    metadata reads going through ranged GETs."""
+    import numpy as np
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.backend import MemoryObjectStore
+
+    store = MemoryObjectStore()
+    root = "memory://bucket/warehouse/t1.lance"
+    nio.register_object_store_root("memory://bucket", store)
+    try:
+        ln.write_native_dataset(root, {
+            "k": list(range(100)),
+            "lab": [f"g{i % 4}" for i in range(100)]})
+        ln.append_native_rows(root, {
+            "k": list(range(100, 150)),
+            "lab": [f"g{i % 4}" for i in range(100, 150)]})
+        # every byte lives in the store, none on disk
+        assert store.list_prefix("memory://bucket/")
+        m = ln.read_native_manifest(root)
+        assert len(m.fragments) == 2
+        t = ln.read_native_fragment(root, m.fragments[0], m)
+        assert t.column("k").to_pylist() == list(range(100))
+
+        # conditional-put commit: a second commit of the SAME version
+        # loses the race loudly
+        with pytest.raises(ln.LanceNativeError, match="concurrent commit"):
+            ln._write_v1_manifest(
+                root,
+                [(f.name, f.id, f.parent_id, f.logical_type)
+                 for f in m.fields],
+                [(f.id, ln._relist_files(f), f.physical_rows)
+                 for f in m.fragments],
+                m.version)  # same version number -> conflict
+
+        # time travel + tags (create-once via conditional put)
+        v1 = sorted(ln.list_native_versions(root))[0]
+        ln.native_create_tag(root, "first", v1)
+        assert ln.native_list_tags(root) == {"first": v1}
+        with pytest.raises(ln.LanceNativeError, match="already exists"):
+            ln.native_create_tag(root, "first", v1)
+        old = ln.read_native_manifest(root, version=v1)
+        assert len(old.fragments) == 1
+
+        # scalar index over the store + page-bounded probe
+        ln.ensure_native_scalar_index(root, "k")
+        sidx = ln.list_native_scalar_indices(root)[-1]
+        rows_by_frag, _st = ln.scalar_index_lookup(sidx, eq_values=[7, 120])
+        assert sorted(rows_by_frag) == [0, 1]
+
+        # MoR DELETE -> deletion vector object; live scan masks it
+        ln.native_delete(root, {0: [0, 1, 2]})
+        m2 = ln.read_native_manifest(root)
+        f0 = next(f for f in m2.fragments if f.id == 0)
+        assert f0.deletion is not None
+        t0 = ln.read_native_fragment(root, f0, m2)
+        assert t0.column("k").to_pylist()[0] == 3
+        assert ln.LanceNativeDataset(root).count_rows() == 147
+
+        # compaction rewrites the DV fragment; vacuum reaps the originals
+        ln.native_compact(root)
+        before = len(store.list_prefix("memory://bucket/"))
+        out = ln.native_cleanup_old_versions(root, keep_versions=1)
+        assert out["removed_manifests"] >= 2
+        # the pre-compaction DV is referenced by no retained version
+        assert out["removed_deletion_files"] >= 1
+        # tag pins v1 - it must survive vacuum, keeping its data file
+        assert v1 in out["retained_versions"]
+        assert len(store.list_prefix("memory://bucket/")) < before
+        assert ln.LanceNativeDataset(root).count_rows() == 147
+        # releasing the tag frees v1's manifest AND its data file
+        ln.native_delete_tag(root, "first")
+        out2 = ln.native_cleanup_old_versions(root, keep_versions=1)
+        assert out2["removed_manifests"] == 1
+        assert out2["removed_data_files"] >= 1
+        assert ln.LanceNativeDataset(root).count_rows() == 147
+    finally:
+        nio.unregister_object_store_root("memory://bucket")
+
+    # unregistered scheme fails loudly, never misreads
+    with pytest.raises(NotImplementedError, match="unregistered"):
+        ln.read_native_manifest("memory://bucket/warehouse/t1.lance")
