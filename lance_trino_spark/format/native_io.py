@@ -57,22 +57,40 @@ class NativeIOConflictError(RuntimeError):
 
 
 _REGISTERED: dict[str, "ObjectStore"] = {}
+_VENDORS: dict[str, object] = {}  # root -> RefreshingOptions
 
 
 def is_remote(path: str) -> bool:
     return "://" in path and not path.startswith("file://")
 
 
-def register_object_store_root(root: str, store: "ObjectStore") -> None:
+def register_object_store_root(root: str, store: "ObjectStore",
+                               options_provider=None) -> None:
     """Serve every path under ``root`` (a scheme URI like
-    ``memory://bucket/prefix``) from ``store`` in THIS process."""
+    ``memory://bucket/prefix``) from ``store`` in THIS process.
+
+    ``options_provider`` (a `storage_options.StorageOptionsProvider`)
+    enables CREDENTIAL VENDING: before EVERY storage open under this
+    root, the freshest vended option set is pushed to the store via its
+    ``apply_options(dict)`` hook — cached while unexpired, re-vended on
+    expiry, exactly the reference's refresh-inside-the-worker loop
+    (`LancePageSourceProvider.java:123-156`: page sources re-vend table
+    storage options when `expires_at_millis` passes mid-scan). Long
+    scans and staged writers never fail on token expiry and never
+    replan."""
     if not is_remote(root):
         raise ValueError(f"not an object-store root: {root!r}")
-    _REGISTERED[root.rstrip("/")] = store
+    key = root.rstrip("/")
+    _REGISTERED[key] = store
+    if options_provider is not None:
+        from .storage_options import RefreshingOptions
+
+        _VENDORS[key] = RefreshingOptions(options_provider)
 
 
 def unregister_object_store_root(root: str) -> None:
     _REGISTERED.pop(root.rstrip("/"), None)
+    _VENDORS.pop(root.rstrip("/"), None)
 
 
 def _resolve(path: str) -> tuple["ObjectStore", str] | None:
@@ -94,7 +112,13 @@ def _resolve(path: str) -> tuple["ObjectStore", str] | None:
             "(MemoryObjectStore for tests, an fsspec/pyarrow-fs adapter "
             "for real stores) in this process first"
         )
-    return best[1], p
+    root, store = best
+    vendor = _VENDORS.get(root)
+    if vendor is not None and hasattr(store, "apply_options"):
+        # consult-before-every-open: unexpired sets are served from the
+        # per-root cache; an expired set costs exactly one re-vend
+        store.apply_options(vendor.fresh(root))
+    return store, p
 
 
 class _RangedReader(io.RawIOBase):

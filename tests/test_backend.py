@@ -258,3 +258,128 @@ def test_manifest_cache_hit_and_recreate_invalidation(spark, tmp_path):
     m2 = M.read_manifest(path, 1)
     assert m2 is not m1
     assert m2.schema_json != m1.schema_json
+
+
+class _VendingStore(be.MemoryObjectStore):
+    """MemoryObjectStore that authenticates every operation against the
+    vendor's currently-valid token — stale credentials are rejected the
+    way an object store 403s an expired STS session."""
+
+    def __init__(self, valid_token_ref):
+        super().__init__()
+        self._valid_ref = valid_token_ref
+        self._applied = None
+        self.denied = 0
+
+    def apply_options(self, options):
+        self._applied = options.get("token")
+
+    def _auth(self):
+        if self._applied != self._valid_ref[0]:
+            self.denied += 1
+            raise PermissionError("expired storage credentials")
+
+    def get(self, key):
+        self._auth()
+        return super().get(key)
+
+    def put(self, key, data):
+        self._auth()
+        super().put(key, data)
+
+    def put_if_absent(self, key, data):
+        self._auth()
+        return super().put_if_absent(key, data)
+
+    def list_prefix(self, prefix):
+        self._auth()
+        return super().list_prefix(prefix)
+
+    def get_range(self, key, start, length):
+        self._auth()
+        return super().get_range(key, start, length)
+
+    def size(self, key):
+        self._auth()
+        return super().size(key)
+
+    def delete(self, key):
+        self._auth()
+        super().delete(key)
+
+
+def test_native_scan_credential_vending_refresh_on_expiry():
+    """Credential vending on the native path (reference:
+    LancePageSourceProvider.java:123-156 refresh-on-expiry): a vendor
+    whose credentials EXPIRE MID-SCAN is re-consulted before every
+    storage open — reads/writes under the registered root keep working
+    across a token rotation, with exactly one extra vend per expiry and
+    zero PermissionErrors reaching the caller."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.storage_options import StorageOptions
+
+    valid = ["tok-0"]
+    vends = []
+
+    class RotatingVendor:
+        """Vends the currently-valid token; each set expires instantly
+        after ROTATE_AFTER vends so every subsequent open must re-vend
+        (the worst-case expiry cadence)."""
+
+        def vend(self, root):
+            vends.append(valid[0])
+            # pre-rotation tokens expire immediately (worst-case mid-scan
+            # expiry cadence: every open must re-vend); the rotated token
+            # never expires
+            if valid[0] == "tok-0":
+                return StorageOptions({"token": valid[0]}, expires_at_ms=0)
+            return StorageOptions({"token": valid[0]})
+
+    store = _VendingStore(valid)
+    root = "memory://vend/t.lance"
+    nio.register_object_store_root(
+        "memory://vend", store, options_provider=RotatingVendor())
+    try:
+        ln.write_native_dataset(root, {"k": list(range(20))})
+        # token rotates MID-SCAN: the old one is now invalid at the store
+        valid[0] = "tok-1"
+        m = ln.read_native_manifest(root)  # must re-vend, not 403
+        t = ln.read_native_fragment(root, m.fragments[0], m)
+        assert t.column("k").to_pylist() == list(range(20))
+        # staged write under the new token
+        ln.append_native_rows(root, {"k": [100, 101]})
+        assert ln.LanceNativeDataset(root).count_rows() == 22
+    finally:
+        nio.unregister_object_store_root("memory://vend")
+    assert store.denied == 0  # no operation ever ran on stale creds
+    assert len(vends) >= 2  # expiry forced at least one re-vend
+    assert vends[-1] == "tok-1"
+
+
+def test_vending_unexpired_set_is_cached():
+    """A never-expiring option set costs exactly ONE vend no matter how
+    many storage opens follow (the RefreshingOptions cache contract)."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.storage_options import StorageOptions
+
+    valid = ["static"]
+    vends = []
+
+    class StaticVendor:
+        def vend(self, root):
+            vends.append(1)
+            return StorageOptions({"token": "static"})
+
+    store = _VendingStore(valid)
+    nio.register_object_store_root(
+        "memory://vendc", store, options_provider=StaticVendor())
+    try:
+        root = "memory://vendc/t.lance"
+        ln.write_native_dataset(root, {"k": [1, 2, 3]})
+        m = ln.read_native_manifest(root)
+        ln.read_native_fragment(root, m.fragments[0], m)
+    finally:
+        nio.unregister_object_store_root("memory://vendc")
+    assert len(vends) == 1
