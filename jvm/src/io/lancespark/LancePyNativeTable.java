@@ -25,18 +25,24 @@ import java.util.HashMap;
 import java.util.Map;
 import java.util.Set;
 
+import org.apache.spark.sql.Dataset;
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.classic.SparkSession;
+import org.apache.spark.sql.connector.catalog.SupportsDeleteV2;
 import org.apache.spark.sql.connector.catalog.SupportsRead;
 import org.apache.spark.sql.connector.catalog.SupportsWrite;
 import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.connector.expressions.filter.Predicate;
 import org.apache.spark.sql.connector.read.ScanBuilder;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
 import org.apache.spark.sql.connector.write.WriteBuilder;
 import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
-public class LancePyNativeTable implements Table, SupportsRead, SupportsWrite {
+public class LancePyNativeTable
+    implements Table, SupportsRead, SupportsWrite, SupportsDeleteV2 {
 
   private final Table inner; // Spark's PythonTable for the "lance" source
   private final String name;
@@ -83,6 +89,51 @@ public class LancePyNativeTable implements Table, SupportsRead, SupportsWrite {
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
     return ((SupportsRead) inner).newScanBuilder(merged(options));
+  }
+
+  /**
+   * Catalyst-planned DELETE on a native table (`spark.sql("DELETE FROM
+   * cat.db.t WHERE ...")`): the predicate is rendered back to SQL
+   * (LanceJvmDelete.toSql — unsupported expressions refuse via
+   * canDeleteWhere so Spark raises its standard analysis error), run
+   * through the PYTHON scan (filter pushdown + zone-map fragment
+   * pruning + late materialization), and the matching row addresses
+   * stream into the Python committer's delete_addresses write mode —
+   * ONE MoR deletion-vector manifest version, O(delete delta), the
+   * reference's in-engine DELETE planning (LanceMetadata.java:1116-1271).
+   * Time-travel-pinned tables refuse (history is immutable).
+   */
+  @Override
+  public boolean canDeleteWhere(Predicate[] predicates) {
+    if (baseOpts.containsKey("version") || baseOpts.containsKey("timestampasof")
+        || baseOpts.containsKey("tagasof")) {
+      return false;
+    }
+    return LanceJvmDelete.toSql(predicates) != null;
+  }
+
+  @Override
+  public void deleteWhere(Predicate[] predicates) {
+    String sql = LanceJvmDelete.toSql(predicates);
+    if (sql == null) {
+      throw new UnsupportedOperationException(
+          "DELETE predicate has no SQL rendering");
+    }
+    SparkSession spark = SparkSession.active();
+    // fresh PythonDataSourceV2 per plan (Spark 4.1 keeps one mutable
+    // readInfo slot per source instance)
+    Dataset<Row> df = spark.read().format("lance")
+        .option("path", baseOpts.get("path"))
+        .option("row_address", "true")
+        .load();
+    if (!sql.isEmpty()) {
+      df = df.where(sql);
+    }
+    df.selectExpr("_row_address")
+        .write().format("lance").mode("append")
+        .option("path", baseOpts.get("path"))
+        .option("commit_mode", "delete_addresses")
+        .save();
   }
 
   @Override

@@ -1333,6 +1333,7 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
         from ..format.lance_native import (
             LanceNativeError,
             _field_specs_of,
+            _next_fragment_id,
             _relist_files,
             _write_v1_manifest,
             read_native_manifest,
@@ -1355,7 +1356,10 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
                        if f.deletion is not None else ())
                     for f in m.fragments
                 ]
-            next_id = max((f.id for f in m.fragments), default=-1) + 1
+            # NEVER max(live)+1: ids must come from the max_fragment_id
+            # watermark or a post-drop append recycles a dead fragment's
+            # id (the r10 index-coverage corruption bug)
+            next_id = _next_fragment_id(m)
             for i, (fn, nr) in enumerate(staged):
                 frags.append((next_id + i, fn, nr))
             try:
@@ -1376,6 +1380,97 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
                     os.unlink(os.path.join(self._path, "data", fn))
                 except OSError:
                     pass
+
+
+class LanceDeleteMessage(WriterCommitMessage):
+    def __init__(self, addresses: list):
+        self.addresses = addresses
+
+
+class LanceNativeDeleteWriter(DataSourceArrowWriter):
+    """``commit_mode=delete_addresses``: a DataFrame of ``_row_address``
+    longs commits as ONE MoR deletion-vector manifest version. This is
+    the write half of Catalyst-planned DELETE on native tables — the JVM
+    catalog's `spark.sql("DELETE FROM cat.db.t WHERE ...")` routes the
+    predicate through the Python SCAN (filter pushdown, zone-map
+    fragment pruning, late materialization all apply), executors emit
+    only the MATCHING addresses, and this writer's driver commit is
+    O(delete delta) — the reference's DELETE_ROW paradigm
+    (`LanceMetadata.java:1116-1271`, per-fragment deletion buckets with
+    union-before-apply). DELETE without WHERE arrives as an empty
+    predicate array upstream and simply streams every address (correct,
+    not the O(1) truncate — that stays a Python-committer capability)."""
+
+    # mirrors LanceJvmDelete.MAX_COLLECTED_DELETES: a bigger delete
+    # should be a copy-on-write rewrite, not an unbounded driver set
+    MAX_DELETE_ADDRESSES = 10_000_000
+
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool, options: dict):
+        from ..format.lance_native import LanceNativeError
+
+        names = [f.name for f in schema.fields]
+        if names != ["_row_address"]:
+            raise LanceNativeError(
+                "commit_mode=delete_addresses expects exactly one "
+                f"_row_address BIGINT column, got {names}")
+        if overwrite:
+            raise LanceNativeError(
+                "delete_addresses composes with mode('append') only")
+        self._path = path
+
+    def write(self, iterator) -> LanceDeleteMessage:  # executor
+        import numpy as np
+
+        parts = []
+        for batch in iterator:
+            if batch.num_rows:
+                parts.append(np.asarray(
+                    batch.column(0), dtype=np.int64))
+        addrs = (np.concatenate(parts) if parts
+                 else np.empty(0, dtype=np.int64))
+        return LanceDeleteMessage(addresses=addrs.tolist())
+
+    def commit(self, messages) -> None:  # driver — one MoR version
+        import numpy as np
+
+        from ..format.lance_native import (
+            LanceNativeError,
+            native_delete,
+        )
+
+        addrs = np.asarray(
+            [a for msg in messages if msg is not None
+             for a in msg.addresses], dtype=np.int64)
+        if len(addrs) > self.MAX_DELETE_ADDRESSES:
+            raise LanceNativeError(
+                f"DELETE matches {len(addrs)} rows (> "
+                f"{self.MAX_DELETE_ADDRESSES}); use the copy-on-write "
+                "rewrite path for bulk deletes")
+        if not len(addrs):
+            return  # nothing matched -> no new version
+        fids = (addrs >> np.int64(32)).astype(np.int64)
+        rows = (addrs & np.int64(0xFFFFFFFF)).astype(np.int64)
+        by_frag = {
+            int(fid): np.sort(rows[fids == fid])
+            for fid in np.unique(fids)
+        }
+        for _attempt in range(5):
+            try:
+                native_delete(self._path, by_frag)
+                return
+            except LanceNativeError as ex:
+                if "concurrent commit" not in str(ex):
+                    raise
+                # physical (fragment, row) addresses stay valid across
+                # concurrent appends/deletes; native_delete re-reads the
+                # manifest, so the rebase is a plain retry (a concurrent
+                # compaction that dropped a fragment raises loudly above)
+        raise LanceNativeError(
+            "delete commit lost 5 consecutive version races")
+
+    def abort(self, messages) -> None:
+        pass  # nothing staged on disk before commit
 
 
 class LanceBatchWriter(DataSourceArrowWriter):
@@ -1592,6 +1687,10 @@ class LanceSparkDataSource(DataSource):
         from ..format.lance_native import is_native_dataset
 
         if is_native_dataset(self._path()):
+            if dict(self.options).get(
+                    "commit_mode") == "delete_addresses":
+                return LanceNativeDeleteWriter(
+                    self._path(), schema, overwrite, dict(self.options))
             return LanceNativeBatchWriter(
                 self._path(), schema, overwrite, dict(self.options))
         return LanceBatchWriter(self._path(), schema, overwrite, dict(self.options))

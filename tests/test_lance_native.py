@@ -3404,6 +3404,26 @@ def test_fragment_ids_never_reused(tmp_path):
     assert m3.max_fragment_id == 2
 
 
+def test_fragment_ids_never_reused_dsv2_write(tmp_path, spark):
+    """The DSv2 write path (df.write.format("lance").mode("append")) must
+    honor the max_fragment_id watermark too — it was the sixth allocation
+    site and still computed max(live)+1 (recycling bug) until r11."""
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "ids2.lance")
+    ln.write_native_dataset(root, {"k": list(range(10))})
+    ln.append_native_rows(root, {"k": list(range(10, 20))})  # fragment 1
+    ln.native_delete(root, {1: list(range(10))})  # drops fragment 1
+    register_lance_datasource(spark)
+    spark.createDataFrame([(i,) for i in range(20, 30)], "k long") \
+        .coalesce(1).write.format("lance").mode("append").save(root)
+    m = ln.read_native_manifest(root)
+    assert [f.id for f in m.fragments] == [0, 2]  # 1 never recycled
+    assert m.max_fragment_id == 2
+
+
 def test_native_merge_conditional_five_opcodes(tmp_path, spark):
     """Conditional multi-WHEN MERGE on native datasets (judge r9 #2):
     AND-condition update, matched DELETE, not-matched INSERT, first-
@@ -4006,3 +4026,51 @@ def test_native_lifecycle_on_memory_object_store(tmp_path):
     # unregistered scheme fails loudly, never misreads
     with pytest.raises(NotImplementedError, match="unregistered"):
         ln.read_native_manifest("memory://bucket/warehouse/t1.lance")
+
+
+def test_delete_addresses_write_mode_contracts(tmp_path, spark):
+    """The delete_addresses commit mode (the write half of
+    Catalyst-planned DELETE on native tables): wrong schema refuses,
+    overwrite mode refuses, no-match commits nothing, and addresses
+    group correctly across fragments."""
+    import pytest as _pytest
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "da.lance")
+    ln.write_native_dataset(root, {"k": list(range(50))})
+    ln.append_native_rows(root, {"k": list(range(50, 80))})
+    register_lance_datasource(spark)
+
+    # addresses spanning both fragments -> one MoR version, both DVs
+    addrs = [(0 << 32) | 3, (0 << 32) | 7, (1 << 32) | 0]
+    spark.createDataFrame([(a,) for a in addrs], "_row_address long") \
+        .write.format("lance").mode("append") \
+        .option("commit_mode", "delete_addresses").save(root)
+    m = ln.read_native_manifest(root)
+    assert m.version == 3
+    assert all(f.deletion is not None for f in m.fragments)
+    got = sorted(
+        v for f in m.fragments
+        for v in ln.read_native_fragment(root, f, m).column("k").to_pylist())
+    assert got == sorted(set(range(80)) - {3, 7, 50})
+
+    # empty delta -> NO version churn
+    spark.createDataFrame([], "_row_address long") \
+        .write.format("lance").mode("append") \
+        .option("commit_mode", "delete_addresses").save(root)
+    assert ln.read_native_manifest(root).version == 3
+
+    # wrong schema refuses loudly
+    with _pytest.raises(Exception, match="_row_address"):
+        spark.createDataFrame([(1, 2)], "a long, b long") \
+            .write.format("lance").mode("append") \
+            .option("commit_mode", "delete_addresses").save(root)
+
+    # overwrite composition refuses
+    with _pytest.raises(Exception, match="append"):
+        spark.createDataFrame([(1,)], "_row_address long") \
+            .write.format("lance").mode("overwrite") \
+            .option("commit_mode", "delete_addresses").save(root)
