@@ -354,8 +354,12 @@ final class LanceDvScan {
         if (st == null) {
           continue;
         }
-        final long ndv = st[0];
-        final long nulls = st[1];
+        // Registers/null counts describe the WRITTEN rows; rowCount is
+        // deletion-aware liveRows. Clamp so a heavily-deleted table can
+        // never report distinctCount/nullCount above rowCount (which
+        // would push CBO selectivities past 1).
+        final long ndv = Math.min(st[0], rows);
+        final long nulls = Math.min(st[1], rows);
         cols.put(
             org.apache.spark.sql.connector.expressions.Expressions
                 .column(f.name()),

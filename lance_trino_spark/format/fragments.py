@@ -34,11 +34,6 @@ _STAT_TYPES = (int, float, str, bool)
 
 _STAT_STRING_BOUND = 256  # stored string bounds are capped at this length
 
-import numpy as _np_lut  # noqa: E402 — module-level LUT for the HLL fold
-
-_HLL_BYTE_LUT = _np_lut.array(
-    [i.bit_length() for i in range(256)], dtype=_np_lut.uint8)
-
 
 def _bounded_str_max(s: str) -> str | None:
     """Sound truncated UPPER bound for a long string: prefix with the last
@@ -58,15 +53,15 @@ def _bounded_str_max(s: str) -> str | None:
 
 def _hll_numeric_update(regs, col, t):
     """Fold one Arrow numeric/bool column into 256 HLL registers —
-    fully vectorized (splitmix64 over the values' 64-bit canonical
-    patterns; bit-length via a per-byte LUT), so the per-batch cost
-    stays a handful of numpy passes, never a Python loop. String
-    columns are excluded from own-format NDV (no vectorized stable
-    hash without per-value Python) — SHOW STATS reports their NDV as
-    unknown rather than paying a hot-path loop on every fragment
-    write."""
+    fully vectorized (shared `ndv` module: splitmix64 over the values'
+    64-bit canonical patterns; bit-length via a per-byte LUT), so the
+    per-batch cost stays a handful of numpy passes, never a Python
+    loop. Identical registers to the pre-refactor r10 fold
+    (parity-pinned in tests/test_fragment_stats.py)."""
     import numpy as np
     import pyarrow as pa
+
+    from . import ndv
 
     vals = col.drop_null()
     if len(vals) == 0:
@@ -79,25 +74,20 @@ def _hll_numeric_update(regs, col, t):
     else:  # floating
         x = vals.to_numpy(zero_copy_only=False).astype(
             np.float64).view(np.uint64)
-    # splitmix64 (public-domain mix) — uint64 arithmetic wraps mod 2^64
-    z = x + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    h = z ^ (z >> np.uint64(31))
-    bucket = (h >> np.uint64(56)).astype(np.int64)
-    w = (h & np.uint64((1 << 56) - 1))
-    # exact vectorized bit_length: most-significant nonzero byte index
-    # * 8 + per-byte LUT (numpy 1.26 has no clz/popcount)
-    b = w.view(np.uint8).reshape(-1, 8)  # little-endian bytes
-    nz = b != 0
-    idx = 7 - np.argmax(nz[:, ::-1], axis=1)
-    blen = np.where(
-        nz.any(axis=1),
-        idx * 8 + _HLL_BYTE_LUT[b[np.arange(len(b)), idx]],
-        0,
-    )
-    rank = (56 - blen + 1).astype(np.uint8)
-    np.maximum.at(regs, bucket, rank)
+    ndv.fold_registers(regs, ndv.splitmix64(x))
+
+
+def _hll_string_update(regs, col):
+    """Fold one Arrow string column into the registers — vectorized over
+    the UTF-8 value buffer (`ndv.hash64_strings`: position-weighted
+    polynomial + length salt + splitmix64 finish). Closes the r10 gap
+    where own-format string columns — exactly the join-key-shaped
+    columns CBO wants most — reported NDV unknown."""
+    from . import ndv
+
+    vals = col.drop_null()
+    if len(vals):
+        ndv.fold_registers(regs, ndv.hash64_strings(vals))
 
 
 class StatsAccumulator:
@@ -106,10 +96,11 @@ class StatsAccumulator:
     per batch, constant memory. Only top-level int/float/string/bool
     columns participate; NaN-bearing floats and unboundable strings poison
     their column (conservative: a fragment without stats for a column is
-    never pruned on it). Numeric/bool columns additionally fold into 256
-    HLL registers (vectorized splitmix64) so SHOW STATS can answer NDV
-    estimates from the manifest zone maps with zero data scanned —
-    own-format twin of the native stats sidecars' registers."""
+    never pruned on it). Every stats-typed column — numerics, bools AND
+    strings (r11) — additionally folds into 256 HLL registers
+    (vectorized, `format/ndv.py`) so SHOW STATS can answer NDV estimates
+    from the manifest zone maps with zero data scanned — own-format twin
+    of the native stats sidecars' registers."""
 
     def __init__(self) -> None:
         self._agg: dict = {}
@@ -139,10 +130,12 @@ class StatsAccumulator:
             nulls = col.null_count
             cur = self._agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
             cur["nulls"] += nulls
-            if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
-                import numpy as _np
+            import numpy as _np
 
-                regs = self._hll.setdefault(name, _np.zeros(256, _np.uint8))
+            regs = self._hll.setdefault(name, _np.zeros(256, _np.uint8))
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                _hll_string_update(regs, col)
+            else:
                 _hll_numeric_update(regs, col, t)
             if nulls == len(col):
                 continue  # all-null batch: bounds unchanged

@@ -1703,8 +1703,10 @@ def cat27(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rowCount through SupportsReportStatistics, and Catalyst's optimized
 # plan carries them as attributeStats — the join-reordering input beyond
 # the reference's rowCount floor (LanceMetadata.java:561-588). The query
-# asserts the propagated NDVs are real (within 15% of exact) and returns
-# an oracle-checked join aggregate computed UNDER CBO.
+# asserts the propagated NDVs are real (within 15% of exact) — for a
+# NUMERIC join key and a STRING column (r11: the string registers the
+# own-format plane previously lacked) — and returns an oracle-checked
+# join aggregate computed UNDER CBO.
 # ---------------------------------------------------------------------------
 @register(
     "cat28_cbo_column_statistics",
@@ -1744,6 +1746,8 @@ def cat28(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.catalog.lance_cbo.root", root)
 
     exact_ok = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    exact_st = orders.select(
+        F.countDistinct("o_orderstatus")).collect()[0][0]
     prev = spark.conf.get("spark.sql.cbo.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try:
@@ -1755,7 +1759,7 @@ def cat28(spark: SparkSession, sf_dir: str) -> DataFrame:
             " GROUP BY o.o_orderstatus ORDER BY status")
         # proof: Catalyst's optimized plan carries real per-column NDVs
         scan = spark.sql(
-            "SELECT o_custkey FROM lance_cbo.sales.ord")
+            "SELECT o_custkey, o_orderstatus FROM lance_cbo.sales.ord")
         st = scan._jdf.queryExecution().optimizedPlan().stats()
         ndvs = {}
         it = st.attributeStats().iterator()
@@ -1765,10 +1769,13 @@ def cat28(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cs.distinctCount().isDefined():
                 ndvs[kv._1().name()] = int(str(cs.distinctCount().get()))
         got_ndv = ndvs.get("o_custkey")
+        got_st = ndvs.get("o_orderstatus")  # STRING NDV (r11 registers)
         propagated = (
             st.rowCount().isDefined()
             and got_ndv is not None
-            and abs(got_ndv - exact_ok) <= max(2, exact_ok * 15 // 100))
+            and abs(got_ndv - exact_ok) <= max(2, exact_ok * 15 // 100)
+            and got_st is not None
+            and abs(got_st - exact_st) <= max(2, exact_st * 15 // 100))
         rows = df.collect()  # materialize UNDER CBO
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)

@@ -734,10 +734,10 @@ def test_show_stats_ndv_from_sidecars(cat, spark):
 
 
 def test_show_stats_ndv_own_format(cat, spark):
-    """Own-format zone maps carry HLL registers for numeric/bool columns
-    (vectorized splitmix64 fold): SHOW STATS answers NDV from the
-    manifest alone, unions losslessly across fragments, and reports
-    unknown for string columns (no registers) rather than wrong."""
+    """Own-format zone maps carry HLL registers for EVERY stats-typed
+    column — numerics, bools and (r11) strings, the join-key-shaped
+    columns CBO wants most: SHOW STATS answers NDV from the manifest
+    alone and unions losslessly across fragments."""
     cat.sql("CREATE SCHEMA nv")
     spark.range(2000).selectExpr(
         "id % 400 AS k", "id % 2 = 0 AS flag",
@@ -752,7 +752,7 @@ def test_show_stats_ndv_own_format(cat, spark):
     assert abs(got["k"]["ndv"] - 400) <= 40   # ~6.5% stderr at p=8
     assert got["flag"]["ndv"] == 2
     assert abs(got["x"]["ndv"] - 25) <= 3
-    assert got["tag"]["ndv"] is None          # strings: no registers
+    assert got["tag"]["ndv"] == 9             # strings: registers (r11)
     assert got["tag"]["min_value"] == "t0"    # bounds still served
 
 
