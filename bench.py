@@ -241,6 +241,45 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s", file=sys.stderr, flush=True)
 
+    # Per-query SPARK-OVER-PARQUET baseline for the q-series (VERDICT r10
+    # #8): the same relational work expressed as the registry's oracle
+    # SQL, run by vanilla Spark over the raw parquet tables — so any
+    # suite-implementation regression is ATTRIBUTABLE (suite slower than
+    # its own oracle on the same engine = our code; both slower = the
+    # box). Oracles are DuckDB-targeted; ones Spark can't parse are
+    # skipped (null) rather than faked.
+    parquet_base: dict[str, float | None] = {}
+    q_names = [n for n in names if n.startswith("q")]
+    if q_names:
+        from lance_trino_spark.tables import load_table
+
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+            try:
+                load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            except Exception:
+                pass  # table absent at this sf — oracles over it skip
+    for name in q_names:
+        sql = registry[name].oracle
+        if not sql:
+            parquet_base[name] = None
+            continue
+        try:
+            best = float("inf")
+            for _ in range(max(1, args.iters)):
+                t0 = time.time()
+                spark.sql(sql).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.time() - t0)
+            parquet_base[name] = round(best, 4)
+            print(f"# parquet-baseline {name}: {best:.3f}s",
+                  file=sys.stderr, flush=True)
+        except Exception as ex:
+            parquet_base[name] = None
+            print(f"# parquet-baseline {name}: skipped ({ex!r:.120})",
+                  file=sys.stderr, flush=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -249,6 +288,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # AFTER "queries" so the driver's 2000-char stdout tail
+                # keeps it visible in BENCH_r{N}.json
+                "parquet_baseline_sec": parquet_base,
                 "sf": sf,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
             }
