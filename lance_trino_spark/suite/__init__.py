@@ -76,74 +76,31 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 10 window (judge r9 item #3). Front: the 23-query
-    # q08–q31 relational battery (r5-stale — the overflow cohort the
-    # sample kept missing), then the cat01–cat15 block (cat01-08 r6,
-    # cat09-15 r7). Positions ~39-50: this round's NEW queries plus
-    # changed-code re-checks, appended as they land. Tail: the rest
-    # of the r6 cohort in case the driver samples past 50.
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_classes",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q23_setops_customer_cohorts",
-    "q24_window_running_revenue",
-    "q25_top_orders_per_segment",
-    "q27_pagination",
-    "q28_distinct_pairs",
-    "q29_cte_nation_stats",
-    "q30_full_outer_activity",
-    "q31_cube_order_stats",
-    # cat block (judge r9 item #3 second half)
-    "cat01_sql_ddl_time_travel",
-    "cat02_sql_dml",
-    "cat03_count_star_manifest",
-    "cat04_sql_merge",
-    "cat05_sql_maintenance",
-    "cat06_sql_clustered_optimize",
-    "cat07_stats_broadcast_join",
-    "cat08_sql_zorder_optimize",
-    "cat09_namespace_modes",
-    "cat10_jvm_catalog",
-    "cat11_rest_namespace",
-    "cat12_sql_vector_search",
-    "cat13_sql_restore",
-    "cat14_version_tags",
-    "cat15_metastore_namespace",
-    # --- new-in-r10 + changed-code slots (filled as work lands) ---
-    "lf43_native_ann_freshness",
-    "cat25_sql_native_conditional_merge",
-    "lf44_native_v2_miniblock",
-    "cat26_spark_sql_native_table",
-    "cat27_sql_native_vector_search",
-    "lf45_native_v2_fullzip",
-    "d12_exact_substring_dedup",
-    "cat28_cbo_column_statistics",
+    # --- round 11 window (judge r10 #6). Front: this round's NEW
+    # queries (need first driver rows), then r11 CHANGED-CODE re-checks
+    # (rotation rule: changed code outranks staleness - the prefilter
+    # fan-out, the NDV hash-family change, the DSv2 fragment-id fix,
+    # the object-store IO seam touch every native scan), then the
+    # full 36-query r6-stale cohort the judge spot-verified in r10,
+    # then r7-stale fill. ds01/ds06 sit in the changed block (their
+    # sidecar layout changed) - they are also r6-stale members.
+    "lf46_native_object_store",
+    "cat29_sql_native_delete",
+    # changed-code re-checks
     "s15_native_filtered_fresh_search",
-    # changed-code re-checks (rotation rule: changed code outranks
-    # staleness): cat24 output gained ndv_ok, st10 search path gained
-    # the exact-dup short-circuit, cat22 CTAS gained cross-format guards
     "cat24_sql_native_show_stats",
-    "st10_stream_vector_ingest",
-    "cat22_sql_native_table",
-    # --- tail: rest of the r6 cohort (sampled only if window > 50) ---
-    "d09_url_dedup",
+    "cat28_cbo_column_statistics",
+    "lf43_native_ann_freshness",
+    "cat26_spark_sql_native_table",
+    "ds11_native_dsv2_write",
+    "lf36_native_fragment_stats_pruning",
     "ds01_datasource_scan_pushdown",
+    "ds06_zonemap_pruned_scan",
+    # --- r6-stale cohort (driver rows last seen in round 6) ---
+    "d09_url_dedup",
     "ds02_datasource_write_commit",
     "ds03_streaming_ingest",
     "ds05_nested_projection",
-    "ds06_zonemap_pruned_scan",
     "ds07_stream_source_tail",
     "e05_json_props_stats",
     "e06_retention_cohorts",
@@ -176,6 +133,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t15_rare_ngram_novelty",
     "t20_boilerplate_by_source",
     "t21_pipeline_funnel",
+    # --- r7-stale fill (window ~54 > the ~50 sample) ---
+    "q34_window_analytics",
+    "q35_grouping_sets",
+    "q36_lateral_explode",
+    "q37_recursive_cte",
+    "q38_range_frame_rolling",
+    "q39_not_in_null_semantics",
+    "e07_asof_join",
 )
 
 
