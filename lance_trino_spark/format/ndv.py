@@ -89,7 +89,10 @@ def hash64_strings(col) -> "object":
                 np.cumprod(
                     np.full(maxlen - 1, _POLY_R, dtype=np.uint64),
                     out=powers[1:])
-        terms = b * powers[pos]
+        # sentinel 0 term so a trailing empty string's segment start
+        # (== len(terms)) stays a valid reduceat index; it only ever
+        # adds 0 to the final segment's sum
+        terms = np.append(b * powers[pos], np.uint64(0))
         starts_rel = (offs[:-1] - start).astype(np.int64)
         sums = np.add.reduceat(terms, starts_rel)
         # reduceat quirk: an empty segment yields the NEXT segment's

@@ -44,11 +44,15 @@ def test_string_hash_vectorized_properties():
     value (not a skip), and NO per-value Python in the hot path (the
     function never calls to_pylist/as_py)."""
     vals = ["", "a", "b", "ab", "ba", "A", "hello world",
-            "hello worle", "x" * 5000, "x" * 5001, "αβγ", "βαγ"]
+            "hello worle", "x" * 5000, "x" * 5001, "αβγ", "βαγ", "end", ""]
     h1 = ndv.hash64_strings(pa.array(vals, type=pa.string()))
     h2 = ndv.hash64_strings(pa.array(vals, type=pa.large_string()))
     assert np.array_equal(h1, h2)  # layout-independent
-    assert len(set(h1.tolist())) == len(vals)  # all distinct here
+    # trailing "" (hypothesis-found: reduceat index == len(terms)) must
+    # hash like any other empty string, and never drop the previous
+    # segment's last byte
+    assert h1[-1] == h1[0]
+    assert len(set(h1.tolist())) == len(vals) - 1  # one dup: the two ""s
     # sliced array (nonzero offset) hashes the same values
     arr = pa.array(["pad1", "pad2"] + vals)
     h3 = ndv.hash64_strings(arr.slice(2))
