@@ -3130,7 +3130,7 @@ def native_add_column_backfill(
         raise LanceNativeError(f"column already exists: {name!r}")
     register_lance_datasource(spark)
     scan = (
-        spark.read.format("lance").option("row_address", "true")
+        spark.read.format("lance").options(**nio.spark_options(root)).option("row_address", "true")
         .load(root)
         .select(expr.alias(name), F.col("_row_address").alias("__addr"))
     )
@@ -3369,7 +3369,7 @@ def native_delete_where(spark, root: str, condition) -> int:
 
     register_lance_datasource(spark)
     df = (
-        spark.read.format("lance")
+        spark.read.format("lance").options(**nio.spark_options(root))
         .option("row_address", "true")
         .load(root)
         .where(condition)
@@ -3752,9 +3752,21 @@ def stage_native_fragments(
     else:
         writer = _write_v1_data_file
 
+    # object-store roots: the (root, store) binding rides the cloudpickled
+    # closure into the staging tasks. Copy-semantics stores refuse — a
+    # worker would stage into its own snapshot and the commit would
+    # reference files the driver store never received.
+    _binding = nio.binding_for(root)
+    if _binding is not None and not getattr(
+            _binding[1], "shared_across_processes", False):
+        raise LanceNativeError(
+            "distributed staging needs a store shared across processes; "
+            f"{type(_binding[1]).__name__} is a driver-local double")
+
     def stage(it):
         import pyarrow as pa
 
+        nio.restore_binding(_binding)
         buf: list = []
         n = 0
 
@@ -3862,7 +3874,7 @@ def native_update_where(
         # files executor-side. Fresh load() per pass (the Spark 4.1
         # shared-readInfo hazard, tests/test_datasource.py).
         addr = (
-            spark.read.format("lance")
+            spark.read.format("lance").options(**nio.spark_options(root))
             .option("row_address", "true")
             .load(root)
             .where(condition)
@@ -3874,7 +3886,7 @@ def native_update_where(
         if not rows_by_fragment:
             return m.version
         repl = _assigned(
-            spark.read.format("lance")
+            spark.read.format("lance").options(**nio.spark_options(root))
             .option("row_address", "true")
             .load(root)
             .where(condition)
@@ -3884,7 +3896,7 @@ def native_update_where(
             rows_per_fragment=rows_per_fragment)
     else:
         matched = _assigned(
-            spark.read.format("lance")
+            spark.read.format("lance").options(**nio.spark_options(root))
             .option("row_address", "true")
             .load(root)
             .where(condition)
@@ -3969,7 +3981,7 @@ def native_merge_into(
             f"source lacks target columns: {src_missing}")
     register_lance_datasource(spark)
     target_keys = (
-        spark.read.format("lance")
+        spark.read.format("lance").options(**nio.spark_options(root))
         .option("row_address", "true")
         .load(root)
         .select(*on, F.col("_row_address").alias("__addr"))
@@ -4078,7 +4090,7 @@ def native_merge_conditional(
     spark_schema = native_spark_schema(m)
     register_lance_datasource(spark)
     target = (
-        spark.read.format("lance")
+        spark.read.format("lance").options(**nio.spark_options(root))
         .option("row_address", "true")
         .load(root)
     )
@@ -4140,7 +4152,7 @@ def native_merge_conditional(
             # instance per scan plan (the Spark 4.1 shared-readInfo
             # hazard pinned in tests/test_datasource.py)
             anti_target = (
-                spark.read.format("lance").load(root).select(*on))
+                spark.read.format("lance").options(**nio.spark_options(root)).load(root).select(*on))
             anti = source.join(anti_target, on, "left_anti")
             part = _typed(anti)
             inserts = part if inserts is None else inserts.unionByName(part)
@@ -4328,7 +4340,7 @@ def native_compact(
 
         register_lance_datasource(spark)
         victim_df = (
-            spark.read.format("lance")
+            spark.read.format("lance").options(**nio.spark_options(root))
             .option("fragments", ",".join(str(i) for i in sorted(
                 victim_ids)))
             .load(root)
@@ -5070,7 +5082,7 @@ def write_native_vector_index(
 
         register_lance_datasource(spark)
         df = (
-            spark.read.format("lance")
+            spark.read.format("lance").options(**nio.spark_options(root))
             .option("row_address", "true")
             .option("version", str(manifest.version))
             .load(root)
@@ -5305,7 +5317,7 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
 
         register_lance_datasource(spark)
         df = (
-            spark.read.format("lance")
+            spark.read.format("lance").options(**nio.spark_options(root))
             .option("fragments", ",".join(str(i) for i in pending))
             .option("row_address", "true")
             .load(root)
@@ -5435,7 +5447,7 @@ def native_vector_search_fresh(
                 0 if frag.deletion is None
                 else len(_deleted_rows_np(root, frag.deletion)))
         df = (
-            spark.read.format("lance")
+            spark.read.format("lance").options(**nio.spark_options(root))
             .option("fragments", ",".join(str(i) for i in uncovered))
             .option("row_address", "true")
             .load(root)
@@ -5694,7 +5706,7 @@ def write_native_scalar_index(
 
             register_lance_datasource(spark)
             df = (
-                spark.read.format("lance")
+                spark.read.format("lance").options(**nio.spark_options(root))
                 .option("row_address", "true")
                 .option("use_scalar_index", "false")
                 .option("version", str(manifest.version))

@@ -93,6 +93,66 @@ def unregister_object_store_root(root: str) -> None:
     _VENDORS.pop(root.rstrip("/"), None)
 
 
+def binding_for(path: str):
+    """(root, store) serving ``path``, or None for posix — captured
+    DRIVER-SIDE into DSv2 reader/writer instances so the binding rides
+    their pickled task closures into Spark workers (pyarrow filesystems
+    pickle; MemoryObjectStore pickles by copy — reads only). This is how
+    fragment scans on object-store roots fan out one task per fragment
+    without any worker-side setup."""
+    if not is_remote(path):
+        return None
+    p = path.rstrip("/")
+    best = None
+    for root, store in _REGISTERED.items():
+        if p == root or p.startswith(root + "/"):
+            if best is None or len(root) > len(best[0]):
+                best = (root, store)
+    return best
+
+
+def restore_binding(binding) -> None:
+    """Worker-side half: install a shipped (root, store) binding in this
+    process if absent. Idempotent; a no-op for None (posix)."""
+    if binding is None:
+        return
+    root, store = binding
+    _REGISTERED.setdefault(root.rstrip("/"), store)
+
+
+def spark_options(root: str) -> dict:
+    """DSv2 options carrying this root's store binding into the PYTHON
+    DATA SOURCE workers: Spark 4 runs a python data source's schema()/
+    partitions() planning in a separate python worker process, where
+    this module's registry starts empty — so `format("lance")` on an
+    object-store root must ship the (root, store) pair through the one
+    channel that reaches every worker, the string option map. Usage:
+    ``spark.read.format("lance").options(**nio.spark_options(root))
+    .load(root)``. Returns {} for posix roots (zero overhead)."""
+    b = binding_for(root)
+    if b is None:
+        return {}
+    import base64
+    import pickle
+
+    return {"store_binding":
+            base64.b64encode(pickle.dumps(b)).decode("ascii")}
+
+
+def restore_binding_option(options) -> None:
+    """Restore a binding shipped via ``spark_options`` (no-op without
+    one). Called at the top of every DataSource entry point."""
+    try:
+        v = options.get("store_binding")
+    except AttributeError:  # pragma: no cover — exotic option mappings
+        v = None
+    if v:
+        import base64
+        import pickle
+
+        restore_binding(pickle.loads(base64.b64decode(v)))
+
+
 def _resolve(path: str) -> tuple["ObjectStore", str] | None:
     """(store, key) for a remote path; None for posix. Longest
     registered root wins (nested registrations compose)."""

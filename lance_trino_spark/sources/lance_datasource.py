@@ -447,12 +447,18 @@ class LanceNativeScanReader(DataSourceReader):
     task per fragment, no driver data movement."""
 
     def __init__(self, path: str, schema: StructType, options: dict):
+        from ..format import native_io as _nio
+
         self._path = path
         self._schema = schema
         self._options = options
         limit = options.get("limit")
         self._limit = int(limit) if limit is not None else None
         self._pushed: list[Filter] = []
+        # object-store roots: the (root, store) binding rides this
+        # reader's pickled task closure into workers (pyarrow fs =
+        # shared store; MemoryObjectStore = read-only snapshot copy)
+        self._nio_binding = _nio.binding_for(path)
 
     def partitions(self) -> Sequence[LanceNativePartition]:
         from ..format.lance_native import (
@@ -551,12 +557,14 @@ class LanceNativeScanReader(DataSourceReader):
         ] or [LanceNativePartition(self._path, m.version, -1, cols_t)]
 
     def read(self, partition: LanceNativePartition):
+        from ..format import native_io as _nio
         from ..format.lance_native import (
             conform_native_table,
             read_native_fragment,
             read_native_manifest,
         )
 
+        _nio.restore_binding(self._nio_binding)  # worker-side store
         if partition.frag_index < 0:
             return iter(())
         expr = None
@@ -1270,6 +1278,7 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
 
     def __init__(self, path: str, schema: StructType,
                  overwrite: bool, options: dict):
+        from ..format import native_io as _nio
         from ..format.lance_native import (
             LanceNativeError,
             _dataset_file_version,
@@ -1279,6 +1288,17 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
         self._path = path
         self._overwrite = overwrite
         self._m = read_native_manifest(path)
+        # executor staging writes THROUGH the store: only stores shared
+        # across processes may stage (MemoryObjectStore pickles by copy
+        # — a worker's staged file would never reach the driver commit)
+        self._nio_binding = _nio.binding_for(path)
+        if self._nio_binding is not None and not getattr(
+                self._nio_binding[1], "shared_across_processes", False):
+            raise LanceNativeError(
+                "distributed writes need a store shared across "
+                f"processes; {type(self._nio_binding[1]).__name__} is a "
+                "driver-local double (use PyArrowFsObjectStore or write "
+                "via the driver-side native committers)")
         self._rows_per_file = int(
             options.get("maxrowsperfile", DEFAULT_MAX_ROWS_PER_FILE))
         self._file_version = _dataset_file_version(path, self._m)
@@ -1293,6 +1313,7 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
     def write(self, iterator) -> LanceWriteMessage:  # executor
         import pyarrow as pa
 
+        from ..format import native_io as _nio
         from ..format.lance_native import (
             _arrow_to_columns,
             _specs_for_manifest,
@@ -1300,6 +1321,7 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
             _write_v2_data_file,
         )
 
+        _nio.restore_binding(self._nio_binding)  # worker-side store
         staged: list = []
         buf: list = []
         n = 0
@@ -1330,6 +1352,7 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
         return LanceWriteMessage(files=staged)
 
     def commit(self, messages) -> None:  # driver — one manifest version
+        from ..format import native_io as _nio
         from ..format.lance_native import (
             LanceNativeError,
             _field_specs_of,
@@ -1338,6 +1361,8 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
             _write_v1_manifest,
             read_native_manifest,
         )
+
+        _nio.restore_binding(self._nio_binding)
 
         staged = [
             (fn, nr) for msg in messages if msg is not None
@@ -1372,12 +1397,15 @@ class LanceNativeBatchWriter(DataSourceArrowWriter):
                 m = read_native_manifest(self._path)  # rebase, retry
 
     def abort(self, messages) -> None:
+        from ..format import native_io as _nio
+
+        _nio.restore_binding(self._nio_binding)
         for msg in messages or ():
             if msg is None:
                 continue
             for fn, _nr in msg.files:
                 try:
-                    os.unlink(os.path.join(self._path, "data", fn))
+                    _nio.delete(os.path.join(self._path, "data", fn))
                 except OSError:
                     pass
 
@@ -1417,7 +1445,10 @@ class LanceNativeDeleteWriter(DataSourceArrowWriter):
         if overwrite:
             raise LanceNativeError(
                 "delete_addresses composes with mode('append') only")
+        from ..format import native_io as _nio
+
         self._path = path
+        self._nio_binding = _nio.binding_for(path)
 
     def write(self, iterator) -> LanceDeleteMessage:  # executor
         import numpy as np
@@ -1434,10 +1465,13 @@ class LanceNativeDeleteWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:  # driver — one MoR version
         import numpy as np
 
+        from ..format import native_io as _nio
         from ..format.lance_native import (
             LanceNativeError,
             native_delete,
         )
+
+        _nio.restore_binding(self._nio_binding)
 
         addrs = np.asarray(
             [a for msg in messages if msg is not None
@@ -1581,6 +1615,12 @@ class LanceSparkDataSource(DataSource):
         return "lance"
 
     def _path(self) -> str:
+        from ..format import native_io as _nio
+
+        # object-store roots ship their (root, store) binding through the
+        # option map (planning runs in python workers — see
+        # native_io.spark_options); restore before the path is touched
+        _nio.restore_binding_option(self.options)
         path = self.options.get("path")
         if not path:
             raise ValueError("format('lance') requires a path: .load(path)/.save(path)")

@@ -3420,11 +3420,13 @@ def lf45(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
            TRUE AS conditional_put_conflict,
            TRUE AS served_from_object_store,
-           TRUE AS vacuum_reaped
+           TRUE AS vacuum_reaped,
+           TRUE AS distributed_scan_ok
     FROM nation WHERE n_regionkey <> 0
     GROUP BY n_regionkey
     UNION ALL
-    SELECT 9, 5, CAST(SUM(n_nationkey) + 500 AS BIGINT), TRUE, TRUE, TRUE
+    SELECT 9, 5, CAST(SUM(n_nationkey) + 500 AS BIGINT), TRUE, TRUE, TRUE,
+           TRUE
     FROM nation WHERE n_nationkey < 5
     ORDER BY region
     """,
@@ -3502,13 +3504,33 @@ def lf46(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ent = agg.setdefault(int(rk), [0, 0])
                 ent[0] += 1
                 ent[1] += int(k)
+
+        # DISTRIBUTED scan off the store: the (root, store) binding rides
+        # the DSv2 options into the python plan/task workers (one task
+        # per fragment — the 100 TB fan-out shape on S3/GCS roots)
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        dist = (
+            spark.read.format("lance")
+            .options(**nio.spark_options(root))
+            .load(root)
+            .groupBy()
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_nationkey").alias("s"))
+            .collect()[0]
+        )
+        dist_ok = (int(dist["n"]) == sum(v[0] for v in agg.values())
+                   and int(dist["s"]) == sum(v[1] for v in agg.values()))
     finally:
         nio.unregister_object_store_root(bucket)
 
-    out = [(rk, n, s, bool(conflict), bool(served), bool(reaped))
+    out = [(rk, n, s, bool(conflict), bool(served), bool(reaped),
+            bool(dist_ok))
            for rk, (n, s) in sorted(agg.items())]
     return spark.createDataFrame(
         out,
         "region long, n long, key_sum long, conditional_put_conflict "
-        "boolean, served_from_object_store boolean, vacuum_reaped boolean",
+        "boolean, served_from_object_store boolean, vacuum_reaped "
+        "boolean, distributed_scan_ok boolean",
     ).orderBy("region")

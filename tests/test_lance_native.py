@@ -4074,3 +4074,85 @@ def test_delete_addresses_write_mode_contracts(tmp_path, spark):
         spark.createDataFrame([(1,)], "_row_address long") \
             .write.format("lance").mode("overwrite") \
             .option("commit_mode", "delete_addresses").save(root)
+
+
+def test_object_store_distributed_scan_and_pyarrow_fs(tmp_path, spark):
+    """Object-store roots fan out DISTRIBUTED (one task per fragment):
+    the (root, store) binding rides the pickled DSv2 reader into Spark
+    workers. MemoryObjectStore ships a read-only snapshot copy (scans
+    work, distributed STAGING refuses loudly); PyArrowFsObjectStore is
+    shared across processes, so the full distributed read AND write path
+    runs against it — the production shape for S3/GCS roots."""
+    import pytest as _pytest
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.backend import (
+        MemoryObjectStore, PyArrowFsObjectStore)
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    register_lance_datasource(spark)
+
+    # --- MemoryObjectStore: distributed scan over a snapshot copy
+    mem = MemoryObjectStore()
+    mroot = "memory://dscan/t.lance"
+    nio.register_object_store_root("memory://dscan", mem)
+    try:
+        ln.write_native_dataset(mroot, {"k": list(range(100))})
+        ln.append_native_rows(mroot, {"k": list(range(100, 160))})
+        ln.native_delete(mroot, {0: [0, 1]})
+        mopts = nio.spark_options(mroot)
+        df = spark.read.format("lance").options(**mopts).load(mroot)
+        got = df.agg(F.count("*"), F.sum("k")).collect()[0]
+        assert (got[0], got[1]) == (158, sum(range(160)) - 1)
+        # pushdown still applies through the binding
+        assert spark.read.format("lance").options(**mopts).load(
+            mroot).where("k >= 150").count() == 10
+        # distributed STAGING onto the copy-semantics store refuses
+        with _pytest.raises(Exception, match="shared across"):
+            spark.createDataFrame([(999,)], "k long").write.format(
+                "lance").options(**mopts).mode("append").save(mroot)
+    finally:
+        nio.unregister_object_store_root("memory://dscan")
+
+    # --- PyArrowFsObjectStore: shared store, full distributed lifecycle
+    import pyarrow.fs as pafs
+
+    base = str(tmp_path / "bucket")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        store = PyArrowFsObjectStore(
+            pafs.LocalFileSystem(), "pafs://bucket", base)
+    proot = "pafs://bucket/warehouse/t.lance"
+    nio.register_object_store_root("pafs://bucket", store)
+    try:
+        ln.write_native_dataset(proot, {"k": list(range(50))})
+        # DISTRIBUTED DSv2 append: executors stage native files through
+        # the shared pyarrow filesystem, the driver commits one version
+        popts = nio.spark_options(proot)
+        spark.createDataFrame([(i,) for i in range(50, 90)], "k long") \
+            .repartition(4).write.format("lance").options(**popts) \
+            .mode("append").save(proot)
+        m = ln.read_native_manifest(proot)
+        assert sum(f.physical_rows for f in m.fragments) == 90
+        got = spark.read.format("lance").options(**popts).load(
+            proot).agg(F.count("*"), F.sum("k")).collect()[0]
+        assert (got[0], got[1]) == (90, sum(range(90)))
+        # Catalyst DELETE plumbing works on the remote root too
+        addrs = (spark.read.format("lance").options(**popts)
+                 .option("row_address", "true").load(proot)
+                 .where("k < 10").select("_row_address"))
+        addrs.write.format("lance").options(**popts).mode(
+            "append").option(
+            "commit_mode", "delete_addresses").save(proot)
+        assert ln.LanceNativeDataset(proot).count_rows() == 80
+        # vacuum reaps through the store
+        out = ln.native_cleanup_old_versions(proot, keep_versions=1)
+        assert out["removed_manifests"] >= 1
+        assert ln.LanceNativeDataset(proot).count_rows() == 80
+    finally:
+        nio.unregister_object_store_root("pafs://bucket")
