@@ -290,11 +290,39 @@ def parse_manifest(raw: bytes) -> NativeManifest:
     return NativeManifest(fields, fragments, version, ts, txn, mfid)
 
 
+# Parsed-manifest LRU (A18 on the native plane): manifest files are
+# CREATE-ONCE (published via hard link / conditional PUT, never
+# rewritten), so (inode, mtime_ns, size) is a sound identity — a
+# DROP + re-CREATE at the same path gets a new inode and misses.
+# Remote (object-store) paths skip the cache: no cheap stat identity.
+_MANIFEST_LRU: dict = {}
+_MANIFEST_LRU_MAX = 512
+
+
+def _parse_manifest_cached(p: str) -> "NativeManifest":
+    if nio.is_remote(p):
+        return parse_manifest(bytes(nio.read_bytes(p)))
+    try:
+        st = os.stat(p)
+    except OSError:
+        return parse_manifest(bytes(nio.read_bytes(p)))
+    key = (p, st.st_ino, st.st_mtime_ns, st.st_size)
+    m = _MANIFEST_LRU.pop(key, None)  # pop+reinsert = LRU order
+    if m is None:
+        m = parse_manifest(bytes(nio.read_bytes(p)))
+        if len(_MANIFEST_LRU) >= _MANIFEST_LRU_MAX:
+            _MANIFEST_LRU.pop(next(iter(_MANIFEST_LRU)))
+    _MANIFEST_LRU[key] = m
+    return m
+
+
 def list_native_versions(root: str) -> dict[int, str]:
     """{version -> manifest path}. Version numbers come from the manifest
     PROTO, not the filename — newer lance names manifests by descending
     u64 (`_versions/18446744073709551612.manifest`) so listing order is
-    not version order (fixture test_table5 / wide_types_table)."""
+    not version order (fixture test_table5 / wide_types_table). Parses
+    are served from the stat-validated manifest LRU — one listing plus
+    O(new manifests) parses per call, not O(all versions)."""
     vdir = os.path.join(root, "_versions")
     names = nio.listdir(vdir)
     if not names:
@@ -304,7 +332,7 @@ def list_native_versions(root: str) -> dict[int, str]:
         if not name.endswith(".manifest"):
             continue
         p = os.path.join(vdir, name)
-        out[parse_manifest(bytes(nio.read_bytes(p))).version] = p
+        out[_parse_manifest_cached(p).version] = p
     return out
 
 
@@ -419,7 +447,7 @@ def read_native_manifest(root: str, version: int | None = None) -> NativeManifes
         raise LanceNativeError(
             f"no version {version}; have {sorted(versions)}"
         )
-    return parse_manifest(bytes(nio.read_bytes(versions[version])))
+    return _parse_manifest_cached(versions[version])
 
 
 # ---------------------------------------------------------------- data files
@@ -3583,7 +3611,7 @@ def native_stream_commit_batch(
         for v in sorted(versions, reverse=True):
             if v < floor_version:
                 break
-            seen = parse_manifest(bytes(nio.read_bytes(versions[v]))).txn
+            seen = _parse_manifest_cached(versions[v]).txn
             if seen == txn:
                 return v  # replayed delivery of a committed batch
             if seen and seen.startswith(prefix):
