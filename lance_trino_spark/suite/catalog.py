@@ -1846,14 +1846,14 @@ def cat29(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_lance_datasource(spark)
     spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
     spark.conf.set(
-        "spark.sql.catalog.lance_jvm_d", "io.lancespark.LanceJvmCatalog")
-    spark.conf.set("spark.sql.catalog.lance_jvm_d.root", root)
+        "spark.sql.catalog.lance_jvm_del29", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm_del29.root", root)
 
     m0 = read_native_manifest(loc)
     files0 = sorted(df.path for f in m0.fragments for df in f.files)
 
     # Catalyst-planned DELETE -> exactly one MoR version, no rewrites
-    spark.sql("DELETE FROM lance_jvm_d.geo.nation WHERE n_regionkey = 0")
+    spark.sql("DELETE FROM lance_jvm_del29.geo.nation WHERE n_regionkey = 0")
     m1 = read_native_manifest(loc)
     files1 = sorted(df.path for f in m1.fragments for df in f.files)
     mor = (m1.version == m0.version + 1
@@ -1862,18 +1862,18 @@ def cat29(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # no-match DELETE commits NOTHING (no empty version churn)
     spark.sql(
-        "DELETE FROM lance_jvm_d.geo.nation WHERE n_nationkey = 424242")
+        "DELETE FROM lance_jvm_del29.geo.nation WHERE n_nationkey = 424242")
     noop = read_native_manifest(loc).version == m1.version
 
     # the pre-delete snapshot stays readable
     hist = spark.sql(
-        "SELECT COUNT(*) AS c FROM lance_jvm_d.geo.nation "
+        "SELECT COUNT(*) AS c FROM lance_jvm_del29.geo.nation "
         f"VERSION AS OF {m0.version}").collect()[0]["c"] == len(rows)
 
     return spark.sql(
         "SELECT n_regionkey AS region, COUNT(*) AS n,"
         "       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum"
-        " FROM lance_jvm_d.geo.nation"
+        " FROM lance_jvm_del29.geo.nation"
         " GROUP BY n_regionkey"
     ).withColumn("mor_single_version", F.lit(bool(mor))) \
      .withColumn("no_match_noop", F.lit(bool(noop))) \
