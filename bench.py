@@ -177,6 +177,10 @@ DEFAULT_QUERIES = [
     "d12_exact_substring_dedup",
     "cat28_cbo_column_statistics",
     "s15_native_filtered_fresh_search",
+    # round-11 additions
+    "lf46_native_object_store",
+    "cat29_sql_native_delete",
+    "cat30_sql_native_update_merge",
 ]
 
 

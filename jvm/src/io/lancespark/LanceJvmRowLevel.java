@@ -176,54 +176,7 @@ final class LanceJvmRowLevel implements SupportsDelta {
 
     @Override
     public DeltaWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
-      try {
-        Files.createDirectories(stagingDir);
-      } catch (IOException e) {
-        throw new RuntimeException("creating staging dir failed", e);
-      }
-      // driver-side: capture the session hadoop conf (it carries every
-      // spark.sql.* key the parquet schema converter reads) and ship it
-      // to executors the same way Spark's own FileWriterFactory does
-      org.apache.spark.sql.classic.SparkSession session =
-          org.apache.spark.sql.classic.SparkSession.active();
-      Configuration conf = session.sessionState().newHadoopConf();
-      ParquetWriteSupport.setSchema(schema, conf);
-      // the keys ParquetFileFormat.prepareWrite sets explicitly (they
-      // are not guaranteed present in newHadoopConf at default values)
-      org.apache.spark.sql.internal.SQLConf sql = session.sessionState().conf();
-      org.apache.spark.internal.config.ConfigEntry<?>[] entries = {
-          org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT(),
-          org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE(),
-          org.apache.spark.sql.internal.SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED(),
-          org.apache.spark.sql.internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE(),
-          org.apache.spark.sql.internal.SQLConf.PARQUET_REBASE_MODE_IN_WRITE(),
-          org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE(),
-      };
-      for (org.apache.spark.internal.config.ConfigEntry<?> e : entries) {
-        Object v = sql.getConf(e);
-        if (v != null) {
-          conf.set(e.key(), v.toString());
-        }
-      }
-      return new MorDeltaWriterFactory(
-          stagingDir.toString(), schema.json(),
-          new org.apache.spark.util.SerializableConfiguration(conf));
-    }
-
-    /** Reads a public String[] field off a commit message by name via
-     *  reflection: an ADD JAR jar lives in different classloaders on the
-     *  write path and the commit path, so an instanceof/cast would fail —
-     *  but field NAMES and java.lang.String[] values are classloader-safe. */
-    private static String[] messageFiles(WriterCommitMessage m, String field) {
-      try {
-        java.lang.reflect.Field f = m.getClass().getField(field);
-        f.setAccessible(true);
-        Object v = f.get(m);
-        return v == null ? new String[0] : (String[]) v;
-      } catch (ReflectiveOperationException e) {
-        throw new IllegalStateException(
-            "unexpected delta commit message " + m.getClass().getName(), e);
-      }
+      return newWriterFactory(stagingDir, schema);
     }
 
     @Override
@@ -443,8 +396,61 @@ final class LanceJvmRowLevel implements SupportsDelta {
     }
   }
 
+  /** Driver-side factory prep shared by the own-format MoR delta write
+   *  and the native-table delta write (LancePyNativeRowLevel): create the
+   *  staging dir, capture the session hadoop conf (it carries every
+   *  spark.sql.* key the parquet schema converter reads) and ship it to
+   *  executors the same way Spark's own FileWriterFactory does. */
+  static MorDeltaWriterFactory newWriterFactory(Path stagingDir, StructType schema) {
+    try {
+      Files.createDirectories(stagingDir);
+    } catch (IOException e) {
+      throw new RuntimeException("creating staging dir failed", e);
+    }
+    org.apache.spark.sql.classic.SparkSession session =
+        org.apache.spark.sql.classic.SparkSession.active();
+    Configuration conf = session.sessionState().newHadoopConf();
+    ParquetWriteSupport.setSchema(schema, conf);
+    // the keys ParquetFileFormat.prepareWrite sets explicitly (they
+    // are not guaranteed present in newHadoopConf at default values)
+    org.apache.spark.sql.internal.SQLConf sql = session.sessionState().conf();
+    org.apache.spark.internal.config.ConfigEntry<?>[] entries = {
+        org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT(),
+        org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE(),
+        org.apache.spark.sql.internal.SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED(),
+        org.apache.spark.sql.internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE(),
+        org.apache.spark.sql.internal.SQLConf.PARQUET_REBASE_MODE_IN_WRITE(),
+        org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE(),
+    };
+    for (org.apache.spark.internal.config.ConfigEntry<?> e : entries) {
+      Object v = sql.getConf(e);
+      if (v != null) {
+        conf.set(e.key(), v.toString());
+      }
+    }
+    return new MorDeltaWriterFactory(
+        stagingDir.toString(), schema.json(),
+        new org.apache.spark.util.SerializableConfiguration(conf));
+  }
+
+  /** Reads a public String[] field off a commit message by name via
+   *  reflection: an ADD JAR jar lives in different classloaders on the
+   *  write path and the commit path, so an instanceof/cast would fail —
+   *  but field NAMES and java.lang.String[] values are classloader-safe. */
+  static String[] messageFiles(WriterCommitMessage m, String field) {
+    try {
+      java.lang.reflect.Field f = m.getClass().getField(field);
+      f.setAccessible(true);
+      Object v = f.get(m);
+      return v == null ? new String[0] : (String[]) v;
+    } catch (ReflectiveOperationException e) {
+      throw new IllegalStateException(
+          "unexpected delta commit message " + m.getClass().getName(), e);
+    }
+  }
+
   /** Classloader-safe commit message: the driver reads the public fields
-   *  by NAME via reflection (see MorDeltaWrite.messageFiles). */
+   *  by NAME via reflection (see messageFiles). */
   public static final class DeltaCommitMessage implements WriterCommitMessage {
     public final String[] insertFiles;
     public final String[] deleteFiles;

@@ -28,8 +28,11 @@ import java.util.Set;
 import org.apache.spark.sql.Dataset;
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.classic.SparkSession;
+import org.apache.spark.sql.connector.catalog.MetadataColumn;
 import org.apache.spark.sql.connector.catalog.SupportsDeleteV2;
+import org.apache.spark.sql.connector.catalog.SupportsMetadataColumns;
 import org.apache.spark.sql.connector.catalog.SupportsRead;
+import org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations;
 import org.apache.spark.sql.connector.catalog.SupportsWrite;
 import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCapability;
@@ -37,12 +40,17 @@ import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.expressions.filter.Predicate;
 import org.apache.spark.sql.connector.read.ScanBuilder;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
+import org.apache.spark.sql.connector.write.RowLevelOperationBuilder;
+import org.apache.spark.sql.connector.write.RowLevelOperationInfo;
 import org.apache.spark.sql.connector.write.WriteBuilder;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.DataTypes;
 import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
 public class LancePyNativeTable
-    implements Table, SupportsRead, SupportsWrite, SupportsDeleteV2 {
+    implements Table, SupportsRead, SupportsWrite, SupportsDeleteV2,
+        SupportsRowLevelOperations, SupportsMetadataColumns {
 
   private final Table inner; // Spark's PythonTable for the "lance" source
   private final String name;
@@ -89,6 +97,80 @@ public class LancePyNativeTable
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
     return ((SupportsRead) inner).newScanBuilder(merged(options));
+  }
+
+  /* ---- _row_address hidden column (SupportsMetadataColumns) -----------
+   * The reference's 64-bit row identity (fragment_id << 32 | row_index,
+   * RowAddress.java:22-43) — on the native path the PYTHON reader
+   * synthesizes it when loaded with row_address=true, so it is only
+   * served by row-level-operation scans (rowLevelScanBuilder), where
+   * Spark's rewrites require it as the rowId. */
+  @Override
+  public MetadataColumn[] metadataColumns() {
+    return new MetadataColumn[] {
+        new MetadataColumn() {
+          @Override
+          public String name() {
+            return LancePyNativeRowLevel.ROW_ADDRESS_COL;
+          }
+
+          @Override
+          public DataType dataType() {
+            return DataTypes.LongType;
+          }
+
+          @Override
+          public boolean isNullable() {
+            return false;
+          }
+
+          @Override
+          public String comment() {
+            return "fragment_id << 32 | row_index (Lance row address)";
+          }
+        }
+    };
+  }
+
+  /* ---- SQL UPDATE / MERGE / complex DELETE (SupportsRowLevelOperations)
+   * MERGE-ON-READ deltas via SupportsDelta (LancePyNativeRowLevel):
+   * executors stage delete addresses + insert parquet, the driver
+   * bridges both into ONE Python-committed native manifest version.
+   * Simple-predicate DELETE still optimizes down to SupportsDeleteV2's
+   * metadata path. Time-travel-pinned relations refuse (history is
+   * immutable). */
+  @Override
+  public RowLevelOperationBuilder newRowLevelOperationBuilder(
+      RowLevelOperationInfo info) {
+    if (baseOpts.containsKey("version") || baseOpts.containsKey("timestampasof")
+        || baseOpts.containsKey("tagasof")) {
+      throw new UnsupportedOperationException(
+          "row-level " + info.command() + " on a time-travel-pinned native "
+          + "table is not supported (history is immutable)");
+    }
+    return () -> new LancePyNativeRowLevel(this, info);
+  }
+
+  String path() {
+    return baseOpts.get("path");
+  }
+
+  /** A scan whose schema carries `_row_address`: a FRESH Python table
+   *  (Spark 4.1 keeps one mutable readInfo slot per PythonDataSourceV2
+   *  instance, so row-level plans never share the SELECT-path instance)
+   *  loaded with row_address=true. Pushed filters reach the native
+   *  page reader exactly like the normal scan. */
+  ScanBuilder rowLevelScanBuilder(CaseInsensitiveStringMap options) {
+    Map<String, String> m = new HashMap<>(baseOpts);
+    m.putAll(options);
+    m.put("row_address", "true");
+    org.apache.spark.sql.execution.datasources.v2.python.PythonDataSourceV2 p =
+        new org.apache.spark.sql.execution.datasources.v2.python.PythonDataSourceV2();
+    p.setShortName("lance");
+    CaseInsensitiveStringMap cs = new CaseInsensitiveStringMap(m);
+    StructType schema = p.inferSchema(cs);
+    Table t = p.getTable(schema, new Transform[0], m);
+    return ((SupportsRead) t).newScanBuilder(cs);
   }
 
   /**

@@ -1507,6 +1507,97 @@ class LanceNativeDeleteWriter(DataSourceArrowWriter):
         pass  # nothing staged on disk before commit
 
 
+class LanceNativeDeltaWriter(LanceNativeBatchWriter):
+    """``commit_mode=delta``: the incoming DataFrame's rows are INSERTS
+    (staged as native data files executor-side, exactly like a plain
+    append — inherited ``write``) and a sidecar file of big-endian
+    int64 row addresses (``delete_addresses_file``) lists the DELETES;
+    both commit as ONE merge-on-read manifest version. This is the
+    write half of Catalyst-planned UPDATE / MERGE INTO /
+    complex-predicate DELETE on native tables: `LancePyNativeTable`
+    exposes SupportsDelta (rowId = ``_row_address``,
+    representUpdateAsDeleteAndInsert — the reference's
+    DELETE_ROW_AND_INSERT_ROW paradigm, `LanceMergeSink.java:49-204`),
+    JVM executors stage the delta, and the JVM driver bridges it here
+    so the binary-manifest commit stays in the one Python committer:
+    DV union-before-apply, the fully-deleted-fragment drop rule, the
+    max_fragment_id watermark, and conflict rebase-retry all apply.
+    Write amplification is O(changed rows) — untouched fragments keep
+    their files and ids."""
+
+    MAX_DELETE_ADDRESSES = LanceNativeDeleteWriter.MAX_DELETE_ADDRESSES
+
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool, options: dict):
+        from ..format.lance_native import LanceNativeError
+
+        if overwrite:
+            raise LanceNativeError(
+                "commit_mode=delta composes with mode('append') only")
+        super().__init__(path, schema, False, options)
+        addr_file = options.get("delete_addresses_file")
+        if not addr_file:
+            raise LanceNativeError(
+                "commit_mode=delta requires the delete_addresses_file "
+                "option: a driver-local file of big-endian int64 row "
+                "addresses (zero-length = no deletes)")
+        self._addr_file = addr_file
+
+    def commit(self, messages) -> None:  # driver — ONE MoR version
+        import numpy as np
+
+        from ..format import native_io as _nio
+        from ..format.lance_native import (
+            LanceNativeError,
+            _field_specs_of,
+            _next_fragment_id,
+            _stage_deletion_entries,
+            _write_v1_manifest,
+            read_native_manifest,
+        )
+
+        _nio.restore_binding(self._nio_binding)
+        addrs = np.fromfile(self._addr_file, dtype=">i8").astype(np.int64)
+        if len(addrs) > self.MAX_DELETE_ADDRESSES:
+            raise LanceNativeError(
+                f"delta deletes {len(addrs)} rows (> "
+                f"{self.MAX_DELETE_ADDRESSES}); a change this large "
+                "should rewrite the table copy-on-write")
+        staged = [
+            (fn, nr) for msg in messages if msg is not None
+            for (fn, nr) in msg.files
+        ]
+        if not staged and not len(addrs):
+            return  # statement changed no rows -> no version churn
+        fids = (addrs >> np.int64(32)).astype(np.int64)
+        rows = (addrs & np.int64(0xFFFFFFFF)).astype(np.int64)
+        by_frag = {
+            int(fid): np.sort(rows[fids == fid])
+            for fid in np.unique(fids)
+        }
+        m = self._m
+        for _attempt in range(5):
+            frag_entries = _stage_deletion_entries(self._path, m, by_frag)
+            next_id = _next_fragment_id(m)
+            for i, (fn, nr) in enumerate(staged):
+                frag_entries.append((next_id + i, fn, nr))
+            try:
+                _write_v1_manifest(
+                    self._path, _field_specs_of(m), frag_entries,
+                    m.version + 1)
+                return
+            except LanceNativeError as ex:
+                if "concurrent commit" not in str(ex):
+                    raise
+                # physical (fragment, row) addresses stay valid across
+                # concurrent appends/deletes — rebase is a re-read +
+                # retry; a concurrent compaction that dropped a target
+                # fragment raises loudly in _stage_deletion_entries
+                m = read_native_manifest(self._path)
+        raise LanceNativeError(
+            "delta commit lost 5 consecutive version races")
+
+
 class LanceBatchWriter(DataSourceArrowWriter):
     def __init__(self, path: str, schema: StructType, overwrite: bool, options: dict):
         self._path = path
@@ -1730,6 +1821,9 @@ class LanceSparkDataSource(DataSource):
             if dict(self.options).get(
                     "commit_mode") == "delete_addresses":
                 return LanceNativeDeleteWriter(
+                    self._path(), schema, overwrite, dict(self.options))
+            if dict(self.options).get("commit_mode") == "delta":
+                return LanceNativeDeltaWriter(
                     self._path(), schema, overwrite, dict(self.options))
             return LanceNativeBatchWriter(
                 self._path(), schema, overwrite, dict(self.options))

@@ -1879,3 +1879,150 @@ def cat29(spark: SparkSession, sf_dir: str) -> DataFrame:
      .withColumn("no_match_noop", F.lit(bool(noop))) \
      .withColumn("history_intact", F.lit(bool(hist))) \
      .orderBy("region")
+
+
+# ---------------------------------------------------------------------------
+# cat30 — Catalyst-planned UPDATE / MERGE INTO / subquery DELETE on
+# NATIVE tables (closes the r10 VERDICT gap: "vanilla-session users can
+# currently only SELECT + INSERT"). LancePyNativeTable implements
+# SupportsRowLevelOperations via SupportsDelta (rowId = _row_address,
+# representUpdateAsDeleteAndInsert — the reference's
+# DELETE_ROW_AND_INSERT_ROW paradigm, LanceMergeSink.java:49-204;
+# planned in-engine at LanceMetadata.java:1116-1271): Spark rewrites
+# each statement into a WriteDelta over the PYTHON native scan (pushed
+# filters, row_address option), executors stage delete addresses +
+# insert parquet, and the driver bridges both into ONE
+# Python-committed MoR manifest version per statement (commit_mode=
+# delta: DV union-before-apply, fragment-drop rule, max_fragment_id
+# watermark, rebase-retry). Write amplification is O(changed rows):
+# pre-existing data files are NEVER rewritten.
+# ---------------------------------------------------------------------------
+@register(
+    "cat30_sql_native_update_merge",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey < 120
+    ),
+    upd AS (  -- UPDATE ... SET seg = seg || '*' WHERE c_nationkey < 5
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_nationkey < 5 THEN c_mktsegment || '*'
+                  ELSE c_mktsegment END AS seg
+      FROM base
+    ),
+    src AS (
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_custkey >= 100 AND c_custkey < 140
+    ),
+    merged AS (  -- MERGE: matched & nation>=10 DELETE; matched UPDATE
+                 -- seg='MERGED'; not-matched INSERT seg='INSERTED'
+      SELECT u.c_custkey, u.c_nationkey,
+             CASE WHEN s.c_custkey IS NOT NULL THEN 'MERGED'
+                  ELSE u.seg END AS seg
+      FROM upd u LEFT JOIN src s ON u.c_custkey = s.c_custkey
+      WHERE s.c_custkey IS NULL OR u.c_nationkey < 10
+      UNION ALL
+      SELECT c_custkey, c_nationkey, 'INSERTED' AS seg
+      FROM src WHERE c_custkey >= 120
+    )
+    SELECT seg AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           TRUE AS update_single_version,
+           TRUE AS merge_single_version,
+           TRUE AS files_never_rewritten,
+           TRUE AS noop_no_churn,
+           TRUE AS history_intact
+    FROM merged
+    GROUP BY seg ORDER BY segment
+    """,
+    doc="catalog: Catalyst-planned SQL UPDATE + conditional MERGE + "
+        "subquery DELETE on native tables (SupportsDelta row-level "
+        "deltas bridged to the Python MoR committer) — one version per "
+        "statement, no rewrites, history intact",
+    tags=("catalog", "jvm", "sql", "lance-native", "dml", "update", "merge"),
+)
+def cat30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        append_native_rows, read_native_manifest, write_native_dataset)
+    from ..sources.lance_datasource import register_lance_datasource
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat30-jvmrowlevel")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "db"))
+    loc = os.path.join(root, "db", "cust.lance")
+
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .where("c_custkey < 120")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "c_custkey": [int(r["c_custkey"]) for r in rs],
+        "c_nationkey": [int(r["c_nationkey"]) for r in rs],
+        "seg": [str(r["c_mktsegment"]) for r in rs],
+    }
+    write_native_dataset(loc, cols([r for r in rows if r["c_custkey"] < 60]))
+    append_native_rows(loc, cols([r for r in rows if r["c_custkey"] >= 60]))
+
+    register_lance_datasource(spark)
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_rl30", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm_rl30.root", root)
+
+    m0 = read_native_manifest(loc)
+    files0 = sorted(df.path for f in m0.fragments for df in f.files)
+
+    # Catalyst UPDATE -> ONE MoR version, no data-file rewrites
+    spark.sql("UPDATE lance_jvm_rl30.db.cust "
+              "SET seg = concat(seg, '*') WHERE c_nationkey < 5")
+    m1 = read_native_manifest(loc)
+    files1 = sorted(df.path for f in m1.fragments for df in f.files)
+    upd_one = m1.version == m0.version + 1
+    kept = set(files0) <= set(files1)
+
+    # Catalyst conditional MERGE (all three WHEN branches) -> ONE version
+    (load_table(spark, sf_dir, "customer")
+        .where("c_custkey >= 100 AND c_custkey < 140")
+        .selectExpr("CAST(c_custkey AS LONG) c_custkey",
+                    "CAST(c_nationkey AS LONG) c_nationkey")
+        .createOrReplaceTempView("cat30_src"))
+    spark.sql("""
+      MERGE INTO lance_jvm_rl30.db.cust AS t
+      USING cat30_src AS s ON t.c_custkey = s.c_custkey
+      WHEN MATCHED AND t.c_nationkey >= 10 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET seg = 'MERGED'
+      WHEN NOT MATCHED THEN
+        INSERT (c_custkey, c_nationkey, seg)
+        VALUES (s.c_custkey, s.c_nationkey, 'INSERTED')
+    """)
+    m2 = read_native_manifest(loc)
+    merge_one = m2.version == m1.version + 1
+    kept = kept and set(files1) <= set(
+        df.path for f in m2.fragments for df in f.files)
+
+    # no-match UPDATE commits NOTHING (no empty version churn)
+    spark.sql("UPDATE lance_jvm_rl30.db.cust SET seg = 'X' "
+              "WHERE c_custkey = 424242")
+    noop = read_native_manifest(loc).version == m2.version
+
+    # every pre-statement snapshot stays readable
+    hist = spark.sql(
+        "SELECT COUNT(*) AS c FROM lance_jvm_rl30.db.cust "
+        f"VERSION AS OF {m0.version}").collect()[0]["c"] == len(rows)
+
+    return spark.sql(
+        "SELECT seg AS segment, COUNT(*) AS n,"
+        "       CAST(SUM(c_custkey) AS BIGINT) AS key_sum"
+        " FROM lance_jvm_rl30.db.cust"
+        " GROUP BY seg"
+    ).withColumn("update_single_version", F.lit(bool(upd_one))) \
+     .withColumn("merge_single_version", F.lit(bool(merge_one))) \
+     .withColumn("files_never_rewritten", F.lit(bool(kept))) \
+     .withColumn("noop_no_churn", F.lit(bool(noop))) \
+     .withColumn("history_intact", F.lit(bool(hist))) \
+     .orderBy("segment")

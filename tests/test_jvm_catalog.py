@@ -129,3 +129,84 @@ def test_dv_reader_factory_serialized_form_is_metadata_only(spark):
     banned = ("HashSet", "Set<", "long[]", "Long[]", "Roaring", "BitSet")
     for name, typ in fields.items():
         assert not any(b in typ for b in banned), (name, typ, fields)
+
+
+def test_jvm_native_row_level_update_merge(spark, tmp_path):
+    """Catalyst-planned UPDATE / MERGE INTO / subquery DELETE on NATIVE
+    (binary-manifest) tables: LancePyNativeTable exposes SupportsDelta
+    (rowId = _row_address, representUpdateAsDeleteAndInsert — the
+    reference's DELETE_ROW_AND_INSERT_ROW paradigm,
+    LanceMergeSink.java:49-204); executors stage the delta and the
+    driver bridges it into ONE Python-committed MoR version per
+    statement. Write amplification is pinned: an UPDATE touching k rows
+    keeps every pre-existing data file and adds exactly one fragment."""
+    _ensure_jar()
+    from lance_trino_spark.format.lance_native import (
+        read_native_manifest, write_native_dataset)
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "wh")
+    os.makedirs(os.path.join(root, "db"))
+    loc = os.path.join(root, "db", "t.lance")
+    write_native_dataset(loc, {
+        "k": list(range(20)),
+        "v": [i * 10 for i in range(20)],
+    })
+    register_lance_datasource(spark)
+    spark.sql(f"ADD JAR {JAR}")
+    spark.conf.set("spark.sql.catalog.lance_jvm_rl", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm_rl.root", root)
+    try:
+        m0 = read_native_manifest(loc)
+        files0 = sorted(df.path for f in m0.fragments for df in f.files)
+
+        # UPDATE: one MoR version, old files kept, one new fragment
+        spark.sql("UPDATE lance_jvm_rl.db.t SET v = v + 1 WHERE k >= 15")
+        m1 = read_native_manifest(loc)
+        files1 = sorted(df.path for f in m1.fragments for df in f.files)
+        assert m1.version == m0.version + 1
+        assert set(files0) <= set(files1)
+        assert len(files1) == len(files0) + 1
+        rows = spark.sql(
+            "SELECT k, v FROM lance_jvm_rl.db.t ORDER BY k").collect()
+        assert [r.v for r in rows] == [
+            i * 10 + (1 if i >= 15 else 0) for i in range(20)]
+
+        # MERGE with all three WHEN branches, one version
+        spark.createDataFrame(
+            [(0, 999), (15, 999), (100, 999)], "k long, v long"
+        ).createOrReplaceTempView("rl_src")
+        spark.sql("""
+          MERGE INTO lance_jvm_rl.db.t AS t USING rl_src AS s ON t.k = s.k
+          WHEN MATCHED AND s.k < 10 THEN UPDATE SET v = s.v
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        """)
+        m2 = read_native_manifest(loc)
+        assert m2.version == m1.version + 1
+        got = {r.k: r.v for r in spark.sql(
+            "SELECT k, v FROM lance_jvm_rl.db.t").collect()}
+        assert got[0] == 999 and got[100] == 999 and 15 not in got
+        assert len(got) == 20  # 20 - deleted 15 + inserted 100
+
+        # complex-predicate DELETE takes the row-level path (delete-only
+        # delta: empty write schema) — simple DELETE stays metadata-only
+        spark.sql("DELETE FROM lance_jvm_rl.db.t "
+                  "WHERE k IN (SELECT k FROM rl_src WHERE v = 999 AND k = 0)")
+        assert spark.sql(
+            "SELECT count(*) c FROM lance_jvm_rl.db.t").collect()[0].c == 19
+
+        # no-match UPDATE commits NOTHING (no version churn)
+        v_before = read_native_manifest(loc).version
+        spark.sql("UPDATE lance_jvm_rl.db.t SET v = 0 WHERE k = 424242")
+        assert read_native_manifest(loc).version == v_before
+
+        # pre-statement history intact; staging dirs cleaned up
+        assert spark.sql(
+            "SELECT count(*) c FROM lance_jvm_rl.db.t "
+            f"VERSION AS OF {m0.version}").collect()[0].c == 20
+        assert not [n for n in os.listdir(loc) if n.startswith(".stage-delta")]
+    finally:
+        spark.conf.unset("spark.sql.catalog.lance_jvm_rl")
+        spark.conf.unset("spark.sql.catalog.lance_jvm_rl.root")

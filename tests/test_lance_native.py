@@ -4076,6 +4076,70 @@ def test_delete_addresses_write_mode_contracts(tmp_path, spark):
             .option("commit_mode", "delete_addresses").save(root)
 
 
+def test_delta_commit_mode_contracts(tmp_path, spark):
+    """The delta commit mode (the write half of Catalyst-planned
+    UPDATE/MERGE on native tables): insert rows + a sidecar file of
+    big-endian int64 delete addresses commit as ONE MoR version —
+    untouched fragments keep their files; the option is mandatory;
+    overwrite refuses; an empty delta commits nothing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lance_trino_spark.format import lance_native as ln
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "delta.lance")
+    ln.write_native_dataset(
+        root, {"k": list(range(40)), "s": [f"r{i}" for i in range(40)]})
+    ln.append_native_rows(
+        root, {"k": list(range(40, 60)), "s": [f"r{i}" for i in range(40, 60)]})
+    register_lance_datasource(spark)
+    m0 = ln.read_native_manifest(root)
+    files0 = sorted(df.path for f in m0.fragments for df in f.files)
+
+    # the JVM bridge's shape: deletes (one per fragment) + 2 inserts
+    addr_file = str(tmp_path / "deletes.bin")
+    np.array([(0 << 32) | 5, (1 << 32) | 2], dtype=np.int64) \
+        .astype(">i8").tofile(addr_file)
+    spark.createDataFrame([(100, "u100"), (101, "u101")], "k long, s string") \
+        .coalesce(1) \
+        .write.format("lance").mode("append") \
+        .option("commit_mode", "delta") \
+        .option("delete_addresses_file", addr_file).save(root)
+    m1 = ln.read_native_manifest(root)
+    assert m1.version == m0.version + 1  # ONE version for the whole delta
+    files1 = sorted(df.path for f in m1.fragments for df in f.files)
+    assert set(files0) <= set(files1)  # untouched data never rewritten
+    assert len(files1) == len(files0) + 1  # inserts -> one new fragment
+    got = sorted(
+        v for f in m1.fragments
+        for v in ln.read_native_fragment(
+            root, f, m1, columns=["k"]).column("k").to_pylist())
+    assert got == sorted((set(range(60)) - {5, 42}) | {100, 101})
+
+    # empty delta (no inserts, zero-length address file) -> no churn
+    open(addr_file, "wb").close()
+    spark.createDataFrame([], "k long, s string") \
+        .write.format("lance").mode("append") \
+        .option("commit_mode", "delta") \
+        .option("delete_addresses_file", addr_file).save(root)
+    assert ln.read_native_manifest(root).version == m1.version
+
+    # the sidecar option is mandatory
+    with _pytest.raises(Exception, match="delete_addresses_file"):
+        spark.createDataFrame([(1, "x")], "k long, s string") \
+            .write.format("lance").mode("append") \
+            .option("commit_mode", "delta").save(root)
+
+    # overwrite composition refuses
+    with _pytest.raises(Exception, match="append"):
+        spark.createDataFrame([(1, "x")], "k long, s string") \
+            .write.format("lance").mode("overwrite") \
+            .option("commit_mode", "delta") \
+            .option("delete_addresses_file", addr_file).save(root)
+
+
 def test_object_store_distributed_scan_and_pyarrow_fs(tmp_path, spark):
     """Object-store roots fan out DISTRIBUTED (one task per fragment):
     the (root, store) binding rides the pickled DSv2 reader into Spark
