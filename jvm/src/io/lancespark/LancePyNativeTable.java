@@ -218,6 +218,29 @@ public class LancePyNativeTable
         .save();
   }
 
+  /**
+   * O(1) TRUNCATE TABLE: SupportsDeleteV2's default truncateTable()
+   * streams EVERY row address through deleteWhere (O(n) scan + the 10M
+   * delete cap) — the native committer's truncate shape is an empty
+   * OVERWRITE commit instead: one manifest version with zero fragments,
+   * schema preserved, history intact, no data read
+   * (LanceNativeBatchWriter overwrite semantics).
+   */
+  @Override
+  public boolean truncateTable() {
+    if (baseOpts.containsKey("version") || baseOpts.containsKey("timestampasof")
+        || baseOpts.containsKey("tagasof")) {
+      throw new UnsupportedOperationException(
+          "TRUNCATE on a time-travel-pinned native table is not supported");
+    }
+    SparkSession spark = SparkSession.active();
+    spark.createDataFrame(new java.util.ArrayList<Row>(), schema())
+        .write().format("lance").mode("overwrite")
+        .option("path", baseOpts.get("path"))
+        .save();
+    return true;
+  }
+
   @Override
   public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
     CaseInsensitiveStringMap opts = merged(info.options());

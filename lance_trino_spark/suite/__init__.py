@@ -86,6 +86,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # sidecar layout changed) - they are also r6-stale members.
     "lf46_native_object_store",
     "cat29_sql_native_delete",
+    "cat30_sql_native_update_merge",
     # changed-code re-checks
     "s15_native_filtered_fresh_search",
     "cat24_sql_native_show_stats",

@@ -210,3 +210,42 @@ def test_jvm_native_row_level_update_merge(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.catalog.lance_jvm_rl")
         spark.conf.unset("spark.sql.catalog.lance_jvm_rl.root")
+
+
+def test_jvm_native_truncate_is_metadata_only(spark, tmp_path):
+    """SQL TRUNCATE TABLE on a native table commits ONE zero-fragment
+    manifest version (the empty-overwrite shape) instead of
+    SupportsDeleteV2's default full-address-stream delete — no data is
+    read, schema and history survive."""
+    _ensure_jar()
+    from lance_trino_spark.format.lance_native import (
+        read_native_manifest, write_native_dataset)
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource)
+
+    root = str(tmp_path / "wh")
+    os.makedirs(os.path.join(root, "db"))
+    loc = os.path.join(root, "db", "t.lance")
+    write_native_dataset(loc, {"k": list(range(1000))})
+    register_lance_datasource(spark)
+    spark.sql(f"ADD JAR {JAR}")
+    spark.conf.set("spark.sql.catalog.lance_jvm_tr", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm_tr.root", root)
+    try:
+        v0 = read_native_manifest(loc).version
+        spark.sql("TRUNCATE TABLE lance_jvm_tr.db.t")
+        m1 = read_native_manifest(loc)
+        assert m1.version == v0 + 1          # ONE commit
+        assert not m1.fragments              # zero fragments, no DV files
+        assert spark.sql(
+            "SELECT count(*) c FROM lance_jvm_tr.db.t").collect()[0].c == 0
+        # schema survives; the pre-truncate snapshot stays readable
+        assert spark.sql(
+            f"SELECT count(*) c FROM lance_jvm_tr.db.t VERSION AS OF {v0}"
+        ).collect()[0].c == 1000
+        spark.sql("INSERT INTO lance_jvm_tr.db.t VALUES (7)")
+        assert spark.sql(
+            "SELECT k FROM lance_jvm_tr.db.t").collect()[0].k == 7
+    finally:
+        spark.conf.unset("spark.sql.catalog.lance_jvm_tr")
+        spark.conf.unset("spark.sql.catalog.lance_jvm_tr.root")
