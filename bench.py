@@ -181,6 +181,7 @@ DEFAULT_QUERIES = [
     "lf46_native_object_store",
     "cat29_sql_native_delete",
     "cat30_sql_native_update_merge",
+    "st14_native_writestream_sink",
 ]
 
 

@@ -3597,33 +3597,8 @@ def native_stream_commit_batch(
     app_id (reusing the old one would make the reset batches look like
     replays of the old run's commits and silently drop them) — hence no
     default value."""
-    txn = f"{app_id}:{int(batch_id)}"
-    prefix = f"{app_id}:"
-
-    def _already_committed(versions: dict, floor_version: int = 0):
-        # replay scan, newest first, BOUNDED: batch ids are monotonic
-        # per app (Spark redelivers only the last uncommitted batch), so
-        # the first marker of this app with a SMALLER batch id proves
-        # ours was never committed — the walk covers only the manifests
-        # since the app's previous commit, not the whole version log.
-        # ``floor_version`` bounds re-scans after a lost commit race to
-        # just the manifests that appeared since our first scan.
-        for v in sorted(versions, reverse=True):
-            if v < floor_version:
-                break
-            seen = _parse_manifest_cached(versions[v]).txn
-            if seen == txn:
-                return v  # replayed delivery of a committed batch
-            if seen and seen.startswith(prefix):
-                try:
-                    if int(seen[len(prefix):]) < int(batch_id):
-                        break
-                except ValueError:
-                    pass
-        return None
-
     versions = list_native_versions(root)
-    done = _already_committed(versions)
+    done = _native_txn_committed_version(root, versions, app_id, batch_id)
     if done is not None:
         return done
     scanned_to = max(versions, default=0)
@@ -3632,6 +3607,62 @@ def native_stream_commit_batch(
         bdf, root, m, file_version, rows_per_fragment)
     if not staged:
         return None
+    v, _replayed = native_commit_staged_txn_batch(
+        root, staged, batch_id, app_id=app_id, m=m, scanned_to=scanned_to)
+    return v
+
+
+def _native_txn_committed_version(
+    root: str, versions: dict, app_id: str, batch_id: int,
+    floor_version: int = 0,
+):
+    """Replay scan, newest first, BOUNDED: batch ids are monotonic per
+    app (Spark redelivers only the last uncommitted batch), so the first
+    marker of this app with a SMALLER batch id proves ours was never
+    committed — the walk covers only the manifests since the app's
+    previous commit, not the whole version log. ``floor_version`` bounds
+    re-scans after a lost commit race to just the manifests that
+    appeared since the first scan."""
+    txn = f"{app_id}:{int(batch_id)}"
+    prefix = f"{app_id}:"
+    for v in sorted(versions, reverse=True):
+        if v < floor_version:
+            break
+        seen = _parse_manifest_cached(versions[v]).txn
+        if seen == txn:
+            return v  # replayed delivery of a committed batch
+        if seen and seen.startswith(prefix):
+            try:
+                if int(seen[len(prefix):]) < int(batch_id):
+                    break
+            except ValueError:
+                pass
+    return None
+
+
+def native_commit_staged_txn_batch(
+    root: str, staged, batch_id: int, *, app_id: str,
+    m=None, scanned_to: int = 0,
+) -> tuple:
+    """Commit PRE-STAGED ``(file, rows)`` entries as ONE txn-marked
+    manifest version — the driver half of the exactly-once streaming
+    sink, shared by `native_stream_commit_batch` (which stages first)
+    and the `writeStream.format("lance")` native stream writer (whose
+    executors staged during `write()`). Returns ``(version, replayed)``:
+    ``replayed=True`` means the marker was already in the version log —
+    nothing was committed and the caller owns deleting its staged files.
+    Pass ``m`` (the manifest the staging ran against) to skip the
+    pre-commit replay scan the caller already performed; conflict
+    rebases still re-scan down to ``scanned_to``."""
+    txn = f"{app_id}:{int(batch_id)}"
+    if m is None:
+        versions = list_native_versions(root)
+        done = _native_txn_committed_version(
+            root, versions, app_id, batch_id, floor_version=scanned_to)
+        if done is not None:
+            return done, True
+        scanned_to = max(versions, default=0)
+        m = read_native_manifest(root)
     while True:
         frags = [
             (f.id, _relist_files(f), f.physical_rows)
@@ -3645,7 +3676,7 @@ def native_stream_commit_batch(
         try:
             _write_v1_manifest(
                 root, _field_specs_of(m), frags, m.version + 1, txn=txn)
-            return m.version + 1
+            return m.version + 1, False
         except LanceNativeError as ex:
             if "concurrent commit" not in str(ex):
                 raise
@@ -3653,9 +3684,10 @@ def native_stream_commit_batch(
             # WAS this very batch (concurrent duplicate delivery) — the
             # re-scan covers only the manifests newer than our first scan
             versions = list_native_versions(root)
-            done = _already_committed(versions, floor_version=scanned_to)
+            done = _native_txn_committed_version(
+                root, versions, app_id, batch_id, floor_version=scanned_to)
             if done is not None:
-                return done  # duplicate delivery won; don't double-commit
+                return done, True  # duplicate delivery won
             scanned_to = max(versions, default=0)
             m = read_native_manifest(root)  # rebase, retry
 

@@ -62,6 +62,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     EqualTo,
@@ -1693,6 +1694,79 @@ class LanceStreamWriter(DataSourceStreamWriter):
         return read_manifest(self._path, versions[-1]).properties.get(STREAM_EPOCH_KEY)
 
 
+class LanceNativeStreamWriter(DataSourceStreamArrowWriter, LanceNativeBatchWriter):
+    """``writeStream.format("lance").start(path)`` into a REAL `.lance`
+    dataset — the DSv2 streaming face of the exactly-once native sink
+    (st12's foreachBatch protocol, planned by Spark as a first-class
+    streaming sink): executors stage native data files exactly like the
+    batch writer (Arrow batches → the dataset's file flavor, manifest
+    encoding markers honored, leaf-validity NULLs), and the driver
+    commits each micro-batch as ONE manifest version carrying the
+    ``appId:batchId`` transaction marker (manifest proto field 99), so
+    a crash-redelivered batch is detected ATOMICALLY with the commit:
+    the redelivery's staged files are deleted and the original version
+    stands — no duplicate rows, no duplicate version.
+
+    ``option("appId", ...)`` is REQUIRED and follows the Delta txnAppId
+    contract documented on `native_stream_commit_batch`: unique per
+    (streaming query, checkpoint location), stable across restarts of
+    that checkpoint, FRESH when the checkpoint is reset. Only append
+    output mode is supported; the target native dataset must already
+    exist (create it with `create_native_dataset(df.limit(0), path)` or
+    a batch write). Empty micro-batches commit nothing — no marker, no
+    version."""
+
+    def __init__(self, path: str, schema: StructType,
+                 overwrite: bool, options: dict):
+        from ..format.lance_native import LanceNativeError
+
+        if overwrite:
+            raise LanceNativeError(
+                "writeStream into a native .lance dataset supports only "
+                "append output mode — complete/truncate would rewrite "
+                "table history every micro-batch")
+        app_id = options.get("appid") or options.get("app_id")
+        if not app_id:
+            raise LanceNativeError(
+                "writeStream format('lance') on a native dataset "
+                "requires .option('appId', <id>) — the exactly-once "
+                "transaction-marker namespace (Delta txnAppId contract: "
+                "unique per query+checkpoint, stable across restarts; "
+                "see native_stream_commit_batch)")
+        self._app_id = str(app_id)
+        LanceNativeBatchWriter.__init__(self, path, schema, False, options)
+
+    def write(self, iterator) -> LanceWriteMessage:  # executor
+        # the Arrow-batch staging contract is identical for batch and
+        # streaming; the explicit override exists because the stream
+        # base's @abstractmethod write shadows the batch writer's
+        # concrete one in the MRO
+        return LanceNativeBatchWriter.write(self, iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # driver
+        from ..format import native_io as _nio
+        from ..format.lance_native import native_commit_staged_txn_batch
+
+        _nio.restore_binding(self._nio_binding)
+        staged = [
+            (fn, nr) for msg in messages if msg is not None
+            for (fn, nr) in msg.files
+        ]
+        if not staged:
+            return
+        _v, replayed = native_commit_staged_txn_batch(
+            self._path, staged, batchId, app_id=self._app_id)
+        if replayed:
+            # the marker was already in the version log (crash
+            # redelivery): the original commit stands and THIS
+            # delivery's staged files are orphans — reap them now
+            # instead of leaving them to vacuum
+            self.abort(messages, batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        LanceNativeBatchWriter.abort(self, messages)
+
+
 # ---------------------------------------------------------------------------
 # DataSource
 # ---------------------------------------------------------------------------
@@ -1829,18 +1903,12 @@ class LanceSparkDataSource(DataSource):
                 self._path(), schema, overwrite, dict(self.options))
         return LanceBatchWriter(self._path(), schema, overwrite, dict(self.options))
 
-    def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
+    def streamWriter(self, schema: StructType, overwrite: bool):
         from ..format.lance_native import is_native_dataset
 
         if is_native_dataset(self._path()):
-            raise ValueError(
-                "streaming into a REAL .lance dataset through writeStream "
-                "format('lance') is not supported — use foreachBatch with "
-                "native_stream_commit_batch (the exactly-once sink with "
-                "manifest-embedded txn markers, suite st12); batch writes "
-                "DO work: df.write.format('lance').mode('append'|"
-                "'overwrite').save(path)"
-            )
+            return LanceNativeStreamWriter(
+                self._path(), schema, overwrite, dict(self.options))
         return LanceStreamWriter(self._path(), schema, overwrite, dict(self.options))
 
     def streamReader(self, schema: StructType):

@@ -87,6 +87,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf46_native_object_store",
     "cat29_sql_native_delete",
     "cat30_sql_native_update_merge",
+    "st14_native_writestream_sink",
     # changed-code re-checks
     "s15_native_filtered_fresh_search",
     "cat24_sql_native_show_stats",

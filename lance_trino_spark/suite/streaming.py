@@ -604,3 +604,116 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("clustered_stats_prune", F.lit(prunes))
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# st14 — the exactly-once native sink as a FIRST-CLASS writeStream sink:
+# `writeStream.format("lance").option("appId", ...).start(path)` plans the
+# sink through Spark (no foreachBatch), executors stage native data files
+# per micro-batch, and the driver commits one txn-marked manifest version
+# per batch (the st12 protocol behind the DSv2 streaming face). The query
+# proves: per-batch markers in the app's namespace, an out-of-band
+# crash-redelivery of the newest committed batch id is swallowed (shared
+# marker namespace with the foreachBatch twin), and the swallowed
+# delivery's staged files were reaped (manifest-referenced files == files
+# on disk). Result equals a batch query over the source.
+# ---------------------------------------------------------------------------
+@register(
+    "st14_native_writestream_sink",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum,
+           TRUE AS one_marker_per_batch,
+           TRUE AS replay_was_skipped,
+           TRUE AS no_staged_orphans
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="streaming: writeStream.format('lance') native sink — per-batch "
+        "txn-marked commits, replay-safe, orphan-free",
+    tags=("streaming", "format", "lance-native", "sink", "exactly-once"),
+)
+def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+        list_native_versions,
+        native_stream_commit_batch,
+        read_native_manifest,
+    )
+    from ..sources.lance_datasource import register_lance_datasource
+    from ..tables import load_table
+    from .lance_format import _fresh_path
+
+    out = _fresh_path(sf_dir, "st14-native-writestream")
+    src, ckpt = out + ".src", out + ".ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cust.repartition(4).write.parquet(src)
+    create_native_dataset(cust.limit(0), out)
+
+    register_lance_datasource(spark)
+    (
+        spark.readStream
+        .schema("c_custkey long, c_mktsegment string, c_acctbal double")
+        .option("maxFilesPerTrigger", 1)  # several batches, several commits
+        .parquet(src)
+        .writeStream.format("lance")
+        .option("appId", "st14")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+        .awaitTermination(300)
+    )
+    ds = LanceNativeDataset(out)
+    n_before = ds.count_rows()
+    marked = {
+        v: t
+        for v in list_native_versions(out)
+        if (t := read_native_manifest(out, v).txn)
+    }
+    one_each = (
+        len(marked) >= 2
+        and all(t.startswith("st14:") for t in marked.values())
+        and len(set(marked.values())) == len(marked)
+    )
+
+    # crash-redelivery of the newest committed batch id, delivered through
+    # the foreachBatch twin — the manifest marker namespace is SHARED, so
+    # it must be swallowed without rows or a new version
+    last_bid = max(int(t.split(":")[1]) for t in marked.values())
+    replay_v = native_stream_commit_batch(
+        cust.limit(7), last_bid, out, app_id="st14")
+    replay_skipped = (
+        LanceNativeDataset(out).count_rows() == n_before
+        and replay_v == max(marked)
+    )
+
+    # the swallowed delivery staged files then reaped them: everything in
+    # data/ is manifest-referenced
+    m = read_native_manifest(out)
+    referenced = {df_.path for f in m.fragments for df_ in f.files}
+    no_orphans = set(os.listdir(os.path.join(out, "data"))) == referenced
+
+    return (
+        spark.read.format("lance").load(out)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double").alias("bal_sum"),
+        )
+        .withColumn("one_marker_per_batch", F.lit(bool(one_each)))
+        .withColumn("replay_was_skipped", F.lit(bool(replay_skipped)))
+        .withColumn("no_staged_orphans", F.lit(bool(no_orphans)))
+        .orderBy("segment")
+    )

@@ -217,3 +217,110 @@ def test_stream_dir_reconcile_no_prefix_collision(spark, tmp_path):
     longs = [f for f in os.listdir(os.path.join(stream_dir, "x-y"))
              if f.endswith(".parquet")]
     assert sorted(longs) == ["x-y-0.parquet", "x-y-1.parquet"]
+
+
+def test_native_writestream_exactly_once(spark, tmp_path):
+    """writeStream.format('lance') straight into a native dataset: one
+    txn-marked manifest version per micro-batch, an out-of-band replay
+    of a committed batch id is swallowed (shared marker namespace with
+    native_stream_commit_batch), and the staged files of the swallowed
+    delivery are reaped — no duplicate rows, no orphans."""
+    import os
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        LanceNativeError,
+        create_native_dataset,
+        list_native_versions,
+        native_stream_commit_batch,
+        read_native_manifest,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    out = str(tmp_path / "t.lance")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    df = spark.range(60).selectExpr("id", "id * 2 AS v")
+    df.repartition(3).write.parquet(src)
+    create_native_dataset(df.limit(0), out)
+
+    (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("lance")
+        .option("appId", "pytest-q1")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+        .awaitTermination(240)
+    )
+    assert LanceNativeDataset(out).count_rows() == 60
+    txns = {
+        v: read_native_manifest(out, v).txn
+        for v in list_native_versions(out)
+    }
+    marked = {v: t for v, t in txns.items() if t}
+    # one version per non-empty micro-batch, all in this app's namespace
+    assert len(marked) >= 2
+    assert all(t.startswith("pytest-q1:") for t in marked.values())
+    assert len(set(marked.values())) == len(marked)
+
+    # crash-replay of the newest committed batch id via the foreachBatch
+    # twin — same marker namespace, must be swallowed
+    last_bid = max(int(t.split(":")[1]) for t in marked.values())
+    rv = native_stream_commit_batch(
+        df.limit(7), last_bid, out, app_id="pytest-q1")
+    assert rv == max(marked)
+    assert LanceNativeDataset(out).count_rows() == 60
+
+    # readback through the scan equals the source
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("lance").load(out).collect()
+    )
+    assert got == [(i, 2 * i) for i in range(60)]
+
+    # no staged orphans beyond the files the manifest references
+    m = read_native_manifest(out)
+    referenced = {df_.path for f in m.fragments for df_ in f.files}
+    on_disk = set(os.listdir(os.path.join(out, "data")))
+    assert on_disk == referenced
+
+
+def test_native_writestream_refusals(spark, tmp_path):
+    """appId is required (txn-marker namespace), and non-append output
+    modes refuse loudly."""
+    import pyspark.errors
+
+    import pytest
+
+    from lance_trino_spark.format.lance_native import create_native_dataset
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    out = str(tmp_path / "t.lance")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    df.write.parquet(src)
+    create_native_dataset(df.limit(0), out)
+
+    q = (
+        spark.readStream.schema("id long, v long")
+        .parquet(src)
+        .writeStream.format("lance")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="appId",
+    ):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
