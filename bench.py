@@ -182,6 +182,7 @@ DEFAULT_QUERIES = [
     "cat29_sql_native_delete",
     "cat30_sql_native_update_merge",
     "st14_native_writestream_sink",
+    "cat31_jvm_manifest_aggregates",
 ]
 
 

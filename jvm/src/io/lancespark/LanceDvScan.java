@@ -201,7 +201,8 @@ final class LanceDvScan {
     }
     return new DvScanBuilder((FileScanBuilder) delegateBuilder, tableSchema,
         dvFiles(tableDir, manifest), fragIdsByBase(manifest), tableName,
-        liveRows, columnNdvStats(manifest, tableSchema));
+        liveRows, columnNdvStats(manifest, tableSchema),
+        columnExactBounds(manifest, tableSchema));
   }
 
   /* ---- CBO column statistics from the manifest zone maps --------------
@@ -254,6 +255,95 @@ final class LanceDvScan {
       }
     }
     return out;
+  }
+
+  /* Exact per-column bounds + null counts from the manifest zone maps,
+   * for MANIFEST AGGREGATE pushdown (MIN/MAX/COUNT answered with ZERO
+   * data scanned — beyond the reference's COUNT(*)-only fast path,
+   * LanceMetadata.java:604-665, LanceCountPageSource.java:31-108; the
+   * reference refuses everything else, this path answers what the
+   * manifest can answer EXACTLY and refuses the rest). A column
+   * participates only when EVERY fragment carries a stats entry for it
+   * (StatsAccumulator poisons NaN-bearing floats and unboundable
+   * strings, so presence == exact bounds) and, for strings, both bounds
+   * are SHORTER than the 256-char storage cap (a bound at the cap may
+   * be a truncated prefix / bumped prefix — conservative, not the exact
+   * extremum). Value shape per column: {minOrNull, maxOrNull,
+   * Long nulls}, min/max already in Spark internal representation
+   * (UTF8String for strings); all-null columns keep null bounds. */
+  static HashMap<String, Object[]> columnExactBounds(JsonNode manifest,
+      StructType tableSchema) {
+    HashMap<String, Object[]> out = new HashMap<>();
+    ArrayNode frags = (ArrayNode) manifest.get("fragments");
+    for (StructField f : tableSchema.fields()) {
+      String c = f.name();
+      Object mn = null;
+      Object mx = null;
+      long nulls = 0;
+      boolean ok = true;
+      for (JsonNode frag : frags) {
+        JsonNode stats = frag.get("stats");
+        JsonNode s = (stats == null || stats.isNull()) ? null : stats.get(c);
+        if (s == null || s.isNull()) {
+          ok = false;
+          break;
+        }
+        nulls += s.path("nulls").asLong();
+        if (!s.has("min")) {
+          continue; // all-null fragment: bounds unchanged
+        }
+        Object lo = jsonBound(s.get("min"), f.dataType());
+        Object hi = jsonBound(s.get("max"), f.dataType());
+        if (lo == null || hi == null) {
+          ok = false;
+          break;
+        }
+        mn = (mn == null || cmpBound(lo, mn) < 0) ? lo : mn;
+        mx = (mx == null || cmpBound(hi, mx) > 0) ? hi : mx;
+      }
+      if (ok) {
+        out.put(c, new Object[] {mn, mx, Long.valueOf(nulls)});
+      }
+    }
+    return out;
+  }
+
+  /** JSON zone-map bound → Spark internal value, or null when the type
+   *  has no exact manifest representation. */
+  static Object jsonBound(JsonNode v, org.apache.spark.sql.types.DataType t) {
+    if (t instanceof org.apache.spark.sql.types.LongType) {
+      return Long.valueOf(v.asLong());
+    }
+    if (t instanceof org.apache.spark.sql.types.IntegerType) {
+      return Integer.valueOf((int) v.asLong());
+    }
+    if (t instanceof org.apache.spark.sql.types.ShortType) {
+      return Short.valueOf((short) v.asLong());
+    }
+    if (t instanceof org.apache.spark.sql.types.ByteType) {
+      return Byte.valueOf((byte) v.asLong());
+    }
+    if (t instanceof org.apache.spark.sql.types.DoubleType) {
+      return Double.valueOf(v.asDouble());
+    }
+    if (t instanceof org.apache.spark.sql.types.FloatType) {
+      return Float.valueOf((float) v.asDouble());
+    }
+    if (t instanceof org.apache.spark.sql.types.BooleanType) {
+      return Boolean.valueOf(v.asBoolean());
+    }
+    if (t instanceof org.apache.spark.sql.types.StringType) {
+      String s = v.asText();
+      // bounds AT the storage cap may be truncated (min) or bumped
+      // (max) prefixes — only strictly-shorter bounds are exact values
+      return s.length() >= 256 ? null : UTF8String.fromString(s);
+    }
+    return null;
+  }
+
+  @SuppressWarnings({"unchecked", "rawtypes"})
+  static int cmpBound(Object a, Object b) {
+    return ((Comparable) a).compareTo(b);
   }
 
   static byte[] hexToBytes(String hex) {
@@ -416,13 +506,16 @@ final class LanceDvScan {
 
     private final long liveRows;
     private final HashMap<String, long[]> colNdv;
+    private final HashMap<String, Object[]> colBounds;
     private boolean filtersSeen;
-    private boolean countStarPushed;
+    private StructType manifestAggSchema;
+    private InternalRow manifestAggRow;
 
     DvScanBuilder(FileScanBuilder delegate, StructType tableSchema,
         HashMap<String, String> dvFiles,
         HashMap<String, Long> fragIds, String tableName, long liveRows,
-        HashMap<String, long[]> colNdv) {
+        HashMap<String, long[]> colNdv,
+        HashMap<String, Object[]> colBounds) {
       this.delegate = delegate;
       this.tableSchema = tableSchema;
       this.dvFiles = dvFiles;
@@ -430,6 +523,7 @@ final class LanceDvScan {
       this.tableName = tableName;
       this.liveRows = liveRows;
       this.colNdv = colNdv;
+      this.colBounds = colBounds;
     }
 
     /** CBO-only stats wrapper (no-op at default confs so every existing
@@ -461,29 +555,87 @@ final class LanceDvScan {
       }
     }
 
-    /* A8 COUNT(*) pushdown (LanceCountPageSource parity,
-     * LanceMetadata.java:604-665): an unfiltered, ungrouped COUNT(*) is
-     * answered from the manifest's deletion-aware row counts with ZERO
-     * data scanned (a LocalScan — no partitions at all). Any filter or
-     * grouping refuses, exactly like the reference's guards. Other
-     * aggregates delegate to the parquet builder ONLY on DV-free tables
-     * (a pushed MIN/MAX would bypass deletion-vector filtering). */
-    private boolean isManifestCount(
+    /* A8 COUNT(*) pushdown generalized to MANIFEST AGGREGATES
+     * (LanceCountPageSource parity + beyond, LanceMetadata.java:604-665):
+     * an unfiltered, ungrouped combination of COUNT(*) / COUNT(col) /
+     * MIN(col) / MAX(col) is answered entirely from the manifest's
+     * deletion-aware row counts and zone-map bounds with ZERO data
+     * scanned (a LocalScan — no partitions at all). COUNT(*) is
+     * deletion-aware by construction (liveRows); anything touching
+     * column VALUES or null counts refuses when ANY deletion vector
+     * exists (a deleted row may hold the extremum / a null), when a
+     * fragment lacks exact stats for the column, or when the column
+     * type has no exact manifest representation. Any filter or grouping
+     * refuses, exactly like the reference's guards. Non-answerable
+     * aggregates delegate to the parquet builder's footer-stats path
+     * ONLY on DV-free tables. Returns {schema, row values} or null. */
+    private Object[] manifestAgg(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
-      // exactly ONE CountStar: the LocalScan emits a single one-column
-      // row, so a multi-aggregate pushdown (if Spark ever stopped
-      // deduping SELECT COUNT(*), COUNT(*)) would mismatch its schema
       if (filtersSeen || agg.groupByExpressions().length != 0
-          || agg.aggregateExpressions().length != 1) {
-        return false;
+          || agg.aggregateExpressions().length == 0) {
+        return null;
       }
-      return agg.aggregateExpressions()[0]
-          instanceof org.apache.spark.sql.connector.expressions.aggregate.CountStar;
+      StructType schema = new StructType();
+      Object[] row = new Object[agg.aggregateExpressions().length];
+      int i = 0;
+      for (org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc e
+          : agg.aggregateExpressions()) {
+        if (e instanceof
+            org.apache.spark.sql.connector.expressions.aggregate.CountStar) {
+          schema = schema.add("count(*)",
+              org.apache.spark.sql.types.DataTypes.LongType, false);
+          row[i++] = Long.valueOf(liveRows);
+          continue;
+        }
+        if (!dvFiles.isEmpty()) {
+          return null; // value/null aggregates under DVs: never from stats
+        }
+        String col = null;
+        String kind = null;
+        if (e instanceof
+            org.apache.spark.sql.connector.expressions.aggregate.Min m) {
+          col = singleName(m.column());
+          kind = "min";
+        } else if (e instanceof
+            org.apache.spark.sql.connector.expressions.aggregate.Max m) {
+          col = singleName(m.column());
+          kind = "max";
+        } else if (e instanceof
+            org.apache.spark.sql.connector.expressions.aggregate.Count c
+            && !c.isDistinct()) {
+          col = singleName(c.column());
+          kind = "count";
+        }
+        if (col == null || !colBounds.containsKey(col)) {
+          return null;
+        }
+        Object[] b = colBounds.get(col);
+        if (kind.equals("count")) {
+          schema = schema.add("count(" + col + ")",
+              org.apache.spark.sql.types.DataTypes.LongType, false);
+          row[i++] = Long.valueOf(liveRows - (Long) b[2]);
+          continue;
+        }
+        StructField f = tableSchema.apply(col);
+        schema = schema.add(kind + "(" + col + ")", f.dataType(), true);
+        row[i++] = kind.equals("min") ? b[0] : b[1];
+      }
+      return new Object[] {schema, row};
+    }
+
+    private static String singleName(
+        org.apache.spark.sql.connector.expressions.Expression e) {
+      if (e instanceof
+          org.apache.spark.sql.connector.expressions.NamedReference nr
+          && nr.fieldNames().length == 1) {
+        return nr.fieldNames()[0];
+      }
+      return null;
     }
 
     public boolean supportCompletePushDown(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
-      if (isManifestCount(agg)) {
+      if (manifestAgg(agg) != null) {
         return true;
       }
       return dvFiles.isEmpty() && !filtersSeen
@@ -494,8 +646,12 @@ final class LanceDvScan {
 
     public boolean pushAggregation(
         org.apache.spark.sql.connector.expressions.aggregate.Aggregation agg) {
-      if (isManifestCount(agg)) {
-        countStarPushed = true;
+      Object[] ma = manifestAgg(agg);
+      if (ma != null) {
+        manifestAggSchema = (StructType) ma[0];
+        manifestAggRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                (Object[]) ma[1]);
         aggPushed = true;
         return true;
       }
@@ -524,12 +680,9 @@ final class LanceDvScan {
 
     @Override
     public Scan build() {
-      if (countStarPushed) {
-        StructType schema = new StructType().add(
-            "count_star", org.apache.spark.sql.types.DataTypes.LongType, false);
-        InternalRow row =
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                new Object[] {Long.valueOf(liveRows)});
+      if (manifestAggSchema != null) {
+        StructType schema = manifestAggSchema;
+        InternalRow row = manifestAggRow;
         return new org.apache.spark.sql.connector.read.LocalScan() {
           @Override
           public InternalRow[] rows() {
@@ -543,7 +696,7 @@ final class LanceDvScan {
 
           @Override
           public String description() {
-            return "lance-manifest-count(" + tableName + ")";
+            return "lance-manifest-agg(" + tableName + ")";
           }
         };
       }

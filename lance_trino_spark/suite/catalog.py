@@ -2026,3 +2026,104 @@ def cat30(spark: SparkSession, sf_dir: str) -> DataFrame:
      .withColumn("noop_no_churn", F.lit(bool(noop))) \
      .withColumn("history_intact", F.lit(bool(hist))) \
      .orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# cat31 — MANIFEST AGGREGATES through the JVM catalog: an unfiltered,
+# ungrouped combination of COUNT(*) / COUNT(col) / MIN(col) / MAX(col)
+# in plain SQL is answered entirely from the manifest zone maps as a
+# LocalScan — ZERO data files scanned (plan-asserted), generalizing the
+# reference's COUNT(*)-only fast path (`LanceMetadata.java:604-665`,
+# `LanceCountPageSource.java:31-108`) to every aggregate the manifest
+# can answer EXACTLY. Bounds come from the same per-fragment stats the
+# zone-map pruner uses (exact by construction: StatsAccumulator poisons
+# NaN floats and truncation-suspect strings). After a MoR DELETE the
+# value aggregates REFUSE the manifest (a deleted row may hold the
+# extremum) and scan through the DV-aware reader — both the refusal and
+# the post-delete values are gated. At 100 TB this is the difference
+# between one manifest read and 100k parquet footer GETs.
+# ---------------------------------------------------------------------------
+@register(
+    "cat31_jvm_manifest_aggregates",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT MIN(o_orderkey) FROM orders) AS min_key,
+           (SELECT MAX(o_orderkey) FROM orders) AS max_key,
+           (SELECT MIN(o_totalprice) FROM orders) AS min_price,
+           (SELECT MAX(o_totalprice) FROM orders) AS max_price,
+           (SELECT MIN(o_orderpriority) FROM orders) AS min_pri,
+           (SELECT MAX(o_orderpriority) FROM orders) AS max_pri,
+           (SELECT COUNT(o_totalprice) FROM orders) AS n_price,
+           (SELECT MIN(o_orderkey) FROM orders
+            WHERE NOT (o_orderkey % 7 = 0)) AS min_key_after_delete,
+           (SELECT MAX(o_orderkey) FROM orders
+            WHERE NOT (o_orderkey % 7 = 0)) AS max_key_after_delete,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT (o_orderkey % 7 = 0)) AS n_after_delete
+    """,
+    doc="catalog: JVM manifest MIN/MAX/COUNT aggregates (LocalScan, zero "
+        "files read); deletion vectors refuse the fast path",
+    tags=("catalog", "jvm", "agg", "zonemap"),
+)
+def cat31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat31-agg")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "sales"))
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tbl = os.path.join(root, "sales", "orders.lance")
+    LanceDataset.create(tbl, orders, max_rows_per_file=1000)
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_agg31", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_agg31.root", root)
+
+    q = (
+        "SELECT COUNT(*) AS n_rows,"
+        "       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,"
+        "       MIN(o_totalprice) AS min_price,"
+        "       MAX(o_totalprice) AS max_price,"
+        "       MIN(o_orderpriority) AS min_pri,"
+        "       MAX(o_orderpriority) AS max_pri,"
+        "       COUNT(o_totalprice) AS n_price "
+        "FROM lance_jvm_agg31.sales.orders"
+    )
+    plan = spark.sql("EXPLAIN FORMATTED " + q).collect()[0][0]
+    if "LocalTableScan" not in plan or "BatchScan" in plan:
+        raise AssertionError(
+            f"manifest aggregates did not plan as a LocalScan:\n{plan[:500]}"
+        )
+    agg = spark.sql(q).collect()[0]
+
+    # a MoR DELETE plants deletion vectors: value aggregates must refuse
+    # the manifest fast path and scan (a deleted row may hold the
+    # extremum) — values are deletion-aware either way
+    spark.sql(
+        "DELETE FROM lance_jvm_agg31.sales.orders WHERE o_orderkey % 7 = 0"
+    )
+    q2 = (
+        "SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx, "
+        "COUNT(*) AS n FROM lance_jvm_agg31.sales.orders"
+    )
+    plan2 = spark.sql("EXPLAIN FORMATTED " + q2).collect()[0][0]
+    if "LocalTableScan" in plan2:
+        raise AssertionError(
+            "value aggregates over a DV-bearing table took the manifest "
+            f"path:\n{plan2[:500]}"
+        )
+    after = spark.sql(q2).collect()[0]
+
+    return spark.createDataFrame(
+        [tuple(agg) + tuple(after)],
+        "n_rows long, min_key long, max_key long, min_price double, "
+        "max_price double, min_pri string, max_pri string, n_price long, "
+        "min_key_after_delete long, max_key_after_delete long, "
+        "n_after_delete long",
+    )

@@ -341,6 +341,37 @@ def main() -> None:
     ).collect()[0][0]
     check("jvm-count-filtered-scans", nf == 20, f"n={nf}")
 
+    # MANIFEST AGGREGATES (beyond the reference's COUNT(*)-only rule):
+    # unfiltered ungrouped MIN/MAX/COUNT(col) answered from zone-map
+    # bounds as a LocalScan on DV-free tables; a table with deletion
+    # vectors refuses (a deleted row may hold the extremum) and scans
+    agg_tbl = os.path.join(warehouse, "main", "aggzm.lance")
+    LanceDataset.create(
+        agg_tbl,
+        spark.range(400).selectExpr(
+            "id",
+            "CASE WHEN id % 10 = 0 THEN NULL "
+            "ELSE cast(id as double) / 4 END AS v",
+            "concat('k-', lpad(cast(id as string), 4, '0')) AS k"),
+        max_rows_per_file=100,
+    )
+    q = ("SELECT COUNT(*), MIN(id), MAX(id), MIN(v), MAX(v), COUNT(v), "
+         "MIN(k), MAX(k) FROM lance.main.aggzm")
+    r = spark.sql(q).collect()[0]
+    plan = spark.sql("EXPLAIN FORMATTED " + q).collect()[0][0]
+    check("jvm-manifest-agg-minmax",
+          tuple(r) == (400, 0, 399, 0.25, 99.75, 360, "k-0000", "k-0399")
+          and "LocalTableScan" in plan and "BatchScan" not in plan,
+          f"r={tuple(r)} local={'LocalTableScan' in plan}")
+    plan_dv = spark.sql(
+        "EXPLAIN FORMATTED SELECT MIN(id), MAX(id) FROM lance.main.addr"
+    ).collect()[0][0]
+    r_dv = spark.sql(
+        "SELECT MIN(id), MAX(id) FROM lance.main.addr").collect()[0]
+    check("jvm-manifest-agg-dv-refuses",
+          "LocalTableScan" not in plan_dv and tuple(r_dv) == (1, 499),
+          f"r={tuple(r_dv)} local={'LocalTableScan' in plan_dv}")
+
     # NATIVE `.lance` tables through plain spark.sql: the catalog
     # detects binary manifests and delegates the Table to the Python
     # "lance" data source (LancePyNativeTable) — SELECT, VERSION AS OF
