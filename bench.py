@@ -183,6 +183,7 @@ DEFAULT_QUERIES = [
     "cat30_sql_native_update_merge",
     "st14_native_writestream_sink",
     "cat31_jvm_manifest_aggregates",
+    "cat32_jvm_alter_table",
 ]
 
 

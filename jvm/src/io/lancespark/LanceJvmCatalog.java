@@ -526,11 +526,179 @@ public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
     return props;
   }
 
+  /** Catalyst-planned metadata-only schema evolution — beyond the
+   *  reference, which rejects evolution outright
+   *  (TestLanceConnectorTest.java:139-146). ADD COLUMNS appends a
+   *  nullable field to the manifest schema (existing fragment files are
+   *  untouched and read as NULL — schema-on-read); DROP COLUMN removes
+   *  the field and retires the name forever (parquet resolves columns
+   *  by NAME, so re-adding a dropped name would resurrect the old
+   *  bytes); RENAME refuses for the same by-name reason (the NATIVE
+   *  format resolves by field id and supports rename — via its own
+   *  surface). The commit is one manifest version through the shared
+   *  hard-link protocol, so it conflict-detects against every Python
+   *  and JVM writer. Semantics mirror format/dataset.py
+   *  add_column/drop_column exactly (same guards, same property keys). */
   @Override
   public Table alterTable(Identifier ident, TableChange... changes) {
-    // Schema evolution is unsupported, like the reference
-    // (TestLanceConnectorTest.java:139-146).
-    throw new UnsupportedOperationException("ALTER TABLE is not supported");
+    Path dir = tableDir(ident);
+    if (!Files.isDirectory(dir.resolve("_versions"))) {
+      throw new RuntimeException(new NoSuchTableException(ident));
+    }
+    if (isNativeDataset(dir)) {
+      throw new UnsupportedOperationException(
+          "ALTER TABLE on a native .lance table is served by the Python "
+          + "surface (native_add_column / native_add_column_backfill / "
+          + "native_drop_column / native_rename_column, or the SQL "
+          + "router) — the JVM catalog does not rewrite binary manifests");
+    }
+    while (true) {
+      long latest = LanceJvmDelete.latestVersion(dir);
+      ObjectNode next = ((ObjectNode) readManifest(dir, latest)).deepCopy();
+      next.put("version", latest + 1);
+      next.put("operation", "alter");
+      next.put("read_version", latest);
+      next.put("timestamp_ms", System.currentTimeMillis());
+      next.remove("commit_metadata");
+      ObjectNode schema = (ObjectNode) next.get("schema");
+      ArrayNode fields = (ArrayNode) schema.get("fields");
+      ObjectNode props = (ObjectNode) next.get("properties");
+      for (TableChange change : changes) {
+        if (change instanceof TableChange.AddColumn ac) {
+          applyAddColumn(fields, props, ac);
+        } else if (change instanceof TableChange.DeleteColumn dc) {
+          applyDropColumn(fields, props, dc);
+        } else if (change instanceof TableChange.RenameColumn) {
+          throw new UnsupportedOperationException(
+              "RENAME COLUMN is not supported on this format: fragment "
+              + "files resolve columns by NAME, so a rename would read "
+              + "the column as NULL from every existing file (native "
+              + ".lance tables resolve by field id and DO support "
+              + "rename: native_rename_column)");
+        } else {
+          throw new UnsupportedOperationException(
+              "unsupported ALTER TABLE change: " + change);
+        }
+      }
+      try {
+        LanceJvmDelete.commitManifest(dir, latest + 1, next);
+        break;
+      } catch (IllegalStateException conflict) {
+        // lost the commit race: re-read and re-apply (the guards re-run
+        // against the winner's schema, so a conflicting evolution —
+        // e.g. both writers adding the same name — refuses loudly)
+      }
+    }
+    try {
+      return loadTable(ident);
+    } catch (NoSuchTableException e) {
+      throw new RuntimeException(e);
+    }
+  }
+
+  private static void applyAddColumn(ArrayNode fields, ObjectNode props,
+      TableChange.AddColumn ac) {
+    if (ac.fieldNames().length != 1) {
+      throw new UnsupportedOperationException(
+          "ADD COLUMNS supports top-level columns only, got "
+          + String.join(".", ac.fieldNames()));
+    }
+    if (!ac.isNullable()) {
+      throw new UnsupportedOperationException(
+          "added columns must be nullable: existing fragment files "
+          + "read the new column as NULL");
+    }
+    String name = ac.fieldNames()[0];
+    for (JsonNode f : fields) {
+      if (f.get("name").asText().equals(name)) {
+        throw new IllegalArgumentException("column already exists: " + name);
+      }
+    }
+    JsonNode retired = props.get("retired_columns");
+    if (retired != null) {
+      for (JsonNode r : retired) {
+        if (r.asText().equals(name)) {
+          throw new IllegalArgumentException(
+              "column name '" + name + "' was previously dropped; "
+              + "re-adding it would resurrect the old column's values "
+              + "from pre-drop fragment files (parquet resolves columns "
+              + "by name) — pick a fresh name");
+        }
+      }
+    }
+    ObjectNode field = MAPPER.createObjectNode();
+    field.put("name", name);
+    try {
+      field.set("type", MAPPER.readTree(ac.dataType().json()));
+    } catch (IOException e) {
+      throw new RuntimeException("unserializable column type", e);
+    }
+    field.put("nullable", true);
+    ObjectNode meta = MAPPER.createObjectNode();
+    if (ac.comment() != null) {
+      meta.put("comment", ac.comment());
+    }
+    field.set("metadata", meta);
+    fields.add(field);
+  }
+
+  private static void applyDropColumn(ArrayNode fields, ObjectNode props,
+      TableChange.DeleteColumn dc) {
+    if (dc.fieldNames().length != 1) {
+      throw new UnsupportedOperationException(
+          "DROP COLUMN supports top-level columns only");
+    }
+    String name = dc.fieldNames()[0];
+    int at = -1;
+    for (int i = 0; i < fields.size(); i++) {
+      if (fields.get(i).get("name").asText().equals(name)) {
+        at = i;
+        break;
+      }
+    }
+    if (at < 0) {
+      throw new IllegalArgumentException("no such column: " + name);
+    }
+    if (fields.size() == 1) {
+      throw new IllegalArgumentException("cannot drop the only column");
+    }
+    JsonNode blobs = props.get("blob_columns");
+    if (blobs != null) {
+      for (JsonNode b : blobs) {
+        if (b.asText().equals(name)) {
+          throw new IllegalArgumentException(
+              "cannot drop blob column " + name);
+        }
+      }
+    }
+    fields.remove(at);
+    // retire the name forever (see applyAddColumn) and unregister any
+    // scalar/vector index on the column, same commit
+    java.util.TreeSet<String> retired = new java.util.TreeSet<>();
+    JsonNode r0 = props.get("retired_columns");
+    if (r0 != null) {
+      for (JsonNode r : r0) {
+        retired.add(r.asText());
+      }
+    }
+    retired.add(name);
+    ArrayNode rArr = MAPPER.createArrayNode();
+    retired.forEach(rArr::add);
+    props.set("retired_columns", rArr);
+    JsonNode sIdx = props.get("scalar_indexes");
+    if (sIdx != null && sIdx.isArray()) {
+      ArrayNode keep = MAPPER.createArrayNode();
+      for (JsonNode c : sIdx) {
+        if (!c.asText().equals(name)) {
+          keep.add(c.asText());
+        }
+      }
+      props.set("scalar_indexes", keep);
+    }
+    JsonNode vIdx = props.get("vector_indexes");
+    if (vIdx != null && vIdx.isObject()) {
+      ((ObjectNode) vIdx).remove(name);
+    }
   }
 
   @Override

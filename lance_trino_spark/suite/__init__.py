@@ -89,6 +89,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat30_sql_native_update_merge",
     "st14_native_writestream_sink",
     "cat31_jvm_manifest_aggregates",
+    "cat32_jvm_alter_table",
     # changed-code re-checks
     "s15_native_filtered_fresh_search",
     "cat24_sql_native_show_stats",

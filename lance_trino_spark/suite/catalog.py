@@ -2127,3 +2127,92 @@ def cat31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_key_after_delete long, max_key_after_delete long, "
         "n_after_delete long",
     )
+
+
+# ---------------------------------------------------------------------------
+# cat32 — Catalyst-planned ALTER TABLE through the JVM catalog: plain
+# `spark.sql("ALTER TABLE cat.db.t ADD COLUMNS ... / DROP COLUMN ...")`
+# commits metadata-only manifest versions — ZERO fragment files touched
+# (census-asserted) — where the reference rejects schema evolution
+# outright (`TestLanceConnectorTest.java:139-146`). Old fragments read
+# the added column as NULL (schema-on-read), INSERT immediately speaks
+# the evolved schema, DROP retires the name forever (parquet resolves
+# columns by NAME — re-adding would resurrect pre-drop bytes; gated),
+# and RENAME refuses with a pointer at the native surface (field-id
+# resolution). Same guards and property keys as the Python
+# add_column/drop_column, so the two planes evolve one table safely.
+# ---------------------------------------------------------------------------
+@register(
+    "cat32_jvm_alter_table",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer) + 1 AS n_rows,
+           1 AS n_tier,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_tier_null,
+           'synthetic' AS inserted_name,
+           TRUE AS alters_metadata_only,
+           TRUE AS dropped_column_gone,
+           TRUE AS readd_refused,
+           TRUE AS rename_refused
+    """,
+    doc="catalog: Catalyst-planned ALTER TABLE ADD/DROP COLUMN (metadata-"
+        "only, null-filled reads, retired-name and rename guards)",
+    tags=("catalog", "jvm", "evolution", "ddl"),
+)
+def cat32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat32-alter")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "crm"))
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    tbl = os.path.join(root, "crm", "customer.lance")
+    LanceDataset.create(tbl, customer, max_rows_per_file=1000)
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_alt32", "io.lancespark.LanceJvmCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.lance_jvm_alt32.root", root)
+    t = "lance_jvm_alt32.crm.customer"
+
+    spark.sql(f"ALTER TABLE {t} ADD COLUMNS (tier STRING)")
+    spark.sql(f"INSERT INTO {t} VALUES (-1, 'synthetic', 0.0, 'gold')")
+
+    # census AFTER the insert: the DROP alter must move zero data bytes
+    data_dir = os.path.join(tbl, "data")
+    before = sorted(os.listdir(data_dir))
+    spark.sql(f"ALTER TABLE {t} DROP COLUMN c_acctbal")
+    metadata_only = sorted(os.listdir(data_dir)) == before
+
+    cols = spark.table(t).columns
+    dropped_gone = "c_acctbal" not in cols and cols == [
+        "c_custkey", "c_name", "tier"]
+
+    readd_refused = rename_refused = False
+    try:
+        spark.sql(f"ALTER TABLE {t} ADD COLUMNS (c_acctbal DOUBLE)")
+    except Exception as e:
+        readd_refused = "previously dropped" in str(e)
+    try:
+        spark.sql(f"ALTER TABLE {t} RENAME COLUMN tier TO level")
+    except Exception as e:
+        rename_refused = "by NAME" in str(e)
+
+    agg = spark.sql(
+        f"SELECT COUNT(*) AS n_rows, COUNT(tier) AS n_tier,"
+        f"       COUNT(CASE WHEN tier IS NULL THEN 1 END) AS n_tier_null,"
+        f"       MIN(CASE WHEN tier IS NOT NULL THEN c_name END)"
+        f"         AS inserted_name"
+        f" FROM {t}"
+    ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(agg) + (bool(metadata_only), bool(dropped_gone),
+                       bool(readd_refused), bool(rename_refused))],
+        "n_rows long, n_tier long, n_tier_null long, inserted_name string, "
+        "alters_metadata_only boolean, dropped_column_gone boolean, "
+        "readd_refused boolean, rename_refused boolean",
+    )

@@ -372,6 +372,35 @@ def main() -> None:
           "LocalTableScan" not in plan_dv and tuple(r_dv) == (1, 499),
           f"r={tuple(r_dv)} local={'LocalTableScan' in plan_dv}")
 
+    # ALTER TABLE ADD/DROP COLUMN: Catalyst-planned metadata-only schema
+    # evolution (beyond the reference, which rejects evolution) — old
+    # fragment files read the added column as NULL, dropped names retire
+    # forever, RENAME refuses (by-name parquet resolution)
+    alt_tbl = os.path.join(warehouse, "main", "alt.lance")
+    LanceDataset.create(
+        alt_tbl, spark.range(60).selectExpr("id", "id * 2 AS v"),
+        max_rows_per_file=30)
+    spark.sql("ALTER TABLE lance.main.alt ADD COLUMNS (w STRING)")
+    got_alt = spark.sql(
+        "SELECT * FROM lance.main.alt WHERE id = 5").collect()[0]
+    spark.sql("INSERT INTO lance.main.alt VALUES (999, 0, 'x')")
+    spark.sql("ALTER TABLE lance.main.alt DROP COLUMN v")
+    cols_alt = spark.table("lance.main.alt").columns
+    check("jvm-alter-add-drop",
+          tuple(got_alt) == (5, 10, None) and cols_alt == ["id", "w"],
+          f"row={tuple(got_alt)} cols={cols_alt}")
+    readd_refused = rename_refused = False
+    try:
+        spark.sql("ALTER TABLE lance.main.alt ADD COLUMNS (v BIGINT)")
+    except Exception as e:
+        readd_refused = "previously dropped" in str(e)
+    try:
+        spark.sql("ALTER TABLE lance.main.alt RENAME COLUMN w TO w2")
+    except Exception as e:
+        rename_refused = "by NAME" in str(e)
+    check("jvm-alter-guards", readd_refused and rename_refused,
+          f"readd={readd_refused} rename={rename_refused}")
+
     # NATIVE `.lance` tables through plain spark.sql: the catalog
     # detects binary manifests and delegates the Table to the Python
     # "lance" data source (LancePyNativeTable) — SELECT, VERSION AS OF
