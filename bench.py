@@ -184,6 +184,7 @@ DEFAULT_QUERIES = [
     "st14_native_writestream_sink",
     "cat31_jvm_manifest_aggregates",
     "cat32_jvm_alter_table",
+    "cat33_sql_native_alter",
 ]
 
 

@@ -38,6 +38,7 @@ DDL surface, docs/src/operations/ddl/*):
       -- queries table: (query_id, <col>); WHERE is a true PREFILTER
     ALTER TABLE <schema>.<table> ADD COLUMN <name> <type>
     ALTER TABLE <schema>.<table> DROP COLUMN <name>
+    ALTER TABLE <schema>.<table> RENAME COLUMN <a> TO <b>  -- native only
     RESTORE TABLE <schema>.<table> TO VERSION <n>
     TABLE CHANGES <schema>.<table> FROM <v1> TO <v2>   -- CDC read
     CREATE TAG <name> ON <schema>.<table> [AS OF VERSION <n>]
@@ -650,22 +651,69 @@ class LanceCatalog:
     def _h_alter_add_column(self, m) -> DataFrame:
         """`ALTER TABLE <schema>.<table> ADD COLUMN <name> <type>` —
         metadata-only schema evolution (format/dataset.py add_column):
-        existing fragments read NULL for the new column, no data rewrite."""
-        ns, tbl = m.group("ns"), m.group("tbl")
-        ds = self.load(ns, tbl).add_column(m.group("col"), m.group("dtype"))
+        existing fragments read NULL for the new column, no data rewrite.
+        Native tables route to the distributed NULL backfill
+        (native_add_column_backfill — one column-split file per fragment,
+        no existing byte rewritten)."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            from pyspark.sql import functions as F
+
+            from .format.lance_native import native_add_column_backfill
+
+            v = native_add_column_backfill(
+                self.spark, np_, col,
+                F.lit(None).cast(m.group("dtype")))
+            return self._status(
+                f"added column {col} to {ns}.{tbl} v{v} (native)")
+        ds = self.load(ns, tbl).add_column(col, m.group("dtype"))
         return self._status(
-            f"added column {m.group('col')} to {ns}.{tbl} v{ds.version}"
+            f"added column {col} to {ns}.{tbl} v{ds.version}"
         )
 
     def _h_alter_drop_column(self, m) -> DataFrame:
         """`ALTER TABLE <schema>.<table> DROP COLUMN <name>` — metadata-only
-        drop; the name is retired permanently (re-adding it would resurrect
-        pre-drop bytes via parquet name resolution)."""
-        ns, tbl = m.group("ns"), m.group("tbl")
-        ds = self.load(ns, tbl).drop_column(m.group("col"))
+        drop; own-format retires the name permanently (re-adding it would
+        resurrect pre-drop bytes via parquet name resolution); native drops
+        the field proto and a later re-add allocates a fresh field id, so
+        old pages stay shadowed (the fixture's drop-then-re-add rule)."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            from .format.lance_native import native_drop_column
+
+            v = native_drop_column(np_, {col})
+            return self._status(
+                f"dropped column {col} from {ns}.{tbl} v{v} (native)")
+        ds = self.load(ns, tbl).drop_column(col)
         return self._status(
-            f"dropped column {m.group('col')} from {ns}.{tbl} v{ds.version}"
+            f"dropped column {col} from {ns}.{tbl} v{ds.version}"
         )
+
+    def _h_alter_rename_column(self, m) -> DataFrame:
+        """`ALTER TABLE <schema>.<table> RENAME COLUMN <a> TO <b>` — native
+        tables only: the manifest field proto's NAME changes while its id
+        (and so every data-file binding) stays put, O(1) at any scale
+        (native_rename_column). Own-format tables refuse: their fragment
+        files resolve columns by NAME, so a rename would read the column
+        as NULL from every pre-rename file."""
+        ns, tbl = m.group("ns"), m.group("tbl")
+        old, new = m.group("old"), m.group("new")
+        np_ = self._native(ns, tbl)
+        if np_ is None:
+            raise CatalogError(
+                f"RENAME COLUMN is not supported on {ns}.{tbl}: this "
+                "format resolves columns by NAME in fragment files, so a "
+                "rename would null the column in every existing file "
+                "(native .lance tables resolve by field id and support "
+                "rename)"
+            )
+        from .format.lance_native import native_rename_column
+
+        v = native_rename_column(np_, {old: new})
+        return self._status(
+            f"renamed {ns}.{tbl}.{old} -> {new} v{v} (native)")
 
     def _h_create_vector_index(self, m) -> DataFrame:
         """`CREATE VECTOR INDEX ON <schema>.<table> (<col>) [USING IVF_FLAT|
@@ -1152,6 +1200,12 @@ class LanceCatalog:
             rf"ALTER\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s+DROP\s+COLUMNS?\s+\(?\s*(?P<col>{_IDENT})\s*\)?$",
             _h_alter_drop_column,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s+RENAME\s+COLUMN\s+(?P<old>{_IDENT})\s+TO\s+"
+            rf"(?P<new>{_IDENT})$",
+            _h_alter_rename_column,
         ),
         (
             rf"CREATE\s+VECTOR\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

@@ -2216,3 +2216,94 @@ def cat32(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alters_metadata_only boolean, dropped_column_gone boolean, "
         "readd_refused boolean, rename_refused boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# cat33 — SQL schema evolution over NATIVE tables through the router:
+# ALTER TABLE ADD COLUMN (distributed NULL backfill — one column-split
+# file per fragment, zero existing bytes rewritten), RENAME COLUMN
+# (metadata-only: the field proto's NAME changes, its id — and so every
+# data-file binding — stays put; the own-format plane REFUSES rename
+# because its files resolve columns by name), DROP COLUMN (field proto
+# leaves the manifest, pages stay shadowed). The evolved column is then
+# written through native MoR UPDATE, old versions time-travel under the
+# OLD name, and the rename/drop are census-asserted metadata-only.
+# ---------------------------------------------------------------------------
+@register(
+    "cat33_sql_native_alter",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_graded,
+           MIN(p_name) AS min_part_name,
+           TRUE AS add_was_null_filled,
+           TRUE AS rename_kept_data,
+           TRUE AS old_name_time_travels,
+           TRUE AS rename_drop_metadata_only
+    FROM part WHERE p_partkey < 150
+    """,
+    doc="catalog: native ALTER TABLE via SQL — ADD (distributed NULL "
+        "backfill), RENAME (field-id metadata-only), DROP; evolved column "
+        "flows through MoR UPDATE; old names time-travel",
+    tags=("catalog", "sql", "lance-native", "evolution"),
+)
+def cat33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat33")
+    cat.sql("CREATE SCHEMA ns")
+    loc = cat.namespace.declare_table("ns", "parts_native")
+
+    src = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 150)
+        .select(F.col("p_partkey").alias("k"), F.col("p_name").alias("name"))
+    )
+    src.createOrReplaceTempView("cat33_src")
+    cat.sql("CREATE OR REPLACE NATIVE TABLE ns.parts_native AS "
+            "SELECT * FROM cat33_src")
+    pre_min = cat.sql(
+        "SELECT MIN(name) AS m FROM ns.parts_native").collect()[0]["m"]
+
+    # ADD: the new column reads NULL everywhere (backfill wrote NULL
+    # column-split files; nothing pre-existing was rewritten)
+    cat.sql("ALTER TABLE ns.parts_native ADD COLUMN grade STRING")
+    null_filled = cat.sql(
+        "SELECT COUNT(grade) AS c FROM ns.parts_native"
+    ).collect()[0]["c"] == 0
+
+    # the evolved column takes native MoR DML
+    cat.sql("UPDATE ns.parts_native SET grade = 'hot' WHERE k % 3 = 0")
+
+    cat.sql("CREATE TAG pre_rename ON ns.parts_native")
+    data_dir = os.path.join(loc, "data")
+    census = sorted(os.listdir(data_dir))
+
+    cat.sql("ALTER TABLE ns.parts_native RENAME COLUMN name TO part_name")
+    post_min = cat.sql(
+        "SELECT MIN(part_name) AS m FROM ns.parts_native").collect()[0]["m"]
+    rename_kept = post_min == pre_min
+
+    # a scratch column appears and disappears without touching data files
+    cat.sql("ALTER TABLE ns.parts_native ADD COLUMN tmp BIGINT")
+    census2 = sorted(os.listdir(data_dir))
+    cat.sql("ALTER TABLE ns.parts_native DROP COLUMN tmp")
+    metadata_only = (
+        sorted(os.listdir(data_dir)) == census2
+        and census == [f for f in census2 if f in census]
+    )
+
+    old_travels = "name" in cat.sql(
+        "SELECT * FROM ns.parts_native VERSION AS OF 'pre_rename' LIMIT 1"
+    ).columns
+
+    return (
+        cat.sql("SELECT * FROM ns.parts_native")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("grade").alias("n_graded"),
+            F.min("part_name").alias("min_part_name"),
+        )
+        .withColumn("add_was_null_filled", F.lit(bool(null_filled)))
+        .withColumn("rename_kept_data", F.lit(bool(rename_kept)))
+        .withColumn("old_name_time_travels", F.lit(bool(old_travels)))
+        .withColumn("rename_drop_metadata_only", F.lit(bool(metadata_only)))
+    )
