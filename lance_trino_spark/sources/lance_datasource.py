@@ -65,6 +65,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -76,6 +77,9 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -175,9 +179,26 @@ def _pushable_value(v: Any) -> bool:
 MAX_PUSHED_IN_VALUES = 1000
 
 
+def _prefix_bump(v: str) -> str | None:
+    """Smallest string strictly greater than EVERY string with prefix
+    ``v`` (increment the last non-max code point, dropping the tail), or
+    None when no such string exists — every prefix-v string then lies in
+    ``[v, bump(v))``, turning a prefix-LIKE into a pure range."""
+    for i in range(len(v) - 1, -1, -1):
+        c = ord(v[i])
+        if c < 0x10FFFF:
+            return v[:i] + chr(c + 1)
+    return None
+
+
 def _filter_pushable(f: Filter, top_level_cols: set[str]) -> bool:
     """The supported set mirrors §2A.A4: comparisons, IN, IS [NOT] NULL,
-    NOT(=) — on top-level columns, simple scalars only."""
+    NOT(=) — on top-level columns, simple scalars only — plus (beyond
+    the reference, which wires LIKE but disables it,
+    `SubstraitExpressionBuilder.java:1295-1299`): null-safe equality and
+    the three string matchers. Prefix matches additionally prune zone
+    maps and probe scalar indexes as ranges; contains/ends-with can't
+    prune but still gain late materialization in the fragment read."""
     inner = f.child if isinstance(f, Not) else f
     attr = getattr(inner, "attribute", None)
     if attr is None or len(attr) != 1 or attr[0] not in top_level_cols:
@@ -190,6 +211,11 @@ def _filter_pushable(f: Filter, top_level_cols: set[str]) -> bool:
         if len(inner.value) > MAX_PUSHED_IN_VALUES:
             return False  # stays residual — Spark evaluates it above the scan
         return all(_pushable_value(v) for v in inner.value)
+    if isinstance(inner, EqualNullSafe):
+        # value None is `<=> NULL` — IS NULL semantics, pushable
+        return inner.value is None or _pushable_value(inner.value)
+    if isinstance(inner, (StringStartsWith, StringEndsWith, StringContains)):
+        return isinstance(inner.value, str)
     if isinstance(
         inner, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
     ):
@@ -233,10 +259,26 @@ def _stats_admit(stats: dict, f: Filter, physical_rows: int) -> bool:
         if len(vals) != len(list(f.value)):
             return True
         return any(mn <= v <= mx for v in vals)
+    if isinstance(f, EqualNullSafe) and f.value is None:
+        return nulls is None or nulls > 0  # `<=> NULL` == IS NULL
+    if isinstance(f, StringStartsWith):
+        # every prefix-v string lies in [v, bump(v)): admit iff the
+        # fragment's range intersects that block. Stored string bounds
+        # may be truncated/bumped prefixes, but they always BRACKET the
+        # true values, so the intersection test only over-admits.
+        v = f.value
+        if not (isinstance(mn, str) and isinstance(mx, str)):
+            return True
+        if mx < v:
+            return False
+        bump = _prefix_bump(v)
+        return bump is None or mn < bump
+    if isinstance(f, (StringEndsWith, StringContains)):
+        return True  # no bound information in a zone map — always admit
     v = f.value
     if not _comparable(mn, v):
         return True
-    if isinstance(f, EqualTo):
+    if isinstance(f, (EqualTo, EqualNullSafe)):
         return mn <= v <= mx
     if isinstance(f, GreaterThan):
         return mx > v
@@ -254,6 +296,8 @@ def _to_arrow_expr(f: Filter):
     (executor-side; pyarrow evaluates it inside the parquet scan)."""
     import pyarrow.dataset as pads
 
+    import pyarrow.compute as pc
+
     if isinstance(f, Not):
         return ~_to_arrow_expr(f.child)
     col = pads.field(f.attribute[0])
@@ -261,6 +305,16 @@ def _to_arrow_expr(f: Filter):
         return col.is_null()
     if isinstance(f, IsNotNull):
         return ~col.is_null()
+    if isinstance(f, EqualNullSafe):
+        # null <=> null is TRUE; for non-null v the null rows evaluate to
+        # null, which the filter drops — exactly Spark's FALSE
+        return col.is_null() if f.value is None else col == f.value
+    if isinstance(f, StringStartsWith):
+        return pc.starts_with(col, pattern=f.value)
+    if isinstance(f, StringEndsWith):
+        return pc.ends_with(col, pattern=f.value)
+    if isinstance(f, StringContains):
+        return pc.match_substring(col, pattern=f.value)
     if isinstance(f, EqualTo):
         return col == f.value
     if isinstance(f, GreaterThan):
@@ -641,7 +695,7 @@ class LanceNativeScanReader(DataSourceReader):
         frag = manifest.fragments[partition.frag_index]
         probe_types = (
             EqualTo, In, GreaterThan, GreaterThanOrEqual, LessThan,
-            LessThanOrEqual,
+            LessThanOrEqual, StringStartsWith,
         )
         by_col: dict = {}
         for f in self._pushed:
@@ -691,6 +745,16 @@ class LanceNativeScanReader(DataSourceReader):
                 elif isinstance(f, LessThanOrEqual):
                     if hi is None or f.value < hi:
                         hi, hi_inc = f.value, True
+                elif isinstance(f, StringStartsWith):
+                    # prefix = the pure range [v, bump(v)) — the btree
+                    # pages the probe touches are exactly the prefix run
+                    bump = _prefix_bump(f.value)
+                    if bump is None:
+                        continue  # unboundable prefix: residual only
+                    if lo is None or f.value > lo:
+                        lo, lo_inc = f.value, True
+                    if hi is None or bump <= hi:
+                        hi, hi_inc = bump, False
                 usable = True
             if not usable:
                 continue

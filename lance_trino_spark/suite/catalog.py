@@ -2046,19 +2046,20 @@ def cat30(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cat31_jvm_manifest_aggregates",
     oracle="""
-    SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
-           (SELECT MIN(o_orderkey) FROM orders) AS min_key,
-           (SELECT MAX(o_orderkey) FROM orders) AS max_key,
-           (SELECT MIN(o_totalprice) FROM orders) AS min_price,
-           (SELECT MAX(o_totalprice) FROM orders) AS max_price,
-           (SELECT MIN(o_orderpriority) FROM orders) AS min_pri,
-           (SELECT MAX(o_orderpriority) FROM orders) AS max_pri,
-           (SELECT COUNT(o_totalprice) FROM orders) AS n_price,
-           (SELECT MIN(o_orderkey) FROM orders
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey < 30000)
+    SELECT (SELECT COUNT(*) FROM o) AS n_rows,
+           (SELECT MIN(o_orderkey) FROM o) AS min_key,
+           (SELECT MAX(o_orderkey) FROM o) AS max_key,
+           (SELECT MIN(o_totalprice) FROM o) AS min_price,
+           (SELECT MAX(o_totalprice) FROM o) AS max_price,
+           (SELECT MIN(o_orderpriority) FROM o) AS min_pri,
+           (SELECT MAX(o_orderpriority) FROM o) AS max_pri,
+           (SELECT COUNT(o_totalprice) FROM o) AS n_price,
+           (SELECT MIN(o_orderkey) FROM o
             WHERE NOT (o_orderkey % 7 = 0)) AS min_key_after_delete,
-           (SELECT MAX(o_orderkey) FROM orders
+           (SELECT MAX(o_orderkey) FROM o
             WHERE NOT (o_orderkey % 7 = 0)) AS max_key_after_delete,
-           (SELECT COUNT(*) FROM orders
+           (SELECT COUNT(*) FROM o
             WHERE NOT (o_orderkey % 7 = 0)) AS n_after_delete
     """,
     doc="catalog: JVM manifest MIN/MAX/COUNT aggregates (LocalScan, zero "
@@ -2073,11 +2074,15 @@ def cat31(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(os.path.join(root, "sales"))
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
-    )
+    # scale-capped harness: the aggregates under test are O(manifest)
+    # regardless of table size — the cap keeps the CREATE + MoR DELETE
+    # fixture work bounded at bench scale while the LocalScan still
+    # unions bounds across several fragments
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 30000
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
     tbl = os.path.join(root, "sales", "orders.lance")
-    LanceDataset.create(tbl, orders, max_rows_per_file=1000)
+    LanceDataset.create(tbl, orders, max_rows_per_file=5000)
 
     spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
     spark.conf.set(

@@ -22,8 +22,9 @@ from .relational import _dsum_sql, dsum
 
 # ---------------------------------------------------------------------------
 # ds01 — DataSource scan with filter pushdown: the pushed predicates (=, >=,
-# IN, IS NOT NULL) are evaluated by pyarrow inside the fragment scan; the
-# LIKE stays residual in Spark (the reference's exact split, §2A.A4).
+# IN, IS NOT NULL, and — beyond the reference, which wires LIKE but disables
+# it — the string matchers) are evaluated by pyarrow inside the fragment
+# scan; LIKE '%URGENT' pushes as StringEndsWith since r11.
 # ---------------------------------------------------------------------------
 @register(
     "ds01_datasource_scan_pushdown",
@@ -36,7 +37,8 @@ from .relational import _dsum_sql, dsum
     GROUP BY o_orderstatus, o_orderpriority
     ORDER BY o_orderstatus, o_orderpriority
     """,
-    doc="connector: format('lance') scan, pushed >=/IN/IS-NOT-NULL + residual LIKE",
+    doc="connector: format('lance') scan, pushed >=/IN/IS-NOT-NULL + "
+        "pushed ends-with LIKE (r11)",
     tags=("connector", "pushdown"),
 )
 def ds01(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +53,7 @@ def ds01(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") >= 50000)
         & F.col("o_orderstatus").isin("F", "O")
         & F.col("o_custkey").isNotNull()
-        & F.col("o_orderpriority").like("%URGENT")  # residual — stays in Spark
+        & F.col("o_orderpriority").like("%URGENT")  # pushes as ends-with (r11)
     )
     return (
         scan.groupBy("o_orderstatus", "o_orderpriority")

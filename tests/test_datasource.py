@@ -11,11 +11,14 @@ import time
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     In,
     IsNull,
     Not,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
 )
 
@@ -95,11 +98,17 @@ def test_pushable_filter_set():
     assert _filter_pushable(GreaterThan(("b",), 1.5), cols)
     assert _filter_pushable(In(("a",), (1, 2, 3)), cols)
     assert _filter_pushable(IsNull(("a",)), cols)
-    # declined: unknown column, nested column, NaN, LIKE-family
+    # string matchers + null-safe equality are pushable (r11)
+    assert _filter_pushable(StringStartsWith(("a",), "x"), cols)
+    assert _filter_pushable(StringEndsWith(("a",), "x"), cols)
+    assert _filter_pushable(StringContains(("a",), "x"), cols)
+    assert _filter_pushable(EqualNullSafe(("a",), 3), cols)
+    assert _filter_pushable(EqualNullSafe(("a",), None), cols)
+    # declined: unknown column, nested column, NaN, NOT over a matcher
     assert not _filter_pushable(EqualTo(("zz",), 1), cols)
     assert not _filter_pushable(EqualTo(("a", "b"), 1), cols)
     assert not _filter_pushable(GreaterThan(("a",), float("nan")), cols)
-    assert not _filter_pushable(StringStartsWith(("a",), "x"), cols)
+    assert not _filter_pushable(Not(StringStartsWith(("a",), "x")), cols)
 
 
 def test_datasource_scan_applies_deletion_vectors(spark):
@@ -842,3 +851,104 @@ def test_native_dsv2_write_append_overwrite(tmp_path, spark):
     with _pytest.raises(Exception, match="does not match the native"):
         spark.range(3).selectExpr("id AS wrong").write.format(
             "lance").mode("append").save(root)
+
+
+def test_string_matcher_pushdown_values_and_pruning(spark, tmp_path):
+    """Pushed startswith/endswith/contains/null-safe-eq produce the same
+    rows as the unpushed plan on BOTH formats, prefix filters prune
+    fragments via the zone maps, and a scalar index serves the prefix as
+    a range probe — all with NULLs in the column."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        create_native_dataset,
+        write_native_scalar_index,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        LanceNativeScanReaderPushdown,
+        StringStartsWith as SSW,
+        _prefix_bump,
+        _stats_admit,
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    df = spark.range(400).selectExpr(
+        "id",
+        "CASE WHEN id % 20 = 0 THEN NULL "
+        "ELSE concat('u-', lpad(cast(id as string), 4, '0')) END AS name",
+    )
+    want = sorted(
+        tuple(r) for r in df.filter(
+            F.col("name").startswith("u-01")
+            | F.col("name").endswith("77")
+            | F.col("name").contains("23")
+            | F.col("name").eqNullSafe(F.lit("u-0005"))
+        ).collect()
+    )
+
+    # own-format (parquet + pads expression)
+    own = str(tmp_path / "own.lance")
+    LanceDataset.create(own, df.orderBy("id"), max_rows_per_file=100)
+    got_own = spark.read.format("lance").load(own).filter(
+        F.col("name").startswith("u-01")
+        | F.col("name").endswith("77")
+        | F.col("name").contains("23")
+        | F.col("name").eqNullSafe(F.lit("u-0005"))
+    )
+    assert sorted(tuple(r) for r in got_own.collect()) == want
+
+    # native format (late-materialized pyarrow expression) — each matcher
+    # pushed alone so the single-filter path is what's exercised
+    nat = str(tmp_path / "nat.lance")
+    create_native_dataset(
+        df.orderBy("id").coalesce(1), nat, rows_per_fragment=100)
+    for cond, ref in [
+        (F.col("name").startswith("u-01"), lambda s: s.startswith("u-01")),
+        (F.col("name").endswith("77"), lambda s: s.endswith("77")),
+        (F.col("name").contains("23"), lambda s: "23" in s),
+    ]:
+        got = sorted(
+            r.id for r in
+            spark.read.format("lance").load(nat).filter(cond).collect()
+        )
+        exp = sorted(
+            i for i in range(400)
+            if i % 20 != 0 and ref(f"u-{i:04d}")
+        )
+        assert got == exp, f"{cond}: {got[:5]} != {exp[:5]}"
+
+    # eqNullSafe NULL form == IS NULL
+    got_null = sorted(
+        r.id for r in spark.read.format("lance").load(nat)
+        .filter(F.col("name").eqNullSafe(F.lit(None).cast("string")))
+        .collect()
+    )
+    assert got_null == [i for i in range(400) if i % 20 == 0]
+
+    # zone-map: a prefix matching only the 2nd fragment admits exactly it
+    stats_hit = {"name": {"min": "u-0100", "max": "u-0199", "nulls": 0}}
+    stats_miss = {"name": {"min": "u-0200", "max": "u-0299", "nulls": 0}}
+    f = SSW(("name",), "u-01")
+    assert _stats_admit(stats_hit, f, 100)
+    assert not _stats_admit(stats_miss, f, 100)
+    assert _prefix_bump("u-01") == "u-02"
+    assert _prefix_bump("a\U0010FFFF") == "b"
+    assert _prefix_bump("\U0010FFFF") is None
+
+    # scalar index serves the prefix as a range probe: preselect returns
+    # exactly the matching physical rows for a covered fragment
+    write_native_scalar_index(nat, "name")
+    reader = LanceNativeScanReaderPushdown(
+        nat, spark.read.format("lance").load(nat).schema, {})
+    assert list(reader.pushFilters([SSW(("name",), "u-012")])) == []
+    parts = reader.partitions()
+    from lance_trino_spark.format.lance_native import read_native_manifest
+
+    m = read_native_manifest(nat)
+    rows = [
+        sorted(reader._scalar_index_preselect(p, m).tolist())
+        for p in parts
+    ]
+    flat = sorted(r for rr in rows for r in rr)
+    assert flat == [121, 122, 123, 124, 125, 126, 127, 128, 129]
