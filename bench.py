@@ -185,6 +185,7 @@ DEFAULT_QUERIES = [
     "cat31_jvm_manifest_aggregates",
     "cat32_jvm_alter_table",
     "cat33_sql_native_alter",
+    "lf47_native_index_extend",
 ]
 
 

@@ -5120,21 +5120,49 @@ def write_native_vector_index(
     ])  # [nsub, 256, subdim]
 
     # pass 2: encode every row into per-cell (codes, row ids) buckets
+    buckets = _encode_fragments_into_buckets(
+        root, manifest, nfield, manifest.fragments, cent, codebook, spark)
+    return _write_ivf_sidecar(
+        root, column, cent, codebook, buckets, manifest.version,
+        sorted(int(f.id) for f in manifest.fragments))
+
+
+def _pq_encode_block(v: "np.ndarray", cent: "np.ndarray",
+                     codebook: "np.ndarray"):
+    """Assign each row to its nearest IVF cell and residual-PQ-encode it
+    — shared by the full build and the incremental extend, so identical
+    vectors yield bit-identical codes under either path."""
+    import numpy as np
+
+    nsub, _k, subdim = codebook.shape
+    a = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    r = v - cent[a]
+    codes = np.empty((len(v), nsub), dtype=np.uint8)
+    for s in range(nsub):
+        sub = r[:, s * subdim:(s + 1) * subdim]
+        d = ((sub[:, None, :] - codebook[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1)
+    return a, codes
+
+
+def _encode_fragments_into_buckets(
+    root: str, manifest: NativeManifest, nfield, frags,
+    cent: "np.ndarray", codebook: "np.ndarray", spark=None,
+):
+    """The O(rows) encode pass over ``frags`` only → per-cell
+    ([codes arrays], [addr arrays]) buckets. With ``spark``, fans out as
+    an Arrow-batched mapInPandas over a FRAGMENTS-RESTRICTED
+    format("lance") scan (the CDC fan-out unit — an incremental extend
+    scans only the delta fragments); centroids + codebooks ship in the
+    task closure, the driver only concatenates pre-packed chunks."""
+    import numpy as np
+
+    n_cells = len(cent)
+    dim = cent.shape[1]
+    nsub = codebook.shape[0]
+    column = nfield.name
     buckets = [([], []) for _ in range(n_cells)]
-
-    def _encode_block(v: "np.ndarray"):
-        a = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(
-            axis=1)
-        r = v - cent[a]
-        codes = np.empty((len(v), nsub), dtype=np.uint8)
-        for s in range(nsub):
-            sub = r[:, s * subdim:(s + 1) * subdim]
-            d = ((sub[:, None, :] - codebook[s][None, :, :]) ** 2).sum(
-                axis=2)
-            codes[:, s] = d.argmin(axis=1)
-        return a, codes
-
-    if spark is not None:
+    if spark is not None and frags:
         import pandas as pd
         from pyspark.sql import functions as F
 
@@ -5145,6 +5173,7 @@ def write_native_vector_index(
             spark.read.format("lance").options(**nio.spark_options(root))
             .option("row_address", "true")
             .option("version", str(manifest.version))
+            .option("fragments", ",".join(str(f.id) for f in frags))
             .load(root)
             .select(F.col(column).alias("v"), "_row_address")
             .where(F.col("v").isNotNull())  # NULLs are unindexed
@@ -5155,7 +5184,7 @@ def write_native_vector_index(
                 v = np.asarray(
                     np.vstack(pdf["v"].to_numpy()), dtype=np.float32
                 ).reshape(-1, dim)
-                a, codes = _encode_block(v)
+                a, codes = _pq_encode_block(v, cent, codebook)
                 addr = pdf["_row_address"].to_numpy().astype(np.uint64)
                 cells, cbufs, abufs = [], [], []
                 for c in np.unique(a):
@@ -5173,7 +5202,7 @@ def write_native_vector_index(
                 row["codes"], dtype=np.uint8).reshape(-1, nsub))
             buckets[c][1].append(np.frombuffer(row["addrs"], dtype="<u8"))
     else:
-        for frag in manifest.fragments:
+        for frag in frags:
             dfile, col_idx = frag.file_for_field(nfield.id)
             arr = read_file_column(root, dfile, col_idx, nfield, manifest)
             v = np.asarray(
@@ -5184,13 +5213,30 @@ def write_native_vector_index(
             v, addr = v[vmask], addr[vmask]  # NULLs are unindexed
             if not len(v):
                 continue
-            a, codes = _encode_block(v)
+            a, codes = _pq_encode_block(v, cent, codebook)
             for c in range(n_cells):
                 m = a == c
                 if m.any():
                     buckets[c][0].append(codes[m])
                     buckets[c][1].append(addr[m])
+    return buckets
 
+
+def _write_ivf_sidecar(
+    root: str, column: str, cent: "np.ndarray", codebook: "np.ndarray",
+    buckets, dataset_version: int, coverage_fragments,
+) -> str:
+    """Serialize per-cell (codes, addrs) buckets + trained tensors into a
+    new `_indices/<uuid>/index.idx` in the SDK binary layout, plus the
+    repo coverage sidecar. Shared by the full build and the extend."""
+    import json as _json
+    import uuid as uuidlib
+
+    import numpy as np
+
+    n_cells = len(cent)
+    nsub = codebook.shape[0]
+    dim = cent.shape[1]
     body = bytearray()
     offsets, lengths = [], []
     for c in range(n_cells):
@@ -5229,7 +5275,7 @@ def write_native_vector_index(
     meta = (
         _enc_field(1, 2, b"vector_idx")
         + _enc_field(2, 2, column.encode())
-        + _enc_field(3, 0, manifest.version)
+        + _enc_field(3, 0, dataset_version)
         + _enc_field(5, 2, impl)
     )
     uid = str(uuidlib.uuid4())
@@ -5243,14 +5289,73 @@ def write_native_vector_index(
     # the fixture format): lets vacuum reap this index once none of its
     # covered fragments survive in any retained version. SDK-written
     # indexes lack the file and stay conservatively kept.
-    import json as _json
-
     nio.write_text(os.path.join(d, "coverage.json"), _json.dumps({
         "column": column,
-        "dataset_version": manifest.version,
-        "fragments": sorted(int(f.id) for f in manifest.fragments),
+        "dataset_version": dataset_version,
+        "fragments": sorted(int(x) for x in coverage_fragments),
     }))
     return uid
+
+
+def extend_native_vector_index(root: str, column: str, spark=None
+                               ) -> str | None:
+    """INCREMENTAL IVF_PQ maintenance — the O(delta) alternative to the
+    full rebuild: encode ONLY the fragments appended since the newest
+    index on ``column`` was built, reusing its trained centroids and
+    residual-PQ codebooks VERBATIM (no retrain — identical vectors get
+    bit-identical codes, so the existing postings' geometry stays exactly
+    valid), merge the new (codes, row-address) runs into the per-cell
+    partitions (old partitions ride over as byte-identical prefixes), and
+    commit a NEW sidecar covering the union. At 100 TB a daily ingest
+    re-encodes the day's fragments, never the corpus — the rebuild is
+    O(corpus) encode + retrain, this is O(appended rows) with zero
+    training. The trade: centroids drift from the true distribution as
+    the corpus grows (the SDK makes the same trade in its optimize
+    `index remapping`); schedule a full rebuild when recall decays.
+
+    Returns the new uuid, or None when the newest index already covers
+    every live fragment; raises when no index exists (nothing to extend).
+    Postings of since-dropped fragments stay in place — the live-snapshot
+    search drops stale hits by construction (lf43) and vacuum reaps
+    indexes whose covered fragments all died. With ``spark``, the delta
+    encode fans out Arrow-batched over a FRAGMENTS-RESTRICTED scan — one
+    task stream over exactly the new fragments."""
+    import numpy as np
+
+    idx = latest_native_vector_index(root, column)
+    if idx is None:
+        raise LanceNativeError(
+            f"no vector index on {column!r} to extend — build one with "
+            "write_native_vector_index / ensure_native_vector_index")
+    manifest = read_native_manifest(root)
+    cov = native_index_coverage(root, idx)
+    new_frags = [f for f in manifest.fragments if f.id not in cov]
+    if not new_frags:
+        return None
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column), None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column: {column!r}")
+    cent = np.ascontiguousarray(idx.centroids, dtype=np.float32)
+    codebook = np.ascontiguousarray(idx.pq_codebook, dtype=np.float32)
+
+    # delta encode (the only O(rows) work), then per-cell merge: the old
+    # partition streams in via ONE bounded range read per cell and lands
+    # as the prefix of the new partition
+    delta = _encode_fragments_into_buckets(
+        root, manifest, nfield, new_frags, cent, codebook, spark)
+    merged = []
+    for c in range(idx.n_cells):
+        old_codes, old_rids = _read_index_partition(idx, c)
+        merged.append((
+            [old_codes] + delta[c][0],
+            [np.asarray(old_rids, dtype=np.uint64)] + delta[c][1],
+        ))
+    live_ids = {f.id for f in manifest.fragments}
+    coverage = (cov & live_ids) | {f.id for f in new_frags}
+    return _write_ivf_sidecar(
+        root, column, cent, codebook, merged, manifest.version,
+        sorted(coverage))
 
 
 def native_index_coverage(root: str, index: NativeVectorIndex
@@ -5283,7 +5388,7 @@ def latest_native_vector_index(root: str, column: str
 
 def ensure_native_vector_index(
     root: str, column: str, n_cells: int = 4, nsub: int = 8,
-    spark=None, **kw
+    spark=None, incremental: bool = False, **kw
 ) -> str | None:
     """Rebuild the IVF_PQ sidecar for ``column`` iff the newest one no
     longer covers every live fragment (appends after a build scan
@@ -5291,12 +5396,19 @@ def ensure_native_vector_index(
     vectors). Returns the new uuid, or None when the existing index
     already covers the dataset. The maintenance hook a table service
     calls after ingest; between calls, native_vector_search_fresh keeps
-    results live via the uncovered-fragment exact fallback."""
+    results live via the uncovered-fragment exact fallback.
+
+    ``incremental=True`` EXTENDS an existing index instead of rebuilding
+    (extend_native_vector_index: O(appended rows) encode, no retrain,
+    ``n_cells``/``nsub`` ignored in favor of the base index's trained
+    shape); with no index yet it still builds from scratch."""
     manifest = read_native_manifest(root)
     frag_ids = {f.id for f in manifest.fragments}
     idx = latest_native_vector_index(root, column)
     if idx is not None and frag_ids <= native_index_coverage(root, idx):
         return None
+    if incremental and idx is not None:
+        return extend_native_vector_index(root, column, spark=spark)
     return write_native_vector_index(
         root, column, n_cells=n_cells, nsub=nsub, spark=spark, **kw)
 

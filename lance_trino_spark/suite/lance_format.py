@@ -3534,3 +3534,117 @@ def lf46(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boolean, served_from_object_store boolean, vacuum_reaped "
         "boolean, distributed_scan_ok boolean",
     ).orderBy("region")
+
+
+# ---------------------------------------------------------------------------
+# lf47 — INCREMENTAL vector-index maintenance: `extend_native_vector_index`
+# encodes ONLY the fragments appended since the newest build (the delta
+# encode fans out over a fragments-restricted scan — the CDC unit),
+# reuses the trained centroids + residual-PQ codebooks verbatim, and
+# merges old partitions through as byte-identical prefixes. The O(corpus)
+# rebuild becomes O(appended rows) with zero retraining — at 100 TB a
+# daily ingest re-encodes the day's fragments, never the corpus. Gated:
+# centroid bytes equal, old postings prefix-preserved, the delta indexed
+# exactly the appended rows, and search results EQUAL a full rebuild at
+# nprobe=all (exact refine makes both order-exact).
+# ---------------------------------------------------------------------------
+@register(
+    "lf47_native_index_extend",
+    oracle="""
+    SELECT vec_id AS query_id,
+           TRUE AS centroids_reused,
+           TRUE AS old_postings_prefix,
+           TRUE AS delta_only_indexed,
+           TRUE AS parity_with_rebuild
+    FROM embeddings WHERE vec_id IN (0, 120, 360, 390)
+    ORDER BY query_id
+    """,
+    doc="format: incremental IVF extend — O(delta) encode, trained "
+        "geometry reused, prefix-preserved merge, rebuild parity",
+    tags=("format", "lance-native", "similarity", "ann", "index",
+          "maintenance"),
+)
+def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..format.lance_native import (
+        _read_index_partition,
+        append_native_rows,
+        extend_native_vector_index,
+        latest_native_vector_index,
+        native_index_coverage,
+        native_index_search,
+        read_native_manifest,
+        read_native_vector_index,
+        write_native_dataset,
+        write_native_vector_index,
+    )
+
+    path = _fresh_path(sf_dir, "lf47-index-extend")
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cols = lambda rs: {  # noqa: E731 — tiny local shaper
+        "vec_id": [int(r["vec_id"]) for r in rs],
+        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
+    }
+    write_native_dataset(path, cols(rows[:350]))
+    write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
+    old = latest_native_vector_index(path, "embedding")
+    append_native_rows(path, cols(rows[350:]))  # AFTER the build
+
+    # the distributed delta encode: fragments-restricted fan-out
+    extend_native_vector_index(path, "embedding", spark=spark)
+    new = latest_native_vector_index(path, "embedding")
+
+    centroids_reused = (
+        np.asarray(new.centroids).tobytes()
+        == np.asarray(old.centroids).tobytes()
+        and np.asarray(new.pq_codebook).tobytes()
+        == np.asarray(old.pq_codebook).tobytes()
+    )
+    prefix_ok = True
+    added = 0
+    for c in range(old.n_cells):
+        oc, orid = _read_index_partition(old, c)
+        nc, nrid = _read_index_partition(new, c)
+        prefix_ok = prefix_ok and (
+            nc[: len(oc)].tobytes() == oc.tobytes()
+            and nrid[: len(orid)].tobytes()
+            == np.asarray(orid).tobytes()
+        )
+        added += len(nrid) - len(orid)
+    m = read_native_manifest(path)
+    delta_only = (
+        added == len(rows) - 350
+        and native_index_coverage(path, new) == {f.id for f in m.fragments}
+    )
+
+    # parity vs a full rebuild, per query, at nprobe=all
+    rb_uid = write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
+    rebuilt = read_native_vector_index(
+        os.path.join(path, "_indices", rb_uid, "index.idx"))
+    vec_by_id = {int(r["vec_id"]): r["embedding"] for r in rows}
+    out = []
+    for qid in (0, 120, 360, 390):
+        q = np.asarray(vec_by_id[qid], dtype=np.float32)
+        r_ext = native_index_search(
+            path, new, q, k=5, nprobe=new.n_cells, manifest=m)[0]
+        r_full = native_index_search(
+            path, rebuilt, q, k=5, nprobe=rebuilt.n_cells, manifest=m)[0]
+        out.append((
+            qid,
+            bool(centroids_reused),
+            bool(prefix_ok),
+            bool(delta_only),
+            bool(r_ext["neighbors"] == r_full["neighbors"]),
+        ))
+    return spark.createDataFrame(
+        out,
+        "query_id long, centroids_reused boolean, old_postings_prefix "
+        "boolean, delta_only_indexed boolean, parity_with_rebuild boolean",
+    ).orderBy("query_id")

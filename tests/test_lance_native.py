@@ -4220,3 +4220,104 @@ def test_object_store_distributed_scan_and_pyarrow_fs(tmp_path, spark):
         assert ln.LanceNativeDataset(proot).count_rows() == 80
     finally:
         nio.unregister_object_store_root("pafs://bucket")
+
+
+def test_extend_native_vector_index_incremental(spark, tmp_path):
+    """Incremental IVF maintenance: extend encodes ONLY the appended
+    fragments, reuses the trained centroids/codebooks verbatim (old
+    partitions ride over as byte-identical prefixes), and searches
+    exactly like a full rebuild at nprobe=all."""
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeError,
+        _read_index_partition,
+        append_native_rows,
+        ensure_native_vector_index,
+        extend_native_vector_index,
+        latest_native_vector_index,
+        native_index_coverage,
+        native_index_search,
+        read_native_manifest,
+        read_native_vector_index,
+        write_native_dataset,
+        write_native_vector_index,
+    )
+
+    root = str(tmp_path / "t.lance")
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(400, 16)).astype(np.float32)
+    extra = rng.normal(size=(100, 16)).astype(np.float32)
+
+    def cols(v, start):
+        return {
+            "vec_id": list(range(start, start + len(v))),
+            "embedding": [list(map(float, row)) for row in v],
+        }
+
+    write_native_dataset(root, cols(base, 0))
+
+    with pytest.raises(LanceNativeError, match="no vector index"):
+        extend_native_vector_index(root, "embedding")
+
+    write_native_vector_index(root, "embedding", n_cells=4, nsub=8)
+    old = latest_native_vector_index(root, "embedding")
+
+    # covered: extend is a no-op
+    assert extend_native_vector_index(root, "embedding") is None
+
+    append_native_rows(root, cols(extra, 400))
+    uid = extend_native_vector_index(root, "embedding")
+    assert uid is not None
+    new = latest_native_vector_index(root, "embedding")
+    assert os.path.basename(os.path.dirname(new.path)) == uid
+
+    # trained geometry reused verbatim
+    assert np.asarray(new.centroids).tobytes() == np.asarray(
+        old.centroids).tobytes()
+    assert np.asarray(new.pq_codebook).tobytes() == np.asarray(
+        old.pq_codebook).tobytes()
+
+    # old partitions are byte-identical prefixes; delta adds exactly the
+    # appended rows
+    added = 0
+    for c in range(old.n_cells):
+        oc, orid = _read_index_partition(old, c)
+        nc, nrid = _read_index_partition(new, c)
+        assert nc[: len(oc)].tobytes() == oc.tobytes()
+        assert nrid[: len(orid)].tobytes() == np.asarray(orid).tobytes()
+        assert all(int(r) >> 32 == 1 for r in nrid[len(orid):])
+        added += len(nrid) - len(orid)
+    assert added == 100
+
+    m = read_native_manifest(root)
+    assert native_index_coverage(root, new) == {f.id for f in m.fragments}
+
+    # search parity vs a FULL rebuild at nprobe=all (exact refine makes
+    # both order-exact over the same candidate set)
+    rebuilt_uid = write_native_vector_index(
+        root, "embedding", n_cells=4, nsub=8)
+    rebuilt = read_native_vector_index(
+        os.path.join(root, "_indices", rebuilt_uid, "index.idx"))
+    for qi in (0, 250, 450):
+        q = np.concatenate([base, extra])[qi]
+        r_ext = native_index_search(
+            root, new, q, k=5, nprobe=new.n_cells, manifest=m)[0]
+        r_full = native_index_search(
+            root, rebuilt, q, k=5, nprobe=rebuilt.n_cells, manifest=m)[0]
+        assert r_ext["neighbors"] == r_full["neighbors"]
+
+    # ensure(incremental=True) routes through extend after more appends.
+    # NOTE: the extended and rebuilt indexes share dataset_version, and
+    # latest() tie-breaks by directory order — capture the actual base
+    # the ensure will extend instead of assuming which one wins.
+    base_idx = latest_native_vector_index(root, "embedding")
+    append_native_rows(root, cols(extra[:20], 500))
+    uid2 = ensure_native_vector_index(
+        root, "embedding", incremental=True, spark=spark)
+    assert uid2 is not None
+    newest = read_native_vector_index(
+        os.path.join(root, "_indices", uid2, "index.idx"))
+    assert np.asarray(newest.centroids).tobytes() == np.asarray(
+        base_idx.centroids).tobytes()
+    assert sum(newest.part_lengths) == 520
