@@ -186,6 +186,7 @@ DEFAULT_QUERIES = [
     "cat32_jvm_alter_table",
     "cat33_sql_native_alter",
     "lf47_native_index_extend",
+    "lf48_native_restore",
 ]
 
 

@@ -919,9 +919,16 @@ class LanceCatalog:
 
     def _h_restore(self, m) -> DataFrame:
         """`RESTORE TABLE <schema>.<table> TO VERSION <n>` — republishes the
-        old snapshot as a new commit (history preserved; one manifest
-        write, no data movement)."""
+        old snapshot (schema AND rows) as a new commit on either plane
+        (history preserved; one manifest write, no data movement)."""
         ns, tbl = m.group("ns"), m.group("tbl")
+        np_ = self._native(ns, tbl)
+        if np_ is not None:
+            from .format.lance_native import native_restore
+
+            v = native_restore(np_, int(m.group("v")))
+            return self._status(
+                f"restored {ns}.{tbl} to v{m.group('v')} as v{v} (native)")
         ds = self.load(ns, tbl).restore(int(m.group("v")))
         return self._status(
             f"restored {ns}.{tbl} to v{m.group('v')} as v{ds.version}"

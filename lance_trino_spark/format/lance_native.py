@@ -5297,6 +5297,45 @@ def _write_ivf_sidecar(
     return uid
 
 
+def native_restore(root: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION on a real `.lance` dataset — the
+    lance SDK's restore (own-format twin `LanceDataset.restore`, cat13):
+    commit a NEW version whose SCHEMA and fragment list are the target
+    version's — time travel made durable, history preserved, zero data
+    movement (one manifest write). The max_fragment_id watermark never
+    rewinds (`_write_v1_manifest` takes the max with the previous
+    manifest), so fragment ids allocated AFTER the target stay retired
+    forever — a restore must not make them reallocatable (the r10
+    recycling hazard). Restoring the current version is a no-op;
+    unknown / vacuum-reclaimed versions refuse loudly. Returns the new
+    (or current, for the no-op) version."""
+    versions = list_native_versions(root)
+    if version not in versions:
+        raise LanceNativeError(
+            f"cannot restore to version {version}: not in the version "
+            f"log (have {sorted(versions)}) — reclaimed by vacuum or "
+            "never committed")
+    target = read_native_manifest(root, version)
+    cur = read_native_manifest(root)
+    if version == cur.version:
+        return cur.version
+    frags = [
+        (f.id, _relist_files(f), f.physical_rows)
+        + (((f.deletion.read_version, f.deletion.id),)
+           if f.deletion is not None else ())
+        for f in target.fragments
+    ]
+    while True:
+        try:
+            _write_v1_manifest(
+                root, _field_specs_of(target), frags, cur.version + 1)
+            return cur.version + 1
+        except LanceNativeError as ex:
+            if "concurrent commit" not in str(ex):
+                raise
+            cur = read_native_manifest(root)  # rebase, retry
+
+
 def extend_native_vector_index(root: str, column: str, spark=None
                                ) -> str | None:
     """INCREMENTAL IVF_PQ maintenance — the O(delta) alternative to the

@@ -92,6 +92,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat32_jvm_alter_table",
     "cat33_sql_native_alter",
     "lf47_native_index_extend",
+    "lf48_native_restore",
     # changed-code re-checks
     "s15_native_filtered_fresh_search",
     "cat24_sql_native_show_stats",

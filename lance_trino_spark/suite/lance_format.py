@@ -3648,3 +3648,93 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, centroids_reused boolean, old_postings_prefix "
         "boolean, delta_only_indexed boolean, parity_with_rebuild boolean",
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# lf48 — native RESTORE through the SQL router: `RESTORE TABLE ... TO
+# VERSION n` on a binary-manifest table republishes the target version's
+# SCHEMA AND fragment list as one new manifest commit — time travel made
+# durable, zero data movement, history preserved (the rolled-past
+# versions still travel), and the fragment-id watermark never rewinds
+# (post-target ids stay retired — the r10 recycling hazard). The restored
+# snapshot immediately takes DML: a post-restore MoR DELETE commits
+# against the republished fragments.
+# ---------------------------------------------------------------------------
+@register(
+    "lf48_native_restore",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_restored,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum_restored,
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_custkey < 600 AND c_custkey % 3 <> 0)
+                AS BIGINT) AS n_rolled_past_version,
+           TRUE AS schema_rolled_back,
+           TRUE AS history_still_travels,
+           TRUE AS post_restore_dml_ok
+    FROM customer WHERE c_custkey < 600
+    """,
+    doc="format: native RESTORE via SQL — schema+rows roll back in one "
+        "manifest commit, history travels, watermark never rewinds",
+    tags=("format", "lance-native", "catalog", "restore", "time-travel"),
+)
+def lf48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import read_native_manifest
+    from .catalog import _fresh_catalog
+
+    cat = _fresh_catalog(spark, sf_dir, "lf48")
+    cat.sql("CREATE SCHEMA ns")
+    loc = cat.namespace.declare_table("ns", "cust_native")
+
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 600)
+        .select("c_custkey", "c_mktsegment")
+    )
+    src.createOrReplaceTempView("lf48_src")
+    cat.sql("CREATE OR REPLACE NATIVE TABLE ns.cust_native AS "
+            "SELECT * FROM lf48_src")                           # v1
+
+    cat.sql("DELETE FROM ns.cust_native WHERE c_custkey % 3 = 0")   # v2
+    cat.sql("ALTER TABLE ns.cust_native ADD COLUMN note STRING")    # v3
+    n_evolved = cat.sql(
+        "SELECT COUNT(*) AS n FROM ns.cust_native").collect()[0]["n"]
+    m_before = read_native_manifest(loc)
+
+    cat.sql("RESTORE TABLE ns.cust_native TO VERSION 1")
+    restored = cat.sql("SELECT * FROM ns.cust_native")
+    schema_back = restored.columns == ["c_custkey", "c_mktsegment"]
+    n_restored = restored.count()  # BEFORE the post-restore DML below
+
+    # the rolled-past version still travels, evolved schema intact
+    old = cat.sql(
+        f"SELECT * FROM ns.cust_native VERSION AS OF {m_before.version}")
+    travels = (
+        old.columns == ["c_custkey", "c_mktsegment", "note"]
+        and old.count() == n_evolved
+    )
+
+    # watermark: a post-restore DML allocates fragment ids ABOVE
+    # everything ever committed, and the restored snapshot takes DML
+    m_restored = read_native_manifest(loc)
+    wm_ok = m_restored.max_fragment_id >= m_before.max_fragment_id
+    cat.sql("DELETE FROM ns.cust_native WHERE c_custkey = 1")
+    post_ok = bool(
+        wm_ok
+        and cat.sql("SELECT COUNT(*) AS n FROM ns.cust_native")
+        .collect()[0]["n"] == n_restored - 1
+    )
+
+    # emit the RESTORED (pre-final-delete) snapshot's aggregate via time
+    # travel so the oracle is a plain query over customer
+    return (
+        cat.sql(f"SELECT * FROM ns.cust_native VERSION AS OF "
+                f"{m_restored.version}")
+        .agg(
+            F.count("*").alias("n_restored"),
+            F.sum("c_custkey").alias("key_sum_restored"),
+        )
+        .withColumn("n_rolled_past_version", F.lit(int(n_evolved)))
+        .withColumn("schema_rolled_back", F.lit(bool(schema_back)))
+        .withColumn("history_still_travels", F.lit(bool(travels)))
+        .withColumn("post_restore_dml_ok", F.lit(bool(post_ok)))
+    )

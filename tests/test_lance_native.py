@@ -4321,3 +4321,62 @@ def test_extend_native_vector_index_incremental(spark, tmp_path):
     assert np.asarray(newest.centroids).tobytes() == np.asarray(
         base_idx.centroids).tobytes()
     assert sum(newest.part_lengths) == 520
+
+
+def test_native_restore(spark, tmp_path):
+    """RESTORE commits the target version's schema + fragment list as a
+    NEW version: rows and schema roll back, history keeps traveling, and
+    the fragment-id watermark never rewinds (post-target ids stay
+    retired)."""
+    import pyspark.sql.functions as F
+
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeError,
+        create_native_dataset,
+        native_add_column_backfill,
+        native_delete_where,
+        native_restore,
+        read_native_manifest,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    root = str(tmp_path / "t.lance")
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    create_native_dataset(df.coalesce(1), root, rows_per_fragment=25)
+
+    native_delete_where(spark, root, F.col("id") >= 80)       # v2
+    native_add_column_backfill(spark, root, "w", F.lit(7))    # v3
+    spark.range(100, 110).selectExpr("id", "id * 3 AS v", "7 AS w") \
+        .write.format("lance").mode("append").save(root)      # v4
+    m4 = read_native_manifest(root)
+    assert m4.version == 4
+
+    v5 = native_restore(root, 1)
+    assert v5 == 5
+    got = spark.read.format("lance").load(root)
+    assert got.columns == ["id", "v"]  # schema rolled back too
+    assert got.count() == 100
+    assert got.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(100))
+
+    # history still travels (v4 has the evolved schema + appends - dels)
+    old = spark.read.format("lance").option("version", "4").load(root)
+    assert old.columns == ["id", "v", "w"]
+    assert old.count() == 90
+
+    # watermark never rewinds: a post-restore append allocates ABOVE
+    # every id ever committed (v4's appended fragment included)
+    m5 = read_native_manifest(root)
+    assert m5.max_fragment_id >= m4.max_fragment_id
+    spark.range(200, 205).selectExpr("id", "id * 3 AS v") \
+        .write.format("lance").mode("append").save(root)
+    m6 = read_native_manifest(root)
+    new_ids = {f.id for f in m6.fragments} - {f.id for f in m5.fragments}
+    assert all(i > m4.max_fragment_id for i in new_ids)
+
+    # refusals + no-op
+    with pytest.raises(LanceNativeError, match="not in the version log"):
+        native_restore(root, 99)
+    assert native_restore(root, m6.version) == m6.version
