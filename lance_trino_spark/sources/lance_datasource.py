@@ -1689,11 +1689,14 @@ class LanceBatchWriter(DataSourceArrowWriter):
 STREAM_EPOCH_KEY = "stream_last_epoch"
 
 
-class LanceStreamWriter(DataSourceStreamWriter):
+class LanceStreamWriter(DataSourceStreamArrowWriter):
     """Structured Streaming sink: each microbatch is one append transaction.
     The committed epoch id rides in the manifest, so a replayed microbatch
     (failure recovery re-runs the last uncommitted batch) is detected and
-    skipped — idempotent, exactly-once table contents."""
+    skipped — idempotent, exactly-once table contents. Arrow-batched since
+    r11 (`DataSourceStreamArrowWriter`, Spark 4.1): batches stream straight
+    into the fragment writer — the per-row tuple conversion the pre-4.1
+    Row-based streaming API forced is gone."""
 
     def __init__(self, path: str, schema: StructType, overwrite: bool, options: dict):
         self._path = path
@@ -1703,37 +1706,8 @@ class LanceStreamWriter(DataSourceStreamWriter):
             path, int(options.get("maxrowsperfile", DEFAULT_MAX_ROWS_PER_FILE))
         )
 
-    # Rows→Arrow conversion chunk: bounds executor memory to one chunk
-    # instead of the whole partition (DataSourceStreamWriter delivers Rows,
-    # not Arrow — an API constraint of the streaming write path).
-    ROWS_PER_CHUNK = 10_000
-
     def write(self, iterator) -> LanceWriteMessage:  # executor, per microbatch
-        import pyarrow as pa
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(StructType.fromJson(self._schema_json))
-
-        def _to_batch(rows: list[tuple]) -> "pa.RecordBatch":
-            cols = list(zip(*rows))
-            arrays = [
-                pa.array(c, type=arrow_schema.field(i).type)
-                for i, c in enumerate(cols)
-            ]
-            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
-
-        def _chunks() -> Iterator["pa.RecordBatch"]:
-            buf: list[tuple] = []
-            for r in iterator:
-                buf.append(tuple(r))
-                if len(buf) >= self.ROWS_PER_CHUNK:
-                    yield _to_batch(buf)
-                    buf = []
-            if buf:
-                yield _to_batch(buf)
-
-        return self._writer.write(_chunks())
+        return self._writer.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:  # driver
         last = self._last_committed_epoch()

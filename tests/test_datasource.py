@@ -268,16 +268,22 @@ def test_streaming_sink_epoch_replay_is_idempotent(spark):
     schema = StructType([StructField("x", LongType())])
     w = LanceStreamWriter(out, schema, overwrite=False, options={})
 
-    msg = w.write(iter([type("R", (tuple,), {})((i,)) for i in range(5)]))
+    import pyarrow as pa
+
+    def rb(n):  # the Arrow batches Spark 4.1's stream writer delivers
+        return pa.RecordBatch.from_arrays(
+            [pa.array(list(range(n)), type=pa.int64())], names=["x"])
+
+    msg = w.write(iter([rb(5)]))
     w.commit([msg], batchId=0)
     assert spark.read.format("lance").load(out).count() == 5
 
     # replay of the same epoch must be dropped
-    msg2 = w.write(iter([type("R", (tuple,), {})((i,)) for i in range(5)]))
+    msg2 = w.write(iter([rb(5)]))
     w.commit([msg2], batchId=0)
     assert spark.read.format("lance").load(out).count() == 5
 
-    msg3 = w.write(iter([type("R", (tuple,), {})((i,)) for i in range(3)]))
+    msg3 = w.write(iter([rb(3)]))
     w.commit([msg3], batchId=1)
     assert spark.read.format("lance").load(out).count() == 8
 

@@ -569,3 +569,34 @@ def test_v2_fullzip_roundtrip_property(tmp_path, data):
         assert got == want, lt
         got_sel = t_sel.column(f"c{i}").to_pylist()
         assert got_sel == [got[j] for j in sel]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    prefix=st.text(min_size=0, max_size=6),
+    values=st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                    max_size=20),
+)
+def test_prefix_bump_and_zonemap_soundness(prefix, values):
+    """`_prefix_bump` upper-bounds EVERY prefix-match, and the zone-map
+    admit for StringStartsWith never rejects a fragment that contains a
+    match (soundness — rejects may only be false-positives the residual
+    filter cleans up, never false-negatives)."""
+    from lance_trino_spark.sources.lance_datasource import (
+        StringStartsWith,
+        _prefix_bump,
+        _stats_admit,
+    )
+
+    bump = _prefix_bump(prefix)
+    for s in values:
+        if s.startswith(prefix):
+            assert s >= prefix
+            if bump is not None:
+                assert s < bump
+
+    stats = {"c": {
+        "min": min(values), "max": max(values), "nulls": 0}}
+    f = StringStartsWith(("c",), prefix)
+    if any(s.startswith(prefix) for s in values):
+        assert _stats_admit(stats, f, len(values))
