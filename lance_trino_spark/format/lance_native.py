@@ -5891,10 +5891,6 @@ def write_native_scalar_index(
     driver streams the sorted run page by page via toLocalIterator:
     driver memory is O(page_rows), not O(n) — the 100 TB build shape.
     Without ``spark``, a driver-side numpy sort (fixture scale)."""
-    import uuid as uuidlib
-
-    import numpy as np
-
     manifest = read_native_manifest(root)
     nfield = next(
         (f for f in manifest.top_level_fields() if f.name == column), None)
@@ -5905,70 +5901,94 @@ def write_native_scalar_index(
         raise LanceNativeError(
             f"column {column!r} type {nfield.logical_type!r} is not "
             "scalar-indexable (int/float/string only)")
+    return _write_btree_sidecar(
+        root, column, kind,
+        _sorted_scalar_rows(
+            root, manifest, nfield, kind, manifest.fragments, spark),
+        page_rows, manifest.version,
+        [f.id for f in manifest.fragments])
 
-    def sorted_rows():
-        """Yield (value, row address) in (value, address) order."""
-        if spark is not None:
-            from pyspark.sql import functions as F
 
-            from ..sources.lance_datasource import (
-                register_lance_datasource,
+def _sorted_scalar_rows(root, manifest, nfield, kind, frags, spark=None):
+    """Yield non-null (value, row address) pairs over ``frags`` only, in
+    (value, address) order — the sort input of both the full btree build
+    and the incremental extend's delta run. With ``spark``, a
+    FRAGMENTS-RESTRICTED distributed orderBy streamed page-by-page."""
+    import numpy as np
+
+    column = nfield.name
+    if spark is not None:
+        from pyspark.sql import functions as F
+
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        df = (
+            spark.read.format("lance").options(**nio.spark_options(root))
+            .option("row_address", "true")
+            .option("use_scalar_index", "false")
+            .option("version", str(manifest.version))
+            .option("fragments", ",".join(str(f.id) for f in frags))
+            .load(root)
+            .select(
+                F.col(column).alias("v"),
+                F.col("_row_address").alias("a"),
             )
-
-            register_lance_datasource(spark)
-            df = (
-                spark.read.format("lance").options(**nio.spark_options(root))
-                .option("row_address", "true")
-                .option("use_scalar_index", "false")
-                .option("version", str(manifest.version))
-                .load(root)
-                .select(
-                    F.col(column).alias("v"),
-                    F.col("_row_address").alias("a"),
-                )
-                .where(F.col("v").isNotNull())
-                .orderBy("v", "a")
-            )
-            for row in df.toLocalIterator(prefetchPartitions=True):
-                yield row["v"], row["a"]
-            return
-        vals_all, addr_all = [], []
-        for frag in manifest.fragments:
-            dfile, col_idx = frag.file_for_field(nfield.id)
-            arr = read_file_column(root, dfile, col_idx, nfield, manifest)
-            addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
-                len(arr), dtype=np.uint64)
-            mask = np.asarray(arr.is_valid())
-            if kind == "string":
-                py = arr.to_pylist()
-                vals_all.extend(v for v, m in zip(py, mask) if m)
-            else:
-                npk = "<i8" if kind == "int64" else "<f8"
-                # Drop null slots ARROW-side before the numpy cast: a
-                # null slot reaches numpy as NaN, and NaN->int64 is a
-                # platform-defined value plus a RuntimeWarning — inside
-                # index fence construction, exactly where a silent
-                # wrong-pruning bug would incubate. drop_null preserves
-                # valid-slot order, matching addr[mask].
-                vals_all.append(np.asarray(
-                    arr.drop_null()
-                    .cast("int64" if kind == "int64" else "float64")
-                    .to_numpy(zero_copy_only=False), dtype=npk))
-            addr_all.append(addr[mask])
-        addrs = (np.concatenate(addr_all) if addr_all
-                 else np.empty(0, dtype=np.uint64))
+            .where(F.col("v").isNotNull())
+            .orderBy("v", "a")
+        )
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            yield row["v"], row["a"]
+        return
+    vals_all, addr_all = [], []
+    for frag in frags:
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
+            len(arr), dtype=np.uint64)
+        mask = np.asarray(arr.is_valid())
         if kind == "string":
-            vals = vals_all
-            order = sorted(
-                range(len(vals)), key=lambda i: (vals[i], int(addrs[i])))
-            for i in order:
-                yield vals[i], int(addrs[i])
+            py = arr.to_pylist()
+            vals_all.extend(v for v, m in zip(py, mask) if m)
         else:
-            vals = (np.concatenate(vals_all) if vals_all else
-                    np.empty(0, dtype="<i8" if kind == "int64" else "<f8"))
-            order = np.lexsort((addrs, vals))
-            for i in order:
-                yield vals[i], int(addrs[i])
+            npk = "<i8" if kind == "int64" else "<f8"
+            # Drop null slots ARROW-side before the numpy cast: a
+            # null slot reaches numpy as NaN, and NaN->int64 is a
+            # platform-defined value plus a RuntimeWarning — inside
+            # index fence construction, exactly where a silent
+            # wrong-pruning bug would incubate. drop_null preserves
+            # valid-slot order, matching addr[mask].
+            vals_all.append(np.asarray(
+                arr.drop_null()
+                .cast("int64" if kind == "int64" else "float64")
+                .to_numpy(zero_copy_only=False), dtype=npk))
+        addr_all.append(addr[mask])
+    addrs = (np.concatenate(addr_all) if addr_all
+             else np.empty(0, dtype=np.uint64))
+    if kind == "string":
+        vals = vals_all
+        order = sorted(
+            range(len(vals)), key=lambda i: (vals[i], int(addrs[i])))
+        for i in order:
+            yield vals[i], int(addrs[i])
+    else:
+        vals = (np.concatenate(vals_all) if vals_all else
+                np.empty(0, dtype="<i8" if kind == "int64" else "<f8"))
+        order = np.lexsort((addrs, vals))
+        for i in order:
+            yield vals[i], int(addrs[i])
+
+
+def _write_btree_sidecar(
+    root: str, column: str, kind: str, rows_iter, page_rows: int,
+    dataset_version: int, covered_fragment_ids,
+) -> str:
+    """Serialize a (value, addr)-sorted stream into the btree sidecar
+    layout (paged values + addresses, page-min fences, covered-fragment
+    list) — O(page_rows) memory. Shared by build and extend."""
+    import uuid as uuidlib
+
+    import numpy as np
 
     body = bytearray()
     offsets, counts, fences = [], [], []
@@ -5985,7 +6005,7 @@ def write_native_scalar_index(
         page_v.clear()
         page_a.clear()
 
-    for v, a in sorted_rows():
+    for v, a in rows_iter:
         page_v.append(v)
         page_a.append(a)
         last_v = v
@@ -6002,12 +6022,12 @@ def write_native_scalar_index(
         + _enc_field(3, 2, b"".join(_enc_varint(c) for c in counts))
         + _enc_field(4, 2, _enc_values_block(kind, fences))
         + _enc_field(5, 2, b"".join(
-            _enc_varint(f.id) for f in manifest.fragments))
+            _enc_varint(int(i)) for i in covered_fragment_ids))
     )
     meta = (
         _enc_field(1, 2, f"{column}_btree_idx".encode())
         + _enc_field(2, 2, column.encode())
-        + _enc_field(3, 0, manifest.version)
+        + _enc_field(3, 0, dataset_version)
         + _enc_field(6, 2, btree)
     )
     uid = str(uuidlib.uuid4())
@@ -6019,20 +6039,106 @@ def write_native_scalar_index(
     return uid
 
 
-def ensure_native_scalar_index(
+def _iter_scalar_index_rows(index: NativeScalarIndex):
+    """Stream an existing btree sidecar's (value, addr) run in order,
+    ONE PAGE in memory at a time — the linear side of the extend merge."""
+    import numpy as np
+
+    with nio.open_read(index.path) as fh:
+        for pg in range(index.n_pages):
+            nrows = index.page_rows[pg]
+            end = (index.page_offsets[pg + 1]
+                   if pg + 1 < index.n_pages else index.body_len)
+            fh.seek(index.page_offsets[pg])
+            raw = fh.read(end - index.page_offsets[pg])
+            vals = _dec_values_block(index.kind, raw, nrows)
+            if index.kind == "string":
+                offs_arr = np.frombuffer(raw, dtype="<u4", count=nrows + 1)
+                vbytes = 4 * (nrows + 1) + int(offs_arr[-1])
+            else:
+                vbytes = nrows * 8
+            addrs = np.frombuffer(
+                raw, dtype="<u8", count=nrows, offset=vbytes)
+            for v, a in zip(vals, addrs):
+                yield v, int(a)
+
+
+def extend_native_scalar_index(
     root: str, column: str, page_rows: int = 4096, spark=None
+) -> str | None:
+    """INCREMENTAL btree maintenance — the O(delta log delta) alternative
+    to re-sorting the corpus: sort ONLY the fragments appended since the
+    newest index on ``column`` was built, then LINEAR-MERGE that delta
+    run with the existing index's already-sorted pages (streamed one
+    page at a time) into a new sidecar covering the union. The full
+    rebuild's distributed orderBy is O(n log n) over the corpus; this
+    sorts just the delta and streams the rest — at 100 TB a daily ingest
+    sorts the day, never the table. Probe results are IDENTICAL to a
+    full rebuild (same global (value, address) run — merge of sorted
+    runs is unique). Returns the new uuid, None when covered, raises
+    when no index exists. Stale addresses of since-dropped fragments
+    ride through harmlessly (probes are fragment-keyed; dead ids are
+    never asked for) and vacuum reaps dead-coverage indexes."""
+    import heapq
+
+    idx = None
+    for cand in reversed(list_native_scalar_indices(root)):
+        if cand.column == column:
+            idx = cand
+            break
+    if idx is None:
+        raise LanceNativeError(
+            f"no scalar index on {column!r} to extend — build one with "
+            "write_native_scalar_index / ensure_native_scalar_index")
+    manifest = read_native_manifest(root)
+    new_frags = [f for f in manifest.fragments
+                 if f.id not in idx.covered_fragments]
+    if not new_frags:
+        return None
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column), None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column {column!r}")
+    live_ids = {f.id for f in manifest.fragments}
+    coverage = sorted(
+        (set(idx.covered_fragments) & live_ids) | {f.id for f in new_frags})
+    merged = heapq.merge(
+        _iter_scalar_index_rows(idx),
+        _sorted_scalar_rows(root, manifest, nfield, idx.kind, new_frags,
+                            spark),
+        key=lambda t: (t[0], t[1]),
+    )
+    return _write_btree_sidecar(
+        root, column, idx.kind, merged, page_rows, manifest.version,
+        coverage)
+
+
+def ensure_native_scalar_index(
+    root: str, column: str, page_rows: int = 4096, spark=None,
+    incremental: bool = False,
 ) -> str | None:
     """Rebuild the btree sidecar for ``column`` iff the newest one no
     longer covers every fragment (appends after a build scan unindexed —
     the covered_fragments rule). Returns the new uuid, or None when the
     existing index already covers the dataset. The maintenance hook a
     table service calls after ingest, mirroring the repo's own-format
-    ensure_scalar_index_files."""
+    ensure_scalar_index_files.
+
+    ``incremental=True`` EXTENDS an existing index instead of rebuilding
+    (extend_native_scalar_index: sort the delta, linear-merge the rest —
+    probe-identical to a rebuild); with no index yet it still builds."""
     manifest = read_native_manifest(root)
     frag_ids = {f.id for f in manifest.fragments}
+    have = False
     for idx in reversed(list_native_scalar_indices(root)):
-        if idx.column == column and frag_ids <= idx.covered_fragments:
-            return None
+        if idx.column == column:
+            have = True
+            if frag_ids <= idx.covered_fragments:
+                return None
+            break
+    if incremental and have:
+        return extend_native_scalar_index(
+            root, column, page_rows=page_rows, spark=spark)
     return write_native_scalar_index(
         root, column, page_rows=page_rows, spark=spark)
 

@@ -3555,12 +3555,15 @@ def lf46(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS centroids_reused,
            TRUE AS old_postings_prefix,
            TRUE AS delta_only_indexed,
-           TRUE AS parity_with_rebuild
+           TRUE AS parity_with_rebuild,
+           TRUE AS scalar_extend_parity
     FROM embeddings WHERE vec_id IN (0, 120, 360, 390)
     ORDER BY query_id
     """,
-    doc="format: incremental IVF extend — O(delta) encode, trained "
-        "geometry reused, prefix-preserved merge, rebuild parity",
+    doc="format: incremental index maintenance — IVF extend (O(delta) "
+        "encode, trained geometry reused, prefix-preserved merge) and "
+        "btree extend (sort the delta, linear-merge the rest), both "
+        "probe/rebuild-parity-gated",
     tags=("format", "lance-native", "similarity", "ann", "index",
           "maintenance"),
 )
@@ -3568,15 +3571,19 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..format.lance_native import (
+        _iter_scalar_index_rows,
         _read_index_partition,
         append_native_rows,
+        ensure_native_scalar_index,
         extend_native_vector_index,
         latest_native_vector_index,
+        list_native_scalar_indices,
         native_index_coverage,
         native_index_search,
         read_native_manifest,
         read_native_vector_index,
         write_native_dataset,
+        write_native_scalar_index,
         write_native_vector_index,
     )
 
@@ -3594,8 +3601,9 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     write_native_dataset(path, cols(rows[:350]))
     write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
+    write_native_scalar_index(path, "vec_id", page_rows=64)
     old = latest_native_vector_index(path, "embedding")
-    append_native_rows(path, cols(rows[350:]))  # AFTER the build
+    append_native_rows(path, cols(rows[350:]))  # AFTER both builds
 
     # the distributed delta encode: fragments-restricted fan-out
     extend_native_vector_index(path, "embedding", spark=spark)
@@ -3624,6 +3632,22 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
         and native_index_coverage(path, new) == {f.id for f in m.fragments}
     )
 
+    # the btree twin: sort the delta, linear-merge the old sorted run —
+    # the merged (value, addr) run must equal a from-scratch rebuild's
+    sc_uid = ensure_native_scalar_index(
+        path, "vec_id", page_rows=64, incremental=True)
+    sc_rb = write_native_scalar_index(path, "vec_id", page_rows=64)
+    by_uid = {
+        os.path.basename(os.path.dirname(i.path)): i
+        for i in list_native_scalar_indices(path)
+    }
+    scalar_parity = bool(
+        sc_uid is not None
+        and list(_iter_scalar_index_rows(by_uid[sc_uid]))
+        == list(_iter_scalar_index_rows(by_uid[sc_rb]))
+        and by_uid[sc_uid].fences == by_uid[sc_rb].fences
+    )
+
     # parity vs a full rebuild, per query, at nprobe=all
     rb_uid = write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
     rebuilt = read_native_vector_index(
@@ -3642,11 +3666,13 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
             bool(prefix_ok),
             bool(delta_only),
             bool(r_ext["neighbors"] == r_full["neighbors"]),
+            scalar_parity,
         ))
     return spark.createDataFrame(
         out,
         "query_id long, centroids_reused boolean, old_postings_prefix "
-        "boolean, delta_only_indexed boolean, parity_with_rebuild boolean",
+        "boolean, delta_only_indexed boolean, parity_with_rebuild boolean, "
+        "scalar_extend_parity boolean",
     ).orderBy("query_id")
 
 

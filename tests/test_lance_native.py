@@ -4380,3 +4380,85 @@ def test_native_restore(spark, tmp_path):
     with pytest.raises(LanceNativeError, match="not in the version log"):
         native_restore(root, 99)
     assert native_restore(root, m6.version) == m6.version
+
+
+def test_extend_native_scalar_index_incremental(spark, tmp_path):
+    """Scalar-index extend: sorts ONLY the appended fragments (old
+    fragments' data files are never re-read — call-counted), linear-
+    merges the existing sorted run, and produces a probe-identical run
+    to a full rebuild."""
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeError,
+        _iter_scalar_index_rows,
+        append_native_rows,
+        ensure_native_scalar_index,
+        extend_native_scalar_index,
+        list_native_scalar_indices,
+        read_native_manifest,
+        scalar_index_lookup,
+        write_native_dataset,
+        write_native_scalar_index,
+    )
+
+    root = str(tmp_path / "t.lance")
+    rng = np.random.default_rng(11)
+    base_keys = rng.permutation(1000)[:600].tolist()
+    write_native_dataset(
+        root, {"k": base_keys, "s": [f"s{k:04d}" for k in base_keys]})
+
+    with pytest.raises(LanceNativeError, match="no scalar index"):
+        extend_native_scalar_index(root, "k")
+
+    write_native_scalar_index(root, "k", page_rows=128)
+    extra = [k for k in range(1000) if k not in set(base_keys)][:300]
+    append_native_rows(
+        root, {"k": extra, "s": [f"s{k:04d}" for k in extra]})
+
+    # covered check happens BEFORE any data read; the delta pass must
+    # read only the APPENDED fragment's files
+    reads = []
+    orig = ln.read_file_column
+
+    def counting(root_, dfile, col_idx, nf, mani, *a, **kw):
+        reads.append(dfile.path)
+        return orig(root_, dfile, col_idx, nf, mani, *a, **kw)
+
+    m = read_native_manifest(root)
+    old_files = {
+        df_.path for f in m.fragments[:-1] for df_ in f.files}
+    ln.read_file_column = counting
+    try:
+        uid = extend_native_scalar_index(root, "k", page_rows=128)
+    finally:
+        ln.read_file_column = orig
+    assert uid is not None
+    assert not (set(reads) & old_files), "extend re-read old fragments"
+
+    ext = next(i for i in list_native_scalar_indices(root)
+               if os.path.dirname(i.path).endswith(uid))
+    rb_uid = write_native_scalar_index(root, "k", page_rows=128)
+    rb = next(i for i in list_native_scalar_indices(root)
+              if os.path.dirname(i.path).endswith(rb_uid))
+
+    # same global (value, addr) run — merge of sorted runs is unique
+    assert list(_iter_scalar_index_rows(ext)) == list(
+        _iter_scalar_index_rows(rb))
+    assert ext.fences == rb.fences
+    assert ext.covered_fragments == rb.covered_fragments
+
+    # probe parity, page-bounded both ways
+    for probe in ({"eq_values": [extra[0]]}, {"eq_values": [base_keys[0]]},
+                  {"lo": 100, "hi": 160}):
+        r_ext, st_ext = scalar_index_lookup(ext, **probe)
+        r_rb, _ = scalar_index_lookup(rb, **probe)
+        assert {k: v.tolist() for k, v in r_ext.items()} == {
+            k: v.tolist() for k, v in r_rb.items()}
+        assert st_ext["pages_read"] < st_ext["n_pages"]
+
+    # ensure(incremental=True) routes through extend; covered → None
+    assert ensure_native_scalar_index(root, "k", incremental=True) is None
+    append_native_rows(root, {"k": [2000], "s": ["s2000"]})
+    assert ensure_native_scalar_index(root, "k", incremental=True) is not None
