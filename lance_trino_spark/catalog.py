@@ -605,7 +605,11 @@ class LanceCatalog:
         if np_ is not None:
             from .format.lance_native import ensure_native_scalar_index
 
-            uid = ensure_native_scalar_index(np_, col, spark=self.spark)
+            # incremental: an existing index extends (sort the delta,
+            # linear-merge the rest — probe-identical to a rebuild); a
+            # fresh table still builds from scratch
+            uid = ensure_native_scalar_index(
+                np_, col, spark=self.spark, incremental=True)
             return self._status(
                 f"indexed {ns}.{tbl}({col}) "
                 f"{'(already covered)' if uid is None else uid} (native)")
