@@ -575,6 +575,12 @@ public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
               + "the column as NULL from every existing file (native "
               + ".lance tables resolve by field id and DO support "
               + "rename: native_rename_column)");
+        } else if (change instanceof TableChange.SetProperty sp) {
+          guardReservedProperty(sp.property());
+          props.put(sp.property(), sp.value());
+        } else if (change instanceof TableChange.RemoveProperty rp) {
+          guardReservedProperty(rp.property());
+          props.remove(rp.property());
         } else {
           throw new UnsupportedOperationException(
               "unsupported ALTER TABLE change: " + change);
@@ -593,6 +599,24 @@ public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
       return loadTable(ident);
     } catch (NoSuchTableException e) {
       throw new RuntimeException(e);
+    }
+  }
+
+  /** Manifest property keys the ENGINE owns — user SET/UNSET
+   *  TBLPROPERTIES must never touch them (clobbering retired_columns
+   *  would re-open the resurrection hazard; the index registries and the
+   *  streaming epoch are correctness state). */
+  private static final java.util.Set<String> RESERVED_PROPS =
+      java.util.Set.of("retired_columns", "scalar_indexes",
+          "vector_indexes", "blob_columns", "vector_columns",
+          "stream_last_epoch");
+
+  private static void guardReservedProperty(String key) {
+    if (RESERVED_PROPS.contains(key)) {
+      throw new IllegalArgumentException(
+          "table property '" + key + "' is engine-owned (index registry "
+          + "/ retired-column ledger / streaming epoch) — it cannot be "
+          + "set or unset through ALTER TABLE");
     }
   }
 

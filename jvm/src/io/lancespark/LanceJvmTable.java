@@ -158,6 +158,18 @@ public class LanceJvmTable
       totalRows += physical - deleted; // deletion-aware (LanceSplitManager.java:78-84)
     }
     props.put("total_rows", Long.toString(totalRows));
+    // user TBLPROPERTIES (ALTER TABLE ... SET TBLPROPERTIES): surface
+    // scalar-valued manifest properties; engine-owned structured entries
+    // (retired_columns, index registries...) stay internal
+    JsonNode mp = manifest.get("properties");
+    if (mp != null && mp.isObject()) {
+      mp.fields().forEachRemaining(e -> {
+        if (e.getValue().isValueNode() && !props.containsKey(e.getKey())
+            && !e.getKey().equals("stream_last_epoch")) {
+          props.put(e.getKey(), e.getValue().asText());
+        }
+      });
+    }
     return props;
   }
 

@@ -2157,10 +2157,12 @@ def cat31(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS alters_metadata_only,
            TRUE AS dropped_column_gone,
            TRUE AS readd_refused,
-           TRUE AS rename_refused
+           TRUE AS rename_refused,
+           TRUE AS tblproperties_roundtrip
     """,
-    doc="catalog: Catalyst-planned ALTER TABLE ADD/DROP COLUMN (metadata-"
-        "only, null-filled reads, retired-name and rename guards)",
+    doc="catalog: Catalyst-planned ALTER TABLE ADD/DROP COLUMN + SET/"
+        "UNSET TBLPROPERTIES (metadata-only, null-filled reads, retired-"
+        "name/rename/engine-owned-key guards)",
     tags=("catalog", "jvm", "evolution", "ddl"),
 )
 def cat32(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2207,6 +2209,27 @@ def cat32(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception as e:
         rename_refused = "by NAME" in str(e)
 
+    # user TBLPROPERTIES commit as manifest versions and round-trip
+    # through SHOW TBLPROPERTIES; engine-owned keys refuse
+    spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES "
+              f"('owner.team' = 'data-eng', 'pii' = 'false')")
+    spark.sql(f"ALTER TABLE {t} UNSET TBLPROPERTIES ('pii')")
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+    }
+    reserved_refused = False
+    try:
+        spark.sql(
+            f"ALTER TABLE {t} SET TBLPROPERTIES ('retired_columns'='x')")
+    except Exception as e:
+        reserved_refused = "engine-owned" in str(e)
+    props_ok = (
+        props.get("owner.team") == "data-eng"
+        and "pii" not in props
+        and reserved_refused
+    )
+
     agg = spark.sql(
         f"SELECT COUNT(*) AS n_rows, COUNT(tier) AS n_tier,"
         f"       COUNT(CASE WHEN tier IS NULL THEN 1 END) AS n_tier_null,"
@@ -2216,10 +2239,12 @@ def cat32(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     return spark.createDataFrame(
         [tuple(agg) + (bool(metadata_only), bool(dropped_gone),
-                       bool(readd_refused), bool(rename_refused))],
+                       bool(readd_refused), bool(rename_refused),
+                       bool(props_ok))],
         "n_rows long, n_tier long, n_tier_null long, inserted_name string, "
         "alters_metadata_only boolean, dropped_column_gone boolean, "
-        "readd_refused boolean, rename_refused boolean",
+        "readd_refused boolean, rename_refused boolean, "
+        "tblproperties_roundtrip boolean",
     )
 
 

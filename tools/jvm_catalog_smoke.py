@@ -400,6 +400,25 @@ def main() -> None:
         rename_refused = "by NAME" in str(e)
     check("jvm-alter-guards", readd_refused and rename_refused,
           f"readd={readd_refused} rename={rename_refused}")
+    # SET/UNSET TBLPROPERTIES: user properties commit as manifest
+    # versions; engine-owned keys refuse
+    spark.sql("ALTER TABLE lance.main.alt SET TBLPROPERTIES "
+              "('owner.team' = 'data-eng', 'pii' = 'false')")
+    spark.sql("ALTER TABLE lance.main.alt UNSET TBLPROPERTIES ('pii')")
+    got_props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES lance.main.alt").collect()
+    }
+    reserved_refused = False
+    try:
+        spark.sql("ALTER TABLE lance.main.alt SET TBLPROPERTIES "
+                  "('retired_columns' = 'x')")
+    except Exception as e:
+        reserved_refused = "engine-owned" in str(e)
+    check("jvm-tblproperties",
+          got_props.get("owner.team") == "data-eng"
+          and "pii" not in got_props and reserved_refused,
+          f"props={got_props} reserved={reserved_refused}")
 
     # NATIVE `.lance` tables through plain spark.sql: the catalog
     # detects binary manifests and delegates the Table to the Python
