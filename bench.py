@@ -187,6 +187,7 @@ DEFAULT_QUERIES = [
     "cat33_sql_native_alter",
     "lf47_native_index_extend",
     "lf48_native_restore",
+    "cat34_jvm_call_procedures",
 ]
 
 

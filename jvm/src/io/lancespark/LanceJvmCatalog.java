@@ -65,7 +65,47 @@ import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
-public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces {
+public class LanceJvmCatalog implements TableCatalog, SupportsNamespaces,
+    org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** Vanilla-SQL maintenance procedures (`CALL lance.system.restore(
+   *  'db.t', 3)`, create_tag, drop_tag) — metadata-only bodies that
+   *  mirror the Python implementations and commit through the shared
+   *  hard-link protocol (LanceJvmProcedures). */
+  @Override
+  public org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+      loadProcedure(Identifier ident) {
+    if (ident.namespace().length != 1
+        || !ident.namespace()[0].equals("system")) {
+      throw new RuntimeException(
+          "procedures live under the 'system' namespace: CALL "
+          + name() + ".system.<proc>(...)");
+    }
+    switch (ident.name()) {
+      case "restore":
+        return LanceJvmProcedures.restore(root);
+      case "create_tag":
+        return LanceJvmProcedures.createTag(root);
+      case "drop_tag":
+        return LanceJvmProcedures.dropTag(root);
+      default:
+        throw new RuntimeException(
+            "unknown procedure: " + ident.name()
+            + " (have: restore, create_tag, drop_tag)");
+    }
+  }
+
+  @Override
+  public Identifier[] listProcedures(String[] namespace) {
+    if (namespace.length == 1 && namespace[0].equals("system")) {
+      return new Identifier[] {
+          Identifier.of(namespace, "restore"),
+          Identifier.of(namespace, "create_tag"),
+          Identifier.of(namespace, "drop_tag"),
+      };
+    }
+    return new Identifier[0];
+  }
 
   private static final ObjectMapper MAPPER = new ObjectMapper();
   private static final Pattern IDENT = Pattern.compile("[A-Za-z0-9_][A-Za-z0-9_\\-]*");

@@ -93,6 +93,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat33_sql_native_alter",
     "lf47_native_index_extend",
     "lf48_native_restore",
+    "cat34_jvm_call_procedures",
     # changed-code re-checks
     "s15_native_filtered_fresh_search",
     "cat24_sql_native_show_stats",

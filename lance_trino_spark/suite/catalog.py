@@ -2337,3 +2337,96 @@ def cat33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("old_name_time_travels", F.lit(bool(old_travels)))
         .withColumn("rename_drop_metadata_only", F.lit(bool(metadata_only)))
     )
+
+
+# ---------------------------------------------------------------------------
+# cat34 — vanilla-SQL stored procedures (Spark 4.1 ProcedureCatalog):
+# `CALL lance.system.restore('db.t', v)` / create_tag / drop_tag run in
+# an UNMODIFIED session — no router — with metadata-only bodies that
+# mirror the Python implementations (same manifest/_refs layouts, same
+# hard-link commit), so a JVM CALL and a Python maintenance job
+# conflict-detect against each other and each plane reads the other's
+# artifacts. The reference has no procedure surface at all (§2C).
+# Gated: restore rolls rows back as ONE new version (history travels),
+# the tag pins the version for the Python resolver, refusals are loud.
+# ---------------------------------------------------------------------------
+@register(
+    "cat34_jvm_call_procedures",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_after_restore,
+           CAST(COUNT(*) + 5 AS BIGINT) AS n_before_restore,
+           1 AS tag_pinned_version,
+           TRUE AS restore_is_new_version,
+           TRUE AS python_reads_tag,
+           TRUE AS refusals_loud
+    FROM nation
+    """,
+    doc="catalog: CALL procedures (restore / create_tag / drop_tag) in "
+        "a vanilla session — metadata-only, Python-interoperable",
+    tags=("catalog", "jvm", "procedures", "restore", "tags"),
+)
+def cat34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.dataset import LanceDataset
+    from ..format.refs import resolve_tag
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat34-proc")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "geo"))
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name")
+    tbl = os.path.join(root, "geo", "nation.lance")
+    ds = LanceDataset.create(tbl, nation)                       # v1
+    ds.append(spark.createDataFrame(
+        [(900 + i, f"SYN{i}") for i in range(5)],
+        "n_nationkey long, n_name string"))                     # v2
+
+    spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
+    spark.conf.set(
+        "spark.sql.catalog.lance_jvm_p34", "io.lancespark.LanceJvmCatalog")
+    spark.conf.set("spark.sql.catalog.lance_jvm_p34.root", root)
+    t = "lance_jvm_p34.geo.nation"
+
+    n_before = spark.sql(f"SELECT COUNT(*) AS n FROM {t}").collect()[0]["n"]
+    spark.sql(f"CALL lance_jvm_p34.system.create_tag('geo.nation', 'pre', 1)")
+    res = spark.sql(
+        f"CALL lance_jvm_p34.system.restore('geo.nation', 1)").collect()[0]
+    n_after = spark.sql(f"SELECT COUNT(*) AS n FROM {t}").collect()[0]["n"]
+
+    ds3 = LanceDataset.open(tbl)
+    restore_ok = (
+        res["new_version"] == 3
+        and ds3.version == 3
+        and ds3.manifest.operation == "restore"
+        # the rolled-past version still time-travels
+        and spark.sql(
+            f"SELECT COUNT(*) AS n FROM {t} VERSION AS OF 2"
+        ).collect()[0]["n"] == n_before
+    )
+    tag_v = resolve_tag(tbl, "pre")  # python plane reads the JVM tag
+    spark.sql(f"CALL lance_jvm_p34.system.drop_tag('geo.nation', 'pre')")
+    refused = []
+    try:
+        spark.sql(
+            f"CALL lance_jvm_p34.system.drop_tag('geo.nation', 'pre')"
+        ).collect()
+    except Exception as e:
+        refused.append("no such tag" in str(e))
+    try:
+        spark.sql(
+            f"CALL lance_jvm_p34.system.restore('geo.nation', 99)"
+        ).collect()
+    except Exception as e:
+        refused.append("no such version" in str(e))
+
+    return spark.createDataFrame(
+        [(
+            int(n_after), int(n_before), int(tag_v),
+            bool(restore_ok), bool(tag_v == 1),
+            bool(refused == [True, True]),
+        )],
+        "n_after_restore long, n_before_restore long, "
+        "tag_pinned_version int, restore_is_new_version boolean, "
+        "python_reads_tag boolean, refusals_loud boolean",
+    )

@@ -420,6 +420,24 @@ def main() -> None:
           and "pii" not in got_props and reserved_refused,
           f"props={got_props} reserved={reserved_refused}")
 
+    # CALL procedures (Spark 4.1 ProcedureCatalog): vanilla-SQL
+    # maintenance — restore + tags, metadata-only, Python-interoperable
+    spark.sql("CALL lance.system.create_tag('main.alt', 'pin1', 1)")
+    r_res = spark.sql("CALL lance.system.restore('main.alt', 1)").collect()
+    n_res = spark.sql("SELECT COUNT(*) FROM lance.main.alt").collect()[0][0]
+    from lance_trino_spark.format.refs import resolve_tag as _rt
+    tag_v = _rt(alt_tbl, "pin1")
+    spark.sql("CALL lance.system.drop_tag('main.alt', 'pin1')")
+    proc_refused = False
+    try:
+        spark.sql("CALL lance.system.drop_tag('main.alt', 'pin1')").collect()
+    except Exception as e:
+        proc_refused = "no such tag" in str(e)
+    check("jvm-call-procedures",
+          r_res[0].restored_to == 1 and n_res == 60 and tag_v == 1
+          and proc_refused,
+          f"restore={tuple(r_res[0])} n={n_res} tag_v={tag_v}")
+
     # NATIVE `.lance` tables through plain spark.sql: the catalog
     # detects binary manifests and delegates the Table to the Python
     # "lance" data source (LancePyNativeTable) — SELECT, VERSION AS OF
