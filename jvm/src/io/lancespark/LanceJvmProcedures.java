@@ -54,6 +54,19 @@ final class LanceJvmProcedures {
     if (!Files.isDirectory(dir.resolve("_versions"))) {
       throw new IllegalArgumentException("no such table: " + qualified);
     }
+    // native binary-manifest tables: their restore/tags live in the
+    // Python surface (native_restore / native_create_tag, or the SQL
+    // router) — refuse before a JSON parse produces a confusing error
+    try (var s = Files.list(dir.resolve("_versions"))) {
+      if (s.anyMatch(p -> p.getFileName().toString().endsWith(".manifest"))) {
+        throw new UnsupportedOperationException(
+            "table " + qualified + " is a native .lance dataset — use "
+            + "native_restore / native_create_tag (or the SQL router); "
+            + "these procedures serve the JSON-manifest format");
+      }
+    } catch (IOException e) {
+      throw new RuntimeException("listing versions failed", e);
+    }
     return dir;
   }
 

@@ -324,3 +324,66 @@ def test_native_writestream_refusals(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_native_writestream_on_object_store(spark, tmp_path):
+    """The writeStream native sink composes with the object-store IO
+    seam: executors stage through the shared pyarrow filesystem, the
+    driver's txn-marked commits land via conditional-put — exactly-once
+    holds on a remote root."""
+    import warnings
+
+    import pyarrow.fs as pafs
+
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.backend import PyArrowFsObjectStore
+    from lance_trino_spark.format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+        list_native_versions,
+        read_native_manifest,
+    )
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    base = str(tmp_path / "bucket")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        store = PyArrowFsObjectStore(
+            pafs.LocalFileSystem(), "pafs://stbkt", base)
+    out = "pafs://stbkt/warehouse/t.lance"
+    nio.register_object_store_root("pafs://stbkt", store)
+    try:
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        df = spark.range(40).selectExpr("id", "id * 2 AS v")
+        df.repartition(2).write.parquet(src)
+        create_native_dataset(df.limit(0), out)
+        popts = nio.spark_options(out)
+        (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("lance")
+            .options(**popts)
+            .option("appId", "os-q1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+            .awaitTermination(240)
+        )
+        assert LanceNativeDataset(out).count_rows() == 40
+        marked = [
+            read_native_manifest(out, vv).txn
+            for vv in list_native_versions(out)
+        ]
+        assert sum(1 for t in marked if t and t.startswith("os-q1:")) >= 2
+        got = sorted(
+            tuple(r)
+            for r in spark.read.format("lance").options(**popts)
+            .load(out).collect()
+        )
+        assert got == [(i, 2 * i) for i in range(40)]
+    finally:
+        nio.unregister_object_store_root("pafs://stbkt")
