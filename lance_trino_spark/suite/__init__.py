@@ -94,7 +94,15 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf47_native_index_extend",
     "lf48_native_restore",
     "cat34_jvm_call_procedures",
-    # changed-code re-checks
+    # changed-code re-checks (r11 session 2: string-matcher pushdown
+    # changed ds01's plan; the txn-commit helper refactor touches
+    # st12/st13; the index-writer refactors touch lf17/lf19/cat23)
+    "ds01_datasource_scan_pushdown",
+    "st12_native_stream_sink",
+    "st13_stream_sink_maintenance",
+    "lf17_native_persisted_index_ann",
+    "lf19_native_scalar_index_scan",
+    "cat23_sql_native_index",
     "s15_native_filtered_fresh_search",
     "cat24_sql_native_show_stats",
     "cat28_cbo_column_statistics",
@@ -102,7 +110,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat26_spark_sql_native_table",
     "ds11_native_dsv2_write",
     "lf36_native_fragment_stats_pruning",
-    "ds01_datasource_scan_pushdown",
     "ds06_zonemap_pruned_scan",
     # --- r6-stale cohort (driver rows last seen in round 6) ---
     "d09_url_dedup",
