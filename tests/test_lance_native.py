@@ -4462,3 +4462,80 @@ def test_extend_native_scalar_index_incremental(spark, tmp_path):
     assert ensure_native_scalar_index(root, "k", incremental=True) is None
     append_native_rows(root, {"k": [2000], "s": ["s2000"]})
     assert ensure_native_scalar_index(root, "k", incremental=True) is not None
+
+
+def test_extend_chain_stays_probe_correct(spark, tmp_path):
+    """Daily-ingest shape: a CHAIN of extends (extend an already-extended
+    index, three deep, both kinds) keeps rebuild parity — the vector
+    centroids stay the gen-0 training verbatim, and the btree run equals
+    a from-scratch rebuild after every link."""
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        _iter_scalar_index_rows,
+        append_native_rows,
+        extend_native_scalar_index,
+        extend_native_vector_index,
+        latest_native_vector_index,
+        list_native_scalar_indices,
+        native_index_search,
+        read_native_manifest,
+        read_native_vector_index,
+        write_native_dataset,
+        write_native_scalar_index,
+        write_native_vector_index,
+    )
+
+    root = str(tmp_path / "t.lance")
+    rng = np.random.default_rng(23)
+    dim = 8
+
+    def cols(n, start):
+        v = rng.normal(size=(n, dim)).astype(np.float32)
+        return {
+            "vec_id": list(range(start, start + n)),
+            "embedding": [list(map(float, r)) for r in v],
+        }
+
+    write_native_dataset(root, cols(200, 0))
+    write_native_vector_index(root, "embedding", n_cells=4, nsub=4)
+    write_native_scalar_index(root, "vec_id", page_rows=64)
+    gen0 = latest_native_vector_index(root, "embedding")
+
+    n = 200
+    for _link in range(3):
+        append_native_rows(root, cols(60, n))
+        n += 60
+        assert extend_native_vector_index(root, "embedding") is not None
+        assert extend_native_scalar_index(root, "vec_id", page_rows=64) \
+            is not None
+
+    newest = latest_native_vector_index(root, "embedding")
+    assert np.asarray(newest.centroids).tobytes() == np.asarray(
+        gen0.centroids).tobytes()
+    assert sum(newest.part_lengths) == n
+
+    m = read_native_manifest(root)
+    rb_uid = write_native_vector_index(root, "embedding", n_cells=4, nsub=4)
+    rebuilt = read_native_vector_index(
+        os.path.join(root, "_indices", rb_uid, "index.idx"))
+    q = np.asarray(cols(1, 0)["embedding"][0], dtype=np.float32)
+    r_chain = native_index_search(
+        root, newest, q, k=5, nprobe=newest.n_cells, manifest=m)[0]
+    r_full = native_index_search(
+        root, rebuilt, q, k=5, nprobe=rebuilt.n_cells, manifest=m)[0]
+    assert r_chain["neighbors"] == r_full["neighbors"]
+
+    sc_rb = write_native_scalar_index(root, "vec_id", page_rows=64)
+    by_uid = {
+        os.path.basename(os.path.dirname(i.path)): i
+        for i in list_native_scalar_indices(root)
+    }
+    newest_sc = max(
+        (i for i in list_native_scalar_indices(root)
+         if i.column == "vec_id" and not os.path.dirname(i.path)
+         .endswith(sc_rb)),
+        key=lambda i: i.dataset_version,
+    )
+    assert list(_iter_scalar_index_rows(newest_sc)) == list(
+        _iter_scalar_index_rows(by_uid[sc_rb]))
