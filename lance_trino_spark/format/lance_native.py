@@ -4492,12 +4492,15 @@ def native_cleanup_old_versions(
     raises afterwards; retained versions keep working (their files are
     kept live no matter how old).
 
-    Index sidecars: a SCALAR sidecar is removed once none of its
-    covered fragments exist in any retained version (it can never serve
-    a probe again — covered-fragments rule); VECTOR sidecars carry no
-    fragment-coverage metadata, so they are conservatively KEPT (their
-    row addresses are validated against the live manifest at search
-    time; reclaiming them is `ensure_*`/reindex territory, not vacuum's).
+    Index sidecars: a sidecar is removed once (a) none of its covered
+    fragments exist in any retained version (it can never serve a probe
+    again — covered-fragments rule), or (b) it is SUPERSEDED — a newer
+    same-column index's live coverage is a superset, which is what every
+    extend/rebuild leaves behind (probes and searches only ever consult
+    a covering index, newest first, and exactness never rests on a
+    sidecar). SDK-written vector indexes carry no coverage metadata and
+    stay conservatively KEPT (their row addresses are validated against
+    the live manifest at search time).
 
     Deliberately driver-side and metadata-only: the work is O(#files)
     directory listings + unlinks, never a data read — the same shape at
@@ -4563,25 +4566,52 @@ def native_cleanup_old_versions(
         if not n.startswith(".") and n not in live_dv:
             nio.delete(os.path.join(deldir, n))
             out["removed_deletion_files"] += 1
-    for idx in list_native_scalar_indices(root):
-        if not (idx.covered_fragments & live_frags):
-            nio.rmtree(os.path.dirname(idx.path))
+    # scalar sidecars: reap DEAD-coverage ones and SUPERSEDED ones (an
+    # extend chain leaves a trail of older runs — a newer same-column
+    # index whose live coverage is a superset makes the older
+    # unreachable: probes consult the newest covering index, and
+    # exactness never rests on a sidecar). Ties (extend + rebuild at one
+    # version) break on directory name, so exactly one twin survives.
+    scalars = list(list_native_scalar_indices(root))
+
+    def _skey(i):
+        return (i.dataset_version, os.path.dirname(i.path))
+
+    for i in scalars:
+        mine = i.covered_fragments & live_frags
+        superseded = mine and any(
+            j.column == i.column and _skey(j) > _skey(i)
+            and mine <= (j.covered_fragments & live_frags)
+            for j in scalars
+        )
+        if not mine or superseded:
+            nio.rmtree(os.path.dirname(i.path))
             out["removed_index_dirs"] += 1
     # vector sidecars: index.idx carries no fragment coverage (it is the
     # SDK's byte layout), but indexes built HERE drop a coverage.json
     # next to it — reap those once none of their covered fragments
-    # survive; sidecar-less (SDK-written) indexes stay conservatively
-    # kept, as before.
+    # survive, plus the superseded rule above; sidecar-less
+    # (SDK-written) indexes stay conservatively kept, as before.
     import json as _json
     idx_root = os.path.join(root, "_indices")
+    vecs = []  # (dname, column, dataset_version, covered)
     for dname in nio.listdir(idx_root):
         cov_path = os.path.join(idx_root, dname, "coverage.json")
         try:
-            covered = set(
-                _json.loads(nio.read_text(cov_path)).get("fragments", []))
+            cov = _json.loads(nio.read_text(cov_path))
         except (ValueError, OSError):
             continue  # no/unreadable sidecar: keep conservatively
-        if not (covered & live_frags):
+        vecs.append((dname, cov.get("column"),
+                     int(cov.get("dataset_version", 0)),
+                     set(cov.get("fragments", []))))
+    for dname, col, dv, covered in vecs:
+        mine = covered & live_frags
+        superseded = mine and any(
+            c2 == col and (dv2, dn2) > (dv, dname)
+            and mine <= (cov2 & live_frags)
+            for dn2, c2, dv2, cov2 in vecs
+        )
+        if not mine or superseded:
             nio.rmtree(os.path.join(idx_root, dname))
             out["removed_index_dirs"] += 1
     return out

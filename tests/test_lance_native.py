@@ -4539,3 +4539,67 @@ def test_extend_chain_stays_probe_correct(spark, tmp_path):
     )
     assert list(_iter_scalar_index_rows(newest_sc)) == list(
         _iter_scalar_index_rows(by_uid[sc_rb]))
+
+
+def test_vacuum_reaps_superseded_index_chain(spark, tmp_path):
+    """An extend chain's older sidecars are SUPERSEDED (a newer
+    same-column index covers a live superset) — vacuum reaps them down
+    to one per column per kind, the newest survives, and probes/searches
+    still work. SDK-shaped (coverage-less) vector dirs stay kept."""
+    import numpy as np
+
+    from lance_trino_spark.format.lance_native import (
+        append_native_rows,
+        extend_native_scalar_index,
+        extend_native_vector_index,
+        list_native_scalar_indices,
+        list_native_vector_indices,
+        native_cleanup_old_versions,
+        native_vector_search_fresh,
+        scalar_index_lookup,
+        write_native_dataset,
+        write_native_scalar_index,
+        write_native_vector_index,
+    )
+
+    root = str(tmp_path / "t.lance")
+    rng = np.random.default_rng(31)
+
+    def cols(n, start):
+        v = rng.normal(size=(n, 8)).astype(np.float32)
+        return {
+            "k": list(range(start, start + n)),
+            "embedding": [list(map(float, r)) for r in v],
+        }
+
+    write_native_dataset(root, cols(200, 0))
+    write_native_vector_index(root, "embedding", n_cells=4, nsub=4)
+    write_native_scalar_index(root, "k", page_rows=64)
+    for link in range(2):
+        append_native_rows(root, cols(50, 200 + 50 * link))
+        extend_native_vector_index(root, "embedding")
+        extend_native_scalar_index(root, "k", page_rows=64)
+    # an SDK-shaped index dir (no coverage.json) must survive vacuum
+    sdk_dir = os.path.join(root, "_indices", "sdk-shaped")
+    os.makedirs(sdk_dir)
+    with open(os.path.join(sdk_dir, "index.idx"), "wb") as fh:
+        fh.write(b"\x00" * 64)
+
+    assert len([i for i in list_native_scalar_indices(root)
+                if i.column == "k"]) == 3
+    assert len(list_native_vector_indices(root)) == 3
+
+    out = native_cleanup_old_versions(root, keep_versions=1)
+    assert out["removed_index_dirs"] == 4  # 2 scalar + 2 vector links
+
+    sc = [i for i in list_native_scalar_indices(root) if i.column == "k"]
+    vx = list_native_vector_indices(root)
+    assert len(sc) == 1 and len(vx) == 1
+    assert os.path.isdir(sdk_dir)
+
+    # the survivors are the newest (full coverage) and still serve
+    rows, _ = scalar_index_lookup(sc[0], eq_values=[275])
+    assert sum(len(v) for v in rows.values()) == 1
+    q = np.asarray(cols(1, 0)["embedding"][0], dtype=np.float32)
+    res = native_vector_search_fresh(root, "embedding", q, k=3, nprobe=4)
+    assert len(res[0]["neighbors"]) == 3
