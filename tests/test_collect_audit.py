@@ -64,6 +64,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "rows, pages, min, max) — O(n_shards) = O(rows / shard_rows) "
         "rows of a few dozen bytes; the (value, addr) run itself never "
         "leaves the executors (judge r11 #1)",
+    ("format/lance_native.py", "_build_ivf_sharded_distributed"):
+        "one metadata row per NON-EMPTY IVF cell (cell, shard file name, "
+        "rows) — O(n_cells), a constant of the trained index; the codes "
+        "and addresses are written executor-side into per-cell shard "
+        "files and never reach the driver (judge r11 #1)",
     ("operators/sampling.py", "capped_sample_per_group"):
         "two map-side-combinable count aggregates of k rows each "
         "(k = #groups/sources, small by construction) — the hash-space "
