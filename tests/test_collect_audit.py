@@ -54,11 +54,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "distributed exact arm: each uncovered-fragment task emits only "
         "its LOCAL per-query top-k — O(queries * k * partitions) rows "
         "to the driver merge, never the scanned vectors",
-    ("format/lance_native.py", "_native_prefilter_rows"):
-        "distributed TRUE-prefilter arm: zone-map-surviving fragment "
-        "tasks emit ONLY the matching row addresses (vectorized isin in "
-        "the kernel) — O(matching rows) int64s, which the driver-side "
-        "ANN index mask inherently needs; never the decoded column",
     ("format/lance_native.py", "_write_btree_sharded_distributed"):
         "one metadata row per executor-written btree shard file (name, "
         "rows, pages, min, max) — O(n_shards) = O(rows / shard_rows) "
