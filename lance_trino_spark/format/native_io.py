@@ -287,6 +287,25 @@ def write_bytes(path: str, data: bytes) -> None:
         raise NativeIOConflictError(f"lost overwrite race on {path}")
 
 
+def replace_bytes(path: str, data: bytes) -> None:
+    """ATOMIC overwrite for maintenance metadata (index meta rewritten
+    by an in-place extend): posix writes a tmp sibling and os.replace()s
+    it — a concurrent reader sees the old or the new bytes, never a torn
+    file; object stores PUT (single-key puts are atomic there)."""
+    r = _resolve(path)
+    if r is None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return
+    write_bytes(path, data)
+
+
 def write_text(path: str, text: str) -> None:
     write_bytes(path, text.encode())
 

@@ -3641,11 +3641,17 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.dirname(i.path)): i
         for i in list_native_scalar_indices(path)
     }
+    # the in-place LSM extend appends the delta as a new RUN; the
+    # multi-run iterator heap-merges runs into ONE sorted sequence that
+    # must equal the rebuild's single run exactly (merge of sorted runs
+    # is unique) — fences differ by construction (per-run), so parity
+    # is the global run + row count, not the fence layout
     scalar_parity = bool(
         sc_uid is not None
         and list(_iter_scalar_index_rows(by_uid[sc_uid]))
         == list(_iter_scalar_index_rows(by_uid[sc_rb]))
-        and by_uid[sc_uid].fences == by_uid[sc_rb].fences
+        and by_uid[sc_uid].n_rows == by_uid[sc_rb].n_rows
+        and len(by_uid[sc_uid].shard_runs) == 2  # base + delta run
     )
 
     # parity vs a full rebuild, per query, at nprobe=all

@@ -54,12 +54,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "distributed exact arm: each uncovered-fragment task emits only "
         "its LOCAL per-query top-k — O(queries * k * partitions) rows "
         "to the driver merge, never the scanned vectors",
-    ("format/lance_native.py", "_write_btree_sharded_distributed"):
+    ("format/lance_native.py", "_distributed_btree_shards"):
         "one metadata row per executor-written btree shard file (name, "
         "rows, pages, min, max) — O(n_shards) = O(rows / shard_rows) "
         "rows of a few dozen bytes; the (value, addr) run itself never "
         "leaves the executors (judge r11 #1)",
-    ("format/lance_native.py", "_build_ivf_sharded_distributed"):
+    ("format/lance_native.py", "_distributed_ivf_cell_files"):
         "one metadata row per NON-EMPTY IVF cell (cell, shard file name, "
         "rows) — O(n_cells), a constant of the trained index; the codes "
         "and addresses are written executor-side into per-cell shard "

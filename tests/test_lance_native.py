@@ -1398,7 +1398,7 @@ def test_vector_index_spark_encode_parity(tmp_path, spark):
         assert c1.tobytes() == c2.tobytes()
         assert np.asarray(r1_).tobytes() == np.asarray(r2_).tobytes()
         if i2.part_lengths[c]:
-            assert i2.cell_shards[c].startswith(f"cell-{c:05d}-")
+            assert i2.cell_shards[c][0].startswith(f"cell-{c:05d}-")
     q = vecs[[5, 777, 2500]]
     r1 = native_index_search(root, i1, q, k=5, nprobe=8)
     r2 = native_index_search(root, i2, q, k=5, nprobe=8)
@@ -4454,10 +4454,13 @@ def test_extend_native_scalar_index_incremental(spark, tmp_path):
     rb = next(i for i in list_native_scalar_indices(root)
               if os.path.dirname(i.path).endswith(rb_uid))
 
-    # same global (value, addr) run — merge of sorted runs is unique
+    # same global (value, addr) run — the multi-run iterator heap-merges
+    # the LSM runs into one sorted sequence identical to the rebuild's
     assert list(_iter_scalar_index_rows(ext)) == list(
         _iter_scalar_index_rows(rb))
-    assert ext.fences == rb.fences
+    # in-place LSM extend: same dir, base run + one delta run
+    assert len(ext.shard_runs) == 2 and len(rb.shard_runs) == 1
+    assert ext.n_rows == rb.n_rows
     assert ext.covered_fragments == rb.covered_fragments
 
     # probe parity, page-bounded both ways
@@ -4553,10 +4556,12 @@ def test_extend_chain_stays_probe_correct(spark, tmp_path):
 
 
 def test_vacuum_reaps_superseded_index_chain(spark, tmp_path):
-    """An extend chain's older sidecars are SUPERSEDED (a newer
-    same-column index covers a live superset) — vacuum reaps them down
-    to one per column per kind, the newest survives, and probes/searches
-    still work. SDK-shaped (coverage-less) vector dirs stay kept."""
+    """In-place LSM extends accrete RUNS in one sidecar dir (no
+    superseded trail at all — two extends leave exactly one dir per
+    column); a full REBUILD then supersedes the extended dir (newer
+    same-column index covering a live superset) and vacuum reaps it with
+    every shard file. Probes/searches still work afterwards; SDK-shaped
+    (coverage-less) vector dirs stay kept."""
     import numpy as np
 
     from lance_trino_spark.format.lance_native import (
@@ -4596,12 +4601,22 @@ def test_vacuum_reaps_superseded_index_chain(spark, tmp_path):
     with open(os.path.join(sdk_dir, "index.idx"), "wb") as fh:
         fh.write(b"\x00" * 64)
 
-    assert len([i for i in list_native_scalar_indices(root)
-                if i.column == "k"]) == 3
-    assert len(list_native_vector_indices(root)) == 3
+    # in-place extends: the scalar chain accretes runs in ONE dir; the
+    # vector chain is one compaction off the legacy single-file base
+    # (new sharded dir) then one in-place delta run
+    sc_all = [i for i in list_native_scalar_indices(root)
+              if i.column == "k"]
+    assert len(sc_all) == 1 and len(sc_all[0].shard_runs) == 3
+    vx_all = list_native_vector_indices(root)
+    assert len(vx_all) == 2  # legacy single-file base + extended sharded
+    newest_vx = vx_all[-1]
+    assert max(len(fs) for fs in newest_vx.cell_shards) >= 2
 
+    # a full rebuild supersedes the extended dirs (and the legacy base)
+    write_native_scalar_index(root, "k", page_rows=64)
+    write_native_vector_index(root, "embedding", n_cells=4, nsub=4)
     out = native_cleanup_old_versions(root, keep_versions=1)
-    assert out["removed_index_dirs"] == 4  # 2 scalar + 2 vector links
+    assert out["removed_index_dirs"] == 3  # scalar ext + vec base + ext
 
     sc = [i for i in list_native_scalar_indices(root) if i.column == "k"]
     vx = list_native_vector_indices(root)
@@ -4807,9 +4822,11 @@ def test_ivf_sharded_lifecycle_and_vacuum(tmp_path, spark, monkeypatch):
         "vector": [v.tolist() for v in vecs[500:]],
     })
     uid2 = extend_native_vector_index(root, "vector")
-    assert uid2 is not None and uid2 != uid1
+    # in-place LSM extend: SAME dir, delta files appended per cell
+    assert uid2 == uid1
     idx2 = latest_native_vector_index(root, "vector")
     assert idx2.cell_shards and sum(idx2.part_lengths) == 600
+    assert any(len(fs) == 2 for fs in idx2.cell_shards)  # old + delta
     m = read_native_manifest(root)
     r = native_index_search(
         root, idx2, vecs[550], k=3, nprobe=4, manifest=m)[0]
@@ -4817,13 +4834,11 @@ def test_ivf_sharded_lifecycle_and_vacuum(tmp_path, spark, monkeypatch):
 
     native_cleanup_old_versions(root, keep_versions=1)
     assert not _os.path.exists(orphan)
-    # superseded sharded index: the whole dir (meta + every shard) gone
-    assert not _os.path.exists(d1)
     d2 = _os.path.dirname(idx2.path)
     kept = sorted(_os.listdir(d2))
-    n_nonempty = sum(1 for n in idx2.part_lengths if n)
+    n_files = sum(len(fs) for fs in idx2.cell_shards)
     assert kept.count("index.idx") == 1 and "shards.json" in kept
-    assert sum(1 for n in kept if n.startswith("cell-")) == n_nonempty
+    assert sum(1 for n in kept if n.startswith("cell-")) == n_files
     r = native_index_search(
         root, latest_native_vector_index(root, "vector"), vecs[10],
         k=3, nprobe=4, manifest=m)[0]

@@ -1,4 +1,4 @@
-"""sf1 anchor for INCREMENTAL index maintenance (round 11): on a large
+"""sf1 anchor for INCREMENTAL index maintenance (round 12: LSM in-place extend over sharded sidecars): on a large
 native dataset, append a small delta and time `extend_*` against the
 full rebuild for both index kinds — the judge-facing evidence that the
 extend is O(delta), not O(corpus). Parity is asserted, not assumed:
@@ -112,7 +112,7 @@ def main() -> None:
     assert same
 
     md = (
-        "\n### Incremental index extend vs full rebuild (round 11)\n\n"
+        "\n### Incremental index extend vs full rebuild (round 12)\n\n"
         + "\n".join(lines) + "\n"
     )
     with open(os.path.join(REPO, "BENCH_SF1.md"), "a") as fh:
