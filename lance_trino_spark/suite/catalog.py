@@ -2430,3 +2430,124 @@ def cat34(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag_pinned_version int, restore_is_new_version boolean, "
         "python_reads_tag boolean, refusals_loud boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# cat35 — GLUE namespace mode (VERDICT r11 missing #2; reference deployment
+# matrix `LanceConfig.java:60` impl='glue', lance-namespace Glue convention:
+# a Lance table is a Glue table entry with Parameters.table_type=lance and
+# StorageDescriptor.Location = the dataset root). Every schema/table
+# resolution for this query — CREATE SCHEMA through CTAS, INSERT, DELETE
+# and the final SELECT — is served by the Glue conformance client
+# (FakeGlueClient, the in-repo target the import-gated boto3 adapter must
+# match); a foreign (iceberg-typed) Glue table in the same database must
+# stay invisible. Values must match the plain-SQL oracle exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "cat35_glue_namespace",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(38,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS price_cents
+    FROM part WHERE p_size <= 25
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="catalog: AWS-Glue-backed namespace (conformance fake) resolves "
+        "schemas/tables for the full DDL/DML lifecycle; foreign Glue "
+        "tables invisible",
+    tags=("catalog", "namespaces", "glue"),
+)
+def cat35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.namespace import FakeGlueClient, GlueNamespace
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat35-glue")
+    shutil.rmtree(root, ignore_errors=True)
+
+    load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    ).createOrReplaceTempView("_cat35_part")
+
+    client = FakeGlueClient()
+    cat = LanceCatalog(spark, namespace=GlueNamespace(client, root))
+    cat.sql("CREATE SCHEMA parts")
+    cat.sql("CREATE TABLE parts.part AS SELECT * FROM _cat35_part")
+    # a foreign table in the same Glue database must not surface
+    client.create_table(DatabaseName="parts", TableInput={
+        "Name": "foreign_iceberg",
+        "Parameters": {"table_type": "ICEBERG"},
+        "StorageDescriptor": {"Location": os.path.join(root, "nope")},
+    })
+    if cat.list_tables("parts") != ["part"]:
+        raise AssertionError("glue namespace leaked a non-lance table")
+    cat.sql("DELETE FROM parts.part WHERE p_size > 25")
+    return cat.sql(
+        "SELECT p_brand, COUNT(*) AS n, "
+        "CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(38,2)) * 100 "
+        "AS BIGINT)) AS BIGINT) AS price_cents "
+        "FROM parts.part GROUP BY p_brand ORDER BY p_brand"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cat36 — HIVE-3 metastore namespace mode (reference impl='hive3': a named
+# catalog prefixes every metastore call — the 3-level namespace the
+# reference reaches via `lance.parent`). The same metastore serves TWO
+# catalogs; the query runs entirely in the 'prod' catalog and a
+# same-named schema in 'dev' must stay invisible (catalog isolation).
+# ---------------------------------------------------------------------------
+@register(
+    "cat36_hive3_namespace",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(s.s_acctbal AS DECIMAL(38,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey IN (0, 2)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="catalog: Hive-3 metastore namespace (named catalog scoping) "
+        "resolves the join's schemas/tables; catalog isolation asserted",
+    tags=("catalog", "namespaces", "hive"),
+)
+def cat36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.namespace import (
+        FakeHiveMetastoreClient,
+        HiveMetastoreNamespace,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{tag}-cat36-hive3")
+    shutil.rmtree(root, ignore_errors=True)
+
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    ).createOrReplaceTempView("_cat36_supp")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "_cat36_nation")
+
+    client = FakeHiveMetastoreClient(catalogs=True)
+    prod = LanceCatalog(spark, namespace=HiveMetastoreNamespace(
+        client, os.path.join(root, "prod"), catalog="prod"))
+    dev = LanceCatalog(spark, namespace=HiveMetastoreNamespace(
+        client, os.path.join(root, "dev"), catalog="dev"))
+    dev.sql("CREATE SCHEMA geo")  # same names, other catalog: invisible
+    dev.sql("CREATE TABLE geo.nation AS SELECT * FROM _cat36_nation "
+            "WHERE n_nationkey < 0")
+
+    prod.sql("CREATE SCHEMA geo")
+    prod.sql("CREATE TABLE geo.supplier AS SELECT * FROM _cat36_supp")
+    prod.sql("CREATE TABLE geo.nation AS SELECT * FROM _cat36_nation")
+    if prod.list_tables("geo") != ["nation", "supplier"]:
+        raise AssertionError("hive3 namespace listing is wrong")
+    return prod.sql(
+        "SELECT n.n_name, COUNT(*) AS n, "
+        "CAST(SUM(CAST(CAST(s.s_acctbal AS DECIMAL(38,2)) * 100 "
+        "AS BIGINT)) AS BIGINT) AS bal_cents "
+        "FROM geo.supplier s JOIN geo.nation n "
+        "ON s.s_nationkey = n.n_nationkey "
+        "WHERE n.n_regionkey IN (0, 2) "
+        "GROUP BY n.n_name ORDER BY n.n_name"
+    )

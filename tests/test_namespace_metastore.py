@@ -1,0 +1,192 @@
+"""Glue / Hive metastore namespace backends (VERDICT r11 missing #2;
+reference deployment matrix `LanceConfig.java:60` — 'dir', 'rest',
+'glue', 'hive2', 'hive3'). Conformance-tested against in-memory fakes
+of the real service surfaces (no AWS/thrift in this container), the
+same shim pattern as the REST backend."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lance_trino_spark.catalog import LanceCatalog
+from lance_trino_spark.format.namespace import (
+    DirectoryNamespace,
+    FakeGlueClient,
+    FakeHiveMetastoreClient,
+    GlueClientError,
+    GlueNamespace,
+    HiveMetastoreNamespace,
+    NamespaceError,
+)
+
+
+def _backends(tmp_path):
+    return [
+        ("glue", GlueNamespace(FakeGlueClient(), str(tmp_path / "glue"))),
+        ("hive2", HiveMetastoreNamespace(
+            FakeHiveMetastoreClient(), str(tmp_path / "hive2"))),
+        ("hive3", HiveMetastoreNamespace(
+            FakeHiveMetastoreClient(catalogs=True),
+            str(tmp_path / "hive3"), catalog="prod")),
+    ]
+
+
+def test_metastore_namespace_conformance(tmp_path):
+    """Every metastore backend satisfies the namespace protocol exactly
+    like DirectoryNamespace: CRUD, RESTRICT drop, error wording, and
+    location shapes (<warehouse>/<schema>/<table>.lance)."""
+    for label, ns in _backends(tmp_path):
+        assert ns.list_namespaces() == [], label
+        ns.create_namespace("sales")
+        ns.create_namespace("crm")
+        assert ns.list_namespaces() == ["crm", "sales"], label
+        with pytest.raises(NamespaceError, match="already exists"):
+            ns.create_namespace("sales")
+        ns.create_namespace("sales", if_not_exists=True)
+        assert ns.namespace_exists("sales") and not ns.namespace_exists("x")
+
+        loc = ns.declare_table("sales", "orders")
+        assert loc.endswith(os.path.join("sales", "orders.lance")), label
+        os.makedirs(loc)  # simulate the committed dataset
+        assert ns.list_tables("sales") == ["orders"], label
+        assert ns.table_location("sales", "orders") == loc
+        with pytest.raises(NamespaceError, match="already exists"):
+            ns.declare_table("sales", "orders")
+
+        with pytest.raises(NamespaceError, match="not empty"):
+            ns.drop_namespace("sales")  # RESTRICT, like the reference
+        ns.drop_table("sales", "orders")
+        assert not os.path.isdir(loc)  # data dropped with the entry
+        assert ns.list_tables("sales") == []
+        ns.drop_namespace("sales")
+        assert ns.list_namespaces() == ["crm"], label
+
+        with pytest.raises(NamespaceError, match="does not exist"):
+            ns.list_tables("nope")
+        with pytest.raises(NamespaceError, match="invalid"):
+            ns.declare_table("crm", "bad-name!")
+        ns.drop_table("crm", "ghost", if_exists=True)
+        with pytest.raises(NamespaceError, match="does not exist"):
+            ns.drop_table("crm", "ghost")
+
+
+def test_glue_non_lance_tables_invisible(tmp_path):
+    """A Glue database mixing Lance and foreign (e.g. parquet/iceberg)
+    tables exposes ONLY the lance ones — and resolving a foreign table
+    refuses loudly instead of handing back a non-lance location."""
+    client = FakeGlueClient()
+    ns = GlueNamespace(client, str(tmp_path))
+    ns.create_namespace("mixed")
+    ns.declare_table("mixed", "good")
+    client.create_table(DatabaseName="mixed", TableInput={
+        "Name": "iceberg_t",
+        "Parameters": {"table_type": "ICEBERG"},
+        "StorageDescriptor": {"Location": "s3://elsewhere/x"},
+    })
+    assert ns.list_tables("mixed") == ["good"]
+    with pytest.raises(NamespaceError, match="not a lance table"):
+        ns.table_location("mixed", "iceberg_t")
+    # foreign tables do NOT block RESTRICT-empty... of lance tables;
+    # Glue itself refuses to delete a non-empty database
+    ns.drop_table("mixed", "good")
+    assert ns.list_tables("mixed") == []
+
+
+def test_glue_error_codes_surface():
+    client = FakeGlueClient()
+    with pytest.raises(GlueClientError) as ei:
+        client.get_database(Name="nope")
+    assert ei.value.code == "EntityNotFoundException"
+    client.create_database(DatabaseInput={"Name": "d"})
+    with pytest.raises(GlueClientError) as ei:
+        client.create_database(DatabaseInput={"Name": "d"})
+    assert ei.value.code == "AlreadyExistsException"
+
+
+def test_hive3_catalog_isolation(tmp_path):
+    """hive3 mode scopes every call to the named catalog — two
+    namespaces over different catalogs of ONE metastore don't see each
+    other (the reference's 3-level namespace via lance.parent)."""
+    client = FakeHiveMetastoreClient(catalogs=True)
+    prod = HiveMetastoreNamespace(
+        client, str(tmp_path / "p"), catalog="prod")
+    dev = HiveMetastoreNamespace(
+        client, str(tmp_path / "d"), catalog="dev")
+    prod.create_namespace("sales")
+    assert prod.list_namespaces() == ["sales"]
+    assert dev.list_namespaces() == []
+    dev.create_namespace("sales")  # same name, different catalog: fine
+    prod.declare_table("sales", "t")
+    assert dev.list_tables("sales") == []
+
+
+def test_directory_parity_locations(tmp_path):
+    """Same warehouse root → metastore backends resolve the same
+    locations as the directory backend (a user can switch impls without
+    moving data)."""
+    wh = str(tmp_path / "wh")
+    direct = DirectoryNamespace(wh)
+    glue = GlueNamespace(FakeGlueClient(), wh)
+    direct.create_namespace("a")
+    glue.create_namespace("a", if_not_exists=True)
+    assert glue.declare_table("a", "t") == direct.declare_table("a", "t")
+
+
+def test_catalog_over_glue_namespace(spark, tmp_path):
+    """The full SQL router (DDL/CTAS/DML/time travel) with every
+    schema/table resolution served by Glue — the catalog behaves
+    identically to the directory and REST backends."""
+    from lance_trino_spark.catalog import CatalogError
+
+    cat = LanceCatalog(
+        spark, namespace=GlueNamespace(FakeGlueClient(), str(tmp_path)))
+    cat.sql("CREATE SCHEMA sales")
+    assert cat.list_namespaces() == ["sales"]
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    ).createOrReplaceTempView("_glue_src")
+    cat.sql("CREATE TABLE sales.t AS SELECT * FROM _glue_src")
+    assert cat.list_tables("sales") == ["t"]
+    assert os.path.isdir(tmp_path / "sales" / "t.lance")
+
+    cat.sql("INSERT INTO sales.t SELECT k + 10, s, v FROM _glue_src")
+    assert cat.sql("SELECT COUNT(*) AS n FROM sales.t").collect()[0].n == 6
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM sales.t VERSION AS OF 1"
+    ).collect()[0].n == 3
+    cat.sql("DELETE FROM sales.t WHERE k > 11")
+    assert cat.sql("SELECT COUNT(*) AS n FROM sales.t").collect()[0].n == 4
+
+    with pytest.raises(CatalogError, match="not empty"):
+        cat.drop_namespace("sales")
+    cat.sql("DROP TABLE sales.t")
+    cat.sql("DROP SCHEMA sales")
+    assert cat.list_namespaces() == []
+
+
+def test_real_client_adapters():
+    """boto3 happens to be present in this container: the adapter must
+    construct and expose the wrapped surface (no network at construction
+    time). The hive thrift bindings are absent: loud refusal."""
+    from lance_trino_spark.format.namespace import (
+        boto3_glue_client,
+        thrift_hive_client,
+    )
+
+    try:
+        import boto3  # noqa: F401
+        have_boto = True
+    except ImportError:  # pragma: no cover
+        have_boto = False
+    if have_boto:
+        c = boto3_glue_client(region_name="us-east-1")
+        assert callable(c.get_databases)
+    else:  # pragma: no cover
+        with pytest.raises(NamespaceError, match="boto3"):
+            boto3_glue_client()
+    with pytest.raises(NamespaceError, match="thrift"):
+        thrift_hive_client("localhost")
