@@ -76,68 +76,36 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 11 window (judge r10 #6). Front: this round's NEW
-    # queries (need first driver rows), then r11 CHANGED-CODE re-checks
-    # (rotation rule: changed code outranks staleness - the prefilter
-    # fan-out, the NDV hash-family change, the DSv2 fragment-id fix,
-    # the object-store IO seam touch every native scan), then the
-    # full 36-query r6-stale cohort the judge spot-verified in r10,
-    # then r7-stale fill. ds01/ds06 sit in the changed block (their
-    # sidecar layout changed) - they are also r6-stale members.
-    "lf46_native_object_store",
-    "cat29_sql_native_delete",
-    "cat30_sql_native_update_merge",
-    "st14_native_writestream_sink",
-    "cat31_jvm_manifest_aggregates",
-    "cat32_jvm_alter_table",
-    "cat33_sql_native_alter",
+    # --- round 12 window. The driver samples EXACTLY the first 50
+    # entries. Front: this round's NEW queries (need first driver rows),
+    # then r12 CHANGED-CODE re-checks (index sidecar sharding + LSM
+    # in-place extend touch every scalar/vector index consumer; the
+    # prefilter cap + packed delete bytes touch s15/cat29; the native
+    # reader batchsize default touches every format("lance") scan —
+    # ds01/lf15/lf06 stand in for that cohort; namespace.py gained the
+    # Glue/Hive backends next to cat11's REST client), then the r6
+    # cohort the r11 sample cut off at position 50, then r7-stale fill
+    # (ds08 first: it probes the rewritten scalar-index preselect).
+    # Still-stale after this round (lead the r13 window): the r7
+    # leftovers e08/e11-e15, t10-t14, d07 and the whole r8 cohort
+    # (cat16-cat21, d-series, s03-s13, lf20-lf30, t05-t23 members).
+    "cat35_glue_namespace",
+    "cat36_hive3_namespace",
+    # changed-code re-checks
     "lf47_native_index_extend",
-    "lf48_native_restore",
-    "cat34_jvm_call_procedures",
-    # changed-code re-checks (r11 session 2: string-matcher pushdown
-    # changed ds01's plan; the txn-commit helper refactor touches
-    # st12/st13; the index-writer refactors touch lf17/lf19/cat23)
-    "ds01_datasource_scan_pushdown",
-    "st12_native_stream_sink",
-    "st13_stream_sink_maintenance",
-    "lf17_native_persisted_index_ann",
     "lf19_native_scalar_index_scan",
+    "lf17_native_persisted_index_ann",
     "cat23_sql_native_index",
-    "s15_native_filtered_fresh_search",
-    "cat24_sql_native_show_stats",
-    "cat28_cbo_column_statistics",
+    "cat27_sql_native_vector_search",
     "lf43_native_ann_freshness",
-    "cat26_spark_sql_native_table",
-    "ds11_native_dsv2_write",
-    "lf36_native_fragment_stats_pruning",
-    "ds06_zonemap_pruned_scan",
-    # --- r6-stale cohort (driver rows last seen in round 6) ---
-    "d09_url_dedup",
-    "ds02_datasource_write_commit",
-    "ds03_streaming_ingest",
-    "ds05_nested_projection",
-    "ds07_stream_source_tail",
-    "e05_json_props_stats",
-    "e06_retention_cohorts",
-    "e09_range_join",
-    "e10_funnel_sequence",
-    "e16_last_touch_attribution",
-    "lf03_mor_delete",
-    "lf04_update",
-    "lf05_merge",
-    "lf06_count_star_fast_path",
-    "lf07_timestamp_time_travel",
-    "lf09_merge_conditional_clauses",
-    "lf10_compaction",
-    "lf11_row_address_column",
-    "lf15_native_pushdown_scan",
     "lf16_native_vector_ann",
-    "m04_image_resize",
-    "m05_audio_frame_energy",
-    "q32_pivot_priority_by_year",
-    "q33_discrete_quantiles",
-    "s05_int8_quantization",
-    "s07_quantized_topk",
+    "s15_native_filtered_fresh_search",
+    "cat29_sql_native_delete",
+    "ds01_datasource_scan_pushdown",
+    "lf15_native_pushdown_scan",
+    "lf06_count_star_fast_path",
+    "cat11_rest_namespace",
+    # --- r6-stale cohort (cut off by the r11 sample) ---
     "t01_token_stats",
     "t02_language_id",
     "t03_quality_scores",
@@ -148,7 +116,17 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "t15_rare_ngram_novelty",
     "t20_boilerplate_by_source",
     "t21_pipeline_funnel",
-    # --- r7-stale fill (window ~54 > the ~50 sample) ---
+    # --- r7-stale fill ---
+    "ds08_scalar_index_point_lookup",
+    "ds09_stream_cdc_source",
+    "lf01_roundtrip_scan",
+    "lf02_time_travel",
+    "lf12_schema_evolution",
+    "lf13_table_changes",
+    "m01_image_decode",
+    "m02_frame_sampling",
+    "m03_blob_columns",
+    "m06_multimodal_ann",
     "q34_window_analytics",
     "q35_grouping_sets",
     "q36_lateral_explode",
@@ -156,6 +134,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q38_range_frame_rolling",
     "q39_not_in_null_semantics",
     "e07_asof_join",
+    "s01_cosine_topk",
+    "s02_bucketed_ann_topk",
+    "st02_stream_session_window",
+    "st03_stream_stateful_user_stats",
+    "st05_stream_stream_join",
+    "st06_stream_cdc_upsert",
+    "st07_stream_multibatch_state",
+    "d07_cross_source_duplicates",
 )
 
 
