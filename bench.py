@@ -188,6 +188,8 @@ DEFAULT_QUERIES = [
     "lf47_native_index_extend",
     "lf48_native_restore",
     "cat34_jvm_call_procedures",
+    "cat35_glue_namespace",
+    "cat36_hive3_namespace",
 ]
 
 
