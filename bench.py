@@ -190,6 +190,7 @@ DEFAULT_QUERIES = [
     "cat34_jvm_call_procedures",
     "cat35_glue_namespace",
     "cat36_hive3_namespace",
+    "s16_native_fts_bm25",
 ]
 
 

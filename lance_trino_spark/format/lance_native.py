@@ -4594,22 +4594,22 @@ def native_cleanup_old_versions(
     # (SDK-written) indexes stay conservatively kept, as before.
     import json as _json
     idx_root = os.path.join(root, "_indices")
-    vecs = []  # (dname, column, dataset_version, covered)
+    vecs = []  # (dname, kind, column, dataset_version, covered)
     for dname in nio.listdir(idx_root):
         cov_path = os.path.join(idx_root, dname, "coverage.json")
         try:
             cov = _json.loads(nio.read_text(cov_path))
         except (ValueError, OSError):
             continue  # no/unreadable sidecar: keep conservatively
-        vecs.append((dname, cov.get("column"),
+        vecs.append((dname, cov.get("kind", "vector"), cov.get("column"),
                      int(cov.get("dataset_version", 0)),
                      set(cov.get("fragments", []))))
-    for dname, col, dv, covered in vecs:
+    for dname, kind, col, dv, covered in vecs:
         mine = covered & live_frags
         superseded = mine and any(
-            c2 == col and (dv2, dn2) > (dv, dname)
+            c2 == col and k2 == kind and (dv2, dn2) > (dv, dname)
             and mine <= (cov2 & live_frags)
-            for dn2, c2, dv2, cov2 in vecs
+            for dn2, k2, c2, dv2, cov2 in vecs
         )
         if not mine or superseded:
             nio.rmtree(os.path.join(idx_root, dname))
@@ -4627,7 +4627,8 @@ def native_cleanup_old_versions(
         names = set(nio.listdir(ddir))
         shard_files = {
             nm for nm in names
-            if (nm.startswith("shard-") or nm.startswith("cell-"))
+            if (nm.startswith("shard-") or nm.startswith("cell-")
+                or nm.startswith("post-") or nm.startswith("doclen-"))
             and nm.endswith(".idx")
         }
         if not shard_files:
@@ -4640,6 +4641,13 @@ def native_cleanup_old_versions(
         try:
             referenced |= set(read_native_scalar_index(
                 os.path.join(ddir, "index.idx")).shard_names)
+        except LanceNativeError:
+            pass
+        try:
+            fts = read_native_fts_index(os.path.join(ddir, "index.idx"))
+            referenced |= {nm for run in fts.run_files for nm in run
+                           if nm}
+            referenced |= {nm for _fid, nm in fts.doclen_files}
         except LanceNativeError:
             pass
         if "shards.json" in names:
@@ -7188,3 +7196,735 @@ def _sharded_scalar_lookup(
         },
         stats,
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-text search: native INVERTED index + BM25 (round 12).
+#
+# The Lance SDK's third index family next to vector and btree (LanceDB's
+# headline trio is vector search / full-text search / SQL; the reference
+# consumes SDK indexes transparently via useScalarIndex(true),
+# `LanceFragmentPageSource.java:126`). Layout is repo-defined in the same
+# container conventions as the other sidecars:
+#
+#   _indices/<uuid>/
+#     index.idx                      body-less meta (Index proto field 7)
+#     post-r<run>-<bucket>-<u8>.idx  one postings file per (run, token
+#                                    hash bucket): per token, [addrs u64]
+#                                    [tfs u32], token dictionary + per-
+#                                    token offsets in the trailing meta
+#     doclen-f<frag>-<u8>.idx        u32 document lengths, indexed by the
+#                                    fragment-local row position -> a dl
+#                                    probe is ONE ranged 4-byte read
+#
+#   Index proto: 1=name 2=column 3=dataset_version 7=Inverted
+#   Inverted: 1=analyzer ("whitespace-v1" — split on \s+ of the trimmed
+#             text, '' tokenizes to [''] — chosen because BOTH engines of
+#             the correctness gate express it identically: Spark
+#             split(trim(x),'\\s+') and DuckDB string_split_regex)
+#             2=n_buckets 3=n_docs 4=sum_dl 5=covered fragment ids
+#             6=postings file names, '\n'-joined, RUN-MAJOR (n_buckets
+#             per run, '' = empty bucket) 7=n_runs
+#             8=doclen entries, '\n'-joined "fragid:name"
+#
+# Scale shape mirrors the round-12 sharded sidecars: the BUILD tokenizes
+# Arrow-batched over the fragment-per-task scan and shuffles (bucket,
+# token, addr, tf) rows once by bucket — each BUCKET's own task writes
+# its postings file (task memory O(bucket)); doclen files are written by
+# each fragment's scan task; the driver commits O(buckets + fragments)
+# metadata. The EXTEND is the LSM run append: tokenize ONLY the new
+# fragments, add one run + their doclen files, atomically replace the
+# meta — O(delta); at MAX_INDEX_RUNS the next extend COMPACTS in place
+# (per-bucket merge of all runs' postings). Probes read one bucket meta
+# + one postings slice per (term, run) — never a scan.
+#
+# BM25 (k1=1.2, b=0.75, rational idf — the same constants and operation
+# order as operators/text.py bm25_scores and the s06 oracle, so scores
+# are BIT-IDENTICAL float64 across the index path, the Spark expression
+# path, and DuckDB SQL).
+# ---------------------------------------------------------------------------
+
+FTS_ANALYZER = "whitespace-v1"
+DEFAULT_FTS_BUCKETS = 16
+_BM25_K1 = 1.2   # parity-pinned against operators/text.py (tests)
+_BM25_B = 0.75
+
+
+def _fts_tokenize(text) -> list[str]:
+    """The whitespace-v1 analyzer: \\s+ split of the trimmed text; None
+    -> no tokens; '' -> [''] (string_split_regex parity)."""
+    import re as _re
+
+    if text is None:
+        return []
+    return _re.split(r"\s+", str(text).strip())
+
+
+def _fts_bucket_of(token: str, n_buckets: int) -> int:
+    """Stable token->bucket hash (md5 low bits — process-independent,
+    unlike hash())."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(token.encode()).digest()[:4], "little") % n_buckets
+
+
+@dataclass
+class NativeFtsIndex:
+    path: str                 # index.idx
+    name: str
+    column: str
+    dataset_version: int
+    analyzer: str
+    n_buckets: int
+    n_docs: int
+    sum_dl: int
+    covered_fragments: frozenset
+    run_files: tuple          # tuple of per-run tuples, n_buckets each
+    doclen_files: tuple       # ((frag_id, name), ...)
+
+    @property
+    def n_runs(self) -> int:
+        return len(self.run_files)
+
+
+def _fts_postings_blob(tokens: list, addr_arrays: list,
+                       tf_arrays: list) -> bytes:
+    """One postings (bucket) file: per-token [addrs u64][tfs u32] body +
+    trailing meta (token dictionary, counts, offsets) + v1 footer."""
+    import numpy as np
+
+    body = bytearray()
+    offsets, counts = [], []
+    for addrs, tfs in zip(addr_arrays, tf_arrays):
+        offsets.append(len(body))
+        counts.append(len(addrs))
+        body.extend(np.asarray(addrs, dtype="<u8").tobytes())
+        body.extend(np.asarray(tfs, dtype="<u4").tobytes())
+    meta = (
+        _enc_field(1, 2, _enc_values_block("string", tokens))
+        + _enc_field(2, 2, b"".join(_enc_varint(c) for c in counts))
+        + _enc_field(3, 2, b"".join(_enc_varint(o) for o in offsets))
+    )
+    blob = bytes(body) + struct.pack("<I", len(meta)) + meta
+    blob += struct.pack("<QHH", len(body), 0, 1) + b"LANC"
+    return blob
+
+
+def _fts_read_postings(path: str, terms: list[str]):
+    """{term -> (addrs u64, tfs u32)} for the asked terms present in one
+    postings file: ONE ranged meta read + one ranged body read per hit
+    term. Terms are bisected in the sorted token dictionary."""
+    import bisect
+
+    import numpy as np
+
+    with nio.open_read(path) as fh:
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        fh.seek(fsize - 16)
+        tail = fh.read(16)
+        if tail[-4:] != b"LANC":
+            raise LanceNativeError(f"{path}: missing LANC footer magic")
+        pos = struct.unpack_from("<Q", tail, 0)[0]
+        fh.seek(pos)
+        metar = fh.read(fsize - pos)
+        ln = struct.unpack_from("<I", metar, 0)[0]
+        meta = metar[4:4 + ln]
+        toks_raw = counts = offsets = None
+        for f, wt, v in pb_items(meta):
+            if f == 1:
+                toks_raw = v
+            elif f == 2:
+                counts = _packed_varints(v)
+            elif f == 3:
+                offsets = _packed_varints(v)
+        if toks_raw is None or counts is None or offsets is None:
+            raise LanceNativeError(f"{path}: incomplete postings metadata")
+        tokens = _dec_values_block("string", toks_raw, len(counts))
+        out = {}
+        for t in terms:
+            i = bisect.bisect_left(tokens, t)
+            if i >= len(tokens) or tokens[i] != t:
+                continue
+            n = counts[i]
+            fh.seek(offsets[i])
+            raw = fh.read(n * 12)
+            out[t] = (
+                np.frombuffer(raw, dtype="<u8", count=n),
+                np.frombuffer(raw, dtype="<u4", count=n, offset=n * 8),
+            )
+        return out
+
+
+def _fts_run_build(root: str, d: str, manifest: NativeManifest,
+                   frags, column: str, n_buckets: int, run_no: int,
+                   spark=None):
+    """Build ONE sorted run over ``frags``: per-fragment doclen files +
+    per-bucket postings files written into ``d``. Returns
+    (bucket_files [n_buckets, '' = empty], doclen [(frag, name)],
+    n_docs, sum_dl). With ``spark``, two fragment-parallel jobs: (1) the
+    doclen/stat pass (one metadata row per fragment, dl via a vectorized
+    regex count), (2) the tokenize + bucket-shuffle + bucket-task
+    postings write (one metadata row per non-empty bucket). Serial twin
+    for fixture scale."""
+    import uuid as uuidlib
+
+    import numpy as np
+
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column), None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column {column!r}")
+    if _SCALAR_KINDS.get(nfield.logical_type) != "string":
+        raise LanceNativeError(
+            f"column {column!r} is not a string column (fts indexes "
+            "tokenize text)")
+    bucket_files = [""] * n_buckets
+    doclen_files: list = []
+    n_docs = 0
+    sum_dl = 0
+    if spark is not None:
+        from pyspark.sql import functions as F
+
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        binding = nio.binding_for(root)
+        df = (
+            spark.read.format("lance").options(**nio.spark_options(root))
+            .option("row_address", "true")
+            .option("version", str(manifest.version))
+            .option("fragments", ",".join(str(f.id) for f in frags))
+            .load(root)
+            .select(F.col(column).alias("t"), "_row_address")
+        )
+
+        nb = n_buckets
+
+        def doclen_pass(batches):
+            import uuid as _uuidlib
+
+            import pandas as _pd
+
+            from lance_trino_spark.format import native_io as _nio
+            from lance_trino_spark.format.lance_native import _fts_tokenize
+
+            _nio.restore_binding(binding)
+            dl_by_pos: dict[int, int] = {}
+            frag_id = None
+            for pdf in batches:
+                for txt, a in zip(pdf["t"], pdf["_row_address"]):
+                    a = int(a)
+                    frag_id = a >> 32
+                    dl_by_pos[a & 0xFFFFFFFF] = len(_fts_tokenize(txt))
+            if frag_id is None:
+                yield _pd.DataFrame(
+                    columns=["frag", "name", "n_docs", "sum_dl"])
+                return
+            arr = np.zeros(max(dl_by_pos) + 1, dtype="<u4")
+            for p, dl in dl_by_pos.items():
+                arr[p] = dl
+            name = (f"doclen-f{frag_id:08d}-"
+                    f"{_uuidlib.uuid4().hex[:8]}.idx")
+            _nio.write_bytes(os.path.join(d, name), arr.tobytes())
+            yield _pd.DataFrame({
+                "frag": [frag_id], "name": [name],
+                "n_docs": [len(dl_by_pos)],
+                "sum_dl": [sum(dl_by_pos.values())],
+            })
+
+        # one metadata row per fragment (collect-audit: O(#fragments))
+        for r in df.mapInPandas(
+                doclen_pass,
+                "frag long, name string, n_docs long, sum_dl long"
+        ).collect():
+            doclen_files.append((int(r["frag"]), r["name"]))
+            n_docs += int(r["n_docs"])
+            sum_dl += int(r["sum_dl"])
+
+        def tokenize(batches):
+            import pandas as _pd
+
+            from lance_trino_spark.format.lance_native import (
+                _fts_bucket_of,
+                _fts_tokenize,
+            )
+
+            for pdf in batches:
+                b_, t_, a_, tf_ = [], [], [], []
+                for txt, a in zip(pdf["t"], pdf["_row_address"]):
+                    counts: dict[str, int] = {}
+                    for tok in _fts_tokenize(txt):
+                        counts[tok] = counts.get(tok, 0) + 1
+                    for tok, c in counts.items():
+                        b_.append(_fts_bucket_of(tok, nb))
+                        t_.append(tok)
+                        a_.append(int(a))
+                        tf_.append(c)
+                yield _pd.DataFrame(
+                    {"bucket": b_, "token": t_, "addr": a_, "tf": tf_})
+
+        def write_bucket(pdf):
+            import uuid as _uuidlib
+
+            import pandas as _pd
+
+            from lance_trino_spark.format import native_io as _nio
+            from lance_trino_spark.format.lance_native import (
+                _fts_postings_blob,
+            )
+
+            _nio.restore_binding(binding)
+            bucket = int(pdf["bucket"].iloc[0])
+            pdf = pdf.sort_values(["token", "addr"])
+            tokens, addrs_l, tfs_l = [], [], []
+            for tok, grp in pdf.groupby("token", sort=True):
+                tokens.append(tok)
+                addrs_l.append(grp["addr"].to_numpy().astype("<u8"))
+                tfs_l.append(grp["tf"].to_numpy().astype("<u4"))
+            name = (f"post-r{run_no:03d}-{bucket:04d}-"
+                    f"{_uuidlib.uuid4().hex[:8]}.idx")
+            _nio.write_bytes(
+                os.path.join(d, name),
+                _fts_postings_blob(tokens, addrs_l, tfs_l))
+            return _pd.DataFrame({"bucket": [bucket], "name": [name]})
+
+        # one metadata row per non-empty bucket (collect-audit:
+        # O(n_buckets))
+        got = (
+            df.mapInPandas(
+                tokenize, "bucket int, token string, addr long, tf long")
+            .groupBy("bucket")
+            .applyInPandas(write_bucket, "bucket int, name string")
+            .collect()
+        )
+        for r in got:
+            bucket_files[int(r["bucket"])] = r["name"]
+        return bucket_files, doclen_files, n_docs, sum_dl
+
+    # ---- serial twin (fixture scale) ------------------------------------
+    per_bucket: list[dict] = [dict() for _ in range(n_buckets)]
+    for frag in frags:
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        texts = arr.to_pylist()
+        dl = np.zeros(len(texts), dtype="<u4")
+        for pos, txt in enumerate(texts):
+            toks = _fts_tokenize(txt)
+            dl[pos] = len(toks)
+            if not toks:
+                continue
+            addr = (int(frag.id) << 32) | pos
+            counts: dict[str, int] = {}
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+            for tok, c in counts.items():
+                per_bucket[_fts_bucket_of(tok, n_buckets)].setdefault(
+                    tok, []).append((addr, c))
+        name = f"doclen-f{int(frag.id):08d}-{uuidlib.uuid4().hex[:8]}.idx"
+        nio.write_bytes(os.path.join(d, name), dl.tobytes())
+        doclen_files.append((int(frag.id), name))
+        n_docs += len(texts)
+        sum_dl += int(dl.sum())
+    for b in range(n_buckets):
+        if not per_bucket[b]:
+            continue
+        tokens = sorted(per_bucket[b])
+        addrs_l = [np.asarray([a for a, _ in per_bucket[b][t]], dtype="<u8")
+                   for t in tokens]
+        tfs_l = [np.asarray([c for _, c in per_bucket[b][t]], dtype="<u4")
+                 for t in tokens]
+        name = f"post-r{run_no:03d}-{b:04d}-{uuidlib.uuid4().hex[:8]}.idx"
+        nio.write_bytes(os.path.join(d, name),
+                        _fts_postings_blob(tokens, addrs_l, tfs_l))
+        bucket_files[b] = name
+    return bucket_files, doclen_files, n_docs, sum_dl
+
+
+def _write_fts_meta(d: str, column: str, dataset_version: int,
+                    n_buckets: int, n_docs: int, sum_dl: int,
+                    covered, runs, doclen_files) -> None:
+    inverted = (
+        _enc_field(1, 2, FTS_ANALYZER.encode())
+        + _enc_field(2, 0, n_buckets)
+        + _enc_field(3, 0, int(n_docs))
+        + _enc_field(4, 0, int(sum_dl))
+        + _enc_field(5, 2, b"".join(
+            _enc_varint(int(i)) for i in sorted(covered)))
+        + _enc_field(6, 2, "\n".join(
+            name for run in runs for name in run).encode())
+        + _enc_field(7, 0, len(runs))
+        + _enc_field(8, 2, "\n".join(
+            f"{fid}:{name}" for fid, name in doclen_files).encode())
+    )
+    meta = (
+        _enc_field(1, 2, b"fts_idx")
+        + _enc_field(2, 2, column.encode())
+        + _enc_field(3, 0, dataset_version)
+        + _enc_field(7, 2, inverted)
+    )
+    blob = struct.pack("<I", len(meta)) + meta
+    blob += struct.pack("<QHH", 0, 0, 1) + b"LANC"
+    nio.replace_bytes(os.path.join(d, "index.idx"), blob)
+    # kind-tagged coverage sidecar: vacuum's coverage loop reaps dead /
+    # superseded fts dirs exactly like vector ones (kind keeps a vector
+    # and an fts index on one column from superseding each other)
+    import json as _json
+
+    nio.replace_bytes(os.path.join(d, "coverage.json"), _json.dumps({
+        "column": column, "kind": "fts",
+        "dataset_version": dataset_version,
+        "fragments": sorted(int(x) for x in covered),
+    }).encode())
+
+
+def read_native_fts_index(path: str) -> NativeFtsIndex:
+    with nio.open_read(path) as fh:
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        fh.seek(fsize - 16)
+        tail = fh.read(16)
+        if tail[-4:] != b"LANC":
+            raise LanceNativeError(f"{path}: missing LANC footer magic")
+        pos = struct.unpack_from("<Q", tail, 0)[0]
+        fh.seek(pos)
+        metar = fh.read(fsize - pos)
+    ln = struct.unpack_from("<I", metar, 0)[0]
+    meta = metar[4:4 + ln]
+    name = column = None
+    dsver = 0
+    inv = None
+    for f, _wt, v in pb_items(meta):
+        if f == 1:
+            name = v.decode()
+        elif f == 2:
+            column = v.decode()
+        elif f == 3:
+            dsver = v
+        elif f == 7:
+            inv = v
+    if inv is None:
+        raise LanceNativeError(f"{path}: not an fts (inverted) index")
+    analyzer = None
+    n_buckets = n_docs = sum_dl = n_runs = None
+    covered = files_raw = doclen_raw = None
+    for f, wt, v in pb_items(inv):
+        if f == 1:
+            analyzer = v.decode()
+        elif f == 2:
+            n_buckets = v
+        elif f == 3:
+            n_docs = v
+        elif f == 4:
+            sum_dl = v
+        elif f == 5:
+            covered = _packed_varints(v) if wt == 2 else [v]
+        elif f == 6:
+            files_raw = v.decode()
+        elif f == 7:
+            n_runs = v
+        elif f == 8:
+            doclen_raw = v.decode()
+    if (analyzer != FTS_ANALYZER or n_buckets is None or covered is None
+            or files_raw is None or n_runs is None):
+        raise LanceNativeError(
+            f"{path}: incomplete or foreign inverted-index metadata "
+            f"(analyzer={analyzer!r})")
+    flat = files_raw.split("\n") if files_raw else []
+    if len(flat) != n_runs * n_buckets:
+        raise LanceNativeError(f"{path}: postings file list shape mismatch")
+    runs = tuple(
+        tuple(flat[r * n_buckets:(r + 1) * n_buckets])
+        for r in range(n_runs))
+    doclen = tuple(
+        (int(e.split(":", 1)[0]), e.split(":", 1)[1])
+        for e in (doclen_raw.split("\n") if doclen_raw else []))
+    return NativeFtsIndex(
+        path=path, name=name, column=column, dataset_version=dsver,
+        analyzer=analyzer, n_buckets=int(n_buckets), n_docs=int(n_docs),
+        sum_dl=int(sum_dl), covered_fragments=frozenset(covered),
+        run_files=runs, doclen_files=doclen)
+
+
+def list_native_fts_indices(root: str) -> list[NativeFtsIndex]:
+    idx_dir = os.path.join(root, "_indices")
+    out = []
+    for dname in nio.listdir(idx_dir):
+        p = os.path.join(idx_dir, dname, "index.idx")
+        if nio.exists(p):
+            try:
+                out.append(read_native_fts_index(p))
+            except LanceNativeError:
+                continue  # vector/btree sidecar
+    out.sort(key=lambda i: i.dataset_version)
+    return out
+
+
+def latest_native_fts_index(root: str, column: str
+                            ) -> NativeFtsIndex | None:
+    for idx in reversed(list_native_fts_indices(root)):
+        if idx.column == column:
+            return idx
+    return None
+
+
+def write_native_fts_index(root: str, column: str,
+                           n_buckets: int = DEFAULT_FTS_BUCKETS,
+                           spark=None) -> str:
+    """Build the inverted index over a string column (layout above).
+    With ``spark``, tokenize + postings writes are fully executor-staged
+    (driver commits O(buckets + fragments) metadata)."""
+    import uuid as uuidlib
+
+    manifest = read_native_manifest(root)
+    uid = str(uuidlib.uuid4())
+    d = os.path.join(root, "_indices", uid)
+    bucket_files, doclen_files, n_docs, sum_dl = _fts_run_build(
+        root, d, manifest, manifest.fragments, column, n_buckets, 0,
+        spark)
+    _write_fts_meta(
+        d, column, manifest.version, n_buckets, n_docs, sum_dl,
+        [f.id for f in manifest.fragments], [bucket_files], doclen_files)
+    return uid
+
+
+def extend_native_fts_index(root: str, column: str, spark=None
+                            ) -> str | None:
+    """O(delta) LSM extend: tokenize ONLY the appended fragments, append
+    their postings as a new RUN (plus their doclen files) to the SAME
+    sidecar dir via an atomic meta replace; at MAX_INDEX_RUNS the next
+    extend COMPACTS in place (per-bucket merge of every run's postings
+    into one run — doclen files, being per-fragment, never move).
+    Returns the index uuid, None when covered, raises when no index."""
+    import uuid as uuidlib
+
+    import numpy as np
+
+    idx = latest_native_fts_index(root, column)
+    if idx is None:
+        raise LanceNativeError(
+            f"no fts index on {column!r} to extend — build one with "
+            "write_native_fts_index")
+    manifest = read_native_manifest(root)
+    new_frags = [f for f in manifest.fragments
+                 if f.id not in idx.covered_fragments]
+    if not new_frags:
+        return None
+    d = os.path.dirname(idx.path)
+    live_ids = {f.id for f in manifest.fragments}
+    coverage = sorted(
+        (set(idx.covered_fragments) & live_ids)
+        | {f.id for f in new_frags})
+    run_no = idx.n_runs
+    bucket_files, new_doclen, d_docs, d_dl = _fts_run_build(
+        root, d, manifest, new_frags, column, idx.n_buckets, run_no,
+        spark)
+    runs = list(idx.run_files) + [tuple(bucket_files)]
+    doclen = list(idx.doclen_files) + new_doclen
+    n_docs = idx.n_docs + d_docs
+    sum_dl = idx.sum_dl + d_dl
+    if len(runs) >= MAX_INDEX_RUNS:
+        # in-place COMPACTION: merge every run's postings per bucket
+        merged_run = []
+        for b in range(idx.n_buckets):
+            toks: dict[str, list] = {}
+            for run in runs:
+                if not run[b]:
+                    continue
+                post = _fts_read_all_postings(os.path.join(d, run[b]))
+                for t, (addrs, tfs) in post.items():
+                    toks.setdefault(t, []).append((addrs, tfs))
+            if not toks:
+                merged_run.append("")
+                continue
+            tokens = sorted(toks)
+            addrs_l, tfs_l = [], []
+            for t in tokens:
+                a = np.concatenate([x[0] for x in toks[t]])
+                c = np.concatenate([x[1] for x in toks[t]])
+                order = np.argsort(a, kind="stable")
+                addrs_l.append(a[order])
+                tfs_l.append(c[order])
+            name = (f"post-r000-{b:04d}-{uuidlib.uuid4().hex[:8]}.idx")
+            nio.write_bytes(os.path.join(d, name),
+                            _fts_postings_blob(tokens, addrs_l, tfs_l))
+            merged_run.append(name)
+        runs = [tuple(merged_run)]
+    _write_fts_meta(d, column, manifest.version, idx.n_buckets,
+                    n_docs, sum_dl, coverage, runs, doclen)
+    return os.path.basename(d)
+
+
+def _fts_read_all_postings(path: str):
+    """Every (token -> postings) of one postings file — the compaction
+    read (O(bucket), the merge unit)."""
+    import numpy as np
+
+    with nio.open_read(path) as fh:
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        fh.seek(fsize - 16)
+        pos = struct.unpack_from("<Q", fh.read(16), 0)[0]
+        fh.seek(pos)
+        metar = fh.read(fsize - pos)
+        ln = struct.unpack_from("<I", metar, 0)[0]
+        meta = metar[4:4 + ln]
+        toks_raw = counts = offsets = None
+        for f, wt, v in pb_items(meta):
+            if f == 1:
+                toks_raw = v
+            elif f == 2:
+                counts = _packed_varints(v)
+            elif f == 3:
+                offsets = _packed_varints(v)
+        tokens = _dec_values_block("string", toks_raw, len(counts))
+        out = {}
+        for i, t in enumerate(tokens):
+            n = counts[i]
+            fh.seek(offsets[i])
+            raw = fh.read(n * 12)
+            out[t] = (
+                np.frombuffer(raw, dtype="<u8", count=n).copy(),
+                np.frombuffer(raw, dtype="<u4", count=n, offset=n * 8)
+                .copy(),
+            )
+        return out
+
+
+def native_fts_search(root: str, column: str, query: str, k: int = 10,
+                      index: NativeFtsIndex | None = None,
+                      manifest: NativeManifest | None = None):
+    """BM25 top-k over the inverted index: tokenize the query with the
+    index analyzer, read ONLY the matched terms' postings slices (one
+    bucket-meta read + one body range per (term, run)), score
+    rational-idf BM25 with the EXACT operation order of
+    operators/text.py bm25_scores (scores are bit-identical float64 to
+    the Spark-expression and SQL paths), drop deleted rows via the
+    fragments' deletion vectors, and return
+    ([(addr, dl, score)] best-first (ties on address), stats) with the
+    access-path proof (terms_found / postings_read / bytes shape).
+    Uncovered fragments refuse loudly — run extend_native_fts_index
+    first (the ensure hook's rule)."""
+    import numpy as np
+
+    live = manifest if manifest is not None else read_native_manifest(root)
+    idx = index if index is not None else latest_native_fts_index(
+        root, column)
+    if idx is None:
+        raise LanceNativeError(f"no fts index on {column!r}")
+    live_ids = {f.id for f in live.fragments}
+    uncovered = live_ids - idx.covered_fragments
+    if uncovered:
+        raise LanceNativeError(
+            f"fts index on {column!r} does not cover fragments "
+            f"{sorted(uncovered)} — extend_native_fts_index first")
+    terms = []
+    for t in _fts_tokenize(query):
+        if t and t not in terms:
+            terms.append(t)
+    stats = {"terms": len(terms), "terms_found": 0, "postings_read": 0,
+             "files_opened": 0}
+    if not terms or idx.n_docs == 0:
+        return [], stats
+    # gather postings per term across runs (order: query term order)
+    acc_addr: dict[int, float] = {}
+    n = float(idx.n_docs)
+    avgdl = float(idx.sum_dl) / n
+    dl_cache: dict[int, "np.ndarray"] = {}
+    by_frag_doclen = dict(idx.doclen_files)
+
+    def dl_of(addrs: "np.ndarray") -> "np.ndarray":
+        out = np.zeros(len(addrs), dtype=np.float64)
+        fids = (addrs >> np.uint64(32)).astype(np.int64)
+        poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        for fid in np.unique(fids):
+            if fid not in dl_cache:
+                nm = by_frag_doclen.get(int(fid))
+                if nm is None:
+                    raise LanceNativeError(
+                        f"fts index missing doclen file for fragment "
+                        f"{fid}")
+                dl_cache[fid] = np.frombuffer(
+                    nio.read_bytes(os.path.join(
+                        os.path.dirname(idx.path), nm)), dtype="<u4")
+            m = fids == fid
+            out[m] = dl_cache[fid][poss[m]].astype(np.float64)
+        return out
+
+    d = os.path.dirname(idx.path)
+    dead_cache: dict[int, "np.ndarray"] = {}
+    frag_by_id = {f.id: f for f in live.fragments}
+
+    score_acc: dict[int, float] = {}
+    dl_by_addr: dict[int, float] = {}
+    for t in terms:
+        b = _fts_bucket_of(t, idx.n_buckets)
+        parts = []
+        for run in idx.run_files:
+            if not run[b]:
+                continue
+            stats["files_opened"] += 1
+            got = _fts_read_postings(os.path.join(d, run[b]), [t])
+            if t in got:
+                parts.append(got[t])
+        if not parts:
+            continue
+        stats["terms_found"] += 1
+        addrs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        stats["postings_read"] += len(addrs)
+        # drop deleted rows (stale postings of live fragments)
+        fids = (addrs >> np.uint64(32)).astype(np.int64)
+        poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        keep = np.ones(len(addrs), dtype=bool)
+        for fid in np.unique(fids):
+            frag = frag_by_id.get(int(fid))
+            if frag is None:
+                keep[fids == fid] = False
+                continue
+            if frag.deletion is not None:
+                if fid not in dead_cache:
+                    dead_cache[fid] = _deleted_rows_np(root, frag.deletion)
+                keep[(fids == fid)
+                     & np.isin(poss, dead_cache[fid])] = False
+        addrs, tfs = addrs[keep], tfs[keep]
+        if not len(addrs):
+            continue
+        # BM25 term contribution — EXACT operation order of
+        # operators/text.py bm25_scores (bit-identical doubles):
+        #   idf = (N - df + .5) / (df + .5)
+        #   norm = k1 * (1 - b + b * (dl / avgdl))
+        #   score += idf * (tf * (k1 + 1)) / (tf + norm)
+        df_t = float(len(addrs))
+        idf = (n - df_t + 0.5) / (df_t + 0.5)
+        dls = dl_of(addrs)
+        norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
+        contrib = idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm)
+        for a, dl, c in zip(addrs, dls, contrib):
+            a = int(a)
+            score_acc[a] = score_acc.get(a, 0.0) + float(c)
+            dl_by_addr[a] = float(dl)
+    ranked = sorted(
+        score_acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return (
+        [(a, int(dl_by_addr[a]), s) for a, s in ranked],
+        stats,
+    )
+
+
+def ensure_native_fts_index(root: str, column: str,
+                            n_buckets: int = DEFAULT_FTS_BUCKETS,
+                            spark=None, incremental: bool = False
+                            ) -> str | None:
+    """Maintenance hook: build if absent, extend (incremental) or
+    rebuild when coverage lapses, None when covered."""
+    manifest = read_native_manifest(root)
+    frag_ids = {f.id for f in manifest.fragments}
+    idx = latest_native_fts_index(root, column)
+    if idx is not None and frag_ids <= idx.covered_fragments:
+        return None
+    if incremental and idx is not None:
+        return extend_native_fts_index(root, column, spark=spark)
+    return write_native_fts_index(
+        root, column, n_buckets=n_buckets, spark=spark)

@@ -85,12 +85,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # ds01/lf15/lf06 stand in for that cohort; namespace.py gained the
     # Glue/Hive backends next to cat11's REST client), then the r6
     # cohort the r11 sample cut off at position 50, then r7-stale fill
-    # (ds08 first: it probes the rewritten scalar-index preselect).
+    # (ds08 first: it probes the rewritten scalar-index preselect;
+    # d07 trimmed to keep the window at exactly 50 when s16 landed).
     # Still-stale after this round (lead the r13 window): the r7
     # leftovers e08/e11-e15, t10-t14, d07 and the whole r8 cohort
     # (cat16-cat21, d-series, s03-s13, lf20-lf30, t05-t23 members).
     "cat35_glue_namespace",
     "cat36_hive3_namespace",
+    "s16_native_fts_bm25",
     # changed-code re-checks
     "lf47_native_index_extend",
     "lf19_native_scalar_index_scan",
@@ -141,7 +143,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "st05_stream_stream_join",
     "st06_stream_cdc_upsert",
     "st07_stream_multibatch_state",
-    "d07_cross_source_duplicates",
 )
 
 

@@ -64,6 +64,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "rows) — O(n_cells), a constant of the trained index; the codes "
         "and addresses are written executor-side into per-cell shard "
         "files and never reach the driver (judge r11 #1)",
+    ("format/lance_native.py", "_fts_run_build"):
+        "two metadata collects per FTS build run: one row per fragment "
+        "(doclen file name + doc/length stats) and one row per non-empty "
+        "token bucket (postings file name) — O(fragments + n_buckets); "
+        "tokens and postings are written executor-side and never reach "
+        "the driver",
     ("operators/sampling.py", "capped_sample_per_group"):
         "two map-side-combinable count aggregates of k rows each "
         "(k = #groups/sources, small by construction) — the hash-space "

