@@ -191,6 +191,7 @@ DEFAULT_QUERIES = [
     "cat35_glue_namespace",
     "cat36_hive3_namespace",
     "s16_native_fts_bm25",
+    "cat37_sql_fts_search",
 ]
 
 

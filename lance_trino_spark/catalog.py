@@ -32,6 +32,8 @@ DDL surface, docs/src/operations/ddl/*):
     CREATE INDEX ON <schema>.<table> (<col>)
     DROP [VECTOR] INDEX ON <schema>.<table> (<col>)
     CREATE VECTOR INDEX ON <schema>.<table> (<col>)
+    CREATE FTS INDEX ON <schema>.<table> (<col>)
+    FTS SEARCH <schema>.<table> (<col>) MATCHING '<query>' [TOP k]
       [USING IVF_FLAT|IVF_PQ|HNSW] [WITH (n_cells = N)]
     VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
       [TOP <k>] [NPROBE <n>] [WHERE <col2> IN (v, ...)]
@@ -616,22 +618,109 @@ class LanceCatalog:
         ds = self.load(ns, tbl).create_scalar_index(self.spark, col)
         return self._status(f"indexed {ns}.{tbl}({col}) v{ds.version}")
 
+    def _h_create_fts_index(self, m) -> DataFrame:
+        """`CREATE FTS INDEX ON <schema>.<table> (<col>)` — the native
+        inverted index (whitespace-v1 analyzer + BM25 serving via FTS
+        SEARCH). Incremental: an existing index extends by an O(delta)
+        LSM run; a fresh table builds from scratch (executor-staged
+        either way). Own-format tables refuse with a pointer (the
+        inverted sidecar is a native-format surface)."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        np_ = self._native(ns, tbl)
+        if np_ is None:
+            raise CatalogError(
+                f"{ns}.{tbl} is not a native-format table — FTS indexes "
+                "live in native `.lance` sidecars; use CREATE INDEX "
+                "(btree) or the text operators for parquet-backed tables")
+        from .format.lance_native import ensure_native_fts_index
+
+        uid = ensure_native_fts_index(
+            np_, col, spark=self.spark, incremental=True)
+        return self._status(
+            f"fts-indexed {ns}.{tbl}({col}) "
+            f"{'(already covered)' if uid is None else uid} (native)")
+
+    def _h_fts_search(self, m) -> DataFrame:
+        """`FTS SEARCH <schema>.<table> (<col>) MATCHING '<query>'
+        [TOP <k>]` — BM25 ranking served from the inverted index's
+        postings slices (never a corpus scan): the result is every
+        non-text column of the matched rows plus (dl, score), best
+        score first. Scores are the exact rational-idf BM25 doubles of
+        operators/text.py bm25_scores."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        query = m.group("q")
+        k = int(m.group("k") or 10)
+        np_ = self._native(ns, tbl)
+        if np_ is None:
+            raise CatalogError(
+                f"{ns}.{tbl} is not a native-format table — FTS SEARCH "
+                "serves native inverted indexes; score parquet-backed "
+                "tables with operators.text.bm25_scores")
+        from .format.lance_native import (
+            native_fts_search,
+            native_spark_schema,
+            read_native_fragment,
+            read_native_manifest,
+        )
+
+        live = read_native_manifest(np_)
+        got, _stats = native_fts_search(np_, col, query, k=k,
+                                        manifest=live)
+        id_fields = [f for f in native_spark_schema(live).fields
+                     if f.name != col]
+        frag_by_id = {f.id: f for f in live.fragments}
+        need: dict[int, set] = {}
+        for a, _dl, _s in got:
+            need.setdefault(a >> 32, set()).add(a & 0xFFFFFFFF)
+        vals_by_addr: dict[int, tuple] = {}
+        for fid, rows_ in need.items():
+            sel = sorted(rows_)
+            tbl_ = read_native_fragment(
+                np_, frag_by_id[fid], live,
+                columns=[f.name for f in id_fields], preselected=sel)
+            cols_ = [tbl_.column(f.name).to_pylist() for f in id_fields]
+            for j, ridx in enumerate(sel):
+                vals_by_addr[(fid << 32) | ridx] = tuple(
+                    c[j] for c in cols_)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            list(id_fields)
+            + [StructField("dl", IntegerType()),
+               StructField("score", DoubleType())]
+        )
+        out = [
+            (*vals_by_addr[a], int(dl), float(s)) for a, dl, s in got
+        ]
+        return self.spark.createDataFrame(out, schema)
+
     def _h_drop_index(self, m) -> DataFrame:
-        """`DROP [VECTOR] INDEX ON <schema>.<table> (<col>)` — unregister
-        the index and reclaim its sidecars."""
+        """`DROP [VECTOR|FTS] INDEX ON <schema>.<table> (<col>)` —
+        unregister the index and reclaim its sidecars."""
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
         np_ = self._native(ns, tbl)
         if np_ is not None:
             import shutil as _sh
 
             from .format.lance_native import (
-                list_native_scalar_indices, list_native_vector_indices)
+                list_native_fts_indices,
+                list_native_scalar_indices,
+                list_native_vector_indices,
+            )
 
-            # DROP VECTOR INDEX must target the VECTOR sidecars — when
-            # both index kinds exist on one column, reaping the scalar
-            # set for a vector drop is a destructive wrong-target delete.
-            kind = "vector" if m.group("vec") else "scalar"
+            # DROP VECTOR/FTS INDEX must target THAT kind's sidecars —
+            # when several index kinds exist on one column, reaping the
+            # scalar set for a vector drop is a destructive wrong-target
+            # delete.
+            kind = ("vector" if m.group("vec")
+                    else "fts" if m.group("fts") else "scalar")
             lister = (list_native_vector_indices if m.group("vec")
+                      else list_native_fts_indices if m.group("fts")
                       else list_native_scalar_indices)
             victims = [i for i in lister(np_) if i.column == col]
             if not victims:
@@ -643,6 +732,10 @@ class LanceCatalog:
                 f"dropped {len(victims)} native {kind} index sidecar(s) "
                 f"on {ns}.{tbl}({col})")
         ds = self.load(ns, tbl)
+        if m.group("fts"):
+            raise CatalogError(
+                f"{ns}.{tbl} is not a native-format table — FTS indexes "
+                "exist only as native sidecars")
         if m.group("vec"):
             ds = ds.drop_vector_index(self.spark, col)
         else:
@@ -1195,10 +1288,23 @@ class LanceCatalog:
             _h_create_index,
         ),
         (
-            rf"DROP\s+(?P<vec>VECTOR\s+)?INDEX\s+ON\s+"
+            rf"DROP\s+(?:(?P<vec>VECTOR)\s+|(?P<fts>FTS)\s+)?INDEX\s+ON\s+"
             rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
             _h_drop_index,
+        ),
+        (
+            rf"CREATE\s+FTS\s+INDEX\s+ON\s+"
+            rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
+            _h_create_fts_index,
+        ),
+        (
+            rf"FTS\s+SEARCH\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
+            rf"\s+MATCHING\s+'(?P<q>[^']*)'"
+            rf"(?:\s+TOP\s+(?P<k>\d+))?$",
+            _h_fts_search,
         ),
         (
             rf"ALTER\s+TABLE\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"

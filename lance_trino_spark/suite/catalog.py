@@ -2551,3 +2551,83 @@ def cat36(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE n.n_regionkey IN (0, 2) "
         "GROUP BY n.n_name ORDER BY n.n_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# cat37 — SQL-only FTS lifecycle: CREATE FTS INDEX + incremental re-CREATE
+# (O(delta) LSM run extend) + the FTS SEARCH route, end-to-end through the
+# catalog with no Python API calls (the SQL face of s16's index machinery).
+# Scores are bit-identical to the plain-SQL BM25 oracle — same analyzer,
+# constants, and operation order (s06/s16 discipline).
+# ---------------------------------------------------------------------------
+_CAT37_TERMS = ("join", "window", "scan")
+
+
+def _cat37_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_CAT37_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_CAT37_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_CAT37_TERMS))
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {score_terms} AS score
+    FROM per_doc, stats
+    WHERE {" + ".join(f"tf_{i}" for i in range(len(_CAT37_TERMS)))} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "cat37_sql_fts_search",
+    oracle=_cat37_oracle(),
+    doc="catalog: CREATE FTS INDEX + incremental re-CREATE + FTS SEARCH "
+        "SQL routes, BM25 bit-identical to the SQL oracle",
+    tags=("catalog", "search", "text", "index", "sql"),
+)
+def cat37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_catalog(spark, sf_dir, "cat37")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).orderBy("doc_id").createOrReplaceTempView("_cat37_docs")
+    n = spark.table("_cat37_docs").count()
+    cut = max(1, (int(n) * 4) // 5)
+    cat.sql("CREATE SCHEMA corpus")
+    cat.sql(
+        "CREATE NATIVE TABLE corpus.docs AS "
+        f"SELECT * FROM _cat37_docs WHERE doc_id < {cut}")
+    cat.sql("CREATE FTS INDEX ON corpus.docs (text)")
+    cat.sql(
+        "INSERT INTO corpus.docs "
+        f"SELECT * FROM _cat37_docs WHERE doc_id >= {cut}")
+    # incremental: the second CREATE extends by one O(delta) LSM run
+    cat.sql("CREATE FTS INDEX ON corpus.docs (text)")
+    return cat.sql(
+        f"FTS SEARCH corpus.docs (text) "
+        f"MATCHING '{' '.join(_CAT37_TERMS)}' TOP 15"
+    ).select("doc_id", "dl", "score")

@@ -157,7 +157,10 @@ def test_fts_extend_runs_and_compaction(tmp_path, monkeypatch):
         rc, _ = ln.native_fts_search(root, "text", q, k=8, index=idx3)
         rr, _ = ln.native_fts_search(root, "text", q, k=8, index=rb2)
         assert rc == rr
-    # compaction left the superseded run files unreferenced -> vacuumed
+    # compaction left the superseded run files unreferenced -> vacuumed.
+    # Drop the rebuild twin first: it shares idx3's dataset_version and
+    # the superseded tie-break (directory uuid) is otherwise arbitrary.
+    _shutil.rmtree(os.path.dirname(rb2.path))
     d = os.path.dirname(idx3.path)
     n_before = sum(1 for nm in os.listdir(d) if nm.startswith("post-"))
     referenced = sum(1 for run in idx3.run_files for nm in run if nm)
@@ -207,3 +210,47 @@ def test_fts_tokenizer_and_refusals(tmp_path):
         ln.write_native_fts_index(root, "nope")
     with pytest.raises(ln.LanceNativeError, match="no fts index"):
         ln.native_fts_search(root, "text", "a")
+
+
+def test_fts_sql_routes(spark, tmp_path):
+    """CREATE FTS INDEX / FTS SEARCH / DROP FTS INDEX through the SQL
+    router: native lifecycle incl. the incremental second CREATE;
+    own-format tables refuse each route loudly; DROP targets ONLY the
+    fts sidecars when a btree index shares the column's table."""
+    from lance_trino_spark.catalog import CatalogError, LanceCatalog
+
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame(
+        [(i, f"tok{i % 3} merge stream word{i}") for i in range(30)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("_fts_sql_src")
+    cat.sql("CREATE NATIVE TABLE s.d AS SELECT * FROM _fts_sql_src")
+    cat.sql("CREATE FTS INDEX ON s.d (text)")
+    cat.sql("CREATE INDEX ON s.d (doc_id)")  # btree neighbor
+    cat.sql("INSERT INTO s.d SELECT 100, 'late merge arrival'")
+    cat.sql("CREATE FTS INDEX ON s.d (text)")  # extends, O(delta)
+    r = cat.sql("FTS SEARCH s.d (text) MATCHING 'merge' TOP 31").collect()
+    assert len(r) == 31  # every doc contains 'merge', incl. the late one
+    assert any(row["doc_id"] == 100 for row in r)
+    assert r[0]["score"] >= r[-1]["score"]
+
+    # DROP FTS must not touch the btree sidecars (and vice versa)
+    cat.sql("DROP FTS INDEX ON s.d (text)")
+    import lance_trino_spark.format.lance_native as ln
+
+    np_ = cat.namespace.table_location("s", "d")
+    assert ln.latest_native_fts_index(np_, "text") is None
+    assert [i for i in ln.list_native_scalar_indices(np_)
+            if i.column == "doc_id"]
+    with pytest.raises(CatalogError, match="no native fts index"):
+        cat.sql("DROP FTS INDEX ON s.d (text)")
+
+    # own-format tables refuse every fts route with a pointer
+    cat.sql("CREATE TABLE s.p AS SELECT * FROM _fts_sql_src")
+    with pytest.raises(CatalogError, match="native"):
+        cat.sql("CREATE FTS INDEX ON s.p (text)")
+    with pytest.raises(CatalogError, match="native"):
+        cat.sql("FTS SEARCH s.p (text) MATCHING 'merge'")
+    with pytest.raises(CatalogError, match="native"):
+        cat.sql("DROP FTS INDEX ON s.p (text)")
