@@ -642,11 +642,14 @@ class LanceCatalog:
 
     def _h_fts_search(self, m) -> DataFrame:
         """`FTS SEARCH <schema>.<table> (<col>) MATCHING '<query>'
-        [TOP <k>]` — BM25 ranking served from the inverted index's
-        postings slices (never a corpus scan): the result is every
-        non-text column of the matched rows plus (dl, score), best
-        score first. Scores are the exact rational-idf BM25 doubles of
-        operators/text.py bm25_scores."""
+        [TOP <k>]` — LIVE-SNAPSHOT BM25 (lf43's freshness contract):
+        the inverted index serves its covered fragments from postings
+        slices, fragments appended after the build are tokenized on the
+        fly by the exact arm, so SQL users never see stale FTS between
+        ingest and maintenance. The result is every non-text column of
+        the matched rows plus (dl, score), best score first; scores are
+        the exact rational-idf BM25 doubles of operators/text.py
+        bm25_scores."""
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
         query = m.group("q")
         k = int(m.group("k") or 10)
@@ -657,15 +660,15 @@ class LanceCatalog:
                 "serves native inverted indexes; score parquet-backed "
                 "tables with operators.text.bm25_scores")
         from .format.lance_native import (
-            native_fts_search,
+            native_fts_search_fresh,
             native_spark_schema,
             read_native_fragment,
             read_native_manifest,
         )
 
         live = read_native_manifest(np_)
-        got, _stats = native_fts_search(np_, col, query, k=k,
-                                        manifest=live)
+        got, _stats = native_fts_search_fresh(
+            np_, col, query, k=k, spark=self.spark, manifest=live)
         id_fields = [f for f in native_spark_schema(live).fields
                      if f.name != col]
         frag_by_id = {f.id: f for f in live.fragments}

@@ -7928,3 +7928,222 @@ def ensure_native_fts_index(root: str, column: str,
         return extend_native_fts_index(root, column, spark=spark)
     return write_native_fts_index(
         root, column, n_buckets=n_buckets, spark=spark)
+
+
+def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
+                         column: str, terms: list[str], spark=None):
+    """The exact arm of the fresh FTS search: tokenize ``frags`` on the
+    fly and return (match_rows, n_docs, sum_dl) where match_rows is
+    [(addr, dl, [tf per term])] for docs matching >= 1 term. With
+    ``spark``, one Arrow-batched task per fragment emits ONLY matching
+    docs' rows plus a per-task stats marker — driver traffic is
+    O(matching docs + fragments), never the corpus."""
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column), None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column {column!r}")
+    if spark is not None:
+        from pyspark.sql import functions as F
+
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        df = (
+            spark.read.format("lance").options(**nio.spark_options(root))
+            .option("row_address", "true")
+            .option("version", str(manifest.version))
+            .option("fragments", ",".join(str(f.id) for f in frags))
+            .load(root)
+            .select(F.col(column).alias("t"), "_row_address")
+        )
+        terms_b = list(terms)
+
+        def kernel(batches):
+            import pandas as _pd
+
+            from lance_trino_spark.format.lance_native import _fts_tokenize
+
+            n_docs = 0
+            sum_dl = 0
+            rows_a, rows_dl, rows_tf = [], [], []
+            for pdf in batches:
+                for txt, a in zip(pdf["t"], pdf["_row_address"]):
+                    toks = _fts_tokenize(txt)
+                    n_docs += 1
+                    sum_dl += len(toks)
+                    tfs = [toks.count(t) for t in terms_b]
+                    if any(tfs):
+                        rows_a.append(int(a))
+                        rows_dl.append(len(toks))
+                        rows_tf.append(tfs)
+            rows_a.append(-1)  # per-task stats marker
+            rows_dl.append(n_docs)
+            rows_tf.append([sum_dl])
+            yield _pd.DataFrame(
+                {"addr": rows_a, "dl": rows_dl, "tfs": rows_tf})
+
+        out = []
+        n_docs = sum_dl = 0
+        # one row per MATCHING doc + one marker per task (collect-audit:
+        # O(matching docs + fragments))
+        for r in df.mapInPandas(
+                kernel, "addr long, dl long, tfs array<long>").collect():
+            if int(r["addr"]) < 0:
+                n_docs += int(r["dl"])
+                sum_dl += int(r["tfs"][0])
+            else:
+                out.append((int(r["addr"]), int(r["dl"]),
+                            [int(x) for x in r["tfs"]]))
+        return out, n_docs, sum_dl
+    out = []
+    n_docs = sum_dl = 0
+    for frag in frags:
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        for pos, txt in enumerate(arr.to_pylist()):
+            toks = _fts_tokenize(txt)
+            n_docs += 1
+            sum_dl += len(toks)
+            tfs = [toks.count(t) for t in terms]
+            if any(tfs):
+                out.append(((int(frag.id) << 32) | pos, len(toks), tfs))
+    return out, n_docs, sum_dl
+
+
+def native_fts_search_fresh(root: str, column: str, query: str,
+                            k: int = 10, spark=None,
+                            manifest: NativeManifest | None = None):
+    """LIVE-SNAPSHOT BM25 (the lf43 freshness contract applied to FTS):
+    the newest inverted index accelerates its covered fragments;
+    fragments appended AFTER the build are tokenized on the fly by an
+    exact arm (fragment-parallel with ``spark``) and merged with GLOBAL
+    corpus stats (index stats + delta stats), so results EQUAL a search
+    over a fully-extended index — bit-identical doubles, pytest-pinned.
+    SQL users therefore never see stale FTS between ingest and the next
+    index maintenance. Deleted rows drop from results immediately via
+    the DV mask; like Lucene, corpus statistics refresh at the next
+    extend/compaction rather than per delete. With NO index at all the
+    exact arm serves everything (a brute-force BM25 scan)."""
+    import numpy as np
+
+    live = manifest if manifest is not None else read_native_manifest(root)
+    idx = latest_native_fts_index(root, column)
+    live_ids = {f.id for f in live.fragments}
+    covered = (idx.covered_fragments & live_ids) if idx else set()
+    uncovered = live_ids - covered
+    terms = []
+    for t in _fts_tokenize(query):
+        if t and t not in terms:
+            terms.append(t)
+    if not terms:
+        return [], {"terms": 0}
+    frag_by_id = {f.id: f for f in live.fragments}
+
+    # exact arm over uncovered fragments
+    delta_rows, d_docs, d_dl = ([], 0, 0) if not uncovered else \
+        _fts_delta_term_rows(
+            root, live, [frag_by_id[i] for i in sorted(uncovered)],
+            column, terms, spark)
+
+    n_docs = (idx.n_docs if idx else 0) + d_docs
+    sum_dl = (idx.sum_dl if idx else 0) + d_dl
+    stats = {"terms": len(terms), "covered": len(covered),
+             "uncovered": len(uncovered), "delta_matches": len(delta_rows)}
+    if n_docs == 0:
+        return [], stats
+    n = float(n_docs)
+    avgdl = float(sum_dl) / n
+
+    # gather index-served postings per term (covered arm), DV-masked
+    dead_cache: dict[int, "np.ndarray"] = {}
+
+    def live_mask(addrs: "np.ndarray") -> "np.ndarray":
+        fids = (addrs >> np.uint64(32)).astype(np.int64)
+        poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        keep = np.ones(len(addrs), dtype=bool)
+        for fid in np.unique(fids):
+            frag = frag_by_id.get(int(fid))
+            if frag is None or int(fid) not in covered:
+                keep[fids == fid] = False
+                continue
+            if frag.deletion is not None:
+                if fid not in dead_cache:
+                    dead_cache[fid] = _deleted_rows_np(root, frag.deletion)
+                keep[(fids == fid)
+                     & np.isin(poss, dead_cache[fid])] = False
+        return keep
+
+    per_term = []  # (addrs, tfs) from the index arm, in term order
+    if idx is not None:
+        d = os.path.dirname(idx.path)
+        for t in terms:
+            b = _fts_bucket_of(t, idx.n_buckets)
+            parts = []
+            for run in idx.run_files:
+                if not run[b]:
+                    continue
+                got = _fts_read_postings(os.path.join(d, run[b]), [t])
+                if t in got:
+                    parts.append(got[t])
+            if parts:
+                addrs = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                keep = live_mask(addrs)
+                per_term.append((addrs[keep], tfs[keep]))
+            else:
+                per_term.append((np.empty(0, dtype="<u8"),
+                                 np.empty(0, dtype="<u4")))
+    else:
+        per_term = [(np.empty(0, dtype="<u8"), np.empty(0, dtype="<u4"))
+                    for _ in terms]
+
+    # merge per-term df across both arms, then score in term order with
+    # the canonical operation order (bit-identical to the index-only and
+    # SQL paths)
+    by_addr_dl: dict[int, float] = {}
+    score_acc: dict[int, float] = {}
+    dl_index_cache: dict[int, "np.ndarray"] = {}
+    by_frag_doclen = dict(idx.doclen_files) if idx else {}
+
+    def dl_of_index(addrs: "np.ndarray") -> "np.ndarray":
+        outv = np.zeros(len(addrs), dtype=np.float64)
+        fids = (addrs >> np.uint64(32)).astype(np.int64)
+        poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        for fid in np.unique(fids):
+            if fid not in dl_index_cache:
+                nm = by_frag_doclen[int(fid)]
+                dl_index_cache[fid] = np.frombuffer(
+                    nio.read_bytes(os.path.join(
+                        os.path.dirname(idx.path), nm)), dtype="<u4")
+            m = fids == fid
+            outv[m] = dl_index_cache[fid][poss[m]].astype(np.float64)
+        return outv
+
+    for ti, t in enumerate(terms):
+        addrs, tfs = per_term[ti]
+        delta_hits = [(a, dl, tfv[ti]) for a, dl, tfv in delta_rows
+                      if tfv[ti] > 0]
+        df_t = float(len(addrs) + len(delta_hits))
+        if df_t == 0:
+            continue
+        idf = (n - df_t + 0.5) / (df_t + 0.5)
+        if len(addrs):
+            dls = dl_of_index(addrs)
+            norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
+            contrib = (idf * (tfs.astype(np.float64) * (_BM25_K1 + 1.0))
+                       / (tfs.astype(np.float64) + norm))
+            for a, dl, c in zip(addrs, dls, contrib):
+                a = int(a)
+                score_acc[a] = score_acc.get(a, 0.0) + float(c)
+                by_addr_dl[a] = float(dl)
+        for a, dl, tf in delta_hits:
+            tf = float(tf)
+            dl_f = float(dl)
+            norm = _BM25_K1 * ((1.0 - _BM25_B)
+                               + _BM25_B * (dl_f / avgdl))
+            score_acc[a] = score_acc.get(a, 0.0) + idf * (
+                tf * (_BM25_K1 + 1.0)) / (tf + norm)
+            by_addr_dl[a] = dl_f
+    ranked = sorted(
+        score_acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ([(a, int(by_addr_dl[a]), s) for a, s in ranked], stats)

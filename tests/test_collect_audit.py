@@ -70,6 +70,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "token bucket (postings file name) — O(fragments + n_buckets); "
         "tokens and postings are written executor-side and never reach "
         "the driver",
+    ("format/lance_native.py", "_fts_delta_term_rows"):
+        "fresh-search exact arm: one row per doc MATCHING a query term "
+        "in the uncovered fragments plus one stats marker per task — "
+        "O(matching docs + fragments), the same bound the ANN fresh "
+        "search's exact arm carries; the corpus text never leaves the "
+        "executors",
     ("operators/sampling.py", "capped_sample_per_group"):
         "two map-side-combinable count aggregates of k rows each "
         "(k = #groups/sources, small by construction) — the hash-space "

@@ -254,3 +254,47 @@ def test_fts_sql_routes(spark, tmp_path):
         cat.sql("FTS SEARCH s.p (text) MATCHING 'merge'")
     with pytest.raises(CatalogError, match="native"):
         cat.sql("DROP FTS INDEX ON s.p (text)")
+
+
+def test_fts_fresh_search_live_snapshot(tmp_path, spark):
+    """native_fts_search_fresh (lf43's freshness contract for FTS): with
+    fragments appended AFTER the build, the fresh search's merged result
+    is BIT-IDENTICAL to a search over a fully-extended index (serial AND
+    distributed exact arms); with no index at all the exact arm serves
+    everything (brute-force parity); deletions drop immediately."""
+    import numpy as np
+
+    extra = ["merge stream fresh arrivals", "the vector stream hums"]
+    for label, sp in (("serial", None), ("spark", spark)):
+        root = str(tmp_path / f"fresh_{label}.lance")
+        _mk(root)
+        ln.write_native_fts_index(root, "text", n_buckets=4)
+        ln.append_native_rows(root, {"doc_id": [100, 101], "text": extra})
+        fresh, st = ln.native_fts_search_fresh(
+            root, "text", "merge stream", k=8, spark=sp)
+        assert st["uncovered"] == 1 and st["delta_matches"] == 2, label
+        ln.extend_native_fts_index(root, "text")
+        ext, _ = ln.native_fts_search(root, "text", "merge stream", k=8)
+        assert fresh == ext, label
+        # fully covered: the fresh search IS the index search
+        again, st2 = ln.native_fts_search_fresh(
+            root, "text", "merge stream", k=8, spark=sp)
+        assert st2["uncovered"] == 0 and again == ext, label
+
+    # no index at all: exact arm == brute force over the live corpus
+    root = str(tmp_path / "fresh_noidx.lance")
+    docs_all = list(DOCS) + extra
+    _mk(root, docs_all)
+    fresh, st = ln.native_fts_search_fresh(root, "text", "merge", k=10)
+    want = _brute_bm25(docs_all, "merge", 10)
+    assert [(a & 0xFFFFFFFF, dl) for a, dl, _ in fresh] == [
+        (i, dl) for i, dl, _ in want]
+    assert [s for _, _, s in fresh] == [s for _, _, s in want]
+
+    # deletion: doc 5 ("merge merge merge") drops immediately
+    root = str(tmp_path / "fresh_del.lance")
+    _mk(root)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    ln.native_delete(root, {0: np.asarray([5])})
+    got, _ = ln.native_fts_search_fresh(root, "text", "merge", k=10)
+    assert all((a >> 32, a & 0xFFFFFFFF) != (0, 5) for a, _, _ in got)
