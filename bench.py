@@ -192,6 +192,7 @@ DEFAULT_QUERIES = [
     "cat36_hive3_namespace",
     "s16_native_fts_bm25",
     "cat37_sql_fts_search",
+    "s17_hybrid_search_rrf",
 ]
 
 

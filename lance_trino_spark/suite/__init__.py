@@ -86,8 +86,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # Glue/Hive backends next to cat11's REST client), then the r6
     # cohort the r11 sample cut off at position 50, then r7-stale fill
     # (ds08 first: it probes the rewritten scalar-index preselect;
-    # d07/st07 trimmed to keep the window at exactly 50 as s16 and
-    # cat37 landed).
+    # d07/st06/st07 trimmed to keep the window at exactly 50 as the
+    # three FTS/hybrid queries landed).
     # Still-stale after this round (lead the r13 window): the r7
     # leftovers e08/e11-e15, t10-t14, d07 and the whole r8 cohort
     # (cat16-cat21, d-series, s03-s13, lf20-lf30, t05-t23 members).
@@ -95,6 +95,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cat36_hive3_namespace",
     "s16_native_fts_bm25",
     "cat37_sql_fts_search",
+    "s17_hybrid_search_rrf",
     # changed-code re-checks
     "lf47_native_index_extend",
     "lf19_native_scalar_index_scan",
@@ -143,7 +144,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "st02_stream_session_window",
     "st03_stream_stateful_user_stats",
     "st05_stream_stream_join",
-    "st06_stream_cdc_upsert",
 )
 
 

@@ -1109,3 +1109,204 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((int(did), int(dl), float(s)))
     out.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s17 — HYBRID search with Reciprocal Rank Fusion (round 12): LanceDB's
+# hybrid_search capability — BM25 full-text arm + vector arm fused by
+# RRF(K=60) (Cormack et al. 2009), the default reranker LanceDB ships.
+# One NATIVE dataset carries text AND embeddings; the FTS arm ranks by
+# the inverted index's BM25 (bit-identical doubles, s16 discipline), the
+# vector arm shortlists through the persisted IVF index at nprobe=all
+# and re-ranks with the left-fold cosine both engines compute
+# identically (s01 discipline), and the fusion score 1/(60+r_fts) +
+# 1/(60+r_vec) is two exact divisions — every double in the output is
+# bit-identical to the plain-SQL oracle. Docs present in only one arm
+# contribute that arm alone (missing-rank term is 0, the RRF rule).
+# ---------------------------------------------------------------------------
+_S17_TERMS = ("merge", "stream")
+_S17_QVEC_ID = 42
+_S17_ARM_N = 30
+_S17_RRF_K = 60
+
+
+def _s17_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_S17_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_S17_TERMS)))
+    score_terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_S17_TERMS)))
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(_S17_TERMS)))
+    return f"""
+    WITH corpus AS (
+      -- the hybrid dataset is the INNER JOIN of text and embeddings
+      -- (at sf1 `documents` is a superset of `embeddings`)
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id),
+    per_doc AS (
+      SELECT doc_id, len(toks) AS dl, {tf_cols}
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM corpus) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM per_doc),
+    fts AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY (0.0 + {score_terms}) DESC, doc_id) AS BIGINT)
+               AS r
+      FROM per_doc, stats WHERE {any_tf} > 0
+      ORDER BY r LIMIT {_S17_ARM_N}),
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {_S17_QVEC_ID}),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY {_cos_sql('e.embedding', 'qv')} DESC, e.vec_id)
+               AS BIGINT) AS r
+      FROM embeddings e, q
+      WHERE e.vec_id IN (SELECT doc_id FROM corpus)
+      ORDER BY r LIMIT {_S17_ARM_N})
+    SELECT COALESCE(fts.doc_id, vec.doc_id) AS doc_id,
+           (COALESCE(1.0 / ({_S17_RRF_K} + fts.r), 0.0)
+            + COALESCE(1.0 / ({_S17_RRF_K} + vec.r), 0.0)) AS rrf,
+           CAST(COALESCE(fts.r, 0) AS BIGINT) AS fts_rank,
+           CAST(COALESCE(vec.r, 0) AS BIGINT) AS vec_rank
+    FROM fts FULL OUTER JOIN vec ON fts.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 12
+    """
+
+
+@register(
+    "s17_hybrid_search_rrf",
+    oracle=_s17_oracle(),
+    doc="hybrid search: native FTS BM25 arm + IVF-shortlisted left-fold "
+        "cosine arm fused by RRF(60), bit-identical to the SQL oracle",
+    tags=("similarity", "search", "text", "ann", "lance-format"),
+)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s17-hybrid.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    rows = (
+        docs.join(embs, docs.doc_id == embs.vec_id)
+        .select("doc_id", "text", "embedding").orderBy("doc_id").collect()
+    )
+    dim = len(rows[0]["embedding"])
+    ln.write_native_dataset(path, {
+        "doc_id": [int(r["doc_id"]) for r in rows],
+        "text": [r["text"] for r in rows],
+        "embedding": [[float(x) for x in r["embedding"]] for r in rows],
+    })
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+    ln.write_native_vector_index(
+        path, "embedding", n_cells=4, nsub=8, spark=spark)
+
+    # FTS arm: BM25 ranks (ties -> doc_id; addr order == doc_id order)
+    fts_hits, _ = ln.native_fts_search(
+        path, "text", " ".join(_S17_TERMS), k=_S17_ARM_N)
+    m = ln.read_native_manifest(path)
+    id_field = next(f for f in m.top_level_fields() if f.name == "doc_id")
+
+    def ids_of(addrs):
+        out = {}
+        by_frag: dict[int, list] = {}
+        for a in addrs:
+            by_frag.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+        for fid, poss in by_frag.items():
+            frag = next(f for f in m.fragments if f.id == fid)
+            dfile, col_idx = frag.file_for_field(id_field.id)
+            vals = ln.read_file_column(
+                path, dfile, col_idx, id_field, m,
+                indices=np.asarray(sorted(poss), dtype=np.int64))
+            for pos, v in zip(sorted(poss), vals.to_pylist()):
+                out[(fid << 32) | pos] = int(v)
+        return out
+
+    fts_ids = ids_of([a for a, _, _ in fts_hits])
+    fts_rank = {fts_ids[a]: r + 1
+                for r, (a, _, _) in enumerate(fts_hits)}
+
+    # vector arm: IVF shortlist at nprobe=all (covers every row), exact
+    # left-fold cosine re-rank — the bitwise-identical s01 semantics
+    idx = ln.latest_native_vector_index(path, "embedding")
+    qv = [float(x)
+          for x in next(r["embedding"] for r in rows
+                        if int(r["doc_id"]) == _S17_QVEC_ID)]
+    res = ln.native_index_search(
+        path, idx, np.asarray(qv, dtype=np.float32),
+        k=len(rows), nprobe=idx.n_cells, manifest=m)[0]
+    cand = sorted(res["neighbors"])
+    assert len(cand) == len(rows)  # nprobe=all + k=n: exact coverage
+    emb_field = next(
+        f for f in m.top_level_fields() if f.name == "embedding")
+
+    def leftfold_dot(a, b):
+        acc = float(a[0]) * float(b[0])
+        for i in range(1, len(a)):
+            acc = acc + float(a[i]) * float(b[i])
+        return acc
+
+    import math as _math
+
+    qnorm = _math.sqrt(leftfold_dot(qv, qv))
+    cos_by_doc = []
+    by_frag: dict[int, list] = {}
+    for a in cand:
+        by_frag.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+    doc_ids_map = ids_of(cand)
+    for fid, poss in sorted(by_frag.items()):
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(emb_field.id)
+        vecs = ln.read_file_column(
+            path, dfile, col_idx, emb_field, m,
+            indices=np.asarray(sorted(poss), dtype=np.int64))
+        for pos, v in zip(sorted(poss), vecs.to_pylist()):
+            cv = [float(x) for x in v]
+            cos = leftfold_dot(cv, qv) / (
+                _math.sqrt(leftfold_dot(cv, cv)) * qnorm)
+            cos_by_doc.append((doc_ids_map[(fid << 32) | pos], cos))
+    cos_by_doc.sort(key=lambda t: (-t[1], t[0]))
+    vec_rank = {d: r + 1
+                for r, (d, _) in enumerate(cos_by_doc[:_S17_ARM_N])}
+
+    # RRF fusion (missing arm contributes 0 — adding exact 0.0 is a
+    # bitwise no-op, matching the oracle's COALESCE)
+    fused = []
+    for d in set(fts_rank) | set(vec_rank):
+        rrf = 0.0
+        if d in fts_rank:
+            rrf = rrf + 1.0 / (_S17_RRF_K + fts_rank[d])
+        if d in vec_rank:
+            rrf = rrf + 1.0 / (_S17_RRF_K + vec_rank[d])
+        fused.append((d, rrf, fts_rank.get(d, 0), vec_rank.get(d, 0)))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(
+        fused[:12],
+        "doc_id long, rrf double, fts_rank long, vec_rank long")
