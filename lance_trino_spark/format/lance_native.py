@@ -5396,6 +5396,7 @@ def _distributed_ivf_cell_files(
     from ..sources.lance_datasource import register_lance_datasource
 
     register_lance_datasource(spark)
+    _require_shared_store(root, "the distributed IVF build")
     binding = nio.binding_for(root)
     n_cells = len(cent)
     dim = cent.shape[1]
@@ -6487,6 +6488,23 @@ def _btree_single_blob(
     return blob, len(counts)
 
 
+def _require_shared_store(root: str, what: str) -> None:
+    """Distributed EXECUTOR-SIDE writes (index shards, postings, doclen
+    files) need a store shared across processes — on a copy-semantics
+    double (MemoryObjectStore) each worker would write into its own
+    snapshot and the committed meta would reference files the driver
+    store never received. Same refusal stage_native_fragments makes."""
+    b = nio.binding_for(root)
+    if b is not None and not getattr(
+            b[1], "shared_across_processes", False):
+        raise LanceNativeError(
+            f"{what} writes shard files from executors and needs a "
+            "store shared across processes; "
+            f"{type(b[1]).__name__} is a driver-local double — build "
+            "serially (spark=None) or register a process-shared store "
+            "(PyArrowFsObjectStore)")
+
+
 # LSM discipline for in-place extends: each incremental extend appends
 # the sorted DELTA as a new RUN (scalar) / per-cell delta file (vector)
 # — O(delta) work, fully executor-stageable. Probe cost grows with the
@@ -6654,6 +6672,7 @@ def _distributed_btree_shards(
     from ..sources.lance_datasource import register_lance_datasource
 
     register_lance_datasource(spark)
+    _require_shared_store(root, "the distributed btree build")
     binding = nio.binding_for(root)
     vtype = {"int64": "long", "float64": "double", "string": "string"}[kind]
     df = (
@@ -7390,6 +7409,7 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
         from ..sources.lance_datasource import register_lance_datasource
 
         register_lance_datasource(spark)
+        _require_shared_store(root, "the distributed FTS build")
         binding = nio.binding_for(root)
         df = (
             spark.read.format("lance").options(**nio.spark_options(root))

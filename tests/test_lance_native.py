@@ -4901,3 +4901,45 @@ def test_prefilter_allowed_set_cap_refuses_loudly(tmp_path, spark,
     ln.ensure_native_scalar_index(root, "vec_id")
     allowed = ln._native_prefilter_rows(root, live, ("vec_id", [3, 7]))
     assert sum(len(v) for v in allowed.values()) == 2
+
+
+def test_distributed_index_builds_refuse_driver_local_store(tmp_path,
+                                                            spark):
+    """Executor-side shard writes on a copy-semantics store double would
+    silently vanish (each worker writes its own snapshot) — all three
+    distributed index builders refuse with the stage_native_fragments
+    wording; serial builds on the same root still work."""
+    import numpy as np
+    import pytest as _pytest
+
+    import lance_trino_spark.format.lance_native as ln
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.backend import MemoryObjectStore
+
+    root = "memory://bucket/idx-guard.lance"
+    store = MemoryObjectStore()
+    nio.register_object_store_root("memory://bucket", store)
+    try:
+        rng = np.random.default_rng(3)
+        ln.write_native_dataset(root, {
+            "k": list(range(50)),
+            "text": [f"tok{i % 5} word{i}" for i in range(50)],
+            "emb": [list(map(float, rng.normal(size=8)))
+                    for _ in range(50)],
+        })
+        for fn in (
+            lambda: ln.write_native_scalar_index(root, "k", spark=spark),
+            lambda: ln.write_native_vector_index(
+                root, "emb", n_cells=2, nsub=4, spark=spark),
+            lambda: ln.write_native_fts_index(root, "text", spark=spark),
+        ):
+            with _pytest.raises(ln.LanceNativeError,
+                                match="shared across processes"):
+                fn()
+        # serial builds still work on the same root
+        ln.write_native_scalar_index(root, "k")
+        ln.write_native_fts_index(root, "text", n_buckets=2)
+        hits, _ = ln.native_fts_search(root, "text", "tok1", k=3)
+        assert hits
+    finally:
+        nio.unregister_object_store_root("memory://bucket")
