@@ -7523,16 +7523,25 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
             bucket_files[int(r["bucket"])] = r["name"]
         return bucket_files, doclen_files, n_docs, sum_dl
 
-    # ---- serial twin (fixture scale) ------------------------------------
+    # ---- serial twin (fixture scale). Deleted rows are SKIPPED and
+    # uncounted, matching the distributed arm (whose scan applies DVs) —
+    # serial and distributed builds agree on every dataset, not just
+    # DV-free ones ------------------------------------------------------
     per_bucket: list[dict] = [dict() for _ in range(n_buckets)]
     for frag in frags:
         dfile, col_idx = frag.file_for_field(nfield.id)
         arr = read_file_column(root, dfile, col_idx, nfield, manifest)
         texts = arr.to_pylist()
+        dead = (set(_deleted_rows_np(root, frag.deletion).tolist())
+                if frag.deletion is not None else set())
         dl = np.zeros(len(texts), dtype="<u4")
+        n_live = 0
         for pos, txt in enumerate(texts):
+            if pos in dead:
+                continue
             toks = _fts_tokenize(txt)
             dl[pos] = len(toks)
+            n_live += 1
             if not toks:
                 continue
             addr = (int(frag.id) << 32) | pos
@@ -7545,7 +7554,7 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
         name = f"doclen-f{int(frag.id):08d}-{uuidlib.uuid4().hex[:8]}.idx"
         nio.write_bytes(os.path.join(d, name), dl.tobytes())
         doclen_files.append((int(frag.id), name))
-        n_docs += len(texts)
+        n_docs += n_live
         sum_dl += int(dl.sum())
     for b in range(n_buckets):
         if not per_bucket[b]:
@@ -7745,7 +7754,50 @@ def extend_native_fts_index(root: str, column: str, spark=None
     n_docs = idx.n_docs + d_docs
     sum_dl = idx.sum_dl + d_dl
     if len(runs) >= MAX_INDEX_RUNS:
-        # in-place COMPACTION: merge every run's postings per bucket
+        # in-place COMPACTION — the Lucene segment-merge moment: merge
+        # every run's postings per bucket, PRUNE postings of deleted
+        # rows and dead fragments, drop dead doclen entries, and
+        # RECOMPUTE corpus stats over the live rows (between
+        # compactions, deletes drop from results immediately but stats
+        # drift — exactly Lucene's stance)
+        cov_set = set(coverage)
+        live_masks: dict[int, "np.ndarray"] = {}
+        frag_by_id = {f.id: f for f in manifest.fragments}
+        n_docs = 0
+        sum_dl = 0
+        kept_doclen = []
+        for fid, name in doclen:
+            if fid not in cov_set or fid not in frag_by_id:
+                continue  # dead fragment: entry dropped, file vacuumed
+            arr = np.frombuffer(
+                nio.read_bytes(os.path.join(d, name)), dtype="<u4")
+            mask = np.ones(len(arr), dtype=bool)
+            frag = frag_by_id[fid]
+            if frag.deletion is not None:
+                dead = _deleted_rows_np(root, frag.deletion)
+                mask[dead[dead < len(arr)]] = False
+            live_masks[fid] = mask
+            n_docs += int(mask.sum())
+            sum_dl += int(arr[mask].sum())
+            kept_doclen.append((fid, name))
+        doclen = kept_doclen
+
+        def prune(addrs: "np.ndarray", tfs: "np.ndarray"):
+            fids = (addrs >> np.uint64(32)).astype(np.int64)
+            poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            keep = np.ones(len(addrs), dtype=bool)
+            for fid in np.unique(fids):
+                m = live_masks.get(int(fid))
+                sel = fids == fid
+                if m is None:
+                    keep[sel] = False
+                    continue
+                pp = poss[sel]
+                ok = (pp < len(m))
+                ok[ok] = m[pp[ok]]
+                keep[sel] = ok
+            return addrs[keep], tfs[keep]
+
         merged_run = []
         for b in range(idx.n_buckets):
             toks: dict[str, list] = {}
@@ -7755,17 +7807,19 @@ def extend_native_fts_index(root: str, column: str, spark=None
                 post = _fts_read_all_postings(os.path.join(d, run[b]))
                 for t, (addrs, tfs) in post.items():
                     toks.setdefault(t, []).append((addrs, tfs))
-            if not toks:
-                merged_run.append("")
-                continue
-            tokens = sorted(toks)
-            addrs_l, tfs_l = [], []
-            for t in tokens:
+            tokens, addrs_l, tfs_l = [], [], []
+            for t in sorted(toks):
                 a = np.concatenate([x[0] for x in toks[t]])
                 c = np.concatenate([x[1] for x in toks[t]])
                 order = np.argsort(a, kind="stable")
-                addrs_l.append(a[order])
-                tfs_l.append(c[order])
+                a, c = prune(a[order], c[order])
+                if len(a):
+                    tokens.append(t)
+                    addrs_l.append(a)
+                    tfs_l.append(c)
+            if not tokens:
+                merged_run.append("")
+                continue
             name = (f"post-r000-{b:04d}-{uuidlib.uuid4().hex[:8]}.idx")
             nio.write_bytes(os.path.join(d, name),
                             _fts_postings_blob(tokens, addrs_l, tfs_l))
@@ -8020,7 +8074,11 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
     for frag in frags:
         dfile, col_idx = frag.file_for_field(nfield.id)
         arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        dead = (set(_deleted_rows_np(root, frag.deletion).tolist())
+                if frag.deletion is not None else set())
         for pos, txt in enumerate(arr.to_pylist()):
+            if pos in dead:  # match the spark arm's DV-applying scan
+                continue
             toks = _fts_tokenize(txt)
             n_docs += 1
             sum_dl += len(toks)

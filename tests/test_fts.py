@@ -298,3 +298,49 @@ def test_fts_fresh_search_live_snapshot(tmp_path, spark):
     ln.native_delete(root, {0: np.asarray([5])})
     got, _ = ln.native_fts_search_fresh(root, "text", "merge", k=10)
     assert all((a >> 32, a & 0xFFFFFFFF) != (0, 5) for a, _, _ in got)
+
+
+def test_fts_compaction_prunes_dead_and_refreshes_stats(tmp_path,
+                                                        monkeypatch):
+    """The Lucene segment-merge contract, pinned: between compactions,
+    deleted docs drop from RESULTS immediately but corpus stats drift;
+    the compaction prunes dead postings, drops dead doclen entries, and
+    recomputes n_docs/sum_dl over the live rows — after it, the index's
+    scores equal a fresh build over the live corpus exactly."""
+    import numpy as np
+
+    root = str(tmp_path / "fts_compact.lance")
+    _mk(root)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    ln.native_delete(root, {0: np.asarray([5])})  # "merge merge merge"
+    idx = ln.latest_native_fts_index(root, "text")
+    assert idx.n_docs == len(DOCS)  # stats drift until compaction
+
+    monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 2)
+    ln.append_native_rows(root, {
+        "doc_id": [200], "text": ["merge of fresh things"]})
+    ln.extend_native_fts_index(root, "text")  # 2nd run -> compacts
+    idx2 = ln.latest_native_fts_index(root, "text")
+    assert idx2.n_runs == 1
+    assert idx2.n_docs == len(DOCS)  # 10 - 1 deleted + 1 appended
+    dead_dl = len(ln._fts_tokenize(DOCS[5]))
+    new_dl = len(ln._fts_tokenize("merge of fresh things"))
+    want_sum = sum(len(ln._fts_tokenize(t)) for t in DOCS) \
+        - dead_dl + new_dl
+    assert idx2.sum_dl == want_sum
+    # dead postings pruned from the merged run: doc 5 absent even
+    # WITHOUT the query-time DV mask
+    b = ln._fts_bucket_of("merge", idx2.n_buckets)
+    name = idx2.run_files[0][b]
+    post = ln._fts_read_all_postings(
+        os.path.join(os.path.dirname(idx2.path), name))
+    assert all((int(a) >> 32, int(a) & 0xFFFFFFFF) != (0, 5)
+               for a in post["merge"][0])
+    # post-compaction scores == a fresh serial build's (DV-aware build)
+    rb_uid = ln.write_native_fts_index(root, "text", n_buckets=4)
+    rb = next(i for i in ln.list_native_fts_indices(root)
+              if os.path.dirname(i.path).endswith(rb_uid))
+    for q in ["merge stream", "fresh things"]:
+        rc, _ = ln.native_fts_search(root, "text", q, k=8, index=idx2)
+        rr, _ = ln.native_fts_search(root, "text", q, k=8, index=rb)
+        assert rc == rr
