@@ -4943,3 +4943,78 @@ def test_distributed_index_builds_refuse_driver_local_store(tmp_path,
         assert hits
     finally:
         nio.unregister_object_store_root("memory://bucket")
+
+
+def test_sharded_indexes_on_pyarrow_fs_object_store(tmp_path, spark):
+    """Round-12 writers on a PROCESS-SHARED object-store root (the
+    S3/GCS shape): executor-staged sharded btree build, distributed FTS
+    build, O(delta) in-place extends (atomic replace_bytes on the
+    remote meta), postings/shard probes via ranged reads, and vacuum's
+    shard-debris pass — all through the pyarrow-fs store, zero posix
+    paths."""
+    import warnings
+
+    import numpy as np
+    import pyarrow.fs as pafs
+
+    import lance_trino_spark.format.lance_native as ln
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.backend import PyArrowFsObjectStore
+    from lance_trino_spark.sources.lance_datasource import (
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    base = str(tmp_path / "bucket")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        store = PyArrowFsObjectStore(
+            pafs.LocalFileSystem(), "pafs://idx", base)
+    root = "pafs://idx/wh/t.lance"
+    nio.register_object_store_root("pafs://idx", store)
+    try:
+        n = 2000
+        ln.write_native_dataset(root, {
+            "k": list(range(n)),
+            "text": [f"tok{i % 11} word{i} merge" for i in range(n)],
+        })
+        # executor-staged sharded btree build on the remote root
+        ln.write_native_scalar_index(
+            root, "k", page_rows=128, spark=spark, shard_rows=512)
+        idx = [i for i in ln.list_native_scalar_indices(root)
+               if i.column == "k"][-1]
+        assert idx.n_shards >= n // 512
+        rows, st = ln.scalar_index_lookup(idx, eq_values=[1234])
+        assert sum(len(v) for v in rows.values()) == 1
+        assert st["shards_read"] == 1
+
+        # distributed FTS build + probe through ranged remote reads
+        ln.write_native_fts_index(root, "text", n_buckets=4, spark=spark)
+        hits, _ = ln.native_fts_search(root, "text", "tok7", k=5)
+        assert len(hits) == 5
+
+        # O(delta) in-place extends: new run lands remotely, meta
+        # atomically replaced via the store PUT
+        ln.append_native_rows(root, {
+            "k": [5000], "text": ["merge tok7 late"]})
+        assert ln.extend_native_scalar_index(
+            root, "k", page_rows=128, spark=spark)
+        assert ln.extend_native_fts_index(root, "text", spark=spark)
+        idx2 = [i for i in ln.list_native_scalar_indices(root)
+                if i.column == "k"][-1]
+        assert len(idx2.shard_runs) == 2
+        rows, _ = ln.scalar_index_lookup(idx2, eq_values=[5000])
+        assert sum(len(v) for v in rows.values()) == 1
+        fts2 = ln.latest_native_fts_index(root, "text")
+        assert fts2.n_runs == 2 and fts2.n_docs == n + 1
+        hits, _ = ln.native_fts_search(root, "text", "late", k=3)
+        assert len(hits) == 1
+
+        # vacuum's debris pass runs through the store listing
+        out = ln.native_cleanup_old_versions(root, keep_versions=1)
+        rows, _ = ln.scalar_index_lookup(
+            [i for i in ln.list_native_scalar_indices(root)
+             if i.column == "k"][-1], eq_values=[1234])
+        assert sum(len(v) for v in rows.values()) == 1
+    finally:
+        nio.unregister_object_store_root("pafs://idx")
