@@ -5018,3 +5018,80 @@ def test_sharded_indexes_on_pyarrow_fs_object_store(tmp_path, spark):
         assert sum(len(v) for v in rows.values()) == 1
     finally:
         nio.unregister_object_store_root("pafs://idx")
+
+
+def test_multi_run_scalar_probes_randomized_bruteforce(tmp_path):
+    """Randomized pin for the two-level multi-run probe math: an extend
+    CHAIN (4 runs, int64 AND string kinds, small shards/pages so every
+    boundary case appears) answers dozens of random eq/IN/range probes
+    identically to a brute-force scan of the stored column — including
+    unbounded sides, fence-tie values, and absent values."""
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+
+    rng = np.random.default_rng(17)
+    root = str(tmp_path / "mr.lance")
+    batches = [rng.integers(0, 500, size=120).tolist() for _ in range(4)]
+    ln.write_native_dataset(root, {
+        "k": batches[0],
+        "s": [f"v{v:03d}" for v in batches[0]],
+    })
+    ln.write_native_scalar_index(root, "k", page_rows=16, shard_rows=48)
+    ln.write_native_scalar_index(root, "s", page_rows=16, shard_rows=48)
+    for b in batches[1:]:
+        ln.append_native_rows(root, {
+            "k": b, "s": [f"v{v:03d}" for v in b]})
+        assert ln.extend_native_scalar_index(
+            root, "k", page_rows=16, shard_rows=48)
+        assert ln.extend_native_scalar_index(
+            root, "s", page_rows=16, shard_rows=48)
+
+    by_col = {}
+    for i in ln.list_native_scalar_indices(root):
+        by_col[i.column] = i  # newest wins (version ascending)
+    assert len(by_col["k"].shard_runs) == 4
+    assert len(by_col["s"].shard_runs) == 4
+
+    # brute-force truth: (value, addr) pairs per column
+    all_rows = []
+    for fi, b in enumerate(batches):
+        for pos, v in enumerate(b):
+            all_rows.append((v, (fi << 32) | pos))
+
+    def brute(pred):
+        out = {}
+        for v, a in all_rows:
+            if pred(v):
+                out.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+        return {fid: sorted(set(rs)) for fid, rs in out.items()}
+
+    def got_of(res):
+        return {fid: list(map(int, r)) for fid, r in res.items() if len(r)}
+
+    for _ in range(40):
+        kind = rng.integers(0, 3)
+        if kind == 0:  # eq/IN
+            vals = rng.integers(-5, 520, size=rng.integers(1, 5)).tolist()
+            want = brute(lambda v: v in set(vals))
+            g, _ = ln.scalar_index_lookup(by_col["k"], eq_values=vals)
+            assert got_of(g) == want
+            g, _ = ln.scalar_index_lookup(
+                by_col["s"],
+                eq_values=[f"v{v:03d}" for v in vals if 0 <= v < 1000])
+            want_s = brute(
+                lambda v: v in {x for x in vals if 0 <= x < 1000})
+            assert got_of(g) == want_s
+        else:
+            lo, hi = sorted(rng.integers(-10, 520, size=2).tolist())
+            li = bool(rng.integers(0, 2))
+            hi_inc = bool(rng.integers(0, 2))
+            lo_b = None if rng.integers(0, 5) == 0 else lo
+            hi_b = None if rng.integers(0, 5) == 0 else hi
+            want = brute(lambda v: (
+                (lo_b is None or (v >= lo_b if li else v > lo_b))
+                and (hi_b is None or (v <= hi_b if hi_inc else v < hi_b))))
+            g, _ = ln.scalar_index_lookup(
+                by_col["k"], lo=lo_b, hi=hi_b,
+                lo_inclusive=li, hi_inclusive=hi_inc)
+            assert got_of(g) == want
