@@ -344,3 +344,76 @@ def test_fts_compaction_prunes_dead_and_refreshes_stats(tmp_path,
         rc, _ = ln.native_fts_search(root, "text", q, k=8, index=idx2)
         rr, _ = ln.native_fts_search(root, "text", q, k=8, index=rb)
         assert rc == rr
+
+
+def test_fts_randomized_lifecycle_bruteforce(tmp_path):
+    """Randomized pin for the whole FTS lifecycle: random corpora
+    (skewed token distribution, empty/None-free fixture rows), random
+    append/extend/delete interleavings, random multi-term queries — the
+    fresh search always equals the analyzer-faithful brute force over
+    the LIVE corpus after a final compacting extend (which refreshes
+    stats), and between maintenance points deleted docs never surface."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def mk_doc():
+        n = int(rng.integers(1, 12))
+        return " ".join(rng.choice(
+            vocab, size=n, p=np.linspace(2, 1, 30) / np.linspace(
+                2, 1, 30).sum()))
+
+    for trial in range(3):
+        root = str(tmp_path / f"rand{trial}.lance")
+        docs = [mk_doc() for _ in range(40)]
+        ln.write_native_dataset(root, {
+            "doc_id": list(range(40)), "text": docs})
+        ln.write_native_fts_index(root, "text", n_buckets=3)
+        live = {(0, i): docs[i] for i in range(40)}
+        next_frag = 1
+        for step in range(3):
+            extra = [mk_doc() for _ in range(10)]
+            ln.append_native_rows(root, {
+                "doc_id": list(range(1000 + step * 10,
+                                     1010 + step * 10)),
+                "text": extra})
+            for i, t in enumerate(extra):
+                live[(next_frag, i)] = t
+            next_frag += 1
+            # delete a random surviving doc from fragment 0
+            alive0 = [p for (f, p) in live if f == 0]
+            victim = int(rng.choice(alive0))
+            ln.native_delete(root, {0: np.asarray([victim])})
+            del live[(0, victim)]
+            assert ln.extend_native_fts_index(root, "text")
+            q = " ".join(rng.choice(vocab, size=2))
+            got, _ = ln.native_fts_search_fresh(root, "text", q, k=15)
+            # deleted docs never surface
+            for a, _dl, _s in got:
+                assert (a >> 32, a & 0xFFFFFFFF) in live
+        # final: force a compaction (stats refresh) then exact parity
+        final_doc = mk_doc()
+        ln.append_native_rows(root, {
+            "doc_id": [9999], "text": [final_doc]})
+        live[(next_frag, 0)] = final_doc
+        import lance_trino_spark.format.lance_native as _ln
+
+        saved = _ln.MAX_INDEX_RUNS
+        _ln.MAX_INDEX_RUNS = 2
+        try:
+            assert ln.extend_native_fts_index(root, "text")  # compacts
+        finally:
+            _ln.MAX_INDEX_RUNS = saved
+        idx = ln.latest_native_fts_index(root, "text")
+        assert idx.n_runs == 1 and idx.n_docs == len(live)
+        ordered = sorted(live.items())  # (frag,pos) order == addr order
+        texts = [t for _, t in ordered]
+        for _ in range(5):
+            q = " ".join(rng.choice(vocab, size=3))
+            got, _ = ln.native_fts_search(root, "text", q, k=12)
+            want = _brute_bm25(texts, q, 12)
+            got_keys = [(a >> 32, a & 0xFFFFFFFF) for a, _, _ in got]
+            want_keys = [ordered[i][0] for i, _, _ in want]
+            assert got_keys == want_keys
+            assert [s for _, _, s in got] == [s for _, _, s in want]
