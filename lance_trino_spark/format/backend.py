@@ -179,22 +179,28 @@ class MemoryObjectStore:
         import threading
 
         self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
         self._lock = threading.Lock()
 
     def __getstate__(self):
-        return {"_objects": dict(self._objects)}
+        return {"_objects": dict(self._objects),
+                "_mtimes": dict(self._mtimes)}
 
     def __setstate__(self, state):
         import threading
 
         self._objects = state["_objects"]
+        self._mtimes = state.get("_mtimes", {})
         self._lock = threading.Lock()
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
+        import time as _time
+
         with self._lock:
             if key in self._objects:
                 return False
             self._objects[key] = bytes(data)
+            self._mtimes[key] = _time.time()
             return True
 
     def get(self, key: str) -> bytes | None:
@@ -202,8 +208,16 @@ class MemoryObjectStore:
 
     def put(self, key: str, data: bytes) -> None:
         """Unconditional PUT (data-plane writes; commits stay conditional)."""
+        import time as _time
+
         with self._lock:
             self._objects[key] = bytes(data)
+            self._mtimes[key] = _time.time()
+
+    def mtime(self, key: str) -> float | None:
+        """Object last-modified (real stores expose LastModified; vacuum's
+        debris grace gate needs it on the memory double too)."""
+        return self._mtimes.get(key)
 
     def get_range(self, key: str, start: int, length: int) -> bytes:
         """Ranged GET — the primitive that keeps footer-seek metadata
@@ -220,6 +234,7 @@ class MemoryObjectStore:
 
     def delete(self, key: str) -> None:
         self._objects.pop(key, None)
+        self._mtimes.pop(key, None)
 
 
 class FsspecObjectStore:

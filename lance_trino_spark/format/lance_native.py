@@ -4480,8 +4480,15 @@ def native_compact(
 
 
 # ------------------------------------------------------- Spark integration
+# In-flight index builds/extends stage shard files BEFORE their atomic
+# meta replace; vacuum's debris reaper must not treat those as orphans.
+# 15 minutes is far past any single staging task's lifetime.
+DEBRIS_GRACE_SECONDS = 900.0
+
+
 def native_cleanup_old_versions(
-    root: str, keep_versions: int = 1
+    root: str, keep_versions: int = 1,
+    debris_grace_seconds: float = DEBRIS_GRACE_SECONDS,
 ) -> dict:
     """Reclaim storage on a REAL `.lance` dataset — the native twin of
     the lance SDK's `cleanup_old_versions` and of the own-format
@@ -4621,7 +4628,22 @@ def native_cleanup_old_versions(
     # unreferenced shard files in committed dirs, and whole dirs holding
     # only shards with no meta at all (a build that died pre-commit).
     # Foreign (SDK-written) index dirs never contain these names and are
-    # untouched.
+    # untouched. GRACE WINDOW (the SDK's cleanup_old_versions older_than
+    # stance): an IN-FLIGHT build/extend stages its files before the
+    # atomic meta replace — debris younger than `debris_grace_seconds`
+    # (or of unknown age on stores without mtimes) is kept, so a vacuum
+    # racing index maintenance never deletes just-staged files out from
+    # under the commit.
+    import time as _time
+
+    _now = _time.time()
+
+    def _past_grace(p: str) -> bool:
+        if debris_grace_seconds <= 0:
+            return True
+        mt = nio.mtime(p)
+        return mt is not None and (_now - mt) >= debris_grace_seconds
+
     for dname in nio.listdir(idx_root):
         ddir = os.path.join(idx_root, dname)
         names = set(nio.listdir(ddir))
@@ -4634,8 +4656,9 @@ def native_cleanup_old_versions(
         if not shard_files:
             continue
         if "index.idx" not in names:
-            nio.rmtree(ddir)
-            out["removed_index_dirs"] += 1
+            if all(_past_grace(os.path.join(ddir, nm)) for nm in names):
+                nio.rmtree(ddir)
+                out["removed_index_dirs"] += 1
             continue
         referenced: set[str] = set()
         try:
@@ -4661,7 +4684,9 @@ def native_cleanup_old_versions(
             except (ValueError, OSError, KeyError):
                 referenced |= shard_files  # unreadable: keep conservatively
         for nm in shard_files - referenced:
-            nio.delete(os.path.join(ddir, nm))
+            p = os.path.join(ddir, nm)
+            if _past_grace(p):
+                nio.delete(p)
     return out
 
 
@@ -6961,7 +6986,7 @@ def read_native_scalar_index(path: str) -> NativeScalarIndex:
         raise LanceNativeError(f"{path}: not a scalar (btree) index")
     kind = None
     offs = counts = covered = None
-    shard_counts = shard_names = shard_pages = None
+    shard_counts = shard_names = shard_pages = shard_runs = None
     fences_raw = b""
     for f, wt, v in pb_items(bt):
         if f == 1:

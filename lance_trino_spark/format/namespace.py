@@ -567,6 +567,28 @@ def boto3_glue_client(region_name=None, **kw):
     raw = boto3.client("glue", region_name=region_name, **kw)
 
     class _Boto3Glue:  # pragma: no cover — exercised only with real AWS
+        @staticmethod
+        def _paginated(op: str, list_key: str, **kwargs) -> dict:
+            # real Glue pages at ~100 entries; the raw call would
+            # silently truncate list_namespaces/list_tables past one
+            # page, so aggregate every page into the single-dict shape
+            # the namespace consumes.
+            try:
+                items = []
+                for page in raw.get_paginator(op).paginate(**kwargs):
+                    items.extend(page.get(list_key, []))
+                return {list_key: items}
+            except ClientError as ex:
+                code = ex.response.get("Error", {}).get("Code", "")
+                raise GlueClientError(code, str(ex)) from ex
+
+        def get_databases(self, **kwargs):
+            return self._paginated("get_databases", "DatabaseList",
+                                   **kwargs)
+
+        def get_tables(self, **kwargs):
+            return self._paginated("get_tables", "TableList", **kwargs)
+
         def __getattr__(self, meth):
             fn = getattr(raw, meth)
 
@@ -610,9 +632,22 @@ class GlueNamespace:
             raise
 
     def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
+        # emptiness must use the UNFILTERED table list: real AWS Glue
+        # DeleteDatabase silently deletes the database together with any
+        # remaining tables, so a lance-only emptiness check would let
+        # DROP SCHEMA destroy foreign (e.g. Iceberg) metadata. RESTRICT
+        # on ANY table, matching the directory backend's contract.
         try:
-            if self.list_tables(ns):
-                raise NamespaceError(f"schema {ns!r} is not empty")
+            tl = self.client.get_tables(DatabaseName=ns)["TableList"]
+        except GlueClientError as e:
+            if e.code == "EntityNotFoundException":
+                if if_exists:
+                    return
+                raise NamespaceError(f"schema {ns!r} does not exist") from e
+            raise
+        if tl:
+            raise NamespaceError(f"schema {ns!r} is not empty")
+        try:
             self.client.delete_database(Name=ns)
         except GlueClientError as e:
             if e.code == "EntityNotFoundException":
@@ -804,11 +839,21 @@ class HiveMetastoreNamespace:
             raise
 
     def drop_namespace(self, ns: str, if_exists: bool = False) -> None:
+        # existence first: list_tables re-wraps the metastore's
+        # NoSuchObjectException into a plain "does not exist" error that
+        # _not_found would miss, so IF EXISTS must be decided before any
+        # table listing. Emptiness is then the metastore's own contract:
+        # drop_database refuses a database holding ANY table (lance or
+        # foreign) with InvalidOperationException.
+        if not self.namespace_exists(ns):
+            if if_exists:
+                return
+            raise NamespaceError(f"schema {ns!r} does not exist")
         try:
-            if self.list_tables(ns):
-                raise NamespaceError(f"schema {ns!r} is not empty")
             self.client.drop_database(ns, **self._kw())
         except NamespaceError as e:
+            if "InvalidOperationException" in str(e):
+                raise NamespaceError(f"schema {ns!r} is not empty") from e
             if self._not_found(e):
                 if if_exists:
                     return

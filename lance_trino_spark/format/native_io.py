@@ -394,6 +394,22 @@ def size(path: str) -> int:
     return len(data)
 
 
+def mtime(path: str) -> float | None:
+    """Last-modified time (epoch seconds), or None when the backing
+    store does not track it — callers needing an age gate (vacuum's
+    debris grace window) must treat None as 'unknown age: keep'."""
+    r = _resolve(path)
+    if r is None:
+        try:
+            return os.path.getmtime(path)
+        except FileNotFoundError:
+            return None
+    store, key = r
+    if hasattr(store, "mtime"):
+        return store.mtime(key)
+    return None
+
+
 def delete(path: str) -> None:
     """Missing path is a no-op (vacuum races benignly)."""
     r = _resolve(path)

@@ -165,7 +165,8 @@ def test_fts_extend_runs_and_compaction(tmp_path, monkeypatch):
     n_before = sum(1 for nm in os.listdir(d) if nm.startswith("post-"))
     referenced = sum(1 for run in idx3.run_files for nm in run if nm)
     assert n_before > referenced
-    ln.native_cleanup_old_versions(root, keep_versions=1)
+    ln.native_cleanup_old_versions(
+        root, keep_versions=1, debris_grace_seconds=0)
     assert os.path.isdir(d)  # newest covering fts index survives
     n_after = sum(1 for nm in os.listdir(d) if nm.startswith("post-"))
     assert n_after == referenced

@@ -4758,7 +4758,8 @@ def test_vacuum_reaps_orphan_index_shards(tmp_path):
     _os.makedirs(dead_dir)
     with open(_os.path.join(dead_dir, "shard-00000.idx"), "wb") as fh:
         fh.write(b"debris")
-    native_cleanup_old_versions(root, keep_versions=1)
+    native_cleanup_old_versions(
+        root, keep_versions=1, debris_grace_seconds=0)
     assert not _os.path.exists(orphan)
     assert not _os.path.exists(dead_dir)
     survivor = [
@@ -4832,7 +4833,8 @@ def test_ivf_sharded_lifecycle_and_vacuum(tmp_path, spark, monkeypatch):
         root, idx2, vecs[550], k=3, nprobe=4, manifest=m)[0]
     assert len(r["neighbors"]) == 3
 
-    native_cleanup_old_versions(root, keep_versions=1)
+    native_cleanup_old_versions(
+        root, keep_versions=1, debris_grace_seconds=0)
     assert not _os.path.exists(orphan)
     d2 = _os.path.dirname(idx2.path)
     kept = sorted(_os.listdir(d2))
@@ -5095,3 +5097,96 @@ def test_multi_run_scalar_probes_randomized_bruteforce(tmp_path):
                 by_col["k"], lo=lo_b, hi=hi_b,
                 lo_inclusive=li, hi_inclusive=hi_inc)
             assert got_of(g) == want
+
+
+def test_vacuum_debris_grace_window(tmp_path):
+    """ADVICE r12: index builds/extends stage shard files BEFORE the
+    atomic meta replace, so the debris reaper must never delete young
+    files — a vacuum racing an in-flight extend would otherwise destroy
+    the files the imminent commit references. Fresh debris survives the
+    default grace; debris older than the window is reaped; committed
+    superseded index DIRS (the coverage loop) reap regardless."""
+    import os as _os
+    import time as _time
+
+    from lance_trino_spark.format.lance_native import (
+        DEBRIS_GRACE_SECONDS,
+        list_native_scalar_indices,
+        native_cleanup_old_versions,
+        write_native_scalar_index,
+    )
+
+    assert DEBRIS_GRACE_SECONDS >= 60
+    root, _total = _build_scalar_ds(tmp_path)
+    write_native_scalar_index(root, "k", page_rows=256, shard_rows=2048)
+    idx = [i for i in list_native_scalar_indices(root)
+           if i.column == "k"][-1]
+    d = _os.path.dirname(idx.path)
+    fresh = _os.path.join(d, "shard-99999-0000-feedf00d.idx")
+    with open(fresh, "wb") as fh:
+        fh.write(b"staged-by-inflight-extend")
+    fresh_dir = _os.path.join(root, "_indices", "inflight-build")
+    _os.makedirs(fresh_dir)
+    with open(_os.path.join(fresh_dir, "shard-00000.idx"), "wb") as fh:
+        fh.write(b"staged")
+    native_cleanup_old_versions(root, keep_versions=1)
+    assert _os.path.exists(fresh)       # young: KEPT under default grace
+    assert _os.path.isdir(fresh_dir)    # young meta-less dir: KEPT
+    # age the debris past the window -> reaped on the next vacuum
+    old = _time.time() - DEBRIS_GRACE_SECONDS - 5
+    _os.utime(fresh, (old, old))
+    _os.utime(_os.path.join(fresh_dir, "shard-00000.idx"), (old, old))
+    native_cleanup_old_versions(root, keep_versions=1)
+    assert not _os.path.exists(fresh)
+    assert not _os.path.isdir(fresh_dir)
+
+
+def test_sharded_meta_missing_runs_field_is_loud(tmp_path):
+    """ADVICE r12: a sharded btree meta whose runs field (9) is absent
+    or truncated must produce a diagnostic (or the single-run default),
+    never an UnboundLocalError."""
+    import os as _os
+    import struct as _struct
+
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.lance_native import (
+        _enc_field,
+        list_native_scalar_indices,
+        pb_items,
+        read_native_scalar_index,
+        scalar_index_lookup,
+        write_native_scalar_index,
+    )
+
+    root, _total = _build_scalar_ds(tmp_path)
+    write_native_scalar_index(root, "k", page_rows=256, shard_rows=2048)
+    idx = [i for i in list_native_scalar_indices(root)
+           if i.column == "k"][-1]
+    raw = nio.read_bytes(idx.path)
+    ln_ = _struct.unpack_from("<I", raw, 0)[0]
+    meta = raw[4:4 + ln_]
+    outer = b""
+    for f, wt, v in pb_items(meta):
+        if f == 6:
+            inner = b""
+            for f2, wt2, v2 in pb_items(v):
+                if f2 == 9:
+                    continue  # drop the runs field
+                if wt2 == 2:
+                    inner += _enc_field(f2, 2, v2)
+                else:
+                    inner += _enc_field(f2, 0, v2)
+            outer += _enc_field(6, 2, inner)
+        elif wt == 2:
+            outer += _enc_field(f, 2, v)
+        else:
+            outer += _enc_field(f, 0, v)
+    blob = _struct.pack("<I", len(outer)) + outer
+    blob += _struct.pack("<QHH", 0, 0, 1) + b"LANC"
+    nio.replace_bytes(idx.path, blob)
+    # absent runs field: single-run default (covers pre-LSM metas) —
+    # probes still answer exactly
+    reread = read_native_scalar_index(idx.path)
+    assert reread.shard_runs == (len(reread.shard_names),)
+    rows, _ = scalar_index_lookup(reread, eq_values=[4242])
+    assert sum(len(v) for v in rows.values()) == 1

@@ -190,3 +190,73 @@ def test_real_client_adapters():
             boto3_glue_client()
     with pytest.raises(NamespaceError, match="thrift"):
         thrift_hive_client("localhost")
+
+
+def test_drop_namespace_if_exists_on_missing_schema(tmp_path):
+    """ADVICE r12: DROP SCHEMA IF EXISTS on a missing schema must be a
+    silent no-op on EVERY backend — the Glue/Hive paths used to route
+    the not-found through list_tables, whose re-wrapped error dodged the
+    if_exists handler and still raised."""
+    for label, ns in _backends(tmp_path):
+        ns.drop_namespace("never_created", if_exists=True)  # no raise
+        with pytest.raises(NamespaceError, match="does not exist"):
+            ns.drop_namespace("never_created")
+    d = DirectoryNamespace(str(tmp_path / "dir"))
+    d.drop_namespace("never_created", if_exists=True)
+
+
+def test_glue_drop_refuses_schema_with_foreign_tables(tmp_path):
+    """ADVICE r12: real Glue DeleteDatabase silently drops any remaining
+    tables with the database, so emptiness must be judged on the
+    UNFILTERED table list — a database holding only a non-lance (e.g.
+    Iceberg) table refuses to drop instead of destroying it."""
+    client = FakeGlueClient()
+    ns = GlueNamespace(client, str(tmp_path))
+    ns.create_namespace("lake")
+    client.create_table(DatabaseName="lake", TableInput={
+        "Name": "ice",
+        "Parameters": {"table_type": "ICEBERG"},
+        "StorageDescriptor": {"Location": str(tmp_path / "ice")},
+    })
+    assert ns.list_tables("lake") == []  # invisible to the lance view
+    with pytest.raises(NamespaceError, match="not empty"):
+        ns.drop_namespace("lake")
+    assert client.get_table(DatabaseName="lake", Name="ice")  # survived
+    client.delete_table(DatabaseName="lake", Name="ice")
+    ns.drop_namespace("lake")
+    assert not ns.namespace_exists("lake")
+
+
+def test_boto3_adapter_follows_pagination(monkeypatch):
+    """ADVICE r12: the real Glue API pages at ~100 entries; the adapter
+    must aggregate every page (get_paginator), not pass through the
+    first page's dict."""
+    boto3 = pytest.importorskip("boto3")
+    from lance_trino_spark.format.namespace import boto3_glue_client
+
+    class FakePaginator:
+        def __init__(self, pages):
+            self.pages = pages
+
+        def paginate(self, **kw):
+            return iter(self.pages)
+
+    class FakeRaw:
+        def get_paginator(self, op):
+            if op == "get_databases":
+                return FakePaginator([
+                    {"DatabaseList": [{"Name": "a"}]},
+                    {"DatabaseList": [{"Name": "b"}]},
+                ])
+            assert op == "get_tables"
+            return FakePaginator([
+                {"TableList": [{"Name": "t1"}]},
+                {"TableList": [{"Name": "t2"}]},
+            ])
+
+    monkeypatch.setattr(boto3, "client", lambda *a, **k: FakeRaw())
+    c = boto3_glue_client()
+    assert [d["Name"] for d in c.get_databases()["DatabaseList"]] \
+        == ["a", "b"]
+    assert [t["Name"] for t in c.get_tables(DatabaseName="x")["TableList"]] \
+        == ["t1", "t2"]
