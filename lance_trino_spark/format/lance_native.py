@@ -7292,6 +7292,14 @@ FTS_ANALYZER = "whitespace-v1"
 DEFAULT_FTS_BUCKETS = 16
 _BM25_K1 = 1.2   # parity-pinned against operators/text.py (tests)
 _BM25_B = 0.75
+# A corpus-common term's postings are O(corpus); the driver scorer
+# refuses past this (the MAX_PREFILTER_ROWS stance) and routes to the
+# distributed arm when a SparkSession is supplied.
+MAX_FTS_POSTINGS = 10_000_000
+# The distributed arm's task unit: a bounded slice of ONE term's
+# postings in one run file — per-task memory stays O(chunk) no matter
+# how common the term is.
+FTS_CHUNK_POSTINGS = 1_000_000
 
 
 def _fts_tokenize(text) -> list[str]:
@@ -7401,17 +7409,92 @@ def _fts_read_postings(path: str, terms: list[str]):
         return out
 
 
+def _fts_postings_locate(path: str) -> dict:
+    """Meta-only read of one postings file: {token -> (body_offset,
+    count)}. The access decision (how many postings a query touches)
+    happens here, BEFORE any posting byte is read — the cap/routing
+    gate and the distributed arm's chunk planner both consume this."""
+    with nio.open_read(path) as fh:
+        fh.seek(0, os.SEEK_END)
+        fsize = fh.tell()
+        fh.seek(fsize - 16)
+        tail = fh.read(16)
+        if tail[-4:] != b"LANC":
+            raise LanceNativeError(f"{path}: missing LANC footer magic")
+        pos = struct.unpack_from("<Q", tail, 0)[0]
+        fh.seek(pos)
+        metar = fh.read(fsize - pos)
+    ln = struct.unpack_from("<I", metar, 0)[0]
+    meta = metar[4:4 + ln]
+    toks_raw = counts = offsets = None
+    for f, wt, v in pb_items(meta):
+        if f == 1:
+            toks_raw = v
+        elif f == 2:
+            counts = _packed_varints(v)
+        elif f == 3:
+            offsets = _packed_varints(v)
+    if toks_raw is None or counts is None or offsets is None:
+        raise LanceNativeError(f"{path}: incomplete postings metadata")
+    tokens = _dec_values_block("string", toks_raw, len(counts))
+    return {t: (offsets[i], counts[i]) for i, t in enumerate(tokens)}
+
+
+def _fts_read_postings_range(path: str, offset: int, count: int,
+                             i0: int, i1: int):
+    """Postings [i0, i1) of ONE term whose body block starts at
+    ``offset`` with ``count`` entries: two ranged reads (the addr block
+    and the tf block are separately contiguous), O(i1-i0) bytes."""
+    import numpy as np
+
+    with nio.open_read(path) as fh:
+        fh.seek(offset + i0 * 8)
+        addrs = np.frombuffer(fh.read((i1 - i0) * 8), dtype="<u8")
+        fh.seek(offset + count * 8 + i0 * 4)
+        tfs = np.frombuffer(fh.read((i1 - i0) * 4), dtype="<u4")
+    return addrs, tfs
+
+
+def _fts_fold_topk(per_term, k: int):
+    """Vectorized BM25 fold: sum each address's per-term contributions
+    IN TERM ORDER — per address the float64 additions happen in exactly
+    the sequence the one-at-a-time dict fold used, so scores stay
+    bit-identical to the Spark-expression and SQL oracle paths — and
+    return [(addr, dl, score)] best-first, ties on address. ``per_term``
+    is [(addrs u64, dls, contrib f64)] in query-term order; within one
+    term every address appears at most once (a doc lives in exactly one
+    fragment, each run covers distinct fragments), so a plain fancy
+    indexed add is an exact scatter."""
+    import numpy as np
+
+    live = [(a, dl, c) for a, dl, c in per_term if len(a)]
+    if not live:
+        return []
+    universe = np.unique(np.concatenate([a for a, _dl, _c in live]))
+    scores = np.zeros(len(universe), dtype=np.float64)
+    dls = np.zeros(len(universe), dtype=np.int64)
+    for addrs, dl_arr, contrib in live:
+        ix = np.searchsorted(universe, addrs)
+        scores[ix] += contrib
+        dls[ix] = np.asarray(dl_arr).astype(np.int64)
+    order = np.lexsort((universe, -scores))[:k]
+    return [(int(universe[i]), int(dls[i]), float(scores[i]))
+            for i in order]
+
+
 def _fts_run_build(root: str, d: str, manifest: NativeManifest,
                    frags, column: str, n_buckets: int, run_no: int,
                    spark=None):
     """Build ONE sorted run over ``frags``: per-fragment doclen files +
     per-bucket postings files written into ``d``. Returns
     (bucket_files [n_buckets, '' = empty], doclen [(frag, name)],
-    n_docs, sum_dl). With ``spark``, two fragment-parallel jobs: (1) the
-    doclen/stat pass (one metadata row per fragment, dl via a vectorized
-    regex count), (2) the tokenize + bucket-shuffle + bucket-task
-    postings write (one metadata row per non-empty bucket). Serial twin
-    for fixture scale."""
+    n_docs, sum_dl). With ``spark``, ONE fragment-parallel job: each
+    scan task tokenizes its fragment ONCE, writing the doclen file
+    (dl = token count from the same pass) and emitting token rows plus
+    a doclen marker row; the bucket-shuffle then groups token rows into
+    bucket-task postings writes while markers ride the same shuffle to
+    a passthrough group. Driver traffic: one metadata row per non-empty
+    bucket + one marker per fragment. Serial twin for fixture scale."""
     import uuid as uuidlib
 
     import numpy as np
@@ -7447,68 +7530,55 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
 
         nb = n_buckets
 
-        def doclen_pass(batches):
+        def tokenize(batches):
+            """ONE tokenize per document: emits token rows AND, per
+            fragment seen in this partition, writes the doclen file
+            (dl = len(tokens) from the same pass) and emits a marker
+            row (bucket=-1) packing (frag, name, n_docs, sum_dl)."""
             import uuid as _uuidlib
 
             import pandas as _pd
 
             from lance_trino_spark.format import native_io as _nio
-            from lance_trino_spark.format.lance_native import _fts_tokenize
-
-            _nio.restore_binding(binding)
-            dl_by_pos: dict[int, int] = {}
-            frag_id = None
-            for pdf in batches:
-                for txt, a in zip(pdf["t"], pdf["_row_address"]):
-                    a = int(a)
-                    frag_id = a >> 32
-                    dl_by_pos[a & 0xFFFFFFFF] = len(_fts_tokenize(txt))
-            if frag_id is None:
-                yield _pd.DataFrame(
-                    columns=["frag", "name", "n_docs", "sum_dl"])
-                return
-            arr = np.zeros(max(dl_by_pos) + 1, dtype="<u4")
-            for p, dl in dl_by_pos.items():
-                arr[p] = dl
-            name = (f"doclen-f{frag_id:08d}-"
-                    f"{_uuidlib.uuid4().hex[:8]}.idx")
-            _nio.write_bytes(os.path.join(d, name), arr.tobytes())
-            yield _pd.DataFrame({
-                "frag": [frag_id], "name": [name],
-                "n_docs": [len(dl_by_pos)],
-                "sum_dl": [sum(dl_by_pos.values())],
-            })
-
-        # one metadata row per fragment (collect-audit: O(#fragments))
-        for r in df.mapInPandas(
-                doclen_pass,
-                "frag long, name string, n_docs long, sum_dl long"
-        ).collect():
-            doclen_files.append((int(r["frag"]), r["name"]))
-            n_docs += int(r["n_docs"])
-            sum_dl += int(r["sum_dl"])
-
-        def tokenize(batches):
-            import pandas as _pd
-
             from lance_trino_spark.format.lance_native import (
                 _fts_bucket_of,
                 _fts_tokenize,
             )
 
+            _nio.restore_binding(binding)
+            dl_by_frag: dict[int, dict[int, int]] = {}
             for pdf in batches:
                 b_, t_, a_, tf_ = [], [], [], []
                 for txt, a in zip(pdf["t"], pdf["_row_address"]):
+                    a = int(a)
+                    toks = _fts_tokenize(txt)
+                    dl_by_frag.setdefault(a >> 32, {})[
+                        a & 0xFFFFFFFF] = len(toks)
                     counts: dict[str, int] = {}
-                    for tok in _fts_tokenize(txt):
+                    for tok in toks:
                         counts[tok] = counts.get(tok, 0) + 1
                     for tok, c in counts.items():
                         b_.append(_fts_bucket_of(tok, nb))
                         t_.append(tok)
-                        a_.append(int(a))
+                        a_.append(a)
                         tf_.append(c)
                 yield _pd.DataFrame(
                     {"bucket": b_, "token": t_, "addr": a_, "tf": tf_})
+            marks = []
+            for frag_id, dl_by_pos in dl_by_frag.items():
+                arr = np.zeros(max(dl_by_pos) + 1, dtype="<u4")
+                for p, dl in dl_by_pos.items():
+                    arr[p] = dl
+                name = (f"doclen-f{frag_id:08d}-"
+                        f"{_uuidlib.uuid4().hex[:8]}.idx")
+                _nio.write_bytes(os.path.join(d, name), arr.tobytes())
+                marks.append(
+                    f"{frag_id}:{name}:{len(dl_by_pos)}"
+                    f":{sum(dl_by_pos.values())}")
+            if marks:
+                yield _pd.DataFrame({
+                    "bucket": [-1] * len(marks), "token": marks,
+                    "addr": [0] * len(marks), "tf": [0] * len(marks)})
 
         def write_bucket(pdf):
             import uuid as _uuidlib
@@ -7520,8 +7590,12 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
                 _fts_postings_blob,
             )
 
-            _nio.restore_binding(binding)
             bucket = int(pdf["bucket"].iloc[0])
+            if bucket < 0:  # doclen markers: pass through to the driver
+                return _pd.DataFrame(
+                    {"bucket": [-1] * len(pdf),
+                     "name": list(pdf["token"])})
+            _nio.restore_binding(binding)
             pdf = pdf.sort_values(["token", "addr"])
             tokens, addrs_l, tfs_l = [], [], []
             for tok, grp in pdf.groupby("token", sort=True):
@@ -7535,8 +7609,8 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
                 _fts_postings_blob(tokens, addrs_l, tfs_l))
             return _pd.DataFrame({"bucket": [bucket], "name": [name]})
 
-        # one metadata row per non-empty bucket (collect-audit:
-        # O(n_buckets))
+        # one metadata row per non-empty bucket + one doclen marker per
+        # fragment (collect-audit: O(n_buckets + #fragments))
         got = (
             df.mapInPandas(
                 tokenize, "bucket int, token string, addr long, tf long")
@@ -7545,7 +7619,13 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
             .collect()
         )
         for r in got:
-            bucket_files[int(r["bucket"])] = r["name"]
+            if int(r["bucket"]) < 0:
+                frag_s, name, nd_s, dl_s = r["name"].split(":")
+                doclen_files.append((int(frag_s), name))
+                n_docs += int(nd_s)
+                sum_dl += int(dl_s)
+            else:
+                bucket_files[int(r["bucket"])] = r["name"]
         return bucket_files, doclen_files, n_docs, sum_dl
 
     # ---- serial twin (fixture scale). Deleted rows are SKIPPED and
@@ -7893,18 +7973,23 @@ def _fts_read_all_postings(path: str):
 
 def native_fts_search(root: str, column: str, query: str, k: int = 10,
                       index: NativeFtsIndex | None = None,
-                      manifest: NativeManifest | None = None):
-    """BM25 top-k over the inverted index: tokenize the query with the
-    index analyzer, read ONLY the matched terms' postings slices (one
-    bucket-meta read + one body range per (term, run)), score
-    rational-idf BM25 with the EXACT operation order of
-    operators/text.py bm25_scores (scores are bit-identical float64 to
-    the Spark-expression and SQL paths), drop deleted rows via the
-    fragments' deletion vectors, and return
-    ([(addr, dl, score)] best-first (ties on address), stats) with the
-    access-path proof (terms_found / postings_read / bytes shape).
-    Uncovered fragments refuse loudly — run extend_native_fts_index
-    first (the ensure hook's rule)."""
+                      manifest: NativeManifest | None = None,
+                      spark=None):
+    """BM25 top-k over the inverted index. A META PASS first locates
+    every matched term's postings slices (one bounded meta read per
+    touched (run, bucket) file) so the total posting count is known
+    BEFORE any posting byte is read; past MAX_FTS_POSTINGS the driver
+    scorer refuses — or, given ``spark``, routes to the distributed arm
+    (_fts_search_distributed: bounded per-chunk executor tasks, O(k)
+    driver traffic). Under the cap, postings are read as ranged slices,
+    deleted rows drop via the fragments' deletion vectors, and the
+    rational-idf BM25 fold is VECTORIZED with the EXACT operation order
+    of operators/text.py bm25_scores (scores are bit-identical float64
+    to the Spark-expression, SQL-oracle, and distributed paths).
+    Returns ([(addr, dl, score)] best-first (ties on address), stats)
+    with the access-path proof (terms_found / postings_read /
+    files_opened / mode). Uncovered fragments refuse loudly — run
+    extend_native_fts_index first (the ensure hook's rule)."""
     import numpy as np
 
     live = manifest if manifest is not None else read_native_manifest(root)
@@ -7923,11 +8008,47 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         if t and t not in terms:
             terms.append(t)
     stats = {"terms": len(terms), "terms_found": 0, "postings_read": 0,
-             "files_opened": 0}
+             "files_opened": 0, "mode": "driver"}
     if not terms or idx.n_docs == 0:
         return [], stats
-    # gather postings per term across runs (order: query term order)
-    acc_addr: dict[int, float] = {}
+    d = os.path.dirname(idx.path)
+    # meta pass: per term, its (path, body_offset, count) slices
+    slices: list[list] = [[] for _ in terms]
+    meta_cache: dict[str, dict] = {}
+    total = 0
+    for ti, t in enumerate(terms):
+        b = _fts_bucket_of(t, idx.n_buckets)
+        found = False
+        for run in idx.run_files:
+            if not run[b]:
+                continue
+            path = os.path.join(d, run[b])
+            if path not in meta_cache:
+                stats["files_opened"] += 1
+                meta_cache[path] = _fts_postings_locate(path)
+            loc = meta_cache[path].get(t)
+            if loc is None:
+                continue
+            found = True
+            slices[ti].append((path, loc[0], loc[1]))
+            total += loc[1]
+        if found:
+            stats["terms_found"] += 1
+    stats["postings_read"] = total
+    if total == 0:
+        return [], stats
+    if total > MAX_FTS_POSTINGS:
+        if spark is None:
+            raise LanceNativeError(
+                f"fts query matches {total} postings (> "
+                f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — corpus-common "
+                "terms would buffer O(corpus) on the driver; pass "
+                "spark= to score distributed (bounded per-chunk "
+                "executor tasks, O(k) driver traffic)")
+        stats["mode"] = "distributed"
+        return _fts_search_distributed(
+            root, idx, live, terms, slices, k, spark), stats
+
     n = float(idx.n_docs)
     avgdl = float(idx.sum_dl) / n
     dl_cache: dict[int, "np.ndarray"] = {}
@@ -7951,28 +8072,19 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             out[m] = dl_cache[fid][poss[m]].astype(np.float64)
         return out
 
-    d = os.path.dirname(idx.path)
     dead_cache: dict[int, "np.ndarray"] = {}
     frag_by_id = {f.id: f for f in live.fragments}
 
-    score_acc: dict[int, float] = {}
-    dl_by_addr: dict[int, float] = {}
-    for t in terms:
-        b = _fts_bucket_of(t, idx.n_buckets)
-        parts = []
-        for run in idx.run_files:
-            if not run[b]:
-                continue
-            stats["files_opened"] += 1
-            got = _fts_read_postings(os.path.join(d, run[b]), [t])
-            if t in got:
-                parts.append(got[t])
-        if not parts:
+    per_term = []
+    for ti, t in enumerate(terms):
+        if not slices[ti]:
             continue
-        stats["terms_found"] += 1
+        parts = [
+            _fts_read_postings_range(path, off, cnt, 0, cnt)
+            for path, off, cnt in slices[ti]
+        ]
         addrs = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
-        stats["postings_read"] += len(addrs)
         # drop deleted rows (stale postings of live fragments)
         fids = (addrs >> np.uint64(32)).astype(np.int64)
         poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
@@ -8000,16 +8112,157 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         dls = dl_of(addrs)
         norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
         contrib = idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm)
-        for a, dl, c in zip(addrs, dls, contrib):
-            a = int(a)
-            score_acc[a] = score_acc.get(a, 0.0) + float(c)
-            dl_by_addr[a] = float(dl)
-    ranked = sorted(
-        score_acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    return (
-        [(a, int(dl_by_addr[a]), s) for a, s in ranked],
-        stats,
+        per_term.append((addrs, dls, contrib))
+    return _fts_fold_topk(per_term, k), stats
+
+
+def _fts_search_distributed(root: str, idx: NativeFtsIndex,
+                            live: NativeManifest, terms: list[str],
+                            slices: list[list], k: int, spark):
+    """The distributed BM25 scorer for corpus-common queries. Task unit
+    = one bounded chunk (<= FTS_CHUNK_POSTINGS) of one term's postings
+    in one run file, so per-task memory is O(chunk) no matter how
+    common the term is. Two fragment-parallel jobs:
+
+      1. per-chunk LIVE posting counts (after the deletion-vector mask)
+         -> driver sums O(terms x runs) tiny rows into each term's df
+         (df must be post-DV to match the driver scorer exactly);
+      2. per-chunk contribution rows (addr, ti, dl, contrib) with the
+         broadcast idf -> groupBy(addr) folds contributions SORTED BY
+         TERM INDEX via a JVM-side sort_array + aggregate (the same
+         float64 add order as the driver fold -> bit-identical
+         doubles) -> orderBy(score desc, addr) LIMIT k.
+
+    Driver traffic: chunk counts + the k result rows. Never a posting
+    list."""
+    from pyspark.sql import functions as F
+
+    _require_shared_store(root, "the distributed fts search")
+    binding = nio.binding_for(root)
+    d = os.path.dirname(idx.path)
+    by_frag_doclen = dict(idx.doclen_files)
+    n = float(idx.n_docs)
+    avgdl = float(idx.sum_dl) / n
+    version = live.version
+
+    chunks = []  # (chunk_id, ti, path, offset, count, i0, i1)
+    cid = 0
+    for ti in range(len(terms)):
+        for path, off, cnt in slices[ti]:
+            i0 = 0
+            while i0 < cnt:
+                i1 = min(i0 + FTS_CHUNK_POSTINGS, cnt)
+                chunks.append((cid, ti, path, off, cnt, i0, i1))
+                cid += 1
+                i0 = i1
+    spec_df = spark.createDataFrame(
+        chunks,
+        "cid int, ti int, path string, off long, cnt long, "
+        "i0 long, i1 long",
+    ).repartition(min(len(chunks), 256), "cid")
+
+    def chunk_rows(batches, want_contrib: bool, idf_by_ti=None):
+        import numpy as _np
+        import pandas as _pd
+
+        from lance_trino_spark.format import native_io as _nio
+        from lance_trino_spark.format import lance_native as _ln
+
+        _nio.restore_binding(binding)
+        m = _ln.read_native_manifest(root, version=version)
+        frag_by_id = {f.id: f for f in m.fragments}
+        dead_cache: dict[int, "_np.ndarray"] = {}
+        dl_cache: dict[int, "_np.ndarray"] = {}
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                addrs, tfs = _ln._fts_read_postings_range(
+                    r["path"], int(r["off"]), int(r["cnt"]),
+                    int(r["i0"]), int(r["i1"]))
+                fids = (addrs >> _np.uint64(32)).astype(_np.int64)
+                poss = (addrs & _np.uint64(0xFFFFFFFF)).astype(_np.int64)
+                keep = _np.ones(len(addrs), dtype=bool)
+                for fid in _np.unique(fids):
+                    frag = frag_by_id.get(int(fid))
+                    if frag is None:
+                        keep[fids == fid] = False
+                        continue
+                    if frag.deletion is not None:
+                        if fid not in dead_cache:
+                            dead_cache[fid] = _ln._deleted_rows_np(
+                                root, frag.deletion)
+                        keep[(fids == fid)
+                             & _np.isin(poss, dead_cache[fid])] = False
+                ti = int(r["ti"])
+                if not want_contrib:
+                    yield _pd.DataFrame(
+                        {"ti": [ti], "live": [int(keep.sum())]})
+                    continue
+                addrs = addrs[keep]
+                if not len(addrs):
+                    continue
+                tfs = tfs[keep].astype(_np.float64)
+                fids = fids[keep]
+                poss = poss[keep]
+                dls = _np.zeros(len(addrs), dtype=_np.float64)
+                for fid in _np.unique(fids):
+                    if fid not in dl_cache:
+                        nm = by_frag_doclen.get(int(fid))
+                        if nm is None:
+                            raise _ln.LanceNativeError(
+                                f"fts index missing doclen file for "
+                                f"fragment {fid}")
+                        dl_cache[fid] = _np.frombuffer(
+                            _nio.read_bytes(os.path.join(d, nm)),
+                            dtype="<u4")
+                    sel = fids == fid
+                    dls[sel] = dl_cache[fid][poss[sel]].astype(
+                        _np.float64)
+                idf = idf_by_ti[ti]
+                norm = _BM25_K1 * ((1.0 - _BM25_B)
+                                   + _BM25_B * (dls / avgdl))
+                contrib = idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm)
+                yield _pd.DataFrame({
+                    "addr": addrs.astype("int64"),
+                    "ti": _np.full(len(addrs), ti, dtype="int32"),
+                    "dl": dls.astype("int64"),
+                    "contrib": contrib,
+                })
+
+    # job 1: post-DV df per term (tiny: one row per chunk)
+    df_by_ti = [0] * len(terms)
+    for r in spec_df.mapInPandas(
+            lambda it: chunk_rows(it, False),
+            "ti int, live long").collect():
+        df_by_ti[int(r["ti"])] += int(r["live"])
+    idf_by_ti = {
+        ti: (n - float(dfv) + 0.5) / (float(dfv) + 0.5)
+        for ti, dfv in enumerate(df_by_ti) if dfv > 0
+    }
+    if not idf_by_ti:
+        return []
+    live_tis = sorted(idf_by_ti)
+    spec_live = spec_df.filter(F.col("ti").isin(live_tis))
+
+    # job 2: contribution rows -> deterministic per-address fold
+    rows = spec_live.mapInPandas(
+        lambda it: chunk_rows(it, True, idf_by_ti),
+        "addr long, ti int, dl long, contrib double")
+    ranked = (
+        rows.groupBy("addr")
+        .agg(F.max("dl").alias("dl"),
+             F.sort_array(
+                 F.collect_list(F.struct("ti", "contrib"))).alias("cs"))
+        .select(
+            "addr", "dl",
+            F.aggregate(
+                "cs", F.lit(0.0),
+                lambda acc, x: acc + x["contrib"]).alias("score"))
+        .orderBy(F.desc("score"), F.asc("addr"))
+        .limit(k)
+        .collect()
     )
+    return [(int(r["addr"]), int(r["dl"]), float(r["score"]))
+            for r in ranked]
 
 
 def ensure_native_fts_index(root: str, column: str,
@@ -8176,9 +8429,37 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                      & np.isin(poss, dead_cache[fid])] = False
         return keep
 
-    per_term = []  # (addrs, tfs) from the index arm, in term order
+    index_term = []  # (addrs, tfs) from the index arm, in term order
     if idx is not None:
         d = os.path.dirname(idx.path)
+        # cap gate (meta-only): corpus-common queries refuse before any
+        # posting byte is read, or — fully covered, spark given — serve
+        # from the distributed arm (global stats equal the index's)
+        slices: list[list] = [[] for _ in terms]
+        meta_cache: dict[str, dict] = {}
+        total = 0
+        for ti, t in enumerate(terms):
+            b = _fts_bucket_of(t, idx.n_buckets)
+            for run in idx.run_files:
+                if not run[b]:
+                    continue
+                path = os.path.join(d, run[b])
+                if path not in meta_cache:
+                    meta_cache[path] = _fts_postings_locate(path)
+                loc = meta_cache[path].get(t)
+                if loc is not None:
+                    slices[ti].append((path, loc[0], loc[1]))
+                    total += loc[1]
+        if total > MAX_FTS_POSTINGS:
+            if uncovered or spark is None:
+                raise LanceNativeError(
+                    f"fts query matches {total} postings (> "
+                    f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — "
+                    "extend_native_fts_index to full coverage and pass "
+                    "spark= so the distributed arm can score it")
+            stats["mode"] = "distributed"
+            return _fts_search_distributed(
+                root, idx, live, terms, slices, k, spark), stats
         for t in terms:
             b = _fts_bucket_of(t, idx.n_buckets)
             parts = []
@@ -8192,19 +8473,20 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                 addrs = np.concatenate([p[0] for p in parts])
                 tfs = np.concatenate([p[1] for p in parts])
                 keep = live_mask(addrs)
-                per_term.append((addrs[keep], tfs[keep]))
+                index_term.append((addrs[keep], tfs[keep]))
             else:
-                per_term.append((np.empty(0, dtype="<u8"),
-                                 np.empty(0, dtype="<u4")))
+                index_term.append((np.empty(0, dtype="<u8"),
+                                   np.empty(0, dtype="<u4")))
     else:
-        per_term = [(np.empty(0, dtype="<u8"), np.empty(0, dtype="<u4"))
-                    for _ in terms]
+        index_term = [(np.empty(0, dtype="<u8"), np.empty(0, dtype="<u4"))
+                      for _ in terms]
 
     # merge per-term df across both arms, then score in term order with
     # the canonical operation order (bit-identical to the index-only and
-    # SQL paths)
-    by_addr_dl: dict[int, float] = {}
-    score_acc: dict[int, float] = {}
+    # SQL paths); the fold itself is the shared vectorized one — per
+    # address, index-arm and delta-arm contributions never collide (the
+    # arms cover disjoint fragments), so concatenating them per term
+    # preserves the per-address add sequence exactly
     dl_index_cache: dict[int, "np.ndarray"] = {}
     by_frag_doclen = dict(idx.doclen_files) if idx else {}
 
@@ -8222,31 +8504,46 @@ def native_fts_search_fresh(root: str, column: str, query: str,
             outv[m] = dl_index_cache[fid][poss[m]].astype(np.float64)
         return outv
 
+    if delta_rows:
+        d_addrs = np.asarray([a for a, _dl, _tf in delta_rows],
+                             dtype=np.uint64)
+        d_dls = np.asarray([dl for _a, dl, _tf in delta_rows],
+                           dtype=np.float64)
+        d_tfs = np.asarray([tfv for _a, _dl, tfv in delta_rows],
+                           dtype=np.float64)
+    per_term = []
     for ti, t in enumerate(terms):
-        addrs, tfs = per_term[ti]
-        delta_hits = [(a, dl, tfv[ti]) for a, dl, tfv in delta_rows
-                      if tfv[ti] > 0]
-        df_t = float(len(addrs) + len(delta_hits))
+        addrs, tfs = index_term[ti]
+        if delta_rows:
+            d_sel = d_tfs[:, ti] > 0
+            n_delta = int(d_sel.sum())
+        else:
+            n_delta = 0
+        df_t = float(len(addrs) + n_delta)
         if df_t == 0:
             continue
         idf = (n - df_t + 0.5) / (df_t + 0.5)
+        seg_addrs, seg_dls, seg_contrib = [], [], []
         if len(addrs):
             dls = dl_of_index(addrs)
             norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
             contrib = (idf * (tfs.astype(np.float64) * (_BM25_K1 + 1.0))
                        / (tfs.astype(np.float64) + norm))
-            for a, dl, c in zip(addrs, dls, contrib):
-                a = int(a)
-                score_acc[a] = score_acc.get(a, 0.0) + float(c)
-                by_addr_dl[a] = float(dl)
-        for a, dl, tf in delta_hits:
-            tf = float(tf)
-            dl_f = float(dl)
+            seg_addrs.append(addrs)
+            seg_dls.append(dls)
+            seg_contrib.append(contrib)
+        if n_delta:
+            tf = d_tfs[d_sel, ti]
+            dl_f = d_dls[d_sel]
             norm = _BM25_K1 * ((1.0 - _BM25_B)
                                + _BM25_B * (dl_f / avgdl))
-            score_acc[a] = score_acc.get(a, 0.0) + idf * (
-                tf * (_BM25_K1 + 1.0)) / (tf + norm)
-            by_addr_dl[a] = dl_f
-    ranked = sorted(
-        score_acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    return ([(a, int(by_addr_dl[a]), s) for a, s in ranked], stats)
+            seg_addrs.append(d_addrs[d_sel])
+            seg_dls.append(dl_f)
+            seg_contrib.append(
+                idf * (tf * (_BM25_K1 + 1.0)) / (tf + norm))
+        per_term.append((
+            np.concatenate(seg_addrs).astype(np.uint64),
+            np.concatenate(seg_dls),
+            np.concatenate(seg_contrib),
+        ))
+    return _fts_fold_topk(per_term, k), stats

@@ -54,6 +54,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "distributed exact arm: each uncovered-fragment task emits only "
         "its LOCAL per-query top-k — O(queries * k * partitions) rows "
         "to the driver merge, never the scanned vectors",
+    ("format/lance_native.py", "_fts_search_distributed"):
+        "job 1 of the distributed BM25 scorer: one (ti, live_count) row "
+        "per postings CHUNK — O(total_postings / FTS_CHUNK_POSTINGS) "
+        "tiny rows the driver sums into per-term document frequencies; "
+        "job 2's result collect is .limit(k)-bounded",
     ("format/lance_native.py", "_distributed_btree_shards"):
         "one metadata row per executor-written btree shard file (name, "
         "rows, pages, min, max) — O(n_shards) = O(rows / shard_rows) "

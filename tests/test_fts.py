@@ -418,3 +418,64 @@ def test_fts_randomized_lifecycle_bruteforce(tmp_path):
             want_keys = [ordered[i][0] for i, _, _ in want]
             assert got_keys == want_keys
             assert [s for _, _, s in got] == [s for _, _, s in want]
+
+
+def test_fts_search_cap_and_distributed_parity(tmp_path, spark, monkeypatch):
+    """VERDICT r12 #1: the query-time scorer must never buffer O(corpus)
+    postings on the driver. Past MAX_FTS_POSTINGS the meta pass refuses
+    BEFORE reading any posting byte (no spark), or routes to the
+    distributed arm (spark given) whose chunked two-job scorer returns
+    bit-identical (addr, dl, score) triples — including post-DV df
+    parity on a dataset with deleted rows and a multi-run LSM chain."""
+    import numpy as np
+
+    root = str(tmp_path / "fts_cap.lance")
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(words, size=int(rng.integers(3, 12))))
+            + " common"
+            for _ in range(400)]
+    _mk(root, docs)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    # LSM run 2 + deletions: the arms must agree on multi-run, DV'd data
+    ln.append_native_rows(root, {
+        "doc_id": list(range(400, 450)),
+        "text": [f"common w1 extra{i}" for i in range(50)],
+    })
+    ln.extend_native_fts_index(root, "text")
+    ln.native_delete(root, {0: list(range(0, 400, 7))})
+
+    q = "common w1 w2"
+    want, wstats = ln.native_fts_search(root, "text", q, k=12)
+    assert wstats["mode"] == "driver" and wstats["postings_read"] > 100
+
+    monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10)
+    with pytest.raises(ln.LanceNativeError, match="MAX_FTS_POSTINGS"):
+        ln.native_fts_search(root, "text", q, k=12)
+    # distributed arm, forced multi-chunk
+    monkeypatch.setattr(ln, "FTS_CHUNK_POSTINGS", 64)
+    got, gstats = ln.native_fts_search(root, "text", q, k=12, spark=spark)
+    assert gstats["mode"] == "distributed"
+    assert [(a, dl) for a, dl, _ in got] == [(a, dl) for a, dl, _ in want]
+    assert [s for _, _, s in got] == [s for _, _, s in want]  # bitwise
+    monkeypatch.undo()
+
+    # fold helper parity with the one-at-a-time dict reference
+    per_term = []
+    rs = np.random.default_rng(3)
+    universe = rs.choice(10_000, size=200, replace=False).astype(np.uint64)
+    for _ in range(4):
+        sel = rs.random(200) < 0.5
+        addrs = universe[sel]
+        per_term.append((addrs,
+                         rs.integers(1, 50, size=int(sel.sum())),
+                         rs.random(int(sel.sum()))))
+    ref_scores, ref_dl = {}, {}
+    for addrs, dls, contrib in per_term:
+        for a, dl, c in zip(addrs, dls, contrib):
+            a = int(a)
+            ref_scores[a] = ref_scores.get(a, 0.0) + float(c)
+            ref_dl[a] = int(dl)
+    ref = sorted(ref_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:9]
+    assert ln._fts_fold_topk(per_term, 9) == [
+        (a, ref_dl[a], s) for a, s in ref]
