@@ -651,6 +651,9 @@ class LanceCatalog:
         the exact rational-idf BM25 doubles of operators/text.py
         bm25_scores."""
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        # MATCHING grammar (lance_native._fts_parse_query): bare terms
+        # OR by default; "double-quoted groups" are PHRASES served from
+        # positional postings; a bare AND makes the query a conjunction.
         query = m.group("q")
         k = int(m.group("k") or 10)
         np_ = self._native(ns, tbl)

@@ -7341,79 +7341,52 @@ class NativeFtsIndex:
 
 
 def _fts_postings_blob(tokens: list, addr_arrays: list,
-                       tf_arrays: list) -> bytes:
-    """One postings (bucket) file: per-token [addrs u64][tfs u32] body +
-    trailing meta (token dictionary, counts, offsets) + v1 footer."""
+                       tf_arrays: list, pos_arrays: list | None = None
+                       ) -> bytes:
+    """One postings (bucket) file: per-token [addrs u64][tfs u32]
+    (+ POSITIONS [u32 x sum(tfs)] when ``pos_arrays`` is given — each
+    doc's token positions contiguous, doc order = addr order) body +
+    trailing meta (token dictionary, counts, offsets, positions flag) +
+    v1 footer. Positions ride INSIDE each token's block after the tf
+    block, so the (addrs, tfs) range reads of non-positional consumers
+    are byte-compatible either way; meta field 4=1 marks their
+    presence (absent on pre-r13 files -> phrase queries refuse and
+    advise a rebuild)."""
     import numpy as np
 
     body = bytearray()
     offsets, counts = [], []
-    for addrs, tfs in zip(addr_arrays, tf_arrays):
+    for i, (addrs, tfs) in enumerate(zip(addr_arrays, tf_arrays)):
         offsets.append(len(body))
         counts.append(len(addrs))
         body.extend(np.asarray(addrs, dtype="<u8").tobytes())
         body.extend(np.asarray(tfs, dtype="<u4").tobytes())
+        if pos_arrays is not None:
+            pos = np.asarray(pos_arrays[i], dtype="<u4")
+            if len(pos) != int(np.asarray(tfs).sum()):
+                raise LanceNativeError(
+                    "postings positions block must hold sum(tf) entries")
+            body.extend(pos.tobytes())
     meta = (
         _enc_field(1, 2, _enc_values_block("string", tokens))
         + _enc_field(2, 2, b"".join(_enc_varint(c) for c in counts))
         + _enc_field(3, 2, b"".join(_enc_varint(o) for o in offsets))
     )
+    if pos_arrays is not None:
+        meta += _enc_field(4, 0, 1)
     blob = bytes(body) + struct.pack("<I", len(meta)) + meta
     blob += struct.pack("<QHH", len(body), 0, 1) + b"LANC"
     return blob
 
 
-def _fts_read_postings(path: str, terms: list[str]):
-    """{term -> (addrs u64, tfs u32)} for the asked terms present in one
-    postings file: ONE ranged meta read + one ranged body read per hit
-    term. Terms are bisected in the sorted token dictionary."""
-    import bisect
-
-    import numpy as np
-
-    with nio.open_read(path) as fh:
-        fh.seek(0, os.SEEK_END)
-        fsize = fh.tell()
-        fh.seek(fsize - 16)
-        tail = fh.read(16)
-        if tail[-4:] != b"LANC":
-            raise LanceNativeError(f"{path}: missing LANC footer magic")
-        pos = struct.unpack_from("<Q", tail, 0)[0]
-        fh.seek(pos)
-        metar = fh.read(fsize - pos)
-        ln = struct.unpack_from("<I", metar, 0)[0]
-        meta = metar[4:4 + ln]
-        toks_raw = counts = offsets = None
-        for f, wt, v in pb_items(meta):
-            if f == 1:
-                toks_raw = v
-            elif f == 2:
-                counts = _packed_varints(v)
-            elif f == 3:
-                offsets = _packed_varints(v)
-        if toks_raw is None or counts is None or offsets is None:
-            raise LanceNativeError(f"{path}: incomplete postings metadata")
-        tokens = _dec_values_block("string", toks_raw, len(counts))
-        out = {}
-        for t in terms:
-            i = bisect.bisect_left(tokens, t)
-            if i >= len(tokens) or tokens[i] != t:
-                continue
-            n = counts[i]
-            fh.seek(offsets[i])
-            raw = fh.read(n * 12)
-            out[t] = (
-                np.frombuffer(raw, dtype="<u8", count=n),
-                np.frombuffer(raw, dtype="<u4", count=n, offset=n * 8),
-            )
-        return out
 
 
-def _fts_postings_locate(path: str) -> dict:
-    """Meta-only read of one postings file: {token -> (body_offset,
-    count)}. The access decision (how many postings a query touches)
-    happens here, BEFORE any posting byte is read — the cap/routing
-    gate and the distributed arm's chunk planner both consume this."""
+def _fts_postings_locate(path: str) -> tuple:
+    """Meta-only read of one postings file: ({token -> (body_offset,
+    count)}, has_positions). The access decision (how many postings a
+    query touches) happens here, BEFORE any posting byte is read — the
+    cap/routing gate and the distributed arm's chunk planner both
+    consume this."""
     with nio.open_read(path) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
@@ -7427,6 +7400,7 @@ def _fts_postings_locate(path: str) -> dict:
     ln = struct.unpack_from("<I", metar, 0)[0]
     meta = metar[4:4 + ln]
     toks_raw = counts = offsets = None
+    has_pos = False
     for f, wt, v in pb_items(meta):
         if f == 1:
             toks_raw = v
@@ -7434,10 +7408,36 @@ def _fts_postings_locate(path: str) -> dict:
             counts = _packed_varints(v)
         elif f == 3:
             offsets = _packed_varints(v)
+        elif f == 4:
+            has_pos = bool(v)
     if toks_raw is None or counts is None or offsets is None:
         raise LanceNativeError(f"{path}: incomplete postings metadata")
     tokens = _dec_values_block("string", toks_raw, len(counts))
-    return {t: (offsets[i], counts[i]) for i, t in enumerate(tokens)}
+    return ({t: (offsets[i], counts[i]) for i, t in enumerate(tokens)},
+            has_pos)
+
+
+def _fts_read_positions(path: str, offset: int, count: int):
+    """(addrs u64, tfs u32, positions u32 flat) of ONE term whose block
+    starts at ``offset`` with ``count`` postings: the (addrs, tfs) range
+    read plus one positions range read of sum(tf) entries (each doc's
+    positions contiguous, doc order = addr order)."""
+    import numpy as np
+
+    with nio.open_read(path) as fh:
+        fh.seek(offset)
+        raw = fh.read(count * 12)
+        addrs = np.frombuffer(raw, dtype="<u8", count=count)
+        tfs = np.frombuffer(raw, dtype="<u4", count=count,
+                            offset=count * 8)
+        n_pos = int(tfs.sum())
+        fh.seek(offset + count * 12)
+        pos = np.frombuffer(fh.read(n_pos * 4), dtype="<u4")
+    if len(pos) != n_pos:
+        raise LanceNativeError(
+            f"{path}: positions block truncated (phrase queries need a "
+            "positional index — rebuild with write_native_fts_index)")
+    return addrs, tfs, pos
 
 
 def _fts_read_postings_range(path: str, offset: int, count: int,
@@ -7455,16 +7455,114 @@ def _fts_read_postings_range(path: str, offset: int, count: int,
     return addrs, tfs
 
 
-def _fts_fold_topk(per_term, k: int):
-    """Vectorized BM25 fold: sum each address's per-term contributions
-    IN TERM ORDER — per address the float64 additions happen in exactly
-    the sequence the one-at-a-time dict fold used, so scores stay
-    bit-identical to the Spark-expression and SQL oracle paths — and
-    return [(addr, dl, score)] best-first, ties on address. ``per_term``
-    is [(addrs u64, dls, contrib f64)] in query-term order; within one
-    term every address appears at most once (a doc lives in exactly one
-    fragment, each run covers distinct fragments), so a plain fancy
-    indexed add is an exact scatter."""
+def _fts_parse_query(query: str):
+    """The MATCHING grammar (a superset of the pre-r13 term list):
+    whitespace-separated operands; a double-quoted group is a PHRASE
+    operand (member tokens must appear adjacent, in order — occurrences
+    may overlap, the positional-chain definition); a bare AND between
+    operands makes the query a CONJUNCTION (every operand must match a
+    doc; scores still sum each operand's BM25 contribution), otherwise
+    operands are OR'd. Plain term queries parse to exactly the pre-r13
+    semantics. Returns (operands [tuples of analyzer tokens, deduped in
+    first-seen order], require_all). Mirrors the LanceDB FTS surface's
+    phrase + boolean queries (its tantivy-backed MatchQuery/PhraseQuery
+    composition) on the whitespace-v1 analyzer."""
+    import re as _re
+
+    ops: list[tuple] = []
+    require_all = False
+    for m in _re.finditer(r'"([^"]*)"|(\S+)', query or ""):
+        if m.group(1) is not None:
+            toks = tuple(t for t in _fts_tokenize(m.group(1)) if t)
+            if toks and toks not in ops:
+                ops.append(toks)
+        elif m.group(2) == "AND":
+            require_all = True
+        else:
+            for t in _fts_tokenize(m.group(2)):
+                if t and (t,) not in ops:
+                    ops.append((t,))
+    return ops, require_all
+
+
+def _fts_op_count(toks: list, op: tuple) -> int:
+    """Occurrences of one operand in a token list: term -> plain count;
+    phrase -> positional-chain count (overlaps count) — the exact-arm
+    twin of _fts_phrase_postings, parity-pinned."""
+    if len(op) == 1:
+        return toks.count(op[0])
+    m = len(op)
+    return sum(
+        1 for i in range(len(toks) - m + 1)
+        if toks[i] == op[0] and tuple(toks[i:i + m]) == op)
+
+
+def _fts_phrase_postings(members):
+    """PHRASE occurrence postings from the member terms' positional
+    postings: ``members`` is [(addrs u64, tfs u32, positions u32 flat)]
+    in phrase order. An occurrence exists at position p of a doc iff
+    member i sits at p+i for every i (overlaps count). Fully
+    vectorized: docs holding every member are intersected, each
+    member's (doc, position) pairs become u64 keys (compact doc index
+    << 32 | position), and the candidate set from member 0 is chained
+    through sorted-key membership probes at +i. Returns (addrs u64,
+    tfs f64) of docs with >= 1 occurrence."""
+    import numpy as np
+
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+    common = members[0][0]
+    for addrs, _tfs, _pos in members[1:]:
+        common = np.intersect1d(common, addrs, assume_unique=True)
+        if not len(common):
+            return empty
+
+    def keyed(mi):
+        addrs, tfs, pos = members[mi]
+        sel_doc = np.isin(addrs, common, assume_unique=True)
+        pos_keep = np.repeat(sel_doc, tfs)
+        di = np.searchsorted(common, addrs)  # valid where sel_doc
+        di_per_pos = np.repeat(di, tfs)[pos_keep].astype(np.uint64)
+        return (di_per_pos << np.uint64(32)) | pos[pos_keep].astype(
+            np.uint64)
+
+    cand = keyed(0)
+    for mi in range(1, len(members)):
+        keys = np.sort(keyed(mi))
+        probe = cand + np.uint64(mi)
+        j = np.searchsorted(keys, probe)
+        ok = j < len(keys)
+        ok[ok] = keys[j[ok]] == probe[ok]
+        cand = cand[ok]
+        if not len(cand):
+            return empty
+    docs, counts = np.unique(
+        (cand >> np.uint64(32)).astype(np.int64), return_counts=True)
+    return common[docs], counts.astype(np.float64)
+
+
+def _fts_permute_positions(flat, tfs, order):
+    """Reorder a flat positions block when its postings (docs) are
+    permuted by ``order``: each doc's positions stay contiguous and in
+    sequence (compaction's addr-sort + prune path)."""
+    import numpy as np
+
+    doc_of = np.repeat(np.arange(len(tfs)), tfs)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    return flat[np.argsort(rank[doc_of], kind="stable")]
+
+
+def _fts_fold_topk(per_term, k: int, require_all: bool = False):
+    """Vectorized BM25 fold: sum each address's per-operand
+    contributions IN OPERAND ORDER — per address the float64 additions
+    happen in exactly the sequence the one-at-a-time dict fold used, so
+    scores stay bit-identical to the Spark-expression and SQL oracle
+    paths — and return [(addr, dl, score)] best-first, ties on address.
+    ``per_term`` is [(addrs u64, dls, contrib f64)] in query-operand
+    order; within one operand every address appears at most once (a doc
+    lives in exactly one fragment, each run covers distinct fragments),
+    so a plain fancy indexed add is an exact scatter. ``require_all``
+    (AND queries) keeps only addresses matched by EVERY entry."""
     import numpy as np
 
     live = [(a, dl, c) for a, dl, c in per_term if len(a)]
@@ -7473,10 +7571,17 @@ def _fts_fold_topk(per_term, k: int):
     universe = np.unique(np.concatenate([a for a, _dl, _c in live]))
     scores = np.zeros(len(universe), dtype=np.float64)
     dls = np.zeros(len(universe), dtype=np.int64)
+    matched = np.zeros(len(universe), dtype=np.int64)
     for addrs, dl_arr, contrib in live:
         ix = np.searchsorted(universe, addrs)
         scores[ix] += contrib
         dls[ix] = np.asarray(dl_arr).astype(np.int64)
+        matched[ix] += 1
+    if require_all:
+        keep = matched == len(live)
+        universe, scores, dls = universe[keep], scores[keep], dls[keep]
+        if not len(universe):
+            return []
     order = np.lexsort((universe, -scores))[:k]
     return [(int(universe[i]), int(dls[i]), float(scores[i]))
             for i in order]
@@ -7548,22 +7653,24 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
             _nio.restore_binding(binding)
             dl_by_frag: dict[int, dict[int, int]] = {}
             for pdf in batches:
-                b_, t_, a_, tf_ = [], [], [], []
+                b_, t_, a_, tf_, p_ = [], [], [], [], []
                 for txt, a in zip(pdf["t"], pdf["_row_address"]):
                     a = int(a)
                     toks = _fts_tokenize(txt)
                     dl_by_frag.setdefault(a >> 32, {})[
                         a & 0xFFFFFFFF] = len(toks)
-                    counts: dict[str, int] = {}
-                    for tok in toks:
-                        counts[tok] = counts.get(tok, 0) + 1
-                    for tok, c in counts.items():
+                    occ: dict[str, list] = {}
+                    for pi, tok in enumerate(toks):
+                        occ.setdefault(tok, []).append(pi)
+                    for tok, plist in occ.items():
                         b_.append(_fts_bucket_of(tok, nb))
                         t_.append(tok)
                         a_.append(a)
-                        tf_.append(c)
+                        tf_.append(len(plist))
+                        p_.append(plist)
                 yield _pd.DataFrame(
-                    {"bucket": b_, "token": t_, "addr": a_, "tf": tf_})
+                    {"bucket": b_, "token": t_, "addr": a_, "tf": tf_,
+                     "pos": p_})
             marks = []
             for frag_id, dl_by_pos in dl_by_frag.items():
                 arr = np.zeros(max(dl_by_pos) + 1, dtype="<u4")
@@ -7578,7 +7685,8 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
             if marks:
                 yield _pd.DataFrame({
                     "bucket": [-1] * len(marks), "token": marks,
-                    "addr": [0] * len(marks), "tf": [0] * len(marks)})
+                    "addr": [0] * len(marks), "tf": [0] * len(marks),
+                    "pos": [[]] * len(marks)})
 
         def write_bucket(pdf):
             import uuid as _uuidlib
@@ -7596,24 +7704,30 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
                     {"bucket": [-1] * len(pdf),
                      "name": list(pdf["token"])})
             _nio.restore_binding(binding)
+            import numpy as _np
+
             pdf = pdf.sort_values(["token", "addr"])
-            tokens, addrs_l, tfs_l = [], [], []
+            tokens, addrs_l, tfs_l, pos_l = [], [], [], []
             for tok, grp in pdf.groupby("token", sort=True):
                 tokens.append(tok)
                 addrs_l.append(grp["addr"].to_numpy().astype("<u8"))
                 tfs_l.append(grp["tf"].to_numpy().astype("<u4"))
+                pos_l.append(_np.asarray(
+                    [pi for pl in grp["pos"] for pi in pl], dtype="<u4"))
             name = (f"post-r{run_no:03d}-{bucket:04d}-"
                     f"{_uuidlib.uuid4().hex[:8]}.idx")
             _nio.write_bytes(
                 os.path.join(d, name),
-                _fts_postings_blob(tokens, addrs_l, tfs_l))
+                _fts_postings_blob(tokens, addrs_l, tfs_l, pos_l))
             return _pd.DataFrame({"bucket": [bucket], "name": [name]})
 
         # one metadata row per non-empty bucket + one doclen marker per
         # fragment (collect-audit: O(n_buckets + #fragments))
         got = (
             df.mapInPandas(
-                tokenize, "bucket int, token string, addr long, tf long")
+                tokenize,
+                "bucket int, token string, addr long, tf long, "
+                "pos array<int>")
             .groupBy("bucket")
             .applyInPandas(write_bucket, "bucket int, name string")
             .collect()
@@ -7650,12 +7764,12 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
             if not toks:
                 continue
             addr = (int(frag.id) << 32) | pos
-            counts: dict[str, int] = {}
-            for tok in toks:
-                counts[tok] = counts.get(tok, 0) + 1
-            for tok, c in counts.items():
+            occ: dict[str, list] = {}
+            for pi, tok in enumerate(toks):
+                occ.setdefault(tok, []).append(pi)
+            for tok, plist in occ.items():
                 per_bucket[_fts_bucket_of(tok, n_buckets)].setdefault(
-                    tok, []).append((addr, c))
+                    tok, []).append((addr, len(plist), plist))
         name = f"doclen-f{int(frag.id):08d}-{uuidlib.uuid4().hex[:8]}.idx"
         nio.write_bytes(os.path.join(d, name), dl.tobytes())
         doclen_files.append((int(frag.id), name))
@@ -7665,13 +7779,18 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
         if not per_bucket[b]:
             continue
         tokens = sorted(per_bucket[b])
-        addrs_l = [np.asarray([a for a, _ in per_bucket[b][t]], dtype="<u8")
+        addrs_l = [np.asarray([a for a, _c, _p in per_bucket[b][t]],
+                              dtype="<u8")
                    for t in tokens]
-        tfs_l = [np.asarray([c for _, c in per_bucket[b][t]], dtype="<u4")
+        tfs_l = [np.asarray([c for _a, c, _p in per_bucket[b][t]],
+                            dtype="<u4")
+                 for t in tokens]
+        pos_l = [np.asarray([pi for _a, _c, pl in per_bucket[b][t]
+                             for pi in pl], dtype="<u4")
                  for t in tokens]
         name = f"post-r{run_no:03d}-{b:04d}-{uuidlib.uuid4().hex[:8]}.idx"
         nio.write_bytes(os.path.join(d, name),
-                        _fts_postings_blob(tokens, addrs_l, tfs_l))
+                        _fts_postings_blob(tokens, addrs_l, tfs_l, pos_l))
         bucket_files[b] = name
     return bucket_files, doclen_files, n_docs, sum_dl
 
@@ -7887,7 +8006,7 @@ def extend_native_fts_index(root: str, column: str, spark=None
             kept_doclen.append((fid, name))
         doclen = kept_doclen
 
-        def prune(addrs: "np.ndarray", tfs: "np.ndarray"):
+        def live_posting_mask(addrs: "np.ndarray") -> "np.ndarray":
             fids = (addrs >> np.uint64(32)).astype(np.int64)
             poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
             keep = np.ones(len(addrs), dtype=bool)
@@ -7901,33 +8020,48 @@ def extend_native_fts_index(root: str, column: str, spark=None
                 ok = (pp < len(m))
                 ok[ok] = m[pp[ok]]
                 keep[sel] = ok
-            return addrs[keep], tfs[keep]
+            return keep
 
         merged_run = []
         for b in range(idx.n_buckets):
             toks: dict[str, list] = {}
-            for run in runs:
+            bucket_positional = True  # positions survive the merge only
+            for run in runs:           # if EVERY source file has them
                 if not run[b]:
                     continue
                 post = _fts_read_all_postings(os.path.join(d, run[b]))
-                for t, (addrs, tfs) in post.items():
-                    toks.setdefault(t, []).append((addrs, tfs))
-            tokens, addrs_l, tfs_l = [], [], []
+                for t, (addrs, tfs, pos_arr) in post.items():
+                    if pos_arr is None:
+                        bucket_positional = False
+                    toks.setdefault(t, []).append((addrs, tfs, pos_arr))
+            tokens, addrs_l, tfs_l, pos_l = [], [], [], []
             for t in sorted(toks):
                 a = np.concatenate([x[0] for x in toks[t]])
                 c = np.concatenate([x[1] for x in toks[t]])
                 order = np.argsort(a, kind="stable")
-                a, c = prune(a[order], c[order])
+                if bucket_positional:
+                    p = _fts_permute_positions(
+                        np.concatenate([x[2] for x in toks[t]]), c, order)
+                a, c = a[order], c[order]
+                keep = live_posting_mask(a)
+                if bucket_positional:
+                    p = p[np.repeat(keep, c)]
+                a, c = a[keep], c[keep]
                 if len(a):
                     tokens.append(t)
                     addrs_l.append(a)
                     tfs_l.append(c)
+                    if bucket_positional:
+                        pos_l.append(p)
             if not tokens:
                 merged_run.append("")
                 continue
             name = (f"post-r000-{b:04d}-{uuidlib.uuid4().hex[:8]}.idx")
-            nio.write_bytes(os.path.join(d, name),
-                            _fts_postings_blob(tokens, addrs_l, tfs_l))
+            nio.write_bytes(
+                os.path.join(d, name),
+                _fts_postings_blob(
+                    tokens, addrs_l, tfs_l,
+                    pos_l if bucket_positional else None))
             merged_run.append(name)
         runs = [tuple(merged_run)]
     _write_fts_meta(d, column, manifest.version, idx.n_buckets,
@@ -7936,8 +8070,9 @@ def extend_native_fts_index(root: str, column: str, spark=None
 
 
 def _fts_read_all_postings(path: str):
-    """Every (token -> postings) of one postings file — the compaction
-    read (O(bucket), the merge unit)."""
+    """Every (token -> (addrs, tfs, positions|None)) of one postings
+    file — the compaction read (O(bucket), the merge unit). positions
+    is None on pre-positional (pre-r13) files."""
     import numpy as np
 
     with nio.open_read(path) as fh:
@@ -7950,6 +8085,7 @@ def _fts_read_all_postings(path: str):
         ln = struct.unpack_from("<I", metar, 0)[0]
         meta = metar[4:4 + ln]
         toks_raw = counts = offsets = None
+        has_pos = False
         for f, wt, v in pb_items(meta):
             if f == 1:
                 toks_raw = v
@@ -7957,17 +8093,24 @@ def _fts_read_all_postings(path: str):
                 counts = _packed_varints(v)
             elif f == 3:
                 offsets = _packed_varints(v)
+            elif f == 4:
+                has_pos = bool(v)
         tokens = _dec_values_block("string", toks_raw, len(counts))
         out = {}
         for i, t in enumerate(tokens):
             n = counts[i]
             fh.seek(offsets[i])
             raw = fh.read(n * 12)
-            out[t] = (
-                np.frombuffer(raw, dtype="<u8", count=n).copy(),
-                np.frombuffer(raw, dtype="<u4", count=n, offset=n * 8)
-                .copy(),
-            )
+            addrs = np.frombuffer(raw, dtype="<u8", count=n).copy()
+            tfs = np.frombuffer(
+                raw, dtype="<u4", count=n, offset=n * 8).copy()
+            pos_arr = None
+            if has_pos:
+                n_pos = int(tfs.sum())
+                fh.seek(offsets[i] + n * 12)
+                pos_arr = np.frombuffer(
+                    fh.read(n_pos * 4), dtype="<u4").copy()
+            out[t] = (addrs, tfs, pos_arr)
         return out
 
 
@@ -7989,7 +8132,15 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     Returns ([(addr, dl, score)] best-first (ties on address), stats)
     with the access-path proof (terms_found / postings_read /
     files_opened / mode). Uncovered fragments refuse loudly — run
-    extend_native_fts_index first (the ensure hook's rule)."""
+    extend_native_fts_index first (the ensure hook's rule).
+
+    QUERY GRAMMAR (_fts_parse_query): bare terms OR by default;
+    double-quoted groups are PHRASES served from positional postings
+    (a pseudo-term whose tf is the overlapping positional-chain
+    occurrence count and df the docs holding it); a bare AND makes the
+    query a conjunction. Phrases need a positional index (every build/
+    extend since r13 writes positions) and are driver-side only —
+    over-cap phrase queries refuse."""
     import numpy as np
 
     live = manifest if manifest is not None else read_native_manifest(root)
@@ -8003,19 +8154,24 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         raise LanceNativeError(
             f"fts index on {column!r} does not cover fragments "
             f"{sorted(uncovered)} — extend_native_fts_index first")
-    terms = []
-    for t in _fts_tokenize(query):
-        if t and t not in terms:
-            terms.append(t)
+    ops, require_all = _fts_parse_query(query)
+    terms = []  # unique member terms across operands
+    for op in ops:
+        for t in op:
+            if t not in terms:
+                terms.append(t)
+    phrased = any(len(op) > 1 for op in ops)
     stats = {"terms": len(terms), "terms_found": 0, "postings_read": 0,
-             "files_opened": 0, "mode": "driver"}
-    if not terms or idx.n_docs == 0:
+             "files_opened": 0, "mode": "driver",
+             "operands": len(ops), "require_all": require_all}
+    if not ops or idx.n_docs == 0:
         return [], stats
     d = os.path.dirname(idx.path)
-    # meta pass: per term, its (path, body_offset, count) slices
+    # meta pass: per member term, its (path, body_offset, count) slices
     slices: list[list] = [[] for _ in terms]
-    meta_cache: dict[str, dict] = {}
+    meta_cache: dict[str, tuple] = {}
     total = 0
+    pos_ok = True
     for ti, t in enumerate(terms):
         b = _fts_bucket_of(t, idx.n_buckets)
         found = False
@@ -8026,10 +8182,12 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             if path not in meta_cache:
                 stats["files_opened"] += 1
                 meta_cache[path] = _fts_postings_locate(path)
-            loc = meta_cache[path].get(t)
+            locs, has_pos = meta_cache[path]
+            loc = locs.get(t)
             if loc is None:
                 continue
             found = True
+            pos_ok = pos_ok and has_pos
             slices[ti].append((path, loc[0], loc[1]))
             total += loc[1]
         if found:
@@ -8037,17 +8195,26 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     stats["postings_read"] = total
     if total == 0:
         return [], stats
+    if phrased and not pos_ok:
+        raise LanceNativeError(
+            "phrase queries need a POSITIONAL index and at least one "
+            "touched postings file predates positions — rebuild with "
+            "write_native_fts_index (extends of a pre-positional index "
+            "leave its old runs position-less)")
     if total > MAX_FTS_POSTINGS:
-        if spark is None:
+        if spark is None or phrased:
             raise LanceNativeError(
                 f"fts query matches {total} postings (> "
                 f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — corpus-common "
-                "terms would buffer O(corpus) on the driver; pass "
-                "spark= to score distributed (bounded per-chunk "
-                "executor tasks, O(k) driver traffic)")
+                "terms would buffer O(corpus) on the driver; "
+                + ("phrase scoring is driver-side only: narrow the "
+                   "phrase's member terms" if phrased else
+                   "pass spark= to score distributed (bounded "
+                   "per-chunk executor tasks, O(k) driver traffic)"))
         stats["mode"] = "distributed"
         return _fts_search_distributed(
-            root, idx, live, terms, slices, k, spark), stats
+            root, idx, live, terms, slices, k, spark,
+            require_all=require_all), stats
 
     n = float(idx.n_docs)
     avgdl = float(idx.sum_dl) / n
@@ -8075,16 +8242,24 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     dead_cache: dict[int, "np.ndarray"] = {}
     frag_by_id = {f.id: f for f in live.fragments}
 
-    per_term = []
+    # read each member term ONCE (post-DV; positions only when phrases
+    # need them)
+    term_data: dict[str, tuple] = {}
     for ti, t in enumerate(terms):
         if not slices[ti]:
+            term_data[t] = (np.empty(0, dtype=np.uint64),
+                            np.empty(0, dtype="<u4"), None)
             continue
-        parts = [
-            _fts_read_postings_range(path, off, cnt, 0, cnt)
-            for path, off, cnt in slices[ti]
-        ]
+        if phrased:
+            parts = [_fts_read_positions(path, off, cnt)
+                     for path, off, cnt in slices[ti]]
+            pos = np.concatenate([p[2] for p in parts])
+        else:
+            parts = [(*_fts_read_postings_range(path, off, cnt, 0, cnt),
+                      None) for path, off, cnt in slices[ti]]
+            pos = None
         addrs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        tfs = np.concatenate([p[1] for p in parts])
         # drop deleted rows (stale postings of live fragments)
         fids = (addrs >> np.uint64(32)).astype(np.int64)
         poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
@@ -8099,11 +8274,31 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
                     dead_cache[fid] = _deleted_rows_np(root, frag.deletion)
                 keep[(fids == fid)
                      & np.isin(poss, dead_cache[fid])] = False
+        if pos is not None:
+            pos = pos[np.repeat(keep, tfs)]
         addrs, tfs = addrs[keep], tfs[keep]
+        term_data[t] = (addrs, tfs, pos)
+
+    per_op = []
+    for op in ops:
+        if len(op) == 1:
+            addrs, tfs_u, _pos = term_data[op[0]]
+            tfs = tfs_u.astype(np.float64)
+        else:
+            members = [term_data[m] for m in op]
+            if any(not len(m[0]) for m in members):
+                addrs = np.empty(0, dtype=np.uint64)
+                tfs = np.empty(0, dtype=np.float64)
+            else:
+                addrs, tfs = _fts_phrase_postings(members)
         if not len(addrs):
+            if require_all:
+                return [], stats
             continue
-        # BM25 term contribution — EXACT operation order of
-        # operators/text.py bm25_scores (bit-identical doubles):
+        # BM25 operand contribution — EXACT operation order of
+        # operators/text.py bm25_scores (bit-identical doubles); a
+        # phrase is a pseudo-term (df = docs holding the phrase,
+        # tf = positional occurrence count):
         #   idf = (N - df + .5) / (df + .5)
         #   norm = k1 * (1 - b + b * (dl / avgdl))
         #   score += idf * (tf * (k1 + 1)) / (tf + norm)
@@ -8112,13 +8307,14 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         dls = dl_of(addrs)
         norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
         contrib = idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm)
-        per_term.append((addrs, dls, contrib))
-    return _fts_fold_topk(per_term, k), stats
+        per_op.append((addrs, dls, contrib))
+    return _fts_fold_topk(per_op, k, require_all=require_all), stats
 
 
 def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                             live: NativeManifest, terms: list[str],
-                            slices: list[list], k: int, spark):
+                            slices: list[list], k: int, spark,
+                            require_all: bool = False):
     """The distributed BM25 scorer for corpus-common queries. Task unit
     = one bounded chunk (<= FTS_CHUNK_POSTINGS) of one term's postings
     in one run file, so per-task memory is O(chunk) no matter how
@@ -8240,6 +8436,8 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
     }
     if not idf_by_ti:
         return []
+    if require_all and len(idf_by_ti) < len(terms):
+        return []  # a conjunct matches nothing anywhere
     live_tis = sorted(idf_by_ti)
     spec_live = spec_df.filter(F.col("ti").isin(live_tis))
 
@@ -8247,12 +8445,16 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
     rows = spec_live.mapInPandas(
         lambda it: chunk_rows(it, True, idf_by_ti),
         "addr long, ti int, dl long, contrib double")
-    ranked = (
+    grouped = (
         rows.groupBy("addr")
         .agg(F.max("dl").alias("dl"),
              F.sort_array(
                  F.collect_list(F.struct("ti", "contrib"))).alias("cs"))
-        .select(
+    )
+    if require_all:  # AND: a doc must hold every live conjunct
+        grouped = grouped.filter(F.size("cs") == len(live_tis))
+    ranked = (
+        grouped.select(
             "addr", "dl",
             F.aggregate(
                 "cs", F.lit(0.0),
@@ -8283,13 +8485,15 @@ def ensure_native_fts_index(root: str, column: str,
 
 
 def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
-                         column: str, terms: list[str], spark=None):
+                         column: str, ops: list[tuple], spark=None):
     """The exact arm of the fresh FTS search: tokenize ``frags`` on the
     fly and return (match_rows, n_docs, sum_dl) where match_rows is
-    [(addr, dl, [tf per term])] for docs matching >= 1 term. With
-    ``spark``, one Arrow-batched task per fragment emits ONLY matching
-    docs' rows plus a per-task stats marker — driver traffic is
-    O(matching docs + fragments), never the corpus."""
+    [(addr, dl, [tf per OPERAND])] for docs matching >= 1 operand
+    (operands are the parsed query's term/phrase tuples; phrase tf is
+    the positional-chain count, _fts_op_count). With ``spark``, one
+    Arrow-batched task per fragment emits ONLY matching docs' rows plus
+    a per-task stats marker — driver traffic is O(matching docs +
+    fragments), never the corpus."""
     nfield = next(
         (f for f in manifest.top_level_fields() if f.name == column), None)
     if nfield is None:
@@ -8308,12 +8512,15 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
             .load(root)
             .select(F.col(column).alias("t"), "_row_address")
         )
-        terms_b = list(terms)
+        ops_b = [tuple(op) for op in ops]
 
         def kernel(batches):
             import pandas as _pd
 
-            from lance_trino_spark.format.lance_native import _fts_tokenize
+            from lance_trino_spark.format.lance_native import (
+                _fts_op_count,
+                _fts_tokenize,
+            )
 
             n_docs = 0
             sum_dl = 0
@@ -8323,7 +8530,7 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
                     toks = _fts_tokenize(txt)
                     n_docs += 1
                     sum_dl += len(toks)
-                    tfs = [toks.count(t) for t in terms_b]
+                    tfs = [_fts_op_count(toks, op) for op in ops_b]
                     if any(tfs):
                         rows_a.append(int(a))
                         rows_dl.append(len(toks))
@@ -8360,7 +8567,7 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
             toks = _fts_tokenize(txt)
             n_docs += 1
             sum_dl += len(toks)
-            tfs = [toks.count(t) for t in terms]
+            tfs = [_fts_op_count(toks, op) for op in ops]
             if any(tfs):
                 out.append(((int(frag.id) << 32) | pos, len(toks), tfs))
     return out, n_docs, sum_dl
@@ -8387,24 +8594,28 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     live_ids = {f.id for f in live.fragments}
     covered = (idx.covered_fragments & live_ids) if idx else set()
     uncovered = live_ids - covered
-    terms = []
-    for t in _fts_tokenize(query):
-        if t and t not in terms:
-            terms.append(t)
-    if not terms:
+    ops, require_all = _fts_parse_query(query)
+    terms = []  # unique member terms across operands
+    for op in ops:
+        for t in op:
+            if t not in terms:
+                terms.append(t)
+    phrased = any(len(op) > 1 for op in ops)
+    if not ops:
         return [], {"terms": 0}
     frag_by_id = {f.id: f for f in live.fragments}
 
-    # exact arm over uncovered fragments
+    # exact arm over uncovered fragments (per-OPERAND tf rows)
     delta_rows, d_docs, d_dl = ([], 0, 0) if not uncovered else \
         _fts_delta_term_rows(
             root, live, [frag_by_id[i] for i in sorted(uncovered)],
-            column, terms, spark)
+            column, ops, spark)
 
     n_docs = (idx.n_docs if idx else 0) + d_docs
     sum_dl = (idx.sum_dl if idx else 0) + d_dl
     stats = {"terms": len(terms), "covered": len(covered),
-             "uncovered": len(uncovered), "delta_matches": len(delta_rows)}
+             "uncovered": len(uncovered), "delta_matches": len(delta_rows),
+             "operands": len(ops), "require_all": require_all}
     if n_docs == 0:
         return [], stats
     n = float(n_docs)
@@ -8429,15 +8640,19 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                      & np.isin(poss, dead_cache[fid])] = False
         return keep
 
-    index_term = []  # (addrs, tfs) from the index arm, in term order
+    # index arm: per member term (addrs, tfs, positions|None), DV-masked
+    term_data: dict[str, tuple] = {
+        t: (np.empty(0, dtype=np.uint64), np.empty(0, dtype="<u4"), None)
+        for t in terms}
     if idx is not None:
         d = os.path.dirname(idx.path)
         # cap gate (meta-only): corpus-common queries refuse before any
         # posting byte is read, or — fully covered, spark given — serve
         # from the distributed arm (global stats equal the index's)
         slices: list[list] = [[] for _ in terms]
-        meta_cache: dict[str, dict] = {}
+        meta_cache: dict[str, tuple] = {}
         total = 0
+        pos_ok = True
         for ti, t in enumerate(terms):
             b = _fts_bucket_of(t, idx.n_buckets)
             for run in idx.run_files:
@@ -8446,40 +8661,49 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                 path = os.path.join(d, run[b])
                 if path not in meta_cache:
                     meta_cache[path] = _fts_postings_locate(path)
-                loc = meta_cache[path].get(t)
+                locs, has_pos = meta_cache[path]
+                loc = locs.get(t)
                 if loc is not None:
+                    pos_ok = pos_ok and has_pos
                     slices[ti].append((path, loc[0], loc[1]))
                     total += loc[1]
+        if phrased and not pos_ok:
+            raise LanceNativeError(
+                "phrase queries need a POSITIONAL index and at least "
+                "one touched postings file predates positions — rebuild "
+                "with write_native_fts_index")
         if total > MAX_FTS_POSTINGS:
-            if uncovered or spark is None:
+            if uncovered or spark is None or phrased:
                 raise LanceNativeError(
                     f"fts query matches {total} postings (> "
                     f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — "
-                    "extend_native_fts_index to full coverage and pass "
-                    "spark= so the distributed arm can score it")
+                    + ("phrase scoring is driver-side only: narrow the "
+                       "phrase's member terms" if phrased else
+                       "extend_native_fts_index to full coverage and "
+                       "pass spark= so the distributed arm can score "
+                       "it"))
             stats["mode"] = "distributed"
             return _fts_search_distributed(
-                root, idx, live, terms, slices, k, spark), stats
-        for t in terms:
-            b = _fts_bucket_of(t, idx.n_buckets)
-            parts = []
-            for run in idx.run_files:
-                if not run[b]:
-                    continue
-                got = _fts_read_postings(os.path.join(d, run[b]), [t])
-                if t in got:
-                    parts.append(got[t])
-            if parts:
-                addrs = np.concatenate([p[0] for p in parts])
-                tfs = np.concatenate([p[1] for p in parts])
-                keep = live_mask(addrs)
-                index_term.append((addrs[keep], tfs[keep]))
+                root, idx, live, terms, slices, k, spark,
+                require_all=require_all), stats
+        for ti, t in enumerate(terms):
+            if not slices[ti]:
+                continue
+            if phrased:
+                parts = [_fts_read_positions(path, off, cnt)
+                         for path, off, cnt in slices[ti]]
+                pos = np.concatenate([p[2] for p in parts])
             else:
-                index_term.append((np.empty(0, dtype="<u8"),
-                                   np.empty(0, dtype="<u4")))
-    else:
-        index_term = [(np.empty(0, dtype="<u8"), np.empty(0, dtype="<u4"))
-                      for _ in terms]
+                parts = [
+                    (*_fts_read_postings_range(path, off, cnt, 0, cnt),
+                     None) for path, off, cnt in slices[ti]]
+                pos = None
+            addrs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            keep = live_mask(addrs)
+            if pos is not None:
+                pos = pos[np.repeat(keep, tfs)]
+            term_data[t] = (addrs[keep], tfs[keep], pos)
 
     # merge per-term df across both arms, then score in term order with
     # the canonical operation order (bit-identical to the index-only and
@@ -8511,29 +8735,39 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                            dtype=np.float64)
         d_tfs = np.asarray([tfv for _a, _dl, tfv in delta_rows],
                            dtype=np.float64)
-    per_term = []
-    for ti, t in enumerate(terms):
-        addrs, tfs = index_term[ti]
+    per_op = []
+    for oi, op in enumerate(ops):
+        if len(op) == 1:
+            addrs, tfs_u, _pos = term_data[op[0]]
+            tfs = tfs_u.astype(np.float64)
+        else:
+            members = [term_data[m] for m in op]
+            if any(not len(m[0]) for m in members):
+                addrs = np.empty(0, dtype=np.uint64)
+                tfs = np.empty(0, dtype=np.float64)
+            else:
+                addrs, tfs = _fts_phrase_postings(members)
         if delta_rows:
-            d_sel = d_tfs[:, ti] > 0
+            d_sel = d_tfs[:, oi] > 0
             n_delta = int(d_sel.sum())
         else:
             n_delta = 0
         df_t = float(len(addrs) + n_delta)
         if df_t == 0:
+            if require_all:
+                return [], stats
             continue
         idf = (n - df_t + 0.5) / (df_t + 0.5)
         seg_addrs, seg_dls, seg_contrib = [], [], []
         if len(addrs):
             dls = dl_of_index(addrs)
             norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
-            contrib = (idf * (tfs.astype(np.float64) * (_BM25_K1 + 1.0))
-                       / (tfs.astype(np.float64) + norm))
+            contrib = (idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm))
             seg_addrs.append(addrs)
             seg_dls.append(dls)
             seg_contrib.append(contrib)
         if n_delta:
-            tf = d_tfs[d_sel, ti]
+            tf = d_tfs[d_sel, oi]
             dl_f = d_dls[d_sel]
             norm = _BM25_K1 * ((1.0 - _BM25_B)
                                + _BM25_B * (dl_f / avgdl))
@@ -8541,9 +8775,9 @@ def native_fts_search_fresh(root: str, column: str, query: str,
             seg_dls.append(dl_f)
             seg_contrib.append(
                 idf * (tf * (_BM25_K1 + 1.0)) / (tf + norm))
-        per_term.append((
+        per_op.append((
             np.concatenate(seg_addrs).astype(np.uint64),
             np.concatenate(seg_dls),
             np.concatenate(seg_contrib),
         ))
-    return _fts_fold_topk(per_term, k), stats
+    return _fts_fold_topk(per_op, k, require_all=require_all), stats

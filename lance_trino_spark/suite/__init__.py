@@ -76,74 +76,70 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 12 window. The driver samples EXACTLY the first 50
-    # entries. Front: this round's NEW queries (need first driver rows),
-    # then r12 CHANGED-CODE re-checks (index sidecar sharding + LSM
-    # in-place extend touch every scalar/vector index consumer; the
-    # prefilter cap + packed delete bytes touch s15/cat29; the native
-    # reader batchsize default touches every format("lance") scan —
-    # ds01/lf15/lf06 stand in for that cohort; namespace.py gained the
-    # Glue/Hive backends next to cat11's REST client), then the r6
-    # cohort the r11 sample cut off at position 50, then r7-stale fill
-    # (ds08 first: it probes the rewritten scalar-index preselect;
-    # d07/st06/st07 trimmed to keep the window at exactly 50 as the
-    # three FTS/hybrid queries landed).
-    # Still-stale after this round (lead the r13 window): the r7
-    # leftovers e08/e11-e15, t10-t14, d07 and the whole r8 cohort
-    # (cat16-cat21, d-series, s03-s13, lf20-lf30, t05-t23 members).
-    "cat35_glue_namespace",
-    "cat36_hive3_namespace",
+    # --- round 13 window (EXACTLY 50; the driver samples the first 50).
+    # Front: this round's NEW query, then r13 CHANGED-CODE re-checks
+    # (the FTS scorer/build rewrite touches s16/cat37/s17/s18; the
+    # vacuum debris grace touches lf27/cat22/st13; the metastore
+    # drop-namespace fixes touch cat35/cat36; the sharded-meta runs
+    # default touches lf19; cat24 is this round's profile target), then
+    # the stale cohort the r12 notes called out: r7 leftovers
+    # e08/e11-e15, t10-t14, d07, st06/st07 and the r8 cohort whose last
+    # driver row predates r9.
+    # Still-stale after this round (lead the r14 window): s09-s13,
+    # lf24-lf26, lf28-lf30, t05-t09, t22, t23, d11-d12.
+    "s18_fts_phrase_boolean",
+    # changed-code re-checks
     "s16_native_fts_bm25",
     "cat37_sql_fts_search",
     "s17_hybrid_search_rrf",
-    # changed-code re-checks
-    "lf47_native_index_extend",
+    "cat35_glue_namespace",
+    "cat36_hive3_namespace",
+    "lf27_native_vacuum",
+    "cat22_sql_native_table",
+    "st13_stream_sink_maintenance",
     "lf19_native_scalar_index_scan",
-    "lf17_native_persisted_index_ann",
-    "cat23_sql_native_index",
-    "cat27_sql_native_vector_search",
-    "lf43_native_ann_freshness",
-    "lf16_native_vector_ann",
-    "s15_native_filtered_fresh_search",
-    "cat29_sql_native_delete",
-    "ds01_datasource_scan_pushdown",
-    "lf15_native_pushdown_scan",
-    "lf06_count_star_fast_path",
-    "cat11_rest_namespace",
-    # --- r6-stale cohort (cut off by the r11 sample) ---
-    "t01_token_stats",
-    "t02_language_id",
-    "t03_quality_scores",
-    "t04_fingerprints",
-    "t06_stratified_sample",
-    "t07_pii_redaction",
-    "t08_document_chunking",
-    "t15_rare_ngram_novelty",
-    "t20_boilerplate_by_source",
-    "t21_pipeline_funnel",
-    # --- r7-stale fill ---
-    "ds08_scalar_index_point_lookup",
-    "ds09_stream_cdc_source",
-    "lf01_roundtrip_scan",
-    "lf02_time_travel",
-    "lf12_schema_evolution",
-    "lf13_table_changes",
-    "m01_image_decode",
-    "m02_frame_sampling",
-    "m03_blob_columns",
-    "m06_multimodal_ann",
-    "q34_window_analytics",
-    "q35_grouping_sets",
-    "q36_lateral_explode",
-    "q37_recursive_cte",
-    "q38_range_frame_rolling",
-    "q39_not_in_null_semantics",
-    "e07_asof_join",
-    "s01_cosine_topk",
-    "s02_bucketed_ann_topk",
-    "st02_stream_session_window",
-    "st03_stream_stateful_user_stats",
-    "st05_stream_stream_join",
+    "cat24_sql_native_show_stats",
+    # --- r7-stale leftovers ---
+    "e08_kmv_distinct_sketch",
+    "e11_cms_heavy_hitters",
+    "e12_hll_distinct_sketch",
+    "e13_hll_register_merge",
+    "e14_rolling_hll_uniques",
+    "e15_quantile_sketch",
+    "t10_gopher_quality_filter",
+    "t11_accent_fold",
+    "t12_source_mix_weights",
+    "t13_sequence_packing",
+    "t14_link_density",
+    "d07_cross_source_duplicates",
+    "st06_stream_cdc_upsert",
+    "st07_stream_multibatch_state",
+    # --- r8-stale cohort ---
+    "cat16_jvm_native_delete",
+    "cat17_jvm_native_insert",
+    "cat18_jvm_native_update_merge",
+    "cat19_jvm_row_address",
+    "cat20_jvm_count_star",
+    "cat21_jvm_subquery_delete",
+    "d01_exact_dedup",
+    "d02_minhash_lsh_dedup",
+    "d03_simhash_near_dup",
+    "d04_ngram_jaccard",
+    "d05_dedup_clusters",
+    "d06_quality_keep_best",
+    "d08_semantic_dedup",
+    "d09_url_dedup",
+    "d10_passage_dedup",
+    "s03_embedding_neardup",
+    "s04_ivf_trained_topk",
+    "s05_int8_quantization",
+    "s06_bm25_topk",
+    "s07_quantized_topk",
+    "s08_two_stage_prefix_rerank",
+    "lf20_native_blob_virtual_columns",
+    "lf21_native_row_address",
+    "lf22_native_mor_delete",
+    "lf23_native_mor_update",
 )
 
 

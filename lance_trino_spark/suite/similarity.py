@@ -1310,3 +1310,137 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         fused[:12],
         "doc_id long, rrf double, fts_rank long, vec_rank long")
+
+
+# ---------------------------------------------------------------------------
+# s18 — FTS PHRASE + BOOLEAN queries over positional postings (round 13):
+# the LanceDB FTS surface's phrase_query / boolean composition re-expressed
+# on the native inverted index. Every postings file since r13 stores each
+# doc's token POSITIONS next to its (addr, tf) pair; a double-quoted group
+# in MATCHING is a phrase operand served by the vectorized positional-chain
+# intersection (_fts_phrase_postings — overlapping occurrences count), and
+# a bare AND makes the query a conjunction. The corpus lands 80% + 20%
+# appended with an O(delta) LSM extend, so the phrase is answered across
+# TWO runs' positional postings (extend parity). Scores are bit-identical
+# float64 to the plain-SQL oracle, whose phrase tf is an ordinality
+# self-join (tok at ord, next tok at ord+1) — the same positional
+# definition, computed an entirely different way.
+# ---------------------------------------------------------------------------
+_S18_PHRASE = ("merge", "stream")
+_S18_TERM = "scan"
+
+
+def _s18_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+
+    def contrib(i: str) -> str:
+        return (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+            f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+            f" / CAST(n_docs AS DOUBLE))))))"
+        )
+
+    return f"""
+    WITH toklist AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS ord
+      FROM toklist),
+    ph AS (
+      SELECT t1.doc_id, COUNT(*) AS tf_ph
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.ord = t1.ord + 1
+      WHERE t1.tok = '{_S18_PHRASE[0]}' AND t2.tok = '{_S18_PHRASE[1]}'
+      GROUP BY t1.doc_id),
+    per_doc AS (
+      SELECT tl.doc_id, len(tl.toks) AS dl,
+             COALESCE(ph.tf_ph, 0) AS tf_0,
+             len(list_filter(tl.toks, x -> x = '{_S18_TERM}')) AS tf_1
+      FROM toklist tl LEFT JOIN ph ON ph.doc_id = tl.doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {contrib("0")} + {contrib("1")} AS score
+    FROM per_doc, stats
+    WHERE tf_0 > 0 AND tf_1 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s18_fts_phrase_boolean",
+    oracle=_s18_oracle(),
+    doc="FTS phrase + AND query over positional postings (LSM 2-run "
+        "chain): scores bit-identical to the SQL ordinality self-join",
+    tags=("similarity", "search", "text", "lance-format", "index"),
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s18-fts-phrase.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").orderBy("doc_id")
+    )
+    # doc_id-threshold split (exact complement, ids need not be dense):
+    # ~80% initial corpus, ~20% appended delta
+    cut = int(src.selectExpr(
+        "percentile_approx(doc_id, 0.8) AS c").first()["c"])
+    ln.create_native_dataset(src.where(f"doc_id < {cut}"), path)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+    # the delta appends through the DISTRIBUTED DSv2 write path (no
+    # driver collect), then rides in as an LSM run
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    src.where(f"doc_id >= {cut}").write.format("lance") \
+        .mode("append").save(path)
+    assert ln.extend_native_fts_index(path, "text", spark=spark)
+
+    idx = ln.latest_native_fts_index(path, "text")
+    assert idx.n_runs == 2  # the delta rode in as an LSM run
+    query = f'"{_S18_PHRASE[0]} {_S18_PHRASE[1]}" AND {_S18_TERM}'
+    got, st = ln.native_fts_search(path, "text", query, k=15, index=idx)
+    assert st["operands"] == 2 and st["require_all"]
+    assert st["mode"] == "driver" and st["postings_read"] > 0
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")

@@ -236,6 +236,19 @@ def test_fts_sql_routes(spark, tmp_path):
     assert any(row["doc_id"] == 100 for row in r)
     assert r[0]["score"] >= r[-1]["score"]
 
+    # r13 grammar through SQL: quoted phrase + AND conjunction
+    r = cat.sql(
+        'FTS SEARCH s.d (text) MATCHING \'"merge stream" AND tok1\' '
+        "TOP 31").collect()
+    assert r and all("tok1" in row["text"] if "text" in row.asDict()
+                     else True for row in r)
+    assert {row["doc_id"] % 3 for row in r} == {1}  # AND kept tok1 docs
+    assert all(row["doc_id"] != 100 for row in r)  # no adjacent phrase
+    r2 = cat.sql(
+        'FTS SEARCH s.d (text) MATCHING \'"stream merge"\' TOP 31'
+    ).collect()
+    assert r2 == []  # order-sensitive adjacency: reversed never occurs
+
     # DROP FTS must not touch the btree sidecars (and vice versa)
     cat.sql("DROP FTS INDEX ON s.d (text)")
     import lance_trino_spark.format.lance_native as ln
@@ -479,3 +492,152 @@ def test_fts_search_cap_and_distributed_parity(tmp_path, spark, monkeypatch):
     ref = sorted(ref_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:9]
     assert ln._fts_fold_topk(per_term, 9) == [
         (a, ref_dl[a], s) for a, s in ref]
+
+
+def _brute_ops(docs: list[str], query: str, k: int):
+    """Independent reference for phrase/boolean BM25: parse with the
+    repo grammar, count occurrences by scanning token lists (the
+    positional-postings chain must agree), same rational-idf op order."""
+    ops, require_all = ln._fts_parse_query(query)
+    toks = [ln._fts_tokenize(t) for t in docs]
+    n = float(len(docs))
+    dls = [len(t) for t in toks]
+    avgdl = float(sum(dls)) / n
+    scores: dict[int, float] = {}
+    matched: dict[int, int] = {}
+    for op in ops:
+        hits = [(i, ln._fts_op_count(toks[i], op))
+                for i in range(len(docs))]
+        hits = [(i, c) for i, c in hits if c > 0]
+        if not hits:
+            if require_all:
+                return []
+            continue
+        df = float(len(hits))
+        idf = (n - df + 0.5) / (df + 0.5)
+        for i, tf in hits:
+            tf = float(tf)
+            norm = ln._BM25_K1 * (
+                (1.0 - ln._BM25_B)
+                + ln._BM25_B * (float(dls[i]) / avgdl))
+            scores[i] = scores.get(i, 0.0) + idf * (
+                tf * (ln._BM25_K1 + 1.0)) / (tf + norm)
+            matched[i] = matched.get(i, 0) + 1
+    if require_all:
+        n_ops = len(ops)
+        scores = {i: s for i, s in scores.items()
+                  if matched.get(i, 0) == n_ops}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, dls[i], s) for i, s in ranked]
+
+
+PHRASE_DOCS = DOCS + [
+    "merge stream merge stream merge",   # overlapping bigram repeats
+    "x x x",                             # self-overlap "x x" -> tf 2
+    "stream merge",                      # reversed order: no phrase hit
+]
+
+
+def test_fts_phrase_and_boolean_queries(tmp_path):
+    """Positional postings (r13): quoted phrases match adjacent token
+    runs (overlaps count — 'x x' in 'x x x' is tf 2), AND composes
+    conjunctions, and every score stays bit-identical to an independent
+    token-scan reference. Deletions drop phrase hits immediately."""
+    root = str(tmp_path / "fts_phrase.lance")
+    _mk(root, PHRASE_DOCS)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    queries = [
+        '"merge stream"',
+        '"x x"',
+        '"stream merge" vector',
+        '"the quick brown fox"',
+        'merge AND stream',
+        '"merge stream" AND vector',
+        '"zzz absent" merge',
+        'merge AND zzzabsent',
+    ]
+    for q in queries:
+        got, st = ln.native_fts_search(root, "text", q, k=8)
+        want = _brute_ops(PHRASE_DOCS, q, 8)
+        assert [(a & 0xFFFFFFFF, dl) for a, dl, _ in got] == [
+            (i, dl) for i, dl, _ in want], q
+        assert [s for _, _, s in got] == [s for _, _, s in want], q
+    # overlap pinned concretely: doc "x x x" holds "x x" twice
+    got, _ = ln.native_fts_search(root, "text", '"x x"', k=3)
+    assert len(got) == 1 and got[0][0] & 0xFFFFFFFF == len(DOCS) + 1
+    # adjacency is order-sensitive: "stream merge" matches only the doc
+    # with that exact sequence, not every doc holding both terms
+    got, _ = ln.native_fts_search(root, "text", '"stream merge"', k=9)
+    hits = {a & 0xFFFFFFFF for a, _dl, _s in got}
+    assert len(DOCS) + 2 in hits and 3 not in hits
+    # deletions drop phrase hits
+    ln.native_delete(root, {0: [len(DOCS)]})
+    got, _ = ln.native_fts_search(root, "text", '"merge stream"', k=9)
+    assert len(DOCS) not in {a & 0xFFFFFFFF for a, _dl, _s in got}
+
+
+def test_fts_phrase_across_lsm_runs_and_fresh(tmp_path, spark):
+    """Phrases keep working across an LSM extend chain (each run's
+    positional postings), through compaction, and in the LIVE-SNAPSHOT
+    fresh search whose exact arm counts phrase occurrences in uncovered
+    fragments on the fly."""
+    root = str(tmp_path / "fts_phrase_lsm.lance")
+    _mk(root, PHRASE_DOCS)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    extra = ["merge stream reunion", "x x encore"]
+    ln.append_native_rows(root, {
+        "doc_id": [900, 901], "text": extra})
+    ln.extend_native_fts_index(root, "text")
+    corpus = PHRASE_DOCS + extra
+    for q in ['"merge stream"', '"x x"', '"merge stream" AND reunion']:
+        got, _ = ln.native_fts_search(root, "text", q, k=10)
+        want = _brute_ops(corpus, q, 10)
+        assert [s for _, _, s in got] == [s for _, _, s in want], q
+    # fresh path: a second append left UNCOVERED -> exact arm
+    extra2 = ["stream merge stream merge", "plain filler"]
+    ln.append_native_rows(root, {
+        "doc_id": [902, 903], "text": extra2})
+    corpus2 = corpus + extra2
+    for q in ['"stream merge"', '"merge stream" AND vector']:
+        got, _ = ln.native_fts_search_fresh(root, "text", q, k=10)
+        want = _brute_ops(corpus2, q, 10)
+        assert [s for _, _, s in got] == [s for _, _, s in want], q
+    # brute-force fresh (no index at all) serves phrases too
+    root2 = str(tmp_path / "fts_phrase_noidx.lance")
+    _mk(root2, PHRASE_DOCS)
+    got, _ = ln.native_fts_search_fresh(root2, "text", '"merge stream"',
+                                        k=10)
+    want = _brute_ops(PHRASE_DOCS, '"merge stream"', 10)
+    assert [s for _, _, s in got] == [s for _, _, s in want]
+
+
+def test_fts_phrase_refuses_prepositional_postings(tmp_path):
+    """A postings file without positions (the pre-r13 layout) makes
+    phrase queries refuse loudly with rebuild guidance; plain term
+    queries keep serving from the same file."""
+    import numpy as np
+
+    root = str(tmp_path / "fts_oldpost.lance")
+    _mk(root)
+    ln.write_native_fts_index(root, "text", n_buckets=2)
+    idx = ln.latest_native_fts_index(root, "text")
+    d = os.path.dirname(idx.path)
+    # strip positions from every postings file (rewrite in place)
+    for run in idx.run_files:
+        for nm in run:
+            if not nm:
+                continue
+            post = ln._fts_read_all_postings(os.path.join(d, nm))
+            tokens = sorted(post)
+            blob = ln._fts_postings_blob(
+                tokens,
+                [post[t][0] for t in tokens],
+                [post[t][1] for t in tokens])
+            with open(os.path.join(d, nm), "wb") as fh:
+                fh.write(blob)
+    got, _ = ln.native_fts_search(root, "text", "merge stream", k=5)
+    assert got  # terms still serve
+    with pytest.raises(ln.LanceNativeError, match="POSITIONAL"):
+        ln.native_fts_search(root, "text", '"merge stream"', k=5)
+    with pytest.raises(ln.LanceNativeError, match="POSITIONAL"):
+        ln.native_fts_search_fresh(root, "text", '"merge stream"', k=5)
