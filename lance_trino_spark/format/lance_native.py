@@ -7971,6 +7971,207 @@ def write_native_fts_index(root: str, column: str,
     return uid
 
 
+
+def _fts_live_posting_mask(addrs, live_masks):
+    """Keep-mask for one token's addr-sorted postings given per-fragment
+    live masks (doclen-length bool arrays with deleted positions False);
+    fragments absent from ``live_masks`` are dead — all their postings
+    drop."""
+    import numpy as np
+
+    fids = (addrs >> np.uint64(32)).astype(np.int64)
+    poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    keep = np.ones(len(addrs), dtype=bool)
+    for fid in np.unique(fids):
+        m = live_masks.get(int(fid))
+        sel = fids == fid
+        if m is None:
+            keep[sel] = False
+            continue
+        pp = poss[sel]
+        ok = (pp < len(m))
+        ok[ok] = m[pp[ok]]
+        keep[sel] = ok
+    return keep
+
+
+def _fts_merge_bucket_postings(paths, live_masks):
+    """Merge ONE bucket's run postings files (the Lucene segment-merge
+    unit, shared verbatim by the serial and the distributed compaction
+    arms so they agree byte-for-byte): tokens union-sorted, per-token
+    postings addr-sorted then DV-pruned, positions permuted and pruned
+    alongside when EVERY source file carries them. Returns (tokens,
+    addrs_l, tfs_l, pos_l | None) — empty tokens means the bucket
+    merged away."""
+    import numpy as np
+
+    toks: dict[str, list] = {}
+    bucket_positional = True
+    for path in paths:
+        post = _fts_read_all_postings(path)
+        for t, (addrs, tfs, pos_arr) in post.items():
+            if pos_arr is None:
+                bucket_positional = False
+            toks.setdefault(t, []).append((addrs, tfs, pos_arr))
+    tokens, addrs_l, tfs_l, pos_l = [], [], [], []
+    for t in sorted(toks):
+        a = np.concatenate([x[0] for x in toks[t]])
+        c = np.concatenate([x[1] for x in toks[t]])
+        order = np.argsort(a, kind="stable")
+        if bucket_positional:
+            p = _fts_permute_positions(
+                np.concatenate([x[2] for x in toks[t]]), c, order)
+        a, c = a[order], c[order]
+        keep = _fts_live_posting_mask(a, live_masks)
+        if bucket_positional:
+            p = p[np.repeat(keep, c)]
+        a, c = a[keep], c[keep]
+        if len(a):
+            tokens.append(t)
+            addrs_l.append(a)
+            tfs_l.append(c)
+            if bucket_positional:
+                pos_l.append(p)
+    return tokens, addrs_l, tfs_l, (pos_l if bucket_positional else None)
+
+
+def _fts_frag_live_mask(root: str, d: str, name: str, frag):
+    """(live bool mask, live doc count, live dl sum) of one fragment
+    from its doclen file + current deletion vector."""
+    import numpy as np
+
+    arr = np.frombuffer(
+        nio.read_bytes(os.path.join(d, name)), dtype="<u4")
+    mask = np.ones(len(arr), dtype=bool)
+    if frag.deletion is not None:
+        dead = _deleted_rows_np(root, frag.deletion)
+        mask[dead[dead < len(arr)]] = False
+    return mask, int(mask.sum()), int(arr[mask].sum())
+
+
+def _fts_compact_distributed(root: str, d: str, runs, doclen, cov_set,
+                             manifest: NativeManifest, n_buckets: int,
+                             spark):
+    """Executor-parallel FTS compaction (the serial loop's 100-TB
+    shape): job 1 recomputes live corpus stats with one task per
+    FRAGMENT (doclen file + deletion vector, executor-side); job 2
+    merges postings with one task per BUCKET through the SAME
+    _fts_merge_bucket_postings kernel the serial arm uses (per-fragment
+    live masks rebuilt lazily task-side), writing the merged positional
+    file. Driver traffic: one stats row per fragment + one (bucket,
+    name) row per bucket — never a posting."""
+    import pandas as pd  # noqa: F401 (kernels import their own)
+
+    _require_shared_store(root, "the distributed FTS compaction")
+    binding = nio.binding_for(root)
+    version = manifest.version
+    cov_list = sorted(int(x) for x in cov_set)
+    doclen_list = [(int(f), n) for f, n in doclen]
+    runs_b = [list(run) for run in runs]
+
+    def frag_stats(batches):
+        import pandas as _pd
+
+        from lance_trino_spark.format import native_io as _nio
+        from lance_trino_spark.format import lance_native as _ln
+
+        _nio.restore_binding(binding)
+        m = _ln.read_native_manifest(root, version=version)
+        frag_by_id = {f.id: f for f in m.fragments}
+        cov = set(cov_list)
+        for pdf in batches:
+            for fid, name in zip(pdf["fid"], pdf["name"]):
+                fid = int(fid)
+                frag = frag_by_id.get(fid)
+                if fid not in cov or frag is None:
+                    yield _pd.DataFrame({
+                        "fid": [fid], "name": [name], "kept": [False],
+                        "n_docs": [0], "sum_dl": [0]})
+                    continue
+                _mask, nd, dl = _ln._fts_frag_live_mask(
+                    root, d, name, frag)
+                yield _pd.DataFrame({
+                    "fid": [fid], "name": [name], "kept": [True],
+                    "n_docs": [nd], "sum_dl": [dl]})
+
+    kept_doclen = []
+    n_docs = sum_dl = 0
+    if doclen_list:
+        spec = spark.createDataFrame(
+            doclen_list, "fid int, name string"
+        ).repartition(min(len(doclen_list), 256), "fid")
+        # one stats row per fragment (collect-audit: O(#fragments))
+        for r in sorted(
+                spec.mapInPandas(
+                    frag_stats,
+                    "fid int, name string, kept boolean, n_docs long, "
+                    "sum_dl long").collect(),
+                key=lambda r: int(r["fid"])):
+            if r["kept"]:
+                kept_doclen.append((int(r["fid"]), r["name"]))
+                n_docs += int(r["n_docs"])
+                sum_dl += int(r["sum_dl"])
+
+    by_frag_doclen = dict(doclen_list)
+
+    def merge_buckets(batches):
+        import uuid as _uuidlib
+
+        import pandas as _pd
+
+        from lance_trino_spark.format import native_io as _nio
+        from lance_trino_spark.format import lance_native as _ln
+
+        _nio.restore_binding(binding)
+        m = _ln.read_native_manifest(root, version=version)
+        frag_by_id = {f.id: f for f in m.fragments}
+        cov = set(cov_list)
+        live_masks: dict = {}
+
+        class _Lazy(dict):
+            def get(self, fid, default=None):
+                fid = int(fid)
+                if fid in self:
+                    return self[fid]
+                frag = frag_by_id.get(fid)
+                nm = by_frag_doclen.get(fid)
+                if fid not in cov or frag is None or nm is None:
+                    return default  # dead fragment: postings drop
+                mask, _nd, _dl = _ln._fts_frag_live_mask(
+                    root, d, nm, frag)
+                self[fid] = mask
+                return mask
+
+        live_masks = _Lazy()
+        for pdf in batches:
+            for b in pdf["b"]:
+                b = int(b)
+                paths = [os.path.join(d, run[b])
+                         for run in runs_b if run[b]]
+                tokens, addrs_l, tfs_l, pos_l =                     _ln._fts_merge_bucket_postings(paths, live_masks)
+                if not tokens:
+                    yield _pd.DataFrame({"b": [b], "name": [""]})
+                    continue
+                name = (f"post-r000-{b:04d}-"
+                        f"{_uuidlib.uuid4().hex[:8]}.idx")
+                _nio.write_bytes(
+                    os.path.join(d, name),
+                    _ln._fts_postings_blob(
+                        tokens, addrs_l, tfs_l, pos_l))
+                yield _pd.DataFrame({"b": [b], "name": [name]})
+
+    bucket_spec = spark.createDataFrame(
+        [(b,) for b in range(n_buckets)], "b int"
+    ).repartition(min(n_buckets, 256), "b")
+    merged_run = [""] * n_buckets
+    # one (bucket, merged file name) row per bucket (collect-audit:
+    # O(n_buckets))
+    for r in bucket_spec.mapInPandas(
+            merge_buckets, "b int, name string").collect():
+        merged_run[int(r["b"])] = r["name"]
+    return [tuple(merged_run)], kept_doclen, n_docs, sum_dl
+
+
 def extend_native_fts_index(root: str, column: str, spark=None
                             ) -> str | None:
     """O(delta) LSM extend: tokenize ONLY the appended fragments, append
@@ -8014,85 +8215,46 @@ def extend_native_fts_index(root: str, column: str, spark=None
         # compactions, deletes drop from results immediately but stats
         # drift — exactly Lucene's stance)
         cov_set = set(coverage)
-        live_masks: dict[int, "np.ndarray"] = {}
-        frag_by_id = {f.id: f for f in manifest.fragments}
-        n_docs = 0
-        sum_dl = 0
-        kept_doclen = []
-        for fid, name in doclen:
-            if fid not in cov_set or fid not in frag_by_id:
-                continue  # dead fragment: entry dropped, file vacuumed
-            arr = np.frombuffer(
-                nio.read_bytes(os.path.join(d, name)), dtype="<u4")
-            mask = np.ones(len(arr), dtype=bool)
-            frag = frag_by_id[fid]
-            if frag.deletion is not None:
-                dead = _deleted_rows_np(root, frag.deletion)
-                mask[dead[dead < len(arr)]] = False
-            live_masks[fid] = mask
-            n_docs += int(mask.sum())
-            sum_dl += int(arr[mask].sum())
-            kept_doclen.append((fid, name))
-        doclen = kept_doclen
-
-        def live_posting_mask(addrs: "np.ndarray") -> "np.ndarray":
-            fids = (addrs >> np.uint64(32)).astype(np.int64)
-            poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            keep = np.ones(len(addrs), dtype=bool)
-            for fid in np.unique(fids):
-                m = live_masks.get(int(fid))
-                sel = fids == fid
-                if m is None:
-                    keep[sel] = False
+        if spark is not None:
+            # 100-TB shape: one task per bucket merges its runs through
+            # the SAME kernel as the serial arm (byte parity); one task
+            # per fragment recomputes live stats — the driver never
+            # touches a posting
+            runs, doclen, n_docs, sum_dl = _fts_compact_distributed(
+                root, d, runs, doclen, cov_set, manifest,
+                idx.n_buckets, spark)
+        else:
+            frag_by_id = {f.id: f for f in manifest.fragments}
+            live_masks: dict[int, "np.ndarray"] = {}
+            n_docs = 0
+            sum_dl = 0
+            kept_doclen = []
+            for fid, name in doclen:
+                if fid not in cov_set or fid not in frag_by_id:
+                    continue  # dead fragment: entry dropped + vacuumed
+                mask, nd, dl_ = _fts_frag_live_mask(
+                    root, d, name, frag_by_id[fid])
+                live_masks[fid] = mask
+                n_docs += nd
+                sum_dl += dl_
+                kept_doclen.append((fid, name))
+            doclen = kept_doclen
+            merged_run = []
+            for b in range(idx.n_buckets):
+                paths = [os.path.join(d, run[b])
+                         for run in runs if run[b]]
+                tokens, addrs_l, tfs_l, pos_l = \
+                    _fts_merge_bucket_postings(paths, live_masks)
+                if not tokens:
+                    merged_run.append("")
                     continue
-                pp = poss[sel]
-                ok = (pp < len(m))
-                ok[ok] = m[pp[ok]]
-                keep[sel] = ok
-            return keep
-
-        merged_run = []
-        for b in range(idx.n_buckets):
-            toks: dict[str, list] = {}
-            bucket_positional = True  # positions survive the merge only
-            for run in runs:           # if EVERY source file has them
-                if not run[b]:
-                    continue
-                post = _fts_read_all_postings(os.path.join(d, run[b]))
-                for t, (addrs, tfs, pos_arr) in post.items():
-                    if pos_arr is None:
-                        bucket_positional = False
-                    toks.setdefault(t, []).append((addrs, tfs, pos_arr))
-            tokens, addrs_l, tfs_l, pos_l = [], [], [], []
-            for t in sorted(toks):
-                a = np.concatenate([x[0] for x in toks[t]])
-                c = np.concatenate([x[1] for x in toks[t]])
-                order = np.argsort(a, kind="stable")
-                if bucket_positional:
-                    p = _fts_permute_positions(
-                        np.concatenate([x[2] for x in toks[t]]), c, order)
-                a, c = a[order], c[order]
-                keep = live_posting_mask(a)
-                if bucket_positional:
-                    p = p[np.repeat(keep, c)]
-                a, c = a[keep], c[keep]
-                if len(a):
-                    tokens.append(t)
-                    addrs_l.append(a)
-                    tfs_l.append(c)
-                    if bucket_positional:
-                        pos_l.append(p)
-            if not tokens:
-                merged_run.append("")
-                continue
-            name = (f"post-r000-{b:04d}-{uuidlib.uuid4().hex[:8]}.idx")
-            nio.write_bytes(
-                os.path.join(d, name),
-                _fts_postings_blob(
-                    tokens, addrs_l, tfs_l,
-                    pos_l if bucket_positional else None))
-            merged_run.append(name)
-        runs = [tuple(merged_run)]
+                name = (f"post-r000-{b:04d}-"
+                        f"{uuidlib.uuid4().hex[:8]}.idx")
+                nio.write_bytes(
+                    os.path.join(d, name),
+                    _fts_postings_blob(tokens, addrs_l, tfs_l, pos_l))
+                merged_run.append(name)
+            runs = [tuple(merged_run)]
     _write_fts_meta(d, column, manifest.version, idx.n_buckets,
                     n_docs, sum_dl, coverage, runs, doclen)
     return os.path.basename(d)

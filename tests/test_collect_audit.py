@@ -75,6 +75,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "bucket (postings file name) + one doclen marker per fragment — "
         "O(n_buckets + fragments); tokens, positions, and postings are "
         "written executor-side and never reach the driver",
+    ("format/lance_native.py", "_fts_compact_distributed"):
+        "distributed FTS compaction: one live-stats row per fragment "
+        "(job 1) and one (bucket, merged file name) row per bucket "
+        "(job 2) — O(fragments + n_buckets); merged postings are "
+        "written executor-side and never reach the driver",
     ("format/lance_native.py", "_fts_delta_term_rows"):
         "fresh-search exact arm: one row per doc MATCHING a query term "
         "in the uncovered fragments plus one stats marker per task — "

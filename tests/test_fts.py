@@ -641,3 +641,65 @@ def test_fts_phrase_refuses_prepositional_postings(tmp_path):
         ln.native_fts_search(root, "text", '"merge stream"', k=5)
     with pytest.raises(ln.LanceNativeError, match="POSITIONAL"):
         ln.native_fts_search_fresh(root, "text", '"merge stream"', k=5)
+
+
+def test_fts_distributed_compaction_parity(tmp_path, spark, monkeypatch):
+    """The distributed compaction (one bucket-merge task per bucket +
+    one live-stats task per fragment, r13) produces the SAME index as
+    the serial arm — same corpus stats, same per-token postings and
+    positions, bit-identical search results — on a chain with deletes
+    riding between extends. Driver never streams postings
+    (toLocalIterator pinned absent)."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    def mk(root):
+        docs = [f"tok{i % 5} merge w{i % 11} filler{i}" for i in range(80)]
+        _mk(root, docs)
+        ln.write_native_fts_index(root, "text", n_buckets=4)
+        ln.native_delete(root, {0: list(range(0, 80, 9))})
+        for wave in range(2):
+            ln.append_native_rows(root, {
+                "doc_id": [1000 + wave * 10 + j for j in range(10)],
+                "text": [f"late{wave} merge stream w{j}"
+                         for j in range(10)],
+            })
+        return root
+
+    monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 2)
+    ra = mk(str(tmp_path / "ser.lance"))
+    ln.extend_native_fts_index(ra, "text")  # serial compaction
+    rb = mk(str(tmp_path / "dist.lance"))
+
+    def no_iter(self, *a, **k):
+        raise AssertionError(
+            "distributed compaction must not stream postings to driver")
+
+    monkeypatch.setattr(DataFrame, "toLocalIterator", no_iter)
+    ln.extend_native_fts_index(rb, "text", spark=spark)
+    monkeypatch.undo()
+
+    ia = ln.latest_native_fts_index(ra, "text")
+    ib = ln.latest_native_fts_index(rb, "text")
+    assert ia.n_runs == 1 and ib.n_runs == 1  # both compacted
+    assert (ia.n_docs, ia.sum_dl) == (ib.n_docs, ib.sum_dl)
+    assert ia.doclen_files == ib.doclen_files or \
+        [f for f, _n in ia.doclen_files] == [f for f, _n in ib.doclen_files]
+    da, db = os.path.dirname(ia.path), os.path.dirname(ib.path)
+    for b in range(4):
+        na, nb = ia.run_files[0][b], ib.run_files[0][b]
+        assert bool(na) == bool(nb)
+        if not na:
+            continue
+        pa = ln._fts_read_all_postings(os.path.join(da, na))
+        pb = ln._fts_read_all_postings(os.path.join(db, nb))
+        assert sorted(pa) == sorted(pb)
+        for t in pa:
+            assert pa[t][0].tolist() == pb[t][0].tolist(), t
+            assert pa[t][1].tolist() == pb[t][1].tolist(), t
+            assert pa[t][2].tolist() == pb[t][2].tolist(), t
+    for q in ["merge stream", '"merge stream"', "tok1 AND merge",
+              '"late1 merge"']:
+        got_a, _ = ln.native_fts_search(ra, "text", q, k=10, index=ia)
+        got_b, _ = ln.native_fts_search(rb, "text", q, k=10, index=ib)
+        assert got_a == got_b, q
