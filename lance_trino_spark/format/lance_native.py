@@ -7325,6 +7325,10 @@ _BM25_B = 0.75
 # refuses past this (the MAX_PREFILTER_ROWS stance) and routes to the
 # distributed arm when a SparkSession is supplied.
 MAX_FTS_POSTINGS = 10_000_000
+# A fuzzy operand expands over the indexed vocabulary; runaway
+# expansions (very short words over huge vocabs) refuse loudly past
+# this, the Lucene/tantivy max-expansions stance.
+MAX_FUZZY_EXPANSIONS = 256
 # The distributed arm's task unit: a bounded slice of ONE term's
 # postings in one run file — per-task memory stays O(chunk) no matter
 # how common the term is.
@@ -7484,18 +7488,27 @@ def _fts_read_postings_range(path: str, offset: int, count: int,
     return addrs, tfs
 
 
+# fuzzy-operand marker (never produced by tokenizing quoted/plain query
+# text — only by the trailing-~ syntax below)
+_FTS_FUZZY = "\x00fuzzy\x00"
+
+
 def _fts_parse_query(query: str):
     """The MATCHING grammar (a superset of the pre-r13 term list):
     whitespace-separated operands; a double-quoted group is a PHRASE
     operand (member tokens must appear adjacent, in order — occurrences
-    may overlap, the positional-chain definition); a bare AND between
-    operands makes the query a CONJUNCTION (every operand must match a
-    doc; scores still sum each operand's BM25 contribution), otherwise
-    operands are OR'd. Plain term queries parse to exactly the pre-r13
-    semantics. Returns (operands [tuples of analyzer tokens, deduped in
+    may overlap, the positional-chain definition); a bare word with a
+    trailing ``~`` is a FUZZY operand (matches any token within plain
+    Levenshtein distance 1 — quote it, "w~", to search the literal
+    token); a bare AND between operands makes the query a CONJUNCTION
+    (every operand must match a doc; scores still sum each operand's
+    BM25 contribution), otherwise operands are OR'd. Plain term queries
+    parse to exactly the pre-r13 semantics. Returns (operands [tuples
+    of analyzer tokens; fuzzy = (_FTS_FUZZY, word), deduped in
     first-seen order], require_all). Mirrors the LanceDB FTS surface's
-    phrase + boolean queries (its tantivy-backed MatchQuery/PhraseQuery
-    composition) on the whitespace-v1 analyzer."""
+    phrase + boolean + fuzziness queries (its tantivy-backed
+    MatchQuery/PhraseQuery composition) on the whitespace-v1
+    analyzer."""
     import re as _re
 
     ops: list[tuple] = []
@@ -7507,6 +7520,10 @@ def _fts_parse_query(query: str):
                 ops.append(toks)
         elif m.group(2) == "AND":
             require_all = True
+        elif m.group(2).endswith("~") and len(m.group(2)) > 1:
+            op = (_FTS_FUZZY, m.group(2)[:-1])
+            if op not in ops:
+                ops.append(op)
         else:
             for t in _fts_tokenize(m.group(2)):
                 if t and (t,) not in ops:
@@ -7514,12 +7531,42 @@ def _fts_parse_query(query: str):
     return ops, require_all
 
 
+def _fts_edit1(a: str, b: str) -> bool:
+    """Plain Levenshtein distance <= 1 (DuckDB levenshtein() parity:
+    substitution/insert/delete cost 1, NO transposition bonus)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return False
+    return True
+
+
 def _fts_op_count(toks: list, op: tuple) -> int:
     """Occurrences of one operand in a token list: term -> plain count;
-    phrase -> positional-chain count (overlaps count) — the exact-arm
-    twin of _fts_phrase_postings, parity-pinned."""
+    fuzzy -> count of tokens within edit distance 1 of the word; phrase
+    -> positional-chain count (overlaps count) — the exact-arm twin of
+    _fts_phrase_postings / the fuzzy expansion merge, parity-pinned."""
     if len(op) == 1:
         return toks.count(op[0])
+    if op[0] == _FTS_FUZZY:
+        w = op[1]
+        return sum(1 for t in toks if _fts_edit1(w, t))
     m = len(op)
     return sum(
         1 for i in range(len(toks) - m + 1)
@@ -7567,6 +7614,27 @@ def _fts_phrase_postings(members):
     docs, counts = np.unique(
         (cand >> np.uint64(32)).astype(np.int64), return_counts=True)
     return common[docs], counts.astype(np.float64)
+
+
+def _fts_fuzzy_merge(members):
+    """FUZZY pseudo-term postings: one (addrs, tfs) stream per matched
+    vocabulary term merges into a single posting per doc whose tf is
+    the INTEGER sum of the variants' occurrences (order-independent —
+    exact in float64), so the operand scores as one BM25 term with
+    df = docs holding any variant. Mirrors _fts_op_count's exact-arm
+    token scan."""
+    import numpy as np
+
+    live = [m for m in members if len(m[0])]
+    if not live:
+        return (np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.float64))
+    addrs_all = np.concatenate([m[0] for m in live])
+    tfs_all = np.concatenate([m[1] for m in live]).astype(np.float64)
+    u, inv = np.unique(addrs_all, return_inverse=True)
+    tf = np.zeros(len(u), dtype=np.float64)
+    np.add.at(tf, inv, tfs_all)
+    return u.astype(np.uint64), tf
 
 
 def _fts_permute_positions(flat, tfs, order):
@@ -8346,21 +8414,57 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             f"fts index on {column!r} does not cover fragments "
             f"{sorted(uncovered)} — extend_native_fts_index first")
     ops, require_all = _fts_parse_query(query)
-    terms = []  # unique member terms across operands
+    fuzzy_ops = [op for op in ops if op[0] == _FTS_FUZZY]
+    terms = []  # unique member terms across operands (exact ones)
     for op in ops:
+        if op[0] == _FTS_FUZZY:
+            continue
         for t in op:
             if t not in terms:
                 terms.append(t)
-    phrased = any(len(op) > 1 for op in ops)
+    phrased = any(len(op) > 1 and op[0] != _FTS_FUZZY for op in ops)
     stats = {"terms": len(terms), "terms_found": 0, "postings_read": 0,
              "files_opened": 0, "mode": "driver",
              "operands": len(ops), "require_all": require_all}
     if not ops or idx.n_docs == 0:
         return [], stats
     d = os.path.dirname(idx.path)
+    meta_cache: dict[str, tuple] = {}
+
+    def _locate(path):
+        if path not in meta_cache:
+            stats["files_opened"] += 1
+            meta_cache[path] = _fts_postings_locate(path)
+        return meta_cache[path]
+
+    # fuzzy expansion over the indexed VOCABULARY (a metadata scan:
+    # every (run, bucket) file's token dictionary, never a posting) —
+    # each fuzzy word becomes the sorted set of dictionary tokens
+    # within plain Levenshtein distance 1
+    fuzzy_exp: dict[tuple, list] = {}
+    if fuzzy_ops:
+        vocab: set = set()
+        for run in idx.run_files:
+            for bname in run:
+                if bname:
+                    vocab |= set(_locate(os.path.join(d, bname))[0])
+        for op in fuzzy_ops:
+            exp = sorted(t for t in vocab if _fts_edit1(op[1], t))
+            if len(exp) > MAX_FUZZY_EXPANSIONS:
+                raise LanceNativeError(
+                    f"fuzzy operand {op[1]!r}~ expands to {len(exp)} "
+                    f"vocabulary terms (> MAX_FUZZY_EXPANSIONS="
+                    f"{MAX_FUZZY_EXPANSIONS}) — use a longer/more "
+                    "specific word")
+            fuzzy_exp[op] = exp
+            for t in exp:
+                if t not in terms:
+                    terms.append(t)
+        stats["fuzzy_expansions"] = sum(
+            len(v) for v in fuzzy_exp.values())
+
     # meta pass: per member term, its (path, body_offset, count) slices
     slices: list[list] = [[] for _ in terms]
-    meta_cache: dict[str, tuple] = {}
     total = 0
     pos_ok = True
     for ti, t in enumerate(terms):
@@ -8370,10 +8474,7 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             if not run[b]:
                 continue
             path = os.path.join(d, run[b])
-            if path not in meta_cache:
-                stats["files_opened"] += 1
-                meta_cache[path] = _fts_postings_locate(path)
-            locs, has_pos = meta_cache[path]
+            locs, has_pos = _locate(path)
             loc = locs.get(t)
             if loc is None:
                 continue
@@ -8393,13 +8494,14 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             "write_native_fts_index (extends of a pre-positional index "
             "leave its old runs position-less)")
     if total > MAX_FTS_POSTINGS:
-        if spark is None or phrased:
+        if spark is None or phrased or fuzzy_ops:
             raise LanceNativeError(
                 f"fts query matches {total} postings (> "
                 f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — corpus-common "
                 "terms would buffer O(corpus) on the driver; "
-                + ("phrase scoring is driver-side only: narrow the "
-                   "phrase's member terms" if phrased else
+                + ("phrase/fuzzy scoring is driver-side only: narrow "
+                   "the operand's member terms"
+                   if (phrased or fuzzy_ops) else
                    "pass spark= to score distributed (bounded "
                    "per-chunk executor tasks, O(k) driver traffic)"))
         stats["mode"] = "distributed"
@@ -8475,6 +8577,9 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         if len(op) == 1:
             addrs, tfs_u, _pos = term_data[op[0]]
             tfs = tfs_u.astype(np.float64)
+        elif op[0] == _FTS_FUZZY:
+            addrs, tfs = _fts_fuzzy_merge(
+                [term_data[e] for e in fuzzy_exp.get(op, [])])
         else:
             members = [term_data[m] for m in op]
             if any(not len(m[0]) for m in members):
@@ -8786,12 +8891,15 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     covered = (idx.covered_fragments & live_ids) if idx else set()
     uncovered = live_ids - covered
     ops, require_all = _fts_parse_query(query)
-    terms = []  # unique member terms across operands
+    fuzzy_ops = [op for op in ops if op[0] == _FTS_FUZZY]
+    terms = []  # unique member terms across operands (exact ones)
     for op in ops:
+        if op[0] == _FTS_FUZZY:
+            continue
         for t in op:
             if t not in terms:
                 terms.append(t)
-    phrased = any(len(op) > 1 for op in ops)
+    phrased = any(len(op) > 1 and op[0] != _FTS_FUZZY for op in ops)
     if not ops:
         return [], {"terms": 0}
     frag_by_id = {f.id: f for f in live.fragments}
@@ -8832,16 +8940,46 @@ def native_fts_search_fresh(root: str, column: str, query: str,
         return keep
 
     # index arm: per member term (addrs, tfs, positions|None), DV-masked
+    fuzzy_exp: dict[tuple, list] = {op: [] for op in fuzzy_ops}
     term_data: dict[str, tuple] = {
         t: (np.empty(0, dtype=np.uint64), np.empty(0, dtype="<u4"), None)
         for t in terms}
     if idx is not None:
         d = os.path.dirname(idx.path)
+        meta_cache: dict[str, tuple] = {}
+
+        def _locate(path):
+            if path not in meta_cache:
+                meta_cache[path] = _fts_postings_locate(path)
+            return meta_cache[path]
+
+        if fuzzy_ops:  # expansion over the covered arm's vocabulary
+            vocab: set = set()
+            for run in idx.run_files:
+                for bname in run:
+                    if bname:
+                        vocab |= set(_locate(
+                            os.path.join(d, bname))[0])
+            for op in fuzzy_ops:
+                exp = sorted(
+                    t for t in vocab if _fts_edit1(op[1], t))
+                if len(exp) > MAX_FUZZY_EXPANSIONS:
+                    raise LanceNativeError(
+                        f"fuzzy operand {op[1]!r}~ expands to "
+                        f"{len(exp)} vocabulary terms (> "
+                        f"MAX_FUZZY_EXPANSIONS={MAX_FUZZY_EXPANSIONS})"
+                        " — use a longer/more specific word")
+                fuzzy_exp[op] = exp
+                for t in exp:
+                    if t not in terms:
+                        terms.append(t)
+                        term_data[t] = (
+                            np.empty(0, dtype=np.uint64),
+                            np.empty(0, dtype="<u4"), None)
         # cap gate (meta-only): corpus-common queries refuse before any
         # posting byte is read, or — fully covered, spark given — serve
         # from the distributed arm (global stats equal the index's)
         slices: list[list] = [[] for _ in terms]
-        meta_cache: dict[str, tuple] = {}
         total = 0
         pos_ok = True
         for ti, t in enumerate(terms):
@@ -8850,9 +8988,7 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                 if not run[b]:
                     continue
                 path = os.path.join(d, run[b])
-                if path not in meta_cache:
-                    meta_cache[path] = _fts_postings_locate(path)
-                locs, has_pos = meta_cache[path]
+                locs, has_pos = _locate(path)
                 loc = locs.get(t)
                 if loc is not None:
                     pos_ok = pos_ok and has_pos
@@ -8864,12 +9000,13 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                 "one touched postings file predates positions — rebuild "
                 "with write_native_fts_index")
         if total > MAX_FTS_POSTINGS:
-            if uncovered or spark is None or phrased:
+            if uncovered or spark is None or phrased or fuzzy_ops:
                 raise LanceNativeError(
                     f"fts query matches {total} postings (> "
                     f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — "
-                    + ("phrase scoring is driver-side only: narrow the "
-                       "phrase's member terms" if phrased else
+                    + ("phrase/fuzzy scoring is driver-side only: "
+                       "narrow the operand's member terms"
+                       if (phrased or fuzzy_ops) else
                        "extend_native_fts_index to full coverage and "
                        "pass spark= so the distributed arm can score "
                        "it"))
@@ -8931,6 +9068,9 @@ def native_fts_search_fresh(root: str, column: str, query: str,
         if len(op) == 1:
             addrs, tfs_u, _pos = term_data[op[0]]
             tfs = tfs_u.astype(np.float64)
+        elif op[0] == _FTS_FUZZY:
+            addrs, tfs = _fts_fuzzy_merge(
+                [term_data[e] for e in fuzzy_exp.get(op, [])])
         else:
             members = [term_data[m] for m in op]
             if any(not len(m[0]) for m in members):

@@ -1448,3 +1448,112 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((int(did), int(dl), float(s)))
     out.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s19 — FUZZY term matching (round 13): the LanceDB MatchQuery `fuzziness`
+# surface on the native inverted index. A trailing-~ operand expands over
+# the indexed VOCABULARY (a metadata scan of the bucket token
+# dictionaries — never a posting) to every token within plain Levenshtein
+# distance 1, then scores as ONE BM25 pseudo-term whose tf per doc is the
+# INTEGER sum of the variants' occurrences (order-independent, exact in
+# float64) and whose df is the docs holding any variant — so scores stay
+# bit-identical to the SQL oracle, whose tf is a levenshtein() list_filter
+# (DuckDB's plain Levenshtein == _fts_edit1, transpositions cost 2).
+# ---------------------------------------------------------------------------
+_S19_FUZZY = ("vektor", "scann")   # typos of corpus terms vector / scan
+
+
+def _s19_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+
+    def contrib(i: str) -> str:
+        return (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+            f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+            f" / CAST(n_docs AS DOUBLE))))))"
+        )
+
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> levenshtein(x, '{w}') <= 1))"
+        f" AS tf_{i}"
+        for i, w in enumerate(_S19_FUZZY)
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {contrib("0")} + {contrib("1")} AS score
+    FROM per_doc, stats
+    WHERE tf_0 > 0 OR tf_1 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s19_fts_fuzzy_match",
+    oracle=_s19_oracle(),
+    doc="FTS fuzzy (~) operands: vocabulary-expanded edit-distance-1 "
+        "pseudo-terms, scores bit-identical to the SQL levenshtein "
+        "oracle",
+    tags=("similarity", "search", "text", "lance-format", "index"),
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s19-fts-fuzzy.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+
+    query = " ".join(f"{w}~" for w in _S19_FUZZY)
+    got, st = ln.native_fts_search(path, "text", query, k=15)
+    assert st["operands"] == 2 and st.get("fuzzy_expansions", 0) >= 2
+    assert st["mode"] == "driver"
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")
