@@ -193,6 +193,8 @@ DEFAULT_QUERIES = [
     "s16_native_fts_bm25",
     "cat37_sql_fts_search",
     "s17_hybrid_search_rrf",
+    "s18_fts_phrase_boolean",
+    "s19_fts_fuzzy_match",
 ]
 
 

@@ -58,12 +58,25 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     raise TypeError(f"unsupported events.ts encoding: {ts_type}")
 
 
+# (applicationId, sf_dir, table) -> DataFrame. The testdata tables are
+# immutable for a session's lifetime, so the schema-inference /
+# file-listing job behind spark.read.parquet need only run once per
+# table — without this every suite query re-paid it, a fixed tax the
+# per-query parquet baselines (pre-registered views) never saw.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    if name == "events":
-        df = _normalize_events(df)
+    key = (spark.sparkContext.applicationId,
+           os.path.abspath(sf_dir), name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = _normalize_events(df)
+        _TABLE_CACHE[key] = df
     return df
 
 
