@@ -431,6 +431,24 @@ def test_fts_randomized_lifecycle_bruteforce(tmp_path):
             want_keys = [ordered[i][0] for i, _, _ in want]
             assert got_keys == want_keys
             assert [s for _, _, s in got] == [s for _, _, s in want]
+        # r13 grammar under the same randomized lifecycle: random
+        # phrases (positional postings survive extends + the final
+        # compaction), AND conjunctions, and fuzzy operands
+        for _ in range(5):
+            w1, w2, w3 = rng.choice(vocab, size=3)
+            q = rng.choice([
+                f'"{w1} {w2}"',
+                f'"{w1} {w2}" {w3}',
+                f"{w1} AND {w2}",
+                f'"{w1} {w2}" AND {w3}',
+                f"{w1}~ {w2}",
+            ])
+            got, _ = ln.native_fts_search(root, "text", q, k=12)
+            want = _brute_ops(texts, q, 12)
+            got_keys = [(a >> 32, a & 0xFFFFFFFF) for a, _, _ in got]
+            want_keys = [ordered[i][0] for i, _, _ in want]
+            assert got_keys == want_keys, q
+            assert [s for _, _, s in got] == [s for _, _, s in want], q
 
 
 def test_fts_search_cap_and_distributed_parity(tmp_path, spark, monkeypatch):
