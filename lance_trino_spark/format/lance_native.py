@@ -5787,14 +5787,88 @@ def extend_native_vector_index(root: str, column: str, spark=None
         return _write_ivf_meta_sharded(
             root, uid, column, cent, codebook, lengths, files,
             manifest.version, coverage, n_runs=idx.ivf_runs + 1)
-    # COMPACTION (or a legacy single-file base): encode the delta, then
-    # per-cell merge into a fresh one-file-per-cell sidecar — each
-    # cell's old partition streams in via ONE bounded read, lands as
-    # the byte-identical prefix of the new cell shard, and is released
-    # before the next cell: working memory O(largest cell + delta),
-    # never O(index)
+    # COMPACTION (or a legacy single-file base). With ``spark`` the
+    # whole fold is executor-staged (the FTS compaction's 100-TB
+    # stance): the delta encodes into the NEW dir via the block-bounded
+    # distributed build, and each OLD cell body ships through one
+    # per-file copy task — the driver never touches a code byte, it
+    # commits O(#files) metadata. Reassembled partitions are
+    # byte-identical to the serial fold (old body prefix + delta in
+    # address order).
+    if spark is not None:
+        uid = str(uuidlib.uuid4())
+        d = os.path.join(root, "_indices", uid)
+        d_lengths, d_files = _distributed_ivf_cell_files(
+            root, d, manifest, nfield, new_frags, cent, codebook, spark)
+        old_dir = os.path.dirname(idx.path)
+        nsub = idx.pq_nsub
+        copy_specs = []  # (cell, ord, src, offset, nbytes)
+        for c in range(idx.n_cells):
+            if idx.cell_shards:
+                for oi, nm in enumerate(idx.cell_shards[c]):
+                    copy_specs.append(
+                        (c, oi, os.path.join(old_dir, nm), 0, -1))
+            elif idx.part_lengths[c]:
+                copy_specs.append((
+                    c, 0, idx.path, int(idx.part_offsets[c]),
+                    int(idx.part_lengths[c]) * (nsub + 8)))
+        binding = nio.binding_for(root)
+        copied: dict[int, list] = {c: [] for c in range(idx.n_cells)}
+        if copy_specs:
+            spec_df = spark.createDataFrame(
+                copy_specs,
+                "cell int, ord int, src string, off long, nbytes long"
+            ).repartition(min(len(copy_specs), 256), "cell", "ord")
+
+            def copy_kernel(batches):
+                import uuid as _uuidlib
+
+                import pandas as _pd
+
+                from lance_trino_spark.format import native_io as _nio
+
+                _nio.restore_binding(binding)
+                for pdf in batches:
+                    for _, r in pdf.iterrows():
+                        if int(r["nbytes"]) < 0:
+                            body = _nio.read_bytes(r["src"])
+                        else:
+                            with _nio.open_read(r["src"]) as fh:
+                                fh.seek(int(r["off"]))
+                                body = fh.read(int(r["nbytes"]))
+                        name = (f"cell-{int(r['cell']):05d}-"
+                                f"{_uuidlib.uuid4().hex[:8]}.idx")
+                        _nio.write_bytes(os.path.join(d, name), body)
+                        yield _pd.DataFrame({
+                            "cell": [int(r["cell"])],
+                            "ord": [int(r["ord"])],
+                            "name": [name]})
+
+            # one row per copied shard file (collect-audit: O(#files))
+            for r in spec_df.mapInPandas(
+                    copy_kernel,
+                    "cell int, ord int, name string").collect():
+                copied[int(r["cell"])].append(
+                    (int(r["ord"]), r["name"]))
+        lengths = [
+            idx.part_lengths[c] + d_lengths[c]
+            for c in range(idx.n_cells)
+        ]
+        files = [
+            [nm for _o, nm in sorted(copied[c])]
+            + (list(d_files[c]) if not isinstance(d_files[c], str)
+               else ([d_files[c]] if d_files[c] else []))
+            for c in range(idx.n_cells)
+        ]
+        return _write_ivf_meta_sharded(
+            root, uid, column, cent, codebook, lengths, files,
+            manifest.version, coverage, n_runs=1)
+    # serial twin (fixture scale): each cell's old partition streams in
+    # via ONE bounded read, lands as the byte-identical prefix of the
+    # new cell shard, and is released before the next cell — working
+    # memory O(largest cell + delta), never O(index)
     delta = _encode_fragments_into_buckets(
-        root, manifest, nfield, new_frags, cent, codebook, spark)
+        root, manifest, nfield, new_frags, cent, codebook, None)
     uid = str(uuidlib.uuid4())
     d = os.path.join(root, "_indices", uid)
     lengths = []

@@ -75,6 +75,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "bucket (postings file name) + one doclen marker per fragment — "
         "O(n_buckets + fragments); tokens, positions, and postings are "
         "written executor-side and never reach the driver",
+    ("format/lance_native.py", "extend_native_vector_index"):
+        "distributed IVF compaction: one (cell, ord, new name) row per "
+        "COPIED shard file — O(#shard files) metadata; the cell bodies "
+        "ship executor-side through per-file copy tasks and never reach "
+        "the driver",
     ("format/lance_native.py", "_fts_compact_distributed"):
         "distributed FTS compaction: one live-stats row per fragment "
         "(job 1) and one (bucket, merged file name) row per bucket "

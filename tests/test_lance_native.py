@@ -5274,3 +5274,80 @@ def test_ivf_skewed_cells_sub_sharded(tmp_path, spark, monkeypatch):
                for a in r["neighbors"]]
         assert qi in got  # self-match survives the sub-sharded layout
     assert ifull.part_lengths  # full rebuild still healthy
+
+
+def test_ivf_distributed_compaction_parity(tmp_path, spark, monkeypatch):
+    """IVF compaction's distributed arm (r13): the delta encodes via the
+    block-bounded distributed build and every OLD cell body ships
+    through a per-file copy task — reassembled partitions are
+    byte-identical to the serial fold, from BOTH a sharded base and a
+    legacy single-file base, and searches agree. The driver never
+    streams index rows (toLocalIterator pinned absent)."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    import lance_trino_spark.format.lance_native as ln
+
+    monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 1)  # every extend compacts
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(700, 16)).astype(np.float32)
+
+    def mk(root, spark_build):
+        ln.write_native_dataset(root, {
+            "vec_id": list(range(500)),
+            "vector": [v.tolist() for v in vecs[:500]],
+        })
+        ln.write_native_vector_index(
+            root, "vector", n_cells=4, nsub=4,
+            spark=spark if spark_build else None)
+        ln.append_native_rows(root, {
+            "vec_id": list(range(500, 700)),
+            "vector": [v.tolist() for v in vecs[500:]],
+        })
+
+    # sharded base (distributed build) -> serial vs distributed compact
+    ra = str(tmp_path / "ser");  mk(ra, True)
+    rb = str(tmp_path / "dist"); mk(rb, True)
+    ln.extend_native_vector_index(ra, "vector")  # serial compaction
+
+    def no_iter(self, *a, **k):
+        raise AssertionError(
+            "distributed compaction must not stream rows to the driver")
+
+    monkeypatch.setattr(DataFrame, "toLocalIterator", no_iter)
+    ln.extend_native_vector_index(rb, "vector", spark=spark)
+    monkeypatch.undo()
+
+    ia = ln.latest_native_vector_index(ra, "vector")
+    ib = ln.latest_native_vector_index(rb, "vector")
+    assert ia.ivf_runs == 1 and ib.ivf_runs == 1
+    # base builds used the same seed data -> same centroids/codebooks;
+    # partitions must reassemble byte-identically
+    assert ia.part_lengths == ib.part_lengths
+    for c in range(4):
+        ca, rra = ln._read_index_partition(ia, c)
+        cb, rrb = ln._read_index_partition(ib, c)
+        assert ca.tobytes() == cb.tobytes()
+        assert np.asarray(rra).tobytes() == np.asarray(rrb).tobytes()
+    ma = ln.read_native_manifest(ra)
+    mb = ln.read_native_manifest(rb)
+    q = vecs[[1, 333, 650]]
+    sa = ln.native_index_search(ra, ia, q, k=5, nprobe=4, manifest=ma)
+    sb = ln.native_index_search(rb, ib, q, k=5, nprobe=4, manifest=mb)
+    assert [r["neighbors"] for r in sa] == [r["neighbors"] for r in sb]
+    assert [r["distances"] for r in sa] == [r["distances"] for r in sb]
+
+    # legacy single-file base (serial build): the copy tasks extract
+    # partition RANGES from index.idx
+    rc = str(tmp_path / "legacy"); mk(rc, False)
+    ic0 = ln.latest_native_vector_index(rc, "vector")
+    assert not ic0.cell_shards  # single-file SDK layout
+    ln.extend_native_vector_index(rc, "vector", spark=spark)
+    ic = ln.latest_native_vector_index(rc, "vector")
+    assert ic.cell_shards and sum(ic.part_lengths) == 700
+    mc = ln.read_native_manifest(rc)
+    sc = ln.native_index_search(rc, ic, q, k=5, nprobe=4, manifest=mc)
+    for qi, r in zip([1, 333, 650], sc):
+        got = [(a & 0xFFFFFFFF) + (500 if (a >> 32) else 0)
+               for a in r["neighbors"]]
+        assert qi in got  # self-match survives the copied-range fold
