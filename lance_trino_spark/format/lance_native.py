@@ -6817,8 +6817,20 @@ def _distributed_btree_shards(
         .where(F.col("v").isNotNull())
         .orderBy("v", "a")
     )
-    col_kind, pg_rows, sh_rows, dsver = kind, page_rows, shard_rows, \
-        manifest.version
+    return _btree_sink(df, d, column, kind, page_rows, shard_rows,
+                       manifest.version, binding, vtype)
+
+
+def _btree_sink(df, d: str, column: str, kind: str, page_rows: int,
+                shard_rows: int, dsver: int, binding, vtype: str) -> list:
+    """The executor-staged shard SINK shared by the distributed build,
+    extend, and compaction: ``df`` must be (v, a) rows orderBy(v, a) —
+    range partitioning places a contiguous slice of the global run in
+    each task, which serializes its slice into complete shard files
+    (rotating every ``shard_rows``, O(shard) task memory) and ships one
+    metadata row per shard. Returns shard descriptors in global value
+    order."""
+    col_kind, pg_rows, sh_rows = kind, page_rows, shard_rows
     col_name = column
 
     def write_shards(batches):
@@ -6933,6 +6945,76 @@ def _iter_scalar_index_rows(index: NativeScalarIndex):
                 yield v, int(a)
 
 
+
+def _btree_compact_distributed(root: str, idx: NativeScalarIndex,
+                               manifest: NativeManifest, nfield,
+                               new_frags, page_rows: int,
+                               shard_rows: int, spark, coverage) -> str:
+    """Executor-parallel btree compaction (the serial heap-merge's
+    100-TB shape): the EXISTING runs' shard files re-enter as (value,
+    addr) rows via one task per shard file, union the delta scan, and
+    the shared range-partitioned orderBy + _btree_sink writes the fresh
+    single-run sidecar — the driver commits O(n_shards) metadata and
+    never holds a (value, addr) pair. Probe results equal the serial
+    merge (both are the global (value, addr) order; shard CUTS may
+    differ, which probes never observe — the same latitude the
+    distributed build already has)."""
+    import uuid as uuidlib
+
+    from pyspark.sql import functions as F
+
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    _require_shared_store(root, "the distributed btree compaction")
+    binding = nio.binding_for(root)
+    kind, column = idx.kind, idx.column
+    vtype = {"int64": "long", "float64": "double", "string": "string"}[kind]
+    base = os.path.dirname(idx.path)
+
+    spec = spark.createDataFrame(
+        [(os.path.join(base, nm),) for nm in idx.shard_names],
+        "path string",
+    ).repartition(min(len(idx.shard_names), 256), "path")
+
+    def read_shard(batches):
+        import pandas as _pd
+
+        from lance_trino_spark.format import native_io as _nio
+        from lance_trino_spark.format import lance_native as _ln
+
+        _nio.restore_binding(binding)
+        for pdf in batches:
+            for pth in pdf["path"]:
+                sub = _ln.read_native_scalar_index(pth)
+                vs, ads = [], []
+                for v, a in _ln._iter_scalar_index_rows(sub):
+                    vs.append(v)
+                    ads.append(a)
+                yield _pd.DataFrame({"v": vs, "a": ads})
+
+    old_df = spec.mapInPandas(read_shard, f"v {vtype}, a long")
+    delta_df = (
+        spark.read.format("lance").options(**nio.spark_options(root))
+        .option("row_address", "true")
+        .option("use_scalar_index", "false")
+        .option("version", str(manifest.version))
+        .option("fragments", ",".join(str(f.id) for f in new_frags))
+        .load(root)
+        .select(F.col(column).alias("v"),
+                F.col("_row_address").alias("a"))
+        .where(F.col("v").isNotNull())
+    )
+    df = old_df.unionByName(delta_df).orderBy("v", "a")
+    uid = str(uuidlib.uuid4())
+    d = os.path.join(root, "_indices", uid)
+    shards = _btree_sink(df, d, column, kind, page_rows, shard_rows,
+                         manifest.version, binding, vtype)
+    _write_btree_shard_meta(d, column, kind, shards, manifest.version,
+                            coverage)
+    return uid
+
+
 def extend_native_scalar_index(
     root: str, column: str, page_rows: int = 4096, spark=None,
     shard_rows: int = DEFAULT_INDEX_SHARD_ROWS,
@@ -7014,6 +7096,14 @@ def extend_native_scalar_index(
             d, column, idx.kind, shards + list(new_shards), old_fences,
             manifest.version, coverage, runs, replace=True)
         return os.path.basename(d)
+    if spark is not None and idx.shard_names:
+        # 100-TB shape: existing shard files re-enter executor-side,
+        # union the delta scan, range-sort, sink — the driver never
+        # holds a (value, addr) pair (legacy single-file bases take the
+        # streamed serial merge below)
+        return _btree_compact_distributed(
+            root, idx, manifest, nfield, new_frags, page_rows,
+            shard_rows, spark, coverage)
     # compaction (or a legacy single-file base): one streamed heap-merge
     # of the existing global run + the sorted delta into a fresh
     # single-run sidecar — driver memory O(shard + page), never O(index)

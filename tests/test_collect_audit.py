@@ -59,11 +59,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "per postings CHUNK — O(total_postings / FTS_CHUNK_POSTINGS) "
         "tiny rows the driver sums into per-term document frequencies; "
         "job 2's result collect is .limit(k)-bounded",
-    ("format/lance_native.py", "_distributed_btree_shards"):
+    ("format/lance_native.py", "_btree_sink"):
         "one metadata row per executor-written btree shard file (name, "
         "rows, pages, min, max) — O(n_shards) = O(rows / shard_rows) "
         "rows of a few dozen bytes; the (value, addr) run itself never "
-        "leaves the executors (judge r11 #1)",
+        "leaves the executors (judge r11 #1; the sink shared by the "
+        "distributed build, extend, and compaction)",
     ("format/lance_native.py", "_distributed_ivf_cell_files"):
         "one metadata row per NON-EMPTY IVF cell (cell, shard file name, "
         "rows) — O(n_cells), a constant of the trained index; the codes "

@@ -5351,3 +5351,83 @@ def test_ivf_distributed_compaction_parity(tmp_path, spark, monkeypatch):
         got = [(a & 0xFFFFFFFF) + (500 if (a >> 32) else 0)
                for a in r["neighbors"]]
         assert qi in got  # self-match survives the copied-range fold
+
+
+def test_btree_distributed_compaction_parity(tmp_path, spark, monkeypatch):
+    """Btree compaction's distributed arm (r13): existing shard files
+    re-enter executor-side, union the delta scan, range-sort through
+    the shared _btree_sink — probes over the compacted index answer
+    exactly like the serial streamed heap-merge (and like brute force),
+    for int64 AND string kinds. Driver never streams index rows."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    import lance_trino_spark.format.lance_native as ln
+
+    monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 1)  # every extend compacts
+    rng = np.random.default_rng(29)
+
+    def mk(root):
+        n1 = 4000
+        ln.write_native_dataset(root, {
+            "k": [int(x) for x in rng.permutation(n1)],
+            "name": [f"row-{int(x):05d}" for x in rng.permutation(n1)],
+        })
+        ln.write_native_scalar_index(root, "k", page_rows=256,
+                                     shard_rows=1024)
+        ln.append_native_rows(root, {
+            "k": [int(x) + n1 for x in rng.permutation(1000)],
+            "name": [f"row-{int(x) + n1:05d}"
+                     for x in rng.permutation(1000)],
+        })
+        return root
+
+    rng = np.random.default_rng(29)
+    ra = mk(str(tmp_path / "ser"))
+    rng = np.random.default_rng(29)   # same corpus both sides
+    rb = mk(str(tmp_path / "dist"))
+    assert ln.extend_native_scalar_index(
+        ra, "k", page_rows=256, shard_rows=1024)  # serial compaction
+
+    def no_iter(self, *a, **k):
+        raise AssertionError(
+            "distributed compaction must not stream rows to the driver")
+
+    monkeypatch.setattr(DataFrame, "toLocalIterator", no_iter)
+    assert ln.extend_native_scalar_index(
+        rb, "k", page_rows=256, shard_rows=1024, spark=spark)
+    monkeypatch.undo()
+
+    ia = [i for i in ln.list_native_scalar_indices(ra)
+          if i.column == "k"][-1]
+    ib = [i for i in ln.list_native_scalar_indices(rb)
+          if i.column == "k"][-1]
+    assert ia.shard_runs == (ia.n_shards,)  # single compacted run
+    assert ib.shard_runs == (ib.n_shards,)
+    assert sum(ia.shard_counts) == sum(ib.shard_counts) == 5000
+    probes = [0, 1, 1023, 1024, 2500, 3999, 4000, 4999, 77777]
+    for v in probes:
+        pa, _ = ln.scalar_index_lookup(ia, eq_values=[v])
+        pb, _ = ln.scalar_index_lookup(ib, eq_values=[v])
+        assert sorted(
+            (f, p) for f, ps in pa.items() for p in ps) == sorted(
+            (f, p) for f, ps in pb.items() for p in ps), v
+    ra_, _ = ln.scalar_index_lookup(ia, lo=1000, hi=1100)
+    rb_, _ = ln.scalar_index_lookup(ib, lo=1000, hi=1100)
+    assert sorted((f, p) for f, ps in ra_.items() for p in ps) == sorted(
+        (f, p) for f, ps in rb_.items() for p in ps)
+    assert sum(len(ps) for ps in ra_.values()) > 0
+
+    # string kind through the same arm
+    ln.write_native_scalar_index(rb, "name", page_rows=256,
+                                 shard_rows=1024)
+    ln.append_native_rows(rb, {
+        "k": [90000 + i for i in range(200)],
+        "name": [f"zzz-{i:04d}" for i in range(200)],
+    })
+    assert ln.extend_native_scalar_index(
+        rb, "name", page_rows=256, shard_rows=1024, spark=spark)
+    isb = [i for i in ln.list_native_scalar_indices(rb)
+           if i.column == "name"][-1]
+    hits, _ = ln.scalar_index_lookup(isb, eq_values=["zzz-0150"])
+    assert sum(len(ps) for ps in hits.values()) == 1
