@@ -8562,8 +8562,9 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     (a pseudo-term whose tf is the overlapping positional-chain
     occurrence count and df the docs holding it); a bare AND makes the
     query a conjunction. Phrases need a positional index (every build/
-    extend since r13 writes positions) and are driver-side only —
-    over-cap phrase queries refuse."""
+    extend since r13 writes positions) and are driver-side only
+    (position chaining) — over-cap phrase queries refuse; fuzzy and
+    term operands route to the distributed arm."""
     import numpy as np
 
     live = manifest if manifest is not None else read_native_manifest(root)
@@ -8658,19 +8659,19 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             "write_native_fts_index (extends of a pre-positional index "
             "leave its old runs position-less)")
     if total > MAX_FTS_POSTINGS:
-        if spark is None or phrased or fuzzy_ops:
+        if spark is None or phrased:
             raise LanceNativeError(
                 f"fts query matches {total} postings (> "
                 f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — corpus-common "
                 "terms would buffer O(corpus) on the driver; "
-                + ("phrase/fuzzy scoring is driver-side only: narrow "
-                   "the operand's member terms"
-                   if (phrased or fuzzy_ops) else
+                + ("phrase scoring is driver-side only (position "
+                   "chaining): narrow the phrase's member terms"
+                   if phrased else
                    "pass spark= to score distributed (bounded "
                    "per-chunk executor tasks, O(k) driver traffic)"))
         stats["mode"] = "distributed"
         return _fts_search_distributed(
-            root, idx, live, terms, slices, k, spark,
+            root, idx, live, ops, terms, slices, fuzzy_exp, k, spark,
             require_all=require_all), stats
 
     n = float(idx.n_docs)
@@ -8772,25 +8773,25 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
 
 
 def _fts_search_distributed(root: str, idx: NativeFtsIndex,
-                            live: NativeManifest, terms: list[str],
-                            slices: list[list], k: int, spark,
+                            live: NativeManifest, ops: list,
+                            terms: list[str], slices: list[list],
+                            fuzzy_exp: dict, k: int, spark,
                             require_all: bool = False):
-    """The distributed BM25 scorer for corpus-common queries. Task unit
-    = one bounded chunk (<= FTS_CHUNK_POSTINGS) of one term's postings
-    in one run file, so per-task memory is O(chunk) no matter how
-    common the term is. Two fragment-parallel jobs:
-
-      1. per-chunk LIVE posting counts (after the deletion-vector mask)
-         -> driver sums O(terms x runs) tiny rows into each term's df
-         (df must be post-DV to match the driver scorer exactly);
-      2. per-chunk contribution rows (addr, ti, dl, contrib) with the
-         broadcast idf -> groupBy(addr) folds contributions SORTED BY
-         TERM INDEX via a JVM-side sort_array + aggregate (the same
-         float64 add order as the driver fold -> bit-identical
-         doubles) -> orderBy(score desc, addr) LIMIT k.
-
-    Driver traffic: chunk counts + the k result rows. Never a posting
-    list."""
+    """The distributed BM25 scorer for corpus-common term/fuzzy queries
+    (phrases need position chaining and stay driver-side). Task unit =
+    one bounded chunk (<= FTS_CHUNK_POSTINGS) of one member term's
+    postings in one run file, so per-task memory is O(chunk) no matter
+    how common the term is. The chunk tasks emit LIVE (addr, ti, dl,
+    tf) rows (post-deletion-vector); a broadcast (ti -> operand) map
+    tags them, groupBy(addr, operand) sums tf (INTEGER sums — exact in
+    float64, the fuzzy pseudo-term merge), operand document frequencies
+    come from the same frame (count of distinct addrs per operand — the
+    driver scorer's exact post-DV df), contributions evaluate as a JVM
+    SQL expression mirroring the numpy operation order (bit-identical
+    doubles), and the final fold sorts each address's contributions BY
+    OPERAND INDEX before an ordered aggregate — the same float64 add
+    sequence as the driver fold. Driver traffic: O(operands) df rows +
+    the k result rows. Never a posting list."""
     from pyspark.sql import functions as F
 
     _require_shared_store(root, "the distributed fts search")
@@ -8801,9 +8802,24 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
     avgdl = float(idx.sum_dl) / n
     version = live.version
 
+    # member term -> operand memberships (a term may serve a plain
+    # operand AND a fuzzy expansion at once)
+    term_ops: list[list] = [[] for _ in terms]
+    for oi, op in enumerate(ops):
+        if op[0] == _FTS_FUZZY:
+            for e in fuzzy_exp.get(op, []):
+                term_ops[terms.index(e)].append(oi)
+        elif len(op) == 1:
+            term_ops[terms.index(op[0])].append(oi)
+        else:  # pragma: no cover — the callers gate phrases
+            raise LanceNativeError(
+                "phrase operands have no distributed arm")
+
     chunks = []  # (chunk_id, ti, path, offset, count, i0, i1)
     cid = 0
     for ti in range(len(terms)):
+        if not term_ops[ti]:
+            continue
         for path, off, cnt in slices[ti]:
             i0 = 0
             while i0 < cnt:
@@ -8811,13 +8827,15 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                 chunks.append((cid, ti, path, off, cnt, i0, i1))
                 cid += 1
                 i0 = i1
+    if not chunks:
+        return []
     spec_df = spark.createDataFrame(
         chunks,
         "cid int, ti int, path string, off long, cnt long, "
         "i0 long, i1 long",
     ).repartition(min(len(chunks), 256), "cid")
 
-    def chunk_rows(batches, want_contrib: bool, idf_by_ti=None):
+    def chunk_rows(batches):
         import numpy as _np
         import pandas as _pd
 
@@ -8848,18 +8866,13 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                                 root, frag.deletion)
                         keep[(fids == fid)
                              & _np.isin(poss, dead_cache[fid])] = False
-                ti = int(r["ti"])
-                if not want_contrib:
-                    yield _pd.DataFrame(
-                        {"ti": [ti], "live": [int(keep.sum())]})
-                    continue
                 addrs = addrs[keep]
                 if not len(addrs):
                     continue
                 tfs = tfs[keep].astype(_np.float64)
                 fids = fids[keep]
                 poss = poss[keep]
-                dls = _np.zeros(len(addrs), dtype=_np.float64)
+                dls = _np.zeros(len(addrs), dtype=_np.int64)
                 for fid in _np.unique(fids):
                     if fid not in dl_cache:
                         nm = by_frag_doclen.get(int(fid))
@@ -8872,47 +8885,63 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                             dtype="<u4")
                     sel = fids == fid
                     dls[sel] = dl_cache[fid][poss[sel]].astype(
-                        _np.float64)
-                idf = idf_by_ti[ti]
-                norm = _BM25_K1 * ((1.0 - _BM25_B)
-                                   + _BM25_B * (dls / avgdl))
-                contrib = idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm)
+                        _np.int64)
                 yield _pd.DataFrame({
                     "addr": addrs.astype("int64"),
-                    "ti": _np.full(len(addrs), ti, dtype="int32"),
-                    "dl": dls.astype("int64"),
-                    "contrib": contrib,
+                    "ti": _np.full(len(addrs), int(r["ti"]),
+                                   dtype="int32"),
+                    "dl": dls,
+                    "tf": tfs,
                 })
 
-    # job 1: post-DV df per term (tiny: one row per chunk)
-    df_by_ti = [0] * len(terms)
-    for r in spec_df.mapInPandas(
-            lambda it: chunk_rows(it, False),
-            "ti int, live long").collect():
-        df_by_ti[int(r["ti"])] += int(r["live"])
-    idf_by_ti = {
-        ti: (n - float(dfv) + 0.5) / (float(dfv) + 0.5)
-        for ti, dfv in enumerate(df_by_ti) if dfv > 0
+    rows = spec_df.mapInPandas(
+        chunk_rows, "addr long, ti int, dl long, tf double")
+    mapping = spark.createDataFrame(
+        [(ti, oi) for ti, ois in enumerate(term_ops) for oi in ois],
+        "ti int, opi int")
+    per_addr_op = (
+        rows.join(F.broadcast(mapping), "ti")
+        .groupBy("addr", "opi")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+    )
+    # job 1: exact post-DV df per OPERAND (distinct addrs — the fuzzy
+    # pseudo-term rule; for a plain term it equals its live postings)
+    df_by_oi = {
+        int(r["opi"]): int(r["cnt"])
+        for r in per_addr_op.groupBy("opi")
+        .agg(F.count("*").alias("cnt")).collect()
     }
-    if not idf_by_ti:
-        return []
-    if require_all and len(idf_by_ti) < len(terms):
+    if require_all and any(
+            df_by_oi.get(oi, 0) == 0 for oi in range(len(ops))):
         return []  # a conjunct matches nothing anywhere
-    live_tis = sorted(idf_by_ti)
-    spec_live = spec_df.filter(F.col("ti").isin(live_tis))
-
-    # job 2: contribution rows -> deterministic per-address fold
-    rows = spec_live.mapInPandas(
-        lambda it: chunk_rows(it, True, idf_by_ti),
-        "addr long, ti int, dl long, contrib double")
+    live_ois = sorted(oi for oi, c in df_by_oi.items() if c > 0)
+    if not live_ois:
+        return []
+    idf_by_oi = {
+        oi: (n - float(df_by_oi[oi]) + 0.5) / (float(df_by_oi[oi]) + 0.5)
+        for oi in live_ois
+    }
+    # job 2: contributions as a JVM expression mirroring the numpy op
+    # order exactly -> deterministic per-address fold in operand order
+    idf_col = F.element_at(
+        F.create_map(*[x for oi in live_ois
+                       for x in (F.lit(oi), F.lit(idf_by_oi[oi]))]),
+        F.col("opi"))
+    norm = (F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B)
+               + F.lit(_BM25_B)
+               * (F.col("dl").cast("double") / F.lit(avgdl))))
+    contrib = (idf_col * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+               / (F.col("tf") + norm))
     grouped = (
-        rows.groupBy("addr")
+        per_addr_op.withColumn("contrib", contrib)
+        .groupBy("addr")
         .agg(F.max("dl").alias("dl"),
              F.sort_array(
-                 F.collect_list(F.struct("ti", "contrib"))).alias("cs"))
+                 F.collect_list(F.struct("opi", "contrib"))).alias("cs"))
     )
     if require_all:  # AND: a doc must hold every live conjunct
-        grouped = grouped.filter(F.size("cs") == len(live_tis))
+        grouped = grouped.filter(F.size("cs") == len(live_ois))
     ranked = (
         grouped.select(
             "addr", "dl",
@@ -9164,20 +9193,20 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                 "one touched postings file predates positions — rebuild "
                 "with write_native_fts_index")
         if total > MAX_FTS_POSTINGS:
-            if uncovered or spark is None or phrased or fuzzy_ops:
+            if uncovered or spark is None or phrased:
                 raise LanceNativeError(
                     f"fts query matches {total} postings (> "
                     f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — "
-                    + ("phrase/fuzzy scoring is driver-side only: "
-                       "narrow the operand's member terms"
-                       if (phrased or fuzzy_ops) else
+                    + ("phrase scoring is driver-side only (position "
+                       "chaining): narrow the phrase's member terms"
+                       if phrased else
                        "extend_native_fts_index to full coverage and "
                        "pass spark= so the distributed arm can score "
                        "it"))
             stats["mode"] = "distributed"
             return _fts_search_distributed(
-                root, idx, live, terms, slices, k, spark,
-                require_all=require_all), stats
+                root, idx, live, ops, terms, slices, fuzzy_exp, k,
+                spark, require_all=require_all), stats
         for ti, t in enumerate(terms):
             if not slices[ti]:
                 continue

@@ -55,10 +55,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "its LOCAL per-query top-k — O(queries * k * partitions) rows "
         "to the driver merge, never the scanned vectors",
     ("format/lance_native.py", "_fts_search_distributed"):
-        "job 1 of the distributed BM25 scorer: one (ti, live_count) row "
-        "per postings CHUNK — O(total_postings / FTS_CHUNK_POSTINGS) "
-        "tiny rows the driver sums into per-term document frequencies; "
-        "job 2's result collect is .limit(k)-bounded",
+        "distributed BM25 scorer: one (operand, df) row per OPERAND "
+        "(the groupBy(addr, opi) distinct-address counts) plus the "
+        ".limit(k)-bounded result collect — postings stay in bounded "
+        "per-chunk executor tasks",
     ("format/lance_native.py", "_btree_sink"):
         "one metadata row per executor-written btree shard file (name, "
         "rows, pages, min, max) — O(n_shards) = O(rows / shard_rows) "

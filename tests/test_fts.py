@@ -489,6 +489,23 @@ def test_fts_search_cap_and_distributed_parity(tmp_path, spark, monkeypatch):
     assert gstats["mode"] == "distributed"
     assert [(a, dl) for a, dl, _ in got] == [(a, dl) for a, dl, _ in want]
     assert [s for _, _, s in got] == [s for _, _, s in want]  # bitwise
+    # AND and FUZZY operands route distributed too (r13) — bitwise
+    # parity with the driver scorer for each
+    monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10_000_000)
+    for q2 in ["common AND w1", "common w2~", "w1~ AND common"]:
+        want2, wst2 = ln.native_fts_search(root, "text", q2, k=12)
+        assert wst2["mode"] == "driver"
+        monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10)
+        got2, gst2 = ln.native_fts_search(
+            root, "text", q2, k=12, spark=spark)
+        monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10_000_000)
+        assert gst2["mode"] == "distributed", q2
+        assert got2 == want2, q2  # bitwise (addr, dl, score) triples
+    # phrases stay driver-side: loud refusal over the cap
+    monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10)
+    with pytest.raises(ln.LanceNativeError, match="phrase"):
+        ln.native_fts_search(root, "text", '"common w1"', k=5,
+                             spark=spark)
     monkeypatch.undo()
 
     # fold helper parity with the one-at-a-time dict reference
