@@ -7497,6 +7497,13 @@ MAX_FUZZY_EXPANSIONS = 256
 # postings in one run file — per-task memory stays O(chunk) no matter
 # how common the term is.
 FTS_CHUNK_POSTINGS = 1_000_000
+# Positional postings carry an (addr, cumulative-tf) SKIP sample every
+# this many postings — the distributed PHRASE scorer's window reads
+# (locate a [lo, hi) address range's posting+position slices from
+# metadata, never a full list).
+FTS_SKIP_INTERVAL = 4096
+# Distributed phrase task granularity: one task per address block.
+FTS_PHRASE_BLOCK_BITS = 20
 
 
 def _fts_tokenize(text) -> list[str]:
@@ -7553,17 +7560,35 @@ def _fts_postings_blob(tokens: list, addr_arrays: list,
 
     body = bytearray()
     offsets, counts = [], []
+    skip_counts: list = []
+    skip_addrs: list = []
+    skip_cumtf: list = []
     for i, (addrs, tfs) in enumerate(zip(addr_arrays, tf_arrays)):
         offsets.append(len(body))
         counts.append(len(addrs))
-        body.extend(np.asarray(addrs, dtype="<u8").tobytes())
-        body.extend(np.asarray(tfs, dtype="<u4").tobytes())
+        a_np = np.asarray(addrs, dtype="<u8")
+        t_np = np.asarray(tfs, dtype="<u4")
+        body.extend(a_np.tobytes())
+        body.extend(t_np.tobytes())
         if pos_arrays is not None:
             pos = np.asarray(pos_arrays[i], dtype="<u4")
-            if len(pos) != int(np.asarray(tfs).sum()):
+            if len(pos) != int(t_np.sum()):
                 raise LanceNativeError(
                     "postings positions block must hold sum(tf) entries")
             body.extend(pos.tobytes())
+            # skip samples: (addr, cumulative tf) at every
+            # FTS_SKIP_INTERVAL-th posting + a FINAL entry at index n
+            # (addr = last addr, cumtf = total) — the window locator's
+            # closed upper bound
+            n = len(a_np)
+            cum = np.concatenate(
+                ([0], np.cumsum(t_np.astype(np.uint64))))
+            idxs = list(range(0, n, FTS_SKIP_INTERVAL))
+            skip_counts.append(len(idxs) + 1)
+            skip_addrs.extend(int(a_np[j]) for j in idxs)
+            skip_addrs.append(int(a_np[n - 1]))
+            skip_cumtf.extend(int(cum[j]) for j in idxs)
+            skip_cumtf.append(int(cum[n]))
     meta = (
         _enc_field(1, 2, _enc_values_block("string", tokens))
         + _enc_field(2, 2, b"".join(_enc_varint(c) for c in counts))
@@ -7571,6 +7596,12 @@ def _fts_postings_blob(tokens: list, addr_arrays: list,
     )
     if pos_arrays is not None:
         meta += _enc_field(4, 0, 1)
+        meta += _enc_field(
+            5, 2, b"".join(_enc_varint(c) for c in skip_counts))
+        meta += _enc_field(
+            6, 2, np.asarray(skip_addrs, dtype="<u8").tobytes())
+        meta += _enc_field(
+            7, 2, np.asarray(skip_cumtf, dtype="<u8").tobytes())
     blob = bytes(body) + struct.pack("<I", len(meta)) + meta
     blob += struct.pack("<QHH", len(body), 0, 1) + b"LANC"
     return blob
@@ -7580,10 +7611,15 @@ def _fts_postings_blob(tokens: list, addr_arrays: list,
 
 def _fts_postings_locate(path: str) -> tuple:
     """Meta-only read of one postings file: ({token -> (body_offset,
-    count)}, has_positions). The access decision (how many postings a
-    query touches) happens here, BEFORE any posting byte is read — the
-    cap/routing gate and the distributed arm's chunk planner both
-    consume this."""
+    count)}, has_positions, skipmeta | None). The access decision (how
+    many postings a query touches) happens here, BEFORE any posting
+    byte is read — the cap/routing gate, the distributed arm's chunk
+    planner, and the phrase window locator all consume this. skipmeta
+    is (token_index_by_token, skip_prefix, sample_addrs, sample_cumtf)
+    when the file carries skip samples (r13 positional files), else
+    None."""
+    import numpy as np
+
     with nio.open_read(path) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
@@ -7598,6 +7634,7 @@ def _fts_postings_locate(path: str) -> tuple:
     meta = metar[4:4 + ln]
     toks_raw = counts = offsets = None
     has_pos = False
+    skip_counts = skip_addrs = skip_cumtf = None
     for f, wt, v in pb_items(meta):
         if f == 1:
             toks_raw = v
@@ -7607,11 +7644,78 @@ def _fts_postings_locate(path: str) -> tuple:
             offsets = _packed_varints(v)
         elif f == 4:
             has_pos = bool(v)
+        elif f == 5:
+            skip_counts = _packed_varints(v)
+        elif f == 6:
+            skip_addrs = np.frombuffer(v, dtype="<u8")
+        elif f == 7:
+            skip_cumtf = np.frombuffer(v, dtype="<u8")
     if toks_raw is None or counts is None or offsets is None:
         raise LanceNativeError(f"{path}: incomplete postings metadata")
     tokens = _dec_values_block("string", toks_raw, len(counts))
+    skipmeta = None
+    if skip_counts is not None and skip_addrs is not None \
+            and skip_cumtf is not None:
+        prefix = [0]
+        for c in skip_counts:
+            prefix.append(prefix[-1] + c)
+        skipmeta = ({t: i for i, t in enumerate(tokens)}, prefix,
+                    skip_addrs, skip_cumtf)
     return ({t: (offsets[i], counts[i]) for i, t in enumerate(tokens)},
-            has_pos)
+            has_pos, skipmeta)
+
+
+def _fts_term_skips(skipmeta, term: str):
+    """One term's (sample_addrs, sample_cumtf) from a locate()
+    skipmeta; None when the file predates skip samples or lacks the
+    term."""
+    if skipmeta is None:
+        return None
+    by_tok, prefix, addrs, cumtf = skipmeta
+    i = by_tok.get(term)
+    if i is None:
+        return None
+    return addrs[prefix[i]:prefix[i + 1]], cumtf[prefix[i]:prefix[i + 1]]
+
+
+def _fts_read_postings_window(path: str, offset: int, count: int,
+                              skips, lo: int, hi: int):
+    """Positional postings of ONE term restricted to the address range
+    [lo, hi): the skip samples locate a covering posting window (slack
+    <= FTS_SKIP_INTERVAL each side), THREE ranged reads fetch its
+    addrs/tfs/positions, and the exact trim drops out-of-range rows
+    (positions trimmed alongside). O(window) bytes — never the term's
+    full list."""
+    import bisect
+
+    import numpy as np
+
+    sample_addrs, sample_cumtf = skips
+    n_samples = len(sample_addrs)
+
+    def posting_index(j: int) -> int:
+        return count if j >= n_samples - 1 else j * FTS_SKIP_INTERVAL
+
+    j_lo = bisect.bisect_left(sample_addrs, lo) - 1
+    start = posting_index(j_lo) if j_lo >= 0 else 0
+    c_lo = int(sample_cumtf[min(j_lo, n_samples - 1)]) if j_lo >= 0 \
+        else 0
+    j_hi = bisect.bisect_left(sample_addrs, hi)
+    end = posting_index(j_hi) if j_hi < n_samples else count
+    c_hi = int(sample_cumtf[min(j_hi, n_samples - 1)])
+    if start >= end:
+        return (np.empty(0, dtype="<u8"), np.empty(0, dtype="<u4"),
+                np.empty(0, dtype="<u4"))
+    with nio.open_read(path) as fh:
+        fh.seek(offset + start * 8)
+        addrs = np.frombuffer(fh.read((end - start) * 8), dtype="<u8")
+        fh.seek(offset + count * 8 + start * 4)
+        tfs = np.frombuffer(fh.read((end - start) * 4), dtype="<u4")
+        fh.seek(offset + count * 12 + c_lo * 4)
+        pos = np.frombuffer(fh.read((c_hi - c_lo) * 4), dtype="<u4")
+    keep = (addrs >= np.uint64(lo)) & (addrs < np.uint64(hi))
+    pos = pos[np.repeat(keep, tfs)]
+    return addrs[keep], tfs[keep], pos
 
 
 def _fts_read_positions(path: str, offset: int, count: int):
@@ -8562,9 +8666,10 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     (a pseudo-term whose tf is the overlapping positional-chain
     occurrence count and df the docs holding it); a bare AND makes the
     query a conjunction. Phrases need a positional index (every build/
-    extend since r13 writes positions) and are driver-side only
-    (position chaining) — over-cap phrase queries refuse; fuzzy and
-    term operands route to the distributed arm."""
+    extend since r13 writes positions); over the cap every operand kind
+    routes to the distributed arm — phrases through per-address-block
+    window tasks served by the skip samples (files written before the
+    samples refuse with rebuild guidance)."""
     import numpy as np
 
     live = manifest if manifest is not None else read_native_manifest(root)
@@ -8628,10 +8733,17 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         stats["fuzzy_expansions"] = sum(
             len(v) for v in fuzzy_exp.values())
 
-    # meta pass: per member term, its (path, body_offset, count) slices
+    # meta pass: per member term, its (path, body_offset, count) slices;
+    # phrase member terms also collect their skip samples (the
+    # distributed phrase scorer's window locator)
+    phrase_members = {
+        t for op in ops
+        if len(op) > 1 and op[0] != _FTS_FUZZY for t in op}
     slices: list[list] = [[] for _ in terms]
+    skips_by: dict = {}
     total = 0
     pos_ok = True
+    skip_ok = True
     for ti, t in enumerate(terms):
         b = _fts_bucket_of(t, idx.n_buckets)
         found = False
@@ -8639,7 +8751,7 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             if not run[b]:
                 continue
             path = os.path.join(d, run[b])
-            locs, has_pos = _locate(path)
+            locs, has_pos, skipmeta = _locate(path)
             loc = locs.get(t)
             if loc is None:
                 continue
@@ -8647,6 +8759,12 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             pos_ok = pos_ok and has_pos
             slices[ti].append((path, loc[0], loc[1]))
             total += loc[1]
+            if t in phrase_members:
+                sk = _fts_term_skips(skipmeta, t)
+                if sk is None:
+                    skip_ok = False
+                else:
+                    skips_by[(path, t)] = sk
         if found:
             stats["terms_found"] += 1
     stats["postings_read"] = total
@@ -8659,20 +8777,21 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             "write_native_fts_index (extends of a pre-positional index "
             "leave its old runs position-less)")
     if total > MAX_FTS_POSTINGS:
-        if spark is None or phrased:
+        if spark is None or (phrased and not skip_ok):
             raise LanceNativeError(
                 f"fts query matches {total} postings (> "
                 f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) — corpus-common "
                 "terms would buffer O(corpus) on the driver; "
-                + ("phrase scoring is driver-side only (position "
-                   "chaining): narrow the phrase's member terms"
+                + ("the phrase's postings predate skip samples: "
+                   "rebuild with write_native_fts_index so the "
+                   "distributed phrase scorer can window-read them"
                    if phrased else
                    "pass spark= to score distributed (bounded "
                    "per-chunk executor tasks, O(k) driver traffic)"))
         stats["mode"] = "distributed"
         return _fts_search_distributed(
             root, idx, live, ops, terms, slices, fuzzy_exp, k, spark,
-            require_all=require_all), stats
+            require_all=require_all, skips_by=skips_by), stats
 
     n = float(idx.n_docs)
     avgdl = float(idx.sum_dl) / n
@@ -8776,18 +8895,25 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                             live: NativeManifest, ops: list,
                             terms: list[str], slices: list[list],
                             fuzzy_exp: dict, k: int, spark,
-                            require_all: bool = False):
-    """The distributed BM25 scorer for corpus-common term/fuzzy queries
-    (phrases need position chaining and stay driver-side). Task unit =
-    one bounded chunk (<= FTS_CHUNK_POSTINGS) of one member term's
-    postings in one run file, so per-task memory is O(chunk) no matter
-    how common the term is. The chunk tasks emit LIVE (addr, ti, dl,
-    tf) rows (post-deletion-vector); a broadcast (ti -> operand) map
-    tags them, groupBy(addr, operand) sums tf (INTEGER sums — exact in
-    float64, the fuzzy pseudo-term merge), operand document frequencies
-    come from the same frame (count of distinct addrs per operand — the
-    driver scorer's exact post-DV df), contributions evaluate as a JVM
-    SQL expression mirroring the numpy operation order (bit-identical
+                            require_all: bool = False,
+                            skips_by: dict | None = None):
+    """The distributed BM25 scorer for corpus-common queries. Term and
+    fuzzy operands: task unit = one bounded chunk (<=
+    FTS_CHUNK_POSTINGS) of one member term's postings in one run file,
+    so per-task memory is O(chunk) no matter how common the term is;
+    the chunk tasks emit LIVE (addr, ti, dl, tf) rows
+    (post-deletion-vector) and a broadcast (ti -> operand) map tags
+    them. PHRASE operands: task unit = one ADDRESS BLOCK
+    (FTS_PHRASE_BLOCK_BITS) — each task window-reads every member
+    term's postings+positions restricted to its block via the skip
+    samples (``skips_by``: {(path, term) -> (sample_addrs,
+    sample_cumtf)}), runs the positional chain locally (occurrences
+    never span docs, docs never span blocks), and emits (addr, opi, dl,
+    tf) rows. Both streams union, groupBy(addr, operand) sums tf
+    (INTEGER sums — exact in float64), operand document frequencies
+    come from the same frame (distinct addrs per operand — the driver
+    scorer's exact post-DV df), contributions evaluate as a JVM SQL
+    expression mirroring the numpy operation order (bit-identical
     doubles), and the final fold sorts each address's contributions BY
     OPERAND INDEX before an ordered aggregate — the same float64 add
     sequence as the driver fold. Driver traffic: O(operands) df rows +
@@ -8803,17 +8929,22 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
     version = live.version
 
     # member term -> operand memberships (a term may serve a plain
-    # operand AND a fuzzy expansion at once)
+    # operand AND a fuzzy expansion at once); phrases are handled by
+    # the block pipeline below
     term_ops: list[list] = [[] for _ in terms]
+    phrase_ois: list[int] = []
     for oi, op in enumerate(ops):
         if op[0] == _FTS_FUZZY:
             for e in fuzzy_exp.get(op, []):
                 term_ops[terms.index(e)].append(oi)
         elif len(op) == 1:
             term_ops[terms.index(op[0])].append(oi)
-        else:  # pragma: no cover — the callers gate phrases
-            raise LanceNativeError(
-                "phrase operands have no distributed arm")
+        else:
+            if not skips_by:
+                raise LanceNativeError(
+                    "distributed phrase scoring needs skip samples — "
+                    "rebuild the index with write_native_fts_index")
+            phrase_ois.append(oi)
 
     chunks = []  # (chunk_id, ti, path, offset, count, i0, i1)
     cid = 0
@@ -8827,9 +8958,9 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                 chunks.append((cid, ti, path, off, cnt, i0, i1))
                 cid += 1
                 i0 = i1
-    if not chunks:
+    if not chunks and not phrase_ois:
         return []
-    spec_df = spark.createDataFrame(
+    spec_df = None if not chunks else spark.createDataFrame(
         chunks,
         "cid int, ti int, path string, off long, cnt long, "
         "i0 long, i1 long",
@@ -8894,14 +9025,117 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                     "tf": tfs,
                 })
 
-    rows = spec_df.mapInPandas(
-        chunk_rows, "addr long, ti int, dl long, tf double")
-    mapping = spark.createDataFrame(
-        [(ti, oi) for ti, ois in enumerate(term_ops) for oi in ois],
-        "ti int, opi int")
+    mapped = None
+    if spec_df is not None:
+        rows = spec_df.mapInPandas(
+            chunk_rows, "addr long, ti int, dl long, tf double")
+        mapping = spark.createDataFrame(
+            [(ti, oi) for ti, ois in enumerate(term_ops) for oi in ois],
+            "ti int, opi int")
+        mapped = rows.join(F.broadcast(mapping), "ti").select(
+            "addr", "opi", "dl", "tf")
+    if phrase_ois:
+        # one task per address block; a phrase occurrence lives inside
+        # one doc = one address = one block, so blocks chain
+        # independently and each matched doc surfaces exactly once
+        blk = 1 << FTS_PHRASE_BLOCK_BITS
+        blocks = []
+        for frag in live.fragments:
+            base = int(frag.id) << 32
+            for b0 in range(0, int(frag.physical_rows), blk):
+                blocks.append((
+                    base + b0,
+                    base + min(b0 + blk, int(frag.physical_rows))))
+        ph_payload = [
+            (oi, [
+                (m, [(path, off, cnt, skips_by[(path, m)])
+                     for (path, off, cnt) in slices[terms.index(m)]])
+                for m in ops[oi]
+            ])
+            for oi in phrase_ois
+        ]
+        ph_spec = spark.createDataFrame(
+            [(i, lo, hi) for i, (lo, hi) in enumerate(blocks)],
+            "bid int, lo long, hi long",
+        ).repartition(min(len(blocks), 256), "bid")
+
+        def phrase_rows(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            from lance_trino_spark.format import native_io as _nio
+            from lance_trino_spark.format import lance_native as _ln
+
+            _nio.restore_binding(binding)
+            m = _ln.read_native_manifest(root, version=version)
+            frag_by_id = {f.id: f for f in m.fragments}
+            dead_cache: dict[int, "_np.ndarray"] = {}
+            dl_cache: dict[int, "_np.ndarray"] = {}
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    lo, hi = int(r["lo"]), int(r["hi"])
+                    fid = lo >> 32
+                    frag = frag_by_id.get(fid)
+                    if frag is None:
+                        continue
+                    dead = None
+                    if frag.deletion is not None:
+                        if fid not in dead_cache:
+                            dead_cache[fid] = _ln._deleted_rows_np(
+                                root, frag.deletion)
+                        dead = dead_cache[fid]
+                    for oi, members in ph_payload:
+                        data = []
+                        for _mterm, files in members:
+                            parts = [
+                                _ln._fts_read_postings_window(
+                                    path, off, cnt, skips, lo, hi)
+                                for path, off, cnt, skips in files
+                            ]
+                            addrs = _np.concatenate(
+                                [p[0] for p in parts])
+                            tfs = _np.concatenate([p[1] for p in parts])
+                            pos = _np.concatenate([p[2] for p in parts])
+                            if dead is not None and len(addrs):
+                                poss = (addrs & _np.uint64(0xFFFFFFFF)
+                                        ).astype(_np.int64)
+                                keep = ~_np.isin(poss, dead)
+                                pos = pos[_np.repeat(keep, tfs)]
+                                addrs, tfs = addrs[keep], tfs[keep]
+                            if not len(addrs):
+                                data = None
+                                break
+                            data.append((addrs, tfs, pos))
+                        if data is None:
+                            continue
+                        p_addrs, p_tfs = _ln._fts_phrase_postings(data)
+                        if not len(p_addrs):
+                            continue
+                        if fid not in dl_cache:
+                            nm = by_frag_doclen.get(fid)
+                            if nm is None:
+                                raise _ln.LanceNativeError(
+                                    f"fts index missing doclen file "
+                                    f"for fragment {fid}")
+                            dl_cache[fid] = _np.frombuffer(
+                                _nio.read_bytes(os.path.join(d, nm)),
+                                dtype="<u4")
+                        poss = (p_addrs & _np.uint64(0xFFFFFFFF)
+                                ).astype(_np.int64)
+                        yield _pd.DataFrame({
+                            "addr": p_addrs.astype("int64"),
+                            "opi": _np.full(len(p_addrs), oi,
+                                            dtype="int32"),
+                            "dl": dl_cache[fid][poss].astype("int64"),
+                            "tf": p_tfs,
+                        })
+
+        ph_frame = ph_spec.mapInPandas(
+            phrase_rows, "addr long, opi int, dl long, tf double")
+        mapped = ph_frame if mapped is None else \
+            mapped.unionByName(ph_frame)
     per_addr_op = (
-        rows.join(F.broadcast(mapping), "ti")
-        .groupBy("addr", "opi")
+        mapped.groupBy("addr", "opi")
         .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
     )
     # job 1: exact post-DV df per OPERAND (distinct addrs — the fuzzy
@@ -9181,7 +9415,7 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                 if not run[b]:
                     continue
                 path = os.path.join(d, run[b])
-                locs, has_pos = _locate(path)
+                locs, has_pos, _skips = _locate(path)
                 loc = locs.get(t)
                 if loc is not None:
                     pos_ok = pos_ok and has_pos

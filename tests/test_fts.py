@@ -501,11 +501,60 @@ def test_fts_search_cap_and_distributed_parity(tmp_path, spark, monkeypatch):
         monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10_000_000)
         assert gst2["mode"] == "distributed", q2
         assert got2 == want2, q2  # bitwise (addr, dl, score) triples
-    # phrases stay driver-side: loud refusal over the cap
+    # PHRASES route distributed too (r13 skip samples): per-address-
+    # block window tasks, bitwise parity with the driver scorer —
+    # small blocks force multi-task windows
+    for qp in ['"common w1"', '"common w1" AND w2', '"w1 extra3"']:
+        want3, wst3 = ln.native_fts_search(root, "text", qp, k=12)
+        assert wst3["mode"] == "driver"
+        monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10)
+        monkeypatch.setattr(ln, "FTS_PHRASE_BLOCK_BITS", 6)
+        got3, gst3 = ln.native_fts_search(
+            root, "text", qp, k=12, spark=spark)
+        monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10_000_000)
+        assert gst3["mode"] == "distributed", qp
+        assert got3 == want3, qp  # bitwise (addr, dl, score) triples
+    # files WITHOUT skip samples refuse over-cap phrases with rebuild
+    # guidance (strip fields 5-7 by rewriting postings sans skips)
+    import numpy as np
+
+    idx = ln.latest_native_fts_index(root, "text")
+    dd = os.path.dirname(idx.path)
+    for run in idx.run_files:
+        for nm in run:
+            if not nm:
+                continue
+            post = ln._fts_read_all_postings(os.path.join(dd, nm))
+            tokens = sorted(post)
+            blob = bytearray(ln._fts_postings_blob(
+                tokens,
+                [post[t][0] for t in tokens],
+                [post[t][1] for t in tokens],
+                [post[t][2] for t in tokens]))
+            # surgical: re-encode meta without fields 5-7
+            ln_ = int.from_bytes(blob[-16 + 0:-16 + 8], "little")
+            raw = bytes(blob)
+            mlen = int.from_bytes(raw[ln_:ln_ + 4], "little")
+            meta = raw[ln_ + 4:ln_ + 4 + mlen]
+            new_meta = b""
+            for f, wt, v in ln.pb_items(meta):
+                if f in (5, 6, 7):
+                    continue
+                new_meta += ln._enc_field(f, 2 if wt == 2 else 0, v)
+            import struct as _struct
+            out = (raw[:ln_] + _struct.pack("<I", len(new_meta))
+                   + new_meta + _struct.pack("<QHH", ln_, 0, 1)
+                   + b"LANC")
+            with open(os.path.join(dd, nm), "wb") as fh:
+                fh.write(out)
     monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10)
-    with pytest.raises(ln.LanceNativeError, match="phrase"):
+    with pytest.raises(ln.LanceNativeError, match="skip samples"):
         ln.native_fts_search(root, "text", '"common w1"', k=5,
                              spark=spark)
+    # under the cap the driver scorer still serves skip-less phrases
+    monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10_000_000)
+    got4, st4 = ln.native_fts_search(root, "text", '"common w1"', k=12)
+    assert got4 and st4["mode"] == "driver"
     monkeypatch.undo()
 
     # fold helper parity with the one-at-a-time dict reference
