@@ -82,9 +82,10 @@ def main() -> None:
     t_fuzzy = best(lambda: ln.native_fts_search(root, "text", qf, k=20))
     _hf, stf = ln.native_fts_search(root, "text", qf, k=20)
 
-    # distributed query arm vs the driver scorer on the SAME query
-    # (forced by a tiny cap; bit parity asserted)
+    # distributed query arms vs the driver scorer on the SAME queries
+    # (forced by a tiny cap; bit parity asserted) — terms AND phrases
     want, _ = ln.native_fts_search(root, "text", q, k=20)
+    want_p, _ = ln.native_fts_search(root, "text", qp, k=20)
     orig_cap = ln.MAX_FTS_POSTINGS
     try:
         ln.MAX_FTS_POSTINGS = 1000
@@ -93,6 +94,11 @@ def main() -> None:
                                         spark=spark)
         t_dist_q = time.monotonic() - t0
         assert std["mode"] == "distributed" and got == want
+        t0 = time.monotonic()
+        got_p, stp2 = ln.native_fts_search(root, "text", qp, k=20,
+                                           spark=spark)
+        t_dist_p = time.monotonic() - t0
+        assert stp2["mode"] == "distributed" and got_p == want_p
     finally:
         ln.MAX_FTS_POSTINGS = orig_cap
 
@@ -139,7 +145,7 @@ def main() -> None:
 - live-snapshot fresh search with an UNCOVERED 2.5k-doc delta: {t_fresh * 1000:.0f} ms (exact arm tokenizes only the delta)
 - PHRASE+AND probe ('"merge stream" AND scan'): {t_phrase * 1000:.0f} ms ({stp['postings_read']} postings incl. positions)
 - FUZZY probe ('vektor~ scann~'): {t_fuzzy * 1000:.0f} ms ({stf.get('fuzzy_expansions', 0)} vocabulary expansions)
-- distributed query arm (cap forced) on the 4-term probe: {t_dist_q:.1f} s, bit-identical to the {t_q * 1000:.0f} ms driver scorer — the latency trade for O(chunk) memory on corpus-common terms
+- distributed query arm (cap forced) on the 4-term probe: {t_dist_q:.1f} s, and on the PHRASE+AND probe (skip-sample block windows): {t_dist_p:.1f} s — both bit-identical to the driver scorer ({t_q * 1000:.0f} / {t_phrase * 1000:.0f} ms); the latency trade for O(chunk)/O(block) memory on corpus-common operands
 - COMPACTION of the multi-run index: serial {comp['serial']:.1f} s, distributed {comp['distributed']:.1f} s (per-bucket tasks)
 """
     with open(os.path.join(REPO, "BENCH_SF1.md"), "a") as fh:
