@@ -860,3 +860,57 @@ def test_fts_fuzzy_term_queries(tmp_path):
     got, _ = ln.native_fts_search_fresh(root, "text", "merge~", k=10)
     want = _brute_ops(docs + ["merged things arrive"], "merge~", 10)
     assert [s for _, _, s in got] == [s for _, _, s in want]
+
+
+def test_fts_window_reader_randomized(tmp_path, monkeypatch):
+    """Randomized pin for the skip-sample window reader's boundary
+    math: for random positional postings and random [lo, hi) address
+    ranges — including sample-boundary hits, empty ranges, and ranges
+    past either end — the window equals a brute filter of the full
+    read, positions included. Small FTS_SKIP_INTERVAL forces many
+    samples."""
+    import numpy as np
+
+    monkeypatch.setattr(ln, "FTS_SKIP_INTERVAL", 8)
+    rng = np.random.default_rng(41)
+    for trial in range(4):
+        n = int(rng.integers(1, 300))
+        addrs = np.sort(rng.choice(
+            100_000, size=n, replace=False).astype(np.uint64))
+        tfs = rng.integers(1, 5, size=n).astype("<u4")
+        pos = np.arange(int(tfs.sum()), dtype="<u4")  # distinguishable
+        blob = ln._fts_postings_blob(
+            ["tok"], [addrs], [tfs], [pos])
+        path = str(tmp_path / f"win{trial}.idx")
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        locs, has_pos, skipmeta = ln._fts_postings_locate(path)
+        assert has_pos and skipmeta is not None
+        off, cnt = locs["tok"]
+        skips = ln._fts_term_skips(skipmeta, "tok")
+        assert skips is not None
+        sample_addrs = list(skips[0])
+        probes = [
+            (0, 100_001),                         # everything
+            (int(addrs[0]), int(addrs[-1]) + 1),  # exact closed span
+            (int(addrs[-1]) + 1, 200_000),        # past the end
+            (0, int(addrs[0])),                   # before the start
+        ]
+        for _ in range(12):
+            a, b = sorted(rng.integers(0, 100_002, size=2))
+            probes.append((int(a), int(b)))
+        for sa in sample_addrs[:3]:               # boundary hits
+            probes.append((int(sa), int(sa) + 1))
+            probes.append((int(sa) - 1, int(sa)))
+        cum = np.concatenate(([0], np.cumsum(tfs)))
+        for lo, hi in probes:
+            wa, wt, wp = ln._fts_read_postings_window(
+                path, off, cnt, skips, lo, hi)
+            keep = (addrs >= lo) & (addrs < hi)
+            assert wa.tolist() == addrs[keep].tolist(), (lo, hi)
+            assert wt.tolist() == tfs[keep].tolist(), (lo, hi)
+            want_pos = np.concatenate(
+                [pos[int(cum[i]):int(cum[i + 1])]
+                 for i in np.flatnonzero(keep)]) if keep.any() else \
+                np.empty(0, dtype="<u4")
+            assert wp.tolist() == want_pos.tolist(), (lo, hi)
