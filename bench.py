@@ -195,6 +195,7 @@ DEFAULT_QUERIES = [
     "s17_hybrid_search_rrf",
     "s18_fts_phrase_boolean",
     "s19_fts_fuzzy_match",
+    "s20_fts_simple_analyzer",
 ]
 
 

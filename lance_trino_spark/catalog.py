@@ -619,12 +619,14 @@ class LanceCatalog:
         return self._status(f"indexed {ns}.{tbl}({col}) v{ds.version}")
 
     def _h_create_fts_index(self, m) -> DataFrame:
-        """`CREATE FTS INDEX ON <schema>.<table> (<col>)` — the native
-        inverted index (whitespace-v1 analyzer + BM25 serving via FTS
-        SEARCH). Incremental: an existing index extends by an O(delta)
-        LSM run; a fresh table builds from scratch (executor-staged
-        either way). Own-format tables refuse with a pointer (the
-        inverted sidecar is a native-format surface)."""
+        """`CREATE FTS INDEX ON <schema>.<table> (<col>) [WITH
+        (analyzer = '<name>')]` — the native inverted index (analyzer
+        'whitespace-v1' default, 'simple-v1' = lowercase +
+        non-alphanumeric split; BM25 serving via FTS SEARCH).
+        Incremental: an existing index extends by an O(delta) LSM run
+        (keeping ITS analyzer); a fresh table builds from scratch
+        (executor-staged either way). Own-format tables refuse with a
+        pointer (the inverted sidecar is a native-format surface)."""
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
         np_ = self._native(ns, tbl)
         if np_ is None:
@@ -632,10 +634,14 @@ class LanceCatalog:
                 f"{ns}.{tbl} is not a native-format table — FTS indexes "
                 "live in native `.lance` sidecars; use CREATE INDEX "
                 "(btree) or the text operators for parquet-backed tables")
-        from .format.lance_native import ensure_native_fts_index
+        from .format.lance_native import (
+            FTS_ANALYZER,
+            ensure_native_fts_index,
+        )
 
         uid = ensure_native_fts_index(
-            np_, col, spark=self.spark, incremental=True)
+            np_, col, spark=self.spark, incremental=True,
+            analyzer=m.group("analyzer") or FTS_ANALYZER)
         return self._status(
             f"fts-indexed {ns}.{tbl}({col}) "
             f"{'(already covered)' if uid is None else uid} (native)")
@@ -1302,7 +1308,9 @@ class LanceCatalog:
         (
             rf"CREATE\s+FTS\s+INDEX\s+ON\s+"
             rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
-            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
+            rf"(?:\s+WITH\s*\(\s*analyzer\s*=\s*"
+            rf"'(?P<analyzer>[a-z0-9\-]+)'\s*\))?$",
             _h_create_fts_index,
         ),
         (

@@ -7506,14 +7506,29 @@ FTS_SKIP_INTERVAL = 4096
 FTS_PHRASE_BLOCK_BITS = 20
 
 
-def _fts_tokenize(text) -> list[str]:
-    """The whitespace-v1 analyzer: \\s+ split of the trimmed text; None
-    -> no tokens; '' -> [''] (string_split_regex parity)."""
+def _fts_tokenize(text, analyzer: str = FTS_ANALYZER) -> list[str]:
+    """Analyzer registry. whitespace-v1 (default, cross-engine parity):
+    \\s+ split of the trimmed text; None -> no tokens; '' -> ['']
+    (string_split_regex parity). simple-v1 (the tantivy-default
+    semantics LanceDB ships): lowercase + split on non-alphanumeric,
+    empty tokens dropped — case/punctuation-insensitive search; DuckDB
+    twin: list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+    x -> x <> '')."""
     import re as _re
 
     if text is None:
         return []
+    if analyzer == "simple-v1":
+        return [t for t in _re.split(r"[^0-9a-z]+", str(text).lower())
+                if t]
+    if analyzer != FTS_ANALYZER:
+        raise LanceNativeError(
+            f"unknown fts analyzer {analyzer!r} (have: "
+            f"{FTS_ANALYZER!r}, 'simple-v1')")
     return _re.split(r"\s+", str(text).strip())
+
+
+FTS_ANALYZERS = (FTS_ANALYZER, "simple-v1")
 
 
 def _fts_bucket_of(token: str, n_buckets: int) -> int:
@@ -7761,7 +7776,7 @@ def _fts_read_postings_range(path: str, offset: int, count: int,
 _FTS_FUZZY = "\x00fuzzy\x00"
 
 
-def _fts_parse_query(query: str):
+def _fts_parse_query(query: str, analyzer: str = FTS_ANALYZER):
     """The MATCHING grammar (a superset of the pre-r13 term list):
     whitespace-separated operands; a double-quoted group is a PHRASE
     operand (member tokens must appear adjacent, in order — occurrences
@@ -7783,7 +7798,8 @@ def _fts_parse_query(query: str):
     require_all = False
     for m in _re.finditer(r'"([^"]*)"|(\S+)', query or ""):
         if m.group(1) is not None:
-            toks = tuple(t for t in _fts_tokenize(m.group(1)) if t)
+            toks = tuple(
+                t for t in _fts_tokenize(m.group(1), analyzer) if t)
             if toks and toks not in ops:
                 ops.append(toks)
         elif m.group(2) == "AND":
@@ -7793,7 +7809,7 @@ def _fts_parse_query(query: str):
             if op not in ops:
                 ops.append(op)
         else:
-            for t in _fts_tokenize(m.group(2)):
+            for t in _fts_tokenize(m.group(2), analyzer):
                 if t and (t,) not in ops:
                     ops.append((t,))
     return ops, require_all
@@ -7954,7 +7970,7 @@ def _fts_fold_topk(per_term, k: int, require_all: bool = False):
 
 def _fts_run_build(root: str, d: str, manifest: NativeManifest,
                    frags, column: str, n_buckets: int, run_no: int,
-                   spark=None):
+                   spark=None, analyzer: str = FTS_ANALYZER):
     """Build ONE sorted run over ``frags``: per-fragment doclen files +
     per-bucket postings files written into ``d``. Returns
     (bucket_files [n_buckets, '' = empty], doclen [(frag, name)],
@@ -8021,7 +8037,7 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
                 b_, t_, a_, tf_, p_ = [], [], [], [], []
                 for txt, a in zip(pdf["t"], pdf["_row_address"]):
                     a = int(a)
-                    toks = _fts_tokenize(txt)
+                    toks = _fts_tokenize(txt, analyzer)
                     dl_by_frag.setdefault(a >> 32, {})[
                         a & 0xFFFFFFFF] = len(toks)
                     occ: dict[str, list] = {}
@@ -8123,7 +8139,7 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
         for pos, txt in enumerate(texts):
             if pos in dead:
                 continue
-            toks = _fts_tokenize(txt)
+            toks = _fts_tokenize(txt, analyzer)
             dl[pos] = len(toks)
             n_live += 1
             if not toks:
@@ -8162,9 +8178,10 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
 
 def _write_fts_meta(d: str, column: str, dataset_version: int,
                     n_buckets: int, n_docs: int, sum_dl: int,
-                    covered, runs, doclen_files) -> None:
+                    covered, runs, doclen_files,
+                    analyzer: str = FTS_ANALYZER) -> None:
     inverted = (
-        _enc_field(1, 2, FTS_ANALYZER.encode())
+        _enc_field(1, 2, analyzer.encode())
         + _enc_field(2, 0, n_buckets)
         + _enc_field(3, 0, int(n_docs))
         + _enc_field(4, 0, int(sum_dl))
@@ -8244,8 +8261,8 @@ def read_native_fts_index(path: str) -> NativeFtsIndex:
             n_runs = v
         elif f == 8:
             doclen_raw = v.decode()
-    if (analyzer != FTS_ANALYZER or n_buckets is None or covered is None
-            or files_raw is None or n_runs is None):
+    if (analyzer not in FTS_ANALYZERS or n_buckets is None
+            or covered is None or files_raw is None or n_runs is None):
         raise LanceNativeError(
             f"{path}: incomplete or foreign inverted-index metadata "
             f"(analyzer={analyzer!r})")
@@ -8289,21 +8306,27 @@ def latest_native_fts_index(root: str, column: str
 
 def write_native_fts_index(root: str, column: str,
                            n_buckets: int = DEFAULT_FTS_BUCKETS,
-                           spark=None) -> str:
+                           spark=None,
+                           analyzer: str = FTS_ANALYZER) -> str:
     """Build the inverted index over a string column (layout above).
     With ``spark``, tokenize + postings writes are fully executor-staged
     (driver commits O(buckets + fragments) metadata)."""
     import uuid as uuidlib
 
+    if analyzer not in FTS_ANALYZERS:
+        raise LanceNativeError(
+            f"unknown fts analyzer {analyzer!r} "
+            f"(have: {list(FTS_ANALYZERS)})")
     manifest = read_native_manifest(root)
     uid = str(uuidlib.uuid4())
     d = os.path.join(root, "_indices", uid)
     bucket_files, doclen_files, n_docs, sum_dl = _fts_run_build(
         root, d, manifest, manifest.fragments, column, n_buckets, 0,
-        spark)
+        spark, analyzer=analyzer)
     _write_fts_meta(
         d, column, manifest.version, n_buckets, n_docs, sum_dl,
-        [f.id for f in manifest.fragments], [bucket_files], doclen_files)
+        [f.id for f in manifest.fragments], [bucket_files], doclen_files,
+        analyzer=analyzer)
     return uid
 
 
@@ -8538,7 +8561,7 @@ def extend_native_fts_index(root: str, column: str, spark=None
     run_no = idx.n_runs
     bucket_files, new_doclen, d_docs, d_dl = _fts_run_build(
         root, d, manifest, new_frags, column, idx.n_buckets, run_no,
-        spark)
+        spark, analyzer=idx.analyzer)
     runs = list(idx.run_files) + [tuple(bucket_files)]
     doclen = list(idx.doclen_files) + new_doclen
     n_docs = idx.n_docs + d_docs
@@ -8592,7 +8615,8 @@ def extend_native_fts_index(root: str, column: str, spark=None
                 merged_run.append(name)
             runs = [tuple(merged_run)]
     _write_fts_meta(d, column, manifest.version, idx.n_buckets,
-                    n_docs, sum_dl, coverage, runs, doclen)
+                    n_docs, sum_dl, coverage, runs, doclen,
+                    analyzer=idx.analyzer)
     return os.path.basename(d)
 
 
@@ -8683,7 +8707,7 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         raise LanceNativeError(
             f"fts index on {column!r} does not cover fragments "
             f"{sorted(uncovered)} — extend_native_fts_index first")
-    ops, require_all = _fts_parse_query(query)
+    ops, require_all = _fts_parse_query(query, idx.analyzer)
     fuzzy_ops = [op for op in ops if op[0] == _FTS_FUZZY]
     terms = []  # unique member terms across operands (exact ones)
     for op in ops:
@@ -9192,7 +9216,8 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
 
 def ensure_native_fts_index(root: str, column: str,
                             n_buckets: int = DEFAULT_FTS_BUCKETS,
-                            spark=None, incremental: bool = False
+                            spark=None, incremental: bool = False,
+                            analyzer: str = FTS_ANALYZER
                             ) -> str | None:
     """Maintenance hook: build if absent, extend (incremental) or
     rebuild when coverage lapses, None when covered."""
@@ -9204,11 +9229,13 @@ def ensure_native_fts_index(root: str, column: str,
     if incremental and idx is not None:
         return extend_native_fts_index(root, column, spark=spark)
     return write_native_fts_index(
-        root, column, n_buckets=n_buckets, spark=spark)
+        root, column, n_buckets=n_buckets, spark=spark,
+        analyzer=analyzer)
 
 
 def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
-                         column: str, ops: list[tuple], spark=None):
+                         column: str, ops: list[tuple], spark=None,
+                         analyzer: str = FTS_ANALYZER):
     """The exact arm of the fresh FTS search: tokenize ``frags`` on the
     fly and return (match_rows, n_docs, sum_dl) where match_rows is
     [(addr, dl, [tf per OPERAND])] for docs matching >= 1 operand
@@ -9250,7 +9277,7 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
             rows_a, rows_dl, rows_tf = [], [], []
             for pdf in batches:
                 for txt, a in zip(pdf["t"], pdf["_row_address"]):
-                    toks = _fts_tokenize(txt)
+                    toks = _fts_tokenize(txt, analyzer)
                     n_docs += 1
                     sum_dl += len(toks)
                     tfs = [_fts_op_count(toks, op) for op in ops_b]
@@ -9287,7 +9314,7 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
         for pos, txt in enumerate(arr.to_pylist()):
             if pos in dead:  # match the spark arm's DV-applying scan
                 continue
-            toks = _fts_tokenize(txt)
+            toks = _fts_tokenize(txt, analyzer)
             n_docs += 1
             sum_dl += len(toks)
             tfs = [_fts_op_count(toks, op) for op in ops]
@@ -9298,7 +9325,8 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
 
 def native_fts_search_fresh(root: str, column: str, query: str,
                             k: int = 10, spark=None,
-                            manifest: NativeManifest | None = None):
+                            manifest: NativeManifest | None = None,
+                            analyzer: str = FTS_ANALYZER):
     """LIVE-SNAPSHOT BM25 (the lf43 freshness contract applied to FTS):
     the newest inverted index accelerates its covered fragments;
     fragments appended AFTER the build are tokenized on the fly by an
@@ -9317,7 +9345,8 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     live_ids = {f.id for f in live.fragments}
     covered = (idx.covered_fragments & live_ids) if idx else set()
     uncovered = live_ids - covered
-    ops, require_all = _fts_parse_query(query)
+    analyzer = idx.analyzer if idx is not None else analyzer
+    ops, require_all = _fts_parse_query(query, analyzer)
     fuzzy_ops = [op for op in ops if op[0] == _FTS_FUZZY]
     terms = []  # unique member terms across operands (exact ones)
     for op in ops:
@@ -9335,7 +9364,7 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     delta_rows, d_docs, d_dl = ([], 0, 0) if not uncovered else \
         _fts_delta_term_rows(
             root, live, [frag_by_id[i] for i in sorted(uncovered)],
-            column, ops, spark)
+            column, ops, spark, analyzer=analyzer)
 
     n_docs = (idx.n_docs if idx else 0) + d_docs
     sum_dl = (idx.sum_dl if idx else 0) + d_dl

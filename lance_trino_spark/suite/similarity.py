@@ -1557,3 +1557,138 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((int(did), int(dl), float(s)))
     out.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s20 — FTS with the simple-v1 ANALYZER (round 13): the tantivy-default
+# semantics LanceDB ships (lowercase + non-alphanumeric split) next to the
+# whitespace-v1 default. A third of the corpus is upper-cased at CTAS
+# time, so a whitespace search would miss it; the simple-v1 index matches
+# case-insensitively, phrases ride the analyzer-normalized positional
+# postings, and every score is bit-identical to the SQL oracle whose
+# tokens are list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+# x -> x <> '') over the same upper-case transformation.
+# ---------------------------------------------------------------------------
+_S20_PHRASE = ("merge", "stream")
+_S20_TERM = "scan"
+
+
+def _s20_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+
+    def contrib(i: str) -> str:
+        return (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+            f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+            f" / CAST(n_docs AS DOUBLE))))))"
+        )
+
+    return f"""
+    WITH toklist AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(
+                 lower(CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                       ELSE text END),
+                 '[^0-9a-z]+'),
+               x -> x <> '') AS toks
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS ord
+      FROM toklist),
+    ph AS (
+      SELECT t1.doc_id, COUNT(*) AS tf_ph
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.ord = t1.ord + 1
+      WHERE t1.tok = '{_S20_PHRASE[0]}' AND t2.tok = '{_S20_PHRASE[1]}'
+      GROUP BY t1.doc_id),
+    per_doc AS (
+      SELECT tl.doc_id, len(tl.toks) AS dl,
+             COALESCE(ph.tf_ph, 0) AS tf_0,
+             len(list_filter(tl.toks, x -> x = '{_S20_TERM}')) AS tf_1
+      FROM toklist tl LEFT JOIN ph ON ph.doc_id = tl.doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {contrib("0")} + {contrib("1")} AS score
+    FROM per_doc, stats
+    WHERE tf_0 > 0 OR tf_1 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s20_fts_simple_analyzer",
+    oracle=_s20_oracle(),
+    doc="FTS simple-v1 analyzer (lowercase + non-alphanumeric split): "
+        "case-insensitive phrase + term search over a case-mangled "
+        "corpus, scores bit-identical to the lower()/regex-split oracle",
+    tags=("similarity", "search", "text", "lance-format", "index"),
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s20-fts-simple.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END "
+            "AS text")
+        .orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark,
+                              analyzer="simple-v1")
+    idx = ln.latest_native_fts_index(path, "text")
+    assert idx.analyzer == "simple-v1"
+
+    query = f'"{_S20_PHRASE[0]} {_S20_PHRASE[1]}" {_S20_TERM}'
+    got, st = ln.native_fts_search(path, "text", query, k=15, index=idx)
+    assert st["operands"] == 2 and st["mode"] == "driver"
+    # the upper-cased third matched: a whitespace-v1 index would have
+    # missed every doc_id % 3 = 0 row entirely
+    assert any(
+        True for a, _dl, _s in got)
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    # proof column: at least one upper-cased doc (doc_id % 3 = 0) hit
+    assert any(d % 3 == 0 for d, _dl, _s in out)
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")

@@ -914,3 +914,83 @@ def test_fts_window_reader_randomized(tmp_path, monkeypatch):
                  for i in np.flatnonzero(keep)]) if keep.any() else \
                 np.empty(0, dtype="<u4")
             assert wp.tolist() == want_pos.tolist(), (lo, hi)
+
+
+def test_fts_simple_analyzer(tmp_path, spark):
+    """simple-v1 analyzer (r13 — the tantivy-default semantics LanceDB
+    ships): lowercase + non-alphanumeric split makes search case- and
+    punctuation-insensitive; the index REMEMBERS its analyzer (query
+    tokenization, extends, fresh exact arm, phrases, fuzzy all use it);
+    whitespace-v1 stays the default and the two coexist on one column
+    only via rebuild."""
+    docs = [
+        "Merge, Stream!",            # punctuation + case
+        "MERGE STREAM merge",
+        "stream... then merge",
+        "Vector-Search rocks",       # hyphen splits under simple-v1
+        "nothing here",
+    ]
+    root = str(tmp_path / "fts_simple.lance")
+    _mk(root, docs)
+    assert ln._fts_tokenize("Merge, Stream!", "simple-v1") == [
+        "merge", "stream"]
+    assert ln._fts_tokenize("Vector-Search", "simple-v1") == [
+        "vector", "search"]
+    with pytest.raises(ln.LanceNativeError, match="unknown fts analyzer"):
+        ln.write_native_fts_index(root, "text", analyzer="nope")
+    ln.write_native_fts_index(root, "text", n_buckets=4,
+                              analyzer="simple-v1")
+    idx = ln.latest_native_fts_index(root, "text")
+    assert idx.analyzer == "simple-v1"
+    # case-insensitive term match incl. the punctuation-mangled docs
+    got, _ = ln.native_fts_search(root, "text", "MERGE", k=10)
+    assert {a & 0xFFFFFFFF for a, _dl, _s in got} == {0, 1, 2}
+    # phrase under the simple analyzer: 'merge stream' adjacent in
+    # docs 0 and 1 (punctuation removed), not doc 2
+    got, _ = ln.native_fts_search(root, "text", '"Merge Stream"', k=10)
+    assert {a & 0xFFFFFFFF for a, _dl, _s in got} == {0, 1}
+    # fuzzy: 'vectr~' -> vector (hyphen-split token)
+    got, _ = ln.native_fts_search(root, "text", "vectr~", k=10)
+    assert {a & 0xFFFFFFFF for a, _dl, _s in got} == {3}
+    # scores equal a brute force over the SIMPLE-analyzed corpus
+    simple_docs = [" ".join(ln._fts_tokenize(t, "simple-v1"))
+                   for t in docs]
+    for q in ["merge stream", '"merge stream"', "search AND rocks"]:
+        got, _ = ln.native_fts_search(root, "text", q, k=10)
+        want = _brute_ops(simple_docs, q, 10)
+        assert [s for _, _, s in got] == [s for _, _, s in want], q
+    # extend keeps the analyzer; fresh exact arm uses it too
+    ln.append_native_rows(root, {
+        "doc_id": [100], "text": ["LATE Merge-Stream arrival"]})
+    got, _ = ln.native_fts_search_fresh(root, "text", '"merge stream"',
+                                        k=10)
+    assert 100 in {a & 0xFFFFFFFF if (a >> 32) == 0 else 0
+                   for a, _dl, _s in got} or any(
+        (a >> 32) > 0 for a, _dl, _s in got)  # delta doc surfaced
+    ln.extend_native_fts_index(root, "text")
+    idx2 = ln.latest_native_fts_index(root, "text")
+    assert idx2.analyzer == "simple-v1" and idx2.n_runs == 2
+    got, _ = ln.native_fts_search(root, "text", '"merge stream"', k=10)
+    assert any((a >> 32) == 1 for a, _dl, _s in got)
+
+
+def test_fts_sql_analyzer_option(tmp_path, spark):
+    """CREATE FTS INDEX ... WITH (analyzer = 'simple-v1') through the
+    SQL router; FTS SEARCH then matches case-insensitively."""
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame(
+        [(0, "Hello, World!"), (1, "hello world"), (2, "other text")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("_fts_an_src")
+    cat.sql("CREATE NATIVE TABLE s.d AS SELECT * FROM _fts_an_src")
+    cat.sql("CREATE FTS INDEX ON s.d (text) WITH "
+            "(analyzer = 'simple-v1')")
+    r = cat.sql("FTS SEARCH s.d (text) MATCHING 'HELLO' TOP 5").collect()
+    assert sorted(row["doc_id"] for row in r) == [0, 1]
+    r = cat.sql(
+        'FTS SEARCH s.d (text) MATCHING \'"hello world"\' TOP 5'
+    ).collect()
+    assert sorted(row["doc_id"] for row in r) == [0, 1]
