@@ -196,6 +196,7 @@ DEFAULT_QUERIES = [
     "s18_fts_phrase_boolean",
     "s19_fts_fuzzy_match",
     "s20_fts_simple_analyzer",
+    "s21_fts_prefiltered_search",
 ]
 
 

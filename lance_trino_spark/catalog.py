@@ -659,9 +659,20 @@ class LanceCatalog:
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
         # MATCHING grammar (lance_native._fts_parse_query): bare terms
         # OR by default; "double-quoted groups" are PHRASES served from
-        # positional postings; a bare AND makes the query a conjunction.
+        # positional postings; a bare AND makes the query a conjunction;
+        # trailing ~ is a fuzzy operand. WHERE <col> IN (...) is the
+        # LanceDB where-on-FTS TRUE prefilter (global corpus stats,
+        # filtered results — the VECTOR SEARCH syntax mirrored).
         query = m.group("q")
         k = int(m.group("k") or 10)
+        prefilter = None
+        if m.group("fcol"):
+            vals = [
+                v.strip().strip("'")
+                for v in m.group("fvals").split(",") if v.strip()
+            ]
+            vals = [int(v) if v.lstrip("-").isdigit() else v for v in vals]
+            prefilter = (m.group("fcol"), vals)
         np_ = self._native(ns, tbl)
         if np_ is None:
             raise CatalogError(
@@ -677,7 +688,8 @@ class LanceCatalog:
 
         live = read_native_manifest(np_)
         got, _stats = native_fts_search_fresh(
-            np_, col, query, k=k, spark=self.spark, manifest=live)
+            np_, col, query, k=k, spark=self.spark, manifest=live,
+            prefilter=prefilter)
         id_fields = [f for f in native_spark_schema(live).fields
                      if f.name != col]
         frag_by_id = {f.id: f for f in live.fragments}
@@ -1317,7 +1329,10 @@ class LanceCatalog:
             rf"FTS\s+SEARCH\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
             rf"\s+MATCHING\s+'(?P<q>[^']*)'"
-            rf"(?:\s+TOP\s+(?P<k>\d+))?$",
+            rf"(?:\s+TOP\s+(?P<k>\d+))?"
+            rf"(?:\s+WHERE\s+(?P<fcol>{_IDENT})\s+IN\s*"
+            rf"\(\s*(?P<fvals>(?:'[^']*'|-?\d+)"
+            rf"(?:\s*,\s*(?:'[^']*'|-?\d+))*)\s*\))?$",
             _h_fts_search,
         ),
         (

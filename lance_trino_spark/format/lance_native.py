@@ -7933,6 +7933,25 @@ def _fts_permute_positions(flat, tfs, order):
     return flat[np.argsort(rank[doc_of], kind="stable")]
 
 
+def _fts_allowed_mask(addrs, allowed: dict):
+    """Keep-mask for postings against a TRUE-prefilter allowed set
+    ({fragment_id -> sorted physical rows}, _native_prefilter_rows'
+    shape): a posting survives iff its row is in its fragment's allowed
+    rows. Fragments absent from the dict allow nothing."""
+    import numpy as np
+
+    fids = (addrs >> np.uint64(32)).astype(np.int64)
+    poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    keep = np.zeros(len(addrs), dtype=bool)
+    for fid in np.unique(fids):
+        rows = allowed.get(int(fid))
+        if rows is None or not len(rows):
+            continue
+        sel = fids == fid
+        keep[sel] = np.isin(poss[sel], rows)
+    return keep
+
+
 def _fts_fold_topk(per_term, k: int, require_all: bool = False):
     """Vectorized BM25 fold: sum each address's per-operand
     contributions IN OPERAND ORDER — per address the float64 additions
@@ -8668,7 +8687,7 @@ def _fts_read_all_postings(path: str):
 def native_fts_search(root: str, column: str, query: str, k: int = 10,
                       index: NativeFtsIndex | None = None,
                       manifest: NativeManifest | None = None,
-                      spark=None):
+                      spark=None, prefilter: tuple | None = None):
     """BM25 top-k over the inverted index. A META PASS first locates
     every matched term's postings slices (one bounded meta read per
     touched (run, bucket) file) so the total posting count is known
@@ -8693,7 +8712,14 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     extend since r13 writes positions); over the cap every operand kind
     routes to the distributed arm — phrases through per-address-block
     window tasks served by the skip samples (files written before the
-    samples refuse with rebuild guidance)."""
+    samples refuse with rebuild guidance).
+
+    ``prefilter=(col, values)`` is the LanceDB where-on-FTS shape:
+    corpus statistics stay GLOBAL (Lucene's filtered-search stance, so
+    scores equal the unfiltered query's), results restrict to the TRUE
+    allowed set (_native_prefilter_rows — scalar-index served,
+    MAX_PREFILTER_ROWS capped). Driver scorer only; over-cap filtered
+    queries refuse."""
     import numpy as np
 
     live = manifest if manifest is not None else read_native_manifest(root)
@@ -8801,6 +8827,12 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             "write_native_fts_index (extends of a pre-positional index "
             "leave its old runs position-less)")
     if total > MAX_FTS_POSTINGS:
+        if prefilter is not None:
+            raise LanceNativeError(
+                f"fts query matches {total} postings (> "
+                f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) and carries a "
+                "prefilter — filtered scoring is driver-side only: "
+                "narrow the query terms or the filter")
         if spark is None or (phrased and not skip_ok):
             raise LanceNativeError(
                 f"fts query matches {total} postings (> "
@@ -8842,6 +8874,8 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
 
     dead_cache: dict[int, "np.ndarray"] = {}
     frag_by_id = {f.id: f for f in live.fragments}
+    allowed = None if prefilter is None else _native_prefilter_rows(
+        root, live, prefilter, spark)
 
     # read each member term ONCE (post-DV; positions only when phrases
     # need them)
@@ -8911,6 +8945,15 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         dls = dl_of(addrs)
         norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
         contrib = idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm)
+        if allowed is not None:
+            # GLOBAL stats, FILTERED results: df/idf above came from
+            # the whole corpus; only the fold's candidates restrict
+            keep = _fts_allowed_mask(addrs, allowed)
+            addrs, dls, contrib = addrs[keep], dls[keep], contrib[keep]
+            if not len(addrs):
+                if require_all:
+                    return [], stats
+                continue
         per_op.append((addrs, dls, contrib))
     return _fts_fold_topk(per_op, k, require_all=require_all), stats
 
@@ -9326,7 +9369,8 @@ def _fts_delta_term_rows(root: str, manifest: NativeManifest, frags,
 def native_fts_search_fresh(root: str, column: str, query: str,
                             k: int = 10, spark=None,
                             manifest: NativeManifest | None = None,
-                            analyzer: str = FTS_ANALYZER):
+                            analyzer: str = FTS_ANALYZER,
+                            prefilter: tuple | None = None):
     """LIVE-SNAPSHOT BM25 (the lf43 freshness contract applied to FTS):
     the newest inverted index accelerates its covered fragments;
     fragments appended AFTER the build are tokenized on the fly by an
@@ -9337,7 +9381,10 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     index maintenance. Deleted rows drop from results immediately via
     the DV mask; like Lucene, corpus statistics refresh at the next
     extend/compaction rather than per delete. With NO index at all the
-    exact arm serves everything (a brute-force BM25 scan)."""
+    exact arm serves everything (a brute-force BM25 scan).
+    ``prefilter=(col, values)`` mirrors native_fts_search: GLOBAL
+    corpus statistics, results restricted to the TRUE allowed set —
+    both arms masked."""
     import numpy as np
 
     live = manifest if manifest is not None else read_native_manifest(root)
@@ -9375,6 +9422,8 @@ def native_fts_search_fresh(root: str, column: str, query: str,
         return [], stats
     n = float(n_docs)
     avgdl = float(sum_dl) / n
+    allowed = None if prefilter is None else _native_prefilter_rows(
+        root, live, prefilter, spark)
 
     # gather index-served postings per term (covered arm), DV-masked
     dead_cache: dict[int, "np.ndarray"] = {}
@@ -9562,9 +9611,16 @@ def native_fts_search_fresh(root: str, column: str, query: str,
             seg_dls.append(dl_f)
             seg_contrib.append(
                 idf * (tf * (_BM25_K1 + 1.0)) / (tf + norm))
-        per_op.append((
-            np.concatenate(seg_addrs).astype(np.uint64),
-            np.concatenate(seg_dls),
-            np.concatenate(seg_contrib),
-        ))
+        op_addrs = np.concatenate(seg_addrs).astype(np.uint64)
+        op_dls = np.concatenate(seg_dls)
+        op_contrib = np.concatenate(seg_contrib)
+        if allowed is not None:
+            keep = _fts_allowed_mask(op_addrs, allowed)
+            op_addrs = op_addrs[keep]
+            op_dls, op_contrib = op_dls[keep], op_contrib[keep]
+            if not len(op_addrs):
+                if require_all:
+                    return [], stats
+                continue
+        per_op.append((op_addrs, op_dls, op_contrib))
     return _fts_fold_topk(per_op, k, require_all=require_all), stats

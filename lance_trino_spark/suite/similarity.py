@@ -1692,3 +1692,128 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proof column: at least one upper-cased doc (doc_id % 3 = 0) hit
     assert any(d % 3 == 0 for d, _dl, _s in out)
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s21 — FILTERED FTS (round 13): LanceDB's where-on-FTS — the TRUE
+# prefilter (the flagship filtered-ANN shape, s10/s15) composed with the
+# inverted index. Corpus statistics stay GLOBAL (Lucene's filtered-search
+# stance: a matched doc scores exactly what the unfiltered query gives
+# it), results restrict to the allowed set resolved by
+# _native_prefilter_rows (scalar-index-served where covered, zone-map
+# pre-pruned + vectorized membership elsewhere, MAX_PREFILTER_ROWS
+# capped). SQL: FTS SEARCH ... WHERE <col> IN (...). The oracle scores
+# the WHOLE corpus and filters afterward — value-identical by
+# construction, which is precisely the semantics claim.
+# ---------------------------------------------------------------------------
+_S21_TERMS = ("merge", "stream")
+_S21_SOURCES = ("src3", "src7", "src11")
+
+
+def _s21_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_S21_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_S21_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_S21_TERMS))
+    )
+    srcs = ", ".join(f"'{x}'" for x in _S21_SOURCES)
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols}
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {score_terms} AS score
+    FROM per_doc, stats
+    WHERE {" + ".join(f"tf_{i}" for i in range(len(_S21_TERMS)))} > 0
+      AND source IN ({srcs})
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s21_fts_prefiltered_search",
+    oracle=_s21_oracle(),
+    doc="filtered FTS (where-on-FTS): TRUE source prefilter composed "
+        "with the inverted index, GLOBAL corpus stats — scores equal "
+        "the unfiltered query's, bit-identical to the score-then-filter "
+        "oracle",
+    tags=("similarity", "search", "text", "lance-format", "index",
+          "prefilter"),
+)
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s21-fts-pref.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text").orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+    # the prefilter column gets its own btree index: the two index
+    # kinds COMPOSE (the allowed set resolves page-bounded)
+    ln.write_native_scalar_index(path, "source")
+    idx = ln.latest_native_fts_index(path, "text")
+
+    query = " ".join(_S21_TERMS)
+    got, st = ln.native_fts_search(
+        path, "text", query, k=15, index=idx,
+        prefilter=("source", list(_S21_SOURCES)))
+    assert st["mode"] == "driver" and st["postings_read"] > 0
+    # semantics proof: every hit scores exactly its unfiltered score
+    unf, _ = ln.native_fts_search(path, "text", query, k=10_000,
+                                  index=idx)
+    by_addr = {a: s for a, _dl, s in unf}
+    assert all(s == by_addr[a] for a, _dl, s in got)
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")

@@ -994,3 +994,75 @@ def test_fts_sql_analyzer_option(tmp_path, spark):
         'FTS SEARCH s.d (text) MATCHING \'"hello world"\' TOP 5'
     ).collect()
     assert sorted(row["doc_id"] for row in r) == [0, 1]
+
+
+def test_fts_prefilter(tmp_path, spark):
+    """Filtered FTS (r13 — LanceDB's where-on-FTS): corpus statistics
+    stay GLOBAL (Lucene's filtered-search stance — a matched doc's
+    score equals the unfiltered query's score for it), results restrict
+    to the TRUE allowed set; composes with phrases, AND, fuzzy; both
+    the index path and the live-snapshot fresh path mask; SQL WHERE ...
+    IN mirrors the VECTOR SEARCH syntax. Over-cap filtered queries
+    refuse."""
+    import numpy as np
+
+    docs = [f"merge stream w{i % 5} filler{i}" for i in range(60)]
+    labels = [i % 3 for i in range(60)]
+    root = str(tmp_path / "fts_pref.lance")
+    ln.write_native_dataset(root, {
+        "doc_id": list(range(60)), "label": labels, "text": docs})
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+
+    for q in ["merge w1", '"merge stream"', "merge AND w2", "mergee~"]:
+        unfiltered, _ = ln.native_fts_search(root, "text", q, k=60)
+        by_addr = {a: s for a, _dl, s in unfiltered}
+        got, _ = ln.native_fts_search(
+            root, "text", q, k=60, prefilter=("label", [1]))
+        assert got, q
+        for a, _dl, s in got:
+            assert labels[a & 0xFFFFFFFF] == 1, q  # filter honored
+            assert s == by_addr[a], q  # GLOBAL stats: score unchanged
+        want = sorted(
+            ((a, dl, s) for a, dl, s in unfiltered
+             if labels[a & 0xFFFFFFFF] == 1),
+            key=lambda t: (-t[2], t[0]))
+        assert got == want, q  # == global-score-then-filter, exactly
+
+    # fresh path masks BOTH arms (uncovered delta included)
+    ln.append_native_rows(root, {
+        "doc_id": [100, 101], "label": [1, 2],
+        "text": ["late merge stream one", "late merge stream two"]})
+    got, _ = ln.native_fts_search_fresh(
+        root, "text", "late merge", k=10, prefilter=("label", [1]))
+    hit_ids = {a for a, _dl, _s in got}
+    assert (1 << 32) | 0 in hit_ids       # delta doc 100 (label 1)
+    assert (1 << 32) | 1 not in hit_ids   # delta doc 101 (label 2)
+
+    # SQL WHERE ... IN
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame(
+        [(i, i % 3, docs[i]) for i in range(60)],
+        "doc_id long, label long, text string",
+    ).createOrReplaceTempView("_fts_pref_src")
+    cat.sql("CREATE NATIVE TABLE s.d AS SELECT * FROM _fts_pref_src")
+    cat.sql("CREATE FTS INDEX ON s.d (text)")
+    r = cat.sql(
+        "FTS SEARCH s.d (text) MATCHING 'merge w1' TOP 60 "
+        "WHERE label IN (0, 2)").collect()
+    assert r and all(row["label"] in (0, 2) for row in r)
+
+    # over-cap filtered queries refuse loudly
+    import pytest as _pytest
+
+    ln.extend_native_fts_index(root, "text")  # cover the delta first
+    orig = ln.MAX_FTS_POSTINGS
+    try:
+        ln.MAX_FTS_POSTINGS = 5
+        with _pytest.raises(ln.LanceNativeError, match="prefilter"):
+            ln.native_fts_search(root, "text", "merge", k=5,
+                                 prefilter=("label", [1]), spark=spark)
+    finally:
+        ln.MAX_FTS_POSTINGS = orig
