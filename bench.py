@@ -197,6 +197,7 @@ DEFAULT_QUERIES = [
     "s19_fts_fuzzy_match",
     "s20_fts_simple_analyzer",
     "s21_fts_prefiltered_search",
+    "s22_bitmap_index_prefilter",
 ]
 
 

@@ -646,6 +646,29 @@ class LanceCatalog:
             f"fts-indexed {ns}.{tbl}({col}) "
             f"{'(already covered)' if uid is None else uid} (native)")
 
+    def _h_create_bitmap_index(self, m) -> DataFrame:
+        """`CREATE BITMAP INDEX ON <schema>.<table> (<col>)` — the
+        exact-value (keyword-v1) index for low-cardinality string
+        columns: a value's postings ARE its row-address bitmap, and the
+        TRUE-prefilter path (FTS SEARCH / VECTOR SEARCH WHERE ... IN)
+        serves allowed sets from them page-bounded. Incremental like
+        CREATE FTS INDEX; DROP FTS INDEX drops it (same sidecar
+        family)."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        np_ = self._native(ns, tbl)
+        if np_ is None:
+            raise CatalogError(
+                f"{ns}.{tbl} is not a native-format table — BITMAP "
+                "indexes live in native `.lance` sidecars")
+        from .format.lance_native import ensure_native_fts_index
+
+        uid = ensure_native_fts_index(
+            np_, col, spark=self.spark, incremental=True,
+            analyzer="keyword-v1")
+        return self._status(
+            f"bitmap-indexed {ns}.{tbl}({col}) "
+            f"{'(already covered)' if uid is None else uid} (native)")
+
     def _h_fts_search(self, m) -> DataFrame:
         """`FTS SEARCH <schema>.<table> (<col>) MATCHING '<query>'
         [TOP <k>]` — LIVE-SNAPSHOT BM25 (lf43's freshness contract):
@@ -1316,6 +1339,12 @@ class LanceCatalog:
             rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
             _h_drop_index,
+        ),
+        (
+            rf"CREATE\s+BITMAP\s+INDEX\s+ON\s+"
+            rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
+            _h_create_bitmap_index,
         ),
         (
             rf"CREATE\s+FTS\s+INDEX\s+ON\s+"

@@ -6021,12 +6021,26 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
     out: dict[int, "np.ndarray"] = {
         fid: np.empty(0, dtype=np.int64) for fid in live_ids}
     covered: frozenset = frozenset()
-    sidx = None
-    for i in reversed(list_native_scalar_indices(root)):
-        if i.column == pcol:
-            sidx = i
-            break
     n_allowed = 0
+    # a BITMAP (keyword-v1) index on the filter column is the pure
+    # point-lookup shape — preferred over the btree when present
+    kidx = latest_native_bitmap_index(root, pcol)
+    if kidx is not None:
+        rows_by_frag, kcov = native_bitmap_lookup(
+            root, pcol, list(pvals), index=kidx)
+        covered = kcov
+        for fid, rows in rows_by_frag.items():
+            if fid in live_ids:
+                out[int(fid)] = np.asarray(rows, dtype=np.int64)
+                n_allowed += len(rows)
+        if n_allowed > MAX_PREFILTER_ROWS:
+            raise _prefilter_cap_error(n_allowed)
+    sidx = None
+    if kidx is None:
+        for i in reversed(list_native_scalar_indices(root)):
+            if i.column == pcol:
+                sidx = i
+                break
     if sidx is not None:
         rows_by_frag, _stats = scalar_index_lookup(
             sidx, eq_values=list(pvals))
@@ -7521,14 +7535,18 @@ def _fts_tokenize(text, analyzer: str = FTS_ANALYZER) -> list[str]:
     if analyzer == "simple-v1":
         return [t for t in _re.split(r"[^0-9a-z]+", str(text).lower())
                 if t]
+    if analyzer == "keyword-v1":
+        # tantivy's 'raw' tokenizer: the whole value is ONE token —
+        # the BITMAP-style exact-value index analyzer
+        return [str(text)]
     if analyzer != FTS_ANALYZER:
         raise LanceNativeError(
             f"unknown fts analyzer {analyzer!r} (have: "
-            f"{FTS_ANALYZER!r}, 'simple-v1')")
+            f"{FTS_ANALYZER!r}, 'simple-v1', 'keyword-v1')")
     return _re.split(r"\s+", str(text).strip())
 
 
-FTS_ANALYZERS = (FTS_ANALYZER, "simple-v1")
+FTS_ANALYZERS = (FTS_ANALYZER, "simple-v1", "keyword-v1")
 
 
 def _fts_bucket_of(token: str, n_buckets: int) -> int:
@@ -8550,7 +8568,8 @@ def _fts_compact_distributed(root: str, d: str, runs, doclen, cov_set,
     return [tuple(merged_run)], kept_doclen, n_docs, sum_dl
 
 
-def extend_native_fts_index(root: str, column: str, spark=None
+def extend_native_fts_index(root: str, column: str, spark=None,
+                            analyzer: str | None = None
                             ) -> str | None:
     """O(delta) LSM extend: tokenize ONLY the appended fragments, append
     their postings as a new RUN (plus their doclen files) to the SAME
@@ -8562,7 +8581,11 @@ def extend_native_fts_index(root: str, column: str, spark=None
 
     import numpy as np
 
-    idx = latest_native_fts_index(root, column)
+    idx = (latest_native_fts_index(root, column) if analyzer is None
+           else next(
+               (i for i in reversed(list_native_fts_indices(root))
+                if i.column == column and i.analyzer == analyzer),
+               None))
     if idx is None:
         raise LanceNativeError(
             f"no fts index on {column!r} to extend — build one with "
@@ -9257,20 +9280,96 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
             for r in ranked]
 
 
+def write_native_bitmap_index(root: str, column: str,
+                              n_buckets: int = DEFAULT_FTS_BUCKETS,
+                              spark=None) -> str:
+    """BITMAP-style exact-value index — the Lance SDK's BITMAP scalar
+    index family re-expressed on the inverted-index machinery: the
+    keyword-v1 (raw) analyzer makes each row contribute ONE token, its
+    exact string value, so a value's postings ARE its row-address
+    bitmap (sorted u64 addresses, LSM-extendable, vacuum-integrated).
+    Right for low-cardinality string columns (source/lang/label tags);
+    numeric columns keep the btree. Serves `native_bitmap_lookup` and
+    the TRUE-prefilter path page-bounded."""
+    return write_native_fts_index(
+        root, column, n_buckets=n_buckets, spark=spark,
+        analyzer="keyword-v1")
+
+
+def latest_native_bitmap_index(root: str, column: str
+                               ) -> NativeFtsIndex | None:
+    for idx in reversed(list_native_fts_indices(root)):
+        if idx.column == column and idx.analyzer == "keyword-v1":
+            return idx
+    return None
+
+
+def native_bitmap_lookup(root: str, column: str, values,
+                         index: NativeFtsIndex | None = None):
+    """{fragment_id -> sorted int64 physical rows} whose column equals
+    one of ``values`` — exact-value postings slices (one bounded meta
+    read per touched bucket file + one body range per (value, run)),
+    never a column scan. Deleted rows may ride through (the consumers
+    mask, the btree arm's contract). Returns (rows_by_frag,
+    covered_fragments)."""
+    import numpy as np
+
+    idx = index if index is not None else latest_native_bitmap_index(
+        root, column)
+    if idx is None:
+        raise LanceNativeError(
+            f"no bitmap (keyword-v1) index on {column!r} — build one "
+            "with write_native_bitmap_index")
+    d = os.path.dirname(idx.path)
+    meta_cache: dict[str, tuple] = {}
+    parts: list = []
+    for v in values:
+        if v is None:
+            continue
+        t = str(v)
+        b = _fts_bucket_of(t, idx.n_buckets)
+        for run in idx.run_files:
+            if not run[b]:
+                continue
+            path = os.path.join(d, run[b])
+            if path not in meta_cache:
+                meta_cache[path] = _fts_postings_locate(path)
+            loc = meta_cache[path][0].get(t)
+            if loc is None:
+                continue
+            addrs, _tfs = _fts_read_postings_range(
+                path, loc[0], loc[1], 0, loc[1])
+            parts.append(addrs)
+    out: dict[int, "np.ndarray"] = {}
+    if parts:
+        addrs = np.concatenate(parts)
+        fids = (addrs >> np.uint64(32)).astype(np.int64)
+        poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        for fid in np.unique(fids):
+            out[int(fid)] = np.unique(poss[fids == fid])
+    return out, idx.covered_fragments
+
+
 def ensure_native_fts_index(root: str, column: str,
                             n_buckets: int = DEFAULT_FTS_BUCKETS,
                             spark=None, incremental: bool = False,
                             analyzer: str = FTS_ANALYZER
                             ) -> str | None:
     """Maintenance hook: build if absent, extend (incremental) or
-    rebuild when coverage lapses, None when covered."""
+    rebuild when coverage lapses, None when covered. Scoped to the
+    requested ANALYZER: a bitmap (keyword-v1) request never adopts or
+    extends a text-analyzer index on the same column, and vice versa —
+    the two coexist."""
     manifest = read_native_manifest(root)
     frag_ids = {f.id for f in manifest.fragments}
-    idx = latest_native_fts_index(root, column)
+    idx = next(
+        (i for i in reversed(list_native_fts_indices(root))
+         if i.column == column and i.analyzer == analyzer), None)
     if idx is not None and frag_ids <= idx.covered_fragments:
         return None
     if incremental and idx is not None:
-        return extend_native_fts_index(root, column, spark=spark)
+        return extend_native_fts_index(
+            root, column, spark=spark, analyzer=analyzer)
     return write_native_fts_index(
         root, column, n_buckets=n_buckets, spark=spark,
         analyzer=analyzer)

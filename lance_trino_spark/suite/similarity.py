@@ -1817,3 +1817,136 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((int(did), int(dl), float(s)))
     out.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s22 — BITMAP (exact-value) index serving the TRUE prefilter (round 13):
+# the Lance SDK's BITMAP scalar index family re-expressed on the
+# inverted-index machinery (keyword-v1 = tantivy's raw tokenizer: one
+# token per row, its exact value — a value's postings ARE its row-address
+# bitmap). The filtered FTS search's allowed set resolves from bitmap
+# postings slices (no btree exists on the column, access-path asserted),
+# composing the SDK's two index families exactly like filtered ANN does.
+# Scores stay GLOBAL (s21 semantics); the oracle scores the whole corpus
+# and filters by lang.
+# ---------------------------------------------------------------------------
+_S22_TERMS = ("filter", "join")
+_S22_LANGS = ("en", "de")
+
+
+def _s22_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_S22_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_S22_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_S22_TERMS))
+    )
+    langs = ", ".join(f"'{x}'" for x in _S22_LANGS)
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, lang, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols}
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {score_terms} AS score
+    FROM per_doc, stats
+    WHERE {" + ".join(f"tf_{i}" for i in range(len(_S22_TERMS)))} > 0
+      AND lang IN ({langs})
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s22_bitmap_index_prefilter",
+    oracle=_s22_oracle(),
+    doc="BITMAP (keyword-v1 exact-value) index serving the FTS "
+        "prefilter's allowed set from postings slices — the SDK's two "
+        "index families composed; scores bit-identical to the "
+        "score-then-filter oracle",
+    tags=("similarity", "search", "text", "lance-format", "index",
+          "prefilter", "bitmap"),
+)
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s22-bitmap.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text").orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+    ln.write_native_bitmap_index(path, "lang", n_buckets=4, spark=spark)
+    # access path: the prefilter column has a BITMAP index and NO btree
+    assert ln.latest_native_bitmap_index(path, "lang") is not None
+    assert not [i for i in ln.list_native_scalar_indices(path)
+                if i.column == "lang"]
+    # bitmap lookup parity against a direct scan of the stored column
+    live = ln.read_native_manifest(path)
+    rows_by_frag, cov = ln.native_bitmap_lookup(
+        path, "lang", list(_S22_LANGS))
+    lfield = next(f for f in live.top_level_fields()
+                  if f.name == "lang")
+    for frag in live.fragments:
+        dfile, col_idx = frag.file_for_field(lfield.id)
+        vals = ln.read_file_column(
+            path, dfile, col_idx, lfield, live).to_pylist()
+        want = [i for i, v in enumerate(vals) if v in _S22_LANGS]
+        assert sorted(rows_by_frag.get(frag.id, [])) == want
+
+    query = " ".join(_S22_TERMS)
+    got, st = ln.native_fts_search(
+        path, "text", query, k=15,
+        index=ln.latest_native_fts_index(path, "text"),
+        prefilter=("lang", list(_S22_LANGS)))
+    assert st["mode"] == "driver"
+
+    m = live
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")

@@ -1066,3 +1066,72 @@ def test_fts_prefilter(tmp_path, spark):
                                  prefilter=("label", [1]), spark=spark)
     finally:
         ln.MAX_FTS_POSTINGS = orig
+
+
+def test_bitmap_index_family(tmp_path, spark):
+    """BITMAP-style exact-value index (r13 — the SDK's BITMAP scalar
+    family on the inverted-index machinery, keyword-v1 = tantivy's raw
+    tokenizer): a value's postings are its row-address set, lookups are
+    postings slices, the TRUE-prefilter path prefers it over a btree,
+    LSM extends work, and FTS SEARCH on it does exact whole-value
+    matching (multi-word values via quotes)."""
+    import numpy as np
+
+    labels = ["red", "green", "blue", "two words"] * 25
+    root = str(tmp_path / "bitmap.lance")
+    ln.write_native_dataset(root, {
+        "doc_id": list(range(100)),
+        "tag": labels[:100],
+        "text": [f"merge w{i % 7} filler{i}" for i in range(100)],
+    })
+    uid = ln.write_native_bitmap_index(root, "tag", n_buckets=4)
+    idx = ln.latest_native_bitmap_index(root, "tag")
+    assert idx is not None and idx.analyzer == "keyword-v1"
+    assert os.path.basename(os.path.dirname(idx.path)) == uid
+
+    rows, cov = ln.native_bitmap_lookup(root, "tag", ["green"])
+    got = sorted(rows.get(0, []))
+    assert got == [i for i in range(100) if labels[i] == "green"]
+    rows, _ = ln.native_bitmap_lookup(root, "tag",
+                                      ["two words", "absent"])
+    assert sorted(rows.get(0, [])) == [
+        i for i in range(100) if labels[i] == "two words"]
+
+    # prefilter path serves from the bitmap index (no btree exists)
+    allowed = ln._native_prefilter_rows(
+        root, ln.read_native_manifest(root), ("tag", ["red", "blue"]))
+    assert sorted(allowed[0].tolist()) == [
+        i for i in range(100) if labels[i] in ("red", "blue")]
+
+    # LSM extend covers appended fragments
+    ln.append_native_rows(root, {
+        "doc_id": [200, 201], "tag": ["green", "violet"],
+        "text": ["late merge one", "late merge two"]})
+    assert ln.extend_native_fts_index(root, "tag")
+    rows, _ = ln.native_bitmap_lookup(root, "tag", ["green", "violet"])
+    assert sorted(rows.get(1, [])) == [0, 1]
+
+    # exact whole-value FTS matching (quotes keep multi-word values
+    # as ONE keyword token)
+    ftsr, _ = ln.native_fts_search(root, "tag", '"two words"', k=100)
+    assert {a & 0xFFFFFFFF for a, _dl, _s in ftsr if (a >> 32) == 0} \
+        == {i for i in range(100) if labels[i] == "two words"}
+
+    # SQL: CREATE BITMAP INDEX + prefiltered search through it
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame(
+        [(i, labels[i], f"merge w{i % 7} filler{i}")
+         for i in range(100)],
+        "doc_id long, tag string, text string",
+    ).createOrReplaceTempView("_bm_src")
+    cat.sql("CREATE NATIVE TABLE s.d AS SELECT * FROM _bm_src")
+    cat.sql("CREATE BITMAP INDEX ON s.d (tag)")
+    cat.sql("CREATE FTS INDEX ON s.d (text)")
+    r = cat.sql(
+        "FTS SEARCH s.d (text) MATCHING 'merge' TOP 100 "
+        "WHERE tag IN ('red')").collect()
+    assert r and all(row["tag"] == "red" for row in r)
+    assert len(r) == 25
