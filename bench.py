@@ -198,6 +198,7 @@ DEFAULT_QUERIES = [
     "s20_fts_simple_analyzer",
     "s21_fts_prefiltered_search",
     "s22_bitmap_index_prefilter",
+    "s23_label_list_index",
 ]
 
 

@@ -7539,14 +7539,22 @@ def _fts_tokenize(text, analyzer: str = FTS_ANALYZER) -> list[str]:
         # tantivy's 'raw' tokenizer: the whole value is ONE token —
         # the BITMAP-style exact-value index analyzer
         return [str(text)]
+    if analyzer == "label-v1":
+        # LABEL_LIST: the value is an array<string> of tags, each tag
+        # one exact token (query strings stay one token, the keyword
+        # rule, so quoted multi-word tags match)
+        if isinstance(text, str):
+            return [text]
+        return [str(x) for x in text if x is not None]
     if analyzer != FTS_ANALYZER:
         raise LanceNativeError(
             f"unknown fts analyzer {analyzer!r} (have: "
-            f"{FTS_ANALYZER!r}, 'simple-v1', 'keyword-v1')")
+            f"{FTS_ANALYZER!r}, 'simple-v1', 'keyword-v1', "
+            "'label-v1')")
     return _re.split(r"\s+", str(text).strip())
 
 
-FTS_ANALYZERS = (FTS_ANALYZER, "simple-v1", "keyword-v1")
+FTS_ANALYZERS = (FTS_ANALYZER, "simple-v1", "keyword-v1", "label-v1")
 
 
 def _fts_bucket_of(token: str, n_buckets: int) -> int:
@@ -8026,7 +8034,12 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
         (f for f in manifest.top_level_fields() if f.name == column), None)
     if nfield is None:
         raise LanceNativeError(f"no such column {column!r}")
-    if _SCALAR_KINDS.get(nfield.logical_type) != "string":
+    if analyzer == "label-v1":
+        if nfield.logical_type != "list":
+            raise LanceNativeError(
+                f"column {column!r} is not a list column (LABEL_LIST "
+                "indexes tokenize array<string> tags)")
+    elif _SCALAR_KINDS.get(nfield.logical_type) != "string":
         raise LanceNativeError(
             f"column {column!r} is not a string column (fts indexes "
             "tokenize text)")
@@ -9347,6 +9360,88 @@ def native_bitmap_lookup(root: str, column: str, values,
         poss = (addrs & np.uint64(0xFFFFFFFF)).astype(np.int64)
         for fid in np.unique(fids):
             out[int(fid)] = np.unique(poss[fids == fid])
+    return out, idx.covered_fragments
+
+
+def write_native_label_index(root: str, column: str,
+                             n_buckets: int = DEFAULT_FTS_BUCKETS,
+                             spark=None) -> str:
+    """LABEL_LIST index — the Lance SDK's tag-column scalar family:
+    the label-v1 analyzer tokenizes an array<string> column into one
+    exact token per tag, so each tag's postings are the row addresses
+    carrying it (LSM extends, distributed build/compaction, vacuum all
+    inherited). Serves `native_label_lookup` (has-any / has-all) —
+    array_contains predicates answered from postings slices."""
+    return write_native_fts_index(
+        root, column, n_buckets=n_buckets, spark=spark,
+        analyzer="label-v1")
+
+
+def latest_native_label_index(root: str, column: str
+                              ) -> NativeFtsIndex | None:
+    for idx in reversed(list_native_fts_indices(root)):
+        if idx.column == column and idx.analyzer == "label-v1":
+            return idx
+    return None
+
+
+def native_label_lookup(root: str, column: str, values,
+                        mode: str = "any",
+                        index: NativeFtsIndex | None = None):
+    """{fragment_id -> sorted int64 physical rows} whose tag array
+    holds ANY (union) or ALL (intersection) of ``values`` — postings
+    slices, never a column scan. Deleted rows may ride through (the
+    consumers mask, the btree arm's contract). Returns (rows_by_frag,
+    covered_fragments)."""
+    import numpy as np
+
+    if mode not in ("any", "all"):
+        raise LanceNativeError(f"label lookup mode {mode!r} not in "
+                               "('any', 'all')")
+    idx = index if index is not None else latest_native_label_index(
+        root, column)
+    if idx is None:
+        raise LanceNativeError(
+            f"no label (label-v1) index on {column!r} — build one "
+            "with write_native_label_index")
+    d = os.path.dirname(idx.path)
+    meta_cache: dict[str, tuple] = {}
+    per_value: list = []
+    for v in values:
+        t = str(v)
+        b = _fts_bucket_of(t, idx.n_buckets)
+        parts = []
+        for run in idx.run_files:
+            if not run[b]:
+                continue
+            path = os.path.join(d, run[b])
+            if path not in meta_cache:
+                meta_cache[path] = _fts_postings_locate(path)
+            loc = meta_cache[path][0].get(t)
+            if loc is None:
+                continue
+            addrs, _tfs = _fts_read_postings_range(
+                path, loc[0], loc[1], 0, loc[1])
+            parts.append(addrs)
+        per_value.append(
+            np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, dtype="<u8"))
+    import numpy as np
+
+    if not per_value:
+        merged = np.empty(0, dtype="<u8")
+    elif mode == "any":
+        merged = np.unique(np.concatenate(per_value))
+    else:
+        merged = per_value[0]
+        for a in per_value[1:]:
+            merged = np.intersect1d(merged, a, assume_unique=True)
+    out: dict[int, "np.ndarray"] = {}
+    if len(merged):
+        fids = (merged >> np.uint64(32)).astype(np.int64)
+        poss = (merged & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        for fid in np.unique(fids):
+            out[int(fid)] = np.sort(poss[fids == fid])
     return out, idx.covered_fragments
 
 

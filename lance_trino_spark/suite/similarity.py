@@ -1950,3 +1950,75 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((int(did), int(dl), float(s)))
     out.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s23 — LABEL_LIST index (round 13): the Lance SDK's tag-column scalar
+# family. An array<string> tag column (here array(lang, source)) indexes
+# each tag as an exact token, so has-any / has-all lookups
+# (array_contains predicates) answer from postings slices — never a
+# column scan. The oracle reconstructs both modes with plain boolean
+# predicates over the scalar columns the tags were built from.
+# ---------------------------------------------------------------------------
+_S23_ALL = ("en", "src3")
+_S23_ANY = ("de", "src5")
+
+
+@register(
+    "s23_label_list_index",
+    oracle=f"""
+    SELECT doc_id, 'all' AS mode FROM documents
+    WHERE lang = '{_S23_ALL[0]}' AND source = '{_S23_ALL[1]}'
+    UNION ALL
+    SELECT doc_id, 'any' FROM documents
+    WHERE lang = '{_S23_ANY[0]}' OR source = '{_S23_ANY[1]}'
+    ORDER BY mode, doc_id
+    """,
+    doc="LABEL_LIST index: has-all / has-any tag lookups from postings "
+        "slices over an array<string> column (FILE-v2 list CTAS)",
+    tags=("similarity", "search", "lance-format", "index", "labels"),
+)
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s23-labels.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "array(lang, source) AS tags")
+        .orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path, file_version=2)
+    ln.write_native_label_index(path, "tags", n_buckets=4, spark=spark)
+    idx = ln.latest_native_label_index(path, "tags")
+    assert idx is not None and idx.analyzer == "label-v1"
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+
+    def ids_of(rows_by_frag):
+        import numpy as np
+
+        out = []
+        for fid, poss in sorted(rows_by_frag.items()):
+            frag = next(f for f in m.fragments if f.id == fid)
+            dfile, col_idx = frag.file_for_field(nfield.id)
+            vals = ln.read_file_column(
+                path, dfile, col_idx, nfield, m,
+                indices=np.asarray(sorted(poss), dtype=np.int64))
+            out.extend(int(v) for v in vals.to_pylist())
+        return sorted(out)
+
+    rows_all, _ = ln.native_label_lookup(
+        path, "tags", list(_S23_ALL), mode="all", index=idx)
+    rows_any, _ = ln.native_label_lookup(
+        path, "tags", list(_S23_ANY), mode="any", index=idx)
+    out = [(d, "all") for d in ids_of(rows_all)] + \
+        [(d, "any") for d in ids_of(rows_any)]
+    return spark.createDataFrame(out, "doc_id long, mode string")

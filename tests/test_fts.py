@@ -1135,3 +1135,74 @@ def test_bitmap_index_family(tmp_path, spark):
         "WHERE tag IN ('red')").collect()
     assert r and all(row["tag"] == "red" for row in r)
     assert len(r) == 25
+
+
+def test_label_list_index_family(tmp_path, spark):
+    """LABEL_LIST index (r13 — the SDK's tag-column scalar family on
+    the inverted-index machinery, label-v1): an array<string> column's
+    tags become exact tokens, has-any/has-all lookups answer from
+    postings slices (brute parity), LSM extends cover appended
+    fragments, multi-word tags survive whole, and the distributed
+    build agrees with the serial one."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    vocabulary = ["red", "hot", "ml", "nlp", "two words", "rare"]
+    tags = [
+        sorted(rng.choice(vocabulary, size=int(rng.integers(1, 4)),
+                          replace=False).tolist())
+        for _ in range(120)
+    ]
+    root = str(tmp_path / "labels.lance")
+    ln.write_native_dataset(root, {
+        "doc_id": list(range(120)), "tags": tags}, file_version=2)
+    with pytest.raises(ln.LanceNativeError, match="list column"):
+        ln.write_native_label_index(root, "doc_id")
+    uid = ln.write_native_label_index(root, "tags", n_buckets=4)
+    idx = ln.latest_native_label_index(root, "tags")
+    assert idx and idx.analyzer == "label-v1"
+    assert os.path.basename(os.path.dirname(idx.path)) == uid
+
+    def brute(vals, mode):
+        return sorted(
+            i for i, ts in enumerate(tags)
+            if (any if mode == "any" else all)(v in ts for v in vals))
+
+    for vals, mode in [
+        (["ml"], "any"),
+        (["ml", "nlp"], "any"),
+        (["ml", "nlp"], "all"),
+        (["two words"], "any"),
+        (["two words", "red"], "all"),
+        (["absent"], "any"),
+        (["absent", "ml"], "all"),
+    ]:
+        rows, _cov = ln.native_label_lookup(root, "tags", vals,
+                                            mode=mode)
+        assert sorted(rows.get(0, [])) == brute(vals, mode), (vals, mode)
+    with pytest.raises(ln.LanceNativeError, match="mode"):
+        ln.native_label_lookup(root, "tags", ["ml"], mode="xor")
+
+    # distributed build parity
+    uid2 = ln.write_native_fts_index(
+        root, "tags", n_buckets=4, spark=spark, analyzer="label-v1")
+    idx2 = next(i for i in ln.list_native_fts_indices(root)
+                if os.path.basename(os.path.dirname(i.path)) == uid2)
+    rows_a, _ = ln.native_label_lookup(root, "tags", ["ml", "red"],
+                                       mode="all", index=idx)
+    rows_b, _ = ln.native_label_lookup(root, "tags", ["ml", "red"],
+                                       mode="all", index=idx2)
+    assert {f: list(r) for f, r in rows_a.items()} == \
+        {f: list(r) for f, r in rows_b.items()}
+
+    # LSM extend covers the appended fragment (drop the twin first —
+    # the extend-target tie-break)
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.dirname(idx2.path))
+    ln.append_native_rows(root, {
+        "doc_id": [500], "tags": [["rare", "fresh"]]}, file_version=2)
+    assert ln.extend_native_fts_index(root, "tags",
+                                      analyzer="label-v1")
+    rows, _ = ln.native_label_lookup(root, "tags", ["fresh"])
+    assert sorted(rows.get(1, [])) == [0]
