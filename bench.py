@@ -199,6 +199,7 @@ DEFAULT_QUERIES = [
     "s21_fts_prefiltered_search",
     "s22_bitmap_index_prefilter",
     "s23_label_list_index",
+    "s24_filtered_hybrid_search",
 ]
 
 

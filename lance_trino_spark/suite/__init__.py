@@ -85,7 +85,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # the stale cohort the r12 notes called out: r7 leftovers
     # e08/e11-e15, t10-t14, d07, st06/st07 and the r8 cohort whose last
     # driver row predates r9.
-    # Still-stale after this round (lead the r14 window): s08-s13,
+    # Still-stale after this round (lead the r14 window): s07-s13,
     # lf20-lf26, lf28-lf30, t05-t09, t22, t23, d11-d12.
     "s18_fts_phrase_boolean",
     "s19_fts_fuzzy_match",
@@ -93,6 +93,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "s21_fts_prefiltered_search",
     "s22_bitmap_index_prefilter",
     "s23_label_list_index",
+    "s24_filtered_hybrid_search",
     # changed-code re-checks
     "s16_native_fts_bm25",
     "cat37_sql_fts_search",
@@ -139,7 +140,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "s04_ivf_trained_topk",
     "s05_int8_quantization",
     "s06_bm25_topk",
-    "s07_quantized_topk",
 )
 
 

@@ -2022,3 +2022,218 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(d, "all") for d in ids_of(rows_all)] + \
         [(d, "any") for d in ids_of(rows_any)]
     return spark.createDataFrame(out, "doc_id long, mode string")
+
+
+# ---------------------------------------------------------------------------
+# s24 — FILTERED HYBRID search (round 13): LanceDB's
+# hybrid_search().where(...) — both arms run under the SAME TRUE
+# prefilter, served by a BITMAP index on the filter column, so the
+# query composes THREE index families at once: bitmap (allowed set from
+# exact-value postings), inverted (BM25 with GLOBAL corpus stats —
+# Lucene's filtered-search stance, s21), and IVF (shortlist at
+# nprobe=all, exact left-fold cosine re-rank, s17 discipline). RRF(60)
+# fuses the filtered arms; every double is bit-identical to the SQL
+# oracle, whose arms rank the filtered populations by globally-computed
+# scores.
+# ---------------------------------------------------------------------------
+_S24_TERMS = ("merge", "stream")
+_S24_LANGS = ("en", "fr")
+_S24_QVEC_ID = 42
+_S24_ARM_N = 25
+_S24_RRF_K = 60
+
+
+def _s24_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_S24_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_S24_TERMS)))
+    score_terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_S24_TERMS)))
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(_S24_TERMS)))
+    langs = ", ".join(f"'{x}'" for x in _S24_LANGS)
+    return f"""
+    WITH corpus AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id),
+    per_doc AS (
+      SELECT doc_id, lang, len(toks) AS dl, {tf_cols}
+      FROM (SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM corpus) t),
+    stats AS (
+      -- GLOBAL stats over the whole hybrid corpus (the filter never
+      -- changes a matched doc's score — s21 semantics)
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols}
+      FROM per_doc),
+    fts AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY (0.0 + {score_terms}) DESC, doc_id) AS BIGINT)
+               AS r
+      FROM per_doc, stats
+      WHERE {any_tf} > 0 AND lang IN ({langs})
+      ORDER BY r LIMIT {_S24_ARM_N}),
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {_S24_QVEC_ID}),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY {_cos_sql('e.embedding', 'qv')} DESC, e.vec_id)
+               AS BIGINT) AS r
+      FROM embeddings e, q
+      WHERE e.vec_id IN (SELECT doc_id FROM corpus
+                         WHERE lang IN ({langs}))
+      ORDER BY r LIMIT {_S24_ARM_N})
+    SELECT COALESCE(fts.doc_id, vec.doc_id) AS doc_id,
+           (COALESCE(1.0 / ({_S24_RRF_K} + fts.r), 0.0)
+            + COALESCE(1.0 / ({_S24_RRF_K} + vec.r), 0.0)) AS rrf,
+           CAST(COALESCE(fts.r, 0) AS BIGINT) AS fts_rank,
+           CAST(COALESCE(vec.r, 0) AS BIGINT) AS vec_rank
+    FROM fts FULL OUTER JOIN vec ON fts.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 12
+    """
+
+
+@register(
+    "s24_filtered_hybrid_search",
+    oracle=_s24_oracle(),
+    doc="filtered hybrid search: bitmap-served TRUE prefilter on BOTH "
+        "arms (BM25 with global stats + IVF-shortlisted cosine), "
+        "RRF(60) fusion bit-identical to the SQL oracle — three index "
+        "families in one query",
+    tags=("similarity", "search", "text", "ann", "lance-format",
+          "prefilter", "bitmap"),
+)
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s24-fhybrid.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias(
+            "embedding"))
+    src = (
+        docs.join(embs, docs.doc_id == embs.vec_id)
+        .select("doc_id", "lang", "text", "embedding").orderBy("doc_id")
+    )
+    dim = int(src.select(F.size("embedding")).first()[0])
+    n_rows = src.count()
+    ln.create_native_dataset(src, path, fsl_columns={"embedding": dim})
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+    ln.write_native_vector_index(
+        path, "embedding", n_cells=4, nsub=8, spark=spark)
+    ln.write_native_bitmap_index(path, "lang", n_buckets=4)
+    assert ln.latest_native_bitmap_index(path, "lang") is not None
+    assert not [i for i in ln.list_native_scalar_indices(path)
+                if i.column == "lang"]  # the bitmap serves the filter
+
+    m = ln.read_native_manifest(path)
+    id_field = next(f for f in m.top_level_fields()
+                    if f.name == "doc_id")
+
+    def ids_of(addrs):
+        out = {}
+        by_frag: dict[int, list] = {}
+        for a in addrs:
+            by_frag.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+        for fid, poss in by_frag.items():
+            frag = next(f for f in m.fragments if f.id == fid)
+            dfile, col_idx = frag.file_for_field(id_field.id)
+            vals = ln.read_file_column(
+                path, dfile, col_idx, id_field, m,
+                indices=np.asarray(sorted(poss), dtype=np.int64))
+            for pos, v in zip(sorted(poss), vals.to_pylist()):
+                out[(fid << 32) | pos] = int(v)
+        return out
+
+    # FTS arm under the bitmap-served TRUE prefilter
+    fts_hits, st = ln.native_fts_search(
+        path, "text", " ".join(_S24_TERMS), k=_S24_ARM_N,
+        prefilter=("lang", list(_S24_LANGS)))
+    fts_ids = ids_of([a for a, _, _ in fts_hits])
+    fts_rank = {fts_ids[a]: r + 1
+                for r, (a, _, _) in enumerate(fts_hits)}
+
+    # vector arm: IVF shortlist at nprobe=all, candidates restricted to
+    # the SAME allowed set, exact left-fold cosine re-rank
+    allowed, _cov = ln.native_bitmap_lookup(
+        path, "lang", list(_S24_LANGS))
+    idx = ln.latest_native_vector_index(path, "embedding")
+    emb_field = next(f for f in m.top_level_fields()
+                     if f.name == "embedding")
+    qv = [float(x) for x in src.where(
+        F.col("doc_id") == _S24_QVEC_ID).first()["embedding"]]
+    res = ln.native_index_search(
+        path, idx, np.asarray(qv, dtype=np.float32),
+        k=n_rows, nprobe=idx.n_cells, manifest=m)[0]
+    cand = sorted(
+        a for a in res["neighbors"]
+        if (a & 0xFFFFFFFF) in set(
+            allowed.get(a >> 32, np.empty(0)).tolist()))
+
+    def leftfold_dot(a, b):
+        acc = float(a[0]) * float(b[0])
+        for i in range(1, len(a)):
+            acc = acc + float(a[i]) * float(b[i])
+        return acc
+
+    qnorm = _math.sqrt(leftfold_dot(qv, qv))
+    doc_ids_map = ids_of(cand)
+    cos_by_doc = []
+    by_frag: dict[int, list] = {}
+    for a in cand:
+        by_frag.setdefault(a >> 32, []).append(a & 0xFFFFFFFF)
+    for fid, poss in sorted(by_frag.items()):
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(emb_field.id)
+        vecs = ln.read_file_column(
+            path, dfile, col_idx, emb_field, m,
+            indices=np.asarray(sorted(poss), dtype=np.int64))
+        for pos, v in zip(sorted(poss), vecs.to_pylist()):
+            cv = [float(x) for x in v]
+            cos = leftfold_dot(cv, qv) / (
+                _math.sqrt(leftfold_dot(cv, cv)) * qnorm)
+            cos_by_doc.append((doc_ids_map[(fid << 32) | pos], cos))
+    cos_by_doc.sort(key=lambda t: (-t[1], t[0]))
+    vec_rank = {d: r + 1
+                for r, (d, _) in enumerate(cos_by_doc[:_S24_ARM_N])}
+
+    fused = []
+    for d in set(fts_rank) | set(vec_rank):
+        rrf = 0.0
+        if d in fts_rank:
+            rrf = rrf + 1.0 / (_S24_RRF_K + fts_rank[d])
+        if d in vec_rank:
+            rrf = rrf + 1.0 / (_S24_RRF_K + vec_rank[d])
+        fused.append((d, rrf, fts_rank.get(d, 0), vec_rank.get(d, 0)))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(
+        fused[:12],
+        "doc_id long, rrf double, fts_rank long, vec_rank long")
