@@ -88,6 +88,25 @@ class CatalogError(ValueError):
     pass
 
 
+def _prefilter_vals(raw: str) -> list:
+    """Parse the `WHERE col IN (...)` literal list of FTS/VECTOR
+    SEARCH. Quoted literals stay strings ('123' on a string column must
+    not become int 123 — the btree/scan prefilter arms compare typed
+    values); only UNQUOTED digit tokens coerce to int."""
+    vals: list = []
+    for v in raw.split(","):
+        v = v.strip()
+        if not v:
+            continue
+        if len(v) >= 2 and v[0] == "'" and v[-1] == "'":
+            vals.append(v[1:-1])
+        elif v.lstrip("-").isdigit():
+            vals.append(int(v))
+        else:
+            vals.append(v)
+    return vals
+
+
 def _ident(name: str, what: str) -> str:
     if not re.fullmatch(_IDENT, name):
         raise CatalogError(f"invalid {what} name: {name!r}")
@@ -690,12 +709,7 @@ class LanceCatalog:
         k = int(m.group("k") or 10)
         prefilter = None
         if m.group("fcol"):
-            vals = [
-                v.strip().strip("'")
-                for v in m.group("fvals").split(",") if v.strip()
-            ]
-            vals = [int(v) if v.lstrip("-").isdigit() else v for v in vals]
-            prefilter = (m.group("fcol"), vals)
+            prefilter = (m.group("fcol"), _prefilter_vals(m.group("fvals")))
         np_ = self._native(ns, tbl)
         if np_ is None:
             raise CatalogError(
@@ -1102,12 +1116,7 @@ class LanceCatalog:
         nprobe = int(m.group("nprobe") or 2)
         prefilter = None
         if m.group("fcol"):
-            vals = [
-                v.strip().strip("'")
-                for v in m.group("fvals").split(",") if v.strip()
-            ]
-            vals = [int(v) if v.lstrip("-").isdigit() else v for v in vals]
-            prefilter = (m.group("fcol"), vals)
+            prefilter = (m.group("fcol"), _prefilter_vals(m.group("fvals")))
         np_ = self._native(ns, tbl)
         if np_ is not None:
             # NATIVE tables get LIVE-SNAPSHOT semantics (r10): the index

@@ -297,6 +297,23 @@ class FsspecObjectStore:
             if p.startswith(prefix) or p.split("://", 1)[-1].startswith(bare)
         )
 
+    def mtime(self, key: str) -> float | None:
+        """Last-modified epoch seconds — backs vacuum's debris-grace
+        age gate (nio.mtime treats None as 'unknown age: keep', which
+        would otherwise leak orphaned shard files forever on
+        object-store datasets)."""
+        try:
+            m = self.fs.modified(key)
+        except (FileNotFoundError, NotImplementedError, ValueError):
+            return None
+        if m is None:
+            return None
+        if m.tzinfo is None:
+            from datetime import timezone
+
+            m = m.replace(tzinfo=timezone.utc)
+        return m.timestamp()
+
     def delete(self, key: str) -> None:
         try:
             self.fs.rm(key)
@@ -367,6 +384,17 @@ class PyArrowFsObjectStore:
         if info.type != pafs.FileType.File:
             return None
         return int(info.size)
+
+    def mtime(self, key: str) -> float | None:
+        """Last-modified epoch seconds from FileInfo.mtime_ns — backs
+        vacuum's debris-grace age gate (None = unknown = keep, so a
+        store without mtimes would never reap orphaned shards)."""
+        import pyarrow.fs as pafs
+
+        info = self.fs.get_file_info(self._p(key))
+        if info.type != pafs.FileType.File or info.mtime_ns is None:
+            return None
+        return info.mtime_ns / 1e9
 
     def put(self, key: str, data: bytes) -> None:
         p = self._p(key)

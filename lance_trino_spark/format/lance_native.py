@@ -9043,6 +9043,17 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
         elif len(op) == 1:
             term_ops[terms.index(op[0])].append(oi)
         else:
+            # a member term absent from the index means the phrase
+            # matches nothing — drop the operand (or short-circuit the
+            # whole AND query), mirroring the driver scorer's
+            # `if any(not len(m[0]))` arm; without this the block
+            # tasks np.concatenate an empty parts list and abort
+            # (checked BEFORE the skips gate: absent members collect
+            # no skip samples, which must not read as a stale index)
+            if any(not slices[terms.index(m)] for m in op):
+                if require_all:
+                    return []
+                continue
             if not skips_by:
                 raise LanceNativeError(
                     "distributed phrase scoring needs skip samples — "
@@ -9699,6 +9710,16 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                 "one touched postings file predates positions — rebuild "
                 "with write_native_fts_index")
         if total > MAX_FTS_POSTINGS:
+            # the prefilter guard mirrors native_fts_search's gate:
+            # _fts_search_distributed has no allowed-mask arm, so
+            # routing a filtered query there would silently return
+            # UNFILTERED results on corpus-common terms
+            if prefilter is not None:
+                raise LanceNativeError(
+                    f"fts query matches {total} postings (> "
+                    f"MAX_FTS_POSTINGS={MAX_FTS_POSTINGS}) and carries "
+                    "a prefilter — filtered scoring is driver-side "
+                    "only: narrow the query terms or the filter")
             if uncovered or spark is None or phrased:
                 raise LanceNativeError(
                     f"fts query matches {total} postings (> "

@@ -1064,8 +1064,30 @@ def test_fts_prefilter(tmp_path, spark):
         with _pytest.raises(ln.LanceNativeError, match="prefilter"):
             ln.native_fts_search(root, "text", "merge", k=5,
                                  prefilter=("label", [1]), spark=spark)
+        # ADVICE r14: the FRESH path's over-cap gate must refuse too —
+        # with full coverage + spark it used to route to the
+        # distributed arm, which has no allowed-mask and silently
+        # returned UNFILTERED results
+        with _pytest.raises(ln.LanceNativeError, match="prefilter"):
+            ln.native_fts_search_fresh(
+                root, "text", "merge", k=5,
+                prefilter=("label", [1]), spark=spark)
     finally:
         ln.MAX_FTS_POSTINGS = orig
+
+    # ADVICE r14: quoted literals on a STRING-typed filter column stay
+    # strings ('1' must not coerce to int 1, which made the scan/btree
+    # prefilter arms match zero rows)
+    spark.createDataFrame(
+        [(i, str(i % 3), docs[i]) for i in range(60)],
+        "doc_id long, label string, text string",
+    ).createOrReplaceTempView("_fts_pref_src2")
+    cat.sql("CREATE NATIVE TABLE s.d2 AS SELECT * FROM _fts_pref_src2")
+    cat.sql("CREATE FTS INDEX ON s.d2 (text)")
+    r2 = cat.sql(
+        "FTS SEARCH s.d2 (text) MATCHING 'merge w1' TOP 60 "
+        "WHERE label IN ('1')").collect()
+    assert r2 and all(row["label"] == "1" for row in r2)
 
 
 def test_bitmap_index_family(tmp_path, spark):
@@ -1206,3 +1228,35 @@ def test_label_list_index_family(tmp_path, spark):
                                       analyzer="label-v1")
     rows, _ = ln.native_label_lookup(root, "tags", ["fresh"])
     assert sorted(rows.get(1, [])) == [0]
+
+
+def test_fts_distributed_phrase_absent_member(tmp_path, spark,
+                                              monkeypatch):
+    """ADVICE r14: a phrase member term absent from the index must not
+    crash the distributed arm (np.concatenate on an empty parts list
+    aborted the whole query) — the operand matches nothing: dropped
+    under OR, short-circuits to [] under AND, bitwise parity with the
+    driver scorer in both shapes."""
+    root = str(tmp_path / "fts_pam.lance")
+    docs = [f"common w{i % 5} t{i}" for i in range(200)]
+    _mk(root, docs)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+
+    # phrase entirely absent + a corpus-common term (pushes over cap)
+    q = '"zzz qqq" common'
+    want, wst = ln.native_fts_search(root, "text", q, k=10)
+    assert wst["mode"] == "driver" and want
+    monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 10)
+    got, gst = ln.native_fts_search(root, "text", q, k=10, spark=spark)
+    assert gst["mode"] == "distributed"
+    assert got == want  # bitwise: the phrase contributes nothing
+
+    # partially-absent phrase as the ONLY operand -> no matches
+    got2, gst2 = ln.native_fts_search(
+        root, "text", '"common zzz"', k=10, spark=spark)
+    assert gst2["mode"] == "distributed" and got2 == []
+
+    # AND: the empty phrase conjunct zeroes the whole result
+    got3, gst3 = ln.native_fts_search(
+        root, "text", '"zzz qqq" AND common', k=10, spark=spark)
+    assert gst3["mode"] == "distributed" and got3 == []
