@@ -1260,3 +1260,120 @@ def test_fts_distributed_phrase_absent_member(tmp_path, spark,
     got3, gst3 = ln.native_fts_search(
         root, "text", '"zzz qqq" AND common', k=10, spark=spark)
     assert gst3["mode"] == "distributed" and got3 == []
+
+
+def test_fts_fuzzy_expansion_never_materializes_vocab(tmp_path, spark,
+                                                      monkeypatch):
+    """VERDICT r13 weak #1: fuzzy expansion must never fold the indexed
+    vocabulary into driver memory. Pins: (a) the vectorized
+    length-banded filter is bit-equal to the scalar _fts_edit1 scan;
+    (b) past MAX_FUZZY_SCAN_TOKENS the serial scan refuses without
+    spark and hands off to the one-task-per-file distributed arm with
+    spark — results bitwise-identical either way; (c) token-length
+    FENCES skip whole files (zero tokens decoded) when no word's
+    |len-1| band overlaps; (d) pre-r14 files without fences still
+    scan; (e) per-word expansion caps hold on both arms."""
+    import random
+
+    import numpy as np
+
+    random.seed(99)
+    vocab_words = [
+        "".join(random.choices("abcdef", k=random.randint(2, 7)))
+        for _ in range(300)]
+    docs = [" ".join(random.choices(vocab_words, k=8)) + " merge"
+            for _ in range(300)]
+    root = str(tmp_path / "fts_fz.lance")
+    _mk(root, docs)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+    # a second LSM run so the scan crosses run files too
+    ln.append_native_rows(root, {
+        "doc_id": [1000, 1001],
+        "text": ["marge late doc", "merge again"]})
+    ln.extend_native_fts_index(root, "text")
+
+    # (a) vectorized filter == scalar reference on this real vocabulary
+    idx = ln.latest_native_fts_index(root, "text")
+    d = os.path.dirname(idx.path)
+    all_tokens = set()
+    file_token_sum = 0
+    for run in idx.run_files:
+        for b in run:
+            if b:
+                toks = set(
+                    ln._fts_postings_locate(os.path.join(d, b))[0])
+                all_tokens |= toks
+                file_token_sum += len(toks)
+    for w in ["merge", "marge", "ab", "abcdef", "zzzzzz"]:
+        ref = sorted(t for t in all_tokens if ln._fts_edit1(w, t))
+        got = sorted(ln._fts_edit1_filter(w, sorted(all_tokens)))
+        assert got == ref, w
+
+    # serial baseline (under the scan cap)
+    want, wst = ln.native_fts_search(root, "text", "merge~ late", k=15)
+    assert wst["fuzzy_scan_mode"] == "serial"
+    assert 0 < wst["fuzzy_scanned_tokens"] <= file_token_sum
+
+    # (b) over-cap: refuse without spark, distribute with spark
+    monkeypatch.setattr(ln, "MAX_FUZZY_SCAN_TOKENS", 10)
+    with pytest.raises(ln.LanceNativeError,
+                       match="MAX_FUZZY_SCAN_TOKENS"):
+        ln.native_fts_search(root, "text", "merge~ late", k=15)
+    got, gst = ln.native_fts_search(
+        root, "text", "merge~ late", k=15, spark=spark)
+    assert gst["fuzzy_scan_mode"] == "distributed"
+    assert got == want  # bitwise (addr, dl, score) triples
+    # fresh path routes through the same machinery
+    got_f, fst = ln.native_fts_search_fresh(
+        root, "text", "merge~ late", k=15, spark=spark)
+    assert fst["fuzzy_scan_mode"] == "distributed"
+    assert got_f == want
+    monkeypatch.setattr(ln, "MAX_FUZZY_SCAN_TOKENS", 2_000_000)
+
+    # (c) fences: a word whose band overlaps no file decodes NOTHING
+    got_l, lst = ln.native_fts_search(
+        root, "text", "thiswordismuchlongerthanany~ merge", k=15)
+    assert lst["fuzzy_scanned_tokens"] == 0
+    assert {a for a, _dl, _s in got_l} == {
+        a for a, _dl, _s in ln.native_fts_search(
+            root, "text", "merge", k=15)[0]}
+
+    # (e) per-word expansion cap holds on BOTH arms
+    monkeypatch.setattr(ln, "MAX_FUZZY_EXPANSIONS", 2)
+    with pytest.raises(ln.LanceNativeError,
+                       match="MAX_FUZZY_EXPANSIONS"):
+        ln.native_fts_search(root, "text", "abcd~", k=15)
+    monkeypatch.setattr(ln, "MAX_FUZZY_SCAN_TOKENS", 10)
+    with pytest.raises(ln.LanceNativeError,
+                       match="MAX_FUZZY_EXPANSIONS"):
+        ln.native_fts_search(root, "text", "abcd~", k=15, spark=spark)
+    monkeypatch.undo()
+
+    # (d) pre-r14 compatibility: strip the fence fields (8/9) from
+    # every postings file -> scans run unconditionally, same results
+    import struct as _struct
+
+    for run in idx.run_files:
+        for nm in run:
+            if not nm:
+                continue
+            p = os.path.join(d, nm)
+            with open(p, "rb") as fh:
+                raw = fh.read()
+            body_len = _struct.unpack_from("<Q", raw, len(raw) - 16)[0]
+            mlen = _struct.unpack_from("<I", raw, body_len)[0]
+            meta = raw[body_len + 4:body_len + 4 + mlen]
+            new_meta = b""
+            for f, wt, v in ln.pb_items(meta):
+                if f in (8, 9):
+                    continue
+                new_meta += ln._enc_field(f, 2 if wt == 2 else 0, v)
+            out = (raw[:body_len] + _struct.pack("<I", len(new_meta))
+                   + new_meta + _struct.pack("<QHH", body_len, 0, 1)
+                   + b"LANC")
+            with open(p, "wb") as fh:
+                fh.write(out)
+    got_old, ost = ln.native_fts_search(root, "text", "merge~ late",
+                                        k=15)
+    assert got_old == want
+    assert ost["fuzzy_scanned_tokens"] == file_token_sum
