@@ -76,70 +76,68 @@ def register(
 # query's latest driver check at most two rounds old, the window rotates
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # --- round 13 window (EXACTLY 50; the driver samples the first 50).
-    # Front: this round's NEW query, then r13 CHANGED-CODE re-checks
-    # (the FTS scorer/build rewrite touches s16/cat37/s17/s18; the
-    # vacuum debris grace touches lf27/cat22/st13; the metastore
-    # drop-namespace fixes touch cat35/cat36; the sharded-meta runs
-    # default touches lf19; cat24 is this round's profile target), then
-    # the stale cohort the r12 notes called out: r7 leftovers
-    # e08/e11-e15, t10-t14, d07, st06/st07 and the r8 cohort whose last
-    # driver row predates r9.
-    # Still-stale after this round (lead the r14 window): s07-s13,
-    # lf20-lf26, lf28-lf30, t05-t09, t22, t23, d11-d12.
-    "s18_fts_phrase_boolean",
+    # --- round 14 window (EXACTLY 50; the driver samples the first 50).
+    # Front: r14 CHANGED-CODE re-checks (the fuzzy-expansion rewrite
+    # touches s19; the prefilter over-cap gate + quoted-literal SQL
+    # parsing touch s21/cat27; the distributed-phrase fix touches s18),
+    # then the stalest cohort: the full r8-checked set (last driver row
+    # r8) and the r9-checked set up to the 50-cap — 44 of the 50 predate
+    # r12, per the r13 verdict's freshness ask.
+    # Still-stale after this round (lead the r15 window): the r9 tail
+    # (m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24), then the whole
+    # r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45, st10).
     "s19_fts_fuzzy_match",
-    "s20_fts_simple_analyzer",
     "s21_fts_prefiltered_search",
-    "s22_bitmap_index_prefilter",
-    "s23_label_list_index",
-    "s24_filtered_hybrid_search",
-    # changed-code re-checks
-    "s16_native_fts_bm25",
-    "cat37_sql_fts_search",
-    "s17_hybrid_search_rrf",
-    "cat35_glue_namespace",
-    "cat36_hive3_namespace",
-    "lf27_native_vacuum",
-    "cat22_sql_native_table",
-    "st13_stream_sink_maintenance",
-    "lf19_native_scalar_index_scan",
-    "cat24_sql_native_show_stats",
-    # --- r7-stale leftovers ---
-    "e08_kmv_distinct_sketch",
-    "e11_cms_heavy_hitters",
-    "e12_hll_distinct_sketch",
-    "e13_hll_register_merge",
-    "e14_rolling_hll_uniques",
-    "e15_quantile_sketch",
-    "t10_gopher_quality_filter",
-    "t11_accent_fold",
-    "t12_source_mix_weights",
-    "t13_sequence_packing",
-    "t14_link_density",
-    "d07_cross_source_duplicates",
-    "st06_stream_cdc_upsert",
-    "st07_stream_multibatch_state",
-    # --- r8-stale cohort ---
-    "cat16_jvm_native_delete",
-    "cat17_jvm_native_insert",
-    "cat18_jvm_native_update_merge",
-    "cat19_jvm_row_address",
-    "cat20_jvm_count_star",
-    "cat21_jvm_subquery_delete",
-    "d01_exact_dedup",
-    "d02_minhash_lsh_dedup",
-    "d03_simhash_near_dup",
-    "d04_ngram_jaccard",
-    "d05_dedup_clusters",
-    "d06_quality_keep_best",
-    "d08_semantic_dedup",
-    "d09_url_dedup",
-    "d10_passage_dedup",
-    "s03_embedding_neardup",
-    "s04_ivf_trained_topk",
-    "s05_int8_quantization",
-    "s06_bm25_topk",
+    "s18_fts_phrase_boolean",
+    "cat27_sql_native_vector_search",
+    # --- r8-stale cohort (all 21) ---
+    "ds04_limit_coalesced_scan",
+    "ds10_native_stream_cdc",
+    "lf20_native_blob_virtual_columns",
+    "lf21_native_row_address",
+    "lf25_native_table_changes",
+    "lf29_native_add_column",
+    "lf30_native_drop_column",
+    "q26_rollup_sales",
+    "s08_two_stage_prefix_rerank",
+    "s09_persisted_ivf_index",
+    "s10_filtered_vector_search",
+    "s11_hnsw_index",
+    "s13_mmr_diversified_topk",
+    "st09_stream_hll_registers",
+    "t05_contamination",
+    "t09_repetition_stats",
+    "t16_corpus_token_histogram",
+    "t17_vocab_stats_by_source",
+    "t18_url_domain_stats",
+    "t22_bigram_coverage",
+    "t23_bpe_token_inflation",
+    # --- r9-stale cohort (25 of 41) ---
+    "d11_incremental_cdf_dedup",
+    "ds12_native_nested_projection",
+    "e01_hourly_event_stats",
+    "e02_sessionization",
+    "e03_funnel_conversion",
+    "e04_top_purchasers",
+    "lf08_wide_types_roundtrip",
+    "lf14_native_lance_interop",
+    "lf18_native_v2_file_scan",
+    "lf22_native_mor_delete",
+    "lf23_native_mor_update",
+    "lf24_native_merge_upsert",
+    "lf26_native_compaction",
+    "lf28_native_dictionary_encoding",
+    "lf31_native_create_from_dataframe",
+    "lf32_native_null_roundtrip",
+    "lf33_native_embeddings_ctas",
+    "lf34_native_backfill_column",
+    "lf35_native_rename_column",
+    "lf37_native_clustered_compaction",
+    "lf38_native_timestamp_travel",
+    "lf39_native_version_tags",
+    "lf40_native_nested_tree",
+    "lf41_native_zorder_compaction",
+    "lf42_native_v2_dictionary",
 )
 
 
