@@ -5743,6 +5743,13 @@ def extend_native_vector_index(root: str, column: str, spark=None
 
     live_ids = {f.id for f in manifest.fragments}
     coverage = sorted((cov & live_ids) | {f.id for f in new_frags})
+    # adaptive routing (r14, lf47 profile): a Spark fan-out costs a
+    # DataSource plan + Python-UDF stages + a shuffle — seconds of
+    # fixed overhead — so small jobs run the serial twin (the
+    # distributed arm's bit-parity reference, milliseconds at this
+    # size) even when spark is given; physical_rows is a cheap
+    # manifest upper bound on the delta
+    delta_rows = sum(int(f.physical_rows) for f in new_frags)
     if idx.cell_shards and idx.ivf_runs < MAX_INDEX_RUNS:
         # O(delta) in-place path (judge r11 #1): encode ONLY the delta
         # and append one delta file per touched cell to the SAME sidecar
@@ -5751,7 +5758,8 @@ def extend_native_vector_index(root: str, column: str, spark=None
         # three meta files are atomically replaced. With ``spark`` the
         # encode AND the delta-file writes are executor-staged.
         d = os.path.dirname(idx.path)
-        if spark is not None:
+        # in-place append: the fan-out only ever touches the delta
+        if spark is not None and delta_rows >= IVF_DISTRIBUTED_MIN_ROWS:
             d_lengths, d_files = _distributed_ivf_cell_files(
                 root, d, manifest, nfield, new_frags, cent, codebook,
                 spark)
@@ -5794,8 +5802,11 @@ def extend_native_vector_index(root: str, column: str, spark=None
     # per-file copy task — the driver never touches a code byte, it
     # commits O(#files) metadata. Reassembled partitions are
     # byte-identical to the serial fold (old body prefix + delta in
-    # address order).
-    if spark is not None:
+    # address order). The fold reads O(old index + delta), so the
+    # adaptive gate counts BOTH before paying the fan-out.
+    if spark is not None and (
+            delta_rows + sum(int(n) for n in idx.part_lengths)
+            >= IVF_DISTRIBUTED_MIN_ROWS):
         uid = str(uuidlib.uuid4())
         d = os.path.join(root, "_indices", uid)
         d_lengths, d_files = _distributed_ivf_cell_files(
@@ -6654,6 +6665,12 @@ MAX_INDEX_RUNS = 8
 # block); 2^18 = 262144 addresses per block bounds per-task memory at a
 # few MB however skewed the centroid distribution is.
 IVF_CELL_BLOCK_BITS = 18
+# Adaptive extend routing (r14, lf47 profile): a Spark fan-out costs a
+# DataSource plan + two Python-UDF stages + a shuffle — seconds of
+# fixed overhead — so deltas below this many rows encode serially even
+# when spark is given (the serial path is the bit-parity reference and
+# takes milliseconds at that size); real ingest deltas go distributed.
+IVF_DISTRIBUTED_MIN_ROWS = 65536
 
 
 def _write_btree_shard_meta(

@@ -3605,7 +3605,10 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = latest_native_vector_index(path, "embedding")
     append_native_rows(path, cols(rows[350:]))  # AFTER both builds
 
-    # the distributed delta encode: fragments-restricted fan-out
+    # the delta encode: fragments-restricted, ADAPTIVE (r14) — a delta
+    # this small routes to the serial twin even with spark= (the
+    # distributed arm's bit-parity reference; the fan-out is for real
+    # ingest deltas past IVF_DISTRIBUTED_MIN_ROWS, pinned in pytest)
     extend_native_vector_index(path, "embedding", spark=spark)
     new = latest_native_vector_index(path, "embedding")
 

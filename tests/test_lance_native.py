@@ -5207,6 +5207,9 @@ def test_ivf_skewed_cells_sub_sharded(tmp_path, spark, monkeypatch):
 
     # 64-address blocks force multi-shard cells at fixture scale
     monkeypatch.setattr(ln, "IVF_CELL_BLOCK_BITS", 6)
+    # force the fan-out: the r14 adaptive gate routes fixture-sized
+    # extends to the serial twin otherwise
+    monkeypatch.setattr(ln, "IVF_DISTRIBUTED_MIN_ROWS", 0)
     rng = np.random.default_rng(5)
     base = rng.normal(size=(1, 16)).astype(np.float32)
     # adversarial skew: every vector is a near-duplicate of one point
@@ -5289,6 +5292,9 @@ def test_ivf_distributed_compaction_parity(tmp_path, spark, monkeypatch):
     import lance_trino_spark.format.lance_native as ln
 
     monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 1)  # every extend compacts
+    # force the fan-out: the r14 adaptive gate routes fixture-sized
+    # jobs to the serial twin otherwise
+    monkeypatch.setattr(ln, "IVF_DISTRIBUTED_MIN_ROWS", 0)
     rng = np.random.default_rng(17)
     vecs = rng.normal(size=(700, 16)).astype(np.float32)
 
@@ -5431,3 +5437,54 @@ def test_btree_distributed_compaction_parity(tmp_path, spark, monkeypatch):
            if i.column == "name"][-1]
     hits, _ = ln.scalar_index_lookup(isb, eq_values=["zzz-0150"])
     assert sum(len(ps) for ps in hits.values()) == 1
+
+
+def test_ivf_extend_adaptive_routing(tmp_path, spark, monkeypatch):
+    """r14 (lf47 profile): a delta under IVF_DISTRIBUTED_MIN_ROWS
+    encodes through the serial twin even when spark is given — the
+    fan-out pays a DataSource plan + two Python-UDF stages + a shuffle,
+    seconds of fixed overhead a milliseconds-sized job must not spend.
+    Past the threshold the distributed arm runs. Same routing for the
+    compaction fold, which counts old-index + delta rows."""
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(300, 8)).astype(np.float32)
+    root = str(tmp_path / "ad.lance")
+    ln.write_native_dataset(root, {
+        "vec_id": list(range(200)),
+        "vector": [v.tolist() for v in vecs[:200]],
+    })
+    ln.write_native_vector_index(root, "vector", n_cells=2, nsub=4)
+    ln.append_native_rows(root, {
+        "vec_id": list(range(200, 300)),
+        "vector": [v.tolist() for v in vecs[200:]],
+    })
+
+    calls = {"n": 0}
+    real = ln._distributed_ivf_cell_files
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(ln, "_distributed_ivf_cell_files", counting)
+    # under the threshold: serial twin, zero fan-outs
+    uid = ln.extend_native_vector_index(root, "vector", spark=spark)
+    assert uid is not None and calls["n"] == 0
+    idx = ln.latest_native_vector_index(root, "vector")
+    assert sum(idx.part_lengths) == 300
+    # over the threshold (forced): the distributed arm runs
+    monkeypatch.setattr(ln, "IVF_DISTRIBUTED_MIN_ROWS", 0)
+    ln.append_native_rows(root, {
+        "vec_id": [300], "vector": [vecs[0].tolist()]})
+    uid2 = ln.extend_native_vector_index(root, "vector", spark=spark)
+    assert uid2 is not None and calls["n"] == 1
+    idx2 = ln.latest_native_vector_index(root, "vector")
+    assert sum(idx2.part_lengths) == 301
+    m = ln.read_native_manifest(root)
+    r = ln.native_index_search(
+        root, idx2, vecs[[5]], k=3, nprobe=2, manifest=m)[0]
+    assert (5 in [a & 0xFFFFFFFF for a in r["neighbors"]])
