@@ -200,6 +200,7 @@ DEFAULT_QUERIES = [
     "s22_bitmap_index_prefilter",
     "s23_label_list_index",
     "s24_filtered_hybrid_search",
+    "s25_fts_boolean_not",
 ]
 
 

@@ -701,10 +701,13 @@ class LanceCatalog:
         ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
         # MATCHING grammar (lance_native._fts_parse_query): bare terms
         # OR by default; "double-quoted groups" are PHRASES served from
-        # positional postings; a bare AND makes the query a conjunction;
-        # trailing ~ is a fuzzy operand. WHERE <col> IN (...) is the
-        # LanceDB where-on-FTS TRUE prefilter (global corpus stats,
-        # filtered results — the VECTOR SEARCH syntax mirrored).
+        # positional postings; AND binds tighter than OR (r14 —
+        # AND-joined operands form conjunction groups, a doc qualifies
+        # iff some group is fully present); a leading '-' EXCLUDES the
+        # operand (word/phrase/fuzzy, Lucene MUST_NOT); trailing ~ is a
+        # fuzzy operand. WHERE <col> IN (...) is the LanceDB
+        # where-on-FTS TRUE prefilter (global corpus stats, filtered
+        # results — the VECTOR SEARCH syntax mirrored).
         query = m.group("q")
         k = int(m.group("k") or 10)
         prefilter = None

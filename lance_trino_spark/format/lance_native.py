@@ -7840,36 +7840,76 @@ def _fts_parse_query(query: str, analyzer: str = FTS_ANALYZER):
     may overlap, the positional-chain definition); a bare word with a
     trailing ``~`` is a FUZZY operand (matches any token within plain
     Levenshtein distance 1 — quote it, "w~", to search the literal
-    token); a bare AND between operands makes the query a CONJUNCTION
-    (every operand must match a doc; scores still sum each operand's
-    BM25 contribution), otherwise operands are OR'd. Plain term queries
-    parse to exactly the pre-r13 semantics. Returns (operands [tuples
-    of analyzer tokens; fuzzy = (_FTS_FUZZY, word), deduped in
-    first-seen order], require_all). Mirrors the LanceDB FTS surface's
-    phrase + boolean + fuzziness queries (its tantivy-backed
-    MatchQuery/PhraseQuery composition) on the whitespace-v1
-    analyzer."""
+    token).
+
+    BOOLEAN structure (r14, the tantivy query-string precedence):
+    a bare ``AND`` binds tighter than ``OR`` — consecutive operands
+    joined by AND form one conjunction GROUP; an explicit ``OR`` (or
+    plain adjacency, the pre-r14 default) separates groups. A doc
+    QUALIFIES iff some group's operands are all present; its score is
+    the sum of EVERY present positive operand's BM25 contribution (in
+    query-operand order — the deterministic float64 fold). A leading
+    ``-`` on a word, ``-word~``, or ``-"phrase"`` EXCLUDES (Lucene
+    MUST_NOT): matching docs are dropped outright and never score.
+    Quote ``"AND"``/``"OR"``/``"-x"`` to search the literal tokens.
+    Plain term/AND queries parse to exactly the pre-r14 semantics.
+
+    Returns (ops [positive operand tuples, deduped first-seen; fuzzy =
+    (_FTS_FUZZY, word)], require_all [ops form ONE conjunction group —
+    the pre-r14 flag], groups [lists of op indices], excludes
+    [excluded operand tuples])."""
     import re as _re
 
     ops: list[tuple] = []
-    require_all = False
-    for m in _re.finditer(r'"([^"]*)"|(\S+)', query or ""):
-        if m.group(1) is not None:
-            toks = tuple(
-                t for t in _fts_tokenize(m.group(1), analyzer) if t)
-            if toks and toks not in ops:
-                ops.append(toks)
-        elif m.group(2) == "AND":
-            require_all = True
-        elif m.group(2).endswith("~") and len(m.group(2)) > 1:
-            op = (_FTS_FUZZY, m.group(2)[:-1])
-            if op not in ops:
-                ops.append(op)
+    excludes: list[tuple] = []
+    groups: list[list[int]] = []
+    pending_and = False
+
+    def add_positive(op: tuple) -> None:
+        nonlocal pending_and
+        oi = ops.index(op) if op in ops else len(ops)
+        if oi == len(ops):
+            ops.append(op)
+        if pending_and and groups:
+            if oi not in groups[-1]:
+                groups[-1].append(oi)
         else:
-            for t in _fts_tokenize(m.group(2), analyzer):
-                if t and (t,) not in ops:
-                    ops.append((t,))
-    return ops, require_all
+            groups.append([oi])
+        pending_and = False
+
+    def add(op: tuple, neg: bool) -> None:
+        if neg:
+            if op not in excludes:
+                excludes.append(op)
+        else:
+            add_positive(op)
+
+    for m in _re.finditer(r'(-?)"([^"]*)"|(\S+)', query or ""):
+        if m.group(2) is not None:
+            toks = tuple(
+                t for t in _fts_tokenize(m.group(2), analyzer) if t)
+            if toks:
+                add(toks, bool(m.group(1)))
+            continue
+        w = m.group(3)
+        if w == "AND":
+            pending_and = True
+            continue
+        if w == "OR":
+            pending_and = False
+            continue
+        neg = w.startswith("-") and len(w) > 1
+        if neg:
+            w = w[1:]
+        if w.endswith("~") and len(w) > 1:
+            add((_FTS_FUZZY, w[:-1]), neg)
+            continue
+        for t in _fts_tokenize(w, analyzer):
+            if t:
+                add((t,), neg)
+    require_all = (
+        len(groups) == 1 and len(groups[0]) == len(ops) and len(ops) > 1)
+    return ops, require_all, groups, excludes
 
 
 def _fts_edit1(a: str, b: str) -> bool:
@@ -8223,36 +8263,58 @@ def _fts_allowed_mask(addrs, allowed: dict):
     return keep
 
 
-def _fts_fold_topk(per_term, k: int, require_all: bool = False):
+def _fts_fold_topk(per_term, k: int, require_all: bool = False,
+                   groups: list | None = None, exclude_addrs=None):
     """Vectorized BM25 fold: sum each address's per-operand
     contributions IN OPERAND ORDER — per address the float64 additions
     happen in exactly the sequence the one-at-a-time dict fold used, so
     scores stay bit-identical to the Spark-expression and SQL oracle
     paths — and return [(addr, dl, score)] best-first, ties on address.
     ``per_term`` is [(addrs u64, dls, contrib f64)] in query-operand
-    order; within one operand every address appears at most once (a doc
-    lives in exactly one fragment, each run covers distinct fragments),
-    so a plain fancy indexed add is an exact scatter. ``require_all``
-    (AND queries) keeps only addresses matched by EVERY entry."""
+    order (entries may be empty); within one operand every address
+    appears at most once (a doc lives in exactly one fragment, each run
+    covers distinct fragments), so a plain fancy indexed add is an
+    exact scatter. ``require_all`` (AND queries) keeps only addresses
+    matched by EVERY non-empty entry; ``groups`` (r14 boolean grammar,
+    overrides require_all) are lists of operand INDICES — an address
+    qualifies iff some group's operands are all present (presence
+    tracked as a per-address bitmask, hence <= 63 operands);
+    ``exclude_addrs`` (u64 array) drop outright."""
     import numpy as np
 
-    live = [(a, dl, c) for a, dl, c in per_term if len(a)]
+    live = [(i, a, dl, c)
+            for i, (a, dl, c) in enumerate(per_term) if len(a)]
     if not live:
         return []
-    universe = np.unique(np.concatenate([a for a, _dl, _c in live]))
+    if groups is not None and len(per_term) > 63:
+        raise LanceNativeError(
+            "fts boolean queries support at most 63 operands")
+    universe = np.unique(np.concatenate([a for _i, a, _dl, _c in live]))
     scores = np.zeros(len(universe), dtype=np.float64)
     dls = np.zeros(len(universe), dtype=np.int64)
     matched = np.zeros(len(universe), dtype=np.int64)
-    for addrs, dl_arr, contrib in live:
+    mask = np.zeros(len(universe), dtype=np.uint64)
+    for i, addrs, dl_arr, contrib in live:
         ix = np.searchsorted(universe, addrs)
         scores[ix] += contrib
         dls[ix] = np.asarray(dl_arr).astype(np.int64)
         matched[ix] += 1
-    if require_all:
+        mask[ix] |= np.uint64(1 << i)
+    if groups is not None:
+        keep = np.zeros(len(universe), dtype=bool)
+        for g in groups:
+            gm = np.uint64(sum(1 << i for i in g))
+            keep |= (mask & gm) == gm
+    elif require_all:
         keep = matched == len(live)
-        universe, scores, dls = universe[keep], scores[keep], dls[keep]
-        if not len(universe):
-            return []
+    else:
+        keep = np.ones(len(universe), dtype=bool)
+    if exclude_addrs is not None and len(exclude_addrs):
+        keep &= ~np.isin(universe, np.asarray(
+            exclude_addrs, dtype=np.uint64))
+    universe, scores, dls = universe[keep], scores[keep], dls[keep]
+    if not len(universe):
+        return []
     order = np.lexsort((universe, -scores))[:k]
     return [(int(universe[i]), int(dls[i]), float(scores[i]))
             for i in order]
@@ -8988,12 +9050,18 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     QUERY GRAMMAR (_fts_parse_query): bare terms OR by default;
     double-quoted groups are PHRASES served from positional postings
     (a pseudo-term whose tf is the overlapping positional-chain
-    occurrence count and df the docs holding it); a bare AND makes the
-    query a conjunction. Phrases need a positional index (every build/
+    occurrence count and df the docs holding it); AND binds tighter
+    than OR (tantivy precedence, r14) — consecutive AND-joined
+    operands form one conjunction group, OR/adjacency separates
+    groups, and a doc qualifies iff some group is fully present
+    (scores sum every present positive operand); a leading ``-``
+    EXCLUDES (word, phrase, or fuzzy — matching docs drop outright,
+    Lucene MUST_NOT). Phrases need a positional index (every build/
     extend since r13 writes positions); over the cap every operand kind
     routes to the distributed arm — phrases through per-address-block
     window tasks served by the skip samples (files written before the
-    samples refuse with rebuild guidance).
+    samples refuse with rebuild guidance), boolean qualification as an
+    exact integer presence-bitmask filter, exclusions as an anti-join.
 
     ``prefilter=(col, values)`` is the LanceDB where-on-FTS shape:
     corpus statistics stay GLOBAL (Lucene's filtered-search stance, so
@@ -9014,19 +9082,26 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         raise LanceNativeError(
             f"fts index on {column!r} does not cover fragments "
             f"{sorted(uncovered)} — extend_native_fts_index first")
-    ops, require_all = _fts_parse_query(query, idx.analyzer)
-    fuzzy_ops = [op for op in ops if op[0] == _FTS_FUZZY]
+    ops, require_all, groups, excludes = _fts_parse_query(
+        query, idx.analyzer)
+    # excluded operands ride the same postings machinery as positives
+    # (their addrs drop docs, their contributions are never computed)
+    all_ops = ops + excludes
+    n_pos = len(ops)
+    fuzzy_ops = [op for op in all_ops if op[0] == _FTS_FUZZY]
     terms = []  # unique member terms across operands (exact ones)
-    for op in ops:
+    for op in all_ops:
         if op[0] == _FTS_FUZZY:
             continue
         for t in op:
             if t not in terms:
                 terms.append(t)
-    phrased = any(len(op) > 1 and op[0] != _FTS_FUZZY for op in ops)
+    phrased = any(
+        len(op) > 1 and op[0] != _FTS_FUZZY for op in all_ops)
     stats = {"terms": len(terms), "terms_found": 0, "postings_read": 0,
              "files_opened": 0, "mode": "driver",
-             "operands": len(ops), "require_all": require_all}
+             "operands": len(ops), "require_all": require_all,
+             "excludes": len(excludes)}
     if not ops or idx.n_docs == 0:
         return [], stats
     d = os.path.dirname(idx.path)
@@ -9059,7 +9134,7 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     # phrase member terms also collect their skip samples (the
     # distributed phrase scorer's window locator)
     phrase_members = {
-        t for op in ops
+        t for op in all_ops
         if len(op) > 1 and op[0] != _FTS_FUZZY for t in op}
     slices: list[list] = [[] for _ in terms]
     skips_by: dict = {}
@@ -9118,8 +9193,9 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
                    "per-chunk executor tasks, O(k) driver traffic)"))
         stats["mode"] = "distributed"
         return _fts_search_distributed(
-            root, idx, live, ops, terms, slices, fuzzy_exp, k, spark,
-            require_all=require_all, skips_by=skips_by), stats
+            root, idx, live, all_ops, terms, slices, fuzzy_exp, k,
+            spark, require_all=require_all, skips_by=skips_by,
+            groups=groups, n_pos=n_pos), stats
 
     n = float(idx.n_docs)
     avgdl = float(idx.sum_dl) / n
@@ -9187,7 +9263,11 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         term_data[t] = (addrs, tfs, pos)
 
     per_op = []
-    for op in ops:
+    exclude_addrs: list = []
+    _EMPTY = (np.empty(0, dtype=np.uint64),
+              np.empty(0, dtype=np.float64),
+              np.empty(0, dtype=np.float64))
+    for oi, op in enumerate(all_ops):
         if len(op) == 1:
             addrs, tfs_u, _pos = term_data[op[0]]
             tfs = tfs_u.astype(np.float64)
@@ -9201,9 +9281,16 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
                 tfs = np.empty(0, dtype=np.float64)
             else:
                 addrs, tfs = _fts_phrase_postings(members)
+        if oi >= n_pos:
+            # EXCLUDED operand: matching docs drop outright — no BM25
+            # math, no prefilter interaction (exclusion is absolute)
+            if len(addrs):
+                exclude_addrs.append(addrs)
+            continue
         if not len(addrs):
             if require_all:
                 return [], stats
+            per_op.append(_EMPTY)
             continue
         # BM25 operand contribution — EXACT operation order of
         # operators/text.py bm25_scores (bit-identical doubles); a
@@ -9225,9 +9312,13 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
             if not len(addrs):
                 if require_all:
                     return [], stats
+                per_op.append(_EMPTY)
                 continue
         per_op.append((addrs, dls, contrib))
-    return _fts_fold_topk(per_op, k, require_all=require_all), stats
+    return _fts_fold_topk(
+        per_op, k, require_all=require_all, groups=groups,
+        exclude_addrs=(np.concatenate(exclude_addrs)
+                       if exclude_addrs else None)), stats
 
 
 def _fts_search_distributed(root: str, idx: NativeFtsIndex,
@@ -9235,7 +9326,9 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                             terms: list[str], slices: list[list],
                             fuzzy_exp: dict, k: int, spark,
                             require_all: bool = False,
-                            skips_by: dict | None = None):
+                            skips_by: dict | None = None,
+                            groups: list | None = None,
+                            n_pos: int | None = None):
     """The distributed BM25 scorer for corpus-common queries. Term and
     fuzzy operands: task unit = one bounded chunk (<=
     FTS_CHUNK_POSTINGS) of one member term's postings in one run file,
@@ -9266,10 +9359,14 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
     n = float(idx.n_docs)
     avgdl = float(idx.sum_dl) / n
     version = live.version
+    if n_pos is None:
+        n_pos = len(ops)  # pre-r14 callers: no excluded operands
 
     # member term -> operand memberships (a term may serve a plain
     # operand AND a fuzzy expansion at once); phrases are handled by
-    # the block pipeline below
+    # the block pipeline below. Operand indices >= n_pos are EXCLUDED
+    # operands (r14 '-term'): their postings stream through the same
+    # chunk machinery, their matched addrs anti-join the fold.
     term_ops: list[list] = [[] for _ in terms]
     phrase_ois: list[int] = []
     for oi, op in enumerate(ops):
@@ -9281,13 +9378,14 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
         else:
             # a member term absent from the index means the phrase
             # matches nothing — drop the operand (or short-circuit the
-            # whole AND query), mirroring the driver scorer's
-            # `if any(not len(m[0]))` arm; without this the block
-            # tasks np.concatenate an empty parts list and abort
-            # (checked BEFORE the skips gate: absent members collect
-            # no skip samples, which must not read as a stale index)
+            # whole AND query; a never-matching EXCLUDE just drops),
+            # mirroring the driver scorer's `if any(not len(m[0]))`
+            # arm; without this the block tasks np.concatenate an
+            # empty parts list and abort (checked BEFORE the skips
+            # gate: absent members collect no skip samples, which must
+            # not read as a stale index)
             if any(not slices[terms.index(m)] for m in op):
-                if require_all:
+                if require_all and oi < n_pos:
                     return []
                 continue
             if not skips_by:
@@ -9496,11 +9594,23 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
         .agg(F.count("*").alias("cnt")).collect()
     }
     if require_all and any(
-            df_by_oi.get(oi, 0) == 0 for oi in range(len(ops))):
+            df_by_oi.get(oi, 0) == 0 for oi in range(n_pos)):
         return []  # a conjunct matches nothing anywhere
-    live_ois = sorted(oi for oi, c in df_by_oi.items() if c > 0)
+    if groups is not None and not any(
+            all(df_by_oi.get(oi, 0) > 0 for oi in g) for g in groups):
+        return []  # no group is satisfiable anywhere in the corpus
+    live_ois = sorted(
+        oi for oi, c in df_by_oi.items() if c > 0 and oi < n_pos)
     if not live_ois:
         return []
+    # excluded operands (opi >= n_pos): their matched addrs anti-join
+    # the fold; they never receive a contribution
+    ex_addrs = None
+    if n_pos < len(ops) and any(
+            c > 0 for oi, c in df_by_oi.items() if oi >= n_pos):
+        ex_addrs = (per_addr_op.filter(F.col("opi") >= n_pos)
+                    .select("addr").distinct())
+        per_addr_op = per_addr_op.filter(F.col("opi") < n_pos)
     idf_by_oi = {
         oi: (n - float(df_by_oi[oi]) + 0.5) / (float(df_by_oi[oi]) + 0.5)
         for oi in live_ois
@@ -9524,8 +9634,30 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
              F.sort_array(
                  F.collect_list(F.struct("opi", "contrib"))).alias("cs"))
     )
-    if require_all:  # AND: a doc must hold every live conjunct
+    if groups is not None:
+        # boolean qualification (r14): cs holds DISTINCT opis per addr,
+        # so summing 2^opi is an exact presence bitmask (integer math —
+        # no float divergence); a doc qualifies iff some group's mask
+        # is fully present. The pow map is literal-built like idf_col.
+        mask = F.aggregate(
+            "cs", F.lit(0).cast("long"),
+            lambda acc, x: acc + F.element_at(
+                F.create_map(*[y for oi in live_ois
+                               for y in (F.lit(oi),
+                                         F.lit(1 << oi).cast("long"))]),
+                x["opi"]))
+        grouped = grouped.withColumn("opimask", mask)
+        gmasks = [sum(1 << oi for oi in g) for g in groups]
+        qual = None
+        for gm in gmasks:
+            cond = (F.col("opimask").bitwiseAND(F.lit(gm).cast("long"))
+                    == F.lit(gm).cast("long"))
+            qual = cond if qual is None else (qual | cond)
+        grouped = grouped.filter(qual)
+    elif require_all:  # AND: a doc must hold every live conjunct
         grouped = grouped.filter(F.size("cs") == len(live_ois))
+    if ex_addrs is not None:
+        grouped = grouped.join(ex_addrs, "addr", "left_anti")
     ranked = (
         grouped.select(
             "addr", "dl",
@@ -9834,16 +9966,22 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     covered = (idx.covered_fragments & live_ids) if idx else set()
     uncovered = live_ids - covered
     analyzer = idx.analyzer if idx is not None else analyzer
-    ops, require_all = _fts_parse_query(query, analyzer)
-    fuzzy_ops = [op for op in ops if op[0] == _FTS_FUZZY]
+    ops, require_all, groups, excludes = _fts_parse_query(
+        query, analyzer)
+    # excluded operands (r14 '-term') ride the same machinery: per-op
+    # tf in the exact arm, postings in the index arm; matched docs drop
+    all_ops = ops + excludes
+    n_pos = len(ops)
+    fuzzy_ops = [op for op in all_ops if op[0] == _FTS_FUZZY]
     terms = []  # unique member terms across operands (exact ones)
-    for op in ops:
+    for op in all_ops:
         if op[0] == _FTS_FUZZY:
             continue
         for t in op:
             if t not in terms:
                 terms.append(t)
-    phrased = any(len(op) > 1 and op[0] != _FTS_FUZZY for op in ops)
+    phrased = any(
+        len(op) > 1 and op[0] != _FTS_FUZZY for op in all_ops)
     if not ops:
         return [], {"terms": 0}
     frag_by_id = {f.id: f for f in live.fragments}
@@ -9852,13 +9990,14 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     delta_rows, d_docs, d_dl = ([], 0, 0) if not uncovered else \
         _fts_delta_term_rows(
             root, live, [frag_by_id[i] for i in sorted(uncovered)],
-            column, ops, spark, analyzer=analyzer)
+            column, all_ops, spark, analyzer=analyzer)
 
     n_docs = (idx.n_docs if idx else 0) + d_docs
     sum_dl = (idx.sum_dl if idx else 0) + d_dl
     stats = {"terms": len(terms), "covered": len(covered),
              "uncovered": len(uncovered), "delta_matches": len(delta_rows),
-             "operands": len(ops), "require_all": require_all}
+             "operands": len(ops), "require_all": require_all,
+             "excludes": len(excludes)}
     if n_docs == 0:
         return [], stats
     n = float(n_docs)
@@ -9959,8 +10098,9 @@ def native_fts_search_fresh(root: str, column: str, query: str,
                        "it"))
             stats["mode"] = "distributed"
             return _fts_search_distributed(
-                root, idx, live, ops, terms, slices, fuzzy_exp, k,
-                spark, require_all=require_all), stats
+                root, idx, live, all_ops, terms, slices, fuzzy_exp, k,
+                spark, require_all=require_all, groups=groups,
+                n_pos=n_pos), stats
         for ti, t in enumerate(terms):
             if not slices[ti]:
                 continue
@@ -10011,7 +10151,11 @@ def native_fts_search_fresh(root: str, column: str, query: str,
         d_tfs = np.asarray([tfv for _a, _dl, tfv in delta_rows],
                            dtype=np.float64)
     per_op = []
-    for oi, op in enumerate(ops):
+    exclude_addrs: list = []
+    _EMPTY = (np.empty(0, dtype=np.uint64),
+              np.empty(0, dtype=np.float64),
+              np.empty(0, dtype=np.float64))
+    for oi, op in enumerate(all_ops):
         if len(op) == 1:
             addrs, tfs_u, _pos = term_data[op[0]]
             tfs = tfs_u.astype(np.float64)
@@ -10030,10 +10174,20 @@ def native_fts_search_fresh(root: str, column: str, query: str,
             n_delta = int(d_sel.sum())
         else:
             n_delta = 0
+        if oi >= n_pos:
+            # EXCLUDED operand: union its index-arm and delta-arm
+            # matches — no BM25 math, no prefilter interaction
+            segs = ([addrs] if len(addrs) else []) + (
+                [d_addrs[d_sel]] if n_delta else [])
+            if segs:
+                exclude_addrs.append(
+                    np.concatenate(segs).astype(np.uint64))
+            continue
         df_t = float(len(addrs) + n_delta)
         if df_t == 0:
             if require_all:
                 return [], stats
+            per_op.append(_EMPTY)
             continue
         idf = (n - df_t + 0.5) / (df_t + 0.5)
         seg_addrs, seg_dls, seg_contrib = [], [], []
@@ -10063,6 +10217,10 @@ def native_fts_search_fresh(root: str, column: str, query: str,
             if not len(op_addrs):
                 if require_all:
                     return [], stats
+                per_op.append(_EMPTY)
                 continue
         per_op.append((op_addrs, op_dls, op_contrib))
-    return _fts_fold_topk(per_op, k, require_all=require_all), stats
+    return _fts_fold_topk(
+        per_op, k, require_all=require_all, groups=groups,
+        exclude_addrs=(np.concatenate(exclude_addrs)
+                       if exclude_addrs else None)), stats

@@ -84,8 +84,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # r8) and the r9-checked set up to the 50-cap — 44 of the 50 predate
     # r12, per the r13 verdict's freshness ask.
     # Still-stale after this round (lead the r15 window): the r9 tail
-    # (m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24), then the whole
-    # r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45, st10).
+    # (lf42 m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24), then the
+    # whole r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45, st10).
+    "s25_fts_boolean_not",
     "s19_fts_fuzzy_match",
     "s21_fts_prefiltered_search",
     "s18_fts_phrase_boolean",
@@ -137,7 +138,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf39_native_version_tags",
     "lf40_native_nested_tree",
     "lf41_native_zorder_compaction",
-    "lf42_native_v2_dictionary",
 )
 
 

@@ -2237,3 +2237,126 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         fused[:12],
         "doc_id long, rrf double, fts_rank long, vec_rank long")
+
+
+# ---------------------------------------------------------------------------
+# s25 — FTS explicit-OR grouping + NOT exclusion (round 14): the tantivy
+# query-string boolean surface completed. AND binds tighter than OR —
+# consecutive AND-joined operands form one conjunction GROUP, OR (or plain
+# adjacency) separates groups, and a doc QUALIFIES iff some group's
+# operands are all present; its score sums EVERY present positive
+# operand's BM25 contribution (query-operand order — zero-tf operands
+# contribute exactly +0.0, so the oracle's unconditional sum is bitwise
+# equal). A leading '-' EXCLUDES (Lucene MUST_NOT): matching docs drop
+# outright and never score. The corpus lands 80% + 20% through an LSM
+# extend so qualification and exclusion both span two runs' postings.
+# ---------------------------------------------------------------------------
+_S25_QUERY = "merge AND stream OR vector -batch"
+_S25_TERMS = ("merge", "stream", "vector")   # positives, operand order
+_S25_EXCL = "batch"
+
+
+def _s25_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+
+    def contrib(i: str) -> str:
+        return (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+            f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+            f" / CAST(n_docs AS DOUBLE))))))"
+        )
+
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_S25_TERMS)
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols},
+             len(list_filter(toks, x -> x = '{_S25_EXCL}')) AS tf_ex
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+             SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {contrib("0")} + {contrib("1")} + {contrib("2")} AS score
+    FROM per_doc, stats
+    WHERE ((tf_0 > 0 AND tf_1 > 0) OR tf_2 > 0) AND tf_ex = 0
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s25_fts_boolean_not",
+    oracle=_s25_oracle(),
+    doc="FTS explicit OR grouping (AND-precedence) + '-term' exclusion "
+        "over a 2-run LSM index: scores bit-identical to the SQL oracle",
+    tags=("similarity", "search", "text", "lance-format", "index"),
+)
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s25-fts-boolnot.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").orderBy("doc_id")
+    )
+    cut = int(src.selectExpr(
+        "percentile_approx(doc_id, 0.8) AS c").first()["c"])
+    ln.create_native_dataset(src.where(f"doc_id < {cut}"), path)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    src.where(f"doc_id >= {cut}").write.format("lance") \
+        .mode("append").save(path)
+    assert ln.extend_native_fts_index(path, "text", spark=spark)
+
+    idx = ln.latest_native_fts_index(path, "text")
+    assert idx.n_runs == 2
+    got, st = ln.native_fts_search(path, "text", _S25_QUERY, k=15,
+                                   index=idx)
+    assert st["operands"] == 3 and st["excludes"] == 1
+    assert not st["require_all"]  # two groups: [merge,stream] OR [vector]
+    assert st["mode"] == "driver"
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")

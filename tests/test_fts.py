@@ -581,21 +581,22 @@ def test_fts_search_cap_and_distributed_parity(tmp_path, spark, monkeypatch):
 def _brute_ops(docs: list[str], query: str, k: int):
     """Independent reference for phrase/boolean BM25: parse with the
     repo grammar, count occurrences by scanning token lists (the
-    positional-postings chain must agree), same rational-idf op order."""
-    ops, require_all = ln._fts_parse_query(query)
+    positional-postings chain must agree), same rational-idf op order.
+    r14 grammar: a doc qualifies iff some GROUP's operands are all
+    present; score sums every present positive operand; docs matching
+    an EXCLUDED operand drop outright."""
+    ops, _require_all, groups, excludes = ln._fts_parse_query(query)
     toks = [ln._fts_tokenize(t) for t in docs]
     n = float(len(docs))
     dls = [len(t) for t in toks]
     avgdl = float(sum(dls)) / n
     scores: dict[int, float] = {}
-    matched: dict[int, int] = {}
-    for op in ops:
+    present: dict[int, set] = {}
+    for oi, op in enumerate(ops):
         hits = [(i, ln._fts_op_count(toks[i], op))
                 for i in range(len(docs))]
         hits = [(i, c) for i, c in hits if c > 0]
         if not hits:
-            if require_all:
-                return []
             continue
         df = float(len(hits))
         idf = (n - df + 0.5) / (df + 0.5)
@@ -606,11 +607,12 @@ def _brute_ops(docs: list[str], query: str, k: int):
                 + ln._BM25_B * (float(dls[i]) / avgdl))
             scores[i] = scores.get(i, 0.0) + idf * (
                 tf * (ln._BM25_K1 + 1.0)) / (tf + norm)
-            matched[i] = matched.get(i, 0) + 1
-    if require_all:
-        n_ops = len(ops)
-        scores = {i: s for i, s in scores.items()
-                  if matched.get(i, 0) == n_ops}
+            present.setdefault(i, set()).add(oi)
+    scores = {
+        i: s for i, s in scores.items()
+        if any(all(oi in present[i] for oi in g) for g in groups)
+        and not any(ln._fts_op_count(toks[i], ex) > 0 for ex in excludes)
+    }
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return [(i, dls[i], s) for i, s in ranked]
 
@@ -1377,3 +1379,84 @@ def test_fts_fuzzy_expansion_never_materializes_vocab(tmp_path, spark,
                                         k=15)
     assert got_old == want
     assert ost["fuzzy_scanned_tokens"] == file_token_sum
+
+
+def test_fts_or_not_grammar(tmp_path, spark, monkeypatch):
+    """r14 grammar: explicit OR grouping with tantivy precedence (AND
+    binds tighter) and '-term' exclusion (Lucene MUST_NOT — matching
+    docs drop outright, never score). A doc qualifies iff some group's
+    operands are all present; score sums every present positive
+    operand. Driver scorer == brute token scan bitwise; distributed
+    arm == driver bitwise; fresh path masks BOTH arms; exclusion
+    composes with phrases/fuzzy/prefilter."""
+    docs = [
+        "alpha beta gamma",          # 0
+        "alpha beta",                # 1
+        "alpha delta",               # 2
+        "beta gamma",                # 3
+        "gamma delta epsilon",       # 4
+        "alpha beta gamma delta",    # 5
+        "epsilon only here",         # 6
+        "alpha gamma",               # 7
+    ]
+    root = str(tmp_path / "fts_ornot.lance")
+    _mk(root, docs)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+
+    QUERIES = [
+        "alpha AND beta OR epsilon",       # two groups
+        "alpha OR delta",                  # explicit OR == adjacency
+        "alpha -delta",                    # exclusion
+        "alpha beta -\"gamma delta\"",     # phrase exclusion
+        "alpha AND beta -epsilon",         # AND group + exclusion
+        "alhpa~ -delta",                   # fuzzy + exclusion
+        "alpha AND delta OR beta AND gamma",  # two AND groups
+        "-alpha epsilon",                  # leading exclusion
+    ]
+    for q in QUERIES:
+        want = _brute_ops(docs, q, 10)
+        got, st = ln.native_fts_search(root, "text", q, k=10)
+        assert [(a & 0xFFFFFFFF, dl) for a, dl, _ in got] == [
+            (i, dl) for i, dl, _ in want], q
+        assert [s for _, _, s in got] == [s for _, _, s in want], q
+        # distributed arm: bitwise parity (force the cap + tiny chunks)
+        monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 1)
+        monkeypatch.setattr(ln, "FTS_CHUNK_POSTINGS", 4)
+        monkeypatch.setattr(ln, "FTS_PHRASE_BLOCK_BITS", 6)
+        got_d, st_d = ln.native_fts_search(
+            root, "text", q, k=10, spark=spark)
+        monkeypatch.undo()
+        assert st_d["mode"] == "distributed", q
+        assert got_d == got, q
+
+    # semantics spot-pins (addresses == doc ids: one fragment)
+    hits = lambda q: {a & 0xFFFFFFFF for a, _dl, _s in
+                      ln.native_fts_search(root, "text", q, k=10)[0]}
+    assert hits("alpha AND beta OR epsilon") == {0, 1, 4, 5, 6}
+    assert hits("alpha -delta") == {0, 1, 7}
+    assert hits("alpha beta -\"gamma delta\"") == {0, 1, 2, 3, 7}
+    assert hits("-alpha epsilon") == {4, 6}
+    # everything excluded -> empty; pure-exclusion query -> empty
+    assert hits("alpha -alpha") == set()
+    assert ln.native_fts_search(root, "text", "-alpha", k=10)[0] == []
+    # quoted operators stay literal terms
+    ops, _ra, _g, ex = ln._fts_parse_query('"OR" "AND" "-x"')
+    assert ops == [("OR",), ("AND",), ("-x",)] and ex == []
+
+    # fresh path: exclusion reaches the UNCOVERED delta arm too
+    ln.append_native_rows(root, {
+        "doc_id": [100, 101],
+        "text": ["alpha zeta late", "alpha delta late"]})
+    got_f, _ = ln.native_fts_search_fresh(
+        root, "text", "alpha -delta", k=10)
+    ids = {a for a, _dl, _s in got_f}
+    assert (1 << 32) | 0 in ids       # delta doc 100 matches
+    assert (1 << 32) | 1 not in ids   # delta doc 101 excluded
+    assert not any(a in ((2), (4), (5)) for a in ids)
+
+    # prefilter composes: exclusion is absolute, filter restricts
+    ln.extend_native_fts_index(root, "text")
+    got_p, _ = ln.native_fts_search(
+        root, "text", "alpha -delta", k=10,
+        prefilter=("doc_id", [0, 2, 100]))
+    assert {a for a, _dl, _s in got_p} == {0, (1 << 32) | 0}
