@@ -201,6 +201,7 @@ DEFAULT_QUERIES = [
     "s23_label_list_index",
     "s24_filtered_hybrid_search",
     "s25_fts_boolean_not",
+    "s26_native_hnsw_index",
 ]
 
 

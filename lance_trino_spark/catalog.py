@@ -887,13 +887,24 @@ class LanceCatalog:
         n_cells = int(m.group("ncells") or 16)
         np_ = self._native(ns, tbl)
         if np_ is not None:
-            # native tables build the IVF_PQ sidecar via the ensure hook:
-            # covered -> no-op; uncovered (appends since last build) ->
-            # rebuild. VECTOR SEARCH stays live either way (fresh search
-            # unions an exact arm over uncovered fragments).
+            # native tables build sidecars via the ensure hooks: covered
+            # -> no-op; uncovered (appends since last build) -> rebuild
+            # (IVF_PQ) or per-fragment extend (HNSW, r14). VECTOR SEARCH
+            # stays live either way (fresh search unions an exact arm
+            # over uncovered fragments).
+            if kind == "HNSW":
+                from .format.lance_native import ensure_native_hnsw_index
+
+                uid = ensure_native_hnsw_index(
+                    np_, col, spark=self.spark)
+                return self._status(
+                    f"vector-indexed {ns}.{tbl}({col}) HNSW "
+                    f"{'(already covered)' if uid is None else uid} "
+                    "(native)")
             if m.group("kind") and kind != "IVF_PQ":
                 raise CatalogError(
-                    f"native vector index supports IVF_PQ only, got {kind}")
+                    f"native vector index supports IVF_PQ or HNSW, "
+                    f"got {kind}")
             from .format.lance_native import ensure_native_vector_index
 
             uid = ensure_native_vector_index(
@@ -1129,8 +1140,10 @@ class LanceCatalog:
             # stale ANN. WHERE prefilter is TRUE-prefilter (allowed sets
             # computed before any top-k; scalar indexes compose).
             from .format.lance_native import (
-                native_spark_schema, native_vector_search_fresh,
-                read_native_fragment, read_native_manifest)
+                latest_native_hnsw_index, latest_native_vector_index,
+                native_hnsw_search_fresh, native_spark_schema,
+                native_vector_search_fresh, read_native_fragment,
+                read_native_manifest)
 
             qnp = self._native(qns, qtbl)
             qdf = (self._native_df(qnp) if qnp is not None
@@ -1141,9 +1154,27 @@ class LanceCatalog:
                     "VECTOR SEARCH query set exceeds 4096 rows — batch it")
             qids = [r["query_id"] for r in qrows]
             qvecs = [[float(x) for x in r[col]] for r in qrows]
-            res = native_vector_search_fresh(
-                np_, col, qvecs, k=k, nprobe=nprobe, spark=self.spark,
-                prefilter=prefilter)
+            # family routing (r14): the NEWEST sidecar on the column
+            # wins — a later HNSW build supersedes an earlier IVF for
+            # SQL search routing (and vice versa); score column is
+            # l2_distance (IVF) or cosine (HNSW) accordingly
+            ivf = latest_native_vector_index(np_, col)
+            hnsw = latest_native_hnsw_index(np_, col)
+            use_hnsw = hnsw is not None and (
+                ivf is None
+                or hnsw.dataset_version >= ivf.dataset_version)
+            if use_hnsw:
+                res = native_hnsw_search_fresh(
+                    np_, col, qvecs, k=k, spark=self.spark,
+                    prefilter=prefilter)
+                for r in res:
+                    r["distances"] = r.pop("sims")
+                score_name = "cosine"
+            else:
+                res = native_vector_search_fresh(
+                    np_, col, qvecs, k=k, nprobe=nprobe,
+                    spark=self.spark, prefilter=prefilter)
+                score_name = "l2_distance"
             live = read_native_manifest(np_)
             id_fields = [f for f in native_spark_schema(live).fields
                          if f.name != col]
@@ -1177,7 +1208,7 @@ class LanceCatalog:
             schema = StructType(
                 [StructField("query_id", qid_t)]
                 + [StructField(f.name, f.dataType) for f in id_fields]
-                + [StructField("l2_distance", DoubleType())])
+                + [StructField(score_name, DoubleType())])
             return self.spark.createDataFrame(out, schema)
         ds = self.load(ns, tbl)
         queries = self.load(qns, qtbl).to_df(self.spark).select(

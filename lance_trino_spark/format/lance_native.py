@@ -4655,24 +4655,33 @@ def native_cleanup_old_versions(
         }
         if not shard_files:
             continue
-        if "index.idx" not in names:
+        if "index.idx" not in names and "hnsw.json" not in names:
             if all(_past_grace(os.path.join(ddir, nm)) for nm in names):
                 nio.rmtree(ddir)
                 out["removed_index_dirs"] += 1
             continue
         referenced: set[str] = set()
-        try:
-            referenced |= set(read_native_scalar_index(
-                os.path.join(ddir, "index.idx")).shard_names)
-        except LanceNativeError:
-            pass
-        try:
-            fts = read_native_fts_index(os.path.join(ddir, "index.idx"))
-            referenced |= {nm for run in fts.run_files for nm in run
-                           if nm}
-            referenced |= {nm for _fid, nm in fts.doclen_files}
-        except LanceNativeError:
-            pass
+        if "hnsw.json" in names:
+            try:
+                referenced |= {
+                    s[3] for s in _json.loads(nio.read_text(
+                        os.path.join(ddir, "hnsw.json")))["shards"]}
+            except (ValueError, OSError, KeyError, IndexError):
+                referenced |= shard_files  # unreadable: keep all
+        if "index.idx" in names:
+            try:
+                referenced |= set(read_native_scalar_index(
+                    os.path.join(ddir, "index.idx")).shard_names)
+            except LanceNativeError:
+                pass
+            try:
+                fts = read_native_fts_index(
+                    os.path.join(ddir, "index.idx"))
+                referenced |= {nm for run in fts.run_files for nm in run
+                               if nm}
+                referenced |= {nm for _fid, nm in fts.doclen_files}
+            except LanceNativeError:
+                pass
         if "shards.json" in names:
             try:
                 for c in _json.loads(nio.read_text(
@@ -6332,6 +6341,531 @@ def native_vector_search_fresh(
         })
     return results
 
+
+# ---------------------------------------------------------------------------
+# Native HNSW sidecar: `_indices/<uuid>/hnsw.json` + per-(fragment, shard)
+# graph files `shard-hnsw-f<frag>-s<K>of<N>-<uuid8>.idx`
+#
+# LanceDB ships graph-based vector indexes on datasets (IVF_HNSW_SQ/PQ);
+# this is the repo's flat-HNSW family for real `.lance` datasets,
+# re-using format/vector_index.py's deterministic layered-graph BUILD and
+# beam-search kernels verbatim (`build_hnsw` / `_search_hnsw_graph`,
+# vector_index.py:466/:820 — the own-format plane's proven machinery).
+# Layout is repo-defined (no public fixture carries an SDK HNSW index;
+# the reference delegates vector indexes wholesale to lance-core JNI,
+# plugin/trino-lance/pom.xml:117-119): each ~HNSW_SHARD_ROWS row range of
+# each fragment gets an independent graph serialized as one Arrow-IPC
+# stream file, so build AND search fan out one task per shard and a
+# search unions per-shard top-k (same contract as the own-format HNSW).
+# Extend is per-FRAGMENT granular: new fragments get new shard files
+# appended into the SAME dir (meta atomically replaced) — old graphs are
+# never touched, the natural LSM of a per-fragment index family.
+# Vacuum: coverage.json kind="hnsw" joins the generic superseded loop;
+# staged `shard-hnsw-*.idx` debris rides the shard-debris reaper.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class NativeHnswIndex:
+    path: str               # absolute path of hnsw.json
+    column: str
+    dataset_version: int
+    m: int
+    ef_construction: int
+    covered_fragments: frozenset
+    # ((frag_id, shard_no, n_shards, file_name, rows), ...)
+    shards: tuple
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
+
+
+def _hnsw_graph_to_bytes(row_idx, vecs, levels, neighbors, entry) -> bytes:
+    """Serialize one shard's layered graph as an Arrow IPC stream with
+    the EXACT table shape vector_index._search_hnsw_graph consumes
+    (row_index/vec/level/adj/is_entry) — the search kernel is shared."""
+    import io as _io
+
+    import pyarrow as pa
+
+    n = len(row_idx)
+    adj = [
+        ",".join(
+            f"{lvl}:{nb}"
+            for lvl in range(levels[i] + 1)
+            for nb in neighbors.get((lvl, i), ())
+        )
+        for i in range(n)
+    ]
+    tbl = pa.table({
+        "row_index": pa.array([int(r) for r in row_idx], type=pa.int64()),
+        "vec": pa.array([v.tolist() for v in vecs] if n else [],
+                        type=pa.list_(pa.float32())),
+        "level": pa.array(levels, type=pa.int32()),
+        "adj": pa.array(adj, type=pa.string()),
+        "is_entry": pa.array([i == entry for i in range(n)]),
+    })
+    buf = _io.BytesIO()
+    with pa.ipc.new_stream(buf, tbl.schema) as w:
+        w.write_table(tbl)
+    return buf.getvalue()
+
+
+def _hnsw_read_graph(path: str):
+    import pyarrow as pa
+
+    return pa.ipc.open_stream(
+        pa.BufferReader(nio.read_bytes(path))).read_all()
+
+
+def _native_hnsw_build_shard(root: str, manifest: NativeManifest,
+                             nfield, frag, shard: int, n_shards: int,
+                             m: int, ef: int) -> tuple:
+    """Build ONE shard's graph from a bounded indices-read of the
+    fragment's vector column (never the whole fragment); NULL vectors
+    are unindexed; node row_index = ORIGINAL fragment row position.
+    Returns (file_name, rows, blob_bytes)."""
+    import uuid as uuidlib
+
+    import numpy as np
+
+    from .vector_index import build_hnsw
+
+    total = int(frag.physical_rows)
+    span = -(-total // n_shards) if total else 0
+    lo = min(shard * span, total)
+    hi = min(lo + span, total)
+    dfile, col_idx = frag.file_for_field(nfield.id)
+    arr = read_file_column(
+        root, dfile, col_idx, nfield, manifest,
+        indices=np.arange(lo, hi, dtype=np.int64))
+    vmask = np.asarray(arr.is_valid())
+    row_idx = (np.arange(lo, hi, dtype=np.int64))[vmask]
+    dim = len(arr.values) // max(1, len(arr)) if len(arr) else 0
+    vecs = np.asarray(arr.values, dtype=np.float32).reshape(
+        -1, dim)[vmask] if len(arr) else np.empty((0, 0), np.float32)
+    if len(row_idx):
+        levels, neighbors, entry = build_hnsw(vecs, m, ef)
+    else:
+        levels, neighbors, entry = [], {}, -1
+    blob = _hnsw_graph_to_bytes(row_idx, vecs, levels, neighbors, entry)
+    name = (f"shard-hnsw-f{int(frag.id):05d}-s{shard}of{n_shards}-"
+            f"{uuidlib.uuid4().hex[:8]}.idx")
+    return name, len(row_idx), blob
+
+
+def _hnsw_write_meta(root: str, uid: str, column: str, m: int, ef: int,
+                     dataset_version: int, coverage, shards) -> str:
+    import json as _json
+
+    d = os.path.join(root, "_indices", uid)
+    nio.replace_bytes(os.path.join(d, "hnsw.json"), _json.dumps({
+        "name": "hnsw", "column": column, "m": m,
+        "ef_construction": ef, "dataset_version": dataset_version,
+        "shards": [list(s) for s in shards],
+    }).encode())
+    nio.replace_bytes(os.path.join(d, "coverage.json"), _json.dumps({
+        "kind": "hnsw", "column": column,
+        "dataset_version": dataset_version,
+        "fragments": sorted(coverage),
+    }).encode())
+    return uid
+
+
+def write_native_hnsw_index(root: str, column: str, m: int = 8,
+                            ef_construction: int = 48,
+                            spark=None) -> str:
+    """Flat-HNSW sidecar build over every live fragment: one independent
+    deterministic layered graph per ~HNSW_SHARD_ROWS row range, one
+    Arrow-IPC shard file each. With ``spark``, one task per (fragment,
+    shard) builds AND writes its own graph (shared store required) —
+    the driver commits O(n_shards) metadata; the serial twin builds the
+    same graphs bit-identically (build_hnsw is deterministic)."""
+    import uuid as uuidlib
+
+    from .vector_index import hnsw_n_shards
+
+    manifest = read_native_manifest(root)
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column),
+        None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column: {column!r}")
+    uid = str(uuidlib.uuid4())
+    d = os.path.join(root, "_indices", uid)
+    specs = [
+        (f.id, s, hnsw_n_shards(f.physical_rows))
+        for f in manifest.fragments
+        for s in range(hnsw_n_shards(f.physical_rows))
+    ]
+    shards = _hnsw_build_shards(root, manifest, nfield, d, specs, m,
+                                ef_construction, spark)
+    return _hnsw_write_meta(
+        root, uid, column, m, ef_construction, manifest.version,
+        {f.id for f in manifest.fragments}, shards)
+
+
+def _hnsw_build_shards(root: str, manifest: NativeManifest, nfield,
+                       d: str, specs: list, m: int, ef: int,
+                       spark) -> list:
+    """Build+write the graphs for ``specs`` [(frag_id, shard, n_shards)]
+    into ``d``; returns [(frag_id, shard, n_shards, name, rows)].
+    Distributed arm: one task per shard through the SAME build kernel
+    (bit-identical graphs — build_hnsw is deterministic); driver traffic
+    is one metadata row per shard, never a graph byte."""
+    frag_by_id = {f.id: f for f in manifest.fragments}
+    if spark is None or len(specs) <= 1:
+        out = []
+        for fid, s, ns in specs:
+            name, rows, blob = _native_hnsw_build_shard(
+                root, manifest, nfield, frag_by_id[fid], s, ns, m, ef)
+            nio.write_bytes(os.path.join(d, name), blob)
+            out.append((fid, s, ns, name, rows))
+        return out
+    _require_shared_store(root, "the distributed HNSW build")
+    binding = nio.binding_for(root)
+    version = manifest.version
+    column = nfield.name
+    spec_df = spark.createDataFrame(
+        [(i, fid, s, ns) for i, (fid, s, ns) in enumerate(specs)],
+        "i int, fid int, s int, ns int",
+    ).repartition(min(len(specs), 256), "i")
+
+    def kernel(batches):
+        import os as _os
+
+        import pandas as _pd
+
+        from lance_trino_spark.format import native_io as _nio
+        from lance_trino_spark.format import lance_native as _ln
+
+        _nio.restore_binding(binding)
+        mf = _ln.read_native_manifest(root, version=version)
+        nf = next(f for f in mf.top_level_fields() if f.name == column)
+        fb = {f.id: f for f in mf.fragments}
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                name, rows, blob = _ln._native_hnsw_build_shard(
+                    root, mf, nf, fb[int(r["fid"])], int(r["s"]),
+                    int(r["ns"]), m, ef)
+                _nio.write_bytes(_os.path.join(d, name), blob)
+                yield _pd.DataFrame({
+                    "fid": [int(r["fid"])], "s": [int(r["s"])],
+                    "ns": [int(r["ns"])], "name": [name],
+                    "rows": [rows]})
+
+    # one metadata row per shard (collect-audit: O(n_shards))
+    got = spec_df.mapInPandas(
+        kernel, "fid int, s int, ns int, name string, rows long"
+    ).limit(len(specs)).collect()
+    return sorted(
+        (int(r["fid"]), int(r["s"]), int(r["ns"]), r["name"],
+         int(r["rows"])) for r in got)
+
+
+def list_native_hnsw_indices(root: str) -> list[NativeHnswIndex]:
+    import json as _json
+
+    idx_dir = os.path.join(root, "_indices")
+    out = []
+    for dname in nio.listdir(idx_dir):
+        p = os.path.join(idx_dir, dname, "hnsw.json")
+        if not nio.exists(p):
+            continue
+        try:
+            meta = _json.loads(nio.read_text(p))
+        except (ValueError, OSError):
+            continue
+        out.append(NativeHnswIndex(
+            path=p, column=meta["column"],
+            dataset_version=int(meta["dataset_version"]),
+            m=int(meta["m"]),
+            ef_construction=int(meta["ef_construction"]),
+            covered_fragments=frozenset(
+                int(s[0]) for s in meta["shards"]),
+            shards=tuple(
+                (int(s[0]), int(s[1]), int(s[2]), s[3], int(s[4]))
+                for s in meta["shards"]),
+        ))
+    out.sort(key=lambda i: (i.dataset_version,
+                            os.path.basename(os.path.dirname(i.path))))
+    return out
+
+
+def latest_native_hnsw_index(root: str, column: str
+                             ) -> NativeHnswIndex | None:
+    for idx in reversed(list_native_hnsw_indices(root)):
+        if idx.column == column:
+            return idx
+    return None
+
+
+def extend_native_hnsw_index(root: str, column: str, spark=None
+                             ) -> str | None:
+    """O(delta) per-fragment extend: fragments appended since the build
+    get their own NEW shard graphs appended into the SAME sidecar dir
+    (old graphs untouched; hnsw.json + coverage.json atomically
+    replaced). Returns the index uuid, or None when already covering;
+    raises with no index to extend."""
+    idx = latest_native_hnsw_index(root, column)
+    if idx is None:
+        raise LanceNativeError(
+            f"no hnsw index on {column!r} to extend — build one with "
+            "write_native_hnsw_index")
+    manifest = read_native_manifest(root)
+    live_ids = {f.id for f in manifest.fragments}
+    new_frags = [f for f in manifest.fragments
+                 if f.id not in idx.covered_fragments]
+    if not new_frags:
+        return None
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column),
+        None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column: {column!r}")
+    from .vector_index import hnsw_n_shards
+
+    d = os.path.dirname(idx.path)
+    specs = [
+        (f.id, s, hnsw_n_shards(f.physical_rows))
+        for f in new_frags
+        for s in range(hnsw_n_shards(f.physical_rows))
+    ]
+    new_shards = _hnsw_build_shards(
+        root, manifest, nfield, d, specs, idx.m, idx.ef_construction,
+        spark)
+    keep = [s for s in idx.shards if s[0] in live_ids]
+    coverage = ({s[0] for s in keep} | {f.id for f in new_frags})
+    return _hnsw_write_meta(
+        root, os.path.basename(d), column, idx.m, idx.ef_construction,
+        manifest.version, coverage, keep + list(new_shards))
+
+
+def ensure_native_hnsw_index(root: str, column: str, m: int = 8,
+                             ef_construction: int = 48, spark=None,
+                             incremental: bool = True) -> str | None:
+    """Cover every live fragment: no-op when covered; per-fragment
+    extend when ``incremental`` (the default — HNSW shards are
+    fragment-granular, an extend never touches old graphs); full
+    rebuild otherwise or with no index yet."""
+    manifest = read_native_manifest(root)
+    frag_ids = {f.id for f in manifest.fragments}
+    idx = latest_native_hnsw_index(root, column)
+    if idx is not None and frag_ids <= idx.covered_fragments:
+        return None
+    if incremental and idx is not None:
+        return extend_native_hnsw_index(root, column, spark=spark)
+    return write_native_hnsw_index(
+        root, column, m=m, ef_construction=ef_construction, spark=spark)
+
+
+def native_hnsw_search(root: str, queries, k: int = 10,
+                       ef_search: int = 64,
+                       index: NativeHnswIndex | None = None,
+                       column: str | None = None,
+                       manifest: NativeManifest | None = None,
+                       prefilter: tuple | None = None, spark=None):
+    """Shard-parallel beam search over the sidecar graphs: every shard
+    contributes its local top-k (deletion-vector-masked, TRUE-prefilter
+    allowed-set-masked — blocked nodes still ROUTE, the own-format
+    contract), the union re-ranks by (cosine desc, address asc). With
+    ``spark``, one task per shard ships only its local top-k — driver
+    traffic O(shards * k). Compacted-away fragments' shards are skipped
+    (stale hits cannot resurrect). Returns per-query
+    [{"neighbors": [addr], "sims": [f32 cosine], ...proof fields}]."""
+    import numpy as np
+
+    live = manifest if manifest is not None else read_native_manifest(root)
+    idx = index if index is not None else latest_native_hnsw_index(
+        root, column)
+    if idx is None:
+        raise LanceNativeError(f"no hnsw index on {column!r}")
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q.reshape(1, -1)
+    frag_by_id = {f.id: f for f in live.fragments}
+    allowed_by_frag = (
+        _native_prefilter_rows(root, live, prefilter, spark=spark)
+        if prefilter is not None else None)
+    d = os.path.dirname(idx.path)
+    shards = [s for s in idx.shards if s[0] in frag_by_id]
+    skipped = len(idx.shards) - len(shards)
+
+    def shard_hits(fid, name):
+        """One shard's per-query local top-k (the task body)."""
+        from .vector_index import _search_hnsw_graph
+
+        frag = frag_by_id[fid]
+        dead = (set(_deleted_rows_np(root, frag.deletion).tolist())
+                if frag.deletion is not None else None)
+        allow = (set(allowed_by_frag.get(fid, []))
+                 if allowed_by_frag is not None else None)
+        t = _hnsw_read_graph(os.path.join(d, name))
+        return _search_hnsw_graph(
+            t, q, k, ef_search, deletion_set=dead, allowed_set=allow)
+
+    cand: list[list] = [[] for _ in range(q.shape[0])]
+    if spark is not None and len(shards) > 1:
+        _require_shared_store(root, "the distributed HNSW search")
+        binding = nio.binding_for(root)
+        version = live.version
+        q_list = q.tolist()
+        pf = prefilter
+        spec_df = spark.createDataFrame(
+            [(i, int(s[0]), s[3]) for i, s in enumerate(shards)],
+            "i int, fid int, name string",
+        ).repartition(min(len(shards), 256), "i")
+
+        def kernel(batches):
+            import os as _os
+
+            import numpy as _np
+            import pandas as _pd
+
+            from lance_trino_spark.format import native_io as _nio
+            from lance_trino_spark.format import lance_native as _ln
+            from lance_trino_spark.format.vector_index import (
+                _search_hnsw_graph,
+            )
+
+            _nio.restore_binding(binding)
+            mf = _ln.read_native_manifest(root, version=version)
+            fb = {f.id: f for f in mf.fragments}
+            af = (_ln._native_prefilter_rows(root, mf, pf)
+                  if pf is not None else None)
+            qv = _np.asarray(q_list, dtype=_np.float32)
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    fid = int(r["fid"])
+                    frag = fb[fid]
+                    dead = (set(_ln._deleted_rows_np(
+                        root, frag.deletion).tolist())
+                        if frag.deletion is not None else None)
+                    allow = (set(af.get(fid, []))
+                             if af is not None else None)
+                    t = _ln._hnsw_read_graph(
+                        _os.path.join(d, r["name"]))
+                    per_q = _search_hnsw_graph(
+                        t, qv, k, ef_search, deletion_set=dead,
+                        allowed_set=allow)
+                    if per_q is None:  # empty shard graph
+                        continue
+                    rows_qi, rows_sim, rows_addr = [], [], []
+                    for qi, hits in enumerate(per_q):
+                        for sim, ri in hits:
+                            rows_qi.append(qi)
+                            rows_sim.append(float(sim))
+                            rows_addr.append((fid << 32) | int(ri))
+                    if rows_qi:
+                        yield _pd.DataFrame({
+                            "qi": rows_qi, "sim": rows_sim,
+                            "addr": rows_addr})
+
+        # local top-k per (shard, query): O(shards * queries * k) rows
+        for r in (spec_df.mapInPandas(
+                kernel, "qi int, sim double, addr long")
+                .limit(len(shards) * int(q.shape[0]) * k).collect()):
+            cand[int(r["qi"])].append((float(r["sim"]),
+                                       int(r["addr"])))
+    else:
+        for fid, _s, _ns, name, _rows in shards:
+            per_q = shard_hits(fid, name)
+            if per_q is None:  # empty shard graph
+                continue
+            for qi, hits in enumerate(per_q):
+                for sim, ri in hits:
+                    cand[qi].append(
+                        (float(sim), (int(fid) << 32) | int(ri)))
+    results = []
+    for qi in range(q.shape[0]):
+        best = sorted(cand[qi], key=lambda t: (-t[0], t[1]))[:k]
+        results.append({
+            "neighbors": [a for _s, a in best],
+            "sims": [s for s, _a in best],
+            "shards_searched": len(shards),
+            "shards_skipped_stale": skipped,
+        })
+    return results
+
+
+def native_hnsw_search_fresh(root: str, column: str, queries,
+                             k: int = 10, ef_search: int = 64,
+                             spark=None,
+                             prefilter: tuple | None = None):
+    """LIVE-snapshot HNSW search (the lf43 freshness contract): graphs
+    accelerate their covered fragments, an EXACT cosine arm scans the
+    uncovered ones (deletion-aware), and the union re-ranks by (cosine
+    desc, address asc). Between ingest and ensure_native_hnsw_index,
+    results never go stale."""
+    import numpy as np
+
+    live = read_native_manifest(root)
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q.reshape(1, -1)
+    idx = latest_native_hnsw_index(root, column)
+    covered = idx.covered_fragments if idx is not None else frozenset()
+    live_ids = {f.id for f in live.fragments}
+    uncovered = sorted(live_ids - covered)
+    allowed_by_frag = (
+        _native_prefilter_rows(root, live, prefilter, spark=spark)
+        if prefilter is not None else None)
+    cand: list[list] = [[] for _ in range(q.shape[0])]
+    if idx is not None:
+        for qi, r in enumerate(native_hnsw_search(
+                root, q, k=k, ef_search=ef_search, index=idx,
+                manifest=live, prefilter=prefilter, spark=spark)):
+            cand[qi].extend(zip(r["sims"], r["neighbors"]))
+    # exact cosine arm over uncovered fragments (deletion-aware)
+    nfield = next(
+        (f for f in live.top_level_fields() if f.name == column), None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column: {column!r}")
+    qn = q / np.maximum(
+        np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    frag_by_id = {f.id: f for f in live.fragments}
+    exact_rows = 0
+    for fid in uncovered:
+        frag = frag_by_id[fid]
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, live)
+        vmask = np.asarray(arr.is_valid())
+        if frag.deletion is not None:
+            dead = _deleted_rows_np(root, frag.deletion)
+            vmask[dead] = False
+        if allowed_by_frag is not None:
+            am = np.zeros(len(vmask), dtype=bool)
+            rows = allowed_by_frag.get(fid, [])
+            if len(rows):
+                am[np.asarray(rows, dtype=np.int64)] = True
+            vmask &= am
+        if not vmask.any():
+            continue
+        dim = q.shape[1]
+        v = np.asarray(arr.values, dtype=np.float32).reshape(-1, dim)
+        rows_sel = np.nonzero(vmask)[0]
+        v = v[vmask]
+        exact_rows += len(v)
+        vn = v / np.maximum(
+            np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        sims = vn @ qn.T  # [rows, queries] float32 (graph-arm parity)
+        addr_base = np.uint64(fid) << np.uint64(32)
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            top = np.argsort(-s, kind="stable")[:k]
+            for i in top:
+                cand[qi].append(
+                    (float(s[i]), int(addr_base | np.uint64(rows_sel[i]))))
+    results = []
+    for qi in range(q.shape[0]):
+        best = sorted(cand[qi], key=lambda t: (-t[0], t[1]))[:k]
+        results.append({
+            "neighbors": [a for _s, a in best],
+            "sims": [s for s, _a in best],
+            "uncovered_fragments": len(uncovered),
+            "exact_rows": int(exact_rows),
+        })
+    return results
 
 # ---------------------------------------------------------------------------
 # Scalar (btree) index: `_indices/<uuid>/index.idx`

