@@ -936,32 +936,48 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..format.lance_native import (
-        append_native_rows, ensure_native_vector_index,
-        native_vector_search_fresh, write_native_dataset)
+        create_native_dataset, ensure_native_vector_index,
+        native_vector_search_fresh, read_file_column,
+        read_native_manifest)
+    from ..sources.lance_datasource import register_lance_datasource
     from .lance_format import _fresh_path
 
     path = _fresh_path(sf_dir, "s15-filtered-fresh")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 400)
         .select("vec_id", "label", "embedding")
         .orderBy("vec_id")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "vec_id": [int(r["vec_id"]) for r in rs],
-        "label": [int(r["label"]) for r in rs],
-        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
-    }
-    write_native_dataset(path, cols(rows[:350]))
+    # fixture corpus lands DISTRIBUTED (r14 — grandfather entry
+    # retired): create_native_dataset(df) for the indexed 350, the DSv2
+    # append path for the post-build delta
+    dim = int(src.select(F.size("embedding").alias("d")).first()["d"])
+    create_native_dataset(src.where("vec_id < 350"), path,
+                          fsl_columns={"embedding": dim})
     ensure_native_vector_index(path, "embedding", n_cells=4, nsub=8)
-    append_native_rows(path, cols(rows[350:]))  # AFTER the build
+    register_lance_datasource(spark)
+    src.where("vec_id >= 350").write.format("lance") \
+        .mode("append").save(path)  # AFTER the build
 
+    # bounded driver-side reference data (400 rows, no native write)
+    rows = src.collect()
     vecs = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
     labs = [int(r["label"]) for r in rows]
 
+    # addr -> vec_id via per-fragment bounded id-column reads (the
+    # distributed create may split fragments arbitrarily)
+    m = read_native_manifest(path)
+    idf = next(f for f in m.top_level_fields() if f.name == "vec_id")
+    vid_by_addr: dict = {}
+    for frag in m.fragments:
+        dfile, ci = frag.file_for_field(idf.id)
+        ids = read_file_column(path, dfile, ci, idf, m).to_pylist()
+        for pos, vid in enumerate(ids):
+            vid_by_addr[(frag.id << 32) | pos] = int(vid)
+
     def addr_to_vid(a: int) -> int:
-        return (a & 0xFFFFFFFF) + (0 if (a >> 32) == 0 else 350)
+        return vid_by_addr[a]
 
     k = 4
     out = []
