@@ -126,9 +126,12 @@ if TYPE_CHECKING:
 # page-size constraint that does not bind the Python bridge); larger
 # chunks amortize the per-batch JVM<->Python Arrow transfer: measured
 # at sf1 (6M-row scan, local[32]) 131072 cuts full-scan wall ~14% vs
-# 8192 with no memory concern (a 64k-row x 6-col chunk is ~3 MB).
-# Override per-read with .option("batchsize", n).
-DEFAULT_BATCH_SIZE = 65536
+# 8192, and the r14 granularity sweep (BENCH_SF1.md) found 262144 a
+# further ~7% under 65536 while WHOLE-FRAGMENT batches (400k) regress
+# ~7% (pipelining loss beats amortization — the floor is the transfer
+# itself, not the per-batch overhead). A 256k-row x 6-col chunk is
+# ~12 MB. Override per-read with .option("batchsize", n).
+DEFAULT_BATCH_SIZE = 262144
 DEFAULT_MAX_ROWS_PER_FILE = 1_000_000  # LanceConfig.java:128
 
 
