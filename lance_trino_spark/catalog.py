@@ -773,6 +773,7 @@ class LanceCatalog:
 
             from .format.lance_native import (
                 list_native_fts_indices,
+                list_native_hnsw_indices,
                 list_native_scalar_indices,
                 list_native_vector_indices,
             )
@@ -787,6 +788,10 @@ class LanceCatalog:
                       else list_native_fts_indices if m.group("fts")
                       else list_native_scalar_indices)
             victims = [i for i in lister(np_) if i.column == col]
+            if m.group("vec"):
+                # both vector families: IVF sidecars and HNSW (r14)
+                victims += [i for i in list_native_hnsw_indices(np_)
+                            if i.column == col]
             if not victims:
                 raise CatalogError(
                     f"no native {kind} index on {ns}.{tbl}({col})")

@@ -828,3 +828,11 @@ def test_sql_native_hnsw_index_route(spark, tmp_path):
     r = cat.sql("VECTOR SEARCH s.t (embedding) USING s.q TOP 3").collect()
     assert r[0]["vec_id"] == 7 and r[0]["cosine"] >= 0.999
     assert "cosine" in r[0].asDict()
+    # DROP VECTOR INDEX reaps the HNSW sidecar too (both families)
+    st3 = cat.sql("DROP VECTOR INDEX ON s.t (embedding)").collect()
+    assert "dropped 1" in st3[0]["status"]
+    from lance_trino_spark.catalog import CatalogError
+    import pytest as _pytest
+
+    with _pytest.raises(CatalogError, match="no native vector index"):
+        cat.sql("DROP VECTOR INDEX ON s.t (embedding)")
