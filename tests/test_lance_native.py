@@ -5597,3 +5597,60 @@ def test_native_hnsw_sidecar_lifecycle(tmp_path, spark):
     r5 = ln.native_hnsw_search(root, vecs[[7]], k=3, ef_search=400,
                                column="vector")
     assert r5[0]["neighbors"][0] == 7
+
+
+def test_native_hnsw_on_pyarrow_fs_object_store(tmp_path, spark):
+    """r14: the HNSW sidecar family on a PROCESS-SHARED object-store
+    root (the S3/GCS shape) — distributed shard-graph build, Arrow-IPC
+    graph reads via the store, per-fragment extend with the atomic
+    remote meta replace, distributed shard-parallel search, and
+    vacuum's superseded reap — zero posix paths."""
+    import warnings
+
+    import numpy as np
+    import pyarrow.fs as pafs
+
+    import lance_trino_spark.format.lance_native as ln
+    from lance_trino_spark.format import native_io as nio
+    from lance_trino_spark.format.backend import PyArrowFsObjectStore
+
+    base = str(tmp_path / "bucket")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        store = PyArrowFsObjectStore(
+            pafs.LocalFileSystem(), "pafs://hnsw", base)
+    root = "pafs://hnsw/wh/t.lance"
+    nio.register_object_store_root("pafs://hnsw", store)
+    try:
+        rng = np.random.default_rng(21)
+        vecs = rng.normal(size=(300, 8)).astype(np.float32)
+        ln.write_native_dataset(root, {
+            "vec_id": list(range(250)),
+            "vector": [v.tolist() for v in vecs[:250]]})
+        uid = ln.write_native_hnsw_index(root, "vector", spark=spark)
+        idx = ln.latest_native_hnsw_index(root, "vector")
+        q = vecs[[5, 99]]
+        res = ln.native_hnsw_search(root, q, k=4, ef_search=300,
+                                    index=idx, spark=spark)
+        assert res[0]["neighbors"][0] == 5
+        assert res[1]["neighbors"][0] == 99
+        # per-fragment extend: remote meta atomically replaced
+        ln.append_native_rows(root, {
+            "vec_id": list(range(250, 300)),
+            "vector": [v.tolist() for v in vecs[250:]]})
+        assert ln.extend_native_hnsw_index(root, "vector",
+                                           spark=spark) == uid
+        r2 = ln.native_hnsw_search(root, vecs[[270]], k=3,
+                                   ef_search=300, column="vector")
+        assert r2[0]["neighbors"][0] == (1 << 32) | 20
+        # superseded reap through the store listing
+        uid2 = ln.write_native_hnsw_index(root, "vector")
+        ln.native_cleanup_old_versions(root, keep_versions=1,
+                                       debris_grace_seconds=0)
+        left = set(nio.listdir("pafs://hnsw/wh/t.lance/_indices"))
+        assert uid not in left and uid2 in left
+        r3 = ln.native_hnsw_search(root, q, k=3, ef_search=300,
+                                   column="vector")
+        assert r3[0]["neighbors"][0] == 5
+    finally:
+        nio.unregister_object_store_root("pafs://hnsw")
