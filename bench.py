@@ -202,6 +202,7 @@ DEFAULT_QUERIES = [
     "s24_filtered_hybrid_search",
     "s25_fts_boolean_not",
     "s26_native_hnsw_index",
+    "s27_native_ivf_hnsw",
 ]
 
 

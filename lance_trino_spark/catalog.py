@@ -34,7 +34,7 @@ DDL surface, docs/src/operations/ddl/*):
     CREATE VECTOR INDEX ON <schema>.<table> (<col>)
     CREATE FTS INDEX ON <schema>.<table> (<col>)
     FTS SEARCH <schema>.<table> (<col>) MATCHING '<query>' [TOP k]
-      [USING IVF_FLAT|IVF_PQ|HNSW] [WITH (n_cells = N)]
+      [USING IVF_FLAT|IVF_PQ|HNSW|IVF_HNSW] [WITH (n_cells = N)]
     VECTOR SEARCH <schema>.<table> (<col>) USING <schema>.<queries>
       [TOP <k>] [NPROBE <n>] [WHERE <col2> IN (v, ...)]
       -- queries table: (query_id, <col>); WHERE is a true PREFILTER
@@ -789,9 +789,17 @@ class LanceCatalog:
                       else list_native_scalar_indices)
             victims = [i for i in lister(np_) if i.column == col]
             if m.group("vec"):
-                # both vector families: IVF sidecars and HNSW (r14)
+                # every vector family: IVF sidecars, flat HNSW, and
+                # the IVF_HNSW composite (r14)
+                from .format.lance_native import (
+                    list_native_ivf_hnsw_indices,
+                )
+
                 victims += [i for i in list_native_hnsw_indices(np_)
                             if i.column == col]
+                victims += [
+                    i for i in list_native_ivf_hnsw_indices(np_)
+                    if i.column == col]
             if not victims:
                 raise CatalogError(
                     f"no native {kind} index on {ns}.{tbl}({col})")
@@ -904,6 +912,18 @@ class LanceCatalog:
                     np_, col, spark=self.spark)
                 return self._status(
                     f"vector-indexed {ns}.{tbl}({col}) HNSW "
+                    f"{'(already covered)' if uid is None else uid} "
+                    "(native)")
+            if kind == "IVF_HNSW":
+                from .format.lance_native import (
+                    ensure_native_ivf_hnsw_index,
+                )
+
+                uid = ensure_native_ivf_hnsw_index(
+                    np_, col, n_cells=n_cells, spark=self.spark)
+                return self._status(
+                    f"vector-indexed {ns}.{tbl}({col}) IVF_HNSW "
+                    f"n_cells={n_cells} "
                     f"{'(already covered)' if uid is None else uid} "
                     "(native)")
             if m.group("kind") and kind != "IVF_PQ":
@@ -1145,8 +1165,9 @@ class LanceCatalog:
             # stale ANN. WHERE prefilter is TRUE-prefilter (allowed sets
             # computed before any top-k; scalar indexes compose).
             from .format.lance_native import (
-                latest_native_hnsw_index, latest_native_vector_index,
-                native_hnsw_search_fresh, native_spark_schema,
+                latest_native_hnsw_index, latest_native_ivf_hnsw_index,
+                latest_native_vector_index, native_hnsw_search_fresh,
+                native_ivf_hnsw_search_fresh, native_spark_schema,
                 native_vector_search_fresh, read_native_fragment,
                 read_native_manifest)
 
@@ -1160,18 +1181,28 @@ class LanceCatalog:
             qids = [r["query_id"] for r in qrows]
             qvecs = [[float(x) for x in r[col]] for r in qrows]
             # family routing (r14): the NEWEST sidecar on the column
-            # wins — a later HNSW build supersedes an earlier IVF for
-            # SQL search routing (and vice versa); score column is
-            # l2_distance (IVF) or cosine (HNSW) accordingly
-            ivf = latest_native_vector_index(np_, col)
-            hnsw = latest_native_hnsw_index(np_, col)
-            use_hnsw = hnsw is not None and (
-                ivf is None
-                or hnsw.dataset_version >= ivf.dataset_version)
-            if use_hnsw:
+            # wins — a later HNSW/IVF_HNSW build supersedes an earlier
+            # IVF for SQL search routing (and vice versa); the graph
+            # families emit cosine, IVF_PQ emits l2_distance
+            fams = [
+                ("ivf", latest_native_vector_index(np_, col)),
+                ("hnsw", latest_native_hnsw_index(np_, col)),
+                ("ivf_hnsw", latest_native_ivf_hnsw_index(np_, col)),
+            ]
+            live_fams = [(f, i) for f, i in fams if i is not None]
+            fam = (max(live_fams, key=lambda t: t[1].dataset_version)[0]
+                   if live_fams else "ivf")
+            if fam == "hnsw":
                 res = native_hnsw_search_fresh(
                     np_, col, qvecs, k=k, spark=self.spark,
                     prefilter=prefilter)
+                for r in res:
+                    r["distances"] = r.pop("sims")
+                score_name = "cosine"
+            elif fam == "ivf_hnsw":
+                res = native_ivf_hnsw_search_fresh(
+                    np_, col, qvecs, k=k, nprobe=nprobe,
+                    spark=self.spark, prefilter=prefilter)
                 for r in res:
                     r["distances"] = r.pop("sims")
                 score_name = "cosine"
@@ -1433,7 +1464,7 @@ class LanceCatalog:
         (
             rf"CREATE\s+VECTOR\s+INDEX\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
-            rf"(?:\s+USING\s+(?P<kind>IVF_FLAT|IVF_PQ|HNSW))?"
+            rf"(?:\s+USING\s+(?P<kind>IVF_HNSW|IVF_FLAT|IVF_PQ|HNSW))?"
             rf"(?:\s+WITH\s*\(\s*n_cells\s*=\s*(?P<ncells>\d+)\s*\))?$",
             _h_create_vector_index,
         ),

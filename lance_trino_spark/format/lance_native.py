@@ -4655,7 +4655,8 @@ def native_cleanup_old_versions(
         }
         if not shard_files:
             continue
-        if "index.idx" not in names and "hnsw.json" not in names:
+        if ("index.idx" not in names and "hnsw.json" not in names
+                and "ivf_hnsw.json" not in names):
             if all(_past_grace(os.path.join(ddir, nm)) for nm in names):
                 nio.rmtree(ddir)
                 out["removed_index_dirs"] += 1
@@ -4666,6 +4667,14 @@ def native_cleanup_old_versions(
                 referenced |= {
                     s[3] for s in _json.loads(nio.read_text(
                         os.path.join(ddir, "hnsw.json")))["shards"]}
+            except (ValueError, OSError, KeyError, IndexError):
+                referenced |= shard_files  # unreadable: keep all
+        if "ivf_hnsw.json" in names:
+            try:
+                referenced |= {
+                    run[0] for c in _json.loads(nio.read_text(
+                        os.path.join(ddir, "ivf_hnsw.json")))["cells"]
+                    for run in c}
             except (ValueError, OSError, KeyError, IndexError):
                 referenced |= shard_files  # unreadable: keep all
         if "index.idx" in names:
@@ -6859,6 +6868,557 @@ def native_hnsw_search_fresh(root: str, column: str, queries,
     results = []
     for qi in range(q.shape[0]):
         best = sorted(cand[qi], key=lambda t: (-t[0], t[1]))[:k]
+        results.append({
+            "neighbors": [a for _s, a in best],
+            "sims": [s for s, _a in best],
+            "uncovered_fragments": len(uncovered),
+            "exact_rows": int(exact_rows),
+        })
+    return results
+
+# ---------------------------------------------------------------------------
+# IVF_HNSW composite family (round 14): LanceDB's shipped graph family
+# (`IVF_HNSW_SQ` / `IVF_HNSW_PQ`) re-expressed on the repo's machinery —
+# spherical-kmeans IVF cells (train + assign on NORMALIZED vectors, so
+# argmin L2 == argmax cosine: one coherent cosine metric end-to-end)
+# with one-or-more HNSW run graphs per cell instead of PQ posting
+# lists. Storage is the FLAT graph (raw float32 vectors inside the
+# Arrow-IPC graph tables — the repo's honest stand-in for the SQ/PQ
+# quantized storage; naming kept IVF_HNSW with the flat caveat
+# documented). Graph node row_index carries the FULL u64 row address,
+# so one cell's graph spans fragments. Search probes the nprobe best
+# cells per query and beam-searches their run graphs; at nprobe=all +
+# ef=all results are EXACTLY the brute-force cosine top-k. EXTEND is
+# O(delta): delta rows assign to cells and each touched cell gains one
+# NEW run graph (old graphs untouched — the per-cell LSM). Stale hits
+# (deleted rows via the global dead-address set; compacted-away
+# fragments via a live-fragment post-filter) drop, never resurrect.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class NativeIvfHnswIndex:
+    path: str               # absolute path of ivf_hnsw.json
+    column: str
+    dataset_version: int
+    m: int
+    ef_construction: int
+    centroids: object       # np.ndarray [n_cells, dim] f32, normalized
+    covered_fragments: frozenset
+    # per cell: tuple of (file_name, rows) RUN graphs, build order
+    cells: tuple
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.cells)
+
+
+def _ivf_hnsw_cell_rows(root: str, manifest: NativeManifest, nfield,
+                        frags, cent: "np.ndarray"):
+    """Serial assignment pass over ``frags``: per-cell ([addrs u64],
+    [vecs f32]) lists, NULL vectors unindexed, cosine cells (argmax
+    cosine == argmin L2 on the normalized pair)."""
+    import numpy as np
+
+    dim = cent.shape[1]
+    buckets = [([], []) for _ in range(len(cent))]
+    for frag in frags:
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        v = np.asarray(arr.values, dtype=np.float32).reshape(-1, dim)
+        addr = (np.uint64(frag.id) << np.uint64(32)) + np.arange(
+            len(v), dtype=np.uint64)
+        vmask = np.asarray(arr.is_valid())
+        v, addr = v[vmask], addr[vmask]
+        if not len(v):
+            continue
+        vn = v / np.maximum(
+            np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        a = (vn @ cent.T).argmax(axis=1)
+        for c in np.unique(a):
+            m = a == c
+            buckets[int(c)][0].append(addr[m])
+            buckets[int(c)][1].append(v[m])
+    return buckets
+
+
+def _ivf_hnsw_build_cell_graphs(d: str, cell: int, addrs, vecs,
+                                m: int, ef: int) -> list:
+    """One cell's rows -> address-sorted HNSW_SHARD_ROWS spans, one
+    deterministic graph file per span. Returns [(file_name, rows)]."""
+    import uuid as uuidlib
+
+    import numpy as np
+
+    from .vector_index import HNSW_SHARD_ROWS, build_hnsw
+
+    order = np.argsort(addrs, kind="stable")
+    addrs = np.asarray(addrs, dtype=np.uint64)[order]
+    vecs = np.asarray(vecs, dtype=np.float32)[order]
+    out = []
+    for lo in range(0, len(addrs), HNSW_SHARD_ROWS):
+        a = addrs[lo:lo + HNSW_SHARD_ROWS]
+        v = vecs[lo:lo + HNSW_SHARD_ROWS]
+        levels, neighbors, entry = build_hnsw(v, m, ef)
+        blob = _hnsw_graph_to_bytes(
+            a.astype(np.int64), v, levels, neighbors, entry)
+        name = (f"shard-hnsw-c{cell:05d}-"
+                f"{uuidlib.uuid4().hex[:8]}.idx")
+        nio.write_bytes(os.path.join(d, name), blob)
+        out.append((name, int(len(a))))
+    return out
+
+
+def _ivf_hnsw_write_meta(root: str, uid: str, column: str, m: int,
+                         ef: int, cent: "np.ndarray",
+                         dataset_version: int, coverage,
+                         cells: list) -> str:
+    import json as _json
+
+    d = os.path.join(root, "_indices", uid)
+    import numpy as np
+
+    nio.replace_bytes(
+        os.path.join(d, "centroids.bin"),
+        np.asarray(cent, dtype="<f4").tobytes())
+    nio.replace_bytes(os.path.join(d, "ivf_hnsw.json"), _json.dumps({
+        "name": "ivf_hnsw", "column": column, "m": m,
+        "ef_construction": ef, "dataset_version": dataset_version,
+        "dim": int(len(cent[0])), "n_cells": int(len(cent)),
+        "cells": [[list(run) for run in c] for c in cells],
+    }).encode())
+    nio.replace_bytes(os.path.join(d, "coverage.json"), _json.dumps({
+        "kind": "ivf_hnsw", "column": column,
+        "dataset_version": dataset_version,
+        "fragments": sorted(coverage),
+    }).encode())
+    return uid
+
+
+def write_native_ivf_hnsw_index(root: str, column: str,
+                                n_cells: int = 4, m: int = 8,
+                                ef_construction: int = 48,
+                                sample: int = 4096, iters: int = 8,
+                                seed: int = 0, spark=None) -> str:
+    """Build the IVF_HNSW sidecar: spherical kmeans on a bounded
+    deterministic sample (the IVF_PQ training recipe on normalized
+    vectors), then per-cell HNSW run graphs. With ``spark``, one task
+    per CELL gathers, sorts, splits, and writes its own graphs (shared
+    store required; per-task memory is O(cell) — a degenerate centroid
+    distribution should raise n_cells or use the flat HNSW family,
+    whose per-fragment shards bound memory unconditionally). Serial and
+    distributed builds produce byte-identical graphs (deterministic
+    build + address-sorted spans)."""
+    import uuid as uuidlib
+
+    import numpy as np
+
+    manifest = read_native_manifest(root)
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column),
+        None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column: {column!r}")
+    # bounded training sample (first `sample` non-null rows), NORMALIZED
+    train = []
+    got = 0
+    dim = None
+    for frag in manifest.fragments:
+        if got >= sample:
+            break
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, manifest)
+        if dim is None:
+            dim = len(arr.values) // max(1, len(arr))
+        v = np.asarray(arr.values, dtype=np.float32).reshape(-1, dim)
+        v = v[np.asarray(arr.is_valid())]
+        train.append(v[: sample - got])
+        got += len(train[-1])
+    if got == 0:
+        raise LanceNativeError(
+            f"column {column!r} has no non-null vectors to index")
+    tr = np.concatenate(train)
+    tr = tr / np.maximum(
+        np.linalg.norm(tr, axis=1, keepdims=True), 1e-30)
+    cent = _kmeans(tr, n_cells, iters, seed)
+    cent = cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    cent = np.ascontiguousarray(cent, dtype=np.float32)
+
+    uid = str(uuidlib.uuid4())
+    d = os.path.join(root, "_indices", uid)
+    cells = _ivf_hnsw_stage_cells(
+        root, d, manifest, nfield, manifest.fragments, cent, m,
+        ef_construction, spark)
+    return _ivf_hnsw_write_meta(
+        root, uid, column, m, ef_construction, cent, manifest.version,
+        {f.id for f in manifest.fragments}, cells)
+
+
+def _ivf_hnsw_stage_cells(root: str, d: str, manifest: NativeManifest,
+                          nfield, frags, cent: "np.ndarray", m: int,
+                          ef: int, spark) -> list:
+    """Assign ``frags`` rows to cells and write each touched cell's run
+    graphs into ``d``; returns per-cell [(file, rows)] lists (empty
+    list = untouched cell). Distributed arm: rows shuffle by cell, the
+    cell's own task builds+writes (graphs byte-identical to the serial
+    twin)."""
+    import numpy as np
+
+    n_cells = len(cent)
+    if spark is None:
+        buckets = _ivf_hnsw_cell_rows(root, manifest, nfield, frags,
+                                      cent)
+        cells = []
+        for c in range(n_cells):
+            if not buckets[c][0]:
+                cells.append([])
+                continue
+            cells.append(_ivf_hnsw_build_cell_graphs(
+                d, c, np.concatenate(buckets[c][0]),
+                np.concatenate(buckets[c][1]), m, ef))
+        return cells
+    from pyspark.sql import functions as F
+
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    _require_shared_store(root, "the distributed IVF_HNSW build")
+    binding = nio.binding_for(root)
+    dim = cent.shape[1]
+    column = nfield.name
+    df = (
+        spark.read.format("lance").options(**nio.spark_options(root))
+        .option("row_address", "true")
+        .option("version", str(manifest.version))
+        .option("fragments", ",".join(str(f.id) for f in frags))
+        .load(root)
+        .select(F.col(column).alias("v"), "_row_address")
+        .where(F.col("v").isNotNull())
+    )
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _np.asarray(
+                _np.vstack(pdf["v"].to_numpy()), dtype=_np.float32
+            ).reshape(-1, dim)
+            addr = pdf["_row_address"].to_numpy().astype(_np.uint64)
+            vn = v / _np.maximum(
+                _np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            a = (vn @ cent.T).argmax(axis=1)
+            cells_l, addr_l, vec_l = [], [], []
+            for c in _np.unique(a):
+                mm = a == c
+                cells_l.append(int(c))
+                addr_l.append(addr[mm].astype("<u8").tobytes())
+                vec_l.append(v[mm].astype("<f4").tobytes())
+            yield _pd.DataFrame({
+                "cell": cells_l, "addrs": addr_l, "vecs": vec_l})
+
+    def build_cell(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        from lance_trino_spark.format import native_io as _nio
+        from lance_trino_spark.format import lance_native as _ln
+
+        _nio.restore_binding(binding)
+        cell = int(pdf["cell"].iloc[0])
+        addrs = _np.concatenate([
+            _np.frombuffer(b, dtype="<u8") for b in pdf["addrs"]])
+        vecs = _np.concatenate([
+            _np.frombuffer(b, dtype="<f4").reshape(-1, dim)
+            for b in pdf["vecs"]])
+        out = _ln._ivf_hnsw_build_cell_graphs(d, cell, addrs, vecs,
+                                              m, ef)
+        return _pd.DataFrame({
+            "cell": [cell] * len(out),
+            "ord": list(range(len(out))),
+            "name": [nm for nm, _r in out],
+            "rows": [r for _nm, r in out]})
+
+    # one metadata row per span graph (collect-audit: O(graphs), each a
+    # few dozen bytes; bounded by ceil(rows/HNSW_SHARD_ROWS) + n_cells)
+    from .vector_index import HNSW_SHARD_ROWS
+
+    n_rows = sum(int(f.physical_rows) for f in frags)
+    cap = n_cells + n_rows // HNSW_SHARD_ROWS + 1
+    got = (
+        df.mapInPandas(assign, "cell int, addrs binary, vecs binary")
+        .groupBy("cell")
+        .applyInPandas(build_cell,
+                       "cell int, ord int, name string, rows long")
+        .limit(cap).collect()
+    )
+    cells: list = [[] for _ in range(n_cells)]
+    tmp: dict = {}
+    for r in got:
+        tmp.setdefault(int(r["cell"]), []).append(
+            (int(r["ord"]), r["name"], int(r["rows"])))
+    for c, entries in tmp.items():
+        cells[c] = [(nm, rows) for _o, nm, rows in sorted(entries)]
+    return cells
+
+
+def list_native_ivf_hnsw_indices(root: str) -> list:
+    import json as _json
+
+    import numpy as np
+
+    idx_dir = os.path.join(root, "_indices")
+    out = []
+    for dname in nio.listdir(idx_dir):
+        p = os.path.join(idx_dir, dname, "ivf_hnsw.json")
+        if not nio.exists(p):
+            continue
+        try:
+            meta = _json.loads(nio.read_text(p))
+            cov = _json.loads(nio.read_text(
+                os.path.join(idx_dir, dname, "coverage.json")))
+            cent = np.frombuffer(
+                nio.read_bytes(os.path.join(idx_dir, dname,
+                                            "centroids.bin")),
+                dtype="<f4").reshape(meta["n_cells"], meta["dim"])
+        except (ValueError, OSError, KeyError):
+            continue
+        out.append(NativeIvfHnswIndex(
+            path=p, column=meta["column"],
+            dataset_version=int(meta["dataset_version"]),
+            m=int(meta["m"]),
+            ef_construction=int(meta["ef_construction"]),
+            centroids=cent,
+            covered_fragments=frozenset(cov.get("fragments", [])),
+            cells=tuple(
+                tuple((run[0], int(run[1])) for run in c)
+                for c in meta["cells"]),
+        ))
+    out.sort(key=lambda i: (i.dataset_version,
+                            os.path.basename(os.path.dirname(i.path))))
+    return out
+
+
+def latest_native_ivf_hnsw_index(root: str, column: str):
+    for idx in reversed(list_native_ivf_hnsw_indices(root)):
+        if idx.column == column:
+            return idx
+    return None
+
+
+def extend_native_ivf_hnsw_index(root: str, column: str, spark=None
+                                 ) -> str | None:
+    """O(delta) extend: rows of fragments appended since the build
+    assign to cells with the TRAINED centroids (verbatim reuse — no
+    retrain, the IVF_PQ extend's trade) and each touched cell gains one
+    NEW run graph; old graphs untouched, meta atomically replaced."""
+    idx = latest_native_ivf_hnsw_index(root, column)
+    if idx is None:
+        raise LanceNativeError(
+            f"no ivf_hnsw index on {column!r} to extend — build one "
+            "with write_native_ivf_hnsw_index")
+    manifest = read_native_manifest(root)
+    new_frags = [f for f in manifest.fragments
+                 if f.id not in idx.covered_fragments]
+    if not new_frags:
+        return None
+    nfield = next(
+        (f for f in manifest.top_level_fields() if f.name == column),
+        None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column: {column!r}")
+    import numpy as np
+
+    cent = np.ascontiguousarray(idx.centroids, dtype=np.float32)
+    d = os.path.dirname(idx.path)
+    delta_cells = _ivf_hnsw_stage_cells(
+        root, d, manifest, nfield, new_frags, cent, idx.m,
+        idx.ef_construction, spark)
+    live_ids = {f.id for f in manifest.fragments}
+    cells = [
+        list(idx.cells[c]) + list(delta_cells[c])
+        for c in range(idx.n_cells)
+    ]
+    coverage = ((idx.covered_fragments & live_ids)
+                | {f.id for f in new_frags})
+    return _ivf_hnsw_write_meta(
+        root, os.path.basename(d), column, idx.m, idx.ef_construction,
+        cent, manifest.version, coverage, cells)
+
+
+def ensure_native_ivf_hnsw_index(root: str, column: str,
+                                 n_cells: int = 4, spark=None,
+                                 incremental: bool = True, **kw
+                                 ) -> str | None:
+    manifest = read_native_manifest(root)
+    frag_ids = {f.id for f in manifest.fragments}
+    idx = latest_native_ivf_hnsw_index(root, column)
+    if idx is not None and frag_ids <= idx.covered_fragments:
+        return None
+    if incremental and idx is not None:
+        return extend_native_ivf_hnsw_index(root, column, spark=spark)
+    return write_native_ivf_hnsw_index(
+        root, column, n_cells=n_cells, spark=spark, **kw)
+
+
+def native_ivf_hnsw_search(root: str, queries, k: int = 10,
+                           nprobe: int = 1, ef_search: int = 64,
+                           index=None, column: str | None = None,
+                           manifest: NativeManifest | None = None,
+                           prefilter: tuple | None = None):
+    """Probe each query's nprobe best cells (cosine vs the trained
+    centroids) and beam-search their run graphs; hits union and re-rank
+    by (cosine desc, address asc). Deleted rows drop via a global
+    dead-address set; hits in compacted-away fragments drop via a
+    live-fragment post-filter (``stale_dropped`` reported). At
+    nprobe=n_cells and ef_search >= cell size results are EXACTLY the
+    brute-force cosine top-k (pinned). Per-query proof fields:
+    cells_probed / graphs_searched / stale_dropped."""
+    import numpy as np
+
+    from .vector_index import _search_hnsw_graph
+
+    live = manifest if manifest is not None else read_native_manifest(root)
+    idx = index if index is not None else latest_native_ivf_hnsw_index(
+        root, column)
+    if idx is None:
+        raise LanceNativeError(f"no ivf_hnsw index on {column!r}")
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q.reshape(1, -1)
+    cent = np.asarray(idx.centroids, dtype=np.float32)
+    nprobe = max(1, min(int(nprobe), idx.n_cells))
+    qn = q / np.maximum(
+        np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+
+    live_ids = {f.id for f in live.fragments}
+    dead: set = set()
+    for frag in live.fragments:
+        if frag.deletion is not None:
+            base = int(frag.id) << 32
+            dead.update(
+                base | int(p)
+                for p in _deleted_rows_np(root, frag.deletion))
+    allowed_by_frag = (
+        _native_prefilter_rows(root, live, prefilter)
+        if prefilter is not None else None)
+    allow: set | None = None
+    if allowed_by_frag is not None:
+        allow = {
+            (int(fid) << 32) | int(p)
+            for fid, rows in allowed_by_frag.items() for p in rows}
+
+    d = os.path.dirname(idx.path)
+    # group queries by probed cell so each graph loads & searches once
+    by_cell: dict[int, list] = {}
+    for qi in range(q.shape[0]):
+        for c in probe[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
+    cand: list[list] = [[] for _ in range(q.shape[0])]
+    stale = [0] * q.shape[0]
+    graphs_searched = 0
+    for c, qis in sorted(by_cell.items()):
+        for name, _rows in idx.cells[c]:
+            t = _hnsw_read_graph(os.path.join(d, name))
+            graphs_searched += 1
+            per_q = _search_hnsw_graph(
+                t, q[qis], k, ef_search,
+                deletion_set=dead if dead else None,
+                allowed_set=allow)
+            if per_q is None:
+                continue
+            for j, hits in enumerate(per_q):
+                qi = qis[j]
+                for sim, addr in hits:
+                    a = int(addr)
+                    if (a >> 32) not in live_ids:
+                        stale[qi] += 1
+                        continue
+                    cand[qi].append((float(sim), a))
+    results = []
+    for qi in range(q.shape[0]):
+        best = sorted(set(cand[qi]), key=lambda t: (-t[0], t[1]))[:k]
+        results.append({
+            "neighbors": [a for _s, a in best],
+            "sims": [s for s, _a in best],
+            "cells_probed": int(nprobe),
+            "graphs_searched": graphs_searched,
+            "stale_dropped": stale[qi],
+        })
+    return results
+
+
+def native_ivf_hnsw_search_fresh(root: str, column: str, queries,
+                                 k: int = 10, nprobe: int = 1,
+                                 ef_search: int = 64, spark=None,
+                                 prefilter: tuple | None = None):
+    """LIVE-snapshot composite search: the cell graphs accelerate their
+    covered fragments, an exact cosine arm scans uncovered ones, union
+    re-ranks (the lf43 contract, the flat-HNSW fresh arm's twin)."""
+    import numpy as np
+
+    live = read_native_manifest(root)
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q.reshape(1, -1)
+    idx = latest_native_ivf_hnsw_index(root, column)
+    covered = idx.covered_fragments if idx is not None else frozenset()
+    live_ids = {f.id for f in live.fragments}
+    uncovered = sorted(live_ids - covered)
+    cand: list[list] = [[] for _ in range(q.shape[0])]
+    if idx is not None:
+        for qi, r in enumerate(native_ivf_hnsw_search(
+                root, q, k=k, nprobe=nprobe, ef_search=ef_search,
+                index=idx, manifest=live, prefilter=prefilter)):
+            cand[qi].extend(zip(r["sims"], r["neighbors"]))
+    allowed_by_frag = (
+        _native_prefilter_rows(root, live, prefilter, spark=spark)
+        if prefilter is not None else None)
+    nfield = next(
+        (f for f in live.top_level_fields() if f.name == column), None)
+    if nfield is None:
+        raise LanceNativeError(f"no such column: {column!r}")
+    qn = q / np.maximum(
+        np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    frag_by_id = {f.id: f for f in live.fragments}
+    exact_rows = 0
+    for fid in uncovered:
+        frag = frag_by_id[fid]
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        arr = read_file_column(root, dfile, col_idx, nfield, live)
+        vmask = np.asarray(arr.is_valid())
+        if frag.deletion is not None:
+            vmask[_deleted_rows_np(root, frag.deletion)] = False
+        if allowed_by_frag is not None:
+            am = np.zeros(len(vmask), dtype=bool)
+            rows = allowed_by_frag.get(fid, [])
+            if len(rows):
+                am[np.asarray(rows, dtype=np.int64)] = True
+            vmask &= am
+        if not vmask.any():
+            continue
+        dim = q.shape[1]
+        v = np.asarray(arr.values, dtype=np.float32).reshape(-1, dim)
+        rows_sel = np.nonzero(vmask)[0]
+        v = v[vmask]
+        exact_rows += len(v)
+        vn = v / np.maximum(
+            np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        sims = vn @ qn.T
+        addr_base = np.uint64(fid) << np.uint64(32)
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            top = np.argsort(-s, kind="stable")[:k]
+            for i in top:
+                cand[qi].append((
+                    float(s[i]),
+                    int(addr_base | np.uint64(rows_sel[i]))))
+    results = []
+    for qi in range(q.shape[0]):
+        best = sorted(set(cand[qi]), key=lambda t: (-t[0], t[1]))[:k]
         results.append({
             "neighbors": [a for _s, a in best],
             "sims": [s for s, _a in best],

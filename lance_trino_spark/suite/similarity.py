@@ -2508,3 +2508,130 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "query_id long, n_ann long, exact_parity boolean, "
         "fresh_ok boolean, extend_ok boolean").orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# s27 — IVF_HNSW composite vector family (round 14): LanceDB's shipped
+# graph family (`IVF_HNSW_SQ`/`IVF_HNSW_PQ`) re-expressed with flat
+# graph storage — spherical-kmeans cells (train + assign on normalized
+# vectors: one coherent cosine metric) holding per-cell HNSW run
+# graphs. Self-validating (the s11/s26 pattern): at nprobe = ALL cells
+# and ef = ALL the probe must return EXACTLY the brute-force f32-cosine
+# top-k; at nprobe=1 the self-query still finds itself (its own cell);
+# the fresh arm surfaces appended-after-build rows; the O(delta) extend
+# appends one run graph per touched cell with old graphs untouched.
+# ---------------------------------------------------------------------------
+_S27_ROWS = 1200
+_S27_K = 5
+_S27_CELLS = 4
+
+
+@register(
+    "s27_native_ivf_hnsw",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           CAST({_S27_K} AS BIGINT) AS n_ann,
+           TRUE AS exact_parity,
+           TRUE AS self_match_nprobe1,
+           TRUE AS fresh_ok,
+           TRUE AS extend_ok
+    FROM embeddings WHERE vec_id < 8
+    ORDER BY query_id
+    """,
+    doc="IVF_HNSW composite index: spherical-kmeans cells of HNSW run "
+        "graphs, exact at nprobe=all+ef=all, fresh union, O(delta) extend",
+    tags=("similarity", "ann", "hnsw", "ivf", "index", "lance-format"),
+)
+def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s27-ivfhnsw.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _S27_ROWS)
+        .select("vec_id", "embedding").orderBy("vec_id")
+    )
+    cut = int(src.selectExpr(
+        "percentile_approx(vec_id, 0.8) AS c").first()["c"])
+    dim = int(src.select(F.size("embedding").alias("d")).first()["d"])
+    ln.create_native_dataset(src.where(f"vec_id < {cut}"), path,
+                             fsl_columns={"embedding": dim})
+    uid = ln.write_native_ivf_hnsw_index(
+        path, "embedding", n_cells=_S27_CELLS, spark=spark)
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    src.where(f"vec_id >= {cut}").write.format("lance") \
+        .mode("append").save(path)
+
+    # brute-force f32 reference over the LIVE corpus (bounded)
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields()
+                  if f.name == "embedding")
+    mats, addrs = [], []
+    for frag in m.fragments:
+        dfile, ci = frag.file_for_field(nfield.id)
+        arr = ln.read_file_column(path, dfile, ci, nfield, m)
+        d2 = len(arr.values) // max(1, len(arr))
+        mats.append(np.asarray(arr.values, dtype=np.float32)
+                    .reshape(-1, d2))
+        addrs.append((np.uint64(frag.id) << np.uint64(32))
+                     + np.arange(len(arr), dtype=np.uint64))
+    mat = np.vstack(mats)
+    all_addrs = np.concatenate(addrs)
+    xn = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    qvecs = mat[:8]
+
+    def brute(qv):
+        qnv = qv / max(float(np.linalg.norm(qv)), 1e-30)
+        sims = xn @ qnv
+        order = np.lexsort((all_addrs, -sims))[:_S27_K]
+        return [int(all_addrs[i]) for i in order]
+
+    # fresh union BEFORE maintenance (exact arm covers the delta)
+    fresh = ln.native_ivf_hnsw_search_fresh(
+        path, "embedding", qvecs, k=_S27_K, nprobe=_S27_CELLS,
+        ef_search=_S27_ROWS)
+    fresh_ok = all(
+        fresh[qi]["neighbors"] == brute(qvecs[qi])
+        and fresh[qi]["uncovered_fragments"] >= 1
+        for qi in range(8))
+    assert fresh_ok
+
+    # O(delta) per-cell run extend, then index-only exactness
+    assert ln.extend_native_ivf_hnsw_index(
+        path, "embedding", spark=spark) == uid
+    idx = ln.latest_native_ivf_hnsw_index(path, "embedding")
+    extend_ok = idx.covered_fragments == {f.id for f in m.fragments}
+    res = ln.native_ivf_hnsw_search(
+        path, qvecs, k=_S27_K, nprobe=_S27_CELLS,
+        ef_search=_S27_ROWS, index=idx,
+        manifest=ln.read_native_manifest(path))
+    exact_parity = all(
+        res[qi]["neighbors"] == brute(qvecs[qi]) for qi in range(8))
+    res1 = ln.native_ivf_hnsw_search(
+        path, qvecs, k=1, nprobe=1, ef_search=64, index=idx,
+        manifest=ln.read_native_manifest(path))
+    self_match = all(
+        res1[qi]["neighbors"] and brute(qvecs[qi])[0]
+        == res1[qi]["neighbors"][0]
+        for qi in range(8))
+    assert exact_parity and extend_ok and self_match
+
+    out = [(qi, len(res[qi]["neighbors"]), exact_parity, self_match,
+            fresh_ok, extend_ok) for qi in range(8)]
+    return spark.createDataFrame(
+        out,
+        "query_id long, n_ann long, exact_parity boolean, "
+        "self_match_nprobe1 boolean, fresh_ok boolean, "
+        "extend_ok boolean").orderBy("query_id")

@@ -5654,3 +5654,127 @@ def test_native_hnsw_on_pyarrow_fs_object_store(tmp_path, spark):
         assert r3[0]["neighbors"][0] == 5
     finally:
         nio.unregister_object_store_root("pafs://hnsw")
+
+
+def test_native_ivf_hnsw_composite_lifecycle(tmp_path, spark):
+    """r14: the IVF_HNSW composite family (LanceDB's shipped graph
+    family, flat storage) — spherical-kmeans cells with per-cell HNSW
+    run graphs. Pins: serial == distributed graphs byte-identically;
+    EXACT brute-force parity at nprobe=all + ef=all; bounded-nprobe
+    self-match; O(delta) per-cell run extend; fresh union; deletion +
+    TRUE-prefilter masking; vacuum superseded + debris rules; SQL
+    CREATE ... USING IVF_HNSW + family-routed VECTOR SEARCH."""
+    import os as _os
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+
+    rng = np.random.default_rng(29)
+    vecs = rng.normal(size=(600, 16)).astype(np.float32)
+
+    def mk(root, n):
+        ln.write_native_dataset(root, {
+            "vec_id": list(range(n)),
+            "vector": [v.tolist() for v in vecs[:n]]})
+
+    root = str(tmp_path / "c.lance")
+    mk(root, 500)
+    uid = ln.write_native_ivf_hnsw_index(root, "vector", n_cells=4)
+    idx = ln.latest_native_ivf_hnsw_index(root, "vector")
+
+    # exact parity at nprobe=all + ef=all vs brute-force f32 cosine
+    q = vecs[[3, 77]]
+    res = ln.native_ivf_hnsw_search(
+        root, q, k=5, nprobe=4, ef_search=500, index=idx)
+    xn = vecs[:500] / np.linalg.norm(vecs[:500], axis=1, keepdims=True)
+    for qi, qv in enumerate(q):
+        sims = xn @ (qv / np.linalg.norm(qv))
+        order = sorted(range(500), key=lambda i: (-sims[i], i))[:5]
+        assert res[qi]["neighbors"] == order
+    r1 = ln.native_ivf_hnsw_search(
+        root, q, k=3, nprobe=1, ef_search=64, index=idx)
+    assert r1[0]["neighbors"][0] == 3 and r1[1]["neighbors"][0] == 77
+    assert r1[0]["cells_probed"] == 1
+
+    # distributed build: byte-identical graphs per cell
+    root2 = str(tmp_path / "c2.lance")
+    mk(root2, 500)
+    ln.write_native_ivf_hnsw_index(root2, "vector", n_cells=4,
+                                   spark=spark)
+    i2 = ln.latest_native_ivf_hnsw_index(root2, "vector")
+    assert [len(c) for c in i2.cells] == [len(c) for c in idx.cells]
+    for c in range(4):
+        for (n1, _r1), (n2, _r2) in zip(idx.cells[c], i2.cells[c]):
+            b1 = ln._hnsw_read_graph(_os.path.join(
+                _os.path.dirname(idx.path), n1))
+            b2 = ln._hnsw_read_graph(_os.path.join(
+                _os.path.dirname(i2.path), n2))
+            assert b1.equals(b2)
+
+    # fresh union before maintenance, per-cell run extend after
+    ln.append_native_rows(root, {
+        "vec_id": list(range(500, 600)),
+        "vector": [v.tolist() for v in vecs[500:]]})
+    fr = ln.native_ivf_hnsw_search_fresh(
+        root, "vector", vecs[[550]], k=3, nprobe=4, ef_search=600)
+    assert fr[0]["neighbors"][0] == (1 << 32) | 50
+    assert fr[0]["uncovered_fragments"] == 1
+    assert ln.extend_native_ivf_hnsw_index(root, "vector") == uid
+    idx2 = ln.latest_native_ivf_hnsw_index(root, "vector")
+    assert idx2.covered_fragments == {0, 1}
+    # old run graphs ride over untouched; touched cells gained one run
+    for c in range(4):
+        assert list(idx2.cells[c])[:len(idx.cells[c])] == list(
+            idx.cells[c])
+    assert ln.ensure_native_ivf_hnsw_index(root, "vector") is None
+    r2 = ln.native_ivf_hnsw_search(
+        root, vecs[[550]], k=3, nprobe=4, ef_search=600, index=idx2)
+    assert r2[0]["neighbors"][0] == (1 << 32) | 50
+
+    # deletion masking + TRUE prefilter
+    ln.native_delete(root, {0: [3]})
+    r3 = ln.native_ivf_hnsw_search(
+        root, q, k=5, nprobe=4, ef_search=600, column="vector")
+    assert 3 not in r3[0]["neighbors"]
+    r4 = ln.native_ivf_hnsw_search(
+        root, q, k=5, nprobe=4, ef_search=600, column="vector",
+        prefilter=("vec_id", [77, 200]))
+    assert r4[1]["neighbors"][0] == 77
+
+    # vacuum: newer covering composite supersedes; committed graphs live
+    uidn = ln.write_native_ivf_hnsw_index(root, "vector", n_cells=4)
+    ln.native_cleanup_old_versions(root, keep_versions=1,
+                                   debris_grace_seconds=0)
+    left = set(ln.nio.listdir(_os.path.join(root, "_indices")))
+    assert uid not in left and uidn in left
+    r5 = ln.native_ivf_hnsw_search(
+        root, q, k=3, nprobe=4, ef_search=600, column="vector")
+    assert r5[1]["neighbors"][0] == 77
+
+    # SQL: CREATE ... USING IVF_HNSW + family-routed VECTOR SEARCH
+    import shutil as _sh
+
+    from lance_trino_spark.catalog import LanceCatalog
+
+    _sh.rmtree(str(tmp_path / "wh"), ignore_errors=True)
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).createOrReplaceTempView("_ch_src")
+    cat.sql("CREATE NATIVE TABLE s.t AS SELECT * FROM _ch_src")
+    st = cat.sql("CREATE VECTOR INDEX ON s.t (embedding) "
+                 "USING IVF_HNSW WITH (n_cells = 4)").collect()
+    assert "IVF_HNSW" in st[0]["status"]
+    spark.createDataFrame(
+        [(9, [float(x) for x in vecs[9]])],
+        "query_id long, embedding array<float>",
+    ).createOrReplaceTempView("_ch_q")
+    cat.sql("CREATE NATIVE TABLE s.q AS SELECT * FROM _ch_q")
+    r = cat.sql("VECTOR SEARCH s.t (embedding) USING s.q "
+                "TOP 3 NPROBE 4").collect()
+    assert r[0]["vec_id"] == 9 and r[0]["cosine"] >= 0.999
+    st2 = cat.sql("DROP VECTOR INDEX ON s.t (embedding)").collect()
+    assert "dropped 1" in st2[0]["status"]
