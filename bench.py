@@ -203,6 +203,7 @@ DEFAULT_QUERIES = [
     "s25_fts_boolean_not",
     "s26_native_hnsw_index",
     "s27_native_ivf_hnsw",
+    "cat38_show_indexes",
 ]
 
 

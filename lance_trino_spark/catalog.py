@@ -946,6 +946,71 @@ class LanceCatalog:
             f"v{ds.version}"
         )
 
+    def _h_show_indexes(self, m) -> DataFrame:
+        """`SHOW INDEXES ON <schema>.<table>` — one row per index
+        sidecar on the table: family (BTREE / BITMAP / LABEL_LIST /
+        FTS / IVF_PQ / HNSW / IVF_HNSW), column, a family-specific
+        detail string, covered-fragment count, and the dataset version
+        the index was built at. The Lance SDK's `list_indices()`
+        surface as SQL; own-format tables list their manifest-property
+        index registrations instead."""
+        ns, tbl = m.group("ns"), m.group("tbl")
+        np_ = self._native(ns, tbl)
+        rows: list[tuple] = []
+        if np_ is not None:
+            from .format.lance_native import (
+                list_native_fts_indices,
+                list_native_hnsw_indices,
+                list_native_ivf_hnsw_indices,
+                list_native_scalar_indices,
+                list_native_vector_indices,
+                native_index_coverage,
+            )
+
+            for i in list_native_scalar_indices(np_):
+                rows.append((
+                    "BTREE", i.column, f"kind={i.kind}",
+                    len(i.covered_fragments), i.dataset_version))
+            for i in list_native_fts_indices(np_):
+                fam = {"keyword-v1": "BITMAP",
+                       "label-v1": "LABEL_LIST"}.get(i.analyzer, "FTS")
+                rows.append((
+                    fam, i.column, f"analyzer={i.analyzer}",
+                    len(i.covered_fragments), i.dataset_version))
+            for i in list_native_vector_indices(np_):
+                rows.append((
+                    "IVF_PQ", i.column,
+                    f"n_cells={i.n_cells},nsub={i.pq_nsub}",
+                    len(native_index_coverage(np_, i)),
+                    i.dataset_version))
+            for i in list_native_hnsw_indices(np_):
+                rows.append((
+                    "HNSW", i.column, f"m={i.m}",
+                    len(i.covered_fragments), i.dataset_version))
+            for i in list_native_ivf_hnsw_indices(np_):
+                rows.append((
+                    "IVF_HNSW", i.column,
+                    f"n_cells={i.n_cells},m={i.m}",
+                    len(i.covered_fragments), i.dataset_version))
+        else:
+            ds = self.load(ns, tbl)
+            p = ds.manifest.properties
+            nfrag = len(ds.manifest.fragments)
+            for col in sorted(p.get("scalar_indexes", [])):
+                rows.append(("BTREE", col, "kind=btree", nfrag,
+                             ds.version))
+            vspec = p.get("vector_indexes", {})
+            items = (sorted(vspec.items()) if isinstance(vspec, dict)
+                     else [(c, "IVF_FLAT") for c in sorted(vspec)])
+            for col, kind in items:
+                rows.append((str(kind).upper().split(":")[0], col,
+                             str(kind), nfrag, ds.version))
+        rows.sort()
+        return self.spark.createDataFrame(
+            rows,
+            "family string, column_name string, detail string, "
+            "covered_fragments long, dataset_version long")
+
     def _h_show_create(self, m) -> DataFrame:
         """`SHOW CREATE TABLE <schema>.<table>` — reconstructed DDL with
         the table's properties (vector columns, indexes, blob columns)
@@ -1348,6 +1413,10 @@ class LanceCatalog:
             _h_drop_schema,
         ),
         (r"SHOW\s+SCHEMAS$", _h_show_schemas),
+        (
+            rf"SHOW\s+INDEXES\s+ON\s+(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})$",
+            _h_show_indexes,
+        ),
         (rf"SHOW\s+TABLES(?:\s+IN\s+(?P<ns>{_NSID}))?$", _h_show_tables),
         (
             rf"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?"

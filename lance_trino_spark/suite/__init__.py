@@ -77,20 +77,21 @@ def register(
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round 14 window (EXACTLY 50; the driver samples the first 50).
-    # Front: the three NEW r14 queries (s25 boolean/NOT grammar, s26
-    # native HNSW sidecar, s27 IVF_HNSW composite), then r14
-    # CHANGED-CODE re-checks (the
-    # fuzzy-expansion rewrite touches s19; the prefilter over-cap gate +
-    # quoted-literal SQL parsing touch s21/cat27; the distributed-phrase
-    # fix touches s18), then the stalest cohort: the full r8-checked set
-    # (last driver row r8) and the r9-checked set up to the 50-cap — 44
-    # of the 50 predate r12, per the r13 verdict's freshness ask.
+    # Front: the four NEW r14 queries (s25 boolean/NOT grammar, s26
+    # native HNSW sidecar, s27 IVF_HNSW composite, cat38 SHOW INDEXES),
+    # then r14 CHANGED-CODE re-checks (the fuzzy-expansion rewrite
+    # touches s19; the prefilter over-cap gate + quoted-literal SQL
+    # parsing touch s21/cat27; the distributed-phrase fix touches s18),
+    # then the stalest cohort: the full r8-checked set (last driver row
+    # r8) and the r9-checked set up to the 50-cap — 42 of the 50
+    # predate r12, per the r13 verdict's freshness ask.
     # Still-stale after this round (lead the r15 window): the r9 tail
-    # (lf40-lf42 m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24), then the
+    # (lf39-lf42 m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24), then the
     # whole r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45, st10).
     "s25_fts_boolean_not",
     "s26_native_hnsw_index",
     "s27_native_ivf_hnsw",
+    "cat38_show_indexes",
     "s19_fts_fuzzy_match",
     "s21_fts_prefiltered_search",
     "s18_fts_phrase_boolean",
@@ -139,7 +140,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf35_native_rename_column",
     "lf37_native_clustered_compaction",
     "lf38_native_timestamp_travel",
-    "lf39_native_version_tags",
 )
 
 

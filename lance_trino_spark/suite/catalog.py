@@ -2635,3 +2635,93 @@ def cat37(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FTS SEARCH corpus.docs (text) "
         f"MATCHING '{' '.join(_CAT37_TERMS)}' TOP 15"
     ).select("doc_id", "dl", "score")
+
+
+# ---------------------------------------------------------------------------
+# cat38 — SHOW INDEXES (round 14): the Lance SDK's `list_indices()`
+# surface as SQL — one row per index sidecar with family / column /
+# detail / covered-fragment count / build dataset-version. The fixture
+# builds ALL SEVEN families on one native table (BTREE, BITMAP,
+# LABEL_LIST, FTS, IVF_PQ, HNSW, IVF_HNSW — 2 fragments by explicit
+# rows_per_fragment, every index built at dataset version 1), so the
+# listing is a constant table the DuckDB oracle states literally.
+# ---------------------------------------------------------------------------
+_CAT38_ORACLE = """
+SELECT * FROM (VALUES
+  ('BITMAP',   'cat',       'analyzer=keyword-v1',
+   CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  ('BTREE',    'vec_id',    'kind=int64',
+   CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  ('FTS',      'text',      'analyzer=whitespace-v1',
+   CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  ('HNSW',     'embedding', 'm=8',
+   CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  ('IVF_HNSW', 'embedding', 'n_cells=2,m=8',
+   CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  ('IVF_PQ',   'embedding', 'n_cells=2,nsub=4',
+   CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+  ('LABEL_LIST', 'tags',    'analyzer=label-v1',
+   CAST(2 AS BIGINT), CAST(1 AS BIGINT))
+) AS t(family, column_name, detail, covered_fragments, dataset_version)
+ORDER BY family, column_name
+"""
+
+
+@register(
+    "cat38_show_indexes",
+    oracle=_CAT38_ORACLE,
+    doc="SHOW INDEXES: one row per sidecar across all seven native "
+        "index families on one table (SDK list_indices as SQL)",
+    tags=("catalog", "sql", "index", "lance-format"),
+)
+def cat38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..format.lance_native import (
+        create_native_dataset,
+        write_native_bitmap_index,
+        write_native_fts_index,
+        write_native_hnsw_index,
+        write_native_ivf_hnsw_index,
+        write_native_label_index,
+        write_native_scalar_index,
+        write_native_vector_index,
+    )
+
+    cat = _fresh_catalog(spark, sf_dir, "cat38")
+    cat.sql("CREATE SCHEMA idx")
+    loc = cat.namespace.declare_table("idx", "t")
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id", "label",
+                   F.col("embedding").cast("array<float>")
+                   .alias("embedding")))
+    doc = (load_table(spark, sf_dir, "documents")
+           .select(F.col("doc_id").alias("vec_id"), "text"))
+    src = (emb.join(doc, "vec_id")
+           .select("vec_id",
+                   F.concat(F.lit("c"),
+                            (F.col("label") % 3).cast("string"))
+                   .alias("cat"),
+                   F.array(F.concat(
+                       F.lit("t"),
+                       (F.col("label") % 2).cast("string")))
+                   .alias("tags"),
+                   "text", "embedding")
+           .orderBy("vec_id"))
+    dim = int(src.select(F.size("embedding").alias("d")).first()["d"])
+    # exactly TWO fragments (one per range partition) so the oracle's
+    # covered_fragments column is a literal constant
+    create_native_dataset(
+        src.repartitionByRange(2, "vec_id"), loc,
+        fsl_columns={"embedding": dim}, file_version=2)
+
+    write_native_scalar_index(loc, "vec_id", page_rows=64)
+    write_native_bitmap_index(loc, "cat")
+    write_native_label_index(loc, "tags")
+    write_native_fts_index(loc, "text", n_buckets=4)
+    write_native_vector_index(loc, "embedding", n_cells=2, nsub=4)
+    write_native_hnsw_index(loc, "embedding", m=8)
+    write_native_ivf_hnsw_index(loc, "embedding", n_cells=2, m=8)
+
+    return cat.sql("SHOW INDEXES ON idx.t").orderBy(
+        "family", "column_name")
