@@ -1539,7 +1539,7 @@ def cat25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cat26(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
-        native_create_tag, read_native_manifest, write_native_dataset)
+        native_create_tag, read_native_manifest)
     from ..sources.lance_datasource import register_lance_datasource
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -1548,26 +1548,20 @@ def cat26(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.join(root, "geo"))
     loc = os.path.join(root, "geo", "nation.lance")
 
-    rows = (
+    # fixture lands DISTRIBUTED (r14 — grandfather entry retired):
+    # create_native_dataset(df) + the DSv2 append path
+    from ..format.lance_native import create_native_dataset
+
+    register_lance_datasource(spark)
+    src = (
         load_table(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "n_nationkey": [int(r["n_nationkey"]) for r in rs],
-        "n_name": [str(r["n_name"]) for r in rs],
-        "n_regionkey": [int(r["n_regionkey"]) for r in rs],
-    }
-    from ..format.lance_native import append_native_rows
-
-    write_native_dataset(
-        loc, cols([r for r in rows if r["n_nationkey"] < 15]))
-    append_native_rows(
-        loc, cols([r for r in rows if r["n_nationkey"] >= 15]))
+    create_native_dataset(src.where("n_nationkey < 15").coalesce(1), loc)
+    src.where("n_nationkey >= 15").coalesce(1).write.format("lance") \
+        .mode("append").save(loc)
     native_create_tag(loc, "base", 1)
-
-    register_lance_datasource(spark)
     spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
     spark.conf.set(
         "spark.sql.catalog.lance_jvm_nat", "io.lancespark.LanceJvmCatalog")
@@ -1821,8 +1815,7 @@ def cat28(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("catalog", "jvm", "sql", "lance-native", "dml", "delete"),
 )
 def cat29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..format.lance_native import (
-        append_native_rows, read_native_manifest, write_native_dataset)
+    from ..format.lance_native import read_native_manifest
     from ..sources.lance_datasource import register_lance_datasource
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -1831,23 +1824,19 @@ def cat29(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.join(root, "geo"))
     loc = os.path.join(root, "geo", "nation.lance")
 
-    rows = (
+    # fixture lands DISTRIBUTED (r14 — grandfather entry retired)
+    from ..format.lance_native import create_native_dataset
+
+    register_lance_datasource(spark)
+    src = (
         load_table(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "n_nationkey": [int(r["n_nationkey"]) for r in rs],
-        "n_name": [str(r["n_name"]) for r in rs],
-        "n_regionkey": [int(r["n_regionkey"]) for r in rs],
-    }
-    write_native_dataset(
-        loc, cols([r for r in rows if r["n_nationkey"] < 15]))
-    append_native_rows(
-        loc, cols([r for r in rows if r["n_nationkey"] >= 15]))
-
-    register_lance_datasource(spark)
+    n_total = src.count()
+    create_native_dataset(src.where("n_nationkey < 15").coalesce(1), loc)
+    src.where("n_nationkey >= 15").coalesce(1).write.format("lance") \
+        .mode("append").save(loc)
     spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
     spark.conf.set(
         "spark.sql.catalog.lance_jvm_del29", "io.lancespark.LanceJvmCatalog")
@@ -1872,7 +1861,7 @@ def cat29(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pre-delete snapshot stays readable
     hist = spark.sql(
         "SELECT COUNT(*) AS c FROM lance_jvm_del29.geo.nation "
-        f"VERSION AS OF {m0.version}").collect()[0]["c"] == len(rows)
+        f"VERSION AS OF {m0.version}").collect()[0]["c"] == n_total
 
     return spark.sql(
         "SELECT n_regionkey AS region, COUNT(*) AS n,"
@@ -1947,8 +1936,7 @@ def cat29(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("catalog", "jvm", "sql", "lance-native", "dml", "update", "merge"),
 )
 def cat30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..format.lance_native import (
-        append_native_rows, read_native_manifest, write_native_dataset)
+    from ..format.lance_native import read_native_manifest
     from ..sources.lance_datasource import register_lance_datasource
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -1957,22 +1945,20 @@ def cat30(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.join(root, "db"))
     loc = os.path.join(root, "db", "cust.lance")
 
-    rows = (
-        load_table(spark, sf_dir, "customer")
-        .where("c_custkey < 120")
-        .select("c_custkey", "c_nationkey", "c_mktsegment")
-        .orderBy("c_custkey")
-        .collect()
-    )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "c_custkey": [int(r["c_custkey"]) for r in rs],
-        "c_nationkey": [int(r["c_nationkey"]) for r in rs],
-        "seg": [str(r["c_mktsegment"]) for r in rs],
-    }
-    write_native_dataset(loc, cols([r for r in rows if r["c_custkey"] < 60]))
-    append_native_rows(loc, cols([r for r in rows if r["c_custkey"] >= 60]))
+    # fixture lands DISTRIBUTED (r14 — grandfather entry retired)
+    from ..format.lance_native import create_native_dataset
 
     register_lance_datasource(spark)
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .where("c_custkey < 120")
+        .selectExpr("c_custkey", "c_nationkey", "c_mktsegment AS seg")
+        .orderBy("c_custkey")
+    )
+    n_total = src.count()
+    create_native_dataset(src.where("c_custkey < 60").coalesce(1), loc)
+    src.where("c_custkey >= 60").coalesce(1).write.format("lance") \
+        .mode("append").save(loc)
     spark.sql(f"ADD JAR {_jvm_catalog_jar()}")
     spark.conf.set(
         "spark.sql.catalog.lance_jvm_rl30", "io.lancespark.LanceJvmCatalog")
@@ -2017,7 +2003,7 @@ def cat30(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every pre-statement snapshot stays readable
     hist = spark.sql(
         "SELECT COUNT(*) AS c FROM lance_jvm_rl30.db.cust "
-        f"VERSION AS OF {m0.version}").collect()[0]["c"] == len(rows)
+        f"VERSION AS OF {m0.version}").collect()[0]["c"] == n_total
 
     return spark.sql(
         "SELECT seg AS segment, COUNT(*) AS n,"
