@@ -492,35 +492,33 @@ def ds09(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("connector", "streaming", "cdc", "lance-native"),
 )
 def ds10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from ..format.lance_native import (
-        append_native_rows,
+        create_native_dataset,
         native_delete_where,
         native_update_where,
-        write_native_dataset,
     )
     from ..streaming.events import run_to_memory
 
     register_lance_datasource(spark)
     path = _fresh_path(sf_dir, "ds10-native-cdc")
-    rows = (
+    # fixture lands DISTRIBUTED (r14 — grandfather entry retired):
+    # create_native_dataset(df) for v1, the DSv2 append for v2; the
+    # CDC oracle is split-point-invariant (inserts counted across
+    # versions), so a percentile cut replaces the index-half split
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 600)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .selectExpr(
+            "o_orderkey", "o_orderpriority",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c")
         .orderBy("o_orderkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
-        "price_c": [
-            math.floor(float(r["o_totalprice"]) * 100 + 0.5) for r in rs
-        ],
-    }
-    half = len(rows) // 2
-    write_native_dataset(path, cols(rows[:half]))               # v1
-    append_native_rows(path, cols(rows[half:]))                 # v2
+    cut = int(src.selectExpr(
+        "percentile_approx(o_orderkey, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"o_orderkey < {cut}").coalesce(1), path)     # v1
+    src.where(f"o_orderkey >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)        # v2
     native_delete_where(                                        # v3
         spark, path, F.col("o_orderpriority") == "5-LOW")
     native_update_where(                                        # v4
