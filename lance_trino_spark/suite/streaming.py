@@ -330,7 +330,7 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..format.lance_native import append_native_rows, write_native_dataset
+    from ..format.lance_native import create_native_dataset
     from ..sources.lance_datasource import register_lance_datasource
     from ..tables import load_table
 
@@ -341,20 +341,23 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     p = os.path.join(scratch, f"{tag}-st11-native.lance")
     shutil.rmtree(p, ignore_errors=True)
-    nation = (
+    # fixture lands DISTRIBUTED (r14 — grandfather entry retired):
+    # nation keys are DENSE 0..24, so the old index-half splits map to
+    # exact key cuts (< 12, 12..16, >= 17)
+    src = (
         load_table(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_regionkey")
-        .orderBy("n_nationkey")
-        .collect()
+        .selectExpr("n_regionkey AS region", "n_nationkey AS nationkey")
+        .orderBy("nationkey")
     )
-    half = len(nation) // 2
-    def cols(rows):
-        return {
-            "region": [int(r["n_regionkey"]) for r in rows],
-            "nationkey": [int(r["n_nationkey"]) for r in rows],
-        }
-    write_native_dataset(p, cols(nation[:half]))
-    append_native_rows(p, cols(nation[half:half + 5]))
+    half = src.count() // 2
+
+    def appendw(cond):
+        src.where(cond).coalesce(1).write.format("lance") \
+            .mode("append").save(p)
+
+    create_native_dataset(
+        src.where(f"nationkey < {half}").coalesce(1), p)
+    appendw(f"nationkey >= {half} AND nationkey < {half + 5}")
     ckpt = tempfile.mkdtemp(prefix="st11_ckpt_")
     out_dir = tempfile.mkdtemp(prefix="st11_out_")
 
@@ -372,7 +375,7 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     drain()
     n_first = spark.read.parquet(out_dir).count()
-    append_native_rows(p, cols(nation[half + 5:]))  # late arrivals
+    appendw(f"nationkey >= {half + 5}")  # late arrivals
     drain()
     out = spark.read.parquet(out_dir)
     if n_first >= out.count():

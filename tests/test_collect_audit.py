@@ -196,7 +196,6 @@ SUITE_FIXTURE_GRANDFATHERED: frozenset = frozenset({
     ("suite/lance_format.py", "lf45"),
     ("suite/lance_format.py", "lf46"),
     ("suite/lance_format.py", "lf47"),
-    ("suite/streaming.py", "st11"),
 })
 
 
