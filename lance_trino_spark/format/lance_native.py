@@ -8998,6 +8998,13 @@ def _fts_parse_query(query: str, analyzer: str = FTS_ANALYZER):
         if w.endswith("~") and len(w) > 1:
             add((_FTS_FUZZY, w[:-1]), neg)
             continue
+        if len(w) > 2 and w[-2] == "~" and w[-1] in "12":
+            # tantivy fuzziness levels: word~1 == word~, word~2 allows
+            # plain Levenshtein distance 2 (r14)
+            op = ((_FTS_FUZZY, w[:-2]) if w[-1] == "1"
+                  else (_FTS_FUZZY, w[:-2], 2))
+            add(op, neg)
+            continue
         for t in _fts_tokenize(w, analyzer):
             if t:
                 add((t,), neg)
@@ -9030,6 +9037,59 @@ def _fts_edit1(a: str, b: str) -> bool:
         else:
             return False
     return True
+
+
+def _fts_lev_le(a: str, b: str, k: int) -> bool:
+    """Plain Levenshtein distance <= k (DuckDB levenshtein parity:
+    substitution/insert/delete cost 1, NO transposition bonus). k=1
+    delegates to the closed-form _fts_edit1; k>=2 runs the classic DP
+    with an early exit when a whole row exceeds k (tokens are words —
+    the quadratic is over ~10-char strings)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if k <= 1:
+        return _fts_edit1(a, b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i]
+        for j in range(1, lb + 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != b[j - 1])))
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def _fts_fuzzy_dist(op: tuple) -> int:
+    """A fuzzy operand's edit-distance bound: (_FTS_FUZZY, word) is the
+    pre-r14 distance-1 shape; (_FTS_FUZZY, word, 2) is `word~2`."""
+    return int(op[2]) if len(op) > 2 else 1
+
+
+def _fts_editk_filter(word: str, tokens: list, k: int = 1) -> list:
+    """All ``tokens`` within plain Levenshtein distance <= k of
+    ``word``. k=1 is the fully vectorized lcp/lcs filter; k=2 length-
+    bands vectorized (|len diff| <= 2) then runs the scalar DP on the
+    surviving band — tokens are words, so the per-candidate DP is a
+    few microseconds and the scan stays bounded by
+    MAX_FUZZY_SCAN_TOKENS either way."""
+    import numpy as np
+
+    if k <= 1:
+        return _fts_edit1_filter(word, tokens)
+    if not tokens:
+        return []
+    lw = len(word)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64,
+                       count=len(tokens))
+    sel = np.nonzero(np.abs(lens - lw) <= k)[0]
+    return [tokens[int(i)] for i in sel
+            if _fts_lev_le(word, tokens[int(i)], k)]
 
 
 def _fts_edit1_filter(word: str, tokens: list) -> list:
@@ -9085,13 +9145,14 @@ def _fts_edit1_filter(word: str, tokens: list) -> list:
     return [tokens[i] for i in sorted(hit)]
 
 
-def _fts_fuzzy_scan_file(path: str, words: list) -> tuple:
-    """One postings file's fuzzy-expansion scan: reads the meta tail,
-    and — when the token-length fences (fields 8/9, r14) exclude every
-    word's |len - 1| band — returns WITHOUT decoding the dictionary.
+def _fts_fuzzy_scan_file(path: str, specs: list) -> tuple:
+    """One postings file's fuzzy-expansion scan over ``specs`` =
+    [(word, max_edit_distance)]: reads the meta tail, and — when the
+    token-length fences (fields 8/9, r14) exclude every word's
+    |len - dist| band — returns WITHOUT decoding the dictionary.
     Otherwise decodes the token block once (transient: nothing is
-    cached) and runs the vectorized filter per word. Returns
-    ({word_index -> [matched token, ...]}, n_tokens_decoded)."""
+    cached) and runs the distance-k filter per word. Returns
+    ({spec_index -> [matched token, ...]}, n_tokens_decoded)."""
     with nio.open_read(path) as fh:
         fh.seek(0, os.SEEK_END)
         fsize = fh.tell()
@@ -9118,19 +9179,19 @@ def _fts_fuzzy_scan_file(path: str, words: list) -> tuple:
     if toks_raw is None or counts_raw is None:
         raise LanceNativeError(f"{path}: incomplete postings metadata")
     if mn is not None and mx is not None and not any(
-            mn - 1 <= len(w) <= mx + 1 for w in words):
+            mn - d <= len(w) <= mx + d for w, d in specs):
         return {}, 0
     tokens = _dec_values_block(
         "string", toks_raw, len(_packed_varints(counts_raw)))
     matches = {}
-    for wi, w in enumerate(words):
-        got = _fts_edit1_filter(w, tokens)
+    for wi, (w, d) in enumerate(specs):
+        got = _fts_editk_filter(w, tokens, d)
         if got:
             matches[wi] = got
     return matches, len(tokens)
 
 
-def _fts_expand_fuzzy_distributed(root: str, paths: list, words: list,
+def _fts_expand_fuzzy_distributed(root: str, paths: list, specs: list,
                                   spark) -> list:
     """One Spark task per postings file scans that file's OWN token
     dictionary (the _fts_fuzzy_scan_file kernel — fences + vectorized
@@ -9142,7 +9203,7 @@ def _fts_expand_fuzzy_distributed(root: str, paths: list, words: list,
 
     _require_shared_store(root, "the distributed fuzzy expansion")
     binding = nio.binding_for(root)
-    wlist = list(words)
+    wlist = [tuple(s) for s in specs]
     spec = spark.createDataFrame(
         [(i, p) for i, p in enumerate(paths)], "i int, path string",
     ).repartition(min(len(paths), 256), "i")
@@ -9176,7 +9237,7 @@ def _fts_expand_fuzzy_distributed(root: str, paths: list, words: list,
                   .limit(len(wlist)).collect()):
             if int(r["count"]) > MAX_FUZZY_EXPANSIONS:
                 raise LanceNativeError(
-                    f"fuzzy operand {wlist[int(r['wi'])]!r}~ expands "
+                    f"fuzzy operand {wlist[int(r['wi'])][0]!r}~ expands "
                     f"to {int(r['count'])} vocabulary terms (> "
                     f"MAX_FUZZY_EXPANSIONS={MAX_FUZZY_EXPANSIONS}) — "
                     "use a longer/more specific word")
@@ -9190,7 +9251,7 @@ def _fts_expand_fuzzy_distributed(root: str, paths: list, words: list,
     return found
 
 
-def _fts_expand_fuzzy(root: str, idx, words: list, spark=None,
+def _fts_expand_fuzzy(root: str, idx, specs: list, spark=None,
                       stats: dict | None = None) -> dict:
     """Fuzzy vocabulary expansion WITHOUT a driver-side vocabulary
     (VERDICT r13 weak #1): bucket files stream one at a time through
@@ -9198,22 +9259,24 @@ def _fts_expand_fuzzy(root: str, idx, words: list, spark=None,
     the decode is transient; the edit-distance filter is vectorized).
     Past MAX_FUZZY_SCAN_TOKENS decoded tokens the scan hands off to
     the one-task-per-file distributed arm (spark given) or refuses
-    loudly. Returns {word -> sorted variant list}; each word's
-    expansion is capped at MAX_FUZZY_EXPANSIONS."""
+    loudly. ``specs`` is [(word, max_edit_distance)]; returns
+    {(word, dist) -> sorted variant list}; each word's expansion is
+    capped at MAX_FUZZY_EXPANSIONS."""
+    specs = [tuple(s) for s in specs]
     d = os.path.dirname(idx.path)
     paths = [os.path.join(d, b)
              for run in idx.run_files for b in run if b]
-    found: list = [set() for _ in words]
+    found: list = [set() for _ in specs]
     scanned = 0
     mode = "serial"
     for p in paths:
-        matches, n = _fts_fuzzy_scan_file(p, words)
+        matches, n = _fts_fuzzy_scan_file(p, specs)
         scanned += n
         for wi, toks in matches.items():
             found[wi].update(toks)
             if len(found[wi]) > MAX_FUZZY_EXPANSIONS:
                 raise LanceNativeError(
-                    f"fuzzy operand {words[wi]!r}~ expands to "
+                    f"fuzzy operand {specs[wi][0]!r}~ expands to "
                     f"{len(found[wi])} vocabulary terms (> "
                     f"MAX_FUZZY_EXPANSIONS={MAX_FUZZY_EXPANSIONS}) — "
                     "use a longer/more specific word")
@@ -9227,22 +9290,22 @@ def _fts_expand_fuzzy(root: str, idx, words: list, spark=None,
                     "expansion fans out one task per postings file")
             mode = "distributed"
             found = _fts_expand_fuzzy_distributed(
-                root, paths, words, spark)
+                root, paths, specs, spark)
             break
     if stats is not None:
         stats["fuzzy_scan_mode"] = mode
         stats["fuzzy_scanned_tokens"] = (
             scanned if mode == "serial" else -1)
     out = {}
-    for wi, w in enumerate(words):
+    for wi, spec in enumerate(specs):
         exp = sorted(found[wi])
         if len(exp) > MAX_FUZZY_EXPANSIONS:
             raise LanceNativeError(
-                f"fuzzy operand {w!r}~ expands to {len(exp)} "
+                f"fuzzy operand {spec[0]!r}~ expands to {len(exp)} "
                 f"vocabulary terms (> MAX_FUZZY_EXPANSIONS="
                 f"{MAX_FUZZY_EXPANSIONS}) — use a longer/more "
                 "specific word")
-        out[w] = exp
+        out[spec] = exp
     return out
 
 
@@ -9254,8 +9317,8 @@ def _fts_op_count(toks: list, op: tuple) -> int:
     if len(op) == 1:
         return toks.count(op[0])
     if op[0] == _FTS_FUZZY:
-        w = op[1]
-        return sum(1 for t in toks if _fts_edit1(w, t))
+        w, dk = op[1], _fts_fuzzy_dist(op)
+        return sum(1 for t in toks if _fts_lev_le(w, t, dk))
     m = len(op)
     return sum(
         1 for i in range(len(toks) - m + 1)
@@ -10213,11 +10276,12 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     # itself NEVER materializes on the driver (VERDICT r13)
     fuzzy_exp: dict[tuple, list] = {}
     if fuzzy_ops:
-        exp_by_word = _fts_expand_fuzzy(
-            root, idx, [op[1] for op in fuzzy_ops], spark=spark,
-            stats=stats)
+        exp_by_spec = _fts_expand_fuzzy(
+            root, idx,
+            [(op[1], _fts_fuzzy_dist(op)) for op in fuzzy_ops],
+            spark=spark, stats=stats)
         for op in fuzzy_ops:
-            fuzzy_exp[op] = exp_by_word[op[1]]
+            fuzzy_exp[op] = exp_by_spec[(op[1], _fts_fuzzy_dist(op))]
             for t in fuzzy_exp[op]:
                 if t not in terms:
                     terms.append(t)
@@ -11135,11 +11199,13 @@ def native_fts_search_fresh(root: str, column: str, query: str,
         if fuzzy_ops:  # expansion over the covered arm's vocabulary —
             # streamed + fenced + vectorized, distributed past the
             # scan cap; never a driver-side vocabulary (VERDICT r13)
-            exp_by_word = _fts_expand_fuzzy(
-                root, idx, [op[1] for op in fuzzy_ops], spark=spark,
-                stats=stats)
+            exp_by_spec = _fts_expand_fuzzy(
+                root, idx,
+                [(op[1], _fts_fuzzy_dist(op)) for op in fuzzy_ops],
+                spark=spark, stats=stats)
             for op in fuzzy_ops:
-                fuzzy_exp[op] = exp_by_word[op[1]]
+                fuzzy_exp[op] = exp_by_spec[
+                    (op[1], _fts_fuzzy_dist(op))]
                 for t in fuzzy_exp[op]:
                     if t not in terms:
                         terms.append(t)

@@ -1468,7 +1468,8 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # s19 — FUZZY term matching (round 13): the LanceDB MatchQuery `fuzziness`
-# surface on the native inverted index. A trailing-~ operand expands over
+# surface on the native inverted index (fuzziness 1 AND 2 since r14:
+# `w~`/`w~1` = distance 1, `w~2` = distance 2). A trailing-~ operand expands over
 # the indexed VOCABULARY (a metadata scan of the bucket token
 # dictionaries — never a posting) to every token within plain Levenshtein
 # distance 1, then scores as ONE BM25 pseudo-term whose tf per doc is the
@@ -1477,7 +1478,10 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical to the SQL oracle, whose tf is a levenshtein() list_filter
 # (DuckDB's plain Levenshtein == _fts_edit1, transpositions cost 2).
 # ---------------------------------------------------------------------------
-_S19_FUZZY = ("vektor", "scann")   # typos of corpus terms vector / scan
+# (word, max edit distance) — typos of corpus terms vector / scan, plus
+# `strm~2`: stream needs TWO inserts, so only the r14 fuzziness-2 arm
+# reaches it (the oracle term is levenshtein(x, 'strm') <= 2)
+_S19_FUZZY = (("vektor", 1), ("scann", 1), ("strm", 2))
 
 
 def _s19_oracle() -> str:
@@ -1499,9 +1503,9 @@ def _s19_oracle() -> str:
         )
 
     tf_cols = ",\n             ".join(
-        f"len(list_filter(toks, x -> levenshtein(x, '{w}') <= 1))"
+        f"len(list_filter(toks, x -> levenshtein(x, '{w}') <= {d}))"
         f" AS tf_{i}"
-        for i, w in enumerate(_S19_FUZZY)
+        for i, (w, d) in enumerate(_S19_FUZZY)
     )
     return f"""
     WITH per_doc AS (
@@ -1512,12 +1516,13 @@ def _s19_oracle() -> str:
     stats AS (
       SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
              SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
-             SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1
+             SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+             SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
       FROM per_doc)
     SELECT doc_id, CAST(dl AS INT) AS dl,
-           0.0 + {contrib("0")} + {contrib("1")} AS score
+           0.0 + {contrib("0")} + {contrib("1")} + {contrib("2")} AS score
     FROM per_doc, stats
-    WHERE tf_0 > 0 OR tf_1 > 0
+    WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
     ORDER BY score DESC, doc_id
     LIMIT 15
     """
@@ -1551,9 +1556,10 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln.create_native_dataset(src, path)
     ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
 
-    query = " ".join(f"{w}~" for w in _S19_FUZZY)
+    query = " ".join(
+        f"{w}~" if d == 1 else f"{w}~{d}" for w, d in _S19_FUZZY)
     got, st = ln.native_fts_search(path, "text", query, k=15)
-    assert st["operands"] == 2 and st.get("fuzzy_expansions", 0) >= 2
+    assert st["operands"] == 3 and st.get("fuzzy_expansions", 0) >= 3
     assert st["mode"] == "driver"
 
     m = ln.read_native_manifest(path)

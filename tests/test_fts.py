@@ -1460,3 +1460,62 @@ def test_fts_or_not_grammar(tmp_path, spark, monkeypatch):
         root, "text", "alpha -delta", k=10,
         prefilter=("doc_id", [0, 2, 100]))
     assert {a for a, _dl, _s in got_p} == {0, (1 << 32) | 0}
+
+
+def test_fts_fuzzy_distance_two(tmp_path, spark, monkeypatch):
+    """r14: tantivy fuzziness levels — `word~1` == `word~`, `word~2`
+    matches tokens within plain Levenshtein distance 2 (DuckDB
+    levenshtein parity; a transposition costs 2, so `mrege~2` finds
+    merge where `mrege~` cannot). One pseudo-term per operand (integer
+    tf sum over ALL matched variants); driver == brute bitwise;
+    distributed arm == driver bitwise; exclusion composes; expansion
+    scan stays fenced (bands widen to |len - 2|)."""
+    docs = [
+        "merge stream now",        # 0: merge at d2 from mrege
+        "marge only",              # 1: d1 from merge -> d<=2 of mrege?
+        "strm here",               # 2
+        "stream of words",         # 3: strm~2 hits (2 inserts)
+        "nothing else",            # 4
+        "merge merge merge",       # 5: tf 3
+    ]
+    root = str(tmp_path / "fts_f2.lance")
+    _mk(root, docs)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+
+    # scalar semantics pins
+    assert ln._fts_lev_le("mrege", "merge", 2)       # transposition = 2
+    assert not ln._fts_lev_le("mrege", "merge", 1)
+    assert ln._fts_lev_le("strm", "stream", 2)       # two inserts
+    assert not ln._fts_lev_le("strm", "stream", 1)
+
+    for q in ["mrege~2", "strm~2", "mrege~2 AND stream",
+              "strm~2 -only", "merge~1 strm~2"]:
+        want = _brute_ops(docs, q, 10)
+        got, st = ln.native_fts_search(root, "text", q, k=10)
+        assert [(a & 0xFFFFFFFF, dl) for a, dl, _ in got] == [
+            (i, dl) for i, dl, _ in want], q
+        assert [s for _, _, s in got] == [s for _, _, s in want], q
+        monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 1)
+        monkeypatch.setattr(ln, "FTS_CHUNK_POSTINGS", 2)
+        got_d, st_d = ln.native_fts_search(
+            root, "text", q, k=10, spark=spark)
+        monkeypatch.undo()
+        assert st_d["mode"] == "distributed" and got_d == got, q
+
+    # ~2 widens the hit set beyond ~1 (the distance actually matters)
+    h1 = {a & 0xFFFFFFFF for a, _d, _s in
+          ln.native_fts_search(root, "text", "mrege~", k=10)[0]}
+    h2 = {a & 0xFFFFFFFF for a, _d, _s in
+          ln.native_fts_search(root, "text", "mrege~2", k=10)[0]}
+    assert h1 < h2 and {0, 5} <= h2
+
+    # length fences stay effective at the widened band
+    _, stl = ln.native_fts_search(
+        root, "text", "averyveryverylongfuzzyword~2", k=5)
+    assert stl["fuzzy_scanned_tokens"] == 0
+
+    # fresh path: the uncovered exact arm counts at the same distance
+    ln.append_native_rows(root, {
+        "doc_id": [100], "text": ["stream late arrival"]})
+    got_f, _ = ln.native_fts_search_fresh(root, "text", "strm~2", k=10)
+    assert (1 << 32) in {a for a, _d, _s in got_f}
