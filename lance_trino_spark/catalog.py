@@ -688,6 +688,29 @@ class LanceCatalog:
             f"bitmap-indexed {ns}.{tbl}({col}) "
             f"{'(already covered)' if uid is None else uid} (native)")
 
+    def _h_create_ngram_index(self, m) -> DataFrame:
+        """`CREATE NGRAM INDEX ON <schema>.<table> (<col>)` — the
+        substring-search (ngram-v1) index, the Lance SDK's fifth scalar
+        family: distinct lowercase trigrams per value, so the scan's
+        contains()/LIKE '%s%' pushdown preselects candidate rows from
+        postings intersection and the residual recheck keeps exactness.
+        Incremental like CREATE FTS INDEX; DROP FTS INDEX drops it
+        (same sidecar family)."""
+        ns, tbl, col = m.group("ns"), m.group("tbl"), m.group("col")
+        np_ = self._native(ns, tbl)
+        if np_ is None:
+            raise CatalogError(
+                f"{ns}.{tbl} is not a native-format table — NGRAM "
+                "indexes live in native `.lance` sidecars")
+        from .format.lance_native import ensure_native_fts_index
+
+        uid = ensure_native_fts_index(
+            np_, col, spark=self.spark, incremental=True,
+            analyzer="ngram-v1")
+        return self._status(
+            f"ngram-indexed {ns}.{tbl}({col}) "
+            f"{'(already covered)' if uid is None else uid} (native)")
+
     def _h_fts_search(self, m) -> DataFrame:
         """`FTS SEARCH <schema>.<table> (<col>) MATCHING '<query>'
         [TOP <k>]` — LIVE-SNAPSHOT BM25 (lf43's freshness contract):
@@ -949,7 +972,7 @@ class LanceCatalog:
     def _h_show_indexes(self, m) -> DataFrame:
         """`SHOW INDEXES ON <schema>.<table>` — one row per index
         sidecar on the table: family (BTREE / BITMAP / LABEL_LIST /
-        FTS / IVF_PQ / HNSW / IVF_HNSW), column, a family-specific
+        NGRAM / FTS / IVF_PQ / HNSW / IVF_HNSW), column, a family-specific
         detail string, covered-fragment count, and the dataset version
         the index was built at. The Lance SDK's `list_indices()`
         surface as SQL; own-format tables list their manifest-property
@@ -973,7 +996,8 @@ class LanceCatalog:
                     len(i.covered_fragments), i.dataset_version))
             for i in list_native_fts_indices(np_):
                 fam = {"keyword-v1": "BITMAP",
-                       "label-v1": "LABEL_LIST"}.get(i.analyzer, "FTS")
+                       "label-v1": "LABEL_LIST",
+                       "ngram-v1": "NGRAM"}.get(i.analyzer, "FTS")
                 rows.append((
                     fam, i.column, f"analyzer={i.analyzer}",
                     len(i.covered_fragments), i.dataset_version))
@@ -1493,6 +1517,12 @@ class LanceCatalog:
             rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
             _h_create_bitmap_index,
+        ),
+        (
+            rf"CREATE\s+NGRAM\s+INDEX\s+ON\s+"
+            rf"(?P<ns>{_NSID})\.(?P<tbl>{_IDENT})"
+            rf"\s*\(\s*(?P<col>{_IDENT})\s*\)$",
+            _h_create_ngram_index,
         ),
         (
             rf"CREATE\s+FTS\s+INDEX\s+ON\s+"

@@ -8664,15 +8664,34 @@ def _fts_tokenize(text, analyzer: str = FTS_ANALYZER) -> list[str]:
         if isinstance(text, str):
             return [text]
         return [str(x) for x in text if x is not None]
+    if analyzer == "ngram-v1":
+        # NGRAM index (the Lance SDK's fifth scalar family, r14): the
+        # DISTINCT lowercase trigrams of the whole value (shorter
+        # values contribute their lowercased self as one gram), so a
+        # substring query's trigram-postings intersection is a
+        # candidate SUPERSET of contains() matches — always rechecked
+        # by the residual filter, never trusted for exactness.
+        s = str(text).lower()
+        if len(s) <= NGRAM_N:
+            return [s] if s else []
+        return list(dict.fromkeys(
+            s[i:i + NGRAM_N] for i in range(len(s) - NGRAM_N + 1)))
     if analyzer != FTS_ANALYZER:
         raise LanceNativeError(
             f"unknown fts analyzer {analyzer!r} (have: "
             f"{FTS_ANALYZER!r}, 'simple-v1', 'keyword-v1', "
-            "'label-v1')")
+            "'label-v1', 'ngram-v1')")
     return _re.split(r"\s+", str(text).strip())
 
 
-FTS_ANALYZERS = (FTS_ANALYZER, "simple-v1", "keyword-v1", "label-v1")
+FTS_ANALYZERS = (FTS_ANALYZER, "simple-v1", "keyword-v1", "label-v1",
+                 "ngram-v1")
+# NGRAM family gram width (the Lance SDK's trigram choice).
+NGRAM_N = 3
+# A substring probe intersects at most this many grams, rarest first —
+# more grams add meta reads, not selectivity, once the candidate set
+# collapses.
+NGRAM_MAX_PROBE_GRAMS = 8
 
 
 def _fts_bucket_of(token: str, n_buckets: int) -> int:
@@ -9812,8 +9831,13 @@ def list_native_fts_indices(root: str) -> list[NativeFtsIndex]:
 
 def latest_native_fts_index(root: str, column: str
                             ) -> NativeFtsIndex | None:
+    """Newest BM25-scorable index on the column. Excludes ngram-v1:
+    trigram postings are substring candidates, not term postings — a
+    trigram sidecar built LATER on the same column must never hijack
+    text search (r14 guard). keyword-v1/label-v1 stay searchable (exact
+    whole-value / whole-tag matching is a feature, s22 pins it)."""
     for idx in reversed(list_native_fts_indices(root)):
-        if idx.column == column:
+        if idx.column == column and idx.analyzer != "ngram-v1":
             return idx
     return None
 
@@ -10980,6 +11004,111 @@ def native_label_lookup(root: str, column: str, values,
         for fid in np.unique(fids):
             out[int(fid)] = np.sort(poss[fids == fid])
     return out, idx.covered_fragments
+
+
+def write_native_ngram_index(root: str, column: str,
+                             n_buckets: int = DEFAULT_FTS_BUCKETS,
+                             spark=None) -> str:
+    """NGRAM index — the Lance SDK's substring-search scalar family
+    (the fifth of BTREE/BITMAP/LABEL_LIST/FTS/NGRAM) re-expressed on
+    the inverted-index machinery: the ngram-v1 analyzer tokenizes each
+    string value into its DISTINCT lowercase trigrams, so a
+    contains()/LIKE '%s%' probe's trigram-postings intersection is a
+    page-bounded candidate SUPERSET of the matches (case folded at
+    build — case-sensitive semantics are restored by the residual
+    recheck, which the scan keeps unconditionally: exactness never
+    rests on this sidecar). LSM extends, distributed build/compaction,
+    and vacuum are all inherited. Reference stance: lance's NGram
+    scalar index answers contains() as an inexact AtMost set that the
+    engine rechecks."""
+    return write_native_fts_index(
+        root, column, n_buckets=n_buckets, spark=spark,
+        analyzer="ngram-v1")
+
+
+def latest_native_ngram_index(root: str, column: str
+                              ) -> NativeFtsIndex | None:
+    for idx in reversed(list_native_fts_indices(root)):
+        if idx.column == column and idx.analyzer == "ngram-v1":
+            return idx
+    return None
+
+
+def native_ngram_lookup(root: str, column: str, needle: str,
+                        index: NativeFtsIndex | None = None,
+                        addr_lo: int | None = None,
+                        addr_hi: int | None = None):
+    """Candidate row addresses whose column MAY contain ``needle``
+    (case-insensitive superset — the caller rechecks exactly):
+    intersection of the needle's trigram postings, rarest grams first,
+    early-exit on empty. Page-bounded: one meta read per touched
+    bucket file, then one postings range per (gram, run) — restricted
+    to [addr_lo, addr_hi) via the skip samples when given (the
+    per-fragment preselect shape: a task reads O(this fragment's
+    postings), never a term's full corpus-wide list).
+
+    Returns (sorted u64 candidate addrs | None, covered_fragments).
+    None = unservable (needle shorter than NGRAM_N, or every gram's
+    postings exceed MAX_FTS_POSTINGS) — the caller falls back to the
+    plain scan, which stays exact."""
+    import numpy as np
+
+    idx = index if index is not None else latest_native_ngram_index(
+        root, column)
+    if idx is None:
+        raise LanceNativeError(
+            f"no ngram (ngram-v1) index on {column!r} — build one "
+            "with write_native_ngram_index")
+    if needle is None or len(needle) < NGRAM_N:
+        return None, idx.covered_fragments
+    grams = _fts_tokenize(needle, "ngram-v1")
+    d = os.path.dirname(idx.path)
+    meta_cache: dict[str, tuple] = {}
+    # Meta pass: per-gram (path, loc, skipmeta) slices + total counts —
+    # the access decision happens before any posting byte is read.
+    per_gram: list[tuple[int, list]] = []
+    for g in grams:
+        b = _fts_bucket_of(g, idx.n_buckets)
+        slices: list = []
+        total = 0
+        for run in idx.run_files:
+            if not run[b]:
+                continue
+            path = os.path.join(d, run[b])
+            if path not in meta_cache:
+                meta_cache[path] = _fts_postings_locate(path)
+            loc_map, _hp, skipmeta = meta_cache[path]
+            loc = loc_map.get(g)
+            if loc is None:
+                continue
+            slices.append((path, loc, _fts_term_skips(skipmeta, g)))
+            total += loc[1]
+        per_gram.append((total, slices))
+    per_gram.sort(key=lambda x: x[0])
+    usable = [pg for pg in per_gram if pg[0] <= MAX_FTS_POSTINGS]
+    if not usable:
+        return None, idx.covered_fragments
+    cands = None
+    for _total, slices in usable[:NGRAM_MAX_PROBE_GRAMS]:
+        parts = []
+        for path, loc, skips in slices:
+            if addr_lo is not None and skips is not None:
+                a, _tfs, _pos = _fts_read_postings_window(
+                    path, loc[0], loc[1], skips, addr_lo, addr_hi)
+            else:
+                a, _tfs = _fts_read_postings_range(
+                    path, loc[0], loc[1], 0, loc[1])
+                if addr_lo is not None:
+                    a = a[(a >= np.uint64(addr_lo))
+                          & (a < np.uint64(addr_hi))]
+            parts.append(a)
+        gram_addrs = (np.unique(np.concatenate(parts)) if parts
+                      else np.empty(0, dtype="<u8"))
+        cands = gram_addrs if cands is None else np.intersect1d(
+            cands, gram_addrs, assume_unique=True)
+        if not len(cands):
+            break
+    return cands, idx.covered_fragments
 
 
 def ensure_native_fts_index(root: str, column: str,

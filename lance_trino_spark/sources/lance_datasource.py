@@ -712,8 +712,9 @@ class LanceNativeScanReader(DataSourceReader):
         for f in self._pushed:
             if isinstance(f, probe_types):
                 by_col.setdefault(f.attribute[0], []).append(f)
+        pre_ngram = self._ngram_preselect(partition, frag)
         if not by_col:
-            return None
+            return pre_ngram
         _KIND_OK = {
             "int64": lambda v: isinstance(v, int) and not isinstance(v, bool),
             "float64": lambda v: isinstance(v, (int, float))
@@ -776,8 +777,58 @@ class LanceNativeScanReader(DataSourceReader):
                     idx, lo=lo, hi=hi,
                     lo_inclusive=lo_inc, hi_inclusive=hi_inc,
                 )
-            return rows.get(frag.id, np.empty(0, dtype=np.int64))
-        return None
+            got = rows.get(frag.id, np.empty(0, dtype=np.int64))
+            if pre_ngram is None:
+                return got
+            return np.intersect1d(got, pre_ngram)
+        return pre_ngram
+
+    def _ngram_preselect(self, partition, frag):
+        """NGRAM-index consumption — the substring half of A4's index
+        story: a pushed contains/startswith/endswith probe on a column
+        with a covering ngram-v1 sidecar resolves a CANDIDATE row set
+        from trigram-postings intersection, window-read to THIS
+        fragment's address range via the skip samples (per-task IO =
+        O(this fragment's postings)). The probe predicate always stays
+        in ``filter_expr`` — the trigram set is case-folded and
+        therefore a superset, and exactness never rests on a sidecar.
+        Returns None when no probe / no covering index / unservable
+        needle (falls back to the plain late-materialized scan)."""
+        import numpy as np
+
+        from ..format.lance_native import (
+            NGRAM_N,
+            latest_native_ngram_index,
+            native_ngram_lookup,
+        )
+
+        needles_by_col: dict = {}
+        for f in self._pushed:
+            if isinstance(
+                f, (StringContains, StringStartsWith, StringEndsWith)
+            ) and isinstance(f.value, str) and len(f.value) >= NGRAM_N:
+                needles_by_col.setdefault(f.attribute[0], []).append(
+                    f.value)
+        if not needles_by_col:
+            return None
+        lo = frag.id << 32
+        hi = (frag.id + 1) << 32
+        pre = None
+        for col, needles in needles_by_col.items():
+            idx = latest_native_ngram_index(partition.root, col)
+            if idx is None or frag.id not in idx.covered_fragments:
+                continue
+            for needle in needles:
+                cands, _cov = native_ngram_lookup(
+                    partition.root, col, needle, index=idx,
+                    addr_lo=lo, addr_hi=hi)
+                if cands is None:
+                    continue  # over-cap grams: this needle stays scan
+                rows = (cands & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                pre = rows if pre is None else np.intersect1d(pre, rows)
+                if pre is not None and not len(pre):
+                    return pre
+        return pre
 
 
 class LanceNativeScanReaderPushdown(LanceNativeScanReader):

@@ -2641,3 +2641,85 @@ def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, n_ann long, exact_parity boolean, "
         "self_match_nprobe1 boolean, fresh_ok boolean, "
         "extend_ok boolean").orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# s28 — NGRAM index (round 14): the Lance SDK's fifth scalar-index
+# family (BTREE/BITMAP/LABEL_LIST/FTS/NGRAM), substring search. Each
+# value contributes its distinct lowercase trigrams; a pushed
+# contains() probe preselects candidate rows from the rarest grams'
+# postings intersection (windowed to each fragment's address range via
+# the skip samples — per-task IO O(fragment postings)), and the scan's
+# residual recheck restores case-sensitive exactness (the sidecar is a
+# case-folded SUPERSET by construction, the SDK's inexact-AtMost
+# stance). The oracle is the plain contains() scan.
+# ---------------------------------------------------------------------------
+_S28_PROBES = (("a", "ery lin"), ("b", "w sort me"))
+
+
+@register(
+    "s28_ngram_index",
+    oracle=f"""
+    SELECT doc_id, 'a' AS probe FROM documents
+    WHERE contains(text, '{_S28_PROBES[0][1]}')
+    UNION ALL
+    SELECT doc_id, 'b' FROM documents
+    WHERE contains(text, '{_S28_PROBES[1][1]}')
+    ORDER BY probe, doc_id
+    """,
+    doc="NGRAM (trigram) index: contains() probes preselect candidate "
+        "rows from postings intersection, the residual recheck keeps "
+        "case-sensitive exactness — the SDK's fifth scalar family",
+    tags=("similarity", "search", "text", "lance-format", "index",
+          "ngram", "substring"),
+)
+def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import lance_trino_spark.format.lance_native as ln
+    from ..sources.lance_datasource import (
+        LanceNativeScanReaderPushdown,
+        StringContains,
+        register_lance_datasource,
+    )
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s28-ngram.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path)
+    ln.write_native_ngram_index(path, "text", n_buckets=8, spark=spark)
+    idx = ln.latest_native_ngram_index(path, "text")
+    assert idx is not None and idx.analyzer == "ngram-v1"
+    # a trigram sidecar never hijacks text search (r14 guard)
+    assert ln.latest_native_fts_index(path, "text") is None
+
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(path)
+
+    # access path: the pushed contains() probe preselects from the
+    # index on every fragment (candidate count bounded by the corpus,
+    # never None = never a blind full decode)
+    reader = LanceNativeScanReaderPushdown(path, df.schema, {})
+    residual = list(reader.pushFilters(
+        [StringContains(("text",), _S28_PROBES[0][1])]))
+    assert residual == []  # pushed: evaluated inside the fragment read
+    m = ln.read_native_manifest(path)
+    for p in reader.partitions():
+        pre = reader._scalar_index_preselect(p, m)
+        assert pre is not None
+
+    out = None
+    for probe, needle in _S28_PROBES:
+        part = (df.filter(F.col("text").contains(needle))
+                .select("doc_id", F.lit(probe).alias("probe")))
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("probe", "doc_id")

@@ -1519,3 +1519,115 @@ def test_fts_fuzzy_distance_two(tmp_path, spark, monkeypatch):
         "doc_id": [100], "text": ["stream late arrival"]})
     got_f, _ = ln.native_fts_search_fresh(root, "text", "strm~2", k=10)
     assert (1 << 32) in {a for a, _d, _s in got_f}
+
+
+def test_ngram_index_family(tmp_path, spark, monkeypatch):
+    """NGRAM index (r14 — the SDK's fifth scalar family, substring
+    search): distinct lowercase trigrams per value, lookup = rarest-
+    first postings intersection (a case-insensitive candidate SUPERSET
+    — exactness lives in the scan's residual recheck), windowed reads
+    per fragment via the skip samples, LSM extend, distributed-build
+    parity, the scan preselect path, and the SQL routes."""
+    import numpy as np
+
+    # analyzer spec
+    assert ln._fts_tokenize("Quick", "ngram-v1") == ["qui", "uic", "ick"]
+    assert ln._fts_tokenize("ab", "ngram-v1") == ["ab"]
+    assert ln._fts_tokenize("", "ngram-v1") == []
+    assert ln._fts_tokenize("aaaa", "ngram-v1") == ["aaa"]  # distinct
+
+    vals = ["Merge Conflicts", "the quick brown fox",
+            "vector store merge", "QUICKSAND", None, "ab",
+            "contains quick here", "merge"] * 10
+    root = str(tmp_path / "ngram.lance")
+    ln.write_native_dataset(root, {
+        "doc_id": list(range(len(vals))), "s": vals})
+    with pytest.raises(ln.LanceNativeError, match="string column"):
+        ln.write_native_ngram_index(root, "doc_id")
+    uid = ln.write_native_ngram_index(root, "s", n_buckets=4)
+    idx = ln.latest_native_ngram_index(root, "s")
+    assert idx is not None and idx.analyzer == "ngram-v1"
+    assert os.path.basename(os.path.dirname(idx.path)) == uid
+    # a trigram sidecar must never hijack text search
+    assert ln.latest_native_fts_index(root, "s") is None
+
+    def brute_ci(needle):
+        return sorted(i for i, v in enumerate(vals)
+                      if v is not None and needle.lower() in v.lower())
+
+    for needle in ["quick", "Merge", "uick", "rge", "zzz"]:
+        cands, _cov = ln.native_ngram_lookup(root, "s", needle)
+        rows = sorted(int(a) & 0xFFFFFFFF
+                      for a in np.asarray(cands, dtype="<u8"))
+        # trigram intersection is EXACT for the CI contains here
+        # (grams are contiguous, so any candidate truly contains
+        # every gram — supersets only arise from gram reordering)
+        assert set(brute_ci(needle)) <= set(rows), needle
+    # short needle: unservable, caller falls back to the scan
+    assert ln.native_ngram_lookup(root, "s", "ab")[0] is None
+    # over-cap grams: unservable, never a huge postings read
+    monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 0)
+    assert ln.native_ngram_lookup(root, "s", "quick")[0] is None
+    monkeypatch.undo()
+
+    # windowed lookup == full lookup masked to the fragment
+    full, _ = ln.native_ngram_lookup(root, "s", "quick")
+    win, _ = ln.native_ngram_lookup(
+        root, "s", "quick", addr_lo=0, addr_hi=1 << 32)
+    assert list(win) == [a for a in full if (int(a) >> 32) == 0]
+
+    # distributed build parity
+    uid2 = ln.write_native_fts_index(
+        root, "s", n_buckets=4, spark=spark, analyzer="ngram-v1")
+    idx2 = next(i for i in ln.list_native_fts_indices(root)
+                if os.path.basename(os.path.dirname(i.path)) == uid2)
+    a1, _ = ln.native_ngram_lookup(root, "s", "quick", index=idx)
+    a2, _ = ln.native_ngram_lookup(root, "s", "quick", index=idx2)
+    assert list(a1) == list(a2)
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.dirname(idx2.path))
+
+    # LSM extend covers the appended fragment
+    ln.append_native_rows(root, {
+        "doc_id": [900], "s": ["a late quicker row"]})
+    assert ln.extend_native_fts_index(root, "s", analyzer="ngram-v1")
+    cands, _ = ln.native_ngram_lookup(root, "s", "quick")
+    assert (1 << 32) in {int(a) for a in cands}
+
+    # scan preselect: candidates served per fragment, residual keeps
+    # case-sensitive exactness
+    from lance_trino_spark.sources.lance_datasource import (
+        LanceNativeScanReaderPushdown,
+        StringContains,
+        register_lance_datasource,
+    )
+
+    register_lance_datasource(spark)
+    df = spark.read.format("lance").load(root)
+    reader = LanceNativeScanReaderPushdown(root, df.schema, {})
+    assert list(reader.pushFilters(
+        [StringContains(("s",), "Merge Conf")])) == []
+    m = ln.read_native_manifest(root)
+    parts = reader.partitions()
+    pre = reader._scalar_index_preselect(parts[0], m)
+    assert pre is not None and sorted(pre.tolist()) == brute_ci(
+        "Merge Conf")
+    got = sorted(r["doc_id"]
+                 for r in df.filter(df.s.contains("Merge Conf")).collect())
+    assert got == [i for i, v in enumerate(vals)
+                   if v is not None and "Merge Conf" in v]
+    assert df.filter(df.s.contains("merge conf")).count() == 0
+
+    # SQL routes: CREATE NGRAM INDEX + SHOW INDEXES family row
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals) if v is not None],
+        "doc_id long, s string").createOrReplaceTempView("_ng_src")
+    cat.sql("CREATE NATIVE TABLE s.d AS SELECT * FROM _ng_src")
+    cat.sql("CREATE NGRAM INDEX ON s.d (s)")
+    fams = {r["family"] for r in cat.sql("SHOW INDEXES ON s.d").collect()}
+    assert "NGRAM" in fams
