@@ -40,7 +40,63 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this session; proceed with defaults
+    install_pyds_scan_rebind(spark)
     return spark
+
+
+_REBIND_RULE = "io.lancespark.PythonScanRebind"
+_REBIND_SESSIONS: set[int] = set()  # id(session) memo — install once
+
+
+def install_pyds_scan_rebind(spark: SparkSession) -> bool:
+    """Install the PythonScanRebind optimizer rule on a LIVE session
+    (idempotent). Upstream Spark 4.1.x defect: `PythonDataSourceV2`
+    caches ONE readInfo (partitions + pickled read function) per
+    TableProvider instance and `PythonScanBuilder.pushFilters`
+    overwrites it on every push — so a self-union/self-join that reuses
+    one `.load()` DataFrame under DIFFERENT pushed filters executes
+    EVERY branch with the LAST branch's filters (silently wrong rows;
+    the printed plan looks correct). The JVM rule
+    (jvm/src/io/lancespark/PythonScanRebind.java) rebinds each aliased
+    PythonScan to a private PythonDataSourceV2 clone and re-pushes its
+    own filters; non-aliased plans are untouched. Injection uses
+    `spark.experimental.extraOptimizations` (runtime-assignable — runs
+    after V2ScanRelationPushDown, before physical planning), so the
+    driver's externally built sessions get the fix through
+    apply_runtime_confs. Returns True when the rule is active."""
+    if id(spark) in _REBIND_SESSIONS:
+        return True
+    try:
+        exp = spark._jsparkSession.experimental()
+        cur = exp.extraOptimizations()
+        it = cur.iterator()
+        while it.hasNext():
+            if it.next().getClass().getName() == _REBIND_RULE:
+                _REBIND_SESSIONS.add(id(spark))
+                return True
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jar = os.path.join(repo, "jvm", "lance-jvm-catalog.jar")
+        if not os.path.exists(jar):
+            return False  # no compiled plugin in this deployment
+        spark.sql(f"ADD JAR {jar}")
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        cls = jvm.org.apache.spark.util.Utils.classForName(
+            _REBIND_RULE, True, False)
+        rule = cls.getDeclaredConstructor(
+            gw.new_array(jvm.java.lang.Class, 0)
+        ).newInstance(gw.new_array(jvm.java.lang.Object, 0))
+        rules = jvm.java.util.ArrayList()
+        it = cur.iterator()
+        while it.hasNext():
+            rules.add(it.next())
+        rules.add(rule)
+        getattr(exp, "extraOptimizations_$eq")(
+            jvm.org.apache.spark.api.python.PythonUtils.toSeq(rules))
+        _REBIND_SESSIONS.add(id(spark))
+        return True
+    except Exception:
+        return False  # degraded: the upstream aliasing hazard remains
 
 
 def get_spark(

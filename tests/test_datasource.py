@@ -958,3 +958,52 @@ def test_string_matcher_pushdown_values_and_pruning(spark, tmp_path):
     ]
     flat = sorted(r for rr in rows for r in rr)
     assert flat == [121, 122, 123, 124, 125, 126, 127, 128, 129]
+
+
+def test_pyds_scan_rebind_self_union(tmp_path, spark):
+    """UPSTREAM-HAZARD pin (r14): Spark 4.1's Python DataSource bridge
+    caches ONE readInfo per PythonDataSourceV2 and pushFilters
+    overwrites it, so a self-union/self-join reusing one `.load()`
+    DataFrame under DIFFERENT pushed filters executes every branch with
+    the LAST branch's partitions + read function — silently wrong rows
+    (each branch returned the last branch's data; the printed plan
+    looked correct). The PythonScanRebind optimizer rule (installed on
+    live sessions by session.install_pyds_scan_rebind, which
+    apply_runtime_confs/load_table run) rebinds each aliased scan to a
+    private clone. If a future Spark release moves readInfo into the
+    scan, the rule becomes a no-op and can be dropped."""
+    from pyspark.sql import functions as F
+
+    from lance_trino_spark.format.lance_native import write_native_dataset
+    from lance_trino_spark.session import install_pyds_scan_rebind
+
+    assert install_pyds_scan_rebind(spark)
+    root = str(tmp_path / "rebind.lance")
+    write_native_dataset(root, {
+        "id": list(range(100)),
+        "s": [f"v{i:03d}" for i in range(100)],
+    })
+    df = spark.read.format("lance").load(root)
+    a = df.filter(F.col("id") < 10).select("id", F.lit("a").alias("p"))
+    b = df.filter(F.col("id") >= 95).select("id", F.lit("b").alias("p"))
+    c = (df.filter(F.col("s").contains("v05"))
+         .select("id", F.lit("c").alias("p")))
+    got = sorted((r["p"], r["id"])
+                 for r in a.unionAll(b).unionAll(c).collect())
+    want = sorted(
+        [("a", i) for i in range(10)]
+        + [("b", i) for i in range(95, 100)]
+        + [("c", i) for i in range(50, 60)])
+    assert got == want
+    # order-invariance: the LAST-planned branch must not win
+    got2 = sorted((r["p"], r["id"])
+                  for r in c.unionAll(b).unionAll(a).collect())
+    assert got2 == want
+    # self-join with different pushed filters on each side
+    j = (a.alias("x")
+         .join(df.filter(F.col("id") >= 95).alias("y"),
+               F.col("x.id") + 90 == F.col("y.id")))
+    assert j.count() == 5
+    # unfiltered branch mixed with a filtered one keeps all rows
+    u = df.select("id", F.lit("all").alias("p")).unionAll(b)
+    assert u.count() == 105
