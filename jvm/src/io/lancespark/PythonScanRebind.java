@@ -88,7 +88,7 @@ public class PythonScanRebind extends Rule<LogicalPlan> {
     while (subs.hasNext()) {
       subs.next().foreach(visit);
     }
-    if (scans.size() < 2) {
+    if (scans.isEmpty()) {
       return plan;
     }
 
@@ -100,6 +100,28 @@ public class PythonScanRebind extends Rule<LogicalPlan> {
       }
       for (List<PythonScan> group : byDs.values()) {
         if (group.size() < 2) {
+          // Cross-ACTION variant of the same upstream defect: a solo
+          // UNFILTERED scan whose ds already carries a readInfo would
+          // execute a PREVIOUS action's (possibly filtered) partitions
+          // — df.count() after df.filter(...).count() returned the
+          // filtered count. Its own planning never pushed (no filters
+          // to push), so a non-null slot here is either stale or a
+          // previous unfiltered build; clearing it is correct either
+          // way (the lazy no-filter path rebuilds unfiltered). A solo
+          // FILTERED scan's own push was this pass's last write — its
+          // slot is correct, leave it.
+          PythonScan solo = group.get(0);
+          Filter[] pushed =
+              (Filter[]) field(PythonScan.class, "supportedFilters")
+                  .get(solo);
+          if (pushed == null || pushed.length == 0) {
+            Field readInfoField =
+                field(PythonDataSourceV2.class, "readInfo");
+            Object ds = dsField.get(solo);
+            if (readInfoField.get(ds) != null) {
+              readInfoField.set(ds, null);
+            }
+          }
           continue;
         }
         Field nameField = field(PythonScan.class, "shortName");

@@ -56,10 +56,13 @@ def install_pyds_scan_rebind(spark: SparkSession) -> bool:
     overwrites it on every push — so a self-union/self-join that reuses
     one `.load()` DataFrame under DIFFERENT pushed filters executes
     EVERY branch with the LAST branch's filters (silently wrong rows;
-    the printed plan looks correct). The JVM rule
+    the printed plan looks correct), and an UNFILTERED action after a
+    filtered one on the same DataFrame executes the stale filtered
+    partitions (df.count() shrinks). The JVM rule
     (jvm/src/io/lancespark/PythonScanRebind.java) rebinds each aliased
     PythonScan to a private PythonDataSourceV2 clone and re-pushes its
-    own filters; non-aliased plans are untouched. Injection uses
+    own filters, and clears a solo unfiltered scan's stale slot;
+    correctly-planned solo filtered scans are untouched. Injection uses
     `spark.experimental.extraOptimizations` (runtime-assignable — runs
     after V2ScanRelationPushDown, before physical planning), so the
     driver's externally built sessions get the fix through

@@ -789,16 +789,17 @@ def test_tag_as_of_read_option(spark, tmp_path):
 
 
 def test_shared_relation_filter_leak_pinned(spark, tmp_path):
-    """PINS an upstream Spark 4.1 Python-DataSource limitation so future
-    rounds know it exists (it is NOT a bug in this reader): the bridge
-    keeps ONE mutable readInfo slot per source instance
+    """Upstream Spark 4.1 Python-DataSource defect, now FIXED by the
+    PythonScanRebind optimizer rule (r14 — see
+    test_pyds_scan_rebind_self_union for the within-plan variant): the
+    bridge keeps ONE mutable readInfo slot per source instance
     (PythonDataSourceV2.getOrCreateReadInfo / setReadInfo), so after a
-    FILTERED scan of a relation is planned, an unfiltered scan of the
-    SAME relation executes the filtered partitions. Workaround used by
-    the suite (lf16): give each differently-filtered side its own
-    relation (fresh load() per single-scan plan, or an in-memory frame).
-    If this test ever FAILS, Spark fixed the slot — remove the
-    workarounds."""
+    FILTERED scan of a relation was planned, an unfiltered scan of the
+    SAME relation executed the filtered partitions (df.count() after
+    df.filter(...).count() returned the filtered count, rounds 6-13).
+    The rule clears a solo unfiltered scan's stale slot at optimization
+    time; this test pins the repaired cross-action sequence. The old
+    fresh-load()-per-plan workarounds in the suite remain harmless."""
     from lance_trino_spark.sources.lance_datasource import (
         register_lance_datasource,
     )
@@ -810,9 +811,11 @@ def test_shared_relation_filter_leak_pinned(spark, tmp_path):
     df = spark.read.format("lance").load(path)
     assert df.count() == 100
     assert df.filter("k < 7").count() == 7
-    # the unfiltered count now reads the FILTERED readInfo (upstream slot)
-    assert df.count() == 7, "Spark fixed SPARK readInfo sharing? drop workarounds"
-    # a fresh load() resets the slot — the single-relation-per-plan rule
+    # pre-rule this read the stale FILTERED readInfo and returned 7
+    assert df.count() == 100
+    assert df.filter("k >= 95").count() == 5
+    assert df.count() == 100
+    # a fresh load() has its own slot, as always
     assert spark.read.format("lance").load(path).count() == 100
 
 
