@@ -8944,6 +8944,34 @@ def _fts_read_postings_range(path: str, offset: int, count: int,
 # fuzzy-operand marker (never produced by tokenizing quoted/plain query
 # text — only by the trailing-~ syntax below)
 _FTS_FUZZY = "\x00fuzzy\x00"
+# prefix-operand marker (`word*` — tantivy's prefix query): expands over
+# the indexed vocabulary like fuzzy, scored as one pseudo-term
+_FTS_PREFIX = "\x00prefix\x00"
+
+
+def _fts_is_expansion(op: tuple) -> bool:
+    """Operands that expand over the indexed vocabulary (fuzzy `w~`,
+    prefix `w*`) — both score as ONE pseudo-term whose tf is the
+    integer sum over matched variants."""
+    return op[0] in (_FTS_FUZZY, _FTS_PREFIX)
+
+
+def _fts_expansion_spec(op: tuple) -> tuple:
+    """(word, bound) spec for the vocabulary scan: bound = max edit
+    distance for fuzzy, -1 = prefix match."""
+    if op[0] == _FTS_PREFIX:
+        return (op[1], -1)
+    return (op[1], _fts_fuzzy_dist(op))
+
+
+def _fts_spec_label(spec: tuple) -> str:
+    """Human form of an expansion spec for error messages."""
+    w, d = spec
+    return f"{w!r}*" if d == -1 else f"{w!r}~"
+
+
+def _fts_is_phrase(op: tuple) -> bool:
+    return len(op) > 1 and not _fts_is_expansion(op)
 
 
 def _fts_parse_query(query: str, analyzer: str = FTS_ANALYZER):
@@ -8967,22 +8995,34 @@ def _fts_parse_query(query: str, analyzer: str = FTS_ANALYZER):
     Quote ``"AND"``/``"OR"``/``"-x"`` to search the literal tokens.
     Plain term/AND queries parse to exactly the pre-r14 semantics.
 
+    A ``word*`` operand is a PREFIX query (tantivy's `word*`): it
+    expands over the indexed vocabulary to every token starting with
+    the word and scores as ONE pseudo-term (the fuzzy discipline;
+    quote "w*" to search the literal token). A trailing ``^<number>``
+    BOOSTS an operand (tantivy `term^2` / `"phrase"^2` / `word~^2`):
+    its BM25 contribution is multiplied by the number (excluded
+    operands take no boost; a duplicated operand keeps its first-seen
+    boost — duplicates score once, the dedup rule).
+
     Returns (ops [positive operand tuples, deduped first-seen; fuzzy =
-    (_FTS_FUZZY, word)], require_all [ops form ONE conjunction group —
-    the pre-r14 flag], groups [lists of op indices], excludes
-    [excluded operand tuples])."""
+    (_FTS_FUZZY, word); prefix = (_FTS_PREFIX, word)], require_all
+    [ops form ONE conjunction group — the pre-r14 flag], groups [lists
+    of op indices], excludes [excluded operand tuples], boosts
+    [float per positive op, 1.0 default])."""
     import re as _re
 
     ops: list[tuple] = []
+    boosts: list[float] = []
     excludes: list[tuple] = []
     groups: list[list[int]] = []
     pending_and = False
 
-    def add_positive(op: tuple) -> None:
+    def add_positive(op: tuple, boost: float) -> None:
         nonlocal pending_and
         oi = ops.index(op) if op in ops else len(ops)
         if oi == len(ops):
             ops.append(op)
+            boosts.append(boost)
         if pending_and and groups:
             if oi not in groups[-1]:
                 groups[-1].append(oi)
@@ -8990,21 +9030,24 @@ def _fts_parse_query(query: str, analyzer: str = FTS_ANALYZER):
             groups.append([oi])
         pending_and = False
 
-    def add(op: tuple, neg: bool) -> None:
+    def add(op: tuple, neg: bool, boost: float = 1.0) -> None:
         if neg:
             if op not in excludes:
                 excludes.append(op)
         else:
-            add_positive(op)
+            add_positive(op, boost)
 
-    for m in _re.finditer(r'(-?)"([^"]*)"|(\S+)', query or ""):
+    for m in _re.finditer(
+            r'(-?)"([^"]*)"(\^[0-9]+(?:\.[0-9]+)?)?|(\S+)',
+            query or ""):
         if m.group(2) is not None:
             toks = tuple(
                 t for t in _fts_tokenize(m.group(2), analyzer) if t)
             if toks:
-                add(toks, bool(m.group(1)))
+                add(toks, bool(m.group(1)),
+                    float(m.group(3)[1:]) if m.group(3) else 1.0)
             continue
-        w = m.group(3)
+        w = m.group(4)
         if w == "AND":
             pending_and = True
             continue
@@ -9014,22 +9057,29 @@ def _fts_parse_query(query: str, analyzer: str = FTS_ANALYZER):
         neg = w.startswith("-") and len(w) > 1
         if neg:
             w = w[1:]
+        boost = 1.0
+        mb = _re.match(r"^(.+?)\^([0-9]+(?:\.[0-9]+)?)$", w)
+        if mb:
+            w, boost = mb.group(1), float(mb.group(2))
+        if w.endswith("*") and len(w) > 1:
+            add((_FTS_PREFIX, w[:-1]), neg, boost)
+            continue
         if w.endswith("~") and len(w) > 1:
-            add((_FTS_FUZZY, w[:-1]), neg)
+            add((_FTS_FUZZY, w[:-1]), neg, boost)
             continue
         if len(w) > 2 and w[-2] == "~" and w[-1] in "12":
             # tantivy fuzziness levels: word~1 == word~, word~2 allows
             # plain Levenshtein distance 2 (r14)
             op = ((_FTS_FUZZY, w[:-2]) if w[-1] == "1"
                   else (_FTS_FUZZY, w[:-2], 2))
-            add(op, neg)
+            add(op, neg, boost)
             continue
         for t in _fts_tokenize(w, analyzer):
             if t:
-                add((t,), neg)
+                add((t,), neg, boost)
     require_all = (
         len(groups) == 1 and len(groups[0]) == len(ops) and len(ops) > 1)
-    return ops, require_all, groups, excludes
+    return ops, require_all, groups, excludes, boosts
 
 
 def _fts_edit1(a: str, b: str) -> bool:
@@ -9096,9 +9146,13 @@ def _fts_editk_filter(word: str, tokens: list, k: int = 1) -> list:
     bands vectorized (|len diff| <= 2) then runs the scalar DP on the
     surviving band — tokens are words, so the per-candidate DP is a
     few microseconds and the scan stays bounded by
-    MAX_FUZZY_SCAN_TOKENS either way."""
+    MAX_FUZZY_SCAN_TOKENS either way. k = -1 is the PREFIX bound:
+    tokens starting with ``word`` (str.startswith is a C builtin —
+    no per-token Python math)."""
     import numpy as np
 
+    if k == -1:
+        return [t for t in tokens if t.startswith(word)]
     if k <= 1:
         return _fts_edit1_filter(word, tokens)
     if not tokens:
@@ -9198,7 +9252,9 @@ def _fts_fuzzy_scan_file(path: str, specs: list) -> tuple:
     if toks_raw is None or counts_raw is None:
         raise LanceNativeError(f"{path}: incomplete postings metadata")
     if mn is not None and mx is not None and not any(
-            mn - d <= len(w) <= mx + d for w, d in specs):
+            (mx >= len(w)) if d == -1          # prefix: any token >= |w|
+            else mn - d <= len(w) <= mx + d    # fuzzy length band
+            for w, d in specs):
         return {}, 0
     tokens = _dec_values_block(
         "string", toks_raw, len(_packed_varints(counts_raw)))
@@ -9256,8 +9312,8 @@ def _fts_expand_fuzzy_distributed(root: str, paths: list, specs: list,
                   .limit(len(wlist)).collect()):
             if int(r["count"]) > MAX_FUZZY_EXPANSIONS:
                 raise LanceNativeError(
-                    f"fuzzy operand {wlist[int(r['wi'])][0]!r}~ expands "
-                    f"to {int(r['count'])} vocabulary terms (> "
+                    f"operand {_fts_spec_label(wlist[int(r['wi'])])} "
+                    f"expands to {int(r['count'])} vocabulary terms (> "
                     f"MAX_FUZZY_EXPANSIONS={MAX_FUZZY_EXPANSIONS}) — "
                     "use a longer/more specific word")
         # cap check passed: <= MAX_FUZZY_EXPANSIONS rows per word
@@ -9295,7 +9351,7 @@ def _fts_expand_fuzzy(root: str, idx, specs: list, spark=None,
             found[wi].update(toks)
             if len(found[wi]) > MAX_FUZZY_EXPANSIONS:
                 raise LanceNativeError(
-                    f"fuzzy operand {specs[wi][0]!r}~ expands to "
+                    f"operand {_fts_spec_label(specs[wi])} expands to "
                     f"{len(found[wi])} vocabulary terms (> "
                     f"MAX_FUZZY_EXPANSIONS={MAX_FUZZY_EXPANSIONS}) — "
                     "use a longer/more specific word")
@@ -9320,7 +9376,7 @@ def _fts_expand_fuzzy(root: str, idx, specs: list, spark=None,
         exp = sorted(found[wi])
         if len(exp) > MAX_FUZZY_EXPANSIONS:
             raise LanceNativeError(
-                f"fuzzy operand {spec[0]!r}~ expands to {len(exp)} "
+                f"operand {_fts_spec_label(spec)} expands to {len(exp)} "
                 f"vocabulary terms (> MAX_FUZZY_EXPANSIONS="
                 f"{MAX_FUZZY_EXPANSIONS}) — use a longer/more "
                 "specific word")
@@ -9330,11 +9386,14 @@ def _fts_expand_fuzzy(root: str, idx, specs: list, spark=None,
 
 def _fts_op_count(toks: list, op: tuple) -> int:
     """Occurrences of one operand in a token list: term -> plain count;
-    fuzzy -> count of tokens within edit distance 1 of the word; phrase
-    -> positional-chain count (overlaps count) — the exact-arm twin of
-    _fts_phrase_postings / the fuzzy expansion merge, parity-pinned."""
+    fuzzy -> count of tokens within the edit-distance bound; prefix ->
+    count of tokens starting with the word; phrase -> positional-chain
+    count (overlaps count) — the exact-arm twin of
+    _fts_phrase_postings / the expansion merge, parity-pinned."""
     if len(op) == 1:
         return toks.count(op[0])
+    if op[0] == _FTS_PREFIX:
+        return sum(1 for t in toks if t.startswith(op[1]))
     if op[0] == _FTS_FUZZY:
         w, dk = op[1], _fts_fuzzy_dist(op)
         return sum(1 for t in toks if _fts_lev_le(w, t, dk))
@@ -10263,22 +10322,21 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         raise LanceNativeError(
             f"fts index on {column!r} does not cover fragments "
             f"{sorted(uncovered)} — extend_native_fts_index first")
-    ops, require_all, groups, excludes = _fts_parse_query(
+    ops, require_all, groups, excludes, boosts = _fts_parse_query(
         query, idx.analyzer)
     # excluded operands ride the same postings machinery as positives
     # (their addrs drop docs, their contributions are never computed)
     all_ops = ops + excludes
     n_pos = len(ops)
-    fuzzy_ops = [op for op in all_ops if op[0] == _FTS_FUZZY]
+    fuzzy_ops = [op for op in all_ops if _fts_is_expansion(op)]
     terms = []  # unique member terms across operands (exact ones)
     for op in all_ops:
-        if op[0] == _FTS_FUZZY:
+        if _fts_is_expansion(op):
             continue
         for t in op:
             if t not in terms:
                 terms.append(t)
-    phrased = any(
-        len(op) > 1 and op[0] != _FTS_FUZZY for op in all_ops)
+    phrased = any(_fts_is_phrase(op) for op in all_ops)
     stats = {"terms": len(terms), "terms_found": 0, "postings_read": 0,
              "files_opened": 0, "mode": "driver",
              "operands": len(ops), "require_all": require_all,
@@ -10302,10 +10360,10 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     if fuzzy_ops:
         exp_by_spec = _fts_expand_fuzzy(
             root, idx,
-            [(op[1], _fts_fuzzy_dist(op)) for op in fuzzy_ops],
+            [_fts_expansion_spec(op) for op in fuzzy_ops],
             spark=spark, stats=stats)
         for op in fuzzy_ops:
-            fuzzy_exp[op] = exp_by_spec[(op[1], _fts_fuzzy_dist(op))]
+            fuzzy_exp[op] = exp_by_spec[_fts_expansion_spec(op)]
             for t in fuzzy_exp[op]:
                 if t not in terms:
                     terms.append(t)
@@ -10316,8 +10374,7 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
     # phrase member terms also collect their skip samples (the
     # distributed phrase scorer's window locator)
     phrase_members = {
-        t for op in all_ops
-        if len(op) > 1 and op[0] != _FTS_FUZZY for t in op}
+        t for op in all_ops if _fts_is_phrase(op) for t in op}
     slices: list[list] = [[] for _ in terms]
     skips_by: dict = {}
     total = 0
@@ -10377,7 +10434,7 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         return _fts_search_distributed(
             root, idx, live, all_ops, terms, slices, fuzzy_exp, k,
             spark, require_all=require_all, skips_by=skips_by,
-            groups=groups, n_pos=n_pos), stats
+            groups=groups, n_pos=n_pos, boosts=boosts), stats
 
     n = float(idx.n_docs)
     avgdl = float(idx.sum_dl) / n
@@ -10453,7 +10510,7 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         if len(op) == 1:
             addrs, tfs_u, _pos = term_data[op[0]]
             tfs = tfs_u.astype(np.float64)
-        elif op[0] == _FTS_FUZZY:
+        elif _fts_is_expansion(op):
             addrs, tfs = _fts_fuzzy_merge(
                 [term_data[e] for e in fuzzy_exp.get(op, [])])
         else:
@@ -10486,6 +10543,10 @@ def native_fts_search(root: str, column: str, query: str, k: int = 10,
         dls = dl_of(addrs)
         norm = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dls / avgdl))
         contrib = idf * (tfs * (_BM25_K1 + 1.0)) / (tfs + norm)
+        if boosts[oi] != 1.0:
+            # tantivy/Lucene boost: the operand's whole contribution
+            # scales (one float64 multiply — SQL parity: b * expr)
+            contrib = contrib * boosts[oi]
         if allowed is not None:
             # GLOBAL stats, FILTERED results: df/idf above came from
             # the whole corpus; only the fold's candidates restrict
@@ -10510,7 +10571,8 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                             require_all: bool = False,
                             skips_by: dict | None = None,
                             groups: list | None = None,
-                            n_pos: int | None = None):
+                            n_pos: int | None = None,
+                            boosts: list | None = None):
     """The distributed BM25 scorer for corpus-common queries. Term and
     fuzzy operands: task unit = one bounded chunk (<=
     FTS_CHUNK_POSTINGS) of one member term's postings in one run file,
@@ -10552,7 +10614,7 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
     term_ops: list[list] = [[] for _ in terms]
     phrase_ois: list[int] = []
     for oi, op in enumerate(ops):
-        if op[0] == _FTS_FUZZY:
+        if _fts_is_expansion(op):
             for e in fuzzy_exp.get(op, []):
                 term_ops[terms.index(e)].append(oi)
         elif len(op) == 1:
@@ -10809,6 +10871,16 @@ def _fts_search_distributed(root: str, idx: NativeFtsIndex,
                * (F.col("dl").cast("double") / F.lit(avgdl))))
     contrib = (idf_col * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
                / (F.col("tf") + norm))
+    if boosts is not None and any(
+            b != 1.0 for oi, b in enumerate(boosts) if oi in idf_by_oi):
+        # operand boost: contrib * b — the driver scorer's exact
+        # float64 multiply, literal-mapped like idf_col
+        boost_col = F.element_at(
+            F.create_map(*[x for oi in live_ois for x in (
+                F.lit(oi),
+                F.lit(boosts[oi] if oi < len(boosts) else 1.0))]),
+            F.col("opi"))
+        contrib = contrib * boost_col
     grouped = (
         per_addr_op.withColumn("contrib", contrib)
         .groupBy("addr")
@@ -11253,22 +11325,21 @@ def native_fts_search_fresh(root: str, column: str, query: str,
     covered = (idx.covered_fragments & live_ids) if idx else set()
     uncovered = live_ids - covered
     analyzer = idx.analyzer if idx is not None else analyzer
-    ops, require_all, groups, excludes = _fts_parse_query(
+    ops, require_all, groups, excludes, boosts = _fts_parse_query(
         query, analyzer)
     # excluded operands (r14 '-term') ride the same machinery: per-op
     # tf in the exact arm, postings in the index arm; matched docs drop
     all_ops = ops + excludes
     n_pos = len(ops)
-    fuzzy_ops = [op for op in all_ops if op[0] == _FTS_FUZZY]
+    fuzzy_ops = [op for op in all_ops if _fts_is_expansion(op)]
     terms = []  # unique member terms across operands (exact ones)
     for op in all_ops:
-        if op[0] == _FTS_FUZZY:
+        if _fts_is_expansion(op):
             continue
         for t in op:
             if t not in terms:
                 terms.append(t)
-    phrased = any(
-        len(op) > 1 and op[0] != _FTS_FUZZY for op in all_ops)
+    phrased = any(_fts_is_phrase(op) for op in all_ops)
     if not ops:
         return [], {"terms": 0}
     frag_by_id = {f.id: f for f in live.fragments}
@@ -11330,11 +11401,11 @@ def native_fts_search_fresh(root: str, column: str, query: str,
             # scan cap; never a driver-side vocabulary (VERDICT r13)
             exp_by_spec = _fts_expand_fuzzy(
                 root, idx,
-                [(op[1], _fts_fuzzy_dist(op)) for op in fuzzy_ops],
+                [_fts_expansion_spec(op) for op in fuzzy_ops],
                 spark=spark, stats=stats)
             for op in fuzzy_ops:
                 fuzzy_exp[op] = exp_by_spec[
-                    (op[1], _fts_fuzzy_dist(op))]
+                    _fts_expansion_spec(op)]
                 for t in fuzzy_exp[op]:
                     if t not in terms:
                         terms.append(t)
@@ -11389,7 +11460,7 @@ def native_fts_search_fresh(root: str, column: str, query: str,
             return _fts_search_distributed(
                 root, idx, live, all_ops, terms, slices, fuzzy_exp, k,
                 spark, require_all=require_all, groups=groups,
-                n_pos=n_pos), stats
+                n_pos=n_pos, boosts=boosts), stats
         for ti, t in enumerate(terms):
             if not slices[ti]:
                 continue
@@ -11448,7 +11519,7 @@ def native_fts_search_fresh(root: str, column: str, query: str,
         if len(op) == 1:
             addrs, tfs_u, _pos = term_data[op[0]]
             tfs = tfs_u.astype(np.float64)
-        elif op[0] == _FTS_FUZZY:
+        elif _fts_is_expansion(op):
             addrs, tfs = _fts_fuzzy_merge(
                 [term_data[e] for e in fuzzy_exp.get(op, [])])
         else:
@@ -11499,6 +11570,10 @@ def native_fts_search_fresh(root: str, column: str, query: str,
         op_addrs = np.concatenate(seg_addrs).astype(np.uint64)
         op_dls = np.concatenate(seg_dls)
         op_contrib = np.concatenate(seg_contrib)
+        if boosts[oi] != 1.0:
+            # operand boost — elementwise, so multiplying the merged
+            # vector equals multiplying each arm (covered-path parity)
+            op_contrib = op_contrib * boosts[oi]
         if allowed is not None:
             keep = _fts_allowed_mask(op_addrs, allowed)
             op_addrs = op_addrs[keep]

@@ -89,6 +89,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # (lf39-lf42 m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24), then the
     # whole r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45, st10).
     "s28_ngram_index",
+    "s29_fts_prefix_boost",
     "s25_fts_boolean_not",
     "s26_native_hnsw_index",
     "s27_native_ivf_hnsw",
@@ -139,7 +140,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf33_native_embeddings_ctas",
     "lf34_native_backfill_column",
     "lf35_native_rename_column",
-    "lf37_native_clustered_compaction",
 )
 
 

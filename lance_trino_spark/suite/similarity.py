@@ -2723,3 +2723,129 @@ def s28(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", F.lit(probe).alias("probe")))
         out = part if out is None else out.unionAll(part)
     return out.orderBy("probe", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# s29 — FTS prefix + boost operators (round 14): tantivy's `word*`
+# prefix query and `term^2` boost complete the query grammar. A prefix
+# operand expands over the indexed VOCABULARY (the fuzzy machinery —
+# streamed fence-gated dictionary scans, distributed past the cap,
+# MAX_FUZZY_EXPANSIONS refusal) and scores as ONE pseudo-term whose tf
+# is the integer sum over matched variants ('s*' folds six corpus
+# tokens); a boost multiplies the operand's whole BM25 contribution
+# (one float64 multiply, bit-identical to the SQL `contrib * b` form).
+# ---------------------------------------------------------------------------
+_S29_OPS = (("s", "prefix", 1.0), ("merge", "term", 2.0),
+            ("wind", "prefix", 1.5))
+
+
+def _s29_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+
+    def contrib(i: str, boost: float) -> str:
+        base = (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+            f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+            f" / CAST(n_docs AS DOUBLE))))))"
+        )
+        if boost == 1.0:
+            return base
+        return f"(({base}) * {boost!r})"
+
+    tf_cols = ",\n             ".join(
+        (f"len(list_filter(toks, x -> starts_with(x, '{w}')))"
+         if kind == "prefix"
+         else f"len(list_filter(toks, x -> x = '{w}'))")
+        + f" AS tf_{i}"
+        for i, (w, kind, _bv) in enumerate(_S29_OPS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_S29_OPS)))
+    score = " + ".join(
+        contrib(str(i), bv) for i, (_w, _k, bv) in enumerate(_S29_OPS))
+    any_tf = " OR ".join(
+        f"tf_{i} > 0" for i in range(len(_S29_OPS)))
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {df_cols}
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {score} AS score
+    FROM per_doc, stats
+    WHERE {any_tf}
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s29_fts_prefix_boost",
+    oracle=_s29_oracle(),
+    doc="FTS prefix (word*) + boost (term^2) operators: vocabulary-"
+        "expanded prefix pseudo-terms and per-operand contribution "
+        "multipliers, scores bit-identical to the SQL oracle",
+    tags=("similarity", "search", "text", "lance-format", "index"),
+)
+def s29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s29-fts-pb.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+
+    query = " ".join(
+        (f"{w}*" if kind == "prefix" else w)
+        + (f"^{bv}" if bv != 1.0 else "")
+        for w, kind, bv in _S29_OPS)
+    got, st = ln.native_fts_search(path, "text", query, k=15)
+    # access path: the prefix operands expanded over the dictionary
+    # scans (never a driver-side vocabulary), scored as pseudo-terms
+    assert st["operands"] == len(_S29_OPS)
+    assert st.get("fuzzy_expansions", 0) >= 2  # s* alone folds many
+    assert st["mode"] == "driver"
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")

@@ -585,7 +585,7 @@ def _brute_ops(docs: list[str], query: str, k: int):
     r14 grammar: a doc qualifies iff some GROUP's operands are all
     present; score sums every present positive operand; docs matching
     an EXCLUDED operand drop outright."""
-    ops, _require_all, groups, excludes = ln._fts_parse_query(query)
+    ops, _require_all, groups, excludes, boosts = ln._fts_parse_query(query)
     toks = [ln._fts_tokenize(t) for t in docs]
     n = float(len(docs))
     dls = [len(t) for t in toks]
@@ -605,8 +605,10 @@ def _brute_ops(docs: list[str], query: str, k: int):
             norm = ln._BM25_K1 * (
                 (1.0 - ln._BM25_B)
                 + ln._BM25_B * (float(dls[i]) / avgdl))
-            scores[i] = scores.get(i, 0.0) + idf * (
-                tf * (ln._BM25_K1 + 1.0)) / (tf + norm)
+            contrib = idf * (tf * (ln._BM25_K1 + 1.0)) / (tf + norm)
+            if boosts[oi] != 1.0:
+                contrib = contrib * boosts[oi]
+            scores[i] = scores.get(i, 0.0) + contrib
             present.setdefault(i, set()).add(oi)
     scores = {
         i: s for i, s in scores.items()
@@ -1440,7 +1442,7 @@ def test_fts_or_not_grammar(tmp_path, spark, monkeypatch):
     assert hits("alpha -alpha") == set()
     assert ln.native_fts_search(root, "text", "-alpha", k=10)[0] == []
     # quoted operators stay literal terms
-    ops, _ra, _g, ex = ln._fts_parse_query('"OR" "AND" "-x"')
+    ops, _ra, _g, ex, _b = ln._fts_parse_query('"OR" "AND" "-x"')
     assert ops == [("OR",), ("AND",), ("-x",)] and ex == []
 
     # fresh path: exclusion reaches the UNCOVERED delta arm too
@@ -1631,3 +1633,68 @@ def test_ngram_index_family(tmp_path, spark, monkeypatch):
     cat.sql("CREATE NGRAM INDEX ON s.d (s)")
     fams = {r["family"] for r in cat.sql("SHOW INDEXES ON s.d").collect()}
     assert "NGRAM" in fams
+
+
+def test_fts_prefix_and_boost(tmp_path, spark, monkeypatch):
+    """r14 grammar completion — tantivy's prefix (`word*`) and boost
+    (`term^2` / `"phrase"^1.5` / `word~^2`) operators. A prefix operand
+    expands over the indexed vocabulary (the fuzzy machinery: streamed
+    + fence-gated scans, distributed past the cap, MAX_FUZZY_EXPANSIONS
+    refusal) and scores as ONE pseudo-term; a boost multiplies the
+    operand's whole BM25 contribution (one float64 multiply — bitwise
+    equal across driver / distributed / fresh arms). Quoted "w*" stays
+    a literal token; duplicate operands keep their first-seen boost."""
+    # parser spec
+    ops, _ra, _g, ex, b = ln._fts_parse_query('mer* -str* merge^2.5')
+    assert ops == [(ln._FTS_PREFIX, "mer"), ("merge",)]
+    assert ex == [(ln._FTS_PREFIX, "str")] and b == [1.0, 2.5]
+    ops, _ra, _g, _ex, b = ln._fts_parse_query('"a b"^1.5 w~^3 w~2^4')
+    assert b == [1.5, 3.0, 4.0]
+    assert ops[1] == (ln._FTS_FUZZY, "w") and ops[2] == (
+        ln._FTS_FUZZY, "w", 2)
+    ops, _ra, _g, _ex, b = ln._fts_parse_query('merge^2 merge^9')
+    assert ops == [("merge",)] and b == [2.0]  # first-seen boost
+    ops, _ra, _g, _ex, _b = ln._fts_parse_query('"w*"')
+    assert ops == [("w*",)]  # quoted stays literal
+
+    docs = ["the quick brown fox", "a stream of merge events",
+            "merge conflicts arise", "vector search over embeddings",
+            "strs and strings stream", "merge merge merge",
+            "quick vector merge", "", "stream processing"]
+    root = str(tmp_path / "pb.lance")
+    _mk(root, docs)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+
+    for q in ["str*", "merge^2 stream", "str* AND merge",
+              '"merge conflicts"^2', "-str* merge", "merg*^2 quick",
+              "qu* OR vec*", "stream^3 -quick"]:
+        want = _brute_ops(docs, q, 10)
+        got, st = ln.native_fts_search(root, "text", q, k=10)
+        assert [(a & 0xFFFFFFFF, dl) for a, dl, _ in got] == [
+            (i, dl) for i, dl, _ in want], q
+        assert [s for _, _, s in got] == [s for _, _, s in want], q
+        # forced distributed arm: bit parity incl. boosts
+        monkeypatch.setattr(ln, "MAX_FTS_POSTINGS", 1)
+        monkeypatch.setattr(ln, "FTS_CHUNK_POSTINGS", 2)
+        got_d, st_d = ln.native_fts_search(
+            root, "text", q, k=10, spark=spark)
+        monkeypatch.undo()
+        assert st_d["mode"] == "distributed" and got_d == got, q
+
+    # prefix expansion obeys the expansion cap with a named refusal
+    monkeypatch.setattr(ln, "MAX_FUZZY_EXPANSIONS", 2)
+    with pytest.raises(ln.LanceNativeError, match=r"operand 's'\*"):
+        ln.native_fts_search(root, "text", "s*", k=5)
+    monkeypatch.undo()
+
+    # fresh path: prefix + boost reach the uncovered delta arm
+    ln.append_native_rows(root, {
+        "doc_id": [100, 101],
+        "text": ["merger stream late", "strategy arrives"]})
+    full = docs + ["merger stream late", "strategy arrives"]
+    for q in ["merge*^2 stream", "str* stream", "merger^3"]:
+        want = _brute_ops(full, q, 10)
+        got_f, _st = ln.native_fts_search_fresh(root, "text", q, k=10)
+        conv = [((a >> 32) * len(docs) + (a & 0xFFFFFFFF), dl, s)
+                for a, dl, s in got_f]
+        assert conv == [(i, dl, s) for i, dl, s in want], q
