@@ -204,6 +204,8 @@ DEFAULT_QUERIES = [
     "s26_native_hnsw_index",
     "s27_native_ivf_hnsw",
     "cat38_show_indexes",
+    "s28_ngram_index",
+    "s29_fts_prefix_boost",
 ]
 
 

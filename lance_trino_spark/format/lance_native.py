@@ -8670,12 +8670,28 @@ def _fts_tokenize(text, analyzer: str = FTS_ANALYZER) -> list[str]:
         # values contribute their lowercased self as one gram), so a
         # substring query's trigram-postings intersection is a
         # candidate SUPERSET of contains() matches — always rechecked
-        # by the residual filter, never trusted for exactness.
+        # by the residual filter, never trusted for exactness. The
+        # build path calls this per document, so the sliding window is
+        # vectorized: codepoints pack 3x21 bits (unicode is 21-bit)
+        # into u64 keys, np.unique dedupes, and only the ~vocabulary-
+        # sized survivor set materializes as strings (first-seen
+        # order — identical output to the scalar dict.fromkeys form).
         s = str(text).lower()
         if len(s) <= NGRAM_N:
             return [s] if s else []
-        return list(dict.fromkeys(
-            s[i:i + NGRAM_N] for i in range(len(s) - NGRAM_N + 1)))
+        if len(s) < 1024:
+            # short values: plain slicing beats numpy's fixed per-call
+            # overhead (measured crossover ~1k chars)
+            return list(dict.fromkeys(
+                s[i:i + NGRAM_N] for i in range(len(s) - NGRAM_N + 1)))
+        import numpy as np
+
+        u = np.frombuffer(
+            s.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+        tri = ((u[:-2] << np.uint64(42))
+               | (u[1:-1] << np.uint64(21)) | u[2:])
+        first = np.sort(np.unique(tri, return_index=True)[1])
+        return [s[i:i + NGRAM_N] for i in first]
     if analyzer != FTS_ANALYZER:
         raise LanceNativeError(
             f"unknown fts analyzer {analyzer!r} (have: "
