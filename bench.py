@@ -206,6 +206,7 @@ DEFAULT_QUERIES = [
     "cat38_show_indexes",
     "s28_ngram_index",
     "s29_fts_prefix_boost",
+    "s30_label_has_any_prefilter",
 ]
 
 

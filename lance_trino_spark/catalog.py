@@ -1537,7 +1537,8 @@ class LanceCatalog:
             rf"\s*\(\s*(?P<col>{_IDENT})\s*\)"
             rf"\s+MATCHING\s+'(?P<q>[^']*)'"
             rf"(?:\s+TOP\s+(?P<k>\d+))?"
-            rf"(?:\s+WHERE\s+(?P<fcol>{_IDENT})\s+IN\s*"
+            rf"(?:\s+WHERE\s+(?P<fcol>{_IDENT})\s+"
+            rf"(?:IN|HAS\s+ANY)\s*"
             rf"\(\s*(?P<fvals>(?:'[^']*'|-?\d+)"
             rf"(?:\s*,\s*(?:'[^']*'|-?\d+))*)\s*\))?$",
             _h_fts_search,
@@ -1606,7 +1607,8 @@ class LanceCatalog:
             rf"\s+USING\s+(?P<qns>{_NSID})\.(?P<qtbl>{_IDENT})"
             rf"(?:\s+TOP\s+(?P<k>\d+))?"
             rf"(?:\s+NPROBE\s+(?P<nprobe>\d+))?"
-            rf"(?:\s+WHERE\s+(?P<fcol>{_IDENT})\s+IN\s*"
+            rf"(?:\s+WHERE\s+(?P<fcol>{_IDENT})\s+"
+            rf"(?:IN|HAS\s+ANY)\s*"
             rf"\(\s*(?P<fvals>(?:'[^']*'|-?\d+)(?:\s*,\s*(?:'[^']*'|-?\d+))*)\s*\))?$",
             _h_vector_search,
         ),

@@ -6044,16 +6044,34 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
     import pyarrow.compute as pc
 
     pcol, pvals = prefilter
-    if pcol not in {f.name for f in live.top_level_fields()}:
+    pfield = next(
+        (f for f in live.top_level_fields() if f.name == pcol), None)
+    if pfield is None:
         raise LanceNativeError(f"no such prefilter column: {pcol!r}")
+    # a LIST column's prefilter is HAS-ANY (array_contains any value —
+    # LanceDB's `.where("array_has_any(tags, [...])")` shape): the
+    # LABEL_LIST index serves it from postings slices, the fallback
+    # arms test array overlap instead of scalar membership
+    has_any = pfield.logical_type == "list"
     live_ids = {f.id for f in live.fragments}
     out: dict[int, "np.ndarray"] = {
         fid: np.empty(0, dtype=np.int64) for fid in live_ids}
     covered: frozenset = frozenset()
     n_allowed = 0
+    if has_any:
+        lidx = latest_native_label_index(root, pcol)
+        if lidx is not None:
+            rows_by_frag, covered = native_label_lookup(
+                root, pcol, list(pvals), mode="any", index=lidx)
+            for fid, rows in rows_by_frag.items():
+                if fid in live_ids:
+                    out[int(fid)] = np.asarray(rows, dtype=np.int64)
+                    n_allowed += len(rows)
+            if n_allowed > MAX_PREFILTER_ROWS:
+                raise _prefilter_cap_error(n_allowed)
     # a BITMAP (keyword-v1) index on the filter column is the pure
     # point-lookup shape — preferred over the btree when present
-    kidx = latest_native_bitmap_index(root, pcol)
+    kidx = None if has_any else latest_native_bitmap_index(root, pcol)
     if kidx is not None:
         rows_by_frag, kcov = native_bitmap_lookup(
             root, pcol, list(pvals), index=kidx)
@@ -6065,7 +6083,7 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
         if n_allowed > MAX_PREFILTER_ROWS:
             raise _prefilter_cap_error(n_allowed)
     sidx = None
-    if kidx is None:
+    if kidx is None and not has_any:
         for i in reversed(list_native_scalar_indices(root)):
             if i.column == pcol:
                 sidx = i
@@ -6083,7 +6101,9 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
     frag_by_id = {f.id: f for f in live.fragments}
     pending = [
         fid for fid in sorted(live_ids - covered)
-        if _prefilter_zonemap_admits(
+        # list-column stats (if any) describe flattened leaves, not the
+        # HAS-ANY membership domain — zone-map pruning is scalar-only
+        if has_any or _prefilter_zonemap_admits(
             root, live, frag_by_id[fid], pcol, pvals)]
     if not pending:
         return out
@@ -6098,7 +6118,17 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
             .load(root)
             .select(pcol, "_row_address")
         )
+        if has_any:
+            # HAS-ANY on a list column: the overlap test runs JVM-side
+            # (whole-stage codegen) BEFORE the packing kernel — the
+            # kernel then only packs addresses
+            from pyspark.sql import functions as _F
+
+            df = df.where(_F.arrays_overlap(
+                _F.col(pcol),
+                _F.array(*[_F.lit(v) for v in pvals])))
         pv_b = list(pvals)
+        pf_any = has_any
 
         def _matches(batches):
             import pandas as _pd
@@ -6106,7 +6136,10 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                m = pdf[pcol].isin(pv_b)  # vectorized (np.isin kernel)
+                if pf_any:  # overlap already applied JVM-side
+                    m = _pd.Series(True, index=pdf.index)
+                else:
+                    m = pdf[pcol].isin(pv_b)  # vectorized np.isin
                 hit = pdf["_row_address"][m].to_numpy().astype("<i8")
                 if len(hit):
                     # PACKED per-batch chunks (8 B/row), not one row per
@@ -6130,7 +6163,7 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
         for fid in pending:
             out[int(fid)] = np.sort(rows[fids == fid])
         return out
-    vset = pa.array(list(pvals))
+    vset = pa.array([str(v) if has_any else v for v in pvals])
     for fid in pending:
         frag = frag_by_id[fid]
         tbl = read_native_fragment(
@@ -6139,12 +6172,23 @@ def _native_prefilter_rows(root: str, live: NativeManifest,
                           dtype=np.uint64)
         rows = (addr & np.uint64(0xFFFFFFFF)).astype(np.int64)
         col = tbl.column(pcol).combine_chunks()
-        try:
-            vs = vset.cast(col.type)
-        except Exception:
-            vs = vset
-        m2 = np.asarray(
-            pc.fill_null(pc.is_in(col, value_set=vs), False))
+        if has_any:
+            # list overlap, vectorized: flatten -> membership mask ->
+            # surviving parent rows (never a per-row Python loop)
+            flat = pc.list_flatten(col)
+            parents = np.asarray(pc.list_parent_indices(col))
+            fm = np.asarray(
+                pc.fill_null(pc.is_in(flat, value_set=vset), False))
+            m2 = np.zeros(len(col), dtype=bool)
+            if fm.any():
+                m2[np.unique(parents[fm])] = True
+        else:
+            try:
+                vs = vset.cast(col.type)
+            except Exception:
+                vs = vset
+            m2 = np.asarray(
+                pc.fill_null(pc.is_in(col, value_set=vs), False))
         out[fid] = np.sort(rows[m2])
         n_allowed += len(out[fid])
         if n_allowed > MAX_PREFILTER_ROWS:

@@ -90,6 +90,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # whole r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45, st10).
     "s28_ngram_index",
     "s29_fts_prefix_boost",
+    "s30_label_has_any_prefilter",
     "s25_fts_boolean_not",
     "s26_native_hnsw_index",
     "s27_native_ivf_hnsw",
@@ -139,7 +140,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "lf32_native_null_roundtrip",
     "lf33_native_embeddings_ctas",
     "lf34_native_backfill_column",
-    "lf35_native_rename_column",
 )
 
 

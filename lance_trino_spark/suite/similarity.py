@@ -2849,3 +2849,135 @@ def s29(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append((int(did), int(dl), float(s)))
     out.sort(key=lambda r: (-r[2], r[0]))
     return spark.createDataFrame(out, "doc_id long, dl int, score double")
+
+
+# ---------------------------------------------------------------------------
+# s30 — HAS-ANY (array_contains) TRUE prefilter served by the
+# LABEL_LIST index (round 14): LanceDB's `.where("array_has_any(tags,
+# [...])")` composed with full-text search. The prefilter column is an
+# array<string> tag column; `_native_prefilter_rows` detects the list
+# type, serves the allowed set from the label index's postings slices
+# (union of the probed tags' row addresses — never a column scan), and
+# the uncovered-fragment fallbacks test array overlap (JVM
+# arrays_overlap in the distributed arm, pyarrow list_flatten +
+# parent-indices in the serial arm). Corpus statistics stay GLOBAL
+# (the s21 filtered-search stance), so every hit scores exactly its
+# unfiltered score — which is what the score-then-filter oracle
+# computes. SQL: `FTS SEARCH ... WHERE tags HAS ANY ('a', 'b')`.
+# ---------------------------------------------------------------------------
+_S30_TERMS = ("merge", "stream")
+_S30_VALS = ("de", "fr", "src5")
+
+
+def _s30_oracle() -> str:
+    from ..operators.text import BM25_B, BM25_K1
+
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    b = repr(float(BM25_B))
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_S30_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_S30_TERMS))
+    )
+    score_terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + ({k1} * ({one_minus_b} + {b}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_S30_TERMS))
+    )
+    vals = ", ".join(f"'{x}'" for x in _S30_VALS)
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, lang, source, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, lang, source,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) t),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols}
+      FROM per_doc)
+    SELECT doc_id, CAST(dl AS INT) AS dl,
+           0.0 + {score_terms} AS score
+    FROM per_doc, stats
+    WHERE {" + ".join(f"tf_{i}" for i in range(len(_S30_TERMS)))} > 0
+      AND (lang IN ({vals}) OR source IN ({vals}))
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@register(
+    "s30_label_has_any_prefilter",
+    oracle=_s30_oracle(),
+    doc="HAS-ANY (array_contains) TRUE prefilter from the LABEL_LIST "
+        "index composed with FTS — allowed sets from tag postings "
+        "slices, global corpus stats, scores bit-identical to the "
+        "score-then-filter oracle",
+    tags=("similarity", "search", "text", "lance-format", "index",
+          "prefilter", "labels"),
+)
+def s30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import numpy as np
+
+    import lance_trino_spark.format.lance_native as ln
+    from .lance_format import _SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"{tag}-s30-hasany.lance")
+    shutil.rmtree(path, ignore_errors=True)
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "array(lang, source) AS tags", "text")
+        .orderBy("doc_id")
+    )
+    ln.create_native_dataset(src, path, file_version=2)
+    ln.write_native_fts_index(path, "text", n_buckets=8, spark=spark)
+    ln.write_native_label_index(path, "tags", n_buckets=4, spark=spark)
+    # access path: the list-typed prefilter column is served by the
+    # LABEL index (no scalar index exists on it)
+    assert ln.latest_native_label_index(path, "tags") is not None
+    assert not [i for i in ln.list_native_scalar_indices(path)
+                if i.column == "tags"]
+
+    query = " ".join(_S30_TERMS)
+    got, st = ln.native_fts_search(
+        path, "text", query, k=15,
+        index=ln.latest_native_fts_index(path, "text"),
+        prefilter=("tags", list(_S30_VALS)))
+    assert st["mode"] == "driver"
+    # every hit scores exactly its unfiltered score (global stats)
+    unf, _ = ln.native_fts_search(
+        path, "text", query, k=10_000,
+        index=ln.latest_native_fts_index(path, "text"))
+    by_addr = {a: s for a, _dl, s in unf}
+    assert all(s == by_addr[a] for a, _dl, s in got)
+
+    m = ln.read_native_manifest(path)
+    nfield = next(f for f in m.top_level_fields() if f.name == "doc_id")
+    by_frag: dict[int, list] = {}
+    for a, dl, s in got:
+        by_frag.setdefault(a >> 32, []).append((a & 0xFFFFFFFF, dl, s))
+    out = []
+    for fid, entries in by_frag.items():
+        frag = next(f for f in m.fragments if f.id == fid)
+        dfile, col_idx = frag.file_for_field(nfield.id)
+        ids = ln.read_file_column(
+            path, dfile, col_idx, nfield, m,
+            indices=np.asarray([p for p, _, _ in entries],
+                               dtype=np.int64))
+        for (pos, dl, s), did in zip(entries, ids.to_pylist()):
+            out.append((int(did), int(dl), float(s)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, "doc_id long, dl int, score double")

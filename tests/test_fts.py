@@ -1698,3 +1698,73 @@ def test_fts_prefix_and_boost(tmp_path, spark, monkeypatch):
         conv = [((a >> 32) * len(docs) + (a & 0xFFFFFFFF), dl, s)
                 for a, dl, s in got_f]
         assert conv == [(i, dl, s) for i, dl, s in want], q
+
+
+def test_label_has_any_prefilter(tmp_path, spark):
+    """HAS-ANY TRUE prefilter (r14): a LIST-typed prefilter column is
+    array-contains-any semantics — served from the LABEL_LIST index's
+    postings slices when covered, by array-overlap fallback arms when
+    not (JVM arrays_overlap distributed, pyarrow list_flatten serial).
+    Composes with FTS (global stats — hits keep their unfiltered
+    scores) and with the SQL route `WHERE tags HAS ANY (...)`."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = ["red", "hot", "ml", "nlp", "rare"]
+    tags = [sorted(rng.choice(vocab, size=int(rng.integers(1, 4)),
+                              replace=False).tolist())
+            for _ in range(150)]
+    texts = [f"merge w{i % 7} stream filler{i}" for i in range(150)]
+    root = str(tmp_path / "hasany.lance")
+    ln.write_native_dataset(root, {
+        "doc_id": list(range(150)), "tags": tags, "text": texts,
+    }, file_version=2)
+    ln.write_native_label_index(root, "tags", n_buckets=4)
+    ln.write_native_fts_index(root, "text", n_buckets=4)
+
+    vals = ["ml", "rare"]
+    want = sorted(i for i, ts in enumerate(tags)
+                  if any(v in ts for v in vals))
+    live = ln.read_native_manifest(root)
+
+    # label-index-served arm
+    allowed = ln._native_prefilter_rows(root, live, ("tags", vals))
+    assert sorted(allowed[0].tolist()) == want
+
+    # fallback arms (drop the index -> fragments uncovered)
+    idx = ln.latest_native_label_index(root, "tags")
+    shutil.rmtree(os.path.dirname(idx.path))
+    a2 = ln._native_prefilter_rows(root, live, ("tags", vals))
+    assert sorted(a2[0].tolist()) == want
+    a3 = ln._native_prefilter_rows(root, live, ("tags", vals),
+                                   spark=spark)
+    assert sorted(a3[0].tolist()) == want
+
+    # filtered FTS under the has-any prefilter: allowed set exact,
+    # scores global (equal to the unfiltered query's)
+    ln.write_native_label_index(root, "tags", n_buckets=4)
+    got, _st = ln.native_fts_search(
+        root, "text", "merge stream", k=200,
+        prefilter=("tags", vals))
+    assert sorted(a & 0xFFFFFFFF for a, _d, _s in got) == want
+    unf, _ = ln.native_fts_search(root, "text", "merge stream", k=500)
+    by_addr = {a: s for a, _dl, s in unf}
+    assert all(s == by_addr[a] for a, _dl, s in got)
+
+    # SQL route: WHERE tags HAS ANY (...)
+    from lance_trino_spark.catalog import LanceCatalog
+
+    cat = LanceCatalog(spark, root=str(tmp_path / "wh"))
+    cat.sql("CREATE SCHEMA s")
+    spark.createDataFrame(
+        [(i, tags[i], texts[i]) for i in range(150)],
+        "doc_id long, tags array<string>, text string",
+    ).createOrReplaceTempView("_ha_src")
+    cat.sql("CREATE NATIVE TABLE s.d AS SELECT * FROM _ha_src")
+    cat.sql("CREATE FTS INDEX ON s.d (text)")
+    r = cat.sql("FTS SEARCH s.d (text) MATCHING 'merge' TOP 200 "
+                "WHERE tags HAS ANY ('ml', 'rare')").collect()
+    assert sorted(row["doc_id"] for row in r) == want
