@@ -77,17 +77,17 @@ def register(
 # each round.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # --- round 14 window (EXACTLY 50; the driver samples the first 50).
-    # Front: the four NEW r14 queries (s25 boolean/NOT grammar, s26
-    # native HNSW sidecar, s27 IVF_HNSW composite, cat38 SHOW INDEXES),
-    # then r14 CHANGED-CODE re-checks (the fuzzy-expansion rewrite
-    # touches s19; the prefilter over-cap gate + quoted-literal SQL
-    # parsing touch s21/cat27; the distributed-phrase fix touches s18),
-    # then the stalest cohort: the full r8-checked set (last driver row
-    # r8) and the r9-checked set up to the 50-cap — 42 of the 50
-    # predate r12, per the r13 verdict's freshness ask.
+    # Front: the SEVEN NEW r14 queries (s28 NGRAM index, s29 FTS
+    # prefix/boost, s30 HAS-ANY label prefilter, s25 boolean/NOT
+    # grammar, s26 native HNSW sidecar, s27 IVF_HNSW composite, cat38
+    # SHOW INDEXES), then r14 CHANGED-CODE re-checks (the
+    # fuzzy-expansion + parser rewrites touch s19/s18/s21; cat27), then
+    # the stalest cohort: the full r8-checked set and the r9-checked
+    # set up to the 50-cap.
     # Still-stale after this round (lead the r15 window): the r9 tail
-    # (lf39-lf42 m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24), then the
-    # whole r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45, st10).
+    # (lf35 lf37-lf42 m07 q01-q07 s12 s14 st01 st04 st08 st11 t19 t24),
+    # then the whole r10 cohort (cat01-cat15, q08-q31, d12, lf44, lf45,
+    # st10).
     "s28_ngram_index",
     "s29_fts_prefix_boost",
     "s30_label_has_any_prefilter",
