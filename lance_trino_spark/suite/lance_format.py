@@ -617,23 +617,25 @@ def lf13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("format", "interop", "lance-native"),
 )
 def lf14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..format.lance_native import LanceNativeDataset, write_native_dataset
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+    )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf14-native")
-    nation = (
+    src = (
         load_table(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_regionkey")
-        .orderBy("n_nationkey")
-        .collect()
+        .selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS nationkey",
+            "CAST(n_nationkey AS BIGINT) * 10 AS decade",
+            "CAST(n_regionkey AS BIGINT) - 2 AS region_off",
+        )
+        .orderBy("nationkey")
     )
-    write_native_dataset(path, {
-        "nationkey": [int(r["n_nationkey"]) for r in nation],
-        "decade": [int(r["n_nationkey"]) * 10 for r in nation],
-        "region_off": [int(r["n_regionkey"]) - 2 for r in nation],
-    })
+    create_native_dataset(src.coalesce(1), path)
     ds = LanceNativeDataset(path)
-    assert ds.version == 1 and ds.count_rows() == len(nation)
+    assert ds.version == 1 and ds.count_rows() == src.count()
     # read back through the DISTRIBUTED path: format("lance") auto-detects
     # binary manifests and decodes fragment-parallel on executors
     register_lance_datasource(spark)
@@ -669,30 +671,24 @@ def lf14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lf15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
         LanceNativeDataset,
-        append_native_rows,
-        write_native_dataset,
+        create_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf15-native-pushdown")
-    cust = (
+    src = (
         load_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_nationkey")
-        .orderBy("c_custkey")
-        .collect()
+        .selectExpr(
+            "CAST(c_custkey AS BIGINT) AS custkey",
+            "CAST(c_nationkey AS BIGINT) AS nk",
+        )
     )
     # 4 fragments so the pushed filter demonstrably runs per fragment
-    quarters = [cust[i::4] for i in range(4)]
-    write_native_dataset(path, {
-        "custkey": [int(r["c_custkey"]) for r in quarters[0]],
-        "nk": [int(r["c_nationkey"]) for r in quarters[0]],
-    })
-    for q in quarters[1:]:
-        append_native_rows(path, {
-            "custkey": [int(r["c_custkey"]) for r in q],
-            "nk": [int(r["c_nationkey"]) for r in q],
-        })
-    assert LanceNativeDataset(path).count_rows() == len(cust)
+    # (distributed CTAS: one fragment per range partition)
+    create_native_dataset(src.repartitionByRange(4, "custkey"), path)
+    ds = LanceNativeDataset(path)
+    assert ds.count_rows() == src.count()
+    assert len(ds.manifest.fragments) == 4
     register_lance_datasource(spark)
     return (
         spark.read.format("lance").load(path)
@@ -749,38 +745,32 @@ def _lf16_cos_sql(a: str, b: str) -> str:
     tags=("format", "interop", "lance-native", "similarity", "ann"),
 )
 def lf16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..format.lance_native import LanceNativeDataset, write_native_dataset
+    from ..format.lance_native import (
+        LanceNativeDataset,
+        create_native_dataset,
+    )
     from ..operators.similarity import cosine_topk
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf16-native-ann")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
-        .collect()
     )
-    write_native_dataset(path, {
-        "vec_id": [int(r["vec_id"]) for r in rows],
-        "embedding": [[float(x) for x in r["embedding"]] for r in rows],
-    })
+    dim = len(src.select("embedding").first()["embedding"])
+    create_native_dataset(
+        src.coalesce(1), path, fsl_columns={"embedding": dim})
     ds = LanceNativeDataset(path)
-    assert ds.count_rows() == len(rows)
+    assert ds.count_rows() == src.count()
     register_lance_datasource(spark)
     native = spark.read.format("lance").load(path)
-    # The query side is a SEPARATE in-memory relation, not a filtered
-    # re-read of `native`: Spark 4.1's Python-DataSource bridge keeps ONE
-    # mutable readInfo slot per source instance (PythonDataSourceV2
-    # .getOrCreateReadInfo / setReadInfo), so planning a filtered scan of
-    # the same relation would overwrite the unfiltered corpus scan's
-    # partitions and silently shrink the corpus (pinned by
-    # tests/test_datasource.py::test_shared_relation_filter_leak_pinned).
-    queries = spark.createDataFrame(
-        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-         for r in rows if r["vec_id"] < 5],
-        "vec_id long, embedding array<float>",
-    )
+    # query side: the parquet relation (distinct source — and since r14
+    # the PythonScanRebind rule makes even filtered re-reads of one
+    # format("lance") relation safe; see
+    # tests/test_datasource.py::test_pyds_scan_rebind_self_union)
+    queries = src.filter(F.col("vec_id") < 5)
     return cosine_topk(native, queries, k=5).orderBy("query_id", "rank")
 
 
@@ -819,35 +809,43 @@ def lf17(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..format.lance_native import (
-        append_native_rows, list_native_vector_indices, native_index_search,
-        write_native_dataset, write_native_vector_index)
+        create_native_dataset, list_native_vector_indices,
+        native_index_search, write_native_vector_index)
+    from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf17-native-index")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 400)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
-        .collect()
     )
-    half = len(rows) // 2
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "vec_id": [int(r["vec_id"]) for r in rs],
-        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
-    }
-    write_native_dataset(path, cols(rows[:half]))
-    append_native_rows(path, cols(rows[half:]))  # second fragment: real
-    # fragment_id<<32 addresses, not just row numbers
+    dim = len(src.select("embedding").first()["embedding"])
+    cut = int(src.selectExpr(
+        "percentile_approx(vec_id, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"vec_id < {cut}").coalesce(1), path,
+        fsl_columns={"embedding": dim})
+    register_lance_datasource(spark)
+    # second fragment via the DSv2 append: real fragment_id<<32
+    # addresses, not just row numbers
+    src.where(f"vec_id >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)
     write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
     idx = list_native_vector_indices(path)[-1]
 
-    vecs = np.array([r["embedding"] for r in rows], dtype=np.float32)
-    ids = np.array([int(r["vec_id"]) for r in rows])
-    addr = np.where(
-        np.arange(len(rows)) < half,
-        np.arange(len(rows)),
-        (np.int64(1) << np.int64(32)) + (np.arange(len(rows)) - half),
-    ).astype(np.uint64)
+    # reference math comes from the SCAN (bounded slice): vectors, ids,
+    # and TRUE row addresses — no assumption about fragment layout
+    ref = (
+        spark.read.format("lance").option("row_address", "true")
+        .load(path).select("vec_id", "embedding", "_row_address")
+        .orderBy("vec_id").collect()
+    )
+    vecs = np.array([r["embedding"] for r in ref], dtype=np.float32)
+    ids = np.array([int(r["vec_id"]) for r in ref])
+    addr = np.array([int(r["_row_address"]) for r in ref],
+                    dtype=np.uint64)
+    rows = ref
     queries = vecs[:8]
 
     res_all = native_index_search(path, idx, queries, k=5, nprobe=idx.n_cells)
@@ -903,27 +901,29 @@ def lf17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lf18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
-        LanceNativeDataset, append_native_rows, write_native_dataset)
+        LanceNativeDataset,
+        create_native_dataset,
+    )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf18-native-v2")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") <= 400)
         .select("p_partkey", "p_name", "p_retailprice")
         .orderBy("p_partkey")
-        .collect()
     )
-    half = len(rows) // 2
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "p_partkey": [int(r["p_partkey"]) for r in rs],
-        "p_name": [str(r["p_name"]) for r in rs],
-        "p_retailprice": [float(r["p_retailprice"]) for r in rs],
-    }
-    write_native_dataset(path, cols(rows[:half]), file_version=2)
-    append_native_rows(path, cols(rows[half:]), file_version=2)
+    cut = int(src.selectExpr(
+        "percentile_approx(p_partkey, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"p_partkey < {cut}").coalesce(1), path,
+        file_version=2)
+    register_lance_datasource(spark)
+    # DSv2 append follows the dataset's FILE-v2 flavor
+    src.where(f"p_partkey >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)
     ds = LanceNativeDataset(path)
-    assert ds.count_rows() == len(rows)
+    assert ds.count_rows() == src.count()
     # the data files on disk really are FILE-v2 (footer 0.3)
     import glob
     import struct as _struct

@@ -173,11 +173,6 @@ def test_no_unbounded_driver_collects():
 # this list, never grow it: a NEW suite query mixing .collect() with a
 # driver-side native write fails this test.
 SUITE_FIXTURE_GRANDFATHERED: frozenset = frozenset({
-    ("suite/lance_format.py", "lf14"),
-    ("suite/lance_format.py", "lf15"),
-    ("suite/lance_format.py", "lf16"),
-    ("suite/lance_format.py", "lf17"),
-    ("suite/lance_format.py", "lf18"),
     ("suite/lance_format.py", "lf19"),
     ("suite/lance_format.py", "lf20"),
     ("suite/lance_format.py", "lf21"),
