@@ -980,30 +980,22 @@ def lf18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lf19(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
-        append_native_rows,
         list_native_scalar_indices,
         scalar_index_lookup,
-        write_native_dataset,
         write_native_scalar_index,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf19-scalar-idx")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "part")
         .select("p_partkey", "p_name", "p_retailprice")
-        .orderBy("p_partkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "p_partkey": [int(r["p_partkey"]) for r in rs],
-        "p_name": [str(r["p_name"]) for r in rs],
-        "p_retailprice": [float(r["p_retailprice"]) for r in rs],
-    }
-    third = max(1, len(rows) // 3)
-    write_native_dataset(path, cols(rows[:third]))
-    append_native_rows(path, cols(rows[third:2 * third]))
-    append_native_rows(path, cols(rows[2 * third:]))
+    from ..format.lance_native import create_native_dataset
+
+    # three fragments via the distributed CTAS (range partitions)
+    create_native_dataset(
+        src.repartitionByRange(3, "p_partkey"), path)
     write_native_scalar_index(path, "p_partkey", page_rows=128)
 
     # driver-side access-path proof: the probe touches a strict subset of
@@ -1154,23 +1146,34 @@ def lf20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("format", "interop", "lance-native", "row-address"),
 )
 def lf21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..format.lance_native import append_native_rows, write_native_dataset
+    from pyspark.sql import Window
+
+    from ..format.lance_native import create_native_dataset
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf21-row-address")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") <= 300)
         .select("p_partkey")
-        .orderBy("p_partkey")
-        .collect()
     )
-    keys = [int(r["p_partkey"]) for r in rows]
-    third = len(keys) // 3
-    write_native_dataset(path, {"p_partkey": keys[:third]})
-    append_native_rows(path, {"p_partkey": keys[third:2 * third]})
-    append_native_rows(path, {"p_partkey": keys[2 * third:]})
+    n = src.count()
+    third = n // 3
+    # the oracle predicts (frag, row) from rank, so the three fragments
+    # must be EXACT rank thirds in key order: rank via a window, slice,
+    # and keep in-fragment order with repartition(1)+sortWithinPartitions
+    ranked = src.withColumn(
+        "rk", F.row_number().over(Window.orderBy("p_partkey")) - 1)
+
+    def _slice(lo, hi):
+        return (ranked.where((F.col("rk") >= lo) & (F.col("rk") < hi))
+                .select("p_partkey")
+                .repartition(1).sortWithinPartitions("p_partkey"))
+
+    create_native_dataset(_slice(0, third), path)
     register_lance_datasource(spark)
+    for lo, hi in ((third, 2 * third), (2 * third, n)):
+        _slice(lo, hi).write.format("lance").mode("append").save(path)
     native = (
         spark.read.format("lance")
         .option("row_address", "true")
@@ -1223,31 +1226,26 @@ def lf22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..format.lance_native import (
         LanceNativeDataset,
-        append_native_rows,
+        create_native_dataset,
         native_delete_where,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf22-native-mor-delete")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 2000)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
-        "o_totalprice": [float(r["o_totalprice"]) for r in rs],
-    }
-    half = len(rows) // 2
-    write_native_dataset(path, cols(rows[:half]))
-    append_native_rows(path, cols(rows[half:]))
+    cut = int(src.selectExpr(
+        "percentile_approx(o_orderkey, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"o_orderkey < {cut}").coalesce(1), path)
+    register_lance_datasource(spark)
+    src.where(f"o_orderkey >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)
     files_before = sorted(glob.glob(os.path.join(path, "data", "*")))
 
-    register_lance_datasource(spark)
     native_delete_where(
         spark, path, F.col("o_orderpriority") == "5-LOW")
 
@@ -1309,35 +1307,31 @@ def lf23(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..format.lance_native import (
         LanceNativeDataset,
-        append_native_rows,
+        create_native_dataset,
         native_update_where,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf23-native-mor-update")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 2000)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey")
-        .collect()
+        .selectExpr(
+            "o_orderkey", "o_orderpriority",
+            # cents as int64 so the doubled values stay float-exact
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c",
+        )
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
-        # cents as int64 so the doubled values stay float-exact
-        "price_c": [
-            int(float(r["o_totalprice"]) * 100 + 0.5) for r in rs
-        ],
-    }
-    half = len(rows) // 2
-    write_native_dataset(path, cols(rows[:half]))
-    append_native_rows(path, cols(rows[half:]))
+    cut = int(src.selectExpr(
+        "percentile_approx(o_orderkey, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"o_orderkey < {cut}").coalesce(1), path)
+    register_lance_datasource(spark)
+    src.where(f"o_orderkey >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)
     files_before = set(glob.glob(os.path.join(path, "data", "*")))
     v_before = LanceNativeDataset(path).version
 
-    register_lance_datasource(spark)
     v_after = native_update_where(
         spark, path,
         F.col("o_orderpriority") == "1-URGENT",
@@ -1411,28 +1405,24 @@ def lf23(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lf24(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
         LanceNativeDataset,
+        create_native_dataset,
         native_merge_into,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf24-native-merge")
-    rows = (
+    src0 = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 300)
-        .select("c_custkey", "c_acctbal", "c_mktsegment")
-        .orderBy("c_custkey")
-        .collect()
+        .selectExpr(
+            "c_custkey",
+            # EXACTLY the oracle's FLOOR(x*100 + 0.5) — sign-split
+            # rounding diverges for negative balances on .xx5 boundaries
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c",
+            "c_mktsegment",
+        )
     )
-    write_native_dataset(path, {
-        "c_custkey": [int(r["c_custkey"]) for r in rows],
-        # EXACTLY the oracle's FLOOR(x*100 + 0.5) — sign-split rounding
-        # diverges for negative balances on .xx5 boundaries
-        "bal_c": [
-            math.floor(float(r["c_acctbal"]) * 100 + 0.5) for r in rows
-        ],
-        "c_mktsegment": [str(r["c_mktsegment"]) for r in rows],
-    })
+    create_native_dataset(src0.coalesce(1), path)
     register_lance_datasource(spark)
     target = spark.read.format("lance").load(path)
     src = (
@@ -1526,34 +1516,27 @@ def lf24(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lf25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
-        append_native_rows,
+        create_native_dataset,
         native_delete_where,
         native_table_changes,
         native_update_where,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf25-native-cdf")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 1000)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey")
-        .collect()
+        .selectExpr(
+            "o_orderkey", "o_orderpriority",
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c",
+        )
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
-        "price_c": [
-            math.floor(float(r["o_totalprice"]) * 100 + 0.5) for r in rs
-        ],
-    }
-    b1 = [r for r in rows if int(r["o_orderkey"]) <= 500]
-    b2 = [r for r in rows if int(r["o_orderkey"]) > 500]
-    write_native_dataset(path, cols(b1))                       # v1
-    append_native_rows(path, cols(b2))                         # v2
+    create_native_dataset(
+        src.where("o_orderkey <= 500").coalesce(1), path)      # v1
     register_lance_datasource(spark)
+    src.where("o_orderkey > 500").coalesce(1) \
+        .write.format("lance").mode("append").save(path)       # v2
     native_delete_where(                                       # v3
         spark, path, F.col("o_orderpriority") == "5-LOW")
     native_update_where(                                       # v4
@@ -1609,30 +1592,25 @@ def lf25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lf26(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
         LanceNativeDataset,
-        append_native_rows,
+        create_native_dataset,
         native_compact,
         native_delete_where,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf26-native-compact")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 2000)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
-        "o_totalprice": [float(r["o_totalprice"]) for r in rs],
-    }
-    half = len(rows) // 2
-    write_native_dataset(path, cols(rows[:half]))
-    append_native_rows(path, cols(rows[half:]))
+    cut = int(src.selectExpr(
+        "percentile_approx(o_orderkey, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"o_orderkey < {cut}").coalesce(1), path)    # v1
     register_lance_datasource(spark)
+    src.where(f"o_orderkey >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)       # v2
     native_delete_where(
         spark, path, F.col("o_orderpriority") == "5-LOW")       # v3: DVs
     pre = LanceNativeDataset(path)
@@ -1706,33 +1684,28 @@ def lf27(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
         LanceNativeDataset,
         LanceNativeError,
-        append_native_rows,
+        create_native_dataset,
         native_cleanup_old_versions,
         native_compact,
         native_delete_where,
         write_native_scalar_index,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf27-native-vacuum")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 2000)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
-        "o_totalprice": [float(r["o_totalprice"]) for r in rs],
-    }
-    half = len(rows) // 2
-    write_native_dataset(path, cols(rows[:half]))            # v1
-    append_native_rows(path, cols(rows[half:]))              # v2
-    write_native_scalar_index(path, "o_orderkey")            # covers 0,1
+    cut = int(src.selectExpr(
+        "percentile_approx(o_orderkey, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"o_orderkey < {cut}").coalesce(1), path)  # v1
     register_lance_datasource(spark)
+    src.where(f"o_orderkey >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)     # v2
+    write_native_scalar_index(path, "o_orderkey")            # covers 0,1
     native_delete_where(                                     # v3: DV file
         spark, path, F.col("o_orderpriority") == "5-LOW")
     native_compact(path)                                     # v4: rewrite
@@ -1893,33 +1866,37 @@ def lf29(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     from ..format.lance_native import (
-        append_native_rows,
+        create_native_dataset,
         native_add_column,
         native_delete_where,
         read_native_manifest,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf29-native-add-column")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 2000)
         .select("o_orderkey", "o_orderpriority")
-        .orderBy("o_orderkey")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "o_orderkey": [int(r["o_orderkey"]) for r in rs],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rs],
-    }
-    half = len(rows) // 2
-    write_native_dataset(path, cols(rows[:half]))
-    append_native_rows(path, cols(rows[half:]))
+    cut = int(src.selectExpr(
+        "percentile_approx(o_orderkey, 0.5) AS c").first()["c"])
+    create_native_dataset(
+        src.where(f"o_orderkey < {cut}").coalesce(1), path)
+    register_lance_datasource(spark)
+    src.where(f"o_orderkey >= {cut}").coalesce(1) \
+        .write.format("lance").mode("append").save(path)
     files_before = sorted(glob.glob(os.path.join(path, "data", "*")))
 
-    native_add_column(
-        path, {"kmod": [int(r["o_orderkey"]) % 7 for r in rows]})
+    # the new column's values align with PHYSICAL row order — derive
+    # them from a bounded address-ordered key read (reference math only)
+    keys = [
+        int(r["o_orderkey"]) for r in
+        spark.read.format("lance").option("row_address", "true")
+        .load(path).select("o_orderkey", "_row_address")
+        .orderBy("_row_address").collect()
+    ]
+    native_add_column(path, {"kmod": [k % 7 for k in keys]})
 
     files_after = sorted(glob.glob(os.path.join(path, "data", "*")))
     originals_untouched = set(files_before) <= set(files_after)
@@ -1980,26 +1957,22 @@ def lf30(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     from ..format.lance_native import (
+        create_native_dataset,
         native_add_column,
         native_drop_column,
         read_native_manifest,
-        write_native_dataset,
     )
     from ..sources.lance_datasource import register_lance_datasource
 
     path = _fresh_path(sf_dir, "lf30-native-drop-column")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 1500)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
         .orderBy("o_orderkey")
-        .collect()
     )
-    write_native_dataset(path, {
-        "o_orderkey": [int(r["o_orderkey"]) for r in rows],
-        "o_orderpriority": [str(r["o_orderpriority"]) for r in rows],
-        "o_totalprice": [float(r["o_totalprice"]) for r in rows],
-    })
+    create_native_dataset(src.coalesce(1), path)
+    n_rows = src.count()
     files_before = sorted(glob.glob(os.path.join(path, "data", "*")))
     old_id = next(
         f.id for f in read_native_manifest(path).fields
@@ -2011,7 +1984,7 @@ def lf30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # re-add under the same name: zeroed integer cents, FRESH field id
     native_add_column(
-        path, {"o_totalprice": [0] * len(rows)})
+        path, {"o_totalprice": [0] * n_rows})
     new_id = next(
         f.id for f in read_native_manifest(path).fields
         if f.name == "o_totalprice")

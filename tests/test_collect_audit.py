@@ -173,18 +173,8 @@ def test_no_unbounded_driver_collects():
 # this list, never grow it: a NEW suite query mixing .collect() with a
 # driver-side native write fails this test.
 SUITE_FIXTURE_GRANDFATHERED: frozenset = frozenset({
-    ("suite/lance_format.py", "lf19"),
     ("suite/lance_format.py", "lf20"),
-    ("suite/lance_format.py", "lf21"),
-    ("suite/lance_format.py", "lf22"),
-    ("suite/lance_format.py", "lf23"),
-    ("suite/lance_format.py", "lf24"),
-    ("suite/lance_format.py", "lf25"),
-    ("suite/lance_format.py", "lf26"),
-    ("suite/lance_format.py", "lf27"),
     ("suite/lance_format.py", "lf28"),
-    ("suite/lance_format.py", "lf29"),
-    ("suite/lance_format.py", "lf30"),
     ("suite/lance_format.py", "lf42"),
     ("suite/lance_format.py", "lf43"),
     ("suite/lance_format.py", "lf44"),
