@@ -3062,37 +3062,49 @@ def lf43(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..format.lance_native import (
-        append_native_rows, ensure_native_vector_index,
+        create_native_dataset, ensure_native_vector_index,
         latest_native_vector_index, native_delete, native_index_search,
-        native_vector_search_fresh, write_native_dataset)
+        native_vector_search_fresh)
 
     path = _fresh_path(sf_dir, "lf43-ann-freshness")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 400)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "vec_id": [int(r["vec_id"]) for r in rs],
-        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
-    }
-    base, appended = rows[:350], rows[350:]
-    write_native_dataset(path, cols(base))
+    dim = len(src.select("embedding").first()["embedding"])
+    create_native_dataset(
+        src.where("vec_id < 350")
+        .repartition(1).sortWithinPartitions("vec_id"),
+        path, fsl_columns={"embedding": dim})
     assert ensure_native_vector_index(path, "embedding", n_cells=4,
                                       nsub=8) is not None
     assert ensure_native_vector_index(path, "embedding") is None  # covered
 
-    # ingest arrives AFTER the build: fragment 1, rows 350..399
-    append_native_rows(path, cols(appended))
+    # ingest arrives AFTER the build: one appended fragment (350..399)
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    src.where("vec_id >= 350") \
+        .repartition(1).sortWithinPartitions("vec_id") \
+        .write.format("lance").mode("append").save(path)
     idx = latest_native_vector_index(path, "embedding")
-    queries = np.asarray([r["embedding"] for r in rows[350:355]],
+
+    # addr<->vid maps + query vectors from a bounded row_address scan
+    # (reference math only — no layout assumption)
+    ref = (
+        spark.read.format("lance").option("row_address", "true")
+        .load(path).select("vec_id", "embedding", "_row_address")
+        .orderBy("vec_id").collect()
+    )
+    rows = ref
+    vid_by_addr = {int(r["_row_address"]): int(r["vec_id"]) for r in ref}
+    addr_by_vid = {int(r["vec_id"]): int(r["_row_address"]) for r in ref}
+    queries = np.asarray([r["embedding"] for r in ref[350:355]],
                          dtype=np.float32)
 
     def addr_to_vid(a: int) -> int:
-        frag, row = a >> 32, a & 0xFFFFFFFF
-        return row if frag == 0 else 350 + row
+        return vid_by_addr[int(a)]
 
     pinned = native_index_search(path, idx, queries, k=1,
                                  nprobe=idx.n_cells)
@@ -3109,7 +3121,8 @@ def lf43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # delete vec_id 399 (fragment 1 row 49): its (now stale) index entry
     # must be dropped by the DV mask, never returned
-    native_delete(path, {1: [49]})
+    a399 = addr_by_vid[399]
+    native_delete(path, {a399 >> 32: [a399 & 0xFFFFFFFF]})
     probe399 = np.asarray([rows[399]["embedding"]], dtype=np.float32)
     fresh3 = native_vector_search_fresh(path, "embedding", probe399,
                                         k=3, nprobe=4)
@@ -3546,7 +3559,7 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..format.lance_native import (
         _iter_scalar_index_rows,
         _read_index_partition,
-        append_native_rows,
+        create_native_dataset,
         ensure_native_scalar_index,
         extend_native_vector_index,
         latest_native_vector_index,
@@ -3555,28 +3568,31 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
         native_index_search,
         read_native_manifest,
         read_native_vector_index,
-        write_native_dataset,
         write_native_scalar_index,
         write_native_vector_index,
     )
 
     path = _fresh_path(sf_dir, "lf47-index-extend")
-    rows = (
+    src = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 400)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
     )
-    cols = lambda rs: {  # noqa: E731 — tiny local shaper
-        "vec_id": [int(r["vec_id"]) for r in rs],
-        "embedding": [[float(x) for x in r["embedding"]] for r in rs],
-    }
-    write_native_dataset(path, cols(rows[:350]))
+    dim = len(src.select("embedding").first()["embedding"])
+    n_total = src.count()
+    create_native_dataset(
+        src.where("vec_id < 350")
+        .repartition(1).sortWithinPartitions("vec_id"),
+        path, fsl_columns={"embedding": dim})
     write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
     write_native_scalar_index(path, "vec_id", page_rows=64)
     old = latest_native_vector_index(path, "embedding")
-    append_native_rows(path, cols(rows[350:]))  # AFTER both builds
+    from ..sources.lance_datasource import register_lance_datasource
+
+    register_lance_datasource(spark)
+    src.where("vec_id >= 350") \
+        .repartition(1).sortWithinPartitions("vec_id") \
+        .write.format("lance").mode("append").save(path)  # AFTER builds
 
     # the delta encode: fragments-restricted, ADAPTIVE (r14) — a delta
     # this small routes to the serial twin even with spark= (the
@@ -3604,7 +3620,7 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
         added += len(nrid) - len(orid)
     m = read_native_manifest(path)
     delta_only = (
-        added == len(rows) - 350
+        added == n_total - 350
         and native_index_coverage(path, new) == {f.id for f in m.fragments}
     )
 
@@ -3634,7 +3650,11 @@ def lf47(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb_uid = write_native_vector_index(path, "embedding", n_cells=4, nsub=8)
     rebuilt = read_native_vector_index(
         os.path.join(path, "_indices", rb_uid, "index.idx"))
-    vec_by_id = {int(r["vec_id"]): r["embedding"] for r in rows}
+    vec_by_id = {
+        int(r["vec_id"]): r["embedding"]
+        for r in src.where(
+            F.col("vec_id").isin([0, 120, 360, 390])).collect()
+    }
     out = []
     for qid in (0, 120, 360, 390):
         q = np.asarray(vec_by_id[qid], dtype=np.float32)

@@ -166,21 +166,27 @@ def test_no_unbounded_driver_collects():
 # Fixture corpora must reach native datasets through the DISTRIBUTED
 # paths (create_native_dataset(df) / DSv2 .write.format("lance")), not a
 # driver collect feeding write_native_dataset/append_native_rows. The
-# corpus-scale builders (s16, s17, cat27, s18) go distributed; the
-# entries below are GRANDFATHERED constant-size fixture slices (a
-# 25-row nation, a <=120-row customer cut, a few-hundred-row orders cap
-# — each bounded by an explicit literal filter, not by the sf). Shrink
-# this list, never grow it: a NEW suite query mixing .collect() with a
+# corpus-scale builders (s16, s17, cat27, s18) go distributed; every
+# migratable fixture HAS been migrated (r14 finished the lf-series).
+# The six entries below are PERMANENT by design, each exercising a
+# write surface the distributed CTAS deliberately does not express:
+#   lf20         — raw {position, size} blob DESCRIPTORS (the foreign-
+#                  SDK descriptor shape; CTAS synthesizes real offsets)
+#   lf28/lf42/   — EXPLICIT per-file encoding selection (dictionary /
+#   lf44/lf45      miniblock / full-zip pages mixed with plain files
+#                  under one marked field)
+#   lf46         — driver-local MemoryObjectStore root (the
+#                  conditional-put conformance target; distributed
+#                  writers refuse non-shared stores on purpose)
+# Never grow this list: a NEW suite query mixing .collect() with a
 # driver-side native write fails this test.
 SUITE_FIXTURE_GRANDFATHERED: frozenset = frozenset({
     ("suite/lance_format.py", "lf20"),
     ("suite/lance_format.py", "lf28"),
     ("suite/lance_format.py", "lf42"),
-    ("suite/lance_format.py", "lf43"),
     ("suite/lance_format.py", "lf44"),
     ("suite/lance_format.py", "lf45"),
     ("suite/lance_format.py", "lf46"),
-    ("suite/lance_format.py", "lf47"),
 })
 
 
