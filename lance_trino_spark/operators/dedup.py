@@ -60,15 +60,43 @@ def shingle_hashes(
     hair, which is the standard trade — and the suite oracles replicate
     hash-distinctness exactly."""
     # Small-input parallelization guard: a corpus that arrives as fewer
-    # input splits than the cluster has slots (e.g. one small parquet file)
-    # would run the whole shingle+hash projection in ONE task. Repartition
-    # only in that case — the shuffle moves just the raw text, which is by
+    # input splits than the cluster has slots (e.g. one small parquet file),
+    # or one AQE coalesced to byte-sized partitions, would run the whole
+    # CPU-heavy shingle+hash projection in very few tasks. Repartition only
+    # in that case — the shuffle moves just the raw text, which is by
     # definition small here; at real scale input splits already saturate
-    # the cluster and this is a no-op.
+    # the cluster and this is a no-op. The decision MUST NOT execute the
+    # plan: the old `df.rdd.getNumPartitions()` probe materializes every
+    # upstream query stage under AQE (an entire wasted pass per call — at
+    # sf0.1 it alone re-ran the canonicalization join). Instead decide
+    # from the leaf input files (no job): few files AND small known bytes
+    # means the tokenize would under-parallelize; many files or large /
+    # unknown-scheme inputs already split well past slots.
     spark = df.sparkSession
     slots = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, slots // 2):
-        df = df.repartition(slots)
+    files = df.inputFiles()
+    if len(files) < max(2, slots // 2):
+        import os as _os
+        from urllib.parse import unquote, urlparse
+
+        total: int | None = 0
+        for u in files:
+            p = urlparse(u)
+            if p.scheme in ("file", ""):
+                try:
+                    total += _os.path.getsize(unquote(p.path))
+                except OSError:
+                    total = None
+                    break
+            else:  # remote store: sizes unknown without I/O — assume big
+                total = None
+                break
+        # unknown sizes on few files: keep the old conservative behavior
+        # only for the all-local (test/fixture) shape; 32 MiB/slot is well
+        # under one scan split, so a "small" verdict here can only cost a
+        # tiny shuffle
+        if total is not None and total < slots * (32 << 20):
+            df = df.repartition(slots)
     # Tokenize ONCE in its own projection: referencing split() inside the
     # transform() lambda would re-evaluate it per shingle (Spark does no CSE
     # inside higher-order functions) — O(tokens²) per document.
@@ -166,27 +194,37 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard over distinct shingle sets for candidate pairs only."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
-    b = sh.select(F.col(id_col).alias("jb_id"), F.col("h").alias("hb"))
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("jb_id")) & (F.col("ha") == F.col("hb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard over distinct shingle sets for candidate pairs only.
+
+    ONE join + ONE aggregation (r14, guide §2.4 — the old shape was four
+    joins and two aggregations over the same shingle frame, each reference
+    its own exchange pipeline): every candidate pair explodes into its two
+    member ids; joining that tagged frame with the per-doc DISTINCT
+    shingle hashes by id yields |A| + |B| rows per pair, of which the
+    duplicated hashes are exactly the intersection. So with n = |A| + |B|
+    and u = |A ∪ B| = countDistinct(h):
+
+        inter = n - u,   union = u,   jaccard = inter / union
+
+    bitwise identical to the old inter / (sz_a + sz_b - inter) form (same
+    two int64 operands of the one double division). The join also acts as
+    the guide §3.2 semi-join: only candidate docs' shingles flow into the
+    aggregation. Note: a pair whose member has NO shingle rows survives
+    the join with jaccard 0 and is dropped by any threshold > 0 (the old
+    inner size-join dropped it unconditionally) — all callers use
+    threshold >= 0.5."""
+    tagged = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"inter": 0})
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        tagged.join(sh, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n"), F.countDistinct("h").alias("_u"))
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            (F.col("_n") - F.col("_u")).cast("double")
+            / F.col("_u").cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -211,10 +249,14 @@ def simhash_dedup(
     fpd = df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_fp"), F.col(text_col)
     )
-    groups = fpd.groupBy("_fp").agg(
+    # same proxy-table caching as minhash_lsh_dedup: mem feeds the group
+    # aggregation and four expansion branches — one corpus pass, cached
+    mem = fpd.select("_fp", F.col(id_col)).persist()
+    groups = mem.groupBy("_fp").agg(
         F.min(id_col).alias("rep"), F.count("*").alias("gsize")
     ).persist()
-    mem = fpd.select("_fp", F.col(id_col))
+    # no explicit materialize: the shingle materialization below scans
+    # through reps -> groups -> mem and fills both caches in that pass
     reps = fpd.join(
         groups.select(F.col("rep").alias(id_col)), id_col
     ).select(id_col, text_col)
@@ -238,6 +280,7 @@ def simhash_dedup(
         rep_pairs, groups, mem, id_col, selfj, value_col="hamming")
     sh.unpersist()
     groups.unpersist()
+    mem.unpersist()
     return out
 
 
@@ -272,10 +315,16 @@ def minhash_lsh_dedup(
     fpd = df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_fp"), F.col(text_col)
     )
-    groups = fpd.groupBy("_fp").agg(
+    # mem is the §8 proxy table — (_fp, id) per doc, no text. It is
+    # referenced by the group aggregation AND four branches of the final
+    # expansion; cached it is computed in ONE corpus pass (text pruned at
+    # the scan) instead of once per plan branch.
+    mem = fpd.select("_fp", F.col(id_col)).persist()
+    groups = mem.groupBy("_fp").agg(
         F.min(id_col).alias("rep"), F.count("*").alias("gsize")
     ).persist()
-    mem = fpd.select("_fp", F.col(id_col))
+    # no explicit materialize: the shingle materialization below scans
+    # through reps -> groups -> mem and fills both caches in that pass
     reps = fpd.join(
         groups.select(F.col("rep").alias(id_col)), id_col
     ).select(id_col, text_col)
@@ -283,10 +332,14 @@ def minhash_lsh_dedup(
     sh = shingle_hashes(reps, id_col, text_col, k).persist()
     sh.count()  # materialize once; feeds both signatures and verify
     sig = minhash_signatures(sh, id_col, num_perm)
-    # candidate pairs are tiny but sit on a deep plan; persisting them keeps
-    # the verify stage from recomputing the whole LSH subtree per join branch
+    # candidate pairs are the tiny decision table on a DEEP plan (band
+    # explode + self-join over the whole signature subtree); materialize
+    # them so the verify plan starts from the pair list instead of
+    # re-deriving the LSH subtree per branch
     release: list = []
-    pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands, _release=release).persist()
+    pairs = lsh_candidate_pairs(
+        sig, id_col, num_perm, bands, _release=release
+    ).localCheckpoint()
     rep_pairs = jaccard_verify(pairs, sh, id_col, threshold).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
     )
@@ -299,7 +352,7 @@ def minhash_lsh_dedup(
         .select("_fp", F.lit(1.0).alias("jaccard"))
     )
     verified = _expand_rep_pairs(rep_pairs, groups, mem, id_col, selfj)
-    for frame in (*release, pairs, sh, groups):
+    for frame in (*release, sh, groups, mem):
         frame.unpersist()
     return verified
 
@@ -490,7 +543,19 @@ def _expand_rep_pairs(
     representative pair's exact value — the expansion is pure equi-join
     bookkeeping sized by the TRUE OUTPUT (least/greatest restores the
     id_a < id_b contract). Returns a localCheckpoint'd pair list so
-    callers can release their upstream caches."""
+    callers can release their upstream caches.
+
+    ``rep_pairs`` is materialized (localCheckpoint) BEFORE the expansion
+    joins: it is the tiny decision table (survivor pairs only), while its
+    lineage is the whole banded-join + verify pipeline. Composing that
+    lineage into the 6-join expansion used to build one enormous physical
+    plan (measured at sf0.1: 224k chars, 53 BroadcastExchange / 189
+    Exchange nodes, every broadcast branch re-executing uncached
+    subtrees — d02 oscillated 6-65 s). Cutting the lineage at the small
+    table keeps the final plan six shallow joins over materialized
+    inputs (guide §3.3/§8: decide with small rows, truncate deep plans
+    before re-attaching)."""
+    rep_pairs = rep_pairs.localCheckpoint()
     r2f = groups.select("rep", "_fp")
     cross = (
         rep_pairs
@@ -551,10 +616,14 @@ def ngram_jaccard_pairs(
     fpd = df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_fp"), F.col(text_col)
     )
-    groups = fpd.groupBy("_fp").agg(
+    # same proxy-table caching as minhash_lsh_dedup: mem feeds the group
+    # aggregation and four expansion branches — one corpus pass, cached
+    mem = fpd.select("_fp", F.col(id_col)).persist()
+    groups = mem.groupBy("_fp").agg(
         F.min(id_col).alias("rep"), F.count("*").alias("gsize")
     ).persist()
-    mem = fpd.select("_fp", F.col(id_col))
+    # no explicit materialize: the shingle materialization below scans
+    # through reps -> groups -> mem and fills both caches in that pass
     reps = fpd.join(
         groups.select(F.col("rep").alias(id_col)), id_col
     ).select(id_col, text_col)
@@ -567,7 +636,9 @@ def ngram_jaccard_pairs(
     df_freq = sh.join(gsz, id_col).groupBy("h").agg(
         F.sum("gsize").alias("df_")
     )
-    rare = sh.join(df_freq.filter(F.col("df_") <= max_doc_freq), "h")
+    # rare feeds both sides of the co-occurrence self-join AND the
+    # intra-group rare_cnt — cache it so the frequency-cap join runs once
+    rare = sh.join(df_freq.filter(F.col("df_") <= max_doc_freq), "h").persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = rare.select(F.col(id_col).alias("id_a"), "h")
     b = rare.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
@@ -613,6 +684,8 @@ def ngram_jaccard_pairs(
     out = _expand_rep_pairs(rep_pairs, groups, mem, id_col, selfj)
     sh.unpersist()
     groups.unpersist()
+    mem.unpersist()
+    rare.unpersist()
     return out
 
 
