@@ -7650,7 +7650,11 @@ def write_native_scalar_index(
         raise LanceNativeError(
             f"column {column!r} type {nfield.logical_type!r} is not "
             "scalar-indexable (int/float/string only)")
-    if spark is not None:
+    # Adaptive routing (BTREE_DISTRIBUTED_MIN_ROWS): the serial twin is
+    # bit-identical and avoids the fan-out's fixed seconds on small data.
+    if spark is not None and sum(
+            f.physical_rows for f in manifest.fragments
+    ) >= BTREE_DISTRIBUTED_MIN_ROWS:
         return _write_btree_sharded_distributed(
             root, column, kind, manifest, page_rows, spark, shard_rows)
     return _write_btree_sharded(
@@ -7809,6 +7813,20 @@ IVF_CELL_BLOCK_BITS = 18
 # when spark is given (the serial path is the bit-parity reference and
 # takes milliseconds at that size); real ingest deltas go distributed.
 IVF_DISTRIBUTED_MIN_ROWS = 65536
+# Same adaptive routing for the inverted-index family (r14 measure:
+# sf0.1 documents, 4.5k docs — ngram-v1 serial 3.3 s vs distributed
+# 9.9 s, whitespace-v1 serial 0.6 s vs 1.5 s; the fan-out's fixed cost
+# is a DataSource scan plan + a mapInPandas stage + the bucket shuffle
+# of one row per (doc, token)). Builds/extends below this many rows go
+# through the serial twin — the bit-parity reference — even with
+# spark=; corpus-scale runs go distributed.
+FTS_DISTRIBUTED_MIN_ROWS = 8192
+# And for the btree family (r14 measure: 150k-row fixture — serial
+# 0.2-0.4 s vs distributed 2.6-10.3 s; the executor-staged orderBy
+# fan-out costs ~2.5 s fixed). The serial twin's driver footprint is
+# the sorted (value, addr) numpy pair array — ~16-48 MB at this
+# threshold, bounded; corpus-scale builds go distributed.
+BTREE_DISTRIBUTED_MIN_ROWS = 1_048_576
 
 
 def _write_btree_shard_meta(
@@ -8239,7 +8257,9 @@ def extend_native_scalar_index(
     if idx.shard_names and len(runs) < MAX_INDEX_RUNS:
         # O(delta) path: append the sorted delta as a new run, in place
         d = os.path.dirname(idx.path)
-        if spark is not None:
+        if spark is not None and sum(
+                f.physical_rows for f in new_frags
+        ) >= BTREE_DISTRIBUTED_MIN_ROWS:
             new_shards = _distributed_btree_shards(
                 root, d, column, idx.kind, manifest, new_frags,
                 page_rows, spark, shard_rows)
@@ -8265,11 +8285,15 @@ def extend_native_scalar_index(
             d, column, idx.kind, shards + list(new_shards), old_fences,
             manifest.version, coverage, runs, replace=True)
         return os.path.basename(d)
-    if spark is not None and idx.shard_names:
+    if (spark is not None and idx.shard_names
+            and sum(f.physical_rows for f in manifest.fragments)
+            >= BTREE_DISTRIBUTED_MIN_ROWS):
         # 100-TB shape: existing shard files re-enter executor-side,
         # union the delta scan, range-sort, sink — the driver never
         # holds a (value, addr) pair (legacy single-file bases take the
-        # streamed serial merge below)
+        # streamed serial merge below; small compactions take it too —
+        # it is a bounded-memory stream, and the fan-out's fixed cost
+        # dominates at fixture scale)
         return _btree_compact_distributed(
             root, idx, manifest, nfield, new_frags, page_rows,
             shard_rows, spark, coverage)
@@ -9649,6 +9673,17 @@ def _fts_run_build(root: str, d: str, manifest: NativeManifest,
     doclen_files: list = []
     n_docs = 0
     sum_dl = 0
+    # Adaptive routing (FTS_DISTRIBUTED_MIN_ROWS): below the threshold
+    # the Spark fan-out's fixed cost dwarfs the work — run the serial
+    # twin (bit-identical output) instead. Keep the datasource
+    # registration side effect callers could observe from the
+    # distributed arm (idempotent, milliseconds).
+    if spark is not None and sum(
+            f.physical_rows for f in frags) < FTS_DISTRIBUTED_MIN_ROWS:
+        from ..sources.lance_datasource import register_lance_datasource
+
+        register_lance_datasource(spark)
+        spark = None
     if spark is not None:
         from pyspark.sql import functions as F
 

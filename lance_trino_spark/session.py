@@ -32,15 +32,30 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_CONF_SESSIONS: set[tuple] = set()  # (id, applicationId) memo — apply once
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (driver contract:
-    `entry(spark)` receives a session we did not build)."""
+    `entry(spark)` receives a session we did not build). Memoized per
+    session: this runs on every load_table call, and the seven py4j
+    conf.set round-trips (~10 ms) are a fixed tax every suite query would
+    otherwise re-pay. The key includes applicationId so a recycled object
+    id after a stop/start cannot satisfy the memo."""
+    try:
+        key = (id(spark), spark.sparkContext.applicationId)
+    except Exception:
+        key = None
+    if key is not None and key in _CONF_SESSIONS:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this session; proceed with defaults
     install_pyds_scan_rebind(spark)
+    if key is not None:
+        _CONF_SESSIONS.add(key)
     return spark
 
 

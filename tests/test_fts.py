@@ -91,6 +91,9 @@ def test_fts_distributed_build_parity(tmp_path, spark, monkeypatch):
     root = str(tmp_path / "fts_dist.lance")
     docs = [f"tok{i % 7} tok{i % 3} filler{i}" for i in range(500)]
     _mk(root, docs)
+    # force the distributed arm (adaptive routing serial-routes small
+    # builds) — this test pins distributed == serial parity
+    monkeypatch.setattr(ln, "FTS_DISTRIBUTED_MIN_ROWS", 0)
     ln.write_native_fts_index(root, "text", n_buckets=4)
 
     def no_iter(self, *a, **k):
@@ -755,6 +758,9 @@ def test_fts_distributed_compaction_parity(tmp_path, spark, monkeypatch):
         return root
 
     monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 2)
+    # force the distributed arm (adaptive routing serial-routes small
+    # extends) — this test pins distributed == serial compaction parity
+    monkeypatch.setattr(ln, "FTS_DISTRIBUTED_MIN_ROWS", 0)
     ra = mk(str(tmp_path / "ser.lance"))
     ln.extend_native_fts_index(ra, "text")  # serial compaction
     rb = mk(str(tmp_path / "dist.lance"))
@@ -1163,7 +1169,7 @@ def test_bitmap_index_family(tmp_path, spark):
     assert len(r) == 25
 
 
-def test_label_list_index_family(tmp_path, spark):
+def test_label_list_index_family(tmp_path, spark, monkeypatch):
     """LABEL_LIST index (r13 — the SDK's tag-column scalar family on
     the inverted-index machinery, label-v1): an array<string> column's
     tags become exact tokens, has-any/has-all lookups answer from
@@ -1209,7 +1215,9 @@ def test_label_list_index_family(tmp_path, spark):
     with pytest.raises(ln.LanceNativeError, match="mode"):
         ln.native_label_lookup(root, "tags", ["ml"], mode="xor")
 
-    # distributed build parity
+    # distributed build parity (forced: adaptive routing would
+    # serial-route this fixture-sized build)
+    monkeypatch.setattr(ln, "FTS_DISTRIBUTED_MIN_ROWS", 0)
     uid2 = ln.write_native_fts_index(
         root, "tags", n_buckets=4, spark=spark, analyzer="label-v1")
     idx2 = next(i for i in ln.list_native_fts_indices(root)
@@ -1578,7 +1586,9 @@ def test_ngram_index_family(tmp_path, spark, monkeypatch):
         root, "s", "quick", addr_lo=0, addr_hi=1 << 32)
     assert list(win) == [a for a in full if (int(a) >> 32) == 0]
 
-    # distributed build parity
+    # distributed build parity (forced: adaptive routing would
+    # serial-route this fixture-sized build)
+    monkeypatch.setattr(ln, "FTS_DISTRIBUTED_MIN_ROWS", 0)
     uid2 = ln.write_native_fts_index(
         root, "s", n_buckets=4, spark=spark, analyzer="ngram-v1")
     idx2 = next(i for i in ln.list_native_fts_indices(root)

@@ -959,16 +959,19 @@ def test_native_row_address_option(tmp_path, spark):
         spark.read.format("lance").load(root).columns)
 
 
-def test_scalar_index_spark_build_parity(tmp_path, spark):
+def test_scalar_index_spark_build_parity(tmp_path, spark, monkeypatch):
     """The distributed build path (orderBy over the format('lance') scan,
     O(page) driver memory via toLocalIterator) produces an index whose
     every probe answers identically to the driver-side numpy build."""
+    import lance_trino_spark.format.lance_native as _ln
     from lance_trino_spark.format.lance_native import (
         list_native_scalar_indices,
         scalar_index_lookup,
         write_native_scalar_index,
     )
 
+    # force the distributed arm on the fixture-sized build
+    monkeypatch.setattr(_ln, "BTREE_DISTRIBUTED_MIN_ROWS", 0)
     root, _ = _build_scalar_ds(tmp_path)
     write_native_scalar_index(root, "k", page_rows=512)
     write_native_scalar_index(root, "k", page_rows=512, spark=spark)
@@ -4691,12 +4694,15 @@ def test_btree_distributed_build_executor_staged(tmp_path, spark,
     build."""
     from pyspark.sql import DataFrame
 
+    import lance_trino_spark.format.lance_native as _ln
     from lance_trino_spark.format.lance_native import (
         list_native_scalar_indices,
         scalar_index_lookup,
         write_native_scalar_index,
     )
 
+    # force the distributed arm on the fixture-sized build
+    monkeypatch.setattr(_ln, "BTREE_DISTRIBUTED_MIN_ROWS", 0)
     root, total = _build_scalar_ds(tmp_path)
     write_native_scalar_index(root, "k", page_rows=256)  # serial twin
 
@@ -4906,7 +4912,8 @@ def test_prefilter_allowed_set_cap_refuses_loudly(tmp_path, spark,
 
 
 def test_distributed_index_builds_refuse_driver_local_store(tmp_path,
-                                                            spark):
+                                                            spark,
+                                                            monkeypatch):
     """Executor-side shard writes on a copy-semantics store double would
     silently vanish (each worker writes its own snapshot) — all three
     distributed index builders refuse with the stage_native_fragments
@@ -4915,6 +4922,10 @@ def test_distributed_index_builds_refuse_driver_local_store(tmp_path,
     import pytest as _pytest
 
     import lance_trino_spark.format.lance_native as ln
+    # force the distributed arms: adaptive routing would serial-route
+    # this tiny fixture and never hit the shared-store guard
+    monkeypatch.setattr(ln, "FTS_DISTRIBUTED_MIN_ROWS", 0)
+    monkeypatch.setattr(ln, "BTREE_DISTRIBUTED_MIN_ROWS", 0)
     from lance_trino_spark.format import native_io as nio
     from lance_trino_spark.format.backend import MemoryObjectStore
 
@@ -4947,7 +4958,8 @@ def test_distributed_index_builds_refuse_driver_local_store(tmp_path,
         nio.unregister_object_store_root("memory://bucket")
 
 
-def test_sharded_indexes_on_pyarrow_fs_object_store(tmp_path, spark):
+def test_sharded_indexes_on_pyarrow_fs_object_store(tmp_path, spark,
+                                                    monkeypatch):
     """Round-12 writers on a PROCESS-SHARED object-store root (the
     S3/GCS shape): executor-staged sharded btree build, distributed FTS
     build, O(delta) in-place extends (atomic replace_bytes on the
@@ -4966,6 +4978,10 @@ def test_sharded_indexes_on_pyarrow_fs_object_store(tmp_path, spark):
         register_lance_datasource,
     )
 
+    # force the distributed arms on this small fixture (adaptive
+    # routing would serial-route them and skip the remote staging path)
+    monkeypatch.setattr(ln, "FTS_DISTRIBUTED_MIN_ROWS", 0)
+    monkeypatch.setattr(ln, "BTREE_DISTRIBUTED_MIN_ROWS", 0)
     register_lance_datasource(spark)
     base = str(tmp_path / "bucket")
     with warnings.catch_warnings():
@@ -5371,6 +5387,8 @@ def test_btree_distributed_compaction_parity(tmp_path, spark, monkeypatch):
     import lance_trino_spark.format.lance_native as ln
 
     monkeypatch.setattr(ln, "MAX_INDEX_RUNS", 1)  # every extend compacts
+    # force the distributed arms on the fixture-sized builds
+    monkeypatch.setattr(ln, "BTREE_DISTRIBUTED_MIN_ROWS", 0)
     rng = np.random.default_rng(29)
 
     def mk(root):
