@@ -639,7 +639,9 @@ def ngram_jaccard_pairs(
     # rare feeds both sides of the co-occurrence self-join AND the
     # intra-group rare_cnt — cache it so the frequency-cap join runs once
     rare = sh.join(df_freq.filter(F.col("df_") <= max_doc_freq), "h").persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # sizes feeds both sides of the pair join AND the intra-group arm —
+    # cache the tiny per-doc counts so the aggregation runs once
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz")).persist()
     a = rare.select(F.col(id_col).alias("id_a"), "h")
     b = rare.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
     inter = (
@@ -686,6 +688,7 @@ def ngram_jaccard_pairs(
     groups.unpersist()
     mem.unpersist()
     rare.unpersist()
+    sizes.unpersist()
     return out
 
 
