@@ -311,22 +311,29 @@ def main() -> None:
                   file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # AFTER "queries" so the driver's 2000-char stdout tail
-                # keeps it visible in BENCH_r{N}.json
-                "parquet_baseline_sec": parquet_base,
-                "sf": sf,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": "suite_total_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            # AFTER "queries" so the driver's 2000-char stdout tail
+            # keeps it visible in BENCH_r{N}.json
+            "parquet_baseline_sec": parquet_base,
+            "sf": sf,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        }
     )
+    print(line, flush=True)
+    # Defensive copy: a clipped/unparsed stdout tail once blinded a whole
+    # round's perf comparison (BENCH_r13 `parsed: null`) — the same JSON
+    # line is also written to a file so the numbers always survive.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_out.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as ex:
+        print(f"# bench_out.json not written: {ex!r}", file=sys.stderr)
     spark.stop()
 
 

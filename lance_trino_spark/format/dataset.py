@@ -67,6 +67,18 @@ MAX_ROWS_PER_FILE = 1_000_000  # reference default, LanceConfig.java:128
 # vacuum only reaps .stage-*/.tmp-* dirs idle this long (live-writer safety)
 STAGING_RETENTION_SECS = 3600.0
 
+# Adaptive routing of the per-fragment index-sidecar builds (same pattern
+# as lance_native's IVF/FTS/BTREE_DISTRIBUTED_MIN_ROWS, r14): below the
+# threshold the fan-out's FIXED cost (createDataFrame + repartition +
+# mapInPandas stage, ~1 s) dwarfs the build itself, so the SAME builder
+# functions run driver-side — they write identical sidecar files, so
+# routing is output-transparent (guide §1.2/§2). Gated on manifest row
+# counts (metadata only, no job). Vector builds (HNSW graph insertion /
+# IVF cell assignment) are CPU-heavy per row; scalar sidecars are one
+# numpy sort per fragment, so its threshold matches the btree family's.
+VINDEX_DISTRIBUTED_MIN_ROWS = 8192
+SINDEX_DISTRIBUTED_MIN_ROWS = 1_048_576
+
 
 def fragment_id_of(rowaddr: Column) -> Column:
     return F.shiftrightunsigned(rowaddr, FRAGMENT_SHIFT)
@@ -729,6 +741,16 @@ class LanceDataset:
         if not todo:
             return 0
         root = self.path
+        todo_paths = {p for p, _ in todo}
+        if sum(
+            f.physical_rows for f in self.manifest.fragments
+            if f.path in todo_paths
+        ) < SINDEX_DISTRIBUTED_MIN_ROWS:
+            # serial twin (adaptive routing, see constant above): the same
+            # builder writes the same sidecar files
+            for p, col in todo:
+                build_fragment_index(root, p, col)
+            return len(todo)
 
         def _build(batches):
             for pdf in batches:
@@ -767,7 +789,13 @@ class LanceDataset:
             raise ValueError(f"no such column to index: {column!r}")
         frag_paths = [f.path for f in self.manifest.fragments]
         root = self.path
-        if frag_paths:
+        if frag_paths and sum(
+            f.physical_rows for f in self.manifest.fragments
+        ) < SINDEX_DISTRIBUTED_MIN_ROWS:
+            # serial twin (adaptive routing): same builder, same sidecars
+            for p in frag_paths:
+                build_fragment_index(root, p, column)
+        elif frag_paths:
             def _build(batches):
                 for pdf in batches:
                     for p in pdf["path"]:
@@ -1063,7 +1091,16 @@ class LanceDataset:
                 for f in self.manifest.fragments
                 for s in range(hnsw_n_shards(f.physical_rows))
             ]
-            if items:
+            if items and sum(
+                f.physical_rows for f in self.manifest.fragments
+            ) < VINDEX_DISTRIBUTED_MIN_ROWS:
+                # serial twin (adaptive routing): same builder, same graphs
+                for p, s, ns in items:
+                    build_fragment_hnsw(
+                        root, p, column, hnsw_m, hnsw_ef_construction,
+                        shard=int(s), n_shards=int(ns),
+                    )
+            elif items:
                 def _build_h(batches):
                     for pdf in batches:
                         for p, s, ns in zip(
@@ -1136,7 +1173,13 @@ class LanceDataset:
                                 index_type)
         root = self.path
         frag_paths = [f.path for f in self.manifest.fragments]
-        if frag_paths:
+        if frag_paths and sum(
+            f.physical_rows for f in self.manifest.fragments
+        ) < VINDEX_DISTRIBUTED_MIN_ROWS:
+            # serial twin (adaptive routing): same builder, same postings
+            for p in frag_paths:
+                build_fragment_postings(root, p, column, centroids, pq_books)
+        elif frag_paths:
             def _build(batches):
                 for pdf in batches:
                     for p in pdf["path"]:
@@ -1232,6 +1275,26 @@ class LanceDataset:
             for col, meta in registered.items()
         }
         metas = dict(registered)
+        todo_paths = {p for p, _, _, _ in todo}
+        if sum(
+            f.physical_rows for f in self.manifest.fragments
+            if f.path in todo_paths
+        ) < VINDEX_DISTRIBUTED_MIN_ROWS:
+            # serial twin (adaptive routing, see VINDEX_DISTRIBUTED_MIN_ROWS):
+            # the per-batch streaming-ingest maintenance typically covers ONE
+            # small fresh fragment — same builders, same sidecar files
+            for p, col, s, ns in todo:
+                meta = metas[col]
+                if meta.get("index_type") == "HNSW":
+                    build_fragment_hnsw(
+                        root, p, col,
+                        meta.get("m", 8), meta.get("ef_construction", 64),
+                        shard=int(s), n_shards=int(ns),
+                    )
+                else:
+                    cents, books = codebooks[col]
+                    build_fragment_postings(root, p, col, cents, books)
+            return len(todo)
 
         def _build(batches):
             for pdf in batches:

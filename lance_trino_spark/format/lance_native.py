@@ -4395,6 +4395,16 @@ def native_compact(
            if f.deletion is not None else ())
         for f in m.fragments if f.id not in victim_ids
     ]
+    # Adaptive routing (COMPACT_DISTRIBUTED_MIN_ROWS): a small victim set
+    # pays more in distributed-rewrite fixed costs than the rewrite is
+    # worth — route it to the serial arm below, which cuts the SAME
+    # rows_per_fragment chunks from the same sorted order. Z-order
+    # (list sort_by) always goes distributed: the Morton interleave is a
+    # Spark expression the serial arm does not reproduce.
+    if spark is not None and not isinstance(sort_by, (list, tuple)) and sum(
+        live_count(f) for f in victims
+    ) < COMPACT_DISTRIBUTED_MIN_ROWS:
+        spark = None
     if spark is not None:
         from ..sources.lance_datasource import register_lance_datasource
 
@@ -4466,10 +4476,16 @@ def native_compact(
             _w = _w2
         else:
             _w = _write_v1_data_file
-        staged = (
-            [_w(root, _specs_for_manifest(m, merged))]
-            if merged[data_cols[0]] else []
-        )
+        # cut the same ~rows_per_fragment chunks the distributed arm
+        # stages (a sorted order cut into contiguous chunks IS
+        # range-disjoint); default rows_per_fragment leaves one file.
+        n_rows = len(merged[data_cols[0]])
+        staged = [
+            _w(root, _specs_for_manifest(
+                m, {c: v[lo:lo + rows_per_fragment]
+                    for c, v in merged.items()}))
+            for lo in range(0, n_rows, rows_per_fragment)
+        ]
     next_id = _next_fragment_id(m)
     for file_name, n_rows in staged:
         frag_entries.append((next_id, file_name, n_rows))
@@ -7827,6 +7843,15 @@ FTS_DISTRIBUTED_MIN_ROWS = 8192
 # the sorted (value, addr) numpy pair array — ~16-48 MB at this
 # threshold, bounded; corpus-scale builds go distributed.
 BTREE_DISTRIBUTED_MIN_ROWS = 1_048_576
+# And for compaction (r15 measure, st13 profile: each in-line compaction
+# of a ~15k-row streaming sink paid ~1.1 s of distributed-rewrite fixed
+# cost — scan plan + range shuffle + staging stage — for ~40 ms of data
+# work). Victim sets whose LIVE rows total under this go through the
+# serial rewrite even with spark=; the serial arm cuts the same
+# rows_per_fragment chunks (single-column sort or unsorted only —
+# Z-order stays distributed). Driver footprint is bounded by the
+# threshold (python lists of one small victim set).
+COMPACT_DISTRIBUTED_MIN_ROWS = 262_144
 
 
 def _write_btree_shard_meta(
@@ -8299,11 +8324,20 @@ def extend_native_scalar_index(
             shard_rows, spark, coverage)
     # compaction (or a legacy single-file base): one streamed heap-merge
     # of the existing global run + the sorted delta into a fresh
-    # single-run sidecar — driver memory O(shard + page), never O(index)
+    # single-run sidecar — driver memory O(shard + page), never O(index).
+    # A compaction routed here BECAUSE the table is small must not launch
+    # the distributed orderBy for its delta either (same fan-out fixed
+    # cost the routing exists to avoid; the delta is bounded by the
+    # below-threshold full-table sum, so the serial sort stays in the
+    # documented ~16-48 MB envelope). Legacy single-file BIG bases keep
+    # the distributed delta sort.
+    delta_spark = spark if sum(
+        f.physical_rows for f in manifest.fragments
+    ) >= BTREE_DISTRIBUTED_MIN_ROWS else None
     merged = heapq.merge(
         _iter_scalar_index_rows(idx),
         _sorted_scalar_rows(root, manifest, nfield, idx.kind, new_frags,
-                            spark),
+                            delta_spark),
         key=lambda t: (t[0], t[1]),
     )
     return _write_btree_sharded(

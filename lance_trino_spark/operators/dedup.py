@@ -88,14 +88,18 @@ def shingle_hashes(
                 except OSError:
                     total = None
                     break
-            else:  # remote store: sizes unknown without I/O — assume big
+            else:  # remote store: sizes unknown without data I/O
                 total = None
                 break
-        # unknown sizes on few files: keep the old conservative behavior
-        # only for the all-local (test/fixture) shape; 32 MiB/slot is well
-        # under one scan split, so a "small" verdict here can only cost a
-        # tiny shuffle
-        if total is not None and total < slots * (32 << 20):
+        # unknown sizes on few files: a 1-2 file input is the exact shape
+        # this guard exists for (one small object-store file would run the
+        # CPU-heavy shingle projection in one task), and the repartition
+        # shuffle is cheap precisely when the "small" verdict is wrong by
+        # a little — so treat <=2 unknown-size files as small instead of
+        # assuming big for any non-local scheme. 32 MiB/slot on known
+        # sizes is well under one scan split.
+        if (total is not None and total < slots * (32 << 20)) or (
+                total is None and len(files) <= 2):
             df = df.repartition(slots)
     # Tokenize ONCE in its own projection: referencing split() inside the
     # transform() lambda would re-evaluate it per shingle (Spark does no CSE
@@ -195,6 +199,12 @@ def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs only.
+
+    PRECONDITION: ``threshold`` must be > 0. At threshold <= 0 a candidate
+    pair with a shingle-less member survives with jaccard 0.0, where the
+    pre-r14 inner size-join dropped such pairs unconditionally (see the
+    note at the end of this docstring). No in-repo caller goes below 0.5,
+    and shingle-less docs never become LSH candidates.
 
     ONE join + ONE aggregation (r14, guide §2.4 — the old shape was four
     joins and two aggregations over the same shingle frame, each reference

@@ -32,21 +32,22 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-_CONF_SESSIONS: set[tuple] = set()  # (id, applicationId) memo — apply once
-
-
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (driver contract:
     `entry(spark)` receives a session we did not build). Memoized per
     session: this runs on every load_table call, and the seven py4j
     conf.set round-trips (~10 ms) are a fixed tax every suite query would
-    otherwise re-pay. The key includes applicationId so a recycled object
-    id after a stop/start cannot satisfy the memo."""
+    otherwise re-pay. The memo is an attribute ON the session object
+    (stamped with the applicationId), never a module-level set keyed on
+    id(spark): CPython reuses object ids after GC, so a collected session
+    could alias a new one (e.g. spark.newSession() with a fresh SQLConf)
+    and silently skip the confs AND the scan-rebind correctness rule."""
     try:
-        key = (id(spark), spark.sparkContext.applicationId)
+        app_id = spark.sparkContext.applicationId
     except Exception:
-        key = None
-    if key is not None and key in _CONF_SESSIONS:
+        app_id = None
+    if app_id is not None and getattr(
+            spark, "_lts_confs_applied", None) == app_id:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -54,13 +55,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-settable in this session; proceed with defaults
     install_pyds_scan_rebind(spark)
-    if key is not None:
-        _CONF_SESSIONS.add(key)
+    if app_id is not None:
+        try:
+            spark._lts_confs_applied = app_id
+        except Exception:
+            pass
     return spark
 
 
 _REBIND_RULE = "io.lancespark.PythonScanRebind"
-_REBIND_SESSIONS: set[int] = set()  # id(session) memo — install once
 
 
 def install_pyds_scan_rebind(spark: SparkSession) -> bool:
@@ -81,8 +84,10 @@ def install_pyds_scan_rebind(spark: SparkSession) -> bool:
     `spark.experimental.extraOptimizations` (runtime-assignable — runs
     after V2ScanRelationPushDown, before physical planning), so the
     driver's externally built sessions get the fix through
-    apply_runtime_confs. Returns True when the rule is active."""
-    if id(spark) in _REBIND_SESSIONS:
+    apply_runtime_confs. Returns True when the rule is active. The memo
+    is an attribute on the session object (same id-reuse hazard as the
+    conf memo above — see apply_runtime_confs)."""
+    if getattr(spark, "_lts_rebind_installed", False):
         return True
     try:
         exp = spark._jsparkSession.experimental()
@@ -90,7 +95,7 @@ def install_pyds_scan_rebind(spark: SparkSession) -> bool:
         it = cur.iterator()
         while it.hasNext():
             if it.next().getClass().getName() == _REBIND_RULE:
-                _REBIND_SESSIONS.add(id(spark))
+                spark._lts_rebind_installed = True
                 return True
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         jar = os.path.join(repo, "jvm", "lance-jvm-catalog.jar")
@@ -111,7 +116,7 @@ def install_pyds_scan_rebind(spark: SparkSession) -> bool:
         rules.add(rule)
         getattr(exp, "extraOptimizations_$eq")(
             jvm.org.apache.spark.api.python.PythonUtils.toSeq(rules))
-        _REBIND_SESSIONS.add(id(spark))
+        spark._lts_rebind_installed = True
         return True
     except Exception:
         return False  # degraded: the upstream aliasing hazard remains

@@ -154,10 +154,12 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # Materialize the (small) sink result, then release the per-run
     # resources: the checkpoint dir and the memory-sink registration would
-    # otherwise accumulate for the life of a long driver.
-    result = spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    # otherwise accumulate for the life of a long driver. localCheckpoint
+    # copies the sink rows to JVM block storage in one job — the old
+    # collect() + createDataFrame(rows) round-tripped every row through
+    # Python pickling twice for nothing (guide §5: the driver should do
+    # almost no data work).
+    result = spark.table(name).localCheckpoint()
     try:
         spark.catalog.dropTempView(name)
     except Exception:
@@ -462,7 +464,7 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     out = LanceDataset.open(target).to_df(spark).orderBy("user_id")
-    out = spark.createDataFrame(out.collect(), out.schema)  # detach from scratch
+    out = out.localCheckpoint()  # detach from scratch, JVM-side (§5)
     shutil.rmtree(scratch, ignore_errors=True)
     return out
 
@@ -581,9 +583,8 @@ def run_to_memory_counted(sdf: DataFrame, output_mode: str):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    result = spark.createDataFrame(
-        spark.table(name).collect(), spark.table(name).schema
-    )
+    # JVM-side materialization — same rationale as run_to_memory.
+    result = spark.table(name).localCheckpoint()
     try:
         spark.catalog.dropTempView(name)
     except Exception:

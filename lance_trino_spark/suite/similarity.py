@@ -167,7 +167,10 @@ def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(emb, n_cells=16, iters=5, sample=2048)
     queries = emb.filter(F.col("vec_id") < 10)
-    ivf = ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    # `ivf` feeds both the recall join and the per-query count; checkpoint
+    # the tiny (queries x k) decision table so each branch doesn't
+    # re-execute the probe-join pipeline (guide §3.3/§8, the d02 cure).
+    ivf = ivf_topk(emb, queries, centroids, k=5, nprobe=2).localCheckpoint()
     exact = cosine_topk(emb, queries, k=5)
     hits = (
         ivf.select("query_id", "neighbor_id")
@@ -479,12 +482,14 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
+    # checkpoint: `ann` feeds the recall join AND the per-query count —
+    # without it each branch re-runs the index-backed search (guide §3.3).
     ann = (
         hits.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("_rk", F.row_number().over(rk))
         .filter(F.col("_rk") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
+    ).localCheckpoint()
     exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     n_hits = (
         ann.join(
@@ -614,12 +619,14 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
+    # checkpoint: `ann` feeds the recall join AND the per-query count —
+    # without it each branch re-runs the index-backed search (guide §3.3).
     ann = (
         hits.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("_rk", F.row_number().over(rk))
         .filter(F.col("_rk") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
+    ).localCheckpoint()
     exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     n_hits = (
         ann.join(
@@ -672,7 +679,11 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = binary_topk(emb, queries, k=5, shortlist=100)
+    # `ann` feeds both the recall join and the per-query count; without a
+    # checkpoint each branch re-executes the whole quantize + hamming
+    # crossJoin + rerank pipeline (28 Exchanges in the r14 plan capture).
+    # queries x k rows — tiny decision table (guide §3.3/§8).
+    ann = binary_topk(emb, queries, k=5, shortlist=100).localCheckpoint()
     exact = cosine_topk(emb, queries, k=5)
     n_hits = (
         ann.select("query_id", "neighbor_id")
@@ -734,11 +745,19 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAM = 0.7
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # The step-optimality recheck references `pool` 3x and `mmr` 5x;
+    # uncheckpointed, EVERY reference re-executes the whole
+    # cosine-top-40 + Arrow-batched-selection pipeline (the executed
+    # plan compounded to 68 Exchanges / 30 BroadcastExchanges — the
+    # same lineage disease d02 had). Both tables are tiny decision
+    # tables (queries x pool and queries x k rows), so localCheckpoint
+    # truncates the lineage once and the recheck joins run over
+    # materialized rows (guide §3.3/§8).
     pool = cosine_topk(emb, queries, k=40).select(
         "query_id", "neighbor_id", "cosine",
         F.col("rank").alias("pool_rank"),
-    )
-    mmr = mmr_topk(emb, queries, k=8, pool=40, lam=LAM)
+    ).localCheckpoint()
+    mmr = mmr_topk(emb, queries, k=8, pool=40, lam=LAM).localCheckpoint()
 
     v = emb.select(F.col("vec_id").alias("vid"), "embedding")
     cand = pool.join(v, pool.neighbor_id == v.vid).select(

@@ -33,12 +33,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "reports — the coordinator role the reference's finishInsert plays)",
     ("format/namespace.py", "_props"):
         "DESCRIBE DATABASE EXTENDED output — a handful of metadata rows",
-    ("streaming/events.py", "run_to_memory"):
-        "bounded memory-sink result of the micro-batch harness",
-    ("streaming/events.py", "run_to_memory_counted"):
-        "bounded memory-sink result of the counted micro-batch harness",
-    ("streaming/events.py", "cdc_upsert_stream"):
-        "bounded per-suite sink materialized to detach from scratch dir",
+    # (r15) streaming/events.py left this list: the memory-sink harness
+    # results now materialize JVM-side via localCheckpoint — no driver
+    # collect at all.
     ("operators/similarity.py", "kmeans_lattice"):
         "one aggregated row per cluster (k rows, k a small constant) — "
         "the Lloyd-update centroid sums; vectors never reach the driver",
