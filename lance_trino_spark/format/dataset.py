@@ -77,6 +77,11 @@ STAGING_RETENTION_SECS = 3600.0
 # IVF cell assignment) are CPU-heavy per row; scalar sidecars are one
 # numpy sort per fragment, so its threshold matches the btree family's.
 VINDEX_DISTRIBUTED_MIN_ROWS = 8192
+# HNSW graph insertion is ~10x costlier per row than IVF cell
+# assignment (measured same-session: 2000-row corpus serial 1.05 s vs
+# distributed 0.86 s, but a 500-row ingest batch serial 0.44 s vs
+# 0.86 s) — its crossover sits lower.
+VINDEX_HNSW_DISTRIBUTED_MIN_ROWS = 1024
 SINDEX_DISTRIBUTED_MIN_ROWS = 1_048_576
 
 
@@ -1093,7 +1098,7 @@ class LanceDataset:
             ]
             if items and sum(
                 f.physical_rows for f in self.manifest.fragments
-            ) < VINDEX_DISTRIBUTED_MIN_ROWS:
+            ) < VINDEX_HNSW_DISTRIBUTED_MIN_ROWS:
                 # serial twin (adaptive routing): same builder, same graphs
                 for p, s, ns in items:
                     build_fragment_hnsw(
@@ -1276,10 +1281,16 @@ class LanceDataset:
         }
         metas = dict(registered)
         todo_paths = {p for p, _, _, _ in todo}
+        _limit = (
+            VINDEX_HNSW_DISTRIBUTED_MIN_ROWS
+            if any(metas[c].get("index_type") == "HNSW"
+                   for _, c, _, _ in todo)
+            else VINDEX_DISTRIBUTED_MIN_ROWS
+        )
         if sum(
             f.physical_rows for f in self.manifest.fragments
             if f.path in todo_paths
-        ) < VINDEX_DISTRIBUTED_MIN_ROWS:
+        ) < _limit:
             # serial twin (adaptive routing, see VINDEX_DISTRIBUTED_MIN_ROWS):
             # the per-batch streaming-ingest maintenance typically covers ONE
             # small fresh fragment — same builders, same sidecar files
